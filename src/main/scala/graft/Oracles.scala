@@ -1,0 +1,514 @@
+package graft
+
+/** DuckDB oracle SQL for every oracle-checkable entry in
+  * [[SparkEntry.queries]].
+  *
+  * Parity rules (keep in sync with graft.functions.Exact — same formulas,
+  * textual form):
+  *  - never sum raw doubles: sums/means go through CAST(x AS DECIMAL(28,10))
+  *    (exact, order-independent on the 2-decimal test data), result cast back
+  *    to DOUBLE;
+  *  - second-level aggregates quantize first with the portable
+  *    q6(x) = floor(CAST(x AS DOUBLE)·1e6 + 0.5)/1e6 (pure IEEE arithmetic —
+  *    builtin round() differs between engines at half-boundaries);
+  *  - divisions keep a DOUBLE operand (DuckDB int/decimal division would
+  *    otherwise produce DECIMAL);
+  *  - integer-ish derived outputs are BIGINT on both sides (DuckDB sum(INT)
+  *    is HUGEINT, rank() is BIGINT — Spark sides cast to long);
+  *  - every "now" is pinned to the data's max date, never wall clock;
+  *  - top-k / argmax always tie-break on a unique key.
+  */
+object Oracles {
+  // Decimal→double must round ONCE: DuckDB's direct decimal→double cast
+  // double-rounds (int128→double, then ÷10^scale) and can be 1 ulp off
+  // Spark's BigDecimal.doubleValue. A VARCHAR round-trip forces strtod's
+  // correctly-rounded parse. (Window sums stay direct casts: their scaled
+  // integers fit in 2^53, where the direct cast is already exact.)
+  private def dsum(x: String) = s"CAST(CAST(sum(CAST($x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+  private def davg(x: String) = s"${dsum(x)}/count($x)"
+  private def q6(x: String) = s"floor(CAST($x AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
+  private def r6sum(x: String) = s"CAST(CAST(sum(CAST(${q6(x)} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+  private def r6avg(x: String) = s"${r6sum(x)}/count($x)"
+
+  /** The shared CTE chain: box-score normalization and the derived layers.
+    * DuckDB only plans CTEs that a query references, so every oracle query
+    * carries the whole chain. Mirrors Ingest.box / Analytics / Features /
+    * Dashboard exactly. */
+  private val PIPE: String = s"""
+box AS (
+  SELECT l.l_partkey AS player_id, p.p_name AS player_name, p.p_brand AS team_name,
+         l.l_orderkey AS game_id, l.l_linenumber AS line_id, l.l_shipdate AS game_date,
+         l.l_quantity AS minutes,
+         l.l_extendedprice/100.0 AS pts,
+         l.l_quantity AS reb,
+         l.l_discount*100.0 AS ast,
+         l.l_tax*100.0 AS stl,
+         CAST(l.l_linenumber AS DOUBLE) AS blk,
+         l.l_quantity*l.l_discount AS tov,
+         l.l_quantity*(1.0 - l.l_discount) AS fgm,
+         l.l_quantity AS fga,
+         l.l_quantity*l.l_discount AS fg3m,
+         l.l_quantity*0.5 AS fg3a,
+         l.l_tax*50.0 AS ftm,
+         l.l_tax*100.0 AS fta,
+         (l.l_discount - l.l_tax)*100.0 AS plus_minus
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pa0 AS (
+  SELECT player_id, player_name, team_name,
+         count(game_id) AS games,
+         ${dsum("minutes")} AS minutes_sum,
+         ${dsum("pts")} AS pts_sum, ${davg("pts")} AS pts_mean, max(pts) AS pts_max,
+         ${dsum("reb")} AS reb_sum, ${davg("reb")} AS reb_mean, max(reb) AS reb_max,
+         ${dsum("ast")} AS ast_sum, ${davg("ast")} AS ast_mean, max(ast) AS ast_max,
+         ${dsum("stl")} AS stl_sum, ${davg("stl")} AS stl_mean, max(stl) AS stl_max,
+         ${dsum("blk")} AS blk_sum, ${davg("blk")} AS blk_mean, max(blk) AS blk_max,
+         ${dsum("tov")} AS tov_sum, ${davg("tov")} AS tov_mean,
+         ${dsum("fgm")} AS fgm_sum, ${davg("fgm")} AS fgm_mean,
+         ${dsum("fga")} AS fga_sum, ${davg("fga")} AS fga_mean,
+         ${dsum("fg3m")} AS fg3m_sum, ${davg("fg3m")} AS fg3m_mean,
+         ${dsum("fg3a")} AS fg3a_sum, ${davg("fg3a")} AS fg3a_mean,
+         ${dsum("ftm")} AS ftm_sum, ${davg("ftm")} AS ftm_mean,
+         ${dsum("fta")} AS fta_sum, ${davg("fta")} AS fta_mean,
+         ${davg("plus_minus")} AS plus_minus_mean
+  FROM box GROUP BY 1, 2, 3
+),
+pa AS (
+  SELECT *,
+         CASE WHEN fga_sum <> 0 THEN fgm_sum/fga_sum ELSE 0.0 END AS fg_pct,
+         CASE WHEN fg3a_sum <> 0 THEN fg3m_sum/fg3a_sum ELSE 0.0 END AS fg3_pct,
+         CASE WHEN fta_sum <> 0 THEN ftm_sum/fta_sum ELSE 0.0 END AS ft_pct,
+         pts_sum/games AS ppg,
+         reb_sum/games AS rpg,
+         ast_sum/games AS apg,
+         stl_sum/games AS spg,
+         blk_sum/games AS bpg,
+         tov_sum/games AS topg
+  FROM pa0
+),
+adv0 AS (
+  SELECT player_id, player_name, team_name,
+         count(DISTINCT game_id) AS games_played,
+         ${dsum("pts")} AS _pts, ${dsum("fga")} AS _fga, ${dsum("fta")} AS _fta,
+         ${dsum("tov")} AS _tov, ${dsum("ast")} AS _ast,
+         ${davg("plus_minus")} AS avg_plus_minus
+  FROM box GROUP BY 1, 2, 3
+),
+adv AS (
+  SELECT player_id, player_name, team_name, games_played,
+         CASE WHEN _fga + 0.44 * _fta > 0
+              THEN _pts / (2.0 * (_fga + 0.44 * _fta)) ELSE 0.0 END AS true_shooting_pct,
+         (_fga + 0.44 * _fta + _tov) / (games_played * 100) AS usage_rate,
+         CASE WHEN _ast > 0 THEN _ast / _ast ELSE 0.0 END AS ast_pct,
+         avg_plus_minus
+  FROM adv0
+),
+roll AS (
+  SELECT player_id, player_name, team_name, game_id, line_id, game_date, minutes,
+         CAST(sum(CAST(pts AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS pts_5g,
+         CAST(sum(CAST(reb AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS reb_5g,
+         CAST(sum(CAST(ast AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS ast_5g,
+         CAST(sum(CAST(stl AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS stl_5g,
+         CAST(sum(CAST(blk AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS blk_5g,
+         CAST(sum(CAST(tov AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS tov_5g,
+         CAST(sum(CAST(plus_minus AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS plus_minus_5g,
+         CAST(sum(CAST(pts AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS pts_10g,
+         CAST(sum(CAST(reb AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS reb_10g,
+         CAST(sum(CAST(ast AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS ast_10g,
+         CAST(sum(CAST(stl AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS stl_10g,
+         CAST(sum(CAST(blk AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS blk_10g,
+         CAST(sum(CAST(tov AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS tov_10g,
+         CAST(sum(CAST(plus_minus AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS plus_minus_10g
+  FROM box
+  WINDOW w5 AS (PARTITION BY player_id ORDER BY game_date, game_id, line_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w10 AS (PARTITION BY player_id ORDER BY game_date, game_id, line_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+tail5 AS (
+  SELECT * EXCLUDE (_rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY player_id
+      ORDER BY game_date DESC, game_id DESC, line_id DESC) AS _rn FROM roll)
+  WHERE _rn <= 5
+),
+tail10 AS (
+  SELECT * EXCLUDE (_rn) FROM (
+    SELECT *, row_number() OVER (PARTITION BY player_id
+      ORDER BY game_date DESC, game_id DESC, line_id DESC) AS _rn FROM roll)
+  WHERE _rn <= 10
+),
+recent AS (
+  SELECT player_id, ${r6avg("pts_5g")} AS recent_ppg_5g FROM tail5 GROUP BY 1
+),
+fat AS (
+  SELECT player_id, ${r6avg("minutes")} AS recent_minutes_avg FROM tail10 GROUP BY 1
+),
+af AS (
+  SELECT pa.player_id, pa.player_name, pa.team_name, pa.games, pa.ppg, pa.rpg,
+         pa.apg, pa.spg, pa.bpg, pa.topg, adv.true_shooting_pct,
+         pa.ppg*0.3 + pa.rpg*0.15 + pa.apg*0.15 + pa.spg*0.1 + pa.bpg*0.1
+           + adv.true_shooting_pct*100*0.2 AS mvp_score,
+         pa.spg*0.3 + pa.bpg*0.3 + pa.rpg*0.2 + pa.topg*-0.1
+           + adv.avg_plus_minus*0.1 AS dpoy_score,
+         pa.ppg*0.4 + pa.apg*0.3 + adv.true_shooting_pct*100*0.3 AS sixmoy_score,
+         adv.avg_plus_minus*0.5
+           + ((pa.player_id * 2654435761) % 1000) / CAST(10000 AS DOUBLE)
+           - 0.05 AS team_success_factor,
+         recent.recent_ppg_5g,
+         recent.recent_ppg_5g - pa.ppg AS performance_trend,
+         CAST(pa.games AS DOUBLE) / 82 AS season_progress
+  FROM pa
+  LEFT JOIN adv USING (player_id, player_name, team_name)
+  LEFT JOIN recent USING (player_id)
+)"""
+
+  private def withPipe(sql: String) = s"WITH $PIPE $sql"
+
+  private val rollIds = "player_id, player_name, team_name, game_id, line_id, game_date, minutes"
+
+  val sql: Map[String, String] = Map(
+    // ---- ingestion / scans
+    "scan_filter_recent" -> withPipe(
+      "SELECT * FROM box WHERE game_date >= (SELECT max(game_date) FROM box) - INTERVAL 30 DAY"),
+
+    // ---- aggregations
+    "hash_agg_multi" -> withPipe("SELECT * FROM pa"),
+    "group_iterate_advanced" -> withPipe("SELECT * FROM adv"),
+    "rolling_avg_5g" -> withPipe(s"SELECT $rollIds, pts_5g, reb_5g, ast_5g, stl_5g, blk_5g, tov_5g, plus_minus_5g FROM roll"),
+    "rolling_avg_10g" -> withPipe(s"SELECT $rollIds, pts_10g, reb_10g, ast_10g, stl_10g, blk_10g, tov_10g, plus_minus_10g FROM roll"),
+    "group_tail_n" -> withPipe("SELECT * FROM tail5"),
+    "group_mean_recent" -> withPipe("SELECT * FROM recent"),
+    "group_std" -> withPipe(s"""
+      SELECT player_id,
+             CASE WHEN n > 1 THEN sqrt((s2 - s1*s1/n)/(n-1)) ELSE CAST(NULL AS DOUBLE) END AS points_consistency
+      FROM (SELECT player_id, count(pts_5g) AS n,
+                   ${r6sum("pts_5g")} AS s1,
+                   CAST(CAST(sum(CAST(${q6("pts_5g")} AS DECIMAL(19,6)) * CAST(${q6("pts_5g")} AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS s2
+            FROM roll GROUP BY 1) t"""),
+
+    // ---- features
+    "award_features" -> withPipe("SELECT * FROM af"),
+    "team_features" -> withPipe(s"""
+      SELECT team_name, team_ppg, team_apg, team_fg_pct, team_3p_pct, team_spg,
+             team_bpg, team_rpg, team_depth, team_star_power, team_experience,
+             _apg_sum / greatest(_ppg_sum, 1.0) AS team_chemistry
+      FROM (
+        SELECT team_name,
+               ${r6avg("ppg")} AS team_ppg, ${r6avg("apg")} AS team_apg,
+               ${r6avg("fg_pct")} AS team_fg_pct, ${r6avg("fg3_pct")} AS team_3p_pct,
+               ${r6avg("spg")} AS team_spg, ${r6avg("bpg")} AS team_bpg,
+               ${r6avg("rpg")} AS team_rpg,
+               count(*) AS team_depth, max(ppg) AS team_star_power,
+               ${r6sum("apg")} AS _apg_sum, ${r6sum("ppg")} AS _ppg_sum,
+               ${r6avg("games")} AS team_experience
+        FROM (SELECT DISTINCT p_brand AS team_name FROM part) td
+        JOIN pa USING (team_name)
+        GROUP BY team_name) t"""),
+    "performance_features" -> withPipe(s"""
+      SELECT pa.player_id, pa.player_name, pa.team_name, pa.games, pa.ppg, pa.rpg,
+             pa.apg, pa.spg, pa.bpg, pa.fg_pct, pa.fg3_pct, pa.ft_pct,
+             adv.true_shooting_pct, adv.usage_rate,
+             adv.true_shooting_pct*0.4 + pa.fg3_pct*0.3 + pa.ft_pct*0.3 AS efficiency_score,
+             pa.ppg / (adv.usage_rate + 0.01) AS usage_efficiency,
+             pa.rpg*0.25 + pa.apg*0.25 + pa.spg*0.25 + pa.bpg*0.25 AS versatility_score,
+             cons.points_consistency,
+             CAST(pa.games AS DOUBLE) / 82 AS experience_factor,
+             CAST(rank() OVER (PARTITION BY pa.team_name ORDER BY pa.ppg DESC, pa.player_id) AS BIGINT) AS team_ppg_rank
+      FROM pa
+      LEFT JOIN adv USING (player_id)
+      LEFT JOIN (SELECT player_id,
+                        CASE WHEN n > 1 THEN sqrt((s2 - s1*s1/n)/(n-1)) ELSE CAST(NULL AS DOUBLE) END AS points_consistency
+                 FROM (SELECT player_id, count(pts_5g) AS n,
+                              ${r6sum("pts_5g")} AS s1,
+                              CAST(CAST(sum(CAST(${q6("pts_5g")} AS DECIMAL(19,6)) * CAST(${q6("pts_5g")} AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS s2
+                       FROM roll GROUP BY 1) t) cons USING (player_id)"""),
+    "injury_features" -> withPipe("""
+      SELECT pa.player_id, pa.player_name, pa.team_name, pa.games,
+             pa.minutes_sum / pa.games AS minutes_per_game,
+             (pa.minutes_sum / pa.games) * adv.usage_rate AS total_workload,
+             fat.recent_minutes_avg,
+             pa.rpg*0.3 + pa.spg*0.2 + pa.bpg*0.2 + pa.tov_mean*0.3 AS physical_stress,
+             CAST(pa.games AS DOUBLE) / 1000 AS experience_risk,
+             ((pa.minutes_sum / pa.games) * adv.usage_rate)*0.3
+               + (pa.rpg*0.3 + pa.spg*0.2 + pa.bpg*0.2 + pa.tov_mean*0.3)*0.3
+               + (CAST(pa.games AS DOUBLE) / 1000)*0.2
+               + fat.recent_minutes_avg*0.2 AS injury_risk_score
+      FROM pa
+      LEFT JOIN adv USING (player_id)
+      LEFT JOIN fat USING (player_id)"""),
+
+    // ---- dashboard
+    "player_dashboard" -> withPipe("""
+      SELECT pa.player_id, pa.player_name, pa.team_name, pa.games, pa.ppg, pa.rpg,
+             pa.apg, pa.spg, pa.bpg, pa.fg_pct, pa.fg3_pct, pa.ft_pct,
+             adv.true_shooting_pct, af.mvp_score, af.dpoy_score, af.sixmoy_score,
+             CAST(rank() OVER (ORDER BY pa.ppg DESC, pa.player_id) AS BIGINT) AS ppg_rank,
+             CAST(rank() OVER (ORDER BY pa.rpg DESC, pa.player_id) AS BIGINT) AS rpg_rank,
+             CAST(rank() OVER (ORDER BY pa.apg DESC, pa.player_id) AS BIGINT) AS apg_rank,
+             CAST(rank() OVER (ORDER BY pa.spg DESC, pa.player_id) AS BIGINT) AS spg_rank,
+             CAST(rank() OVER (ORDER BY pa.bpg DESC, pa.player_id) AS BIGINT) AS bpg_rank,
+             pa.fg_pct*0.4 + pa.fg3_pct*0.3 + pa.ft_pct*0.3 AS efficiency_rating,
+             pa.ppg*0.25 + pa.rpg*0.15 + pa.apg*0.15 + pa.spg*0.1 + pa.bpg*0.1
+               + (pa.fg_pct*0.4 + pa.fg3_pct*0.3 + pa.ft_pct*0.3)*0.25 AS overall_rating
+      FROM pa
+      LEFT JOIN adv USING (player_id, player_name, team_name)
+      LEFT JOIN af USING (player_id)"""),
+    "team_dashboard" -> withPipe(s"""
+      SELECT *,
+             ppg_mean*0.4 + apg_mean*0.3 + fg_pct_mean*100*0.3 AS offensive_rating,
+             spg_mean*0.4 + bpg_mean*0.4 + rpg_mean*0.2 AS defensive_rating,
+             player_count*10 AS depth_score
+      FROM (
+        SELECT team_name,
+               ${r6avg("ppg")} AS ppg_mean, ${r6sum("ppg")} AS ppg_sum,
+               ${r6avg("rpg")} AS rpg_mean, ${r6sum("rpg")} AS rpg_sum,
+               ${r6avg("apg")} AS apg_mean, ${r6sum("apg")} AS apg_sum,
+               ${r6avg("spg")} AS spg_mean, ${r6sum("spg")} AS spg_sum,
+               ${r6avg("bpg")} AS bpg_mean, ${r6sum("bpg")} AS bpg_sum,
+               ${r6avg("fg_pct")} AS fg_pct_mean,
+               ${r6avg("fg3_pct")} AS fg3_pct_mean,
+               ${r6avg("ft_pct")} AS ft_pct_mean,
+               count(player_id) AS player_count
+        FROM pa GROUP BY 1) t"""),
+    "league_stats" -> withPipe(s"""
+      SELECT count(*) AS total_players,
+             ${r6avg("ppg")} AS avg_ppg, ${r6avg("rpg")} AS avg_rpg,
+             ${r6avg("apg")} AS avg_apg, ${r6avg("spg")} AS avg_spg,
+             ${r6avg("bpg")} AS avg_bpg, ${r6avg("fg_pct")} AS avg_fg_pct,
+             ${r6avg("fg3_pct")} AS avg_3p_pct, ${r6avg("ft_pct")} AS avg_ft_pct
+      FROM pa"""),
+    "topk_scorers" -> withPipe(
+      "SELECT player_name, team_name, ppg FROM pa ORDER BY ppg DESC, player_id LIMIT 10"),
+    "team_rankings" -> withPipe(s"""
+      SELECT *,
+             CAST(rank() OVER (ORDER BY ppg DESC, team_name) AS BIGINT) AS offensive_rank,
+             CAST(rank() OVER (ORDER BY (spg + bpg) DESC, team_name) AS BIGINT) AS defensive_rank
+      FROM (
+        SELECT team_name,
+               ${r6avg("ppg")} AS ppg, ${r6avg("rpg")} AS rpg, ${r6avg("apg")} AS apg,
+               ${r6avg("spg")} AS spg, ${r6avg("bpg")} AS bpg
+        FROM pa GROUP BY 1) t"""),
+    "award_dashboard" -> withPipe("""
+      SELECT player_id, player_name, team_name, mvp_score, ppg, rpg, apg, 'MVP' AS award,
+             CAST(NULL AS DOUBLE) AS dpoy_score, CAST(NULL AS DOUBLE) AS spg,
+             CAST(NULL AS DOUBLE) AS bpg, CAST(NULL AS DOUBLE) AS sixmoy_score
+      FROM (SELECT * FROM af ORDER BY mvp_score DESC, player_id LIMIT 10)
+      UNION ALL
+      SELECT player_id, player_name, team_name, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             rpg, CAST(NULL AS DOUBLE), 'DPOY', dpoy_score, spg, bpg, CAST(NULL AS DOUBLE)
+      FROM (SELECT * FROM af ORDER BY dpoy_score DESC, player_id LIMIT 10)
+      UNION ALL
+      SELECT player_id, player_name, team_name, CAST(NULL AS DOUBLE), ppg,
+             CAST(NULL AS DOUBLE), apg, '6MOY', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             CAST(NULL AS DOUBLE), sixmoy_score
+      FROM (SELECT * FROM af ORDER BY sixmoy_score DESC, player_id LIMIT 10)"""),
+    "kpi_summary" -> withPipe(s"""
+      SELECT (SELECT count(*) FROM pa) AS total_active_players,
+             (SELECT ${r6avg("ppg")} FROM pa) AS avg_league_ppg,
+             (SELECT player_name FROM pa ORDER BY ppg DESC, player_id LIMIT 1) AS top_scorer,
+             (SELECT max(ppg) FROM pa) AS top_scorer_ppg,
+             (SELECT player_name FROM af ORDER BY mvp_score DESC, player_id LIMIT 1) AS mvp_favorite"""),
+
+    // ---- quality
+    "freshness_check" -> withPipe("""
+      SELECT e.last_event_update, o.last_order_update, l.last_lineitem_update,
+             date_diff('day', CAST(o.last_order_update AS DATE), CAST(l.last_lineitem_update AS DATE)) <= 1 AS orders_fresh,
+             CAST(date_diff('day', CAST(e.last_event_update AS DATE), CAST(l.last_lineitem_update AS DATE)) AS BIGINT) AS events_days_behind
+      FROM (SELECT max(ts) AS last_event_update FROM events) e,
+           (SELECT max(o_orderdate) AS last_order_update FROM orders) o,
+           (SELECT max(l_shipdate) AS last_lineitem_update FROM lineitem) l"""),
+    "completeness_check" -> withPipe("""
+      SELECT a.raw_player_data_count, b.raw_team_data_count, c.lineitem_total,
+             a.raw_player_data_count > 0 AS completeness_passed
+      FROM (SELECT count(*) AS raw_player_data_count FROM box
+            WHERE game_date >= (SELECT max(game_date) FROM box) - INTERVAL 7 DAY) a,
+           (SELECT count(*) AS raw_team_data_count FROM orders
+            WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 7 DAY) b,
+           (SELECT count(*) AS lineitem_total FROM lineitem) c"""),
+    "null_checks" -> withPipe("""
+      SELECT total_rows, null_player_name, null_pts, null_team_name, total_issues,
+             greatest(0.0, 1.0 - total_issues / (total_rows * CAST(3.0 AS DOUBLE))) AS quality_score
+      FROM (SELECT total_rows, null_player_name, null_pts, null_team_name,
+                   null_player_name + null_pts + null_team_name AS total_issues
+            FROM (SELECT count(*) AS total_rows,
+                         CAST(sum(CASE WHEN player_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_player_name,
+                         CAST(sum(CASE WHEN pts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pts,
+                         CAST(sum(CASE WHEN team_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_team_name
+                  FROM box) t) t2"""),
+    "outlier_stats" -> withPipe(s"""
+      SELECT avg_points, std_points, max_points, min_points, upper_bound, lower_bound,
+             max_points > upper_bound OR min_points < lower_bound AS outliers_detected
+      FROM (SELECT avg_points, std_points, max_points, min_points,
+                   avg_points + 3.0*std_points AS upper_bound,
+                   avg_points - 3.0*std_points AS lower_bound
+            FROM (SELECT s1/n AS avg_points,
+                         CASE WHEN n > 1 THEN sqrt((s2 - s1*s1/n)/(n-1)) ELSE CAST(NULL AS DOUBLE) END AS std_points,
+                         mx AS max_points, mn AS min_points
+                  FROM (SELECT count(pts) AS n, ${dsum("pts")} AS s1,
+                               CAST(CAST(sum(CAST(pts AS DECIMAL(19,4)) * CAST(pts AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS s2,
+                               max(pts) AS mx, min(pts) AS mn
+                        FROM box WHERE pts IS NOT NULL) a) b) c"""),
+    "consistency_check" -> withPipe("""
+      SELECT count(DISTINCT team_name) AS unique_teams,
+             count(DISTINCT player_id) AS unique_players,
+             count(DISTINCT game_id) AS unique_games,
+             count(DISTINCT team_name) >= 12 AS teams_ok,
+             count(DISTINCT player_id) >= 100 AS players_ok
+      FROM box"""),
+    "quality_report" -> withPipe(s"""
+      SELECT n.total_rows, n.total_issues, n.quality_score, o.outliers_detected,
+             c.teams_ok, c.players_ok,
+             CASE WHEN n.total_issues = 0 AND c.teams_ok AND c.players_ok
+                  THEN 'PASS' ELSE 'FAIL' END AS overall_status
+      FROM (SELECT total_rows, total_issues,
+                   greatest(0.0, 1.0 - total_issues / (total_rows * CAST(3.0 AS DOUBLE))) AS quality_score
+            FROM (SELECT count(*) AS total_rows,
+                         CAST(sum(CASE WHEN player_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                           + CAST(sum(CASE WHEN pts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                           + CAST(sum(CASE WHEN team_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_issues
+                  FROM box) t) n,
+           (SELECT max_points > upper_bound OR min_points < lower_bound AS outliers_detected
+            FROM (SELECT avg_points + 3.0*std_points AS upper_bound,
+                         avg_points - 3.0*std_points AS lower_bound, max_points, min_points
+                  FROM (SELECT s1/n AS avg_points,
+                               CASE WHEN n > 1 THEN sqrt((s2 - s1*s1/n)/(n-1)) ELSE CAST(NULL AS DOUBLE) END AS std_points,
+                               mx AS max_points, mn AS min_points
+                        FROM (SELECT count(pts) AS n, ${dsum("pts")} AS s1,
+                                     CAST(CAST(sum(CAST(pts AS DECIMAL(19,4)) * CAST(pts AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS s2,
+                                     max(pts) AS mx, min(pts) AS mn
+                              FROM box WHERE pts IS NOT NULL) a) b) d) o,
+           (SELECT count(DISTINCT team_name) >= 12 AS teams_ok,
+                   count(DISTINCT player_id) >= 100 AS players_ok
+            FROM box) c"""),
+    "median_label" -> withPipe("""
+      SELECT b.player_id, b.game_id, b.line_id, b.minutes, m.median_minutes,
+             CAST(b.minutes > m.median_minutes AS INTEGER) AS high_workload
+      FROM (SELECT player_id, game_id, line_id, minutes FROM box) b,
+           (SELECT quantile_cont(minutes, 0.5) AS median_minutes FROM box) m"""),
+
+    // ---- relational / scalar-fn operators
+    "project_columns" -> "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+    "filter_predicate" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL",
+    "string_replace" -> """
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y%m%d') AS date_key,
+             regexp_replace(strftime(o_orderdate, '%Y-%m-%d'), '-', '', 'g') AS date_key_replaced,
+             lower(o_orderpriority) AS priority_lower
+      FROM orders""",
+    "join_left_single" -> """
+      SELECT c_custkey, c_name, n_name AS nation_name, r_name AS region_name
+      FROM customer
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey""",
+    "join_project" -> """
+      SELECT o_orderkey, o_custkey, c_name, o_totalprice
+      FROM orders
+      LEFT JOIN (SELECT c_custkey, c_name FROM customer) c ON o_custkey = c_custkey""",
+    "union_all_frames" -> """
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderpriority = '2-HIGH'""",
+    "sort_multikey" -> withPipe(
+      "SELECT player_id, game_date, game_id, line_id, pts FROM box"),
+
+    // ---- events / streaming-cadence analogs
+    "stream_window_counts" -> s"""
+      SELECT date_trunc('day', ts) AS day, event_type,
+             count(*) AS n_events, ${dsum("value")} AS value_sum,
+             count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2""",
+    "props_agg" -> s"""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) AS DECIMAL(28,10))) AS DOUBLE) AS k_sum,
+             ${dsum("value")} AS value_sum
+      FROM events GROUP BY 1""",
+    "event_freshness" -> """
+      SELECT t.event_type, t.last_ts, t.n, g.global_max_ts,
+             CAST(date_diff('day', CAST(t.last_ts AS DATE), CAST(g.global_max_ts AS DATE)) AS BIGINT) AS days_behind,
+             CAST(date_diff('day', CAST(t.last_ts AS DATE), CAST(g.global_max_ts AS DATE)) AS BIGINT) <= 1 AS fresh
+      FROM (SELECT event_type, max(ts) AS last_ts, count(*) AS n FROM events GROUP BY 1) t,
+           (SELECT max(ts) AS global_max_ts FROM events) g""",
+
+    // ---- text / dedup (north star)
+    "word_count" -> """
+      SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY token""",
+    "token_stats" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_word_tokens,
+             CAST(CAST(length(text) AS BIGINT) - (CAST(len(string_split(text, ' ')) AS BIGINT) - 1) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS BIGINT) AS mean_token_len
+      FROM documents""",
+    "text_quality" -> """
+      SELECT doc_id, lang, n_tokens, n_stopwords, n_distinct_tokens,
+             stop_ratio, diversity,
+             greatest(0.0, least(1.0,
+               0.3 + 0.5*diversity + 2.0*stop_ratio
+                 - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score
+      FROM (SELECT doc_id, lang, n_tokens, n_stopwords, n_distinct_tokens,
+                   CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+                   CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS diversity
+            FROM (SELECT doc_id, lang,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                         CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+                  FROM documents) a) b""",
+    "lang_id" -> """
+      SELECT doc_id, lang, en_hits, n_tokens, en_score,
+             CASE WHEN en_score > 0.02 THEN 'en' ELSE 'unknown' END AS lang_pred
+      FROM (SELECT doc_id, lang, en_hits, n_tokens,
+                   CAST(en_hits AS DOUBLE) / n_tokens AS en_score
+            FROM (SELECT doc_id, lang,
+                         CAST(len(list_filter(string_split(text, ' '),
+                           x -> x IN ('the', 'a', 'fast', 'small', 'big'))) AS BIGINT) AS en_hits,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents) a) b""",
+    "fingerprints" -> """
+      SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents""",
+    "dedup_exact" -> """
+      WITH fp AS (SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint FROM documents),
+      g AS (SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies FROM fp GROUP BY 1)
+      SELECT fp.doc_id, g.keeper_id, g.n_copies,
+             CAST(fp.doc_id <> g.keeper_id AS INTEGER) AS is_dup
+      FROM fp JOIN g USING (fingerprint)""",
+    "dedup_ngram_jaccard" -> """
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+      cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT cm.doc_a, cm.doc_b, cm.n_common,
+             sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+             CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) AS jaccard
+      FROM cm
+      JOIN sz sa ON cm.doc_a = sa.doc_id
+      JOIN sz sb ON cm.doc_b = sb.doc_id
+      WHERE CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) >= 0.5""",
+
+    // ---- similarity (north star)
+    "similarity_bruteforce_topk" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   floor(CAST(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+            FROM n q JOIN n c ON q.vec_id <> c.vec_id)
+      SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+        FROM p) t
+      WHERE rk <= 5""",
+    "embedding_near_dup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             floor(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE floor(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.4"""
+  )
+}

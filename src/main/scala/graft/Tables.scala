@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated parquet test tables (TESTDATA.md).
+  *
+  * Role mapping to the reference domain (SURVEY.md §5.3):
+  * lineitem ≈ per player-game box-score fact (`/root/reference/dags/ingest_nba_daily.py:107-137`),
+  * orders/customer ≈ team-daily, customer→nation→region ≈ player→team→league
+  * hierarchy, events ≈ daily-cadence/freshness table, documents/embeddings ≈
+  * north-star text/similarity inputs.
+  *
+  * Scale posture: plain parquet scans so Catalyst pushes filters and prunes
+  * columns into the scan. At cluster scale these paths would be
+  * partitioned-by-date directories (the reference re-reads a 30-day window,
+  * `transform_player_stats.py:27-29`, which maps to partition pruning here);
+  * nothing in the operator code assumes single-file inputs.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Spark 4 routes lower()/upper() through ICU full case mapping by
+    // default; the ICU title-case table's static init costs minutes of CPU
+    // in this JVM (observed via jstack: CollationAwareUTF8String.<clinit>).
+    // The corpus is ASCII, where JVM case mapping is identical — disable.
+    spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  /** events.ts is INT64 TIMESTAMP(NANOS) in the parquet — Spark's reader
+    * rejects nanosecond timestamps ([PARQUET_TYPE_ILLEGAL]). Read nanos as
+    * LONG and truncate to microseconds (lossless on this data: the generator
+    * writes µs-precision values). DuckDB reads the same column as
+    * TIMESTAMP_NS; equal instants either way. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Bit-exact aggregation helpers for DuckDB-oracle parity.
+  *
+  * Problem: `sum(DOUBLE)` is reduction-order dependent, and Spark's parallel
+  * partial aggregation sums in a different order than DuckDB's serial scan, so
+  * raw double sums hash-mismatch the oracle at the last few bits.
+  *
+  * Fix: the test data is 2-decimal-valued (verified: max |x*100 − round(x*100)|
+  * ≤ 1e-9 across sf0.01/sf0.1), so casting to DECIMAL before summing makes the
+  * aggregation EXACT and order-independent in both engines; casting the exact
+  * decimal back to DOUBLE then yields identical bits on both sides. All
+  * downstream arithmetic (division, sqrt, linear combinations) is a fixed
+  * expression tree over identical doubles → IEEE-deterministic.
+  *
+  * Every helper here has a textual twin for the DuckDB oracle SQL — keep the
+  * formulas in sync with [[graft.OracleSqlFragments]].
+  *
+  * Scale note: these stay inside Spark's two-phase hash aggregation
+  * (partial+final) and whole-stage codegen; decimal sums are marginally more
+  * expensive than double sums but shuffle the same bytes and remain
+  * associative, so the map-side combine at 1000 executors is unaffected.
+  */
+object Exact {
+  /** Wide enough for exact 2-decimal data; sums promote to DECIMAL(38,10). */
+  val Dec: DecimalType = DecimalType(28, 10)
+
+  /** Narrow cast used before squaring so the product (precision 37, scale 8)
+    * still fits DECIMAL(38) in both engines without scale truncation. */
+  val Dec4: DecimalType = DecimalType(18, 4)
+
+  /** Order-independent sum of a ~2-decimal double column, as DOUBLE. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Exact mean: exact decimal sum / non-null count (matches SQL AVG null
+    * semantics). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Exact sum of squares (for variance/stddev), as DOUBLE. */
+  def dsumsq(c: Column): Column = sum(c.cast(Dec4) * c.cast(Dec4)).cast("double")
+
+  /** Sample stddev from exact sums: sqrt((Σx² − (Σx)²/n)/(n−1)).
+    * Matches DuckDB `stddev` (sample) when the oracle uses the same formula.
+    * NULL when n ≤ 1, like stddev_samp. */
+  def dstddev(c: Column): Column = {
+    val n = count(c)
+    val s1 = dsum(c)
+    val s2 = dsumsq(c)
+    when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - lit(1)))).otherwise(lit(null).cast("double"))
+  }
+
+  // --- Second-level aggregation (inputs are computed doubles, not grid data).
+  // Upstream doubles are bit-identical in both engines (fixed expression trees
+  // over exact sums), but builtin round() is NOT portable: Spark rounds the
+  // double's shortest decimal representation (BigDecimal.valueOf) HALF_UP,
+  // DuckDB multiplies and std::round's — they can disagree exactly at
+  // half-boundaries. So quantization is written as explicit IEEE arithmetic,
+  // floor(x·1e6 + 0.5)/1e6, which both engines evaluate bit-identically on
+  // identical inputs. The quantized values sit on a 1e-6 grid, making the
+  // decimal-cast sum exact and order-independent again. Semantically this is
+  // aggregation at 1e-6 precision — the oracle SQL states the same thing.
+
+  /** Scale-6 type for quantized values and their squares ((37,12) products
+    * fit both engines' DECIMAL(38) cap). */
+  val Dec6: DecimalType = DecimalType(18, 6)
+
+  /** Portable round-half-up-to-1e-6: pure IEEE mul/add/floor/div — identical
+    * bits in any engine. (Named q6 in the oracle SQL comments.) */
+  def q6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+
+  /** Order-independent sum of an arbitrary (bit-deterministic) double column
+    * at 1e-6 precision. */
+  def r6sum(c: Column): Column = sum(q6(c).cast(Dec)).cast("double")
+
+  /** Mean at 1e-6 precision (null-skipping, like SQL AVG). */
+  def r6avg(c: Column): Column = r6sum(c) / count(c)
+
+  /** Sample stddev of quantized values via exact sums. */
+  def r6stddev(c: Column): Column = {
+    val n = count(c)
+    val r = q6(c).cast(Dec6)
+    val s1 = r6sum(c)
+    val s2 = sum(r * r).cast("double")
+    when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - lit(1)))).otherwise(lit(null).cast("double"))
+  }
+}

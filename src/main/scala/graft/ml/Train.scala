@@ -1,0 +1,48 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.regression.{RandomForestRegressionModel, RandomForestRegressor}
+import org.apache.spark.sql.DataFrame
+
+/** MLlib rendering of the reference's sklearn model training
+  * (`/root/reference/dags/model_training.py:56-97`): RandomForest on the
+  * feature matrix, 80/20 split, seed 42, standard-scaled features,
+  * R²/MSE evaluation and feature importances.
+  *
+  * Not oracle-verifiable (no DuckDB analog — SURVEY.md §2.10); covered by
+  * the ScalaTest smoke (train converges, R² finite, importances sum to 1).
+  */
+object Train {
+
+  case class Result(model: RandomForestRegressionModel, r2: Double, mse: Double,
+      importances: Array[Double])
+
+  /** Train an award-score regressor on the award-features frame (the
+    * reference predicts mvp_score from the stat columns,
+    * model_training.py:60-84). */
+  def trainAwardModel(features: DataFrame): Result = {
+    val cols = Array("ppg", "rpg", "apg", "spg", "bpg", "topg",
+      "true_shooting_pct", "season_progress")
+    val assembled = new VectorAssembler()
+      .setInputCols(cols).setOutputCol("raw_features").setHandleInvalid("skip")
+    val scaler = new StandardScaler()
+      .setInputCol("raw_features").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    val rf = new RandomForestRegressor()
+      .setFeaturesCol("features").setLabelCol("mvp_score")
+      .setNumTrees(100).setSeed(42)
+    val Array(train, test) = features.na.fill(0.0, cols)
+      .randomSplit(Array(0.8, 0.2), seed = 42)
+    val pipeline = new Pipeline().setStages(Array(assembled, scaler, rf))
+    val model = pipeline.fit(train)
+    val preds = model.transform(test)
+    def eval(metric: String) = new RegressionEvaluator()
+      .setLabelCol("mvp_score").setPredictionCol("prediction")
+      .setMetricName(metric).evaluate(preds)
+    val rfModel = model.stages.last.asInstanceOf[RandomForestRegressionModel]
+    Result(rfModel, r2 = eval("r2"), mse = eval("mse"),
+      importances = rfModel.featureImportances.toArray)
+  }
+}

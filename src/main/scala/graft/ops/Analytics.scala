@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+
+/** The analytics layer: player aggregations, advanced metrics, rolling
+  * averages — the Spark rendering of
+  * `/root/reference/dags/transform_player_stats.py`.
+  *
+  * All three consume the same normalized box frame (the reference reuses one
+  * extracted frame across its three branches via XCom,
+  * `transform_player_stats.py:223-227`; callers here may `.cache()` the box
+  * scan before fanning out — see [[graft.ops.Pipeline]]).
+  */
+object Analytics {
+
+  /** A1 `hash_agg_multi` + P3 `derive_pct` + P4 `derive_per_game` — the
+    * flagship aggregation: 3 (functionally dependent) grouping keys, 15 stat
+    * columns with mixed count/sum/mean/max, then derived percentage and
+    * per-game columns, mirroring
+    * `/root/reference/dags/transform_player_stats.py:42-77`.
+    *
+    * Spark executes this as two-phase hash aggregation (partial map-side
+    * combine → shuffle on the group keys → final), whole-stage codegen'd;
+    * that is exactly the plan that survives a 1000-executor scale-up.
+    * fillna(0) on the pct divisions (ref line 64-66) becomes an explicit
+    * zero-denominator guard (Spark x/0 → null with ANSI off, DuckDB → inf).
+    */
+  def playerAggregations(box: DataFrame): DataFrame = {
+    def sm(c: String) = Seq(dsum(col(c)).as(s"${c}_sum"), davg(col(c)).as(s"${c}_mean"))
+    def smx(c: String) = sm(c) :+ max(col(c)).as(s"${c}_max")
+    val aggs: Seq[Column] =
+      Seq(count(col("game_id")).as("games"), dsum(col("minutes")).as("minutes_sum")) ++
+        smx("pts") ++ smx("reb") ++ smx("ast") ++ smx("stl") ++ smx("blk") ++
+        sm("tov") ++ sm("fgm") ++ sm("fga") ++ sm("fg3m") ++ sm("fg3a") ++
+        sm("ftm") ++ sm("fta") :+ davg(col("plus_minus")).as("plus_minus_mean")
+    def pct(num: String, den: String) =
+      when(col(den) =!= 0, col(num) / col(den)).otherwise(0.0)
+    box.groupBy("player_id", "player_name", "team_name")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("fg_pct", pct("fgm_sum", "fga_sum"))
+      .withColumn("fg3_pct", pct("fg3m_sum", "fg3a_sum"))
+      .withColumn("ft_pct", pct("ftm_sum", "fta_sum"))
+      .withColumn("ppg", col("pts_sum") / col("games"))
+      .withColumn("rpg", col("reb_sum") / col("games"))
+      .withColumn("apg", col("ast_sum") / col("games"))
+      .withColumn("spg", col("stl_sum") / col("games"))
+      .withColumn("bpg", col("blk_sum") / col("games"))
+      .withColumn("topg", col("tov_sum") / col("games"))
+  }
+
+  /** A3 `group_iterate_advanced` — the reference computes these per-group in
+    * a Python loop (`transform_player_stats.py:90-123`); here the loop
+    * collapses into ONE distributed groupBy().agg() with expression
+    * post-processing (no UDAF, no collect):
+    *  - true-shooting pct with zero-denominator guard (ref 92-99)
+    *  - usage rate over synthetic possessions = distinct games × 100 (101-103)
+    *  - assist pct: the reference divides a player's assists by that same
+    *    player's summed assists — a self-ratio ≡ 1 when nonzero (105-110).
+    *    Reproduced literally (SURVEY.md §7.4), not "fixed".
+    *  - A4 `group_agg_nested`: its two-level groupby-sum ≡ plain sum (106).
+    *  - A5 `distinct_count`: games_played = countDistinct(game_id) (116).
+    */
+  def advancedMetrics(box: DataFrame): DataFrame =
+    box.groupBy("player_id", "player_name", "team_name")
+      .agg(
+        countDistinct(col("game_id")).as("games_played"),
+        dsum(col("pts")).as("_pts"),
+        dsum(col("fga")).as("_fga"),
+        dsum(col("fta")).as("_fta"),
+        dsum(col("tov")).as("_tov"),
+        dsum(col("ast")).as("_ast"),
+        davg(col("plus_minus")).as("avg_plus_minus"))
+      .select(
+        col("player_id"), col("player_name"), col("team_name"), col("games_played"),
+        when(col("_fga") + lit(0.44) * col("_fta") > 0,
+          col("_pts") / (lit(2.0) * (col("_fga") + lit(0.44) * col("_fta"))))
+          .otherwise(0.0).as("true_shooting_pct"),
+        ((col("_fga") + lit(0.44) * col("_fta") + col("_tov")) /
+          (col("games_played") * lit(100))).as("usage_rate"),
+        when(col("_ast") > 0, col("_ast") / col("_ast")).otherwise(0.0).as("ast_pct"),
+        col("avg_plus_minus"))
+
+  /** Window ordering: game_date with (game_id, line_id) tie-breakers — the
+    * pandas sort at `transform_player_stats.py:134` is positional after a
+    * possibly-tied date sort; a unique total order is required for oracle
+    * determinism (SURVEY.md §7.4). */
+  private val gameOrder = Seq(col("game_date"), col("game_id"), col("line_id"))
+
+  private def rollingMean(c: String, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(col(c).cast(Dec)).over(w).cast("double") / count(lit(1)).over(w)
+
+  private val rollCols = Seq("pts", "reb", "ast", "stl", "blk", "tov", "plus_minus")
+
+  /** W1/W2 `rolling_avg_5g/10g`: 5- and 10-game rolling means over 7 stat
+    * columns per player, min_periods=1 (Spark's shrinking head frame is
+    * exactly pandas min_periods=1), mirroring
+    * `transform_player_stats.py:128-173`. The reference's per-player Python
+    * loop + concat (U1) is a single WindowExec here: one shuffle on
+    * player_id, sort within partitions, both frames computed in one pass.
+    */
+  def rollingAverages(box: DataFrame): DataFrame = {
+    val w5 = Window.partitionBy("player_id").orderBy(gameOrder: _*).rowsBetween(-4, 0)
+    val w10 = Window.partitionBy("player_id").orderBy(gameOrder: _*).rowsBetween(-9, 0)
+    val cols5 = rollCols.map(c => rollingMean(c, w5).as(s"${c}_5g"))
+    val cols10 = rollCols.map(c => rollingMean(c, w10).as(s"${c}_10g"))
+    box.select(
+      Seq(col("player_id"), col("player_name"), col("team_name"),
+        col("game_id"), col("line_id"), col("game_date"), col("minutes")) ++
+        cols5 ++ cols10: _*)
+  }
+
+  /** W4 `group_tail_n`: last-n rows per player in game order — pandas
+    * `.groupby().tail(n)` (`/root/reference/dags/feature_engineering.py:87,225`)
+    * as a row_number over the DESCENDING unique order. */
+  def groupTail(df: DataFrame, n: Int): DataFrame = {
+    val wDesc = Window.partitionBy("player_id")
+      .orderBy(col("game_date").desc, col("game_id").desc, col("line_id").desc)
+    df.withColumn("_rn", row_number().over(wDesc))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+}

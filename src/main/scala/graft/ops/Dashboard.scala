@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+
+/** Dashboard layer — Spark rendering of
+  * `/root/reference/dags/prepare_dashboard_data.py`.
+  *
+  * Rank tie policy: pandas `rank(ascending=False)` averages ties
+  * (SURVEY.md §2.5/W3); this engine standardizes on SQL `rank()` on both the
+  * Spark and oracle side — documented divergence, same values both sides.
+  */
+object Dashboard {
+
+  /** J1+J3 joins, W3 global ranks, P5 efficiency/overall ratings —
+    * `prepare_dashboard_data.py:54-98`. */
+  def playerDashboard(playerAgg: DataFrame, advanced: DataFrame, award: DataFrame): DataFrame = {
+    def rk(c: String) = rank().over(Window.orderBy(col(c).desc, col("player_id"))).cast("long")
+    playerAgg
+      .join(advanced.drop("games_played"), Seq("player_id", "player_name", "team_name"), "left")
+      .join(award.select("player_id", "mvp_score", "dpoy_score", "sixmoy_score"),
+        Seq("player_id"), "left")
+      .withColumn("ppg_rank", rk("ppg"))
+      .withColumn("rpg_rank", rk("rpg"))
+      .withColumn("apg_rank", rk("apg"))
+      .withColumn("spg_rank", rk("spg"))
+      .withColumn("bpg_rank", rk("bpg"))
+      .withColumn("efficiency_rating",
+        col("fg_pct") * 0.4 + col("fg3_pct") * 0.3 + col("ft_pct") * 0.3)
+      .withColumn("overall_rating",
+        col("ppg") * 0.25 + col("rpg") * 0.15 + col("apg") * 0.15 +
+          col("spg") * 0.1 + col("bpg") * 0.1 + col("efficiency_rating") * 0.25)
+      .select("player_id", "player_name", "team_name", "games", "ppg", "rpg", "apg",
+        "spg", "bpg", "fg_pct", "fg3_pct", "ft_pct", "true_shooting_pct",
+        "mvp_score", "dpoy_score", "sixmoy_score",
+        "ppg_rank", "rpg_rank", "apg_rank", "spg_rank", "bpg_rank",
+        "efficiency_rating", "overall_rating")
+  }
+
+  /** A2 `group_agg_team` + P5 team ratings — `prepare_dashboard_data.py:101-145`.
+    * Global ranks over a |teams|-sized aggregate: the unpartitioned window is
+    * fine because the input IS the reduced aggregate (bounded by the
+    * dimension), never the fact table. */
+  def teamDashboard(playerAgg: DataFrame): DataFrame =
+    playerAgg.groupBy("team_name")
+      .agg(
+        r6avg(col("ppg")).as("ppg_mean"), r6sum(col("ppg")).as("ppg_sum"),
+        r6avg(col("rpg")).as("rpg_mean"), r6sum(col("rpg")).as("rpg_sum"),
+        r6avg(col("apg")).as("apg_mean"), r6sum(col("apg")).as("apg_sum"),
+        r6avg(col("spg")).as("spg_mean"), r6sum(col("spg")).as("spg_sum"),
+        r6avg(col("bpg")).as("bpg_mean"), r6sum(col("bpg")).as("bpg_sum"),
+        r6avg(col("fg_pct")).as("fg_pct_mean"),
+        r6avg(col("fg3_pct")).as("fg3_pct_mean"),
+        r6avg(col("ft_pct")).as("ft_pct_mean"),
+        count(col("player_id")).as("player_count"))
+      .withColumn("offensive_rating",
+        col("ppg_mean") * 0.4 + col("apg_mean") * 0.3 + col("fg_pct_mean") * 100 * 0.3)
+      .withColumn("defensive_rating",
+        col("spg_mean") * 0.4 + col("bpg_mean") * 0.4 + col("rpg_mean") * 0.2)
+      .withColumn("depth_score", col("player_count") * 10)
+
+  /** A12 `league_stats_row`: whole-table means collapsed into one KPI row —
+    * `prepare_dashboard_data.py:156-171`. */
+  def leagueStats(playerAgg: DataFrame): DataFrame =
+    playerAgg.agg(
+      count(lit(1)).as("total_players"),
+      r6avg(col("ppg")).as("avg_ppg"),
+      r6avg(col("rpg")).as("avg_rpg"),
+      r6avg(col("apg")).as("avg_apg"),
+      r6avg(col("spg")).as("avg_spg"),
+      r6avg(col("bpg")).as("avg_bpg"),
+      r6avg(col("fg_pct")).as("avg_fg_pct"),
+      r6avg(col("fg3_pct")).as("avg_3p_pct"),
+      r6avg(col("ft_pct")).as("avg_ft_pct"))
+
+  /** T2 `topk_scorers`: top-10 by metric with projection, tie-broken by
+    * player_id for determinism — `prepare_dashboard_data.py:174-178`.
+    * Plans as TakeOrderedAndProject: per-partition top-k then a k-row merge
+    * on the driver — no global sort, scale-safe. */
+  def topK(playerAgg: DataFrame, metric: String, k: Int = 10): DataFrame =
+    playerAgg.orderBy(col(metric).desc, col("player_id"))
+      .limit(k)
+      .select("player_name", "team_name", metric)
+
+  /** Team rankings with W3 offensive/defensive rank —
+    * `prepare_dashboard_data.py:187-196`. */
+  def teamRankings(playerAgg: DataFrame): DataFrame =
+    playerAgg.groupBy("team_name")
+      .agg(
+        r6avg(col("ppg")).as("ppg"),
+        r6avg(col("rpg")).as("rpg"),
+        r6avg(col("apg")).as("apg"),
+        r6avg(col("spg")).as("spg"),
+        r6avg(col("bpg")).as("bpg"))
+      .withColumn("offensive_rank", rank().over(Window.orderBy(col("ppg").desc, col("team_name"))).cast("long"))
+      .withColumn("defensive_rank",
+        rank().over(Window.orderBy((col("spg") + col("bpg")).desc, col("team_name"))).cast("long"))
+
+  /** T3 top-k award candidates ×3 + U2 schema-misaligned tagged union —
+    * `prepare_dashboard_data.py:211-224`. The three branches project
+    * DIFFERENT stat columns; pandas concat NaN-aligns, Spark
+    * unionByName(allowMissingColumns=true) null-aligns (SURVEY.md §7.4). */
+  def awardDashboard(award: DataFrame): DataFrame = {
+    def top10(score: String, stats: Seq[String], tag: String) =
+      award.orderBy(col(score).desc, col("player_id"))
+        .limit(10)
+        .select(Seq(col("player_id"), col("player_name"), col("team_name"), col(score)) ++
+          stats.map(col): _*)
+        .withColumn("award", lit(tag))
+    val mvp = top10("mvp_score", Seq("ppg", "rpg", "apg"), "MVP")
+    val dpoy = top10("dpoy_score", Seq("spg", "bpg", "rpg"), "DPOY")
+    val sixmoy = top10("sixmoy_score", Seq("ppg", "apg"), "6MOY")
+    mvp.unionByName(dpoy, allowMissingColumns = true)
+      .unionByName(sixmoy, allowMissingColumns = true)
+  }
+
+  /** W6 `argmax_row` + KPI scalars — `prepare_dashboard_data.py:232-246`.
+    * idxmax → max_by with a player_id tie-break (struct ordering), all in one
+    * single-row aggregate; no driver-side loop. */
+  def kpiSummary(playerAgg: DataFrame, award: DataFrame): DataFrame = {
+    val aggSide = playerAgg.agg(
+      count(lit(1)).as("total_active_players"),
+      r6avg(col("ppg")).as("avg_league_ppg"),
+      max_by(col("player_name"), struct(col("ppg"), col("player_id") * -1)).as("top_scorer"),
+      max(col("ppg")).as("top_scorer_ppg"))
+    val awardSide = award.agg(
+      max_by(col("player_name"), struct(col("mvp_score"), col("player_id") * -1)).as("mvp_favorite"))
+    aggSide.crossJoin(awardSide)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+
+/** ML feature layer — Spark rendering of
+  * `/root/reference/dags/feature_engineering.py`.
+  *
+  * Join strategy: player_advanced and the derived per-player aggregates are
+  * the same cardinality as player_agg (≈ |players|), so these are shuffle
+  * hash joins on player_id at scale; Spark co-partitions both sides on the
+  * join key and AQE converts to broadcast when a side is small.
+  */
+object Features {
+
+  /** J1 `join_left_multikey` + P5 award scores + W4/A11 recent-trend +
+    * P8 `season_progress`, mirroring `feature_engineering.py:48-103`.
+    *
+    * The reference adds Gaussian noise to team_success_factor (line 83,
+    * P9) — nondeterministic, oracle-incompatible. Replaced by a seeded
+    * integer-arithmetic pseudo-noise (Knuth multiplicative hash of
+    * player_id → uniform in [-0.05, 0.05)) that both engines compute
+    * exactly; SURVEY.md §2.2/P9 calls for exactly this substitution.
+    */
+  def awardFeatures(playerAgg: DataFrame, advanced: DataFrame, rolling: DataFrame): DataFrame = {
+    val features = playerAgg.join(advanced.drop("games_played"),
+      Seq("player_id", "player_name", "team_name"), "left")
+    val recentAvg = Analytics.groupTail(rolling, 5)
+      .groupBy("player_id")
+      .agg(r6avg(col("pts_5g")).as("recent_ppg_5g"))
+    features
+      .withColumn("mvp_score",
+        col("ppg") * 0.3 + col("rpg") * 0.15 + col("apg") * 0.15 +
+          col("spg") * 0.1 + col("bpg") * 0.1 + col("true_shooting_pct") * 100 * 0.2)
+      .withColumn("dpoy_score",
+        col("spg") * 0.3 + col("bpg") * 0.3 + col("rpg") * 0.2 +
+          col("topg") * -0.1 + col("avg_plus_minus") * 0.1)
+      .withColumn("sixmoy_score",
+        col("ppg") * 0.4 + col("apg") * 0.3 + col("true_shooting_pct") * 100 * 0.3)
+      .withColumn("team_success_factor",
+        col("avg_plus_minus") * 0.5 +
+          ((col("player_id") * lit(2654435761L)) % 1000) / lit(10000.0) - 0.05)
+      .join(recentAvg, Seq("player_id"), "left")
+      .withColumn("performance_trend", col("recent_ppg_5g") - col("ppg"))
+      .withColumn("season_progress", col("games") / lit(82.0))
+      .select("player_id", "player_name", "team_name", "games", "ppg", "rpg", "apg",
+        "spg", "bpg", "topg", "true_shooting_pct", "mvp_score", "dpoy_score",
+        "sixmoy_score", "team_success_factor", "recent_ppg_5g",
+        "performance_trend", "season_progress")
+  }
+
+  /** J4 `join_group_correlate`: the reference loops teams and filters players
+    * per team (`feature_engineering.py:114-156`) — an O(teams×players)
+    * driver loop. Here: team dim ⋈ player aggregates, one groupBy — the
+    * distributed form that survives 1000× more players. */
+  def teamFeatures(teamDim: DataFrame, playerAgg: DataFrame): DataFrame =
+    teamDim.join(playerAgg, Seq("team_name"))
+      .groupBy("team_name")
+      .agg(
+        r6avg(col("ppg")).as("team_ppg"),
+        r6avg(col("apg")).as("team_apg"),
+        r6avg(col("fg_pct")).as("team_fg_pct"),
+        r6avg(col("fg3_pct")).as("team_3p_pct"),
+        r6avg(col("spg")).as("team_spg"),
+        r6avg(col("bpg")).as("team_bpg"),
+        r6avg(col("rpg")).as("team_rpg"),
+        count(lit(1)).as("team_depth"),
+        max(col("ppg")).as("team_star_power"),
+        r6sum(col("apg")).as("_apg_sum"),
+        r6sum(col("ppg")).as("_ppg_sum"),
+        r6avg(col("games")).as("team_experience"))
+      .withColumn("team_chemistry", col("_apg_sum") / greatest(col("_ppg_sum"), lit(1.0)))
+      .drop("_apg_sum", "_ppg_sum")
+
+  /** P5 efficiency/versatility + P8 guarded division + A10 consistency
+    * stddev + W5 in-team rank, mirroring `feature_engineering.py:161-206`. */
+  def performanceFeatures(playerAgg: DataFrame, advanced: DataFrame, rolling: DataFrame): DataFrame = {
+    val consistency = rolling.groupBy("player_id")
+      .agg(r6stddev(col("pts_5g")).as("points_consistency"))
+    val teamRank = Window.partitionBy("team_name").orderBy(col("ppg").desc, col("player_id"))
+    playerAgg
+      .join(advanced.select("player_id", "true_shooting_pct", "usage_rate"), Seq("player_id"), "left")
+      .withColumn("efficiency_score",
+        col("true_shooting_pct") * 0.4 + col("fg3_pct") * 0.3 + col("ft_pct") * 0.3)
+      .withColumn("usage_efficiency", col("ppg") / (col("usage_rate") + 0.01))
+      .withColumn("versatility_score",
+        col("rpg") * 0.25 + col("apg") * 0.25 + col("spg") * 0.25 + col("bpg") * 0.25)
+      .join(consistency, Seq("player_id"), "left")
+      .withColumn("experience_factor", col("games") / lit(82.0))
+      .withColumn("team_ppg_rank", rank().over(teamRank).cast("long"))
+      .select("player_id", "player_name", "team_name", "games", "ppg", "rpg", "apg",
+        "spg", "bpg", "fg_pct", "fg3_pct", "ft_pct", "true_shooting_pct",
+        "usage_rate", "efficiency_score", "usage_efficiency",
+        "versatility_score", "points_consistency", "experience_factor",
+        "team_ppg_rank")
+  }
+
+  /** Injury-risk features: workload/fatigue/stress compositions + A11 mean
+    * over last-10 slice, mirroring `feature_engineering.py:211-254`.
+    * The reference's PERSONAL_FOULS_mean maps to tov_mean (physical_stress,
+    * line 233-238). */
+  def injuryFeatures(playerAgg: DataFrame, advanced: DataFrame, rolling: DataFrame): DataFrame = {
+    val fatigue = Analytics.groupTail(rolling, 10)
+      .groupBy("player_id")
+      .agg(r6avg(col("minutes")).as("recent_minutes_avg"))
+    playerAgg
+      .join(advanced.select("player_id", "usage_rate"), Seq("player_id"), "left")
+      .withColumn("minutes_per_game", col("minutes_sum") / col("games"))
+      .withColumn("total_workload", col("minutes_per_game") * col("usage_rate"))
+      .join(fatigue, Seq("player_id"), "left")
+      .withColumn("physical_stress",
+        col("rpg") * 0.3 + col("spg") * 0.2 + col("bpg") * 0.2 + col("tov_mean") * 0.3)
+      .withColumn("experience_risk", col("games") / lit(1000.0))
+      .withColumn("injury_risk_score",
+        col("total_workload") * 0.3 + col("physical_stress") * 0.3 +
+          col("experience_risk") * 0.2 + col("recent_minutes_avg") * 0.2)
+      .select("player_id", "player_name", "team_name", "games", "minutes_per_game",
+        "total_workload", "recent_minutes_avg", "physical_stress",
+        "experience_risk", "injury_risk_score")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Ingestion / normalization layer.
+  *
+  * The reference ingests per player-game box scores into a fixed-DDL raw table
+  * (`/root/reference/dags/ingest_nba_daily.py:104-141`) and every downstream
+  * DAG starts from a filtered scan of it
+  * (`/root/reference/dags/transform_player_stats.py:27-29`). Here the driver's
+  * `lineitem` fact plays the player-game role (SURVEY.md §5.3): one row per
+  * (game=l_orderkey, line=l_linenumber) "appearance" of player=l_partkey, with
+  * stat columns derived deterministically from the numeric measures. Player
+  * identity (name, team) comes from the `part` dimension — a broadcast-size
+  * dim join, the Spark analog of the name/team columns the reference carries
+  * in its fact rows.
+  *
+  * Scale posture: `box` is a narrow projection + broadcast hash join; the
+  * filter in [[scanFilterRecent]] is pushed into the parquet scan (verified
+  * via explain: PushedFilters on l_shipdate). At 100 TB the fact would be
+  * date-partitioned and the 30-day predicate becomes partition pruning; the
+  * dim stays broadcast.
+  */
+object Ingest {
+
+  /** Normalized per player-game box-score view.
+    *
+    * Stat derivations (all single IEEE ops over exact 2-decimal inputs, so
+    * both Spark and the DuckDB oracle compute bit-identical doubles):
+    * pts ≈ POINTS, reb ≈ REBOUNDS, ast ≈ ASSISTS, stl ≈ STEALS,
+    * blk ≈ BLOCKS, tov ≈ TURNOVERS, fgm/fga/fg3m/fg3a/ftm/fta shooting
+    * splits, plus_minus ≈ PLUS_MINUS — mirroring the raw DDL at
+    * `/root/reference/dags/ingest_nba_daily.py:107-137`.
+    *
+    * Keep in sync with [[graft.Oracles.BOX]].
+    */
+  def box(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_name").as("player_name"), col("p_brand").as("team_name"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .select(
+        col("l_partkey").as("player_id"),
+        col("player_name"),
+        col("team_name"),
+        col("l_orderkey").as("game_id"),
+        col("l_linenumber").as("line_id"),
+        col("l_shipdate").as("game_date"),
+        col("l_quantity").as("minutes"),
+        (col("l_extendedprice") / 100.0).as("pts"),
+        col("l_quantity").as("reb"),
+        (col("l_discount") * 100.0).as("ast"),
+        (col("l_tax") * 100.0).as("stl"),
+        col("l_linenumber").cast("double").as("blk"),
+        (col("l_quantity") * col("l_discount")).as("tov"),
+        (col("l_quantity") * (lit(1.0) - col("l_discount"))).as("fgm"),
+        col("l_quantity").as("fga"),
+        (col("l_quantity") * col("l_discount")).as("fg3m"),
+        (col("l_quantity") * 0.5).as("fg3a"),
+        (col("l_tax") * 50.0).as("ftm"),
+        (col("l_tax") * 100.0).as("fta"),
+        ((col("l_discount") - col("l_tax")) * 100.0).as("plus_minus"))
+  }
+
+  /** S6 `scan_filter_recent`: the canonical filtered scan — last 30 days of
+    * the fact relative to the data's own max date (pinned to data, not wall
+    * clock, for oracle determinism; the reference uses CURRENT_DATE,
+    * `/root/reference/dags/transform_player_stats.py:27-29`).
+    *
+    * The one-row cutoff aggregate is broadcast into the scan filter — no
+    * driver collect, works identically on a cluster.
+    */
+  def scanFilterRecent(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = box(spark, sfDir)
+    val cutoff = b.agg(max(col("game_date")).as("max_date"))
+      .select((col("max_date") - expr("INTERVAL 30 DAYS")).as("cutoff"))
+    b.crossJoin(broadcast(cutoff))
+      .filter(col("game_date") >= col("cutoff"))
+      .drop("cutoff")
+  }
+
+  /** Same 30-day slice but from an explicitly provided box frame (so the
+    * transform layer can share one definition). */
+  def recentSlice(b: DataFrame): DataFrame = {
+    val cutoff = b.agg(max(col("game_date")).as("max_date"))
+      .select((col("max_date") - expr("INTERVAL 30 DAYS")).as("cutoff"))
+    b.crossJoin(broadcast(cutoff))
+      .filter(col("game_date") >= col("cutoff"))
+      .drop("cutoff")
+  }
+
+  /** S3 analog: the reference synthesizes a static 12-team dimension from
+    * literal rows (`/root/reference/dags/ingest_wnba_daily.py:60-84`). Here:
+    * the distinct team list derived from the part dimension. */
+  def teamDim(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir).select(col("p_brand").as("team_name")).distinct()
+}

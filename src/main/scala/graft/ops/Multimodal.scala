@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star multimodal-column plumbing (BASELINE.json): media as opaque
+  * BINARY columns + typed metadata, with decode/feature-extraction running as
+  * a partition-local typed transformation.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (per the builder brief); everything
+  * around it — binary column handling, schema, batch iteration shape,
+  * partition parallelism — is the real Spark plumbing a codec would plug
+  * into. No DuckDB oracle (opaque decode): rows-only check + ScalaTest.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + container-level metadata. */
+  case class MediaRow(media_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted metadata (what a real decoder would emit). */
+  case class MediaMeta(media_id: Long, media_type: String, n_bytes: Int,
+      format: String, width: Int, height: Int, n_frames: Int)
+
+  /** Manufacture an opaque-binary media table from the documents text (the
+    * test container ships no real media); payload = UTF-8 bytes. */
+  def mediaTable(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder — a real build links an image/audio codec here. The fake
+    * is a pure function of the payload bytes so results are reproducible.
+    * Partition-local: the iterator shape is exactly where a batched codec
+    * (or GPU decode) would amortize setup cost per partition.
+    */
+  private def stubDecode(row: MediaRow): MediaMeta = {
+    // ??? <- real codec goes here; deterministic fake below stands in.
+    val n = row.payload.length
+    val checksum = row.payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+    val fmt = row.media_type match {
+      case "image" => "png"
+      case "audio" => "wav"
+      case _ => "mp4"
+    }
+    MediaMeta(row.media_id, row.media_type, n, fmt,
+      width = 64 + (checksum % 960).toInt.abs,
+      height = 64 + ((checksum >> 10) % 960).toInt.abs,
+      n_frames = if (row.media_type == "video") 1 + (n % 240) else 1)
+  }
+
+  /** Decode / feature-extract over the media table: mapPartitions keeps the
+    * decode per-executor and streaming (no collect, no driver loop). */
+  def mediaMeta(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, documents)
+      .mapPartitions(rows => rows.map(stubDecode))
+      .toDF()
+  }
+}

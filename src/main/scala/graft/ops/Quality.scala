@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** Data-quality layer — Spark rendering of
+  * `/root/reference/dags/data_quality_checks.py`.
+  *
+  * All "now"-relative predicates are pinned to the data's own max timestamp
+  * (oracle determinism, SURVEY.md §7.4); the reference uses wall-clock
+  * CURRENT_DATE / utcnow (`data_quality_checks.py:46-64,95-99`).
+  */
+object Quality {
+
+  /** A7 `scalar_agg_max_ts` + F6 freshness: max event time per layer-analog
+    * (one row, three "layers": events, orders, lineitem), with day-diff
+    * freshness flags relative to the global max — mirroring the ≤1-day
+    * freshness SLO at `data_quality_checks.py:40-64`. */
+  def freshness(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).agg(max(col("ts")).as("last_event_update"))
+    val or = Tables.orders(spark, sfDir).agg(max(col("o_orderdate")).as("last_order_update"))
+    val li = Tables.lineitem(spark, sfDir).agg(max(col("l_shipdate")).as("last_lineitem_update"))
+    ev.crossJoin(or).crossJoin(li)
+      .withColumn("orders_fresh",
+        datediff(col("last_lineitem_update"), col("last_order_update")) <= 1)
+      .withColumn("events_days_behind",
+        datediff(col("last_lineitem_update"), col("last_event_update")).cast("long"))
+  }
+
+  /** A8 `count_rows`: completeness counts over a trailing 7-day window
+    * (pinned to data max), one count per table-analog in a single row —
+    * `data_quality_checks.py:95-136`. */
+  def completeness(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val or = Tables.orders(spark, sfDir)
+    val liCnt = {
+      val box = Ingest.box(spark, sfDir)
+      val cutoff = box.agg(max(col("game_date")).as("mx"))
+        .select((col("mx") - expr("INTERVAL 7 DAYS")).as("cutoff"))
+      box.crossJoin(broadcast(cutoff))
+        .filter(col("game_date") >= col("cutoff"))
+        .agg(count(lit(1)).as("raw_player_data_count"))
+    }
+    val orCnt = {
+      val cutoff = or.agg(max(col("o_orderdate")).as("mx"))
+        .select((col("mx") - expr("INTERVAL 7 DAYS")).as("cutoff"))
+      or.crossJoin(broadcast(cutoff))
+        .filter(col("o_orderdate") >= col("cutoff"))
+        .agg(count(lit(1)).as("raw_team_data_count"))
+    }
+    val total = li.agg(count(lit(1)).as("lineitem_total"))
+    liCnt.crossJoin(orCnt).crossJoin(total)
+      .withColumn("completeness_passed", col("raw_player_data_count") > 0)
+  }
+
+  /** A9 `conditional_agg_nulls`: one-pass null counters + quality score
+    * (F8 `max(0, 1 − issues/(rows·3))`) — `data_quality_checks.py:164-198`.
+    * The pivot-style SUM(CASE WHEN c IS NULL…) form keeps it a single scan. */
+  def nullChecks(box: DataFrame): DataFrame = {
+    def nulls(c: String) = sum(when(col(c).isNull, 1).otherwise(0)).as(s"null_$c")
+    box.agg(
+      count(lit(1)).as("total_rows"),
+      nulls("player_name"), nulls("pts"), nulls("team_name"))
+      .withColumn("total_issues", col("null_player_name") + col("null_pts") + col("null_team_name"))
+      .withColumn("quality_score",
+        greatest(lit(0.0), lit(1.0) - col("total_issues") / (col("total_rows") * lit(3.0))))
+  }
+
+  /** A6 `scalar_agg_stats` + F7 3σ outlier bounds:
+    * AVG/STDDEV/MAX/MIN over points (sample stddev, matching DuckDB STDDEV)
+    * with avg±3σ bound flags — `data_quality_checks.py:202-236`. */
+  def outlierStats(box: DataFrame): DataFrame =
+    box.filter(col("pts").isNotNull)
+      .agg(
+        davg(col("pts")).as("avg_points"),
+        dstddev(col("pts")).as("std_points"),
+        max(col("pts")).as("max_points"),
+        min(col("pts")).as("min_points"))
+      .withColumn("upper_bound", col("avg_points") + lit(3.0) * col("std_points"))
+      .withColumn("lower_bound", col("avg_points") - lit(3.0) * col("std_points"))
+      .withColumn("outliers_detected",
+        col("max_points") > col("upper_bound") || col("min_points") < col("lower_bound"))
+
+  /** A5 `distinct_count` consistency: exact distinct teams/players/games with
+    * cardinality-floor flags — `data_quality_checks.py:240-270`. */
+  /** Note: the test dimension's p_name collides across players (64 distinct
+    * names for 2000 ids), so "unique players" counts player_id — the
+    * reference's intent (distinct players), not its literal column. */
+  def consistency(box: DataFrame): DataFrame =
+    box.agg(
+      countDistinct(col("team_name")).as("unique_teams"),
+      countDistinct(col("player_id")).as("unique_players"),
+      countDistinct(col("game_id")).as("unique_games"))
+      .withColumn("teams_ok", col("unique_teams") >= 12L)
+      .withColumn("players_ok", col("unique_players") >= 100L)
+
+  /** The 100 TB variant of A5: HyperLogLog++ approximate distincts alongside
+    * the exact ones. No DuckDB oracle (different sketch impls give different
+    * estimates) — driver records a rows-only check. */
+  def approxConsistency(box: DataFrame): DataFrame =
+    box.agg(
+      approx_count_distinct(col("team_name")).as("approx_teams"),
+      approx_count_distinct(col("player_id")).as("approx_players"),
+      approx_count_distinct(col("game_id")).as("approx_games"))
+
+  /** PASS/FAIL report row combining the check families —
+    * `data_quality_checks.py:286-334` (timestamp column omitted: wall clock
+    * is oracle-hostile; the reference stamps utcnow at line 287). */
+  def qualityReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val box = Ingest.box(spark, sfDir)
+    nullChecks(box)
+      .crossJoin(outlierStats(box).select("outliers_detected"))
+      .crossJoin(consistency(box).select("teams_ok", "players_ok"))
+      .withColumn("overall_status",
+        when(col("total_issues") === 0 && col("teams_ok") && col("players_ok"), "PASS")
+          .otherwise("FAIL"))
+      .select("total_rows", "total_issues", "quality_score", "outliers_detected",
+        "teams_ok", "players_ok", "overall_status")
+  }
+
+  /** A13 median (model_training.py:244 synthetic label threshold) + F9
+    * boolean→int cast: per-row flag of above-median workload. Exact
+    * percentile on both sides (DuckDB `median` ≡ continuous-interpolation
+    * `percentile(0.5)` on numerics). */
+  def medianLabel(box: DataFrame): DataFrame = {
+    val med = box.agg(expr("percentile(minutes, 0.5)").as("median_minutes"))
+    box.select(col("player_id"), col("game_id"), col("line_id"), col("minutes"))
+      .crossJoin(broadcast(med))
+      .withColumn("high_workload", (col("minutes") > col("median_minutes")).cast("int"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The small standalone relational operators from SURVEY.md §2 that are not
+  * already embedded in the analytics/features/dashboard pipelines —
+  * projections, simple filters, scalar string/date functions, sorts, unions,
+  * and the dimension joins.
+  */
+object Relational {
+
+  /** P1 `project_columns`: column-subset projection
+    * (`/root/reference/dags/prepare_dashboard_data.py:174-178`). Catalyst
+    * pushes this into the parquet ReadSchema — only 3 columns are read. */
+  def projectColumns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select("c_custkey", "c_name", "c_mktsegment")
+
+  /** P2 `filter_predicate`: equality + IS NOT NULL row filters
+    * (`transform_player_stats.py:139`; `data_quality_checks.py:209`). Both
+    * predicates reach the scan as PushedFilters. */
+  def filterPredicate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice").isNotNull)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+  /** P10/F1 `string_replace` + F3 lower: date→"yyyyMMdd" key formatting
+    * (`ingest_nba_daily.py:24`) and case normalization over the distinct
+    * date/priority domain. */
+  def stringReplace(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("date_key"),
+        regexp_replace(date_format(col("o_orderdate"), "yyyy-MM-dd"), "-", "").as("date_key_replaced"),
+        lower(col("o_orderpriority")).as("priority_lower"))
+
+  /** J2 `join_left_single` chained through the dimension hierarchy:
+    * customer ⟕ nation ⟕ region (`feature_engineering.py:90,193,228`'s
+    * single-key left joins; hierarchy per SURVEY.md §5.3). Both dims are
+    * broadcast — no shuffle of the left side. */
+  def joinLeftSingle(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation_name"),
+        col("r_name").as("region_name"))
+
+  /** J3 `join_project`: left join of a projected column subset
+    * (`prepare_dashboard_data.py:67-68`): orders ⟕ customer[custkey, name]. */
+  def joinProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("o_totalprice"))
+
+  /** T1 `sort_multikey`: the multi-key sort preceding the rolling windows
+    * (`transform_player_stats.py:134`), made total with the line tie-break.
+    * Output order itself is not oracle-hashable (driver sorts rows); the
+    * operator is exercised for the plan (global range-partitioned sort). */
+  def sortMultikey(spark: SparkSession, sfDir: String): DataFrame =
+    Ingest.box(spark, sfDir)
+      .orderBy(col("player_id"), col("game_date"), col("game_id"), col("line_id"))
+      .select("player_id", "game_date", "game_id", "line_id", "pts")
+
+  /** U1 `union_all_frames`: pd.concat of homogeneous frames
+    * (`ingest_nba_daily.py:87-88`) — unionByName of two disjoint slices. */
+  def unionAllFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+    val high = o.filter(col("o_orderpriority") === "2-HIGH")
+    urgent.unionByName(high)
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact.q6
+
+/** North-star similarity-search operators over the `embeddings` table
+  * (ARRAY<FLOAT>[64]) — BASELINE.json north star; SURVEY.md §2.10.
+  *
+  * Float arrays are cast element-wise to double BEFORE any arithmetic so the
+  * DuckDB oracle (which computes in double) sees the same products; pair
+  * similarities are rounded to 1e-6 in the output, far above the ≤1e-14
+  * engine-order summation noise of a 64-term dot product.
+  *
+  * Scale design: brute force is the correctness baseline (O(n²) pairs but
+  * embarrassingly parallel — Spark shuffles one side and streams the other).
+  * The LSH variant is the 100 TB path: candidate generation is linear in
+  * rows, comparisons happen only within buckets.
+  */
+object Similarity {
+
+  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Embeddings with precomputed L2 norm (computed once, reused by every
+    * pairing — avoids re-deriving the norm n times inside the pair join). */
+  def withNorms(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  /** Brute-force cosine top-k: every vector against every other, k nearest
+    * by cosine, ties broken by neighbor id. Plans as a shuffle join +
+    * per-query window top-k. */
+  def cosineTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val e = withNorms(embeddings)
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
+    val pairs = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", q6(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: (a < b) with cosine ≥ threshold
+    * — the embedding leg of the dedup family. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val e = withNorms(embeddings)
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("av"), col("norm").as("an"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("bv"), col("norm").as("bn"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", q6(dot(col("av"), col("bv")) / (col("an") * col("bn"))))
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
+    * an integer-hash mapped into [-1, 1) — reproducible across runs with no
+    * RNG state (Date/random are plan-hostile). */
+  private def planeComponent(j: Int, i: Column): Column =
+    ((xxhash64(lit(j), i) % 1000000L).cast("double") / 1000000.0)
+
+  /** Multi-table sign-LSH ANN: `tables` independent hash tables, each
+    * bucketing on `bits` random-hyperplane sign bits; a pair is a candidate
+    * if it collides in ANY table (standard LSH OR-construction — single-table
+    * sign-LSH has vanishing recall for mid-range cosines). Top-k search runs
+    * over the candidate union only. Candidate generation stays linear in
+    * rows; at 100 TB corpus scale, raise `bits` with log(n) to keep bucket
+    * occupancy constant. Recall vs [[cosineTopK]] is asserted in ScalaTest.
+    * No DuckDB oracle (xxhash64-derived hyperplanes are Spark-specific).
+    */
+  def lshTopK(embeddings: DataFrame, k: Int = 5, bits: Int = 4, tables: Int = 8): DataFrame = {
+    val e = withNorms(embeddings)
+    val tableCols = (0 until tables).map { t =>
+      val sigBits = (0 until bits).map { j =>
+        val proj = aggregate(
+          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+            (x, i) => x * planeComponent(t * bits + j, i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L << j)).otherwise(0L)
+      }
+      struct(lit(t).as("t"), sigBits.reduce((a, b) => a.bitwiseOR(b)).as("b"))
+    }
+    val bucketed = e.select(col("vec_id"), col("v"), col("norm"),
+      explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("tb.t").as("table_id"), col("tb.b").as("bucket"))
+    val q = bucketed.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("norm").as("qn"), col("table_id"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("norm").as("cn"), col("table_id"), col("bucket"))
+    val pairs = q.join(c, Seq("table_id", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos_sim", q6(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rk")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** Streaming-cadence analog. The reference is batch-only — its "streaming" is
+  * the Airflow daily cron cascade (SURVEY.md §2.9); the semantic equivalent
+  * here is a tumbling daily window over the events table, expressed once as a
+  * batch query (oracle-verifiable) and once as a Structured Streaming query
+  * (same logical plan; exercised in the ScalaTest suite with a memory sink).
+  */
+object StreamDemo {
+
+  /** Daily tumbling-window counts per event type — batch form. */
+  def windowCountsBatch(events: DataFrame): DataFrame =
+    events.groupBy(
+      date_trunc("day", col("ts")).as("day"),
+      col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("value_sum"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Same aggregation as an unbounded stream with a 1-day watermark —
+    * late events beyond the watermark are dropped, which is the stream
+    * rendering of the reference's "re-read a 30-day window daily"
+    * self-healing (SURVEY.md §2.9).
+    *
+    * `eventsDir` must be a DIRECTORY of parquet files (FileStreamSource
+    * monitors directories, not single files). */
+  def windowCountsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // Same NANOS-timestamp workaround as Tables.events (the parquet carries
+    // INT64 TIMESTAMP(NANOS); read as long, truncate to micros).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("day"), col("event_type"),
+        col("n_events"), col("value_sum"))
+  }
+
+  /** F10 JSON-blob handling: parse the props JSON column, aggregate by the
+    * extracted key — mirrors the KPI JSON round-trip at
+    * `/root/reference/dags/prepare_dashboard_data.py:283-286` + `from_json`
+    * guidance in SURVEY.md §1.1. */
+  def propsAgg(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"),
+      col("value"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("k")).as("k_sum"),
+        dsum(col("value")).as("value_sum"))
+
+  /** F4/F5/F6 freshness on events: per event_type, max ts and day-lag vs the
+    * global max (pinned to data, not wall clock). */
+  def eventFreshness(events: DataFrame): DataFrame = {
+    val mx = events.agg(max(col("ts")).as("global_max_ts"))
+    events.groupBy("event_type")
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(mx))
+      .withColumn("days_behind", datediff(col("global_max_ts"), col("last_ts")).cast("long"))
+      .withColumn("fresh", col("days_behind") <= 1)
+  }
+}

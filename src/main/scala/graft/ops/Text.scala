@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+
+/** North-star text-analysis / deduplication operators over the `documents`
+  * table (BASELINE.json north star; no analog in the reference, which has no
+  * text processing — SURVEY.md §2.10).
+  *
+  * Scale design: every operator is a scan → narrow transform → keyed shuffle;
+  * nothing collects to the driver. Exact dedup shuffles one 64-hex hash per
+  * doc; shingle/minhash dedup shuffles (shingle → doc) postings, which is the
+  * standard inverted-index layout that scales horizontally with documents.
+  */
+object Text {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Tokenize + explode → (doc_id, token) postings. */
+  def tokenPostings(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+
+  /** Word-count over the corpus: token → occurrences + doc frequency. */
+  def wordCount(documents: DataFrame): DataFrame =
+    tokenPostings(documents)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
+
+  /** Per-document token statistics: whitespace tokens, a BPE-ish regex token
+    * count (runs of word chars / digits / single punctuation), char count,
+    * mean token length. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("long").as("n_word_tokens"))
+      .withColumn("mean_token_len",
+        (col("n_chars") - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"))
+
+  /** Heuristic quality scoring: stopword ratio, lexical diversity, length —
+    * the length/punct/stopword-ratio family of LLM-corpus quality filters. */
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(filter(tokens(col("text")), t => t === "the" || t === "a")).cast("long").as("n_stopwords"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct_tokens"))
+      .withColumn("stop_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("diversity", col("n_distinct_tokens").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        greatest(lit(0.0), least(lit(1.0),
+          lit(0.3) + lit(0.5) * col("diversity") + lit(2.0) * col("stop_ratio")
+            - when(col("n_tokens") < 20, 0.2).otherwise(0.0))))
+
+  /** N-gram language-ID heuristic: score per candidate language from
+    * characteristic-token hit rates (real systems score char n-grams against
+    * per-language profiles; the test corpus is an English-ish word soup, so
+    * the profiles here are token-level). */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = size(filter(toks, t => t.isin("the", "a", "fast", "small", "big")))
+    documents.select(col("doc_id"), col("lang"), en.cast("long").as("en_hits"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("en_score", col("en_hits").cast("double") / col("n_tokens"))
+      .withColumn("lang_pred", when(col("en_score") > 0.02, "en").otherwise("unknown"))
+  }
+
+  /** Document fingerprint: SHA-256 over the normalized text (lowercase,
+    * collapsed whitespace) — the content-defined key used by exact dedup. */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256).as("fingerprint"))
+
+  /** Exact deduplication: hash-groupBy on the fingerprint; every doc maps to
+    * the group's keeper (min doc_id). Scales as one shuffle of (hash, id). */
+  def dedupExact(documents: DataFrame): DataFrame = {
+    val fp = fingerprints(documents)
+    fp.join(
+      fp.groupBy("fingerprint")
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies")),
+      Seq("fingerprint"))
+      .select(col("doc_id"), col("keeper_id"), col("n_copies"),
+        (col("doc_id") =!= col("keeper_id")).cast("int").as("is_dup"))
+  }
+
+  /** (doc_id, shingle) postings: distinct word k-shingles per document. */
+  def shingles(documents: DataFrame, k: Int = 5): DataFrame =
+    documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("shingle"))
+
+  /** Near-dup detection via exact n-gram Jaccard on a shingle inverted
+    * index: docs sharing ≥1 5-shingle become candidate pairs; exact Jaccard
+    * = |A∩B| / (|A|+|B|−|A∩B|) filters at the threshold. With k=5 over a
+    * small vocabulary, unrelated docs almost never share a shingle, so the
+    * candidate set ≈ true near-dups (the 100 TB path swaps this candidate
+    * generator for [[dedupMinHashLsh]]; the verify step is identical). */
+  def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(documents)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash signatures: 32 hash functions h_j(s) = xxhash64(j, s), min per
+    * doc — one groupBy over the shingle postings, all 32 mins in a single
+    * pass (codegen'd; no UDAF). */
+  def minHashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame = {
+    val sh = shingles(documents)
+    val mins = (0 until numHashes).map(j => min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding: 8 bands × 4 rows; docs colliding in ≥1 band
+    * become candidates, then exact Jaccard verifies. This is the scale path
+    * for near-dup at 100 TB: candidate generation cost is linear in docs
+    * (band hashes), the verify join touches only colliding pairs.
+    * No DuckDB oracle (xxhash64 is Spark-specific) — covered by the
+    * ScalaTest recall check against [[dedupNgramJaccard]].
+    */
+  def dedupMinHashLsh(documents: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minHashSignatures(documents, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*).as("bh"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("band_hash"))
+      .distinct()
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard over the shingle sets
+    val sh = shingles(documents)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash: 64-bit locality-sensitive fingerprint. Per doc: weighted sign
+    * sum per bit of xxhash64(token), packed into one BIGINT. The 64 bit
+    * sums compile to one groupBy with 64 conditional-sum aggregates —
+    * vectorized, single shuffle, no UDAF. No oracle (xxhash64). */
+  def simHash(documents: DataFrame): DataFrame = {
+    val toks = tokenPostings(documents)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, col("w")).otherwise(-col("w"))).as(s"b$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 4×16-bit chunks (a pair within
+    * Hamming distance ≤3 of a 64-bit hash must agree on ≥1 of 4 chunks —
+    * pigeonhole), verify with bit_count(xor) ≤ 3. No oracle. */
+  def dedupSimHash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(documents)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk"),
+          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("ch"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ch").as("ch"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Analytics, Ingest}
+
+class AnalyticsSpec extends SparkTestBase {
+
+  test("playerAggregations: one row per player, derived cols consistent") {
+    val box = Ingest.box(spark, SF)
+    val pa = Analytics.playerAggregations(box).cache()
+    val nPlayers = box.select("player_id").distinct().count()
+    assert(pa.count() == nPlayers)
+    // ppg == pts_sum/games, exactly (same expression tree)
+    val bad = pa.filter(col("ppg") =!= col("pts_sum") / col("games")).count()
+    assert(bad == 0)
+    // pct guards: never null, in sensible range
+    assert(pa.filter(col("fg_pct").isNull || col("fg_pct") < 0 || col("fg_pct") > 1.5).count() == 0)
+  }
+
+  test("advancedMetrics: ast_pct is the literal self-ratio (1 when nonzero)") {
+    val adv = Analytics.advancedMetrics(Ingest.box(spark, SF))
+    assert(adv.filter(col("ast_pct") =!= 1.0 && col("ast_pct") =!= 0.0).count() == 0)
+    assert(adv.filter(col("true_shooting_pct") < 0).count() == 0)
+  }
+
+  test("rolling: first row per player equals the raw stat (window of 1)") {
+    val box = Ingest.box(spark, SF)
+    val roll = Analytics.rollingAverages(box)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("player_id").orderBy(col("game_date"), col("game_id"), col("line_id"))
+    val first = roll.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // head frame shrinks to one row => 5g mean == the point value
+    val joined = first.join(box, Seq("player_id", "game_id", "line_id"))
+    // pts_5g passed through the 1e-10 decimal grid; raw pts is ~1 ulp off it
+    assert(joined.filter(abs(col("pts_5g") - col("pts")) > 1e-9).count() == 0)
+  }
+
+  test("groupTail keeps at most n rows per player, the latest ones") {
+    val roll = Analytics.rollingAverages(Ingest.box(spark, SF))
+    val tail = Analytics.groupTail(roll, 5)
+    val over = tail.groupBy("player_id").count().filter(col("count") > 5).count()
+    assert(over == 0)
+    val maxDate = roll.groupBy("player_id").agg(max("game_date").as("mx"))
+    val check = tail.groupBy("player_id").agg(max("game_date").as("tail_mx"))
+      .join(maxDate, "player_id").filter(col("tail_mx") =!= col("mx"))
+    assert(check.count() == 0)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end layer invariants (the Spark analog of the reference's
+  * validation tasks, SURVEY.md §5.2) over the full query surface. */
+class PipelineSpec extends SparkTestBase {
+
+  test("every declared query runs and yields a schema at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, SF)
+      assert(df.schema.fields.nonEmpty, s"$name has empty schema")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("top-k lists bounded; kpi row is single; award union is 30 tagged rows") {
+    assert(q("topk_scorers").count() <= 10)
+    assert(q("kpi_summary").count() == 1)
+    val award = q("award_dashboard").cache()
+    assert(award.count() == 30)
+    assert(award.select("award").distinct().count() == 3)
+    // schema-misaligned union: DPOY rows carry null mvp_score
+    assert(award.filter(col("award") === "DPOY" && col("mvp_score").isNotNull).count() == 0)
+  }
+
+  test("dashboard ranks: every player in analytics exists in dashboard, ranks in [1, n]") {
+    val pd = q("player_dashboard").cache()
+    val n = pd.count()
+    assert(pd.filter(col("ppg_rank") < 1 || col("ppg_rank") > n).count() == 0)
+    assert(pd.select("player_id").distinct().count() == n)
+  }
+
+  test("quality report passes on clean synthetic data") {
+    val r = q("quality_report").collect().head
+    assert(r.getAs[String]("overall_status") == "PASS")
+    assert(r.getAs[Double]("quality_score") == 1.0)
+  }
+
+  test("median label splits rows into both classes") {
+    val m = q("median_label").cache()
+    assert(m.filter(col("high_workload") === 1).count() > 0)
+    assert(m.filter(col("high_workload") === 0).count() > 0)
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+
+  test("brute-force topk: k rows per query, cos in [-1,1], ranked descending") {
+    val t = q("similarity_bruteforce_topk").cache()
+    val n = Tables.embeddings(spark, SF).count()
+    assert(t.count() == n * 5)
+    assert(t.filter(col("cos_sim") < -1.000001 || col("cos_sim") > 1.000001).count() == 0)
+    // rank 1 has the max cos among the 5
+    val byQ = t.groupBy("query_id")
+      .agg(max("cos_sim").as("mx"),
+        max(when(col("rk") === 1, col("cos_sim"))).as("r1"))
+    assert(byQ.filter(col("mx") =!= col("r1")).count() == 0)
+  }
+
+  test("LSH ANN recalls a meaningful share of true neighbors at far lower cost") {
+    def pairs(name: String) = q(name).filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs("similarity_bruteforce_topk")
+    val ann = pairs("similarity_lsh_topk")
+    val recall = ann.intersect(truth).size.toDouble / truth.size
+    info(s"LSH recall@5 = $recall")
+    assert(recall > 0.25, s"LSH recall collapsed: $recall")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val nd = q("embedding_near_dup").cache()
+    assert(nd.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(nd.filter(col("cos_sim") < 0.4).count() == 0)
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session per suite (lazy, local mode, oracle-parity configs). */
+trait SparkTestBase extends AnyFunSuite {
+  val SF: String = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkTestBase.session
+
+  def q(name: String): org.apache.spark.sql.DataFrame =
+    SparkEntry.queries(name)(spark, SF)
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Multimodal, StreamDemo}
+
+class StreamAndMiscSpec extends SparkTestBase {
+
+  test("structured-streaming window agg equals the batch rendering") {
+    // FileStreamSource monitors a directory: stage the single parquet there
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SF/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = StreamDemo.windowCountsStream(spark, dir.toString)
+    val query = stream.writeStream
+      .format("memory").queryName("win_counts").outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .select(col("day"), col("event_type"), col("n_events"))
+      val batch = StreamDemo.windowCountsBatch(Tables.events(spark, SF))
+        .select(col("day"), col("event_type"), col("n_events"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0)
+    } finally query.stop()
+  }
+
+  test("multimodal meta: deterministic stub decode with real schema") {
+    val m1 = Multimodal.mediaMeta(spark, Tables.documents(spark, SF)).cache()
+    assert(m1.count() == Tables.documents(spark, SF).count())
+    assert(m1.schema.fieldNames.toSet ==
+      Set("media_id", "media_type", "n_bytes", "format", "width", "height", "n_frames"))
+    val m2 = Multimodal.mediaMeta(spark, Tables.documents(spark, SF))
+    assert(m1.except(m2).count() == 0) // reproducible
+    assert(m1.filter(col("width") < 64 || col("height") < 64).count() == 0)
+  }
+
+  test("MLlib random-forest smoke: finite R2, importances sum to 1") {
+    val feats = q("award_features")
+    val res = graft.ml.Train.trainAwardModel(feats)
+    assert(!res.r2.isNaN && !res.r2.isInfinite)
+    assert(math.abs(res.importances.sum - 1.0) < 1e-6)
+    info(s"RF r2=${res.r2} mse=${res.mse}")
+  }
+
+  test("approx distinct within 10% of exact") {
+    val approx = q("approx_distinct").collect().head
+    val exact = q("consistency_check").collect().head
+    def close(a: Long, e: Long) = math.abs(a - e).toDouble / e < 0.1
+    assert(close(approx.getAs[Long]("approx_players"), exact.getAs[Long]("unique_players")))
+    assert(close(approx.getAs[Long]("approx_games"), exact.getAs[Long]("unique_games")))
+  }
+}

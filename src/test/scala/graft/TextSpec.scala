@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Text
+
+class TextSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.documents(spark, SF).cache()
+
+  test("wordCount conserves total token mass") {
+    val total = q("word_count").agg(sum("n_occurrences")).collect().head.getLong(0)
+    val expected = q("token_stats").agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(total == expected)
+  }
+
+  test("dedupExact: keeper is min doc_id of its fingerprint group; self-keeper not dup") {
+    val d = q("dedup_exact").cache()
+    assert(d.filter(col("keeper_id") > col("doc_id")).count() == 0)
+    assert(d.filter(col("doc_id") === col("keeper_id") && col("is_dup") === 1).count() == 0)
+  }
+
+  test("minhash-LSH near-dup agrees with exact n-gram jaccard (high recall)") {
+    val exact = q("dedup_ngram_jaccard").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = q("dedup_minhash_lsh").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies candidates with the same exact-jaccard filter => subset
+    assert(lsh.subsetOf(exact), s"LSH produced non-exact pairs: ${lsh -- exact}")
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.6, s"LSH recall too low: $recall over ${exact.size} pairs")
+    }
+  }
+
+  test("simhash pairs are within the hamming bound and reflexive-free") {
+    val sh = q("dedup_simhash").cache()
+    assert(sh.filter(col("hamming") > 3).count() == 0)
+    assert(sh.filter(col("doc_a") >= col("doc_b")).count() == 0)
+  }
+
+  test("quality score bounded in [0,1]; langid predicts en for stopword-bearing soup") {
+    val tq = q("text_quality").cache()
+    assert(tq.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+    val li = q("lang_id").cache()
+    assert(li.filter(col("lang_pred") === "en").count() > 0)
+  }
+}
