@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+// Temporary diagnostic probe — deleted before commit.
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+    }
+
+    val which = sys.env.getOrElse("SCRATCH_WHICH", "team_rankings")
+    which match {
+      case "team_rankings" =>
+        val pa = ops.Analytics.playerAggregations(ops.Ingest.box(spark, sfDir))
+        time("pa.count")(pa.count())
+        val tr = ops.Dashboard.teamRankings(pa)
+        println(tr.queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode))
+        time("team_rankings")(tr.count())
+      case "award" =>
+        val pa = ops.Analytics.playerAggregations(ops.Ingest.box(spark, sfDir))
+        val adv = ops.Analytics.advancedMetrics(ops.Ingest.box(spark, sfDir))
+        val roll = ops.Analytics.rollingAverages(ops.Ingest.box(spark, sfDir))
+        val af = ops.Features.awardFeatures(pa, adv, roll)
+        time("af.count")(af.count())
+        val ad = ops.Dashboard.awardDashboard(af)
+        time("award_dashboard")(ad.count())
+    }
+    spark.stop()
+  }
+}

@@ -21,12 +21,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.playerAggregations(Ingest.box(spark, "/root/testdata/sf0.001"))
 
-  private def box(s: SparkSession, d: String) = Ingest.box(s, d)
-  private def pa(s: SparkSession, d: String) = Analytics.playerAggregations(box(s, d))
-  private def adv(s: SparkSession, d: String) = Analytics.advancedMetrics(box(s, d))
-  private def roll(s: SparkSession, d: String) = Analytics.rollingAverages(box(s, d))
+  // Shared stages are memoized + persisted through the Pipeline runner —
+  // the Spark rendering of the reference's XCom/warehouse reuse
+  // (`transform_player_stats.py:223-227`): each layer is computed once per
+  // (session, sfDir) and every downstream query reads the cached frame
+  // instead of recomputing the whole lineage.
+  private def box(s: SparkSession, d: String) =
+    Pipeline.stage(s, d, "box")(Ingest.box(s, d))
+  private def pa(s: SparkSession, d: String) =
+    Pipeline.stage(s, d, "pa")(Analytics.playerAggregations(box(s, d)))
+  private def adv(s: SparkSession, d: String) =
+    Pipeline.stage(s, d, "adv")(Analytics.advancedMetrics(box(s, d)))
+  private def roll(s: SparkSession, d: String) =
+    Pipeline.stage(s, d, "roll")(Analytics.rollingAverages(box(s, d)))
   private def af(s: SparkSession, d: String) =
-    Features.awardFeatures(pa(s, d), adv(s, d), roll(s, d))
+    Pipeline.stage(s, d, "af")(Features.awardFeatures(pa(s, d), adv(s, d), roll(s, d)))
 
   private val rollIds = Seq("player_id", "player_name", "team_name", "game_id",
     "line_id", "game_date", "minutes")

@@ -1,0 +1,44 @@
+package graft.ops
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Stage-cache pipeline runner.
+  *
+  * The reference computes each layer once and reuses it across downstream
+  * consumers: the raw extract feeds three transform branches via XCom
+  * (`/root/reference/dags/transform_player_stats.py:223-227`), and every
+  * layer is materialized to warehouse tables that later DAGs re-read
+  * (`feature_engineering.py:22-45`, `prepare_dashboard_data.py:22-51`).
+  *
+  * Spark does NOT reuse a subtree across separate actions automatically, so
+  * without this the dashboard queries recompute the whole
+  * box → aggregate → join lineage once per consumer (3× inside
+  * award_dashboard alone). [[stage]] is the Spark rendering of that XCom /
+  * warehouse reuse: the first consumer materializes the named stage into the
+  * block store (memory, spilling to disk), every later consumer reads the
+  * cached columns.
+  *
+  * Scale posture: persist() is per-executor local storage — no extra
+  * shuffle, survives a 1000-executor scale-up (each executor caches the
+  * partitions it computed). MEMORY_AND_DISK spills rather than OOMs when a
+  * stage outgrows executor memory.
+  */
+object Pipeline {
+
+  private val stages = TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Memoized named stage: builds `df` once per (session, sfDir, name),
+    * persists it, and hands the same cached frame to every consumer. */
+  def stage(spark: SparkSession, sfDir: String, name: String)(build: => DataFrame): DataFrame =
+    stages.getOrElseUpdate((spark, sfDir, name),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop every cached stage for a session (test hygiene). */
+  def clear(spark: SparkSession): Unit = {
+    val keys = stages.keys.filter(_._1 eq spark)
+    keys.foreach { k => stages.remove(k).foreach(_.unpersist()) }
+  }
+}
