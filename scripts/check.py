@@ -1,79 +1,68 @@
 #!/usr/bin/env python3
-"""Local oracle self-check, mimicking the driver's DuckDB compare:
-run each oracle SQL over the sf parquet tables, compare with the
-Verify.scala parquet dumps (columns sorted by name, rows sorted, values
-compared exactly; floats reported with max abs diff when not bit-equal).
+"""Dev-side pre-check of the driver's DuckDB oracle compare.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+Usage: after `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"`:
+    python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out [query ...]
+
+Mirrors the driver: per query, runs the oracle SQL over the sf parquet tables,
+reads the Spark parquet dump, sorts columns by name and rows by all columns,
+and compares row count / column names / values (hash-equivalent).
 """
-import sys, json, math
+import json, sys, math
 import duckdb
-import pandas as pd
-import numpy as np
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
-only = set(sys.argv[3:])
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
-TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
-          "events","documents","embeddings"]
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.17g}"
+    s = str(v)
+    # DATE vs midnight-TIMESTAMP normalization (the driver compares these
+    # equal; duckdb DATE prints without the time part)
+    if s.endswith(" 00:00:00"):
+        s = s[:-9]
+    return s
 
-con = duckdb.connect()
-for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+def main():
+    sf, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            o = con.execute(sql).fetch_arrow_table()
+            s = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetch_arrow_table()
+            ocols, scols = sorted(o.column_names), sorted(s.column_names)
+            if ocols != scols:
+                print(f"FAIL {name}: schema {scols} vs oracle {ocols}")
+                fails += 1
+                continue
+            od = sorted(tuple(norm(r[c]) for c in ocols) for r in o.to_pylist())
+            sd = sorted(tuple(norm(r[c]) for c in scols) for r in s.to_pylist())
+            if len(od) != len(sd):
+                print(f"FAIL {name}: rows spark={len(sd)} oracle={len(od)}")
+                fails += 1
+            elif od != sd:
+                diff = [i for i, (a, b) in enumerate(zip(od, sd)) if a != b][:3]
+                print(f"FAIL {name}: value mismatch at sorted rows {diff}")
+                for i in diff[:1]:
+                    print(f"  oracle: {od[i]}\n  spark : {sd[i]}")
+                fails += 1
+            else:
+                print(f"ok   {name} ({len(sd)} rows)")
+        except Exception as e:
+            print(f"ERR  {name}: {e}")
+            fails += 1
+    sys.exit(1 if fails else 0)
 
-oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-
-def canon(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
-
-fails = []
-for name, sql in sorted(oracle.items()):
-    if only and name not in only:
-        continue
-    try:
-        odf = con.execute(sql).df()
-    except Exception as e:
-        print(f"FAIL {name}: oracle SQL error: {e}")
-        fails.append(name); continue
-    try:
-        sdf = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
-    except Exception as e:
-        print(f"FAIL {name}: spark result missing: {e}")
-        fails.append(name); continue
-    if sorted(odf.columns) != sorted(sdf.columns):
-        print(f"FAIL {name}: columns differ\n  oracle: {sorted(odf.columns)}\n  spark:  {sorted(sdf.columns)}")
-        fails.append(name); continue
-    if len(odf) != len(sdf):
-        print(f"FAIL {name}: rows differ oracle={len(odf)} spark={len(sdf)}")
-        fails.append(name); continue
-    o, s = canon(odf), canon(sdf)
-    ok = True
-    for c in o.columns:
-        ov, sv = o[c].to_numpy(), s[c].to_numpy()
-        if ov.dtype != sv.dtype:
-            # dtype mismatch is a schema-compat warning; compare values anyway
-            print(f"  note {name}.{c}: dtype oracle={ov.dtype} spark={sv.dtype}")
-        if np.issubdtype(ov.dtype, np.floating) or np.issubdtype(sv.dtype, np.floating):
-            ovf = ov.astype(float); svf = sv.astype(float)
-            both_nan = np.isnan(ovf) & np.isnan(svf)
-            eq = (ovf == svf) | both_nan
-            if not eq.all():
-                bad = ~eq
-                md = np.nanmax(np.abs(ovf[bad] - svf[bad]))
-                print(f"FAIL {name}.{c}: {bad.sum()}/{len(eq)} mismatches, maxdiff={md:.3e}")
-                ok = False
-        else:
-            eq = (ov == sv) | (pd.isna(ov) & pd.isna(sv))
-            if not np.asarray(eq).all():
-                bad = ~np.asarray(eq)
-                print(f"FAIL {name}.{c}: {bad.sum()}/{len(eq)} mismatches, e.g. oracle={ov[bad][:3]} spark={sv[bad][:3]}")
-                ok = False
-    if ok:
-        print(f"PASS {name} ({len(odf)} rows)")
-    else:
-        fails.append(name)
-
-print(f"\n{'ALL PASS' if not fails else 'FAILURES: ' + ', '.join(fails)}")
-sys.exit(1 if fails else 0)
+if __name__ == "__main__":
+    main()

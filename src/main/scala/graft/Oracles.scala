@@ -24,7 +24,10 @@ object Oracles {
   // Spark's BigDecimal.doubleValue. A VARCHAR round-trip forces strtod's
   // correctly-rounded parse. (Window sums stay direct casts: their scaled
   // integers fit in 2^53, where the direct cast is already exact.)
-  private def dsum(x: String) = s"CAST(CAST(sum(CAST($x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+  // First-level sums cast to DECIMAL(8,4) — the box data is ≤4-decimal with
+  // |x| < 10⁴, so the narrow cast is exact (and keeps Spark's side on the
+  // long-backed compact-decimal fast path; see graft.functions.Exact.Dec).
+  private def dsum(x: String) = s"CAST(CAST(sum(CAST($x AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE)"
   private def davg(x: String) = s"${dsum(x)}/count($x)"
   private def q6(x: String) = s"floor(CAST($x AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
   private def r6sum(x: String) = s"CAST(CAST(sum(CAST(${q6(x)} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
@@ -105,20 +108,20 @@ adv AS (
 ),
 roll AS (
   SELECT player_id, player_name, team_name, game_id, line_id, game_date, minutes,
-         CAST(sum(CAST(pts AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS pts_5g,
-         CAST(sum(CAST(reb AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS reb_5g,
-         CAST(sum(CAST(ast AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS ast_5g,
-         CAST(sum(CAST(stl AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS stl_5g,
-         CAST(sum(CAST(blk AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS blk_5g,
-         CAST(sum(CAST(tov AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS tov_5g,
-         CAST(sum(CAST(plus_minus AS DECIMAL(28,10))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS plus_minus_5g,
-         CAST(sum(CAST(pts AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS pts_10g,
-         CAST(sum(CAST(reb AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS reb_10g,
-         CAST(sum(CAST(ast AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS ast_10g,
-         CAST(sum(CAST(stl AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS stl_10g,
-         CAST(sum(CAST(blk AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS blk_10g,
-         CAST(sum(CAST(tov AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS tov_10g,
-         CAST(sum(CAST(plus_minus AS DECIMAL(28,10))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS plus_minus_10g
+         CAST(sum(CAST(pts AS DECIMAL(8,4))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS pts_5g,
+         CAST(sum(CAST(reb AS DECIMAL(8,4))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS reb_5g,
+         CAST(sum(CAST(ast AS DECIMAL(8,4))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS ast_5g,
+         CAST(sum(CAST(stl AS DECIMAL(8,4))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS stl_5g,
+         CAST(sum(CAST(blk AS DECIMAL(8,4))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS blk_5g,
+         CAST(sum(CAST(tov AS DECIMAL(8,4))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS tov_5g,
+         CAST(sum(CAST(plus_minus AS DECIMAL(8,4))) OVER w5 AS DOUBLE)/count(*) OVER w5 AS plus_minus_5g,
+         CAST(sum(CAST(pts AS DECIMAL(8,4))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS pts_10g,
+         CAST(sum(CAST(reb AS DECIMAL(8,4))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS reb_10g,
+         CAST(sum(CAST(ast AS DECIMAL(8,4))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS ast_10g,
+         CAST(sum(CAST(stl AS DECIMAL(8,4))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS stl_10g,
+         CAST(sum(CAST(blk AS DECIMAL(8,4))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS blk_10g,
+         CAST(sum(CAST(tov AS DECIMAL(8,4))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS tov_10g,
+         CAST(sum(CAST(plus_minus AS DECIMAL(8,4))) OVER w10 AS DOUBLE)/count(*) OVER w10 AS plus_minus_10g
   FROM box
   WINDOW w5 AS (PARTITION BY player_id ORDER BY game_date, game_id, line_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
@@ -152,7 +155,7 @@ af AS (
            + adv.avg_plus_minus*0.1 AS dpoy_score,
          pa.ppg*0.4 + pa.apg*0.3 + adv.true_shooting_pct*100*0.3 AS sixmoy_score,
          adv.avg_plus_minus*0.5
-           + ((pa.player_id * 2654435761) % 1000) / CAST(10000 AS DOUBLE)
+           + (((pa.player_id % 1000) * 2654435761) % 1000) / CAST(10000 AS DOUBLE)
            - 0.05 AS team_success_factor,
          recent.recent_ppg_5g,
          recent.recent_ppg_5g - pa.ppg AS performance_trend,
@@ -433,15 +436,15 @@ af AS (
     // ---- text / dedup (north star)
     "word_count" -> """
       SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents) t
       GROUP BY token""",
     "token_stats" -> """
       SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
              CAST(length(text) AS BIGINT) AS n_chars,
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_word_tokens,
-             CAST(CAST(length(text) AS BIGINT) - (CAST(len(string_split(text, ' ')) AS BIGINT) - 1) AS DOUBLE)
-               / CAST(len(string_split(text, ' ')) AS BIGINT) AS mean_token_len
+             CAST(CAST(length(text) AS BIGINT) - (CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) - 1) AS DOUBLE)
+               / CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS mean_token_len
       FROM documents""",
     "text_quality" -> """
       SELECT doc_id, lang, n_tokens, n_stopwords, n_distinct_tokens,
@@ -453,9 +456,9 @@ af AS (
                    CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
                    CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS diversity
             FROM (SELECT doc_id, lang,
-                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                         CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
-                         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+                         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                         CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
                   FROM documents) a) b""",
     "lang_id" -> """
       SELECT doc_id, lang, en_hits, n_tokens, en_score,
@@ -463,9 +466,9 @@ af AS (
       FROM (SELECT doc_id, lang, en_hits, n_tokens,
                    CAST(en_hits AS DOUBLE) / n_tokens AS en_score
             FROM (SELECT doc_id, lang,
-                         CAST(len(list_filter(string_split(text, ' '),
+                         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
                            x -> x IN ('the', 'a', 'fast', 'small', 'big'))) AS BIGINT) AS en_hits,
-                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
                   FROM documents) a) b""",
     "fingerprints" -> """
       SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
@@ -477,12 +480,16 @@ af AS (
              CAST(fp.doc_id <> g.keeper_id AS INTEGER) AS is_dup
       FROM fp JOIN g USING (fingerprint)""",
     "dedup_ngram_jaccard" -> """
-      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
       ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
       sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+      -- hot-shingle df-cap mirror of Text.dedupNgramJaccard(maxShingleDf=128)
+      rare AS (SELECT sh.* FROM sh
+               JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 128) r
+               USING (shingle)),
       cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
              GROUP BY 1, 2)
       SELECT cm.doc_a, cm.doc_b, cm.n_common,
              sa.n_shingles AS size_a, sb.n_shingles AS size_b,
@@ -493,12 +500,16 @@ af AS (
       WHERE CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) >= 0.5""",
 
     // ---- similarity (north star)
+    // Query side bounded to the 500 smallest vec_ids, mirroring
+    // Similarity.cosineTopK(maxQueries=500) — a no-op at the sf0.01 oracle
+    // scale (500 vectors), a cost cap at bench scale.
     "similarity_bruteforce_topk" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      qs AS (SELECT * FROM n ORDER BY vec_id LIMIT 500),
       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    floor(CAST(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-            FROM n q JOIN n c ON q.vec_id <> c.vec_id)
+            FROM qs q JOIN n c ON q.vec_id <> c.vec_id)
       SELECT query_id, neighbor_id, cos_sim, rk FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
         FROM p) t

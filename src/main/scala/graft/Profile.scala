@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Profiling harness (dev tool, not part of the driver contract).
+  *
+  * Times each pipeline stage build and each query in a stable order so cost
+  * attribution is deliberate — the per-round bench iterates `SparkEntry.queries`
+  * in hash order, which attributes the whole shared-stage build to whichever
+  * consumer happens to run first. Run with:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Profile [stages|<query> ...]"
+  *
+  * No args = time the shared stages then every query in sorted order.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($n rows)")
+    }
+
+    if (args.contains("af-debug")) {
+      // piecewise attribution of the awardFeatures stage build
+      val box = ops.Pipeline.stage(spark, sfDir, "box")(ops.Ingest.box(spark, sfDir))
+      val pa = ops.Pipeline.stage(spark, sfDir, "pa")(ops.Analytics.playerAggregations(box))
+      val adv = ops.Pipeline.stage(spark, sfDir, "adv")(ops.Analytics.advancedMetrics(box))
+      val roll = ops.Pipeline.stage(spark, sfDir, "roll")(ops.Analytics.rollingAverages(box))
+      time("roll re-count")(roll.count())
+      time("groupTail(roll,5)")(ops.Analytics.groupTail(roll, 5).count())
+      val recent = {
+        import org.apache.spark.sql.functions._
+        ops.Analytics.groupTail(roll, 5).groupBy("player_id")
+          .agg(functions.Exact.r6avg(col("pts_5g")).as("recent_ppg_5g"))
+      }
+      time("recentAvg")(recent.count())
+      time("pa join adv")(pa.join(adv.drop("games_played"),
+        Seq("player_id", "player_name", "team_name"), "left").count())
+      val af1 = ops.Features.awardFeatures(pa, adv, roll)
+      time("awardFeatures plan")({ af1.queryExecution.executedPlan; 1L })
+      time("awardFeatures exec")(af1.count())
+      val af2 = ops.Features.awardFeatures(pa, adv, roll)
+      time("awardFeatures exec2 (fresh df)")(af2.count())
+      val pd = ops.Dashboard.playerDashboard(pa, adv, af2)
+      time("playerDashboard plan")({ pd.queryExecution.executedPlan; 1L })
+      time("playerDashboard exec")(pd.count())
+    } else {
+      val names =
+        if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+        else args.toSeq.filterNot(_ == "stages")
+      names.foreach { q =>
+        time(q)(SparkEntry.queries(q)(spark, sfDir).count())
+      }
+    }
+    spark.stop()
+  }
+}

@@ -88,12 +88,12 @@ object SparkEntry {
 
     // ---- quality
     "freshness_check" -> ((s, d) => Quality.freshness(s, d)),
-    "completeness_check" -> ((s, d) => Quality.completeness(s, d)),
+    "completeness_check" -> ((s, d) => Quality.completeness(s, d, box(s, d))),
     "null_checks" -> ((s, d) => Quality.nullChecks(box(s, d))),
     "outlier_stats" -> ((s, d) => Quality.outlierStats(box(s, d))),
     "consistency_check" -> ((s, d) => Quality.consistency(box(s, d))),
     "approx_distinct" -> ((s, d) => Quality.approxConsistency(box(s, d))),
-    "quality_report" -> ((s, d) => Quality.qualityReport(s, d)),
+    "quality_report" -> ((s, d) => Quality.qualityReport(box(s, d))),
     "median_label" -> ((s, d) => Quality.medianLabel(box(s, d))),
 
     // ---- relational / scalar-fn operators

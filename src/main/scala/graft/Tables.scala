@@ -17,12 +17,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * nothing in the operator code assumes single-file inputs.
   */
 object Tables {
+  private val configured = java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** One-time per-session read configs, applied on first table access rather
+    * than mutating session state on every read:
+    *  - disable ICU case mappings: Spark 4 routes lower()/upper() through
+    *    ICU full case mapping by default, and the ICU title-case table's
+    *    static init costs minutes of CPU in this JVM (observed via jstack:
+    *    CollationAwareUTF8String.<clinit>); the corpus is ASCII, where JVM
+    *    case mapping is identical;
+    *  - read INT64 TIMESTAMP(NANOS) as LONG (see [[events]]). */
+  private def init(spark: SparkSession): Unit =
+    if (configured.add(spark)) {
+      spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // Spark 4 routes lower()/upper() through ICU full case mapping by
-    // default; the ICU title-case table's static init costs minutes of CPU
-    // in this JVM (observed via jstack: CollationAwareUTF8String.<clinit>).
-    // The corpus is ASCII, where JVM case mapping is identical — disable.
-    spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    init(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
@@ -38,11 +50,9 @@ object Tables {
     * LONG and truncate to microseconds (lossless on this data: the generator
     * writes µs-precision values). DuckDB reads the same column as
     * TIMESTAMP_NS; equal instants either way. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

@@ -26,8 +26,20 @@ import org.apache.spark.sql.types.DecimalType
   * associative, so the map-side combine at 1000 executors is unaffected.
   */
 object Exact {
-  /** Wide enough for exact 2-decimal data; sums promote to DECIMAL(38,10). */
-  val Dec: DecimalType = DecimalType(28, 10)
+  /** First-level cast for the raw stat columns. The box data is ≤4-decimal
+    * with |x| < 10⁴ (verified: max |x·10⁴ − round(x·10⁴)| ≤ 2e-9, max |pts|
+    * ≈ 1050), so DECIMAL(8,4) captures it exactly — and, critically, its
+    * sums promote to DECIMAL(18,4), which stays on Spark's long-backed
+    * compact-decimal fast path (precision ≤ 18) instead of boxing a
+    * java.math.BigDecimal per row. Measured: the r2 pipeline spent ~240 s of
+    * the sf0.1 bench in boxed DECIMAL(38,10) hash-agg and sliding-window
+    * buffers; the narrow cast removes that wholesale. */
+  val Dec: DecimalType = DecimalType(8, 4)
+
+  /** Wide decimal for second-level sums of q6-quantized values (6 decimals,
+    * magnitudes up to ~10⁶ — needs more than DECIMAL(8,4); these run over
+    * reduced |players|-sized frames where the boxed path is cheap). */
+  val DecQ: DecimalType = DecimalType(28, 10)
 
   /** Narrow cast used before squaring so the product (precision 37, scale 8)
     * still fits DECIMAL(38) in both engines without scale truncation. */
@@ -74,7 +86,7 @@ object Exact {
 
   /** Order-independent sum of an arbitrary (bit-deterministic) double column
     * at 1e-6 precision. */
-  def r6sum(c: Column): Column = sum(q6(c).cast(Dec)).cast("double")
+  def r6sum(c: Column): Column = sum(q6(c).cast(DecQ)).cast("double")
 
   /** Mean at 1e-6 precision (null-skipping, like SQL AVG). */
   def r6avg(c: Column): Column = r6sum(c) / count(c)

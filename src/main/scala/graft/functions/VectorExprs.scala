@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Codegen'd dense-vector dot product over two ARRAY<DOUBLE> columns.
+  *
+  * The higher-order-function formulation
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` allocates an intermediate array
+  * and interprets two lambdas per row — measured ~100× slower than this
+  * tight loop when evaluated once per candidate PAIR in a similarity join
+  * (the r2 bench spent 966 s / 50% of total in that interpreter path).
+  * A native Catalyst expression with `doGenCode` stays inside whole-stage
+  * codegen: the generated Java is a primitive loop over the two
+  * `ArrayData`, no allocation, no virtual dispatch.
+  *
+  * Summation order is ascending-index (identical to the left-fold of the
+  * `aggregate` HOF it replaces, and to DuckDB's `list_dot_product` serial
+  * loop), so oracle parity of downstream `q6`-rounded cosines is unchanged.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  // Callers pass ARRAY<DOUBLE> (vectors are cast once at ingest); no implicit
+  // input casting — AbstractDataType/ExpectsInputTypes are private[sql].
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column-API wrapper for [[DotProduct]]. */
+  def dotd(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

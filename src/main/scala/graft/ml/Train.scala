@@ -1,48 +1,135 @@
 package graft.ml
 
-import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.evaluation.RegressionEvaluator
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
 import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
 import org.apache.spark.ml.regression.{RandomForestRegressionModel, RandomForestRegressor}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** MLlib rendering of the reference's sklearn model training
-  * (`/root/reference/dags/model_training.py:56-97`): RandomForest on the
-  * feature matrix, 80/20 split, seed 42, standard-scaled features,
-  * R²/MSE evaluation and feature importances.
+  * (`/root/reference/dags/model_training.py`): all four reference models —
+  * award-score regressor (:56-97), team-success regressor (:120-154),
+  * player-performance regressor (:176-210), injury-risk classifier with
+  * accuracy (:232-264) — each RandomForest with n_estimators=100, an 80/20
+  * split at seed 42, standard-scaled features, and S11 persistence
+  * (model + metadata JSON, :87-97,316-320).
   *
   * Not oracle-verifiable (no DuckDB analog — SURVEY.md §2.10); covered by
-  * the ScalaTest smoke (train converges, R² finite, importances sum to 1).
+  * the ScalaTest smoke (train converges, metrics finite, importances sum to
+  * 1, saved model reloads and reproduces predictions). The feature MATRICES
+  * feeding these models are the oracle-verified Features.* queries.
   */
 object Train {
 
-  case class Result(model: RandomForestRegressionModel, r2: Double, mse: Double,
+  case class RegResult(model: PipelineModel, r2: Double, mse: Double,
+      importances: Array[Double])
+  case class ClsResult(model: PipelineModel, accuracy: Double,
       importances: Array[Double])
 
-  /** Train an award-score regressor on the award-features frame (the
-    * reference predicts mvp_score from the stat columns,
-    * model_training.py:60-84). */
-  def trainAwardModel(features: DataFrame): Result = {
-    val cols = Array("ppg", "rpg", "apg", "spg", "bpg", "topg",
-      "true_shooting_pct", "season_progress")
+  private def stages(cols: Array[String], estimator: org.apache.spark.ml.PipelineStage) = {
     val assembled = new VectorAssembler()
       .setInputCols(cols).setOutputCol("raw_features").setHandleInvalid("skip")
     val scaler = new StandardScaler()
       .setInputCol("raw_features").setOutputCol("features")
       .setWithMean(true).setWithStd(true)
+    new Pipeline().setStages(Array(assembled, scaler, estimator))
+  }
+
+  /** Shared regression harness: RF(100 trees, seed 42), 80/20 split,
+    * R²/MSE — `model_training.py:72-84`. */
+  def trainRegressor(df: DataFrame, cols: Array[String], label: String): RegResult = {
     val rf = new RandomForestRegressor()
-      .setFeaturesCol("features").setLabelCol("mvp_score")
+      .setFeaturesCol("features").setLabelCol(label)
       .setNumTrees(100).setSeed(42)
-    val Array(train, test) = features.na.fill(0.0, cols)
+    val Array(train, test) = df.na.fill(0.0, cols)
       .randomSplit(Array(0.8, 0.2), seed = 42)
-    val pipeline = new Pipeline().setStages(Array(assembled, scaler, rf))
-    val model = pipeline.fit(train)
+    val model = stages(cols, rf).fit(train)
     val preds = model.transform(test)
     def eval(metric: String) = new RegressionEvaluator()
-      .setLabelCol("mvp_score").setPredictionCol("prediction")
+      .setLabelCol(label).setPredictionCol("prediction")
       .setMetricName(metric).evaluate(preds)
     val rfModel = model.stages.last.asInstanceOf[RandomForestRegressionModel]
-    Result(rfModel, r2 = eval("r2"), mse = eval("mse"),
+    RegResult(model, r2 = eval("r2"), mse = eval("mse"),
       importances = rfModel.featureImportances.toArray)
   }
+
+  /** Shared classification harness with accuracy —
+    * `model_training.py:250-258`. */
+  def trainClassifier(df: DataFrame, cols: Array[String], label: String): ClsResult = {
+    val rf = new RandomForestClassifier()
+      .setFeaturesCol("features").setLabelCol(label)
+      .setNumTrees(100).setSeed(42)
+    val Array(train, test) = df.na.fill(0.0, cols)
+      .randomSplit(Array(0.8, 0.2), seed = 42)
+    val model = stages(cols, rf).fit(train)
+    val accuracy = new MulticlassClassificationEvaluator()
+      .setLabelCol(label).setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(model.transform(test))
+    val rfModel = model.stages.last.asInstanceOf[RandomForestClassificationModel]
+    ClsResult(model, accuracy, rfModel.featureImportances.toArray)
+  }
+
+  /** Award-score regressor on the award-features frame
+    * (`model_training.py:56-84` predicts mvp_score from the stat columns). */
+  def trainAwardModel(features: DataFrame): RegResult =
+    trainRegressor(features, Array("ppg", "rpg", "apg", "spg", "bpg", "topg",
+      "true_shooting_pct", "season_progress"), "mvp_score")
+
+  /** Team-success regressor on the team-features frame
+    * (`model_training.py:120-154`). */
+  def trainTeamSuccessModel(teamFeatures: DataFrame): RegResult =
+    trainRegressor(teamFeatures, Array("team_apg", "team_fg_pct", "team_3p_pct",
+      "team_spg", "team_bpg", "team_rpg", "team_depth", "team_experience",
+      "team_chemistry"), "team_ppg")
+
+  /** Player-performance regressor (`model_training.py:176-210`). The
+    * reference reads an `overall_rating` label that its own feature layer
+    * never writes (latent bug, SURVEY.md §7.4) — here the label is derived
+    * in the ML prep so the stage is self-consistent. */
+  def trainPlayerPerformanceModel(perfFeatures: DataFrame): RegResult = {
+    val labeled = perfFeatures
+      .withColumn("efficiency_rating",
+        col("fg_pct") * 0.4 + col("fg3_pct") * 0.3 + col("ft_pct") * 0.3)
+      .withColumn("overall_rating",
+        col("ppg") * 0.25 + col("rpg") * 0.15 + col("apg") * 0.15 +
+          col("spg") * 0.1 + col("bpg") * 0.1 + col("efficiency_rating") * 0.25)
+    trainRegressor(labeled, Array("games", "usage_rate", "usage_efficiency",
+      "versatility_score", "points_consistency", "experience_factor",
+      "team_ppg_rank"), "overall_rating")
+  }
+
+  /** Injury-risk classifier (`model_training.py:232-264`): synthetic binary
+    * label = risk score above the corpus median (the reference's
+    * median-threshold label construction, :244), RF classifier, accuracy. */
+  def trainInjuryRiskModel(injuryFeatures: DataFrame): ClsResult = {
+    val med = injuryFeatures.agg(
+      expr("percentile(injury_risk_score, 0.5)")).head.getDouble(0)
+    val labeled = injuryFeatures.withColumn("high_risk",
+      (col("injury_risk_score") > lit(med)).cast("int"))
+    trainClassifier(labeled, Array("minutes_per_game", "total_workload",
+      "recent_minutes_avg", "physical_stress", "experience_risk"), "high_risk")
+  }
+
+  /** S11 persistence: model directory + metadata JSON, mirroring the
+    * reference's pickle + json.dump (`model_training.py:87-97,316-320`).
+    * MLlib's writer persists the whole pipeline (assembler + scaler + RF),
+    * the analog of the reference saving model AND scaler. */
+  def saveModel(model: PipelineModel, name: String, features: Seq[String],
+      metrics: Map[String, Double], dir: String): Unit = {
+    model.write.overwrite().save(s"$dir/$name")
+    val metricsJson = metrics.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
+    val featuresJson = features.map(f => s""""$f"""").mkString(", ")
+    val meta =
+      s"""{"model_name": "$name", "features": [$featuresJson], "metrics": {$metricsJson},
+         | "trained_at": "${java.time.Instant.now()}"}""".stripMargin
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/${name}_metadata.json"), meta)
+  }
+
+  def loadModel(dir: String, name: String): PipelineModel =
+    PipelineModel.load(s"$dir/$name")
 }

@@ -113,6 +113,16 @@ object Analytics {
         cols5 ++ cols10: _*)
   }
 
+  /** Generalized W1/W2: rolling means over the trailing `n` games. Exposed
+    * for the ScalaCheck laws (n=1 ≡ the stat itself at 4-decimal exactness);
+    * [[rollingAverages]] keeps its fused two-frame single-pass plan. */
+  def rollingMeansN(box: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("player_id").orderBy(gameOrder: _*).rowsBetween(-(n - 1), 0)
+    box.select(
+      Seq(col("player_id"), col("game_id"), col("line_id"), col("game_date")) ++
+        rollCols.map(c => rollingMean(c, w).as(s"${c}_${n}g")): _*)
+  }
+
   /** W4 `group_tail_n`: last-n rows per player in game order — pandas
     * `.groupby().tail(n)` (`/root/reference/dags/feature_engineering.py:87,225`)
     * as a row_number over the DESCENDING unique order. */

@@ -16,18 +16,29 @@ import graft.functions.Exact._
 object Dashboard {
 
   /** J1+J3 joins, W3 global ranks, P5 efficiency/overall ratings —
-    * `prepare_dashboard_data.py:54-98`. */
+    * `prepare_dashboard_data.py:54-98`.
+    *
+    * Global-rank strategy: a global rank() needs a total order, which in
+    * Spark is a single-partition window — unavoidable semantically, but the
+    * cost is bounded by making the windowed frame NARROW: each rank is
+    * computed over a (player_id, metric) 16-byte projection of the reduced
+    * |players|-sized aggregate (never the fact table) and hash-joined back
+    * on player_id. The wide 20-column row never funnels through the
+    * single-partition exchange — at 10⁸ players that is the difference
+    * between shuffling 1.6 GB and 32 GB through one task. */
   def playerDashboard(playerAgg: DataFrame, advanced: DataFrame, award: DataFrame): DataFrame = {
-    def rk(c: String) = rank().over(Window.orderBy(col(c).desc, col("player_id"))).cast("long")
+    def rankOf(metric: String): DataFrame =
+      playerAgg.select(col("player_id"), col(metric))
+        .withColumn(s"${metric}_rank",
+          rank().over(Window.orderBy(col(metric).desc, col("player_id"))).cast("long"))
+        .select(col("player_id"), col(s"${metric}_rank"))
+    val ranks = Seq("ppg", "rpg", "apg", "spg", "bpg").map(rankOf)
+      .reduce(_.join(_, Seq("player_id")))
     playerAgg
       .join(advanced.drop("games_played"), Seq("player_id", "player_name", "team_name"), "left")
       .join(award.select("player_id", "mvp_score", "dpoy_score", "sixmoy_score"),
         Seq("player_id"), "left")
-      .withColumn("ppg_rank", rk("ppg"))
-      .withColumn("rpg_rank", rk("rpg"))
-      .withColumn("apg_rank", rk("apg"))
-      .withColumn("spg_rank", rk("spg"))
-      .withColumn("bpg_rank", rk("bpg"))
+      .join(ranks, Seq("player_id"))
       .withColumn("efficiency_rating",
         col("fg_pct") * 0.4 + col("fg3_pct") * 0.3 + col("ft_pct") * 0.3)
       .withColumn("overall_rating",

@@ -41,8 +41,12 @@ object Features {
       .withColumn("sixmoy_score",
         col("ppg") * 0.4 + col("apg") * 0.3 + col("true_shooting_pct") * 100 * 0.3)
       .withColumn("team_success_factor",
+        // (id·K) mod 1000 ≡ ((id mod 1000)·K) mod 1000 — reducing first keeps
+        // the product ≤ 999·K ≈ 2.6e12, overflow-safe at any id scale (the
+        // unreduced form wraps silently in Spark past id ≈ 3.5e9 while the
+        // DuckDB oracle errors — a parity trap).
         col("avg_plus_minus") * 0.5 +
-          ((col("player_id") * lit(2654435761L)) % 1000) / lit(10000.0) - 0.05)
+          (((col("player_id") % 1000) * lit(2654435761L)) % 1000) / lit(10000.0) - 0.05)
       .join(recentAvg, Seq("player_id"), "left")
       .withColumn("performance_trend", col("recent_ppg_5g") - col("ppg"))
       .withColumn("season_progress", col("games") / lit(82.0))

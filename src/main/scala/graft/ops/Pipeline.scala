@@ -17,28 +17,62 @@ import org.apache.spark.storage.StorageLevel
   * without this the dashboard queries recompute the whole
   * box → aggregate → join lineage once per consumer (3× inside
   * award_dashboard alone). [[stage]] is the Spark rendering of that XCom /
-  * warehouse reuse: the first consumer materializes the named stage into the
-  * block store (memory, spilling to disk), every later consumer reads the
-  * cached columns.
+  * warehouse reuse: it materializes the named stage EAGERLY (a count() runs
+  * the plan and pins every partition in the block store) so the build cost is
+  * attributed to the stage itself — deliberately, once — instead of landing
+  * on whichever downstream consumer happens to touch the lazy cache first.
   *
   * Scale posture: persist() is per-executor local storage — no extra
   * shuffle, survives a 1000-executor scale-up (each executor caches the
   * partitions it computed). MEMORY_AND_DISK spills rather than OOMs when a
-  * stage outgrows executor memory.
+  * stage outgrows executor memory. The stages cached here are the REDUCED
+  * layers (per-player aggregates, |players| rows), not the raw fact — the
+  * fact-sized frames (box, roll) are deliberately cheap projections that
+  * recompute from the parquet scan.
   */
 object Pipeline {
 
   private val stages = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val locks = TrieMap.empty[(SparkSession, String, String), Object]
 
   /** Memoized named stage: builds `df` once per (session, sfDir, name),
-    * persists it, and hands the same cached frame to every consumer. */
-  def stage(spark: SparkSession, sfDir: String, name: String)(build: => DataFrame): DataFrame =
-    stages.getOrElseUpdate((spark, sfDir, name),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    * persists and eagerly materializes it, and hands the same cached frame to
+    * every consumer. First-build is guarded by a per-key lock so a concurrent
+    * first access cannot double-build and leak an unreferenced persisted
+    * frame. */
+  def stage(spark: SparkSession, sfDir: String, name: String)(build: => DataFrame): DataFrame = {
+    val key = (spark, sfDir, name)
+    stages.get(key) match {
+      case Some(df) => df
+      case None =>
+        val lock = locks.getOrElseUpdate(key, new Object)
+        lock.synchronized {
+          stages.getOrElse(key, {
+            val t0 = System.nanoTime()
+            val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+            val n = df.count() // eager: run the plan now, attribute cost here
+            System.err.println(
+              f"[pipeline] stage $name ($sfDir): $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+            stages.put(key, df)
+            df
+          })
+        }
+    }
+  }
 
-  /** Drop every cached stage for a session (test hygiene). */
+  /** Drop one cached stage (for consumers that know a stage is dead). */
+  def evict(spark: SparkSession, sfDir: String, name: String): Unit = {
+    val key = (spark, sfDir, name)
+    stages.remove(key).foreach(_.unpersist())
+    locks.remove(key)
+  }
+
+  /** Drop every cached stage for a session (test/driver teardown hygiene —
+    * also the fix for holding strong refs to a stopped session's frames). */
   def clear(spark: SparkSession): Unit = {
-    val keys = stages.keys.filter(_._1 eq spark)
-    keys.foreach { k => stages.remove(k).foreach(_.unpersist()) }
+    stages.keys.filter(_._1 eq spark).foreach { k =>
+      stages.remove(k).foreach(_.unpersist())
+      locks.remove(k)
+    }
   }
 }

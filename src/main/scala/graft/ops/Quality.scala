@@ -33,11 +33,10 @@ object Quality {
   /** A8 `count_rows`: completeness counts over a trailing 7-day window
     * (pinned to data max), one count per table-analog in a single row —
     * `data_quality_checks.py:95-136`. */
-  def completeness(spark: SparkSession, sfDir: String): DataFrame = {
+  def completeness(spark: SparkSession, sfDir: String, box: DataFrame): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val or = Tables.orders(spark, sfDir)
     val liCnt = {
-      val box = Ingest.box(spark, sfDir)
       val cutoff = box.agg(max(col("game_date")).as("mx"))
         .select((col("mx") - expr("INTERVAL 7 DAYS")).as("cutoff"))
       box.crossJoin(broadcast(cutoff))
@@ -109,8 +108,7 @@ object Quality {
   /** PASS/FAIL report row combining the check families —
     * `data_quality_checks.py:286-334` (timestamp column omitted: wall clock
     * is oracle-hostile; the reference stamps utcnow at line 287). */
-  def qualityReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val box = Ingest.box(spark, sfDir)
+  def qualityReport(box: DataFrame): DataFrame =
     nullChecks(box)
       .crossJoin(outlierStats(box).select("outliers_detected"))
       .crossJoin(consistency(box).select("teams_ok", "players_ok"))
@@ -119,7 +117,6 @@ object Quality {
           .otherwise("FAIL"))
       .select("total_rows", "total_issues", "quality_score", "outliers_detected",
         "teams_ok", "players_ok", "overall_status")
-  }
 
   /** A13 median (model_training.py:244 synthetic label threshold) + F9
     * boolean→int cast: per-row flag of above-median workload. Exact

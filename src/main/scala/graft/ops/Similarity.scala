@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact.q6
+import graft.functions.VectorExprs.dotd
 
 /** North-star similarity-search operators over the `embeddings` table
   * (ARRAY<FLOAT>[64]) — BASELINE.json north star; SURVEY.md §2.10.
@@ -14,33 +15,44 @@ import graft.functions.Exact.q6
   * similarities are rounded to 1e-6 in the output, far above the ≤1e-14
   * engine-order summation noise of a 64-term dot product.
   *
-  * Scale design: brute force is the correctness baseline (O(n²) pairs but
-  * embarrassingly parallel — Spark shuffles one side and streams the other).
-  * The LSH variant is the 100 TB path: candidate generation is linear in
-  * rows, comparisons happen only within buckets.
+  * All dot products run through [[graft.functions.DotProduct]] — a codegen'd
+  * Catalyst expression (tight primitive loop, no per-pair allocation); the
+  * higher-order-function formulation it replaced dominated the whole r2
+  * bench (966 s, 50% of total).
+  *
+  * Scale design: [[lshTopK]] is the 100 TB path — bucketed candidate
+  * generation linear in rows, id-only candidate shuffle, vectors re-joined
+  * exactly once. [[cosineTopK]] (O(n·q) pairs) is the correctness oracle,
+  * run over a bounded query sample; [[embeddingNearDup]] keeps exact
+  * all-pairs semantics as the small-corpus baseline of the dedup family.
   */
 object Similarity {
 
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
   /** Embeddings with precomputed L2 norm (computed once, reused by every
     * pairing — avoids re-deriving the norm n times inside the pair join). */
   def withNorms(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", sqrt(dotd(col("v"), col("v"))))
 
-  /** Brute-force cosine top-k: every vector against every other, k nearest
-    * by cosine, ties broken by neighbor id. Plans as a shuffle join +
-    * per-query window top-k. */
-  def cosineTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
+  /** Brute-force cosine top-k: each query vector against the whole corpus,
+    * k nearest by cosine, ties broken by neighbor id.
+    *
+    * `maxQueries` bounds the query side to the `maxQueries` smallest vec_ids
+    * (deterministic, oracle-mirrorable): exact top-k is the CORRECTNESS
+    * baseline, not the production path, so its cost is capped at O(q·n)
+    * instead of O(n²) — at the sf0.01 oracle scale (500 vectors) the bound
+    * is a no-op and every vector is a query; [[lshTopK]] is the scale path.
+    * Plans as a broadcast of the bounded query side + per-query window
+    * top-k. */
+  def cosineTopK(embeddings: DataFrame, k: Int = 5, maxQueries: Int = 500): DataFrame = {
     val e = withNorms(embeddings)
-    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val q = e.orderBy(col("vec_id")).limit(maxQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
-    val pairs = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", q6(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+    val pairs = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     pairs.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -48,13 +60,15 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: (a < b) with cosine ≥ threshold
-    * — the embedding leg of the dedup family. */
+    * — the embedding leg of the dedup family. Exact all-pairs semantics
+    * (the small-corpus baseline; the LSH bucketing of [[lshTopK]] is the
+    * candidate generator to swap in at corpus scale). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     val e = withNorms(embeddings)
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("av"), col("norm").as("an"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("bv"), col("norm").as("bn"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", q6(dot(col("av"), col("bv")) / (col("an") * col("bn"))))
+      .withColumn("cos_sim", q6(dotd(col("av"), col("bv")) / (col("an") * col("bn"))))
       .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
   }
@@ -65,42 +79,66 @@ object Similarity {
   private def planeComponent(j: Int, i: Column): Column =
     ((xxhash64(lit(j), i) % 1000000L).cast("double") / 1000000.0)
 
+  /** Bucket width: bits sized so expected bucket occupancy ≈
+    * `targetOccupancy` — the log₂(n) scaling that keeps candidate volume
+    * LINEAR in corpus size (occupancy constant ⇒ candidates ≈ n·occupancy
+    * per table regardless of n). At sf0.1 (n=2000) this gives 5 bits / 32
+    * buckets; at a 10⁹-row corpus it gives 24 bits — no re-tuning needed. */
+  private def bitsFor(n: Long, targetOccupancy: Int): Int =
+    math.min(24, math.max(4,
+      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt))
+
   /** Multi-table sign-LSH ANN: `tables` independent hash tables, each
-    * bucketing on `bits` random-hyperplane sign bits; a pair is a candidate
-    * if it collides in ANY table (standard LSH OR-construction — single-table
-    * sign-LSH has vanishing recall for mid-range cosines). Top-k search runs
-    * over the candidate union only. Candidate generation stays linear in
-    * rows; at 100 TB corpus scale, raise `bits` with log(n) to keep bucket
-    * occupancy constant. Recall vs [[cosineTopK]] is asserted in ScalaTest.
+    * bucketing on random-hyperplane sign bits; a pair is a candidate if it
+    * collides in ANY table (standard LSH OR-construction). Top-k search runs
+    * over the candidate union only.
+    *
+    * Shuffle discipline (the 100 TB contract):
+    *  1. the bucket self-join carries ONLY (vec_id, table_id, bucket) — no
+    *     vector payload;
+    *  2. duplicate candidate pairs (same pair colliding in several tables)
+    *     are deduped as bare id-pairs (16 bytes/row) BEFORE any vector is
+    *     attached;
+    *  3. the 64-double vectors are re-joined exactly once per surviving
+    *     undirected pair, then scored with the codegen dot product.
+    * Candidate generation is linear in rows at constant occupancy
+    * ([[bitsFor]]). Recall vs [[cosineTopK]] is asserted in ScalaTest.
     * No DuckDB oracle (xxhash64-derived hyperplanes are Spark-specific).
     */
-  def lshTopK(embeddings: DataFrame, k: Int = 5, bits: Int = 4, tables: Int = 8): DataFrame = {
+  def lshTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 8,
+      targetOccupancy: Int = 64): DataFrame = {
     val e = withNorms(embeddings)
+    val bits = bitsFor(embeddings.count(), targetOccupancy)
     val tableCols = (0 until tables).map { t =>
       val sigBits = (0 until bits).map { j =>
-        val proj = aggregate(
-          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-            (x, i) => x * planeComponent(t * bits + j, i)),
-          lit(0.0), (acc, v) => acc + v)
+        val proj = dotd(col("v"),
+          transform(sequence(lit(0), size(col("v")) - 1),
+            i => planeComponent(t * bits + j, i)))
         when(proj >= 0, lit(1L << j)).otherwise(0L)
       }
       struct(lit(t).as("t"), sigBits.reduce((a, b) => a.bitwiseOR(b)).as("b"))
     }
-    val bucketed = e.select(col("vec_id"), col("v"), col("norm"),
-      explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("norm"),
-        col("tb.t").as("table_id"), col("tb.b").as("bucket"))
-    val q = bucketed.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      col("norm").as("qn"), col("table_id"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-      col("norm").as("cn"), col("table_id"), col("bucket"))
-    val pairs = q.join(c, Seq("table_id", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos_sim", q6(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+    // narrow bucket table: (vec_id, table_id, bucket) — 24 bytes/row
+    val bucketed = e.select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("table_id"), col("tb.b").as("bucket"))
+    // candidate UNDIRECTED id-pairs, deduped across tables with no payload
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.table_id") === col("y.table_id") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .dropDuplicates("a", "b")
+    // vectors re-joined ONCE per surviving pair, scored, mirrored to both
+    // directions for per-query top-k
+    val scored = cand
+      .join(e.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("v").as("bv"), col("norm").as("bn")), Seq("b"))
+      .select(col("a"), col("b"),
+        q6(dotd(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos_sim"))
+    val directed = scored.select(col("a").as("query_id"), col("b").as("neighbor_id"), col("cos_sim"))
+      .unionAll(scored.select(col("b").as("query_id"), col("a").as("neighbor_id"), col("cos_sim")))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    pairs.withColumn("rk", row_number().over(w).cast("long"))
+    directed.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "neighbor_id", "cos_sim", "rk")
   }

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Write-path operators — the reference's storage surfaces re-expressed as
+  * Spark sinks.
+  *
+  * The reference's warehouse is two embedded DuckDB files with four schemas
+  * as medallion layers; here each layer table is a parquet directory (the
+  * layout that scales horizontally — partitioned writes, no single writer).
+  */
+object Sinks {
+
+  /** S5 append sink: raw-layer ingest is append-only
+    * (`/root/reference/dags/ingest_nba_daily.py:141` — `INSERT INTO raw.x
+    * SELECT * FROM df`). Parquet append adds new files, never rewrites:
+    * safe for concurrent daily batches, and at cluster scale each executor
+    * writes its own partition files. */
+  def appendRaw(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S8 overwrite sink: every derived layer is overwrite-the-world CTAS
+    * (`/root/reference/dags/transform_player_stats.py:176-199` — `DROP TABLE
+    * IF EXISTS` + `CREATE TABLE ... AS SELECT`). */
+  def overwriteLayer(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S9 JSON export sink: the reference's only external output surface
+    * (`/root/reference/dags/prepare_dashboard_data.py:290-319` —
+    * `df.to_json(path, orient='records')` per dashboard table). Spark's
+    * json writer emits one record per line — the same records orientation,
+    * sharded for parallel writers. */
+  def exportJson(tables: Map[String, DataFrame], outDir: String): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).json(s"$outDir/$name")
+    }
+
+  /** S10 write leg: collapse a 1-row KPI frame into a single JSON-blob
+    * column, the Spark rendering of the reference serializing the KPI dict
+    * into a 1-row 1-column table via a SQL string literal
+    * (`prepare_dashboard_data.py:283-286`). */
+  def kpiJsonRow(kpi: DataFrame): DataFrame =
+    kpi.select(to_json(struct(kpi.columns.map(col): _*)).as("kpi_data"))
+
+  /** S10 read leg: parse the KPI blob back into typed columns. */
+  def parseKpiJson(blob: DataFrame, schema: StructType): DataFrame =
+    blob.select(from_json(col("kpi_data"), schema).as("k")).select("k.*")
+
+  /** F11: ISO-8601 wall-clock stamp (`data_quality_checks.py:287`,
+    * `prepare_dashboard_data.py:245` — `datetime.utcnow().isoformat()`).
+    * Wall clock is oracle-hostile, so stamped frames are a sink-side
+    * decoration, never part of an oracle-verified query output. */
+  def isoStamped(df: DataFrame, colName: String = "last_updated"): DataFrame =
+    df.withColumn(colName,
+      date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"))
+
+  /** The full S9 dashboard export: the five dashboard tables + the KPI blob,
+    * mirroring `prepare_dashboard_data.py:250-319` end-to-end. */
+  def exportDashboard(spark: SparkSession, sfDir: String, outDir: String,
+      playerAgg: DataFrame, award: DataFrame): Unit = {
+    val kpi = Dashboard.kpiSummary(playerAgg, award)
+    exportJson(Map(
+      "player_metrics" -> Dashboard.playerDashboard(playerAgg,
+        Analytics.advancedMetrics(Ingest.box(spark, sfDir)), award),
+      "team_metrics" -> Dashboard.teamDashboard(playerAgg),
+      "league_overview" -> Dashboard.leagueStats(playerAgg),
+      "top_scorers" -> Dashboard.topK(playerAgg, "ppg"),
+      "award_predictions" -> Dashboard.awardDashboard(award)), outDir)
+    overwriteLayer(kpiJsonRow(kpi), s"$outDir/kpi_summary_blob")
+  }
+}

@@ -16,7 +16,10 @@ import graft.functions.Exact._
   */
 object Text {
 
-  private def tokens(c: Column): Column = split(c, " ")
+  /** Whitespace tokenizer: splits on runs of any whitespace (`\s+`), so
+    * tabs/newlines/double spaces don't yield empty tokens. Mirrored in the
+    * oracle as `regexp_split_to_array(text, '\s+')`. */
+  private def tokens(c: Column): Column = split(c, "\\s+")
 
   /** Tokenize + explode → (doc_id, token) postings. */
   def tokenPostings(documents: DataFrame): DataFrame =
@@ -102,10 +105,22 @@ object Text {
     * small vocabulary, unrelated docs almost never share a shingle, so the
     * candidate set ≈ true near-dups (the 100 TB path swaps this candidate
     * generator for [[dedupMinHashLsh]]; the verify step is identical). */
-  def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.5,
+      maxShingleDf: Int = 128): DataFrame = {
     val sh = shingles(documents)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val a = sh.as("a"); val b = sh.as("b")
+    // Hot-shingle guard: a shingle appearing in d documents contributes
+    // O(d²) candidate pairs, so one boilerplate shingle shared by 10⁶ docs
+    // would detonate the self-join. Shingles with document frequency above
+    // the cap are dropped from CANDIDATE GENERATION and the common-count
+    // numerator (they are near-useless discriminators); denominators keep
+    // the full shingle sets. Mirrored exactly in the oracle SQL. On the test
+    // corpus max df = 4, so the cap is semantics-neutral there.
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("shingle"),
+      Seq("shingle"))
+    val a = rare.as("a"); val b = rare.as("b")
     val common = a.join(b, col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

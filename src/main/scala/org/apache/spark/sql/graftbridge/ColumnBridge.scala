@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` Column↔Expression conversion (Spark 4 moved it
+  * behind `org.apache.spark.sql.classic.ExpressionUtils` during the Connect
+  * refactor). Living in a subpackage of `org.apache.spark.sql` is the
+  * standard way for libraries to attach custom Catalyst expressions to the
+  * public Column API without a SparkSessionExtensions round-trip. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

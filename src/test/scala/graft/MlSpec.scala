@@ -1,0 +1,46 @@
+package graft
+
+import graft.ml.Train
+import graft.ops.{Features, Ingest}
+
+class MlSpec extends SparkTestBase {
+
+  private lazy val box = Ingest.box(spark, SF)
+
+  test("team-success regressor: finite metrics, importances sum to 1") {
+    val res = Train.trainTeamSuccessModel(q("team_features"))
+    assert(!res.r2.isNaN && !res.r2.isInfinite)
+    assert(res.mse >= 0.0 && !res.mse.isInfinite)
+    assert(math.abs(res.importances.sum - 1.0) < 1e-6)
+    info(s"team-success r2=${res.r2} mse=${res.mse}")
+  }
+
+  test("player-performance regressor: finite metrics") {
+    val res = Train.trainPlayerPerformanceModel(q("performance_features"))
+    assert(!res.r2.isNaN && !res.r2.isInfinite)
+    assert(math.abs(res.importances.sum - 1.0) < 1e-6)
+    info(s"player-performance r2=${res.r2} mse=${res.mse}")
+  }
+
+  test("injury-risk classifier: accuracy in (0,1], importances sum to 1") {
+    val res = Train.trainInjuryRiskModel(q("injury_features"))
+    assert(res.accuracy > 0.0 && res.accuracy <= 1.0)
+    assert(math.abs(res.importances.sum - 1.0) < 1e-6)
+    info(s"injury accuracy=${res.accuracy}")
+  }
+
+  test("S11 persistence: saved model reloads and reproduces predictions") {
+    val feats = q("award_features")
+    val res = Train.trainAwardModel(feats)
+    val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
+    Train.saveModel(res.model, "award_model",
+      Seq("ppg", "rpg", "apg"), Map("r2" -> res.r2, "mse" -> res.mse), dir)
+    val reloaded = Train.loadModel(dir, "award_model")
+    val a = res.model.transform(feats).select("player_id", "prediction")
+    val b = reloaded.transform(feats).select("player_id", "prediction")
+    assert(a.except(b).count() == 0)
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/award_model_metadata.json"))
+    assert(meta.contains("\"model_name\": \"award_model\"") && meta.contains("\"r2\""))
+  }
+}

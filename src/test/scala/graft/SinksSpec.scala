@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+import graft.ops.Sinks
+
+class SinksSpec extends SparkTestBase {
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("S5 append sink: two appends accumulate rows") {
+    val dir = tmp("graft_append") + "/raw"
+    val df = Tables.nation(spark, SF)
+    Sinks.appendRaw(df, dir)
+    Sinks.appendRaw(df, dir)
+    assert(spark.read.parquet(dir).count() == 2 * df.count())
+  }
+
+  test("S8 overwrite sink: second write replaces the layer") {
+    val dir = tmp("graft_overwrite") + "/layer"
+    Sinks.overwriteLayer(Tables.nation(spark, SF), dir)
+    Sinks.overwriteLayer(Tables.region(spark, SF), dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == Tables.region(spark, SF).count())
+    assert(back.columns.toSet == Tables.region(spark, SF).columns.toSet)
+  }
+
+  test("S9 JSON export: records round-trip per table") {
+    val dir = tmp("graft_json")
+    val pa = q("hash_agg_multi").select("player_id", "player_name", "ppg")
+    Sinks.exportJson(Map("player_metrics" -> pa), dir)
+    val back = spark.read.json(s"$dir/player_metrics")
+    assert(back.count() == pa.count())
+    assert(back.select("player_id", "player_name", "ppg")
+      .except(pa.select(col("player_id"), col("player_name"), col("ppg"))).count() == 0)
+  }
+
+  test("S10 KPI blob: to_json write leg round-trips through from_json") {
+    val kpi = q("kpi_summary")
+    val blob = Sinks.kpiJsonRow(kpi)
+    assert(blob.columns.toSeq == Seq("kpi_data"))
+    assert(blob.count() == 1)
+    val schema = StructType(Seq(
+      StructField("total_active_players", LongType),
+      StructField("avg_league_ppg", DoubleType),
+      StructField("top_scorer_ppg", DoubleType)))
+    val back = Sinks.parseKpiJson(blob, schema)
+    val orig = kpi.select("total_active_players", "avg_league_ppg", "top_scorer_ppg")
+    assert(back.except(orig).count() == 0)
+  }
+
+  test("F11 ISO stamp: column matches ISO-8601 shape") {
+    val stamped = Sinks.isoStamped(Tables.region(spark, SF))
+    val bad = stamped.filter(
+      !col("last_updated").rlike("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$"))
+    assert(bad.count() == 0)
+  }
+
+  test("S9 full dashboard export writes all six surfaces") {
+    val dir = tmp("graft_dash")
+    Sinks.exportDashboard(spark, SF, dir, q("hash_agg_multi"), q("award_features"))
+    for (t <- Seq("player_metrics", "team_metrics", "league_overview",
+        "top_scorers", "award_predictions")) {
+      assert(spark.read.json(s"$dir/$t").count() > 0, s"table $t empty")
+    }
+    val blob = spark.read.parquet(s"$dir/kpi_summary_blob")
+    assert(blob.count() == 1 && blob.columns.toSeq == Seq("kpi_data"))
+  }
+}
