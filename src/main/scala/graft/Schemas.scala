@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** S4 DDL analog: explicit fixed schemas for the raw layer, mirroring the
+  * reference's CREATE TABLE DDL (`/root/reference/dags/ingest_nba_daily.py:104-138`
+  * — 27-col box score; `ingest_wnba_daily.py:135-149` — 8-col team table).
+  *
+  * The reference pins raw-layer types in DDL and lets everything downstream
+  * be inferred; here [[boxSchema]] is the contract the normalized box frame
+  * must satisfy (checked by [[conforms]] in tests and usable as a reader
+  * schema for schema-on-read ingestion), while derived layers keep
+  * Catalyst-propagated schemas — statically known at plan time, the Spark
+  * equivalent of the reference's dynamic pandas columns.
+  */
+object Schemas {
+
+  /** The normalized per player-game box score (Ingest.box output contract).
+    * Minutes is numeric here — the reference stores MINUTES_PLAYED as
+    * VARCHAR "MM:SS" yet sums it numerically (a noted reference bug,
+    * SURVEY.md §7.4); this engine models it as DOUBLE. */
+  val boxSchema: StructType = StructType(Seq(
+    StructField("player_id", LongType),
+    StructField("player_name", StringType),
+    StructField("team_name", StringType),
+    StructField("game_id", LongType),
+    StructField("line_id", IntegerType),
+    // the generator writes l_shipdate as TIMESTAMP(ms) with no zone →
+    // Spark reads TIMESTAMP_NTZ; values are day-grain
+    StructField("game_date", TimestampNTZType),
+    StructField("minutes", DoubleType),
+    StructField("pts", DoubleType),
+    StructField("reb", DoubleType),
+    StructField("ast", DoubleType),
+    StructField("stl", DoubleType),
+    StructField("blk", DoubleType),
+    StructField("tov", DoubleType),
+    StructField("fgm", DoubleType),
+    StructField("fga", DoubleType),
+    StructField("fg3m", DoubleType),
+    StructField("fg3a", DoubleType),
+    StructField("ftm", DoubleType),
+    StructField("fta", DoubleType),
+    StructField("plus_minus", DoubleType)))
+
+  /** The team dimension (Ingest.teamDim output contract — the reference's
+    * static 12-team table, `ingest_wnba_daily.py:60-84`). */
+  val teamDimSchema: StructType = StructType(Seq(
+    StructField("team_name", StringType)))
+
+  /** Field-level conformance: same names, order, and types (nullability is
+    * advisory in Spark and ignored, as parquet scans mark everything
+    * nullable). */
+  def conforms(df: DataFrame, expected: StructType): Boolean =
+    df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      expected.fields.map(f => (f.name, f.dataType)).toSeq
+}

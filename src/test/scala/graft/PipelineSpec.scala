@@ -17,6 +17,13 @@ class PipelineSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("S4 DDL contract: box and teamDim conform to their fixed schemas") {
+    val box = graft.ops.Ingest.box(spark, SF)
+    assert(Schemas.conforms(box, Schemas.boxSchema),
+      s"actual: ${box.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    assert(Schemas.conforms(graft.ops.Ingest.teamDim(spark, SF), Schemas.teamDimSchema))
+  }
+
   test("oracle keys are a subset of query keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
@@ -37,6 +44,14 @@ class PipelineSpec extends SparkTestBase {
     val n = pd.count()
     assert(pd.filter(col("ppg_rank") < 1 || col("ppg_rank") > n).count() == 0)
     assert(pd.select("player_id").distinct().count() == n)
+  }
+
+  test("T1 sort_multikey: output order is the total (player, date, game, line) order") {
+    val rows = q("sort_multikey")
+      .select("player_id", "game_date", "game_id", "line_id").collect()
+    val keys = rows.map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1).toString,
+      r.getLong(2), r.getInt(3)))
+    assert(keys.sameElements(keys.sortBy(identity)), "sort_multikey not in sorted order")
   }
 
   test("quality report passes on clean synthetic data") {

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ops.{Analytics, Dashboard}
+
+/** A generated per player-game box row (same shape as Ingest.box), with
+  * basketball-consistent stats: every point comes from a made shot, makes
+  * never exceed attempts, values on the 2-decimal grid like the real data. */
+case class PropBox(player_id: Long, player_name: String, team_name: String,
+    game_id: Long, line_id: Long, game_date: Date, minutes: Double,
+    pts: Double, reb: Double, ast: Double, stl: Double, blk: Double,
+    tov: Double, fgm: Double, fga: Double, fg3m: Double, fg3a: Double,
+    ftm: Double, fta: Double, plus_minus: Double)
+
+/** SURVEY.md §5.2 algebraic laws, checked with ScalaCheck over generated
+  * frames (driven through the REAL operators, not reimplementations). */
+class PropertiesSpec extends SparkTestBase {
+
+  private def check(name: String)(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(10).withWorkers(1), p)
+    assert(r.passed, s"property '$name' failed: ${r.status}")
+  }
+
+  private val boxRow: Gen[PropBox] = for {
+    pid <- Gen.choose(1L, 4L)
+    gid <- Gen.choose(1L, 30L)
+    line <- Gen.choose(1L, 3L)
+    day <- Gen.choose(0, 364)
+    fga <- Gen.choose(0, 30)
+    fgm <- Gen.choose(0, fga)
+    fta <- Gen.choose(0, 10)
+    ftm <- Gen.choose(0, fta)
+    reb <- Gen.choose(0, 20)
+    ast <- Gen.choose(0, 15)
+    stl <- Gen.choose(0, 6)
+    blk <- Gen.choose(0, 6)
+    tovC <- Gen.choose(0, 800) // 2-decimal grid
+    pm <- Gen.choose(-2500, 2500)
+    min <- Gen.choose(0, 48)
+  } yield PropBox(pid, s"P$pid", s"T${pid % 2}", gid, line,
+    Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(day)),
+    min.toDouble, 2.0 * fgm + ftm, reb.toDouble, ast.toDouble, stl.toDouble,
+    blk.toDouble, tovC / 100.0, fgm.toDouble, fga.toDouble, 0.0, 0.0,
+    ftm.toDouble, fta.toDouble, pm / 100.0)
+
+  private val boxRows: Gen[List[PropBox]] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, boxRow))
+
+  private def df(rows: List[PropBox]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF()
+  }
+
+  test("law: rolling mean over a 1-game window is the stat itself") {
+    check("rolling-1 identity")(Prop.forAll(boxRows) { rows =>
+      val r = Analytics.rollingMeansN(df(rows), 1)
+      // pts_1g = sum(DECIMAL(8,4) of a single 2-decimal value)/1 — exact
+      r.filter(col("pts_1g") =!= col("pts") ||
+        col("tov_1g") =!= col("tov") ||
+        col("plus_minus_1g") =!= col("plus_minus")).count() == 0
+    })
+  }
+
+  test("law: union row-count additivity (U1/U2 combinator)") {
+    check("union additivity")(Prop.forAll(boxRows, boxRows) { (a, b) =>
+      df(a).unionByName(df(b), allowMissingColumns = true).count() ==
+        a.length + b.length
+    })
+  }
+
+  test("law: ranks live in [1, N] (teamRankings over playerAggregations)") {
+    check("rank bounds")(Prop.forAll(boxRows) { rows =>
+      val pa = Analytics.playerAggregations(df(rows))
+      val tr = Dashboard.teamRankings(pa).cache()
+      val n = tr.count()
+      val ok = tr.filter(
+        col("offensive_rank") < 1 || col("offensive_rank") > n ||
+          col("defensive_rank") < 1 || col("defensive_rank") > n).count() == 0
+      tr.unpersist()
+      ok
+    })
+  }
+
+  test("law: true-shooting pct in [0, 1.5] and never null") {
+    check("ts_pct range")(Prop.forAll(boxRows) { rows =>
+      Analytics.advancedMetrics(df(rows)).filter(
+        col("true_shooting_pct").isNull ||
+          col("true_shooting_pct") < 0.0 ||
+          col("true_shooting_pct") > 1.5).count() == 0
+    })
+  }
+
+  test("law: guarded divisions never produce null (fillna(0) semantics)") {
+    check("guarded div")(Prop.forAll(boxRows) { rows =>
+      val pa = Analytics.playerAggregations(df(rows))
+      pa.filter(
+        col("fg_pct").isNull || col("fg3_pct").isNull || col("ft_pct").isNull ||
+          col("ppg").isNull || col("topg").isNull).count() == 0
+    })
+  }
+}
