@@ -48,6 +48,7 @@ object Pipeline {
         val lock = locks.getOrElseUpdate(key, new Object)
         lock.synchronized {
           stages.getOrElse(key, {
+            hookCleanup(spark)
             val t0 = System.nanoTime()
             val df = build.persist(StorageLevel.MEMORY_AND_DISK)
             val n = df.count() // eager: run the plan now, attribute cost here
@@ -59,6 +60,21 @@ object Pipeline {
         }
     }
   }
+
+  private val hooked = TrieMap.empty[SparkSession, Boolean]
+
+  /** Evict a session's stages when its SparkContext ends, so a long-lived
+    * driver hosting many sessions never accumulates dead cache entries. */
+  private def hookCleanup(spark: SparkSession): Unit =
+    if (hooked.putIfAbsent(spark, true).isEmpty) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          stages.keys.filter(_._1 eq spark).foreach(k => { stages.remove(k); locks.remove(k) })
+          hooked.remove(spark)
+        }
+      })
+    }
 
   /** Drop one cached stage (for consumers that know a stage is dead). */
   def evict(spark: SparkSession, sfDir: String, name: String): Unit = {

@@ -88,6 +88,64 @@ object Similarity {
     math.min(24, math.max(4,
       math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt))
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nCells` cells; each vector is indexed under exactly one
+    * cell, and a query is scored only against the members of its `nProbe`
+    * nearest cells. The second classic ANN family next to LSH — IVF trades
+    * the LSH OR-construction's recall guarantees for a data-adapted
+    * partition (cells follow the corpus distribution).
+    *
+    * Shuffle discipline matches [[lshTopK]]: cell assignment and probing
+    * shuffle only (id, cell) pairs; candidate (query, neighbor) id-pairs are
+    * formed by the narrow cell join, and the 64-double vectors are attached
+    * exactly once per candidate before the codegen dot product. At corpus
+    * scale the quantizer trains on a bounded sample (`fitSample`) — k-means
+    * cost is decoupled from corpus size; assignment is one broadcast of
+    * nCells centroids. No DuckDB oracle (k-means cell ids are
+    * Spark-specific); recall vs [[cosineTopK]] is asserted in ScalaTest. */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 16,
+      nProbe: Int = 4, fitSample: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withNorms(embeddings)
+    val featured = e.withColumn("features", array_to_vector(col("v")))
+    val fitOn = if (fitSample >= 1.0) featured else featured.sample(fitSample, seed = 42)
+    val model = new KMeans().setK(nCells).setSeed(42).setFeaturesCol("features")
+      .fit(fitOn)
+    val assigned = model.transform(featured)
+      .select(col("vec_id"), col("prediction").as("cell"))
+    // centroid table: nCells rows, broadcast into the probe scoring
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    // nProbe nearest cells per query — n × nCells narrow scoring
+    val probeW = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    val probes = e.select(col("vec_id"), col("v")).crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        dotd(col("v"), col("v")) - lit(2.0) * dotd(col("v"), col("centroid"))
+          + dotd(col("centroid"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    // candidate id-pairs from the narrow cell join; vectors attached once
+    val cand = probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn")),
+        Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rk")
+  }
+
   /** Multi-table sign-LSH ANN: `tables` independent hash tables, each
     * bucketing on random-hyperplane sign bits; a pair is a candidate if it
     * collides in ANY table (standard LSH OR-construction). Top-k search runs

@@ -48,6 +48,16 @@ object Sinks {
   def parseKpiJson(blob: DataFrame, schema: StructType): DataFrame =
     blob.select(from_json(col("kpi_data"), schema).as("k")).select("k.*")
 
+  /** P6 metadata/constant columns: the reference decorates every ingested
+    * frame with a league tag and load timestamps
+    * (`/root/reference/dags/ingest_nba_daily.py:71-73`,
+    * `transform_player_stats.py:76-77,166-167`). Wall-clock columns are
+    * sink-side decoration (oracle-hostile), applied at write time. */
+  def withIngestMetadata(df: DataFrame, league: String): DataFrame =
+    df.withColumn("league", lit(league))
+      .withColumn("created_at", current_timestamp())
+      .withColumn("last_updated", current_timestamp())
+
   /** F11: ISO-8601 wall-clock stamp (`data_quality_checks.py:287`,
     * `prepare_dashboard_data.py:245` — `datetime.utcnow().isoformat()`).
     * Wall clock is oracle-hostile, so stamped frames are a sink-side

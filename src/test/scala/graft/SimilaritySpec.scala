@@ -16,15 +16,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(byQ.filter(col("mx") =!= col("r1")).count() == 0)
   }
 
+  private def pairs(name: String) = q(name).filter(col("rk") <= 5)
+    .select("query_id", "neighbor_id").collect()
+    .map(r => (r.getLong(0), r.getLong(1))).toSet
+
   test("LSH ANN recalls a meaningful share of true neighbors at far lower cost") {
-    def pairs(name: String) = q(name).filter(col("rk") <= 5)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs("similarity_bruteforce_topk")
     val ann = pairs("similarity_lsh_topk")
     val recall = ann.intersect(truth).size.toDouble / truth.size
     info(s"LSH recall@5 = $recall")
     assert(recall > 0.25, s"LSH recall collapsed: $recall")
+  }
+
+  test("IVF ANN recalls a meaningful share of true neighbors") {
+    val truth = pairs("similarity_bruteforce_topk")
+    val ivf = pairs("similarity_ivf_topk")
+    val recall = ivf.intersect(truth).size.toDouble / truth.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall > 0.25, s"IVF recall collapsed: $recall")
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {

@@ -51,6 +51,13 @@ class SinksSpec extends SparkTestBase {
     assert(back.except(orig).count() == 0)
   }
 
+  test("P6 ingest metadata: league tag + timestamps appended") {
+    val m = Sinks.withIngestMetadata(Tables.region(spark, SF), "WNBA")
+    assert(m.columns.takeRight(3).toSeq == Seq("league", "created_at", "last_updated"))
+    assert(m.filter(col("league") =!= "WNBA").count() == 0)
+    assert(m.filter(col("created_at").isNull).count() == 0)
+  }
+
   test("F11 ISO stamp: column matches ISO-8601 shape") {
     val stamped = Sinks.isoStamped(Tables.region(spark, SF))
     val bad = stamped.filter(
