@@ -5,9 +5,11 @@ package graft
   *
   * Parity rules (keep in sync with graft.functions.Exact — same formulas,
   * textual form):
-  *  - never sum raw doubles: sums/means go through CAST(x AS DECIMAL(28,10))
-  *    (exact, order-independent on the 2-decimal test data), result cast back
-  *    to DOUBLE;
+  *  - never sum raw doubles: first-level sums/means go through
+  *    CAST(x AS DECIMAL(8,4)) (exact, order-independent on the ≤4-decimal
+  *    box data; narrow enough for Spark's compact-decimal fast path),
+  *    second-level q6-quantized sums through DECIMAL(28,10); result cast
+  *    back to DOUBLE;
   *  - second-level aggregates quantize first with the portable
   *    q6(x) = floor(CAST(x AS DOUBLE)·1e6 + 0.5)/1e6 (pure IEEE arithmetic —
   *    builtin round() differs between engines at half-boundaries);

@@ -43,7 +43,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ingestion / scans (S6)
-    "scan_filter_recent" -> ((s, d) => Ingest.scanFilterRecent(s, d)),
+    "scan_filter_recent" -> ((s, d) => Ingest.recentSlice(box(s, d))),
 
     // ---- aggregations (A1-A13) + windows (W1-W5)
     "hash_agg_multi" -> ((s, d) => pa(s, d)),
@@ -103,7 +103,7 @@ object SparkEntry {
     "join_left_single" -> ((s, d) => Relational.joinLeftSingle(s, d)),
     "join_project" -> ((s, d) => Relational.joinProject(s, d)),
     "union_all_frames" -> ((s, d) => Relational.unionAllFrames(s, d)),
-    "sort_multikey" -> ((s, d) => Relational.sortMultikey(s, d)),
+    "sort_multikey" -> ((s, d) => Relational.sortMultikey(box(s, d))),
 
     // ---- events / streaming-cadence analogs
     "stream_window_counts" -> ((s, d) => StreamDemo.windowCountsBatch(Tables.events(s, d))),

@@ -62,8 +62,8 @@ object Relational {
     * (`transform_player_stats.py:134`), made total with the line tie-break.
     * Output order itself is not oracle-hashable (driver sorts rows); the
     * operator is exercised for the plan (global range-partitioned sort). */
-  def sortMultikey(spark: SparkSession, sfDir: String): DataFrame =
-    Ingest.box(spark, sfDir)
+  def sortMultikey(box: DataFrame): DataFrame =
+    box
       .orderBy(col("player_id"), col("game_date"), col("game_id"), col("line_id"))
       .select("player_id", "game_date", "game_id", "line_id", "pts")
 

@@ -71,9 +71,10 @@ object Sinks {
   def exportDashboard(spark: SparkSession, sfDir: String, outDir: String,
       playerAgg: DataFrame, award: DataFrame): Unit = {
     val kpi = Dashboard.kpiSummary(playerAgg, award)
+    val adv = Pipeline.stage(spark, sfDir, "adv")(
+      Analytics.advancedMetrics(Pipeline.stage(spark, sfDir, "box")(Ingest.box(spark, sfDir))))
     exportJson(Map(
-      "player_metrics" -> Dashboard.playerDashboard(playerAgg,
-        Analytics.advancedMetrics(Ingest.box(spark, sfDir)), award),
+      "player_metrics" -> Dashboard.playerDashboard(playerAgg, adv, award),
       "team_metrics" -> Dashboard.teamDashboard(playerAgg),
       "league_overview" -> Dashboard.leagueStats(playerAgg),
       "top_scorers" -> Dashboard.topK(playerAgg, "ppg"),

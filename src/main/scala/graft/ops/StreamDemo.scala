@@ -50,6 +50,55 @@ object StreamDemo {
         col("n_events"), col("value_sum"))
   }
 
+  /** Per-user running activity profile via custom keyed state —
+    * `KeyValueGroupedDataset.mapGroupsWithState`, the Structured Streaming
+    * surface for state that windowed aggregation can't express (the
+    * reference's closest analog is the daily re-aggregated per-player
+    * profile; as a stream this becomes incremental per-key state updated
+    * each micro-batch instead of an overwrite-the-world CTAS).
+    *
+    * State is one small case class per user — the state store scales
+    * horizontally with keys (hash-partitioned on user_id across executors),
+    * and checkpointing makes it restart-safe; at 100 TB/day event volume
+    * this is the standard keyed-profile pattern. */
+  def userActivityStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[(Long, Double, java.sql.Timestamp)]) =>
+          // java.sql.Timestamp keeps the full micros (the events carry
+          // sub-millisecond precision — a ms-only max would drift)
+          var (n, sum, last) =
+            state.getOption.getOrElse((0L, 0.0, new java.sql.Timestamp(0L)))
+          evs.foreach { case (_, ts, v) =>
+            n += 1; sum += v; if (ts.compareTo(last) > 0) last = ts
+          }
+          state.update((n, sum, last))
+          (uid, n, sum, last)
+      }
+      .toDF("user_id", "n_events", "value_sum", "last_seen")
+  }
+
+  /** Batch twin of [[userActivityStream]]'s end state (for the test — and
+    * the oracle-friendly rendering of the same profile). */
+  def userActivityBatch(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_seen"))
+
   /** F10 JSON-blob handling: parse the props JSON column, aggregate by the
     * extracted key — mirrors the KPI JSON round-trip at
     * `/root/reference/dags/prepare_dashboard_data.py:283-286` + `from_json`

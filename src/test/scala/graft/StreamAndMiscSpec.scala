@@ -27,6 +27,25 @@ class StreamAndMiscSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("stateful stream: mapGroupsWithState per-user profile equals batch groupBy") {
+    val dir = java.nio.file.Files.createTempDirectory("events_state")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SF/events.parquet"),
+      dir.resolve("events.parquet"))
+    val query = StreamDemo.userActivityStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("user_activity")
+      .outputMode("update").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("user_activity")
+        .select(col("user_id"), col("n_events"), col("last_seen"))
+      val batch = StreamDemo.userActivityBatch(Tables.events(spark, SF))
+        .select(col("user_id"), col("n_events").cast("long"), col("last_seen"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0)
+    } finally query.stop()
+  }
+
   test("multimodal meta: deterministic stub decode with real schema") {
     val m1 = Multimodal.mediaMeta(spark, Tables.documents(spark, SF)).cache()
     assert(m1.count() == Tables.documents(spark, SF).count())
