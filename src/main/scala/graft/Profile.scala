@@ -31,7 +31,14 @@ object Profile {
       println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($n rows)")
     }
 
-    if (args.contains("af-debug")) {
+    if (args.headOption.contains("explain")) {
+      // formatted physical plans for the named queries (plan audit)
+      args.drop(1).foreach { q =>
+        println(s"\n===== $q =====")
+        println(SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+    } else if (args.contains("af-debug")) {
       // piecewise attribution of the awardFeatures stage build
       val box = ops.Pipeline.stage(spark, sfDir, "box")(ops.Ingest.box(spark, sfDir))
       val pa = ops.Pipeline.stage(spark, sfDir, "pa")(ops.Analytics.playerAggregations(box))

@@ -36,6 +36,11 @@ object SparkEntry {
     Pipeline.stage(s, d, "roll")(Analytics.rollingAverages(box(s, d)))
   private def af(s: SparkSession, d: String) =
     Pipeline.stage(s, d, "af")(Features.awardFeatures(pa(s, d), adv(s, d), roll(s, d)))
+  // (doc_id, shingle) postings feed signature generation, the df-cap, the
+  // verify joins, and the size denominators across both near-dup queries —
+  // cached so the tokenize+explode runs once, like the box lineage above
+  private def shingles(s: SparkSession, d: String) =
+    Pipeline.stage(s, d, "shingles")(Text.shingles(Tables.documents(s, d)))
 
   private val rollIds = Seq("player_id", "player_name", "team_name", "game_id",
     "line_id", "game_date", "minutes")
@@ -117,8 +122,8 @@ object SparkEntry {
     "lang_id" -> ((s, d) => Text.langId(Tables.documents(s, d))),
     "fingerprints" -> ((s, d) => Text.fingerprints(Tables.documents(s, d))),
     "dedup_exact" -> ((s, d) => Text.dedupExact(Tables.documents(s, d))),
-    "dedup_ngram_jaccard" -> ((s, d) => Text.dedupNgramJaccard(Tables.documents(s, d))),
-    "dedup_minhash_lsh" -> ((s, d) => Text.dedupMinHashLsh(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Text.dedupNgramJaccardFrom(shingles(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Text.dedupMinHashLshFrom(shingles(s, d))),
     "dedup_simhash" -> ((s, d) => Text.dedupSimHash(Tables.documents(s, d))),
 
     // ---- similarity (north star)

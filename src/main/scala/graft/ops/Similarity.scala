@@ -73,11 +73,15 @@ object Similarity {
       .select("vec_a", "vec_b", "cos_sim")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
-    * an integer-hash mapped into [-1, 1) — reproducible across runs with no
-    * RNG state (Date/random are plan-hostile). */
-  private def planeComponent(j: Int, i: Column): Column =
-    ((xxhash64(lit(j), i) % 1000000L).cast("double") / 1000000.0)
+  /** Deterministic pseudo-random hyperplane for plane j: driver-computed
+    * from a FIXED seed (reproducible across runs and sessions) and shipped
+    * as a literal array — the per-row cost of a projection is then just a
+    * codegen dot product against a constant, instead of the dim×bits×tables
+    * hash calls per row the previous expression formulation paid. */
+  private def planeVector(j: Int, dim: Int): Array[Double] = {
+    val rnd = new java.util.Random(0x9E3779B97F4A7C15L * (j + 1))
+    Array.fill(dim)(rnd.nextDouble() * 2.0 - 1.0)
+  }
 
   /** Bucket width: bits sized so expected bucket occupancy ≈
     * `targetOccupancy` — the log₂(n) scaling that keeps candidate volume
@@ -166,12 +170,13 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 8,
       targetOccupancy: Int = 64): DataFrame = {
     val e = withNorms(embeddings)
-    val bits = bitsFor(embeddings.count(), targetOccupancy)
+    val (n, dim) = embeddings
+      .agg(count(lit(1)), max(size(col("embedding")))).as("nd")
+      .head() match { case r => (r.getLong(0), r.getInt(1)) }
+    val bits = bitsFor(n, targetOccupancy)
     val tableCols = (0 until tables).map { t =>
       val sigBits = (0 until bits).map { j =>
-        val proj = dotd(col("v"),
-          transform(sequence(lit(0), size(col("v")) - 1),
-            i => planeComponent(t * bits + j, i)))
+        val proj = dotd(col("v"), typedLit(planeVector(t * bits + j, dim).toSeq))
         when(proj >= 0, lit(1L << j)).otherwise(0L)
       }
       struct(lit(t).as("t"), sigBits.reduce((a, b) => a.bitwiseOR(b)).as("b"))
@@ -193,8 +198,13 @@ object Similarity {
       .join(e.select(col("vec_id").as("b"), col("v").as("bv"), col("norm").as("bn")), Seq("b"))
       .select(col("a"), col("b"),
         q6(dotd(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos_sim"))
-    val directed = scored.select(col("a").as("query_id"), col("b").as("neighbor_id"), col("cos_sim"))
-      .unionAll(scored.select(col("b").as("query_id"), col("a").as("neighbor_id"), col("cos_sim")))
+    // mirror each undirected pair to both directions with ONE explode pass —
+    // a union of two selects would re-execute the whole candidate subtree
+    val directed = scored.select(explode(array(
+        struct(col("a").as("query_id"), col("b").as("neighbor_id")),
+        struct(col("b").as("query_id"), col("a").as("neighbor_id")))).as("p"),
+        col("cos_sim"))
+      .select(col("p.query_id"), col("p.neighbor_id"), col("cos_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     directed.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

@@ -106,8 +106,15 @@ object Text {
     * candidate set ≈ true near-dups (the 100 TB path swaps this candidate
     * generator for [[dedupMinHashLsh]]; the verify step is identical). */
   def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.5,
+      maxShingleDf: Int = 128): DataFrame =
+    dedupNgramJaccardFrom(shingles(documents), threshold, maxShingleDf)
+
+  /** Same, over precomputed (doc_id, shingle) postings — the shingle explode
+    * feeds sizes, the df-cap, and both self-join sides; callers that can
+    * cache the postings (see SparkEntry's shingle stage) avoid re-executing
+    * the explode per consumer. */
+  def dedupNgramJaccardFrom(sh: DataFrame, threshold: Double = 0.5,
       maxShingleDf: Int = 128): DataFrame = {
-    val sh = shingles(documents)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // Hot-shingle guard: a shingle appearing in d documents contributes
     // O(d²) candidate pairs, so one boilerplate shingle shared by 10⁶ docs
@@ -137,8 +144,10 @@ object Text {
   /** MinHash signatures: 32 hash functions h_j(s) = xxhash64(j, s), min per
     * doc — one groupBy over the shingle postings, all 32 mins in a single
     * pass (codegen'd; no UDAF). */
-  def minHashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame = {
-    val sh = shingles(documents)
+  def minHashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame =
+    minHashSignaturesFrom(shingles(documents), numHashes)
+
+  def minHashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(j => min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -151,9 +160,15 @@ object Text {
     * ScalaTest recall check against [[dedupNgramJaccard]].
     */
   def dedupMinHashLsh(documents: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 32, bands: Int = 8): DataFrame =
+    dedupMinHashLshFrom(shingles(documents), threshold, numHashes, bands)
+
+  /** Same, over precomputed shingle postings (shared by signature
+    * generation, the verify joins, and the size denominators). */
+  def dedupMinHashLshFrom(sh: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sig = minHashSignatures(documents, numHashes)
+    val sig = minHashSignaturesFrom(sh, numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*).as("bh"))
@@ -167,7 +182,6 @@ object Text {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // verify candidates with exact Jaccard over the shingle sets
-    val sh = shingles(documents)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
