@@ -501,6 +501,53 @@ af AS (
       JOIN sz sb ON cm.doc_b = sb.doc_id
       WHERE CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) >= 0.5""",
 
+    "tfidf_top_terms" -> """
+      WITH p AS (SELECT doc_id, token, count(*) AS tf
+                 FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+                       FROM documents) t
+                 GROUP BY 1, 2),
+      d AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      s AS (SELECT doc_id, token, tf, df,
+                   floor((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+            FROM p JOIN d USING (token) CROSS JOIN n)
+      SELECT doc_id, token, tf, df, tfidf, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rk
+        FROM s) t
+      WHERE rk <= 3""",
+    // Connected components over the near-dup pair graph via recursive CTE:
+    // cluster(doc) = min(doc_id ∪ reachable ids) — must equal the engine's
+    // min-label-propagation fixpoint.
+    "dedup_clusters" -> """
+      WITH RECURSIVE tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+      rare AS (SELECT sh.* FROM sh
+               JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 128) r
+               USING (shingle)),
+      cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+             FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      prs AS (SELECT cm.doc_a, cm.doc_b
+              FROM cm
+              JOIN sz sa ON cm.doc_a = sa.doc_id
+              JOIN sz sb ON cm.doc_b = sb.doc_id
+              WHERE CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) >= 0.5),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                UNION ALL SELECT doc_b, doc_a FROM prs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE e.dst <> r.src)
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster,
+             CAST(d.doc_id = least(d.doc_id, coalesce(m.mn, d.doc_id)) AS INTEGER) AS is_keeper
+      FROM documents d
+      LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY 1) m
+        ON d.doc_id = m.src""",
+
     // ---- similarity (north star)
     // Query side bounded to the 500 smallest vec_ids, mirroring
     // Similarity.cosineTopK(maxQueries=500) — a no-op at the sf0.01 oracle

@@ -125,6 +125,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Text.dedupNgramJaccardFrom(shingles(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Text.dedupMinHashLshFrom(shingles(s, d))),
     "dedup_simhash" -> ((s, d) => Text.dedupSimHash(Tables.documents(s, d))),
+    "tfidf_top_terms" -> ((s, d) => Text.tfidfTopTerms(Tables.documents(s, d))),
+    "dedup_clusters" -> ((s, d) => Text.clustersFromPairs(
+      Tables.documents(s, d).select("doc_id"),
+      Text.dedupNgramJaccardFrom(shingles(s, d)).select("doc_a", "doc_b"))),
 
     // ---- similarity (north star)
     "similarity_bruteforce_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),

@@ -141,6 +141,72 @@ object Text {
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
   }
 
+  /** TF-IDF keyword extraction: per-document top-k terms by tf·ln(N/df).
+    * Pure relational rendering — term frequencies and document frequencies
+    * are two hash aggregations over the token postings, the corpus size is
+    * a broadcast one-row aggregate (no driver collect), and the per-doc
+    * top-k is a window. Ranking happens on the q6-quantized score so the
+    * DuckDB oracle (same ln, same quantization) orders identically. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val posts = tokenPostings(documents)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val docFreq = posts.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = posts.join(docFreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        q6(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "token", "tf", "df", "tfidf", "rk")
+  }
+
+  /** Transitive dedup clustering: connected components over the near-dup
+    * pair graph, labeling every document with the smallest doc_id reachable
+    * through near-dup edges — the keeper-selection step a real dedup
+    * pipeline runs AFTER pair generation (pairs (a,b),(b,c) must collapse
+    * to ONE keeper, which pairwise output alone doesn't give).
+    *
+    * Min-label propagation to a fixpoint: each round every node takes the
+    * min of its own label and its neighbors' labels. Rounds are bounded by
+    * the component diameter (near-dup clusters are shallow); each round is
+    * one keyed join + aggregation, and `localCheckpoint` truncates the
+    * iterative lineage so the plan doesn't grow exponentially. This is the
+    * standard scale path for CC (what GraphX/Pregel does under the hood),
+    * driver-controlled but never driver-materialized. */
+  def dedupClusters(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    clustersFromPairs(documents.select("doc_id"),
+      dedupNgramJaccardFrom(shingles(documents), threshold).select("doc_a", "doc_b"))
+
+  /** CC core over explicit (doc_a, doc_b) undirected pairs. */
+  def clustersFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nbr_cluster")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr_cluster")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    labels.withColumn("is_keeper", (col("doc_id") === col("cluster")).cast("int"))
+  }
+
   /** MinHash signatures: 32 hash functions h_j(s) = xxhash64(j, s), min per
     * doc — one groupBy over the shingle postings, all 32 mins in a single
     * pass (codegen'd; no UDAF). */

@@ -39,6 +39,29 @@ class TextSpec extends SparkTestBase {
     assert(sh.filter(col("doc_a") >= col("doc_b")).count() == 0)
   }
 
+  test("tfidf: k terms per doc, rare terms outscore ubiquitous ones") {
+    val t = q("tfidf_top_terms").cache()
+    assert(t.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)
+    // a term in every document has idf = ln(1) = 0 and can never be a top term
+    val nDocs = docs.count()
+    assert(t.filter(col("df") === nDocs && col("tfidf") > 0).count() == 0)
+  }
+
+  test("dedup clusters: pair endpoints share a cluster; keepers are cluster minima") {
+    val labels = q("dedup_clusters").cache()
+    assert(labels.count() == docs.count())
+    // every near-dup pair must be collapsed into the same cluster
+    val pairs = q("dedup_ngram_jaccard").select("doc_a", "doc_b")
+    val joined = pairs
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster").as("ca")), Seq("doc_a"))
+      .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("cb")), Seq("doc_b"))
+    assert(joined.filter(col("ca") =!= col("cb")).count() == 0)
+    // cluster label is a member and the minimum one
+    assert(labels.filter(col("cluster") > col("doc_id")).count() == 0)
+    assert(labels.filter(col("is_keeper") === 1).select("doc_id").except(
+      labels.select("cluster")).count() == 0)
+  }
+
   test("quality score bounded in [0,1]; langid predicts en for stopword-bearing soup") {
     val tq = q("text_quality").cache()
     assert(tq.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
