@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Opt-in optimizer rule: rewrite exact `count(DISTINCT x)` to
+  * HyperLogLog++ `approx_count_distinct(x)`.
+  *
+  * The 100 TB rationale (SURVEY.md §4.2 stretch row): exact distinct-count
+  * plans an EXPAND + extra shuffle keyed on the distinct column — on a
+  * high-cardinality column at corpus scale that shuffle dominates the whole
+  * job, while the HLL++ sketch is a fixed few-KB aggregation buffer with an
+  * ordinary two-phase plan and ~2% default error. The engine's queries keep
+  * exact semantics by default (the DuckDB oracle requires it); a deployment
+  * opts in per session via
+  *
+  *   spark.conf.set("spark.graft.approxDistinct", "true")
+  *
+  * with the rule installed either through `spark.sql.extensions=
+  * graft.plans.GraftExtensions` (cluster config) or
+  * `spark.experimental.extraOptimizations` (tests / ad-hoc sessions).
+  */
+object ApproxDistinctRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.approxDistinct", "false").toBoolean) plan
+    else plan.transformAllExpressions {
+      case AggregateExpression(Count(Seq(child)), mode, true, filter, _) =>
+        AggregateExpression(
+          HyperLogLogPlusPlus(child), mode, isDistinct = false, filter)
+    }
+}
+
+/** `spark.sql.extensions` entry point installing the engine's rules. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+}

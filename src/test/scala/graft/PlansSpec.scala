@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.GraftExtensions
+
+/** Optimizer-rule behavior: exact by default, HLL++ under the opt-in flag.
+  *
+  * The rule must be exercised through its production install path
+  * (`injectOptimizerRule` via [[GraftExtensions]]) — that places it in the
+  * operator-optimization batch, BEFORE Catalyst's `RewriteDistinctAggregates`
+  * turns multi-distinct aggregates into the Expand + FILTER form. The
+  * `spark.experimental.extraOptimizations` hook runs AFTER that rewrite and
+  * never sees `isDistinct = true` on a multi-distinct plan.
+  */
+class PlansSpec extends SparkTestBase {
+
+  /** A sibling session on the shared SparkContext with the extension
+    * installed — the same shape as a cluster's `spark.sql.extensions=
+    * graft.plans.GraftExtensions`. */
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-tests-ext")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try f(ext)
+    finally {
+      graft.ops.Pipeline.clear(ext)
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("count(distinct) rewrites to HLL++ only under the opt-in flag") {
+    val exact = q("consistency_check").collect().head.getAs[Long]("unique_players")
+    withExtendedSession { ext =>
+      // flag off: rule installed but inert — plan keeps exact distinct
+      ext.conf.set("spark.graft.approxDistinct", "false")
+      val off = SparkEntry.queries("consistency_check")(ext, SF)
+      assert(!off.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+      assert(off.collect().head.getAs[Long]("unique_players") == exact)
+
+      ext.conf.set("spark.graft.approxDistinct", "true")
+      try {
+        val on = SparkEntry.queries("consistency_check")(ext, SF)
+        val plan = on.queryExecution.optimizedPlan.toString
+        assert(plan.contains("approx_count_distinct"))
+        // the whole point at scale: no Expand ×3 + distinct-key shuffle
+        assert(!plan.contains("Expand"))
+        val approx = on.collect().head.getAs[Long]("unique_players")
+        assert(math.abs(approx - exact).toDouble / exact < 0.1,
+          s"HLL++ estimate $approx too far from exact $exact")
+      } finally ext.conf.set("spark.graft.approxDistinct", "false")
+    }
+  }
+}
