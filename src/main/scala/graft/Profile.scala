@@ -25,10 +25,35 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (sys.env.contains("SPARK_GRAFT_JOBLOG")) {
+      // per-job wall clock: exposes whether time sits inside jobs (tasks) or
+      // in the gaps between them (driver planning / codegen compile)
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      var lastEnd = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          starts.put(e.jobId, System.nanoTime())
+          val gap = (System.nanoTime() - lastEnd.get()) / 1e9
+          if (gap > 0.5) println(f"[joblog]   --- driver gap ${gap}%6.1f s before job ${e.jobId}")
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          lastEnd.set(System.nanoTime())
+          Option(starts.remove(e.jobId)).foreach { t0 =>
+            val d = (System.nanoTime() - t0) / 1e9
+            if (d > 0.5) println(f"[joblog] job ${e.jobId}%4d took $d%6.1f s")
+          }
+        }
+      })
+    }
+
     def time(name: String)(f: => Long): Unit = {
+      import org.apache.spark.metrics.source.CodegenMetrics._
+      def compMs = METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
+      val (c0, m0) = (METRIC_COMPILATION_TIME.getCount, compMs)
       val t0 = System.nanoTime()
       val n = f
-      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($n rows)")
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($n rows)" +
+        f"  [codegen: ${METRIC_COMPILATION_TIME.getCount - c0} compiles, ~${(compMs - m0) / 1000.0}%.1f s]")
     }
 
     if (args.headOption.contains("explain")) {
@@ -62,6 +87,24 @@ object Profile {
       val pd = ops.Dashboard.playerDashboard(pa, adv, af2)
       time("playerDashboard plan")({ pd.queryExecution.executedPlan; 1L })
       time("playerDashboard exec")(pd.count())
+      val afC = ops.Pipeline.stage(spark, sfDir, "af")(ops.Features.awardFeatures(pa, adv, roll))
+      time("pd exec (cached af)")(ops.Dashboard.playerDashboard(pa, adv, afC).count())
+      val pd3 = ops.Dashboard.playerDashboard(pa, adv, afC)
+      time("pd3 analyze")({ pd3.queryExecution.optimizedPlan; 1L })
+      time("pd3 physical")({ pd3.queryExecution.executedPlan; 1L })
+      time("pd3 exec")(pd3.count())
+      val pd4 = ops.Dashboard.playerDashboard(pa, adv, afC)
+      time("pd4 analyze")({ pd4.queryExecution.optimizedPlan; 1L })
+      time("pd4 physical")({ pd4.queryExecution.executedPlan; 1L })
+      time("pd4 exec")(pd4.count())
+      val paL = pa.localCheckpoint(true)
+      val advL = adv.localCheckpoint(true)
+      val afL = afC.localCheckpoint(true)
+      time("pd exec (ckpt inputs)")(ops.Dashboard.playerDashboard(paL, advL, afL).count())
+      time("pd exec (ckpt inputs) 2")(ops.Dashboard.playerDashboard(paL, advL, afL).count())
+      time("af-cached count")(afC.count())
+      time("pa join af-cached")(pa.join(afC.select("player_id", "mvp_score", "dpoy_score",
+        "sixmoy_score"), Seq("player_id"), "left").count())
     } else {
       val names =
         if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
