@@ -134,6 +134,7 @@ object SparkEntry {
     "similarity_bruteforce_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
     "similarity_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    "embedding_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, d))),
     "similarity_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
 
     // ---- multimodal (north star; stub decode, real plumbing)

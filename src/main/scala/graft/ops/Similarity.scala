@@ -150,6 +150,53 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rk")
   }
 
+  /** Sign-LSH candidate id-pairs: the shared candidate generator of
+    * [[lshTopK]] and [[embeddingNearDupLsh]]. Returns undirected (a < b)
+    * pairs colliding in ≥1 of `tables` hash tables, deduped WITHOUT any
+    * vector payload (16 bytes/row through the shuffle). */
+  private def lshCandidates(e: DataFrame, n: Long, dim: Int, tables: Int,
+      targetOccupancy: Int): DataFrame = {
+    val bits = bitsFor(n, targetOccupancy)
+    val tableCols = (0 until tables).map { t =>
+      val sigBits = (0 until bits).map { j =>
+        val proj = dotd(col("v"), typedLit(planeVector(t * bits + j, dim).toSeq))
+        when(proj >= 0, lit(1L << j)).otherwise(0L)
+      }
+      struct(lit(t).as("t"), sigBits.reduce((a, b) => a.bitwiseOR(b)).as("b"))
+    }
+    val bucketed = e.select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("table_id"), col("tb.b").as("bucket"))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.table_id") === col("y.table_id") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .dropDuplicates("a", "b")
+  }
+
+  /** LSH-bucketed embedding near-dup: same output contract as
+    * [[embeddingNearDup]] (cosine ≥ threshold pairs, a < b) but candidate
+    * generation is the sign-LSH OR-construction instead of the O(n²)
+    * all-pairs join — the swap-in scale path the exact operator documents.
+    * Sign-LSH is exactly angle-sensitive (collision probability
+    * 1 − θ/π per bit), so high-cosine pairs collide in ≥1 of the OR'd
+    * tables with high probability; recall vs the exact operator is
+    * asserted in ScalaTest. No DuckDB oracle (hyperplanes are
+    * Spark-specific). */
+  def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.4,
+      tables: Int = 8, targetOccupancy: Int = 64): DataFrame = {
+    val e = withNorms(embeddings)
+    val (n, dim) = embeddings
+      .agg(count(lit(1)), max(size(col("embedding")))).as("nd")
+      .head() match { case r => (r.getLong(0), r.getInt(1)) }
+    lshCandidates(e, n, dim, tables, targetOccupancy)
+      .join(e.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("v").as("bv"), col("norm").as("bn")), Seq("b"))
+      .select(col("a").as("vec_a"), col("b").as("vec_b"),
+        q6(dotd(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Multi-table sign-LSH ANN: `tables` independent hash tables, each
     * bucketing on random-hyperplane sign bits; a pair is a candidate if it
     * collides in ANY table (standard LSH OR-construction). Top-k search runs
@@ -173,27 +220,10 @@ object Similarity {
     val (n, dim) = embeddings
       .agg(count(lit(1)), max(size(col("embedding")))).as("nd")
       .head() match { case r => (r.getLong(0), r.getInt(1)) }
-    val bits = bitsFor(n, targetOccupancy)
-    val tableCols = (0 until tables).map { t =>
-      val sigBits = (0 until bits).map { j =>
-        val proj = dotd(col("v"), typedLit(planeVector(t * bits + j, dim).toSeq))
-        when(proj >= 0, lit(1L << j)).otherwise(0L)
-      }
-      struct(lit(t).as("t"), sigBits.reduce((a, b) => a.bitwiseOR(b)).as("b"))
-    }
-    // narrow bucket table: (vec_id, table_id, bucket) — 24 bytes/row
-    val bucketed = e.select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("table_id"), col("tb.b").as("bucket"))
-    // candidate UNDIRECTED id-pairs, deduped across tables with no payload
-    val cand = bucketed.as("x").join(bucketed.as("y"),
-        col("x.table_id") === col("y.table_id") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-      .dropDuplicates("a", "b")
+    // candidate UNDIRECTED id-pairs, deduped across tables with no payload;
     // vectors re-joined ONCE per surviving pair, scored, mirrored to both
     // directions for per-query top-k
-    val scored = cand
+    val scored = lshCandidates(e, n, dim, tables, targetOccupancy)
       .join(e.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("v").as("bv"), col("norm").as("bn")), Seq("b"))
       .select(col("a"), col("b"),

@@ -41,4 +41,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(nd.filter(col("vec_a") >= col("vec_b")).count() == 0)
     assert(nd.filter(col("cos_sim") < 0.4).count() == 0)
   }
+
+  test("LSH near-dup is a subset of exact near-dup with meaningful recall") {
+    def pairSet(name: String) = q(name).select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet("embedding_near_dup")
+    val lsh = pairSet("embedding_near_dup_lsh")
+    // every LSH pair is verified with the same exact cosine → no false positives
+    assert(lsh.subsetOf(exact), s"LSH emitted ${(lsh -- exact).size} non-near-dup pairs")
+    val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
+    info(s"LSH near-dup recall = $recall")
+    assert(recall > 0.5, s"LSH near-dup recall collapsed: $recall")
+  }
 }
