@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-stop session factory for the engine — the entry point a user of the
+  * reference pipeline switches to.
+  *
+  * Applies the session configuration the operators are designed against:
+  *
+  *  - `spark.sql.extensions = graft.plans.GraftExtensions`: installs the
+  *    engine's optimizer rules (opt-in HLL++ distinct rewrite — see
+  *    [[graft.plans.ApproxDistinctRewrite]]).
+  *  - ICU case mappings off: Spark 4 routes `lower()`/`upper()` through ICU
+  *    full case mapping whose title-case table static-init costs minutes of
+  *    CPU on first use in constrained JVMs; the engine's corpora are ASCII,
+  *    where JVM simple case mapping is identical.
+  *  - nanos-as-long parquet reads: the event feeds carry INT64
+  *    TIMESTAMP(NANOS), which Spark's reader otherwise rejects
+  *    ([[Tables.events]] truncates to micros).
+  *  - UTC session timezone: deterministic date arithmetic across
+  *    driver/executor zones.
+  *
+  * Shuffle parallelism is left to the deployment (set
+  * `spark.sql.shuffle.partitions` to ~2-3× total executor cores; AQE
+  * coalesces down at runtime). Local tools in this repo (Bench/Profile/
+  * tests) pin it to their core count.
+  */
+object GraftSession {
+
+  /** A builder pre-loaded with the engine's configuration; callers add
+    * master/appName/overrides and `getOrCreate()`.
+    *
+    * Extensions are installed BOTH ways deliberately: the
+    * `spark.sql.extensions` static conf is what a cluster deployment sees
+    * (spark-submit / new SparkContext), while `withExtensions` applies even
+    * when the builder attaches to an already-running SparkContext — static
+    * confs are read from the existing context's conf and would otherwise be
+    * silently ignored there (e.g. shared-context test harnesses,
+    * notebook-attached sessions). */
+  def builder(): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+}

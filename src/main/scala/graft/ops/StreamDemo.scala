@@ -93,6 +93,31 @@ object StreamDemo {
       .toDF("user_id", "n_events", "value_sum", "last_seen")
   }
 
+  /** S5 streaming leg: continuous append-only ingest — the stream rendering
+    * of the reference's daily raw-layer INSERT
+    * (`/root/reference/dags/ingest_nba_daily.py:141`). Each micro-batch
+    * appends through the same batch sink ([[Sinks.appendRaw]]) via
+    * foreachBatch, so layer layout and append semantics are identical for
+    * the cron path and the stream path; checkpointing gives exactly-once
+    * file commits per batch. Caller starts/stops the returned query. */
+  def streamAppendRaw(spark: SparkSession, eventsDir: String, outPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => Sinks.appendRaw(batch, outPath) }
+      .start()
+  }
+
   /** Batch twin of [[userActivityStream]]'s end state (for the test — and
     * the oracle-friendly rendering of the same profile). */
   def userActivityBatch(events: DataFrame): DataFrame =

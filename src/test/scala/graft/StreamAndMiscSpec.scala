@@ -46,6 +46,48 @@ class StreamAndMiscSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming append-raw sink: micro-batches land as parquet appends") {
+    val src = java.nio.file.Files.createTempDirectory("events_sink_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SF/events.parquet"),
+      src.resolve("events.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("events_sink_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("events_sink_ckpt")
+    val query = StreamDemo.streamAppendRaw(
+      spark, src.toString, s"$out/raw_events", ckpt.toString)
+    try {
+      query.processAllAvailable()
+      val landed = spark.read.parquet(s"$out/raw_events")
+      val expected = Tables.events(spark, SF)
+      assert(landed.count() == expected.count())
+      assert(landed.select("event_id").except(expected.select("event_id")).count() == 0)
+    } finally query.stop()
+  }
+
+  test("GraftSession builder applies engine confs and installs extensions") {
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = GraftSession.builder().master("local[2]")
+      .appName("graft-session-test").config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+      // extension rule present and inert without the opt-in flag
+      val df = SparkEntry.queries("consistency_check")(s, SF)
+      assert(df.collect().head.getAs[Long]("unique_players") > 0)
+      s.conf.set("spark.graft.approxDistinct", "true")
+      try {
+        val on = SparkEntry.queries("consistency_check")(s, SF)
+        assert(on.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+      } finally s.conf.set("spark.graft.approxDistinct", "false")
+    } finally {
+      graft.ops.Pipeline.clear(s)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("multimodal meta: deterministic stub decode with real schema") {
     val m1 = Multimodal.mediaMeta(spark, Tables.documents(spark, SF)).cache()
     assert(m1.count() == Tables.documents(spark, SF).count())
