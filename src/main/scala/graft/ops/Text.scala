@@ -207,16 +207,18 @@ object Text {
     labels.withColumn("is_keeper", (col("doc_id") === col("cluster")).cast("int"))
   }
 
-  /** MinHash signatures: 32 hash functions h_j(s) = xxhash64(j, s), min per
-    * doc — one groupBy over the shingle postings, all 32 mins in a single
-    * pass (codegen'd; no UDAF). */
+  /** MinHash signatures: per doc, elementwise min over `numHashes` seeded
+    * XXH64 hashes of its shingles — ONE custom sketch aggregate
+    * ([[graft.functions.SketchAggs.MinHashAgg]]) instead of 32 separate
+    * `min(xxhash64(j, s))` columns, whose generated codegen class cost
+    * multi-second Janino compiles per plan. Single groupBy pass; the
+    * aggregation buffer IS the signature. */
   def minHashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame =
     minHashSignaturesFrom(shingles(documents), numHashes)
 
-  def minHashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map(j => min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-  }
+  def minHashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(graft.functions.SketchAggs.minhashSig(col("shingle"), numHashes).as("sig"))
 
   /** MinHash + LSH banding: 8 bands × 4 rows; docs colliding in ≥1 band
     * become candidates, then exact Jaccard verifies. This is the scale path
@@ -237,7 +239,8 @@ object Text {
     val sig = minHashSignaturesFrom(sh, numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*).as("bh"))
+        xxhash64((b * rows until (b + 1) * rows)
+          .map(j => element_at(col("sig"), j + 1)): _*).as("bh"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("band_hash"))
@@ -263,23 +266,16 @@ object Text {
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Per doc: weighted sign
-    * sum per bit of xxhash64(token), packed into one BIGINT. The 64 bit
-    * sums compile to one groupBy with 64 conditional-sum aggregates —
-    * vectorized, single shuffle, no UDAF. No oracle (xxhash64). */
-  def simHash(documents: DataFrame): DataFrame = {
-    val toks = tokenPostings(documents)
+    * sum per bit of XXH64(token), packed into one BIGINT — ONE custom
+    * sketch aggregate ([[graft.functions.SketchAggs.SimHashAgg]]) whose
+    * buffer is the 64 running bit sums, replacing the 64 conditional-sum
+    * formulation whose codegen class cost multi-second compiles. Single
+    * shuffle. No oracle (hash-derived). */
+  def simHash(documents: DataFrame): DataFrame =
+    tokenPostings(documents)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, col("w")).otherwise(-col("w"))).as(s"b$i")
-    }
-    val packed = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    toks.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
-  }
+      .groupBy("doc_id")
+      .agg(graft.functions.SketchAggs.simhash(col("token"), col("w")).as("simhash"))
 
   /** SimHash near-dup pairs: block on 4×16-bit chunks (a pair within
     * Hamming distance ≤3 of a 64-bit hash must agree on ≥1 of 4 chunks —

@@ -33,8 +33,45 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     }
 }
 
-/** `spark.sql.extensions` entry point installing the engine's rules. */
+/** `spark.sql.extensions` entry point installing the engine's rules and
+  * registering its custom expressions as SQL functions, so `spark.sql`
+  * users get the same surface as the Column API:
+  *
+  *   SELECT dot_product(a, b)          -- codegen'd dense dot product
+  *   SELECT minhash_sig(shingle, 32)   -- MinHash signature sketch agg
+  *   SELECT simhash(token, w)          -- packed 64-bit SimHash sketch agg
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+  import graft.functions.{DotProduct, SketchAggs}
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dense dot product of two ARRAY<DOUBLE>"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(s, n) - aggregate: n-hash MinHash signature of the group's strings"),
+      (args: Seq[Expression]) => {
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig numHashes must be an integer literal, got $other")
+        }
+        SketchAggs.MinHashAgg(args.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      info("simhash",
+        "simhash(token, weight) - aggregate: packed 64-bit SimHash of the group"),
+      (args: Seq[Expression]) => SketchAggs.SimHashAgg(args(0), args(1))))
+  }
 }

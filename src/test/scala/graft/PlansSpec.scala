@@ -37,6 +37,22 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("extensions register the custom expressions as SQL functions") {
+    withExtendedSession { ext =>
+      val r = ext.sql(
+        "SELECT dot_product(array(1d,2d,3d), array(4d,5d,6d)) AS dp").head()
+      assert(r.getDouble(0) == 32.0)
+      ext.range(3).selectExpr("concat('s', id) AS s", "id AS w")
+        .createOrReplaceTempView("toks")
+      val sig = ext.sql("SELECT minhash_sig(s, 8) AS sig FROM toks").head()
+        .getSeq[Long](0)
+      assert(sig.length == 8)
+      val sh = ext.sql("SELECT simhash(s, w) AS h FROM toks").head().getLong(0)
+      // deterministic: same input, same packed hash
+      assert(sh == ext.sql("SELECT simhash(s, w) AS h FROM toks").head().getLong(0))
+    }
+  }
+
   test("count(distinct) rewrites to HLL++ only under the opt-in flag") {
     val exact = q("consistency_check").collect().head.getAs[Long]("unique_players")
     withExtendedSession { ext =>

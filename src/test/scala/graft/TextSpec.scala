@@ -62,6 +62,18 @@ class TextSpec extends SparkTestBase {
       labels.select("cluster")).count() == 0)
   }
 
+  test("sketch aggregates are partition-invariant (merge path ≡ single update path)") {
+    // repartitioning forces partial sketches through serialize/merge; results
+    // must be identical to the narrow path for the sketch to be correct
+    val sh = ops.Text.shingles(docs)
+    val one = ops.Text.minHashSignaturesFrom(sh.coalesce(1), 32)
+    val many = ops.Text.minHashSignaturesFrom(sh.repartition(7), 32)
+    assert(one.except(many).count() == 0 && many.except(one).count() == 0)
+    val s1 = ops.Text.simHash(docs.coalesce(1))
+    val s7 = ops.Text.simHash(docs.repartition(7))
+    assert(s1.except(s7).count() == 0 && s7.except(s1).count() == 0)
+  }
+
   test("quality score bounded in [0,1]; langid predicts en for stopword-bearing soup") {
     val tq = q("text_quality").cache()
     assert(tq.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
