@@ -104,4 +104,43 @@ class PropertiesSpec extends SparkTestBase {
           col("ppg").isNull || col("topg").isNull).count() == 0
     })
   }
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+    "eta", "theta", "iota", "kappa")
+  private val docGen: Gen[String] =
+    Gen.choose(6, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+
+  private def docsDf(texts: List[String]) = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("law: minhash signature components never increase when shingles are added") {
+    check("minhash monotone")(Prop.forAll(Gen.listOfN(3, docGen), docGen) { (texts, extra) =>
+      val base = docsDf(texts)
+      val extended = docsDf(texts.map(_ + " " + extra))
+      val sigB = ops.Text.minHashSignaturesFrom(ops.Text.shingles(base), 16)
+        .withColumnRenamed("sig", "sb")
+      val sigE = ops.Text.minHashSignaturesFrom(ops.Text.shingles(extended), 16)
+        .withColumnRenamed("sig", "se")
+      // extending a doc adds shingles; each elementwise min can only go down
+      sigB.join(sigE, Seq("doc_id"))
+        .filter(exists(zip_with(col("sb"), col("se"), (b, e) => e > b), x => x))
+        .count() == 0
+    })
+  }
+
+  test("law: simhash is invariant under uniform weight scaling (doc + doc)") {
+    check("simhash scale-invariant")(Prop.forAll(Gen.listOfN(3, docGen)) { texts =>
+      val once = ops.Text.simHash(docsDf(texts))
+      val twice = ops.Text.simHash(docsDf(texts.map(t => t + " " + t)))
+        .withColumnRenamed("simhash", "simhash2")
+      // doubling every token count doubles each signed bit sum: signs, and
+      // therefore the packed hash, are unchanged
+      once.join(twice, Seq("doc_id"))
+        .filter(col("simhash") =!= col("simhash2")).count() == 0
+    })
+  }
 }
