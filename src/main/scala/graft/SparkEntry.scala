@@ -27,7 +27,7 @@ object SparkEntry {
   // (session, sfDir) and every downstream query reads the cached frame
   // instead of recomputing the whole lineage.
   private def box(s: SparkSession, d: String) =
-    Pipeline.stage(s, d, "box")(Ingest.box(s, d))
+    Pipeline.stage(s, d, "box")(Tables.fanOut(Ingest.box(s, d)))
   private def pa(s: SparkSession, d: String) =
     Pipeline.stage(s, d, "pa")(Analytics.playerAggregations(box(s, d)))
   private def adv(s: SparkSession, d: String) =

@@ -38,6 +38,21 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Guard against degenerate scan parallelism. The driver's test files are
+    * single-row-group parquet, so Spark's split planning yields ONE non-empty
+    * task per scan regardless of `maxPartitionBytes` — every map phase before
+    * the first shuffle (tokenize/explode, LSH projections, checkpoint
+    * materialization) would run on one core. A real deployment reads
+    * thousands of row groups and takes the identity path here; only when the
+    * scan has fewer splits than half the session's parallelism is one narrow
+    * round-robin shuffle added to fan the rows out. Filters/pruning still
+    * reach the scan (Catalyst pushes predicates through Repartition). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
@@ -53,6 +68,11 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+  /** documents/embeddings fan out on read: every consumer's first stage is a
+    * corpus-wide map (tokenize+explode, hyperplane projections) that must not
+    * serialize on the test files' single split. */
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    fanOut(table(spark, sfDir, "documents"))
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    fanOut(table(spark, sfDir, "embeddings"))
 }

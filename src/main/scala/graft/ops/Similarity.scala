@@ -113,9 +113,12 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val e = withNorms(embeddings)
     val featured = e.withColumn("features", array_to_vector(col("v")))
-    val fitOn = if (fitSample >= 1.0) featured else featured.sample(fitSample, seed = 42)
-    val model = new KMeans().setK(nCells).setSeed(42).setFeaturesCol("features")
-      .fit(fitOn)
+    val fitOn = (if (fitSample >= 1.0) featured else featured.sample(fitSample, seed = 42))
+      .persist() // k-means makes one pass per iteration — don't recompute the lineage each time
+    val model = try {
+      new KMeans().setK(nCells).setSeed(42).setMaxIter(10).setFeaturesCol("features")
+        .fit(fitOn)
+    } finally fitOn.unpersist()
     val assigned = model.transform(featured)
       .select(col("vec_id"), col("prediction").as("cell"))
     // centroid table: nCells rows, broadcast into the probe scoring
