@@ -27,6 +27,26 @@ object Sinks {
   def overwriteLayer(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Date-partitioned layer write — the cluster layout the scan docs assume:
+    * the fact lands as `path/part_col=.../part-*.parquet`, and the 30-day
+    * predicate in [[Ingest.recentSlice]]-style queries prunes partitions at
+    * plan time instead of filtering rows at scan time. */
+  def overwritePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** Bucketed layer write (hash-bucketed by join key, sorted in-bucket).
+    * Two layers bucketed the same way join with NO exchange on either side
+    * — the co-located join that replaces the per-query shuffle when a
+    * derived layer is re-joined repeatedly on the same key (player_id here,
+    * exactly the pa ⋈ adv ⋈ af pattern). Bucketing requires the table
+    * catalog (`saveAsTable`), not a bare path. */
+  def overwriteBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S9 JSON export sink: the reference's only external output surface
     * (`/root/reference/dags/prepare_dashboard_data.py:290-319` —
     * `df.to_json(path, orient='records')` per dashboard table). Spark's

@@ -65,6 +65,44 @@ class SinksSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("partitioned write: date predicate prunes partitions at plan time") {
+    val dir = tmp("graft_part") + "/fact"
+    val ev = Tables.events(spark, SF)
+      .withColumn("day", to_date(col("ts")))
+    Sinks.overwritePartitioned(ev, dir, "day")
+    val back = spark.read.parquet(dir)
+    val oneDay = ev.select(max(col("day"))).head.getDate(0)
+    val pruned = back.filter(col("day") === lit(oneDay))
+    // the predicate must land in PartitionFilters (pruning), not PushedFilters
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day"),
+      s"no partition pruning in:\n$scan")
+    assert(pruned.count() == ev.filter(col("day") === lit(oneDay)).count())
+  }
+
+  test("bucketed write: co-bucketed join plans with no shuffle exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    info(s"warehouse: $wh")
+    val pa = q("hash_agg_multi").select("player_id", "ppg")
+    val adv = q("group_iterate_advanced").select("player_id", "true_shooting_pct")
+    Sinks.overwriteBucketed(pa, "pa_bucketed", "player_id", 8)
+    Sinks.overwriteBucketed(adv, "adv_bucketed", "player_id", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("pa_bucketed")
+        .join(spark.table("adv_bucketed"), Seq("player_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == pa.join(adv, Seq("player_id")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS pa_bucketed")
+      spark.sql("DROP TABLE IF EXISTS adv_bucketed")
+    }
+  }
+
   test("S9 full dashboard export writes all six surfaces") {
     val dir = tmp("graft_dash")
     Sinks.exportDashboard(spark, SF, dir, q("hash_agg_multi"), q("award_features"))
