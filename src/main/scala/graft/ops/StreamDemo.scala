@@ -118,6 +118,32 @@ object StreamDemo {
       .start()
   }
 
+  /** Streaming exact dedup: the batch dedup family ([[Text.dedupExact]])
+    * rendered incrementally — a continuous document ingest emits only
+    * first-seen content, keyed by the same normalized-text SHA-256
+    * fingerprint. `dropDuplicatesWithinWatermark` bounds the dedup state:
+    * a fingerprint's entry is dropped once the watermark passes it, so
+    * state size tracks the dedup horizon (here: content re-ingested within
+    * `horizon` is suppressed; later re-ingests of ancient content pass —
+    * the deliberate trade that keeps state finite at corpus scale, vs the
+    * unbounded exact variant a batch backfill handles). */
+  def streamDedupDocs(spark: SparkSession, docsDir: String,
+      horizon: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    spark.readStream
+      .schema(schema)
+      .parquet(docsDir)
+      .withColumn("fingerprint",
+        sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256))
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select("doc_id", "fingerprint", "lang", "text")
+  }
+
   /** Batch twin of [[userActivityStream]]'s end state (for the test — and
     * the oracle-friendly rendering of the same profile). */
   def userActivityBatch(events: DataFrame): DataFrame =

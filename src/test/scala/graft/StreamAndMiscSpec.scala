@@ -46,6 +46,25 @@ class StreamAndMiscSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming dedup: one emission per distinct fingerprint") {
+    val dir = java.nio.file.Files.createTempDirectory("docs_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SF/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val query = StreamDemo.streamDedupDocs(spark, dir.toString)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val out = spark.table("dedup_stream")
+      val distinctFps = ops.Text.fingerprints(Tables.documents(spark, SF))
+        .select("fingerprint").distinct().count()
+      assert(out.count() == distinctFps,
+        s"emitted ${out.count()} rows for $distinctFps distinct fingerprints")
+      assert(out.select("fingerprint").distinct().count() == distinctFps)
+    } finally query.stop()
+  }
+
   test("streaming append-raw sink: micro-batches land as parquet appends") {
     val src = java.nio.file.Files.createTempDirectory("events_sink_src")
     java.nio.file.Files.copy(
