@@ -73,16 +73,6 @@ object Similarity {
       .select("vec_a", "vec_b", "cos_sim")
   }
 
-  /** Deterministic pseudo-random hyperplane for plane j: driver-computed
-    * from a FIXED seed (reproducible across runs and sessions) and shipped
-    * as a literal array — the per-row cost of a projection is then just a
-    * codegen dot product against a constant, instead of the dim×bits×tables
-    * hash calls per row the previous expression formulation paid. */
-  private def planeVector(j: Int, dim: Int): Array[Double] = {
-    val rnd = new java.util.Random(0x9E3779B97F4A7C15L * (j + 1))
-    Array.fill(dim)(rnd.nextDouble() * 2.0 - 1.0)
-  }
-
   /** Bucket width: bits sized so expected bucket occupancy ≈
     * `targetOccupancy` — the log₂(n) scaling that keeps candidate volume
     * LINEAR in corpus size (occupancy constant ⇒ candidates ≈ n·occupancy
@@ -156,19 +146,18 @@ object Similarity {
   /** Sign-LSH candidate id-pairs: the shared candidate generator of
     * [[lshTopK]] and [[embeddingNearDupLsh]]. Returns undirected (a < b)
     * pairs colliding in ≥1 of `tables` hash tables, deduped WITHOUT any
-    * vector payload (16 bytes/row through the shuffle). */
+    * vector payload (16 bytes/row through the shuffle). All tables' buckets
+    * come from ONE codegen'd expression
+    * ([[graft.functions.SignLshBuckets]]) — a fused tables×bits×dim loop
+    * against a shipped-once plane matrix, replacing the tables×bits
+    * independent dot-product trees whose codegen class cost multi-second
+    * compiles on first touch. */
   private def lshCandidates(e: DataFrame, n: Long, dim: Int, tables: Int,
       targetOccupancy: Int): DataFrame = {
     val bits = bitsFor(n, targetOccupancy)
-    val tableCols = (0 until tables).map { t =>
-      val sigBits = (0 until bits).map { j =>
-        val proj = dotd(col("v"), typedLit(planeVector(t * bits + j, dim).toSeq))
-        when(proj >= 0, lit(1L << j)).otherwise(0L)
-      }
-      struct(lit(t).as("t"), sigBits.reduce((a, b) => a.bitwiseOR(b)).as("b"))
-    }
-    val bucketed = e.select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("table_id"), col("tb.b").as("bucket"))
+    val bucketed = e.select(col("vec_id"),
+        posexplode(graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)))
+      .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket"))
     bucketed.as("x").join(bucketed.as("y"),
         col("x.table_id") === col("y.table_id") &&
           col("x.bucket") === col("y.bucket") &&
