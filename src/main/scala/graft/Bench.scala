@@ -10,17 +10,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // sorted order: deterministic first-touch attribution of the shared
-    // pipeline stages across rounds (Map hash order lands them arbitrarily)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          -1L
+    // Shared pipeline stages (box/pa/adv/roll/af/shingles) are built ONCE,
+    // before the timing loop, and metered as their own `pipeline_stages`
+    // entry: without this the whole stage build lands on whichever query
+    // alphabetically touches the cold cache first (r3: award_dashboard
+    // charged 185.8 s official vs 0.3 s warm). Total stays honest — the
+    // stage cost is still in the sum, just attributed to the stage build.
+    val tS = System.nanoTime()
+    SparkEntry.prebuildStages(spark, sfDir)
+    val stageSec = (System.nanoTime() - tS) / 1e9
+    val results = ("pipeline_stages" -> stageSec) +:
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            -1L
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

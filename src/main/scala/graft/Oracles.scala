@@ -293,6 +293,15 @@ af AS (
                ${r6avg("ppg")} AS ppg, ${r6avg("rpg")} AS rpg, ${r6avg("apg")} AS apg,
                ${r6avg("spg")} AS spg, ${r6avg("bpg")} AS bpg
         FROM pa GROUP BY 1) t"""),
+    // pandas average-rank tie semantics (prepare_dashboard_data.py:71-75):
+    // ties get the MEAN of the row_number positions they span — expressed
+    // portably as avg(rn) over the tie group, identical on both engines
+    "player_avg_rank" -> withPipe("""
+      SELECT player_id, games,
+             avg(rn) OVER (PARTITION BY games) AS games_avg_rank
+      FROM (SELECT player_id, games,
+                   row_number() OVER (ORDER BY games DESC, player_id) AS rn
+            FROM pa) t"""),
     "award_dashboard" -> withPipe("""
       SELECT player_id, player_name, team_name, mvp_score, ppg, rpg, apg, 'MVP' AS award,
              CAST(NULL AS DOUBLE) AS dpoy_score, CAST(NULL AS DOUBLE) AS spg,

@@ -45,6 +45,17 @@ object SparkEntry {
   private val rollIds = Seq("player_id", "player_name", "team_name", "game_id",
     "line_id", "game_date", "minutes")
 
+  /** Build + materialize every shared pipeline stage. The bench calls this
+    * BEFORE its timing loop so the one-time stage cost is metered as its own
+    * `pipeline_stages` entry instead of landing on whichever query happens to
+    * touch the cold cache first (alphabetical-first attribution was the r3
+    * bench artifact's dominant distortion). */
+  def prebuildStages(s: SparkSession, d: String): Unit = {
+    af(s, d) // transitively builds box, pa, adv, roll
+    shingles(s, d)
+    ()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ingestion / scans (S6)
@@ -88,6 +99,7 @@ object SparkEntry {
     "league_stats" -> ((s, d) => Dashboard.leagueStats(pa(s, d))),
     "topk_scorers" -> ((s, d) => Dashboard.topK(pa(s, d), "ppg")),
     "team_rankings" -> ((s, d) => Dashboard.teamRankings(pa(s, d))),
+    "player_avg_rank" -> ((s, d) => Dashboard.playerAvgRank(pa(s, d))),
     "award_dashboard" -> ((s, d) => Dashboard.awardDashboard(af(s, d))),
     "kpi_summary" -> ((s, d) => Dashboard.kpiSummary(pa(s, d), af(s, d))),
 

@@ -44,12 +44,33 @@ object Tables {
     * the first shuffle (tokenize/explode, LSH projections, checkpoint
     * materialization) would run on one core. A real deployment reads
     * thousands of row groups and takes the identity path here; only when the
-    * scan has fewer splits than half the session's parallelism is one narrow
-    * round-robin shuffle added to fan the rows out. Filters/pruning still
-    * reach the scan (Catalyst pushes predicates through Repartition). */
+    * scan has fewer estimated splits than half the session's parallelism is
+    * one narrow round-robin shuffle added to fan the rows out.
+    * Filters/pruning still reach the scan (Catalyst pushes predicates
+    * through Repartition).
+    *
+    * The split estimate reads the scan's FILE INDEX (already listed by the
+    * reader), not `df.rdd` — probing the RDD forced full physical planning
+    * of the pre-fanout frame on every read. Small files count as one
+    * non-empty task each (the single-row-group reality); large files are
+    * credited with their byte-count splits, since multi-GB parquet is
+    * many-row-group and splits for real. A frame with no file scan
+    * underneath (already materialized) is returned untouched. */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val rels = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => Some(fs)
+        case _ => None
+      }
+    }.flatten
+    val nFiles = rels.map(_.location.inputFiles.length.toLong).sum
+    val bytes = rels.map(_.location.sizeInBytes).sum
+    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val estSplits = math.max(nFiles, bytes / maxSplit)
+    if (rels.isEmpty || estSplits >= math.max(2, target / 2)) df
     else df.repartition(target)
   }
 

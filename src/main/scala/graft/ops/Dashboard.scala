@@ -18,22 +18,14 @@ object Dashboard {
   /** J1+J3 joins, W3 global ranks, P5 efficiency/overall ratings —
     * `prepare_dashboard_data.py:54-98`.
     *
-    * Global-rank strategy: a global rank() needs a total order, which in
-    * Spark is a single-partition window — unavoidable semantically, but the
-    * cost is bounded by making the windowed frame NARROW: each rank is
-    * computed over a (player_id, metric) 16-byte projection of the reduced
-    * |players|-sized aggregate (never the fact table) and hash-joined back
-    * on player_id. The wide 20-column row never funnels through the
-    * single-partition exchange — at 10⁸ players that is the difference
-    * between shuffling 1.6 GB and 32 GB through one task. */
+    * Global-rank strategy: all five metric ranks come from ONE
+    * range-partitioned two-pass rank over a melted 24-byte
+    * (player_id, metric, value) projection ([[Ranks.globalMetricRanks]]) —
+    * no single-partition window anywhere on a player-scale frame, and no
+    * 4-deep join chain of per-metric rank frames. */
   def playerDashboard(playerAgg: DataFrame, advanced: DataFrame, award: DataFrame): DataFrame = {
-    def rankOf(metric: String): DataFrame =
-      playerAgg.select(col("player_id"), col(metric))
-        .withColumn(s"${metric}_rank",
-          rank().over(Window.orderBy(col(metric).desc, col("player_id"))).cast("long"))
-        .select(col("player_id"), col(s"${metric}_rank"))
-    val ranks = Seq("ppg", "rpg", "apg", "spg", "bpg").map(rankOf)
-      .reduce(_.join(_, Seq("player_id")))
+    val ranks = Ranks.globalMetricRanks(playerAgg, "player_id",
+      Seq("ppg", "rpg", "apg", "spg", "bpg"))
     playerAgg
       .join(advanced.drop("games_played"), Seq("player_id", "player_name", "team_name"), "left")
       .join(award.select("player_id", "mvp_score", "dpoy_score", "sixmoy_score"),
@@ -72,6 +64,16 @@ object Dashboard {
       .withColumn("defensive_rating",
         col("spg_mean") * 0.4 + col("bpg_mean") * 0.4 + col("rpg_mean") * 0.2)
       .withColumn("depth_score", col("player_count") * 10)
+
+  /** W3 exact-reproduction variant: the reference's pandas
+    * `rank(ascending=False)` AVERAGES ties (`prepare_dashboard_data.py:71-75`)
+    * where SQL `rank()` does not — this query reproduces the pandas tie
+    * semantics exactly, over `games` (an integer metric with real ties, so
+    * the averaging path is actually exercised). Scale-safe via
+    * [[Ranks.avgRank]]; oracle-mirrored. */
+  def playerAvgRank(playerAgg: DataFrame): DataFrame =
+    Ranks.avgRank(playerAgg.select("player_id", "games"), "games", "player_id", "games_avg_rank")
+      .select("player_id", "games", "games_avg_rank")
 
   /** A12 `league_stats_row`: whole-table means collapsed into one KPI row —
     * `prepare_dashboard_data.py:156-171`. */

@@ -92,6 +92,35 @@ object Ingest {
       .drop("cutoff")
   }
 
+  /** S2 per-item fault isolation: the reference wraps each game's ingest in
+    * try/except and continues past bad records
+    * (`/root/reference/dags/ingest_nba_daily.py:82-85`). The Spark rendering
+    * is PERMISSIVE parsing: a malformed source line lands whole in
+    * `_corrupt_record` instead of failing the job, and the frame splits into
+    * (clean, quarantined) — ingest keeps going, bad items are preserved for
+    * inspection (the `badRecordsPath` pattern, here as an explicit
+    * quarantine frame the caller can sink).
+    *
+    * The parsed frame is cached: both splits filter on the internal
+    * corrupt-record column, which Spark disallows referencing alone on an
+    * uncached parse (the parser would otherwise have to re-run per
+    * consumer). Cache scope is one ingest batch — bounded, and exactly the
+    * reference's per-DAG-run working set. */
+  def readJsonPermissive(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    val clean = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantined = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_record"))
+    (clean, quarantined)
+  }
+
   /** S3 analog: the reference synthesizes a static 12-team dimension from
     * literal rows (`/root/reference/dags/ingest_wnba_daily.py:60-84`). Here:
     * the distinct team list derived from the part dimension. */

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global ranking (W3 — `/root/reference/dags/prepare_dashboard_data.py:71-75`).
+  *
+  * A global rank needs a total order; the naive Spark rendering —
+  * `Window.orderBy` with no partitionBy — funnels the whole frame through ONE
+  * task (the `WindowExec: No Partition Defined` warning). Bounding the row to
+  * a 16-byte (id, metric) projection caps the damage, but at 10⁸ players that
+  * is still a ~1.6 GB single-task sort. This is the classic distributed
+  * two-pass rank instead:
+  *
+  *   1. range-partition the melted (id, metric, value) rows on the rank
+  *      ordering, so partition p holds rows that sort strictly before
+  *      partition p+1 within each metric;
+  *   2. rank locally inside each partition (parallel windows, partitioned by
+  *      (metric, partition));
+  *   3. add per-partition cumulative row-count offsets — a
+  *      metrics×partitions metadata aggregate, cumulated on the driver
+  *      (bounded: same class as the sanctioned n/dim `head()`s) and
+  *      broadcast back.
+  *
+  * Every rank ordering here carries a unique tiebreak key, so SQL `rank()` ≡
+  * `row_number()`, and local row_number + partition offset reproduces the
+  * single-window value exactly (hash-verified vs the DuckDB oracle's
+  * `rank() OVER (ORDER BY …)`).
+  */
+object Ranks {
+
+  /** Global per-metric descending ranks (ties broken by `idCol`), one row per
+    * id with a `<metric>_rank` column per metric. All metrics ride ONE melted
+    * frame through the two-pass machinery — one range shuffle, one local
+    * window, one pivot-back aggregation — instead of N single-partition
+    * windows joined N−1 times. */
+  def globalMetricRanks(df: DataFrame, idCol: String, metrics: Seq[String]): DataFrame =
+    meltedRowNumbers(df, idCol, metrics)
+      .groupBy(idCol)
+      .agg(
+        max(when(col("metric") === metrics.head, col("rk"))).as(s"${metrics.head}_rank"),
+        metrics.tail.map(m => max(when(col("metric") === m, col("rk"))).as(s"${m}_rank")): _*)
+
+  /** pandas `rank(ascending=False)` average-tie semantics
+    * (`prepare_dashboard_data.py:71-75`): tied values receive the MEAN of the
+    * positions they span, as DOUBLE. Two-pass row numbers first, then the
+    * mean row number within each tie group — a hash-partitioned window over
+    * the tie value (group size = tie multiplicity), never a global sort. */
+  def avgRank(df: DataFrame, metric: String, idCol: String, out: String): DataFrame = {
+    val rn = meltedRowNumbers(df, idCol, Seq(metric))
+      .withColumn(out, avg(col("rk")).over(Window.partitionBy("value")))
+      .select(col(idCol), col(out))
+    df.join(rn, Seq(idCol))
+  }
+
+  /** Melted two-pass row numbers: (id, metric, value, rk) with rk = global
+    * 1-based position in the (value DESC, id ASC) order within each metric.
+    *
+    * The range-partitioned frame is materialized once (`localCheckpoint`):
+    * its partition ids feed both the local windows and the offset aggregate,
+    * which run as separate subtrees — without pinning, each would re-execute
+    * the sampled range exchange and could disagree on row placement. */
+  private[graft] def meltedRowNumbers(
+      df: DataFrame, idCol: String, metrics: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val melted = df.select(col(idCol),
+        explode(array(metrics.map(m =>
+          struct(lit(m).as("metric"), col(m).cast("double").as("value"))): _*)).as("mv"))
+      .select(col(idCol), col("mv.metric").as("metric"), col("mv.value").as("value"))
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    val ranged = melted
+      .repartitionByRange(parts, col("metric"), col("value").desc, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy("metric", "_pid").agg(count(lit(1)).as("_cnt"))
+      .as[(String, Int, Long)].collect()
+    val offsets = counts.groupBy(_._1).toSeq.flatMap { case (m, rows) =>
+      val sorted = rows.toSeq.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.scanLeft(0L)(_ + _._3))
+        .map { case (pid, off) => (m, pid, off) }
+    }
+    val offDf = offsets.toDF("metric", "_pid", "_off")
+    val w = Window.partitionBy("metric", "_pid").orderBy(col("value").desc, col(idCol))
+    ranged.withColumn("_lrn", row_number().over(w))
+      .join(broadcast(offDf), Seq("metric", "_pid"))
+      .select(col(idCol), col("metric"), col("value"),
+        (col("_lrn") + col("_off")).cast("long").as("rk"))
+  }
+}

@@ -92,18 +92,26 @@ object Similarity {
     * Shuffle discipline matches [[lshTopK]]: cell assignment and probing
     * shuffle only (id, cell) pairs; candidate (query, neighbor) id-pairs are
     * formed by the narrow cell join, and the 64-double vectors are attached
-    * exactly once per candidate before the codegen dot product. At corpus
-    * scale the quantizer trains on a bounded sample (`fitSample`) — k-means
-    * cost is decoupled from corpus size; assignment is one broadcast of
-    * nCells centroids. No DuckDB oracle (k-means cell ids are
-    * Spark-specific); recall vs [[cosineTopK]] is asserted in ScalaTest. */
+    * exactly once per candidate before the codegen dot product.
+    *
+    * Train-on-sample / assign-all contract: the quantizer FITS on a sample
+    * capped at `fitMaxRows` rows (k-means cost decoupled from corpus size —
+    * at 10⁹ rows the fit still touches ≤100 k vectors), then ASSIGNS every
+    * corpus vector via one broadcast of the nCells centroids. Centroids from
+    * a 100 k uniform sample are statistically indistinguishable from a
+    * full-corpus fit for coarse quantization (nCells ≪ sample). Below the
+    * cap the sample is the whole corpus, so small-corpus recall is
+    * unchanged. No DuckDB oracle (k-means cell ids are Spark-specific);
+    * recall vs [[cosineTopK]] is asserted in ScalaTest. */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 16,
-      nProbe: Int = 4, fitSample: Double = 1.0): DataFrame = {
+      nProbe: Int = 4, fitMaxRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = withNorms(embeddings)
     val featured = e.withColumn("features", array_to_vector(col("v")))
-    val fitOn = (if (fitSample >= 1.0) featured else featured.sample(fitSample, seed = 42))
+    val n = embeddings.count()
+    val frac = math.min(1.0, fitMaxRows.toDouble / math.max(1L, n))
+    val fitOn = (if (frac >= 1.0) featured else featured.sample(frac, seed = 42))
       .persist() // k-means makes one pass per iteration — don't recompute the lineage each time
     val model = try {
       new KMeans().setK(nCells).setSeed(42).setMaxIter(10).setFeaturesCol("features")

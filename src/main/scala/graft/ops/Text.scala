@@ -194,14 +194,16 @@ object Text {
         .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nbr_cluster")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_cluster")).as("nbr_min"))
+      // update + convergence in ONE pass: the old label rides through the
+      // same select, so `changed` is a trivial filter-count over the
+      // materialized frame — not a second labels join + job per round
       val updated = labels
         .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster").as("_old"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
-        .filter(col("cluster") =!= col("old")).count()
-      labels = updated
+      changed = updated.filter(col("cluster") =!= col("_old")).count()
+      labels = updated.select("doc_id", "cluster")
       iter += 1
     }
     labels.withColumn("is_keeper", (col("doc_id") === col("cluster")).cast("int"))

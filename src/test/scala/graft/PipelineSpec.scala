@@ -54,6 +54,25 @@ class PipelineSpec extends SparkTestBase {
     assert(keys.sameElements(keys.sortBy(identity)), "sort_multikey not in sorted order")
   }
 
+  test("S2 permissive ingest isolates corrupt records and continues") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
+    val f = dir.resolve("games.json")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"game_id": 1, "pts": 10.5}""",
+      """{"game_id": 2, "pts": """, // truncated mid-record — the "bad game"
+      """not json at all""",
+      """{"game_id": 3, "pts": 7.0}"""))
+    val schema = StructType(Seq(
+      StructField("game_id", LongType), StructField("pts", DoubleType)))
+    val (clean, quarantined) = graft.ops.Ingest.readJsonPermissive(spark, f.toString, schema)
+    assert(clean.count() == 2, "good records must survive a bad neighbor")
+    assert(quarantined.count() == 2, "both malformed lines quarantined")
+    assert(clean.agg(sum("pts")).head.getDouble(0) == 17.5)
+    // the quarantine preserves the raw line for inspection
+    assert(quarantined.filter(col("raw_record").contains("not json")).count() == 1)
+  }
+
   test("quality report passes on clean synthetic data") {
     val r = q("quality_report").collect().head
     assert(r.getAs[String]("overall_status") == "PASS")

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Analytics, Dashboard, Ingest, Ranks}
+
+class RanksSpec extends SparkTestBase {
+
+  test("two-pass global rank equals the single-window rank on real data") {
+    val pa = Analytics.playerAggregations(Ingest.box(spark, SF)).cache()
+    val twoPass = Ranks.globalMetricRanks(pa, "player_id", Seq("ppg", "rpg"))
+    val oneWindow = pa.select(col("player_id"),
+      rank().over(Window.orderBy(col("ppg").desc, col("player_id"))).cast("long").as("ppg_ref"),
+      rank().over(Window.orderBy(col("rpg").desc, col("player_id"))).cast("long").as("rpg_ref"))
+    val joined = twoPass.join(oneWindow, Seq("player_id"))
+    assert(joined.count() == pa.count())
+    assert(joined.filter(col("ppg_rank") =!= col("ppg_ref") ||
+      col("rpg_rank") =!= col("rpg_ref")).count() == 0)
+  }
+
+  test("avgRank reproduces pandas average-tie semantics") {
+    import spark.implicits._
+    // pandas: Series([30,20,20,10]).rank(ascending=False) == [1.0, 2.5, 2.5, 4.0]
+    val df = Seq((1L, 30.0), (2L, 20.0), (3L, 20.0), (4L, 10.0)).toDF("id", "v")
+    val got = Ranks.avgRank(df, "v", "id", "v_avg_rank")
+      .select("id", "v_avg_rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.5, 3L -> 2.5, 4L -> 4.0))
+  }
+
+  test("player_avg_rank: tie groups share one averaged rank; ranks cover 1..n") {
+    val ar = q("player_avg_rank").cache()
+    // within a tie group (same games), every row carries the same avg rank
+    val perGroup = ar.groupBy("games")
+      .agg(countDistinct(col("games_avg_rank")).as("n_ranks"))
+    assert(perGroup.filter(col("n_ranks") =!= 1).count() == 0)
+    // sum of avg ranks == n(n+1)/2 (rank mass is conserved under averaging)
+    val n = ar.count().toDouble
+    val s = ar.agg(sum("games_avg_rank")).head.getDouble(0)
+    assert(math.abs(s - n * (n + 1) / 2) < 1e-6)
+  }
+}
