@@ -144,6 +144,56 @@ object StreamDemo {
       .select("doc_id", "fingerprint", "lang", "text")
   }
 
+  /** Streaming NEAR-dup: extends [[streamDedupDocs]] beyond exact
+    * fingerprints — a continuous document ingest admits only documents that
+    * are not MinHash-LSH near-duplicates of anything admitted before, within
+    * or across micro-batches. Each batch runs [[Text.nearDupAdmit]] against
+    * a signature store of all previously admitted docs: the store carries
+    * one fixed-size sketch (32×8 B) per doc, not text or shingles, so state
+    * grows linearly in ADMITTED docs with a small constant. foreachBatch +
+    * an external store (rather than `transformWithState`) because the LSH
+    * candidate join is a relational self-join per batch, not per-key state
+    * — the same reason the batch operator is a join, not an aggregation.
+    * At corpus scale the store would be bucketed by band_hash so a batch
+    * joins only matching buckets. Admitted docs land in `outDir`;
+    * checkpointing makes batch replays idempotent on the sink side
+    * (re-run batches re-admit the same ids). */
+  def streamNearDupDocs(spark: SparkSession, docsDir: String, outDir: String,
+      storeDir: String, checkpointDir: String,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val storeSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("sig", ArrayType(LongType))))
+    def readStore(): DataFrame = {
+      val path = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path) && fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet")))
+        spark.read.schema(storeSchema).parquet(storeDir)
+      else spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        storeSchema)
+    }
+    spark.readStream
+      .schema(schema)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sigs = Text.minHashSignaturesFrom(Text.shingles(batch), 32)
+        // pin the admission before writing: `admitted` feeds BOTH the doc
+        // sink and the store append — without materialization the second
+        // write would re-execute the plan against a store it just mutated
+        val admitted = Text.nearDupAdmit(sigs, readStore(), threshold)
+          .localCheckpoint(true)
+        batch.join(admitted.select("doc_id"), Seq("doc_id"))
+          .write.mode("append").parquet(outDir)
+        admitted.write.mode("append").parquet(storeDir)
+      }
+      .start()
+  }
+
   /** Batch twin of [[userActivityStream]]'s end state (for the test — and
     * the oracle-friendly rendering of the same profile). */
   def userActivityBatch(events: DataFrame): DataFrame =

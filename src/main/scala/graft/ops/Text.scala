@@ -233,20 +233,28 @@ object Text {
       numHashes: Int = 32, bands: Int = 8): DataFrame =
     dedupMinHashLshFrom(shingles(documents), threshold, numHashes, bands)
 
-  /** Same, over precomputed shingle postings (shared by signature
-    * generation, the verify joins, and the size denominators). */
-  def dedupMinHashLshFrom(sh: DataFrame, threshold: Double = 0.5,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+  /** LSH band buckets of a signature frame: (doc_id, band, band_hash) —
+    * one band hash per `numHashes/bands` signature rows, the standard
+    * banding OR-construction. Shared by the batch near-dup pass and the
+    * streaming incremental admission. */
+  def bandBuckets(sig: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sig = minHashSignaturesFrom(sh, numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows)
           .map(j => element_at(col("sig"), j + 1)): _*).as("bh"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("band_hash"))
       .distinct()
+  }
+
+  /** Same, over precomputed shingle postings (shared by signature
+    * generation, the verify joins, and the size denominators). */
+  def dedupMinHashLshFrom(sh: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val sig = minHashSignaturesFrom(sh, numHashes)
+    val buckets = bandBuckets(sig, numHashes, bands)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -265,6 +273,58 @@ object Text {
         col("n_common").cast("double") / (col("size_a") + col("size_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash similarity estimate: the fraction of agreeing signature
+    * components is an unbiased estimator of the Jaccard similarity.
+    * Interpreted higher-order functions are fine here — this runs only on
+    * band-collision CANDIDATES (a small fraction of any batch), never
+    * corpus-wide. */
+  private def estJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(a)
+
+  /** Incremental near-dup admission — the batch-incremental core of the
+    * streaming near-dup leg. Given the MinHash signature STORE of previously
+    * admitted documents and the signatures of a new micro-batch, admits only
+    * new documents that are near-dups of neither the store nor an earlier
+    * (smaller doc_id) document in the same batch.
+    *
+    * Near-dup = collides in ≥1 LSH band (same OR-construction as
+    * [[dedupMinHashLshFrom]]) AND estimated Jaccard from the signatures ≥
+    * `threshold`. The verify step uses the signature estimate rather than
+    * exact shingle Jaccard deliberately: the store then carries ONE
+    * fixed-size sketch per admitted doc (32×8 B), not its shingle set —
+    * state linear in admitted docs with a small constant, the property that
+    * keeps the stream viable at corpus scale. Within-batch suppression is
+    * greedy by doc_id (a chain a≈b≈c admits only a) — the batch
+    * [[clustersFromPairs]] pass is the exact-clustering backfill.
+    *
+    * Scale posture: candidates shuffle as bare id-pairs; signatures are
+    * re-joined once per candidate. At 100 TB the store side would be
+    * written bucketed by band_hash ([[Sinks]] bucketed layout) so each
+    * micro-batch joins only matching buckets instead of scanning the full
+    * store. */
+  def nearDupAdmit(newSigs: DataFrame, storeSigs: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val nb = bandBuckets(newSigs, numHashes, bands)
+    val sb = bandBuckets(storeSigs, numHashes, bands)
+    val candStore = nb.as("x").join(sb.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("other_id"))
+    val candNew = nb.as("x").join(nb.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("other_id"))
+    val cand = candStore.unionAll(candNew).distinct()
+    val otherSigs = storeSigs.unionByName(newSigs)
+      .select(col("doc_id").as("other_id"), col("sig").as("sig_b"))
+    val dup = cand
+      .join(newSigs.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
+      .join(otherSigs, Seq("other_id"))
+      .filter(estJaccard(col("sig_a"), col("sig_b")) >= threshold)
+      .select("doc_id").distinct()
+    newSigs.join(dup, Seq("doc_id"), "left_anti")
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Per doc: weighted sign

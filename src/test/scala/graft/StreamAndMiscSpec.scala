@@ -65,6 +65,51 @@ class StreamAndMiscSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming near-dup: cross-batch near-duplicates are suppressed") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("docs_neardup_src")
+    val out = java.nio.file.Files.createTempDirectory("docs_neardup_out")
+    val store = java.nio.file.Files.createTempDirectory("docs_neardup_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("docs_neardup_ckpt")
+    // 100 tokens; a one-word edit keeps true Jaccard ≈ 0.90 — well above the
+    // 0.5 threshold with margin for the 32-hash minhash estimate (the seeded
+    // hashes make the outcome deterministic for fixed texts)
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    def stage(n: Int, docs: Seq[(Long, String)]): Unit = {
+      // FileStreamSource monitors a flat directory: write via Spark to a tmp
+      // dir, then move the part file in as one new batch file
+      val tmp = java.nio.file.Files.createTempDirectory(s"docs_neardup_tmp$n")
+      docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .select("doc_id", "lang", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.copy(part, src.resolve(s"batch$n.parquet"))
+    }
+    // batch 1: two genuinely distinct docs
+    stage(1, Seq(1L -> base,
+      2L -> (1 to 40).map(i => s"other$i").mkString(" ")))
+    val query = StreamDemo.streamNearDupDocs(
+      spark, src.toString, out.toString, store.toString, ckpt.toString)
+    try {
+      query.processAllAvailable()
+      val afterB1 = spark.read.parquet(out.toString)
+      assert(afterB1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+      // batch 2: doc 3 is a near-dup of doc 1 FROM THE PREVIOUS BATCH
+      // (one trailing word changed); doc 4 is new content
+      stage(2, Seq(3L -> base.replace("tok100", "edited"),
+        4L -> (1 to 40).map(i => s"fresh$i").mkString(" ")))
+      query.processAllAvailable()
+      val afterB2 = spark.read.parquet(out.toString)
+      val admitted = afterB2.select("doc_id").as[Long].collect().toSet
+      assert(admitted == Set(1L, 2L, 4L),
+        s"expected cross-batch near-dup 3 suppressed and 4 admitted, got $admitted")
+      // the store carries one signature per admitted doc
+      val sigs = spark.read.parquet(store.toString)
+      assert(sigs.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    } finally query.stop()
+  }
+
   test("streaming append-raw sink: micro-batches land as parquet appends") {
     val src = java.nio.file.Files.createTempDirectory("events_sink_src")
     java.nio.file.Files.copy(
