@@ -30,6 +30,26 @@ object Quality {
         datediff(col("last_lineitem_update"), col("last_event_update")).cast("long"))
   }
 
+  /** F5 wall-clock variant of [[freshness]] — deployment parity with
+    * `data_quality_checks.py:46-64`, which compares layer maxima against
+    * CURRENT_DATE / utcnow. Deliberately NOT an oracled query (wall clock is
+    * nondeterministic between the Spark and DuckDB runs); the oracled
+    * [[freshness]] pins "now" to the data's own max instead. Covered by a
+    * shape test. */
+  def freshnessWallClock(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).agg(max(col("ts")).as("last_event_update"))
+    val or = Tables.orders(spark, sfDir).agg(max(col("o_orderdate")).as("last_order_update"))
+    val li = Tables.lineitem(spark, sfDir).agg(max(col("l_shipdate")).as("last_lineitem_update"))
+    ev.crossJoin(or).crossJoin(li)
+      .withColumn("checked_at", current_timestamp())
+      .withColumn("events_days_behind_now",
+        datediff(current_date(), col("last_event_update")).cast("long"))
+      .withColumn("orders_days_behind_now",
+        datediff(current_date(), col("last_order_update")).cast("long"))
+      .withColumn("events_fresh_now", col("events_days_behind_now") <= 1)
+      .withColumn("orders_fresh_now", col("orders_days_behind_now") <= 1)
+  }
+
   /** A8 `count_rows`: completeness counts over a trailing 7-day window
     * (pinned to data max), one count per table-analog in a single row —
     * `data_quality_checks.py:95-136`. */

@@ -73,6 +73,17 @@ class PipelineSpec extends SparkTestBase {
     assert(quarantined.filter(col("raw_record").contains("not json")).count() == 1)
   }
 
+  test("F5 wall-clock freshness variant: one stamped row, flags never null") {
+    val r = graft.ops.Quality.freshnessWallClock(spark, SF).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[java.sql.Timestamp]("checked_at") != null)
+    assert(!row.isNullAt(row.fieldIndex("events_fresh_now")))
+    assert(!row.isNullAt(row.fieldIndex("orders_fresh_now")))
+    // the synthetic data lies in the past: behind-now lags are non-negative
+    assert(row.getAs[Long]("events_days_behind_now") >= 0)
+  }
+
   test("quality report passes on clean synthetic data") {
     val r = q("quality_report").collect().head
     assert(r.getAs[String]("overall_status") == "PASS")
