@@ -78,6 +78,35 @@ object Text {
       col("doc_id"),
       sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256).as("fingerprint"))
 
+  /** Winnowing document fingerprints (the MOSS rolling-hash scheme,
+    * Schleimer/Wilkerson/Aiken 2003): hash every k-gram of the token
+    * sequence (positions kept — a rolling window, unlike the distinct
+    * shingle sets of the dedup family), then keep the MINIMUM hash of every
+    * window of `w` consecutive k-grams. Guarantees: any token run of length
+    * ≥ w+k−1 shared by two documents yields a shared fingerprint, at
+    * expected density 2/(w+1) of the k-gram count — the partial-overlap
+    * detector that whole-document hashing ([[fingerprints]]) cannot be.
+    *
+    * One narrow plan: tokenize → posexplode k-gram hashes → two window
+    * passes over ONE doc_id shuffle (sliding min + gram count) → distinct.
+    * Hashes are xxhash64 (Spark-specific) → rows-only oracle; the density
+    * and shared-run guarantees are ScalaTest laws. */
+  def winnowFingerprints(documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val grams = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))))
+      .select(col("doc_id"), col("pos"), col("col").as("gh"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    grams
+      .withColumn("wmin", min(col("gh")).over(byDoc.orderBy("pos").rowsBetween(0, w - 1)))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .filter(col("pos") <= col("n") - w) // full windows only (standard winnowing)
+      .select(col("doc_id"), col("wmin").as("fingerprint"))
+      .distinct()
+  }
+
   /** Exact deduplication: hash-groupBy on the fingerprint; every doc maps to
     * the group's keeper (min doc_id). Scales as one shuffle of (hash, id). */
   def dedupExact(documents: DataFrame): DataFrame = {

@@ -62,6 +62,32 @@ class TextSpec extends SparkTestBase {
       labels.select("cluster")).count() == 0)
   }
 
+  test("winnowing: shared long runs share a fingerprint; density bounded") {
+    import spark.implicits._
+    // k=5, w=4: any shared token run of length ≥ w+k−1 = 8 must yield a
+    // shared fingerprint — doc 2 embeds a 12-token run of doc 1 in the
+    // middle of otherwise disjoint text
+    val run = (1 to 12).map(i => s"run$i").mkString(" ")
+    val synth = Seq(
+      (1L, s"${(1 to 20).map(i => s"a$i").mkString(" ")} $run ${(1 to 20).map(i => s"b$i").mkString(" ")}"),
+      (2L, s"${(1 to 20).map(i => s"c$i").mkString(" ")} $run ${(1 to 20).map(i => s"d$i").mkString(" ")}"),
+      (3L, (1 to 30).map(i => s"e$i").mkString(" "))).toDF("doc_id", "text")
+    val fp = Text.winnowFingerprints(synth).cache()
+    val f1 = fp.filter(col("doc_id") === 1).select("fingerprint")
+    val f2 = fp.filter(col("doc_id") === 2).select("fingerprint")
+    val f3 = fp.filter(col("doc_id") === 3).select("fingerprint")
+    assert(f1.intersect(f2).count() > 0, "shared 12-token run produced no shared fingerprint")
+    assert(f1.intersect(f3).count() == 0, "disjoint docs must not share fingerprints")
+    // density: selected fingerprints are a strict subset of the k-gram count
+    // (52 tokens → 48 grams, 45 full windows; expected density 2/(w+1) = 0.4)
+    val n1 = f1.count()
+    assert(n1 > 0 && n1 <= 45, s"fingerprint count $n1 outside (0, windows]")
+    // corpus fingerprints exist and are deterministic
+    val c1 = q("fingerprint_winnow")
+    val c2 = q("fingerprint_winnow")
+    assert(c1.count() > 0 && c1.except(c2).count() == 0)
+  }
+
   test("sketch aggregates are partition-invariant (merge path ≡ single update path)") {
     // repartitioning forces partial sketches through serialize/merge; results
     // must be identical to the narrow path for the sketch to be correct
