@@ -62,4 +62,46 @@ object Multimodal {
       .mapPartitions(rows => rows.map(stubDecode))
       .toDF()
   }
+
+  /** A resized media payload (what a decode → resample → re-encode step
+    * emits). */
+  case class ResizedMedia(media_id: Long, media_type: String, width: Int,
+      height: Int, payload: Array[Byte])
+
+  /** Resize: decode → resample to (w, h) → re-encode, partition-local. The
+    * codec is the same sanctioned stub (deterministic payload truncation
+    * proportional to the target area); the plumbing — typed Dataset in/out,
+    * per-partition iteration where a batched/GPU codec amortizes setup — is
+    * real. */
+  def resizeMedia(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      // ??? <- real codec resample goes here; deterministic fake below.
+      val len = math.max(16, math.min(r.payload.length, w * h / 64))
+      ResizedMedia(r.media_id, r.media_type, w, h, java.util.Arrays.copyOf(r.payload, len))
+    })
+  }
+
+  /** One sampled frame of a media item. */
+  case class MediaFrame(media_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Frame sampling: every Nth frame of each clip, one output row per
+    * sampled frame. flatMap keeps the explosion on the executors (a 2-hour
+    * clip fans out where its partition lives, never through the driver),
+    * and downstream per-frame feature extraction parallelizes after one
+    * narrow shuffle. Frame count comes from the same stub decode as
+    * [[mediaMeta]]; the frame payload stub is a deterministic slice. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int = 30): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      // ??? <- real frame extraction goes here; deterministic fake below.
+      val total = stubDecode(r).n_frames
+      (0 until total by everyN).map { i =>
+        val off = if (r.payload.isEmpty) 0 else i % math.max(1, r.payload.length)
+        MediaFrame(r.media_id, i,
+          java.util.Arrays.copyOfRange(r.payload, off,
+            math.min(r.payload.length, off + 64)))
+      }
+    }
+  }
 }

@@ -162,6 +162,26 @@ class StreamAndMiscSpec extends SparkTestBase {
     assert(m1.filter(col("width") < 64 || col("height") < 64).count() == 0)
   }
 
+  test("multimodal resize and frame-sample: typed plumbing, deterministic stubs") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, Tables.documents(spark, SF)).cache()
+    val n = media.count()
+    val resized = Multimodal.resizeMedia(media, 224, 224).cache()
+    assert(resized.count() == n) // one output per input
+    assert(resized.filter(r => r.width != 224 || r.height != 224).count() == 0)
+    assert(resized.filter(r => r.payload.length > 224 * 224 / 64).count() == 0)
+    val frames = Multimodal.sampleFrames(media, everyN = 30).cache()
+    // every media item yields ≥1 frame; per-item count = ceil(n_frames/30)
+    val expected = Multimodal.mediaMeta(spark, Tables.documents(spark, SF))
+      .select(col("media_id"), ceil(col("n_frames") / lit(30.0)).cast("long").as("exp"))
+    val got = frames.groupBy("media_id").agg(count(lit(1)).as("got"))
+    assert(got.join(expected, Seq("media_id")).filter(col("got") =!= col("exp")).count() == 0)
+    // deterministic
+    val again = Multimodal.sampleFrames(media, everyN = 30)
+      .select("media_id", "frame_idx")
+    assert(frames.select("media_id", "frame_idx").except(again).count() == 0)
+  }
+
   test("MLlib random-forest smoke: finite R2, importances sum to 1") {
     val feats = q("award_features")
     val res = graft.ml.Train.trainAwardModel(feats)
