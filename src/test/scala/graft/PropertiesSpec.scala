@@ -105,6 +105,44 @@ class PropertiesSpec extends SparkTestBase {
     })
   }
 
+  // heavy-tie values: small integer domain forces tie groups that straddle
+  // range-partition boundaries — the exact spot a two-pass rank can break
+  private val tieRows: Gen[List[(Long, Double)]] =
+    Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 5).map(_.toDouble))
+        .map(_.zipWithIndex.map { case (v, i) => (i.toLong, v) }))
+
+  test("law: two-pass global rank equals the single-window rank under heavy ties") {
+    check("two-pass rank ≡ window rank")(Prop.forAll(tieRows) { rows =>
+      val s = spark
+      import s.implicits._
+      val d = rows.toDF("id", "v")
+      val twoPass = ops.Ranks.globalMetricRanks(d, "id", Seq("v"))
+      val ref = d.select(col("id"),
+        rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("v").desc, col("id"))).cast("long").as("ref"))
+      twoPass.join(ref, Seq("id")).filter(col("v_rank") =!= col("ref")).count() == 0
+    })
+  }
+
+  test("law: avgRank matches the pandas average-tie reference computation") {
+    check("avgRank ≡ pandas rank")(Prop.forAll(tieRows) { rows =>
+      val s = spark
+      import s.implicits._
+      val d = rows.toDF("id", "v")
+      val got = ops.Ranks.avgRank(d, "v", "id", "ar")
+        .select("id", "ar").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      // reference: positions in (v desc, id asc) order, averaged per tie group
+      val pos = rows.sortBy { case (id, v) => (-v, id) }.zipWithIndex
+        .map { case ((id, v), i) => (id, v, (i + 1).toDouble) }
+      val expected = pos.groupBy(_._2).values.flatMap { g =>
+        val mean = g.map(_._3).sum / g.size
+        g.map(t => t._1 -> mean)
+      }.toMap
+      rows.forall { case (id, _) => math.abs(got(id) - expected(id)) < 1e-9 }
+    })
+  }
+
   private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
     "eta", "theta", "iota", "kappa")
   private val docGen: Gen[String] =
