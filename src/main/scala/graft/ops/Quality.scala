@@ -141,9 +141,26 @@ object Quality {
   /** A13 median (model_training.py:244 synthetic label threshold) + F9
     * boolean→int cast: per-row flag of above-median workload. Exact
     * percentile on both sides (DuckDB `median` ≡ continuous-interpolation
-    * `percentile(0.5)` on numerics). */
+    * `percentile(0.5)` on numerics). Exact `percentile` is an ObjectHash
+    * aggregate whose single-group buffer holds every value — correct for
+    * the oracle tier; [[medianLabelApprox]] is the corpus-scale swap-in. */
   def medianLabel(box: DataFrame): DataFrame = {
     val med = box.agg(expr("percentile(minutes, 0.5)").as("median_minutes"))
+    box.select(col("player_id"), col("game_id"), col("line_id"), col("minutes"))
+      .crossJoin(broadcast(med))
+      .withColumn("high_workload", (col("minutes") > col("median_minutes")).cast("int"))
+  }
+
+  /** The 100 TB variant of A13: `approx_percentile` replaces the exact
+    * median's hold-everything buffer with a fixed-size mergeable
+    * Greenwald-Khanna sketch (bounded rank error 1/accuracy, two-phase
+    * partial merge like any hash aggregate). Same downstream labeling
+    * contract. No DuckDB oracle (sketch medians are engine-specific);
+    * the label-disagreement rate vs [[medianLabel]] is asserted in
+    * ScalaTest. */
+  def medianLabelApprox(box: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val med = box.agg(
+      expr(s"approx_percentile(minutes, 0.5, $accuracy)").as("median_minutes"))
     box.select(col("player_id"), col("game_id"), col("line_id"), col("minutes"))
       .crossJoin(broadcast(med))
       .withColumn("high_workload", (col("minutes") > col("median_minutes")).cast("int"))

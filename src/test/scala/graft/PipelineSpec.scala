@@ -95,4 +95,19 @@ class PipelineSpec extends SparkTestBase {
     assert(m.filter(col("high_workload") === 1).count() > 0)
     assert(m.filter(col("high_workload") === 0).count() > 0)
   }
+
+  test("A13 approx median variant labels agree with exact on ≥99% of rows") {
+    val box = graft.ops.Ingest.box(spark, SF)
+    val exact = graft.ops.Quality.medianLabel(box)
+      .select(col("player_id"), col("game_id"), col("line_id"),
+        col("high_workload").as("hw_exact"))
+    val approx = graft.ops.Quality.medianLabelApprox(box)
+      .select(col("player_id"), col("game_id"), col("line_id"),
+        col("high_workload").as("hw_approx"))
+    val joined = exact.join(approx, Seq("player_id", "game_id", "line_id")).cache()
+    val n = joined.count()
+    val disagree = joined.filter(col("hw_exact") =!= col("hw_approx")).count()
+    assert(n > 0 && disagree.toDouble / n <= 0.01,
+      s"approx median flipped $disagree of $n labels")
+  }
 }
