@@ -155,9 +155,14 @@ object StreamDemo {
     * candidate join is a relational self-join per batch, not per-key state
     * — the same reason the batch operator is a join, not an aggregation.
     * At corpus scale the store would be bucketed by band_hash so a batch
-    * joins only matching buckets. Admitted docs land in `outDir`;
-    * checkpointing makes batch replays idempotent on the sink side
-    * (re-run batches re-admit the same ids). */
+    * joins only matching buckets. Admitted docs land in `outDir`.
+    *
+    * Replay safety: both sinks write `batch_id=<id>` partition directories
+    * with OVERWRITE — a failed-and-replayed micro-batch rewrites its own
+    * partition instead of appending duplicates, making the foreachBatch leg
+    * effectively exactly-once (admission is deterministic given the store,
+    * and the store a replayed batch sees excludes its own partition until
+    * it commits). */
   def streamNearDupDocs(spark: SparkSession, docsDir: String, outDir: String,
       storeDir: String, checkpointDir: String,
       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -167,11 +172,19 @@ object StreamDemo {
       StructField("text", StringType)))
     val storeSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("sig", ArrayType(LongType))))
-    def readStore(): DataFrame = {
+    def storePartitions(excludeBatch: Long): Seq[String] = {
       val path = new org.apache.hadoop.fs.Path(storeDir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(path) && fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet")))
-        spark.read.schema(storeSchema).parquet(storeDir)
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch_id="))
+        .filter(_.getName != s"batch_id=$excludeBatch") // a replayed batch must not see its own half-written state
+        .map(_.toString)
+    }
+    def readStore(excludeBatch: Long): DataFrame = {
+      val parts = storePartitions(excludeBatch)
+      if (parts.nonEmpty)
+        spark.read.schema(storeSchema).parquet(parts: _*)
       else spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         storeSchema)
     }
@@ -180,16 +193,16 @@ object StreamDemo {
       .parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sigs = Text.minHashSignaturesFrom(Text.shingles(batch), 32)
         // pin the admission before writing: `admitted` feeds BOTH the doc
-        // sink and the store append — without materialization the second
+        // sink and the store write — without materialization the second
         // write would re-execute the plan against a store it just mutated
-        val admitted = Text.nearDupAdmit(sigs, readStore(), threshold)
+        val admitted = Text.nearDupAdmit(sigs, readStore(excludeBatch = batchId), threshold)
           .localCheckpoint(true)
         batch.join(admitted.select("doc_id"), Seq("doc_id"))
-          .write.mode("append").parquet(outDir)
-        admitted.write.mode("append").parquet(storeDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        admitted.write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
       }
       .start()
   }
