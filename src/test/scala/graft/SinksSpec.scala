@@ -80,6 +80,37 @@ class SinksSpec extends SparkTestBase {
     assert(pruned.count() == ev.filter(col("day") === lit(oneDay)).count())
   }
 
+  test("incremental refresh rewrites only its own partitions") {
+    val dir = tmp("graft_refresh") + "/fact"
+    val ev = Tables.events(spark, SF).withColumn("day", to_date(col("ts"))).cache()
+    Sinks.overwritePartitioned(ev, dir, "day")
+    val days = ev.select("day").distinct().collect().map(_.getDate(0)).sorted
+    assert(days.length >= 2, "fixture needs ≥2 days")
+    val (refreshDay, keepDay) = (days.last, days.head)
+    def filesOf(day: java.sql.Date): Map[String, Long] = {
+      val d = java.nio.file.Paths.get(dir, s"day=$day")
+      java.nio.file.Files.list(d).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+        .map(p => p -> java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(p)).toMillis).toMap
+    }
+    val keepBefore = filesOf(keepDay)
+    // refresh ONE day with modified values
+    val oneDay = ev.filter(col("day") === lit(refreshDay))
+      .withColumn("value", col("value") * 2)
+    Sinks.refreshPartitions(oneDay, dir, "day")
+    // untouched partition: identical files, identical mtimes
+    assert(filesOf(keepDay) == keepBefore, "untouched partition was rewritten")
+    val back = spark.read.parquet(dir)
+    // refreshed partition carries the new values; total row count unchanged
+    assert(back.count() == ev.count())
+    val sumNew = back.filter(col("day") === lit(refreshDay))
+      .agg(sum("value")).head.getDouble(0)
+    val sumOld = ev.filter(col("day") === lit(refreshDay))
+      .agg(sum("value") * 2).head.getDouble(0)
+    assert(math.abs(sumNew - sumOld) < 1e-6)
+  }
+
   test("bucketed write: co-bucketed join plans with no shuffle exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     info(s"warehouse: $wh")
