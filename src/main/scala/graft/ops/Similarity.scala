@@ -104,7 +104,23 @@ object Similarity {
     * unchanged. No DuckDB oracle (k-means cell ids are Spark-specific);
     * recall vs [[cosineTopK]] is asserted in ScalaTest. */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 16,
-      nProbe: Int = 4, fitMaxRows: Long = 100000L): DataFrame = {
+      nProbe: Int = 4, fitMaxRows: Long = 100000L): DataFrame =
+    ivfQuery(ivfBuild(embeddings, nCells, fitMaxRows), embeddings, k, nProbe)
+
+  /** A built IVF index: the broadcastable centroid table plus the indexed
+    * corpus — every vector with its norm and coarse-cell assignment. Built
+    * once ([[ivfBuild]]), queried many times ([[ivfQuery]]) — the index
+    * lifecycle of a real ANN service. At cluster scale `vectors` is a
+    * parquet layer partitioned by cell, so a probe scan prunes to the
+    * nProbe cells it touches. */
+  final case class IvfIndex(centroids: DataFrame, vectors: DataFrame)
+
+  /** Build the IVF index: fit the k-means coarse quantizer on a sample
+    * capped at `fitMaxRows` (train-on-sample / assign-all — see
+    * [[ivfTopK]]'s contract), then assign every corpus vector to its
+    * nearest cell with one broadcast of the nCells centroids. */
+  def ivfBuild(embeddings: DataFrame, nCells: Int = 16,
+      fitMaxRows: Long = 100000L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = withNorms(embeddings)
@@ -117,34 +133,45 @@ object Similarity {
       new KMeans().setK(nCells).setSeed(42).setMaxIter(10).setFeaturesCol("features")
         .fit(fitOn)
     } finally fitOn.unpersist()
-    val assigned = model.transform(featured)
-      .select(col("vec_id"), col("prediction").as("cell"))
-    // centroid table: nCells rows, broadcast into the probe scoring
     val spark = embeddings.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
-    // nProbe nearest cells per query — n × nCells narrow scoring. The v·v
-    // term of the squared distance is constant per query and cannot change
-    // the cell ordering, so it is dropped: one 64-dim dot product per
-    // (vector, cell) instead of two.
-    val probeW = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
-    val probes = e.select(col("vec_id"), col("v")).crossJoin(broadcast(centroids))
+    val vectors = model.transform(featured)
+      .select(col("vec_id"), col("v"), col("norm"), col("prediction").as("cell"))
+    IvfIndex(centroids, vectors)
+  }
+
+  /** Query an IVF index: each query vector is scored only against the
+    * members of its `nProbe` nearest cells. The query side is ANY
+    * (vec_id, embedding) frame — the corpus itself for self-join ANN
+    * ([[ivfTopK]]), or an external query batch against a standing index.
+    *
+    * The v·v term of the squared probe distance is constant per query and
+    * cannot change the cell ordering, so it is dropped: one 64-dim dot
+    * product per (query, cell) instead of two. */
+  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val q = withNorms(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))
+    val probes = q.select(col("query_id"), col("qv"))
+      .crossJoin(broadcast(index.centroids))
       .withColumn("dist",
-        dotd(col("centroid"), col("centroid")) - lit(2.0) * dotd(col("v"), col("centroid")))
+        dotd(col("centroid"), col("centroid")) - lit(2.0) * dotd(col("qv"), col("centroid")))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
-      .select(col("vec_id").as("query_id"), col("cell"))
+      .select(col("query_id"), col("cell"))
     // candidate id-pairs from the narrow cell join; vectors attached once
-    val cand = probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+    val cand = probes
+      .join(index.vectors.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
     val scored = cand
-      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn")),
-        Seq("query_id"))
-      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn")),
-        Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .join(index.vectors.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))

@@ -36,6 +36,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.25, s"IVF recall collapsed: $recall")
   }
 
+  test("IVF index lifecycle: build once, query an external batch") {
+    val emb = Tables.embeddings(spark, SF)
+    val idx = ops.Similarity.ivfBuild(emb)
+    val queries = emb.orderBy("vec_id").limit(20)
+    val res = ops.Similarity.ivfQuery(idx, queries, k = 3).cache()
+    assert(res.select("query_id").distinct().count() == 20)
+    assert(res.groupBy("query_id").count().filter(col("count") > 3).count() == 0)
+    // neighbors come from the standing corpus index, not just the query batch
+    val maxQ = queries.agg(max("vec_id")).head.getLong(0)
+    assert(res.filter(col("neighbor_id") > maxQ).count() > 0)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val nd = q("embedding_near_dup").cache()
     assert(nd.filter(col("vec_a") >= col("vec_b")).count() == 0)
