@@ -243,6 +243,60 @@ object Similarity {
     * ([[bitsFor]]). Recall vs [[cosineTopK]] is asserted in ScalaTest.
     * No DuckDB oracle (xxhash64-derived hyperplanes are Spark-specific).
     */
+  /** A built sign-LSH index: the corpus bucket table plus vectors-with-norms
+    * and the (tables, bits, dim) bucketing parameters. The hyperplanes are
+    * derived deterministically from (table, bit, dim) inside the codegen
+    * bucketing expression, so a query side re-buckets identically WITHOUT
+    * the index storing any plane matrix — the index is just data. At
+    * cluster scale `buckets` is a layer bucketed/partitioned by
+    * (table_id, bucket) so a query batch joins only the buckets it hits. */
+  final case class LshIndex(buckets: DataFrame, vectors: DataFrame,
+      tables: Int, bits: Int, dim: Int)
+
+  /** Build the sign-LSH index over a corpus: one codegen'd fused bucketing
+    * pass, bits sized for constant occupancy ([[bitsFor]]). */
+  def lshBuild(embeddings: DataFrame, tables: Int = 8,
+      targetOccupancy: Int = 64): LshIndex = {
+    val e = withNorms(embeddings)
+    val (n, dim) = embeddings
+      .agg(count(lit(1)), max(size(col("embedding")))).as("nd")
+      .head() match { case r => (r.getLong(0), r.getInt(1)) }
+    val bits = bitsFor(n, targetOccupancy)
+    val buckets = e.select(col("vec_id"),
+        posexplode(graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)))
+      .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket"))
+    LshIndex(buckets, e, tables, bits, dim)
+  }
+
+  /** Query a sign-LSH index with an external (vec_id, embedding) batch:
+    * bucket the queries with the index's own parameters, collect id-pair
+    * candidates colliding in ≥1 table (deduped with no vector payload),
+    * re-join vectors once, score, per-query top-k — the same shuffle
+    * discipline as the self-join [[lshTopK]]. */
+  def lshQuery(index: LshIndex, queries: DataFrame, k: Int = 5): DataFrame = {
+    val q = withNorms(queries)
+    val qb = q.select(col("vec_id"),
+        posexplode(graft.functions.LshExprs.signLshBuckets(
+          col("v"), index.tables, index.bits, index.dim)))
+      .select(col("vec_id").as("query_id"), col("pos").as("table_id"), col("col").as("bucket"))
+    val cand = qb.join(
+        index.buckets.withColumnRenamed("vec_id", "neighbor_id"), Seq("table_id", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand
+      .join(q.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn")),
+        Seq("query_id"))
+      .join(index.vectors.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rk")
+  }
+
   def lshTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 8,
       targetOccupancy: Int = 64): DataFrame = {
     val e = withNorms(embeddings)

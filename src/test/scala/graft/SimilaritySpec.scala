@@ -48,6 +48,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(res.filter(col("neighbor_id") > maxQ).count() > 0)
   }
 
+  test("LSH index lifecycle: external query batch re-buckets identically") {
+    val emb = Tables.embeddings(spark, SF)
+    val idx = ops.Similarity.lshBuild(emb)
+    val queries = emb.orderBy("vec_id").limit(20)
+    val res = ops.Similarity.lshQuery(idx, queries, k = 3).cache()
+    assert(res.groupBy("query_id").count().filter(col("count") > 3).count() == 0)
+    // a vector queried against the index that contains it must find itself
+    // excluded but collide with its own bucket cohort — results non-empty
+    assert(res.count() > 0)
+    // self-consistency: querying the corpus with itself through the index
+    // path reproduces the self-join operator's pairs at rank 1
+    val viaIndex = ops.Similarity.lshQuery(idx, emb, k = 5)
+      .filter(col("rk") === 1).select("query_id", "neighbor_id").collect().toSet
+    val viaSelf = q("similarity_lsh_topk")
+      .filter(col("rk") === 1).select("query_id", "neighbor_id").collect().toSet
+    assert(viaIndex == viaSelf, "index-path LSH diverges from self-join LSH")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val nd = q("embedding_near_dup").cache()
     assert(nd.filter(col("vec_a") >= col("vec_b")).count() == 0)
