@@ -73,5 +73,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash",
         "simhash(token, weight) - aggregate: packed 64-bit SimHash of the group"),
       (args: Seq[Expression]) => SketchAggs.SimHashAgg(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sign_lsh_buckets"),
+      info("sign_lsh_buckets",
+        "sign_lsh_buckets(v, tables, bits, dim) - per-table sign-LSH bucket ids of an ARRAY<DOUBLE>"),
+      (args: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"sign_lsh_buckets $what must be an integer literal, got $other")
+        }
+        graft.functions.SignLshBuckets(args.head,
+          intLit(args(1), "tables"), intLit(args(2), "bits"), intLit(args(3), "dim"))
+      }))
   }
 }

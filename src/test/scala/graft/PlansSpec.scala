@@ -50,6 +50,12 @@ class PlansSpec extends SparkTestBase {
       val sh = ext.sql("SELECT simhash(s, w) AS h FROM toks").head().getLong(0)
       // deterministic: same input, same packed hash
       assert(sh == ext.sql("SELECT simhash(s, w) AS h FROM toks").head().getLong(0))
+      // sign-LSH bucketing from SQL: one bucket id per table, within range
+      val b = ext.sql(
+        "SELECT sign_lsh_buckets(array(1d,2d,3d,4d), 4, 6, 4) AS b").head()
+        .getSeq[Long](0)
+      assert(b.length == 4)
+      assert(b.forall(x => x >= 0 && x < (1L << 6)))
     }
   }
 
