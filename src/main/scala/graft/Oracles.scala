@@ -425,6 +425,19 @@ af AS (
       SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderpriority = '2-HIGH'""",
     "sort_multikey" -> withPipe(
       "SELECT player_id, game_date, game_id, line_id, pts FROM box"),
+    // as-of join: DuckDB's native ASOF (l.ts >= r.ts, equal ts matches)
+    // against the engine's union + forward-fill-window composition; the
+    // right side is pre-aggregated to one row per (customer, date) so both
+    // renderings are deterministic
+    "asof_join" -> """
+      SELECT l.o_orderkey, l.o_custkey, l.o_orderdate, l.o_totalprice,
+             r.last_urgent_price
+      FROM orders l
+      ASOF LEFT JOIN (
+        SELECT o_custkey, o_orderdate, max(o_totalprice) AS last_urgent_price
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1, 2) r
+      ON l.o_custkey = r.o_custkey AND l.o_orderdate >= r.o_orderdate""",
 
     // ---- events / streaming-cadence analogs
     "stream_window_counts" -> s"""

@@ -67,6 +67,51 @@ object Relational {
       .orderBy(col("player_id"), col("game_date"), col("game_id"), col("line_id"))
       .select("player_id", "game_date", "game_id", "line_id", "pts")
 
+  /** As-of (latest-event-at-or-before) join — the canonical time-series
+    * operator Spark lacks natively (pandas `merge_asof`; the reference's
+    * closest analog is "join today's frame to the latest known state").
+    * Composed from existing operators per the engine's preference order
+    * (compose > custom physical plan): tag both sides, union, forward-fill
+    * the right payload with `last_value(ignoreNulls)` over a per-key
+    * (ts, side) window, keep the left rows. ONE shuffle on the key, a
+    * sorted window pass, no custom operator, AQE-compatible — at 100 TB
+    * this is strictly cheaper than the unbounded range-join it replaces
+    * (which plans as a broadcast nested loop or cartesian range probe).
+    *
+    * Semantics match DuckDB `ASOF LEFT JOIN ... ON l.key = r.key AND
+    * l.ts >= r.ts` (hash-verified): each left row takes the right payload
+    * at the greatest right ts ≤ its own; equal timestamps match (right
+    * sorts before left within a ts). The right side must be unique per
+    * (key, ts) — pre-aggregate it — or the result is nondeterministic. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      valueCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("_side", lit(1))
+    val r = right.select((Seq(key, ts) ++ valueCols).map(col): _*)
+      .withColumn("_side", lit(0))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+      .orderBy(col(ts), col("_side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    valueCols.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+        (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+
+  /** The as-of query over the test tables: each order joined to the price
+    * of the customer's most recent URGENT order at or before its date
+    * (right side pre-aggregated to one row per (customer, date) for
+    * determinism). */
+  def asOfLastUrgent(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max(col("o_totalprice")).as("last_urgent_price"))
+    asOfJoin(
+      o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+      urgent, "o_custkey", "o_orderdate", Seq("last_urgent_price"))
+  }
+
   /** U1 `union_all_frames`: pd.concat of homogeneous frames
     * (`ingest_nba_daily.py:87-88`) — unionByName of two disjoint slices. */
   def unionAllFrames(spark: SparkSession, sfDir: String): DataFrame = {

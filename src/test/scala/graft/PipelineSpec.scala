@@ -84,6 +84,20 @@ class PipelineSpec extends SparkTestBase {
     assert(row.getAs[Long]("events_days_behind_now") >= 0)
   }
 
+  test("as-of join: equal ts matches, no predecessor yields null, latest wins") {
+    import spark.implicits._
+    val left = Seq((1L, 5, "a"), (1L, 10, "b"), (2L, 3, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 5, 100.0), (1L, 8, 200.0), (2L, 9, 300.0))
+      .toDF("k", "ts", "p")
+    val got = graft.ops.Relational.asOfJoin(left, right, "k", "ts", Seq("p"))
+      .select("k", "ts", "p").collect()
+      .map(r => (r.getLong(0), r.getInt(1), Option(r.get(2)))).toSet
+    // mirrors the DuckDB ASOF probe: (1,5)->100 (equal ts), (1,10)->200
+    // (latest ≤), (2,3)->null (no predecessor)
+    assert(got == Set((1L, 5, Some(100.0)), (1L, 10, Some(200.0)), (2L, 3, None)))
+  }
+
   test("quality report passes on clean synthetic data") {
     val r = q("quality_report").collect().head
     assert(r.getAs[String]("overall_status") == "PASS")
