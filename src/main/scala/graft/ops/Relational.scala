@@ -112,6 +112,29 @@ object Relational {
       urgent, "o_custkey", "o_orderdate", Seq("last_urgent_price"))
   }
 
+  /** Binned range join — interval × point containment (lo ≤ ts ≤ hi),
+    * the second canonical operator Spark lacks a fast native plan for: a
+    * bare inequality join plans as BroadcastNestedLoop / cartesian
+    * (O(|intervals|·|points|)). Binning makes it an EQUI join: every
+    * interval explodes into its covering fixed-width bins, every point
+    * lands in exactly one bin, the join runs hash/sort-merge on the bin
+    * key, and the exact predicate filters the candidates. Candidate volume
+    * is points × avg-bins-per-interval — linear when interval length is
+    * bounded by a few bin widths (pick `binWidth` ≈ the typical interval).
+    * Columns are numeric (epoch-convert timestamps first); caller ensures
+    * disjoint column names between the two sides. */
+  def rangeJoinBinned(intervals: DataFrame, lo: String, hi: String,
+      points: DataFrame, ts: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val li = intervals.withColumn("_bin",
+      explode(sequence(floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    val pt = points.withColumn("_bin", floor(col(ts) / binWidth).cast("long"))
+    li.join(pt, Seq("_bin"))
+      .filter(col(ts) >= col(lo) && col(ts) <= col(hi))
+      .drop("_bin")
+  }
+
   /** U1 `union_all_frames`: pd.concat of homogeneous frames
     * (`ingest_nba_daily.py:87-88`) — unionByName of two disjoint slices. */
   def unionAllFrames(spark: SparkSession, sfDir: String): DataFrame = {

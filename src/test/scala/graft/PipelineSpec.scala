@@ -98,6 +98,25 @@ class PipelineSpec extends SparkTestBase {
     assert(got == Set((1L, 5, Some(100.0)), (1L, 10, Some(200.0)), (2L, 3, None)))
   }
 
+  test("binned range join equals the naive inequality join without the nested loop") {
+    import spark.implicits._
+    val intervals = Seq((1L, 0L, 25L), (2L, 40L, 45L), (3L, 90L, 200L))
+      .toDF("iid", "lo", "hi")
+    val points = (0L until 100L by 7L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("pid", "t")
+    val binned = graft.ops.Relational.rangeJoinBinned(
+      intervals, "lo", "hi", points, "t", binWidth = 10L)
+    val naive = intervals.join(points, col("t") >= col("lo") && col("t") <= col("hi"))
+    assert(binned.select("iid", "pid").except(naive.select("iid", "pid")).count() == 0)
+    assert(naive.select("iid", "pid").except(binned.select("iid", "pid")).count() == 0)
+    // the point of the operator: candidates join on the bin key, not a loop
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"binned range join still plans a nested loop:\n$plan")
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") || naivePlan.contains("CartesianProduct"))
+  }
+
   test("quality report passes on clean synthetic data") {
     val r = q("quality_report").collect().head
     assert(r.getAs[String]("overall_status") == "PASS")
