@@ -143,6 +143,49 @@ class PropertiesSpec extends SparkTestBase {
     })
   }
 
+  test("law: asOfJoin equals the naive latest-at-or-before join") {
+    val rowsGen = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(1L, 3L), Gen.choose(0, 50))))
+    check("asOf ≡ naive")(Prop.forAll(rowsGen, rowsGen) { (lRaw, rRaw) =>
+      val s = spark
+      import s.implicits._
+      val l = lRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "ts")
+      // right unique per (k, ts): keep max payload
+      val rRows = rRaw.groupBy(identity).keys.toSeq
+        .map { case (k, t) => (k, t, k * 1000.0 + t) }
+      val r = rRows.toDF("k", "ts", "p")
+      val got = ops.Relational.asOfJoin(l, r, "k", "ts", Seq("p"))
+        .select("lid", "p").collect()
+        .map(x => (x.getLong(0), Option(x.get(1)))).toMap
+      lRaw.zipWithIndex.forall { case ((k, t), i) =>
+        val expected = rRows.filter(rr => rr._1 == k && rr._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        got(i.toLong) == expected
+      }
+    })
+  }
+
+  test("law: binned range join equals the naive inequality join") {
+    val iGen = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 80L), Gen.choose(0L, 40L)).map { case (a, len) => (a, a + len) }))
+    val pGen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 130L)))
+    check("binned range ≡ naive")(Prop.forAll(iGen, pGen, Gen.choose(1L, 25L)) {
+      (is, ps, width) =>
+        val s = spark
+        import s.implicits._
+        val intervals = is.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+          .toDF("iid", "lo", "hi")
+        val points = ps.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("pid", "t")
+        val binned = ops.Relational.rangeJoinBinned(intervals, "lo", "hi", points, "t", width)
+          .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val naive = is.zipWithIndex.flatMap { case ((a, b), i) =>
+          ps.zipWithIndex.collect { case (t, j) if t >= a && t <= b => (i.toLong, j.toLong) }
+        }.toSet
+        binned == naive
+    })
+  }
+
   private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
     "eta", "theta", "iota", "kappa")
   private val docGen: Gen[String] =
