@@ -101,11 +101,13 @@ object Ingest {
     * inspection (the `badRecordsPath` pattern, here as an explicit
     * quarantine frame the caller can sink).
     *
-    * The parsed frame is cached: both splits filter on the internal
+    * The parsed frame is materialized once (`localCheckpoint`, the repo's
+    * standard materialization): both splits filter on the internal
     * corrupt-record column, which Spark disallows referencing alone on an
-    * uncached parse (the parser would otherwise have to re-run per
-    * consumer). Cache scope is one ingest batch — bounded, and exactly the
-    * reference's per-DAG-run working set. */
+    * unmaterialized parse (the parser would otherwise re-run per
+    * consumer). Unlike `cache()`, checkpoint blocks are reclaimed by the
+    * ContextCleaner as soon as the frames become unreachable — no
+    * unpersist obligation leaks to the caller. */
   def readJsonPermissive(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
     val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
@@ -114,7 +116,7 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .cache()
+      .localCheckpoint(true)
     val clean = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val quarantined = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_record"))

@@ -85,6 +85,9 @@ object Relational {
     * (key, ts) — pre-aggregate it — or the result is nondeterministic. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       valueCols: Seq[String]): DataFrame = {
+    require(valueCols.forall(!left.columns.contains(_)),
+      s"asOfJoin value columns must not exist on the left side: " +
+        valueCols.filter(left.columns.contains(_)).mkString(", "))
     val l = left.withColumn("_side", lit(1))
     val r = right.select((Seq(key, ts) ++ valueCols).map(col): _*)
       .withColumn("_side", lit(0))
@@ -126,6 +129,10 @@ object Relational {
   def rangeJoinBinned(intervals: DataFrame, lo: String, hi: String,
       points: DataFrame, ts: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!intervals.columns.contains("_bin") && !points.columns.contains("_bin"),
+      "rangeJoinBinned reserves the _bin column name")
+    require(intervals.columns.toSet.intersect(points.columns.toSet).isEmpty,
+      "rangeJoinBinned requires disjoint column names between sides")
     val li = intervals.withColumn("_bin",
       explode(sequence(floor(col(lo) / binWidth).cast("long"),
         floor(col(hi) / binWidth).cast("long"))))

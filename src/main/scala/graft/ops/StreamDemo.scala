@@ -98,8 +98,11 @@ object StreamDemo {
     * (`/root/reference/dags/ingest_nba_daily.py:141`). Each micro-batch
     * appends through the same batch sink ([[Sinks.appendRaw]]) via
     * foreachBatch, so layer layout and append semantics are identical for
-    * the cron path and the stream path; checkpointing gives exactly-once
-    * file commits per batch. Caller starts/stops the returned query. */
+    * the cron path and the stream path. Checkpointing makes delivery
+    * at-least-once (a batch that fails mid-append can replay its files);
+    * for an idempotent-on-replay sink use the per-batch partition
+    * directories of [[streamNearDupDocs]]. Caller starts/stops the
+    * returned query. */
   def streamAppendRaw(spark: SparkSession, eventsDir: String, outPath: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types._
