@@ -44,14 +44,20 @@ object Ranks {
 
   /** pandas `rank(ascending=False)` average-tie semantics
     * (`prepare_dashboard_data.py:71-75`): tied values receive the MEAN of the
-    * positions they span, as DOUBLE. Two-pass row numbers first, then the
-    * mean row number within each tie group — a hash-partitioned window over
-    * the tie value (group size = tie multiplicity), never a global sort. */
+    * positions they span, as DOUBLE. Two-pass row numbers first, then a
+    * TWO-PHASE mean per tie value — `groupBy(value).agg(avg)` + join back,
+    * never `Window.partitionBy(value)`: the window funnels every row sharing
+    * a metric value into one task (a small-domain metric like games-played
+    * has tie groups of O(n) rows), while the aggregate gets map-side partial
+    * combine and the join gets AQE skew splitting. Null-safe equality keeps
+    * the window's null-grouping semantics for nullable metrics. */
   def avgRank(df: DataFrame, metric: String, idCol: String, out: String): DataFrame = {
     val rn = meltedRowNumbers(df, idCol, Seq(metric))
-      .withColumn(out, avg(col("rk")).over(Window.partitionBy("value")))
+    val tieMeans = rn.groupBy("value").agg(avg(col("rk")).as(out))
+      .withColumnRenamed("value", "_tie_value")
+    val ranked = rn.join(tieMeans, rn("value") <=> tieMeans("_tie_value"))
       .select(col(idCol), col(out))
-    df.join(rn, Seq(idCol))
+    df.join(ranked, Seq(idCol))
   }
 
   /** Melted two-pass row numbers: (id, metric, value, rk) with rk = global
