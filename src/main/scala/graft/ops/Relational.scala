@@ -81,24 +81,33 @@ object Relational {
     * Semantics match DuckDB `ASOF LEFT JOIN ... ON l.key = r.key AND
     * l.ts >= r.ts` (hash-verified): each left row takes the right payload
     * at the greatest right ts ≤ its own; equal timestamps match (right
-    * sorts before left within a ts). The right side must be unique per
+    * sorts before left within a ts). Matching is ROW-level: the payload
+    * columns are filled as ONE non-null struct per right row, so a right
+    * row whose payload value is legitimately NULL still wins over older
+    * rows, and multiple value columns always come from the SAME right row
+    * (filling each column independently with last(ignoreNulls) would skip
+    * null payloads and could mix rows). The right side must be unique per
     * (key, ts) — pre-aggregate it — or the result is nondeterministic. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       valueCols: Seq[String]): DataFrame = {
     require(valueCols.forall(!left.columns.contains(_)),
       s"asOfJoin value columns must not exist on the left side: " +
         valueCols.filter(left.columns.contains(_)).mkString(", "))
+    require(!left.columns.contains("_side") && !right.columns.contains("_side") &&
+        !left.columns.contains("_rv") && !right.columns.contains("_rv"),
+      "asOfJoin reserves the _side and _rv column names")
     val l = left.withColumn("_side", lit(1))
-    val r = right.select((Seq(key, ts) ++ valueCols).map(col): _*)
+    val r = right.select(Seq(key, ts).map(col) :+
+        struct(valueCols.map(col): _*).as("_rv"): _*)
       .withColumn("_side", lit(0))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
       .orderBy(col(ts), col("_side"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    valueCols.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
-        (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .drop("_side")
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col(s"_rv.`$c`").as(c)): _*)
   }
 
   /** The as-of query over the test tables: each order joined to the price
