@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Linearity evidence for the dedup/ANN candidate generators (VERDICT r4
+  * "Next round" #6): counts the DISTINCT candidate pairs each blocking
+  * scheme emits per scale factor, so the claimed occupancy-constant (linear
+  * in n) scaling is measured, not asserted. Run:
+  *
+  *   sbt "runMain graft.CandidateStats /root/testdata/sf0.01 /root/testdata/sf0.1"
+  *
+  * prints one JSON line per sf dir; the ratio table lives in PLANS.md.
+  * A scheme is linear when candidates grow ≈ n (docs/vectors), i.e. the
+  * 10× sf step multiplies candidates by ~10, not ~100. */
+object CandidateStats {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (d <- dirs) {
+      val docs = Tables.documents(spark, d)
+      val nDocs = docs.count()
+      val sh = ops.Text.shingles(docs).localCheckpoint(true)
+      val sig = ops.Text.minHashSignaturesFrom(sh, 32).localCheckpoint(true)
+      // minhash-LSH: distinct band-collision pairs (the rows entering verify)
+      val bb = ops.Text.bandBuckets(sig)
+      val minhashPairs = bb.as("x").join(bb.as("y"),
+          col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+      // simhash: uniform-model floor vs measured-occupancy escalation, with
+      // the pre-verify candidate volume at each
+      val shFp = ops.Text.simHash(docs).localCheckpoint(true)
+      val bFloor = ops.Text.simhashBlockCount(nDocs, 3)
+      val bAdaptive = ops.Text.simhashAdaptiveBlocks(shFp, nDocs, 3, 64)
+      val candFloor = ops.Text.simHashCandidates(shFp, bFloor, 3).count()
+      val simhashCand = if (bAdaptive == bFloor) candFloor
+        else ops.Text.simHashCandidates(shFp, bAdaptive, 3).count()
+      // n-gram inverted index: df-capped shared-shingle pairs (pre-threshold)
+      val rare = sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 128).select("shingle"), Seq("shingle"))
+      val ngramPairs = rare.as("a").join(rare.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      // sign-LSH over embeddings: distinct bucket-collision vector pairs
+      val emb = Tables.embeddings(spark, d)
+      val nVecs = emb.count()
+      val idx = ops.Similarity.lshBuild(emb)
+      val lshPairs = idx.buckets.as("x").join(idx.buckets.as("y"),
+          col("x.table_id") === col("y.table_id") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+      println(s"""{"sf":"$d","n_docs":$nDocs,"n_vecs":$nVecs,""" +
+        s""""minhash_band_pairs":$minhashPairs,"ngram_index_pairs":$ngramPairs,""" +
+        s""""simhash_blocks_floor":$bFloor,"simhash_candidates_floor":$candFloor,""" +
+        s""""simhash_blocks_adaptive":$bAdaptive,"simhash_candidates":$simhashCand,""" +
+        s""""sign_lsh_pairs":$lshPairs}""")
+    }
+    spark.stop()
+  }
+}

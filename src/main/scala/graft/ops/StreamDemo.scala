@@ -149,23 +149,33 @@ object StreamDemo {
 
   /** Streaming NEAR-dup: extends [[streamDedupDocs]] beyond exact
     * fingerprints — a continuous document ingest admits only documents that
-    * are not MinHash-LSH near-duplicates of anything admitted before, within
-    * or across micro-batches. Each batch runs [[Text.nearDupAdmit]] against
-    * a signature store of all previously admitted docs: the store carries
-    * one fixed-size sketch (32×8 B) per doc, not text or shingles, so state
-    * grows linearly in ADMITTED docs with a small constant. foreachBatch +
-    * an external store (rather than `transformWithState`) because the LSH
-    * candidate join is a relational self-join per batch, not per-key state
-    * — the same reason the batch operator is a join, not an aggregation.
-    * At corpus scale the store would be bucketed by band_hash so a batch
-    * joins only matching buckets. Admitted docs land in `outDir`.
+    * are not MinHash-LSH near-duplicates of the admitted store or of a
+    * lower-doc_id document in the same micro-batch (the greedy per-batch
+    * contract of [[Text.nearDupAdmit]]: suppression compares against EVERY
+    * earlier-id batch doc, admitted or not — a doc similar only to a
+    * same-batch rejected doc is still dropped; the batch
+    * [[Text.clustersFromPairs]] pass is the exact-clustering backfill).
     *
-    * Replay safety: both sinks write `batch_id=<id>` partition directories
-    * with OVERWRITE — a failed-and-replayed micro-batch rewrites its own
-    * partition instead of appending duplicates, making the foreachBatch leg
-    * effectively exactly-once (admission is deterministic given the store,
-    * and the store a replayed batch sees excludes its own partition until
-    * it commits). */
+    * The store is INCREMENTAL in both of its layers, each written as
+    * `batch_id=<id>` partitions and appended per admitted batch:
+    *  - `sigs/`: one fixed-size MinHash sketch (32×8 B) per admitted doc —
+    *    state linear in admitted docs, no text or shingles;
+    *  - `buckets/`: the LSH band buckets OF the admitted docs — persisting
+    *    them is what makes per-batch transform work O(batch): each batch
+    *    band-hashes only itself and joins the stored bucket table
+    *    ([[Text.nearDupAdmitWithBuckets]]), instead of re-hashing the whole
+    *    store every micro-batch. At corpus scale `buckets/` is additionally
+    *    bucketed by band_hash so the join prunes to matching buckets.
+    * foreachBatch + an external store (rather than `transformWithState`)
+    * because the LSH candidate join is a relational join per batch, not
+    * per-key state. Admitted docs land in `outDir`.
+    *
+    * Replay safety: all three sinks write `batch_id=<id>` partition
+    * directories with OVERWRITE — a failed-and-replayed micro-batch
+    * rewrites its own partitions instead of appending duplicates, making
+    * the foreachBatch leg effectively exactly-once (admission is
+    * deterministic given the store, and the store a replayed batch sees
+    * excludes its own partitions until it commits). */
   def streamNearDupDocs(spark: SparkSession, docsDir: String, outDir: String,
       storeDir: String, checkpointDir: String,
       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -173,10 +183,13 @@ object StreamDemo {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
       StructField("text", StringType)))
-    val storeSchema = StructType(Seq(
+    val sigSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("sig", ArrayType(LongType))))
-    def storePartitions(excludeBatch: Long): Seq[String] = {
-      val path = new org.apache.hadoop.fs.Path(storeDir)
+    val bucketSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("band_hash", LongType)))
+    def partitions(layer: String, excludeBatch: Long): Seq[String] = {
+      val path = new org.apache.hadoop.fs.Path(s"$storeDir/$layer")
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(path)) Seq.empty
       else fs.listStatus(path).toSeq.map(_.getPath)
@@ -184,12 +197,10 @@ object StreamDemo {
         .filter(_.getName != s"batch_id=$excludeBatch") // a replayed batch must not see its own half-written state
         .map(_.toString)
     }
-    def readStore(excludeBatch: Long): DataFrame = {
-      val parts = storePartitions(excludeBatch)
-      if (parts.nonEmpty)
-        spark.read.schema(storeSchema).parquet(parts: _*)
-      else spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        storeSchema)
+    def readLayer(layer: String, sch: StructType, excludeBatch: Long): DataFrame = {
+      val parts = partitions(layer, excludeBatch)
+      if (parts.nonEmpty) spark.read.schema(sch).parquet(parts: _*)
+      else spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
     }
     spark.readStream
       .schema(schema)
@@ -198,14 +209,18 @@ object StreamDemo {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sigs = Text.minHashSignaturesFrom(Text.shingles(batch), 32)
-        // pin the admission before writing: `admitted` feeds BOTH the doc
-        // sink and the store write — without materialization the second
-        // write would re-execute the plan against a store it just mutated
-        val admitted = Text.nearDupAdmit(sigs, readStore(excludeBatch = batchId), threshold)
+        // pin the admission before writing: `admitted` feeds the doc sink
+        // and BOTH store layers — without materialization each write would
+        // re-execute the plan against a store it just mutated
+        val admitted = Text.nearDupAdmitWithBuckets(sigs,
+            readLayer("sigs", sigSchema, batchId),
+            readLayer("buckets", bucketSchema, batchId), threshold)
           .localCheckpoint(true)
         batch.join(admitted.select("doc_id"), Seq("doc_id"))
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-        admitted.write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+        admitted.write.mode("overwrite").parquet(s"$storeDir/sigs/batch_id=$batchId")
+        Text.bandBuckets(admitted)
+          .write.mode("overwrite").parquet(s"$storeDir/buckets/batch_id=$batchId")
       }
       .start()
   }

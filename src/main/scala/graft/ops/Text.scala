@@ -330,15 +330,31 @@ object Text {
     * [[clustersFromPairs]] pass is the exact-clustering backfill.
     *
     * Scale posture: candidates shuffle as bare id-pairs; signatures are
-    * re-joined once per candidate. At 100 TB the store side would be
-    * written bucketed by band_hash ([[Sinks]] bucketed layout) so each
-    * micro-batch joins only matching buckets instead of scanning the full
-    * store. */
+    * re-joined once per candidate. This overload re-derives the store's band
+    * buckets (O(store) hashing per call — fine for one-shot batch use); the
+    * incremental streaming leg persists the bucket table across batches and
+    * calls [[nearDupAdmitWithBuckets]] so per-batch hashing is O(batch). */
   def nearDupAdmit(newSigs: DataFrame, storeSigs: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 32, bands: Int = 8): DataFrame =
+    nearDupAdmitWithBuckets(newSigs, storeSigs, bandBuckets(storeSigs, numHashes, bands),
+      threshold, numHashes, bands)
+
+  /** [[nearDupAdmit]] against a PRECOMPUTED store bucket table: only the new
+    * batch is band-hashed here, so with a persisted bucket store the
+    * per-batch transform work is O(batch), not O(store) (the store joins
+    * remain, and at corpus scale run bucket-pruned off a layout bucketed by
+    * band_hash). `storeBuckets` must be exactly `bandBuckets(storeSigs)` —
+    * the streaming leg maintains that invariant by appending
+    * `bandBuckets(admitted)` whenever it appends `admitted` to the sig store.
+    *
+    * Admission is also anti-joined against store doc_ids: re-ingesting an
+    * already-admitted doc_id is never re-admitted (which would duplicate its
+    * store row), even if its content drifted below the near-dup threshold. */
+  def nearDupAdmitWithBuckets(newSigs: DataFrame, storeSigs: DataFrame,
+      storeBuckets: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val nb = bandBuckets(newSigs, numHashes, bands)
-    val sb = bandBuckets(storeSigs, numHashes, bands)
-    val candStore = nb.as("x").join(sb.as("y"),
+    val candStore = nb.as("x").join(storeBuckets.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("other_id"))
     val candNew = nb.as("x").join(nb.as("y"),
@@ -354,6 +370,7 @@ object Text {
       .filter(estJaccard(col("sig_a"), col("sig_b")) >= threshold)
       .select("doc_id").distinct()
     newSigs.join(dup, Seq("doc_id"), "left_anti")
+      .join(storeSigs.select("doc_id"), Seq("doc_id"), "left_anti")
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Per doc: weighted sign
@@ -368,22 +385,107 @@ object Text {
       .groupBy("doc_id")
       .agg(graft.functions.SketchAggs.simhash(col("token"), col("w")).as("simhash"))
 
-  /** SimHash near-dup pairs: block on 4×16-bit chunks (a pair within
-    * Hamming distance ≤3 of a 64-bit hash must agree on ≥1 of 4 chunks —
-    * pigeonhole), verify with bit_count(xor) ≤ 3. No oracle. */
-  def dedupSimHash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simHash(documents)
-    val chunks = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("chunk"),
-          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("ch"))): _*)).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ch").as("ch"))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
+  /** SimHash near-dup blocking: split the 64 fingerprint bits into `blocks`
+    * near-equal blocks. A pair within Hamming distance ≤ k differs in at most
+    * k blocks, so it agrees on ≥ blocks−k of them — in particular on at least
+    * one of the C(blocks, blocks−k) block COMBINATIONS (pigeonhole). Each
+    * combination is one hash table keyed by the fingerprint masked to that
+    * combination's bits (the block-permutation scheme of Manku/Jain/Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW 2007 — masks replace
+    * permutations because the equi join keys on the masked value directly).
+    * Exact recall at EVERY block count; the hamming filter makes precision
+    * exact, so the output is invariant to `blocks` (ScalaCheck law).
+    *
+    * Scale: a table key carries 64·(blocks−k)/blocks bits, so expected
+    * candidate volume over uniform fingerprints is
+    * C(blocks,k) · n²/2^keyWidth. [[simhashBlockCount]] picks the smallest
+    * block count whose key width reaches ~log₂(n/occupancy) — the same
+    * occupancy policy as Similarity.bitsFor — keeping candidates ≈
+    * C(blocks,k)·occupancy·n, i.e. LINEAR in n (b=4 → 16-bit keys / 4
+    * tables; b=8 → 40-bit keys / 56 tables, linear to ~10¹² docs). The r4
+    * fixed 4×16-bit chunk scheme was exactly b=4 frozen: ~4n²/2¹⁶ pairs,
+    * superlinear past ~10⁶ docs. */
+  private[graft] def simhashBlockCount(n: Long, maxHamming: Int = 3,
+      targetOccupancy: Int = 64): Int = {
+    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy))
+      / math.log(2.0)).toInt
+    (maxHamming + 1 to 8).find(b => 64 * (b - maxHamming) / b >= needed).getOrElse(8)
+  }
+
+  /** One bit mask per block combination: the union of blocks−k of the
+    * `blocks` contiguous block masks (width 64/blocks, remainder spread over
+    * the low blocks). */
+  private[graft] def simhashMasks(blocks: Int, maxHamming: Int): Seq[Long] = {
+    require(blocks > maxHamming, s"need > $maxHamming blocks for the pigeonhole guarantee")
+    val sizes = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val blockMask = Array.tabulate(blocks)(i => ((1L << sizes(i)) - 1L) << offsets(i))
+    (0 until blocks).combinations(blocks - maxHamming)
+      .map(_.map(blockMask).reduce(_ | _)).toSeq
+  }
+
+  /** (doc_id, simhash, tbl, key) — one row per fingerprint per table, the
+    * frame both candidate generation and occupancy metering run over. */
+  private def simHashKeyed(sh: DataFrame, blocks: Int, maxHamming: Int): DataFrame = {
+    val masks = simhashMasks(blocks, maxHamming)
+    sh.select(col("doc_id"), col("simhash"),
+        posexplode(array(masks.map(m => col("simhash").bitwiseAND(lit(m))): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("tbl"), col("col").as("key"))
+  }
+
+  /** Distinct candidate pairs (pre-verify) at an explicit block count — the
+    * volume the blocking scheme is sized to keep linear; counted directly by
+    * the linearity evidence (PLANS.md) and the ScalaCheck laws. */
+  private[graft] def simHashCandidates(sh: DataFrame, blocks: Int, maxHamming: Int): DataFrame = {
+    val keyed = simHashKeyed(sh, blocks, maxHamming)
+    keyed.as("x").join(keyed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Candidate + verified pairs at an explicit block count (the law surface). */
+  private[graft] def simHashPairs(sh: DataFrame, blocks: Int, maxHamming: Int): DataFrame =
+    simHashCandidates(sh, blocks, maxHamming).filter(col("hamming") <= maxHamming)
+
+  /** Exact candidate volume Σ c·(c−1)/2 over the (table, key) bucket sizes —
+    * ONE linear groupBy+count job, no pair materialization (an upper bound
+    * on distinct pairs: cross-table duplicates counted per table). */
+  private[graft] def simHashCandidateVolume(sh: DataFrame, blocks: Int, maxHamming: Int): Long =
+    Option(simHashKeyed(sh, blocks, maxHamming)
+      .groupBy("tbl", "key").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).cast("long")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+
+  /** Block count sized by MEASURED occupancy, not just the uniform model:
+    * start at [[simhashBlockCount]]'s log₂(n) estimate and widen while the
+    * exact candidate volume ([[simHashCandidateVolume]], one cheap counting
+    * job per trial, ≤ 4 trials) exceeds `maxPairsPerDoc·n`. Real fingerprint
+    * bits are correlated (documents cluster), so uniform-model sizing alone
+    * can under-block a skewed corpus by orders of magnitude — measured at
+    * sf0.1, b=4 emits 46 candidate pairs/doc where the uniform model
+    * predicts 0.3. */
+  private[graft] def simhashAdaptiveBlocks(sh: DataFrame, n: Long, maxHamming: Int,
+      maxPairsPerDoc: Int): Int = {
+    var b = simhashBlockCount(n, maxHamming)
+    while (b < 8 && simHashCandidateVolume(sh, b, maxHamming) > maxPairsPerDoc.toLong * n)
+      b += 1
+    b
+  }
+
+  /** SimHash near-dup pairs: combination blocking sized for the corpus —
+    * log₂(n) uniform-model floor ([[simhashBlockCount]]) escalated by
+    * measured occupancy ([[simhashAdaptiveBlocks]]) — then verified with
+    * bit_count(xor) ≤ maxHamming. The fingerprint frame is one row per doc,
+    * checkpointed once and shared by the sizing trials and the final pair
+    * join. No oracle (hash-derived); naive-equivalence at every block count
+    * + linearity of the sizing policy are ScalaCheck laws. */
+  def dedupSimHash(documents: DataFrame, maxHamming: Int = 3,
+      maxPairsPerDoc: Int = 64): DataFrame = {
+    val sh = simHash(documents).localCheckpoint(true)
+    val n = sh.count()
+    simHashPairs(sh, simhashAdaptiveBlocks(sh, n, maxHamming, maxPairsPerDoc), maxHamming)
   }
 }

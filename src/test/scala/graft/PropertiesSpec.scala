@@ -166,6 +166,82 @@ class PropertiesSpec extends SparkTestBase {
     })
   }
 
+  test("law: asOfJoin row-level match survives NULL payloads and multi-column rows") {
+    // right rows carry (p1, p2) where p1 is often NULL: the as-of match must
+    // still pick the latest right ROW ≤ ts (payload nullity irrelevant) and
+    // never mix p1/p2 from different right rows
+    val rGen = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(1L, 3L), Gen.choose(0, 50), Gen.option(Gen.choose(0, 9)))))
+    val lGen = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(1L, 3L), Gen.choose(0, 50))))
+    check("asOf null payloads")(Prop.forAll(lGen, rGen) { (lRaw, rRaw) =>
+      val s = spark
+      import s.implicits._
+      val l = lRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "ts")
+      // unique per (k, ts); p2 encodes the row identity, p1 may be null
+      val rRows = rRaw.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        .map { case (k, t, p1) => (k, t, p1.map(_.toDouble), k * 1000.0 + t) }
+      val r = rRows.toDF("k", "ts", "p1", "p2")
+      val got = ops.Relational.asOfJoin(l, r, "k", "ts", Seq("p1", "p2"))
+        .select("lid", "p1", "p2").collect()
+        .map(x => (x.getLong(0), (Option(x.get(1)), Option(x.get(2))))).toMap
+      lRaw.zipWithIndex.forall { case ((k, t), i) =>
+        val m = rRows.filter(rr => rr._1 == k && rr._2 <= t).sortBy(_._2).lastOption
+        got(i.toLong) == ((m.flatMap(_._3), m.map(_._4)))
+      }
+    })
+  }
+
+  test("law: simhash blocking finds exactly the naive Hamming pairs at every block count") {
+    // fingerprints with planted near-pairs: doc 2i is a random 64-bit hash,
+    // doc 2i+1 is doc 2i with `flips` random bits flipped — some within the
+    // Hamming bound, some beyond
+    val fpGen = for {
+      n <- Gen.choose(2, 25)
+      bases <- Gen.listOfN(n, Gen.long)
+      flips <- Gen.listOfN(n, Gen.choose(0, 6))
+      positions <- Gen.listOfN(n, Gen.listOfN(6, Gen.choose(0, 63)))
+    } yield bases.zip(flips.zip(positions)).zipWithIndex.flatMap {
+      case ((base, (f, pos)), i) =>
+        val flipped = pos.take(f).foldLeft(base)((h, p) => h ^ (1L << p))
+        Seq((2L * i, base), (2L * i + 1, flipped))
+    }
+    check("simhash blocking ≡ naive")(Prop.forAll(fpGen, Gen.choose(4, 7)) { (fps, blocks) =>
+      val s = spark
+      import s.implicits._
+      val sh = fps.toDF("doc_id", "simhash")
+      val got = ops.Text.simHashPairs(sh, blocks, 3)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = (for {
+        (a, ha) <- fps; (b, hb) <- fps
+        if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+      } yield (a, b)).toSet
+      got == naive
+    })
+  }
+
+  test("law: simhash expected candidate volume stays linear as the corpus doubles") {
+    // pure-math law over the sizing policy: at the chosen block count the
+    // expected uniform-fingerprint candidate volume C(b,3)·n²/2^keyWidth is
+    // bounded by C(8,3)·occupancy·n for every n up to the b=8 cap's reach,
+    // and the block count is monotone in n
+    def choose(n: Int, k: Int): Double =
+      (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    def expectedCandidates(n: Long, occ: Int): Double = {
+      val b = ops.Text.simhashBlockCount(n, 3, occ)
+      val width = 64 * (b - 3) / b
+      choose(b, 3) * n.toDouble * n.toDouble / math.pow(2.0, width.toDouble)
+    }
+    check("simhash linear candidates")(Prop.forAll(
+      Gen.choose(1L, 1000000000000L), Gen.oneOf(16, 64, 256)) { (n, occ) =>
+      val bound = choose(8, 3) * occ.toDouble * n.toDouble
+      expectedCandidates(n, occ) <= bound &&
+        expectedCandidates(2 * n, occ) <= 2 * bound &&
+        ops.Text.simhashBlockCount(2 * n, 3, occ) >= ops.Text.simhashBlockCount(n, 3, occ)
+    })
+  }
+
   test("law: binned range join equals the naive inequality join") {
     val iGen = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.choose(0L, 80L), Gen.choose(0L, 40L)).map { case (a, len) => (a, a + len) }))

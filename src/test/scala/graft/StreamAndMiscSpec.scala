@@ -105,8 +105,30 @@ class StreamAndMiscSpec extends SparkTestBase {
       assert(admitted == Set(1L, 2L, 4L),
         s"expected cross-batch near-dup 3 suppressed and 4 admitted, got $admitted")
       // the store carries one signature per admitted doc
-      val sigs = spark.read.parquet(store.toString)
+      val sigs = spark.read.parquet(s"$store/sigs")
       assert(sigs.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+      // incremental bucket layer: appended per batch (one partition per
+      // admitted batch — per-batch hashing is O(batch), not O(store)) and in
+      // aggregate exactly the band buckets of the signature store
+      val bucketDirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$store/buckets"))
+        .filter(p => p.getFileName.toString.startsWith("batch_id=")).count()
+      assert(bucketDirs == 2, s"expected one bucket partition per batch, got $bucketDirs")
+      val storedBuckets = spark.read.parquet(s"$store/buckets")
+        .select("doc_id", "band", "band_hash")
+      val expectedBuckets = ops.Text.bandBuckets(sigs.select("doc_id", "sig"))
+      assert(storedBuckets.count() == expectedBuckets.count())
+      assert(storedBuckets.except(expectedBuckets).count() == 0)
+      // batch 3: doc 1 re-ingested verbatim (already admitted) and doc 5 a
+      // re-ingest with drifted content under the SAME doc_id — neither may
+      // duplicate or re-enter the store; doc 6 is genuinely new
+      stage(3, Seq(1L -> base,
+        2L -> (1 to 40).map(i => s"changed$i").mkString(" "),
+        6L -> (1 to 40).map(i => s"brand$i").mkString(" ")))
+      query.processAllAvailable()
+      val sigsB3 = spark.read.parquet(s"$store/sigs")
+      val ids = sigsB3.select("doc_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L, 4L, 6L),
+        s"store must stay unique per doc_id (no re-admission dups), got $ids")
     } finally query.stop()
   }
 

@@ -39,6 +39,20 @@ class TextSpec extends SparkTestBase {
     assert(sh.filter(col("doc_a") >= col("doc_b")).count() == 0)
   }
 
+  test("simhash adaptive blocking escalates under a tight candidate budget") {
+    val sh = ops.Text.simHash(docs).localCheckpoint(true)
+    val n = sh.count()
+    val floor = ops.Text.simhashBlockCount(n, 3)
+    // a 1-pair-per-doc budget is far below this corpus's measured occupancy
+    // (correlated fingerprints): the sizing must widen past the uniform floor
+    val tight = ops.Text.simhashAdaptiveBlocks(sh, n, 3, 1)
+    assert(tight > floor, s"expected escalation past floor=$floor, got $tight")
+    // wider blocking can only shrink candidate volume (same verified pairs —
+    // the naive-equivalence law covers recall at every block count)
+    assert(ops.Text.simHashCandidateVolume(sh, tight, 3) <=
+      ops.Text.simHashCandidateVolume(sh, floor, 3))
+  }
+
   test("tfidf: k terms per doc, rare terms outscore ubiquitous ones") {
     val t = q("tfidf_top_terms").cache()
     assert(t.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)
