@@ -16,8 +16,20 @@ object Bench {
     // alphabetically touches the cold cache first (r3: award_dashboard
     // charged 185.8 s official vs 0.3 s warm). Total stays honest — the
     // stage cost is still in the sum, just attributed to the stage build.
+    // A crashed query must be VISIBLE in the artifact, not masquerade as a
+    // fast timing: each failure lands in an `errors` map (name → exception)
+    // and flips the exit code nonzero. (r4 swallowed exceptions into a -1
+    // count, so a bench-only crash — e.g. OOM at a larger sf — produced a
+    // plausible-looking entry.)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def jsonSafe(s: String): String =
+      String.valueOf(s).replaceAll("[\\\\\"\\n\\r\\t]", " ").take(200)
     val tS = System.nanoTime()
-    SparkEntry.prebuildStages(spark, sfDir)
+    try SparkEntry.prebuildStages(spark, sfDir) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] pipeline_stages FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        errors("pipeline_stages") = s"${e.getClass.getSimpleName}: ${jsonSafe(e.getMessage)}"
+    }
     val stageSec = (System.nanoTime() - tS) / 1e9
     val results = ("pipeline_stages" -> stageSec) +:
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -25,14 +37,17 @@ object Bench {
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            -1L
+            errors(name) = s"${e.getClass.getSimpleName}: ${jsonSafe(e.getMessage)}"
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

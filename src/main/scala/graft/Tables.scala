@@ -54,8 +54,17 @@ object Tables {
     * of the pre-fanout frame on every read. Small files count as one
     * non-empty task each (the single-row-group reality); large files are
     * credited with their byte-count splits, since multi-GB parquet is
-    * many-row-group and splits for real. A frame with no file scan
-    * underneath (already materialized) is returned untouched. */
+    * many-row-group and splits for real.
+    *
+    * Caveats (deliberate, perf-only): a frame with NO file scan underneath
+    * (already materialized / in-memory) is returned UNTOUCHED — callers
+    * passing materialized frames fan out upstream (Pipeline stages are
+    * built from scans, so they materialize already-fanned); and the
+    * estimate reads the scan's FULL file index, not the partition-pruned
+    * listing, so a heavily pruned scan over a many-file table may be
+    * credited with more splits than it will run and skip a fan-out — at
+    * that point the table is partitioned/multi-file and the identity path
+    * is the right default anyway. */
   def fanOut(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val spark = df.sparkSession

@@ -73,6 +73,17 @@ object Similarity {
       .select("vec_a", "vec_b", "cos_sim")
   }
 
+  /** Corpus (row count, embedding dim) in ONE bounded aggregate job — shared
+    * by every index build / self-join entry point (the only driver-side
+    * values in this file). Fails fast on an empty corpus: a null max(size)
+    * would otherwise surface as an opaque NPE inside bucketing, and an empty
+    * k-means fit as an MLlib internal error. */
+  private def corpusDims(embeddings: DataFrame): (Long, Int) = {
+    val r = embeddings.agg(count(lit(1)), max(size(col("embedding")))).head()
+    require(r.getLong(0) > 0, "Similarity: empty embeddings corpus")
+    (r.getLong(0), r.getInt(1))
+  }
+
   /** Bucket width: bits sized so expected bucket occupancy ≈
     * `targetOccupancy` — the log₂(n) scaling that keeps candidate volume
     * LINEAR in corpus size (occupancy constant ⇒ candidates ≈ n·occupancy
@@ -125,7 +136,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val e = withNorms(embeddings)
     val featured = e.withColumn("features", array_to_vector(col("v")))
-    val n = embeddings.count()
+    // one bounded aggregate job supplies n AND the empty-corpus guard (an
+    // extra bare count() per build was the r4 nit); the sample fraction is
+    // exact, keeping the train-on-sample/assign-all contract unbiased
+    val (n, _) = corpusDims(embeddings)
     val frac = math.min(1.0, fitMaxRows.toDouble / math.max(1L, n))
     val fitOn = (if (frac >= 1.0) featured else featured.sample(frac, seed = 42))
       .persist() // k-means makes one pass per iteration — don't recompute the lineage each time
@@ -215,9 +229,7 @@ object Similarity {
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.4,
       tables: Int = 8, targetOccupancy: Int = 64): DataFrame = {
     val e = withNorms(embeddings)
-    val (n, dim) = embeddings
-      .agg(count(lit(1)), max(size(col("embedding")))).as("nd")
-      .head() match { case r => (r.getLong(0), r.getInt(1)) }
+    val (n, dim) = corpusDims(embeddings)
     lshCandidates(e, n, dim, tables, targetOccupancy)
       .join(e.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("v").as("bv"), col("norm").as("bn")), Seq("b"))
@@ -258,9 +270,7 @@ object Similarity {
   def lshBuild(embeddings: DataFrame, tables: Int = 8,
       targetOccupancy: Int = 64): LshIndex = {
     val e = withNorms(embeddings)
-    val (n, dim) = embeddings
-      .agg(count(lit(1)), max(size(col("embedding")))).as("nd")
-      .head() match { case r => (r.getLong(0), r.getInt(1)) }
+    val (n, dim) = corpusDims(embeddings)
     val bits = bitsFor(n, targetOccupancy)
     val buckets = e.select(col("vec_id"),
         posexplode(graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)))
@@ -300,9 +310,7 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 8,
       targetOccupancy: Int = 64): DataFrame = {
     val e = withNorms(embeddings)
-    val (n, dim) = embeddings
-      .agg(count(lit(1)), max(size(col("embedding")))).as("nd")
-      .head() match { case r => (r.getLong(0), r.getInt(1)) }
+    val (n, dim) = corpusDims(embeddings)
     // candidate UNDIRECTED id-pairs, deduped across tables with no payload;
     // vectors re-joined ONCE per surviving pair, scored, mirrored to both
     // directions for per-query top-k

@@ -67,6 +67,53 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** The reference's four warehouse schemas, addressed BY NAME by every
+    * downstream DAG (`CREATE SCHEMA IF NOT EXISTS raw` etc.,
+    * `/root/reference/dags/ingest_nba_daily.py:104`;
+    * `transform_player_stats.py:182-197` reads/writes
+    * `analytics.player_aggregations` and friends by qualified name). */
+  val warehouseSchemas: Seq[String] = Seq("raw", "analytics", "ml_features", "dashboard")
+
+  /** Register the medallion schemas in the session catalog (idempotent) —
+    * the Spark rendering of the reference's CREATE SCHEMA bootstrap
+    * (SURVEY.md §1.1 row 1 names the catalog as the warehouse equivalent). */
+  def ensureWarehouse(spark: SparkSession): Unit =
+    warehouseSchemas.foreach(s => spark.sql(s"CREATE DATABASE IF NOT EXISTS `$s`"))
+
+  /** CTAS by NAME — the reference's per-layer `DROP TABLE IF EXISTS` +
+    * `CREATE TABLE ... AS SELECT` (`transform_player_stats.py:176-199`),
+    * rendered as an overwrite of a managed parquet table. Downstream
+    * consumers read `spark.table("analytics.player_aggregations")` instead
+    * of a path; the files still land as plain parquet under the warehouse
+    * dir, so path-addressed engines keep working. At cluster scale the same
+    * call against a shared metastore gives every job the one catalog. */
+  def overwriteTable(df: DataFrame, table: String): Unit = {
+    ensureWarehouse(df.sparkSession)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
+  /** Publish the reference's warehouse cascade by name: raw fact → analytics
+    * aggregates → ML features → dashboard tables — one table per layer edge
+    * the reference DAGs address (`ingest_nba_daily` → `transform_player_stats`
+    * → `feature_engineering` → `prepare_dashboard_data`). Reuses the
+    * session's Pipeline stage cache, so publishing after a query run costs
+    * only the writes. */
+  def publishWarehouse(spark: SparkSession, sfDir: String): Unit = {
+    ensureWarehouse(spark)
+    val box = Pipeline.stage(spark, sfDir, "box")(
+      graft.Tables.fanOut(Ingest.box(spark, sfDir)))
+    val pa = Pipeline.stage(spark, sfDir, "pa")(Analytics.playerAggregations(box))
+    val adv = Pipeline.stage(spark, sfDir, "adv")(Analytics.advancedMetrics(box))
+    val roll = Pipeline.stage(spark, sfDir, "roll")(Analytics.rollingAverages(box))
+    val af = Pipeline.stage(spark, sfDir, "af")(Features.awardFeatures(pa, adv, roll))
+    overwriteTable(box, "raw.box_scores")
+    overwriteTable(pa, "analytics.player_aggregations")
+    overwriteTable(adv, "analytics.advanced_metrics")
+    overwriteTable(af, "ml_features.award_features")
+    overwriteTable(Dashboard.playerDashboard(pa, adv, af), "dashboard.player_metrics")
+    overwriteTable(Dashboard.teamDashboard(pa), "dashboard.team_metrics")
+  }
+
   /** S9 JSON export sink: the reference's only external output surface
     * (`/root/reference/dags/prepare_dashboard_data.py:290-319` —
     * `df.to_json(path, orient='records')` per dashboard table). Spark's

@@ -134,6 +134,28 @@ class SinksSpec extends SparkTestBase {
     }
   }
 
+  test("named-catalog warehouse: schemas registered, layers readable by name") {
+    Sinks.publishWarehouse(spark, SF)
+    try {
+      val dbs = spark.catalog.listDatabases().collect().map(_.name).toSet
+      assert(Sinks.warehouseSchemas.toSet.subsetOf(dbs), s"missing schemas in $dbs")
+      // downstream read goes BY NAME, and matches the query-surface frame
+      val pa = spark.table("analytics.player_aggregations")
+      val direct = q("hash_agg_multi")
+      assert(pa.count() == direct.count())
+      assert(pa.select("player_id", "ppg")
+        .except(direct.select("player_id", "ppg")).count() == 0)
+      assert(spark.table("raw.box_scores").count() ==
+        graft.ops.Ingest.box(spark, SF).count())
+      assert(spark.table("ml_features.award_features").count() == q("award_features").count())
+      assert(spark.table("dashboard.player_metrics").count() > 0)
+      assert(spark.table("dashboard.team_metrics").count() > 0)
+    } finally {
+      Sinks.warehouseSchemas.foreach(s =>
+        spark.sql(s"DROP DATABASE IF EXISTS `$s` CASCADE"))
+    }
+  }
+
   test("S9 full dashboard export writes all six surfaces") {
     val dir = tmp("graft_dash")
     Sinks.exportDashboard(spark, SF, dir, q("hash_agg_multi"), q("award_features"))
