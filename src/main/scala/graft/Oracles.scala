@@ -439,6 +439,18 @@ af AS (
         GROUP BY 1, 2) r
       ON l.o_custkey = r.o_custkey AND l.o_orderdate >= r.o_orderdate""",
 
+    // the binned hot-key-safe variant computes the SAME relation — one
+    // oracle, two physical strategies, both hash-verified
+    "asof_join_binned" -> """
+      SELECT l.o_orderkey, l.o_custkey, l.o_orderdate, l.o_totalprice,
+             r.last_urgent_price
+      FROM orders l
+      ASOF LEFT JOIN (
+        SELECT o_custkey, o_orderdate, max(o_totalprice) AS last_urgent_price
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1, 2) r
+      ON l.o_custkey = r.o_custkey AND l.o_orderdate >= r.o_orderdate""",
+
     // ---- events / streaming-cadence analogs
     "stream_window_counts" -> s"""
       SELECT date_trunc('day', ts) AS day, event_type,

@@ -121,6 +121,7 @@ object SparkEntry {
     "join_project" -> ((s, d) => Relational.joinProject(s, d)),
     "union_all_frames" -> ((s, d) => Relational.unionAllFrames(s, d)),
     "asof_join" -> ((s, d) => Relational.asOfLastUrgent(s, d)),
+    "asof_join_binned" -> ((s, d) => Relational.asOfLastUrgentBinned(s, d)),
     "sort_multikey" -> ((s, d) => Relational.sortMultikey(box(s, d))),
 
     // ---- events / streaming-cadence analogs

@@ -110,6 +110,60 @@ object Relational {
         valueCols.map(c => col(s"_rv.`$c`").as(c)): _*)
   }
 
+  /** Hot-key fallback for [[asOfJoin]]: time-binned as-of. The window variant
+    * partitions by key alone, so one pathologically hot key funnels its
+    * ENTIRE history into a single task. Here both sides land in fixed-width
+    * time bins and the match decomposes into (a) the latest right row within
+    * the left row's own bin at-or-before its ts, and (b) a per-(key, bin)
+    * CARRY-IN — the latest right row from any earlier bin — computed over
+    * one row per (key, bin) (partition size = time-range/binWidth, never
+    * history size) and injected at each bin's start. The per-bin window then
+    * partitions by (key, bin): the largest task holds one bin's occupancy
+    * plus one carry row. Same row-level struct-fill semantics as
+    * [[asOfJoin]] (ScalaCheck equivalence law); `ts` must be numeric
+    * (epoch-convert timestamps) and the right side unique per (key, ts). */
+  def asOfJoinBinned(left: DataFrame, right: DataFrame, key: String, ts: String,
+      valueCols: Seq[String], binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(valueCols.forall(!left.columns.contains(_)),
+      s"asOfJoinBinned value columns must not exist on the left side: " +
+        valueCols.filter(left.columns.contains(_)).mkString(", "))
+    val reserved = Seq("_side", "_rv", "_bin")
+    require(reserved.forall(c => !left.columns.contains(c) && !right.columns.contains(c)),
+      "asOfJoinBinned reserves the _side, _rv and _bin column names")
+    val l = left
+      .withColumn("_bin", floor(col(ts) / binWidth).cast("long"))
+      .withColumn("_side", lit(1))
+    val r0 = right.select(Seq(key, ts).map(col) :+
+        struct(valueCols.map(col): _*).as("_rv"): _*)
+      .withColumn("_bin", floor(col(ts) / binWidth).cast("long"))
+    // latest right row per (key, bin) — a two-phase aggregate, skew-safe
+    val perBin = r0.groupBy(col(key), col("_bin"))
+      .agg(max_by(col("_rv"), col(ts)).as("_rv"))
+    // carry-in per (key, bin): latest right row of any STRICTLY earlier bin,
+    // over the bin spine of both sides (one row per (key, bin))
+    val spine = l.select(col(key), col("_bin"))
+      .unionByName(r0.select(col(key), col("_bin"))).distinct()
+    val wBins = org.apache.spark.sql.expressions.Window.partitionBy(key)
+      .orderBy(col("_bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val carry = spine.join(perBin, Seq(key, "_bin"), "left")
+      .withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(wBins))
+      .filter(col("_rv").isNotNull)
+      .withColumn(ts, (col("_bin") * binWidth).cast(l.schema(ts).dataType))
+      .withColumn("_side", lit(-1)) // sorts before any real row at the bin start
+    val rIn = r0.withColumn("_side", lit(0))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key, "_bin")
+      .orderBy(col(ts), col("_side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    l.unionByName(rIn, allowMissingColumns = true)
+      .unionByName(carry, allowMissingColumns = true)
+      .withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col(s"_rv.`$c`").as(c)): _*)
+  }
+
   /** The as-of query over the test tables: each order joined to the price
     * of the customer's most recent URGENT order at or before its date
     * (right side pre-aggregated to one row per (customer, date) for
@@ -122,6 +176,25 @@ object Relational {
     asOfJoin(
       o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
       urgent, "o_custkey", "o_orderdate", Seq("last_urgent_price"))
+  }
+
+  /** The same as-of query through the hot-key-safe binned variant (dates
+    * epoch-day converted for the numeric binning; 64-day bins ≈ a quarter
+    * per task over the ~7-year order history). Shares `asof_join`'s DuckDB
+    * `ASOF JOIN` oracle — the equivalence is hash-verified, not just the
+    * ScalaCheck law. */
+  def asOfLastUrgentBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+    val o = Tables.orders(spark, sfDir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max(col("o_totalprice")).as("last_urgent_price"))
+      .withColumn("_d", datediff(col("o_orderdate"), epoch).cast("long"))
+    asOfJoinBinned(
+      o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .withColumn("_d", datediff(col("o_orderdate"), epoch).cast("long")),
+      urgent, "o_custkey", "_d", Seq("last_urgent_price"), binWidth = 64L)
+      .drop("_d")
   }
 
   /** Binned range join — interval × point containment (lo ≤ ts ≤ hi),

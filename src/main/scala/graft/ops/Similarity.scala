@@ -144,7 +144,13 @@ object Similarity {
     val fitOn = (if (frac >= 1.0) featured else featured.sample(frac, seed = 42))
       .persist() // k-means makes one pass per iteration — don't recompute the lineage each time
     val model = try {
-      new KMeans().setK(nCells).setSeed(42).setMaxIter(10).setFeaturesCol("features")
+      // random init, not the default k-means||: the parallel init runs ~2
+      // extra full passes (each a Spark job) to seed centers that a COARSE
+      // quantizer doesn't need — cells only have to follow the corpus
+      // distribution (recall is asserted in ScalaTest either way), and the
+      // Lloyd iterations repair any weak seed within the same maxIter
+      new KMeans().setK(nCells).setSeed(42).setMaxIter(10).setInitMode("random")
+        .setFeaturesCol("features")
         .fit(fitOn)
     } finally fitOn.unpersist()
     val spark = embeddings.sparkSession

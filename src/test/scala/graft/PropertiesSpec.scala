@@ -193,6 +193,25 @@ class PropertiesSpec extends SparkTestBase {
     })
   }
 
+  test("law: time-binned as-of join (hot-key fallback) equals the window as-of join") {
+    val rowsGen = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(1L, 3L), Gen.choose(0, 50))))
+    check("binned asOf ≡ window asOf")(Prop.forAll(rowsGen, rowsGen, Gen.choose(1L, 30L)) {
+      (lRaw, rRaw, width) =>
+        val s = spark
+        import s.implicits._
+        val l = lRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("lid", "k", "ts")
+        val rRows = rRaw.groupBy(identity).keys.toSeq
+          .map { case (k, t) => (k, t, k * 1000.0 + t) }
+        val r = rRows.toDF("k", "ts", "p")
+        def run(df: org.apache.spark.sql.DataFrame) = df.select("lid", "p").collect()
+          .map(x => (x.getLong(0), Option(x.get(1)))).toMap
+        run(ops.Relational.asOfJoin(l, r, "k", "ts", Seq("p"))) ==
+          run(ops.Relational.asOfJoinBinned(l, r, "k", "ts", Seq("p"), width))
+    })
+  }
+
   test("law: simhash blocking finds exactly the naive Hamming pairs at every block count") {
     // fingerprints with planted near-pairs: doc 2i is a random 64-bit hash,
     // doc 2i+1 is doc 2i with `flips` random bits flipped — some within the
