@@ -496,6 +496,35 @@ af AS (
                          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
                          CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
                   FROM documents) a) b""",
+    // deterministic md5-bucket corpus split (train/val/test) — pure function
+    // of doc_id, byte-identical hex + binary string compare in both engines
+    "corpus_split" -> """
+      SELECT doc_id, lang, bucket,
+             CASE WHEN bucket < 'cd' THEN 'train'
+                  WHEN bucket < 'e6' THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, lang,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+            FROM documents) a""",
+
+    // per-language quality quota: same quality_score expression as
+    // text_quality, ranked (DESC, doc_id) and capped
+    "corpus_cap" -> """
+      SELECT doc_id, lang, quality_score, rk
+      FROM (SELECT doc_id, lang, quality_score,
+                   CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rk
+            FROM (SELECT doc_id, lang,
+                         greatest(0.0, least(1.0,
+                           0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                             + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                             - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score
+                  FROM (SELECT doc_id, lang,
+                               CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                               CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                               CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
+                        FROM documents) t) q) r
+      WHERE rk <= 50""",
+
     "lang_id" -> """
       SELECT doc_id, lang, en_hits, n_tokens, en_score,
              CASE WHEN en_score > 0.02 THEN 'en' ELSE 'unknown' END AS lang_pred

@@ -141,6 +141,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Text.dedupMinHashLshFrom(shingles(s, d))),
     "dedup_simhash" -> ((s, d) => Text.dedupSimHash(Tables.documents(s, d))),
     "tfidf_top_terms" -> ((s, d) => Text.tfidfTopTerms(Tables.documents(s, d))),
+    "corpus_split" -> ((s, d) => Text.hashSplit(Tables.documents(s, d))),
+    "corpus_cap" -> ((s, d) => Text.corpusCap(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Text.clustersFromPairs(
       Tables.documents(s, d).select("doc_id"),
       Text.dedupNgramJaccardFrom(shingles(s, d)).select("doc_a", "doc_b"))),

@@ -107,6 +107,41 @@ object Text {
       .distinct()
   }
 
+  /** Deterministic hash split (train/val/test): assignment is a pure
+    * function of doc_id — stable under corpus growth, re-runs, and
+    * repartitioning, unlike `sample()`/`randomSplit()` (the property a
+    * training pipeline needs so yesterday's val doc can never leak into
+    * tomorrow's train set). The bucket is the first two hex chars of
+    * md5(doc_id): 256 lexicographic buckets, engine-portable and mirrored
+    * verbatim in the DuckDB oracle; the default bounds "cd"/"e6" give an
+    * 80.1 / 9.8 / 10.2 split. One narrow projection — no shuffle, no
+    * state; at 100 TB the split column computes inside the scan's codegen
+    * stage. */
+  def hashSplit(documents: DataFrame,
+      trainBound: String = "cd", valBound: String = "e6"): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainBound, "train")
+          .when(col("bucket") < valBound, "val")
+          .otherwise("test"))
+
+  /** Per-group quota capping: keep the `perGroup` highest-quality documents
+    * per language — the domain-balancing step a corpus pipeline runs after
+    * dedup/quality scoring (cap the over-represented sources instead of
+    * letting them dominate the mixture). One hash shuffle on the group key
+    * with a deterministic (quality DESC, doc_id) tie-break. Task size is
+    * bounded by group size; for a group that outgrows a partition
+    * substitute the two-pass rank machinery ([[graft.ops.Ranks]]). */
+  def corpusCap(documents: DataFrame, perGroup: Int = 50): DataFrame =
+    qualityScore(documents)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("quality_score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= perGroup)
+      .select("doc_id", "lang", "quality_score", "rk")
+
   /** Exact deduplication: hash-groupBy on the fingerprint; every doc maps to
     * the group's keeper (min doc_id). Scales as one shuffle of (hash, id). */
   def dedupExact(documents: DataFrame): DataFrame = {

@@ -114,6 +114,32 @@ class TextSpec extends SparkTestBase {
     assert(s1.except(s7).count() == 0 && s7.except(s1).count() == 0)
   }
 
+  test("hash split: deterministic, stable under corpus growth, ~80/10/10") {
+    val full = q("corpus_split").cache()
+    assert(full.count() == docs.count())
+    // a doc's assignment is a pure function of its id: a subset corpus
+    // assigns identically (no val/train leakage as the corpus grows)
+    val sub = ops.Text.hashSplit(docs.filter(col("doc_id") % 3 === 0))
+    assert(sub.except(full).count() == 0)
+    val byS = full.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(byS("train") / n > 0.7 && byS("train") / n < 0.9, s"split skewed: $byS")
+    assert(byS.getOrElse("val", 0L) / n < 0.2 && byS.getOrElse("test", 0L) / n < 0.2)
+  }
+
+  test("corpus cap: per-lang quota held, ranks contiguous, highest quality kept") {
+    val capped = ops.Text.corpusCap(docs, 10).cache()
+    assert(capped.groupBy("lang").count().filter(col("count") > 10).count() == 0)
+    assert(capped.filter(col("rk") < 1 || col("rk") > 10).count() == 0)
+    // every kept doc outranks every dropped doc of its language
+    val scored = ops.Text.qualityScore(docs).select(col("doc_id"), col("lang"), col("quality_score"))
+    val keptMin = capped.groupBy("lang").agg(min("quality_score").as("kmin"))
+    val droppedMax = scored.join(capped.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(max("quality_score").as("dmax"))
+    assert(keptMin.join(droppedMax, Seq("lang")).filter(col("dmax") > col("kmin")).count() == 0)
+  }
+
   test("quality score bounded in [0,1]; langid predicts en for stopword-bearing soup") {
     val tq = q("text_quality").cache()
     assert(tq.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
