@@ -23,7 +23,7 @@ object Bench {
     // plausible-looking entry.)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def jsonSafe(s: String): String =
-      String.valueOf(s).replaceAll("[\\\\\"\\n\\r\\t]", " ").take(200)
+      String.valueOf(s).replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(200)
     val tS = System.nanoTime()
     try SparkEntry.prebuildStages(spark, sfDir) catch {
       case e: Throwable =>

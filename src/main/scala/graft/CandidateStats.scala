@@ -28,12 +28,9 @@ object CandidateStats {
       val nDocs = docs.count()
       val sh = ops.Text.shingles(docs).localCheckpoint(true)
       val sig = ops.Text.minHashSignaturesFrom(sh, 32).localCheckpoint(true)
-      // minhash-LSH: distinct band-collision pairs (the rows entering verify)
-      val bb = ops.Text.bandBuckets(sig)
-      val minhashPairs = bb.as("x").join(bb.as("y"),
-          col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+      // minhash-LSH: distinct band-collision pairs (the rows entering
+      // verify) — the SAME generator the dedup pass runs
+      val minhashPairs = ops.Text.bandCandidates(ops.Text.bandBuckets(sig)).count()
       // simhash: uniform-model floor vs measured-occupancy escalation, with
       // the pre-verify candidate volume at each
       val shFp = ops.Text.simHash(docs).localCheckpoint(true)

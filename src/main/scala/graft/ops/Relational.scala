@@ -131,12 +131,18 @@ object Relational {
     val reserved = Seq("_side", "_rv", "_bin")
     require(reserved.forall(c => !left.columns.contains(c) && !right.columns.contains(c)),
       "asOfJoinBinned reserves the _side, _rv and _bin column names")
+    // exact integral floor-division: `floor(ts / binWidth)` routes through
+    // DOUBLE division, which mis-bins ts magnitudes above 2^53 (epoch-nanos
+    // are there today) — a boundary row rounded into the next bin would sort
+    // before that bin's carry row and lose its match. (x − pmod(x, w)) is an
+    // exact multiple of w, so integral DIV is exact floor for negatives too.
+    val bin = expr(s"CAST((`$ts` - pmod(`$ts`, $binWidth)) DIV $binWidth AS BIGINT)")
     val l = left
-      .withColumn("_bin", floor(col(ts) / binWidth).cast("long"))
+      .withColumn("_bin", bin)
       .withColumn("_side", lit(1))
     val r0 = right.select(Seq(key, ts).map(col) :+
         struct(valueCols.map(col): _*).as("_rv"): _*)
-      .withColumn("_bin", floor(col(ts) / binWidth).cast("long"))
+      .withColumn("_bin", bin)
     // latest right row per (key, bin) — a two-phase aggregate, skew-safe
     val perBin = r0.groupBy(col(key), col("_bin"))
       .agg(max_by(col("_rv"), col(ts)).as("_rv"))

@@ -74,9 +74,11 @@ object Sinks {
     * `analytics.player_aggregations` and friends by qualified name). */
   val warehouseSchemas: Seq[String] = Seq("raw", "analytics", "ml_features", "dashboard")
 
-  /** Register the medallion schemas in the session catalog (idempotent) —
-    * the Spark rendering of the reference's CREATE SCHEMA bootstrap
-    * (SURVEY.md §1.1 row 1 names the catalog as the warehouse equivalent). */
+  /** Register the medallion schemas in the session catalog (idempotent;
+    * deliberately NOT memoized — a dropped database would leave a stale
+    * memo, and IF NOT EXISTS is already a cheap no-op) — the Spark
+    * rendering of the reference's CREATE SCHEMA bootstrap (SURVEY.md §1.1
+    * row 1 names the catalog as the warehouse equivalent). */
   def ensureWarehouse(spark: SparkSession): Unit =
     warehouseSchemas.foreach(s => spark.sql(s"CREATE DATABASE IF NOT EXISTS `$s`"))
 
@@ -99,7 +101,6 @@ object Sinks {
     * session's Pipeline stage cache, so publishing after a query run costs
     * only the writes. */
   def publishWarehouse(spark: SparkSession, sfDir: String): Unit = {
-    ensureWarehouse(spark)
     val box = Pipeline.stage(spark, sfDir, "box")(
       graft.Tables.fanOut(Ingest.box(spark, sfDir)))
     val pa = Pipeline.stage(spark, sfDir, "pa")(Analytics.playerAggregations(box))

@@ -189,8 +189,17 @@ object StreamDemo {
       StructField("doc_id", LongType), StructField("band", IntegerType),
       StructField("band_hash", LongType)))
     def partitions(layer: String, excludeBatch: Long): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // fail fast on a pre-r5 store (batch_id=* at the ROOT, sigs only): a
+      // silent empty-store read would re-admit near-dups of everything ever
+      // admitted. One-time migration: move batch_id=* under sigs/ and
+      // backfill buckets/ with Text.bandBuckets of each partition.
+      if (fs.exists(root) && fs.listStatus(root).exists(
+          _.getPath.getName.startsWith("batch_id=")))
+        throw new IllegalStateException(
+          s"$storeDir uses the legacy flat store layout; migrate batch_id=* into sigs/ and backfill buckets/")
       val path = new org.apache.hadoop.fs.Path(s"$storeDir/$layer")
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(path)) Seq.empty
       else fs.listStatus(path).toSeq.map(_.getPath)
         .filter(_.getName.startsWith("batch_id="))

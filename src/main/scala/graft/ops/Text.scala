@@ -313,17 +313,24 @@ object Text {
       .distinct()
   }
 
+  /** Undirected (doc_a < doc_b) candidate pairs colliding in ≥1 LSH band —
+    * THE candidate generator of the minhash family, shared by the batch
+    * dedup pass and the linearity measurement (CandidateStats) so the
+    * measured and production candidate sets are definitionally the same
+    * join. Bare id-pairs only; deduped before any payload is attached. */
+  def bandCandidates(buckets: DataFrame): DataFrame =
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
   /** Same, over precomputed shingle postings (shared by signature
     * generation, the verify joins, and the size denominators). */
   def dedupMinHashLshFrom(sh: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val sig = minHashSignaturesFrom(sh, numHashes)
-    val buckets = bandBuckets(sig, numHashes, bands)
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bandCandidates(bandBuckets(sig, numHashes, bands))
     // verify candidates with exact Jaccard over the shingle sets
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     cand
@@ -454,7 +461,10 @@ object Text {
     require(blocks > maxHamming, s"need > $maxHamming blocks for the pigeonhole guarantee")
     val sizes = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
     val offsets = sizes.scanLeft(0)(_ + _)
-    val blockMask = Array.tabulate(blocks)(i => ((1L << sizes(i)) - 1L) << offsets(i))
+    // a 64-bit block (blocks == 1, i.e. maxHamming == 0) must mask to -1L:
+    // (1L << 64) wraps to 1 under the JVM's shift-mod-64
+    val blockMask = Array.tabulate(blocks)(i =>
+      (if (sizes(i) == 64) -1L else (1L << sizes(i)) - 1L) << offsets(i))
     (0 until blocks).combinations(blocks - maxHamming)
       .map(_.map(blockMask).reduce(_ | _)).toSeq
   }

@@ -212,6 +212,27 @@ class PropertiesSpec extends SparkTestBase {
     })
   }
 
+  test("binned as-of join stays exact at ts magnitudes beyond double precision") {
+    val s = spark
+    import s.implicits._
+    // near 2^60 the double ulp is 256: floor(ts / binWidth) through double
+    // division mis-bins boundary rows; the integral DIV path must not
+    val base = 1L << 60
+    val l = (0L until 40L).map(i => (i, 1L, base + i * 997L)).toDF("lid", "k", "ts")
+    val r = (0L until 15L).map(j => (1L, base + j * 2503L, j.toDouble)).toDF("k", "ts", "p")
+    def run(df: org.apache.spark.sql.DataFrame) = df.select("lid", "p").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    val wnd = run(ops.Relational.asOfJoin(l, r, "k", "ts", Seq("p")))
+    for (width <- Seq(1000L, 4096L, 7919L))
+      assert(run(ops.Relational.asOfJoinBinned(l, r, "k", "ts", Seq("p"), width)) == wnd,
+        s"binned as-of diverged at binWidth=$width")
+  }
+
+  test("simhash mask edge: maxHamming=0 blocks on the full 64-bit fingerprint") {
+    assert(ops.Text.simhashMasks(1, 0) == Seq(-1L))
+    assert(ops.Text.simhashMasks(4, 3).reduce(_ | _) == -1L) // blocks tile all 64 bits
+  }
+
   test("law: simhash blocking finds exactly the naive Hamming pairs at every block count") {
     // fingerprints with planted near-pairs: doc 2i is a random 64-bit hash,
     // doc 2i+1 is doc 2i with `flips` random bits flipped — some within the

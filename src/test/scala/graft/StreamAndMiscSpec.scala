@@ -118,8 +118,8 @@ class StreamAndMiscSpec extends SparkTestBase {
       val expectedBuckets = ops.Text.bandBuckets(sigs.select("doc_id", "sig"))
       assert(storedBuckets.count() == expectedBuckets.count())
       assert(storedBuckets.except(expectedBuckets).count() == 0)
-      // batch 3: doc 1 re-ingested verbatim (already admitted) and doc 5 a
-      // re-ingest with drifted content under the SAME doc_id — neither may
+      // batch 3: doc 1 re-ingested verbatim (already admitted) and doc 2
+      // re-ingested with drifted content under the SAME doc_id — neither may
       // duplicate or re-enter the store; doc 6 is genuinely new
       stage(3, Seq(1L -> base,
         2L -> (1 to 40).map(i => s"changed$i").mkString(" "),

@@ -114,6 +114,20 @@ class TextSpec extends SparkTestBase {
     assert(s1.except(s7).count() == 0 && s7.except(s1).count() == 0)
   }
 
+  test("near-dup admission is idempotent once admitted docs enter the store") {
+    import org.apache.spark.sql.types._
+    val sigs = ops.Text.minHashSignaturesFrom(
+      ops.Text.shingles(docs.limit(50)), 32).cache()
+    val emptyStore = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("doc_id", LongType), StructField("sig", ArrayType(LongType)))))
+    val admitted = ops.Text.nearDupAdmit(sigs, emptyStore).cache()
+    assert(admitted.count() > 0)
+    // replaying the same batch against the store that now holds it admits
+    // nothing (band self-collision + the doc_id anti-join both suppress)
+    assert(ops.Text.nearDupAdmit(sigs, admitted).count() == 0)
+  }
+
   test("hash split: deterministic, stable under corpus growth, ~80/10/10") {
     val full = q("corpus_split").cache()
     assert(full.count() == docs.count())
