@@ -143,6 +143,7 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, d) => Text.tfidfTopTerms(Tables.documents(s, d))),
     "corpus_split" -> ((s, d) => Text.hashSplit(Tables.documents(s, d))),
     "corpus_cap" -> ((s, d) => Text.corpusCap(Tables.documents(s, d))),
+    "corpus_pack" -> ((s, d) => Text.packSequences(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Text.clustersFromPairs(
       Tables.documents(s, d).select("doc_id"),
       Text.dedupNgramJaccardFrom(shingles(s, d)).select("doc_a", "doc_b"))),

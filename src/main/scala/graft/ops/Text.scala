@@ -142,6 +142,29 @@ object Text {
       .filter(col("rk") <= perGroup)
       .select("doc_id", "lang", "quality_score", "rk")
 
+  /** Greedy contiguous sequence packing: assign documents to fixed
+    * token-budget bins — the "concatenate and chunk to context length" step
+    * between a curated corpus and an LLM training run. Docs pack in
+    * deterministic doc_id order WITHIN each [[hashSplit]] bucket: a single
+    * global packing stream would serialize its running total through one
+    * task, while 256 hash buckets pack independently and in parallel —
+    * which is exactly what a sharded tokenizer-writer does anyway. A doc's
+    * pack is determined by the running token total BEFORE it
+    * (`floor(offset/budget)`), so packs fill contiguously and a boundary
+    * doc belongs to the pack where it starts. One window over one
+    * bucket-keyed shuffle; every column mirrored in the DuckDB oracle. */
+  def packSequences(documents: DataFrame, budgetTokens: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hashSplit(documents)
+      .join(tokenStats(documents).select("doc_id", "n_tokens"), Seq("doc_id"))
+      .withColumn("offset_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", concat_ws("-", col("bucket"),
+        floor(col("offset_tokens") / budgetTokens).cast("long").cast("string")))
+      .select("doc_id", "lang", "split", "bucket", "n_tokens", "offset_tokens", "pack_id")
+  }
+
   /** Exact deduplication: hash-groupBy on the fingerprint; every doc maps to
     * the group's keeper (min doc_id). Scales as one shuffle of (hash, id). */
   def dedupExact(documents: DataFrame): DataFrame = {

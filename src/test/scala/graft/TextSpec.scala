@@ -142,6 +142,29 @@ class TextSpec extends SparkTestBase {
     assert(byS.getOrElse("val", 0L) / n < 0.2 && byS.getOrElse("test", 0L) / n < 0.2)
   }
 
+  test("sequence packing: conservation, contiguous offsets, boundary-start packs") {
+    import spark.implicits._
+    val packed = q("corpus_pack").cache()
+    // every doc lands in exactly one pack
+    assert(packed.count() == docs.count())
+    assert(packed.select("doc_id").distinct().count() == docs.count())
+    // per bucket: offsets are exactly the running sum in doc_id order
+    val rows = packed.select("bucket", "doc_id", "n_tokens", "offset_tokens")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).values
+    rows.foreach { g =>
+      var cum = 0L
+      g.sortBy(_._2).foreach { case (_, _, n, off) =>
+        assert(off == cum, s"offset mismatch: got $off expected $cum")
+        cum += n
+      }
+    }
+    // a doc's pack index is its starting offset's budget multiple
+    assert(packed.filter(
+      col("pack_id") =!= concat_ws("-", col("bucket"),
+        floor(col("offset_tokens") / 2048).cast("long").cast("string"))).count() == 0)
+  }
+
   test("corpus cap: per-lang quota held, ranks contiguous, highest quality kept") {
     val capped = ops.Text.corpusCap(docs, 10).cache()
     assert(capped.groupBy("lang").count().filter(col("count") > 10).count() == 0)
