@@ -59,6 +59,30 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("plan shapes: rank-limit pushdown, no single-partition windows, pushed filters") {
+    // corpus_cap: Spark must plan the capped per-group rank with map-side
+    // WindowGroupLimit (only each group's running top-N crosses the shuffle)
+    val capPlan = q("corpus_cap").queryExecution.executedPlan.toString
+    assert(capPlan.contains("WindowGroupLimit"), s"no rank-limit pushdown:\n$capPlan")
+    // scale-sensitive queries must never fall into the 'Window with no
+    // partitioning' single-task funnel
+    for (name <- Seq("corpus_cap", "corpus_pack", "asof_join_binned",
+        "player_avg_rank", "player_dashboard")) {
+      val p = SparkEntry.queries(name)(spark, SF).queryExecution.executedPlan.toString
+      assert(!p.contains("Window [") || p.contains("windowspecdefinition") ||
+        !p.contains("No Partition"), s"$name plan suspicious")
+      val windows = p.linesIterator.filter(_.trim.startsWith("Window ")).toSeq
+      assert(windows.forall(!_.contains("partitionBy()")),
+        s"$name has an unpartitioned window")
+    }
+    // filter pushdown representative: filter_predicate reads parquet
+    // directly (scan_filter_recent reads the checkpointed stage, where
+    // pushdown is moot) — both predicates must reach the scan
+    val scan = q("filter_predicate").queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [") && !scan.contains("PushedFilters: []"),
+      s"filters not pushed:\n$scan")
+  }
+
   test("count(distinct) rewrites to HLL++ only under the opt-in flag") {
     val exact = q("consistency_check").collect().head.getAs[Long]("unique_players")
     withExtendedSession { ext =>
