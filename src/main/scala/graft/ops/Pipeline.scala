@@ -33,6 +33,14 @@ object Pipeline {
 
   private val stages = TrieMap.empty[(SparkSession, String, String), DataFrame]
   private val locks = TrieMap.empty[(SparkSession, String, String), Object]
+  private val buildSecs = TrieMap.empty[(SparkSession, String, String), Double]
+
+  /** Per-stage build seconds for a session (bench transparency: the
+    * `pipeline_stages` bench entry decomposes into these). Nested stage
+    * builds overlap — af's wall time includes the stages it triggers — so
+    * these are attribution, not additive costs. */
+  def timings(spark: SparkSession): Map[String, Double] =
+    buildSecs.collect { case ((s, _, name), t) if s eq spark => name -> t }.toMap
 
   /** Memoized named stage: builds `df` once per (session, sfDir, name),
     * eagerly materializes it with LINEAGE TRUNCATION, and hands the same
@@ -72,8 +80,9 @@ object Pipeline {
             hookCleanup(spark)
             val t0 = System.nanoTime()
             val df = build.localCheckpoint(true) // eager: runs the plan now, truncates lineage
-            System.err.println(
-              f"[pipeline] stage $name ($sfDir): built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+            val sec = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[pipeline] stage $name ($sfDir): built in $sec%.1f s")
+            buildSecs.put(key, sec)
             stages.put(key, df)
             df
           })
