@@ -581,6 +581,19 @@ af AS (
       JOIN sz sb ON cm.doc_b = sb.doc_id
       WHERE CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) >= 0.5""",
 
+    // cross-corpus shingle overlap: train (doc_id % 20 <> 0) docs sharing
+    // >= 3 distinct 5-shingles with an eval (doc_id % 20 = 0) doc
+    "decontaminate" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+      ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0)
+      SELECT tr.doc_id, ev.eval_id, count(*) AS n_shared
+      FROM tr JOIN ev USING (shingle)
+      GROUP BY 1, 2
+      HAVING count(*) >= 3""",
+
     "tfidf_top_terms" -> """
       WITH p AS (SELECT doc_id, token, count(*) AS tf
                  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token

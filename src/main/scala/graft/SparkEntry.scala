@@ -144,6 +144,13 @@ object SparkEntry {
     "corpus_split" -> ((s, d) => Text.hashSplit(Tables.documents(s, d))),
     "corpus_cap" -> ((s, d) => Text.corpusCap(Tables.documents(s, d))),
     "corpus_pack" -> ((s, d) => Text.packSequences(Tables.documents(s, d))),
+    "decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Text.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0), // train
+        docs.filter(col("doc_id") % 20 === 0)) // held-out "benchmark"
+    }),
     "dedup_clusters" -> ((s, d) => Text.clustersFromPairs(
       Tables.documents(s, d).select("doc_id"),
       Text.dedupNgramJaccardFrom(shingles(s, d)).select("doc_a", "doc_b"))),

@@ -186,6 +186,23 @@ object Text {
           sequence(lit(0), size(col("toks")) - k),
           i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("shingle"))
 
+  /** Benchmark decontamination: (train doc, eval doc) pairs sharing ≥
+    * `minShared` distinct k-shingles — the test-set-overlap removal step a
+    * serious LLM training run performs before training (a train doc
+    * containing benchmark material inflates eval). Cross-corpus shingle
+    * inverted-index join, the same index layout as [[dedupNgramJaccard]]
+    * but with the (small) eval side as the probe: at corpus scale the eval
+    * postings broadcast, making the pass one shuffle-free map-side join
+    * over the train postings plus a (train, eval)-keyed count. Anti-join
+    * the result against `train` to actually drop the flagged docs. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, k: Int = 5,
+      minShared: Int = 3): DataFrame =
+    shingles(train, k)
+      .join(shingles(evalSet, k).withColumnRenamed("doc_id", "eval_id"), Seq("shingle"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   /** Near-dup detection via exact n-gram Jaccard on a shingle inverted
     * index: docs sharing ≥1 5-shingle become candidate pairs; exact Jaccard
     * = |A∩B| / (|A|+|B|−|A∩B|) filters at the threshold. With k=5 over a

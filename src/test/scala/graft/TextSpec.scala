@@ -142,6 +142,24 @@ class TextSpec extends SparkTestBase {
     assert(byS.getOrElse("val", 0L) / n < 0.2 && byS.getOrElse("test", 0L) / n < 0.2)
   }
 
+  test("decontamination flags exactly the planted benchmark overlaps") {
+    import spark.implicits._
+    val bench = (1 to 30).map(i => s"q$i").mkString(" ")
+    val evalSet = Seq((100L, bench)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"${(1 to 10).map(i => s"a$i").mkString(" ")} $bench"), // embeds the benchmark
+      (2L, (1 to 40).map(i => s"b$i").mkString(" ")),              // clean
+      (3L, "q1 q2 q3 q4 q5 " + (1 to 20).map(i => s"c$i").mkString(" ")) // one shared shingle only
+    ).toDF("doc_id", "text")
+    val flagged = ops.Text.decontaminate(train, evalSet)
+      .select("doc_id", "eval_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((1L, 100L)), s"got $flagged")
+    // the anti-join drop: clean docs survive, contaminated ones don't
+    val kept = train.join(ops.Text.decontaminate(train, evalSet).select("doc_id"),
+      Seq("doc_id"), "left_anti").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("sequence packing: conservation, contiguous offsets, boundary-start packs") {
     import spark.implicits._
     val packed = q("corpus_pack").cache()
