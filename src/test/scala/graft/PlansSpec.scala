@@ -83,6 +83,45 @@ class PlansSpec extends SparkTestBase {
       s"filters not pushed:\n$scan")
   }
 
+  test("whole-surface plan audit: no cartesian products, no unpartitioned windows") {
+    // Sanctioned nested-loop joins: bounded-side broadcasts by construction
+    // (a 1-row cutoff/corpus-count frame, the capped query side, or the
+    // documented small-corpus all-pairs baseline). Everything else must
+    // plan equi/broadcast-hash joins.
+    val bnljOk = Set(
+      "scan_filter_recent",      // 1-row max-date cutoff broadcast
+      "tfidf_top_terms",         // 1-row corpus-count broadcast
+      "similarity_bruteforce_topk", // bounded query-side broadcast (correctness baseline)
+      "embedding_near_dup",      // documented small-corpus all-pairs baseline
+      "event_freshness",         // 1-row global-max broadcast
+      "kpi_summary", "league_stats", // 1-row KPI frames
+      "completeness_check", "freshness_check", // 1-row expected/max-date frames
+      "median_label",            // 1-row global-median broadcast
+      "quality_report",          // union of 1-row check frames
+      "similarity_ivf_topk")     // nCells-row centroid broadcast (probe scoring)
+    // Sanctioned unpartitioned windows/sorts: |teams|-bounded frames only.
+    val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val qe = fn(spark, SF).queryExecution
+      val physical = qe.executedPlan.toString
+      // unpartitioned Window nodes detected STRUCTURALLY on the optimized
+      // logical plan (empty partitionSpec = the single-task funnel)
+      val unpartWindows = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      Seq(
+        if (physical.contains("CartesianProduct"))
+          Some(s"$name: CartesianProduct") else None,
+        if (physical.contains("BroadcastNestedLoopJoin") && !bnljOk(name))
+          Some(s"$name: unsanctioned BroadcastNestedLoopJoin") else None,
+        if (unpartWindows.nonEmpty && !globalWindowOk(name))
+          Some(s"$name: unpartitioned Window (single-task funnel)") else None
+      ).flatten
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("count(distinct) rewrites to HLL++ only under the opt-in flag") {
     val exact = q("consistency_check").collect().head.getAs[Long]("unique_players")
     withExtendedSession { ext =>
