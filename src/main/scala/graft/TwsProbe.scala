@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch driver for the transformWithState leg (kept out of tests while
+  * diagnosing; removed once the spec is green). */
+object TwsProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("INFO")
+    val dir = java.nio.file.Files.createTempDirectory("events_twsp")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = ops.StreamDemo.userActivityStreamTws(spark, dir.toString)
+      .writeStream.format("memory").queryName("twsp").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    println("[probe] started, waiting")
+    q.awaitTermination()
+    println("[probe] rows=" + spark.table("twsp").count())
+    q.stop(); spark.stop()
+  }
+}

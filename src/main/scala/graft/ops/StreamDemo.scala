@@ -93,6 +93,60 @@ object StreamDemo {
       .toDF("user_id", "n_events", "value_sum", "last_seen")
   }
 
+  /** Per-user running profile via `transformWithState` — the Spark 4
+    * arbitrary-state operator superseding [[userActivityStream]]'s
+    * mapGroupsWithState: typed per-key state handles (ValueState here) and
+    * NATIVE state TTL, so an idle user's profile expires from the store
+    * instead of accumulating forever — the state-bounding contract a
+    * corpus-scale keyed profile needs, where mapGroupsWithState offers
+    * only manual timeout bookkeeping. State lives in RocksDB (the only
+    * provider transformWithState supports — set on the session here, which
+    * is also the right provider at scale: state spills off-heap instead of
+    * occupying executor memory). Emits each key's updated profile per
+    * micro-batch (update mode). */
+  def userActivityStreamTws(spark: SparkSession, eventsDir: String,
+      stateTtl: java.time.Duration = java.time.Duration.ofDays(30)): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stateEnc = implicitly[org.apache.spark.sql.Encoder[(Long, Double, java.sql.Timestamp)]]
+    class ProfileProcessor
+        extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Double),
+          (Long, Long, Double, java.sql.Timestamp)] {
+      @transient private var profile: ValueState[(Long, Double, java.sql.Timestamp)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        profile = getHandle.getValueState("profile", stateEnc, TTLConfig(stateTtl))
+      override def handleInputRows(key: Long,
+          rows: Iterator[(Long, java.sql.Timestamp, Double)],
+          timers: TimerValues): Iterator[(Long, Long, Double, java.sql.Timestamp)] = {
+        var (n, sum, last) =
+          if (profile.exists()) profile.get() else (0L, 0.0, new java.sql.Timestamp(0L))
+        rows.foreach { case (_, ts, v) =>
+          n += 1; sum += v; if (ts.compareTo(last) > 0) last = ts
+        }
+        profile.update((n, sum, last))
+        Iterator.single((key, n, sum, last))
+      }
+    }
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new ProfileProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF("user_id", "n_events", "value_sum", "last_seen")
+  }
+
   /** S5 streaming leg: continuous append-only ingest — the stream rendering
     * of the reference's daily raw-layer INSERT
     * (`/root/reference/dags/ingest_nba_daily.py:141`). Each micro-batch

@@ -46,6 +46,28 @@ class StreamAndMiscSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("transformWithState per-user profile equals batch groupBy (RocksDB + TTL)") {
+    val dir = java.nio.file.Files.createTempDirectory("events_tws")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SF/events.parquet"),
+      dir.resolve("events.parquet"))
+    // a sibling session so the RocksDB provider conf doesn't leak into the
+    // other streaming tests on the shared session
+    val s2 = spark.newSession()
+    val query = StreamDemo.userActivityStreamTws(s2, dir.toString)
+      .writeStream.format("memory").queryName("user_activity_tws")
+      .outputMode("update").start()
+    try {
+      query.processAllAvailable()
+      val streamed = s2.table("user_activity_tws")
+        .select(col("user_id"), col("n_events"), col("last_seen"))
+      val batch = StreamDemo.userActivityBatch(Tables.events(spark, SF))
+        .select(col("user_id"), col("n_events").cast("long"), col("last_seen"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0)
+    } finally query.stop()
+  }
+
   test("streaming dedup: one emission per distinct fingerprint") {
     val dir = java.nio.file.Files.createTempDirectory("docs_dedup")
     java.nio.file.Files.copy(
