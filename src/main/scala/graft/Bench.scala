@@ -47,10 +47,14 @@ object Bench {
       .mkString("{", ",", "}")
     // stage decomposition of the pipeline_stages entry (nested builds
     // overlap — attribution, not additive)
-    val stJson = graft.ops.Pipeline.timings(spark).toSeq.sortBy(_._1)
+    val stJson = graft.ops.Pipeline.timings(spark, sfDir).toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stages":$stJson,"errors":$errJson,"sf":"$sfDir"}""")
+    // the full line above grows with the query count and a tail-capture can
+    // truncate its head (r5: artifact parsed as null) — repeat the headline
+    // number alone as the LAST line so any tail keeps it
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors_n":${errors.size}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

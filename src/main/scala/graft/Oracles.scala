@@ -507,14 +507,14 @@ af AS (
             FROM documents) a""",
 
     // greedy contiguous packing: per-bucket running token offset BEFORE the
-    // doc, pack = floor(offset/budget) — same md5 bucket + whitespace token
-    // count as corpus_split / token_stats
+    // doc, pack = offset // budget (integral DIV, mirroring the engine) —
+    // same md5 bucket + whitespace token count as corpus_split / token_stats
     "corpus_pack" -> """
       SELECT doc_id, lang, split, bucket, n_tokens, offset_tokens,
-             CONCAT(bucket, '-', CAST(CAST(floor(offset_tokens / 2048) AS BIGINT) AS VARCHAR)) AS pack_id
+             CONCAT(bucket, '-', CAST(offset_tokens // 2048 AS VARCHAR)) AS pack_id
       FROM (SELECT doc_id, lang, split, bucket, n_tokens,
-                   COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_tokens
+                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
             FROM (SELECT doc_id, lang, bucket,
                          CASE WHEN bucket < 'cd' THEN 'train'
                               WHEN bucket < 'e6' THEN 'val' ELSE 'test' END AS split,

@@ -35,12 +35,16 @@ object Pipeline {
   private val locks = TrieMap.empty[(SparkSession, String, String), Object]
   private val buildSecs = TrieMap.empty[(SparkSession, String, String), Double]
 
-  /** Per-stage build seconds for a session (bench transparency: the
-    * `pipeline_stages` bench entry decomposes into these). Nested stage
-    * builds overlap — af's wall time includes the stages it triggers — so
-    * these are attribution, not additive costs. */
-  def timings(spark: SparkSession): Map[String, Double] =
-    buildSecs.collect { case ((s, _, name), t) if s eq spark => name -> t }.toMap
+  /** Per-stage build seconds for a (session, sfDir) — filtered on BOTH so a
+    * session that has built stages for two data dirs can't smear one dir's
+    * timings over the other (bench transparency: the `pipeline_stages`
+    * bench entry decomposes into these). Nested stage builds overlap — af's
+    * wall time includes the stages it triggers — so these are attribution,
+    * not additive costs. */
+  def timings(spark: SparkSession, sfDir: String): Map[String, Double] =
+    buildSecs.collect {
+      case ((s, d, name), t) if (s eq spark) && d == sfDir => name -> t
+    }.toMap
 
   /** Memoized named stage: builds `df` once per (session, sfDir, name),
     * eagerly materializes it with LINEAGE TRUNCATION, and hands the same

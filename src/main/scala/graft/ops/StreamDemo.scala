@@ -103,7 +103,15 @@ object StreamDemo {
     * provider transformWithState supports — set on the session here, which
     * is also the right provider at scale: state spills off-heap instead of
     * occupying executor memory). Emits each key's updated profile per
-    * micro-batch (update mode). */
+    * micro-batch (update mode).
+    *
+    * CALLER CONTRACT: this method SETS SESSION-WIDE CONF as a side effect
+    * (`stateStore.providerClass` → RocksDB, parquet nanosAsLong, and
+    * `noDataMicroBatches.enabled` → false — see the inline comment for why
+    * TTL + no-data batches = a never-quiescing query). Every other
+    * streaming query on the same session inherits those switches; callers
+    * co-hosting other streams should pass a dedicated `spark.newSession()`
+    * (what the spec does). */
   def userActivityStreamTws(spark: SparkSession, eventsDir: String,
       stateTtl: java.time.Duration = java.time.Duration.ofDays(30)): DataFrame = {
     import org.apache.spark.sql.types._
@@ -112,6 +120,16 @@ object StreamDemo {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Under ProcessingTime TTL the operator answers "needs another batch"
+    // on EVERY batch (processing time always advances, so a timer could
+    // always have expired) — with no-data micro-batches enabled the query
+    // therefore runs empty "cleaning up state" batches forever and never
+    // quiesces, even under Trigger.AvailableNow (measured: 378 empty
+    // batches in 90 s on a drained one-file source). Disable them: TTL
+    // stays correct — expired entries are filtered at state READ and
+    // evicted by RocksDB compaction — only the proactive empty-batch
+    // eviction sweep is dropped.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),

@@ -160,8 +160,10 @@ object Text {
     hashSplit(documents)
       .join(tokenStats(documents).select("doc_id", "n_tokens"), Seq("doc_id"))
       .withColumn("offset_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integral DIV, not floor(double /): exact at any offset magnitude
+      // (same >2^53 precision discipline as asOfJoinBinned's binning)
       .withColumn("pack_id", concat_ws("-", col("bucket"),
-        floor(col("offset_tokens") / budgetTokens).cast("long").cast("string")))
+        expr(s"offset_tokens DIV ${budgetTokens}L").cast("string")))
       .select("doc_id", "lang", "split", "bucket", "n_tokens", "offset_tokens", "pack_id")
   }
 

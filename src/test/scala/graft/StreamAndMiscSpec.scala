@@ -1,10 +1,20 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
 
 import graft.ops.{Multimodal, StreamDemo}
 
-class StreamAndMiscSpec extends SparkTestBase {
+/** Streaming-heavy suite. Every test carries a hard time limit so an
+  * unbounded stream (the r5 `processAllAvailable` treadmill) fails fast
+  * instead of wedging the whole `sbt test` run — the signaler interrupts
+  * the test thread, the `finally query.stop()` still runs. */
+class StreamAndMiscSpec extends SparkTestBase with TimeLimitedTests {
+  // quiet-host tests run in seconds; 110 s absorbs 10x host contention
+  // while still failing a genuine hang in under two minutes
+  val timeLimit: Span = Span(110, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
 
   test("structured-streaming window agg equals the batch rendering") {
     // FileStreamSource monitors a directory: stage the single parquet there
@@ -54,11 +64,17 @@ class StreamAndMiscSpec extends SparkTestBase {
     // a sibling session so the RocksDB provider conf doesn't leak into the
     // other streaming tests on the shared session
     val s2 = spark.newSession()
+    // AvailableNow, NOT the default trigger: under ProcessingTime TTL the
+    // operator schedules a maintenance batch per trigger, so
+    // processAllAvailable() on an unbounded trigger never quiesces (the r5
+    // hang). A bounded trigger drains the static source and terminates.
     val query = StreamDemo.userActivityStreamTws(s2, dir.toString)
       .writeStream.format("memory").queryName("user_activity_tws")
-      .outputMode("update").start()
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
     try {
-      query.processAllAvailable()
+      assert(query.awaitTermination(120000), "tws query did not drain in 120s")
       val streamed = s2.table("user_activity_tws")
         .select(col("user_id"), col("n_events"), col("last_seen"))
       val batch = StreamDemo.userActivityBatch(Tables.events(spark, SF))
