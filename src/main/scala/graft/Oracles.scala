@@ -523,6 +523,30 @@ af AS (
                                substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
                         FROM documents) a) b) c""",
 
+    // packing with oversized-doc splitting: same per-bucket token stream as
+    // corpus_pack, one row per (doc, pack) the doc's [offset, offset+n)
+    // interval intersects; UNNEST(generate_series(first, last)) is the
+    // row generator (inclusive bounds, matching Spark's sequence())
+    "corpus_pack_split" -> """
+      SELECT doc_id, lang, split, bucket, n_tokens, offset_tokens,
+             CONCAT(bucket, '-', CAST(p AS VARCHAR)) AS pack_id,
+             GREATEST(offset_tokens, p * 2048) - offset_tokens AS slice_start,
+             LEAST(offset_tokens + n_tokens, (p + 1) * 2048)
+               - GREATEST(offset_tokens, p * 2048) AS slice_len
+      FROM (SELECT *,
+                   UNNEST(generate_series(offset_tokens // 2048,
+                     (offset_tokens + GREATEST(n_tokens, 1) - 1) // 2048)) AS p
+            FROM (SELECT doc_id, lang, split, bucket, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+            FROM (SELECT doc_id, lang, bucket,
+                         CASE WHEN bucket < 'cd' THEN 'train'
+                              WHEN bucket < 'e6' THEN 'val' ELSE 'test' END AS split,
+                         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+                  FROM (SELECT doc_id, lang, text,
+                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+                        FROM documents) a) b) c) d""",
+
     // per-language quality quota: same quality_score expression as
     // text_quality, ranked (DESC, doc_id) and capped
     "corpus_cap" -> """

@@ -167,6 +167,47 @@ object Text {
       .select("doc_id", "lang", "split", "bucket", "n_tokens", "offset_tokens", "pack_id")
   }
 
+  /** [[packSequences]] with oversized-document SPLITTING: what a real
+    * sequence packer does with a doc longer than the context budget —
+    * slice it across consecutive packs instead of letting it overflow the
+    * pack where it starts. The per-bucket token stream is identical to
+    * packSequences (running offset in doc_id order); packs are the exact
+    * `budgetTokens`-sized windows of that stream, and a doc emits one row
+    * per pack its token interval [offset, offset+n) intersects:
+    * (slice_start, slice_len) index INTO THE DOC, so
+    * `tokens[slice_start, slice_start+slice_len)` is the pack's share.
+    * Consequences: every pack is exactly full except each bucket's last,
+    * no pack ever exceeds budget, and slice lengths conserve n_tokens —
+    * the PropertiesSpec laws.
+    *
+    * Scale shape: the same single bucket-keyed window as packSequences plus
+    * a generator — output rows ≈ docs + total_tokens/budget, no extra
+    * shuffle (explode is partition-local). All arithmetic is integral
+    * BIGINT (DIV), exact at any stream length. */
+  def packSequencesSplit(documents: DataFrame, budgetTokens: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val b = budgetTokens
+    hashSplit(documents)
+      .join(tokenStats(documents).select("doc_id", "n_tokens"), Seq("doc_id"))
+      .withColumn("offset_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // first/last pack the doc's interval touches; greatest(n,1) keeps a
+      // hypothetical 0-token doc on a single (empty-slice) row instead of
+      // feeding sequence() a descending range
+      .withColumn("pack_no", explode(sequence(
+        expr(s"offset_tokens DIV ${b}L"),
+        expr(s"(offset_tokens + greatest(n_tokens, 1L) - 1L) DIV ${b}L"))))
+      .withColumn("slice_start",
+        greatest(col("offset_tokens"), col("pack_no") * b) - col("offset_tokens"))
+      .withColumn("slice_len",
+        least(col("offset_tokens") + col("n_tokens"), (col("pack_no") + 1) * b)
+          - col("offset_tokens") - col("slice_start"))
+      .withColumn("pack_id", concat_ws("-", col("bucket"), col("pack_no").cast("string")))
+      .select("doc_id", "lang", "split", "bucket", "n_tokens", "offset_tokens",
+        "pack_id", "slice_start", "slice_len")
+  }
+
   /** Exact deduplication: hash-groupBy on the fingerprint; every doc maps to
     * the group's keeper (min doc_id). Scales as one shuffle of (hash, id). */
   def dedupExact(documents: DataFrame): DataFrame = {

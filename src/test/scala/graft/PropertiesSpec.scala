@@ -233,6 +233,60 @@ class PropertiesSpec extends SparkTestBase {
     assert(ops.Text.simhashMasks(4, 3).reduce(_ | _) == -1L) // blocks tile all 64 bits
   }
 
+  test("law: split packing conserves tokens, never overfills, and slices are contiguous") {
+    // random corpora with token counts straddling the budget (some docs
+    // several budgets long), driven through the REAL operator
+    val docsGen = for {
+      n <- Gen.choose(1, 25)
+      ids <- Gen.listOfN(n, Gen.choose(1L, 10000L)).map(_.distinct)
+      lens <- Gen.listOfN(ids.length, Gen.choose(1, 300))
+    } yield ids.zip(lens)
+    check("split packing laws")(Prop.forAll(docsGen, Gen.choose(16L, 64L)) { (docs, budget) =>
+      val s = spark
+      import s.implicits._
+      val df = docs.map { case (id, len) =>
+        (id, "en", Seq.fill(len)("w").mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+      val rows = ops.Text.packSequencesSplit(df, budget)
+        .select("doc_id", "bucket", "n_tokens", "offset_tokens", "pack_id",
+          "slice_start", "slice_len")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getLong(5), r.getLong(6)))
+      // conservation: per-doc slice lengths sum to the doc's token count
+      val conserve = rows.groupBy(_._1).forall { case (_, g) =>
+        g.map(_._7).sum == g.head._3
+      }
+      // contiguity: ordered by pack number, each slice starts where the
+      // previous ended, first at 0
+      val contiguous = rows.groupBy(_._1).forall { case (_, g) =>
+        val ordered = g.sortBy(t => t._5.split("-").last.toLong)
+        ordered.head._6 == 0 &&
+          ordered.sliding(2).forall {
+            case Array(a, b) => b._6 == a._6 + a._7
+            case _ => true
+          }
+      }
+      // pack budget: NO pack exceeds the budget, and every pack except each
+      // bucket's last is exactly full
+      val byPack = rows.groupBy(_._5).view.mapValues(_.map(_._7).sum).toMap
+      val lastPacks = rows.groupBy(_._2).map { case (bucket, g) =>
+        s"$bucket-${g.map(_._5.split("-").last.toLong).max}"
+      }.toSet
+      val budgetHeld = byPack.forall { case (p, tot) =>
+        tot <= budget && (lastPacks(p) || tot == budget)
+      }
+      // agreement with the whole-doc variant: a doc's first slice lands in
+      // the pack where it starts (packSequences' pack_id)
+      val whole = ops.Text.packSequences(df, budget)
+        .select("doc_id", "pack_id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val firstAgrees = rows.groupBy(_._1).forall { case (id, g) =>
+        g.minBy(t => t._5.split("-").last.toLong)._5 == whole(id)
+      }
+      conserve && contiguous && budgetHeld && firstAgrees
+    })
+  }
+
   test("law: simhash blocking finds exactly the naive Hamming pairs at every block count") {
     // fingerprints with planted near-pairs: doc 2i is a random 64-bit hash,
     // doc 2i+1 is doc 2i with `flips` random bits flipped — some within the
