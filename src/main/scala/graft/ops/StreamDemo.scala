@@ -165,6 +165,92 @@ object StreamDemo {
       .toDF("user_id", "n_events", "value_sum", "last_seen")
   }
 
+  /** Event-time rendering of [[userActivityStreamTws]]: state expiry is
+    * driven by the WATERMARK, not the wall clock — the variant a replayable
+    * pipeline needs, where "30 days idle" must mean 30 days of EVENT time
+    * (a backfill replayed at 1000x must expire exactly the keys the live
+    * run would have) and a stalled source must never age state out.
+    *
+    * transformWithState's built-in TTLConfig is processing-time-only, so
+    * idleness is implemented with event-time TIMERS, the supported
+    * primitive for watermark-driven expiry: each key keeps one timer at
+    * `last_seen + idleTimeout` (re-registered on every update — the
+    * previous timer is deleted so a key holds at most one); when the
+    * watermark passes it, [[ExpiringProfileProcessor.handleExpiredTimer]]
+    * emits the key's final profile as a TOMBSTONE row (`expired = true`)
+    * and clears the state, so downstream sees the retirement and the store
+    * stays bounded by the active-key count. A guard re-checks
+    * `last_seen + idle <= expiry` before clearing: a timer that lost a
+    * race with a same-batch update (input rows process before timers) is
+    * a no-op rather than dropping fresh state.
+    *
+    * Source contract: a parquet directory of (user_id LONG, ts TIMESTAMP,
+    * value DOUBLE). Emits (user_id, n_events, value_sum, last_seen,
+    * expired) in update mode. Sets session-wide RocksDB provider conf, same
+    * caveat as [[userActivityStreamTws]]; no-data micro-batches stay
+    * ENABLED here — in event-time mode they are bounded (one runs only
+    * when the watermark advances), and they are what fires a pending
+    * timer when the source goes quiet. */
+  def userActivityStreamTwsEventTime(spark: SparkSession, srcDir: String,
+      idleTimeout: java.time.Duration = java.time.Duration.ofDays(30)): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val idleMs = idleTimeout.toMillis
+    val stateEnc = implicitly[org.apache.spark.sql.Encoder[(Long, Double, java.sql.Timestamp)]]
+    val longEnc = implicitly[org.apache.spark.sql.Encoder[Long]]
+    class ExpiringProfileProcessor
+        extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Double),
+          (Long, Long, Double, java.sql.Timestamp, Boolean)] {
+      @transient private var profile: ValueState[(Long, Double, java.sql.Timestamp)] = _
+      @transient private var timerAt: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        profile = getHandle.getValueState("profile", stateEnc, TTLConfig.NONE)
+        timerAt = getHandle.getValueState("timer_at", longEnc, TTLConfig.NONE)
+      }
+      override def handleInputRows(key: Long,
+          rows: Iterator[(Long, java.sql.Timestamp, Double)],
+          timers: TimerValues): Iterator[(Long, Long, Double, java.sql.Timestamp, Boolean)] = {
+        var (n, sum, last) =
+          if (profile.exists()) profile.get() else (0L, 0.0, new java.sql.Timestamp(0L))
+        rows.foreach { case (_, ts, v) =>
+          n += 1; sum += v; if (ts.compareTo(last) > 0) last = ts
+        }
+        profile.update((n, sum, last))
+        if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+        getHandle.registerTimer(last.getTime + idleMs)
+        timerAt.update(last.getTime + idleMs)
+        Iterator.single((key, n, sum, last, false))
+      }
+      override def handleExpiredTimer(key: Long, timers: TimerValues,
+          info: ExpiredTimerInfo): Iterator[(Long, Long, Double, java.sql.Timestamp, Boolean)] = {
+        if (profile.exists()) {
+          val (n, sum, last) = profile.get()
+          if (last.getTime + idleMs <= info.getExpiryTimeInMs) {
+            profile.clear(); timerAt.clear()
+            return Iterator.single((key, n, sum, last, true))
+          }
+        }
+        Iterator.empty
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new ExpiringProfileProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
+      .toDF("user_id", "n_events", "value_sum", "last_seen", "expired")
+  }
+
   /** S5 streaming leg: continuous append-only ingest — the stream rendering
     * of the reference's daily raw-layer INSERT
     * (`/root/reference/dags/ingest_nba_daily.py:141`). Each micro-batch

@@ -29,6 +29,32 @@ class PipelineSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("warehouse e2e: every published layer read back BY NAME equals the path-built frame") {
+    graft.ops.Sinks.publishWarehouse(spark, SF)
+    try {
+      // name-read ≡ path-read, full frame both directions (not just counts):
+      // the catalog layer must hand consumers the exact rows the engine built
+      val layers: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "raw.box_scores" -> graft.Tables.fanOut(graft.ops.Ingest.box(spark, SF)),
+        "analytics.player_aggregations" -> q("hash_agg_multi"),
+        "ml_features.award_features" -> q("award_features"),
+        "dashboard.player_metrics" -> q("player_dashboard"),
+        "dashboard.team_metrics" -> q("team_dashboard"))
+      layers.foreach { case (table, built) =>
+        val byName = spark.table(table)
+        assert(byName.columns.sorted.sameElements(built.columns.sorted),
+          s"$table schema drift: ${byName.columns.mkString(",")} vs ${built.columns.mkString(",")}")
+        val b = built.select(byName.columns.map(col).toIndexedSeq: _*)
+        assert(byName.count() == b.count(), s"$table row count drift")
+        assert(byName.except(b).count() == 0, s"$table: name-read rows not in path-read")
+        assert(b.except(byName).count() == 0, s"$table: path-read rows not in name-read")
+      }
+    } finally {
+      graft.ops.Sinks.warehouseSchemas.foreach(s =>
+        spark.sql(s"DROP DATABASE IF EXISTS `$s` CASCADE"))
+    }
+  }
+
   test("top-k lists bounded; kpi row is single; award union is 30 tagged rows") {
     assert(q("topk_scorers").count() <= 10)
     assert(q("kpi_summary").count() == 1)

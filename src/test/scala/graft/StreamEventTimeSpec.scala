@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
+
+import graft.ops.StreamDemo
+
+/** Watermark-driven state expiry for the event-time keyed profile
+  * ([[StreamDemo.userActivityStreamTwsEventTime]]). The scenario needs
+  * several bounded query runs over one checkpoint (state persists, the
+  * memory sink does not), so it gets its own suite with a larger — but
+  * still hard — per-test limit than StreamAndMiscSpec's. */
+class StreamEventTimeSpec extends SparkTestBase with TimeLimitedTests {
+  val timeLimit: Span = Span(240, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  test("event-time TTL: watermark expires an idle key's state, tombstone emitted, fresh restart") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("tws_et_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_et_ckpt")
+    val s2 = spark.newSession()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def stage(n: Int, rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"tws_et_tmp$n")
+      rows.toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.copy(part, src.resolve(s"batch$n.parquet"))
+    }
+    // one bounded run over the shared checkpoint; returns this run's rows
+    // (the memory sink cannot recover a checkpoint, so each run lands its
+    // micro-batches in a fresh parquet dir via foreachBatch)
+    var runNo = 0
+    def run(): Seq[(Long, Long, Double, java.sql.Timestamp, Boolean)] = {
+      runNo += 1
+      val outDir = java.nio.file.Files.createTempDirectory(s"tws_et_out$runNo")
+      val q = StreamDemo.userActivityStreamTwsEventTime(s2, src.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir.toString)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000), "event-time tws run did not drain")
+      finally q.stop()
+      if (!java.nio.file.Files.list(outDir).findFirst.isPresent) return Seq.empty
+      spark.read.parquet(outDir.toString)
+        .select(col("user_id"), col("n_events"), col("value_sum"),
+          col("last_seen"), col("expired"))
+        .as[(Long, Long, Double, java.sql.Timestamp, Boolean)].collect().toSeq
+    }
+
+    // run A: user 1 is active (3 events), user 2 has one event
+    stage(1, Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 01:00:00"), 2.0),
+      (1L, ts("2024-01-01 02:00:00"), 3.0),
+      (2L, ts("2024-01-01 02:00:00"), 5.0)))
+    val a = run()
+    assert(a.filter(!_._5).map(r => r._1 -> r._2).toMap == Map(1L -> 3L, 2L -> 1L))
+    assert(a.forall(!_._5), s"nothing may expire yet: $a")
+
+    // runs B/C: only user 2 speaks, 40 event-days later — the watermark
+    // sails past user 1's (last_seen + 30d) timer. The tombstone fires in
+    // the batch AFTER the watermark advances (B's trailing no-data batch,
+    // or C's data batch), carrying user 1's final profile.
+    stage(2, Seq((2L, ts("2024-02-10 02:00:00"), 7.0)))
+    val b = run()
+    stage(3, Seq((2L, ts("2024-02-10 03:00:00"), 9.0)))
+    val c = run()
+    val tombstones = (b ++ c).filter(_._5)
+    assert(tombstones.map(_._1) == Seq(1L),
+      s"expected exactly user 1's tombstone, got: b=$b c=$c")
+    val t = tombstones.head
+    assert(t._2 == 3L && t._3 == 6.0 && t._4 == ts("2024-01-01 02:00:00"),
+      s"tombstone must carry the final profile: $t")
+    assert((b ++ c).filter(r => r._1 == 2L && !r._5).nonEmpty)
+
+    // run D: user 1 returns — state was CLEARED, so the profile restarts
+    // from scratch instead of resuming the expired counts
+    stage(4, Seq((1L, ts("2024-02-10 04:00:00"), 10.0)))
+    val d = run()
+    val u1 = d.filter(r => r._1 == 1L && !r._5)
+    assert(u1.map(r => (r._2, r._3)) == Seq((1L, 10.0)),
+      s"expired key must restart fresh (n=1), got: $d")
+  }
+}
