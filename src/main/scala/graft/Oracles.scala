@@ -523,6 +523,27 @@ af AS (
                                substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
                         FROM documents) a) b) c""",
 
+    // Gopher-style repetition profile: bigram totals/distincts/mode per doc
+    // + duplicate and top-gram fractions (double-of-BIGINT division, IEEE
+    // bit-exact on both engines); same whitespace tokenizer as token_stats
+    "repetition_signals" -> """
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+             CAST(MAX(c) AS BIGINT) AS top_gram_count,
+             CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_gram_frac,
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_gram_frac
+      FROM (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+                  FROM (SELECT doc_id, toks,
+                               UNNEST(generate_series(1, len(toks) - 1)) AS i
+                        FROM (SELECT doc_id,
+                                     regexp_split_to_array(text, '\s+') AS toks
+                              FROM documents) t
+                        WHERE len(toks) >= 2) g) h
+            GROUP BY doc_id, gram) k
+      GROUP BY doc_id""",
+
     // packing with oversized-doc splitting: same per-bucket token stream as
     // corpus_pack, one row per (doc, pack) the doc's [offset, offset+n)
     // interval intersects; UNNEST(generate_series(first, last)) is the

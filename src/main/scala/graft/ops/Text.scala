@@ -107,6 +107,37 @@ object Text {
       .distinct()
   }
 
+  /** Repetition signals (the Gopher/MassiveText-style repetitiousness
+    * filters): per document, the n-gram duplication profile — total and
+    * distinct n-gram counts, the most-frequent n-gram's count, and the two
+    * derived fractions curation pipelines threshold on (`dup_gram_frac`:
+    * share of n-gram slots occupied by repeats; `top_gram_frac`: share
+    * claimed by the single most common n-gram). Boilerplate, keyword
+    * stuffing, and degenerate-generation text score high; natural prose
+    * scores near zero. Docs with fewer than `n` tokens have no n-grams and
+    * are excluded.
+    *
+    * Scale shape: positional n-grams explode partition-locally, then ONE
+    * map-side-combining groupBy(doc_id, gram) collapses repeats before the
+    * shuffle, and the per-doc rollup rides the same hash partitioning.
+    * Fraction arithmetic is IEEE double-of-BIGINT on both engines, so the
+    * oracle is bit-exact. */
+  def repetitionSignals(documents: DataFrame, n: Int = 2): DataFrame =
+    documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max("c").as("top_gram_count"))
+      .withColumn("dup_gram_frac",
+        (col("n_grams") - col("n_distinct_grams")).cast("double") / col("n_grams"))
+      .withColumn("top_gram_frac",
+        col("top_gram_count").cast("double") / col("n_grams"))
+
   /** Deterministic hash split (train/val/test): assignment is a pure
     * function of doc_id — stable under corpus growth, re-runs, and
     * repartitioning, unlike `sample()`/`randomSplit()` (the property a

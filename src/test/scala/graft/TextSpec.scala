@@ -183,6 +183,28 @@ class TextSpec extends SparkTestBase {
         floor(col("offset_tokens") / 2048).cast("long").cast("string"))).count() == 0)
   }
 
+  test("repetition signals: degenerate text maxes out, distinct text scores zero, counts conserve") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "en", "w w w w w"),   // 4 bigrams, all the same
+      (2L, "en", "a b c d"),     // 3 bigrams, all distinct
+      (3L, "en", "x")            // 1 token: no bigrams, excluded
+    ).toDF("doc_id", "lang", "text")
+    val r = Text.repetitionSignals(synth).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(3L))
+    assert(r(1L).getLong(1) == 4 && r(1L).getLong(2) == 1 && r(1L).getLong(3) == 4)
+    assert(r(1L).getDouble(4) == 0.75 && r(1L).getDouble(5) == 1.0)
+    assert(r(2L).getDouble(4) == 0.0 && r(2L).getDouble(5) == 1.0 / 3.0)
+    // on the real corpus: n-gram slots conserve (n_grams = n_tokens - 1)
+    // and both fractions stay inside [0, 1)
+    val real = q("repetition_signals")
+      .join(q("token_stats").select("doc_id", "n_tokens"), Seq("doc_id"))
+    assert(real.filter(col("n_grams") =!= col("n_tokens") - 1).count() == 0)
+    assert(real.filter(col("dup_gram_frac") < 0 || col("dup_gram_frac") >= 1
+      || col("top_gram_frac") <= 0 || col("top_gram_frac") > 1).count() == 0)
+  }
+
   test("corpus cap: per-lang quota held, ranks contiguous, highest quality kept") {
     val capped = ops.Text.corpusCap(docs, 10).cache()
     assert(capped.groupBy("lang").count().filter(col("count") > 10).count() == 0)
