@@ -523,6 +523,21 @@ af AS (
                                substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
                         FROM documents) a) b) c""",
 
+    // PII scrub: POSIX-subset regexes interpreted identically by Java regex
+    // and RE2; replacement order URL -> email -> phone mirrors the engine,
+    // counts measured on the original text
+    "scrub_pii" -> """
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+             CAST(len(regexp_extract_all(text, '\+?\d[\d()\s.-]{7,}\d')) AS BIGINT) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?\d[\d()\s.-]{7,}\d', '<PHONE>', 'g') AS text_scrubbed
+      FROM documents""",
+
     // Gopher-style repetition profile: bigram totals/distincts/mode per doc
     // + duplicate and top-gram fractions (double-of-BIGINT division, IEEE
     // bit-exact on both engines); same whitespace tokenizer as token_stats

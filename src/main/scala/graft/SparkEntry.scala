@@ -146,6 +146,7 @@ object SparkEntry {
     "corpus_pack" -> ((s, d) => Text.packSequences(Tables.documents(s, d))),
     "corpus_pack_split" -> ((s, d) => Text.packSequencesSplit(Tables.documents(s, d))),
     "repetition_signals" -> ((s, d) => Text.repetitionSignals(Tables.documents(s, d))),
+    "scrub_pii" -> ((s, d) => Text.scrubPii(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)

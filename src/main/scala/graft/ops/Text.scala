@@ -138,6 +138,32 @@ object Text {
       .withColumn("top_gram_frac",
         col("top_gram_count").cast("double") / col("n_grams"))
 
+  /** PII scrubbing: redact emails, URLs, and phone-shaped digit runs with
+    * typed placeholders and count each category — the privacy pass a
+    * training corpus goes through before packing (counts feed audit
+    * dashboards; the scrubbed text replaces the raw column downstream).
+    * Patterns stay in the POSIX-compatible subset that Java regex and RE2
+    * interpret identically, so the DuckDB oracle is exact. Replacement
+    * order is URL → email → phone on both engines (counts are measured on
+    * the ORIGINAL text, independently per category). Pure codegen'd
+    * projection — no shuffle, no UDF; at 100 TB it runs inside the scan
+    * stage. */
+  def scrubPii(documents: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val phone = "\\+?\\d[\\d()\\s.-]{7,}\\d"
+    documents.select(
+      col("doc_id"), col("lang"),
+      regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(url)).cast("long").as("n_urls"),
+      regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), url, "<URL>"),
+          email, "<EMAIL>"),
+        phone, "<PHONE>").as("text_scrubbed"))
+  }
+
   /** Deterministic hash split (train/val/test): assignment is a pure
     * function of doc_id — stable under corpus growth, re-runs, and
     * repartitioning, unlike `sample()`/`randomSplit()` (the property a

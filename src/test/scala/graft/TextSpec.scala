@@ -205,6 +205,22 @@ class TextSpec extends SparkTestBase {
       || col("top_gram_frac") <= 0 || col("top_gram_frac") > 1).count() == 0)
   }
 
+  test("PII scrub: redacts emails/urls/phones, counts match, clean text untouched") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "en", "mail a.b+c@foo-bar.example.com or x@y.io today"),
+      (2L, "en", "see https://ex.com/p?q=1#f and http://a.b.c/d"),
+      (3L, "en", "call +1-555-123-4567 now"),
+      (4L, "en", "nothing sensitive here")
+    ).toDF("doc_id", "lang", "text")
+    val r = Text.scrubPii(synth).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(2) == 2 && r(1L).getString(5) == "mail <EMAIL> or <EMAIL> today")
+    assert(r(2L).getLong(3) == 2 && r(2L).getString(5) == "see <URL> and <URL>")
+    assert(r(3L).getLong(4) == 1 && r(3L).getString(5) == "call <PHONE> now")
+    assert(r(4L).getString(5) == "nothing sensitive here"
+      && r(4L).getLong(2) + r(4L).getLong(3) + r(4L).getLong(4) == 0)
+  }
+
   test("corpus cap: per-lang quota held, ranks contiguous, highest quality kept") {
     val capped = ops.Text.corpusCap(docs, 10).cache()
     assert(capped.groupBy("lang").count().filter(col("count") > 10).count() == 0)
