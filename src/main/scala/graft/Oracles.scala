@@ -523,6 +523,17 @@ af AS (
                                substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
                         FROM documents) a) b) c""",
 
+    // deterministic mixture sampling: md5 hex chars 3-6 as a 16-bit sample
+    // key (independent of corpus_split's chars 1-2), kept when below the
+    // per-lang threshold — en 0.5 -> 08000, zh 0.75 -> 0c000, default 1.0
+    "sample_mixture" -> """
+      SELECT doc_id, lang, sample_key
+      FROM (SELECT doc_id, lang,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 3, 4) AS sample_key
+            FROM documents) a
+      WHERE CONCAT('0', sample_key) <
+            CASE lang WHEN 'en' THEN '08000' WHEN 'zh' THEN '0c000' ELSE '10000' END""",
+
     // PII scrub: POSIX-subset regexes interpreted identically by Java regex
     // and RE2; replacement order URL -> email -> phone mirrors the engine,
     // counts measured on the original text

@@ -147,6 +147,9 @@ object SparkEntry {
     "corpus_pack_split" -> ((s, d) => Text.packSequencesSplit(Tables.documents(s, d))),
     "repetition_signals" -> ((s, d) => Text.repetitionSignals(Tables.documents(s, d))),
     "scrub_pii" -> ((s, d) => Text.scrubPii(Tables.documents(s, d))),
+    // rebalance the over-represented en half away, thin zh a quarter
+    "sample_mixture" -> ((s, d) => Text.sampleMixture(Tables.documents(s, d),
+      Map("en" -> 0.5, "zh" -> 0.75))),
     "decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)

@@ -138,6 +138,32 @@ object Text {
       .withColumn("top_gram_frac",
         col("top_gram_count").cast("double") / col("n_grams"))
 
+  /** Deterministic mixture sampling: down-sample each group (language /
+    * domain) to a target keep-rate — the domain-mixing step that rebalances
+    * a corpus toward a prescribed training mixture. Like [[hashSplit]],
+    * membership is a pure function of doc_id (stable under corpus growth,
+    * re-runs, and repartitioning — the anti-`sample()` property), but it
+    * consumes DIFFERENT md5 hex positions (chars 3-6, 65536 levels) so the
+    * sampling decision is independent of the train/val/test split. A doc
+    * is kept when its 16-bit sample key falls below floor(rate·65536),
+    * rendered as a 4-hex-char threshold per group; rates quantize to
+    * 1/65536. Shuffle-free single projection + filter — at 100 TB the
+    * whole pass runs inside the scan stage with the predicate pushed to
+    * the parquet reader's row-group pruning where possible. */
+  def sampleMixture(documents: DataFrame,
+      rates: Map[String, Double] = Map("en" -> 0.5),
+      defaultRate: Double = 1.0): DataFrame = {
+    def hexThreshold(rate: Double): String =
+      f"${math.max(0, math.min(65536, math.floor(rate * 65536).toInt))}%05x".takeRight(5)
+    val threshold = rates.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (lang, rate)) => acc.when(col("lang") === lang, hexThreshold(rate))
+    }.otherwise(hexThreshold(defaultRate))
+    documents
+      .withColumn("sample_key", substring(md5(col("doc_id").cast("string")), 3, 4))
+      .filter(concat(lit("0"), col("sample_key")) < threshold)
+      .select("doc_id", "lang", "sample_key")
+  }
+
   /** PII scrubbing: redact emails, URLs, and phone-shaped digit runs with
     * typed placeholders and count each category — the privacy pass a
     * training corpus goes through before packing (counts feed audit

@@ -205,6 +205,31 @@ class TextSpec extends SparkTestBase {
       || col("top_gram_frac") <= 0 || col("top_gram_frac") > 1).count() == 0)
   }
 
+  test("mixture sampling: deterministic, growth-stable, near target rates, default keeps all") {
+    val sampled = q("sample_mixture").cache()
+    // pure function of doc_id: identical output on a re-run, and a doc's
+    // membership never changes when the corpus grows (here: restricted to
+    // the first half, decisions agree with the full-corpus run)
+    assert(sampled.except(q("sample_mixture")).count() == 0)
+    val halfIds = docs.filter(col("doc_id") % 2 === 0)
+    val halfRun = Text.sampleMixture(halfIds, Map("en" -> 0.5, "zh" -> 0.75))
+    assert(halfRun.except(sampled.filter(col("doc_id") % 2 === 0)).count() == 0)
+    assert(sampled.filter(col("doc_id") % 2 === 0).except(halfRun).count() == 0)
+    // unmapped groups default to keep-everything; mapped groups land near
+    // their target (16-bit uniform key, generous binomial tolerance)
+    val kept = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("de") == all("de") && kept("fr") == all("fr") && kept("es") == all("es"))
+    def near(lang: String, rate: Double): Unit = {
+      val (k, n) = (kept(lang).toDouble, all(lang).toDouble)
+      val tol = 4 * math.sqrt(rate * (1 - rate) * n)
+      assert(math.abs(k - rate * n) <= tol, s"$lang kept $k of $n, target $rate")
+    }
+    near("en", 0.5); near("zh", 0.75)
+  }
+
   test("PII scrub: redacts emails/urls/phones, counts match, clean text untouched") {
     import spark.implicits._
     val synth = Seq(
