@@ -523,6 +523,22 @@ af AS (
                                substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
                         FROM documents) a) b) c""",
 
+    // int8-style scalar quantization: per-vector min/max affine codes, one
+    // row per (vec_id, dim); double-of-float arithmetic + floor(x+0.5) is
+    // bit-identical across engines (round() is not)
+    "quantize_embeddings" -> """
+      SELECT vec_id,
+             CAST(ord - 1 AS BIGINT) AS dim,
+             CAST(CASE WHEN vmax = vmin THEN 0.0
+                  ELSE floor((CAST(embedding[ord] AS DOUBLE) - vmin)
+                             / ((vmax - vmin) / 255.0) + 0.5) END AS BIGINT) AS code,
+             vmin, vmax
+      FROM (SELECT vec_id, embedding,
+                   CAST(list_min(embedding) AS DOUBLE) AS vmin,
+                   CAST(list_max(embedding) AS DOUBLE) AS vmax,
+                   UNNEST(generate_series(1, len(embedding))) AS ord
+            FROM embeddings) t""",
+
     // deterministic mixture sampling: md5 hex chars 3-6 as a 16-bit sample
     // key (independent of corpus_split's chars 1-2), kept when below the
     // per-lang threshold — en 0.5 -> 08000, zh 0.75 -> 0c000, default 1.0

@@ -163,6 +163,7 @@ object SparkEntry {
 
     // ---- similarity (north star)
     "similarity_bruteforce_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
+    "quantize_embeddings" -> ((s, d) => Similarity.quantizeEmbeddings(Tables.embeddings(s, d))),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
     "similarity_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "embedding_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, d))),

@@ -36,6 +36,29 @@ object Similarity {
     embeddings.select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
       .withColumn("norm", sqrt(dotd(col("v"), col("v"))))
 
+  /** Scalar (int8-style) embedding quantization: per-vector min/max affine
+    * codes in [0, levels-1] — the 4x memory compression an ANN serving tier
+    * applies so a 100 TB float corpus fits the candidate store (codes +
+    * two doubles reconstruct each dim to within scale/2). Emitted one row
+    * per (vec_id, dim) so the layout is oracle-checkable and directly
+    * joinable by dimension; re-assembly back to arrays is a
+    * `collect_list` over the dim order. Constant vectors (vmax = vmin)
+    * code to 0. All arithmetic is double (float widening is exact) with
+    * floor(x + 0.5) rounding — bit-identical on both engines, unlike
+    * round(). Pure projection + generator, no shuffle. */
+  def quantizeEmbeddings(embeddings: DataFrame, levels: Int = 256): DataFrame =
+    embeddings.select(col("vec_id"),
+        array_min(col("embedding")).cast("double").as("vmin"),
+        array_max(col("embedding")).cast("double").as("vmax"),
+        col("embedding"))
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit((levels - 1).toDouble))
+      .select(col("vec_id"), col("vmin"), col("vmax"), col("scale"),
+        posexplode(col("embedding")))
+      .withColumn("code", when(col("scale") === 0.0, lit(0L))
+        .otherwise(floor((col("col").cast("double") - col("vmin")) / col("scale") + 0.5)))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"), col("code"),
+        col("vmin"), col("vmax"))
+
   /** Brute-force cosine top-k: each query vector against the whole corpus,
     * k nearest by cosine, ties broken by neighbor id.
     *

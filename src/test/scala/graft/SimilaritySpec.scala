@@ -20,6 +20,30 @@ class SimilaritySpec extends SparkTestBase {
     .select("query_id", "neighbor_id").collect()
     .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("quantization: codes bounded, reconstruction within half a step, cosine preserved") {
+    val emb = Tables.embeddings(spark, SF)
+    val codes = q("quantize_embeddings").cache()
+    val dims = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").cast("double").as("x"))
+    assert(codes.count() == dims.count())
+    assert(codes.filter(col("code") < 0 || col("code") > 255).count() == 0)
+    // dequantized value within scale/2 of the original, every dimension
+    val joined = codes.join(dims, Seq("vec_id", "dim"))
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+      .withColumn("xhat", col("vmin") + col("code") * col("scale"))
+      .withColumn("err", abs(col("x") - col("xhat")))
+    assert(joined.filter(col("err") > col("scale") / 2 + lit(1e-12)).count() == 0)
+    // end-to-end: cosine between original and dequantized vector stays ~1
+    val recon = joined.groupBy("vec_id").agg(
+      sum(col("x") * col("xhat")).as("dot"),
+      sqrt(sum(col("x") * col("x"))).as("nx"),
+      sqrt(sum(col("xhat") * col("xhat"))).as("nh"))
+      .withColumn("cos", col("dot") / (col("nx") * col("nh")))
+    assert(recon.filter(col("cos") < 0.995).count() == 0,
+      "dequantized vectors must preserve direction")
+  }
+
   test("LSH ANN recalls a meaningful share of true neighbors at far lower cost") {
     val truth = pairs("similarity_bruteforce_topk")
     val ann = pairs("similarity_lsh_topk")
