@@ -550,19 +550,20 @@ af AS (
       WHERE CONCAT('0', sample_key) <
             CASE lang WHEN 'en' THEN '08000' WHEN 'zh' THEN '0c000' ELSE '10000' END""",
 
-    // PII scrub: POSIX-subset regexes interpreted identically by Java regex
-    // and RE2; replacement order URL -> email -> phone mirrors the engine,
-    // counts measured on the original text
+    // PII scrub: whitespace spelled as the explicit Java-\s class
+    // [ \t\n\x0B\f\r] (RE2's \s lacks \x0B, so the shorthand diverges);
+    // replacement order URL -> email -> phone mirrors the engine, counts
+    // measured on the original text
     "scrub_pii" -> """
       SELECT doc_id, lang,
              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-             CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
-             CAST(len(regexp_extract_all(text, '\+?\d[\d()\s.-]{7,}\d')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_urls,
+             CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\t\n\x0B\f\r .-]{7,}[0-9]')) AS BIGINT) AS n_phones,
              regexp_replace(
                regexp_replace(
-                 regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                 regexp_replace(text, 'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\+?\d[\d()\s.-]{7,}\d', '<PHONE>', 'g') AS text_scrubbed
+               '\+?[0-9][0-9()\t\n\x0B\f\r .-]{7,}[0-9]', '<PHONE>', 'g') AS text_scrubbed
       FROM documents""",
 
     // Gopher-style repetition profile: bigram totals/distincts/mode per doc

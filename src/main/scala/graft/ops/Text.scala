@@ -168,16 +168,18 @@ object Text {
     * typed placeholders and count each category — the privacy pass a
     * training corpus goes through before packing (counts feed audit
     * dashboards; the scrubbed text replaces the raw column downstream).
-    * Patterns stay in the POSIX-compatible subset that Java regex and RE2
-    * interpret identically, so the DuckDB oracle is exact. Replacement
-    * order is URL → email → phone on both engines (counts are measured on
-    * the ORIGINAL text, independently per category). Pure codegen'd
-    * projection — no shuffle, no UDF; at 100 TB it runs inside the scan
-    * stage. */
+    * Patterns avoid every construct Java regex and RE2 disagree on — in
+    * particular `\s` (Java's includes vertical tab \x0B, RE2's does not),
+    * spelled as the explicit Java class `[ \t\n\x0B\f\r]` instead — so
+    * the DuckDB oracle is exact on ANY input, not just \x0B-free text.
+    * Replacement order is URL → email → phone on both engines (counts are
+    * measured on the ORIGINAL text, independently per category). Pure
+    * codegen'd projection — no shuffle, no UDF; at 100 TB it runs inside
+    * the scan stage. */
   def scrubPii(documents: DataFrame): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val url = "https?://[^\\s]+"
-    val phone = "\\+?\\d[\\d()\\s.-]{7,}\\d"
+    val url = "https?://[^ \\t\\n\\x0B\\f\\r]+"
+    val phone = "\\+?[0-9][0-9()\\t\\n\\x0B\\f\\r .-]{7,}[0-9]"
     documents.select(
       col("doc_id"), col("lang"),
       regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
@@ -225,6 +227,21 @@ object Text {
       .filter(col("rk") <= perGroup)
       .select("doc_id", "lang", "quality_score", "rk")
 
+  /** The shared per-bucket token stream both packers consume: [[hashSplit]]
+    * columns + n_tokens + the running token offset BEFORE each doc (docs in
+    * doc_id order within their bucket). Extracted so [[packSequences]] and
+    * [[packSequencesSplit]] can never drift on the stream they must agree
+    * on (the first-slice-agreement law and the paired oracles both assume
+    * identical offsets). */
+  private def offsetStream(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hashSplit(documents)
+      .join(tokenStats(documents).select("doc_id", "n_tokens"), Seq("doc_id"))
+      .withColumn("offset_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+  }
+
   /** Greedy contiguous sequence packing: assign documents to fixed
     * token-budget bins — the "concatenate and chunk to context length" step
     * between a curated corpus and an LLM training run. Docs pack in
@@ -233,22 +250,16 @@ object Text {
     * task, while 256 hash buckets pack independently and in parallel —
     * which is exactly what a sharded tokenizer-writer does anyway. A doc's
     * pack is determined by the running token total BEFORE it
-    * (`floor(offset/budget)`), so packs fill contiguously and a boundary
+    * (`offset DIV budget`), so packs fill contiguously and a boundary
     * doc belongs to the pack where it starts. One window over one
     * bucket-keyed shuffle; every column mirrored in the DuckDB oracle. */
-  def packSequences(documents: DataFrame, budgetTokens: Long = 2048L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("bucket").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    hashSplit(documents)
-      .join(tokenStats(documents).select("doc_id", "n_tokens"), Seq("doc_id"))
-      .withColumn("offset_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+  def packSequences(documents: DataFrame, budgetTokens: Long = 2048L): DataFrame =
+    offsetStream(documents)
       // integral DIV, not floor(double /): exact at any offset magnitude
       // (same >2^53 precision discipline as asOfJoinBinned's binning)
       .withColumn("pack_id", concat_ws("-", col("bucket"),
         expr(s"offset_tokens DIV ${budgetTokens}L").cast("string")))
       .select("doc_id", "lang", "split", "bucket", "n_tokens", "offset_tokens", "pack_id")
-  }
 
   /** [[packSequences]] with oversized-document SPLITTING: what a real
     * sequence packer does with a doc longer than the context budget —
@@ -268,13 +279,8 @@ object Text {
     * shuffle (explode is partition-local). All arithmetic is integral
     * BIGINT (DIV), exact at any stream length. */
   def packSequencesSplit(documents: DataFrame, budgetTokens: Long = 2048L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("bucket").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val b = budgetTokens
-    hashSplit(documents)
-      .join(tokenStats(documents).select("doc_id", "n_tokens"), Seq("doc_id"))
-      .withColumn("offset_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    offsetStream(documents)
       // first/last pack the doc's interval touches; greatest(n,1) keeps a
       // hypothetical 0-token doc on a single (empty-slice) row instead of
       // feeding sequence() a descending range

@@ -46,8 +46,11 @@ class PipelineSpec extends SparkTestBase {
           s"$table schema drift: ${byName.columns.mkString(",")} vs ${built.columns.mkString(",")}")
         val b = built.select(byName.columns.map(col).toIndexedSeq: _*)
         assert(byName.count() == b.count(), s"$table row count drift")
-        assert(byName.except(b).count() == 0, s"$table: name-read rows not in path-read")
-        assert(b.except(byName).count() == 0, s"$table: path-read rows not in name-read")
+        // exceptAll, not except: set-based except would miss duplicate-row
+        // multiplicity drift (e.g. [A,A,B] vs [A,B,B] passes both distinct
+        // directions)
+        assert(byName.exceptAll(b).count() == 0, s"$table: name-read rows not in path-read")
+        assert(b.exceptAll(byName).count() == 0, s"$table: path-read rows not in name-read")
       }
     } finally {
       graft.ops.Sinks.warehouseSchemas.foreach(s =>

@@ -74,7 +74,9 @@ class StreamAndMiscSpec extends SparkTestBase with TimeLimitedTests {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try {
-      assert(query.awaitTermination(120000), "tws query did not drain in 120s")
+      // inner timeout stays BELOW the suite's 110 s limit so a slow drain
+      // fails here with this message, not via the signaler's interrupt
+      assert(query.awaitTermination(100000), "tws query did not drain in 100s")
       val streamed = s2.table("user_activity_tws")
         .select(col("user_id"), col("n_events"), col("last_seen"))
       val batch = StreamDemo.userActivityBatch(Tables.events(spark, SF))

@@ -27,9 +27,9 @@ class StreamEventTimeSpec extends SparkTestBase with TimeLimitedTests {
       val tmp = java.nio.file.Files.createTempDirectory(s"tws_et_tmp$n")
       rows.toDF("user_id", "ts", "value")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
-      java.nio.file.Files.copy(part, src.resolve(s"batch$n.parquet"))
+      val parts = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet"))
+      assert(parts != null && parts.nonEmpty, s"stage $n wrote no part file")
+      java.nio.file.Files.copy(parts.head.toPath, src.resolve(s"batch$n.parquet"))
     }
     // one bounded run over the shared checkpoint; returns this run's rows
     // (the memory sink cannot recover a checkpoint, so each run lands its
@@ -49,7 +49,8 @@ class StreamEventTimeSpec extends SparkTestBase with TimeLimitedTests {
         .start()
       try assert(q.awaitTermination(120000), "event-time tws run did not drain")
       finally q.stop()
-      if (!java.nio.file.Files.list(outDir).findFirst.isPresent) return Seq.empty
+      val landed = outDir.toFile.listFiles()
+      if (landed == null || landed.isEmpty) return Seq.empty
       spark.read.parquet(outDir.toString)
         .select(col("user_id"), col("n_events"), col("value_sum"),
           col("last_seen"), col("expired"))

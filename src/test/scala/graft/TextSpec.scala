@@ -236,7 +236,10 @@ class TextSpec extends SparkTestBase {
       (1L, "en", "mail a.b+c@foo-bar.example.com or x@y.io today"),
       (2L, "en", "see https://ex.com/p?q=1#f and http://a.b.c/d"),
       (3L, "en", "call +1-555-123-4567 now"),
-      (4L, "en", "nothing sensitive here")
+      (4L, "en", "nothing sensitive here"),
+      // vertical tab: the char Java \s and RE2 \s disagree on — the
+      // explicit whitespace class must stop the URL before it
+      (5L, "en", "see https://a.b/c\u000Btail")
     ).toDF("doc_id", "lang", "text")
     val r = Text.scrubPii(synth).collect().map(x => x.getLong(0) -> x).toMap
     assert(r(1L).getLong(2) == 2 && r(1L).getString(5) == "mail <EMAIL> or <EMAIL> today")
@@ -244,6 +247,7 @@ class TextSpec extends SparkTestBase {
     assert(r(3L).getLong(4) == 1 && r(3L).getString(5) == "call <PHONE> now")
     assert(r(4L).getString(5) == "nothing sensitive here"
       && r(4L).getLong(2) + r(4L).getLong(3) + r(4L).getLong(4) == 0)
+    assert(r(5L).getLong(3) == 1 && r(5L).getString(5) == "see <URL>\u000Btail")
   }
 
   test("corpus cap: per-lang quota held, ranks contiguous, highest quality kept") {
