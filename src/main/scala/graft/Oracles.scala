@@ -457,6 +457,11 @@ af AS (
              count(*) AS n_events, ${dsum("value")} AS value_sum,
              count(DISTINCT user_id) AS n_users
       FROM events GROUP BY 1, 2""",
+    // batch twin of the keyed streaming profiles: the end state both
+    // mapGroupsWithState and transformWithState converge to
+    "user_profiles" -> """
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, max(ts) AS last_seen
+      FROM events GROUP BY 1""",
     "props_agg" -> s"""
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) AS DECIMAL(28,10))) AS DOUBLE) AS k_sum,

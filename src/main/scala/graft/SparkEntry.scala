@@ -126,6 +126,9 @@ object SparkEntry {
 
     // ---- events / streaming-cadence analogs
     "stream_window_counts" -> ((s, d) => StreamDemo.windowCountsBatch(Tables.events(s, d))),
+    // batch twin of the keyed streaming profiles (mapGroupsWithState /
+    // transformWithState end state) — anchors that family to an oracle
+    "user_profiles" -> ((s, d) => StreamDemo.userActivityBatch(Tables.events(s, d))),
     "props_agg" -> ((s, d) => StreamDemo.propsAgg(Tables.events(s, d))),
     "event_freshness" -> ((s, d) => StreamDemo.eventFreshness(Tables.events(s, d))),
 

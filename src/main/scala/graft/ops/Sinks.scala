@@ -120,6 +120,20 @@ object Sinks {
     * `df.to_json(path, orient='records')` per dashboard table). Spark's
     * json writer emits one record per line — the same records orientation,
     * sharded for parallel writers. */
+  /** Training-shard writer: land a packed corpus (output of
+    * `Text.packSequences`/`packSequencesSplit` joined back to its payload)
+    * as `split=<train|val|test>/bucket=<xx>/` parquet partitions — the
+    * layout a training job's data loader consumes (readers select a split
+    * by partition pruning, shard workers by bucket, and no two writers
+    * share a directory). One shuffle on the partition keys so each
+    * (split, bucket) lands as a coherent file set rather than one
+    * fragment per input task. */
+  def writeCorpusShards(packed: DataFrame, outDir: String): Unit =
+    packed.repartition(col("split"), col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("split", "bucket")
+      .parquet(outDir)
+
   def exportJson(tables: Map[String, DataFrame], outDir: String): Unit =
     tables.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).json(s"$outDir/$name")

@@ -156,6 +156,23 @@ class SinksSpec extends SparkTestBase {
     }
   }
 
+  test("corpus shard writer: split/bucket partition layout, pruned reads, lossless round-trip") {
+    val dir = tmp("graft_shards")
+    val packed = graft.ops.Text.packSequences(Tables.documents(spark, SF))
+    graft.ops.Sinks.writeCorpusShards(packed, dir)
+    // partition directories exist per split and prune on read
+    val splits = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(splits.exists(_.startsWith("split=")), s"no split partitions in $splits")
+    val train = spark.read.parquet(dir).filter(col("split") === "train")
+    val scan = train.queryExecution.executedPlan.toString
+    assert(scan.contains("split=train") || !scan.contains("split=val"),
+      s"split partition not pruned:\n$scan")
+    // round-trip is lossless (multiplicity-aware)
+    val back = spark.read.parquet(dir).select(packed.columns.map(col).toIndexedSeq: _*)
+    assert(back.exceptAll(packed).count() == 0 && packed.exceptAll(back).count() == 0)
+  }
+
   test("S9 full dashboard export writes all six surfaces") {
     val dir = tmp("graft_dash")
     Sinks.exportDashboard(spark, SF, dir, q("hash_agg_multi"), q("award_features"))
