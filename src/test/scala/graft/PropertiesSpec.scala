@@ -233,6 +233,56 @@ class PropertiesSpec extends SparkTestBase {
     assert(ops.Text.simhashMasks(4, 3).reduce(_ | _) == -1L) // blocks tile all 64 bits
   }
 
+  test("law: quantization codes bounded and reconstruct within half a step for any vector") {
+    // random float vectors, including CONSTANT ones (the scale=0 code path
+    // the real corpus never exercises) and negative ranges
+    val vecGen: Gen[List[Float]] = for {
+      d <- Gen.choose(1, 16)
+      const <- Gen.prob(0.2)
+      base <- Gen.choose(-100.0, 100.0).map(_.toFloat)
+      xs <- if (const) Gen.const(List.fill(d)(base))
+            else Gen.listOfN(d, Gen.choose(-100.0, 100.0).map(_.toFloat))
+    } yield xs
+    check("quantization reconstruction")(Prop.forAll(
+      Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, vecGen))) { vecs =>
+      val s = spark
+      import s.implicits._
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray, 0) }
+        .toDF("vec_id", "embedding", "label")
+      val byVec = vecs.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap
+      ops.Similarity.quantizeEmbeddings(df).collect().forall { r =>
+        val (id, dim, code) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val (vmin, vmax) = (r.getDouble(3), r.getDouble(4))
+        val scale = (vmax - vmin) / 255.0
+        val x = byVec(id)(dim.toInt).toDouble
+        if (scale == 0.0) code == 0L
+        else code >= 0 && code <= 255 &&
+          math.abs(x - (vmin + code * scale)) <= scale / 2 + 1e-9
+      }
+    })
+  }
+
+  test("law: mixture sampling keeps exactly the docs whose sample key clears the threshold") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val idsGen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 100000L)).map(_.distinct))
+    check("mixture membership ≡ reference")(Prop.forAll(
+      idsGen, Gen.choose(0.0, 1.0)) { (ids, rate) =>
+      val s = spark
+      import s.implicits._
+      val df = ids.map(id => (id, "en", "t t")).toDF("doc_id", "lang", "text")
+      val got = ops.Text.sampleMixture(df, Map("en" -> rate))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val threshold = f"${math.max(0, math.min(65536, math.floor(rate * 65536).toInt))}%05x"
+      val expected = ids.filter { id =>
+        "0" + md5hex(id.toString).substring(2, 6) < threshold
+      }.toSet
+      got == expected
+    })
+  }
+
   test("law: split packing conserves tokens, never overfills, and slices are contiguous") {
     // random corpora with token counts straddling the budget (some docs
     // several budgets long), driven through the REAL operator
