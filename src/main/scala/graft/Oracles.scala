@@ -571,6 +571,38 @@ af AS (
                '\+?[0-9][0-9()\t\n\x0B\f\r .-]{7,}[0-9]', '<PHONE>', 'g') AS text_scrubbed
       FROM documents""",
 
+    // split-leakage audit: exact-content fingerprint collisions across the
+    // train / held-out boundary — same sha256 normalization as dedup_exact,
+    // same md5-bucket split as corpus_split
+    "split_leakage" -> """
+      WITH fp AS (
+        SELECT doc_id,
+               sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+      SELECT t.doc_id AS train_doc, h.doc_id AS heldout_doc,
+             h.split AS heldout_split, t.fingerprint
+      FROM (SELECT * FROM fp WHERE split = 'train') t
+      JOIN (SELECT * FROM fp WHERE split <> 'train') h
+      ON t.fingerprint = h.fingerprint""",
+
+    // sliding-window chunking, C=256 tokens advancing by step=224 (O=32):
+    // chunk i starts at i*step, nChunks = 1 + ceil(max(0, n-C)/step) via
+    // integral //; generate_series inclusive bounds mirror Spark sequence()
+    "chunk_documents" -> """
+      SELECT doc_id, n_tokens,
+             CAST(p AS BIGINT) AS chunk_idx,
+             CAST(p * 224 AS BIGINT) AS start_tok,
+             CAST(LEAST(256, n_tokens - p * 224) AS BIGINT) AS n_tok_chunk
+      FROM (SELECT doc_id, n_tokens,
+                   UNNEST(generate_series(0, GREATEST(0, n_tokens - 256 + 224 - 1) // 224)) AS p
+            FROM (SELECT doc_id,
+                         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+                  FROM documents) t
+            WHERE n_tokens > 0) g""",
+
     // Gopher-style repetition profile: bigram totals/distincts/mode per doc
     // + duplicate and top-gram fractions (double-of-BIGINT division, IEEE
     // bit-exact on both engines); same whitespace tokenizer as token_stats

@@ -149,6 +149,8 @@ object SparkEntry {
     "corpus_pack" -> ((s, d) => Text.packSequences(Tables.documents(s, d))),
     "corpus_pack_split" -> ((s, d) => Text.packSequencesSplit(Tables.documents(s, d))),
     "repetition_signals" -> ((s, d) => Text.repetitionSignals(Tables.documents(s, d))),
+    "chunk_documents" -> ((s, d) => Text.chunkDocuments(Tables.documents(s, d))),
+    "split_leakage" -> ((s, d) => Text.splitLeakage(Tables.documents(s, d))),
     "scrub_pii" -> ((s, d) => Text.scrubPii(Tables.documents(s, d))),
     // rebalance the over-represented en half away, thin zh a quarter
     "sample_mixture" -> ((s, d) => Text.sampleMixture(Tables.documents(s, d),

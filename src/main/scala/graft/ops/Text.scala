@@ -107,6 +107,55 @@ object Text {
       .distinct()
   }
 
+  /** Split-leakage audit: (train doc, held-out doc) pairs whose normalized
+    * content fingerprints collide across the [[hashSplit]] boundary — the
+    * check a corpus pipeline runs after splitting, because a val/test doc
+    * whose exact content also sits in train makes the held-out loss a
+    * memorization measurement. (The hash split itself can never leak a
+    * doc_id, but near-identical content under DIFFERENT ids can and does
+    * leak; this catches the exact-content case, [[decontaminate]] the
+    * partial-overlap case.) One fingerprint groupBy-free equi-join: the
+    * held-out side is ~20% of the corpus and hash-joins on the 256-bit
+    * fingerprint; empty output = clean corpus. */
+  def splitLeakage(documents: DataFrame): DataFrame = {
+    val fp = fingerprints(documents)
+      .join(hashSplit(documents).select("doc_id", "split"), Seq("doc_id"))
+    val train = fp.filter(col("split") === "train")
+      .select(col("fingerprint"), col("doc_id").as("train_doc"))
+    val held = fp.filter(col("split") =!= "train")
+      .select(col("fingerprint"), col("doc_id").as("heldout_doc"),
+        col("split").as("heldout_split"))
+    train.join(held, Seq("fingerprint"))
+      .select("train_doc", "heldout_doc", "heldout_split", "fingerprint")
+  }
+
+  /** Sliding-window document chunking: split each doc's token sequence into
+    * `chunkTokens`-sized windows advancing by `chunkTokens - overlap` — the
+    * context-window preparation step for RAG indexing and long-doc training
+    * (overlap keeps boundary-spanning content intact in some chunk). Emits
+    * (doc_id, chunk_idx, start_tok, n_tok_chunk): chunk i starts at
+    * i·(C−O); every token is covered; consecutive chunks overlap by exactly
+    * O except the last, which may be shorter (never empty: a chunk is
+    * emitted only while it starts before the doc ends). All-integral
+    * arithmetic; the generator is partition-local (no shuffle at all —
+    * chunk indexing needs no cross-doc state, unlike packing). */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Long = 256L,
+      overlap: Long = 32L): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens=$chunkTokens)")
+    val step = chunkTokens - overlap
+    tokenStats(documents).select("doc_id", "n_tokens")
+      .filter(col("n_tokens") > 0)
+      // nChunks = 1 + ceil(max(0, n - C) / step), via integral DIV
+      .withColumn("n_chunks",
+        lit(1L) + expr(s"greatest(0L, n_tokens - ${chunkTokens}L + ${step}L - 1L) DIV ${step}L"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_idx") * step)
+      .withColumn("n_tok_chunk",
+        least(lit(chunkTokens), col("n_tokens") - col("start_tok")))
+      .select("doc_id", "n_tokens", "chunk_idx", "start_tok", "n_tok_chunk")
+  }
+
   /** Repetition signals (the Gopher/MassiveText-style repetitiousness
     * filters): per document, the n-gram duplication profile — total and
     * distinct n-gram counts, the most-frequent n-gram's count, and the two

@@ -283,6 +283,46 @@ class PropertiesSpec extends SparkTestBase {
     })
   }
 
+  test("law: chunking covers every token, overlaps exactly O, and never emits an empty chunk") {
+    val cfgGen = for {
+      c <- Gen.choose(4L, 64L)
+      o <- Gen.choose(0L, c - 1)
+      lens <- Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, Gen.choose(1, 300)))
+    } yield (c, o, lens)
+    check("chunk coverage laws")(Prop.forAll(cfgGen) { case (c, o, lens) =>
+      val s = spark
+      import s.implicits._
+      val df = lens.zipWithIndex.map { case (len, i) =>
+        (i.toLong, "en", Seq.fill(len)("w").mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+      val rows = ops.Text.chunkDocuments(df, c, o)
+        .select("doc_id", "n_tokens", "chunk_idx", "start_tok", "n_tok_chunk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      rows.groupBy(_._1).forall { case (_, g) =>
+        val n = g.head._2
+        val ordered = g.sortBy(_._3)
+        val nonEmpty = ordered.forall(t => t._5 > 0 && t._5 <= c)
+        // indices contiguous from 0, chunk i starts at i*(c-o)
+        val positions = ordered.zipWithIndex.forall { case ((_, _, idx, start, _), i) =>
+          idx == i && start == i * (c - o)
+        }
+        // coverage: chunks tile [0, n) — each next chunk starts inside the
+        // previous one's span (overlap o), and the last chunk ends at n
+        val covers = ordered.sliding(2).forall {
+          case Array(a, b) => b._4 <= a._4 + a._5
+          case _ => true
+        } && ordered.last._4 + ordered.last._5 == n && ordered.head._4 == 0
+        // every non-final chunk is full and overlaps its successor exactly o
+        val overlaps = ordered.init.forall(t => t._5 == c) &&
+          ordered.sliding(2).forall {
+            case Array(a, b) => a._4 + a._5 - b._4 == o || b._4 + b._5 == n
+            case _ => true
+          }
+        nonEmpty && positions && covers && overlaps
+      }
+    })
+  }
+
   test("law: split packing conserves tokens, never overfills, and slices are contiguous") {
     // random corpora with token counts straddling the budget (some docs
     // several budgets long), driven through the REAL operator

@@ -142,6 +142,28 @@ class TextSpec extends SparkTestBase {
     assert(byS.getOrElse("val", 0L) / n < 0.2 && byS.getOrElse("test", 0L) / n < 0.2)
   }
 
+  test("split leakage: planted cross-split duplicate detected through normalization") {
+    import spark.implicits._
+    def bucket(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString.substring(0, 2)
+    val trainIds = (1L to 500L).filter(bucket(_) < "cd")
+    val heldId = (1L to 500L).find(bucket(_) >= "e6").get
+    val synth = Seq(
+      (trainIds.head, "en", "the quick brown fox"),
+      // same content under a DIFFERENT id hashing to test: case and
+      // whitespace drift must not hide the leak (sha256 is over the
+      // normalized text)
+      (heldId, "en", "THE  quick   BROWN fox"),
+      (trainIds(1), "en", "completely different text")
+    ).toDF("doc_id", "lang", "text")
+    val leaks = Text.splitLeakage(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(leaks.toSeq == Seq((trainIds.head, heldId, "test")), s"got ${leaks.toSeq}")
+    // sanity on the real corpus: every reported pair genuinely crosses the
+    // boundary (and the query runs end-to-end)
+    assert(q("split_leakage").filter(col("heldout_split") === "train").count() == 0)
+  }
+
   test("decontamination flags exactly the planted benchmark overlaps") {
     import spark.implicits._
     val bench = (1 to 30).map(i => s"q$i").mkString(" ")
