@@ -120,6 +120,11 @@ object Sinks {
     * `df.to_json(path, orient='records')` per dashboard table). Spark's
     * json writer emits one record per line — the same records orientation,
     * sharded for parallel writers. */
+  def exportJson(tables: Map[String, DataFrame], outDir: String): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).json(s"$outDir/$name")
+    }
+
   /** Training-shard writer: land a packed corpus (output of
     * `Text.packSequences`/`packSequencesSplit` joined back to its payload)
     * as `split=<train|val|test>/bucket=<xx>/` parquet partitions — the
@@ -133,11 +138,6 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("split", "bucket")
       .parquet(outDir)
-
-  def exportJson(tables: Map[String, DataFrame], outDir: String): Unit =
-    tables.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite).json(s"$outDir/$name")
-    }
 
   /** S10 write leg: collapse a 1-row KPI frame into a single JSON-blob
     * column, the Spark rendering of the reference serializing the KPI dict

@@ -73,10 +73,13 @@ object Text {
 
   /** Document fingerprint: SHA-256 over the normalized text (lowercase,
     * collapsed whitespace) — the content-defined key used by exact dedup. */
+  /** Normalized whole-document content hash (case- and whitespace-folded),
+    * shared by [[fingerprints]] and [[splitLeakage]]. */
+  private def fingerprintCol: org.apache.spark.sql.Column =
+    sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256)
+
   def fingerprints(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256).as("fingerprint"))
+    documents.select(col("doc_id"), fingerprintCol.as("fingerprint"))
 
   /** Winnowing document fingerprints (the MOSS rolling-hash scheme,
     * Schleimer/Wilkerson/Aiken 2003): hash every k-gram of the token
@@ -114,12 +117,14 @@ object Text {
     * memorization measurement. (The hash split itself can never leak a
     * doc_id, but near-identical content under DIFFERENT ids can and does
     * leak; this catches the exact-content case, [[decontaminate]] the
-    * partial-overlap case.) One fingerprint groupBy-free equi-join: the
-    * held-out side is ~20% of the corpus and hash-joins on the 256-bit
-    * fingerprint; empty output = clean corpus. */
+    * partial-overlap case.) Fingerprint and split are computed in ONE
+    * projection over the scan (no doc_id self-join to assemble them), so
+    * the only shuffle is the single fingerprint equi-join, whose held-out
+    * probe side is ~20% of the corpus; empty output = clean corpus. */
   def splitLeakage(documents: DataFrame): DataFrame = {
-    val fp = fingerprints(documents)
-      .join(hashSplit(documents).select("doc_id", "split"), Seq("doc_id"))
+    val fp = documents
+      .select(col("doc_id"), fingerprintCol.as("fingerprint"), bucketCol.as("bucket"))
+      .withColumn("split", splitFromBucket("cd", "e6"))
     val train = fp.filter(col("split") === "train")
       .select(col("fingerprint"), col("doc_id").as("train_doc"))
     val held = fp.filter(col("split") =!= "train")
@@ -251,15 +256,20 @@ object Text {
     * 80.1 / 9.8 / 10.2 split. One narrow projection — no shuffle, no
     * state; at 100 TB the split column computes inside the scan's codegen
     * stage. */
+  /** The split-hash columns, shared by [[hashSplit]] and [[splitLeakage]]
+    * so the two can never drift on the assignment contract. */
+  private def bucketCol: org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, 2)
+  private def splitFromBucket(trainBound: String, valBound: String): org.apache.spark.sql.Column =
+    when(col("bucket") < trainBound, "train")
+      .when(col("bucket") < valBound, "val")
+      .otherwise("test")
+
   def hashSplit(documents: DataFrame,
       trainBound: String = "cd", valBound: String = "e6"): DataFrame =
     documents
-      .select(col("doc_id"), col("lang"),
-        substring(md5(col("doc_id").cast("string")), 1, 2).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < trainBound, "train")
-          .when(col("bucket") < valBound, "val")
-          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), bucketCol.as("bucket"))
+      .withColumn("split", splitFromBucket(trainBound, valBound))
 
   /** Per-group quota capping: keep the `perGroup` highest-quality documents
     * per language — the domain-balancing step a corpus pipeline runs after

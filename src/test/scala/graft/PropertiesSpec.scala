@@ -263,9 +263,6 @@ class PropertiesSpec extends SparkTestBase {
   }
 
   test("law: mixture sampling keeps exactly the docs whose sample key clears the threshold") {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
     val idsGen = Gen.choose(1, 40).flatMap(n =>
       Gen.listOfN(n, Gen.choose(1L, 100000L)).map(_.distinct))
     check("mixture membership ≡ reference")(Prop.forAll(

@@ -165,8 +165,10 @@ class SinksSpec extends SparkTestBase {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(splits.exists(_.startsWith("split=")), s"no split partitions in $splits")
     val train = spark.read.parquet(dir).filter(col("split") === "train")
-    val scan = train.queryExecution.executedPlan.toString
-    assert(scan.contains("split=train") || !scan.contains("split=val"),
+    // falsifiable pruning check (same pattern as the date-partition test):
+    // the split predicate must land in the scan's PartitionFilters
+    val scan = train.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("split"),
       s"split partition not pruned:\n$scan")
     // round-trip is lossless (multiplicity-aware)
     val back = spark.read.parquet(dir).select(packed.columns.map(col).toIndexedSeq: _*)

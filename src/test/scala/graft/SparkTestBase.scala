@@ -11,6 +11,13 @@ trait SparkTestBase extends AnyFunSuite {
 
   def q(name: String): org.apache.spark.sql.DataFrame =
     SparkEntry.queries(name)(spark, SF)
+
+  /** Reference md5-hex (lowercase), the split/sampling hash contract the
+    * Text operators are specified against — one copy so every spec tests
+    * the same contract. */
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 }
 
 object SparkTestBase {

@@ -144,8 +144,7 @@ class TextSpec extends SparkTestBase {
 
   test("split leakage: planted cross-split duplicate detected through normalization") {
     import spark.implicits._
-    def bucket(id: Long) = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString.substring(0, 2)
+    def bucket(id: Long) = md5hex(id.toString).substring(0, 2)
     val trainIds = (1L to 500L).filter(bucket(_) < "cd")
     val heldId = (1L to 500L).find(bucket(_) >= "e6").get
     val synth = Seq(
@@ -159,9 +158,13 @@ class TextSpec extends SparkTestBase {
     val leaks = Text.splitLeakage(synth).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(leaks.toSeq == Seq((trainIds.head, heldId, "test")), s"got ${leaks.toSeq}")
-    // sanity on the real corpus: every reported pair genuinely crosses the
-    // boundary (and the query runs end-to-end)
-    assert(q("split_leakage").filter(col("heldout_split") === "train").count() == 0)
+    // sanity on the real corpus: every reported TRAIN side really is a
+    // train doc per hashSplit (re-derived independently — the held side's
+    // own filter can't vouch for the train leg)
+    val trainSplits = ops.Text.hashSplit(docs)
+      .select(col("doc_id").as("train_doc"), col("split"))
+    assert(q("split_leakage").join(trainSplits, Seq("train_doc"))
+      .filter(col("split") =!= "train").count() == 0)
   }
 
   test("decontamination flags exactly the planted benchmark overlaps") {
