@@ -571,6 +571,35 @@ af AS (
                '\+?[0-9][0-9()\t\n\x0B\f\r .-]{7,}[0-9]', '<PHONE>', 'g') AS text_scrubbed
       FROM documents""",
 
+    // per-source curation report: integral counts only (low-quality via a
+    // deterministic threshold compare on the per-row quality double, dups
+    // via the dedup_exact fingerprint min), fractions = long/long in
+    // doubles — no float aggregation anywhere
+    "source_report" -> """
+      SELECT source, n_docs, n_tokens, n_low_quality, n_dup_docs,
+             CAST(n_low_quality AS DOUBLE) / n_docs AS low_quality_frac,
+             CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_frac
+      FROM (SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+                   CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs
+            FROM (SELECT source, n_tokens, quality_score,
+                         CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint)
+                              THEN 1 ELSE 0 END AS is_dup
+                  FROM (SELECT doc_id, source, n_tokens,
+                               greatest(0.0, least(1.0,
+                                 0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                                   + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                                   - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score,
+                               sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+                        FROM (SELECT doc_id, source, text,
+                                     CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                                     CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                                     CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
+                              FROM documents) t) q) r
+            GROUP BY source) s""",
+
     // split-leakage audit: exact-content fingerprint collisions across the
     // train / held-out boundary — same sha256 normalization as dedup_exact,
     // same md5-bucket split as corpus_split

@@ -151,6 +151,7 @@ object SparkEntry {
     "repetition_signals" -> ((s, d) => Text.repetitionSignals(Tables.documents(s, d))),
     "chunk_documents" -> ((s, d) => Text.chunkDocuments(Tables.documents(s, d))),
     "split_leakage" -> ((s, d) => Text.splitLeakage(Tables.documents(s, d))),
+    "source_report" -> ((s, d) => Text.sourceReport(Tables.documents(s, d))),
     "scrub_pii" -> ((s, d) => Text.scrubPii(Tables.documents(s, d))),
     // rebalance the over-represented en half away, thin zh a quarter
     "sample_mixture" -> ((s, d) => Text.sampleMixture(Tables.documents(s, d),

@@ -43,21 +43,27 @@ object Text {
       .withColumn("mean_token_len",
         (col("n_chars") - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"))
 
+  /** Append the quality columns to `df` IN PLACE (every input column kept)
+    * — the one definition of the quality formula, so [[qualityScore]] and
+    * [[sourceReport]] can never drift on it. */
+  private def withQualityCols(df: DataFrame): DataFrame = df
+    .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+    .withColumn("n_stopwords",
+      size(filter(tokens(col("text")), t => t === "the" || t === "a")).cast("long"))
+    .withColumn("n_distinct_tokens",
+      size(array_distinct(tokens(col("text")))).cast("long"))
+    .withColumn("stop_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
+    .withColumn("diversity", col("n_distinct_tokens").cast("double") / col("n_tokens"))
+    .withColumn("quality_score",
+      greatest(lit(0.0), least(lit(1.0),
+        lit(0.3) + lit(0.5) * col("diversity") + lit(2.0) * col("stop_ratio")
+          - when(col("n_tokens") < 20, 0.2).otherwise(0.0))))
+
   /** Heuristic quality scoring: stopword ratio, lexical diversity, length —
     * the length/punct/stopword-ratio family of LLM-corpus quality filters. */
   def qualityScore(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      col("lang"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
-      size(filter(tokens(col("text")), t => t === "the" || t === "a")).cast("long").as("n_stopwords"),
-      size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct_tokens"))
-      .withColumn("stop_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
-      .withColumn("diversity", col("n_distinct_tokens").cast("double") / col("n_tokens"))
-      .withColumn("quality_score",
-        greatest(lit(0.0), least(lit(1.0),
-          lit(0.3) + lit(0.5) * col("diversity") + lit(2.0) * col("stop_ratio")
-            - when(col("n_tokens") < 20, 0.2).otherwise(0.0))))
+    withQualityCols(documents).select("doc_id", "lang", "n_tokens",
+      "n_stopwords", "n_distinct_tokens", "stop_ratio", "diversity", "quality_score")
 
   /** N-gram language-ID heuristic: score per candidate language from
     * characteristic-token hit rates (real systems score char n-grams against
@@ -132,6 +138,34 @@ object Text {
         col("split").as("heldout_split"))
     train.join(held, Seq("fingerprint"))
       .select("train_doc", "heldout_doc", "heldout_split", "fingerprint")
+  }
+
+  /** Per-source curation report: the C4/RefinedWeb-style domain statistics
+    * a pipeline consults before deciding which sources to keep, cap, or
+    * drop — doc and token mass, how many docs fall below the quality
+    * threshold, and how many are exact duplicates of earlier content.
+    * Fractions are integral-count ratios (long/long in IEEE doubles), NOT
+    * float averages, so the oracle is bit-exact; the per-row quality
+    * doubles only face a deterministic threshold compare.
+    *
+    * Scale shape: one projection over the scan computes every row-local
+    * input (quality columns + content fingerprint), one fingerprint-keyed
+    * window marks duplicates, and the source rollup rides a second
+    * combining groupBy — two linear shuffles, no self-join. */
+  def sourceReport(documents: DataFrame, qualityThreshold: Double = 0.5): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    withQualityCols(documents)
+      .withColumn("fingerprint", fingerprintCol)
+      .select("doc_id", "source", "n_tokens", "quality_score", "fingerprint")
+      .withColumn("is_dup",
+        (col("doc_id") =!= min("doc_id").over(byFp)).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(when(col("quality_score") < qualityThreshold, 1L).otherwise(0L)).as("n_low_quality"),
+        sum("is_dup").as("n_dup_docs"))
+      .withColumn("low_quality_frac", col("n_low_quality").cast("double") / col("n_docs"))
+      .withColumn("dup_frac", col("n_dup_docs").cast("double") / col("n_docs"))
   }
 
   /** Sliding-window document chunking: split each doc's token sequence into

@@ -142,6 +142,22 @@ class TextSpec extends SparkTestBase {
     assert(byS.getOrElse("val", 0L) / n < 0.2 && byS.getOrElse("test", 0L) / n < 0.2)
   }
 
+  test("source report: masses conserve and counts agree with the dedup/quality surfaces") {
+    val rep = q("source_report").cache()
+    // every doc and token lands in exactly one source row
+    assert(rep.agg(sum("n_docs")).collect().head.getLong(0) == docs.count())
+    assert(rep.agg(sum("n_tokens")).collect().head.getLong(0) ==
+      q("token_stats").agg(sum("n_tokens")).collect().head.getLong(0))
+    // dup and low-quality totals match the dedicated surfaces
+    assert(rep.agg(sum("n_dup_docs")).collect().head.getLong(0) ==
+      q("dedup_exact").agg(sum("is_dup")).collect().head.getLong(0))
+    assert(rep.agg(sum("n_low_quality")).collect().head.getLong(0) ==
+      q("text_quality").filter(col("quality_score") < 0.5).count())
+    // fractions bounded
+    assert(rep.filter(col("dup_frac") < 0 || col("dup_frac") > 1
+      || col("low_quality_frac") < 0 || col("low_quality_frac") > 1).count() == 0)
+  }
+
   test("split leakage: planted cross-split duplicate detected through normalization") {
     import spark.implicits._
     def bucket(id: Long) = md5hex(id.toString).substring(0, 2)
