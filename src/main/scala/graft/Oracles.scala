@@ -600,6 +600,36 @@ af AS (
                               FROM documents) t) q) r
             GROUP BY source) s""",
 
+    // source filter: keep docs whose source passes the report thresholds
+    // (dup_frac <= 0.5, low_quality_frac <= 0.05) — semi-join against the
+    // same source_report aggregation
+    "source_filter" -> """
+      SELECT doc_id, lang, source
+      FROM (SELECT doc_id, lang, source FROM documents) d
+      WHERE source IN (
+        SELECT source
+        FROM (SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+                     CAST(SUM(CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+              FROM (SELECT source, quality_score,
+                           CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint)
+                                THEN 1 ELSE 0 END AS is_dup
+                    FROM (SELECT doc_id, source,
+                                 greatest(0.0, least(1.0,
+                                   0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                                     + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                                     - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score,
+                                 sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+                          FROM (SELECT doc_id, source, text,
+                                       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                                       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                                       CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
+                                FROM documents) t) q) r
+              GROUP BY source) s
+        WHERE CAST(n_dup_docs AS DOUBLE) / n_docs <= 0.5
+          AND CAST(n_low_quality AS DOUBLE) / n_docs <= 0.05)""",
+
     // split-leakage audit: exact-content fingerprint collisions across the
     // train / held-out boundary — same sha256 normalization as dedup_exact,
     // same md5-bucket split as corpus_split

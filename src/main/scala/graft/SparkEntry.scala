@@ -152,6 +152,8 @@ object SparkEntry {
     "chunk_documents" -> ((s, d) => Text.chunkDocuments(Tables.documents(s, d))),
     "split_leakage" -> ((s, d) => Text.splitLeakage(Tables.documents(s, d))),
     "source_report" -> ((s, d) => Text.sourceReport(Tables.documents(s, d))),
+    // low-quality threshold 0.05 actually drops sources on the synthetic corpus
+    "source_filter" -> ((s, d) => Text.filterBySource(Tables.documents(s, d), 0.5, 0.05)),
     "scrub_pii" -> ((s, d) => Text.scrubPii(Tables.documents(s, d))),
     // rebalance the over-represented en half away, thin zh a quarter
     "sample_mixture" -> ((s, d) => Text.sampleMixture(Tables.documents(s, d),

@@ -168,6 +168,23 @@ object Text {
       .withColumn("dup_frac", col("n_dup_docs").cast("double") / col("n_docs"))
   }
 
+  /** Source-level filtering — the enforcement half of [[sourceReport]]:
+    * drop every document from a source whose duplicate or low-quality
+    * fraction exceeds its threshold (how C4-style pipelines remove spam
+    * mirrors and boilerplate farms wholesale instead of doc-by-doc). The
+    * report side is |sources| rows — broadcast by construction — so the
+    * pass costs one report computation plus a broadcast semi-join over the
+    * scan; surviving docs keep their full payload. */
+  def filterBySource(documents: DataFrame, maxDupFrac: Double = 0.5,
+      maxLowQualityFrac: Double = 0.8): DataFrame = {
+    val keep = sourceReport(documents)
+      .filter(col("dup_frac") <= maxDupFrac
+        && col("low_quality_frac") <= maxLowQualityFrac)
+      .select("source")
+    documents.join(broadcast(keep), Seq("source"), "left_semi")
+      .select("doc_id", "lang", "source")
+  }
+
   /** Sliding-window document chunking: split each doc's token sequence into
     * `chunkTokens`-sized windows advancing by `chunkTokens - overlap` — the
     * context-window preparation step for RAG indexing and long-doc training

@@ -158,6 +158,20 @@ class TextSpec extends SparkTestBase {
       || col("low_quality_frac") < 0 || col("low_quality_frac") > 1).count() == 0)
   }
 
+  test("source filter: drops exactly the sources over threshold, keeps whole sources") {
+    val kept = q("source_filter").cache()
+    val rep = q("source_report").cache()
+    val bad = rep.filter(col("dup_frac") > 0.5 || col("low_quality_frac") > 0.05)
+      .select("source").collect().map(_.getString(0)).toSet
+    assert(bad.nonEmpty, "thresholds must bite on the synthetic corpus")
+    // no kept doc belongs to a dropped source, and kept sources are intact
+    assert(kept.filter(col("source").isin(bad.toSeq: _*)).count() == 0)
+    val keptPerSource = kept.groupBy("source").count()
+    val expected = rep.filter(!col("source").isin(bad.toSeq: _*))
+      .select(col("source"), col("n_docs").as("count"))
+    assert(keptPerSource.exceptAll(expected).count() == 0)
+  }
+
   test("split leakage: planted cross-split duplicate detected through normalization") {
     import spark.implicits._
     def bucket(id: Long) = md5hex(id.toString).substring(0, 2)
