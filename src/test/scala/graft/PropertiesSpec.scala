@@ -280,6 +280,42 @@ class PropertiesSpec extends SparkTestBase {
     })
   }
 
+  test("law: PII scrubbing is idempotent — placeholders never re-match") {
+    val textGen = Gen.listOf(Gen.oneOf(
+      "plain", "a.b@x.io", "https://e.f/g", "+1-555-123-4567",
+      "word", "<EMAIL>", "end.")).map(_.mkString(" "))
+    check("scrub idempotence")(Prop.forAll(
+      Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, textGen))) { texts =>
+      val s = spark
+      import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, "en", t) }
+        .toDF("doc_id", "lang", "text")
+      val once = ops.Text.scrubPii(docs)
+        .select(col("doc_id"), col("lang"), col("text_scrubbed").as("text"))
+      val twice = ops.Text.scrubPii(once)
+        .select("doc_id", "text_scrubbed").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val first = once.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      first == twice
+    })
+  }
+
+  test("law: mixture sampling is monotone in the rate — a higher rate keeps a superset") {
+    val idsGen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 100000L)).map(_.distinct))
+    check("mixture monotone")(Prop.forAll(idsGen,
+      Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (ids, r1, r2) =>
+      val (lo, hi) = (math.min(r1, r2), math.max(r1, r2))
+      val s = spark
+      import s.implicits._
+      val df = ids.map(id => (id, "en", "t t")).toDF("doc_id", "lang", "text")
+      def kept(rate: Double) = ops.Text.sampleMixture(df, Map("en" -> rate))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      kept(lo).subsetOf(kept(hi))
+    })
+  }
+
   test("law: chunking covers every token, overlaps exactly O, and never emits an empty chunk") {
     val cfgGen = for {
       c <- Gen.choose(4L, 64L)
