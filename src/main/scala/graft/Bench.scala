@@ -53,8 +53,9 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stages":$stJson,"errors":$errJson,"sf":"$sfDir"}""")
     // the full line above grows with the query count and a tail-capture can
     // truncate its head (r5: artifact parsed as null) — repeat the headline
-    // number alone as the LAST line so any tail keeps it
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors_n":${errors.size}}""")
+    // number alone as the LAST line so any tail keeps it; distinct metric
+    // name so a consumer summing "total" entries can't double-count
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","sf":"$sfDir","errors_n":${errors.size}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

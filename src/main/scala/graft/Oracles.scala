@@ -604,8 +604,8 @@ af AS (
     // (dup_frac <= 0.5, low_quality_frac <= 0.05) — semi-join against the
     // same source_report aggregation
     "source_filter" -> """
-      SELECT doc_id, lang, source
-      FROM (SELECT doc_id, lang, source FROM documents) d
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents d
       WHERE source IN (
         SELECT source
         FROM (SELECT source,
@@ -641,10 +641,15 @@ af AS (
                     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
                     ELSE 'test' END AS split
         FROM documents)
-      SELECT t.doc_id AS train_doc, h.doc_id AS heldout_doc,
-             h.split AS heldout_split, t.fingerprint
-      FROM (SELECT * FROM fp WHERE split = 'train') t
-      JOIN (SELECT * FROM fp WHERE split <> 'train') h
+      SELECT t.train_doc, t.n_train, h.heldout_doc,
+             h.heldout_split, h.n_heldout, t.fingerprint
+      FROM (SELECT fingerprint, MIN(doc_id) AS train_doc,
+                   CAST(COUNT(*) AS BIGINT) AS n_train
+            FROM fp WHERE split = 'train' GROUP BY fingerprint) t
+      JOIN (SELECT fingerprint, split AS heldout_split,
+                   MIN(doc_id) AS heldout_doc,
+                   CAST(COUNT(*) AS BIGINT) AS n_heldout
+            FROM fp WHERE split <> 'train' GROUP BY fingerprint, split) h
       ON t.fingerprint = h.fingerprint""",
 
     // sliding-window chunking, C=256 tokens advancing by step=224 (O=32):

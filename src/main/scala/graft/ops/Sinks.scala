@@ -132,7 +132,13 @@ object Sinks {
     * by partition pruning, shard workers by bucket, and no two writers
     * share a directory). One shuffle on the partition keys so each
     * (split, bucket) lands as a coherent file set rather than one
-    * fragment per input task. */
+    * fragment per input task.
+    *
+    * Read-back caveat: `bucket` is hex text ("00".."ff"); a reader must
+    * disable partition-column type inference (or supply an explicit
+    * schema), because a small corpus whose present buckets happen to be
+    * all-digit ("00", "42") would otherwise infer bucket as INT and read
+    * "00" back as 0, breaking the lossless round-trip. */
   def writeCorpusShards(packed: DataFrame, outDir: String): Unit =
     packed.repartition(col("split"), col("bucket"))
       .write.mode(SaveMode.Overwrite)

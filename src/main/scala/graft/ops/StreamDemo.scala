@@ -187,10 +187,14 @@ object StreamDemo {
     * Source contract: a parquet directory of (user_id LONG, ts TIMESTAMP,
     * value DOUBLE). Emits (user_id, n_events, value_sum, last_seen,
     * expired) in update mode. Sets session-wide RocksDB provider conf, same
-    * caveat as [[userActivityStreamTws]]; no-data micro-batches stay
+    * caveat as [[userActivityStreamTws]]; no-data micro-batches must be
     * ENABLED here — in event-time mode they are bounded (one runs only
     * when the watermark advances), and they are what fires a pending
-    * timer when the source goes quiet. */
+    * timer when the source goes quiet. The sibling processing-time variant
+    * DISABLES them session-wide, so this method re-enables the conf
+    * explicitly rather than trusting the default — otherwise calling the
+    * processing-time variant first on the same session would silently
+    * delay tombstones until a later data batch. */
   def userActivityStreamTwsEventTime(spark: SparkSession, srcDir: String,
       idleTimeout: java.time.Duration = java.time.Duration.ofDays(30)): DataFrame = {
     import org.apache.spark.sql.types._
@@ -198,6 +202,7 @@ object StreamDemo {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val idleMs = idleTimeout.toMillis
     val stateEnc = implicitly[org.apache.spark.sql.Encoder[(Long, Double, java.sql.Timestamp)]]
     val longEnc = implicitly[org.apache.spark.sql.Encoder[Long]]

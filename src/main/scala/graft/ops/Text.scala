@@ -116,28 +116,36 @@ object Text {
       .distinct()
   }
 
-  /** Split-leakage audit: (train doc, held-out doc) pairs whose normalized
-    * content fingerprints collide across the [[hashSplit]] boundary — the
-    * check a corpus pipeline runs after splitting, because a val/test doc
-    * whose exact content also sits in train makes the held-out loss a
-    * memorization measurement. (The hash split itself can never leak a
-    * doc_id, but near-identical content under DIFFERENT ids can and does
-    * leak; this catches the exact-content case, [[decontaminate]] the
-    * partial-overlap case.) Fingerprint and split are computed in ONE
-    * projection over the scan (no doc_id self-join to assemble them), so
-    * the only shuffle is the single fingerprint equi-join, whose held-out
-    * probe side is ~20% of the corpus; empty output = clean corpus. */
+  /** Split-leakage audit: for every normalized content fingerprint that
+    * collides across the [[hashSplit]] boundary, one row per
+    * (fingerprint, heldout split) with representative doc ids (min per
+    * side) and the copy counts — the check a corpus pipeline runs after
+    * splitting, because a val/test doc whose exact content also sits in
+    * train makes the held-out loss a memorization measurement. (The hash
+    * split itself can never leak a doc_id, but near-identical content
+    * under DIFFERENT ids can and does leak; this catches the exact-content
+    * case, [[decontaminate]] the partial-overlap case.)
+    *
+    * Scale shape: fingerprint and split are computed in ONE projection
+    * over the scan, then EACH SIDE collapses to one row per fingerprint
+    * via a map-side-combining groupBy BEFORE the equi-join — a
+    * fingerprint duplicated m× in train and k× held-out emits one audit
+    * row carrying (m, k), not m·k pair rows, so a boilerplate-heavy
+    * corpus can't blow the audit up quadratically. Empty output = clean
+    * corpus. */
   def splitLeakage(documents: DataFrame): DataFrame = {
     val fp = documents
       .select(col("doc_id"), fingerprintCol.as("fingerprint"), bucketCol.as("bucket"))
       .withColumn("split", splitFromBucket("cd", "e6"))
     val train = fp.filter(col("split") === "train")
-      .select(col("fingerprint"), col("doc_id").as("train_doc"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("train_doc"), count(lit(1)).as("n_train"))
     val held = fp.filter(col("split") =!= "train")
-      .select(col("fingerprint"), col("doc_id").as("heldout_doc"),
-        col("split").as("heldout_split"))
+      .groupBy(col("fingerprint"), col("split").as("heldout_split"))
+      .agg(min("doc_id").as("heldout_doc"), count(lit(1)).as("n_heldout"))
     train.join(held, Seq("fingerprint"))
-      .select("train_doc", "heldout_doc", "heldout_split", "fingerprint")
+      .select("train_doc", "n_train", "heldout_doc", "heldout_split",
+        "n_heldout", "fingerprint")
   }
 
   /** Per-source curation report: the C4/RefinedWeb-style domain statistics
@@ -149,16 +157,23 @@ object Text {
     * doubles only face a deterministic threshold compare.
     *
     * Scale shape: one projection over the scan computes every row-local
-    * input (quality columns + content fingerprint), one fingerprint-keyed
-    * window marks duplicates, and the source rollup rides a second
-    * combining groupBy — two linear shuffles, no self-join. */
+    * input (quality columns + content fingerprint); duplicates are marked
+    * by the [[dedupExact]] two-phase shape — a map-side-combining
+    * `groupBy(fingerprint).agg(min)` plus a join-back — NOT a
+    * `Window.partitionBy(fingerprint)`. Window functions get no partial
+    * aggregation, so one viral boilerplate fingerprint (10⁶–10⁸ copies in
+    * real web corpora) would funnel every copy into a single task; the
+    * two-phase aggregate combines copies inside each map task before one
+    * (fingerprint, min) row shuffles, and AQE skew-splits the join-back if
+    * a hot fingerprint still dominates a partition. The source rollup
+    * rides a final combining groupBy. */
   def sourceReport(documents: DataFrame, qualityThreshold: Double = 0.5): DataFrame = {
-    val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
-    withQualityCols(documents)
+    val perDoc = withQualityCols(documents)
       .withColumn("fingerprint", fingerprintCol)
       .select("doc_id", "source", "n_tokens", "quality_score", "fingerprint")
-      .withColumn("is_dup",
-        (col("doc_id") =!= min("doc_id").over(byFp)).cast("long"))
+    val keepers = perDoc.groupBy("fingerprint").agg(min("doc_id").as("keeper_id"))
+    perDoc.join(keepers, Seq("fingerprint"))
+      .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("long"))
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
@@ -182,7 +197,6 @@ object Text {
         && col("low_quality_frac") <= maxLowQualityFrac)
       .select("source")
     documents.join(broadcast(keep), Seq("source"), "left_semi")
-      .select("doc_id", "lang", "source")
   }
 
   /** Sliding-window document chunking: split each doc's token sequence into
@@ -277,8 +291,12 @@ object Text {
     * particular `\s` (Java's includes vertical tab \x0B, RE2's does not),
     * spelled as the explicit Java class `[ \t\n\x0B\f\r]` instead — so
     * the DuckDB oracle is exact on ANY input, not just \x0B-free text.
-    * Replacement order is URL → email → phone on both engines (counts are
-    * measured on the ORIGINAL text, independently per category). Pure
+    * Replacement order is URL → email → phone on both engines. Counts are
+    * measured on the ORIGINAL text, independently per category, so a match
+    * nested inside another category's match (an email in a URL query
+    * string) is counted under BOTH even though the sequential replacement
+    * emits one placeholder — the counts are detector-hit telemetry and can
+    * exceed the number of redactions actually applied. Pure
     * codegen'd projection — no shuffle, no UDF; at 100 TB it runs inside
     * the scan stage. */
   def scrubPii(documents: DataFrame): DataFrame = {

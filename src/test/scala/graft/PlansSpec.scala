@@ -76,6 +76,17 @@ class PlansSpec extends SparkTestBase {
       }
       assert(unpart.isEmpty, s"$name has an unpartitioned window")
     }
+    // duplicate marking in the curation report must ride the two-phase
+    // groupBy(min)+join-back shape (map-side combining, AQE-skew-splittable)
+    // — NEVER a fingerprint-partitioned Window, which funnels every copy of
+    // one viral boilerplate doc into a single task. Asserted structurally:
+    // these plans contain no Window node at all.
+    for (name <- Seq("source_report", "source_filter", "split_leakage")) {
+      val wins = SparkEntry.queries(name)(spark, SF).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.isEmpty, s"$name plans a Window node (expected two-phase agg)")
+    }
     // filter pushdown representative: filter_predicate reads parquet
     // directly (scan_filter_recent reads the checkpointed stage, where
     // pushdown is moot) — both predicates must reach the scan

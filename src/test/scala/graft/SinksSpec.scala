@@ -164,15 +164,22 @@ class SinksSpec extends SparkTestBase {
     val splits = new java.io.File(dir).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(splits.exists(_.startsWith("split=")), s"no split partitions in $splits")
-    val train = spark.read.parquet(dir).filter(col("split") === "train")
-    // falsifiable pruning check (same pattern as the date-partition test):
-    // the split predicate must land in the scan's PartitionFilters
-    val scan = train.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("split"),
-      s"split partition not pruned:\n$scan")
-    // round-trip is lossless (multiplicity-aware)
-    val back = spark.read.parquet(dir).select(packed.columns.map(col).toIndexedSeq: _*)
-    assert(back.exceptAll(packed).count() == 0 && packed.exceptAll(back).count() == 0)
+    // readers must disable partition-column type inference (scaladoc
+    // contract): an all-digit bucket population would otherwise come back
+    // as INT and break the round-trip
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try {
+      val train = spark.read.parquet(dir).filter(col("split") === "train")
+      // falsifiable pruning check (same pattern as the date-partition test):
+      // the split predicate must land in the scan's PartitionFilters
+      val scan = train.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("split"),
+        s"split partition not pruned:\n$scan")
+      // round-trip is lossless (multiplicity-aware)
+      val back = spark.read.parquet(dir).select(packed.columns.map(col).toIndexedSeq: _*)
+      assert(back.exceptAll(packed).count() == 0 && packed.exceptAll(back).count() == 0)
+    } finally
+      spark.conf.unset("spark.sql.sources.partitionColumnTypeInference.enabled")
   }
 
   test("S9 full dashboard export writes all six surfaces") {

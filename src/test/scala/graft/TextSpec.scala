@@ -186,8 +186,9 @@ class TextSpec extends SparkTestBase {
       (trainIds(1), "en", "completely different text")
     ).toDF("doc_id", "lang", "text")
     val leaks = Text.splitLeakage(synth).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-    assert(leaks.toSeq == Seq((trainIds.head, heldId, "test")), s"got ${leaks.toSeq}")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    // one collapsed row per (fingerprint, heldout split) with copy counts
+    assert(leaks.toSeq == Seq((trainIds.head, 1L, heldId, "test", 1L)), s"got ${leaks.toSeq}")
     // sanity on the real corpus: every reported TRAIN side really is a
     // train doc per hashSplit (re-derived independently — the held side's
     // own filter can't vouch for the train leg)
