@@ -21,6 +21,31 @@ object Text {
     * oracle as `regexp_split_to_array(text, '\s+')`. */
   private def tokens(c: Column): Column = split(c, "\\s+")
 
+  /** Token-counting strategy for the token-DENOMINATED corpus operators —
+    * the budgets in [[chunkDocuments]], [[packSequences]], and
+    * [[packSequencesSplit]] are priced in whatever currency this returns.
+    * [[WhitespaceTok]] (the default) is the oracle-mirrored
+    * `len(regexp_split_to_array(text, '\s+'))`; [[BpeTok]] re-anchors the
+    * same budgets on learned subword counts ([[graft.functions.Bpe]]),
+    * which is what a training pipeline actually spends — whitespace counts
+    * misprice CJK/code text by 3-10×. Every packing/chunking law
+    * (conservation, coverage, overlap) is tokenizer-generic and holds for
+    * both (BpeSpec re-runs them under BPE counts). */
+  sealed trait Tok { def countTokens(text: Column): Column }
+  case object WhitespaceTok extends Tok {
+    def countTokens(text: Column): Column = size(tokens(text)).cast("long")
+  }
+  final case class BpeTok(merges: Seq[(String, String)]) extends Tok {
+    def countTokens(text: Column): Column =
+      size(graft.functions.Bpe.encode(text, merges)).cast("long")
+  }
+
+  /** (doc_id, n_tokens) under the chosen tokenizer — the one place the
+    * token-budget operators read counts from, so whitespace and BPE
+    * denominations can never drift structurally. */
+  private def tokenCounts(documents: DataFrame, tok: Tok): DataFrame =
+    documents.select(col("doc_id"), tok.countTokens(col("text")).as("n_tokens"))
+
   /** Tokenize + explode → (doc_id, token) postings. */
   def tokenPostings(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -42,6 +67,47 @@ object Text {
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("long").as("n_word_tokens"))
       .withColumn("mean_token_len",
         (col("n_chars") - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"))
+
+  /** Learn a BPE merges table from the corpus (public Sennrich 2016
+    * algorithm — see [[graft.functions.Bpe]]). The distributed half is the
+    * word-frequency count: one map-side-combining groupBy over the token
+    * postings. The merge loop then runs driver-side over the TOP-V distinct
+    * words by frequency — a deliberately bounded table (≤ `maxVocabWords`
+    * rows, the same bounded-driver-table class as the LSH hyperplanes and
+    * IVF centroids), which is how practical BPE trainers operate at any
+    * corpus size: pair statistics over the word-frequency table are exact,
+    * and the sub-top-V tail carries negligible mass. Deterministic: count
+    * ties break lexicographically in both the top-V cut and the merge
+    * loop. */
+  def bpeTrain(documents: DataFrame, numMerges: Int = 64,
+      maxVocabWords: Int = 50000): Seq[(String, String)] = {
+    val top = tokenPostings(documents)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token"))
+      .limit(maxVocabWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    graft.functions.Bpe.learn(top, numMerges)
+  }
+
+  /** Per-document token accounting under BOTH denominations: raw chars,
+    * whitespace tokens, and learned-BPE subword tokens, plus the
+    * compression ratio (chars per BPE token) a corpus dashboard tracks.
+    * The BPE leg has no DuckDB analog (greedy merge loop) → rows-only
+    * query; BpeSpec carries the correctness laws (reference-implementation
+    * agreement, round-trip reconstruction, prefix monotonicity). Pure
+    * scan-local projection — the codec rides the codegen reference array,
+    * one virtual call per row. */
+  def bpeTokenStats(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(graft.functions.Bpe.encode(col("text"), merges)).cast("long").as("n_bpe_tokens"))
+      .withColumn("chars_per_bpe_token",
+        when(col("n_bpe_tokens") > 0,
+          col("n_chars").cast("double") / col("n_bpe_tokens")))
 
   /** Append the quality columns to `df` IN PLACE (every input column kept)
     * — the one definition of the quality formula, so [[qualityScore]] and
@@ -210,11 +276,11 @@ object Text {
     * arithmetic; the generator is partition-local (no shuffle at all —
     * chunk indexing needs no cross-doc state, unlike packing). */
   def chunkDocuments(documents: DataFrame, chunkTokens: Long = 256L,
-      overlap: Long = 32L): DataFrame = {
+      overlap: Long = 32L, tok: Tok = WhitespaceTok): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap $overlap must be in [0, chunkTokens=$chunkTokens)")
     val step = chunkTokens - overlap
-    tokenStats(documents).select("doc_id", "n_tokens")
+    tokenCounts(documents, tok)
       .filter(col("n_tokens") > 0)
       // nChunks = 1 + ceil(max(0, n - C) / step), via integral DIV
       .withColumn("n_chunks",
@@ -361,12 +427,12 @@ object Text {
     * [[packSequencesSplit]] can never drift on the stream they must agree
     * on (the first-slice-agreement law and the paired oracles both assume
     * identical offsets). */
-  private def offsetStream(documents: DataFrame): DataFrame = {
+  private def offsetStream(documents: DataFrame, tok: Tok = WhitespaceTok): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     hashSplit(documents)
-      .join(tokenStats(documents).select("doc_id", "n_tokens"), Seq("doc_id"))
+      .join(tokenCounts(documents, tok), Seq("doc_id"))
       .withColumn("offset_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
   }
 
@@ -381,8 +447,9 @@ object Text {
     * (`offset DIV budget`), so packs fill contiguously and a boundary
     * doc belongs to the pack where it starts. One window over one
     * bucket-keyed shuffle; every column mirrored in the DuckDB oracle. */
-  def packSequences(documents: DataFrame, budgetTokens: Long = 2048L): DataFrame =
-    offsetStream(documents)
+  def packSequences(documents: DataFrame, budgetTokens: Long = 2048L,
+      tok: Tok = WhitespaceTok): DataFrame =
+    offsetStream(documents, tok)
       // integral DIV, not floor(double /): exact at any offset magnitude
       // (same >2^53 precision discipline as asOfJoinBinned's binning)
       .withColumn("pack_id", concat_ws("-", col("bucket"),
@@ -406,9 +473,10 @@ object Text {
     * a generator — output rows ≈ docs + total_tokens/budget, no extra
     * shuffle (explode is partition-local). All arithmetic is integral
     * BIGINT (DIV), exact at any stream length. */
-  def packSequencesSplit(documents: DataFrame, budgetTokens: Long = 2048L): DataFrame = {
+  def packSequencesSplit(documents: DataFrame, budgetTokens: Long = 2048L,
+      tok: Tok = WhitespaceTok): DataFrame = {
     val b = budgetTokens
-    offsetStream(documents)
+    offsetStream(documents, tok)
       // first/last pack the doc's interval touches; greatest(n,1) keeps a
       // hypothetical 0-token doc on a single (empty-slice) row instead of
       // feeding sequence() a descending range

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.Bpe
+import graft.ops.Text
+
+/** Laws for the BPE subword tokenizer — the correctness harness standing in
+  * for a DuckDB oracle (the greedy merge loop has no SQL analog):
+  *
+  *  1. the distributed codec agrees EXACTLY with an independently-written
+  *     naive reference implementation (ScalaCheck over random words and
+  *     random learned merges),
+  *  2. concatenating a word's tokens reconstructs the word (round-trip),
+  *     distributively: joining all BPE tokens of a doc reconstructs the
+  *     doc's whitespace-free text,
+  *  3. token counts are monotone non-increasing in the merges-prefix order
+  *     (more merges can only compress), with the zero-merge count equal to
+  *     the non-whitespace char count,
+  *  4. training picks the most frequent pair first (deterministic
+  *     tie-break), and
+  *  5. the token-budget operators (chunking, packing) keep their
+  *     conservation/coverage laws when re-denominated in BPE tokens.
+  */
+class BpeSpec extends SparkTestBase {
+
+  private def check(name: String)(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(40).withWorkers(1), p)
+    assert(r.passed, s"property '$name' failed: ${r.status}")
+  }
+
+  private lazy val docs = Tables.documents(spark, SF).cache()
+  private lazy val corpusMerges = Text.bpeTrain(docs, numMerges = 64)
+
+  /** Deliberately naive reference BPE: re-scan the whole merges list each
+    * round, rebuild the word as an immutable list — structured as
+    * differently as possible from the production codec. */
+  private def refEncodeWord(word: String, merges: Seq[(String, String)]): List[String] = {
+    var parts: List[String] = word.map(_.toString).toList
+    var changed = true
+    while (changed && parts.length >= 2) {
+      val applicable = merges.zipWithIndex.filter { case ((a, b), _) =>
+        parts.lazyZip(parts.tail).exists((x, y) => x == a && y == b)
+      }
+      if (applicable.isEmpty) changed = false
+      else {
+        val ((a, b), _) = applicable.minBy(_._2)
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = parts
+        while (rest.nonEmpty) rest match {
+          case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+          case x :: tail => out += x; rest = tail
+          case Nil => ()
+        }
+        parts = out.toList
+      }
+    }
+    parts
+  }
+
+  test("codec agrees with the naive reference implementation on random inputs") {
+    val alpha = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+    val corpusGen = Gen.nonEmptyListOf(Gen.zip(alpha, Gen.choose(1L, 9L)))
+    check("codec ≡ naive reference")(Prop.forAll(corpusGen, Gen.choose(0, 12)) {
+      (wc, nMerges) =>
+        val merges = Bpe.learn(wc, nMerges, minPairCount = 1L)
+        val codec = new Bpe.Codec(merges)
+        wc.forall { case (w, _) =>
+          val got = codec.encodeWord(w).toList
+          got == refEncodeWord(w, merges) && got.mkString == w
+        }
+    })
+  }
+
+  test("distributed round-trip: joined BPE tokens reconstruct whitespace-free text") {
+    val broken = docs
+      .withColumn("rejoined", array_join(Bpe.encode(col("text"), corpusMerges), ""))
+      .withColumn("squashed", regexp_replace(col("text"), "\\s+", ""))
+      .filter(col("rejoined") =!= col("squashed"))
+    assert(broken.count() == 0, broken.select("doc_id").head(5).mkString(","))
+  }
+
+  test("counts are monotone in the merges-prefix order; zero merges = char count") {
+    val counted = docs.select(
+      col("doc_id"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_nonws_chars"),
+      size(Bpe.encode(col("text"), Nil)).cast("long").as("n0"),
+      size(Bpe.encode(col("text"), corpusMerges.take(corpusMerges.size / 2))).cast("long").as("nHalf"),
+      size(Bpe.encode(col("text"), corpusMerges)).cast("long").as("nFull"))
+    assert(counted.filter(col("n0") =!= col("n_nonws_chars")).count() == 0)
+    assert(counted.filter(col("nHalf") > col("n0") || col("nFull") > col("nHalf")).count() == 0)
+    // the learned merges actually compress this corpus (not vacuous)
+    assert(counted.filter(col("nFull") < col("n0")).count() > 0)
+  }
+
+  test("training merges the most frequent pair first, deterministically") {
+    // pairs: (a,b) appears in both words → 3+2=5; (a,a) only in aab → 3
+    val merges = Bpe.learn(Seq(("aab", 3L), ("ab", 2L)), numMerges = 8, minPairCount = 1L)
+    assert(merges.head == ("a", "b"), s"got $merges")
+    // after merging: aab → [a, ab] (count 3) → second merge (a, ab)
+    assert(merges == Seq(("a", "b"), ("a", "ab")), s"got $merges")
+    // determinism across runs
+    assert(merges == Bpe.learn(Seq(("aab", 3L), ("ab", 2L)), 8, 1L))
+  }
+
+  test("bpe_tokenize query: schema, ws-token bound, compression ratio") {
+    val r = q("bpe_tokenize")
+    assert(r.columns.toSeq == Seq("doc_id", "n_chars", "n_ws_tokens",
+      "n_bpe_tokens", "chars_per_bpe_token"))
+    assert(r.count() == docs.count())
+    // every word is at least one token: BPE count >= whitespace count;
+    // and BPE can never exceed char count
+    assert(r.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() == 0)
+    assert(r.filter(col("n_bpe_tokens") > col("n_chars")).count() == 0)
+  }
+
+  test("token-budget laws hold under BPE denomination (packing conservation, chunk coverage)") {
+    val tok = Text.BpeTok(corpusMerges)
+    // packing with splitting: per-doc slice lengths conserve the BPE count
+    val packed = Text.packSequencesSplit(docs, budgetTokens = 64L, tok = tok)
+    val broken = packed.groupBy("doc_id")
+      .agg(first("n_tokens").as("n_tokens"), sum("slice_len").as("s"))
+      .filter(col("s") =!= col("n_tokens"))
+    assert(broken.count() == 0)
+    // no pack exceeds its budget
+    val over = packed.groupBy("pack_id").agg(sum("slice_len").as("sz"))
+      .filter(col("sz") > 64L)
+    assert(over.count() == 0)
+    // chunking: first chunk starts at 0, last chunk reaches n_tokens, none empty
+    val chunks = Text.chunkDocuments(docs, chunkTokens = 32L, overlap = 8L, tok = tok)
+    assert(chunks.filter(col("n_tok_chunk") <= 0).count() == 0)
+    val cover = chunks.groupBy("doc_id").agg(
+      first("n_tokens").as("n_tokens"),
+      min("start_tok").as("first_start"),
+      max(col("start_tok") + col("n_tok_chunk")).as("last_end"))
+    assert(cover.filter(col("first_start") =!= 0L || col("last_end") =!= col("n_tokens"))
+      .count() == 0)
+  }
+}
