@@ -845,6 +845,18 @@ af AS (
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
         FROM p) t
       WHERE rk <= 5""",
+    // semantic decontamination, exact broadcast form: cross-corpus cosine
+    // over the %20 train/eval split, q6-rounded like embedding_near_dup
+    "decontaminate_semantic" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      t AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
+      ev AS (SELECT * FROM n WHERE vec_id % 20 = 0)
+      SELECT t.vec_id AS train_id, ev.vec_id AS eval_id,
+             floor(CAST(list_dot_product(t.v, ev.v) / (t.nrm * ev.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+      FROM t, ev
+      WHERE floor(CAST(list_dot_product(t.v, ev.v) / (t.nrm * ev.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.4""",
+
     "embedding_near_dup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)

@@ -177,6 +177,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0), // train
         docs.filter(col("doc_id") % 20 === 0)) // held-out "benchmark"
     }),
+    // embedding leg of decontamination: same %20 train/eval split as the
+    // shingle variant, exact broadcast form (DuckDB list_dot_product oracle);
+    // the LSH-pruned form is recall-tested in SimilaritySpec
+    "decontaminate_semantic" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      Similarity.decontaminateSemantic(
+        emb.filter(col("vec_id") % 20 =!= 0), // train
+        emb.filter(col("vec_id") % 20 === 0)) // held-out "benchmark"
+    }),
     "dedup_clusters" -> ((s, d) => Text.clustersFromPairs(
       Tables.documents(s, d).select("doc_id"),
       Text.dedupNgramJaccardFrom(shingles(s, d)).select("doc_a", "doc_b"))),
@@ -184,6 +194,9 @@ object SparkEntry {
     // ---- similarity (north star)
     "similarity_bruteforce_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "quantize_embeddings" -> ((s, d) => Similarity.quantizeEmbeddings(Tables.embeddings(s, d))),
+    // int8 ADC + exact rerank over LSH candidates (rows-only: hyperplane
+    // buckets are Spark-specific; recall + error-bound laws in SimilaritySpec)
+    "similarity_quantized_topk" -> ((s, d) => Similarity.quantTopK(Tables.embeddings(s, d))),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
     "similarity_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "embedding_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, d))),

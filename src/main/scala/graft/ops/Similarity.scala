@@ -336,6 +336,168 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rk")
   }
 
+  /** Semantic (embedding-space) decontamination — the paraphrase-robust leg
+    * of the benchmark-overlap family: [[graft.ops.Text.decontaminate]]
+    * catches shingle overlap, but an eval item paraphrased into the
+    * training set shares no 5-gram while its EMBEDDING stays close; this
+    * flags (train, eval) pairs with cosine ≥ threshold.
+    *
+    * Exact variant: at corpus scale the eval side (a benchmark suite) is
+    * orders of magnitude smaller than train, so the production plan IS the
+    * broadcast of the eval vectors — one linear pass over train, no
+    * shuffle, codegen dot product per (train, eval) pair. Cost is
+    * O(|train|·|eval|) dot products, the same asymptotics any exact
+    * decontamination pays; for an eval side too big to broadcast,
+    * [[decontaminateSemanticLsh]] prunes candidates first. DuckDB-oracled
+    * (`list_dot_product` mirrors the double math, q6-rounded). */
+  def decontaminateSemantic(train: DataFrame, evalSet: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val t = withNorms(train)
+      .select(col("vec_id").as("train_id"), col("v").as("tv"), col("norm").as("tn"))
+    val e = withNorms(evalSet)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("norm").as("en"))
+    t.crossJoin(broadcast(e))
+      .withColumn("cos_sim", q6(dotd(col("tv"), col("ev")) / (col("tn") * col("en"))))
+      .filter(col("cos_sim") >= threshold)
+      .select("train_id", "eval_id", "cos_sim")
+  }
+
+  /** LSH-pruned semantic decontamination — the scale path when the eval
+    * side outgrows a broadcast: bucket BOTH corpora with the same
+    * hyperplane parameters (sized on the train side), form cross-corpus
+    * candidate id-pairs from bucket collisions (bare ids through the
+    * shuffle), then score only the candidates. Same OR-construction
+    * recall behavior as [[embeddingNearDupLsh]]; recall vs the exact
+    * variant is asserted in ScalaTest. */
+  def decontaminateSemanticLsh(train: DataFrame, evalSet: DataFrame,
+      threshold: Double = 0.4, tables: Int = 8,
+      targetOccupancy: Int = 64): DataFrame = {
+    val tn = withNorms(train)
+    val en = withNorms(evalSet)
+    val (n, dim) = corpusDims(train)
+    val bits = bitsFor(n, targetOccupancy)
+    def bucketed(e: DataFrame, idName: String) =
+      e.select(col("vec_id").as(idName),
+          posexplode(graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)))
+        .select(col(idName), col("pos").as("table_id"), col("col").as("bucket"))
+    val cand = bucketed(tn, "train_id")
+      .join(bucketed(en, "eval_id"), Seq("table_id", "bucket"))
+      .select("train_id", "eval_id")
+      .dropDuplicates("train_id", "eval_id")
+    cand
+      .join(tn.select(col("vec_id").as("train_id"), col("v").as("tv"), col("norm").as("tn")),
+        Seq("train_id"))
+      .join(en.select(col("vec_id").as("eval_id"), col("v").as("ev"), col("norm").as("en")),
+        Seq("eval_id"))
+      .select(col("train_id"), col("eval_id"),
+        q6(dotd(col("tv"), col("ev")) / (col("tn") * col("en"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Packed int8 quantization — the serving-tier layout that makes
+    * [[quantizeEmbeddings]]'s 4× compression load-bearing: ONE row per
+    * vector carrying (vmin, scale, codes ARRAY<TINYINT>) with a −128
+    * zero-point (codes 0..levels−1 stored as code−128, so levels=256 fills
+    * the signed byte exactly). Reconstruction of dim i is
+    * vmin + scale·(code_i+128), exact to within scale/2 per dim; constant
+    * vectors (scale=0) store −128 everywhere and reconstruct to vmin.
+    * Pure scan-local projection (the per-row `transform` runs once per
+    * VECTOR at build time — never per candidate pair). */
+  def quantizeVectors(embeddings: DataFrame, levels: Int = 256): DataFrame =
+    embeddings.select(col("vec_id"),
+        array_min(col("embedding")).cast("double").as("vmin"),
+        array_max(col("embedding")).cast("double").as("vmax"),
+        col("embedding"))
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit((levels - 1).toDouble))
+      .withColumn("codes",
+        when(col("scale") === 0.0,
+          transform(col("embedding"), _ => lit(-128).cast("tinyint")))
+          .otherwise(transform(col("embedding"), x =>
+            (floor((x.cast("double") - col("vmin")) / col("scale") + 0.5) - 128)
+              .cast("tinyint"))))
+      .select("vec_id", "vmin", "scale", "codes")
+
+  /** A quantized ANN index — the standard composition that makes int8
+    * compression pay at serving time: the sign-LSH bucket table generates
+    * candidates, the packed codes ([[quantizeVectors]]) score them via
+    * asymmetric distance (full-precision query × reconstructed candidate),
+    * and only the top `k·rerankFactor` survivors per query touch the
+    * full-precision vectors for the exact rerank. At cluster scale
+    * `codes` is the hot in-memory tier (4× smaller than the float corpus)
+    * and `vectors` the cold store fetched per-survivor. */
+  final case class QuantIndex(buckets: DataFrame, codes: DataFrame,
+      vectors: DataFrame, tables: Int, bits: Int, dim: Int)
+
+  /** Build the quantized index: one LSH bucketing pass + one packed
+    * quantization pass, both scan-local over the corpus. */
+  def quantBuild(embeddings: DataFrame, tables: Int = 8,
+      targetOccupancy: Int = 64, levels: Int = 256): QuantIndex = {
+    val lsh = lshBuild(embeddings, tables, targetOccupancy)
+    QuantIndex(lsh.buckets, quantizeVectors(embeddings, levels),
+      lsh.vectors, lsh.tables, lsh.bits, lsh.dim)
+  }
+
+  /** Query a quantized index: LSH candidates → asymmetric-distance scoring
+    * over the int8 codes → exact rerank of the survivors.
+    *
+    * Shuffle discipline: candidates travel as bare id-pairs; each
+    * candidate VECTOR is reconstructed from its codes once (a narrow
+    * projection over the codes table, never per pair) and scored with the
+    * codegen dot product; only `k·rerankFactor` survivors per query
+    * re-join the full-precision vectors. The reconstructed approximate
+    * cosine differs from the exact one by at most scale/2 per dimension,
+    * so a rerank factor of 3 recovers essentially all of the exact-score
+    * ordering (quantization-error law in SimilaritySpec). */
+  def quantQuery(index: QuantIndex, queries: DataFrame, k: Int = 5,
+      rerankFactor: Int = 3): DataFrame = {
+    val q = withNorms(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val qb = withNorms(queries).select(col("vec_id"),
+        posexplode(graft.functions.LshExprs.signLshBuckets(
+          col("v"), index.tables, index.bits, index.dim)))
+      .select(col("vec_id").as("query_id"), col("pos").as("table_id"), col("col").as("bucket"))
+    val cand = qb.join(
+        index.buckets.withColumnRenamed("vec_id", "neighbor_id"), Seq("table_id", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    // asymmetric-distance tier: reconstruct each candidate vector from its
+    // int8 codes ONCE (linear in distinct candidates), then codegen dot
+    val recon = index.codes.select(col("vec_id").as("neighbor_id"),
+        transform(col("codes"), c =>
+          col("vmin") + col("scale") * (c.cast("double") + lit(128.0))).as("rv"))
+      .withColumn("rnorm", sqrt(dotd(col("rv"), col("rv"))))
+    val approx = cand
+      .join(q, Seq("query_id"))
+      .join(recon, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotd(col("qv"), col("rv")) / (col("qn") * col("rnorm"))).as("approx_sim"))
+    val wA = Window.partitionBy("query_id").orderBy(col("approx_sim").desc, col("neighbor_id"))
+    val survivors = approx.withColumn("ar", row_number().over(wA))
+      .filter(col("ar") <= k * rerankFactor)
+      .select("query_id", "neighbor_id")
+    // exact rerank: full-precision vectors touched only for survivors
+    val scored = survivors
+      .join(q, Seq("query_id"))
+      .join(index.vectors.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rk")
+  }
+
+  /** Self-join quantized ANN over the corpus — same output contract as
+    * [[cosineTopK]]/[[lshTopK]]; recall vs the exact baseline is asserted
+    * in ScalaTest. No DuckDB oracle (LSH hyperplanes are Spark-specific). */
+  def quantTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 8,
+      targetOccupancy: Int = 64, levels: Int = 256,
+      rerankFactor: Int = 3): DataFrame =
+    quantQuery(quantBuild(embeddings, tables, targetOccupancy, levels),
+      embeddings, k, rerankFactor)
+
   def lshTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 8,
       targetOccupancy: Int = 64): DataFrame = {
     val e = withNorms(embeddings)

@@ -60,6 +60,68 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.25, s"IVF recall collapsed: $recall")
   }
 
+  test("quantized ANN: recall vs exact truth and near-agreement with full-precision LSH") {
+    val truth = pairs("similarity_bruteforce_topk")
+    val quant = pairs("similarity_quantized_topk")
+    val recall = quant.intersect(truth).size.toDouble / truth.size
+    info(s"quantized recall@5 = $recall")
+    assert(recall > 0.25, s"quantized recall collapsed: $recall")
+    // same candidate generator + exact rerank ⇒ the int8 tier should almost
+    // never change the final top-k vs full-precision LSH (rerankFactor=3
+    // absorbs the ≤scale/2-per-dim approx-score noise)
+    val lsh = pairs("similarity_lsh_topk")
+    val agree = quant.intersect(lsh).size.toDouble / lsh.size
+    info(s"quantized vs lsh agreement = $agree")
+    assert(agree > 0.9, s"int8 tier distorted the ranking: $agree")
+  }
+
+  test("asymmetric-distance law: approx dot within (scale/2)·Σ|q| of exact dot") {
+    import graft.functions.VectorExprs.dotd
+    val emb = Tables.embeddings(spark, SF).limit(50)
+    val full = graft.ops.Similarity.withNorms(emb)
+    val recon = graft.ops.Similarity.quantizeVectors(emb)
+      .select(col("vec_id").as("nid"),
+        transform(col("codes"), c =>
+          col("vmin") + col("scale") * (c.cast("double") + lit(128.0))).as("rv"),
+        col("scale"))
+    val qside = full.select(col("vec_id").as("qid"), col("v").as("qv"),
+      aggregate(col("v"), lit(0.0), (acc, x) => acc + abs(x)).as("qabs"))
+    val cside = full.select(col("vec_id").as("nid"), col("v").as("cv"))
+    val checked = qside.crossJoin(cside).join(recon, Seq("nid"))
+      .withColumn("err", abs(dotd(col("qv"), col("cv")) - dotd(col("qv"), col("rv"))))
+      .withColumn("bound", col("scale") / 2 * col("qabs") + lit(1e-9))
+    assert(checked.filter(col("err") > col("bound")).count() == 0,
+      "per-pair ADC error exceeded the quantization bound")
+  }
+
+  test("semantic decontamination: planted paraphrase pair flagged; LSH form recalls exact") {
+    import spark.implicits._
+    // planted: eval vec 0 is a tiny perturbation of train vec 1 (cos ≈ 1);
+    // train vec 3 is orthogonal to everything eval-side
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f, -1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val evalSet = Seq(
+      (0L, Array(0.99f, 0.01f, 1.0f, 0.0f), 0),
+      (20L, Array(-1.0f, 0.0f, 1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val exactPlanted = graft.ops.Similarity.decontaminateSemantic(train, evalSet, 0.9)
+      .select("train_id", "eval_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPlanted == Set((1L, 0L)), s"got $exactPlanted")
+    // real corpus: LSH-pruned form is a subset of the exact form with recall
+    val emb = Tables.embeddings(spark, SF)
+    val tr = emb.filter(col("vec_id") % 20 =!= 0)
+    val ev = emb.filter(col("vec_id") % 20 === 0)
+    val exact = q("decontaminate_semantic")
+      .select("train_id", "eval_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.ops.Similarity.decontaminateSemanticLsh(tr, ev)
+      .select("train_id", "eval_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH form produced a pair the exact form did not")
+    val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
+    info(s"semantic decontamination LSH recall = $recall (exact pairs: ${exact.size})")
+    assert(exact.nonEmpty, "threshold too high: exact form found nothing on the corpus")
+    assert(recall > 0.5, s"LSH decontamination recall collapsed: $recall")
+  }
+
   test("IVF index lifecycle: build once, query an external batch") {
     val emb = Tables.embeddings(spark, SF)
     val idx = ops.Similarity.ivfBuild(emb)
