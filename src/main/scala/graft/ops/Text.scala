@@ -201,7 +201,7 @@ object Text {
     * corpus. */
   def splitLeakage(documents: DataFrame): DataFrame = {
     val fp = documents
-      .select(col("doc_id"), fingerprintCol.as("fingerprint"), bucketCol.as("bucket"))
+      .select(col("doc_id"), fingerprintCol.as("fingerprint"), bucketCol().as("bucket"))
       .withColumn("split", splitFromBucket("cd", "e6"))
     val train = fp.filter(col("split") === "train")
       .groupBy("fingerprint")
@@ -393,18 +393,42 @@ object Text {
     * stage. */
   /** The split-hash columns, shared by [[hashSplit]] and [[splitLeakage]]
     * so the two can never drift on the assignment contract. */
-  private def bucketCol: org.apache.spark.sql.Column =
-    substring(md5(col("doc_id").cast("string")), 1, 2)
+  private def bucketCol(chars: Int = 2): org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, chars)
+
+  /** Pack-bucket width (hex chars) sized from corpus document count so the
+    * per-bucket running-offset window stays bounded — the same
+    * occupancy-scaled sizing discipline as the LSH bit widths
+    * ([[graft.ops.Similarity]] `bitsFor`) and the simhash block count. At
+    * width k there are 16^k independent packing streams; choosing k so
+    * each holds ≈ `targetDocsPerBucket` docs keeps the one-task-per-bucket
+    * window sort bounded at any corpus size (2 chars / 256 buckets up to
+    * ~256 M docs, 5 chars / ~1 M buckets at 10¹¹ docs) instead of topping
+    * out at 256-way parallelism. Wider buckets refine, never re-shuffle,
+    * the split assignment: the train/val/test bounds compare
+    * lexicographically on the 2-char prefix, so every width ≥ 2 assigns
+    * identical splits (asserted in PropertiesSpec). */
+  def packBucketCharsFor(nDocs: Long, targetDocsPerBucket: Long = 1000000L): Int =
+    math.min(8, math.max(2,
+      math.ceil(math.log(math.max(1L, nDocs).toDouble / targetDocsPerBucket)
+        / math.log(16.0)).toInt))
   private def splitFromBucket(trainBound: String, valBound: String): org.apache.spark.sql.Column =
     when(col("bucket") < trainBound, "train")
       .when(col("bucket") < valBound, "val")
       .otherwise("test")
 
+  /** `bucketChars` widens the bucket for the PACKING parallelism knob
+    * ([[packBucketCharsFor]]); the split bounds compare on the 2-char
+    * prefix so every width ≥ 2 assigns identical splits. */
   def hashSplit(documents: DataFrame,
-      trainBound: String = "cd", valBound: String = "e6"): DataFrame =
+      trainBound: String = "cd", valBound: String = "e6",
+      bucketChars: Int = 2): DataFrame = {
+    require(bucketChars >= 2 && bucketChars <= 8,
+      s"bucketChars $bucketChars must be in [2, 8] (split bounds are 2-char prefixes)")
     documents
-      .select(col("doc_id"), col("lang"), bucketCol.as("bucket"))
+      .select(col("doc_id"), col("lang"), bucketCol(bucketChars).as("bucket"))
       .withColumn("split", splitFromBucket(trainBound, valBound))
+  }
 
   /** Per-group quota capping: keep the `perGroup` highest-quality documents
     * per language — the domain-balancing step a corpus pipeline runs after
@@ -427,11 +451,12 @@ object Text {
     * [[packSequencesSplit]] can never drift on the stream they must agree
     * on (the first-slice-agreement law and the paired oracles both assume
     * identical offsets). */
-  private def offsetStream(documents: DataFrame, tok: Tok = WhitespaceTok): DataFrame = {
+  private def offsetStream(documents: DataFrame, tok: Tok = WhitespaceTok,
+      bucketChars: Int = 2): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    hashSplit(documents)
+    hashSplit(documents, bucketChars = bucketChars)
       .join(tokenCounts(documents, tok), Seq("doc_id"))
       .withColumn("offset_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
   }
@@ -446,10 +471,18 @@ object Text {
     * pack is determined by the running token total BEFORE it
     * (`offset DIV budget`), so packs fill contiguously and a boundary
     * doc belongs to the pack where it starts. One window over one
-    * bucket-keyed shuffle; every column mirrored in the DuckDB oracle. */
+    * bucket-keyed shuffle; every column mirrored in the DuckDB oracle.
+    *
+    * `bucketChars` is the parallelism knob: 16^k independent packing
+    * streams, sized by [[packBucketCharsFor]] so pack throughput scales
+    * with the corpus instead of topping out at 256 window tasks (~400 GB
+    * sorted per task at 100 TB). Each bucket's packing depends only on
+    * its own docs (locality law in PropertiesSpec), and split assignment
+    * is width-invariant; pack ids are bucket-qualified, so widths differ
+    * only in how finely the stream is sharded. */
   def packSequences(documents: DataFrame, budgetTokens: Long = 2048L,
-      tok: Tok = WhitespaceTok): DataFrame =
-    offsetStream(documents, tok)
+      tok: Tok = WhitespaceTok, bucketChars: Int = 2): DataFrame =
+    offsetStream(documents, tok, bucketChars)
       // integral DIV, not floor(double /): exact at any offset magnitude
       // (same >2^53 precision discipline as asOfJoinBinned's binning)
       .withColumn("pack_id", concat_ws("-", col("bucket"),
@@ -474,9 +507,9 @@ object Text {
     * shuffle (explode is partition-local). All arithmetic is integral
     * BIGINT (DIV), exact at any stream length. */
   def packSequencesSplit(documents: DataFrame, budgetTokens: Long = 2048L,
-      tok: Tok = WhitespaceTok): DataFrame = {
+      tok: Tok = WhitespaceTok, bucketChars: Int = 2): DataFrame = {
     val b = budgetTokens
-    offsetStream(documents, tok)
+    offsetStream(documents, tok, bucketChars)
       // first/last pack the doc's interval touches; greatest(n,1) keeps a
       // hypothetical 0-token doc on a single (empty-slice) row instead of
       // feeding sequence() a descending range

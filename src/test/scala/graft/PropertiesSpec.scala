@@ -410,6 +410,47 @@ class PropertiesSpec extends SparkTestBase {
     })
   }
 
+  test("law: pack bucket width re-shards the stream without changing splits or per-bucket packs") {
+    val docsGen = for {
+      n <- Gen.choose(1, 25)
+      ids <- Gen.listOfN(n, Gen.choose(1L, 10000L)).map(_.distinct)
+      lens <- Gen.listOfN(ids.length, Gen.choose(1, 300))
+    } yield ids.zip(lens)
+    check("bucket width laws")(Prop.forAll(docsGen, Gen.choose(16L, 64L)) { (docs, budget) =>
+      val s = spark
+      import s.implicits._
+      val df = docs.map { case (id, len) =>
+        (id, "en", Seq.fill(len)("w").mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+      def run(d: org.apache.spark.sql.DataFrame, chars: Int) =
+        ops.Text.packSequencesSplit(d, budget, bucketChars = chars)
+          .select("doc_id", "bucket", "split", "n_tokens", "pack_id",
+            "slice_start", "slice_len")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3), r.getString(4), r.getLong(5), r.getLong(6)))
+      val w2 = run(df, 2)
+      val w3 = run(df, 3)
+      // split invariance: widening the bucket never moves a doc across the
+      // train/val/test boundary (bounds compare on the 2-char prefix)
+      val split2 = w2.map(t => t._1 -> t._3).toMap
+      val splitsAgree = w3.forall(t => split2(t._1) == t._3)
+      // prefix refinement: a doc's width-3 bucket extends its width-2 bucket
+      val bucket2 = w2.map(t => t._1 -> t._2).toMap
+      val refines = w3.forall(t => t._2.startsWith(bucket2(t._1)))
+      // conservation survives the width change
+      val conserve3 = w3.groupBy(_._1).forall { case (_, g) => g.map(_._7).sum == g.head._4 }
+      // locality: a bucket's packs depend ONLY on its own docs — packing
+      // the lexicographically-first width-3 bucket's docs in isolation
+      // reproduces the full-corpus run's rows for that bucket exactly
+      val b = w3.map(_._2).min
+      val inBucket = w3.filter(_._2 == b).map(_._1).toSet
+      val iso = run(df.filter(col("doc_id").isin(inBucket.toSeq: _*)), 3)
+      val local = iso.sortBy(t => (t._1, t._5)).sameElements(
+        w3.filter(_._2 == b).sortBy(t => (t._1, t._5)))
+      splitsAgree && refines && conserve3 && local
+    })
+  }
+
   test("law: simhash blocking finds exactly the naive Hamming pairs at every block count") {
     // fingerprints with planted near-pairs: doc 2i is a random 64-bit hash,
     // doc 2i+1 is doc 2i with `flips` random bits flipped — some within the

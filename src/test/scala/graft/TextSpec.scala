@@ -198,6 +198,27 @@ class TextSpec extends SparkTestBase {
       .filter(col("split") =!= "train").count() == 0)
   }
 
+  test("pack bucket width: occupancy sizing and bounded offset-window partitions") {
+    // sizing follows the corpus (log16 of docs/target, clamped [2, 8])
+    assert(Text.packBucketCharsFor(1000L) == 2)
+    assert(Text.packBucketCharsFor(256L * 1000000L) == 2)
+    assert(Text.packBucketCharsFor(100000000000L) == 5)
+    assert(Text.packBucketCharsFor(Long.MaxValue) == 8)
+    // widening the bucket bounds the running-offset window's partition size:
+    // the max docs funneled into one window task never grows, and the
+    // stream fans out over strictly more buckets
+    def bucketStats(chars: Int): (Long, Long) = {
+      val g = Text.packSequences(docs, bucketChars = chars)
+        .groupBy("bucket").count()
+        .agg(max("count"), count(org.apache.spark.sql.functions.lit(1))).head()
+      (g.getLong(0), g.getLong(1))
+    }
+    val (max2, n2) = bucketStats(2)
+    val (max3, n3) = bucketStats(3)
+    assert(max3 <= max2, s"width-3 window partition grew: $max3 > $max2")
+    assert(n3 >= n2, s"width-3 bucket count shrank: $n3 < $n2")
+  }
+
   test("decontamination flags exactly the planted benchmark overlaps") {
     import spark.implicits._
     val bench = (1 to 30).map(i => s"q$i").mkString(" ")
