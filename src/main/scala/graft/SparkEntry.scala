@@ -170,6 +170,12 @@ object SparkEntry {
     // rebalance the over-represented en half away, thin zh a quarter
     "sample_mixture" -> ((s, d) => Text.sampleMixture(Tables.documents(s, d),
       Map("en" -> 0.5, "zh" -> 0.75))),
+    // the whole curation pipeline as ONE declared plan: report-driven
+    // source filter -> mixture sampling -> split+pack (same thresholds as
+    // the individual queries)
+    "curation_e2e" -> ((s, d) => Text.curationE2e(Tables.documents(s, d),
+      maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
+      rates = Map("en" -> 0.5, "zh" -> 0.75))),
     "decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)

@@ -332,7 +332,9 @@ object Text {
     * sampling decision is independent of the train/val/test split. A doc
     * is kept when its 16-bit sample key falls below floor(rate·65536),
     * rendered as a 4-hex-char threshold per group; rates quantize to
-    * 1/65536. Shuffle-free single projection + filter — at 100 TB the
+    * 1/65536. Surviving docs keep their full payload (plus the sample
+    * key), so the sampler composes into [[curationE2e]] without a
+    * re-join. Shuffle-free single projection + filter — at 100 TB the
     * whole pass runs inside the scan stage with the predicate pushed to
     * the parquet reader's row-group pruning where possible. */
   def sampleMixture(documents: DataFrame,
@@ -346,7 +348,6 @@ object Text {
     documents
       .withColumn("sample_key", substring(md5(col("doc_id").cast("string")), 3, 4))
       .filter(concat(lit("0"), col("sample_key")) < threshold)
-      .select("doc_id", "lang", "sample_key")
   }
 
   /** PII scrubbing: redact emails, URLs, and phone-shaped digit runs with
@@ -525,6 +526,30 @@ object Text {
       .select("doc_id", "lang", "split", "bucket", "n_tokens", "offset_tokens",
         "pack_id", "slice_start", "slice_len")
   }
+
+  /** End-to-end corpus curation — the full enforcement pipeline a corpus
+    * actually ships through, composed from the individually-oracled
+    * layers: [[sourceReport]]-driven [[filterBySource]] (drop spam-mirror
+    * sources wholesale) → [[sampleMixture]] (rebalance toward the target
+    * language mixture) → [[hashSplit]]+[[packSequencesSplit]] (split and
+    * pack the survivors into training sequences). The corpus-side analog
+    * of the award_features feature pipeline: one declared plan end to end,
+    * so Catalyst fuses the scan-local layers (quality columns, sample
+    * key, bucket) into the scan stage and the only shuffles are the
+    * report's two aggregates and the packing window.
+    *
+    * Every layer keeps the full document payload, so composition needs no
+    * re-joins; layer invariants (containment, threshold enforcement,
+    * conservation) are asserted in PipelineSpec. */
+  def curationE2e(documents: DataFrame,
+      maxDupFrac: Double = 0.5, maxLowQualityFrac: Double = 0.8,
+      rates: Map[String, Double] = Map("en" -> 0.5),
+      defaultRate: Double = 1.0, budgetTokens: Long = 2048L,
+      tok: Tok = WhitespaceTok, bucketChars: Int = 2): DataFrame =
+    packSequencesSplit(
+      sampleMixture(filterBySource(documents, maxDupFrac, maxLowQualityFrac),
+        rates, defaultRate).drop("sample_key"),
+      budgetTokens, tok, bucketChars)
 
   /** Exact deduplication: hash-groupBy on the fingerprint; every doc maps to
     * the group's keeper (min doc_id). Scales as one shuffle of (hash, id). */

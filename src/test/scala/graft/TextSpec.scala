@@ -198,6 +198,35 @@ class TextSpec extends SparkTestBase {
       .filter(col("split") =!= "train").count() == 0)
   }
 
+  test("curation e2e: layer containment, threshold enforcement, token conservation") {
+    val out = q("curation_e2e").cache()
+    assert(out.count() > 0, "e2e pipeline produced an empty corpus")
+    // containment: exactly the docs that survive filter + sampling — no
+    // doc invented, none lost (set equality against the composed layers)
+    val expected = Text.sampleMixture(
+      Text.filterBySource(docs, 0.5, 0.05), Map("en" -> 0.5, "zh" -> 0.75))
+      .select("doc_id").distinct()
+    val got = out.select("doc_id").distinct()
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0)
+    // threshold enforcement, re-derived independently from the report: a
+    // source over either threshold contributes zero docs
+    val banned = Text.sourceReport(docs)
+      .filter(col("dup_frac") > 0.5 || col("low_quality_frac") > 0.05)
+      .select("source")
+    assert(banned.count() > 0, "thresholds exclude nothing — test is vacuous")
+    val leakedSources = out.join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .join(banned, Seq("source"), "left_semi")
+    assert(leakedSources.count() == 0, "a filtered-out source leaked into the packs")
+    // packing layer invariants survive the composition
+    val brokenConserve = out.groupBy("doc_id")
+      .agg(first("n_tokens").as("n"), sum("slice_len").as("s"))
+      .filter(col("s") =!= col("n"))
+    assert(brokenConserve.count() == 0)
+    val overfull = out.groupBy("pack_id").agg(sum("slice_len").as("sz"))
+      .filter(col("sz") > 2048L)
+    assert(overfull.count() == 0)
+  }
+
   test("pack bucket width: occupancy sizing and bounded offset-window partitions") {
     // sizing follows the corpus (log16 of docs/target, clamped [2, 8])
     assert(Text.packBucketCharsFor(1000L) == 2)
