@@ -134,16 +134,35 @@ object Sinks {
     * (split, bucket) lands as a coherent file set rather than one
     * fragment per input task.
     *
+    * File-size management (the 100 TB write contract): a bare
+    * partitionBy write would emit either one fragment per input task
+    * (millions of tiny files) or, repartitioned, one giant file per
+    * (split, bucket) written by a single task. Instead:
+    * `maxRecordsPerFile` rolls each task's output into bounded files,
+    * and `writeTasksPerBucket` > 1 salts the shuffle by pack_id hash so
+    * a hot bucket's write fans out over several tasks — packs never
+    * straddle a salt value (all rows of a pack share its pack_id), so
+    * each output file still holds whole packs. File count per partition
+    * is thereby ⌈rows/maxRecordsPerFile⌉ ± writeTasksPerBucket instead
+    * of unbounded at either extreme.
+    *
     * Read-back caveat: `bucket` is hex text ("00".."ff"); a reader must
     * disable partition-column type inference (or supply an explicit
     * schema), because a small corpus whose present buckets happen to be
     * all-digit ("00", "42") would otherwise infer bucket as INT and read
     * "00" back as 0, breaking the lossless round-trip. */
-  def writeCorpusShards(packed: DataFrame, outDir: String): Unit =
-    packed.repartition(col("split"), col("bucket"))
-      .write.mode(SaveMode.Overwrite)
+  def writeCorpusShards(packed: DataFrame, outDir: String,
+      maxRecordsPerFile: Long = 5000000L, writeTasksPerBucket: Int = 1): Unit = {
+    require(writeTasksPerBucket >= 1, s"writeTasksPerBucket $writeTasksPerBucket < 1")
+    val clustered =
+      if (writeTasksPerBucket == 1) packed.repartition(col("split"), col("bucket"))
+      else packed.repartition(col("split"), col("bucket"),
+        pmod(xxhash64(col("pack_id")), lit(writeTasksPerBucket.toLong)))
+    clustered.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("split", "bucket")
       .parquet(outDir)
+  }
 
   /** S10 write leg: collapse a 1-row KPI frame into a single JSON-blob
     * column, the Spark rendering of the reference serializing the KPI dict

