@@ -397,6 +397,123 @@ object StreamDemo {
       .start()
   }
 
+  /** Streaming curation report: incremental [[Text.sourceReport]]
+    * maintenance over a continuous document ingest — the per-source
+    * doc/token/low-quality/duplicate counters update per micro-batch
+    * instead of re-scanning the corpus, so a 100 TB/day ingest pays one
+    * pass per batch plus O(|sources|) state.
+    *
+    * foreachBatch + an external two-layer store (the
+    * [[streamNearDupDocs]] idiom — the dup check is a relational join
+    * against all fingerprints ever seen, not per-key state):
+    *  - `seen/batch_id=N/`: the fingerprints FIRST seen in batch N
+    *    (append-only membership layer; at corpus scale bucketed by
+    *    fingerprint so the anti-join prunes);
+    *  - `report/batch_id=N/`: the CUMULATIVE per-source counters as of
+    *    batch N (each batch rewrites the full |sources|-row table —
+    *    bounded by construction; readers take the latest partition,
+    *    [[readStreamReport]]).
+    *
+    * Dup semantics are arrival-order: the first streamed copy of a
+    * fingerprint is the keeper (within a batch, min doc_id — the same
+    * two-phase groupBy shape as the batch report; never a window). When
+    * documents arrive in doc_id order this coincides exactly with the
+    * batch twin's min-doc_id keeper — the parity law in
+    * StreamReportSpec; under out-of-order arrival the total dup count
+    * still matches, only cross-source keeper attribution can differ.
+    *
+    * Replay safety: both layers and the report write `batch_id=<id>`
+    * partitions with OVERWRITE, and a batch's reads exclude its own
+    * partitions — a failed-and-replayed batch recomputes from exactly
+    * the pre-batch store (same contract as [[streamNearDupDocs]]). */
+  def streamSourceReport(spark: SparkSession, docsDir: String,
+      storeDir: String, checkpointDir: String,
+      qualityThreshold: Double = 0.5,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val seenSchema = StructType(Seq(StructField("fingerprint", StringType)))
+    val reportSchema = StructType(Seq(
+      StructField("source", StringType), StructField("n_docs", LongType),
+      StructField("n_tokens", LongType), StructField("n_low_quality", LongType),
+      StructField("n_dup_docs", LongType)))
+    def partitions(layer: String, excludeBatch: Long): Seq[org.apache.hadoop.fs.Path] = {
+      val path = new org.apache.hadoop.fs.Path(s"$storeDir/$layer")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch_id="))
+        .filter(_.getName != s"batch_id=$excludeBatch")
+    }
+    def readSeen(excludeBatch: Long): DataFrame = {
+      val parts = partitions("seen", excludeBatch).map(_.toString)
+      if (parts.nonEmpty) spark.read.schema(seenSchema).parquet(parts: _*)
+      else spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), seenSchema)
+    }
+    def readPrevReport(excludeBatch: Long): DataFrame = {
+      val latest = partitions("report", excludeBatch)
+        .map(p => (p.getName.stripPrefix("batch_id=").toLong, p))
+        .sortBy(-_._1).headOption
+      latest match {
+        case Some((_, p)) => spark.read.schema(reportSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), reportSchema)
+      }
+    }
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val perDoc = Text.perDocCuration(batch)
+        val seen = readSeen(batchId)
+        // two-phase dup marking, the batch report's shape: a doc is a dup
+        // if its fingerprint was seen in an earlier batch, or an
+        // earlier-id doc in THIS batch carries it
+        val batchKeepers = perDoc.groupBy("fingerprint")
+          .agg(min("doc_id").as("keeper_id"))
+        val marked = perDoc
+          .join(batchKeepers, Seq("fingerprint"))
+          .join(seen.withColumn("seen_before", lit(true)), Seq("fingerprint"), "left")
+          .withColumn("is_dup",
+            (coalesce(col("seen_before"), lit(false)) ||
+              col("doc_id") =!= col("keeper_id")).cast("long"))
+        val delta = Text.sourceCounters(marked, qualityThreshold)
+        // cumulative counters: previous report ⊎ this batch's delta —
+        // pinned before writing (the write mutates the store it read)
+        val updated = readPrevReport(batchId)
+          .unionByName(delta)
+          .groupBy("source").agg(
+            sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+            sum("n_low_quality").as("n_low_quality"), sum("n_dup_docs").as("n_dup_docs"))
+          .localCheckpoint(true)
+        val newFps = batchKeepers.select("fingerprint")
+          .join(seen, Seq("fingerprint"), "left_anti")
+          .localCheckpoint(true)
+        updated.write.mode("overwrite").parquet(s"$storeDir/report/batch_id=$batchId")
+        newFps.write.mode("overwrite").parquet(s"$storeDir/seen/batch_id=$batchId")
+      }
+      .start()
+  }
+
+  /** Read the latest cumulative report written by [[streamSourceReport]],
+    * with the same fraction columns as the batch [[Text.sourceReport]]
+    * (fractions derive from the summed counters at read time, so they are
+    * bit-identical to the batch twin's long/long division). */
+  def readStreamReport(spark: SparkSession, storeDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$storeDir/report")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = fs.listStatus(path).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("batch_id="))
+      .map(p => (p.getName.stripPrefix("batch_id=").toLong, p))
+      .sortBy(-_._1).head._2
+    Text.reportFracs(spark.read.parquet(latest.toString))
+  }
+
   /** Batch twin of [[userActivityStream]]'s end state (for the test — and
     * the oracle-friendly rendering of the same profile). */
   def userActivityBatch(events: DataFrame): DataFrame =

@@ -233,20 +233,41 @@ object Text {
     * (fingerprint, min) row shuffles, and AQE skew-splits the join-back if
     * a hot fingerprint still dominates a partition. The source rollup
     * rides a final combining groupBy. */
-  def sourceReport(documents: DataFrame, qualityThreshold: Double = 0.5): DataFrame = {
-    val perDoc = withQualityCols(documents)
+  /** The report's per-document inputs — quality columns + content
+    * fingerprint in one scan-local projection. Shared by [[sourceReport]]
+    * and the streaming incremental report
+    * ([[graft.ops.StreamDemo.streamSourceReport]]) so the two can never
+    * drift on the row-level definitions. */
+  private[ops] def perDocCuration(documents: DataFrame): DataFrame =
+    withQualityCols(documents)
       .withColumn("fingerprint", fingerprintCol)
       .select("doc_id", "source", "n_tokens", "quality_score", "fingerprint")
-    val keepers = perDoc.groupBy("fingerprint").agg(min("doc_id").as("keeper_id"))
-    perDoc.join(keepers, Seq("fingerprint"))
-      .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("long"))
-      .groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        sum(when(col("quality_score") < qualityThreshold, 1L).otherwise(0L)).as("n_low_quality"),
-        sum("is_dup").as("n_dup_docs"))
+
+  /** Per-source counter rollup over dup-marked per-doc rows (expects an
+    * `is_dup` LONG column) — the map-side-combining groupBy both report
+    * variants share. */
+  private[ops] def sourceCounters(marked: DataFrame,
+      qualityThreshold: Double): DataFrame =
+    marked.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      sum(when(col("quality_score") < qualityThreshold, 1L).otherwise(0L)).as("n_low_quality"),
+      sum("is_dup").as("n_dup_docs"))
+
+  /** Integral-ratio fraction columns over report counters (long/long in
+    * IEEE doubles — bit-exact on any engine). */
+  private[ops] def reportFracs(counters: DataFrame): DataFrame =
+    counters
       .withColumn("low_quality_frac", col("n_low_quality").cast("double") / col("n_docs"))
       .withColumn("dup_frac", col("n_dup_docs").cast("double") / col("n_docs"))
+
+  def sourceReport(documents: DataFrame, qualityThreshold: Double = 0.5): DataFrame = {
+    val perDoc = perDocCuration(documents)
+    val keepers = perDoc.groupBy("fingerprint").agg(min("doc_id").as("keeper_id"))
+    reportFracs(sourceCounters(
+      perDoc.join(keepers, Seq("fingerprint"))
+        .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("long")),
+      qualityThreshold))
   }
 
   /** Source-level filtering — the enforcement half of [[sourceReport]]:

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
+
+import graft.ops.{StreamDemo, Text}
+
+/** Incremental curation report ([[StreamDemo.streamSourceReport]]): the
+  * streamed per-source counters must equal the batch [[Text.sourceReport]]
+  * over everything ingested so far (docs arrive in doc_id order, so the
+  * arrival-order keeper coincides with the batch min-doc_id keeper), both
+  * mid-stream and after a checkpointed restart that ingests more data. */
+class StreamReportSpec extends SparkTestBase with TimeLimitedTests {
+  val timeLimit: Span = Span(240, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  test("incremental report: batch parity mid-stream and across a checkpointed restart") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("srcrep_src")
+    val store = java.nio.file.Files.createTempDirectory("srcrep_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("srcrep_ckpt")
+
+    val all = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text", "source").orderBy("doc_id")
+    val rows = all.collect()
+    assert(rows.length >= 9, "corpus too small to split into three batches")
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"srcrep_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    def batchTwin(slice: Array[org.apache.spark.sql.Row]) =
+      Text.sourceReport(
+        spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema))
+    def assertParity(expected: org.apache.spark.sql.DataFrame): Unit = {
+      val got = StreamDemo.readStreamReport(spark, store.toString)
+        .select("source", "n_docs", "n_tokens", "n_low_quality", "n_dup_docs",
+          "low_quality_frac", "dup_frac")
+      val want = expected.select("source", "n_docs", "n_tokens", "n_low_quality",
+        "n_dup_docs", "low_quality_frac", "dup_frac")
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"stream report drifted from batch twin:\n" +
+          s"stream=${got.orderBy("source").collect().mkString(";")}\n" +
+          s"batch =${want.orderBy("source").collect().mkString(";")}")
+    }
+
+    // run 1: two files → two micro-batches (maxFilesPerTrigger=1); the
+    // second batch must mark cross-batch duplicates against the seen layer
+    stage(1, rows.slice(0, cut1))
+    stage(2, rows.slice(cut1, cut2))
+    val q1 = StreamDemo.streamSourceReport(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assertParity(batchTwin(rows.slice(0, cut2)))
+
+    // restart on the same checkpoint + store: only the new file is
+    // processed; the cumulative report must cover the whole corpus
+    stage(3, rows.slice(cut2, rows.length))
+    val q2 = StreamDemo.streamSourceReport(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assertParity(batchTwin(rows))
+
+    // the seen layer holds exactly the distinct fingerprints of the corpus
+    val seenCount = spark.read.parquet(s"$store/seen").count()
+    val distinctFps = Text.fingerprints(
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), all.schema))
+      .select("fingerprint").distinct().count()
+    assert(seenCount == distinctFps,
+      s"seen layer has $seenCount fingerprints, corpus has $distinctFps")
+  }
+}
