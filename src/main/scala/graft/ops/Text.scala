@@ -472,14 +472,25 @@ object Text {
     * doc_id order within their bucket). Extracted so [[packSequences]] and
     * [[packSequencesSplit]] can never drift on the stream they must agree
     * on (the first-slice-agreement law and the paired oracles both assume
-    * identical offsets). */
+    * identical offsets).
+    *
+    * Split, bucket, and token count are all row-local, so they fuse into
+    * ONE scan projection — NOT a hashSplit ⋈ tokenCounts self-join, which
+    * would duplicate the entire upstream subtree into both join branches
+    * (under [[curationE2e]] that re-ran the whole source-report
+    * aggregation twice) and pay two doc_id exchanges before the bucket
+    * window's own shuffle. The only exchange here is the window's. */
   private def offsetStream(documents: DataFrame, tok: Tok = WhitespaceTok,
       bucketChars: Int = 2): DataFrame = {
+    require(bucketChars >= 2 && bucketChars <= 8,
+      s"bucketChars $bucketChars must be in [2, 8] (split bounds are 2-char prefixes)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    hashSplit(documents, bucketChars = bucketChars)
-      .join(tokenCounts(documents, tok), Seq("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"), bucketCol(bucketChars).as("bucket"),
+        tok.countTokens(col("text")).as("n_tokens"))
+      .withColumn("split", splitFromBucket("cd", "e6"))
       .withColumn("offset_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
   }
 
