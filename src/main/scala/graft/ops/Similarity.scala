@@ -462,13 +462,18 @@ object Similarity {
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
     // asymmetric-distance tier: reconstruct each candidate vector from its
-    // int8 codes ONCE (linear in distinct candidates), then codegen dot
+    // int8 codes ONCE (linear in distinct candidates), then codegen dot.
+    // Zero-norm vectors (all-zero embeddings) have undefined cosine and
+    // would score NaN — which Spark's descending sort ranks FIRST, letting
+    // degenerate vectors crowd real candidates out of the survivor set —
+    // so both sides filter them out of the quantized path entirely.
     val recon = index.codes.select(col("vec_id").as("neighbor_id"),
         transform(col("codes"), c =>
           col("vmin") + col("scale") * (c.cast("double") + lit(128.0))).as("rv"))
       .withColumn("rnorm", sqrt(dotd(col("rv"), col("rv"))))
+      .filter(col("rnorm") > 0.0)
     val approx = cand
-      .join(q, Seq("query_id"))
+      .join(q.filter(col("qn") > 0.0), Seq("query_id"))
       .join(recon, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotd(col("qv"), col("rv")) / (col("qn") * col("rnorm"))).as("approx_sim"))

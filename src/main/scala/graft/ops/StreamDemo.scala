@@ -406,13 +406,18 @@ object StreamDemo {
     * foreachBatch + an external two-layer store (the
     * [[streamNearDupDocs]] idiom — the dup check is a relational join
     * against all fingerprints ever seen, not per-key state):
-    *  - `seen/batch_id=N/`: the fingerprints FIRST seen in batch N
-    *    (append-only membership layer; at corpus scale bucketed by
-    *    fingerprint so the anti-join prunes);
+    *  - `seen/batch_id=N/`: the fingerprints FIRST seen in batch N, plus
+    *    `seen_compact/upto=N/`: periodic folds of the raw partitions.
+    *    Once more than `compactAfter` raw partitions accumulate, the
+    *    batch folds previous-compact ∪ raws into a new compact and drops
+    *    everything no future read (including a replay of the CURRENT
+    *    batch) can need — the membership layer stays O(distinct
+    *    fingerprints) in data and O(compactAfter) in partition count
+    *    instead of growing one partition per micro-batch forever;
     *  - `report/batch_id=N/`: the CUMULATIVE per-source counters as of
     *    batch N (each batch rewrites the full |sources|-row table —
-    *    bounded by construction; readers take the latest partition,
-    *    [[readStreamReport]]).
+    *    bounded by construction; readers take the latest COMPLETE
+    *    partition, [[readStreamReport]]).
     *
     * Dup semantics are arrival-order: the first streamed copy of a
     * fingerprint is the keeper (within a batch, min doc_id — the same
@@ -429,7 +434,8 @@ object StreamDemo {
   def streamSourceReport(spark: SparkSession, docsDir: String,
       storeDir: String, checkpointDir: String,
       qualityThreshold: Double = 0.5,
-      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      compactAfter: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
@@ -439,22 +445,38 @@ object StreamDemo {
       StructField("source", StringType), StructField("n_docs", LongType),
       StructField("n_tokens", LongType), StructField("n_low_quality", LongType),
       StructField("n_dup_docs", LongType)))
-    def partitions(layer: String, excludeBatch: Long): Seq[org.apache.hadoop.fs.Path] = {
+    def hadoopFs(p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (id, path) pairs for <layer>/<prefix><id> partition dirs
+    def listIds(layer: String, prefix: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
       val path = new org.apache.hadoop.fs.Path(s"$storeDir/$layer")
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = hadoopFs(path)
       if (!fs.exists(path)) Seq.empty
       else fs.listStatus(path).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("batch_id="))
-        .filter(_.getName != s"batch_id=$excludeBatch")
+        .filter(_.getName.startsWith(prefix))
+        .map(p => (p.getName.stripPrefix(prefix).toLong, p))
     }
+    // a partition is readable only once its job committed (_SUCCESS) —
+    // guards both replay half-writes and concurrent external readers
+    def isComplete(p: org.apache.hadoop.fs.Path): Boolean =
+      hadoopFs(p).exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    def completeCompactsBefore(batch: Long): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      listIds("seen_compact", "upto=")
+        .filter { case (id, p) => id < batch && isComplete(p) }
+        .sortBy(-_._1)
     def readSeen(excludeBatch: Long): DataFrame = {
-      val parts = partitions("seen", excludeBatch).map(_.toString)
+      val base = completeCompactsBefore(excludeBatch).headOption
+      val baseUpto = base.map(_._1).getOrElse(-1L)
+      val parts = base.map(_._2.toString).toSeq ++
+        listIds("seen", "batch_id=")
+          .filter { case (id, _) => id > baseUpto && id != excludeBatch }
+          .map(_._2.toString)
       if (parts.nonEmpty) spark.read.schema(seenSchema).parquet(parts: _*)
       else spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), seenSchema)
     }
     def readPrevReport(excludeBatch: Long): DataFrame = {
-      val latest = partitions("report", excludeBatch)
-        .map(p => (p.getName.stripPrefix("batch_id=").toLong, p))
+      val latest = listIds("report", "batch_id=")
+        .filter { case (id, p) => id != excludeBatch && isComplete(p) }
         .sortBy(-_._1).headOption
       latest match {
         case Some((_, p)) => spark.read.schema(reportSchema).parquet(p.toString)
@@ -496,19 +518,68 @@ object StreamDemo {
           .localCheckpoint(true)
         updated.write.mode("overwrite").parquet(s"$storeDir/report/batch_id=$batchId")
         newFps.write.mode("overwrite").parquet(s"$storeDir/seen/batch_id=$batchId")
+        // report retention: a replay of THIS batch reads its newest
+        // committed predecessor; nothing older is ever read again
+        for ((_, p) <- listIds("report", "batch_id=")
+            .filter(_._1 < batchId).sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1)
+            .drop(1))
+          hadoopFs(p).delete(p, true)
+        // bound the membership layer: fold raws into a compact once they
+        // pile past compactAfter. Deletion lags ONE compaction cycle so a
+        // replay of THIS batch (which reads the PREVIOUS compact + raws
+        // after its upto, excluding its own partition) still finds
+        // everything it needs: only raws/compacts at or below the
+        // previous compact's upto are dropped.
+        val rawsNow = listIds("seen", "batch_id=").filter(_._1 <= batchId)
+        if (rawsNow.size > compactAfter) {
+          val prevUpto = completeCompactsBefore(batchId).headOption.map(_._1).getOrElse(-1L)
+          val unionPaths = completeCompactsBefore(batchId).headOption.map(_._2.toString).toSeq ++
+            rawsNow.filter(_._1 > prevUpto).map(_._2.toString)
+          spark.read.schema(seenSchema).parquet(unionPaths: _*)
+            .write.mode("overwrite").parquet(s"$storeDir/seen_compact/upto=$batchId")
+          for ((id, p) <- rawsNow if id <= prevUpto) hadoopFs(p).delete(p, true)
+          for ((id, p) <- listIds("seen_compact", "upto=") if id < prevUpto)
+            hadoopFs(p).delete(p, true)
+        }
       }
       .start()
   }
 
-  /** Read the latest cumulative report written by [[streamSourceReport]],
-    * with the same fraction columns as the batch [[Text.sourceReport]]
-    * (fractions derive from the summed counters at read time, so they are
-    * bit-identical to the batch twin's long/long division). */
+  /** All fingerprints the incremental report has admitted so far: the
+    * latest complete compact plus the raw partitions after its upto —
+    * the same view [[streamSourceReport]]'s own anti-join reads. */
+  def readSeenFingerprints(spark: SparkSession, storeDir: String): DataFrame = {
+    def list(layer: String, prefix: String) = {
+      val path = new org.apache.hadoop.fs.Path(s"$storeDir/$layer")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) Seq.empty[(Long, org.apache.hadoop.fs.Path)]
+      else fs.listStatus(path).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith(prefix) &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(p => (p.getName.stripPrefix(prefix).toLong, p))
+    }
+    val base = list("seen_compact", "upto=").sortBy(-_._1).headOption
+    val baseUpto = base.map(_._1).getOrElse(-1L)
+    val parts = base.map(_._2.toString).toSeq ++
+      list("seen", "batch_id=").filter(_._1 > baseUpto).map(_._2.toString)
+    spark.read.parquet(parts: _*)
+  }
+
+  /** Read the latest COMPLETE cumulative report written by
+    * [[streamSourceReport]], with the same fraction columns as the batch
+    * [[Text.sourceReport]] (fractions derive from the summed counters at
+    * read time, so they are bit-identical to the batch twin's long/long
+    * division). Completeness = the partition's `_SUCCESS` marker: an
+    * in-flight overwrite (or a crash mid-write awaiting replay) leaves no
+    * marker, so a concurrent reader falls back to the newest committed
+    * batch instead of crashing on an empty directory or silently
+    * returning a partial table. */
   def readStreamReport(spark: SparkSession, storeDir: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(s"$storeDir/report")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val latest = fs.listStatus(path).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("batch_id="))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       .map(p => (p.getName.stripPrefix("batch_id=").toLong, p))
       .sortBy(-_._1).head._2
     Text.reportFracs(spark.read.parquet(latest.toString))

@@ -40,9 +40,11 @@ object Text {
       size(graft.functions.Bpe.encode(text, merges)).cast("long")
   }
 
-  /** (doc_id, n_tokens) under the chosen tokenizer — the one place the
-    * token-budget operators read counts from, so whitespace and BPE
-    * denominations can never drift structurally. */
+  /** (doc_id, n_tokens) under the chosen tokenizer — [[chunkDocuments]]'s
+    * count source. The packing path ([[offsetStream]]) fuses the same
+    * `Tok.countTokens` column into its wider scan projection instead of
+    * calling this, so `Tok` itself is the single count definition both
+    * routes share. */
   private def tokenCounts(documents: DataFrame, tok: Tok): DataFrame =
     documents.select(col("doc_id"), tok.countTokens(col("text")).as("n_tokens"))
 
@@ -447,6 +449,11 @@ object Text {
       bucketChars: Int = 2): DataFrame = {
     require(bucketChars >= 2 && bucketChars <= 8,
       s"bucketChars $bucketChars must be in [2, 8] (split bounds are 2-char prefixes)")
+    // width invariance REQUIRES 2-char bounds: a longer bound (e.g. "cd5")
+    // would slice a width-2 bucket's docs across splits differently at
+    // width 3, silently moving docs over the train/val/test boundary
+    require(trainBound.length == 2 && valBound.length == 2,
+      s"split bounds must be 2 hex chars, got '$trainBound'/'$valBound'")
     documents
       .select(col("doc_id"), col("lang"), bucketCol(bucketChars).as("bucket"))
       .withColumn("split", splitFromBucket(trainBound, valBound))

@@ -110,9 +110,17 @@ class BpeSpec extends SparkTestBase {
     assert(r.columns.toSeq == Seq("doc_id", "n_chars", "n_ws_tokens",
       "n_bpe_tokens", "chars_per_bpe_token"))
     assert(r.count() == docs.count())
-    // every word is at least one token: BPE count >= whitespace count;
-    // and BPE can never exceed char count
-    assert(r.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() == 0)
+    // every NON-EMPTY word is at least one token: BPE count >= non-empty
+    // whitespace-token count (Spark's split keeps leading/trailing empty
+    // tokens that the BPE pre-tokenizer drops, so the raw n_ws_tokens
+    // column is not a valid lower bound on padded text); and BPE can never
+    // exceed char count
+    val withNonEmpty = r.join(
+      docs.select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long")
+          .as("n_nonempty_ws")),
+      Seq("doc_id"))
+    assert(withNonEmpty.filter(col("n_bpe_tokens") < col("n_nonempty_ws")).count() == 0)
     assert(r.filter(col("n_bpe_tokens") > col("n_chars")).count() == 0)
   }
 

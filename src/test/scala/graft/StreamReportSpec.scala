@@ -50,11 +50,13 @@ class StreamReportSpec extends SparkTestBase with TimeLimitedTests {
     }
 
     // run 1: two files → two micro-batches (maxFilesPerTrigger=1); the
-    // second batch must mark cross-batch duplicates against the seen layer
+    // second batch must mark cross-batch duplicates against the seen
+    // layer. compactAfter=1 forces the compaction path on every batch
+    // past the first.
     stage(1, rows.slice(0, cut1))
     stage(2, rows.slice(cut1, cut2))
     val q1 = StreamDemo.streamSourceReport(
-      s2, src.toString, store.toString, ckpt.toString)
+      s2, src.toString, store.toString, ckpt.toString, compactAfter = 1)
     try q1.processAllAvailable() finally q1.stop()
     assertParity(batchTwin(rows.slice(0, cut2)))
 
@@ -62,16 +64,28 @@ class StreamReportSpec extends SparkTestBase with TimeLimitedTests {
     // processed; the cumulative report must cover the whole corpus
     stage(3, rows.slice(cut2, rows.length))
     val q2 = StreamDemo.streamSourceReport(
-      s2, src.toString, store.toString, ckpt.toString)
+      s2, src.toString, store.toString, ckpt.toString, compactAfter = 1)
     try q2.processAllAvailable() finally q2.stop()
     assertParity(batchTwin(rows))
 
-    // the seen layer holds exactly the distinct fingerprints of the corpus
-    val seenCount = spark.read.parquet(s"$store/seen").count()
+    // membership converges to exactly the corpus's distinct fingerprints
+    // THROUGH the compaction cycles...
+    val seenCount = StreamDemo.readSeenFingerprints(spark, store.toString).count()
     val distinctFps = Text.fingerprints(
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), all.schema))
       .select("fingerprint").distinct().count()
     assert(seenCount == distinctFps,
       s"seen layer has $seenCount fingerprints, corpus has $distinctFps")
+    // ...and compaction + retention actually bounded the store: raw seen
+    // partitions, compacts, and report partitions are all trimmed
+    def dirCount(sub: String) = {
+      val d = new java.io.File(s"$store/$sub")
+      if (!d.exists()) 0 else d.listFiles().count(_.getName.contains("="))
+    }
+    assert(dirCount("seen") <= 2, s"seen raws not compacted: ${dirCount("seen")}")
+    assert(dirCount("seen_compact") <= 2,
+      s"old compacts not retired: ${dirCount("seen_compact")}")
+    assert(dirCount("report") <= 2,
+      s"report retention failed: ${dirCount("report")}")
   }
 }
