@@ -667,6 +667,78 @@ af AS (
                   FROM documents) t
             WHERE n_tokens > 0) g""",
 
+    // interpolated bigram LM scoring: model counted from the train
+    // hash-split (same md5 bucket as corpus_split), scoring every doc.
+    // p = 0.5*(c_bi/c_prev | 0) + 0.5*(c_cur+1)/(N+V); per-position ln p is
+    // q6-quantized and decimal-summed (the tfidf ln discipline + r6avg),
+    // so the per-doc mean is order-independent; fractions are long/long
+    "lm_score" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                  FROM documents),
+      ref AS (SELECT * FROM tk
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+      uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+              FROM (SELECT unnest(t) AS token FROM ref) p GROUP BY token),
+      tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS lm_n,
+                     CAST(COUNT(*) AS BIGINT) AS lm_v FROM uni),
+      bi AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_bi
+             FROM (SELECT t[i] AS prev, t[i+1] AS cur
+                   FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                         FROM ref WHERE len(t) >= 2) g) b
+             GROUP BY prev, cur),
+      bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+             FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                   FROM tk WHERE len(t) >= 2) g),
+      scored AS (
+        SELECT bg.doc_id,
+               CASE WHEN COALESCE(bi.c_bi, 0) = 0 THEN 1 ELSE 0 END AS unseen,
+               floor(ln(
+                   0.5 * (CASE WHEN COALESCE(up.c_uni, 0) > 0
+                               THEN CAST(COALESCE(bi.c_bi, 0) AS DOUBLE) / up.c_uni
+                               ELSE 0.0 END)
+                 + 0.5 * CAST(COALESCE(uc.c_uni, 0) + 1 AS DOUBLE) / (tot.lm_n + tot.lm_v)
+               ) * 1000000.0 + 0.5) / 1000000.0 AS q
+        FROM bg LEFT JOIN bi ON bg.prev = bi.prev AND bg.cur = bi.cur
+                LEFT JOIN uni up ON bg.prev = up.token
+                LEFT JOIN uni uc ON bg.cur = uc.token
+                CROSS JOIN tot)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(unseen) AS BIGINT) AS n_unseen_bigrams,
+             CAST(CAST(SUM(unseen) AS BIGINT) AS DOUBLE) / COUNT(*) AS unseen_frac,
+             CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
+      FROM scored GROUP BY doc_id""",
+
+    // per-source total-variation distance vs the corpus token distribution:
+    // all-integer inner sum |c_st*N - c_t*N_s| (HUGEINT; Spark side
+    // DECIMAL(18,0) products), absent-token tail folded algebraically to
+    // N_s*(N - present_mass); ONE double division at the end
+    "source_divergence" -> """
+      WITH st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_st
+                  FROM (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token
+                        FROM documents) p
+                  GROUP BY source, token),
+      tot AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY token),
+      corpus AS (SELECT CAST(SUM(c_t) AS BIGINT) AS corp_n FROM tot),
+      src AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+                     CAST(COUNT(*) AS BIGINT) AS v_s
+              FROM st GROUP BY source),
+      present AS (
+        SELECT st.source,
+               SUM(ABS(CAST(st.c_st AS HUGEINT) * corpus.corp_n
+                     - CAST(tot.c_t AS HUGEINT) * src.n_s)) AS a_present,
+               CAST(SUM(tot.c_t) AS BIGINT) AS present_mass
+        FROM st JOIN tot USING (token) JOIN src USING (source) CROSS JOIN corpus
+        GROUP BY st.source)
+      SELECT src.source,
+             src.n_s AS n_tokens_src,
+             src.v_s AS n_distinct_tokens_src,
+             CAST(CAST(present.a_present
+                  + CAST(src.n_s AS HUGEINT) * (corpus.corp_n - present.present_mass)
+                  AS VARCHAR) AS DOUBLE)
+               / (2.0 * CAST(CAST(CAST(src.n_s AS HUGEINT) * corpus.corp_n AS VARCHAR) AS DOUBLE)) AS tvd
+      FROM present JOIN src USING (source) CROSS JOIN corpus""",
+
     // Gopher-style repetition profile: bigram totals/distincts/mode per doc
     // + duplicate and top-gram fractions (double-of-BIGINT division, IEEE
     // bit-exact on both engines); same whitespace tokenizer as token_stats

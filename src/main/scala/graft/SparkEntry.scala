@@ -163,6 +163,16 @@ object SparkEntry {
     "repetition_signals" -> ((s, d) => Text.repetitionSignals(Tables.documents(s, d))),
     "chunk_documents" -> ((s, d) => Text.chunkDocuments(Tables.documents(s, d))),
     "split_leakage" -> ((s, d) => Text.splitLeakage(Tables.documents(s, d))),
+    // bigram LM trained on the train hash-split, scoring the whole corpus
+    // (the hashSplit 2-char md5 bucket, inlined as a filter — no join)
+    "lm_score" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val docs = Tables.documents(s, d)
+      Text.lmScore(
+        docs.filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "cd"),
+        docs)
+    }),
+    "source_divergence" -> ((s, d) => Text.sourceDivergence(Tables.documents(s, d))),
     "source_report" -> ((s, d) => Text.sourceReport(Tables.documents(s, d))),
     // low-quality threshold 0.05 actually drops sources on the synthetic corpus
     "source_filter" -> ((s, d) => Text.filterBySource(Tables.documents(s, d), 0.5, 0.05)),

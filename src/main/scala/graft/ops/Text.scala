@@ -288,6 +288,55 @@ object Text {
     documents.join(broadcast(keep), Seq("source"), "left_semi")
   }
 
+  /** Per-source distribution-shift report: the total-variation distance
+    * between each source's token distribution and the whole-corpus
+    * distribution — the drift metric a mixture-rebalancing step
+    * ([[sampleMixture]]) reads to find which sources skew the training
+    * mix (and the monitoring signal for a refreshed crawl drifting from
+    * its predecessor). TVD(s) = ½ Σ_t |c_st/N_s − c_t/N| ∈ [0, 1].
+    *
+    * Exactness: the sum runs over INTEGERS — rewritten as
+    * ½ Σ_t |c_st·N − c_t·N_s| / (N_s·N) — with decimal products and sums,
+    * so no double exists until the single final division: bit-exact on
+    * any engine and immune to reduction order (the
+    * [[graft.functions.Exact]] discipline, taken to its no-doubles
+    * limit). Tokens ABSENT from a source still contribute |0 − c_t·N_s|
+    * each; that whole tail collapses algebraically to
+    * N_s·(N − Σ_{t∈source} c_t), so absent (source, token) pairs are
+    * never materialized. DECIMAL(18,0)² products fit DECIMAL(38) headroom
+    * up to ~10¹⁴-token corpora per factor — beyond 100 TB.
+    *
+    * Scale shape: one map-side-combining (source, token) groupBy, one
+    * token groupBy for corpus counts, ONE shuffle join on token
+    * (vocabulary-sized, AQE-skew-splittable on hot tokens), and a
+    * |sources|-row rollup; corpus totals ride the one-row broadcast. */
+  def sourceDivergence(documents: DataFrame): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val st = documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+    val tot = st.groupBy("token").agg(sum("c_st").as("c_t"))
+    val corpus = tot.agg(sum("c_t").as("corp_n"))
+    val srcTot = st.groupBy("source")
+      .agg(sum("c_st").as("n_s"), count(lit(1)).as("v_s"))
+    val present = st.join(tot, Seq("token"))
+      .join(srcTot.select("source", "n_s"), Seq("source"))
+      .crossJoin(broadcast(corpus))
+      .groupBy("source").agg(
+        sum(abs(col("c_st").cast(d18) * col("corp_n").cast(d18)
+          - col("c_t").cast(d18) * col("n_s").cast(d18))).as("a_present"),
+        sum("c_t").as("present_mass"))
+    present.join(srcTot, Seq("source"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("a_absent",
+        col("n_s").cast(d18) * (col("corp_n") - col("present_mass")).cast(d18))
+      .withColumn("tvd",
+        (col("a_present") + col("a_absent")).cast("double")
+          / (lit(2.0) * (col("n_s").cast(d18) * col("corp_n").cast(d18)).cast("double")))
+      .select(col("source"), col("n_s").as("n_tokens_src"),
+        col("v_s").as("n_distinct_tokens_src"), col("tvd"))
+  }
+
   /** Sliding-window document chunking: split each doc's token sequence into
     * `chunkTokens`-sized windows advancing by `chunkTokens - overlap` — the
     * context-window preparation step for RAG indexing and long-doc training
@@ -690,6 +739,80 @@ object Text {
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("doc_id", "token", "tf", "df", "tfidf", "rk")
+  }
+
+  /** (doc_id, prev, cur) for every adjacent token pair — the bigram
+    * analog of [[tokenPostings]]. Docs with < 2 tokens have no positions.
+    * Partition-local explode; no shuffle. */
+  private def bigramPositions(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("prev"),
+          element_at(col("toks"), i + 1).as("cur")))).as("bg"))
+      .select(col("doc_id"), col("bg.prev"), col("bg.cur"))
+
+  /** Statistical language-model quality scoring — the CCNet/KenLM-style
+    * perplexity filter, re-expressed as exact relational algebra. Scores
+    * each target document by its average interpolated bigram
+    * log-likelihood under a model COUNTED from a reference corpus (train
+    * a cheap n-gram LM on trusted text; gibberish, boilerplate soup, and
+    * out-of-domain docs score low).
+    *
+    * Model: unigram counts c(w), bigram counts c(u,w), token mass N and
+    * vocabulary size V from the reference. Per target bigram position
+    * (u,w):
+    *   p = λ·[c(u,w)/c(u) if c(u)>0 else 0] + (1−λ)·(c(w)+1)/(N+V)
+    * (Jelinek-Mercer interpolation of the MLE bigram with an add-one
+    * unigram backoff; p > 0 always because the backoff term is, and
+    * p < 1 on any non-degenerate corpus). Emits per doc: bigram count,
+    * unseen-bigram count/fraction (the out-of-domain signal), and mean
+    * ln p (the fluency signal; low mean ≈ high perplexity). Docs with
+    * < 2 tokens have no positions and are excluded, like
+    * [[repetitionSignals]].
+    *
+    * Oracle parity: ln p is q6-quantized per position and decimal-summed
+    * ([[graft.functions.Exact.r6avg]]) so the per-doc mean is
+    * reduction-order independent and bit-exact vs DuckDB (the
+    * [[tfidfTopTerms]] ln discipline).
+    *
+    * Scale shape: the model is two map-side-combining groupBys over
+    * reference postings (the [[wordCount]] shape) — it scales with
+    * VOCABULARY, not corpus size; scoring is three hash joins keyed on
+    * token/bigram (Spark broadcasts the model sides when they fit) plus
+    * one doc_id aggregation. Nothing quadratic, nothing driver-side; the
+    * totals row is the usual one-row broadcast scalar. */
+  def lmScore(reference: DataFrame, target: DataFrame,
+      lam: Double = 0.5): DataFrame = {
+    val uni = tokenPostings(reference).groupBy("token")
+      .agg(count(lit(1)).as("c_uni"))
+    val totals = uni.agg(sum("c_uni").as("lm_n"), count(lit(1)).as("lm_v"))
+    val bi = bigramPositions(reference).groupBy("prev", "cur")
+      .agg(count(lit(1)).as("c_bi"))
+    val scored = bigramPositions(target)
+      .join(bi, Seq("prev", "cur"), "left")
+      .join(uni.select(col("token").as("prev"), col("c_uni").as("c_prev")),
+        Seq("prev"), "left")
+      .join(uni.select(col("token").as("cur"), col("c_uni").as("c_cur")),
+        Seq("cur"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("p",
+        lit(lam) * when(coalesce(col("c_prev"), lit(0L)) > 0,
+            coalesce(col("c_bi"), lit(0L)).cast("double") / col("c_prev"))
+          .otherwise(lit(0.0))
+        + lit(1.0 - lam) * (coalesce(col("c_cur"), lit(0L)) + lit(1L)).cast("double")
+          / (col("lm_n") + col("lm_v")))
+      .withColumn("logp", log(col("p")))
+      .withColumn("unseen", (coalesce(col("c_bi"), lit(0L)) === 0L).cast("long"))
+    scored.groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("unseen").as("n_unseen_bigrams"),
+        graft.functions.Exact.r6avg(col("logp")).as("avg_logp"))
+      .withColumn("unseen_frac",
+        col("n_unseen_bigrams").cast("double") / col("n_bigrams"))
+      .select("doc_id", "n_bigrams", "n_unseen_bigrams", "unseen_frac",
+        "avg_logp")
   }
 
   /** Transitive dedup clustering: connected components over the near-dup

@@ -374,4 +374,73 @@ class TextSpec extends SparkTestBase {
     val li = q("lang_id").cache()
     assert(li.filter(col("lang_pred") === "en").count() > 0)
   }
+
+  test("lmScore: self-trained model sees every bigram; log-probs negative, fractions bounded") {
+    val r = ops.Text.lmScore(docs, docs).cache()
+    // one row per doc with >= 2 whitespace tokens
+    assert(r.count() == docs.filter(size(split(col("text"), "\\s+")) >= 2).count())
+    // reference == target => every target bigram was counted => nothing unseen
+    assert(r.filter(col("n_unseen_bigrams") =!= 0L).count() == 0)
+    // p < 1 on any non-degenerate corpus => mean ln p < 0
+    assert(r.filter(col("avg_logp") >= 0.0).count() == 0)
+    assert(r.filter(col("unseen_frac") < 0 || col("unseen_frac") > 1).count() == 0)
+  }
+
+  test("lmScore agrees with a naive driver-side reference on a hand corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "a a"), (3L, "c"))
+    val df = corpus.toDF("doc_id", "text")
+    // independently-written reference: count model, score, q6, average
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val uni = toks.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = uni.values.sum; val v = uni.size.toLong
+    val bi = toks.values.flatMap(t => t.zip(t.drop(1))).groupBy(identity)
+      .map { case (k, c) => k -> c.size.toLong }
+    def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = toks.collect { case (id, t) if t.size >= 2 =>
+      val qs = t.zip(t.drop(1)).map { case (p, c) =>
+        val mle = if (uni.getOrElse(p, 0L) > 0)
+          bi.getOrElse((p, c), 0L).toDouble / uni(p) else 0.0
+        q6d(math.log(0.5 * mle + 0.5 * (uni.getOrElse(c, 0L) + 1).toDouble / (n + v)))
+      }
+      id -> (qs.size.toLong, qs.sum / qs.size)
+    }
+    val got = ops.Text.lmScore(df, df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, (nb, avg)) <- expected) {
+      assert(got(id)._1 == nb, s"doc $id bigram count")
+      assert(math.abs(got(id)._2 - avg) < 1e-9, s"doc $id avg_logp ${got(id)._2} vs $avg")
+    }
+  }
+
+  test("sourceDivergence: tvd bounded; a single-source corpus diverges zero") {
+    val r = q("source_divergence").cache()
+    assert(r.count() == docs.select("source").distinct().count())
+    assert(r.filter(col("tvd") < 0 || col("tvd") > 1).count() == 0)
+    val one = ops.Text.sourceDivergence(docs.withColumn("source", lit("only"))).collect()
+    assert(one.length == 1 && one.head.getAs[Double]("tvd") == 0.0)
+  }
+
+  test("sourceDivergence equals an exact BigInt TVD computed driver-side") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "s1", "a b a"), (2L, "s1", "b c"),
+      (3L, "s2", "c c d"), (4L, "s2", "a d d e"))
+    val df = corpus.toDF("doc_id", "source", "text")
+    val pairs = corpus.flatMap { case (_, s, t) => t.split("\\s+").map(s -> _) }
+    val cst = pairs.groupBy(identity).map { case ((s, t), v) => (s, t) -> BigInt(v.size) }
+    val ct = pairs.groupBy(_._2).map { case (t, v) => t -> BigInt(v.size) }
+    val nTot = ct.values.sum
+    val expected = pairs.map(_._1).distinct.map { s =>
+      val ns = cst.collect { case ((`s`, _), c) => c }.sum
+      val num = ct.map { case (t, c) =>
+        (cst.getOrElse((s, t), BigInt(0)) * nTot - c * ns).abs
+      }.sum
+      s -> num.toDouble / (2.0 * (ns * nTot).toDouble)
+    }.toMap
+    val got = ops.Text.sourceDivergence(df).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("tvd")).toMap
+    assert(got == expected, s"$got vs $expected")
+  }
 }
