@@ -467,6 +467,42 @@ af AS (
              CAST(sum(CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) AS DECIMAL(28,10))) AS DOUBLE) AS k_sum,
              ${dsum("value")} AS value_sum
       FROM events GROUP BY 1""",
+    // gap-based sessionization: lag boundary predicate on integral
+    // microseconds (epoch_us ↔ unix_micros), running sum of boundaries;
+    // ordering ties break on the unique event_id
+    "sessionize" -> """
+      WITH o AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_id, user_id, ts, value,
+             CONCAT(CAST(user_id AS VARCHAR), '-', CAST(session_idx AS VARCHAR)) AS session_id,
+             session_idx
+      FROM (SELECT event_id, user_id, ts, value,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+            FROM o) s""",
+    "session_stats" -> s"""
+      WITH o AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT event_id, user_id, ts, value,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+            FROM o)
+      SELECT user_id, session_idx,
+             CONCAT(CAST(user_id AS VARCHAR), '-', CAST(session_idx AS VARCHAR)) AS session_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(ts) AS t_start,
+             MAX(ts) AS t_end,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+             ${dsum("value")} AS value_sum
+      FROM s GROUP BY user_id, session_idx""",
     "event_freshness" -> """
       SELECT t.event_type, t.last_ts, t.n, g.global_max_ts,
              CAST(date_diff('day', CAST(t.last_ts AS DATE), CAST(g.global_max_ts AS DATE)) AS BIGINT) AS days_behind,

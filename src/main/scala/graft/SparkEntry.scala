@@ -139,6 +139,9 @@ object SparkEntry {
     "user_profiles" -> ((s, d) => StreamDemo.userActivityBatch(Tables.events(s, d))),
     "props_agg" -> ((s, d) => StreamDemo.propsAgg(Tables.events(s, d))),
     "event_freshness" -> ((s, d) => StreamDemo.eventFreshness(Tables.events(s, d))),
+    // gap-based sessionization: per-event session labels + session rollup
+    "sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
+    "session_stats" -> ((s, d) => Analytics.sessionStats(Tables.events(s, d))),
 
     // ---- text / dedup (north star)
     "word_count" -> ((s, d) => Text.wordCount(Tables.documents(s, d))),

@@ -133,4 +133,54 @@ object Analytics {
       .filter(col("_rn") <= n)
       .drop("_rn")
   }
+
+  /** Gap-based sessionization over the events table: consecutive events of
+    * one user belong to the same session while the gap between them stays
+    * ≤ `gapMinutes`; a larger gap (or the user's first event) opens a new
+    * session. The classic behavioral-pipeline operator (funnels, engagement
+    * windows, per-session training examples), rendered as the standard
+    * lag + running-sum-of-boundaries window pair.
+    *
+    * Determinism: ordering ties break on the unique event_id; gap
+    * arithmetic is integral microseconds ([[unix_micros]] ↔ DuckDB
+    * `epoch_us`), so the boundary predicate is exact on both engines.
+    *
+    * Scale shape: ONE shuffle on user_id; the lag pass and the cumulative
+    * sum share its partitioning and sort order (the second WindowExec
+    * reuses the exchange, adding no shuffle). Per-user event volume bounds
+    * the partition — the right key for a behavioral table. A pathological
+    * single-user firehose (bot traffic) would need a time-sliced salt with
+    * boundary repair across slice edges; per the [[graft.ops.Ranks]]
+    * two-phase discipline, that substitution is documented rather than
+    * default because it costs an extra join on every healthy corpus. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        (col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > gapUs).cast("long"))
+      .withColumn("session_idx",
+        sum("new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        concat(col("user_id").cast("string"), lit("-"),
+          col("session_idx").cast("string")).as("session_id"),
+        col("session_idx"))
+  }
+
+  /** Session-level rollup of [[sessionize]]: event count, start/end,
+    * integral-microsecond duration, and the exact-decimal value sum per
+    * (user, session). The rollup keys extend the window's partition key,
+    * so the aggregation rides the same user_id exchange. */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy("user_id", "session_idx", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("t_start"),
+        max("ts").as("t_end"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
+        dsum(col("value")).as("value_sum"))
 }

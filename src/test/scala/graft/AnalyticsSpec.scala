@@ -46,4 +46,39 @@ class AnalyticsSpec extends SparkTestBase {
       .join(maxDate, "player_id").filter(col("tail_mx") =!= col("mx"))
     assert(check.count() == 0)
   }
+
+  test("sessionize: sessions partition each user's events, indices contiguous from 1") {
+    val ev = Tables.events(spark, SF)
+    val sess = Analytics.sessionize(ev).cache()
+    assert(sess.count() == ev.count())
+    // per user: session_idx runs 1..max with no holes (distinct == max)
+    val idx = sess.groupBy("user_id")
+      .agg(max("session_idx").as("mx"), countDistinct("session_idx").as("d"),
+        min("session_idx").as("mn"))
+    assert(idx.filter(col("mn") =!= 1L || col("d") =!= col("mx")).count() == 0)
+    // rollup conserves events and never has negative duration
+    val stats = Analytics.sessionStats(ev).cache()
+    assert(stats.agg(sum("n_events")).collect().head.getLong(0) == ev.count())
+    assert(stats.filter(col("duration_us") < 0).count() == 0)
+  }
+
+  test("sessionize agrees with a naive driver-side pass over every user") {
+    val ev = Tables.events(spark, SF)
+    val naive = ev.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._2))
+        var idx = 0L; var prev = Long.MinValue
+        sorted.toSeq.map { case (_, eid, us) =>
+          if (prev == Long.MinValue || us - prev > 30L * 60 * 1000000) idx += 1
+          prev = us
+          eid -> idx
+        }
+      }
+    val got = Analytics.sessionize(ev).select("event_id", "session_idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive.toMap)
+  }
 }
