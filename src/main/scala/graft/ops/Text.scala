@@ -312,9 +312,14 @@ object Text {
     * |sources|-row rollup; corpus totals ride the one-row broadcast. */
   def sourceDivergence(documents: DataFrame): DataFrame = {
     val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    // st feeds corpus totals, per-source totals, AND the present-pair join;
+    // without materialization each consumer re-tokenizes the whole corpus
+    // (column pruning defeats ReuseExchange on the copies). One checkpoint
+    // truncates all of them to the (source × vocabulary)-sized aggregate.
     val st = documents
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true)
     val tot = st.groupBy("token").agg(sum("c_st").as("c_t"))
     val corpus = tot.agg(sum("c_t").as("corp_n"))
     val srcTot = st.groupBy("source")
@@ -785,16 +790,32 @@ object Text {
     * totals row is the usual one-row broadcast scalar. */
   def lmScore(reference: DataFrame, target: DataFrame,
       lam: Double = 0.5): DataFrame = {
+    // uni has THREE consumers (totals + two scoring joins) and Spark's
+    // column pruning de-canonicalizes the copies past ReuseExchange, so an
+    // unmaterialized plan re-tokenizes the whole reference corpus per
+    // consumer. localCheckpoint truncates to the vocabulary-sized result —
+    // the dedupClusters / Pipeline.stage materialization discipline.
     val uni = tokenPostings(reference).groupBy("token")
       .agg(count(lit(1)).as("c_uni"))
+      .localCheckpoint(true)
+    // the LogicalRDD leaf reports no stats, which would silently demote
+    // both scoring joins to sort-merge even for a tiny vocabulary — so the
+    // broadcast decision is MEASURED from the materialized frame (the
+    // bitsFor / simhashAdaptiveBlocks adaptive-sizing discipline): small
+    // vocab → broadcast hash joins over the unshuffled posting stream;
+    // huge vocab (web-scale tail past ~5M types) → Spark's natural
+    // token-keyed shuffle join, which is the right plan at that size.
+    val vocabBroadcastable = uni.count() <= 5000000L
+    def hint(df: DataFrame): DataFrame =
+      if (vocabBroadcastable) broadcast(df) else df
     val totals = uni.agg(sum("c_uni").as("lm_n"), count(lit(1)).as("lm_v"))
     val bi = bigramPositions(reference).groupBy("prev", "cur")
       .agg(count(lit(1)).as("c_bi"))
     val scored = bigramPositions(target)
       .join(bi, Seq("prev", "cur"), "left")
-      .join(uni.select(col("token").as("prev"), col("c_uni").as("c_prev")),
+      .join(hint(uni.select(col("token").as("prev"), col("c_uni").as("c_prev"))),
         Seq("prev"), "left")
-      .join(uni.select(col("token").as("cur"), col("c_uni").as("c_cur")),
+      .join(hint(uni.select(col("token").as("cur"), col("c_uni").as("c_cur"))),
         Seq("cur"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("p",

@@ -111,7 +111,9 @@ class PlansSpec extends SparkTestBase {
       "completeness_check", "freshness_check", // 1-row expected/max-date frames
       "median_label",            // 1-row global-median broadcast
       "quality_report",          // union of 1-row check frames
-      "similarity_ivf_topk")     // nCells-row centroid broadcast (probe scoring)
+      "similarity_ivf_topk",     // nCells-row centroid broadcast (probe scoring)
+      "lm_score",                // 1-row N/V totals broadcast
+      "source_divergence")       // 1-row corpus-token-mass broadcast
     // Sanctioned unpartitioned windows/sorts: |teams|-bounded frames only.
     val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
