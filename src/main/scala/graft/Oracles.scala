@@ -503,6 +503,25 @@ af AS (
              epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
              ${dsum("value")} AS value_sum
       FROM s GROUP BY user_id, session_idx""",
+    // native session_window twin: merge boundary is >= gap (an event at
+    // exactly prev + gap opens a NEW session), end = last event + gap
+    "session_windows" -> s"""
+      WITH o AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT user_id, ts, value,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+            FROM o)
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ${dsum("value")} AS value_sum
+      FROM s GROUP BY user_id, session_idx""",
     "event_freshness" -> """
       SELECT t.event_type, t.last_ts, t.n, g.global_max_ts,
              CAST(date_diff('day', CAST(t.last_ts AS DATE), CAST(g.global_max_ts AS DATE)) AS BIGINT) AS days_behind,

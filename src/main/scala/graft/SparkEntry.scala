@@ -142,6 +142,8 @@ object SparkEntry {
     // gap-based sessionization: per-event session labels + session rollup
     "sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
     "session_stats" -> ((s, d) => Analytics.sessionStats(Tables.events(s, d))),
+    // the engine's native session operator (streaming twin in StreamDemo)
+    "session_windows" -> ((s, d) => StreamDemo.sessionWindowsBatch(Tables.events(s, d))),
 
     // ---- text / dedup (north star)
     "word_count" -> ((s, d) => Text.wordCount(Tables.documents(s, d))),

@@ -50,6 +50,48 @@ object StreamDemo {
         col("n_events"), col("value_sum"))
   }
 
+  /** Spark-native session windows in BATCH mode: `session_window(ts, gap)`
+    * merges a user's events whose gaps stay strictly under `gap` (an event
+    * at exactly prev + gap opens a new session; window end = last event +
+    * gap). The twin of [[graft.ops.Analytics.sessionize]] expressed
+    * through the engine's own session operator instead of lag/cumsum —
+    * oracled in DuckDB via the same boundary predicate (≥ gap in integral
+    * microseconds) with end = max(ts) + gap. One user_id exchange, like
+    * the window form. */
+  def sessionWindowsBatch(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+
+  /** The same session aggregation as an unbounded stream: watermark +
+    * `session_window` in append mode — sessions finalize (emit) once the
+    * watermark passes their end, the engine merging partial sessions
+    * across micro-batches in the state store. The streaming rendering of
+    * [[sessionWindowsBatch]]; parity proven in StreamAndMiscSpec. */
+  def sessionWindowsStream(spark: SparkSession, eventsDir: String,
+      gap: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 day")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+  }
+
   /** Per-user running activity profile via custom keyed state —
     * `KeyValueGroupedDataset.mapGroupsWithState`, the Structured Streaming
     * surface for state that windowed aggregation can't express (the

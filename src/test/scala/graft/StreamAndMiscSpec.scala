@@ -37,6 +37,29 @@ class StreamAndMiscSpec extends SparkTestBase with TimeLimitedTests {
     } finally query.stop()
   }
 
+  test("streaming session_window agg equals the batch session windows") {
+    val dir = java.nio.file.Files.createTempDirectory("events_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SF/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = StreamDemo.sessionWindowsStream(spark, dir.toString)
+    val query = stream.writeStream
+      .format("memory").queryName("sess_win").outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("sess_win")
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      val batch = StreamDemo.sessionWindowsBatch(Tables.events(spark, SF))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0)
+      // sessions partition the event set
+      assert(batch.agg(sum("n_events")).collect().head.getLong(0) ==
+        Tables.events(spark, SF).count())
+    } finally query.stop()
+  }
+
   test("stateful stream: mapGroupsWithState per-user profile equals batch groupBy") {
     val dir = java.nio.file.Files.createTempDirectory("events_state")
     java.nio.file.Files.copy(
