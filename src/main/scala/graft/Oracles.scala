@@ -503,13 +503,15 @@ af AS (
              epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
              ${dsum("value")} AS value_sum
       FROM s GROUP BY user_id, session_idx""",
-    // native session_window twin: merge boundary is >= gap (an event at
-    // exactly prev + gap opens a NEW session), end = last event + gap
+    // native session_window twin: an event at EXACTLY prev + gap still
+    // merges (Spark opens a new session only strictly past the current
+    // end — verified empirically, pinned in StreamAndMiscSpec), so the
+    // boundary predicate is > gap, same as sessionize; end = last + gap
     "session_windows" -> s"""
       WITH o AS (
         SELECT event_id, user_id, ts, value,
                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                     THEN 1 ELSE 0 END AS new_session
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       s AS (SELECT user_id, ts, value,
@@ -1015,7 +1017,7 @@ af AS (
     // scale (500 vectors), a cost cap at bench scale.
     "similarity_bruteforce_topk" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
       qs AS (SELECT * FROM n ORDER BY vec_id LIMIT 500),
       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    floor(CAST(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
@@ -1028,7 +1030,7 @@ af AS (
     // over the %20 train/eval split, q6-rounded like embedding_near_dup
     "decontaminate_semantic" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
       t AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
       ev AS (SELECT * FROM n WHERE vec_id % 20 = 0)
       SELECT t.vec_id AS train_id, ev.vec_id AS eval_id,
@@ -1038,7 +1040,7 @@ af AS (
 
     "embedding_near_dup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0)
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              floor(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
       FROM n a JOIN n b ON a.vec_id < b.vec_id

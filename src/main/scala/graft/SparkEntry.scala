@@ -169,13 +169,11 @@ object SparkEntry {
     "chunk_documents" -> ((s, d) => Text.chunkDocuments(Tables.documents(s, d))),
     "split_leakage" -> ((s, d) => Text.splitLeakage(Tables.documents(s, d))),
     // bigram LM trained on the train hash-split, scoring the whole corpus
-    // (the hashSplit 2-char md5 bucket, inlined as a filter — no join)
+    // (Text.inTrainSplit — the same bucket predicate hashSplit labels by,
+    // applied as a filter so no join is needed)
     "lm_score" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, md5, substring}
       val docs = Tables.documents(s, d)
-      Text.lmScore(
-        docs.filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "cd"),
-        docs)
+      Text.lmScore(docs.filter(Text.inTrainSplit()), docs)
     }),
     "source_divergence" -> ((s, d) => Text.sourceDivergence(Tables.documents(s, d))),
     "source_report" -> ((s, d) => Text.sourceReport(Tables.documents(s, d))),

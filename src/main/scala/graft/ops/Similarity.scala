@@ -31,10 +31,17 @@ object Similarity {
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Embeddings with precomputed L2 norm (computed once, reused by every
-    * pairing — avoids re-deriving the norm n times inside the pair join). */
+    * pairing — avoids re-deriving the norm n times inside the pair join).
+    * Zero-norm vectors are EXCLUDED here, once, for the whole cosine
+    * family: their cosine is undefined (0/0 → NaN), and Spark's
+    * descending sort ranks NaN first, so a degenerate vector would crowd
+    * real neighbors out of every top-k. Filtering at the source keeps all
+    * the exact/LSH/IVF/quantized twins on the same output contract
+    * (oracles mirror with `WHERE nrm > 0`). */
   def withNorms(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
       .withColumn("norm", sqrt(dotd(col("v"), col("v"))))
+      .filter(col("norm") > 0.0)
 
   /** Scalar (int8-style) embedding quantization: per-vector min/max affine
     * codes in [0, levels-1] — the 4x memory compression an ANN serving tier
@@ -463,17 +470,17 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     // asymmetric-distance tier: reconstruct each candidate vector from its
     // int8 codes ONCE (linear in distinct candidates), then codegen dot.
-    // Zero-norm vectors (all-zero embeddings) have undefined cosine and
-    // would score NaN — which Spark's descending sort ranks FIRST, letting
-    // degenerate vectors crowd real candidates out of the survivor set —
-    // so both sides filter them out of the quantized path entirely.
+    // The query side is already zero-norm-free (withNorms filters the
+    // whole cosine family); RECONSTRUCTED vectors get their own guard —
+    // reconstruction is a different vector, and a NaN approx score would
+    // sort first and crowd real candidates out of the survivor set.
     val recon = index.codes.select(col("vec_id").as("neighbor_id"),
         transform(col("codes"), c =>
           col("vmin") + col("scale") * (c.cast("double") + lit(128.0))).as("rv"))
       .withColumn("rnorm", sqrt(dotd(col("rv"), col("rv"))))
       .filter(col("rnorm") > 0.0)
     val approx = cand
-      .join(q.filter(col("qn") > 0.0), Seq("query_id"))
+      .join(q, Seq("query_id"))
       .join(recon, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotd(col("qv"), col("rv")) / (col("qn") * col("rnorm"))).as("approx_sim"))

@@ -51,12 +51,14 @@ object StreamDemo {
   }
 
   /** Spark-native session windows in BATCH mode: `session_window(ts, gap)`
-    * merges a user's events whose gaps stay strictly under `gap` (an event
-    * at exactly prev + gap opens a new session; window end = last event +
-    * gap). The twin of [[graft.ops.Analytics.sessionize]] expressed
-    * through the engine's own session operator instead of lag/cumsum —
-    * oracled in DuckDB via the same boundary predicate (≥ gap in integral
-    * microseconds) with end = max(ts) + gap. One user_id exchange, like
+    * merges a user's events while each gap stays ≤ `gap` — an event at
+    * EXACTLY prev + gap still merges; a new session opens only strictly
+    * past the current end (verified against the engine, pinned by the
+    * boundary edge test in StreamAndMiscSpec). Window end = last event +
+    * gap. The twin of [[graft.ops.Analytics.sessionize]] (identical > gap
+    * boundary) expressed through the engine's own session operator instead
+    * of lag/cumsum — oracled in DuckDB via the same predicate in integral
+    * microseconds with end = max(ts) + gap. One user_id exchange, like
     * the window form. */
   def sessionWindowsBatch(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.groupBy(col("user_id"), session_window(col("ts"), gap))
@@ -85,7 +87,11 @@ object StreamDemo {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 day")
       .groupBy(col("user_id"), session_window(col("ts"), gap))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      // dsum, not sum: the decimal-cast sum is reduction-order independent,
+      // so value_sum is bit-identical to the batch twin's and the parity
+      // test can compare EVERY column (a raw double sum would differ in
+      // LSBs with micro-batch partitioning)
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("value_sum"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -482,50 +488,10 @@ object StreamDemo {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
       StructField("text", StringType), StructField("source", StringType)))
-    val seenSchema = StructType(Seq(StructField("fingerprint", StringType)))
-    val reportSchema = StructType(Seq(
-      StructField("source", StringType), StructField("n_docs", LongType),
-      StructField("n_tokens", LongType), StructField("n_low_quality", LongType),
-      StructField("n_dup_docs", LongType)))
-    def hadoopFs(p: org.apache.hadoop.fs.Path) =
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // (id, path) pairs for <layer>/<prefix><id> partition dirs
-    def listIds(layer: String, prefix: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
-      val path = new org.apache.hadoop.fs.Path(s"$storeDir/$layer")
-      val fs = hadoopFs(path)
-      if (!fs.exists(path)) Seq.empty
-      else fs.listStatus(path).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith(prefix))
-        .map(p => (p.getName.stripPrefix(prefix).toLong, p))
-    }
-    // a partition is readable only once its job committed (_SUCCESS) —
-    // guards both replay half-writes and concurrent external readers
-    def isComplete(p: org.apache.hadoop.fs.Path): Boolean =
-      hadoopFs(p).exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-    def completeCompactsBefore(batch: Long): Seq[(Long, org.apache.hadoop.fs.Path)] =
-      listIds("seen_compact", "upto=")
-        .filter { case (id, p) => id < batch && isComplete(p) }
-        .sortBy(-_._1)
-    def readSeen(excludeBatch: Long): DataFrame = {
-      val base = completeCompactsBefore(excludeBatch).headOption
-      val baseUpto = base.map(_._1).getOrElse(-1L)
-      val parts = base.map(_._2.toString).toSeq ++
-        listIds("seen", "batch_id=")
-          .filter { case (id, _) => id > baseUpto && id != excludeBatch }
-          .map(_._2.toString)
-      if (parts.nonEmpty) spark.read.schema(seenSchema).parquet(parts: _*)
-      else spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), seenSchema)
-    }
-    def readPrevReport(excludeBatch: Long): DataFrame = {
-      val latest = listIds("report", "batch_id=")
-        .filter { case (id, p) => id != excludeBatch && isComplete(p) }
-        .sortBy(-_._1).headOption
-      latest match {
-        case Some((_, p)) => spark.read.schema(reportSchema).parquet(p.toString)
-        case None => spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](), reportSchema)
-      }
-    }
+    def readSeen(excludeBatch: Long): DataFrame =
+      ReportStore.seenView(spark, storeDir, excludeBatch)
+    def readPrevReport(excludeBatch: Long): DataFrame =
+      ReportStore.reportView(spark, storeDir, excludeBatch)
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -562,50 +528,41 @@ object StreamDemo {
         newFps.write.mode("overwrite").parquet(s"$storeDir/seen/batch_id=$batchId")
         // report retention: a replay of THIS batch reads its newest
         // committed predecessor; nothing older is ever read again
-        for ((_, p) <- listIds("report", "batch_id=")
+        for ((_, p) <- ReportStore.completeIds(spark, storeDir, "report", "batch_id=")
             .filter(_._1 < batchId).sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1)
             .drop(1))
-          hadoopFs(p).delete(p, true)
+          ReportStore.fs(spark, p).delete(p, true)
         // bound the membership layer: fold raws into a compact once they
         // pile past compactAfter. Deletion lags ONE compaction cycle so a
         // replay of THIS batch (which reads the PREVIOUS compact + raws
         // after its upto, excluding its own partition) still finds
         // everything it needs: only raws/compacts at or below the
         // previous compact's upto are dropped.
-        val rawsNow = listIds("seen", "batch_id=").filter(_._1 <= batchId)
+        val rawsNow = ReportStore.completeIds(spark, storeDir, "seen", "batch_id=")
+          .filter(_._1 <= batchId)
         if (rawsNow.size > compactAfter) {
-          val prevUpto = completeCompactsBefore(batchId).headOption.map(_._1).getOrElse(-1L)
-          val unionPaths = completeCompactsBefore(batchId).headOption.map(_._2.toString).toSeq ++
+          val prev = ReportStore.compactsBefore(spark, storeDir, batchId).headOption
+          val prevUpto = prev.map(_._1).getOrElse(-1L)
+          val unionPaths = prev.map(_._2.toString).toSeq ++
             rawsNow.filter(_._1 > prevUpto).map(_._2.toString)
-          spark.read.schema(seenSchema).parquet(unionPaths: _*)
+          spark.read.schema(ReportStore.seenSchema).parquet(unionPaths: _*)
             .write.mode("overwrite").parquet(s"$storeDir/seen_compact/upto=$batchId")
-          for ((id, p) <- rawsNow if id <= prevUpto) hadoopFs(p).delete(p, true)
-          for ((id, p) <- listIds("seen_compact", "upto=") if id < prevUpto)
-            hadoopFs(p).delete(p, true)
+          for ((id, p) <- rawsNow if id <= prevUpto)
+            ReportStore.fs(spark, p).delete(p, true)
+          for ((id, p) <- ReportStore.completeIds(spark, storeDir, "seen_compact", "upto=")
+              if id < prevUpto)
+            ReportStore.fs(spark, p).delete(p, true)
         }
       }
       .start()
   }
 
-  /** All fingerprints the incremental report has admitted so far: the
-    * latest complete compact plus the raw partitions after its upto —
-    * the same view [[streamSourceReport]]'s own anti-join reads. */
-  def readSeenFingerprints(spark: SparkSession, storeDir: String): DataFrame = {
-    def list(layer: String, prefix: String) = {
-      val path = new org.apache.hadoop.fs.Path(s"$storeDir/$layer")
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(path)) Seq.empty[(Long, org.apache.hadoop.fs.Path)]
-      else fs.listStatus(path).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith(prefix) &&
-          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-        .map(p => (p.getName.stripPrefix(prefix).toLong, p))
-    }
-    val base = list("seen_compact", "upto=").sortBy(-_._1).headOption
-    val baseUpto = base.map(_._1).getOrElse(-1L)
-    val parts = base.map(_._2.toString).toSeq ++
-      list("seen", "batch_id=").filter(_._1 > baseUpto).map(_._2.toString)
-    spark.read.parquet(parts: _*)
-  }
+  /** All fingerprints the incremental report has admitted so far —
+    * LITERALLY the view [[streamSourceReport]]'s own anti-join reads
+    * ([[ReportStore.seenView]]); an empty or not-yet-committed store
+    * yields an empty frame with the layer schema, never a crash. */
+  def readSeenFingerprints(spark: SparkSession, storeDir: String): DataFrame =
+    ReportStore.seenView(spark, storeDir, Long.MaxValue)
 
   /** Read the latest COMPLETE cumulative report written by
     * [[streamSourceReport]], with the same fraction columns as the batch
@@ -614,17 +571,72 @@ object StreamDemo {
     * division). Completeness = the partition's `_SUCCESS` marker: an
     * in-flight overwrite (or a crash mid-write awaiting replay) leaves no
     * marker, so a concurrent reader falls back to the newest committed
-    * batch instead of crashing on an empty directory or silently
-    * returning a partial table. */
-  def readStreamReport(spark: SparkSession, storeDir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(s"$storeDir/report")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val latest = fs.listStatus(path).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("batch_id="))
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      .map(p => (p.getName.stripPrefix("batch_id=").toLong, p))
-      .sortBy(-_._1).head._2
-    Text.reportFracs(spark.read.parquet(latest.toString))
+    * batch — or, before any batch has committed, to an EMPTY report with
+    * the full schema — instead of crashing or silently returning a
+    * partial table. */
+  def readStreamReport(spark: SparkSession, storeDir: String): DataFrame =
+    Text.reportFracs(ReportStore.reportView(spark, storeDir, Long.MaxValue))
+
+  /** Store-layout plumbing shared by [[streamSourceReport]] and its
+    * external readers — ONE definition of partition listing, the
+    * `_SUCCESS` completeness rule, the layer schemas, and the
+    * compact-plus-raws membership view, so the writer's anti-join and
+    * the readers can never desynchronize. */
+  private[ops] object ReportStore {
+    import org.apache.spark.sql.types._
+    val seenSchema: StructType =
+      StructType(Seq(StructField("fingerprint", StringType)))
+    val reportSchema: StructType = StructType(Seq(
+      StructField("source", StringType), StructField("n_docs", LongType),
+      StructField("n_tokens", LongType), StructField("n_low_quality", LongType),
+      StructField("n_dup_docs", LongType)))
+    def fs(spark: SparkSession,
+        p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    /** (id, path) for COMPLETE (`_SUCCESS`-committed) `<layer>/<prefix><id>`
+      * partitions — half-written replay leftovers and in-flight overwrites
+      * are invisible to writer and readers alike. */
+    def completeIds(spark: SparkSession, storeDir: String, layer: String,
+        prefix: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+      val path = new org.apache.hadoop.fs.Path(s"$storeDir/$layer")
+      val hfs = fs(spark, path)
+      if (!hfs.exists(path)) Seq.empty
+      else hfs.listStatus(path).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith(prefix) &&
+          hfs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(p => (p.getName.stripPrefix(prefix).toLong, p))
+    }
+    def compactsBefore(spark: SparkSession, storeDir: String,
+        batch: Long): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      completeIds(spark, storeDir, "seen_compact", "upto=")
+        .filter(_._1 < batch).sortBy(-_._1)
+    /** The membership view: latest complete compact + complete raws past
+      * its upto, excluding `excludeBatch` (the writer passes the in-flight
+      * batch id; external readers pass Long.MaxValue). Empty store →
+      * empty frame with the layer schema. */
+    def seenView(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame = {
+      val base = compactsBefore(spark, storeDir, excludeBatch).headOption
+      val baseUpto = base.map(_._1).getOrElse(-1L)
+      val parts = base.map(_._2.toString).toSeq ++
+        completeIds(spark, storeDir, "seen", "batch_id=")
+          .filter { case (id, _) => id > baseUpto && id != excludeBatch }
+          .map(_._2.toString)
+      if (parts.nonEmpty) spark.read.schema(seenSchema).parquet(parts: _*)
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), seenSchema)
+    }
+    /** The newest complete report partition below `excludeBatch`; empty
+      * store → empty counters frame with the full schema. */
+    def reportView(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame =
+      completeIds(spark, storeDir, "report", "batch_id=")
+        .filter(_._1 != excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) =>
+          spark.read.schema(reportSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), reportSchema)
+      }
   }
 
   /** Batch twin of [[userActivityStream]]'s end state (for the test — and

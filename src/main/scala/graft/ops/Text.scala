@@ -490,6 +490,13 @@ object Text {
     math.min(8, math.max(2,
       math.ceil(math.log(math.max(1L, nDocs).toDouble / targetDocsPerBucket)
         / math.log(16.0)).toInt))
+  /** Membership predicate for the train side of [[hashSplit]]'s bounds —
+    * THE definition external consumers (SparkEntry's lm_score reference
+    * slice) must use, so a model's training subset can never drift from
+    * the docs [[hashSplit]] labels `train`. */
+  def inTrainSplit(trainBound: String = "cd"): org.apache.spark.sql.Column =
+    bucketCol(2) < trainBound
+
   private def splitFromBucket(trainBound: String, valBound: String): org.apache.spark.sql.Column =
     when(col("bucket") < trainBound, "train")
       .when(col("bucket") < valBound, "val")

@@ -48,16 +48,30 @@ class StreamAndMiscSpec extends SparkTestBase with TimeLimitedTests {
       .start()
     try {
       query.processAllAvailable()
+      // every column compared, value_sum included — both sides dsum
       val streamed = spark.table("sess_win")
-        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
       val batch = StreamDemo.sessionWindowsBatch(Tables.events(spark, SF))
-        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
       assert(streamed.count() == batch.count())
       assert(streamed.except(batch).count() == 0)
       // sessions partition the event set
       assert(batch.agg(sum("n_events")).collect().head.getLong(0) ==
         Tables.events(spark, SF).count())
     } finally query.stop()
+  }
+
+  test("session_window boundary: an event at exactly prev + gap merges") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "a", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 7L, "a", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00.000001"), 7L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = StreamDemo.sessionWindowsBatch(ev).orderBy("session_start").collect()
+    // events at 00:00 and 00:30 (exactly gap apart) MERGE — the oracle's
+    // > gap boundary pins this engine behavior; 1 µs past the end splits
+    assert(r.length == 2, s"expected 2 sessions, got ${r.toSeq}")
+    assert(r.head.getAs[Long]("n_events") == 2)
+    assert(r.last.getAs[Long]("n_events") == 1)
   }
 
   test("stateful stream: mapGroupsWithState per-user profile equals batch groupBy") {

@@ -88,4 +88,20 @@ class StreamReportSpec extends SparkTestBase with TimeLimitedTests {
     assert(dirCount("report") <= 2,
       s"report retention failed: ${dirCount("report")}")
   }
+
+  test("store readers on an empty/uncommitted store return empty frames, never crash") {
+    val empty = java.nio.file.Files.createTempDirectory("srcrep_empty").toString
+    val rep = StreamDemo.readStreamReport(spark, empty)
+    assert(rep.count() == 0)
+    // full report contract including the derived fraction columns
+    assert(rep.columns.toSeq == Seq("source", "n_docs", "n_tokens",
+      "n_low_quality", "n_dup_docs", "low_quality_frac", "dup_frac"))
+    val seen = StreamDemo.readSeenFingerprints(spark, empty)
+    assert(seen.count() == 0 && seen.columns.toSeq == Seq("fingerprint"))
+    // a half-written (no _SUCCESS) partition is invisible, not fatal
+    new java.io.File(s"$empty/report/batch_id=0").mkdirs()
+    new java.io.File(s"$empty/seen/batch_id=0").mkdirs()
+    assert(StreamDemo.readStreamReport(spark, empty).count() == 0)
+    assert(StreamDemo.readSeenFingerprints(spark, empty).count() == 0)
+  }
 }
