@@ -796,6 +796,25 @@ af AS (
                / (2.0 * CAST(CAST(CAST(src.n_s AS HUGEINT) * corpus.corp_n AS VARCHAR) AS DOUBLE)) AS tvd
       FROM present JOIN src USING (source) CROSS JOIN corpus""",
 
+    // CCNet-style line dedup: a line in >= 3 distinct docs of one source
+    // is boilerplate; docs reassemble from surviving lines in order
+    // (string_agg skips the removed-line NULLs; coalesce matches Spark's
+    // empty array_join for fully-scrubbed docs)
+    "dedup_lines" -> """
+      WITH d AS (SELECT doc_id, lang, source,
+                        string_split(text, chr(10)) AS ls FROM documents),
+      l AS (SELECT doc_id, lang, source, i, ls[i] AS line
+            FROM (SELECT doc_id, lang, source, ls,
+                         UNNEST(generate_series(1, len(ls))) AS i FROM d) g),
+      f AS (SELECT source, line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df
+            FROM l GROUP BY source, line)
+      SELECT doc_id, lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN line_df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed,
+             COALESCE(string_agg(CASE WHEN line_df < 3 THEN line END, chr(10) ORDER BY i), '') AS clean_text
+      FROM l JOIN f USING (source, line)
+      GROUP BY doc_id, lang, source""",
+
     // Gopher-style repetition profile: bigram totals/distincts/mode per doc
     // + duplicate and top-gram fractions (double-of-BIGINT division, IEEE
     // bit-exact on both engines); same whitespace tokenizer as token_stats

@@ -176,6 +176,7 @@ object SparkEntry {
       Text.lmScore(docs.filter(Text.inTrainSplit()), docs)
     }),
     "source_divergence" -> ((s, d) => Text.sourceDivergence(Tables.documents(s, d))),
+    "dedup_lines" -> ((s, d) => Text.dedupLines(Tables.documents(s, d))),
     "source_report" -> ((s, d) => Text.sourceReport(Tables.documents(s, d))),
     // low-quality threshold 0.05 actually drops sources on the synthetic corpus
     "source_filter" -> ((s, d) => Text.filterBySource(Tables.documents(s, d), 0.5, 0.05)),

@@ -288,6 +288,41 @@ object Text {
     documents.join(broadcast(keep), Seq("source"), "left_semi")
   }
 
+  /** CCNet-style line-level deduplication (boilerplate removal): drop
+    * every line that appears in at least `minDocs` DISTINCT documents of
+    * the same source (nav menus, cookie banners, footers — the
+    * per-domain boilerplate that whole-doc dedup can't touch), and
+    * reassemble each document from its surviving lines in original
+    * order. Emits the cleaned text plus the line accounting a curation
+    * dashboard tracks.
+    *
+    * Scale shape: one partition-local posexplode, one map-side-combining
+    * (source, line) distinct-doc count, one equi-join back on the same
+    * key, and one doc_id rollup whose in-order reassembly is
+    * `array_sort(collect_list(struct(pos, line)))` — positions are
+    * unique within a doc, so the sort is total and the rebuilt text
+    * deterministic. The (source, line) key is hot exactly where
+    * boilerplate is (that's the point); the join is AQE-skew-splittable
+    * and the count pre-aggregates map-side. Fully-scrubbed docs yield an
+    * empty string on both engines (oracle coalesces the null
+    * `string_agg`). */
+  def dedupLines(documents: DataFrame, minDocs: Int = 3): DataFrame = {
+    val lines = documents.select(col("doc_id"), col("lang"), col("source"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val lineDf = lines.groupBy("source", "line")
+      .agg(countDistinct("doc_id").as("line_df"))
+    lines.join(lineDf, Seq("source", "line"))
+      .withColumn("rm", col("line_df") >= minDocs)
+      .groupBy("doc_id", "lang", "source")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("rm").cast("long")).as("n_lines_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("rm"),
+            struct(col("pos").as("pos"), col("line").as("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
+
   /** Per-source distribution-shift report: the total-variation distance
     * between each source's token distribution and the whole-corpus
     * distribution — the drift metric a mixture-rebalancing step

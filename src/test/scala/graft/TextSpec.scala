@@ -414,6 +414,30 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("dedupLines removes per-source boilerplate, keeps order, scrubs to empty") {
+    import spark.implicits._
+    val boiler = "accept cookies to continue"
+    val synth = Seq(
+      (1L, "en", "s1", s"$boiler\nunique alpha\nmore alpha"),
+      (2L, "en", "s1", s"$boiler\nunique beta"),
+      (3L, "en", "s1", s"unique gamma\n$boiler"),
+      (4L, "en", "s1", boiler),                      // fully boilerplate
+      (5L, "en", "s2", s"$boiler\nother site text")  // same line, OTHER source: df=1, kept
+    ).toDF("doc_id", "lang", "source", "text")
+    val r = Text.dedupLines(synth, minDocs = 3).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[String]("clean_text") == "unique alpha\nmore alpha")
+    assert(r(1L).getAs[Long]("n_lines") == 3 && r(1L).getAs[Long]("n_lines_removed") == 1)
+    assert(r(2L).getAs[String]("clean_text") == "unique beta")
+    assert(r(3L).getAs[String]("clean_text") == "unique gamma")
+    assert(r(4L).getAs[String]("clean_text") == "" && r(4L).getAs[Long]("n_lines_removed") == 1)
+    // boilerplate counting is per-source: s2's copy survives
+    assert(r(5L).getAs[String]("clean_text") == s"$boiler\nother site text")
+    // conservation: kept + removed == total lines, per doc
+    assert(r.values.forall(x =>
+      x.getAs[Long]("n_lines") >= x.getAs[Long]("n_lines_removed")))
+  }
+
   test("sourceDivergence: tvd bounded; a single-source corpus diverges zero") {
     val r = q("source_divergence").cache()
     assert(r.count() == docs.select("source").distinct().count())
