@@ -585,6 +585,27 @@ af AS (
                                substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
                         FROM documents) a) b) c""",
 
+    // embedding-space health per label: mean/centroid norms + average
+    // pairwise dot via the ||Σv||² − Σ||v||² identity (no pair join);
+    // every sum rides the q6/decimal discipline
+    "embedding_stats" -> s"""
+      WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      vs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                    ${r6sum("list_dot_product(v, v)")} AS sum_sq_norm,
+                    ${r6avg("sqrt(list_dot_product(v, v))")} AS mean_norm
+             FROM e GROUP BY label),
+      ds AS (SELECT label, i AS dim, ${r6sum("v[i]")} AS s_d
+             FROM (SELECT label, v, UNNEST(generate_series(1, len(v))) AS i FROM e) g
+             GROUP BY label, i),
+      c AS (SELECT label, ${r6sum("s_d * s_d")} AS sum_sd_sq
+            FROM ds GROUP BY label)
+      SELECT vs.label, vs.n_vectors, vs.mean_norm,
+             sqrt(c.sum_sd_sq) / vs.n_vectors AS centroid_norm,
+             CASE WHEN vs.n_vectors > 1
+                  THEN (c.sum_sd_sq - vs.sum_sq_norm)
+                       / (vs.n_vectors * (vs.n_vectors - 1)) END AS avg_pairwise_dot
+      FROM vs JOIN c USING (label)""",
+
     // int8-style scalar quantization: per-vector min/max affine codes, one
     // row per (vec_id, dim); double-of-float arithmetic + floor(x+0.5) is
     // bit-identical across engines (round() is not)

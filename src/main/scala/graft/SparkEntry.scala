@@ -214,6 +214,7 @@ object SparkEntry {
     // ---- similarity (north star)
     "similarity_bruteforce_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "quantize_embeddings" -> ((s, d) => Similarity.quantizeEmbeddings(Tables.embeddings(s, d))),
+    "embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     // int8 ADC + exact rerank over LSH candidates (rows-only: hyperplane
     // buckets are Spark-specific; recall + error-bound laws in SimilaritySpec)
     "similarity_quantized_topk" -> ((s, d) => Similarity.quantTopK(Tables.embeddings(s, d))),

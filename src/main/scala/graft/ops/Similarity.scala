@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.q6
+import graft.functions.Exact.{q6, r6avg, r6sum}
 import graft.functions.VectorExprs.dotd
 
 /** North-star similarity-search operators over the `embeddings` table
@@ -53,6 +53,41 @@ object Similarity {
     * code to 0. All arithmetic is double (float widening is exact) with
     * floor(x + 0.5) rounding — bit-identical on both engines, unlike
     * round(). Pure projection + generator, no shuffle. */
+  /** Per-label embedding-space health report: vector count, mean L2
+    * norm, centroid norm, and the average pairwise dot product — the
+    * collapse/diversity monitor for an embedding corpus (a label whose
+    * centroid norm approaches its mean norm, or whose pairwise dot is
+    * high, has collapsed onto one direction; a diverse label sits near
+    * zero on both). The O(n²) pairwise average is computed WITHOUT pairs
+    * via the identity Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖vᵢ‖², so the whole
+    * report is two linear aggregations: one vector-level rollup and one
+    * per-dimension sum (posexplode → combining groupBy(label, dim) —
+    * dims are bounded, so the explode is a constant ×dim factor, not a
+    * blowup). Sums ride the q6/decimal discipline
+    * ([[graft.functions.Exact]]) — reduction-order independent,
+    * DuckDB-oracled. */
+  def embeddingStats(embeddings: DataFrame): DataFrame = {
+    val v = embeddings.select(col("label"), dvec(col("embedding")).as("v"))
+    val vecStats = v
+      .select(col("label"), dotd(col("v"), col("v")).as("sq_norm"))
+      .groupBy("label").agg(
+        count(lit(1)).as("n_vectors"),
+        r6sum(col("sq_norm")).as("sum_sq_norm"),
+        r6avg(sqrt(col("sq_norm"))).as("mean_norm"))
+    val cent = v
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(r6sum(col("x")).as("s_d"))
+      .groupBy("label").agg(r6sum(col("s_d") * col("s_d")).as("sum_sd_sq"))
+    vecStats.join(cent, Seq("label"))
+      .withColumn("centroid_norm", sqrt(col("sum_sd_sq")) / col("n_vectors"))
+      .withColumn("avg_pairwise_dot",
+        when(col("n_vectors") > 1,
+          (col("sum_sd_sq") - col("sum_sq_norm"))
+            / (col("n_vectors") * (col("n_vectors") - 1))))
+      .select("label", "n_vectors", "mean_norm", "centroid_norm",
+        "avg_pairwise_dot")
+  }
+
   def quantizeEmbeddings(embeddings: DataFrame, levels: Int = 256): DataFrame =
     embeddings.select(col("vec_id"),
         array_min(col("embedding")).cast("double").as("vmin"),

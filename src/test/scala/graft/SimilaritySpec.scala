@@ -169,4 +169,27 @@ class SimilaritySpec extends SparkTestBase {
     info(s"LSH near-dup recall = $recall")
     assert(recall > 0.5, s"LSH near-dup recall collapsed: $recall")
   }
+
+  test("embeddingStats: Jensen bound holds; pairwise identity matches a naive pass") {
+    val r = q("embedding_stats").cache()
+    assert(r.agg(sum("n_vectors")).collect().head.getLong(0) ==
+      Tables.embeddings(spark, SF).count())
+    // ||mean v|| <= mean ||v|| (convexity), with q6 grid slack
+    assert(r.filter(col("centroid_norm") > col("mean_norm") + 1e-5).count() == 0)
+    // naive reference on a tiny synthetic with a collapsed and a spread label
+    import spark.implicits._
+    val synth = Seq(
+      (1L, Array(1.0f, 0.0f), "collapsed"), (2L, Array(1.0f, 0.0f), "collapsed"),
+      (3L, Array(1.0f, 0.0f), "spread"), (4L, Array(-1.0f, 0.0f), "spread"),
+      (5L, Array(0.0f, 1.0f), "spread"))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.embeddingStats(synth).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // collapsed: two identical unit vectors -> pairwise dot 1, centroid norm 1
+    assert(math.abs(got("collapsed").getAs[Double]("avg_pairwise_dot") - 1.0) < 1e-5)
+    assert(math.abs(got("collapsed").getAs[Double]("centroid_norm") - 1.0) < 1e-5)
+    // spread: sum v = (0,1), sum sq norms 3 -> avg pairwise dot (1-3)/6 = -1/3
+    assert(math.abs(got("spread").getAs[Double]("avg_pairwise_dot") + 1.0 / 3) < 1e-5)
+    assert(math.abs(got("spread").getAs[Double]("centroid_norm") - 1.0 / 3) < 1e-5)
+  }
 }
