@@ -831,14 +831,23 @@ object Text {
     * one doc_id aggregation. Nothing quadratic, nothing driver-side; the
     * totals row is the usual one-row broadcast scalar. */
   def lmScore(reference: DataFrame, target: DataFrame,
-      lam: Double = 0.5): DataFrame = {
+      lam: Double = 0.5, minCount: Long = 1L): DataFrame = {
     // uni has THREE consumers (totals + two scoring joins) and Spark's
     // column pruning de-canonicalizes the copies past ReuseExchange, so an
     // unmaterialized plan re-tokenizes the whole reference corpus per
     // consumer. localCheckpoint truncates to the vocabulary-sized result —
     // the dedupClusters / Pipeline.stage materialization discipline.
+    // minCount > 1 prunes hapax types BEFORE materialization — the
+    // standard model-size control at web scale, where singleton token and
+    // bigram types dominate the type count while carrying negligible
+    // probability mass (pruned types score through the unseen/backoff
+    // path, which is exactly what they are). The default 1 keeps the
+    // unpruned model the DuckDB oracle mirrors. N and V are measured on
+    // the PRUNED model so the backoff distribution stays normalized over
+    // what the model actually contains.
     val uni = tokenPostings(reference).groupBy("token")
       .agg(count(lit(1)).as("c_uni"))
+      .filter(col("c_uni") >= minCount)
       .localCheckpoint(true)
     // the LogicalRDD leaf reports no stats, which would silently demote
     // both scoring joins to sort-merge even for a tiny vocabulary — so the
@@ -853,6 +862,7 @@ object Text {
     val totals = uni.agg(sum("c_uni").as("lm_n"), count(lit(1)).as("lm_v"))
     val bi = bigramPositions(reference).groupBy("prev", "cur")
       .agg(count(lit(1)).as("c_bi"))
+      .filter(col("c_bi") >= minCount)
     val scored = bigramPositions(target)
       .join(bi, Seq("prev", "cur"), "left")
       .join(hint(uni.select(col("token").as("prev"), col("c_uni").as("c_prev"))),

@@ -386,6 +386,18 @@ class TextSpec extends SparkTestBase {
     assert(r.filter(col("unseen_frac") < 0 || col("unseen_frac") > 1).count() == 0)
   }
 
+  test("lmScore: model pruning (minCount) monotonically grows the unseen set") {
+    val base = ops.Text.lmScore(docs, docs)
+      .select(col("doc_id"), col("n_unseen_bigrams").as("u1"))
+    val pruned = ops.Text.lmScore(docs, docs, minCount = 3)
+      .select(col("doc_id"), col("n_unseen_bigrams").as("u3"))
+    val j = base.join(pruned, Seq("doc_id")).cache()
+    assert(j.count() == base.count()) // pruning never drops a scored doc
+    assert(j.filter(col("u3") < col("u1")).count() == 0)
+    // and it actually prunes on this corpus (hapax bigrams exist)
+    assert(j.filter(col("u3") > col("u1")).count() > 0)
+  }
+
   test("lmScore agrees with a naive driver-side reference on a hand corpus") {
     import spark.implicits._
     val corpus = Seq((1L, "a b a b"), (2L, "a a"), (3L, "c"))
