@@ -43,16 +43,6 @@ object Similarity {
       .withColumn("norm", sqrt(dotd(col("v"), col("v"))))
       .filter(col("norm") > 0.0)
 
-  /** Scalar (int8-style) embedding quantization: per-vector min/max affine
-    * codes in [0, levels-1] — the 4x memory compression an ANN serving tier
-    * applies so a 100 TB float corpus fits the candidate store (codes +
-    * two doubles reconstruct each dim to within scale/2). Emitted one row
-    * per (vec_id, dim) so the layout is oracle-checkable and directly
-    * joinable by dimension; re-assembly back to arrays is a
-    * `collect_list` over the dim order. Constant vectors (vmax = vmin)
-    * code to 0. All arithmetic is double (float widening is exact) with
-    * floor(x + 0.5) rounding — bit-identical on both engines, unlike
-    * round(). Pure projection + generator, no shuffle. */
   /** Per-label embedding-space health report: vector count, mean L2
     * norm, centroid norm, and the average pairwise dot product — the
     * collapse/diversity monitor for an embedding corpus (a label whose
@@ -88,6 +78,16 @@ object Similarity {
         "avg_pairwise_dot")
   }
 
+  /** Scalar (int8-style) embedding quantization: per-vector min/max affine
+    * codes in [0, levels-1] — the 4x memory compression an ANN serving tier
+    * applies so a 100 TB float corpus fits the candidate store (codes +
+    * two doubles reconstruct each dim to within scale/2). Emitted one row
+    * per (vec_id, dim) so the layout is oracle-checkable and directly
+    * joinable by dimension; re-assembly back to arrays is a
+    * `collect_list` over the dim order. Constant vectors (vmax = vmin)
+    * code to 0. All arithmetic is double (float widening is exact) with
+    * floor(x + 0.5) rounding — bit-identical on both engines, unlike
+    * round(). Pure projection + generator, no shuffle. */
   def quantizeEmbeddings(embeddings: DataFrame, levels: Int = 256): DataFrame =
     embeddings.select(col("vec_id"),
         array_min(col("embedding")).cast("double").as("vmin"),

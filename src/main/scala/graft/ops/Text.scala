@@ -529,8 +529,13 @@ object Text {
     * THE definition external consumers (SparkEntry's lm_score reference
     * slice) must use, so a model's training subset can never drift from
     * the docs [[hashSplit]] labels `train`. */
-  def inTrainSplit(trainBound: String = "cd"): org.apache.spark.sql.Column =
+  def inTrainSplit(trainBound: String = "cd"): org.apache.spark.sql.Column = {
+    // same validation as hashSplit: a longer bound (e.g. "cd5") would
+    // lexicographically include bucket "cd", which hashSplit labels 'val'
+    require(trainBound.length == 2,
+      s"train bound must be 2 hex chars, got '$trainBound'")
     bucketCol(2) < trainBound
+  }
 
   private def splitFromBucket(trainBound: String, valBound: String): org.apache.spark.sql.Column =
     when(col("bucket") < trainBound, "train")
