@@ -7,59 +7,244 @@ import org.apache.spark.sql.functions._
   * BINARY columns + typed metadata, with decode/feature-extraction running as
   * a partition-local typed transformation.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (per the builder brief); everything
-  * around it — binary column handling, schema, batch iteration shape,
-  * partition parallelism — is the real Spark plumbing a codec would plug
-  * into. No DuckDB oracle (opaque decode): rows-only check + ScalaTest.
+  * The container ships no image/audio CODECS (no pixel/sample decode), but
+  * container HEADERS are public byte layouts that need no codec — so the
+  * metadata decode here is REAL: [[Containers]] builds valid minimal
+  * PNG/JPEG/WAV/AVI containers and [[Containers.parse]] extracts
+  * width/height/frame-count/sample-rate from the actual bytes. A malformed
+  * payload degrades to a quarantine `error` column instead of throwing.
+  * Only the pixel/sample transcode inside [[resizeMedia]] remains a
+  * sanctioned deterministic stub (marked `???`); the emitted container is
+  * still a valid header round-trip. No DuckDB oracle (binary payloads):
+  * rows-only check + ScalaTest header round-trips.
   */
 object Multimodal {
 
   /** A media row: opaque payload + container-level metadata. */
   case class MediaRow(media_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted metadata (what a real decoder would emit). */
+  /** Extracted metadata. `error` is the quarantine column: None for a clean
+    * parse, Some(reason) for a malformed container (other fields zeroed). */
   case class MediaMeta(media_id: Long, media_type: String, n_bytes: Int,
-      format: String, width: Int, height: Int, n_frames: Int)
+      format: String, width: Int, height: Int, n_frames: Int,
+      sample_rate: Int, channels: Int, error: Option[String])
 
-  /** Manufacture an opaque-binary media table from the documents text (the
-    * test container ships no real media); payload = UTF-8 bytes. */
+  /** Minimal valid media containers — public byte layouts only (PNG spec
+    * signature/IHDR/CRC, JFIF APP0 + JPEG SOF0 marker segments, RIFF/WAVE
+    * fmt+data chunks, RIFF/AVI avih main header). Builders emit containers
+    * that any standards-conformant header reader accepts; [[parse]] is that
+    * reader. Every read is bounds-checked → Left(reason), never a throw. */
+  private[graft] object Containers {
+    case class Parsed(format: String, width: Int, height: Int, nFrames: Int,
+        sampleRate: Int, channels: Int)
+
+    private def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, (v >>> 24).toByte)
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    private def crc32(bs: Array[Byte]*): Array[Byte] = {
+      val c = new java.util.zip.CRC32
+      bs.foreach(c.update)
+      be32(c.getValue.toInt)
+    }
+
+    private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** PNG: signature, IHDR (8-bit truecolor), IEND — with real CRC32s. */
+    def png(width: Int, height: Int): Array[Byte] = {
+      val ihdrData = be32(width) ++ be32(height) ++
+        Array[Byte](8, 2, 0, 0, 0) // bit depth, color type, compression, filter, interlace
+      val ihdr = be32(13) ++ fourcc("IHDR") ++ ihdrData ++ crc32(fourcc("IHDR"), ihdrData)
+      val iend = be32(0) ++ fourcc("IEND") ++ crc32(fourcc("IEND"))
+      PngSig ++ ihdr ++ iend
+    }
+
+    /** JPEG/JFIF: SOI, APP0 "JFIF", SOF0 (3-component baseline), EOI. */
+    def jpeg(width: Int, height: Int): Array[Byte] = {
+      val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+        fourcc("JFIF") ++ Array[Byte](0, 1, 1, 0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0)
+      val sof0 = Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+        be16(height) ++ be16(width) ++ Array[Byte](3) ++
+        Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+      Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ sof0 ++ Array(0xff, 0xd9).map(_.toByte)
+    }
+
+    /** WAV: RIFF/WAVE with a PCM fmt chunk and a data chunk of `nSamples`
+      * sample frames, data bytes cycled from `fill` (content is opaque). */
+    def wav(sampleRate: Int, channels: Int, bitsPerSample: Int, nSamples: Int,
+        fill: Array[Byte]): Array[Byte] = {
+      val blockAlign = channels * bitsPerSample / 8
+      val dataSize = nSamples * blockAlign
+      val data = Array.tabulate[Byte](dataSize)(i => if (fill.isEmpty) 0 else fill(i % fill.length))
+      val fmt = fourcc("fmt ") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(sampleRate) ++ le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(bitsPerSample)
+      val body = fourcc("WAVE") ++ fmt ++ fourcc("data") ++ le32(dataSize) ++ data
+      fourcc("RIFF") ++ le32(body.length) ++ body
+    }
+
+    /** AVI: RIFF/'AVI ' with a LIST/hdrl holding the avih main header
+      * (dwTotalFrames, dwWidth, dwHeight at their spec offsets). */
+    def avi(width: Int, height: Int, totalFrames: Int): Array[Byte] = {
+      val avih = le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++ // usec/frame, maxBps, pad, flags
+        le32(totalFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++    // totalFrames, initial, streams, bufSize
+        le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = fourcc("hdrl") ++ fourcc("avih") ++ le32(avih.length) ++ avih
+      val list = fourcc("LIST") ++ le32(hdrl.length) ++ hdrl
+      val body = fourcc("AVI ") ++ list
+      fourcc("RIFF") ++ le32(body.length) ++ body
+    }
+
+    /** Parse any supported container's header. Never throws. */
+    def parse(bytes: Array[Byte]): Either[String, Parsed] =
+      try {
+        if (bytes.length < 12) Left("short_payload")
+        else if (bytes.take(8).sameElements(PngSig)) parsePng(bytes)
+        else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) parseJpeg(bytes)
+        else if (bytes.take(4).sameElements(fourcc("RIFF"))) parseRiff(bytes)
+        else Left("unknown_magic")
+      } catch { case scala.util.control.NonFatal(_) => Left("corrupt_header") }
+
+    private def rbe16(b: Array[Byte], o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def rbe32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def rle16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def rle32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def cc(b: Array[Byte], o: Int): String =
+      new String(b.slice(o, o + 4), "US-ASCII")
+
+    private def parsePng(b: Array[Byte]): Either[String, Parsed] = {
+      if (b.length < 33) return Left("png_truncated")
+      if (rbe32(b, 8) != 13 || cc(b, 12) != "IHDR") return Left("png_no_ihdr")
+      val c = new java.util.zip.CRC32
+      c.update(b, 12, 4 + 13)
+      if (c.getValue.toInt != rbe32(b, 29)) return Left("png_bad_crc")
+      val (w, h) = (rbe32(b, 16), rbe32(b, 20))
+      if (w <= 0 || h <= 0) Left("png_bad_dims")
+      else Right(Parsed("png", w, h, 1, 0, 0))
+    }
+
+    private def parseJpeg(b: Array[Byte]): Either[String, Parsed] = {
+      var i = 2
+      while (i + 4 <= b.length) {
+        if ((b(i) & 0xff) != 0xff) return Left("jpeg_bad_marker")
+        var j = i
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1 // fill bytes
+        if (j >= b.length) return Left("jpeg_truncated")
+        val m = b(j) & 0xff
+        if (m == 0xd9) return Left("jpeg_no_sof") // EOI before any SOF
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i = j + 1 // standalone
+        else {
+          if (j + 3 > b.length) return Left("jpeg_truncated")
+          val segLen = rbe16(b, j + 1)
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (j + 8 > b.length) return Left("jpeg_truncated")
+            val (h, w) = (rbe16(b, j + 4), rbe16(b, j + 6))
+            if (w <= 0 || h <= 0) return Left("jpeg_bad_dims")
+            return Right(Parsed("jpeg", w, h, 1, 0, 0))
+          }
+          i = j + 1 + segLen
+        }
+      }
+      Left("jpeg_no_sof")
+    }
+
+    private def parseRiff(b: Array[Byte]): Either[String, Parsed] = {
+      cc(b, 8) match {
+        case "WAVE" =>
+          var (o, chans, rate, align, dataSz) = (12, -1, -1, -1, -1)
+          while (o + 8 <= b.length) {
+            val (id, sz) = (cc(b, o), rle32(b, o + 4))
+            if (sz < 0 || o + 8 + sz > b.length) return Left("wav_truncated")
+            if (id == "fmt " && sz >= 16) {
+              chans = rle16(b, o + 10); rate = rle32(b, o + 12); align = rle16(b, o + 20)
+            } else if (id == "data") dataSz = sz
+            o += 8 + sz + (sz & 1) // chunks pad to even
+          }
+          if (chans <= 0 || rate <= 0 || align <= 0) Left("wav_no_fmt")
+          else if (dataSz < 0) Left("wav_no_data")
+          else Right(Parsed("wav", 0, 0, dataSz / align, rate, chans))
+        case "AVI " =>
+          findAvih(b, 12, b.length).map { o =>
+            Parsed("avi", rle32(b, o + 32), rle32(b, o + 36), rle32(b, o + 16), 0, 0)
+          }.toRight("avi_no_avih").flatMap { p =>
+            if (p.width <= 0 || p.height <= 0) Left("avi_bad_dims") else Right(p)
+          }
+        case _ => Left("riff_unknown_form")
+      }
+    }
+
+    /** Scan RIFF chunks in [from, to), descending into LISTs; return the
+      * offset of the avih chunk DATA if found and fully in-bounds. */
+    private def findAvih(b: Array[Byte], from: Int, to: Int): Option[Int] = {
+      var o = from
+      while (o + 8 <= to) {
+        val (id, sz) = (cc(b, o), rle32(b, o + 4))
+        if (sz < 0 || o + 8 + sz > to) return None
+        if (id == "avih" && sz >= 40) return Some(o + 8)
+        if (id == "LIST") {
+          val r = findAvih(b, o + 12, o + 8 + sz) // skip 4-byte list type
+          if (r.isDefined) return r
+        }
+        o += 8 + sz + (sz & 1)
+      }
+      None
+    }
+  }
+
+  private def posMod(v: Long, m: Long): Long = ((v % m) + m) % m
+
+  /** Manufacture a media table with VALID minimal containers (the test
+    * container ships no real media, so we synthesize standards-conformant
+    * headers): even-id images are PNG, odd-id JPEG; audio is PCM WAV; video
+    * is AVI. Dimensions/rates derive deterministically from the document
+    * text so results are reproducible. One row in 47 is truncated to 6
+    * bytes — a malformed container exercising the quarantine path. */
   def mediaTable(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+      val ck = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+      val w = (64 + posMod(ck, 960)).toInt
+      val h = (64 + posMod(ck >> 10, 960)).toInt
+      val (mtype, payload) = posMod(id, 3).toInt match {
+        case 0 =>
+          ("image", if (id % 2 == 0) Containers.png(w, h) else Containers.jpeg(w, h))
+        case 1 =>
+          ("audio", Containers.wav(rates(posMod(ck, rates.length).toInt),
+            1 + posMod(ck >> 5, 2).toInt, 16, 1 + posMod(bytes.length, 2048).toInt, bytes))
+        case _ =>
+          ("video", Containers.avi(w, h, 1 + bytes.length % 240))
+      }
+      val out = if (id % 47 == 0) java.util.Arrays.copyOf(payload, 6) else payload
+      MediaRow(id, mtype, out)
+    }
   }
 
-  /** STUB decoder — a real build links an image/audio codec here. The fake
-    * is a pure function of the payload bytes so results are reproducible.
-    * Partition-local: the iterator shape is exactly where a batched codec
-    * (or GPU decode) would amortize setup cost per partition.
-    */
-  private def stubDecode(row: MediaRow): MediaMeta = {
-    // ??? <- real codec goes here; deterministic fake below stands in.
-    val n = row.payload.length
-    val checksum = row.payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
-    val fmt = row.media_type match {
-      case "image" => "png"
-      case "audio" => "wav"
-      case _ => "mp4"
+  /** REAL header decode: parse width/height/frames/sample-rate from the
+    * payload bytes. Malformed rows quarantine via the `error` column. */
+  private[graft] def decode(row: MediaRow): MediaMeta =
+    Containers.parse(row.payload) match {
+      case Right(p) => MediaMeta(row.media_id, row.media_type, row.payload.length,
+        p.format, p.width, p.height, p.nFrames, p.sampleRate, p.channels, None)
+      case Left(err) => MediaMeta(row.media_id, row.media_type, row.payload.length,
+        "unknown", 0, 0, 0, 0, 0, Some(err))
     }
-    MediaMeta(row.media_id, row.media_type, n, fmt,
-      width = 64 + (checksum % 960).toInt.abs,
-      height = 64 + ((checksum >> 10) % 960).toInt.abs,
-      n_frames = if (row.media_type == "video") 1 + (n % 240) else 1)
-  }
 
   /** Decode / feature-extract over the media table: mapPartitions keeps the
-    * decode per-executor and streaming (no collect, no driver loop). */
+    * decode per-executor and streaming (no collect, no driver loop); the
+    * iterator shape is where a batched codec (or GPU decode) would amortize
+    * per-partition setup cost. */
   def mediaMeta(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     mediaTable(spark, documents)
-      .mapPartitions(rows => rows.map(stubDecode))
+      .mapPartitions(rows => rows.map(decode))
       .toDF()
   }
 
@@ -68,17 +253,23 @@ object Multimodal {
   case class ResizedMedia(media_id: Long, media_type: String, width: Int,
       height: Int, payload: Array[Byte])
 
-  /** Resize: decode → resample to (w, h) → re-encode, partition-local. The
-    * codec is the same sanctioned stub (deterministic payload truncation
-    * proportional to the target area); the plumbing — typed Dataset in/out,
-    * per-partition iteration where a batched/GPU codec amortizes setup — is
-    * real. */
+  /** Resize: parse the real header, then re-encode a VALID container at the
+    * target dimensions (PNG/JPEG/AVI; frame count preserved). The pixel
+    * resample itself needs a codec the container doesn't ship, so the image
+    * DATA is the sanctioned stub — but the emitted header round-trips
+    * through [[Containers.parse]] at (w, h). Audio and malformed rows pass
+    * through unchanged. */
   def resizeMedia(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.map { r =>
-      // ??? <- real codec resample goes here; deterministic fake below.
-      val len = math.max(16, math.min(r.payload.length, w * h / 64))
-      ResizedMedia(r.media_id, r.media_type, w, h, java.util.Arrays.copyOf(r.payload, len))
+      val out = Containers.parse(r.payload) match {
+        case Right(p) if p.format == "png" => Containers.png(w, h)
+        case Right(p) if p.format == "jpeg" => Containers.jpeg(w, h)
+        case Right(p) if p.format == "avi" => Containers.avi(w, h, p.nFrames)
+        // ??? <- real codec resample of pixel/sample data goes here.
+        case _ => r.payload // audio / malformed: pass through
+      }
+      ResizedMedia(r.media_id, r.media_type, w, h, out)
     })
   }
 
@@ -89,14 +280,16 @@ object Multimodal {
     * sampled frame. flatMap keeps the explosion on the executors (a 2-hour
     * clip fans out where its partition lives, never through the driver),
     * and downstream per-frame feature extraction parallelizes after one
-    * narrow shuffle. Frame count comes from the same stub decode as
-    * [[mediaMeta]]; the frame payload stub is a deterministic slice. */
+    * narrow shuffle. Frame count comes from the REAL header parse (AVI
+    * dwTotalFrames / WAV sample frames); malformed rows emit no frames.
+    * The frame payload is a deterministic slice — extracting actual frame
+    * bytes needs the codec the container doesn't ship. */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int = 30): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      // ??? <- real frame extraction goes here; deterministic fake below.
-      val total = stubDecode(r).n_frames
+      val total = decode(r).n_frames
       (0 until total by everyN).map { i =>
+        // ??? <- real frame extraction goes here; deterministic slice below.
         val off = if (r.payload.isEmpty) 0 else i % math.max(1, r.payload.length)
         MediaFrame(r.media_id, i,
           java.util.Arrays.copyOfRange(r.payload, off,

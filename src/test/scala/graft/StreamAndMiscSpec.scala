@@ -251,30 +251,72 @@ class StreamAndMiscSpec extends SparkTestBase with TimeLimitedTests {
     }
   }
 
-  test("multimodal meta: deterministic stub decode with real schema") {
-    val m1 = Multimodal.mediaMeta(spark, Tables.documents(spark, SF)).cache()
-    assert(m1.count() == Tables.documents(spark, SF).count())
-    assert(m1.schema.fieldNames.toSet ==
-      Set("media_id", "media_type", "n_bytes", "format", "width", "height", "n_frames"))
-    val m2 = Multimodal.mediaMeta(spark, Tables.documents(spark, SF))
-    assert(m1.except(m2).count() == 0) // reproducible
-    assert(m1.filter(col("width") < 64 || col("height") < 64).count() == 0)
+  test("multimodal containers: build/parse round-trips known headers") {
+    import graft.ops.Multimodal.Containers
+    val png = Containers.parse(Containers.png(640, 480))
+    assert(png == Right(Containers.Parsed("png", 640, 480, 1, 0, 0)))
+    val jpg = Containers.parse(Containers.jpeg(1023, 77))
+    assert(jpg == Right(Containers.Parsed("jpeg", 1023, 77, 1, 0, 0)))
+    val wav = Containers.parse(Containers.wav(44100, 2, 16, 1000, Array[Byte](1, 2, 3)))
+    assert(wav == Right(Containers.Parsed("wav", 0, 0, 1000, 44100, 2)))
+    val avi = Containers.parse(Containers.avi(1920, 1080, 240))
+    assert(avi == Right(Containers.Parsed("avi", 1920, 1080, 240, 0, 0)))
+    // malformed containers degrade to Left, never throw
+    assert(Containers.parse(Array[Byte](1, 2, 3)).isLeft)                         // short
+    assert(Containers.parse(Containers.png(64, 64).take(20)).isLeft)              // truncated PNG
+    val badCrc = Containers.png(64, 64); badCrc(30) = (badCrc(30) ^ 0x7f).toByte
+    assert(Containers.parse(badCrc) == Left("png_bad_crc"))
+    assert(Containers.parse(Containers.jpeg(10, 10).take(4)).isLeft)              // JPEG, no SOF
+    assert(Containers.parse("RIFFxxxxJUNKxxxx".getBytes("US-ASCII")).isLeft)      // unknown RIFF form
   }
 
-  test("multimodal resize and frame-sample: typed plumbing, deterministic stubs") {
+  test("multimodal meta: real header parse with quarantine column") {
+    val m1 = Multimodal.mediaMeta(spark, Tables.documents(spark, SF)).cache()
+    assert(m1.count() == Tables.documents(spark, SF).count())
+    assert(m1.schema.fieldNames.toSet == Set("media_id", "media_type", "n_bytes",
+      "format", "width", "height", "n_frames", "sample_rate", "channels", "error"))
+    val m2 = Multimodal.mediaMeta(spark, Tables.documents(spark, SF))
+    assert(m1.except(m2).count() == 0) // reproducible
+    val ok = m1.filter(col("error").isNull)
+    // clean rows parsed real dimensions from the synthesized headers
+    assert(ok.filter(col("media_type") === "image")
+      .filter(col("width") < 64 || col("height") < 64 || !col("format").isin("png", "jpeg"))
+      .count() == 0)
+    assert(ok.filter(col("media_type") === "audio")
+      .filter(col("sample_rate") <= 0 || col("channels") <= 0 || col("n_frames") <= 0)
+      .count() == 0)
+    assert(ok.filter(col("media_type") === "video")
+      .filter(col("n_frames") <= 0 || col("format") =!= "avi").count() == 0)
+    // the 1-in-47 truncated rows quarantine instead of throwing
+    val bad = m1.filter(col("error").isNotNull)
+    assert(bad.count() == m1.filter(col("media_id") % 47 === 0).count())
+    assert(bad.filter(col("width") =!= 0 || col("format") =!= "unknown").count() == 0)
+  }
+
+  test("multimodal resize and frame-sample: re-encoded headers round-trip") {
     import spark.implicits._
+    import graft.ops.Multimodal.Containers
     val media = Multimodal.mediaTable(spark, Tables.documents(spark, SF)).cache()
     val n = media.count()
     val resized = Multimodal.resizeMedia(media, 224, 224).cache()
     assert(resized.count() == n) // one output per input
-    assert(resized.filter(r => r.width != 224 || r.height != 224).count() == 0)
-    assert(resized.filter(r => r.payload.length > 224 * 224 / 64).count() == 0)
+    // visual rows re-encode to a VALID container at the target dims
+    val visualBad = resized.filter(_.media_type != "audio").map { r =>
+      Containers.parse(r.payload) match {
+        case Right(p) => p.width != 224 || p.height != 224
+        case Left(_) => false // quarantined input passes through unchanged
+      }
+    }.filter(b => b).count()
+    assert(visualBad == 0)
     val frames = Multimodal.sampleFrames(media, everyN = 30).cache()
-    // every media item yields ≥1 frame; per-item count = ceil(n_frames/30)
+    // per-item frame count = ceil(n_frames/30); malformed rows emit none
     val expected = Multimodal.mediaMeta(spark, Tables.documents(spark, SF))
       .select(col("media_id"), ceil(col("n_frames") / lit(30.0)).cast("long").as("exp"))
     val got = frames.groupBy("media_id").agg(count(lit(1)).as("got"))
     assert(got.join(expected, Seq("media_id")).filter(col("got") =!= col("exp")).count() == 0)
+    assert(expected.filter(col("exp") === 0).count() ==
+      Multimodal.mediaMeta(spark, Tables.documents(spark, SF))
+        .filter(col("error").isNotNull).count())
     // deterministic
     val again = Multimodal.sampleFrames(media, everyN = 30)
       .select("media_id", "frame_idx")
