@@ -48,10 +48,27 @@ object SparkEntry {
   // Learned BPE merges are a deterministic pure function of the corpus
   // directory (count ties break lexicographically), so they memoize safely;
   // repeated query construction (plan audits, bench loops) trains once.
+  // CAVEAT (both caches below): keyed on the directory PATH — rewriting the
+  // data under a cached path within one JVM silently reuses the stale
+  // model. Fine for the bench/verify drivers (testdata is immutable);
+  // call `clearModelCaches()` if a path is ever regenerated in-process.
   private val bpeMergesCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
   private def bpeMerges(s: SparkSession, d: String): Seq[(String, String)] =
     bpeMergesCache.getOrElseUpdate(d, Text.bpeTrain(Tables.documents(s, d)))
+
+  // The trained bigram LM materializes vocabulary-sized checkpoints + a
+  // measured broadcast decision at construction time; memoizing per corpus
+  // directory keeps that one-time cost out of repeated query construction
+  // (each bench iteration re-builds the DataFrame), mirroring bpeMerges.
+  private val lmModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Text.LmModel]
+  private def lmModel(s: SparkSession, d: String): Text.LmModel =
+    lmModelCache.getOrElseUpdate(d,
+      Text.lmTrain(Tables.documents(s, d).filter(Text.inTrainSplit())))
+
+  /** Drop memoized per-directory models (BPE merges, LM counts). */
+  def clearModelCaches(): Unit = { bpeMergesCache.clear(); lmModelCache.clear() }
 
   /** Build + materialize every shared pipeline stage. The bench calls this
     * BEFORE its timing loop so the one-time stage cost is metered as its own
@@ -171,10 +188,8 @@ object SparkEntry {
     // bigram LM trained on the train hash-split, scoring the whole corpus
     // (Text.inTrainSplit — the same bucket predicate hashSplit labels by,
     // applied as a filter so no join is needed)
-    "lm_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Text.lmScore(docs.filter(Text.inTrainSplit()), docs)
-    }),
+    "lm_score" -> ((s, d) =>
+      Text.lmScoreWith(lmModel(s, d), Tables.documents(s, d))),
     "source_divergence" -> ((s, d) => Text.sourceDivergence(Tables.documents(s, d))),
     "dedup_lines" -> ((s, d) => Text.dedupLines(Tables.documents(s, d))),
     "source_report" -> ((s, d) => Text.sourceReport(Tables.documents(s, d))),

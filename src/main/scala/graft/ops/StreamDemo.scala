@@ -620,18 +620,21 @@ object StreamDemo {
       val baseUpto = base.map(_._1).getOrElse(-1L)
       val parts = base.map(_._2.toString).toSeq ++
         completeIds(spark, storeDir, "seen", "batch_id=")
-          .filter { case (id, _) => id > baseUpto && id != excludeBatch }
+          .filter { case (id, _) => id > baseUpto && id < excludeBatch }
           .map(_._2.toString)
       if (parts.nonEmpty) spark.read.schema(seenSchema).parquet(parts: _*)
       else spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), seenSchema)
     }
     /** The newest complete report partition below `excludeBatch`; empty
-      * store → empty counters frame with the full schema. */
+      * store → empty counters frame with the full schema. Strictly-below
+      * (not !=) so a FRESH checkpoint pointed at a reused storeDir restarts
+      * at batch 0 with a clean slate instead of adopting a stale higher-id
+      * report as its cumulative baseline. */
     def reportView(spark: SparkSession, storeDir: String,
         excludeBatch: Long): DataFrame =
       completeIds(spark, storeDir, "report", "batch_id=")
-        .filter(_._1 != excludeBatch).sortBy(-_._1).headOption match {
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
         case Some((_, p)) =>
           spark.read.schema(reportSchema).parquet(p.toString)
         case None => spark.createDataFrame(

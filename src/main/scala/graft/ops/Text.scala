@@ -307,8 +307,12 @@ object Text {
     * empty string on both engines (oracle coalesces the null
     * `string_agg`). */
   def dedupLines(documents: DataFrame, minDocs: Int = 3): DataFrame = {
+    // Both the line-df aggregate and the join-back consume the exploded
+    // frame; checkpoint it once so the corpus scan + posexplode run once
+    // (the sourceDivergence materialization discipline).
     val lines = documents.select(col("doc_id"), col("lang"), col("source"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .localCheckpoint(true)
     val lineDf = lines.groupBy("source", "line")
       .agg(countDistinct("doc_id").as("line_df"))
     lines.join(lineDf, Seq("source", "line"))
@@ -835,21 +839,31 @@ object Text {
     * token/bigram (Spark broadcasts the model sides when they fit) plus
     * one doc_id aggregation. Nothing quadratic, nothing driver-side; the
     * totals row is the usual one-row broadcast scalar. */
-  def lmScore(reference: DataFrame, target: DataFrame,
-      lam: Double = 0.5, minCount: Long = 1L): DataFrame = {
+  /** A trained interpolated-bigram LM: vocabulary-sized materialized
+    * frames (unigram + bigram counts) plus the measured broadcast
+    * decision. Train ONCE, score many — the build/query lifecycle the
+    * ANN indexes use, and what lets callers (bench loops, the curation
+    * pipeline's LM gate) reuse one model without re-aggregating the
+    * reference corpus at every query construction. */
+  case class LmModel(uni: DataFrame, bi: DataFrame, vocabBroadcastable: Boolean)
+
+  /** Train the LM: two map-side-combining groupBys over reference
+    * postings, materialized to vocabulary-sized checkpoints.
+    *
+    * minCount > 1 prunes hapax types BEFORE materialization — the
+    * standard model-size control at web scale, where singleton token and
+    * bigram types dominate the type count while carrying negligible
+    * probability mass (pruned types score through the unseen/backoff
+    * path, which is exactly what they are). The default 1 keeps the
+    * unpruned model the DuckDB oracle mirrors. N and V are measured on
+    * the PRUNED model so the backoff distribution stays normalized over
+    * what the model actually contains. */
+  def lmTrain(reference: DataFrame, minCount: Long = 1L): LmModel = {
     // uni has THREE consumers (totals + two scoring joins) and Spark's
     // column pruning de-canonicalizes the copies past ReuseExchange, so an
     // unmaterialized plan re-tokenizes the whole reference corpus per
     // consumer. localCheckpoint truncates to the vocabulary-sized result —
     // the dedupClusters / Pipeline.stage materialization discipline.
-    // minCount > 1 prunes hapax types BEFORE materialization — the
-    // standard model-size control at web scale, where singleton token and
-    // bigram types dominate the type count while carrying negligible
-    // probability mass (pruned types score through the unseen/backoff
-    // path, which is exactly what they are). The default 1 keeps the
-    // unpruned model the DuckDB oracle mirrors. N and V are measured on
-    // the PRUNED model so the backoff distribution stays normalized over
-    // what the model actually contains.
     val uni = tokenPostings(reference).groupBy("token")
       .agg(count(lit(1)).as("c_uni"))
       .filter(col("c_uni") >= minCount)
@@ -862,14 +876,26 @@ object Text {
     // huge vocab (web-scale tail past ~5M types) → Spark's natural
     // token-keyed shuffle join, which is the right plan at that size.
     val vocabBroadcastable = uni.count() <= 5000000L
-    def hint(df: DataFrame): DataFrame =
-      if (vocabBroadcastable) broadcast(df) else df
-    val totals = uni.agg(sum("c_uni").as("lm_n"), count(lit(1)).as("lm_v"))
     val bi = bigramPositions(reference).groupBy("prev", "cur")
       .agg(count(lit(1)).as("c_bi"))
       .filter(col("c_bi") >= minCount)
+      .localCheckpoint(true)
+    LmModel(uni, bi, vocabBroadcastable)
+  }
+
+  def lmScore(reference: DataFrame, target: DataFrame,
+      lam: Double = 0.5, minCount: Long = 1L): DataFrame =
+    lmScoreWith(lmTrain(reference, minCount), target, lam)
+
+  /** Score `target` against a trained [[LmModel]]. */
+  def lmScoreWith(model: LmModel, target: DataFrame,
+      lam: Double = 0.5): DataFrame = {
+    val uni = model.uni
+    def hint(df: DataFrame): DataFrame =
+      if (model.vocabBroadcastable) broadcast(df) else df
+    val totals = uni.agg(sum("c_uni").as("lm_n"), count(lit(1)).as("lm_v"))
     val scored = bigramPositions(target)
-      .join(bi, Seq("prev", "cur"), "left")
+      .join(model.bi, Seq("prev", "cur"), "left")
       .join(hint(uni.select(col("token").as("prev"), col("c_uni").as("c_prev"))),
         Seq("prev"), "left")
       .join(hint(uni.select(col("token").as("cur"), col("c_uni").as("c_cur"))),
