@@ -313,8 +313,18 @@ object Text {
     val lines = documents.select(col("doc_id"), col("lang"), col("source"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .localCheckpoint(true)
+    // lineDf is checkpointed too — not (only) for reuse, but for SKEW
+    // SAFETY: left as a lazy aggregate, its final agg sits between the
+    // join and its shuffle (Sort(HashAgg(Shuffle))), a shape AQE's
+    // OptimizeSkewedJoin cannot match, so the hot boilerplate partitions
+    // on the lines side could never split. Materialized, both join inputs
+    // are plain shuffle stages and the hot-key join is genuinely
+    // AQE-skew-splittable (SkewSpec proves the split fires). The frame is
+    // line-vocabulary-sized — the same bounded-materialization budget as
+    // the lmTrain model frames.
     val lineDf = lines.groupBy("source", "line")
       .agg(countDistinct("doc_id").as("line_df"))
+      .localCheckpoint(true)
     lines.join(lineDf, Seq("source", "line"))
       .withColumn("rm", col("line_df") >= minDocs)
       .groupBy("doc_id", "lang", "source")

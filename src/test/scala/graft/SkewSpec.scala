@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Text
+
+/** Hot-key stress evidence for the 100 TB claims the curation docstrings
+  * make: a pathological corpus — ONE fingerprint duplicated 100k×, ONE
+  * source carrying ~91% of the mass, ONE boilerplate line in EVERY doc —
+  * must flow through the two-phase shapes with bounded per-task input,
+  * never a single-task hot-key funnel. A `Window.partitionBy(fingerprint)`
+  * or pre-aggregation-free formulation would pull all 100k copies through
+  * one task; these tests fail on that shape by construction.
+  */
+class SkewSpec extends SparkTestBase {
+
+  private val HotN = 100000L
+  private val ColdN = 10000L
+
+  /** Every doc shares this line (cross-source boilerplate). */
+  private val Boiler = "ACCEPT COOKIES TO CONTINUE"
+  private val HotBody = "identical viral body text repeated verbatim"
+  private val HotTail = "closing boilerplate of the mirrored page"
+
+  /** Distributed corpus builder — no driver-side Seq: 100k byte-identical
+    * docs from source `hot`, 10k unique docs over 7 cold sources; 3 lines
+    * per doc, first line shared by all. */
+  private def skewDocs(s: SparkSession): DataFrame =
+    s.range(HotN + ColdN).select(
+      col("id").as("doc_id"),
+      lit("en").as("lang"),
+      when(col("id") < HotN, lit("hot"))
+        .otherwise(concat(lit("src"), pmod(col("id"), lit(7)))).as("source"),
+      when(col("id") < HotN, lit(s"$Boiler\n$HotBody\n$HotTail"))
+        .otherwise(concat(lit(s"$Boiler\nunique alpha "), col("id"),
+          lit(" beta gamma\nsecond unique line "), col("id"))).as("text"))
+      .withColumn("n_chars", length(col("text")))
+
+  /** Max shuffle-read records any single task saw while `f` ran. The
+    * listener bus is async — poll until the max stabilizes. */
+  private def maxTaskShuffleRecords(f: => Unit): Long = {
+    val max = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) max.accumulateAndGet(m.shuffleReadMetrics.recordsRead, Math.max(_, _))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 50) { // ≤5 s for the async bus to drain
+        Thread.sleep(100)
+        val cur = max.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        waited += 1
+      }
+      max.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("hot fingerprint + hot source: two-phase shapes keep per-task shuffle input bounded") {
+    val docs = skewDocs(spark).cache()
+    try {
+      val total = HotN + ColdN
+
+      // plans stay window-free on the hot key (the PlansSpec audit, re-run
+      // against the pathological corpus rather than the friendly testdata)
+      for ((name, df) <- Seq(
+          "dedup_exact" -> Text.dedupExact(docs),
+          "source_report" -> Text.sourceReport(docs),
+          "split_leakage" -> Text.splitLeakage(docs))) {
+        val wins = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+        assert(wins.isEmpty, s"$name plans a Window on the skew corpus")
+      }
+
+      // dedup_exact: the 100k-copy fingerprint collapses map-side; no task
+      // ever reads a hot-key-sized shuffle block
+      var dedup: Array[org.apache.spark.sql.Row] = null
+      val m1 = maxTaskShuffleRecords {
+        dedup = Text.dedupExact(docs).collect()
+      }
+      assert(dedup.length == total)
+      val hotRows = dedup.filter(_.getAs[Long]("n_copies") == HotN)
+      assert(hotRows.length == HotN, "hot group lost copies")
+      assert(hotRows.forall(_.getAs[Long]("keeper_id") == 0L))
+      assert(dedup.count(_.getAs[Int]("is_dup") == 1) == HotN - 1)
+      assert(m1 < HotN / 2,
+        s"dedup_exact: a task read $m1 shuffle records — hot key funneled into one task")
+
+      // source_report: 91%-mass source pre-aggregates map-side
+      var report: Array[org.apache.spark.sql.Row] = null
+      val m2 = maxTaskShuffleRecords {
+        report = Text.sourceReport(docs).collect()
+      }
+      val hot = report.filter(_.getAs[String]("source") == "hot")
+      assert(hot.length == 1)
+      assert(hot.head.getAs[Long]("n_docs") == HotN)
+      assert(hot.head.getAs[Long]("n_dup_docs") == HotN - 1)
+      assert(report.filter(_.getAs[String]("source") != "hot")
+        .map(_.getAs[Long]("n_docs")).sum == ColdN)
+      assert(m2 < HotN / 2,
+        s"source_report: a task read $m2 shuffle records — hot key funneled into one task")
+
+      // split_leakage: 100k× fingerprint straddling the split boundary
+      // emits ONE row per heldout split (carrying the counts), not m×k
+      var leak: Array[org.apache.spark.sql.Row] = null
+      val m3 = maxTaskShuffleRecords {
+        leak = Text.splitLeakage(docs).collect()
+      }
+      assert(leak.length <= 2, s"expected ≤2 leakage rows (one per heldout split), got ${leak.length}")
+      assert(leak.nonEmpty, "hot fingerprint should straddle the 80/10/10 split")
+      val nTrain = leak.head.getAs[Long]("n_train")
+      val nHeld = leak.map(_.getAs[Long]("n_heldout")).sum
+      assert(nTrain + nHeld == HotN, s"lost copies: $nTrain train + $nHeld held != $HotN")
+      assert(m3 < HotN / 2,
+        s"split_leakage: a task read $m3 shuffle records — hot key funneled into one task")
+    } finally docs.unpersist()
+  }
+
+  test("boilerplate line: dedupLines scrubs it everywhere; hot join splits under AQE skew") {
+    // Dedicated session simulating the 100 TB regime at test scale: skew
+    // thresholds shrunk so the hot (source, line) shuffle partition crosses
+    // them, broadcast disabled so the join-back actually exercises the
+    // skewed sort-merge path the docstring claims is AQE-splittable.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-tests-skew")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // thresholds sized to COMPRESSED shuffle blocks: the hot partition's
+      // 100k near-identical rows lz4-compress to well under a megabyte
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      .getOrCreate()
+    try {
+      val docs = skewDocs(ext)
+      val cleaned = Text.dedupLines(docs, minDocs = 3)
+      val rows = cleaned.collect()
+      assert(rows.length == HotN + ColdN)
+      // the shared first line is boilerplate in EVERY source; hot docs are
+      // 100% boilerplate (all three lines shared by 100k docs) → empty
+      assert(rows.forall(!_.getAs[String]("clean_text").contains(Boiler)))
+      val hotDocs = rows.filter(_.getAs[Long]("doc_id") < HotN)
+      assert(hotDocs.forall(r => r.getAs[String]("clean_text").isEmpty
+        && r.getAs[Long]("n_lines_removed") == 3L))
+      // cold docs keep their two unique lines, in original order
+      val cold = rows.filter(_.getAs[Long]("doc_id") >= HotN)
+      assert(cold.forall { r =>
+        val id = r.getAs[Long]("doc_id")
+        r.getAs[String]("clean_text") ==
+          s"unique alpha $id beta gamma\nsecond unique line $id"
+      })
+      // the hot-key join really took the skew-split path (final adaptive
+      // plan marks the rewritten SMJ) — the evidence behind
+      // "AQE-skew-splittable" in the dedupLines docstring
+      val finalPlan = cleaned.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"no skew-split SMJ in the final adaptive plan:\n$finalPlan")
+    } finally {
+      graft.ops.Pipeline.clear(ext)
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
