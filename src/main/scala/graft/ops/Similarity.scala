@@ -238,24 +238,37 @@ object Similarity {
     * product per (query, cell) instead of two. */
   def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int = 5,
       nProbe: Int = 4): DataFrame = {
-    val q = withNorms(queries)
+    val q = ivfQueryFrame(queries)
+    ivfScore(index.vectors, q, ivfProbes(index, q, nProbe), k)
+  }
+
+  private def ivfQueryFrame(queries: DataFrame): DataFrame =
+    withNorms(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+
+  /** (query_id, cell) probe assignments: each query's `nProbe` nearest
+    * cells by the constant-term-dropped squared distance. */
+  private def ivfProbes(index: IvfIndex, q: DataFrame, nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))
-    val probes = q.select(col("query_id"), col("qv"))
+    q.select(col("query_id"), col("qv"))
       .crossJoin(broadcast(index.centroids))
       .withColumn("dist",
         dotd(col("centroid"), col("centroid")) - lit(2.0) * dotd(col("qv"), col("centroid")))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("cell"))
+  }
+
+  private def ivfScore(vectors: DataFrame, q: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     // candidate id-pairs from the narrow cell join; vectors attached once
     val cand = probes
-      .join(index.vectors.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
     val scored = cand
       .join(q, Seq("query_id"))
-      .join(index.vectors.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         col("norm").as("cn")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
@@ -263,6 +276,50 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "neighbor_id", "cos_sim", "rk")
+  }
+
+  /** Persist an IVF index as the cluster layout its docstring promises:
+    * `vectors` lands cell-partitioned (`dir/vectors/cell=N/…`) via the
+    * standard partitioned sink, `centroids` as a plain (nCells-row)
+    * layer. */
+  def ivfWrite(index: IvfIndex, dir: String): Unit = {
+    Sinks.overwritePartitioned(index.vectors, s"$dir/vectors", "cell")
+    Sinks.overwriteLayer(index.centroids, s"$dir/centroids")
+  }
+
+  /** Reload a persisted IVF index. The vectors schema (incl. the `cell`
+    * partition column's INT type) is DECLARED, not inferred, so the index
+    * round-trips identically regardless of the session's
+    * partition-type-inference setting. */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    import org.apache.spark.sql.types._
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("v", ArrayType(DoubleType)),
+      StructField("norm", DoubleType), StructField("cell", IntegerType)))
+    IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.schema(vecSchema).parquet(s"$dir/vectors"))
+  }
+
+  /** Probe-pruned query against a standing (typically on-disk) index: the
+    * query batch's distinct probed cells — bounded by |queries|·nProbe
+    * ints, the usual bounded-driver-materialization budget — become a
+    * LITERAL IN-filter on the `cell` partition column, so a
+    * cell-partitioned vectors layer prunes at PLAN time to only the
+    * probed directories (`PartitionFilters` on the scan; AnnIndexSpec
+    * asserts it). This is the service path an ANN index exists for: a
+    * query batch reads nProbe cells' files, not the corpus. The self-join
+    * form ([[ivfTopK]]) probes every cell by construction, so it keeps
+    * the unpruned [[ivfQuery]] plan. */
+  def ivfQueryPruned(index: IvfIndex, queries: DataFrame, k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val q = ivfQueryFrame(queries)
+    // probes feed BOTH the cell collection and the candidate join;
+    // checkpoint the (|queries|·nProbe)-row frame so probing runs once
+    val probes = ivfProbes(index, q, nProbe).localCheckpoint(true)
+    val cells = probes.select("cell").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    ivfScore(index.vectors.filter(col("cell").isInCollection(cells)), q, probes, k)
   }
 
   /** Sign-LSH candidate id-pairs: the shared candidate generator of
@@ -356,19 +413,28 @@ object Similarity {
     * discipline as the self-join [[lshTopK]]. */
   def lshQuery(index: LshIndex, queries: DataFrame, k: Int = 5): DataFrame = {
     val q = withNorms(queries)
-    val qb = q.select(col("vec_id"),
-        posexplode(graft.functions.LshExprs.signLshBuckets(
-          col("v"), index.tables, index.bits, index.dim)))
+    lshScore(q, lshQueryBuckets(q, index.tables, index.bits, index.dim),
+      index.buckets, index.vectors, k)
+  }
+
+  /** Bucket a query batch with the index's own (tables, bits, dim). */
+  private def lshQueryBuckets(q: DataFrame, tables: Int, bits: Int,
+      dim: Int): DataFrame =
+    q.select(col("vec_id"),
+        posexplode(graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)))
       .select(col("vec_id").as("query_id"), col("pos").as("table_id"), col("col").as("bucket"))
+
+  private def lshScore(q: DataFrame, qb: DataFrame, buckets: DataFrame,
+      vectors: DataFrame, k: Int): DataFrame = {
     val cand = qb.join(
-        index.buckets.withColumnRenamed("vec_id", "neighbor_id"), Seq("table_id", "bucket"))
+        buckets.withColumnRenamed("vec_id", "neighbor_id"), Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand
       .join(q.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn")),
         Seq("query_id"))
-      .join(index.vectors.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         col("norm").as("cn")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
@@ -376,6 +442,58 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "neighbor_id", "cos_sim", "rk")
+  }
+
+  /** Persist an LSH index as the layout its docstring promises: `buckets`
+    * partitioned by (table_id, bucket) — bounded directory count:
+    * tables × 2^bits — plus the vectors layer and a one-row parameter
+    * frame (the hyperplanes themselves need no storage: they derive
+    * deterministically from (table, bit, dim) inside the bucketing
+    * expression). */
+  def lshWrite(index: LshIndex, dir: String): Unit = {
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    Sinks.overwritePartitioned(index.buckets, s"$dir/buckets", "table_id", "bucket")
+    Sinks.overwriteLayer(index.vectors, s"$dir/vectors")
+    Sinks.overwriteLayer(
+      Seq((index.tables, index.bits, index.dim)).toDF("tables", "bits", "dim"),
+      s"$dir/meta")
+  }
+
+  /** Reload a persisted LSH index; partition-column types are DECLARED
+    * (INT table_id, LONG bucket), not inferred. */
+  def lshRead(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex = {
+    import org.apache.spark.sql.types._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val bucketSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("table_id", IntegerType),
+      StructField("bucket", LongType)))
+    LshIndex(
+      spark.read.schema(bucketSchema).parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/vectors"),
+      meta.getAs[Int]("tables"), meta.getAs[Int]("bits"), meta.getAs[Int]("dim"))
+  }
+
+  /** Bucket-pruned query against a standing (typically on-disk) index:
+    * the query batch's distinct (table_id, bucket) probes — bounded by
+    * |queries|·tables rows — become a LITERAL per-table IN-predicate on
+    * the two partition columns, so a (table_id, bucket)-partitioned
+    * bucket layer prunes at plan time to only the directories the batch
+    * actually hashes into (`PartitionFilters` on the scan; AnnIndexSpec
+    * asserts it) instead of scanning every bucket. */
+  def lshQueryPruned(index: LshIndex, queries: DataFrame, k: Int = 5): DataFrame = {
+    val q = withNorms(queries)
+    // qb feeds BOTH the probe collection and the candidate join
+    val qb = lshQueryBuckets(q, index.tables, index.bits, index.dim)
+      .localCheckpoint(true)
+    val probed = qb.select("table_id", "bucket").distinct().collect()
+    val pred = probed.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (t, rows) =>
+        col("table_id") === t &&
+          col("bucket").isInCollection(rows.map(_.getLong(1)).distinct.sorted.toSeq)
+      }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    lshScore(q, qb, index.buckets.filter(pred), index.vectors, k)
   }
 
   /** Semantic (embedding-space) decontamination — the paraphrase-robust leg
@@ -492,12 +610,9 @@ object Similarity {
     * ordering (quantization-error law in SimilaritySpec). */
   def quantQuery(index: QuantIndex, queries: DataFrame, k: Int = 5,
       rerankFactor: Int = 3): DataFrame = {
-    val q = withNorms(queries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
-    val qb = withNorms(queries).select(col("vec_id"),
-        posexplode(graft.functions.LshExprs.signLshBuckets(
-          col("v"), index.tables, index.bits, index.dim)))
-      .select(col("vec_id").as("query_id"), col("pos").as("table_id"), col("col").as("bucket"))
+    val qn = withNorms(queries)
+    val q = qn.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val qb = lshQueryBuckets(qn, index.tables, index.bits, index.dim)
     val cand = qb.join(
         index.buckets.withColumnRenamed("vec_id", "neighbor_id"), Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

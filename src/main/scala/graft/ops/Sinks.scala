@@ -31,8 +31,8 @@ object Sinks {
     * the fact lands as `path/part_col=.../part-*.parquet`, and the 30-day
     * predicate in [[Ingest.recentSlice]]-style queries prunes partitions at
     * plan time instead of filtering rows at scan time. */
-  def overwritePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+  def overwritePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
   /** Incremental daily refresh — the production cadence of the reference's
     * daily cron (re-read a 30-day window, rewrite the derived layers,

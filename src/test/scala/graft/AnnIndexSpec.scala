@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** ANN index persistence: the docstrings promise that at cluster scale the
+  * IVF vectors live as a cell-partitioned parquet layer (a probe scan
+  * prunes to the nProbe cells it touches) and the LSH buckets as a
+  * (table_id, bucket)-partitioned layer. These tests make that claim
+  * checkable: write the index, reload it, and assert BOTH query parity
+  * with the in-memory index AND plan-time partition pruning
+  * (PartitionFilters on the scan) for a bounded query batch. */
+class AnnIndexSpec extends SparkTestBase {
+
+  private lazy val emb = Tables.embeddings(spark, SF).cache()
+  /** A bounded external query batch — the ANN-service shape. */
+  private lazy val queryBatch =
+    emb.filter(col("vec_id") % 100 === 0).cache()
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  /** True if some scan in the executed plan carries a non-empty
+    * PartitionFilters block naming `colName` — i.e. the partition pruning
+    * happened at plan time on that column (other scans in the same plan,
+    * e.g. the unpartitioned centroids layer, legitimately print
+    * `PartitionFilters: []`). */
+  private def prunedScanOn(df: DataFrame, colName: String): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.split(java.util.regex.Pattern.quote("PartitionFilters: [")).drop(1)
+      .exists(_.takeWhile(_ != ']').contains(colName))
+  }
+
+  test("IVF index: disk round-trip parity and cell-partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val mem = Similarity.ivfBuild(emb, nCells = 16)
+    Similarity.ivfWrite(mem, dir)
+    val disk = Similarity.ivfRead(spark, dir)
+
+    // layout: one directory per cell, nothing else
+    val cellDirs = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell=")).sorted
+    assert(cellDirs.nonEmpty && cellDirs.length <= 16)
+
+    // parity: the pruned disk query returns exactly the in-memory results
+    // (pruning only removes cells no probe touches)
+    val memQ = Similarity.ivfQuery(mem, queryBatch, k = 5, nProbe = 4)
+    val diskQ = Similarity.ivfQueryPruned(disk, queryBatch, k = 5, nProbe = 4)
+    assert(sortedRows(diskQ) == sortedRows(memQ))
+
+    // the vectors scan carries a literal partition filter on cell —
+    // plan-time pruning, not a post-scan row filter
+    assert(prunedScanOn(diskQ, "cell"),
+      s"no partition filter on the cell-partitioned vectors scan:\n" +
+        diskQ.queryExecution.executedPlan.toString.take(4000))
+
+    assert(cellDirs.length == mem.centroids.count(),
+      "every cell should have materialized on disk for this corpus")
+  }
+
+  test("LSH index: disk round-trip parity and (table_id, bucket) pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+    val mem = Similarity.lshBuild(emb)
+    Similarity.lshWrite(mem, dir)
+    val disk = Similarity.lshRead(spark, dir)
+    assert((disk.tables, disk.bits, disk.dim) == (mem.tables, mem.bits, mem.dim))
+
+    // layout: table_id=T/bucket=B two-level directories, bounded count
+    val tableDirs = new java.io.File(s"$dir/buckets").listFiles()
+      .filter(_.isDirectory).filter(_.getName.startsWith("table_id="))
+    assert(tableDirs.length == mem.tables)
+    val bucketDirs = tableDirs.flatMap(_.listFiles().filter(_.isDirectory))
+    assert(bucketDirs.forall(_.getName.startsWith("bucket=")))
+    assert(bucketDirs.length <= mem.tables * (1 << mem.bits))
+
+    val memQ = Similarity.lshQuery(mem, queryBatch, k = 5)
+    val diskQ = Similarity.lshQueryPruned(disk, queryBatch, k = 5)
+    assert(sortedRows(diskQ) == sortedRows(memQ))
+
+    assert(prunedScanOn(diskQ, "bucket"),
+      s"no partition filter on the bucket-partitioned scan:\n" +
+        diskQ.queryExecution.executedPlan.toString.take(4000))
+  }
+
+  test("pruned IVF query reads fewer vector files than the probed corpus holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2").toString
+    val mem = Similarity.ivfBuild(emb, nCells = 16)
+    Similarity.ivfWrite(mem, dir)
+    val disk = Similarity.ivfRead(spark, dir)
+    // a single-query batch probes nProbe=2 of 16 cells: the literal filter
+    // must cut the scanned partition directories to exactly those cells
+    val one = queryBatch.limit(1)
+    val pruned = Similarity.ivfQueryPruned(disk, one, k = 3, nProbe = 2)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the IN-list on the partition column names at most nProbe cells
+    val inList = "cell.{0,4}#\\d+L? IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan).map(_.group(1))
+    assert(inList.isDefined, s"no literal cell IN-filter in plan:\n${plan.take(4000)}")
+    assert(inList.get.split(",").length <= 2,
+      s"probe filter names more than nProbe cells: ${inList.get}")
+  }
+}
