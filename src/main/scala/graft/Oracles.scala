@@ -933,6 +933,95 @@ af AS (
                                substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
                         FROM samp) a) b) c) d""",
 
+    // curation_e2e with the CCNet LM layer: the lm_score model CTEs (train
+    // split, same interpolation/q6 discipline) gate the kept docs on
+    // avg_logp >= -3.43 AND unseen_frac <= 0.5 before sampling + packing
+    "curation_e2e_lm" -> """
+      WITH kept AS (
+        SELECT d.* FROM documents d
+        WHERE source IN (
+          SELECT source
+          FROM (SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+                       CAST(SUM(CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+                FROM (SELECT source, quality_score,
+                             CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint)
+                                  THEN 1 ELSE 0 END AS is_dup
+                      FROM (SELECT doc_id, source,
+                                   greatest(0.0, least(1.0,
+                                     0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                                       + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                                       - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score,
+                                   sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+                            FROM (SELECT doc_id, source, text,
+                                         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                                         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                                         CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
+                                  FROM documents) t) q) r
+                GROUP BY source) s
+          WHERE CAST(n_dup_docs AS DOUBLE) / n_docs <= 0.5
+            AND CAST(n_low_quality AS DOUBLE) / n_docs <= 0.05)),
+      tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                  FROM documents),
+      ref AS (SELECT * FROM tk
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+      uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+              FROM (SELECT unnest(t) AS token FROM ref) p GROUP BY token),
+      tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS lm_n,
+                     CAST(COUNT(*) AS BIGINT) AS lm_v FROM uni),
+      bi AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_bi
+             FROM (SELECT t[i] AS prev, t[i+1] AS cur
+                   FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                         FROM ref WHERE len(t) >= 2) g) b
+             GROUP BY prev, cur),
+      bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+             FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                   FROM tk WHERE len(t) >= 2) g),
+      scored AS (
+        SELECT bg.doc_id,
+               CASE WHEN COALESCE(bi.c_bi, 0) = 0 THEN 1 ELSE 0 END AS unseen,
+               floor(ln(
+                   0.5 * (CASE WHEN COALESCE(up.c_uni, 0) > 0
+                               THEN CAST(COALESCE(bi.c_bi, 0) AS DOUBLE) / up.c_uni
+                               ELSE 0.0 END)
+                 + 0.5 * CAST(COALESCE(uc.c_uni, 0) + 1 AS DOUBLE) / (tot.lm_n + tot.lm_v)
+               ) * 1000000.0 + 0.5) / 1000000.0 AS q
+        FROM bg LEFT JOIN bi ON bg.prev = bi.prev AND bg.cur = bi.cur
+                LEFT JOIN uni up ON bg.prev = up.token
+                LEFT JOIN uni uc ON bg.cur = uc.token
+                CROSS JOIN tot),
+      inband AS (
+        SELECT doc_id
+        FROM (SELECT doc_id,
+                     CAST(CAST(SUM(unseen) AS BIGINT) AS DOUBLE) / COUNT(*) AS unseen_frac,
+                     CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
+              FROM scored GROUP BY doc_id) sc
+        WHERE avg_logp >= -3.43 AND unseen_frac <= 0.5),
+      gated AS (SELECT * FROM kept WHERE doc_id IN (SELECT doc_id FROM inband)),
+      samp AS (
+        SELECT * FROM gated
+        WHERE CONCAT('0', substring(md5(CAST(doc_id AS VARCHAR)), 3, 4)) <
+              CASE lang WHEN 'en' THEN '08000' WHEN 'zh' THEN '0c000' ELSE '10000' END)
+      SELECT doc_id, lang, split, bucket, n_tokens, offset_tokens,
+             CONCAT(bucket, '-', CAST(p AS VARCHAR)) AS pack_id,
+             GREATEST(offset_tokens, p * 2048) - offset_tokens AS slice_start,
+             LEAST(offset_tokens + n_tokens, (p + 1) * 2048)
+               - GREATEST(offset_tokens, p * 2048) AS slice_len
+      FROM (SELECT *,
+                   UNNEST(generate_series(offset_tokens // 2048,
+                     (offset_tokens + GREATEST(n_tokens, 1) - 1) // 2048)) AS p
+            FROM (SELECT doc_id, lang, split, bucket, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+            FROM (SELECT doc_id, lang, bucket,
+                         CASE WHEN bucket < 'cd' THEN 'train'
+                              WHEN bucket < 'e6' THEN 'val' ELSE 'test' END AS split,
+                         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+                  FROM (SELECT doc_id, lang, text,
+                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+                        FROM samp) a) b) c) d""",
+
     // per-language quality quota: same quality_score expression as
     // text_quality, ranked (DESC, doc_id) and capped
     "corpus_cap" -> """

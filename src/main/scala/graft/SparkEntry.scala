@@ -205,6 +205,14 @@ object SparkEntry {
     "curation_e2e" -> ((s, d) => Text.curationE2e(Tables.documents(s, d),
       maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
       rates = Map("en" -> 0.5, "zh" -> 0.75))),
+    // the CCNet-gated variant: same thresholds plus a perplexity band
+    // (avg ln p >= -3.43 drops the least-fluent tail of the synthetic
+    // corpus; unseen_frac <= 0.5 bounds out-of-domain mass), reusing the
+    // memoized train-split LM
+    "curation_e2e_lm" -> ((s, d) => Text.curationE2eLm(Tables.documents(s, d),
+      lmModel(s, d), minAvgLogp = -3.43, maxUnseenFrac = 0.5,
+      maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
+      rates = Map("en" -> 0.5, "zh" -> 0.75))),
     "decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)

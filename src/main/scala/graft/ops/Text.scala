@@ -705,6 +705,45 @@ object Text {
         rates, defaultRate).drop("sample_key"),
       budgetTokens, tok, bucketChars)
 
+  /** Perplexity-band gate — the CCNet-style LM filtering layer the
+    * [[lmScoreWith]] scorer exists for: keep only documents whose bigram-LM
+    * fluency sits inside the band (mean ln p ≥ `minAvgLogp`, i.e.
+    * perplexity below the ceiling) AND whose unseen-bigram fraction stays
+    * under `maxUnseenFrac` (out-of-domain signal). Documents with < 2
+    * tokens have no score and are dropped — a doc too short to assess is
+    * junk by CCNet's standards anyway.
+    *
+    * Scale shape: scoring is the [[lmScoreWith]] plan (model-side
+    * broadcast joins over the target's bigram stream); the gate itself is
+    * one doc_id-keyed left-semi join of the corpus against the in-band
+    * score rows — AQE-splittable, nothing driver-side. */
+  def lmGate(documents: DataFrame, model: LmModel, minAvgLogp: Double,
+      maxUnseenFrac: Double = 0.5, lam: Double = 0.5): DataFrame = {
+    val ok = lmScoreWith(model, documents, lam)
+      .filter(col("avg_logp") >= minAvgLogp && col("unseen_frac") <= maxUnseenFrac)
+      .select("doc_id")
+    documents.join(ok, Seq("doc_id"), "left_semi")
+  }
+
+  /** [[curationE2e]] with the CCNet LM layer active: source filter →
+    * perplexity-band gate → mixture sampling → split+pack, as ONE declared
+    * plan. The model is a caller-supplied trained [[LmModel]] (train once,
+    * gate every refresh — the index lifecycle); per-doc scores don't
+    * depend on the rest of the target corpus, so gating after the source
+    * filter equals scoring the full corpus and intersecting. */
+  def curationE2eLm(documents: DataFrame, model: LmModel,
+      minAvgLogp: Double, maxUnseenFrac: Double = 0.5,
+      maxDupFrac: Double = 0.5, maxLowQualityFrac: Double = 0.8,
+      rates: Map[String, Double] = Map("en" -> 0.5),
+      defaultRate: Double = 1.0, budgetTokens: Long = 2048L,
+      tok: Tok = WhitespaceTok, bucketChars: Int = 2): DataFrame =
+    packSequencesSplit(
+      sampleMixture(
+        lmGate(filterBySource(documents, maxDupFrac, maxLowQualityFrac),
+          model, minAvgLogp, maxUnseenFrac),
+        rates, defaultRate).drop("sample_key"),
+      budgetTokens, tok, bucketChars)
+
   /** Exact deduplication: hash-groupBy on the fingerprint; every doc maps to
     * the group's keeper (min doc_id). Scales as one shuffle of (hash, id). */
   def dedupExact(documents: DataFrame): DataFrame = {

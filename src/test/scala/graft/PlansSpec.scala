@@ -113,6 +113,7 @@ class PlansSpec extends SparkTestBase {
       "quality_report",          // union of 1-row check frames
       "similarity_ivf_topk",     // nCells-row centroid broadcast (probe scoring)
       "lm_score",                // 1-row N/V totals broadcast
+      "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate
       "source_divergence")       // 1-row corpus-token-mass broadcast
     // Sanctioned unpartitioned windows/sorts: |teams|-bounded frames only.
     val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features")

@@ -227,6 +227,32 @@ class TextSpec extends SparkTestBase {
     assert(overfull.count() == 0)
   }
 
+  test("curation LM gate: exact band enforcement and pipeline containment") {
+    val model = Text.lmTrain(docs.filter(Text.inTrainSplit()))
+    val scores = Text.lmScoreWith(model, docs).cache()
+    // pick the threshold from the data (median fluency) so the gate is
+    // guaranteed active at any sf — roughly half the corpus drops
+    val thr = scores.stat.approxQuantile("avg_logp", Array(0.5), 0.0).head
+    val inBand = scores
+      .filter(col("avg_logp") >= thr && col("unseen_frac") <= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gated = Text.lmGate(docs, model, thr, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated == inBand, "gate kept a different doc set than the score band")
+    assert(gated.nonEmpty && gated.size < docs.count(), "gate inactive or total")
+    // the gated pipeline keeps exactly the ungated pipeline's docs ∩ band
+    // (source stats are computed pre-gate; sampling is doc-local)
+    val e2e = Text.curationE2e(docs, 0.5, 0.05, Map("en" -> 0.5, "zh" -> 0.75))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val e2eLm = Text.curationE2eLm(docs, model, thr, 0.5, 0.5, 0.05,
+      Map("en" -> 0.5, "zh" -> 0.75))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(e2eLm == e2e.intersect(inBand),
+      "LM-gated pipeline is not the ungated pipeline intersected with the band")
+    scores.unpersist()
+    ()
+  }
+
   test("pack bucket width: occupancy sizing and bounded offset-window partitions") {
     // sizing follows the corpus (log16 of docs/target, clamped [2, 8])
     assert(Text.packBucketCharsFor(1000L) == 2)
