@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
+
+import graft.ops.{StreamDemo, Text}
+
+/** End-to-end streaming near-dup admission ([[StreamDemo.streamNearDupDocs]]):
+  * the foreachBatch + persistent signature/bucket store pipeline must
+  *  1. survive a checkpointed RESTART (a new query instance on the same
+  *     checkpoint + store continues, not restarts, admission),
+  *  2. be REPLAY-SAFE: a crash between a batch's offset write and its
+  *     commit (simulated by deleting the newest commit marker) replays
+  *     that batch against the pre-batch store with identical results —
+  *     no duplicate admissions, no store growth,
+  *  3. match BATCH-MODE admission bit-for-bit on in-order arrival: the
+  *     streamed admitted set equals folding [[Text.nearDupAdmit]] over
+  *     the same slices.
+  */
+class StreamDedupSpec extends SparkTestBase with TimeLimitedTests {
+  val timeLimit: Span = Span(300, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  test("streaming admission: restart continuation, forced replay, batch parity") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("sdedup_src")
+    val out = java.nio.file.Files.createTempDirectory("sdedup_out")
+    val store = java.nio.file.Files.createTempDirectory("sdedup_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("sdedup_ckpt")
+
+    val all = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text").orderBy("doc_id")
+    val rows = all.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    val slices = Seq(rows.slice(0, cut1), rows.slice(cut1, cut2),
+      rows.slice(cut2, rows.length))
+
+    def stage(n: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"sdedup_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slices(n): _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.copy(part, src.resolve(s"batch$n.parquet"))
+    }
+    def outIds(): Set[Long] =
+      spark.read.parquet(out.toString).select("doc_id").as[Long].collect().toSet
+    def outRowCount(): Long = spark.read.parquet(out.toString).count()
+    def storeIds(): Set[Long] =
+      spark.read.parquet(s"$store/sigs").select("doc_id").as[Long].collect().toSet
+
+    // ---- run 1: two staged files → two micro-batches
+    stage(0)
+    val q1 = StreamDemo.streamNearDupDocs(
+      spark, src.toString, out.toString, store.toString, ckpt.toString)
+    try {
+      q1.processAllAvailable()
+      stage(1)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val idsAfterRun1 = outIds()
+    val storeAfterRun1 = storeIds()
+    assert(idsAfterRun1.nonEmpty)
+    assert(idsAfterRun1 == storeAfterRun1,
+      "out docs and signature store must hold the same admitted ids")
+
+    // ---- forced replay: drop the newest commit marker so the restarted
+    // query re-executes the last batch (the crash-between-offset-and-
+    // commit window) against the store that batch already mutated
+    val commits = new java.io.File(s"$ckpt/commits")
+    val lastCommit = commits.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(lastCommit.delete(), s"could not delete $lastCommit")
+    // the local-FS checksum sidecar must go with it or the replayed
+    // commit's rename fails on the stale CRC
+    new java.io.File(commits, s".${lastCommit.getName}.crc").delete()
+    val q2 = StreamDemo.streamNearDupDocs(
+      spark, src.toString, out.toString, store.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(outIds() == idsAfterRun1, "replayed batch changed the admitted set")
+    assert(storeIds() == storeAfterRun1, "replayed batch changed the store")
+    assert(outRowCount() == idsAfterRun1.size,
+      "replay duplicated admitted rows in the doc sink")
+
+    // ---- restart continuation: new query instance, same checkpoint,
+    // ingests only the new slice
+    stage(2)
+    val q3 = StreamDemo.streamNearDupDocs(
+      spark, src.toString, out.toString, store.toString, ckpt.toString)
+    try q3.processAllAvailable() finally q3.stop()
+    val streamed = outIds()
+    assert(outRowCount() == streamed.size, "duplicate doc rows across batches")
+    assert(storeIds() == streamed)
+
+    // ---- batch parity: fold batch-mode admission over the same slices
+    // (same signatures, same store-union semantics)
+    import org.apache.spark.sql.types._
+    val sigSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("sig", ArrayType(LongType))))
+    var batchStore = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), sigSchema)
+    for (slice <- slices) {
+      val df = spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+      val sigs = Text.minHashSignaturesFrom(Text.shingles(df), 32)
+      val admitted = Text.nearDupAdmit(sigs, batchStore)
+        .select("doc_id", "sig").localCheckpoint(true)
+      batchStore = batchStore.unionByName(admitted)
+    }
+    val batchIds = batchStore.select("doc_id").as[Long].collect().toSet
+    assert(streamed == batchIds,
+      s"stream/batch admission drift: stream-only=${streamed -- batchIds}, " +
+        s"batch-only=${batchIds -- streamed}")
+  }
+}
