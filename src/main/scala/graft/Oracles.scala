@@ -1054,6 +1054,24 @@ af AS (
     "fingerprints" -> """
       SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
       FROM documents""",
+    // mirrors winnowFingerprints(k=5, w=4, mirrorableHash=true): same md5
+    // gram hash, same [pos, pos+w-1] sliding min, same full-window cut
+    "fingerprint_winnow" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        FROM documents
+        WHERE len(regexp_split_to_array(text, '\s+')) >= 8
+      ), grams AS (
+        SELECT doc_id, pos, md5(array_to_string(t[pos+1:pos+5], ' ')) AS gh,
+               len(t) - 4 AS n
+        FROM toks, UNNEST(range(0, len(t) - 4)) AS u(pos)
+      ), wmins AS (
+        SELECT doc_id, pos, n,
+               MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+        FROM grams
+      )
+      SELECT DISTINCT doc_id, fingerprint FROM wmins WHERE pos <= n - 4""",
     "dedup_exact" -> """
       WITH fp AS (SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint FROM documents),
       g AS (SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies FROM fp GROUP BY 1)

@@ -105,6 +105,67 @@ object Profile {
       time("af-cached count")(afC.count())
       time("pa join af-cached")(pa.join(afC.select("player_id", "mvp_score", "dpoy_score",
         "sixmoy_score"), Seq("player_id"), "left").count())
+    } else if (args.headOption.contains("bpe")) {
+      // token economics at realistic vocabulary sizes: driver merge-loop
+      // cost (incremental learner) + distributed encode throughput against
+      // a large merges table. Usage: Profile bpe [numMerges ...]
+      import org.apache.spark.sql.functions._
+      val sizes = {
+        val s = args.drop(1).map(_.toInt); if (s.isEmpty) Seq(64, 1024, 8192) else s.toSeq
+      }
+      val corpusTop = ops.Text.tokenPostings(Tables.documents(spark, sfDir))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token")).limit(50000)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // The driver testdata corpus has a degenerate ~31-word vocabulary,
+      // which saturates the merge loop after ~90 merges; realistic
+      // merge-loop and encode economics need a realistic word table, so
+      // below 10k distinct words a deterministic Zipfian vocabulary stands
+      // in (skewed letter distribution so pair statistics behave like text).
+      val top =
+        if (corpusTop.size >= 10000) corpusTop
+        else {
+          val rnd = new scala.util.Random(42)
+          def letter(): Char = {
+            // geometric-ish skew over 26 letters (English-like repetition)
+            var i = 0
+            while (i < 25 && rnd.nextDouble() > 0.22) i += 1
+            ('a' + i).toChar
+          }
+          Iterator.continually {
+            val len = 3 + rnd.nextInt(10)
+            Array.fill(len)(letter()).mkString
+          }.distinct.take(50000).zipWithIndex
+            .map { case (w, i) => (w, (1e7 / (i + 1)).toLong + 1L) }
+            .toSeq
+        }
+      println(s"[profile] word table: ${top.size} distinct words " +
+        s"(corpus had ${corpusTop.size})")
+      // synthetic encode corpus drawn from the same vocabulary: 200k docs
+      // × 100 words, generated Spark-side (no driver materialization)
+      val vocabArr = typedLit(top.map(_._1))
+      val docs = spark.range(200000).select(
+        concat_ws(" ", transform(sequence(lit(1), lit(100)),
+          i => element_at(vocabArr,
+            (pmod(xxhash64(col("id"), i), lit(top.size)) + 1).cast("int"))))
+          .as("text"))
+        .localCheckpoint(true)
+      val chars = docs.select(sum(length(col("text")))).head().getLong(0)
+      sizes.foreach { m =>
+        var merges: Seq[(String, String)] = Nil
+        time(s"bpe learn ($m merges)") {
+          merges = graft.functions.Bpe.learn(top, m, minPairCount = 2L)
+          merges.size.toLong
+        }
+        val t0 = System.nanoTime()
+        val nTok = docs
+          .select(sum(size(graft.functions.Bpe.encode(col("text"), merges))))
+          .head().getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[profile] bpe encode (${merges.size} merges): $dt%6.1f s, " +
+          f"$nTok tokens, ${chars / dt / 1e6}%6.1f Mchar/s, " +
+          f"${nTok.toDouble / chars}%.3f tok/char")
+      }
     } else {
       val names =
         if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted

@@ -172,7 +172,10 @@ object SparkEntry {
     "text_quality" -> ((s, d) => Text.qualityScore(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => Text.langId(Tables.documents(s, d))),
     "fingerprints" -> ((s, d) => Text.fingerprints(Tables.documents(s, d))),
-    "fingerprint_winnow" -> ((s, d) => Text.winnowFingerprints(Tables.documents(s, d))),
+    // mirrorable (md5) gram hash so the windowed-min selection itself is
+    // value-checked; the xxhash64 scale path shares every other operator
+    "fingerprint_winnow" -> ((s, d) =>
+      Text.winnowFingerprints(Tables.documents(s, d), mirrorableHash = true)),
     "dedup_exact" -> ((s, d) => Text.dedupExact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Text.dedupNgramJaccardFrom(shingles(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Text.dedupMinHashLshFrom(shingles(s, d))),

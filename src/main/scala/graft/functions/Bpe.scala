@@ -67,14 +67,127 @@ object Bpe {
 
   /** Greedy merge learning over a bounded (word, count) table.
     *
-    * Each round counts every adjacent token pair weighted by word
-    * frequency, merges the most frequent pair everywhere (ties broken
-    * lexicographically so training is deterministic), and stops after
-    * `numMerges` rounds or when no pair occurs at least `minPairCount`
-    * times. Cost is O(rounds · Σ word lengths) — in-memory over ≤ top-V
-    * distinct words, exactly the published algorithm. */
+    * Semantics (identical to [[learnReference]], which BpeSpec asserts):
+    * each round merges the adjacent token pair with the highest
+    * frequency-weighted count (ties broken lexicographically so training
+    * is deterministic), stopping after `numMerges` rounds or when no pair
+    * occurs at least `minPairCount` times.
+    *
+    * Implementation is the incremental form every practical trainer uses
+    * at realistic vocabulary sizes (8k–32k merges): pair counts are
+    * maintained exactly under each merge (a merge a,b→ab destroys
+    * (prev,a)/(a,b)/(b,next) occurrences and creates (prev,ab)/(ab,next);
+    * only words actually containing the pair — tracked in an inverted
+    * pair→words index — are touched), and the per-round argmax comes from
+    * a lazy-deletion max-heap (entries are (count, pair) snapshots; a
+    * popped entry is valid iff it still equals the live count — counts
+    * both fall (occurrences destroyed) and rise (a new `ab` token can
+    * recreate a string-equal existing pair elsewhere), and every change
+    * pushes a fresh snapshot, so the max valid entry is always present).
+    * Cost is O(Σ word lengths + Σ_merges (affected-word lengths) · log)
+    * instead of the naive O(rounds · Σ word lengths) full rescan — the
+    * difference between minutes and sub-second at 8k merges over a 50k
+    * word table (measured in Profile; PLANS.md anchor). */
   def learn(wordCounts: Seq[(String, Long)], numMerges: Int,
       minPairCount: Long = 2L): Seq[(String, String)] = {
+    val words = wordCounts.iterator
+      .filter(_._1.nonEmpty)
+      .map { case (w, c) => (codePoints(w), c) }
+      .toArray
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    for (idx <- words.indices) {
+      val (parts, c) = words(idx)
+      var i = 0
+      while (i < parts.length - 1) {
+        val p = (parts(i), parts(i + 1))
+        pairCounts.updateWith(p)(v => Some(v.getOrElse(0L) + c))
+        pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += idx
+        i += 1
+      }
+    }
+    // max count first, then lexicographically SMALLEST (a, b) — the same
+    // total order as learnReference's minBy((-c, a, b))
+    val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val a = y._2.compareTo(x._2)
+            if (a != 0) a else y._3.compareTo(x._3)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    pairCounts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      // pop stale snapshots until the live maximum surfaces
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (pairCounts.getOrElse((e._2, e._3), 0L) == e._1) top = e
+      }
+      if (top == null || top._1 < minPairCount) done = true
+      else {
+        val (_, a, b) = top
+        merges += ((a, b))
+        val pair = (a, b)
+        val changed = mutable.HashSet.empty[(String, String)]
+        for (idx <- pairWords.getOrElse(pair, mutable.BitSet.empty)) {
+          val (parts, c) = words(idx)
+          val before = mutable.HashMap.empty[(String, String), Int]
+          var i = 0
+          while (i < parts.length - 1) {
+            before.updateWith((parts(i), parts(i + 1)))(v => Some(v.getOrElse(0) + 1))
+            i += 1
+          }
+          // left-to-right, non-overlapping: "aaa" + (a,a) → ["aa","a"]
+          var j = 0
+          while (j < parts.length - 1) {
+            if (parts(j) == a && parts(j + 1) == b) {
+              parts(j) = parts(j) + parts(j + 1)
+              parts.remove(j + 1)
+            }
+            j += 1
+          }
+          val after = mutable.HashMap.empty[(String, String), Int]
+          i = 0
+          while (i < parts.length - 1) {
+            after.updateWith((parts(i), parts(i + 1)))(v => Some(v.getOrElse(0) + 1))
+            i += 1
+          }
+          (before.keySet ++ after.keySet).foreach { p =>
+            val d = after.getOrElse(p, 0) - before.getOrElse(p, 0)
+            if (d != 0) {
+              val nc = pairCounts.getOrElse(p, 0L) + d.toLong * c
+              if (nc <= 0L) pairCounts.remove(p) else pairCounts(p) = nc
+              changed += p
+              if (d > 0 && before.getOrElse(p, 0) == 0)
+                pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += idx
+              if (d < 0 && after.getOrElse(p, 0) == 0)
+                pairWords.get(p).foreach(_ -= idx)
+            }
+          }
+        }
+        pairWords.remove(pair)
+        changed.foreach { p =>
+          pairCounts.get(p).foreach(c2 => heap.enqueue((c2, p._1, p._2)))
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The naive full-rescan form of [[learn]] — O(rounds · Σ word lengths),
+    * a direct transcription of the published algorithm. Kept as the
+    * semantic reference the incremental learner is asserted against
+    * (BpeSpec agreement law); not used in the data path. */
+  private[graft] def learnReference(wordCounts: Seq[(String, Long)],
+      numMerges: Int, minPairCount: Long = 2L): Seq[(String, String)] = {
     val words = wordCounts.iterator
       .filter(_._1.nonEmpty)
       .map { case (w, c) => (codePoints(w), c) }

@@ -166,14 +166,23 @@ object Text {
     *
     * One narrow plan: tokenize → posexplode k-gram hashes → two window
     * passes over ONE doc_id shuffle (sliding min + gram count) → distinct.
-    * Hashes are xxhash64 (Spark-specific) → rows-only oracle; the density
-    * and shared-run guarantees are ScalaTest laws. */
-  def winnowFingerprints(documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    *
+    * Gram hash: `mirrorableHash = false` (default scale path) uses
+    * xxhash64 — an 8-byte fingerprint through the doc_id shuffle and any
+    * downstream overlap join. `mirrorableHash = true` swaps in md5 hex
+    * (32-byte strings, same lexicographic-min semantics in Spark and
+    * DuckDB), which is what the declared `fingerprint_winnow` query uses
+    * so the whole windowed selection is value-checked against a SQL
+    * oracle; the density and shared-run guarantees are hash-agnostic and
+    * hold for both (TextSpec laws run the default). */
+  def winnowFingerprints(documents: DataFrame, k: Int = 5, w: Int = 4,
+      mirrorableHash: Boolean = false): DataFrame = {
+    def gramHash(c: Column): Column = if (mirrorableHash) md5(c) else xxhash64(c)
     val grams = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k + w - 1)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("toks")) - k),
-          i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))))
+          i => gramHash(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))))
       .select(col("doc_id"), col("pos"), col("col").as("gh"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     grams

@@ -95,6 +95,25 @@ class BpeSpec extends SparkTestBase {
     assert(counted.filter(col("nFull") < col("n0")).count() > 0)
   }
 
+  test("incremental learner agrees with the naive full-rescan reference") {
+    // random word tables, including heavy repetition so merges interact
+    // (a merged token recreating a string-equal pair elsewhere is the case
+    // the lazy-deletion heap must survive: counts can RISE, not just fall)
+    val alpha = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val corpusGen = Gen.nonEmptyListOf(Gen.zip(alpha, Gen.choose(1L, 9L)))
+    check("learn ≡ learnReference")(
+      Prop.forAll(corpusGen, Gen.choose(0, 20), Gen.oneOf(1L, 2L)) {
+        (wc, nMerges, minC) =>
+          Bpe.learn(wc, nMerges, minC) == Bpe.learnReference(wc, nMerges, minC)
+      })
+    // and on the real corpus word table at the query's operating point
+    val top = docs.select(explode(split(col("text"), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(2000)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(Bpe.learn(top, 64) == Bpe.learnReference(top, 64))
+  }
+
   test("training merges the most frequent pair first, deterministically") {
     // pairs: (a,b) appears in both words → 3+2=5; (a,a) only in aab → 3
     val merges = Bpe.learn(Seq(("aab", 3L), ("ab", 2L)), numMerges = 8, minPairCount = 1L)

@@ -1,0 +1,27 @@
+package graft
+
+/** Pinned recall regression anchors for the approximate similarity family.
+  *
+  * The ANN/LSH recall laws used to assert only a loose floor (0.25) — low
+  * enough that a parameter change (e.g. a `bitsFor` cap, a probe-count
+  * default, a quantization range tweak) could silently halve recall without
+  * failing a test. These anchors pin each measured recall at the test's
+  * operating point (sf0.001 embeddings, k=5), minus a small slack for
+  * float-reduction jitter, so any structural degradation fails loudly.
+  *
+  * Measured values per round live in PLANS.md ("ANN recall anchors") —
+  * re-measure and update BOTH places deliberately when a parameter change
+  * is intended to shift the recall/cost trade-off.
+  */
+object RecallAnchors {
+  /** sign-LSH top-k vs brute-force truth (measured 0.682). */
+  val lshTopK = 0.64
+  /** IVF (k-means, nProbe) top-k vs brute-force truth (measured 0.632). */
+  val ivfTopK = 0.58
+  /** int8 ADC + exact-rerank top-k vs brute-force truth (measured 0.682). */
+  val quantTopK = 0.64
+  /** LSH-pruned semantic decontamination vs exact form (measured 0.667). */
+  val semanticDecon = 0.66
+  /** LSH embedding near-dup pairs vs exact near-dup (measured 0.757). */
+  val embeddingNearDup = 0.72
+}

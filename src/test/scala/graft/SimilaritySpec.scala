@@ -49,7 +49,8 @@ class SimilaritySpec extends SparkTestBase {
     val ann = pairs("similarity_lsh_topk")
     val recall = ann.intersect(truth).size.toDouble / truth.size
     info(s"LSH recall@5 = $recall")
-    assert(recall > 0.25, s"LSH recall collapsed: $recall")
+    assert(recall >= RecallAnchors.lshTopK,
+      s"LSH recall regressed below anchor (PLANS.md): $recall")
   }
 
   test("IVF ANN recalls a meaningful share of true neighbors") {
@@ -57,7 +58,8 @@ class SimilaritySpec extends SparkTestBase {
     val ivf = pairs("similarity_ivf_topk")
     val recall = ivf.intersect(truth).size.toDouble / truth.size
     info(s"IVF recall@5 = $recall")
-    assert(recall > 0.25, s"IVF recall collapsed: $recall")
+    assert(recall >= RecallAnchors.ivfTopK,
+      s"IVF recall regressed below anchor (PLANS.md): $recall")
   }
 
   test("quantized ANN: recall vs exact truth and near-agreement with full-precision LSH") {
@@ -65,7 +67,8 @@ class SimilaritySpec extends SparkTestBase {
     val quant = pairs("similarity_quantized_topk")
     val recall = quant.intersect(truth).size.toDouble / truth.size
     info(s"quantized recall@5 = $recall")
-    assert(recall > 0.25, s"quantized recall collapsed: $recall")
+    assert(recall >= RecallAnchors.quantTopK,
+      s"quantized recall regressed below anchor (PLANS.md): $recall")
     // same candidate generator + exact rerank ⇒ the int8 tier should almost
     // never change the final top-k vs full-precision LSH (rerankFactor=3
     // absorbs the ≤scale/2-per-dim approx-score noise)
@@ -119,7 +122,8 @@ class SimilaritySpec extends SparkTestBase {
     val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
     info(s"semantic decontamination LSH recall = $recall (exact pairs: ${exact.size})")
     assert(exact.nonEmpty, "threshold too high: exact form found nothing on the corpus")
-    assert(recall > 0.5, s"LSH decontamination recall collapsed: $recall")
+    assert(recall >= RecallAnchors.semanticDecon,
+      s"LSH decontamination recall regressed below anchor (PLANS.md): $recall")
   }
 
   test("IVF index lifecycle: build once, query an external batch") {
@@ -167,7 +171,8 @@ class SimilaritySpec extends SparkTestBase {
     assert(lsh.subsetOf(exact), s"LSH emitted ${(lsh -- exact).size} non-near-dup pairs")
     val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
     info(s"LSH near-dup recall = $recall")
-    assert(recall > 0.5, s"LSH near-dup recall collapsed: $recall")
+    assert(recall >= RecallAnchors.embeddingNearDup,
+      s"LSH near-dup recall regressed below anchor (PLANS.md): $recall")
   }
 
   test("embeddingStats: Jensen bound holds; pairwise identity matches a naive pass") {
