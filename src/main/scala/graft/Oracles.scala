@@ -633,6 +633,90 @@ af AS (
       WHERE CONCAT('0', sample_key) <
             CASE lang WHEN 'en' THEN '08000' WHEN 'zh' THEN '0c000' ELSE '10000' END""",
 
+    // temperature-scaled source weights (alpha = 0.5 spelled as sqrt so the
+    // power is correctly-rounded IEEE on both engines); normalizer is the
+    // r6sum of the q6-quantized scaled masses; budget 15000 tokens
+    "mixture_weights" -> s"""
+      WITH src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+      ), sc AS (
+        SELECT source, n_docs, n_tokens,
+               ${q6("sqrt(CAST(n_tokens AS DOUBLE))")} AS scaled
+        FROM src
+      ), tot AS (
+        SELECT ${r6sum("scaled")} AS total_scaled FROM sc
+      )
+      SELECT source, n_docs, n_tokens,
+             ${q6("scaled / total_scaled")} AS weight,
+             CAST(floor(15000.0 * ${q6("scaled / total_scaled")}) AS BIGINT) AS target_tokens,
+             ${q6(
+               "least(1.0, CAST(floor(15000.0 * " + q6("scaled / total_scaled") +
+                 ") AS DOUBLE) / n_tokens)")} AS keep_rate
+      FROM sc, tot""",
+
+    // data-derived per-source keep rates applied with the sample_mixture md5
+    // key; the hex threshold is rendered in-query (rate 1.0 -> '10000')
+    "sample_temperature" -> s"""
+      WITH src AS (
+        SELECT source, CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+      ), sc AS (
+        SELECT source, n_tokens, ${q6("sqrt(CAST(n_tokens AS DOUBLE))")} AS scaled FROM src
+      ), tot AS (
+        SELECT ${r6sum("scaled")} AS total_scaled FROM sc
+      ), w AS (
+        SELECT source,
+               ${q6(
+                 "least(1.0, CAST(floor(15000.0 * " + q6("scaled / total_scaled") +
+                   ") AS DOUBLE) / n_tokens)")} AS keep_rate
+        FROM sc, tot
+      )
+      SELECT source, doc_id, text, lang, n_chars, sample_key
+      FROM (SELECT d.*, w.keep_rate,
+                   substring(md5(CAST(d.doc_id AS VARCHAR)), 3, 4) AS sample_key
+            FROM documents d JOIN w USING (source)) a
+      WHERE CONCAT('0', sample_key) <
+            printf('%05x', CAST(floor(keep_rate * 65536.0) AS INT))""",
+
+    // cross-document passage overlap over the md5 winnow fingerprints:
+    // df-capped inverted-index self-join, totals over ALL fingerprints
+    "passage_overlap" -> s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+        FROM documents
+        WHERE len(regexp_split_to_array(text, '\\s+')) >= 8
+      ), grams AS (
+        SELECT doc_id, pos, md5(array_to_string(t[pos+1:pos+5], ' ')) AS gh,
+               len(t) - 4 AS n
+        FROM toks, UNNEST(range(0, len(t) - 4)) AS u(pos)
+      ), wmins AS (
+        SELECT doc_id, pos, n,
+               MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+        FROM grams
+      ), fp AS (
+        SELECT DISTINCT doc_id, fingerprint FROM wmins WHERE pos <= n - 4
+      ), keepfp AS (
+        SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) BETWEEN 2 AND 20
+      ), rare AS (
+        SELECT fp.doc_id, fp.fingerprint FROM fp JOIN keepfp USING (fingerprint)
+      ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM rare a JOIN rare b USING (fingerprint)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+      ), totals AS (
+        SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1
+      )
+      SELECT doc_a, doc_b, n_shared, ta.n_fp AS n_fp_a, tb.n_fp AS n_fp_b,
+             ${q6("CAST(n_shared AS DOUBLE) / least(ta.n_fp, tb.n_fp)")} AS overlap_frac
+      FROM shared
+      JOIN totals ta ON ta.doc_id = doc_a
+      JOIN totals tb ON tb.doc_id = doc_b""",
+
     // PII scrub: whitespace spelled as the explicit Java-\s class
     // [ \t\n\x0B\f\r] (RE2's \s lacks \x0B, so the shorthand diverges);
     // replacement order URL -> email -> phone mirrors the engine, counts
@@ -1191,6 +1275,18 @@ af AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              floor(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
       FROM n a JOIN n b ON a.vec_id < b.vec_id
-      WHERE floor(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.4"""
+      WHERE floor(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.4""",
+
+    // exact SemDeDup (keep-first over the whole corpus as one cluster):
+    // dropped iff a smaller-id vector is tau-close; dup_of = min witness
+    "semdedup_exact" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      wit AS (SELECT a.vec_id, min(b.vec_id) AS dup_of
+              FROM n a JOIN n b ON b.vec_id < a.vec_id
+              WHERE floor(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
+              GROUP BY 1)
+      SELECT n.vec_id, wit.dup_of, wit.dup_of IS NULL AS kept
+      FROM n LEFT JOIN wit USING (vec_id)"""
   )
 }

@@ -202,6 +202,15 @@ object SparkEntry {
     // rebalance the over-represented en half away, thin zh a quarter
     "sample_mixture" -> ((s, d) => Text.sampleMixture(Tables.documents(s, d),
       Map("en" -> 0.5, "zh" -> 0.75))),
+    // temperature-scaled (alpha=0.5) source weights against a 15k-token
+    // budget, and the sampler that applies the derived keep rates
+    "mixture_weights" -> ((s, d) =>
+      Text.temperatureWeights(Tables.documents(s, d), budgetTokens = 15000L)),
+    "sample_temperature" -> ((s, d) => Text.sampleTemperature(Tables.documents(s, d),
+      Text.temperatureWeights(Tables.documents(s, d), budgetTokens = 15000L))),
+    // cross-doc shared-passage pairs over the md5 winnow fingerprints
+    "passage_overlap" -> ((s, d) =>
+      Text.passageOverlap(Tables.documents(s, d), mirrorableHash = true)),
     // the whole curation pipeline as ONE declared plan: report-driven
     // source filter -> mixture sampling -> split+pack (same thresholds as
     // the individual queries)
@@ -245,6 +254,12 @@ object SparkEntry {
     // buckets are Spark-specific; recall + error-bound laws in SimilaritySpec)
     "similarity_quantized_topk" -> ((s, d) => Similarity.quantTopK(Tables.embeddings(s, d))),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
+    // SemDeDup: cluster-free exact twin is oracled; the clustered form is
+    // rows-only (k-means cells) with containment/witness laws in SimilaritySpec
+    "semdedup_exact" -> ((s, d) =>
+      Similarity.semDeDupExact(Tables.embeddings(s, d), threshold = 0.4)),
+    "semdedup" -> ((s, d) =>
+      Similarity.semDeDup(Tables.embeddings(s, d), threshold = 0.4)),
     "similarity_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "embedding_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, d))),
     "similarity_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),

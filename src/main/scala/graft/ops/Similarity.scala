@@ -138,6 +138,64 @@ object Similarity {
       .select("vec_a", "vec_b", "cos_sim")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic deduplication of an embedding corpus by clustering first,
+    * then deduplicating WITHIN each cluster — the published trick that
+    * turns the infeasible all-pairs cosine pass into k independent
+    * m²-bounded problems (a true semantic dup lands in the same coarse
+    * cell with overwhelming probability, so cross-cluster pairs are
+    * sacrificed by design; [[semDeDupExact]] is the cluster-free exact
+    * twin the sacrifice is measured against in SimilaritySpec).
+    *
+    * Keeper rule: within a cluster, a vector is DROPPED iff some
+    * smaller-id vector in the same cluster is τ-close ("keep first" —
+    * deterministic, needs one join). The kept set is the greedy
+    * id-ordered independent set, which gives two checkable laws:
+    * (1) no two kept vectors in one cluster are τ-close (a later kept
+    * vector would have had the earlier as witness); (2) every dropped
+    * vector carries a valid witness `dup_of` = its minimum τ-close
+    * predecessor (the witness may itself be dropped — the chain ends at
+    * a kept vector but is not followed, exactly as published).
+    *
+    * Output: one row per corpus vector — (vec_id, cell, dup_of, kept).
+    * No DuckDB oracle for the clustered form (k-means cells are
+    * Spark-specific); [[semDeDupExact]] carries the value check.
+    *
+    * Scale shape: reuses the [[ivfBuild]] lifecycle (train-on-sample /
+    * assign-all, broadcast centroids), so clustering cost is decoupled
+    * from corpus size; the within-cell pair join shuffles on cell and is
+    * m²-bounded per cell — size `nCells` ∝ corpus so expected occupancy
+    * stays constant, the same occupancy discipline as `bitsFor`. */
+  def semDeDup(embeddings: DataFrame, threshold: Double = 0.85,
+      nCells: Int = 16, fitMaxRows: Long = 100000L): DataFrame =
+    semDeDupFrom(ivfBuild(embeddings, nCells, fitMaxRows).vectors, threshold)
+
+  /** [[semDeDup]] over an already-built index's vectors frame
+    * (vec_id, v, norm, cell) — build once, dedup every refresh. */
+  def semDeDupFrom(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("cell"), col("vec_id"), col("v"), col("norm"))
+    val witnesses = a
+      .join(a.select(col("cell"), col("vec_id").as("w_id"), col("v").as("wv"),
+        col("norm").as("wn")), Seq("cell"))
+      .filter(col("w_id") < col("vec_id"))
+      .filter(q6(dotd(col("v"), col("wv")) / (col("norm") * col("wn"))) >= threshold)
+      .groupBy("vec_id").agg(min(col("w_id")).as("dup_of"))
+    vectors.select("vec_id", "cell")
+      .join(witnesses, Seq("vec_id"), "left")
+      .withColumn("kept", col("dup_of").isNull)
+  }
+
+  /** Cluster-free exact SemDeDup: the same keep-first rule over the whole
+    * corpus as one cluster — the small-corpus baseline and the DuckDB
+    * value check for the family (all-pairs O(n²), the documented exact
+    * twin like [[embeddingNearDup]]). The clustered [[semDeDup]] kept set
+    * always CONTAINS this one (a vector with no τ-close predecessor
+    * anywhere has none in its cell) — asserted as a law. */
+  def semDeDupExact(embeddings: DataFrame, threshold: Double = 0.85): DataFrame =
+    semDeDupFrom(withNorms(embeddings).withColumn("cell", lit(0)), threshold)
+      .drop("cell")
+
   /** Corpus (row count, embedding dim) in ONE bounded aggregate job — shared
     * by every index build / self-join entry point (the only driver-side
     * values in this file). Fails fast on an empty corpus: a null max(size)

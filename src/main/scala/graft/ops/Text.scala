@@ -193,6 +193,52 @@ object Text {
       .distinct()
   }
 
+  /** Cross-document passage overlap via winnowing fingerprints — the
+    * shared-passage detector (the MOSS scheme: Schleimer et al., SIGMOD'03
+    * "Winnowing: Local Algorithms for Document Fingerprinting"). Two
+    * documents sharing any sufficiently long passage are guaranteed to
+    * share winnow fingerprints, so the fingerprint inverted index finds
+    * partially-copied passages that whole-document fingerprints
+    * ([[dedupExact]]) and bag-of-shingles Jaccard ([[dedupNgramJaccard]])
+    * both miss or over-count. Emits (doc_a < doc_b) pairs with the shared
+    * fingerprint count and `overlap_frac` = shared / min(|fp_a|, |fp_b|) —
+    * 1.0 means the smaller doc's selected passages all appear in the
+    * larger.
+    *
+    * Scale shape: the fingerprint frame (already ~1/w of the gram volume
+    * by winnowing's density bound) is materialized once for its three
+    * consumers (df filter, pair join, per-doc totals). Boilerplate
+    * fingerprints appearing in more than `dfCap` docs are dropped BEFORE
+    * the self-join — the same document-frequency cap as the shingle
+    * index — so per-fingerprint pair fanout is bounded by dfCap², and the
+    * join shuffles bare (fingerprint, doc_id) postings. `minShared` ≥ 2
+    * keeps single-fingerprint coincidences out of the output. Totals are
+    * computed over ALL of a doc's fingerprints (pre-cap), so the fraction
+    * is denominated in the doc's true passage mass. */
+  def passageOverlap(documents: DataFrame, k: Int = 5, w: Int = 4,
+      dfCap: Long = 20L, minShared: Long = 2L,
+      mirrorableHash: Boolean = false): DataFrame = {
+    val fp = winnowFingerprints(documents, k, w, mirrorableHash)
+      .localCheckpoint(true)
+    val rare = fp.join(
+      fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= dfCap)
+        .select("fingerprint"),
+      Seq("fingerprint"))
+    val shared = rare.select(col("fingerprint"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("fingerprint"), col("doc_id").as("doc_b")), Seq("fingerprint"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val totals = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    shared
+      .join(totals.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")), Seq("doc_a"))
+      .join(totals.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")), Seq("doc_b"))
+      .withColumn("overlap_frac",
+        q6(col("n_shared").cast("double") / least(col("n_fp_a"), col("n_fp_b"))))
+      .select("doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b", "overlap_frac")
+  }
+
   /** Split-leakage audit: for every normalized content fingerprint that
     * collides across the [[hashSplit]] boundary, one row per
     * (fingerprint, heldout split) with representative doc ids (min per
@@ -484,6 +530,63 @@ object Text {
       .withColumn("sample_key", substring(md5(col("doc_id").cast("string")), 3, 4))
       .filter(concat(lit("0"), col("sample_key")) < threshold)
   }
+
+  /** Temperature-scaled source mixture weights — the multilingual/domain
+    * rebalancing rule (mT5 §3.2 / XLM-R style): a source with n_s tokens
+    * gets sampling weight w_s ∝ n_s^α, α ∈ (0, 1], so low-resource
+    * sources are up-weighted relative to their raw share (α = 1 is
+    * proportional sampling, α → 0 is uniform). Against a total token
+    * budget B, a source's target is ⌊B·w_s⌋ tokens and its keep rate is
+    * min(1, target/n_s) — directly consumable by [[sampleTemperature]].
+    *
+    * The declared query runs α = 0.5, where n^α = sqrt(n) — correctly
+    * rounded IEEE in both engines, so the oracle is exact. (General α
+    * goes through pow(), which Java only guarantees to 1 ulp — fine for
+    * production use, not for a bit-exact oracle; the α = 0.5 special case
+    * is spelled as sqrt for that reason.) The cross-corpus normalizer is
+    * an r6sum over the |sources|-row aggregate — a 1-row scalar broadcast,
+    * the sanctioned pattern.
+    *
+    * Scale shape: ONE combining groupBy(source) over the scan (token
+    * counts fold map-side), then arithmetic over a |sources|-row frame.
+    * Nothing here grows with the corpus except the first aggregate. */
+  def temperatureWeights(documents: DataFrame, budgetTokens: Long,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    def scaledOf(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else if (alpha == 1.0) c else pow(c, lit(alpha))
+    val src = documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .withColumn("scaled", q6(scaledOf(col("n_tokens").cast("double"))))
+    val total = src.agg(r6sum(col("scaled")).as("total_scaled"))
+    src.crossJoin(broadcast(total))
+      .withColumn("weight", q6(col("scaled") / col("total_scaled")))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * col("weight")).cast("long"))
+      .withColumn("keep_rate",
+        q6(least(lit(1.0), col("target_tokens").cast("double") / col("n_tokens"))))
+      .select("source", "n_docs", "n_tokens", "weight", "target_tokens", "keep_rate")
+  }
+
+  /** Apply data-derived per-source keep rates (a [[temperatureWeights]]
+    * frame, or any (source, keep_rate) table) with the same deterministic
+    * md5 sample key as [[sampleMixture]] — membership is a pure function
+    * of doc_id, stable under corpus growth and re-runs, and independent of
+    * the [[hashSplit]] assignment. Unlike [[sampleMixture]]'s static
+    * rate map, the rates here flow through the plan: a |sources|-row
+    * broadcast join attaches each doc's keep rate, and the hex threshold
+    * is rendered in-plan with format_string("%05x") (keep_rate = 1.0 →
+    * threshold "10000", above every 4-hex key, so full-keep sources are
+    * never clipped). Survivors keep the full payload + sample key, so the
+    * sampler composes into curation pipelines without a re-join. */
+  def sampleTemperature(documents: DataFrame, weights: DataFrame): DataFrame =
+    documents
+      .join(broadcast(weights.select(col("source"), col("keep_rate"))), Seq("source"))
+      .withColumn("sample_key", substring(md5(col("doc_id").cast("string")), 3, 4))
+      .filter(concat(lit("0"), col("sample_key")) <
+        format_string("%05x", floor(col("keep_rate") * 65536.0).cast("int")))
+      .drop("keep_rate")
 
   /** PII scrubbing: redact emails, URLs, and phone-shaped digit runs with
     * typed placeholders and count each category — the privacy pass a

@@ -114,7 +114,11 @@ class PlansSpec extends SparkTestBase {
       "similarity_ivf_topk",     // nCells-row centroid broadcast (probe scoring)
       "lm_score",                // 1-row N/V totals broadcast
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate
-      "source_divergence")       // 1-row corpus-token-mass broadcast
+      "source_divergence",       // 1-row corpus-token-mass broadcast
+      "mixture_weights",         // 1-row mixture-normalizer broadcast
+      "sample_temperature",      // same 1-row normalizer via the weights frame
+      "semdedup_exact",          // documented small-corpus all-pairs baseline
+      "semdedup")                // nCells-row centroid broadcast (assignment)
     // Sanctioned unpartitioned windows/sorts: |teams|-bounded frames only.
     val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

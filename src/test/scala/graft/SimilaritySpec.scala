@@ -126,6 +126,46 @@ class SimilaritySpec extends SparkTestBase {
       s"LSH decontamination recall regressed below anchor (PLANS.md): $recall")
   }
 
+  test("semDeDup laws: kept independence, valid witnesses, exact-kept ⊆ clustered-kept") {
+    import graft.functions.VectorExprs.dotd
+    import graft.functions.Exact.q6
+    val tau = 0.4
+    val emb = Tables.embeddings(spark, SF)
+    val n = ops.Similarity.withNorms(emb).count()
+    val exact = q("semdedup_exact").cache()
+    val clustered = q("semdedup").cache()
+    // one verdict row per (nonzero-norm) corpus vector in both forms
+    assert(exact.count() == n && clustered.count() == n)
+    val vecs = ops.Similarity.withNorms(emb).select("vec_id", "v", "norm")
+    val cv = clustered.join(vecs, Seq("vec_id")).cache()
+    // law 1: no two KEPT vectors in one cluster are tau-close (greedy
+    // id-ordered independent set property)
+    val kept = cv.filter(col("kept"))
+    val closeKeptPairs = kept.select(col("cell"), col("vec_id"), col("v"), col("norm"))
+      .join(kept.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv"),
+        col("norm").as("bn")), Seq("cell"))
+      .filter(col("vec_id") < col("b_id"))
+      .filter(q6(dotd(col("v"), col("bv")) / (col("norm") * col("bn"))) >= tau)
+      .count()
+    assert(closeKeptPairs == 0, s"$closeKeptPairs tau-close kept pairs within a cluster")
+    // law 2: every dropped vector's witness is an earlier, same-cell,
+    // tau-close vector
+    val badWitness = cv.filter(!col("kept"))
+      .join(cv.select(col("vec_id").as("dup_of"), col("cell").as("w_cell"),
+        col("v").as("wv"), col("norm").as("wn")), Seq("dup_of"))
+      .filter(col("dup_of") >= col("vec_id") || col("w_cell") =!= col("cell") ||
+        q6(dotd(col("v"), col("wv")) / (col("norm") * col("wn"))) < tau)
+      .count()
+    assert(badWitness == 0, s"$badWitness dropped rows carry an invalid witness")
+    // law 3: a vector with no tau-close predecessor ANYWHERE has none in its
+    // cell, so the exact kept set is contained in the clustered one
+    val keptE = exact.filter(col("kept")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val keptC = clustered.filter(col("kept")).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptE.subsetOf(keptC), s"exact-kept ⊄ clustered-kept: ${keptE -- keptC}")
+    info(s"exact kept ${keptE.size}/$n, clustered kept ${keptC.size}/$n " +
+      s"(cross-cluster sacrifice: ${keptC.size - keptE.size})")
+  }
+
   test("IVF index lifecycle: build once, query an external batch") {
     val emb = Tables.embeddings(spark, SF)
     val idx = ops.Similarity.ivfBuild(emb)

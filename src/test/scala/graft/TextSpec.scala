@@ -505,4 +505,56 @@ class TextSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getAs[Double]("tvd")).toMap
     assert(got == expected, s"$got vs $expected")
   }
+
+  test("passageOverlap: a copied ≥(w+k−1)-token passage is always detected") {
+    import spark.implicits._
+    // winnowing guarantee: any shared run of ≥ w+k-1 = 8 tokens shares at
+    // least one selected fingerprint, so a copied 13-token passage MUST pair
+    val passage = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta $passage iota kappa"),
+      (2L, s"one two three four five six seven eight $passage nine ten"),
+      (3L, "unrelated wholly different content nothing shared with anyone else here"))
+      .toDF("doc_id", "text")
+    val got = Text.passageOverlap(corpus, dfCap = 10L, minShared = 1L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"copied passage not detected: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), s"false pair with doc 3: $got")
+  }
+
+  test("passageOverlap declared query: ordered pairs, bounded fractions, shared ≤ min total") {
+    val d = q("passage_overlap").cache()
+    assert(d.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(d.filter(col("overlap_frac") <= 0.0 || col("overlap_frac") > 1.000001).count() == 0)
+    assert(d.filter(col("n_shared") > least(col("n_fp_a"), col("n_fp_b"))).count() == 0)
+    assert(d.filter(col("n_shared") < 2).count() == 0)
+  }
+
+  test("temperatureWeights: weights normalize, follow token mass, α<1 up-weights small sources") {
+    val w = q("mixture_weights").cache()
+    val sumW = w.agg(sum("weight")).head().getDouble(0)
+    assert(math.abs(sumW - 1.0) < 1e-4, s"weights must sum to ~1: $sumW")
+    assert(w.filter(col("keep_rate") < 0.0 || col("keep_rate") > 1.0).count() == 0)
+    assert(w.filter(col("target_tokens") < 0).count() == 0)
+    val rows = w.select("n_tokens", "weight").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    // more tokens -> no smaller weight (monotone), but sub-linearly: the
+    // smallest source's weight share must EXCEED its raw token share
+    assert(rows.sliding(2).forall(p => p.length < 2 || p(0)._2 <= p(1)._2 + 1e-9))
+    val totalTok = rows.map(_._1).sum.toDouble
+    val (minTok, minW) = rows.head
+    assert(minW > minTok / totalTok, "α=0.5 must up-weight the smallest source")
+  }
+
+  test("sampleTemperature keeps exactly the docs whose key clears the derived threshold") {
+    val w = q("mixture_weights").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("keep_rate")).toMap
+    val expected = docs.select("doc_id", "source").collect().filter { r =>
+      val thr = f"${math.floor(w(r.getString(1)) * 65536.0).toInt}%05x"
+      "0" + md5hex(r.getLong(0).toString).substring(2, 6) < thr
+    }.map(_.getLong(0)).toSet
+    val got = q("sample_temperature").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"membership mismatch: extra=${got -- expected} missing=${expected -- got}")
+  }
 }
