@@ -90,14 +90,29 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** events.ts is INT64 TIMESTAMP(NANOS) in the parquet — Spark's reader
-    * rejects nanosecond timestamps ([PARQUET_TYPE_ILLEGAL]). Read nanos as
-    * LONG and truncate to microseconds (lossless on this data: the generator
-    * writes µs-precision values). DuckDB reads the same column as
-    * TIMESTAMP_NS; equal instants either way. */
+  /** The driver has shipped events.ts in two parquet layouts across testdata
+    * generations: INT64 TIMESTAMP(NANOS) — which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as LONG via
+    * `spark.sql.legacy.parquet.nanosAsLong` — and plain TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ.
+    * [[normalizeTs]] maps either to a session-zone TimestampType column
+    * (UTC session ⇒ identical wall-clock instants either way; lossless on
+    * this data — the generator writes µs-precision values). DuckDB reads
+    * both layouts as a naive TIMESTAMP; equal instants in every case. */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(table(spark, sfDir, "events"))
+
+  /** Normalize an events frame's `ts` to TimestampType regardless of which
+    * parquet layout it was read from (see [[events]]). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
   /** documents/embeddings fan out on read: every consumer's first stage is a
     * corpus-wide map (tokenize+explode, hyperplane projections) that must not
     * serialize on the test files' single split. */

@@ -14,6 +14,19 @@ import graft.functions.Exact._
   */
 object StreamDemo {
 
+  /** Streaming read of an events parquet directory. FileStreamSource needs a
+    * user-supplied schema, and the driver has shipped two `ts` layouts
+    * across testdata generations (INT64 nanos; TIMESTAMP(MICROS) → NTZ), so
+    * the schema comes from a one-time batch footer read of the same
+    * directory — a metadata-only action — and `ts` is then normalized to a
+    * session-zone timestamp by [[Tables.normalizeTs]], exactly like the
+    * batch reader. */
+  private def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(eventsDir).schema
+    Tables.normalizeTs(spark.readStream.schema(fileSchema).parquet(eventsDir))
+  }
+
   /** Daily tumbling-window counts per event type — batch form. */
   def windowCountsBatch(events: DataFrame): DataFrame =
     events.groupBy(
@@ -31,18 +44,7 @@ object StreamDemo {
     * `eventsDir` must be a DIRECTORY of parquet files (FileStreamSource
     * monitors directories, not single files). */
   def windowCountsStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    // Same NANOS-timestamp workaround as Tables.events (the parquet carries
-    // INT64 TIMESTAMP(NANOS); read as long, truncate to micros).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream
-      .schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsStream(spark, eventsDir)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
@@ -75,16 +77,7 @@ object StreamDemo {
     * [[sessionWindowsBatch]]; parity proven in StreamAndMiscSpec. */
   def sessionWindowsStream(spark: SparkSession, eventsDir: String,
       gap: String = "30 minutes"): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream
-      .schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsStream(spark, eventsDir)
       .withWatermark("ts", "1 day")
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       // dsum, not sum: the decimal-cast sum is reduction-order independent,
@@ -110,18 +103,9 @@ object StreamDemo {
     * and checkpointing makes it restart-safe; at 100 TB/day event volume
     * this is the standard keyed-profile pattern. */
   def userActivityStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream
-      .schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsStream(spark, eventsDir)
       .select(col("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
@@ -178,10 +162,6 @@ object StreamDemo {
     // evicted by RocksDB compaction — only the proactive empty-batch
     // eviction sweep is dropped.
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val stateEnc = implicitly[org.apache.spark.sql.Encoder[(Long, Double, java.sql.Timestamp)]]
     class ProfileProcessor
         extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Double),
@@ -201,10 +181,7 @@ object StreamDemo {
         Iterator.single((key, n, sum, last))
       }
     }
-    spark.readStream
-      .schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsStream(spark, eventsDir)
       .select(col("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
@@ -316,16 +293,7 @@ object StreamDemo {
     * returned query. */
   def streamAppendRaw(spark: SparkSession, eventsDir: String, outPath: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream
-      .schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsStream(spark, eventsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) => Sinks.appendRaw(batch, outPath) }

@@ -145,6 +145,90 @@ object Text {
       .withColumn("lang_pred", when(col("en_score") > 0.02, "en").otherwise("unknown"))
   }
 
+  /** Gopher/RedPajama-style rule-bundle quality filter (Rae et al. 2021
+    * §A1.1; the reference has only the scalar quality score — this is the
+    * structural-rule family every published curation pipeline layers on
+    * top): per-source counts of documents violating each rule, plus the
+    * any-rule flag count. Every signal is integral and every threshold is a
+    * cross-multiplied integer inequality (mean word length ∈ [lo,hi] ⇔
+    * lo·n_tokens ≤ n_word_chars ≤ hi·n_tokens), so the report is bit-exact
+    * against the SQL oracle with no float in sight. One scan projection →
+    * one combining groupBy(source): map-side partials, |sources| result
+    * rows — the same 100 TB shape as [[sourceReport]]. */
+  def qualityRules(documents: DataFrame,
+      minTokens: Int = 20, maxTokens: Int = 100,
+      minMeanWordLen: Int = 3, maxMeanWordLen: Int = 10): DataFrame = {
+    val toks = tokens(col("text"))
+    val perDoc = documents.select(
+      col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_word_chars"),
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long").as("n_symbols"),
+      size(filter(toks, t => t === "the" || t === "a")).cast("long").as("n_stopwords"))
+      .withColumn("r_short", (col("n_tokens") < minTokens).cast("long"))
+      .withColumn("r_long", (col("n_tokens") > maxTokens).cast("long"))
+      .withColumn("r_word_len",
+        (col("n_word_chars") < lit(minMeanWordLen.toLong) * col("n_tokens") ||
+          col("n_word_chars") > lit(maxMeanWordLen.toLong) * col("n_tokens")).cast("long"))
+      .withColumn("r_symbol", (col("n_symbols") * lit(10L) > col("n_tokens")).cast("long"))
+      .withColumn("r_stopword", (col("n_stopwords") < 2).cast("long"))
+      .withColumn("r_any",
+        (col("r_short") + col("r_long") + col("r_word_len") +
+          col("r_symbol") + col("r_stopword") > 0).cast("long"))
+    perDoc.groupBy("source").agg(
+      count(lit(1)).as("docs"),
+      sum("r_short").as("n_short"),
+      sum("r_long").as("n_long"),
+      sum("r_word_len").as("n_word_len"),
+      sum("r_symbol").as("n_symbol"),
+      sum("r_stopword").as("n_stopword"),
+      sum("r_any").as("n_flagged"))
+  }
+
+  /** Per-source document-length distribution: discrete percentiles (the
+    * value at rank ⌈q·n⌉ — percentile_disc semantics, integer-exact, no
+    * interpolation float to disagree on) over `n_chars`.
+    *
+    * NOT a per-doc window: lengths first collapse to a (source, n_chars)
+    * histogram via a combining groupBy — the window then runs over at most
+    * |distinct lengths| rows per source (bounded by the length domain, NOT
+    * the corpus), so a 90%-mass source costs the same as a uniform one.
+    * Rank arithmetic is pure integer: idx_q = (n·q + 99) div 100 = ⌈q·n⌉,
+    * and p_q = min n_chars with cumulative count ≥ idx_q. */
+  def lengthPercentiles(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = documents.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+    def pct(q: Int) =
+      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("n_chars")))
+    cum.groupBy("source").agg(
+      max(col("n")).as("docs"),
+      pct(25).as("p25"), pct(50).as("p50"),
+      pct(75).as("p75"), pct(95).as("p95"))
+  }
+
+  /** Blocklist (bad-word) filtering, the C4/RefinedWeb "dirty word list"
+    * gate: drop documents whose blocklisted-token fraction exceeds
+    * `maxPct`% — compared as the integer cross-product
+    * 100·n_blocked ≤ maxPct·n_tokens, so membership is exact and
+    * growth-stable. Scan-local projection + filter (the blocklist rides the
+    * closure as a literal array — real lists are 10³ words, still a
+    * broadcast-sized constant); full payload kept. */
+  def blocklistFilter(documents: DataFrame,
+      blocklist: Seq[String] = Seq("slow", "dup"), maxPct: Int = 5): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_blocked",
+        size(filter(toks, t => t.isin(blocklist: _*))).cast("long"))
+      .where(col("n_blocked") * lit(100L) <= lit(maxPct.toLong) * col("n_tokens"))
+  }
+
   /** Document fingerprint: SHA-256 over the normalized text (lowercase,
     * collapsed whitespace) — the content-defined key used by exact dedup. */
   /** Normalized whole-document content hash (case- and whitespace-folded),
