@@ -165,10 +165,12 @@ object Similarity {
     * Scale shape: reuses the [[ivfBuild]] lifecycle (train-on-sample /
     * assign-all, broadcast centroids), so clustering cost is decoupled
     * from corpus size; the within-cell pair join shuffles on cell and is
-    * m²-bounded per cell — size `nCells` ∝ corpus so expected occupancy
-    * stays constant, the same occupancy discipline as `bitsFor`. */
+    * m²-bounded per cell. `nCells = 0` (the default) derives the cell
+    * count from the corpus via [[cellsFor]] so expected occupancy stays
+    * constant as the corpus grows — the same occupancy discipline as
+    * `bitsFor`; pass an explicit positive value to pin it. */
   def semDeDup(embeddings: DataFrame, threshold: Double = 0.85,
-      nCells: Int = 16, fitMaxRows: Long = 100000L): DataFrame =
+      nCells: Int = 0, fitMaxRows: Long = 100000L): DataFrame =
     semDeDupFrom(ivfBuild(embeddings, nCells, fitMaxRows).vectors, threshold)
 
   /** [[semDeDup]] over an already-built index's vectors frame
@@ -216,6 +218,27 @@ object Similarity {
     math.min(24, math.max(4,
       math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt))
 
+  /** Expected per-cell occupancy the derived IVF/SemDeDup cell count aims
+    * for — the k-means analog of [[bitsFor]]'s bucket occupancy. 128 keeps
+    * the within-cell pair join at ~128²/2 ≈ 8k dot products per cell and
+    * reproduces the r8-pinned geometry at sf0.1 (n = 2000 → 16 cells), so
+    * the recall anchors carry over unchanged. */
+  private val targetCellOccupancy = 128
+
+  /** Cell count sized so expected occupancy ≈ [[targetCellOccupancy]] —
+    * cells GROW with the corpus, keeping the within-cell m² pair join and
+    * per-cell probe cost constant per row instead of quadratic in n (fixed
+    * cells at 100× data = 10⁴× pair work; derived cells = 100× work).
+    * Capped so the k-means fit sample (≤ `fitMaxRows` rows) still supports
+    * ≥8 sample points per centroid — past that cap, raise `fitMaxRows`
+    * along with the corpus (the cap is a fit-quality bound, not a scale
+    * ceiling; the floor of 16 preserves small-corpus behavior). */
+  private[graft] def cellsFor(n: Long, fitMaxRows: Long): Int = {
+    val want = math.ceil(n.toDouble / targetCellOccupancy).toLong
+    val cap = math.max(16L, math.min(n, fitMaxRows) / 8L)
+    math.max(16L, math.min(want, cap)).toInt
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nCells` cells; each vector is indexed under exactly one
     * cell, and a query is scored only against the members of its `nProbe`
@@ -237,7 +260,7 @@ object Similarity {
     * cap the sample is the whole corpus, so small-corpus recall is
     * unchanged. No DuckDB oracle (k-means cell ids are Spark-specific);
     * recall vs [[cosineTopK]] is asserted in ScalaTest. */
-  def ivfTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 16,
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 0,
       nProbe: Int = 4, fitMaxRows: Long = 100000L): DataFrame =
     ivfQuery(ivfBuild(embeddings, nCells, fitMaxRows), embeddings, k, nProbe)
 
@@ -252,8 +275,10 @@ object Similarity {
   /** Build the IVF index: fit the k-means coarse quantizer on a sample
     * capped at `fitMaxRows` (train-on-sample / assign-all — see
     * [[ivfTopK]]'s contract), then assign every corpus vector to its
-    * nearest cell with one broadcast of the nCells centroids. */
-  def ivfBuild(embeddings: DataFrame, nCells: Int = 16,
+    * nearest cell with one broadcast of the nCells centroids.
+    * `nCells = 0` (the default) derives the count from corpus size via
+    * [[cellsFor]] — constant expected occupancy, the scale default. */
+  def ivfBuild(embeddings: DataFrame, nCells: Int = 0,
       fitMaxRows: Long = 100000L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -263,6 +288,7 @@ object Similarity {
     // extra bare count() per build was the r4 nit); the sample fraction is
     // exact, keeping the train-on-sample/assign-all contract unbiased
     val (n, _) = corpusDims(embeddings)
+    val cells = if (nCells > 0) nCells else cellsFor(n, fitMaxRows)
     val frac = math.min(1.0, fitMaxRows.toDouble / math.max(1L, n))
     val fitOn = (if (frac >= 1.0) featured else featured.sample(frac, seed = 42))
       .persist() // k-means makes one pass per iteration — don't recompute the lineage each time
@@ -272,7 +298,7 @@ object Similarity {
       // quantizer doesn't need — cells only have to follow the corpus
       // distribution (recall is asserted in ScalaTest either way), and the
       // Lloyd iterations repair any weak seed within the same maxIter
-      new KMeans().setK(nCells).setSeed(42).setMaxIter(10).setInitMode("random")
+      new KMeans().setK(cells).setSeed(42).setMaxIter(10).setInitMode("random")
         .setFeaturesCol("features")
         .fit(fitOn)
     } finally fitOn.unpersist()

@@ -166,6 +166,27 @@ class SimilaritySpec extends SparkTestBase {
       s"(cross-cluster sacrifice: ${keptC.size - keptE.size})")
   }
 
+  test("cellsFor law: cells grow with n, occupancy bounded, floor and fit-cap respected") {
+    val fitMax = 100000L
+    // floor: small corpora keep the 16-cell minimum (r8-pinned geometry)
+    assert(ops.Similarity.cellsFor(50L, fitMax) == 16)
+    assert(ops.Similarity.cellsFor(2000L, fitMax) == 16)
+    // growth: cells scale ∝ n past the floor, so expected occupancy stays
+    // bounded — the 100× criterion (fixed cells = 10⁴× pair work)
+    val ns = Seq(10000L, 100000L, 1000000L)
+    val cells = ns.map(n => ops.Similarity.cellsFor(n, fitMax))
+    assert(cells == cells.sorted, "cells must be monotone in n")
+    for ((n, c) <- ns.zip(cells) if c < math.min(n, fitMax) / 8L) {
+      val occ = n.toDouble / c
+      assert(occ <= 256.0, s"n=$n: expected occupancy $occ exceeds 2x target")
+    }
+    // cap: the fit sample must support >=8 points per centroid; past the
+    // cap, occupancy grows until fitMaxRows is raised with the corpus
+    assert(ops.Similarity.cellsFor(1000000000L, fitMax) == fitMax / 8L)
+    assert(ops.Similarity.cellsFor(100000L, 800L) == 100,
+      "cap uses min(n, fitMaxRows)/8")
+  }
+
   test("IVF index lifecycle: build once, query an external batch") {
     val emb = Tables.embeddings(spark, SF)
     val idx = ops.Similarity.ivfBuild(emb)

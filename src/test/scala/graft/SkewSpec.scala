@@ -125,6 +125,74 @@ class SkewSpec extends SparkTestBase {
     } finally docs.unpersist()
   }
 
+  /** Embedding-family analog of the text stress: a degenerate corpus where
+    * 90% of vectors are NEAR-IDENTICAL (one semantic blob — the worst case
+    * for any space partitioner). The k-means coarse quantizer is
+    * data-adapted: with the occupancy-derived cell count (cellsFor), ~90%
+    * of fit-sample points — and therefore ~90% of the random-init seeds and
+    * converged centroids — land inside the blob, so the blob SPLITS across
+    * many cells and the within-cell m² pair join stays bounded per cell.
+    * With the old fixed nCells=16 this corpus put ~1.2k+ vectors in single
+    * cells (occupancy ∝ n → quadratic pair work at scale); the cell-count
+    * assertion below fails that shape by construction.
+    *
+    * Sign-LSH is deliberately NOT run here: identical directions hash to
+    * identical sign buckets at ANY bit width, so a one-blob corpus is
+    * degenerate for LSH by construction (a documented trade-off of the
+    * OR-construction; the data-adapted IVF family is the scale path for
+    * blob-shaped corpora). */
+  test("near-identical embedding blob: derived cell count splits the hot region") {
+    import graft.ops.Similarity
+    val n = 20000L
+    val hotN = 18000L // 90% of the corpus in one semantic blob
+    val dims = 16
+    // distributed corpus builder, no driver-side Seq: hot vectors are the
+    // all-ones direction plus ~1e-4 per-dim jitter (cosine ≈ 1 pairwise);
+    // cold vectors are hash-random directions
+    val dimCols = (0 until dims).map { d =>
+      when(col("id") < hotN,
+        lit(1.0) + pmod(hash(col("id"), lit(d), lit("jit")), lit(97)).cast("double") / lit(970000.0))
+        .otherwise(pmod(hash(col("id"), lit(d)), lit(2001)).cast("double") / lit(1000.0) - lit(1.0))
+        .cast("float")
+    }
+    val emb = spark.range(n).select(col("id").as("vec_id"), lit("x").as("label"),
+      array(dimCols: _*).as("embedding")).cache()
+    try {
+      val idx = Similarity.ivfBuild(emb) // derived default: cellsFor(20000) = 157
+      val occ = idx.vectors.groupBy("cell").count().cache()
+      val nonEmpty = occ.count()
+      val maxOcc = occ.agg(max("count")).head.getLong(0)
+      // the within-cell pair volume — THE quantity the occupancy discipline
+      // bounds (sum of m²/2 over cells). Fixed nCells=16 on this corpus
+      // yields ~11M+ (blob cells of ~1.2k rows each); the derived count
+      // keeps it linear in n (~occupancy/2 pairs per row)
+      val pairVolume = occ.agg(sum(col("count") * (col("count") - 1) / 2))
+        .head.getDouble(0).toLong
+      occ.unpersist()
+      // cells grew with the corpus (fixed 16 fails here deterministically)
+      assert(nonEmpty >= n / 256,
+        s"only $nonEmpty non-empty cells for n=$n — cell count did not scale")
+      // the 18k-vector blob split: no cell holds a corpus-proportional chunk
+      assert(maxOcc < n / 10,
+        s"max cell occupancy $maxOcc — the hot blob funneled into one cell")
+      assert(pairVolume < n * 200,
+        s"within-cell pair volume $pairVolume is superlinear (blob not split)")
+
+      // semantic dedup over the degenerate corpus completes with the
+      // keep-first laws intact (at test scale AQE legitimately coalesces
+      // the tiny shuffle into few tasks, so the per-task listener bound is
+      // not meaningful here — the pair-volume bound above is the evidence)
+      val verdicts = Similarity.semDeDupFrom(idx.vectors, threshold = 0.95).collect()
+      assert(verdicts.length == n)
+      // the blob collapses to a handful of keepers; cold vectors survive
+      val kept = verdicts.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id"))
+      assert(kept.count(_ < hotN) <= nonEmpty,
+        "blob keepers exceed one per cell — keep-first rule broken")
+      assert(kept.count(_ >= hotN) > (n - hotN) / 2,
+        "cold (diverse) vectors were mass-dropped")
+    } finally emb.unpersist()
+  }
+
   test("boilerplate line: dedupLines scrubs it everywhere; hot join splits under AQE skew") {
     // Dedicated session simulating the 100 TB regime at test scale: skew
     // thresholds shrunk so the hot (source, line) shuffle partition crosses
