@@ -33,6 +33,14 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
 
+  /** The one-time per-session read configs, for callers OUTSIDE the
+    * [[table]] path (e.g. streaming readers over the same parquet): applied
+    * once per session via the same guard, so stream construction never
+    * mutates session conf that [[init]] already set — a repeated
+    * `conf.set` per stream builder could race with concurrently-planned
+    * batch reads on the same session (r8 ADVICE). */
+  def initReadConfigs(spark: SparkSession): Unit = init(spark)
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     init(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")

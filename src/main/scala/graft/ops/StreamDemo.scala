@@ -22,7 +22,7 @@ object StreamDemo {
     * session-zone timestamp by [[Tables.normalizeTs]], exactly like the
     * batch reader. */
   private def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.initReadConfigs(spark) // one-time per session, never a per-stream conf.set
     val fileSchema = spark.read.parquet(eventsDir).schema
     Tables.normalizeTs(spark.readStream.schema(fileSchema).parquet(eventsDir))
   }
@@ -149,7 +149,7 @@ object StreamDemo {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.initReadConfigs(spark)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // Under ProcessingTime TTL the operator answers "needs another batch"
@@ -382,7 +382,13 @@ object StreamDemo {
       if (!fs.exists(path)) Seq.empty
       else fs.listStatus(path).toSeq.map(_.getPath)
         .filter(_.getName.startsWith("batch_id="))
-        .filter(_.getName != s"batch_id=$excludeBatch") // a replayed batch must not see its own half-written state
+        // ORDER-based exclusion (the ReportStore `<` rule, r8 verdict #3):
+        // a replayed batch must not see its own half-written state, and a
+        // HIGHER-id partition left by a crashed prior run whose checkpoint
+        // was reset (half-written batch 7, new run restarts at 0) must not
+        // be silently adopted as admitted history — only batches the
+        // CURRENT run's checkpoint ordering proves complete are visible
+        .filter(p => p.getName.stripPrefix("batch_id=").toLong < excludeBatch)
         .map(_.toString)
     }
     def readLayer(layer: String, sch: StructType, excludeBatch: Long): DataFrame = {

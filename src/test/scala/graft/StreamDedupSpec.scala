@@ -113,4 +113,57 @@ class StreamDedupSpec extends SparkTestBase with TimeLimitedTests {
       s"stream/batch admission drift: stream-only=${streamed -- batchIds}, " +
         s"batch-only=${batchIds -- streamed}")
   }
+
+  test("stale higher-id store partition from a crashed prior run is not adopted") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("sdedup2_src")
+    val out = java.nio.file.Files.createTempDirectory("sdedup2_out")
+    val store = java.nio.file.Files.createTempDirectory("sdedup2_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("sdedup2_ckpt")
+
+    val all = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text").orderBy("doc_id").limit(50)
+    val rows = all.collect()
+
+    // Simulate a crashed PRIOR run whose checkpoint was reset: its store
+    // left a half-written batch_id=7 partition claiming every doc_id in
+    // this run's first batch was already admitted. A `!=` exclusion rule
+    // adopts it (the fresh run starts at batch 0, 7 != 0) and silently
+    // REJECTS every incoming doc as a near-dup of phantom history; the
+    // `<` ordering rule ignores it (7 >= 0 — not provably committed by
+    // THIS run's checkpoint ordering).
+    val staleSigs = Text.minHashSignaturesFrom(
+      Text.shingles(spark.createDataFrame(java.util.Arrays.asList(rows: _*), all.schema)), 32)
+      .localCheckpoint(true)
+    staleSigs.write.parquet(s"$store/sigs/batch_id=7")
+    Text.bandBuckets(staleSigs).write.parquet(s"$store/buckets/batch_id=7")
+
+    val tmp = java.nio.file.Files.createTempDirectory("sdedup2_tmp")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), all.schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp)
+      .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+    java.nio.file.Files.copy(part, src.resolve("batch0.parquet"))
+
+    val q = StreamDemo.streamNearDupDocs(
+      spark, src.toString, out.toString, store.toString, ckpt.toString)
+    try q.processAllAvailable() finally q.stop()
+
+    val admitted = spark.read.parquet(out.toString).select("doc_id").as[Long].collect().toSet
+    // against an EMPTY legitimate history, batch-mode admission of the same
+    // slice is the truth; under the stale-partition bug the admitted set is
+    // empty (every doc suppressed by its phantom twin)
+    assert(admitted.nonEmpty, "stale batch_id=7 partition was adopted as admitted history")
+    val sigSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+    val emptyStore = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), sigSchema)
+    val expect = Text.nearDupAdmit(Text.minHashSignaturesFrom(
+        Text.shingles(spark.createDataFrame(java.util.Arrays.asList(rows: _*), all.schema)), 32),
+      emptyStore).select("doc_id").as[Long].collect().toSet
+    assert(admitted == expect,
+      s"admission drift vs empty-history batch truth: extra=${admitted -- expect} missing=${expect -- admitted}")
+  }
 }
