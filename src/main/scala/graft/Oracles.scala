@@ -682,6 +682,33 @@ af AS (
 
     // cross-document passage overlap over the md5 winnow fingerprints:
     // df-capped inverted-index self-join, totals over ALL fingerprints
+    // df-cap telemetry twin: same winnow fingerprint CTE, one 1-row report
+    // of what the pair pass's df-cap and singleton filter dropped
+    "passage_overlap_dropped" -> s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+        FROM documents
+        WHERE len(regexp_split_to_array(text, '\\s+')) >= 8
+      ), grams AS (
+        SELECT doc_id, pos, md5(array_to_string(t[pos+1:pos+5], ' ')) AS gh,
+               len(t) - 4 AS n
+        FROM toks, UNNEST(range(0, len(t) - 4)) AS u(pos)
+      ), wmins AS (
+        SELECT doc_id, pos, n,
+               MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+        FROM grams
+      ), fp AS (
+        SELECT DISTINCT doc_id, fingerprint FROM wmins WHERE pos <= n - 4
+      ), dfs AS (
+        SELECT fingerprint, CAST(count(*) AS BIGINT) AS df FROM fp GROUP BY 1
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_fingerprints,
+             CAST(SUM(CASE WHEN df > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate_dropped,
+             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+             CAST(SUM(CASE WHEN df > 20 THEN df ELSE 0 END) AS BIGINT) AS n_postings_dropped
+      FROM dfs""",
+
     "passage_overlap" -> s"""
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
@@ -761,6 +788,54 @@ af AS (
                                      CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
                               FROM documents) t) q) r
             GROUP BY source) s""",
+
+    // Gopher-style rule bundle: every signal integral, every threshold a
+    // cross-multiplied integer inequality — no float anywhere. Whitespace
+    // char classes spelled as the explicit Java-\s set [ \t\n\x0B\f\r]
+    // (RE2's \s lacks \x0B, same caveat as scrub_pii)
+    "quality_rules" -> """
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+             CAST(SUM(CASE WHEN n_tokens > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+             CAST(SUM(CASE WHEN n_word_chars < 3*n_tokens OR n_word_chars > 10*n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_word_len,
+             CAST(SUM(CASE WHEN n_symbols*10 > n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol,
+             CAST(SUM(CASE WHEN n_stopwords < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword,
+             CAST(SUM(CASE WHEN n_tokens < 20 OR n_tokens > 100
+                        OR n_word_chars < 3*n_tokens OR n_word_chars > 10*n_tokens
+                        OR n_symbols*10 > n_tokens OR n_stopwords < 2
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      FROM (SELECT source,
+                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS BIGINT) AS n_word_chars,
+                   CAST(len(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS BIGINT) AS n_symbols,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords
+            FROM documents) t
+      GROUP BY source""",
+
+    // discrete per-source length percentiles: integer rank arithmetic over
+    // the (source, n_chars) histogram — idx_q = ceil(q*n/100) spelled as
+    // (n*q + 99) // 100, p_q = min n_chars with cumulative count >= idx_q
+    "length_percentiles" -> """
+      SELECT source, CAST(MAX(n) AS BIGINT) AS docs,
+             MIN(CASE WHEN cum >= (n*25 + 99) // 100 THEN n_chars END) AS p25,
+             MIN(CASE WHEN cum >= (n*50 + 99) // 100 THEN n_chars END) AS p50,
+             MIN(CASE WHEN cum >= (n*75 + 99) // 100 THEN n_chars END) AS p75,
+             MIN(CASE WHEN cum >= (n*95 + 99) // 100 THEN n_chars END) AS p95
+      FROM (SELECT source, n_chars, c,
+                   CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cum,
+                   CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+            FROM (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM documents GROUP BY 1, 2) h) cw
+      GROUP BY source""",
+
+    // blocklist gate: integer cross-product compare, full payload kept
+    "blocklist_filter" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents
+      WHERE 100 * len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> x IN ('slow', 'dup')))
+            <= 5 * len(regexp_split_to_array(lower(text), '\s+'))""",
 
     // source filter: keep docs whose source passes the report thresholds
     // (dup_frac <= 0.5, low_quality_frac <= 0.05) — semi-join against the
@@ -1162,6 +1237,45 @@ af AS (
       SELECT fp.doc_id, g.keeper_id, g.n_copies,
              CAST(fp.doc_id <> g.keeper_id AS INTEGER) AS is_dup
       FROM fp JOIN g USING (fingerprint)""",
+    // mirrorable minhash-LSH: md5 signature components (min over
+    // "j:shingle" hexes) and md5 band hashes reproduce the Spark candidate
+    // set EXACTLY (md5 hex min is binary-collation identical on both
+    // engines); verify step is the same exact-Jaccard join as
+    // dedup_ngram_jaccard but uncapped (matching dedupMinHashLshFrom).
+    // The 32 min-columns / 8 band rows are generated programmatically to
+    // keep the text in lockstep with numHashes=32, bands=8.
+    "dedup_minhash_lsh" -> {
+      val sigCols = (0 until 32)
+        .map(j => s"min(md5('$j:' || shingle)) AS h$j").mkString(",\n                   ")
+      val bandRows = (0 until 8).map { b =>
+        val parts = (b * 4 until (b + 1) * 4).map(j => s"h$j").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS band_hash FROM sigs"
+      }.mkString("\n               UNION ALL ")
+      s"""
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      sigs AS (SELECT doc_id,
+                   $sigCols
+               FROM sh GROUP BY doc_id),
+      buckets AS ($bandRows),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM buckets x JOIN buckets y USING (band, band_hash)
+               WHERE x.doc_id < y.doc_id),
+      sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+      cm AS (SELECT doc_a, doc_b, count(*) AS n_common
+             FROM cand
+             JOIN sh a ON a.doc_id = doc_a
+             JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+             GROUP BY 1, 2)
+      SELECT cm.doc_a, cm.doc_b,
+             CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) AS jaccard
+      FROM cm
+      JOIN sz sa ON cm.doc_a = sa.doc_id
+      JOIN sz sb ON cm.doc_b = sb.doc_id
+      WHERE CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) >= 0.5"""
+    },
+
     "dedup_ngram_jaccard" -> """
       WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
       ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),

@@ -178,7 +178,10 @@ object SparkEntry {
       Text.winnowFingerprints(Tables.documents(s, d), mirrorableHash = true)),
     "dedup_exact" -> ((s, d) => Text.dedupExact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Text.dedupNgramJaccardFrom(shingles(s, d))),
-    "dedup_minhash_lsh" -> ((s, d) => Text.dedupMinHashLshFrom(shingles(s, d))),
+    // mirrorable (md5) signature + band hashes so the candidate set itself
+    // is value-checked; the xxhash64 sketch aggregate stays the scale default
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Text.dedupMinHashLshFrom(shingles(s, d), mirrorableHash = true)),
     "dedup_simhash" -> ((s, d) => Text.dedupSimHash(Tables.documents(s, d))),
     "tfidf_top_terms" -> ((s, d) => Text.tfidfTopTerms(Tables.documents(s, d))),
     "corpus_split" -> ((s, d) => Text.hashSplit(Tables.documents(s, d))),
@@ -196,6 +199,12 @@ object SparkEntry {
     "source_divergence" -> ((s, d) => Text.sourceDivergence(Tables.documents(s, d))),
     "dedup_lines" -> ((s, d) => Text.dedupLines(Tables.documents(s, d))),
     "source_report" -> ((s, d) => Text.sourceReport(Tables.documents(s, d))),
+    // Gopher-style structural rule bundle, per-source violation counts
+    "quality_rules" -> ((s, d) => Text.qualityRules(Tables.documents(s, d))),
+    // per-source discrete length percentiles (histogram-collapsed window)
+    "length_percentiles" -> ((s, d) => Text.lengthPercentiles(Tables.documents(s, d))),
+    // C4-style dirty-word gate at its defaults (integer cross-product compare)
+    "blocklist_filter" -> ((s, d) => Text.blocklistFilter(Tables.documents(s, d))),
     // low-quality threshold 0.05 actually drops sources on the synthetic corpus
     "source_filter" -> ((s, d) => Text.filterBySource(Tables.documents(s, d), 0.5, 0.05)),
     "scrub_pii" -> ((s, d) => Text.scrubPii(Tables.documents(s, d))),
@@ -211,6 +220,9 @@ object SparkEntry {
     // cross-doc shared-passage pairs over the md5 winnow fingerprints
     "passage_overlap" -> ((s, d) =>
       Text.passageOverlap(Tables.documents(s, d), mirrorableHash = true)),
+    // df-cap telemetry: what the pair pass dropped (no silent caps)
+    "passage_overlap_dropped" -> ((s, d) =>
+      Text.passageOverlapStats(Tables.documents(s, d), mirrorableHash = true)),
     // the whole curation pipeline as ONE declared plan: report-driven
     // source filter -> mixture sampling -> split+pack (same thresholds as
     // the individual queries)

@@ -222,11 +222,12 @@ object Text {
   def blocklistFilter(documents: DataFrame,
       blocklist: Seq[String] = Seq("slow", "dup"), maxPct: Int = 5): DataFrame = {
     val toks = tokens(lower(col("text")))
-    documents
-      .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("n_blocked",
-        size(filter(toks, t => t.isin(blocklist: _*))).cast("long"))
-      .where(col("n_blocked") * lit(100L) <= lit(maxPct.toLong) * col("n_tokens"))
+    val nToks = size(toks).cast("long")
+    val nBlocked = size(filter(toks, t => t.isin(blocklist: _*))).cast("long")
+    // predicate formed inline — no helper columns appended, so the output
+    // schema IS the input schema (and a pre-existing n_tokens column on the
+    // input is never clobbered; r8 ADVICE)
+    documents.where(nBlocked * lit(100L) <= lit(maxPct.toLong) * nToks)
   }
 
   /** Document fingerprint: SHA-256 over the normalized text (lowercase,
@@ -322,6 +323,27 @@ object Text {
         q6(col("n_shared").cast("double") / least(col("n_fp_a"), col("n_fp_b"))))
       .select("doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b", "overlap_frac")
   }
+
+  /** Df-cap telemetry for [[passageOverlap]] — the "no silent caps"
+    * companion: the pair pass drops fingerprints with df > dfCap
+    * (boilerplate) and df = 1 (singletons) from candidate generation, and
+    * on a boilerplate-heavy corpus that cap could silently erase most
+    * real overlap mass. This 1-row report surfaces exactly what was
+    * dropped: total distinct fingerprints, how many were cut by the cap,
+    * how many were singletons, and the posting volume the capped
+    * fingerprints carried. Run it next to the pair query; a large
+    * `n_boilerplate_dropped` means raise dfCap or pre-clean with
+    * [[dedupLines]]. Same fingerprint frame, one combining groupBy +
+    * one 1-row aggregate — no pair join. */
+  def passageOverlapStats(documents: DataFrame, k: Int = 5, w: Int = 4,
+      dfCap: Long = 20L, mirrorableHash: Boolean = false): DataFrame =
+    winnowFingerprints(documents, k, w, mirrorableHash)
+      .groupBy("fingerprint").agg(count(lit(1)).as("df"))
+      .agg(
+        count(lit(1)).as("n_fingerprints"),
+        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_boilerplate_dropped"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_singleton"),
+        sum(when(col("df") > dfCap, col("df")).otherwise(lit(0L))).as("n_postings_dropped"))
 
   /** Split-leakage audit: for every normalized content fingerprint that
     * collides across the [[hashSplit]] boundary, one row per
@@ -1227,8 +1249,10 @@ object Text {
     * become candidates, then exact Jaccard verifies. This is the scale path
     * for near-dup at 100 TB: candidate generation cost is linear in docs
     * (band hashes), the verify join touches only colliding pairs.
-    * No DuckDB oracle (xxhash64 is Spark-specific) — covered by the
-    * ScalaTest recall check against [[dedupNgramJaccard]].
+    * The default xxhash64 sketch path is covered by the ScalaTest recall
+    * check against [[dedupNgramJaccard]]; the declared query runs the
+    * md5 `mirrorableHash` twin, which a DuckDB oracle value-checks
+    * end-to-end (signatures, band buckets, candidate set, Jaccard).
     */
   def dedupMinHashLsh(documents: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8): DataFrame =
@@ -1263,11 +1287,27 @@ object Text {
       .distinct()
 
   /** Same, over precomputed shingle postings (shared by signature
-    * generation, the verify joins, and the size denominators). */
+    * generation, the verify joins, and the size denominators).
+    *
+    * `mirrorableHash = false` (default scale path): the xxhash64 sketch
+    * aggregate — 8-byte signature components, one custom-aggregate groupBy.
+    * `mirrorableHash = true` (the [[winnowFingerprints]] trick applied to
+    * the last big rows-only cluster, r8 verdict #5): signature component j
+    * = min md5("j:shingle") and band hash = md5(h_4b‖…‖h_4b+3) — the SAME
+    * elementwise-min + banding OR-construction, but over a hash both
+    * engines implement, so the DuckDB oracle reproduces signatures, band
+    * buckets, and therefore the candidate set EXACTLY and the declared
+    * `dedup_minhash_lsh` query is value-checked end-to-end (md5 hex
+    * strings min identically under both engines' binary collation; 32
+    * min-columns per doc instead of one sketch buffer — the oracle-tier
+    * cost the mirror pays). */
   def dedupMinHashLshFrom(sh: DataFrame, threshold: Double = 0.5,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val sig = minHashSignaturesFrom(sh, numHashes)
-    val cand = bandCandidates(bandBuckets(sig, numHashes, bands))
+      numHashes: Int = 32, bands: Int = 8,
+      mirrorableHash: Boolean = false): DataFrame = {
+    val buckets =
+      if (mirrorableHash) mirrorableBandBuckets(sh, numHashes, bands)
+      else bandBuckets(minHashSignaturesFrom(sh, numHashes), numHashes, bands)
+    val cand = bandCandidates(buckets)
     // verify candidates with exact Jaccard over the shingle sets
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     cand
@@ -1281,6 +1321,26 @@ object Text {
         col("n_common").cast("double") / (col("size_a") + col("size_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** md5 twin of [[minHashSignaturesFrom]] + [[bandBuckets]] fused: one
+    * groupBy with `numHashes` min columns, then the per-band md5 over the
+    * concatenated component hexes. Oracle-mirrorable by construction —
+    * every value is a lowercase md5 hex string both engines compute
+    * bit-identically. */
+  private def mirrorableBandBuckets(sh: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val sigCols = (0 until numHashes).map(j =>
+      min(md5(concat_ws(":", lit(j), col("shingle")))).as(s"h$j"))
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*)).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("band_hash"))
+      .distinct()
   }
 
   /** MinHash similarity estimate: the fraction of agreeing signature

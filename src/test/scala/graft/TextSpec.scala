@@ -20,16 +20,22 @@ class TextSpec extends SparkTestBase {
     assert(d.filter(col("doc_id") === col("keeper_id") && col("is_dup") === 1).count() == 0)
   }
 
-  test("minhash-LSH near-dup agrees with exact n-gram jaccard (high recall)") {
+  test("minhash-LSH near-dup agrees with exact n-gram jaccard (high recall), both hash paths") {
     val exact = q("dedup_ngram_jaccard").select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = q("dedup_minhash_lsh").select("doc_a", "doc_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // LSH verifies candidates with the same exact-jaccard filter => subset
-    assert(lsh.subsetOf(exact), s"LSH produced non-exact pairs: ${lsh -- exact}")
-    if (exact.nonEmpty) {
-      val recall = lsh.intersect(exact).size.toDouble / exact.size
-      assert(recall >= 0.6, s"LSH recall too low: $recall over ${exact.size} pairs")
+    // declared query = md5 mirrorable path; scale default = xxhash64 sketch.
+    // Same banding construction, so both verify subsets with high recall
+    for ((label, df) <- Seq(
+        "md5-mirror" -> q("dedup_minhash_lsh"),
+        "xxhash64" -> Text.dedupMinHashLshFrom(Text.shingles(docs)))) {
+      val lsh = df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // LSH verifies candidates with the same exact-jaccard filter => subset
+      assert(lsh.subsetOf(exact), s"$label produced non-exact pairs: ${lsh -- exact}")
+      if (exact.nonEmpty) {
+        val recall = lsh.intersect(exact).size.toDouble / exact.size
+        assert(recall >= 0.6, s"$label recall too low: $recall over ${exact.size} pairs")
+      }
     }
   }
 
@@ -530,6 +536,28 @@ class TextSpec extends SparkTestBase {
     assert(d.filter(col("n_shared") < 2).count() == 0)
   }
 
+  test("passageOverlapStats: boilerplate-heavy corpus drop is surfaced, not silent") {
+    import spark.implicits._
+    // 30 docs share one 12-token passage (winnowing guarantees >=1 shared
+    // fingerprint; its df = 30 > cap 20) plus 3 doc-unique tail tokens.
+    // Every shared fingerprint is boilerplate-capped and every other is a
+    // singleton, so the PAIR query reports nothing — the telemetry row is
+    // what keeps that silence from reading as "no overlap"
+    val boiler = (0 until 12).map(i => s"common$i").mkString(" ")
+    val hand = (0L until 30L).map(i =>
+      (i, s"$boiler tail${i}a tail${i}b tail${i}c")).toDF("doc_id", "text")
+    val st = Text.passageOverlapStats(hand).collect().head
+    assert(st.getAs[Long]("n_boilerplate_dropped") >= 1,
+      "the shared-passage fingerprint must be reported as capped")
+    assert(st.getAs[Long]("n_postings_dropped") >= 30)
+    assert(st.getAs[Long]("n_fingerprints") >=
+      st.getAs[Long]("n_boilerplate_dropped") + st.getAs[Long]("n_singleton"))
+    assert(Text.passageOverlap(hand).count() == 0,
+      "capped corpus should yield no pairs — which is what the stats explain")
+    // declared telemetry query runs on the corpus frame
+    assert(q("passage_overlap_dropped").collect().head.getAs[Long]("n_fingerprints") > 0)
+  }
+
   test("temperatureWeights: weights normalize, follow token mass, α<1 up-weights small sources") {
     val w = q("mixture_weights").cache()
     val sumW = w.agg(sum("weight")).head().getDouble(0)
@@ -544,6 +572,77 @@ class TextSpec extends SparkTestBase {
     val totalTok = rows.map(_._1).sum.toDouble
     val (minTok, minW) = rows.head
     assert(minW > minTok / totalTok, "α=0.5 must up-weight the smallest source")
+  }
+
+  test("qualityRules: flags match a driver-side reference; n_flagged bounds the rule columns") {
+    val r = q("quality_rules").cache()
+    // per-source totals conserve: every source present, docs sum to corpus
+    assert(r.agg(sum("docs")).head.getLong(0) == docs.count())
+    // n_flagged is the OR, so it's >= each rule count and <= their sum
+    val bad = r.filter(
+      col("n_flagged") < greatest(col("n_short"), col("n_long"), col("n_word_len"),
+        col("n_symbol"), col("n_stopword")) ||
+      col("n_flagged") > col("n_short") + col("n_long") + col("n_word_len") +
+        col("n_symbol") + col("n_stopword") ||
+      col("n_flagged") > col("docs")).count()
+    assert(bad == 0, "n_flagged violates OR bounds")
+    // hand corpus with known rule hits, one per rule
+    import spark.implicits._
+    val hand = Seq(
+      // 1 token => r_short + r_stopword (+ r_word_len: 22 chars > 10*1... no: 4 chars / 1 token = 4, in [3,10])
+      (0L, "s", "word"),
+      // 25 'the' tokens => no rule fires (stopwords plentiful, mean len 3)
+      (1L, "s", Seq.fill(25)("the").mkString(" ")),
+      // 25 long tokens, no stopwords => r_word_len + r_stopword
+      (2L, "s", Seq.fill(25)("aaaaaaaaaaaaaaaaaaaaaaaa").mkString(" ")),
+      // symbol-heavy: 25 "###" tokens => r_symbol (75 symbols*10 > 25) + r_stopword + r_word_len(3char ok => no)... mean len 3 ok
+      (3L, "s", Seq.fill(25)("###").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val h = Text.qualityRules(hand).collect().head
+    assert(h.getAs[Long]("docs") == 4)
+    assert(h.getAs[Long]("n_short") == 1)   // doc 0
+    assert(h.getAs[Long]("n_long") == 0)
+    assert(h.getAs[Long]("n_word_len") == 1) // doc 2 (24 > 10 mean)
+    assert(h.getAs[Long]("n_symbol") == 1)   // doc 3
+    assert(h.getAs[Long]("n_stopword") == 3) // docs 0, 2, 3
+    assert(h.getAs[Long]("n_flagged") == 3)  // docs 0, 2, 3 (doc 1 clean)
+  }
+
+  test("lengthPercentiles: discrete ranks on a hand histogram; monotone across quantiles") {
+    import spark.implicits._
+    // source a: lengths 1..10 (ceil-rank picks 3/5/8/10); source b: all equal
+    val hand = ((1 to 10).map(i => (i.toLong, "a", i)) ++
+      (1 to 4).map(i => (100L + i, "b", 7))).toDF("doc_id", "source", "n_chars")
+    val p = Text.lengthPercentiles(hand).collect().map(r =>
+      r.getAs[String]("source") -> r).toMap
+    val a = p("a")
+    assert(a.getAs[Long]("docs") == 10)
+    assert(a.getAs[Int]("p25") == 3 && a.getAs[Int]("p50") == 5 &&
+      a.getAs[Int]("p75") == 8 && a.getAs[Int]("p95") == 10)
+    val b = p("b")
+    assert(Seq("p25", "p50", "p75", "p95").forall(c => b.getAs[Int](c) == 7))
+    // corpus-wide: quantiles monotone per source
+    val r = q("length_percentiles")
+    assert(r.filter(col("p25") > col("p50") || col("p50") > col("p75") ||
+      col("p75") > col("p95")).count() == 0)
+  }
+
+  test("blocklistFilter: schema preserved verbatim; integer gate keeps/drops exactly") {
+    import spark.implicits._
+    // 19 clean tokens + 1 blocked = 5% => kept (<=); 1 of 10 = 10% => dropped.
+    // n_tokens is a PRE-EXISTING column the op must not clobber (r8 ADVICE)
+    val hand = Seq(
+      (0L, "ok " * 19 + "slow", 999L),
+      (1L, "ok " * 9 + "dup", 999L),
+      (2L, "all clean here", 999L)).toDF("doc_id", "text", "n_tokens")
+    val out = Text.blocklistFilter(hand)
+    assert(out.schema == hand.schema, "output schema must equal input schema")
+    val kept = out.collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(0L, 2L))
+    assert(kept.forall(_.getAs[Long]("n_tokens") == 999L),
+      "pre-existing n_tokens column was clobbered")
+    // corpus-wide: declared query output schema matches the documents table
+    assert(q("blocklist_filter").schema == docs.schema)
   }
 
   test("sampleTemperature keeps exactly the docs whose key clears the derived threshold") {
