@@ -173,7 +173,11 @@ object Multimodal {
           findAvih(b, 12, b.length).map { o =>
             Parsed("avi", rle32(b, o + 32), rle32(b, o + 36), rle32(b, o + 16), 0, 0)
           }.toRight("avi_no_avih").flatMap { p =>
-            if (p.width <= 0 || p.height <= 0) Left("avi_bad_dims") else Right(p)
+            if (p.width <= 0 || p.height <= 0) Left("avi_bad_dims")
+            // dwTotalFrames is unsigned on disk; a high-bit value reads as a
+            // negative Int — quarantine it rather than emit a nonsense count
+            else if (p.nFrames < 0) Left("avi_bad_frames")
+            else Right(p)
           }
         case _ => Left("riff_unknown_form")
       }

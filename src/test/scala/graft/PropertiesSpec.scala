@@ -228,6 +228,37 @@ class PropertiesSpec extends SparkTestBase {
         s"binned as-of diverged at binWidth=$width")
   }
 
+  test("law: container parse never throws, never yields non-positive dims on Right") {
+    import graft.ops.Multimodal.Containers
+    // arbitrary garbage bytes (including the tricky 0..16-byte lengths)
+    val garbage: Gen[Array[Byte]] = for {
+      n <- Gen.frequency(3 -> Gen.choose(0, 16), 2 -> Gen.choose(17, 256))
+      bs <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield bs.toArray
+    // bit-flipped VALID containers: a single flipped bit anywhere in a
+    // well-formed PNG/JPEG/WAV/AVI must degrade to Left or a still-sane
+    // Right, never an exception or a nonsense dimension sign
+    val flipped: Gen[Array[Byte]] = for {
+      base <- Gen.oneOf(
+        Containers.png(64, 48), Containers.jpeg(31, 17),
+        Containers.wav(8000, 2, 16, 4, Array[Byte](1)),
+        Containers.avi(320, 240, 12))
+      pos <- Gen.choose(0, base.length - 1)
+      bit <- Gen.choose(0, 7)
+    } yield { val b = base.clone(); b(pos) = (b(pos) ^ (1 << bit)).toByte; b }
+    val sane = (bytes: Array[Byte]) => Containers.parse(bytes) match {
+      case Left(reason) => reason.nonEmpty
+      case Right(p) => p.format match {
+        case "png" | "jpeg" => p.width > 0 && p.height > 0
+        case "wav" => p.sampleRate > 0 && p.channels > 0
+        case "avi" => p.width > 0 && p.height > 0 && p.nFrames >= 0
+        case _ => false
+      }
+    }
+    check("parse total on garbage")(Prop.forAll(garbage)(sane))
+    check("parse total on bit-flips")(Prop.forAll(flipped)(sane))
+  }
+
   test("simhash mask edge: maxHamming=0 blocks on the full 64-bit fingerprint") {
     assert(ops.Text.simhashMasks(1, 0) == Seq(-1L))
     assert(ops.Text.simhashMasks(4, 3).reduce(_ | _) == -1L) // blocks tile all 64 bits
