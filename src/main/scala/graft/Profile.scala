@@ -105,6 +105,38 @@ object Profile {
       time("af-cached count")(afC.count())
       time("pa join af-cached")(pa.join(afC.select("player_id", "mvp_score", "dpoy_score",
         "sixmoy_score"), Seq("player_id"), "left").count())
+    } else if (args.contains("exact-debug")) {
+      // decimal-exact vs double aggregation cost on the REAL pa/roll
+      // shapes (r8 verdict #4: how much of the pipeline_stages slot is the
+      // oracle-parity decimal tower vs unavoidable shuffle/checkpoint).
+      // Each variant differs ONLY in the sum cell type.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.Column
+      val box = ops.Pipeline.stage(spark, sfDir, "box")(ops.Ingest.box(spark, sfDir))
+      val stats = Seq("pts", "reb", "ast", "stl", "blk", "tov", "fgm", "fga",
+        "fg3m", "fg3a", "ftm", "fta", "plus_minus")
+      def paLike(cell: Column => Column, tag: String): Unit = {
+        val aggs: Seq[Column] = count(col("game_id")).as("games") +:
+          stats.flatMap(c => Seq(cell(col(c)).as(s"${c}_sum"),
+            (cell(col(c)) / count(col(c))).as(s"${c}_mean")))
+        time(s"pa-shape $tag")(
+          box.groupBy("player_id", "player_name", "team_name")
+            .agg(aggs.head, aggs.tail: _*).count())
+      }
+      def rollLike(cast: Column => Column, tag: String): Unit = {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("player_id")
+          .orderBy(col("game_date"), col("game_id"), col("line_id")).rowsBetween(-4, 0)
+        time(s"roll-shape $tag")(
+          box.select(Seq(col("player_id")) ++ stats.map(c =>
+            (sum(cast(col(c))).over(w).cast("double") / count(lit(1)).over(w)).as(s"${c}_5g")): _*)
+            .count())
+      }
+      for (i <- 1 to 3) {
+        paLike(c => functions.Exact.dsum(c), s"decimal dsum #$i")
+        paLike(c => sum(c), s"plain double #$i")
+        rollLike(c => c.cast(functions.Exact.Dec), s"decimal #$i")
+        rollLike(identity, s"double #$i")
+      }
     } else if (args.headOption.contains("bpe")) {
       // token economics at realistic vocabulary sizes: driver merge-loop
       // cost (incremental learner) + distributed encode throughput against

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf0.1→sf1 scale anchors for the heavy operator family (VERDICT r8 #6):
+  * times `semdedup`, the three approximate top-k operators,
+  * `passage_overlap`, `curation_e2e_lm`, and `dedup_clusters` at 1× and 10×
+  * of the bench grain (5k docs / 2k vectors → 50k docs / 20k vectors ≈ the
+  * sf1 step the driver ships no parquet for), and counts each family's
+  * CANDIDATE VOLUME so superlinear growth is caught by diff, not vibes.
+  *
+  * Both scales come from ONE deterministic generative process (hash-derived
+  * Zipf-ish token mix, planted near-dup docs at ~5%, planted near-dup
+  * vector clusters at ~10%, skewed source mix), so a 10× row step holds the
+  * DISTRIBUTION fixed and the growth ratios isolate scale — comparing the
+  * real sf0.1 corpus against a differently-shaped synthetic would mix
+  * distribution change into the ratio. Run:
+  *
+  *   sbt "runMain graft.ScaleAnchors [baseDocs baseVecs]"
+  *
+  * prints one JSON line per scale; the ratio table lives in PLANS.md.
+  * Linear = wall and candidates grow ≈10× (modulo fixed costs), the
+  * documented occupancy-discipline contract ([[ops.Similarity.cellsFor]],
+  * bitsFor, df-caps). */
+object ScaleAnchors {
+
+  /** Deterministic 20k-word vocabulary, skewed letter mix (same style as
+    * Profile's bpe table). */
+  private def vocab(): IndexedSeq[String] = {
+    val rnd = new scala.util.Random(42)
+    def letter(): Char = {
+      var i = 0
+      while (i < 25 && rnd.nextDouble() > 0.22) i += 1
+      ('a' + i).toChar
+    }
+    Iterator.continually {
+      val len = 3 + rnd.nextInt(9)
+      Array.fill(len)(letter()).mkString
+    }.distinct.take(20000).toIndexedSeq
+  }
+
+  /** n documents: ~100 tokens each, 30% of draws from the top-100 words
+    * (Zipf-ish head), doc ids ≡ 1 (mod 20) are near-dups of their
+    * predecessor (same token stream, one marker token prepended). */
+  private def docs(spark: SparkSession, n: Long, voc: IndexedSeq[String]): DataFrame = {
+    val v = typedLit(voc)
+    val base = when(col("id") % 20 === 1, col("id") - 1).otherwise(col("id"))
+    val draw = (i: org.apache.spark.sql.Column) => {
+      val h = xxhash64(base, i)
+      val headPick = (pmod(xxhash64(base, i, lit("h")), lit(100)) < 30)
+      element_at(v, when(headPick, pmod(h, lit(100)))
+        .otherwise(pmod(h, lit(voc.size))).cast("int") + 1)
+    }
+    val body = concat_ws(" ",
+      transform(sequence(lit(1), lit(80) + pmod(xxhash64(base), lit(41)).cast("int")), draw))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      when(pmod(xxhash64(col("id"), lit("lang")), lit(10)) < 7, "en").otherwise("zh").as("lang"),
+      {
+        val s = pmod(xxhash64(col("id"), lit("src")), lit(100))
+        when(s < 40, "web").when(s < 65, "news").when(s < 80, "books")
+          .when(s < 90, "code").otherwise("wiki").as("source")
+      },
+      when(col("id") % 20 === 1, concat(lit("nearcopy "), body)).otherwise(body).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** m vectors, dim 64: hash-uniform in [-1,1]; vec ids ≡ 1 (mod 10) are
+    * jittered near-copies of their predecessor (planted semantic dups). */
+  private def vecs(spark: SparkSession, m: Long): DataFrame = {
+    val base = when(col("id") % 10 === 1, col("id") - 1).otherwise(col("id"))
+    val dims = (0 until 64).map { d =>
+      (pmod(xxhash64(base, lit(d)), lit(2001)).cast("double") / 1000.0 - 1.0 +
+        when(col("id") % 10 === 1,
+          pmod(xxhash64(col("id"), lit(d), lit("j")), lit(21)).cast("double") / 1000.0)
+          .otherwise(0.0)).cast("float")
+    }
+    spark.range(m).select(col("id").as("vec_id"),
+      when(col("id") % 10 === 1, "dup").otherwise("base").as("label"),
+      array(dims: _*).as("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (baseDocs, baseVecs) = args match {
+      case Array(d, v, _*) => (d.toLong, v.toLong)
+      case _ => (5000L, 2000L)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val voc = vocab()
+
+    for (scale <- Seq(1L, 10L)) {
+      val nDocs = baseDocs * scale
+      val nVecs = baseVecs * scale
+      val d = docs(spark, nDocs, voc).localCheckpoint(true)
+      val e = vecs(spark, nVecs).localCheckpoint(true)
+      val out = scala.collection.mutable.LinkedHashMap[String, Any](
+        "scale" -> scale, "n_docs" -> nDocs, "n_vecs" -> nVecs)
+      def t(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        out(name) = math.round((System.nanoTime() - t0) / 1e7) / 100.0
+        out(s"${name}_rows") = rows
+      }
+
+      // embedding family (the r9 auto-sized cell path)
+      val idx = ops.Similarity.ivfBuild(e)
+      val occ = idx.vectors.groupBy("cell").count()
+        .agg(count(lit(1)), max("count"), sum(col("count") * (col("count") - 1) / 2)).head()
+      out("ivf_cells") = occ.getLong(0)
+      out("ivf_max_occ") = occ.getLong(1)
+      out("ivf_pair_volume") = occ.getDouble(2).toLong
+      t("semdedup")(ops.Similarity.semDeDupFrom(idx.vectors, 0.4).count())
+      t("similarity_lsh_topk")(ops.Similarity.lshTopK(e).count())
+      t("similarity_ivf_topk")(ops.Similarity.ivfQuery(idx, e).count())
+      t("similarity_quantized_topk")(ops.Similarity.quantTopK(e).count())
+      val lsh = ops.Similarity.lshBuild(e)
+      out("lsh_bucket_pairs") = lsh.buckets.as("x").join(lsh.buckets.as("y"),
+          col("x.table_id") === col("y.table_id") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+
+      // text family
+      t("passage_overlap")(ops.Text.passageOverlap(d).count())
+      val drop = ops.Text.passageOverlapStats(d).head()
+      out("winnow_fps") = drop.getAs[Long]("n_fingerprints")
+      out("winnow_capped") = drop.getAs[Long]("n_boilerplate_dropped")
+      val sh = ops.Text.shingles(d).localCheckpoint(true)
+      val pairs = ops.Text.dedupNgramJaccardFrom(sh).select("doc_a", "doc_b")
+        .localCheckpoint(true)
+      out("ngram_pairs") = pairs.count()
+      t("dedup_clusters")(ops.Text.clustersFromPairs(d.select("doc_id"), pairs).count())
+      val model = ops.Text.lmTrain(d.filter(ops.Text.inTrainSplit()))
+      t("curation_e2e_lm")(ops.Text.curationE2eLm(d, model,
+        minAvgLogp = -12.0, maxUnseenFrac = 0.9, maxDupFrac = 0.9,
+        maxLowQualityFrac = 0.9, rates = Map("en" -> 0.5, "zh" -> 0.75)).count())
+
+      println(out.map {
+        case (k, v: String) => s""""$k":"$v""""
+        case (k, v) => s""""$k":$v"""
+      }.mkString("{", ",", "}"))
+    }
+    spark.stop()
+  }
+}
