@@ -1276,6 +1276,28 @@ af AS (
       WHERE CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) >= 0.5"""
     },
 
+    // mirrorable simhash: 60-bit md5 token hash ('0x'||hex cast — the
+    // DuckDB twin of Spark's conv(...,16,10)), weighted sign sums per bit,
+    // pack, then the O(n²) hamming self-join — equal to the blocked
+    // operator output by the block-invariance law (exact recall + exact
+    // verify at every block count)
+    "dedup_simhash" -> """
+      WITH p AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS w
+                 FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+                       FROM documents) t
+                 GROUP BY 1, 2),
+      h AS (SELECT doc_id, w, ('0x' || substr(md5(token), 1, 15))::BIGINT AS th FROM p),
+      bits AS (SELECT doc_id, b, SUM(CASE WHEN (th >> b) & 1 = 1 THEN w ELSE -w END) AS s
+               FROM h, UNNEST(range(0, 60)) AS u(b)
+               GROUP BY 1, 2),
+      fp AS (SELECT doc_id,
+                    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+             FROM bits GROUP BY 1)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
     "dedup_ngram_jaccard" -> """
       WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
       ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),

@@ -182,7 +182,10 @@ object SparkEntry {
     // is value-checked; the xxhash64 sketch aggregate stays the scale default
     "dedup_minhash_lsh" -> ((s, d) =>
       Text.dedupMinHashLshFrom(shingles(s, d), mirrorableHash = true)),
-    "dedup_simhash" -> ((s, d) => Text.dedupSimHash(Tables.documents(s, d))),
+    // mirrorable (md5) fingerprint; block-invariance lets the oracle
+    // value-check via a plain hamming self-join over the same fingerprints
+    "dedup_simhash" -> ((s, d) =>
+      Text.dedupSimHash(Tables.documents(s, d), mirrorableHash = true)),
     "tfidf_top_terms" -> ((s, d) => Text.tfidfTopTerms(Tables.documents(s, d))),
     "corpus_split" -> ((s, d) => Text.hashSplit(Tables.documents(s, d))),
     "corpus_cap" -> ((s, d) => Text.corpusCap(Tables.documents(s, d))),

@@ -1424,6 +1424,30 @@ object Text {
       .groupBy("doc_id")
       .agg(graft.functions.SketchAggs.simhash(col("token"), col("w")).as("simhash"))
 
+  /** Oracle-mirrorable SimHash twin (the md5 trick of
+    * [[winnowFingerprints]]/[[dedupMinHashLshFrom]] applied to the sign-sum
+    * sketch): the per-token hash is the first 15 md5 hex chars parsed as a
+    * 60-bit integer — `conv(substr(md5(t),1,15),16,10)` here,
+    * `('0x' || substr(md5(t),1,15))::BIGINT` in DuckDB, bit-identical — and
+    * bit b of the fingerprint is set iff Σ_tokens w·(±1 by hash bit b) > 0
+    * (ties → 0). Pipeline shape: postings → ×60 bit explode → combining
+    * groupBy(doc_id, bit) → pack. The 60× explode is the mirror's
+    * oracle-tier cost; the one-pass [[graft.functions.SketchAggs.SimHashAgg]]
+    * xxhash64 sketch stays the scale default. */
+  def simHashMirrorable(documents: DataFrame): DataFrame =
+    tokenPostings(documents)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
+      .select(col("doc_id"), col("w"),
+        expr("cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint)").as("th"))
+      .select(col("doc_id"), col("w"), col("th"),
+        explode(sequence(lit(0), lit(59))).as("bit"))
+      .withColumn("contrib",
+        when(expr("(shiftright(th, bit) & 1)") === 1, col("w")).otherwise(-col("w")))
+      .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), bit)"))
+        .otherwise(0L)).as("simhash"))
+
   /** SimHash near-dup blocking: split the 64 fingerprint bits into `blocks`
     * near-equal blocks. A pair within Hamming distance ≤ k differs in at most
     * k blocks, so it agrees on ≥ blocks−k of them — in particular on at least
@@ -1522,11 +1546,20 @@ object Text {
     * measured occupancy ([[simhashAdaptiveBlocks]]) — then verified with
     * bit_count(xor) ≤ maxHamming. The fingerprint frame is one row per doc,
     * checkpointed once and shared by the sizing trials and the final pair
-    * join. No oracle (hash-derived); naive-equivalence at every block count
-    * + linearity of the sizing policy are ScalaCheck laws. */
+    * join. Naive-equivalence at every block count + linearity of the
+    * sizing policy are ScalaCheck laws.
+    *
+    * `mirrorableHash = true` swaps in the md5 fingerprint
+    * ([[simHashMirrorable]]); because the output is block-count invariant
+    * (pigeonhole recall + exact hamming verify), the DuckDB oracle can
+    * value-check the declared query with a plain O(n²)
+    * `bit_count(xor) ≤ k` self-join over the same md5 fingerprints —
+    * no need to mirror the blocking at all. xxhash64 stays the scale
+    * default. */
   def dedupSimHash(documents: DataFrame, maxHamming: Int = 3,
-      maxPairsPerDoc: Int = 64): DataFrame = {
-    val sh = simHash(documents).localCheckpoint(true)
+      maxPairsPerDoc: Int = 64, mirrorableHash: Boolean = false): DataFrame = {
+    val sh = (if (mirrorableHash) simHashMirrorable(documents) else simHash(documents))
+      .localCheckpoint(true)
     val n = sh.count()
     simHashPairs(sh, simhashAdaptiveBlocks(sh, n, maxHamming, maxPairsPerDoc), maxHamming)
   }

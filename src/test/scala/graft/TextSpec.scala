@@ -45,6 +45,23 @@ class TextSpec extends SparkTestBase {
     assert(sh.filter(col("doc_a") >= col("doc_b")).count() == 0)
   }
 
+  test("mirrorable simhash: 60-bit fingerprints; blocked output equals brute-force hamming") {
+    val fp = Text.simHashMirrorable(docs).cache()
+    // fingerprints stay in [0, 2^60) — the conv/hex-cast mirror contract
+    assert(fp.filter(col("simhash") < 0 || col("simhash") >= (1L << 60)).count() == 0)
+    // the oracle's O(n²) hamming self-join over the SAME fingerprints must
+    // equal the blocked declared query (block-invariance, here end-to-end)
+    val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = q("dedup_simhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == brute,
+      s"blocked ≠ brute: extra=${blocked -- brute} missing=${brute -- blocked}")
+  }
+
   test("simhash adaptive blocking escalates under a tight candidate budget") {
     val sh = ops.Text.simHash(docs).localCheckpoint(true)
     val n = sh.count()
