@@ -127,6 +127,36 @@ object ScaleAnchors {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
 
+      // recall at scale: with cells ∝ n and CONSTANT nProbe, the probed
+      // corpus fraction shrinks 10× per step — this measures whether the
+      // nearest neighbors still live in the probed cells (data-adapted
+      // clustering keeps them there) or the fixed probe count must grow.
+      // Truth = brute-force cosine over a 200-query sample.
+      {
+        val queries = e.orderBy("vec_id").limit(200).localCheckpoint(true)
+        def pairs(df: DataFrame): Set[(Long, Long)] = df
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val truth = pairs(ops.Similarity.cosineTopK(e, maxQueries = 200))
+        val ivfR = pairs(ops.Similarity.ivfQuery(idx, queries))
+        val lshR = pairs(ops.Similarity.lshQuery(ops.Similarity.lshBuild(e), queries))
+        out("recall_ivf") = math.round(
+          ivfR.intersect(truth).size * 1000.0 / truth.size) / 1000.0
+        out("recall_lsh") = math.round(
+          lshR.intersect(truth).size * 1000.0 / truth.size) / 1000.0
+        // planted-pair recall: the RETRIEVAL TARGETS (cosine ≈ 1 jittered
+        // twins) — the number that must stay ~1.0 at any scale; the top-k
+        // recall above is diluted by weak uniform-noise "neighbors", the
+        // known worst case for any space partitioner
+        val planted = queries.filter(col("vec_id") % 10 === 1)
+          .select("vec_id").collect().map(_.getLong(0))
+          .map(id => (id, id - 1)).toSet
+        out("planted_ivf") = math.round(
+          ivfR.intersect(planted).size * 1000.0 / planted.size) / 1000.0
+        out("planted_lsh") = math.round(
+          lshR.intersect(planted).size * 1000.0 / planted.size) / 1000.0
+      }
+
       // text family
       t("passage_overlap")(ops.Text.passageOverlap(d).count())
       val drop = ops.Text.passageOverlapStats(d).head()

@@ -239,6 +239,18 @@ object Similarity {
     math.max(16L, math.min(want, cap)).toInt
   }
 
+  /** Probe count ∝ √cells (the standard IVF nprobe scaling): a CONSTANT
+    * probe count over occupancy-derived cells probes a 10×-shrinking
+    * corpus fraction per scale step and recall decays with it (measured in
+    * ScaleAnchors: 0.61 → 0.29 across a 10× step at fixed 4), while a
+    * constant FRACTION forfeits IVF's sub-linear query cost. √cells is the
+    * published middle ground: probed mass grows as √n · occupancy, recall
+    * decay flattens, and per-query cost stays o(n). Reproduces the pinned
+    * sf0.001 geometry exactly (16 cells → 4 probes), so the recall anchors
+    * carry over. */
+  private[graft] def probesFor(cells: Int): Int =
+    math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nCells` cells; each vector is indexed under exactly one
     * cell, and a query is scored only against the members of its `nProbe`
@@ -261,7 +273,7 @@ object Similarity {
     * unchanged. No DuckDB oracle (k-means cell ids are Spark-specific);
     * recall vs [[cosineTopK]] is asserted in ScalaTest. */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 0,
-      nProbe: Int = 4, fitMaxRows: Long = 100000L): DataFrame =
+      nProbe: Int = 0, fitMaxRows: Long = 100000L): DataFrame =
     ivfQuery(ivfBuild(embeddings, nCells, fitMaxRows), embeddings, k, nProbe)
 
   /** A built IVF index: the broadcastable centroid table plus the indexed
@@ -316,15 +328,21 @@ object Similarity {
     * members of its `nProbe` nearest cells. The query side is ANY
     * (vec_id, embedding) frame — the corpus itself for self-join ANN
     * ([[ivfTopK]]), or an external query batch against a standing index.
+    * `nProbe = 0` (the default) derives √cells probes ([[probesFor]]).
     *
     * The v·v term of the squared probe distance is constant per query and
     * cannot change the cell ordering, so it is dropped: one 64-dim dot
     * product per (query, cell) instead of two. */
   def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int = 5,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 0): DataFrame = {
     val q = ivfQueryFrame(queries)
-    ivfScore(index.vectors, q, ivfProbes(index, q, nProbe), k)
+    ivfScore(index.vectors, q, ivfProbes(index, q, resolveProbes(index, nProbe)), k)
   }
+
+  /** `nProbe = 0` → √cells ([[probesFor]]); the centroid table is
+    * nCells rows, so the count is a bounded metadata-scale job. */
+  private def resolveProbes(index: IvfIndex, nProbe: Int): Int =
+    if (nProbe > 0) nProbe else probesFor(index.centroids.count().toInt)
 
   private def ivfQueryFrame(queries: DataFrame): DataFrame =
     withNorms(queries)
@@ -396,11 +414,11 @@ object Similarity {
     * form ([[ivfTopK]]) probes every cell by construction, so it keeps
     * the unpruned [[ivfQuery]] plan. */
   def ivfQueryPruned(index: IvfIndex, queries: DataFrame, k: Int = 5,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 0): DataFrame = {
     val q = ivfQueryFrame(queries)
     // probes feed BOTH the cell collection and the candidate join;
     // checkpoint the (|queries|·nProbe)-row frame so probing runs once
-    val probes = ivfProbes(index, q, nProbe).localCheckpoint(true)
+    val probes = ivfProbes(index, q, resolveProbes(index, nProbe)).localCheckpoint(true)
     val cells = probes.select("cell").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
     ivfScore(index.vectors.filter(col("cell").isInCollection(cells)), q, probes, k)

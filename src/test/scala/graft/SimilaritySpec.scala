@@ -185,6 +185,13 @@ class SimilaritySpec extends SparkTestBase {
     assert(ops.Similarity.cellsFor(1000000000L, fitMax) == fitMax / 8L)
     assert(ops.Similarity.cellsFor(100000L, 800L) == 100,
       "cap uses min(n, fitMaxRows)/8")
+    // probe scaling: √cells, floor 4, reproduces the pinned geometry at the
+    // anchor operating point (16 cells → 4 probes) and grows with cells
+    assert(ops.Similarity.probesFor(16) == 4)
+    assert(ops.Similarity.probesFor(157) == 13)
+    assert(ops.Similarity.probesFor(12500) == 112)
+    val ps = cells.map(ops.Similarity.probesFor)
+    assert(ps == ps.sorted, "probes must be monotone in cells")
   }
 
   test("IVF index lifecycle: build once, query an external batch") {
