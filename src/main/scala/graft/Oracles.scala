@@ -1405,6 +1405,138 @@ af AS (
       FROM t, ev
       WHERE floor(CAST(list_dot_product(t.v, ev.v) / (t.nrm * ev.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.4""",
 
+    // mirrorable sign-LSH top-k: planes from the md5 grid formula (exact
+    // doubles on both engines), sign bits via the SAME ascending-index dot
+    // (list_dot_product ↔ the codegen DotProduct), buckets packed as
+    // Σ 2^b, candidates from per-table bucket collisions, then the q6
+    // cosine + top-k window of the brute-force oracle. bits mirrors the
+    // INTEGER bitsFor: smallest b in 4..24 with 2^b·64 ≥ n.
+    "similarity_lsh_topk" -> """
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      bitsv AS (SELECT coalesce(MIN(bb), 24) AS bits
+                FROM range(4, 25) rb(bb), nn WHERE (1::BIGINT << bb) * 64 >= n),
+      planes AS (
+        SELECT t, b, list(p ORDER BY d) AS plane
+        FROM (SELECT t.range AS t, b.range AS b, d.range AS d,
+                     ((('0x' || substr(md5('lsh:' || t.range || ':' || b.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(8) t, range(24) b, range(64) d, bitsv
+              WHERE b.range < bits) pp
+        GROUP BY 1, 2),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      buckets AS (
+        SELECT vec_id, t AS table_id,
+               CAST(SUM(CASE WHEN list_dot_product(v, plane) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+        FROM n, planes
+        GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      scored AS (SELECT cand.a, cand.b,
+                        floor(CAST(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+                 FROM cand
+                 JOIN n na ON na.vec_id = cand.a
+                 JOIN n nb ON nb.vec_id = cand.b),
+      directed AS (SELECT a AS query_id, b AS neighbor_id, cos_sim FROM scored
+                   UNION ALL SELECT b, a, cos_sim FROM scored)
+      SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+        FROM directed) t
+      WHERE rk <= 5""",
+
+    // mirrorable quantized top-k: md5-plane candidates (as above) scored
+    // through the int8 ADC tier — reconstruction collapses algebraically to
+    // vmin + scale·floor((x−vmin)/scale + 0.5) (the tinyint round-trip is
+    // lossless), dots run ascending-index on both engines, the raw-double
+    // approx_sim ordering is therefore bit-deterministic, and only the
+    // k·rerank survivors reach the q6 exact rerank — the SAME pipeline the
+    // Spark operator declares, value-checked end to end
+    "similarity_quantized_topk" -> """
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      bitsv AS (SELECT coalesce(MIN(bb), 24) AS bits
+                FROM range(4, 25) rb(bb), nn WHERE (1::BIGINT << bb) * 64 >= n),
+      planes AS (
+        SELECT t, b, list(p ORDER BY d) AS plane
+        FROM (SELECT t.range AS t, b.range AS b, d.range AS d,
+                     ((('0x' || substr(md5('lsh:' || t.range || ':' || b.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(8) t, range(24) b, range(64) d, bitsv
+              WHERE b.range < bits) pp
+        GROUP BY 1, 2),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      buckets AS (
+        SELECT vec_id, t AS table_id,
+               CAST(SUM(CASE WHEN list_dot_product(v, plane) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+        FROM n, planes
+        GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      directed AS (SELECT a AS query_id, b AS neighbor_id FROM cand
+                   UNION ALL SELECT b, a FROM cand),
+      recon AS (
+        SELECT vec_id, list(rx ORDER BY ord) AS rv
+        FROM (SELECT vec_id, ord,
+                     CASE WHEN scale = 0 THEN vmin
+                          ELSE vmin + scale * floor((CAST(embedding[ord] AS DOUBLE) - vmin) / scale + 0.5) END AS rx
+              FROM (SELECT vec_id, embedding,
+                           CAST(list_min(embedding) AS DOUBLE) AS vmin,
+                           (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale,
+                           UNNEST(generate_series(1, len(embedding))) AS ord
+                    FROM embeddings) t) r
+        GROUP BY 1),
+      reconn AS (SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS rnorm
+                 FROM recon WHERE list_dot_product(rv, rv) > 0),
+      approx AS (SELECT d.query_id, d.neighbor_id,
+                        list_dot_product(q.v, r.rv) / (q.nrm * r.rnorm) AS approx_sim
+                 FROM directed d
+                 JOIN n q ON q.vec_id = d.query_id
+                 JOIN reconn r ON r.vec_id = d.neighbor_id),
+      surv AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id) AS ar
+                 FROM approx) s
+               WHERE ar <= 15),
+      scored AS (SELECT s.query_id, s.neighbor_id,
+                        floor(CAST(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+                 FROM surv s
+                 JOIN n q ON q.vec_id = s.query_id
+                 JOIN n c ON c.vec_id = s.neighbor_id)
+      SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+        FROM scored) t
+      WHERE rk <= 5""",
+
+    // mirrorable LSH embedding near-dup: same md5-plane candidate pass,
+    // verified at the q6 cosine threshold (embedding_near_dup's exact
+    // all-pairs twin restricted to bucket-colliding candidates)
+    "embedding_near_dup_lsh" -> """
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      bitsv AS (SELECT coalesce(MIN(bb), 24) AS bits
+                FROM range(4, 25) rb(bb), nn WHERE (1::BIGINT << bb) * 64 >= n),
+      planes AS (
+        SELECT t, b, list(p ORDER BY d) AS plane
+        FROM (SELECT t.range AS t, b.range AS b, d.range AS d,
+                     ((('0x' || substr(md5('lsh:' || t.range || ':' || b.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(8) t, range(24) b, range(64) d, bitsv
+              WHERE b.range < bits) pp
+        GROUP BY 1, 2),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      buckets AS (
+        SELECT vec_id, t AS table_id,
+               CAST(SUM(CASE WHEN list_dot_product(v, plane) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+        FROM n, planes
+        GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+      SELECT cand.a AS vec_a, cand.b AS vec_b,
+             floor(CAST(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+      FROM cand
+      JOIN n na ON na.vec_id = cand.a
+      JOIN n nb ON nb.vec_id = cand.b
+      WHERE floor(CAST(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.4""",
+
     "embedding_near_dup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0)

@@ -265,9 +265,10 @@ object SparkEntry {
     "similarity_bruteforce_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "quantize_embeddings" -> ((s, d) => Similarity.quantizeEmbeddings(Tables.embeddings(s, d))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
-    // int8 ADC + exact rerank over LSH candidates (rows-only: hyperplane
-    // buckets are Spark-specific; recall + error-bound laws in SimilaritySpec)
-    "similarity_quantized_topk" -> ((s, d) => Similarity.quantTopK(Tables.embeddings(s, d))),
+    // int8 ADC + exact rerank over md5-plane LSH candidates — the full
+    // candidates→ADC→survivors→rerank pipeline is DuckDB-value-checked
+    "similarity_quantized_topk" -> ((s, d) =>
+      Similarity.quantTopK(Tables.embeddings(s, d), mirrorableHash = true)),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
     // SemDeDup: cluster-free exact twin is oracled; the clustered form is
     // rows-only (k-means cells) with containment/witness laws in SimilaritySpec
@@ -275,8 +276,13 @@ object SparkEntry {
       Similarity.semDeDupExact(Tables.embeddings(s, d), threshold = 0.4)),
     "semdedup" -> ((s, d) =>
       Similarity.semDeDup(Tables.embeddings(s, d), threshold = 0.4)),
-    "similarity_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
-    "embedding_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, d))),
+    // mirrorable (md5-literal) hyperplanes: the oracle reproduces buckets,
+    // candidate set, and q6 cosines exactly; xxhash64 fused bucketing stays
+    // the scale default (index lifecycle, quantized tier)
+    "similarity_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), mirrorableHash = true)),
+    "embedding_near_dup_lsh" -> ((s, d) =>
+      Similarity.embeddingNearDupLsh(Tables.embeddings(s, d), mirrorableHash = true)),
     "similarity_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
 
     // ---- multimodal (north star; stub decode, real plumbing)

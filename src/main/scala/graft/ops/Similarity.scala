@@ -214,9 +214,11 @@ object Similarity {
     * LINEAR in corpus size (occupancy constant ⇒ candidates ≈ n·occupancy
     * per table regardless of n). At sf0.1 (n=2000) this gives 5 bits / 32
     * buckets; at a 10⁹-row corpus it gives 24 bits — no re-tuning needed. */
-  private def bitsFor(n: Long, targetOccupancy: Int): Int =
-    math.min(24, math.max(4,
-      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt))
+  private[graft] def bitsFor(n: Long, targetOccupancy: Int): Int =
+    // integer form of clamp(4, ceil(log2(n/occupancy)), 24): smallest b with
+    // 2^b·occupancy ≥ n — exactly mirrorable in SQL (no float log to
+    // disagree at power-of-two boundaries)
+    (4 to 24).find(b => (1L << b) * targetOccupancy >= n).getOrElse(24)
 
   /** Expected per-cell occupancy the derived IVF/SemDeDup cell count aims
     * for — the k-means analog of [[bitsFor]]'s bucket occupancy. 128 keeps
@@ -424,6 +426,38 @@ object Similarity {
     ivfScore(index.vectors.filter(col("cell").isInCollection(cells)), q, probes, k)
   }
 
+  /** md5-derived hyperplane component — the oracle-mirrorable plane source
+    * (the winnow/minhash/simhash md5 trick applied to the hyperplane
+    * family): bit-identical to DuckDB's
+    * `((('0x' || substr(md5('lsh:t:b:d'),1,15))::BIGINT % 2001) - 1000) / 1000.0`.
+    * Values are an integer grid ÷ 1000.0, so both engines hold the exact
+    * same doubles; the plane DOT then runs ascending-index on both sides
+    * ([[graft.functions.DotProduct]] ↔ `list_dot_product`), making even
+    * the sign test (`> 0`) bit-deterministic across engines. */
+  private[graft] def mirrorablePlaneVal(t: Int, b: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"lsh:$t:$b:$d".getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString.substring(0, 15)
+    ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+  }
+
+  /** Mirrorable twin of [[graft.functions.LshExprs.signLshBuckets]]: the
+    * same array-of-table-buckets shape, but planes come from
+    * [[mirrorablePlaneVal]] literals and each sign bit is one codegen
+    * [[graft.functions.DotProduct]] against a `typedLit` plane — tables×bits
+    * dot products per row, fine at oracle/bench scale (the fused xxhash64
+    * expression stays the scale default). */
+  private def mirrorableBuckets(v: Column, tables: Int, bits: Int,
+      dim: Int): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    array((0 until tables).map { t =>
+      (0 until bits).map { b =>
+        val plane = (0 until dim).map(d => mirrorablePlaneVal(t, b, d))
+        when(dotd(v, typedLit(plane)) > 0.0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   /** Sign-LSH candidate id-pairs: the shared candidate generator of
     * [[lshTopK]] and [[embeddingNearDupLsh]]. Returns undirected (a < b)
     * pairs colliding in ≥1 of `tables` hash tables, deduped WITHOUT any
@@ -432,12 +466,16 @@ object Similarity {
     * ([[graft.functions.SignLshBuckets]]) — a fused tables×bits×dim loop
     * against a shipped-once plane matrix, replacing the tables×bits
     * independent dot-product trees whose codegen class cost multi-second
-    * compiles on first touch. */
+    * compiles on first touch. `mirrorable = true` swaps in the md5 plane
+    * literals ([[mirrorableBuckets]]) so a DuckDB oracle reproduces the
+    * buckets — and therefore the candidate set — exactly. */
   private def lshCandidates(e: DataFrame, n: Long, dim: Int, tables: Int,
-      targetOccupancy: Int): DataFrame = {
+      targetOccupancy: Int, mirrorable: Boolean = false): DataFrame = {
     val bits = bitsFor(n, targetOccupancy)
-    val bucketed = e.select(col("vec_id"),
-        posexplode(graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)))
+    val bucketExpr =
+      if (mirrorable) mirrorableBuckets(col("v"), tables, bits, dim)
+      else graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)
+    val bucketed = e.select(col("vec_id"), posexplode(bucketExpr))
       .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket"))
     bucketed.as("x").join(bucketed.as("y"),
         col("x.table_id") === col("y.table_id") &&
@@ -457,10 +495,11 @@ object Similarity {
     * asserted in ScalaTest. No DuckDB oracle (hyperplanes are
     * Spark-specific). */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.4,
-      tables: Int = 8, targetOccupancy: Int = 64): DataFrame = {
+      tables: Int = 8, targetOccupancy: Int = 64,
+      mirrorableHash: Boolean = false): DataFrame = {
     val e = withNorms(embeddings)
     val (n, dim) = corpusDims(embeddings)
-    lshCandidates(e, n, dim, tables, targetOccupancy)
+    lshCandidates(e, n, dim, tables, targetOccupancy, mirrorableHash)
       .join(e.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("v").as("bv"), col("norm").as("bn")), Seq("b"))
       .select(col("a").as("vec_a"), col("b").as("vec_b"),
@@ -720,13 +759,22 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    quantScoreDirected(cand, q, index.codes, index.vectors, k, rerankFactor)
+  }
+
+  /** The ADC + exact-rerank tier over DIRECTED (query_id, neighbor_id)
+    * candidate pairs — shared by the index path ([[quantQuery]]) and the
+    * mirrorable self-join form of [[quantTopK]]. */
+  private def quantScoreDirected(cand: DataFrame, q: DataFrame,
+      codesFrame: DataFrame, vectors: DataFrame, k: Int,
+      rerankFactor: Int): DataFrame = {
     // asymmetric-distance tier: reconstruct each candidate vector from its
     // int8 codes ONCE (linear in distinct candidates), then codegen dot.
     // The query side is already zero-norm-free (withNorms filters the
     // whole cosine family); RECONSTRUCTED vectors get their own guard —
     // reconstruction is a different vector, and a NaN approx score would
     // sort first and crowd real candidates out of the survivor set.
-    val recon = index.codes.select(col("vec_id").as("neighbor_id"),
+    val recon = codesFrame.select(col("vec_id").as("neighbor_id"),
         transform(col("codes"), c =>
           col("vmin") + col("scale") * (c.cast("double") + lit(128.0))).as("rv"))
       .withColumn("rnorm", sqrt(dotd(col("rv"), col("rv"))))
@@ -743,7 +791,7 @@ object Similarity {
     // exact rerank: full-precision vectors touched only for survivors
     val scored = survivors
       .join(q, Seq("query_id"))
-      .join(index.vectors.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         col("norm").as("cn")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
@@ -755,21 +803,40 @@ object Similarity {
 
   /** Self-join quantized ANN over the corpus — same output contract as
     * [[cosineTopK]]/[[lshTopK]]; recall vs the exact baseline is asserted
-    * in ScalaTest. No DuckDB oracle (LSH hyperplanes are Spark-specific). */
+    * in ScalaTest. `mirrorableHash = true` generates candidates with the
+    * md5-literal planes; because the ADC tier is deterministic IEEE
+    * arithmetic over oracled int8 codes and the dots run ascending-index
+    * on both engines, the ENTIRE candidates→ADC→survivors→rerank pipeline
+    * is then DuckDB-value-checked (the declared query's mode; xxhash64
+    * stays the index-lifecycle default). */
   def quantTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 8,
       targetOccupancy: Int = 64, levels: Int = 256,
-      rerankFactor: Int = 3): DataFrame =
-    quantQuery(quantBuild(embeddings, tables, targetOccupancy, levels),
-      embeddings, k, rerankFactor)
+      rerankFactor: Int = 3, mirrorableHash: Boolean = false): DataFrame =
+    if (!mirrorableHash)
+      quantQuery(quantBuild(embeddings, tables, targetOccupancy, levels),
+        embeddings, k, rerankFactor)
+    else {
+      val e = withNorms(embeddings)
+      val (n, dim) = corpusDims(embeddings)
+      val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+      // undirected md5-plane candidates mirrored to both directions with
+      // ONE explode (the lshTopK discipline)
+      val cand = lshCandidates(e, n, dim, tables, targetOccupancy, mirrorable = true)
+        .select(explode(array(
+          struct(col("a").as("query_id"), col("b").as("neighbor_id")),
+          struct(col("b").as("query_id"), col("a").as("neighbor_id")))).as("p"))
+        .select(col("p.query_id"), col("p.neighbor_id"))
+      quantScoreDirected(cand, q, quantizeVectors(embeddings, levels), e, k, rerankFactor)
+    }
 
   def lshTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 8,
-      targetOccupancy: Int = 64): DataFrame = {
+      targetOccupancy: Int = 64, mirrorableHash: Boolean = false): DataFrame = {
     val e = withNorms(embeddings)
     val (n, dim) = corpusDims(embeddings)
     // candidate UNDIRECTED id-pairs, deduped across tables with no payload;
     // vectors re-joined ONCE per surviving pair, scored, mirrored to both
     // directions for per-query top-k
-    val scored = lshCandidates(e, n, dim, tables, targetOccupancy)
+    val scored = lshCandidates(e, n, dim, tables, targetOccupancy, mirrorableHash)
       .join(e.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("v").as("bv"), col("norm").as("bn")), Seq("b"))
       .select(col("a"), col("b"),

@@ -14,14 +14,14 @@ package graft
   * is intended to shift the recall/cost trade-off.
   */
 object RecallAnchors {
-  /** sign-LSH top-k vs brute-force truth (measured 0.682). */
+  /** sign-LSH top-k vs brute-force truth (r9 declared query = md5 mirror planes, measured 0.700; xxhash64 family measured 0.682). */
   val lshTopK = 0.64
   /** IVF (k-means, nProbe) top-k vs brute-force truth (measured 0.632). */
   val ivfTopK = 0.58
-  /** int8 ADC + exact-rerank top-k vs brute-force truth (measured 0.682). */
+  /** int8 ADC + exact-rerank top-k vs brute-force truth (r9 declared query = md5 mirror planes, measured 0.700). */
   val quantTopK = 0.64
   /** LSH-pruned semantic decontamination vs exact form (measured 0.667). */
   val semanticDecon = 0.66
-  /** LSH embedding near-dup pairs vs exact near-dup (measured 0.757). */
+  /** LSH embedding near-dup pairs vs exact near-dup (r9 declared query = md5 mirror planes, measured 0.803; xxhash64 family measured 0.757). */
   val embeddingNearDup = 0.72
 }

@@ -72,6 +72,9 @@ class SimilaritySpec extends SparkTestBase {
     // same candidate generator + exact rerank ⇒ the int8 tier should almost
     // never change the final top-k vs full-precision LSH (rerankFactor=3
     // absorbs the ≤scale/2-per-dim approx-score noise)
+    // same-hash-family comparison: BOTH declared queries run the md5
+    // mirror planes, so the candidate sets coincide and only the int8
+    // tier can move the final top-k
     val lsh = pairs("similarity_lsh_topk")
     val agree = quant.intersect(lsh).size.toDouble / lsh.size
     info(s"quantized vs lsh agreement = $agree")
@@ -216,10 +219,11 @@ class SimilaritySpec extends SparkTestBase {
     // excluded but collide with its own bucket cohort — results non-empty
     assert(res.count() > 0)
     // self-consistency: querying the corpus with itself through the index
-    // path reproduces the self-join operator's pairs at rank 1
+    // path reproduces the self-join operator's pairs at rank 1 (same
+    // xxhash64 family — the DECLARED query runs the md5 mirror planes)
     val viaIndex = ops.Similarity.lshQuery(idx, emb, k = 5)
       .filter(col("rk") === 1).select("query_id", "neighbor_id").collect().toSet
-    val viaSelf = q("similarity_lsh_topk")
+    val viaSelf = ops.Similarity.lshTopK(emb)
       .filter(col("rk") === 1).select("query_id", "neighbor_id").collect().toSet
     assert(viaIndex == viaSelf, "index-path LSH diverges from self-join LSH")
   }
