@@ -353,8 +353,10 @@ object StreamDemo {
     * directories with OVERWRITE — a failed-and-replayed micro-batch
     * rewrites its own partitions instead of appending duplicates, making
     * the foreachBatch leg effectively exactly-once (admission is
-    * deterministic given the store, and the store a replayed batch sees
-    * excludes its own partitions until it commits). */
+    * deterministic given the store, and a batch reads only partitions
+    * with a LOWER batch_id — its own half-written state and any stale
+    * higher-id partitions from a crashed prior run are both excluded,
+    * the ReportStore ordering rule). */
   def streamNearDupDocs(spark: SparkSession, docsDir: String, outDir: String,
       storeDir: String, checkpointDir: String,
       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
