@@ -171,6 +171,73 @@ af AS (
 
   private val rollIds = "player_id, player_name, team_name, game_id, line_id, game_date, minutes"
 
+  // Moore-Lewis contrastive scoring (shared by contrast_score and
+  // contrast_select): the lm_score model CTEs instantiated twice — the
+  // in-domain model counted from the trusted seed sources, the background
+  // model from the train hash-split — then ONE pass over every doc's
+  // bigram stream computes both q6 log-probabilities per position.
+  private val contrastScoreSql: String = """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                  FROM documents),
+      ref_in AS (SELECT tk.* FROM tk JOIN documents d USING (doc_id)
+                 WHERE d.source IN ('src0','src1','src2','src3')),
+      ref_bg AS (SELECT * FROM tk
+                 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+      uni_in AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+                 FROM (SELECT unnest(t) AS token FROM ref_in) p GROUP BY token),
+      tot_in AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS lm_n,
+                        CAST(COUNT(*) AS BIGINT) AS lm_v FROM uni_in),
+      bi_in AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_bi
+                FROM (SELECT t[i] AS prev, t[i+1] AS cur
+                      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                            FROM ref_in WHERE len(t) >= 2) g) b
+                GROUP BY prev, cur),
+      uni_bg AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+                 FROM (SELECT unnest(t) AS token FROM ref_bg) p GROUP BY token),
+      tot_bg AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS lm_n,
+                        CAST(COUNT(*) AS BIGINT) AS lm_v FROM uni_bg),
+      bi_bg AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_bi
+                FROM (SELECT t[i] AS prev, t[i+1] AS cur
+                      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                            FROM ref_bg WHERE len(t) >= 2) g) b
+                GROUP BY prev, cur),
+      pos AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM tk WHERE len(t) >= 2) g),
+      scored AS (
+        SELECT pos.doc_id,
+               floor(ln(
+                   0.5 * (CASE WHEN COALESCE(upi.c_uni, 0) > 0
+                               THEN CAST(COALESCE(bii.c_bi, 0) AS DOUBLE) / upi.c_uni
+                               ELSE 0.0 END)
+                 + 0.5 * CAST(COALESCE(uci.c_uni, 0) + 1 AS DOUBLE)
+                       / (tot_in.lm_n + tot_in.lm_v)
+               ) * 1000000.0 + 0.5) / 1000000.0 AS q_in,
+               floor(ln(
+                   0.5 * (CASE WHEN COALESCE(upb.c_uni, 0) > 0
+                               THEN CAST(COALESCE(bib.c_bi, 0) AS DOUBLE) / upb.c_uni
+                               ELSE 0.0 END)
+                 + 0.5 * CAST(COALESCE(ucb.c_uni, 0) + 1 AS DOUBLE)
+                       / (tot_bg.lm_n + tot_bg.lm_v)
+               ) * 1000000.0 + 0.5) / 1000000.0 AS q_bg
+        FROM pos LEFT JOIN bi_in bii ON pos.prev = bii.prev AND pos.cur = bii.cur
+                 LEFT JOIN uni_in upi ON pos.prev = upi.token
+                 LEFT JOIN uni_in uci ON pos.cur = uci.token
+                 LEFT JOIN bi_bg bib ON pos.prev = bib.prev AND pos.cur = bib.cur
+                 LEFT JOIN uni_bg upb ON pos.prev = upb.token
+                 LEFT JOIN uni_bg ucb ON pos.cur = ucb.token
+                 CROSS JOIN tot_in CROSS JOIN tot_bg),
+      ctr AS (SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(CAST(SUM(CAST(q_in AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(q_in) AS avg_logp_in,
+                     CAST(CAST(SUM(CAST(q_bg AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(q_bg) AS avg_logp_bg
+              FROM scored GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, avg_logp_in, avg_logp_bg,
+             avg_logp_in - avg_logp_bg AS ce_diff
+      FROM ctr"""
+
   val sql: Map[String, String] = Map(
     // ---- ingestion / scans
     "scan_filter_recent" -> withPipe(
@@ -903,6 +970,70 @@ af AS (
                          CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
                   FROM documents) t
             WHERE n_tokens > 0) g""",
+
+    // closed-form NB log-odds classifier, trained on the trusted seed
+    // sources: per-token w = [ln(c_pos+1)-ln(N_pos+V)] - [ln(c_neg+1)-
+    // ln(N_neg+V)], q6-quantized (the lm_score ln discipline). One
+    // conditional-sum groupBy mirrors Spark's single-pass train.
+    "classifier_weights" -> """
+      WITH p AS (SELECT source IN ('src0','src1','src2','src3') AS is_pos,
+                        unnest(regexp_split_to_array(text, '\s+')) AS token
+                 FROM documents),
+      counts AS (SELECT token,
+                        CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                        CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+                 FROM p GROUP BY token),
+      tot AS (SELECT CAST(SUM(c_pos) + COUNT(*) AS BIGINT) AS np_v,
+                     CAST(SUM(c_neg) + COUNT(*) AS BIGINT) AS nn_v FROM counts)
+      SELECT token, c_pos, c_neg,
+             floor(((ln(c_pos + 1) - ln(np_v)) - (ln(c_neg + 1) - ln(nn_v)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS weight
+      FROM counts CROSS JOIN tot""",
+
+    // per-doc classifier scores: postings left-join the weight table;
+    // out-of-vocabulary tokens take the c=0 smoothing floor ln(nn_v) -
+    // ln(np_v). Weights sit on the q6 grid, so the mean is a direct
+    // DECIMAL(28,10) sum (no re-quantization), matching Text.nbScoreWith.
+    "quality_classifier" -> """
+      WITH p AS (SELECT source IN ('src0','src1','src2','src3') AS is_pos,
+                        unnest(regexp_split_to_array(text, '\s+')) AS token
+                 FROM documents),
+      counts AS (SELECT token,
+                        CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                        CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+                 FROM p GROUP BY token),
+      tot AS (SELECT CAST(SUM(c_pos) + COUNT(*) AS BIGINT) AS np_v,
+                     CAST(SUM(c_neg) + COUNT(*) AS BIGINT) AS nn_v FROM counts),
+      weights AS (SELECT token,
+                         floor(((ln(c_pos + 1) - ln(np_v)) - (ln(c_neg + 1) - ln(nn_v)))
+                               * 1000000.0 + 0.5) / 1000000.0 AS weight
+                  FROM counts CROSS JOIN tot),
+      floor_w AS (SELECT floor((ln(nn_v) - ln(np_v)) * 1000000.0 + 0.5)
+                         / 1000000.0 AS w0 FROM tot),
+      tk AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+             FROM documents),
+      scored AS (SELECT tk.doc_id, COALESCE(w.weight, f.w0) AS w
+                 FROM tk LEFT JOIN weights w USING (token) CROSS JOIN floor_w f),
+      agg AS (SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(CAST(SUM(CAST(w AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(w) AS mean_logodds
+              FROM scored GROUP BY doc_id)
+      SELECT doc_id, n_tokens, mean_logodds,
+             CAST(CASE WHEN mean_logodds >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS label
+      FROM agg""",
+
+    // Moore-Lewis cross-entropy difference: the lm_score model CTEs built
+    // twice — in-domain from the trusted sources, background from the
+    // train hash-split — scoring every doc's bigram stream once under
+    // both; ce_diff is one IEEE subtraction of the two decimal-exact means
+    "contrast_score" -> contrastScoreSql,
+
+    "contrast_select" -> ("""
+      WITH scores AS (""" + contrastScoreSql + """)
+      SELECT d.doc_id, d.lang, d.source, d.n_chars, s.ce_diff
+      FROM documents d JOIN scores s USING (doc_id)
+      WHERE s.ce_diff >= 0.0"""),
 
     // interpolated bigram LM scoring: model counted from the train
     // hash-split (same md5 bucket as corpus_split), scoring every doc.

@@ -67,8 +67,34 @@ object SparkEntry {
     lmModelCache.getOrElseUpdate(d,
       Text.lmTrain(Tables.documents(s, d).filter(Text.inTrainSplit())))
 
-  /** Drop memoized per-directory models (BPE merges, LM counts). */
-  def clearModelCaches(): Unit = { bpeMergesCache.clear(); lmModelCache.clear() }
+  // Seed sources for the classifier/contrastive-selection queries: the
+  // "trusted editorial corpus" stand-in (GPT-3's WebText-like positive
+  // class; Moore-Lewis' in-domain corpus). Any fixed subset works — the
+  // operators are source-set-parameterized; the declared queries pin one.
+  private val trustedSources = Seq("src0", "src1", "src2", "src3")
+
+  // Closed-form NB classifier weights + the in-domain contrast LM are,
+  // like bpeMerges/lmModel above, deterministic pure functions of the
+  // corpus directory — memoized so bench loops train once (same PATH-keyed
+  // staleness caveat as the caches above).
+  private val nbModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Text.NbModel]
+  private def nbModel(s: SparkSession, d: String): Text.NbModel =
+    nbModelCache.getOrElseUpdate(d, Text.nbTrain(Tables.documents(s, d),
+      org.apache.spark.sql.functions.col("source").isin(trustedSources: _*)))
+
+  private val inLmCache =
+    scala.collection.concurrent.TrieMap.empty[String, Text.LmModel]
+  private def inLm(s: SparkSession, d: String): Text.LmModel =
+    inLmCache.getOrElseUpdate(d, Text.lmTrain(Tables.documents(s, d)
+      .filter(org.apache.spark.sql.functions.col("source").isin(trustedSources: _*))))
+
+  /** Drop memoized per-directory models (BPE merges, LM counts, classifier
+    * weights, in-domain contrast LM). */
+  def clearModelCaches(): Unit = {
+    bpeMergesCache.clear(); lmModelCache.clear()
+    nbModelCache.clear(); inLmCache.clear()
+  }
 
   /** Build + materialize every shared pipeline stage. The bench calls this
     * BEFORE its timing loop so the one-time stage cost is metered as its own
@@ -199,6 +225,18 @@ object SparkEntry {
     // applied as a filter so no join is needed)
     "lm_score" -> ((s, d) =>
       Text.lmScoreWith(lmModel(s, d), Tables.documents(s, d))),
+    // closed-form NB log-odds classifier seeded on the trusted sources:
+    // the full weight table, the per-doc scores, and nothing hidden —
+    // both DuckDB-mirrored (training is a deterministic aggregation)
+    "classifier_weights" -> ((s, d) => nbModel(s, d).weights),
+    "quality_classifier" -> ((s, d) =>
+      Text.nbScoreWith(nbModel(s, d), Tables.documents(s, d))),
+    // Moore-Lewis cross-entropy difference: in-domain LM (trusted sources)
+    // vs the train-split background LM, scored in one bigram pass
+    "contrast_score" -> ((s, d) =>
+      Text.lmContrastWith(inLm(s, d), lmModel(s, d), Tables.documents(s, d))),
+    "contrast_select" -> ((s, d) =>
+      Text.contrastSelect(Tables.documents(s, d), inLm(s, d), lmModel(s, d))),
     "source_divergence" -> ((s, d) => Text.sourceDivergence(Tables.documents(s, d))),
     "dedup_lines" -> ((s, d) => Text.dedupLines(Tables.documents(s, d))),
     "source_report" -> ((s, d) => Text.sourceReport(Tables.documents(s, d))),

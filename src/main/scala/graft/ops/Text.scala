@@ -1186,6 +1186,168 @@ object Text {
         "avg_logp")
   }
 
+  // -------------------------------------------------------------------------
+  // Linear quality classifier (fastText-style seed-source gate)
+  // -------------------------------------------------------------------------
+
+  /** A trained token log-odds classifier: the vocabulary-sized weight table
+    * plus the one-row smoothing totals, both materialized ([[LmModel]]'s
+    * train-once/score-many lifecycle). `vocabBroadcastable` is the measured
+    * broadcast decision for the scoring join, same discipline as lmTrain. */
+  case class NbModel(weights: DataFrame, totals: DataFrame,
+      vocabBroadcastable: Boolean)
+
+  /** Train the seed-source quality classifier — the GPT-3/LLaMA-class
+    * "does this page look like the trusted reference corpus?" gate,
+    * expressed as a multinomial Naive-Bayes log-odds model (the linear
+    * bag-of-tokens family fastText belongs to), which unlike an LBFGS fit
+    * is a CLOSED-FORM aggregation: deterministic on any cluster, any
+    * partitioning, any round — and therefore DuckDB-oracle-able end to end.
+    *
+    * `positive` marks the seed class (canonically: docs from trusted
+    * editorial sources; everything else is the background class). Per
+    * vocabulary token, with add-one smoothing over the shared vocabulary V:
+    *   w(t) = [ln(c_pos(t)+1) − ln(N_pos+V)] − [ln(c_neg(t)+1) − ln(N_neg+V)]
+    * quantized to the 1e-6 grid ([[graft.functions.Exact.q6]]) so sums over
+    * weights are order-independent in both engines. A token unseen in
+    * training gets the same formula at c=0 (computed in-plan from the
+    * totals row at score time — no driver-side scalar).
+    *
+    * Scale shape: ONE combining groupBy over the token postings with
+    * conditional sums (not one pass per class), a one-row totals aggregate,
+    * and a vocabulary-sized broadcast-or-shuffle decision measured from the
+    * materialized result. Model size scales with VOCABULARY, not corpus. */
+  def nbTrain(documents: DataFrame, positive: Column): NbModel = {
+    val counts = documents
+      .select(positive.as("is_pos"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(
+        sum(when(col("is_pos"), lit(1L)).otherwise(lit(0L))).as("c_pos"),
+        sum(when(col("is_pos"), lit(0L)).otherwise(lit(1L))).as("c_neg"))
+      .localCheckpoint(true)
+    // N_pos+V / N_neg+V — the smoothed denominators, kept as a one-row
+    // frame so the unseen-token weight computes in-plan at score time
+    val totals = counts.agg(
+        (sum("c_pos") + count(lit(1))).as("np_v"),
+        (sum("c_neg") + count(lit(1))).as("nn_v"))
+      .localCheckpoint(true)
+    val weights = counts.crossJoin(broadcast(totals))
+      .withColumn("weight", q6(
+        (log(col("c_pos") + lit(1L)) - log(col("np_v")))
+          - (log(col("c_neg") + lit(1L)) - log(col("nn_v")))))
+      .select("token", "c_pos", "c_neg", "weight")
+      .localCheckpoint(true)
+    NbModel(weights, totals, weights.count() <= 5000000L)
+  }
+
+  /** Score `target` under a trained [[NbModel]]: per doc the token count,
+    * the length-normalized mean log-odds (positive ⇒ looks like the seed
+    * class), and the hard 0/1 label at the zero threshold. Tokens outside
+    * the training vocabulary score through the smoothing floor
+    * w0 = ln(nn_v) − ln(np_v) (the c=0 weight), so every token contributes
+    * and a doc of pure novel tokens gets exactly w0 — the class-size
+    * prior, not an arbitrary zero.
+    *
+    * Scale shape: postings ⋈ weights keyed on token (broadcast when the
+    * measured vocabulary fits), one-row floor broadcast, one doc_id
+    * aggregation. Weights sit on the q6 grid, so the decimal sum is
+    * order-independent and bit-exact vs the oracle. */
+  def nbScoreWith(model: NbModel, target: DataFrame): DataFrame = {
+    def hint(df: DataFrame): DataFrame =
+      if (model.vocabBroadcastable) broadcast(df) else df
+    val floorW = model.totals.select(
+      q6(log(col("nn_v")) - log(col("np_v"))).as("w0"))
+    tokenPostings(target)
+      .join(hint(model.weights.select("token", "weight")), Seq("token"), "left")
+      .crossJoin(broadcast(floorW))
+      .withColumn("w", coalesce(col("weight"), col("w0")))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        // weights are already on the q6 grid — decimal-sum them directly
+        // (the oracle's exact textual form) instead of re-quantizing
+        (sum(col("w").cast(graft.functions.Exact.DecQ)).cast("double")
+          / count(col("w"))).as("mean_logodds"))
+      .withColumn("label", (col("mean_logodds") >= 0.0).cast("long"))
+      .select("doc_id", "n_tokens", "mean_logodds", "label")
+  }
+
+  /** Classifier gate: keep documents scoring at least `minScore` under the
+    * model — the enforcement form ([[lmGate]]'s shape: score → threshold →
+    * doc_id left-semi join back to the full payload). */
+  def nbFilter(documents: DataFrame, model: NbModel,
+      minScore: Double = 0.0): DataFrame = {
+    val ok = nbScoreWith(model, documents)
+      .filter(col("mean_logodds") >= minScore).select("doc_id")
+    documents.join(ok, Seq("doc_id"), "left_semi")
+  }
+
+  // -------------------------------------------------------------------------
+  // Contrastive data selection (Moore-Lewis cross-entropy difference)
+  // -------------------------------------------------------------------------
+
+  /** Moore-Lewis contrastive scoring (Intelligent Selection of Language
+    * Model Training Data, ACL 2010 — the selection rule DSIR generalizes):
+    * score every document under an IN-DOMAIN LM and a BACKGROUND LM and
+    * rank by the cross-entropy difference
+    *   ce_diff = avg ln p_in − avg ln p_bg
+    * (positive ⇒ the doc looks more like the target domain than like the
+    * general corpus — the classic "select web text that reads like the
+    * curated reference" filter).
+    *
+    * Both models are [[LmModel]]s scored with [[lmScoreWith]] semantics,
+    * but in ONE pass: the target's bigram stream is exploded once and
+    * joined against both models' count tables (each side broadcast when
+    * its measured vocabulary fits), so the dominant cost — tokenize +
+    * explode + doc_id aggregation — is paid once, not per model. Per-doc
+    * means are decimal-summed q6 log-probabilities (order-independent);
+    * ce_diff is one IEEE subtraction of two bit-deterministic doubles, so
+    * the whole score — and any threshold on it — mirrors exactly in the
+    * oracle. */
+  def lmContrastWith(inModel: LmModel, bgModel: LmModel, target: DataFrame,
+      lam: Double = 0.5): DataFrame = {
+    def hint(m: LmModel)(df: DataFrame): DataFrame =
+      if (m.vocabBroadcastable) broadcast(df) else df
+    def totalsOf(m: LmModel, n: String, v: String): DataFrame =
+      m.uni.agg(sum("c_uni").as(n), count(lit(1)).as(v))
+    // per-position interpolated bigram probability under one model, given
+    // that model's suffixed count columns are already joined in
+    def pOf(sfx: String): Column =
+      lit(lam) * when(coalesce(col(s"c_prev$sfx"), lit(0L)) > 0,
+          coalesce(col(s"c_bi$sfx"), lit(0L)).cast("double") / col(s"c_prev$sfx"))
+        .otherwise(lit(0.0)) +
+      lit(1.0 - lam) * (coalesce(col(s"c_cur$sfx"), lit(0L)) + lit(1L)).cast("double") /
+        (col(s"lm_n$sfx") + col(s"lm_v$sfx"))
+    def joined(sfx: String, m: LmModel)(df: DataFrame): DataFrame = df
+      .join(m.bi.select(col("prev"), col("cur"), col("c_bi").as(s"c_bi$sfx")),
+        Seq("prev", "cur"), "left")
+      .join(hint(m)(m.uni.select(col("token").as("prev"), col("c_uni").as(s"c_prev$sfx"))),
+        Seq("prev"), "left")
+      .join(hint(m)(m.uni.select(col("token").as("cur"), col("c_uni").as(s"c_cur$sfx"))),
+        Seq("cur"), "left")
+      .crossJoin(broadcast(totalsOf(m, s"lm_n$sfx", s"lm_v$sfx")))
+    val scored = joined("_bg", bgModel)(joined("_in", inModel)(bigramPositions(target)))
+      .withColumn("logp_in", log(pOf("_in")))
+      .withColumn("logp_bg", log(pOf("_bg")))
+    scored.groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        graft.functions.Exact.r6avg(col("logp_in")).as("avg_logp_in"),
+        graft.functions.Exact.r6avg(col("logp_bg")).as("avg_logp_bg"))
+      .withColumn("ce_diff", col("avg_logp_in") - col("avg_logp_bg"))
+      .select("doc_id", "n_bigrams", "avg_logp_in", "avg_logp_bg", "ce_diff")
+  }
+
+  /** Moore-Lewis selection: keep documents whose cross-entropy difference
+    * clears `minDiff` (docs that read at least `minDiff` nats/bigram more
+    * like the in-domain corpus than the background), returned with the
+    * full payload plus the score. Docs with < 2 tokens have no bigrams,
+    * hence no score, and are dropped — same junk rule as [[lmGate]]. */
+  def contrastSelect(documents: DataFrame, inModel: LmModel, bgModel: LmModel,
+      minDiff: Double = 0.0, lam: Double = 0.5): DataFrame =
+    documents.join(
+        lmContrastWith(inModel, bgModel, documents, lam)
+          .filter(col("ce_diff") >= minDiff).select("doc_id", "ce_diff"),
+        Seq("doc_id"))
+      .select("doc_id", "lang", "source", "n_chars", "ce_diff")
+
   /** Transitive dedup clustering: connected components over the near-dup
     * pair graph, labeling every document with the smallest doc_id reachable
     * through near-dup edges — the keeper-selection step a real dedup

@@ -114,6 +114,9 @@ class PlansSpec extends SparkTestBase {
       "similarity_ivf_topk",     // nCells-row centroid broadcast (probe scoring)
       "lm_score",                // 1-row N/V totals broadcast
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate
+      "quality_classifier",      // 1-row smoothing-floor broadcast
+      "contrast_score",          // two 1-row N/V totals broadcasts (both LMs)
+      "contrast_select",         // same totals broadcasts via contrast scoring
       "source_divergence",       // 1-row corpus-token-mass broadcast
       "mixture_weights",         // 1-row mixture-normalizer broadcast
       "sample_temperature",      // same 1-row normalizer via the weights frame

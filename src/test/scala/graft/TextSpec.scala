@@ -673,4 +673,89 @@ class TextSpec extends SparkTestBase {
     assert(got == expected,
       s"membership mismatch: extra=${got -- expected} missing=${expected -- got}")
   }
+
+  test("nbTrain/nbScoreWith agree with a driver-side NB reference; OOV takes the floor") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "good fine good", true), (2L, "good solid", true),
+      (3L, "spam junk spam spam", false), (4L, "junk fine", false))
+    val df = corpus.toDF("doc_id", "text", "is_pos")
+    val model = Text.nbTrain(df, col("is_pos"))
+    // independently-written reference: smoothed log-odds over the shared vocab
+    val toks = corpus.map { case (id, t, p) => (id, t.split("\\s+").toSeq, p) }
+    val cPos = toks.filter(_._3).flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cNeg = toks.filterNot(_._3).flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = (cPos.keySet ++ cNeg.keySet)
+    val npv = cPos.values.sum + vocab.size
+    val nnv = cNeg.values.sum + vocab.size
+    def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def wRef(t: String) = q6d(
+      (math.log(cPos.getOrElse(t, 0L) + 1.0) - math.log(npv.toDouble))
+        - (math.log(cNeg.getOrElse(t, 0L) + 1.0) - math.log(nnv.toDouble)))
+    val weights = model.weights.collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(weights.keySet == vocab)
+    for (t <- vocab)
+      assert(math.abs(weights(t) - wRef(t)) < 1e-12, s"weight($t)")
+    // scoring: a doc of pure OOV tokens gets exactly the c=0 floor weight
+    val target = Seq((10L, "good good fine"), (11L, "spam junk"),
+      (12L, "novel unseen tokens")).toDF("doc_id", "text")
+    val scores = Text.nbScoreWith(model, target).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val w0 = q6d(math.log(nnv.toDouble) - math.log(npv.toDouble))
+    assert(math.abs(scores(12L)._2 - w0) < 1e-12, "pure-OOV doc must score the floor")
+    // seed-class docs score positive, spam-class docs negative
+    assert(scores(10L)._2 > 0 && scores(10L)._3 == 1L)
+    assert(scores(11L)._2 < 0 && scores(11L)._3 == 0L)
+    // length-normalized mean of q6-grid weights, decimal-summed
+    val exp10 = Seq("good", "good", "fine").map(wRef)
+    assert(math.abs(scores(10L)._2 - exp10.sum / 3) < 1e-9)
+    assert(scores(10L)._1 == 3L)
+  }
+
+  test("nbFilter: gate is a containment filter enforcing the threshold") {
+    val model = Text.nbTrain(docs, col("source").isin("src0", "src1", "src2", "src3"))
+    val kept = Text.nbFilter(docs, model, minScore = 0.0).cache()
+    assert(kept.schema == docs.schema)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val scored = Text.nbScoreWith(model, docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(keptIds == scored.filter(_._2 >= 0.0).keySet)
+    // declared-query parity: same scores the oracle checks
+    val declared = q("quality_classifier").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(declared.keySet.nonEmpty && declared.forall { case (id, s) =>
+      math.abs(scored(id) - s) < 1e-12 })
+  }
+
+  test("contrast: in-domain lookalikes rank above background lookalikes; one-pass plan") {
+    import spark.implicits._
+    // two disjoint dialects: in-domain speaks aa/bb, background speaks xx/yy
+    val inDom = (0L until 8L).map(i => (i, "aa bb aa bb aa"))
+    val bg = (100L until 108L).map(i => (i, "xx yy xx yy xx"))
+    val target = Seq((500L, "aa bb aa"), (501L, "xx yy xx"), (502L, "aa")).toDF("doc_id", "text")
+    val inModel = Text.lmTrain(inDom.toDF("doc_id", "text"))
+    val bgModel = Text.lmTrain(bg.toDF("doc_id", "text"))
+    val scored = Text.lmContrastWith(inModel, bgModel, target)
+    val rows = scored.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet == Set(500L, 501L), "single-token doc must drop (no bigrams)")
+    assert(rows(500L)._4 > 0, s"in-domain lookalike must score positive: ${rows(500L)}")
+    assert(rows(501L)._4 < 0, s"background lookalike must score negative: ${rows(501L)}")
+    // ce_diff is exactly the difference of the two means it reports
+    for ((_, (_, li, lb, d)) <- rows) assert(d == li - lb)
+    // one-pass proof: the scoring plan tokenizes + explodes the target ONCE
+    // (both models are materialized leaves, so any second Generate would
+    // mean the bigram stream was duplicated per model)
+    val generates = scored.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.size == 1, s"expected one explode, got ${generates.size}")
+    // selection keeps payload + score for exactly the clearing docs
+    val sel = Text.contrastSelect(target.withColumn("lang", lit("en"))
+        .withColumn("source", lit("s")).withColumn("n_chars", length(col("text"))),
+      inModel, bgModel)
+    assert(sel.columns.toSeq == Seq("doc_id", "lang", "source", "n_chars", "ce_diff"))
+    assert(sel.collect().map(_.getLong(0)).toSet == Set(500L))
+  }
 }
