@@ -1035,6 +1035,20 @@ af AS (
       FROM documents d JOIN scores s USING (doc_id)
       WHERE s.ce_diff >= 0.0"""),
 
+    // importance resampling on the contrast score: keep rate
+    // min(1, exp(ce_diff)) q6-quantized, admission via the
+    // sample_temperature md5-key/hex-threshold machinery
+    "contrast_resample" -> ("""
+      WITH scores AS (""" + contrastScoreSql + """)
+      SELECT doc_id, lang, source, n_chars, ce_diff, keep_rate
+      FROM (SELECT d.doc_id, d.lang, d.source, d.n_chars, s.ce_diff,
+                   floor(least(1.0, exp(s.ce_diff / 1.0)) * 1000000.0 + 0.5)
+                     / 1000000.0 AS keep_rate,
+                   substring(md5(CAST(d.doc_id AS VARCHAR)), 3, 4) AS sample_key
+            FROM documents d JOIN scores s USING (doc_id)) a
+      WHERE CONCAT('0', sample_key) <
+            printf('%05x', CAST(floor(keep_rate * 65536.0) AS INT))"""),
+
     // interpolated bigram LM scoring: model counted from the train
     // hash-split (same md5 bucket as corpus_split), scoring every doc.
     // p = 0.5*(c_bi/c_prev | 0) + 0.5*(c_cur+1)/(N+V); per-position ln p is

@@ -237,6 +237,9 @@ object SparkEntry {
       Text.lmContrastWith(inLm(s, d), lmModel(s, d), Tables.documents(s, d))),
     "contrast_select" -> ((s, d) =>
       Text.contrastSelect(Tables.documents(s, d), inLm(s, d), lmModel(s, d))),
+    // the soft (DSIR-style) variant: importance-resample on the same score
+    "contrast_resample" -> ((s, d) =>
+      Text.contrastResample(Tables.documents(s, d), inLm(s, d), lmModel(s, d))),
     "source_divergence" -> ((s, d) => Text.sourceDivergence(Tables.documents(s, d))),
     "dedup_lines" -> ((s, d) => Text.dedupLines(Tables.documents(s, d))),
     "source_report" -> ((s, d) => Text.sourceReport(Tables.documents(s, d))),

@@ -1348,6 +1348,37 @@ object Text {
         Seq("doc_id"))
       .select("doc_id", "lang", "source", "n_chars", "ce_diff")
 
+  /** DSIR-flavored importance RESAMPLING on the contrastive score — the
+    * soft alternative to [[contrastSelect]]'s hard threshold (Xie et al.
+    * 2023's insight: sampling proportional to the importance ratio
+    * preserves diversity a top-k cut destroys). Each doc keeps with
+    * probability min(1, exp(ce_diff / temperature)) — in-domain-leaning
+    * docs (ce_diff ≥ 0) always survive, background-leaning docs decay
+    * exponentially, and `temperature` flattens (→∞: keep everything) or
+    * sharpens (→0: hard threshold at 0) the curve.
+    *
+    * Admission reuses the [[sampleTemperature]] machinery verbatim:
+    * the q6-quantized rate renders to a 16-bit hex threshold in-plan
+    * (format_string, full-keep rates never clipped) against the doc's
+    * deterministic md5 sample key — a pure function of doc_id, stable
+    * under corpus growth and independent of the [[hashSplit]] buckets.
+    * Docs with < 2 tokens have no score and are dropped, like
+    * [[contrastSelect]]. One scoring pass + one |docs|-row join; the
+    * sampling itself is shuffle-free. */
+  def contrastResample(documents: DataFrame, inModel: LmModel, bgModel: LmModel,
+      temperature: Double = 1.0, lam: Double = 0.5): DataFrame = {
+    require(temperature > 0.0, s"temperature must be positive: $temperature")
+    documents.join(
+        lmContrastWith(inModel, bgModel, documents, lam).select("doc_id", "ce_diff"),
+        Seq("doc_id"))
+      .withColumn("keep_rate",
+        q6(least(lit(1.0), exp(col("ce_diff") / lit(temperature)))))
+      .withColumn("sample_key", substring(md5(col("doc_id").cast("string")), 3, 4))
+      .filter(concat(lit("0"), col("sample_key")) <
+        format_string("%05x", floor(col("keep_rate") * 65536.0).cast("int")))
+      .select("doc_id", "lang", "source", "n_chars", "ce_diff", "keep_rate")
+  }
+
   /** Transitive dedup clustering: connected components over the near-dup
     * pair graph, labeling every document with the smallest doc_id reachable
     * through near-dup edges — the keeper-selection step a real dedup

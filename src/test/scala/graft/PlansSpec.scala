@@ -117,6 +117,7 @@ class PlansSpec extends SparkTestBase {
       "quality_classifier",      // 1-row smoothing-floor broadcast
       "contrast_score",          // two 1-row N/V totals broadcasts (both LMs)
       "contrast_select",         // same totals broadcasts via contrast scoring
+      "contrast_resample",       // same totals broadcasts via contrast scoring
       "source_divergence",       // 1-row corpus-token-mass broadcast
       "mixture_weights",         // 1-row mixture-normalizer broadcast
       "sample_temperature",      // same 1-row normalizer via the weights frame

@@ -758,4 +758,23 @@ class TextSpec extends SparkTestBase {
     assert(sel.columns.toSeq == Seq("doc_id", "lang", "source", "n_chars", "ce_diff"))
     assert(sel.collect().map(_.getLong(0)).toSet == Set(500L))
   }
+
+  test("contrastResample admits exactly the docs whose md5 key clears the exp rate") {
+    val scores = q("contrast_score").select("doc_id", "ce_diff").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = scores.filter { case (id, d) =>
+      val rate = q6d(math.min(1.0, math.exp(d / 1.0)))
+      val thr = f"${math.floor(rate * 65536.0).toInt}%05x"
+      "0" + md5hex(id.toString).substring(2, 6) < thr
+    }.keySet
+    val got = q("contrast_resample").cache()
+    assert(got.collect().map(_.getLong(0)).toSet == expected)
+    // in-domain-leaning docs (ce_diff >= 0) are never dropped: rate = 1.0
+    val selectIds = q("contrast_select").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selectIds.subsetOf(expected),
+      "hard-threshold survivors must all survive the soft resampler")
+    // rates bounded and monotone in the score
+    assert(got.filter(col("keep_rate") > 1.0 || col("keep_rate") <= 0.0).count() == 0)
+  }
 }
