@@ -1556,6 +1556,34 @@ af AS (
     // Σ 2^b, candidates from per-table bucket collisions, then the q6
     // cosine + top-k window of the brute-force oracle. bits mirrors the
     // INTEGER bitsFor: smallest b in 4..24 with 2^b·64 ≥ n.
+    // diversity-balanced sampling: single-table md5-plane buckets
+    // (occupancy-scaled bits, the lsh_topk plane CTE at t=0), keep the
+    // quota smallest md5(vec_id) keys per bucket
+    "bucket_balanced_sample" -> """
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      bitsv AS (SELECT coalesce(MIN(bb), 24) AS bits
+                FROM range(4, 25) rb(bb), nn WHERE (1::BIGINT << bb) * 64 >= n),
+      planes AS (
+        SELECT b, list(p ORDER BY d) AS plane
+        FROM (SELECT b.range AS b, d.range AS d,
+                     ((('0x' || substr(md5('lsh:0:' || b.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(24) b, range(64) d, bitsv
+              WHERE b.range < bits) pp
+        GROUP BY 1),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0),
+      buckets AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(v, plane) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+        FROM n, planes
+        GROUP BY 1)
+      SELECT vec_id, bucket, rk FROM (
+        SELECT vec_id, bucket,
+               CAST(row_number() OVER (PARTITION BY bucket
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+        FROM buckets) t
+      WHERE rk <= 16""",
+
     "similarity_lsh_topk" -> """
       WITH nn AS (SELECT count(*) AS n FROM embeddings),
       bitsv AS (SELECT coalesce(MIN(bb), 24) AS bits

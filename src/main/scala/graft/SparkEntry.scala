@@ -325,6 +325,14 @@ object SparkEntry {
     "embedding_near_dup_lsh" -> ((s, d) =>
       Similarity.embeddingNearDupLsh(Tables.embeddings(s, d), mirrorableHash = true)),
     "similarity_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    // D4-style diversity rebalancing: cap each embedding-space region's
+    // contribution (md5 mirror planes -> the kept set is oracle-exact);
+    // the IVF-cell flavor (cell_balanced_sample) is rows-only by
+    // construction (k-means cells) with laws in SimilaritySpec
+    "bucket_balanced_sample" -> ((s, d) =>
+      Similarity.bucketBalancedSample(Tables.embeddings(s, d), mirrorableHash = true)),
+    "cell_balanced_sample" -> ((s, d) =>
+      Similarity.cellBalancedSample(Similarity.ivfBuild(Tables.embeddings(s, d)))),
 
     // ---- multimodal (north star; stub decode, real plumbing)
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documents(s, d)))

@@ -198,6 +198,64 @@ object Similarity {
     semDeDupFrom(withNorms(embeddings).withColumn("cell", lit(0)), threshold)
       .drop("cell")
 
+  /** Diversity-balanced corpus sampling — the D4-style (Tirumala et al.
+    * 2023) topic-mass rebalancer that complements [[semDeDup]]: instead of
+    * dropping only τ-close NEAR-DUPLICATES, cap how many vectors any one
+    * REGION of embedding space may contribute. Dense regions
+    * (over-represented topics, boilerplate clusters) are clipped at
+    * `quota`; sparse regions survive whole — flattening the topic
+    * distribution the way [[Text.temperatureWeights]] flattens the source
+    * distribution, but in embedding space where "topic" needs no label.
+    *
+    * Regions are single-table sign-LSH buckets with occupancy-scaled bits
+    * ([[bitsFor]]), so expected occupancy — and with it the meaning of
+    * `quota` — is constant as the corpus grows. Within a bucket the kept
+    * set is the `quota` smallest md5(vec_id) keys: deterministic,
+    * insertion-order-free, and stable under corpus growth (a new vector
+    * evicts at most one survivor of its own bucket). `mirrorableHash`
+    * swaps in the md5 hyperplanes so the oracle reproduces buckets, ranks,
+    * and the kept set exactly; the fused xxhash64 expression stays the
+    * scale default.
+    *
+    * Scale shape: one bucket-keyed exchange; the rank filter collapses to
+    * a WindowGroupLimit (per-task top-quota state, like [[Text.corpusCap]]),
+    * so even a degenerate hot bucket carries bounded state per task. */
+  def bucketBalancedSample(embeddings: DataFrame, quota: Int = 16,
+      targetOccupancy: Int = 64, mirrorableHash: Boolean = false): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    val (n, dim) = corpusDims(embeddings)
+    val bits = bitsFor(n, targetOccupancy)
+    val bucketExpr =
+      if (mirrorableHash) element_at(mirrorableBuckets(col("v"), 1, bits, dim), 1)
+      else element_at(graft.functions.LshExprs.signLshBuckets(col("v"), 1, bits, dim), 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("pick_key"), col("vec_id"))
+    withNorms(embeddings)
+      .select(col("vec_id"), bucketExpr.as("bucket"))
+      .withColumn("pick_key", md5(col("vec_id").cast("string")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+      .select("vec_id", "bucket", "rk")
+  }
+
+  /** [[bucketBalancedSample]] over an already-built IVF index's cells —
+    * the k-means flavor (cells are semantically tighter regions than LSH
+    * buckets; occupancy is held constant by [[cellsFor]]). Same
+    * deterministic md5 pick rule; build the index once, rebalance every
+    * refresh. Rows-only (k-means cells are Spark-specific) — laws in
+    * SimilaritySpec. */
+  def cellBalancedSample(index: IvfIndex, quota: Int = 16): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("pick_key"), col("vec_id"))
+    index.vectors
+      .select(col("vec_id"), col("cell"))
+      .withColumn("pick_key", md5(col("vec_id").cast("string")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+      .select("vec_id", "cell", "rk")
+  }
+
   /** Corpus (row count, embedding dim) in ONE bounded aggregate job — shared
     * by every index build / self-join entry point (the only driver-side
     * values in this file). Fails fast on an empty corpus: a null max(size)

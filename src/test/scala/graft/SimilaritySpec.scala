@@ -269,4 +269,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(got("spread").getAs[Double]("avg_pairwise_dot") + 1.0 / 3) < 1e-5)
     assert(math.abs(got("spread").getAs[Double]("centroid_norm") - 1.0 / 3) < 1e-5)
   }
+
+  test("balanced sampling: per-region quota held, deterministic md5 pick, containment") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, SF)
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    for ((name, df, region, quota) <- Seq(
+        ("bucket", q("bucket_balanced_sample").cache(), "bucket", 16L),
+        ("cell", q("cell_balanced_sample").cache(), "cell", 16L))) {
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$name: empty sample")
+      assert(rows.map(_.getLong(0)).toSet.subsetOf(allIds), s"$name: containment")
+      // quota enforced per region; ranks are 1..count(region)
+      val byRegion = rows.groupBy(_.getAs[Any](region))
+      assert(byRegion.values.forall(_.length <= quota), s"$name: quota exceeded")
+      for ((_, g) <- byRegion)
+        assert(g.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to g.length).toSeq,
+          s"$name: ranks not contiguous")
+      // a clipped region exists on the sf corpus (the op actually bites)
+      assert(rows.length < allIds.size, s"$name: nothing was clipped")
+    }
+    // pick rule: within each bucket the kept set is EXACTLY the quota
+    // smallest md5(vec_id) keys — reference computed from an unclipped run
+    // (quota ≥ corpus keeps everyone, revealing full bucket membership)
+    val everyone = graft.ops.Similarity
+      .bucketBalancedSample(emb, quota = Int.MaxValue, mirrorableHash = true)
+      .select("vec_id", "bucket").collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    val kept16 = q("bucket_balanced_sample").select("vec_id", "bucket").collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    val keysOf = allIds.map(id => id -> md5hex(id.toString)).toMap
+    assert(kept16.keySet == everyone.keySet)
+    for ((b, members) <- everyone) {
+      val expect = members.toSeq.sortBy(id => (keysOf(id), id)).take(16).toSet
+      assert(kept16(b) == expect, s"bucket $b kept set is not the smallest-key prefix")
+    }
+  }
 }
