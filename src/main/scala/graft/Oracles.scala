@@ -1023,6 +1023,52 @@ af AS (
              CAST(CASE WHEN mean_logodds >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS label
       FROM agg""",
 
+    // PR curve of the classifier gate at every occupied 1e-2 score bin:
+    // per-doc scores (as in quality_classifier) -> histogram -> bounded
+    // cumulative-from-above self-join; precision/recall are exact
+    // BIGINT-count ratios
+    "classifier_pr" -> """
+      WITH p AS (SELECT source IN ('src0','src1','src2','src3') AS is_pos,
+                        unnest(regexp_split_to_array(text, '\s+')) AS token
+                 FROM documents),
+      counts AS (SELECT token,
+                        CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                        CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+                 FROM p GROUP BY token),
+      tot AS (SELECT CAST(SUM(c_pos) + COUNT(*) AS BIGINT) AS np_v,
+                     CAST(SUM(c_neg) + COUNT(*) AS BIGINT) AS nn_v FROM counts),
+      weights AS (SELECT token,
+                         floor(((ln(c_pos + 1) - ln(np_v)) - (ln(c_neg + 1) - ln(nn_v)))
+                               * 1000000.0 + 0.5) / 1000000.0 AS weight
+                  FROM counts CROSS JOIN tot),
+      floor_w AS (SELECT floor((ln(nn_v) - ln(np_v)) * 1000000.0 + 0.5)
+                         / 1000000.0 AS w0 FROM tot),
+      tk AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+             FROM documents),
+      scored AS (SELECT tk.doc_id, COALESCE(w.weight, f.w0) AS w
+                 FROM tk LEFT JOIN weights w USING (token) CROSS JOIN floor_w f),
+      agg AS (SELECT doc_id,
+                     CAST(CAST(SUM(CAST(w AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(w) AS mean_logodds
+              FROM scored GROUP BY doc_id),
+      labeled AS (SELECT a.doc_id, a.mean_logodds,
+                         d.source IN ('src0','src1','src2','src3') AS is_pos
+                  FROM agg a JOIN documents d USING (doc_id)),
+      hist AS (SELECT CAST(floor(mean_logodds * 100.0) AS BIGINT) AS bin,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+               FROM labeled GROUP BY bin),
+      totp AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos FROM hist),
+      cum AS (SELECT h.bin,
+                     CAST(SUM(h2.n) AS BIGINT) AS n_kept,
+                     CAST(SUM(h2.n_pos) AS BIGINT) AS n_true_pos
+              FROM hist h JOIN hist h2 ON h2.bin >= h.bin
+              GROUP BY h.bin)
+      SELECT CAST(bin AS DOUBLE) / 100.0 AS threshold, n_kept, n_true_pos,
+             CAST(n_true_pos AS DOUBLE) / n_kept AS precision,
+             CAST(n_true_pos AS DOUBLE) / total_pos AS recall
+      FROM cum CROSS JOIN totp""",
+
     // Moore-Lewis cross-entropy difference: the lm_score model CTEs built
     // twice — in-domain from the trusted sources, background from the
     // train hash-split — scoring every doc's bigram stream once under

@@ -231,6 +231,11 @@ object SparkEntry {
     "classifier_weights" -> ((s, d) => nbModel(s, d).weights),
     "quality_classifier" -> ((s, d) =>
       Text.nbScoreWith(nbModel(s, d), Tables.documents(s, d))),
+    // threshold-picking diagnostic: exact PR curve of the gate at every
+    // occupied 1e-2 score bin, against the seed labels
+    "classifier_pr" -> ((s, d) =>
+      Text.classifierPr(Tables.documents(s, d), nbModel(s, d),
+        org.apache.spark.sql.functions.col("source").isin(trustedSources: _*))),
     // Moore-Lewis cross-entropy difference: in-domain LM (trusted sources)
     // vs the train-split background LM, scored in one bigram pass
     "contrast_score" -> ((s, d) =>

@@ -1280,6 +1280,48 @@ object Text {
     documents.join(ok, Seq("doc_id"), "left_semi")
   }
 
+  /** Precision/recall curve for a classifier gate — the threshold-picking
+    * diagnostic a pipeline runs before committing to a cut (how much
+    * recall does each precision level cost?). One row per occupied score
+    * bin b (scores floored to a 1e-2 grid): threshold = b/100, with the
+    * count, true positives, precision, and recall of the gate
+    * "keep mean_logodds ≥ threshold". `truth` is the evaluation label
+    * (resubstitution against the seed labels by default — the
+    * seed-recovery diagnostic; pass a held-out label for honest eval).
+    *
+    * floor(s·100) ≥ b ⟺ s ≥ b/100 exactly (integer b), so the binned
+    * curve IS the exact gate at each listed threshold, not an
+    * approximation. Scale shape: per-doc scores collapse to a ≤few-hundred
+    * row histogram (scores are bounded log-odds means), and the
+    * cumulative-from-above runs as a bounded histogram self-join — the
+    * corpus never moves through an unpartitioned window. */
+  def classifierPr(documents: DataFrame, model: NbModel,
+      truth: Column): DataFrame = {
+    val hist = nbScoreWith(model, documents)
+      .join(documents.select(col("doc_id"), truth.as("is_pos")), Seq("doc_id"))
+      .withColumn("bin", floor(col("mean_logodds") * 100.0).cast("long"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"))
+      .localCheckpoint(true)
+    val totals = hist.agg(sum("n_pos").as("total_pos"))
+    // the checkpointed histogram leaf reports no stats, so the non-equi
+    // join must be broadcast-hinted explicitly (it is |bins|-bounded)
+    hist.select(col("bin"))
+      .join(broadcast(hist.select(col("bin").as("b2"), col("n"), col("n_pos"))),
+        col("b2") >= col("bin"))
+      .groupBy("bin").agg(
+        sum("n").as("n_kept"),
+        sum("n_pos").as("n_true_pos"))
+      .crossJoin(broadcast(totals))
+      .select(
+        (col("bin").cast("double") / 100.0).as("threshold"),
+        col("n_kept"),
+        col("n_true_pos"),
+        (col("n_true_pos").cast("double") / col("n_kept")).as("precision"),
+        (col("n_true_pos").cast("double") / col("total_pos")).as("recall"))
+  }
+
   // -------------------------------------------------------------------------
   // Contrastive data selection (Moore-Lewis cross-entropy difference)
   // -------------------------------------------------------------------------

@@ -759,6 +759,30 @@ class TextSpec extends SparkTestBase {
     assert(sel.collect().map(_.getLong(0)).toSet == Set(500L))
   }
 
+  test("classifierPr: exact gate counts per threshold; recall monotone; endpoints sane") {
+    val scores = q("quality_classifier").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val isPos = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) ->
+        Set("src0", "src1", "src2", "src3").contains(r.getString(1))).toMap
+    val pr = q("classifier_pr").collect().map(r =>
+      r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(pr.nonEmpty)
+    val totalPos = isPos.values.count(identity).toLong
+    for ((t, (kept, tp, prec, rec)) <- pr) {
+      // the binned row IS the exact gate at its threshold
+      val gate = scores.filter(_._2 >= t).keySet
+      assert(gate.size.toLong == kept, s"t=$t kept")
+      assert(gate.count(isPos).toLong == tp, s"t=$t tp")
+      assert(prec == tp.toDouble / kept && rec == tp.toDouble / totalPos)
+    }
+    // recall decreases (weakly) as the threshold rises; lowest bin keeps all
+    assert(pr.map(_._2._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(pr.head._2._1 == scores.size.toLong, "lowest occupied bin keeps every doc")
+    assert(pr.head._2._4 == 1.0, "lowest occupied bin has full recall")
+  }
+
   test("contrastResample admits exactly the docs whose md5 key clears the exp rate") {
     val scores = q("contrast_score").select("doc_id", "ce_diff").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
