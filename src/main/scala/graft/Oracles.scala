@@ -1372,6 +1372,85 @@ af AS (
                                substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
                         FROM samp) a) b) c) d""",
 
+    // curation_e2e with the NB classifier gate: the quality_classifier
+    // CTEs (weights, floor, decimal-exact doc means) gate the kept docs on
+    // mean_logodds >= 0 before sampling + packing
+    "curation_e2e_cls" -> """
+      WITH kept AS (
+        SELECT d.* FROM documents d
+        WHERE source IN (
+          SELECT source
+          FROM (SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+                       CAST(SUM(CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+                FROM (SELECT source, quality_score,
+                             CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint)
+                                  THEN 1 ELSE 0 END AS is_dup
+                      FROM (SELECT doc_id, source,
+                                   greatest(0.0, least(1.0,
+                                     0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                                       + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                                       - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score,
+                                   sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+                            FROM (SELECT doc_id, source, text,
+                                         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                                         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                                         CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
+                                  FROM documents) t) q) r
+                GROUP BY source) s
+          WHERE CAST(n_dup_docs AS DOUBLE) / n_docs <= 0.5
+            AND CAST(n_low_quality AS DOUBLE) / n_docs <= 0.05)),
+      p AS (SELECT source IN ('src0','src1','src2','src3') AS is_pos,
+                   unnest(regexp_split_to_array(text, '\s+')) AS token
+            FROM documents),
+      counts AS (SELECT token,
+                        CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                        CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+                 FROM p GROUP BY token),
+      tot AS (SELECT CAST(SUM(c_pos) + COUNT(*) AS BIGINT) AS np_v,
+                     CAST(SUM(c_neg) + COUNT(*) AS BIGINT) AS nn_v FROM counts),
+      weights AS (SELECT token,
+                         floor(((ln(c_pos + 1) - ln(np_v)) - (ln(c_neg + 1) - ln(nn_v)))
+                               * 1000000.0 + 0.5) / 1000000.0 AS weight
+                  FROM counts CROSS JOIN tot),
+      floor_w AS (SELECT floor((ln(nn_v) - ln(np_v)) * 1000000.0 + 0.5)
+                         / 1000000.0 AS w0 FROM tot),
+      tkc AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+              FROM documents),
+      inband AS (
+        SELECT doc_id
+        FROM (SELECT s.doc_id,
+                     CAST(CAST(SUM(CAST(s.w AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(s.w) AS mean_logodds
+              FROM (SELECT tkc.doc_id, COALESCE(w.weight, f.w0) AS w
+                    FROM tkc LEFT JOIN weights w USING (token) CROSS JOIN floor_w f) s
+              GROUP BY s.doc_id) sc
+        WHERE mean_logodds >= 0.0),
+      gated AS (SELECT * FROM kept WHERE doc_id IN (SELECT doc_id FROM inband)),
+      samp AS (
+        SELECT * FROM gated
+        WHERE CONCAT('0', substring(md5(CAST(doc_id AS VARCHAR)), 3, 4)) <
+              CASE lang WHEN 'en' THEN '08000' WHEN 'zh' THEN '0c000' ELSE '10000' END)
+      SELECT doc_id, lang, split, bucket, n_tokens, offset_tokens,
+             CONCAT(bucket, '-', CAST(p AS VARCHAR)) AS pack_id,
+             GREATEST(offset_tokens, p * 2048) - offset_tokens AS slice_start,
+             LEAST(offset_tokens + n_tokens, (p + 1) * 2048)
+               - GREATEST(offset_tokens, p * 2048) AS slice_len
+      FROM (SELECT *,
+                   UNNEST(generate_series(offset_tokens // 2048,
+                     (offset_tokens + GREATEST(n_tokens, 1) - 1) // 2048)) AS p
+            FROM (SELECT doc_id, lang, split, bucket, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+            FROM (SELECT doc_id, lang, bucket,
+                         CASE WHEN bucket < 'cd' THEN 'train'
+                              WHEN bucket < 'e6' THEN 'val' ELSE 'test' END AS split,
+                         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+                  FROM (SELECT doc_id, lang, text,
+                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+                        FROM samp) a) b) c) d""",
+
     // per-language quality quota: same quality_score expression as
     // text_quality, ranked (DESC, doc_id) and capped
     "corpus_cap" -> """

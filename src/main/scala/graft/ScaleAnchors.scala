@@ -172,6 +172,21 @@ object ScaleAnchors {
         minAvgLogp = -12.0, maxUnseenFrac = 0.9, maxDupFrac = 0.9,
         maxLowQualityFrac = 0.9, rates = Map("en" -> 0.5, "zh" -> 0.75)).count())
 
+      // classifier / contrastive-selection family (r9): train cost scales
+      // with VOCABULARY (fixed generative vocab ⇒ ~flat across scales),
+      // scoring with corpus (vocab-keyed broadcast joins ⇒ ~linear wall)
+      val nb = ops.Text.nbTrain(d, col("source").isin("wiki", "books"))
+      out("nb_vocab") = nb.weights.count()
+      t("quality_classifier")(ops.Text.nbScoreWith(nb, d).count())
+      t("classifier_pr")(ops.Text.classifierPr(d, nb,
+        col("source").isin("wiki", "books")).count())
+      val inM = ops.Text.lmTrain(d.filter(col("source") === "wiki"))
+      t("contrast_score")(ops.Text.lmContrastWith(inM, model, d).count())
+      t("contrast_resample")(ops.Text.contrastResample(d, inM, model).count())
+      // diversity sampling: bitsFor-scaled buckets ⇒ kept rows grow with
+      // BUCKET COUNT (≈ n/occupancy), not corpus — sub-linear by design
+      t("bucket_balanced_sample")(ops.Similarity.bucketBalancedSample(e, quota = 16).count())
+
       println(out.map {
         case (k, v: String) => s""""$k":"$v""""
         case (k, v) => s""""$k":$v"""

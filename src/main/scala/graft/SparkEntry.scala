@@ -286,6 +286,12 @@ object SparkEntry {
       lmModel(s, d), minAvgLogp = -3.43, maxUnseenFrac = 0.5,
       maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
       rates = Map("en" -> 0.5, "zh" -> 0.75))),
+    // the classifier-gated variant: same source/sampling thresholds with
+    // the NB gate (mean_logodds >= 0) in the LM band's slot
+    "curation_e2e_cls" -> ((s, d) => Text.curationE2eCls(Tables.documents(s, d),
+      nbModel(s, d), minScore = 0.0,
+      maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
+      rates = Map("en" -> 0.5, "zh" -> 0.75))),
     "decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)

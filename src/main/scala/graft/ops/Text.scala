@@ -962,6 +962,25 @@ object Text {
         rates, defaultRate).drop("sample_key"),
       budgetTokens, tok, bucketChars)
 
+  /** [[curationE2e]] with the CLASSIFIER gate active: source filter →
+    * NB quality gate ([[nbFilter]]) → mixture sampling → split+pack, as
+    * ONE declared plan — the [[curationE2eLm]] shape with the learned
+    * linear gate in the perplexity band's slot (real pipelines run both;
+    * each composes the same way, a doc_id left-semi layer over a
+    * caller-supplied pre-trained model). */
+  def curationE2eCls(documents: DataFrame, model: NbModel,
+      minScore: Double = 0.0,
+      maxDupFrac: Double = 0.5, maxLowQualityFrac: Double = 0.8,
+      rates: Map[String, Double] = Map("en" -> 0.5),
+      defaultRate: Double = 1.0, budgetTokens: Long = 2048L,
+      tok: Tok = WhitespaceTok, bucketChars: Int = 2): DataFrame =
+    packSequencesSplit(
+      sampleMixture(
+        nbFilter(filterBySource(documents, maxDupFrac, maxLowQualityFrac),
+          model, minScore),
+        rates, defaultRate).drop("sample_key"),
+      budgetTokens, tok, bucketChars)
+
   /** Exact deduplication: hash-groupBy on the fingerprint; every doc maps to
     * the group's keeper (min doc_id). Scales as one shuffle of (hash, id). */
   def dedupExact(documents: DataFrame): DataFrame = {

@@ -116,6 +116,7 @@ class PlansSpec extends SparkTestBase {
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate
       "quality_classifier",      // 1-row smoothing-floor broadcast
       "classifier_pr",           // bounded histogram cumulative self-join
+      "curation_e2e_cls",        // 1-row smoothing-floor broadcast via the gate
       "contrast_score",          // two 1-row N/V totals broadcasts (both LMs)
       "contrast_select",         // same totals broadcasts via contrast scoring
       "contrast_resample",       // same totals broadcasts via contrast scoring

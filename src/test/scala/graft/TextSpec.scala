@@ -759,6 +759,19 @@ class TextSpec extends SparkTestBase {
     assert(sel.collect().map(_.getLong(0)).toSet == Set(500L))
   }
 
+  test("curationE2eCls: classifier-gated pipeline is the e2e pipeline minus sub-zero scorers") {
+    val cls = q("curation_e2e_cls").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val ungated = q("curation_e2e").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cls.subsetOf(ungated), "gate can only remove docs")
+    val scores = q("quality_classifier").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // exactly the gate: ungated survivors minus docs scoring below zero
+    assert(cls == ungated.filter(id => scores(id) >= 0.0),
+      "gated set must equal ungated set intersect the classifier band")
+  }
+
   test("classifierPr: exact gate counts per threshold; recall monotone; endpoints sane") {
     val scores = q("quality_classifier").collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
