@@ -1601,6 +1601,25 @@ af AS (
       GROUP BY 1, 2
       HAVING count(*) >= 3""",
 
+    // novel-ngram rate: distinct 5-shingles of each held-out doc never
+    // seen in the train split (the decontaminate shingle CTEs + a
+    // left-join null test)
+    "novelty_score" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      tr AS (SELECT DISTINCT shingle FROM sh
+             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+      tgt AS (SELECT * FROM sh
+              WHERE NOT substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd')
+      SELECT tgt.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN tr.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST(SUM(CASE WHEN tr.shingle IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS novelty
+      FROM tgt LEFT JOIN tr USING (shingle)
+      GROUP BY tgt.doc_id""",
+
     "tfidf_top_terms" -> """
       WITH p AS (SELECT doc_id, token, count(*) AS tf
                  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token

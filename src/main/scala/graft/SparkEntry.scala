@@ -299,6 +299,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0), // train
         docs.filter(col("doc_id") % 20 === 0)) // held-out "benchmark"
     }),
+    // novel-ngram rate of the held-out splits vs the train hash-split —
+    // the graded memorization/leakage audit
+    "novelty_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.noveltyScore(
+        docs.filter(Text.inTrainSplit()),
+        docs.filter(!Text.inTrainSplit()))
+    }),
     // embedding leg of decontamination: same %20 train/eval split as the
     // shingle variant, exact broadcast form (DuckDB list_dot_product oracle);
     // the LSH-pruned form is recall-tested in SimilaritySpec

@@ -1019,6 +1019,28 @@ object Text {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
+  /** Per-document novelty vs a reference corpus: the fraction of the doc's
+    * distinct k-shingles that appear NOWHERE in the reference — the graded
+    * complement of [[decontaminate]]'s binary overlap flag, and the
+    * novel-n-gram rate used to audit memorization/leakage between splits
+    * (a held-out doc whose shingles all exist in train measures recall of
+    * training text, not generalization; Lee et al. 2021 §5). Docs with
+    * < k tokens have no shingles and are excluded, like every shingle op.
+    *
+    * Scale shape: the reference collapses to a distinct-shingle set (one
+    * combining aggregate, vocabulary-of-shingles-sized); scoring is one
+    * shingle-keyed left join — the standard inverted-index shuffle — and a
+    * doc_id rollup. Integer counts, one double division. */
+  def noveltyScore(reference: DataFrame, target: DataFrame, k: Int = 5): DataFrame =
+    shingles(target, k)
+      .join(shingles(reference, k).select("shingle").distinct()
+          .withColumn("seen", lit(1L)),
+        Seq("shingle"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
+
   /** Near-dup detection via exact n-gram Jaccard on a shingle inverted
     * index: docs sharing ≥1 5-shingle become candidate pairs; exact Jaccard
     * = |A∩B| / (|A|+|B|−|A∩B|) filters at the threshold. With k=5 over a
@@ -1236,13 +1258,18 @@ object Text {
     * conditional sums (not one pass per class), a one-row totals aggregate,
     * and a vocabulary-sized broadcast-or-shuffle decision measured from the
     * materialized result. Model size scales with VOCABULARY, not corpus. */
-  def nbTrain(documents: DataFrame, positive: Column): NbModel = {
-    val counts = documents
+  def nbTrain(documents: DataFrame, positive: Column): NbModel =
+    nbFromCounts(documents
       .select(positive.as("is_pos"), explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(
         sum(when(col("is_pos"), lit(1L)).otherwise(lit(0L))).as("c_pos"),
         sum(when(col("is_pos"), lit(0L)).otherwise(lit(1L))).as("c_neg"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
+
+  /** Model construction from a materialized (token, c_pos, c_neg) count
+    * table — shared by [[nbTrain]] and [[nbMerge]] so the two can never
+    * drift on the smoothing/weight contract. */
+  private def nbFromCounts(counts: DataFrame): NbModel = {
     // N_pos+V / N_neg+V — the smoothed denominators, kept as a one-row
     // frame so the unseen-token weight computes in-plan at score time
     val totals = counts.agg(
@@ -1257,6 +1284,24 @@ object Text {
       .localCheckpoint(true)
     NbModel(weights, totals, weights.count() <= 5000000L)
   }
+
+  /** Incremental model refresh: merge two trained models into the model of
+    * their combined corpora — at refresh cadence a pipeline re-aggregates
+    * only the NEW batch and merges vocabulary-sized count tables, instead
+    * of re-tokenizing the whole history (the streaming-store/index-refresh
+    * lifecycle applied to the classifier). Counts are exact integers, and
+    * the weight formula is recomputed from the merged counts through the
+    * same code path as training, so the law
+    * `nbMerge(train(A), train(B)) ≡ train(A ∪ B)` holds BIT-EXACTLY
+    * (asserted in TextSpec) — not approximately, the way averaging
+    * gradient-trained weights would. */
+  def nbMerge(a: NbModel, b: NbModel): NbModel =
+    nbFromCounts(
+      a.weights.select("token", "c_pos", "c_neg")
+        .unionAll(b.weights.select("token", "c_pos", "c_neg"))
+        .groupBy("token").agg(
+          sum("c_pos").as("c_pos"), sum("c_neg").as("c_neg"))
+        .localCheckpoint(true))
 
   /** Score `target` under a trained [[NbModel]]: per doc the token count,
     * the length-normalized mean log-odds (positive ⇒ looks like the seed

@@ -759,6 +759,52 @@ class TextSpec extends SparkTestBase {
     assert(sel.collect().map(_.getLong(0)).toSet == Set(500L))
   }
 
+  test("nbMerge: merged models equal the jointly-trained model bit-exactly") {
+    import spark.implicits._
+    val a = Seq((1L, "good fine good", true), (2L, "spam junk", false))
+      .toDF("doc_id", "text", "is_pos")
+    val b = Seq((3L, "good solid words", true), (4L, "junk spam spam fine", false))
+      .toDF("doc_id", "text", "is_pos")
+    def weightsOf(m: Text.NbModel) = m.weights.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val joint = weightsOf(Text.nbTrain(a.unionAll(b), col("is_pos")))
+    val merged = weightsOf(Text.nbMerge(
+      Text.nbTrain(a, col("is_pos")), Text.nbTrain(b, col("is_pos"))))
+    assert(merged == joint, "merge must reproduce joint training exactly")
+    // and the merged model scores identically to the joint one
+    val target = Seq((10L, "good spam unseen")).toDF("doc_id", "text")
+    val sJoint = Text.nbScoreWith(Text.nbTrain(a.unionAll(b), col("is_pos")), target)
+      .collect().head.getDouble(2)
+    val sMerged = Text.nbScoreWith(Text.nbMerge(
+      Text.nbTrain(a, col("is_pos")), Text.nbTrain(b, col("is_pos"))), target)
+      .collect().head.getDouble(2)
+    assert(sJoint == sMerged)
+  }
+
+  test("noveltyScore: exact novel-shingle fractions on a hand corpus") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    // ref shingles: "a b c d e", "b c d e f"
+    val target = Seq(
+      (10L, "a b c d e f"),         // all shingles seen -> 0
+      (11L, "x y z w v u"),         // none seen -> 1
+      (12L, "a b c d e f g"),       // 3 shingles, 1 novel ("c d e f g") -> 1/3
+      (13L, "a b c")                // < 5 tokens -> excluded
+    ).toDF("doc_id", "text")
+    val got = Text.noveltyScore(ref, target).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L))
+    assert(got(10L) == ((2L, 0L, 0.0)))
+    assert(got(11L) == ((2L, 2L, 1.0)))
+    assert(got(12L) == ((3L, 1L, 1.0 / 3)))
+    // declared query: fractions bounded, and train-split docs never appear
+    val dq = q("novelty_score").cache()
+    assert(dq.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+    val trainIds = docs.filter(Text.inTrainSplit()).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(dq.select("doc_id").collect().map(_.getLong(0)).forall(!trainIds.contains(_)))
+  }
+
   test("curationE2eCls: classifier-gated pipeline is the e2e pipeline minus sub-zero scorers") {
     val cls = q("curation_e2e_cls").select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
