@@ -553,6 +553,92 @@ object StreamDemo {
   def readStreamReport(spark: SparkSession, storeDir: String): DataFrame =
     Text.reportFracs(ReportStore.reportView(spark, storeDir, Long.MaxValue))
 
+  /** Streaming classifier refresh — the [[Text.nbMerge]] lifecycle driven
+    * by a file stream: each micro-batch aggregates ONLY its own documents'
+    * (token, c_pos, c_neg) counts ([[Text.nbCountDelta]] — the exact
+    * counting contract batch training uses) and folds them into a
+    * cumulative vocabulary-sized count table at
+    * `counts/batch_id=N` (full rewrite per batch: bounded by VOCABULARY,
+    * the model's own size, never by ingested history — the report layer's
+    * |sources|-row rewrite discipline at vocab scale). Because counts are
+    * exact integers and [[Text.nbFromCounts]] recomputes weights from
+    * them, the refreshed model after any prefix of batches is BIT-EXACTLY
+    * [[Text.nbTrain]] over the documents ingested so far (the nbMerge law,
+    * streamed — asserted in StreamClassifierSpec).
+    *
+    * Replay safety: the cumulative read excludes batch ids `>= batchId`
+    * (ordering-based, the [[ReportStore.reportView]] rule), so a
+    * failed-and-replayed batch folds its delta into exactly the pre-batch
+    * state, and a FRESH checkpoint on a reused store starts clean instead
+    * of adopting a stale higher-id table. Retention keeps only the newest
+    * committed predecessor partition. */
+  def streamClassifierRefresh(spark: SparkSession, docsDir: String,
+      storeDir: String, checkpointDir: String,
+      trustedSources: Seq[String],
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("source", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = Text.nbCountDelta(batch,
+          col("source").isin(trustedSources: _*))
+        val updated = ClassifierStore.countsView(spark, storeDir, batchId)
+          .unionByName(delta)
+          .groupBy("token").agg(
+            sum("c_pos").as("c_pos"), sum("c_neg").as("c_neg"))
+          // pinned before writing — the write overwrites nothing it read
+          // (distinct partitions), but materializing keeps the rewrite one
+          // job instead of a read-modify-write race under speculation
+          .localCheckpoint(true)
+        updated.write.mode("overwrite")
+          .parquet(s"$storeDir/counts/batch_id=$batchId")
+        for ((_, p) <- ClassifierStore.complete(spark, storeDir)
+            .filter(_._1 < batchId).sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1)
+            .drop(1))
+          ReportStore.fs(spark, p).delete(p, true)
+        ()
+      }
+      .start()
+  }
+
+  /** Materialize the newest committed streamed model — scoring-ready,
+    * bit-identical to batch training over everything ingested. */
+  def readClassifierModel(spark: SparkSession, storeDir: String): Text.NbModel =
+    Text.nbFromCounts(
+      ClassifierStore.countsView(spark, storeDir, Long.MaxValue)
+        .localCheckpoint(true))
+
+  /** Store plumbing for [[streamClassifierRefresh]] — the [[ReportStore]]
+    * listing/completeness/ordering rules applied to the cumulative count
+    * layer. */
+  private[ops] object ClassifierStore {
+    import org.apache.spark.sql.types._
+    val countsSchema: StructType = StructType(Seq(
+      StructField("token", StringType), StructField("c_pos", LongType),
+      StructField("c_neg", LongType)))
+    def complete(spark: SparkSession,
+        storeDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      ReportStore.completeIds(spark, storeDir, "counts", "batch_id=")
+    /** Newest complete cumulative table strictly below `excludeBatch`;
+      * empty store → empty frame with the layer schema. */
+    def countsView(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame =
+      complete(spark, storeDir)
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) =>
+          spark.read.schema(countsSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), countsSchema)
+      }
+  }
+
   /** Store-layout plumbing shared by [[streamSourceReport]] and its
     * external readers — ONE definition of partition listing, the
     * `_SUCCESS` completeness rule, the layer schemas, and the

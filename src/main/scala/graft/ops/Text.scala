@@ -1259,17 +1259,23 @@ object Text {
     * and a vocabulary-sized broadcast-or-shuffle decision measured from the
     * materialized result. Model size scales with VOCABULARY, not corpus. */
   def nbTrain(documents: DataFrame, positive: Column): NbModel =
-    nbFromCounts(documents
+    nbFromCounts(nbCountDelta(documents, positive).localCheckpoint(true))
+
+  /** The (token, c_pos, c_neg) count aggregation of one document set — the
+    * unit both [[nbTrain]] (whole corpus) and the streaming refresh
+    * ([[StreamDemo.streamClassifierRefresh]], per micro-batch) aggregate,
+    * so batch and incremental training share one counting contract. */
+  private[ops] def nbCountDelta(documents: DataFrame, positive: Column): DataFrame =
+    documents
       .select(positive.as("is_pos"), explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(
         sum(when(col("is_pos"), lit(1L)).otherwise(lit(0L))).as("c_pos"),
         sum(when(col("is_pos"), lit(0L)).otherwise(lit(1L))).as("c_neg"))
-      .localCheckpoint(true))
 
   /** Model construction from a materialized (token, c_pos, c_neg) count
-    * table — shared by [[nbTrain]] and [[nbMerge]] so the two can never
-    * drift on the smoothing/weight contract. */
-  private def nbFromCounts(counts: DataFrame): NbModel = {
+    * table — shared by [[nbTrain]], [[nbMerge]], and the streaming store
+    * reader so none can drift on the smoothing/weight contract. */
+  private[ops] def nbFromCounts(counts: DataFrame): NbModel = {
     // N_pos+V / N_neg+V — the smoothed denominators, kept as a one-row
     // frame so the unseen-token weight computes in-plan at score time
     val totals = counts.agg(

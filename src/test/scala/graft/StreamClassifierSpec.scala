@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
+
+import graft.ops.{StreamDemo, Text}
+
+/** Streaming classifier refresh ([[StreamDemo.streamClassifierRefresh]]):
+  * the nbMerge law, streamed — after any prefix of micro-batches the stored
+  * model must be BIT-EXACTLY [[Text.nbTrain]] over the documents ingested so
+  * far (counts are integers; weights recompute through the shared
+  * nbFromCounts path), including across a checkpointed restart. */
+class StreamClassifierSpec extends SparkTestBase with TimeLimitedTests {
+  val timeLimit: Span = Span(240, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  private val trusted = Seq("src0", "src1", "src2", "src3")
+
+  test("streamed model equals batch training over everything ingested; restart-safe") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("cls_src")
+    val store = java.nio.file.Files.createTempDirectory("cls_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("cls_ckpt")
+
+    val all = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text", "source").orderBy("doc_id")
+    val rows = all.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"cls_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    def modelMap(m: Text.NbModel) = m.weights.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def batchTwin(slice: Array[org.apache.spark.sql.Row]): Text.NbModel =
+      Text.nbTrain(
+        spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema),
+        col("source").isin(trusted: _*))
+
+    // run 1: two files -> two micro-batches; the second folds into the first
+    stage(1, rows.slice(0, cut1))
+    stage(2, rows.slice(cut1, cut2))
+    val q1 = StreamDemo.streamClassifierRefresh(
+      s2, src.toString, store.toString, ckpt.toString, trusted)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(modelMap(StreamDemo.readClassifierModel(spark, store.toString)) ==
+      modelMap(batchTwin(rows.slice(0, cut2))),
+      "streamed model drifted from the batch twin mid-stream")
+
+    // checkpointed restart with a third file: resumes, does not re-count
+    stage(3, rows.slice(cut2, rows.length))
+    val q2 = StreamDemo.streamClassifierRefresh(
+      s2, src.toString, store.toString, ckpt.toString, trusted)
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = StreamDemo.readClassifierModel(spark, store.toString)
+    assert(modelMap(streamed) == modelMap(batchTwin(rows)),
+      "streamed model drifted from the batch twin after restart")
+
+    // ...and it scores identically to the batch-trained model
+    val target = Tables.documents(spark, SF).limit(50)
+    val sGot = Text.nbScoreWith(streamed, target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sWant = Text.nbScoreWith(batchTwin(rows), target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sGot == sWant)
+
+    // retention: at most the newest predecessor + the latest survive
+    val parts = new java.io.File(s"$store/counts").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(parts.length <= 2, s"retention failed: ${parts.mkString(",")}")
+  }
+}
