@@ -1601,6 +1601,40 @@ af AS (
       GROUP BY 1, 2
       HAVING count(*) >= 3""",
 
+    // ExactSubstr: positional 10-gram md5 keys; keeper = first occurrence
+    // (row_number over (doc_id, pos) — selection-equivalent to Spark's
+    // two-phase min(struct)); non-keepers become removal-start markers;
+    // the per-doc running-max sweep marks covered tokens; kept tokens
+    // reassemble in position order
+    "dedup_substrings" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      grams AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+10], ' ')) AS gh
+                FROM (SELECT doc_id, toks, unnest(range(len(toks) - 9)) AS pos
+                      FROM tk WHERE len(toks) >= 10) g),
+      occ AS (SELECT doc_id, pos, gh,
+                     CAST(COUNT(*) OVER (PARTITION BY gh) AS BIGINT) AS n_occ,
+                     CAST(row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS BIGINT) AS rn
+              FROM grams),
+      removals AS (SELECT doc_id, pos AS p, CAST(NULL AS VARCHAR) AS token, 1 AS is_marker
+                   FROM occ WHERE n_occ >= 2 AND rn >= 2),
+      stream AS (SELECT doc_id, pos AS p, toks[pos+1] AS token, 0 AS is_marker
+                 FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS pos FROM tk) s),
+      swept AS (SELECT doc_id, p, token, is_marker,
+                       MAX(CASE WHEN is_marker = 1 THEN p END) OVER
+                         (PARTITION BY doc_id ORDER BY p, is_marker DESC
+                          ROWS UNBOUNDED PRECEDING) AS last_start
+                FROM (SELECT * FROM stream UNION ALL SELECT * FROM removals) u),
+      toks_out AS (SELECT doc_id, p, token,
+                          (last_start IS NOT NULL AND last_start >= p - 9) AS rm
+                   FROM swept WHERE is_marker = 0)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             COALESCE(array_to_string(
+               list(token ORDER BY p) FILTER (WHERE NOT rm), ' '), '') AS text_deduped
+      FROM toks_out
+      GROUP BY doc_id""",
+
     // novel-ngram rate: distinct 5-shingles of each held-out doc never
     // seen in the train split (the decontaminate shingle CTEs + a
     // left-join null test)

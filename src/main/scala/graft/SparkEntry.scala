@@ -212,6 +212,11 @@ object SparkEntry {
     // value-check via a plain hamming self-join over the same fingerprints
     "dedup_simhash" -> ((s, d) =>
       Text.dedupSimHash(Tables.documents(s, d), mirrorableHash = true)),
+    // ExactSubstr (Lee et al. 2021): duplicated 10-token runs cut from all
+    // but their first occurrence, text reassembled; md5 gram keys so the
+    // oracle reproduces keepers and spans (xxhash64 is the scale default)
+    "dedup_substrings" -> ((s, d) =>
+      Text.dedupSubstrings(Tables.documents(s, d), k = 10, mirrorableHash = true)),
     "tfidf_top_terms" -> ((s, d) => Text.tfidfTopTerms(Tables.documents(s, d))),
     "corpus_split" -> ((s, d) => Text.hashSplit(Tables.documents(s, d))),
     "corpus_cap" -> ((s, d) => Text.corpusCap(Tables.documents(s, d))),

@@ -1041,6 +1041,81 @@ object Text {
         sum(when(col("seen").isNull, lit(1L)).otherwise(lit(0L))).as("n_novel"))
       .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
 
+  /** Exact substring deduplication (Lee et al. 2021's ExactSubstr): find
+    * every k-token run that occurs MORE THAN ONCE corpus-wide, keep its
+    * first occurrence (lexicographic min (doc_id, pos) — the keep-first
+    * rule of [[dedupExact]] at substring granularity), and CUT every other
+    * occurrence's span out of the text. The within-document granularity
+    * the doc-level/near-dup family can't reach: a boilerplate paragraph
+    * pasted into a thousand otherwise-distinct pages survives every
+    * document dedup but is exactly what inflates memorization.
+    *
+    * Output per doc: original token count, tokens removed, and the
+    * reassembled `text_deduped` (whitespace-normalized — tokens rejoined
+    * with single spaces, like [[dedupLines]] rejoins lines).
+    *
+    * Pipeline, all linear: (1) positional k-grams; (2) per-gram occurrence
+    * count + keeper via a two-phase groupBy(min(struct)) — never a window
+    * over the gram's occurrences, so a boilerplate gram with 10⁶ copies is
+    * a combining aggregate, not a hot partition; (3) non-keeper
+    * occurrences become per-doc removal-start markers; (4) one PER-DOC
+    * window over the token⊎marker stream computes the running max removal
+    * start (markers sort before the token at the same position), and a
+    * token at p is removed iff a start s ∈ [p−k+1, p] covers it —
+    * overlapping spans merge for free in the running max; (5) kept tokens
+    * reassemble via the [[dedupLines]] sort-collect. The only shuffles:
+    * the gram aggregate, the join-back, and the per-doc window
+    * (partition = document, bounded by doc length).
+    *
+    * `mirrorableHash` keys grams by md5 so the DuckDB oracle reproduces
+    * keepers and spans exactly; xxhash64 is the scale default (8-byte
+    * gram keys through the shuffle — the winnow discipline; a collision
+    * merges two unrelated grams' occurrence lists, vanishingly rare and
+    * biased toward over-removal only). */
+  def dedupSubstrings(documents: DataFrame, k: Int = 10,
+      mirrorableHash: Boolean = false): DataFrame = {
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // (doc_id, p, token): the full positional token stream
+    val stream = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("p", "token")))
+    val gramStr = (i: Column) => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))
+    val grams = toks.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => struct(i.as("pos"),
+          (if (mirrorableHash) md5(gramStr(i))
+           else xxhash64(lit("xs"), gramStr(i)).cast("string")).as("gh")))).as("g"))
+      .select(col("doc_id"), col("g.pos"), col("g.gh"))
+    // two-phase keeper: min (doc_id, pos) tuple per duplicated gram
+    val keepers = grams.groupBy("gh").agg(
+        count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("keeper"))
+      .filter(col("n_occ") >= 2)
+    val removals = grams.join(keepers, Seq("gh"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("keeper"))
+      .select(col("doc_id"), col("pos").as("p"), lit(null).cast("string").as("token"),
+        lit(1L).as("is_marker"))
+    // per-doc sweep: markers sort before the same position's token, so the
+    // running max start covers [s, s+k-1] inclusive of its own position
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("p"), col("is_marker").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val swept = stream.withColumn("is_marker", lit(0L))
+      .unionByName(removals)
+      .withColumn("last_start",
+        max(when(col("is_marker") === 1L, col("p"))).over(w))
+      .filter(col("is_marker") === 0L)
+      .withColumn("rm",
+        col("last_start").isNotNull && col("last_start") >= col("p") - lit(k - 1))
+    swept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("rm").cast("long")).as("n_removed"),
+      array_join(transform(
+        array_sort(collect_list(when(!col("rm"),
+          struct(col("p").as("p"), col("token").as("token"))))),
+        s => s.getField("token")), " ").as("text_deduped"))
+  }
+
   /** Near-dup detection via exact n-gram Jaccard on a shingle inverted
     * index: docs sharing ≥1 5-shingle become candidate pairs; exact Jaccard
     * = |A∩B| / (|A|+|B|−|A∩B|) filters at the threshold. With k=5 over a

@@ -759,6 +759,46 @@ class TextSpec extends SparkTestBase {
     assert(sel.collect().map(_.getLong(0)).toSet == Set(500L))
   }
 
+  test("dedupSubstrings: keep-first spans cut exactly; overlaps merge; short docs untouched") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ") // a 12-token run
+    val hand = Seq(
+      (1L, s"intro one two $shared tail1"),          // first occurrence: kept whole
+      (2L, s"other stuff here $shared tail2 tail3"), // later occurrence: run cut
+      (3L, "aa bb " + shared + " " + shared),        // two occurrences in one doc
+      (4L, "too short to gram")                      // < k tokens: untouched
+    ).toDF("doc_id", "text")
+    val out = Text.dedupSubstrings(hand, k = 10, mirrorableHash = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 holds the lexicographically-first occurrence of every dup gram
+    assert(out(1L)._2 == 0L && out(1L)._3 == s"intro one two $shared tail1")
+    // doc 2: the shared 12-token run is covered by its duplicated 10-grams
+    // (positions 3..5 start spans, union covers 3..14) — exactly 12 removed
+    assert(out(2L)._2 == 12L, s"doc2: ${out(2L)}")
+    assert(out(2L)._3 == "other stuff here tail2 tail3")
+    // doc 3: its own first-occurrence grams belong to doc 1, so BOTH copies
+    // cut (keep-first is corpus-global); overlapping spans merge
+    assert(out(3L)._2 == 24L, s"doc3: ${out(3L)}")
+    assert(out(3L)._3 == "aa bb")
+    // doc 4: below k, no grams, full text preserved verbatim (token-joined)
+    assert(out(4L) == ((4L, 0L, "too short to gram")))
+    // conservation: kept tokens + removed == n_tokens
+    for ((id, (n, rm, txt)) <- out) {
+      val keptLen = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(keptLen + rm == n, s"doc $id conservation")
+    }
+    // declared query: removal actually fires on the sf corpus, and both
+    // hash paths agree on REMOVAL COUNTS (md5 vs xxhash64 key swap)
+    val declared = q("dedup_substrings").cache()
+    assert(declared.agg(sum("n_removed")).collect().head.getLong(0) > 0,
+      "no duplicated runs found on the sf corpus — lower k")
+    val xx = Text.dedupSubstrings(docs, k = 10).select("doc_id", "n_removed")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(xx == declared.select("doc_id", "n_removed")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("nbMerge: merged models equal the jointly-trained model bit-exactly") {
     import spark.implicits._
     val a = Seq((1L, "good fine good", true), (2L, "spam junk", false))
