@@ -186,6 +186,13 @@ object ScaleAnchors {
       // diversity sampling: bitsFor-scaled buckets ⇒ kept rows grow with
       // BUCKET COUNT (≈ n/occupancy), not corpus — sub-linear by design
       t("bucket_balanced_sample")(ops.Similarity.bucketBalancedSample(e, quota = 16).count())
+      // ExactSubstr: positional-gram volume ≈ token count (linear), the
+      // planted near-dup docs guarantee duplicated runs to cut
+      t("dedup_substrings")(ops.Text.dedupSubstrings(d).count())
+      out("substr_removed") = ops.Text.dedupSubstrings(d)
+        .agg(sum("n_removed")).head().getLong(0)
+      t("novelty_score")(ops.Text.noveltyScore(
+        d.filter(ops.Text.inTrainSplit()), d.filter(!ops.Text.inTrainSplit())).count())
 
       println(out.map {
         case (k, v: String) => s""""$k":"$v""""

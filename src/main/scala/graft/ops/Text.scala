@@ -1086,11 +1086,18 @@ object Text {
           (if (mirrorableHash) md5(gramStr(i))
            else xxhash64(lit("xs"), gramStr(i)).cast("string")).as("gh")))).as("g"))
       .select(col("doc_id"), col("g.pos"), col("g.gh"))
-    // two-phase keeper: min (doc_id, pos) tuple per duplicated gram
+    // two-phase keeper: min (doc_id, pos) tuple per duplicated gram.
+    // Materialized for the dedupLines reason: left lazy, the aggregate sits
+    // between the join-back and its shuffle, a shape AQE's
+    // OptimizeSkewedJoin can't match — a boilerplate gram with 10⁵
+    // occurrences would funnel the grams side into one task (SkewSpec
+    // stresses exactly this). The frame is duplicated-gram-vocabulary-sized,
+    // the lineDf materialization budget.
     val keepers = grams.groupBy("gh").agg(
         count(lit(1)).as("n_occ"),
         min(struct(col("doc_id"), col("pos"))).as("keeper"))
       .filter(col("n_occ") >= 2)
+      .localCheckpoint(true)
     val removals = grams.join(keepers, Seq("gh"))
       .filter(struct(col("doc_id"), col("pos")) =!= col("keeper"))
       .select(col("doc_id"), col("pos").as("p"), lit(null).cast("string").as("token"),

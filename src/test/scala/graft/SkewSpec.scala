@@ -125,6 +125,60 @@ class SkewSpec extends SparkTestBase {
     } finally docs.unpersist()
   }
 
+  test("hot duplicated run: ExactSubstr two-phase keeper keeps per-task shuffle bounded") {
+    val docs = skewDocs(spark).cache()
+    try {
+      // every hot doc is byte-identical: all its 10-grams occur 100k× —
+      // the boilerplate-gram worst case for the keeper join-back. Unlike
+      // the fingerprint ops (one shuffled row per doc), this op's sweep
+      // legitimately shuffles the whole token stream (~25 rows/doc), so
+      // the bound is BALANCE (max vs median task), not an absolute count:
+      // a hot-gram funnel makes one task read the 10⁵-occurrence block on
+      // top of its uniform share, max/median ≈ ×8 here; doc_id-hashed
+      // uniform partitions keep it ≈ ×1.
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+            buf.add(m.shuffleReadMetrics.recordsRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      var out: Array[org.apache.spark.sql.Row] = null
+      try {
+        out = Text.dedupSubstrings(docs).collect()
+        Thread.sleep(1000) // let the async listener bus drain
+      } finally spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val perTask = buf.asScala.toSeq.sorted
+      val median = perTask(perTask.size / 2)
+      val m = perTask.last
+      assert(out.length == (HotN + ColdN))
+      val byId = out.map(r => r.getLong(0) -> r).toMap
+      // keeper doc 0 survives whole; every other hot copy is cut to empty
+      assert(byId(0L).getAs[Long]("n_removed") == 0L)
+      val hotOthers = out.filter(r => r.getLong(0) > 0 && r.getLong(0) < HotN)
+      assert(hotOthers.forall(r =>
+        r.getAs[Long]("n_removed") == r.getAs[Long]("n_tokens") &&
+          r.getAs[String]("text_deduped").isEmpty),
+        "non-keeper hot copies must be cut to empty")
+      // cold docs are unique (id-bearing grams): untouched
+      assert(out.filter(_.getLong(0) >= HotN).forall(_.getAs[Long]("n_removed") == 0L))
+      // the gram with 100k occurrences never funnels a task: the keeper
+      // aggregate combines map-side and the join-back sees a materialized
+      // (AQE-splittable / broadcastable) keeper frame
+      assert(m <= 4 * median,
+        s"dedup_substrings: max task read $m vs median $median — hot gram funneled into one task")
+      // and its only Window is the per-doc sweep (partitioned, never global)
+      val wins = Text.dedupSubstrings(docs).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        "sweep window must be per-document")
+    } finally docs.unpersist()
+  }
+
   /** Embedding-family analog of the text stress: a degenerate corpus where
     * 90% of vectors are NEAR-IDENTICAL (one semantic blob — the worst case
     * for any space partitioner). The k-means coarse quantizer is
