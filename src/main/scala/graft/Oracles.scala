@@ -1231,6 +1231,59 @@ af AS (
                                substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
                         FROM documents) a) b) c) d""",
 
+    // training-shard manifest: the corpus_pack_split rows rolled up per
+    // pack (slice count, filled tokens, fill fraction)
+    "pack_stats" -> """
+      WITH packs AS (
+        SELECT bucket,
+               CONCAT(bucket, '-', CAST(p AS VARCHAR)) AS pack_id,
+               LEAST(offset_tokens + n_tokens, (p + 1) * 2048)
+                 - GREATEST(offset_tokens, p * 2048) AS slice_len
+        FROM (SELECT *,
+                     UNNEST(generate_series(offset_tokens // 2048,
+                       (offset_tokens + GREATEST(n_tokens, 1) - 1) // 2048)) AS p
+              FROM (SELECT doc_id, bucket, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+              FROM (SELECT doc_id, bucket,
+                           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+                    FROM (SELECT doc_id, text,
+                                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+                          FROM documents) a) b) c) d)
+      SELECT bucket, pack_id,
+             CAST(COUNT(*) AS BIGINT) AS n_slices,
+             CAST(SUM(slice_len) AS BIGINT) AS fill_tokens,
+             CAST(SUM(slice_len) AS DOUBLE) / 2048.0 AS fill_frac
+      FROM packs GROUP BY bucket, pack_id""",
+
+    // corpus boilerplate mining: top-20 most-repeated 10-token runs
+    "boilerplate_ngrams" -> """
+      SELECT gram, n_occ, n_docs
+      FROM (SELECT array_to_string(toks[pos+1:pos+10], ' ') AS gram,
+                   CAST(COUNT(*) AS BIGINT) AS n_occ,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM (SELECT doc_id, toks, unnest(range(len(toks) - 9)) AS pos
+                  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+                        FROM documents) t
+                  WHERE len(toks) >= 10) g
+            GROUP BY gram
+            HAVING COUNT(*) >= 2) a
+      ORDER BY n_occ DESC, gram
+      LIMIT 20""",
+
+    // enforcement form of decontaminate: train docs with no flagged pair
+    "decontaminate_filter" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+      ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0),
+      flagged AS (SELECT tr.doc_id FROM tr JOIN ev USING (shingle)
+                  GROUP BY tr.doc_id, ev.eval_id HAVING count(*) >= 3)
+      SELECT d.* FROM documents d
+      WHERE d.doc_id % 20 <> 0
+        AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM flagged)""",
+
     // end-to-end curation: source_filter's kept-source predicate +
     // sample_mixture's hash threshold, then the corpus_pack_split packing
     // over the surviving docs — one composed query mirroring Text.curationE2e

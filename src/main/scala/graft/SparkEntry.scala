@@ -304,6 +304,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0), // train
         docs.filter(col("doc_id") % 20 === 0)) // held-out "benchmark"
     }),
+    // enforcement form: the clean train set after dropping flagged docs
+    "decontaminate_filter" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Text.decontaminateFilter(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+    }),
     // novel-ngram rate of the held-out splits vs the train hash-split —
     // the graded memorization/leakage audit
     "novelty_score" -> ((s, d) => {
@@ -312,6 +320,10 @@ object SparkEntry {
         docs.filter(Text.inTrainSplit()),
         docs.filter(!Text.inTrainSplit()))
     }),
+    // training-shard manifest: per-pack slice count + fill fraction
+    "pack_stats" -> ((s, d) => Text.packStats(Tables.documents(s, d))),
+    // corpus boilerplate mining: the 20 most-repeated 10-token runs
+    "boilerplate_ngrams" -> ((s, d) => Text.boilerplateNgrams(Tables.documents(s, d))),
     // embedding leg of decontamination: same %20 train/eval split as the
     // shingle variant, exact broadcast form (DuckDB list_dot_product oracle);
     // the LSH-pruned form is recall-tested in SimilaritySpec

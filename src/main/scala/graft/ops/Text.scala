@@ -1019,6 +1019,53 @@ object Text {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
+  /** Enforcement form of [[decontaminate]] ([[lmGate]]/[[nbFilter]]'s
+    * shape): drop every train document flagged against the benchmark,
+    * keep the full payload of the rest — the gate a training run actually
+    * applies. One doc_id left-anti join against the flagged side. */
+  def decontaminateFilter(train: DataFrame, evalSet: DataFrame, k: Int = 5,
+      minShared: Int = 3): DataFrame =
+    train.join(
+      decontaminate(train, evalSet, k, minShared).select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+
+  /** Training-shard QA over [[packSequencesSplit]]'s output: per pack, the
+    * slice count, filled tokens, and fill fraction — the manifest a
+    * loader reads and the under-fill audit a packer is judged by (every
+    * pack is exactly full except each bucket's last; asserted as a law in
+    * PropertiesSpec, surfaced here as data). One combining groupBy over
+    * the packer's output — no new shuffle beyond the packing window's. */
+  def packStats(documents: DataFrame, budgetTokens: Long = 2048L,
+      tok: Tok = WhitespaceTok, bucketChars: Int = 2): DataFrame =
+    packSequencesSplit(documents, budgetTokens, tok, bucketChars)
+      .groupBy("bucket", "pack_id").agg(
+        count(lit(1)).as("n_slices"),
+        sum("slice_len").as("fill_tokens"))
+      .withColumn("fill_frac",
+        col("fill_tokens").cast("double") / lit(budgetTokens.toDouble))
+
+  /** Corpus boilerplate mining: the `topN` most-repeated k-token runs with
+    * occurrence and document counts — the diagnostic that tells you WHAT
+    * [[dedupSubstrings]] would cut (templates, navigation chrome, license
+    * headers) before committing to the cut. Grams are grouped by their
+    * raw string (the diagnostic needs the text anyway; at scale the
+    * [[dedupSubstrings]] hash pass finds the ids and this op inspects the
+    * survivors); top-N is a TakeOrderedAndProject, never a global sort. */
+  def boilerplateNgrams(documents: DataFrame, k: Int = 10,
+      topN: Int = 20): DataFrame = {
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    toks.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))).as("gram"))
+      .groupBy("gram").agg(
+        count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(col("n_occ").desc, col("gram"))
+      .limit(topN)
+  }
+
   /** Per-document novelty vs a reference corpus: the fraction of the doc's
     * distinct k-shingles that appear NOWHERE in the reference — the graded
     * complement of [[decontaminate]]'s binary overlap flag, and the

@@ -759,6 +759,34 @@ class TextSpec extends SparkTestBase {
     assert(sel.collect().map(_.getLong(0)).toSet == Set(500L))
   }
 
+  test("decontaminateFilter / packStats / boilerplateNgrams: gate, manifest, mining laws") {
+    // gate = train minus flagged (re-derived from the pair query)
+    val flagged = q("decontaminate").select("doc_id").collect().map(_.getLong(0)).toSet
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = q("decontaminate_filter").cache()
+    assert(kept.schema == docs.schema)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == train -- flagged)
+
+    // manifest: every pack except each bucket's last is exactly full
+    val packs = q("pack_stats").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(packs.nonEmpty)
+    for ((bucket, group) <- packs.groupBy(_._1)) {
+      val byNo = group.sortBy(p => p._2.stripPrefix(s"$bucket-").toInt)
+      assert(byNo.dropRight(1).forall(_._3 == 2048L),
+        s"bucket $bucket has an under-filled non-final pack")
+      assert(byNo.last._3 <= 2048L)
+    }
+
+    // mining: counts descending, every gram genuinely repeated, docs<=occ
+    val grams = q("boilerplate_ngrams").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(grams.nonEmpty && grams.length <= 20)
+    assert(grams.sliding(2).forall(w => w.length < 2 || w(0)._2 >= w(1)._2))
+    assert(grams.forall(g => g._2 >= 2 && g._3 <= g._2))
+  }
+
   test("dedupSubstrings: keep-first spans cut exactly; overlaps merge; short docs untouched") {
     import spark.implicits._
     val shared = (1 to 12).map(i => s"w$i").mkString(" ") // a 12-token run
