@@ -132,4 +132,37 @@ object Train {
 
   def loadModel(dir: String, name: String): PipelineModel =
     PipelineModel.load(s"$dir/$name")
+
+  /** Learned quality-gate upgrade path (north-star extension, not a
+    * reference model): hashed bag-of-tokens logistic regression over the
+    * `documents` table — the MLlib rendering of the fastText-style
+    * classifier whose closed-form twin ([[graft.ops.Text.nbTrain]]) is
+    * DuckDB-oracled. The LR fit is iterative (LBFGS) and therefore NOT
+    * oracle-able; this is the path a pipeline takes when it outgrows NB's
+    * independence assumption (correlated tokens, feature hashing beyond
+    * the vocabulary, regularization). HashingTF keeps the feature space
+    * fixed-width (2^18) regardless of vocabulary — no driver-side vocab,
+    * nothing grows with the corpus but the one training pass. */
+  case class TextClsResult(model: PipelineModel, auc: Double)
+
+  def trainQualityLr(documents: DataFrame, positive: org.apache.spark.sql.Column,
+      numFeatures: Int = 1 << 18): TextClsResult = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.feature.{HashingTF, RegexTokenizer}
+    val labeled = documents.withColumn("label", positive.cast("double"))
+    val Array(train, test) = labeled.randomSplit(Array(0.8, 0.2), seed = 42)
+    val pipe = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol("text").setOutputCol("toks")
+        .setPattern("\\s+").setToLowercase(false),
+      new HashingTF().setInputCol("toks").setOutputCol("features")
+        .setNumFeatures(numFeatures),
+      new LogisticRegression().setLabelCol("label").setFeaturesCol("features")
+        .setRegParam(0.01).setMaxIter(50)))
+    val model = pipe.fit(train)
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC").evaluate(model.transform(test))
+    TextClsResult(model, auc)
+  }
 }

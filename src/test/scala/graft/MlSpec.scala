@@ -43,4 +43,31 @@ class MlSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$dir/award_model_metadata.json"))
     assert(meta.contains("\"model_name\": \"award_model\"") && meta.contains("\"r2\""))
   }
+
+  test("quality LR gate: learned model separates the seed classes; persists") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.ml.functions.vector_to_array
+    val docs = Tables.documents(spark, SF)
+    val positive = col("source").isin("src0", "src1", "src2", "src3")
+    val res = Train.trainQualityLr(docs, positive)
+    assert(!res.auc.isNaN && res.auc >= 0.0 && res.auc <= 1.0)
+    info(s"quality LR held-out AUC=${res.auc}")
+    // resubstitution sanity: the learned gate orders seed docs above
+    // background on average (the signal NB separates cleanly; LR should
+    // not be worse than chance on its own training distribution)
+    val scored = res.model.transform(docs.withColumn("label", positive.cast("double")))
+      .select(col("label"), element_at(vector_to_array(col("probability")), 2).as("p1"))
+      .groupBy("label").agg(avg("p1").as("avg_p1")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(scored(1.0) > scored(0.0),
+      s"learned gate did not separate seeds: $scored")
+    // pipeline (tokenizer + hashing + LR) persists and reproduces
+    val dir = java.nio.file.Files.createTempDirectory("graft_models_lr").toString
+    Train.saveModel(res.model, "quality_lr", Seq("hashed_tokens"),
+      Map("auc" -> res.auc), dir)
+    val reloaded = Train.loadModel(dir, "quality_lr")
+    val a = res.model.transform(docs).select("doc_id", "prediction")
+    val b = reloaded.transform(docs).select("doc_id", "prediction")
+    assert(a.except(b).count() == 0)
+  }
 }
