@@ -176,6 +176,47 @@ af AS (
   // in-domain model counted from the trusted seed sources, the background
   // model from the train hash-split — then ONE pass over every doc's
   // bigram stream computes both q6 log-probabilities per position.
+  // interpolated bigram LM scoring (shared by lm_score,
+  // perplexity_buckets, and curation_funnel): model counted from the
+  // train hash-split, scoring every doc; per-position ln p q6-quantized
+  // and decimal-summed so the per-doc mean is order-independent
+  private val lmScoreSql: String = """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                  FROM documents),
+      ref AS (SELECT * FROM tk
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+      uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+              FROM (SELECT unnest(t) AS token FROM ref) p GROUP BY token),
+      tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS lm_n,
+                     CAST(COUNT(*) AS BIGINT) AS lm_v FROM uni),
+      bi AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_bi
+             FROM (SELECT t[i] AS prev, t[i+1] AS cur
+                   FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                         FROM ref WHERE len(t) >= 2) g) b
+             GROUP BY prev, cur),
+      bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+             FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                   FROM tk WHERE len(t) >= 2) g),
+      scored AS (
+        SELECT bg.doc_id,
+               CASE WHEN COALESCE(bi.c_bi, 0) = 0 THEN 1 ELSE 0 END AS unseen,
+               floor(ln(
+                   0.5 * (CASE WHEN COALESCE(up.c_uni, 0) > 0
+                               THEN CAST(COALESCE(bi.c_bi, 0) AS DOUBLE) / up.c_uni
+                               ELSE 0.0 END)
+                 + 0.5 * CAST(COALESCE(uc.c_uni, 0) + 1 AS DOUBLE) / (tot.lm_n + tot.lm_v)
+               ) * 1000000.0 + 0.5) / 1000000.0 AS q
+        FROM bg LEFT JOIN bi ON bg.prev = bi.prev AND bg.cur = bi.cur
+                LEFT JOIN uni up ON bg.prev = up.token
+                LEFT JOIN uni uc ON bg.cur = uc.token
+                CROSS JOIN tot)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(unseen) AS BIGINT) AS n_unseen_bigrams,
+             CAST(CAST(SUM(unseen) AS BIGINT) AS DOUBLE) / COUNT(*) AS unseen_frac,
+             CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
+      FROM scored GROUP BY doc_id"""
+
   private val contrastScoreSql: String = """
       WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
                   FROM documents),
@@ -1100,42 +1141,139 @@ af AS (
     // p = 0.5*(c_bi/c_prev | 0) + 0.5*(c_cur+1)/(N+V); per-position ln p is
     // q6-quantized and decimal-summed (the tfidf ln discipline + r6avg),
     // so the per-doc mean is order-independent; fractions are long/long
-    "lm_score" -> """
-      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+    "lm_score" -> lmScoreSql,
+
+    // incremental crawl admission: the non-train split dedups against the
+    // train split's DISTINCT fingerprint set (dedup_exact fingerprints,
+    // hashSplit train predicate) — admitted = unseen AND batch keeper
+    "dedup_incremental" -> """
+      WITH fp AS (SELECT doc_id,
+                         sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+                         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS in_train
                   FROM documents),
-      ref AS (SELECT * FROM tk
-              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
-      uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
-              FROM (SELECT unnest(t) AS token FROM ref) p GROUP BY token),
-      tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS lm_n,
-                     CAST(COUNT(*) AS BIGINT) AS lm_v FROM uni),
-      bi AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_bi
-             FROM (SELECT t[i] AS prev, t[i+1] AS cur
-                   FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
-                         FROM ref WHERE len(t) >= 2) g) b
-             GROUP BY prev, cur),
-      bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
-             FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-                   FROM tk WHERE len(t) >= 2) g),
-      scored AS (
-        SELECT bg.doc_id,
-               CASE WHEN COALESCE(bi.c_bi, 0) = 0 THEN 1 ELSE 0 END AS unseen,
-               floor(ln(
-                   0.5 * (CASE WHEN COALESCE(up.c_uni, 0) > 0
-                               THEN CAST(COALESCE(bi.c_bi, 0) AS DOUBLE) / up.c_uni
-                               ELSE 0.0 END)
-                 + 0.5 * CAST(COALESCE(uc.c_uni, 0) + 1 AS DOUBLE) / (tot.lm_n + tot.lm_v)
-               ) * 1000000.0 + 0.5) / 1000000.0 AS q
-        FROM bg LEFT JOIN bi ON bg.prev = bi.prev AND bg.cur = bi.cur
-                LEFT JOIN uni up ON bg.prev = up.token
-                LEFT JOIN uni uc ON bg.cur = uc.token
-                CROSS JOIN tot)
-      SELECT doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             CAST(SUM(unseen) AS BIGINT) AS n_unseen_bigrams,
-             CAST(CAST(SUM(unseen) AS BIGINT) AS DOUBLE) / COUNT(*) AS unseen_frac,
-             CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
-      FROM scored GROUP BY doc_id""",
+      corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE in_train),
+      batch AS (SELECT doc_id, fingerprint FROM fp WHERE NOT in_train),
+      k AS (SELECT fingerprint, MIN(doc_id) AS keeper_id FROM batch GROUP BY 1)
+      SELECT b.doc_id,
+             CAST(c.fingerprint IS NOT NULL AS INTEGER) AS in_corpus,
+             CAST(b.doc_id <> k.keeper_id AS INTEGER) AS is_batch_dup,
+             CAST(c.fingerprint IS NULL AND b.doc_id = k.keeper_id AS INTEGER) AS admitted
+      FROM batch b JOIN k USING (fingerprint) LEFT JOIN corpus c USING (fingerprint)""",
+
+    // CCNet head/middle/tail thirds per source: value-based boundaries
+    // (avg_logp at descending rank ceil(n/3) / ceil(2n/3)) computed over
+    // the per-source score HISTOGRAM — the lm_score CTE set feeds it, and
+    // every compared double sits on the shared q6 grid
+    "perplexity_buckets" -> s"""
+      WITH ls AS ($lmScoreSql),
+      scored AS (SELECT ls.doc_id, d.source, ls.avg_logp
+                 FROM ls JOIN documents d USING (doc_id)),
+      hist AS (SELECT source, avg_logp, CAST(COUNT(*) AS BIGINT) AS c
+               FROM scored GROUP BY source, avg_logp),
+      cum AS (SELECT source, avg_logp,
+                     SUM(c) OVER (PARTITION BY source ORDER BY avg_logp DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     SUM(c) OVER (PARTITION BY source) AS n
+              FROM hist),
+      cuts AS (SELECT source,
+                      MAX(CASE WHEN cum >= (n + 2) // 3 THEN avg_logp END) AS b_head,
+                      MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN avg_logp END) AS b_middle
+               FROM cum GROUP BY source)
+      SELECT s.doc_id, s.source, s.avg_logp,
+             CASE WHEN s.avg_logp >= c.b_head THEN 'head'
+                  WHEN s.avg_logp >= c.b_middle THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM scored s JOIN cuts c USING (source)""",
+
+    // per-stage curation survivors (docs + token mass): source_report's
+    // gate + the lm_score band + the mixture sample key, as 0/1 flags over
+    // one scan — flag products mirror the left-semi stack exactly
+    "curation_funnel" -> s"""
+      WITH tok AS (SELECT doc_id, source, lang, text,
+                          CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+                          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                          CAST(len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_distinct_tokens
+                   FROM documents),
+      q AS (SELECT doc_id, source, lang, n_tokens,
+                   greatest(0.0, least(1.0,
+                     0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                       + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                       - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score,
+                   sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+            FROM tok),
+      r AS (SELECT source, n_tokens, quality_score,
+                   CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint)
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM q),
+      rep AS (SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+                     CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs
+              FROM r GROUP BY source),
+      srcok AS (SELECT source FROM rep
+                WHERE CAST(n_dup_docs AS DOUBLE) / n_docs <= 0.5
+                  AND CAST(n_low_quality AS DOUBLE) / n_docs <= 0.05),
+      ls AS ($lmScoreSql),
+      gate AS (SELECT doc_id FROM ls
+               WHERE avg_logp >= -3.43 AND unseen_frac <= 0.5),
+      flags AS (SELECT q.n_tokens AS n_toks,
+                       CASE WHEN so.source IS NOT NULL THEN 1 ELSE 0 END AS f1,
+                       CASE WHEN so.source IS NOT NULL AND g.doc_id IS NOT NULL
+                            THEN 1 ELSE 0 END AS f2,
+                       CASE WHEN so.source IS NOT NULL AND g.doc_id IS NOT NULL
+                            AND CONCAT('0', substring(md5(CAST(q.doc_id AS VARCHAR)), 3, 4)) <
+                                CASE q.lang WHEN 'en' THEN '08000' WHEN 'zh' THEN '0c000' ELSE '10000' END
+                            THEN 1 ELSE 0 END AS f3
+                FROM q LEFT JOIN srcok so USING (source)
+                       LEFT JOIN gate g USING (doc_id)),
+      agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS raw_docs,
+                     CAST(SUM(n_toks) AS BIGINT) AS raw_toks,
+                     CAST(SUM(f1) AS BIGINT) AS src_docs,
+                     CAST(SUM(f1 * n_toks) AS BIGINT) AS src_toks,
+                     CAST(SUM(f2) AS BIGINT) AS gate_docs,
+                     CAST(SUM(f2 * n_toks) AS BIGINT) AS gate_toks,
+                     CAST(SUM(f3) AS BIGINT) AS samp_docs,
+                     CAST(SUM(f3 * n_toks) AS BIGINT) AS samp_toks
+              FROM flags)
+      SELECT 0 AS stage_ord, 'raw' AS stage, raw_docs AS n_docs, raw_toks AS n_tokens FROM agg
+      UNION ALL SELECT 1, 'source_filter', src_docs, src_toks FROM agg
+      UNION ALL SELECT 2, 'lm_gate', gate_docs, gate_toks FROM agg
+      UNION ALL SELECT 3, 'sampled', samp_docs, samp_toks FROM agg""",
+
+    // corpus-level PII rollup: per-language detector-hit document flags
+    // and total hit volume, same RE2/Java-safe patterns as scrub_pii
+    "pii_report" -> """
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+             CAST(SUM(CASE WHEN n_urls > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url,
+             CAST(SUM(CASE WHEN n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+             CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+             CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+             CAST(SUM(n_phones) AS BIGINT) AS total_phones
+      FROM (SELECT lang,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_urls,
+                   CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\t\n\x0B\f\r .-]{7,}[0-9]')) AS BIGINT) AS n_phones
+            FROM documents) p
+      GROUP BY lang""",
+
+    // documents <-> embeddings referential integrity: each side collapses
+    // to (id -> multiplicity), one full-outer join, one conditional-sum row
+    "ref_integrity" -> """
+      WITH d AS (SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS c_doc
+                 FROM documents GROUP BY 1),
+      e AS (SELECT vec_id AS id, CAST(COUNT(*) AS BIGINT) AS c_vec
+            FROM embeddings GROUP BY 1),
+      j AS (SELECT d.c_doc, e.c_vec FROM d FULL OUTER JOIN e USING (id))
+      SELECT CAST(SUM(COALESCE(c_doc, 0)) AS BIGINT) AS n_docs,
+             CAST(SUM(COALESCE(c_vec, 0)) AS BIGINT) AS n_vecs,
+             CAST(SUM(CASE WHEN c_doc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_doc_ids,
+             CAST(SUM(CASE WHEN c_vec > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vec_ids,
+             CAST(SUM(CASE WHEN c_vec IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_missing_vec,
+             CAST(SUM(CASE WHEN c_doc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs_missing_doc
+      FROM j""",
+
 
     // per-source total-variation distance vs the corpus token distribution:
     // all-integer inner sum |c_st*N - c_t*N_s| (HUGEINT; Spark side

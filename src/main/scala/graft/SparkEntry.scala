@@ -322,6 +322,29 @@ object SparkEntry {
     }),
     // training-shard manifest: per-pack slice count + fill fraction
     "pack_stats" -> ((s, d) => Text.packStats(Tables.documents(s, d))),
+    // incremental crawl admission: the non-train hash-split arrives as the
+    // "new batch" and dedups against the train split's fingerprint set
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.dedupIncremental(
+        docs.filter(!Text.inTrainSplit()),
+        docs.filter(Text.inTrainSplit()))
+    }),
+    // CCNet head/middle/tail perplexity thirds per source (value-based
+    // boundaries over the q6 score histogram), reusing the memoized LM
+    "perplexity_buckets" -> ((s, d) =>
+      Text.perplexityBuckets(Tables.documents(s, d), lmModel(s, d))),
+    // per-stage survivor counts through the curation_e2e_lm gate stack
+    // (same thresholds), docs + token mass per stage in one flag pass
+    "curation_funnel" -> ((s, d) => Text.curationFunnel(Tables.documents(s, d),
+      lmModel(s, d), minAvgLogp = -3.43, maxUnseenFrac = 0.5,
+      maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
+      rates = Map("en" -> 0.5, "zh" -> 0.75))),
+    // corpus-level PII rollup of the scrubber's detector counts
+    "pii_report" -> ((s, d) => Text.piiReport(Tables.documents(s, d))),
+    // documents <-> embeddings referential-integrity one-row audit
+    "ref_integrity" -> ((s, d) =>
+      Quality.refIntegrity(Tables.documents(s, d), Tables.embeddings(s, d))),
     // corpus boilerplate mining: the 20 most-repeated 10-token runs
     "boilerplate_ngrams" -> ((s, d) => Text.boilerplateNgrams(Tables.documents(s, d))),
     // embedding leg of decontamination: same %20 train/eval split as the

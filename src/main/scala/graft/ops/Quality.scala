@@ -165,4 +165,30 @@ object Quality {
       .crossJoin(broadcast(med))
       .withColumn("high_workload", (col("minutes") > col("median_minutes")).cast("int"))
   }
+
+  /** Referential-integrity audit between the text corpus and its embedding
+    * table — the first check a multimodal/embedding pipeline runs after a
+    * backfill: every document should have exactly one vector and vice
+    * versa. One-row report of both cardinalities, duplicate-key counts,
+    * and orphans in each direction.
+    *
+    * Scale shape: each side collapses to (id → multiplicity) with a
+    * map-side-combining groupBy (one long per distinct id crosses the
+    * wire, never a payload or a vector), then one full-outer id join and a
+    * single conditional-sum aggregate. Orphan detection via full-outer
+    * join beats two anti-joins: one shuffle instead of two, and both
+    * directions fall out of the same pass. */
+  def refIntegrity(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+    val d = documents.groupBy(col("doc_id").as("id"))
+      .agg(count(lit(1)).as("c_doc"))
+    val e = embeddings.groupBy(col("vec_id").as("id"))
+      .agg(count(lit(1)).as("c_vec"))
+    d.join(e, Seq("id"), "full_outer").agg(
+      sum(coalesce(col("c_doc"), lit(0L))).as("n_docs"),
+      sum(coalesce(col("c_vec"), lit(0L))).as("n_vecs"),
+      sum(when(col("c_doc") > 1L, 1L).otherwise(0L)).as("n_dup_doc_ids"),
+      sum(when(col("c_vec") > 1L, 1L).otherwise(0L)).as("n_dup_vec_ids"),
+      sum(when(col("c_vec").isNull, 1L).otherwise(0L)).as("n_docs_missing_vec"),
+      sum(when(col("c_doc").isNull, 1L).otherwise(0L)).as("n_vecs_missing_doc"))
+  }
 }

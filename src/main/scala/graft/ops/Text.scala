@@ -626,15 +626,22 @@ object Text {
     * the parquet reader's row-group pruning where possible. */
   def sampleMixture(documents: DataFrame,
       rates: Map[String, Double] = Map("en" -> 0.5),
-      defaultRate: Double = 1.0): DataFrame = {
+      defaultRate: Double = 1.0): DataFrame =
+    documents
+      .withColumn("sample_key", substring(md5(col("doc_id").cast("string")), 3, 4))
+      .filter(mixtureKeep(rates, defaultRate))
+
+  /** The [[sampleMixture]] membership predicate as a standalone boolean
+    * column — shared with [[curationFunnel]] so the funnel's "sampled"
+    * stage can never drift from the sampler's actual keep rule. */
+  private def mixtureKeep(rates: Map[String, Double],
+      defaultRate: Double): Column = {
     def hexThreshold(rate: Double): String =
       f"${math.max(0, math.min(65536, math.floor(rate * 65536).toInt))}%05x".takeRight(5)
     val threshold = rates.foldLeft(when(lit(false), lit(""))) {
       case (acc, (lang, rate)) => acc.when(col("lang") === lang, hexThreshold(rate))
     }.otherwise(hexThreshold(defaultRate))
-    documents
-      .withColumn("sample_key", substring(md5(col("doc_id").cast("string")), 3, 4))
-      .filter(concat(lit("0"), col("sample_key")) < threshold)
+    concat(lit("0"), substring(md5(col("doc_id").cast("string")), 3, 4)) < threshold
   }
 
   /** Temperature-scaled source mixture weights — the multilingual/domain
@@ -725,6 +732,24 @@ object Text {
           email, "<EMAIL>"),
         phone, "<PHONE>").as("text_scrubbed"))
   }
+
+  /** Corpus-level PII audit — the rollup of [[scrubPii]]'s per-document
+    * detector counts that a privacy review actually reads: per language,
+    * how many documents carry each PII category and the total hit volume.
+    * All-integer counters (document flags are exact 0/1 sums), so the
+    * report is bit-stable under any partitioning. One combining groupBy
+    * over the scrubber's scan-local projection: the regexes run inside the
+    * scan stage and only |langs| rows ever shuffle — at 100 TB this is a
+    * full-scan, near-zero-exchange audit pass. */
+  def piiReport(documents: DataFrame): DataFrame =
+    scrubPii(documents).groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum((col("n_emails") > 0).cast("long")).as("docs_with_email"),
+      sum((col("n_urls") > 0).cast("long")).as("docs_with_url"),
+      sum((col("n_phones") > 0).cast("long")).as("docs_with_phone"),
+      sum(col("n_emails")).as("total_emails"),
+      sum(col("n_urls")).as("total_urls"),
+      sum(col("n_phones")).as("total_phones"))
 
   /** Deterministic hash split (train/val/test): assignment is a pure
     * function of doc_id — stable under corpus growth, re-runs, and
@@ -981,6 +1006,62 @@ object Text {
         rates, defaultRate).drop("sample_key"),
       budgetTokens, tok, bucketChars)
 
+  /** Curation funnel: per-stage survivor counts (documents AND tokens)
+    * through the [[curationE2eLm]] gate stack — raw → source filter → LM
+    * perplexity gate → mixture sampling — the attrition dashboard every
+    * production pipeline publishes (how much did each gate cost, in the
+    * token currency training actually spends?). The packing stage changes
+    * row grain and is audited separately by [[packStats]].
+    *
+    * Computed as ONE pass of per-document flags, not one count job per
+    * stage: each gate's membership is attached as a 0/1 column (the source
+    * report is a |sources|-row broadcast, the LM gate a doc_id-keyed flag
+    * join, the sampler the in-scan [[mixtureKeep]] predicate — shared code
+    * with the real gates, so the funnel can never drift from what the
+    * pipeline does), then a single conditional-sum aggregate unpivots to
+    * four rows. Gate predicates are per-doc pure functions, so flags
+    * compose by multiplication exactly as the left-semi stack composes. */
+  def curationFunnel(documents: DataFrame, model: LmModel,
+      minAvgLogp: Double, maxUnseenFrac: Double = 0.5,
+      maxDupFrac: Double = 0.5, maxLowQualityFrac: Double = 0.8,
+      rates: Map[String, Double] = Map("en" -> 0.5),
+      defaultRate: Double = 1.0, lam: Double = 0.5): DataFrame = {
+    val srcOk = sourceReport(documents)
+      .filter(col("dup_frac") <= maxDupFrac
+        && col("low_quality_frac") <= maxLowQualityFrac)
+      .select("source").withColumn("src_ok", lit(1L))
+    val gateOk = lmScoreWith(model, documents, lam)
+      .filter(col("avg_logp") >= minAvgLogp
+        && col("unseen_frac") <= maxUnseenFrac)
+      .select("doc_id").withColumn("gate_ok", lit(1L))
+    documents
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        mixtureKeep(rates, defaultRate).cast("long").as("samp_ok"))
+      .join(broadcast(srcOk), Seq("source"), "left")
+      .join(gateOk, Seq("doc_id"), "left")
+      .select(col("n_toks"),
+        coalesce(col("src_ok"), lit(0L)).as("f1"),
+        (coalesce(col("src_ok"), lit(0L)) * coalesce(col("gate_ok"), lit(0L)))
+          .as("f2"),
+        (coalesce(col("src_ok"), lit(0L)) * coalesce(col("gate_ok"), lit(0L))
+          * col("samp_ok")).as("f3"))
+      .agg(
+        count(lit(1)).as("raw_docs"), sum("n_toks").as("raw_toks"),
+        sum("f1").as("src_docs"),
+        sum(col("f1") * col("n_toks")).as("src_toks"),
+        sum("f2").as("gate_docs"),
+        sum(col("f2") * col("n_toks")).as("gate_toks"),
+        sum("f3").as("samp_docs"),
+        sum(col("f3") * col("n_toks")).as("samp_toks"))
+      .selectExpr("""stack(4,
+          0, 'raw',           raw_docs,  raw_toks,
+          1, 'source_filter', src_docs,  src_toks,
+          2, 'lm_gate',       gate_docs, gate_toks,
+          3, 'sampled',       samp_docs, samp_toks)
+        AS (stage_ord, stage, n_docs, n_tokens)""")
+  }
+
   /** Exact deduplication: hash-groupBy on the fingerprint; every doc maps to
     * the group's keeper (min doc_id). Scales as one shuffle of (hash, id). */
   def dedupExact(documents: DataFrame): DataFrame = {
@@ -991,6 +1072,33 @@ object Text {
       Seq("fingerprint"))
       .select(col("doc_id"), col("keeper_id"), col("n_copies"),
         (col("doc_id") =!= col("keeper_id")).cast("int").as("is_dup"))
+  }
+
+  /** Incremental (cross-snapshot) exact deduplication — the admission pass
+    * a recurring crawl runs against the corpus it already keeps: a NEW
+    * batch document is admitted only if its fingerprint (a) has never been
+    * seen in the existing corpus and (b) is the batch's own keeper (min
+    * doc_id) for that fingerprint. This is the batch twin of the streaming
+    * admission store ([[graft.ops.StreamDemo]] `streamNearDupDocs`' exact
+    * layer): union-then-[[dedupExact]] would reprocess the full corpus per
+    * refresh, while this pass touches the corpus only to reduce it to its
+    * DISTINCT fingerprint set (one 64-hex hash per doc, combining
+    * map-side — at 100 TB that set is the natural "seen" index and can be
+    * a pre-materialized table instead of a rescan). The decision is one
+    * fingerprint-keyed left join plus the two-phase keeper groupBy on the
+    * (small) batch side; no payload ever shuffles. */
+  def dedupIncremental(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val seen = fingerprints(corpus).select("fingerprint").distinct()
+      .withColumn("known", lit(1L))
+    val bfp = fingerprints(batch)
+    val keepers = bfp.groupBy("fingerprint").agg(min("doc_id").as("keeper_id"))
+    bfp.join(keepers, Seq("fingerprint"))
+      .join(seen, Seq("fingerprint"), "left")
+      .select(col("doc_id"),
+        col("known").isNotNull.cast("int").as("in_corpus"),
+        (col("doc_id") =!= col("keeper_id")).cast("int").as("is_batch_dup"),
+        (col("known").isNull && col("doc_id") === col("keeper_id"))
+          .cast("int").as("admitted"))
   }
 
   /** (doc_id, shingle) postings: distinct word k-shingles per document. */
@@ -1354,6 +1462,49 @@ object Text {
         col("n_unseen_bigrams").cast("double") / col("n_bigrams"))
       .select("doc_id", "n_bigrams", "n_unseen_bigrams", "unseen_frac",
         "avg_logp")
+  }
+
+  /** CCNet-style perplexity bucketing: within each source, split documents
+    * into `head` / `middle` / `tail` thirds by fluency under a trained LM
+    * (Wenzek et al. 2020 §4.3 — CCNet keeps head+middle and drops or
+    * down-weights the tail instead of applying one global threshold,
+    * because a fixed cutoff over-prunes low-resource domains). Buckets are
+    * VALUE-based: the head boundary is the avg_logp at descending rank
+    * ⌈n/3⌉ within the source, ties share a bucket (so equal-scoring docs
+    * can never straddle a training-mixture boundary), and membership is a
+    * pure function of (corpus, model) — stable under partitioning.
+    *
+    * Scale shape: the per-doc score pass is [[lmScoreWith]]; the boundary
+    * computation collapses scores to a per-source HISTOGRAM first (avg_logp
+    * lives on the 1e-6 q6 grid, so distinct values ≪ docs), runs the
+    * cumulative window over histogram rows — the [[lengthPercentiles]]
+    * discipline, bounded per-task state however large one source gets —
+    * and broadcasts the |sources|-row boundary table back over the scored
+    * stream. No per-doc global sort anywhere. */
+  def perplexityBuckets(documents: DataFrame, model: LmModel,
+      lam: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScoreWith(model, documents, lam)
+      .join(documents.select("doc_id", "source"), Seq("doc_id"))
+      .select("doc_id", "source", "avg_logp")
+    val hist = scored.groupBy(col("source"), col("avg_logp"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("source").orderBy(col("avg_logp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = hist
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+      .groupBy("source").agg(
+        max(when(col("cum") >= expr("(n + 2) div 3"), col("avg_logp")))
+          .as("b_head"),
+        max(when(col("cum") >= expr("(2 * n + 2) div 3"), col("avg_logp")))
+          .as("b_middle"))
+    scored.join(broadcast(cuts), Seq("source"))
+      .withColumn("ppl_bucket",
+        when(col("avg_logp") >= col("b_head"), "head")
+          .when(col("avg_logp") >= col("b_middle"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "source", "avg_logp", "ppl_bucket")
   }
 
   // -------------------------------------------------------------------------

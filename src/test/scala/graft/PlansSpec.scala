@@ -114,6 +114,8 @@ class PlansSpec extends SparkTestBase {
       "similarity_ivf_topk",     // nCells-row centroid broadcast (probe scoring)
       "lm_score",                // 1-row N/V totals broadcast
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate
+      "perplexity_buckets",      // same 1-row totals broadcast via lmScoreWith
+      "curation_funnel",         // same 1-row totals broadcast via the LM gate flag
       "quality_classifier",      // 1-row smoothing-floor broadcast
       "classifier_pr",           // bounded histogram cumulative self-join
       "curation_e2e_cls",        // 1-row smoothing-floor broadcast via the gate

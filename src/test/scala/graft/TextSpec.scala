@@ -928,4 +928,76 @@ class TextSpec extends SparkTestBase {
     // rates bounded and monotone in the score
     assert(got.filter(col("keep_rate") > 1.0 || col("keep_rate") <= 0.0).count() == 0)
   }
+
+  test("dedupIncremental: known fingerprints rejected, batch keeper admitted exactly once") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma"),    // exact copy of a corpus doc -> rejected
+      (11L, "eta theta iota"),      // fresh, batch keeper -> admitted
+      (12L, "eta theta iota"),      // batch-internal dup of 11 -> rejected
+      (13L, "Delta  epsilon zeta")  // normalization-equal to corpus doc 2 -> rejected
+    ).toDF("doc_id", "text")
+    val r = Text.dedupIncremental(batch, corpus).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getInt(3)))).toMap
+    assert(r(10L) == ((1, 0, 0)))
+    assert(r(11L) == ((0, 0, 1)))
+    assert(r(12L) == ((0, 1, 0)))
+    assert(r(13L) == ((1, 0, 0)))
+  }
+
+  test("perplexityBuckets: buckets are value-ordered and sized to their rank cuts") {
+    val pb = q("perplexity_buckets").cache()
+    // exactly the scoreable (>= 1 bigram) docs, each bucketed once
+    assert(pb.count() == q("lm_score").count())
+    val rows = pb.collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    for ((_, grp) <- rows.groupBy(_._1)) {
+      val n = grp.length
+      val head = grp.filter(_._3 == "head").map(_._2)
+      val mid = grp.filter(_._3 == "middle").map(_._2)
+      val tail = grp.filter(_._3 == "tail").map(_._2)
+      assert(head.length + mid.length + tail.length == n)
+      // value-based thirds: each prefix covers at least its rank cut, and
+      // equal scores never straddle a boundary (strict gaps between buckets)
+      assert(head.length >= (n + 2) / 3)
+      assert(head.length + mid.length >= (2 * n + 2) / 3)
+      if (head.nonEmpty && mid.nonEmpty) assert(head.min > mid.max)
+      if (mid.nonEmpty && tail.nonEmpty) assert(mid.min > tail.max)
+    }
+  }
+
+  test("curationFunnel stages equal the real gate stack's survivor counts") {
+    val funnel = q("curation_funnel").collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val model = Text.lmTrain(docs.filter(Text.inTrainSplit()))
+    val src = Text.filterBySource(docs, 0.5, 0.05)
+    val gated = Text.lmGate(src, model, -3.43, 0.5)
+    val sampled = Text.sampleMixture(gated, Map("en" -> 0.5, "zh" -> 0.75))
+    assert(funnel("raw")._1 == docs.count())
+    assert(funnel("source_filter")._1 == src.count())
+    assert(funnel("lm_gate")._1 == gated.count())
+    assert(funnel("sampled")._1 == sampled.count())
+    val rawToks = docs.agg(sum(size(split(col("text"), "\\s+"))).cast("long"))
+      .collect().head.getLong(0)
+    assert(funnel("raw")._2 == rawToks)
+  }
+
+  test("piiReport rolls up exactly the scrubber's per-doc detector counts") {
+    val rolled = q("pii_report")
+      .agg(sum("total_emails"), sum("total_urls"), sum("total_phones"))
+      .collect().head
+    val perDoc = Text.scrubPii(docs)
+      .agg(sum("n_emails"), sum("n_urls"), sum("n_phones")).collect().head
+    assert(rolled == perDoc)
+  }
+
+  test("refIntegrity counts duplicates and orphans in both directions") {
+    import spark.implicits._
+    val d = Seq(1L, 2L, 2L, 3L).toDF("doc_id")
+    val e = Seq(2L, 3L, 3L, 4L, 5L).toDF("vec_id")
+    val r = graft.ops.Quality.refIntegrity(d, e).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((4L, 5L, 1L, 1L, 1L, 2L)))
+  }
 }
