@@ -1432,6 +1432,25 @@ object Text {
       lam: Double = 0.5, minCount: Long = 1L): DataFrame =
     lmScoreWith(lmTrain(reference, minCount), target, lam)
 
+  /** Incremental LM refresh — [[nbMerge]]'s lifecycle applied to the
+    * bigram gate model: merge two trained models into the model of their
+    * combined corpora by summing the vocabulary-sized count tables, so a
+    * refresh re-aggregates only the NEW batch instead of re-tokenizing
+    * history. Counts are exact longs and the broadcast decision is
+    * re-measured from the merged vocabulary, so for unpruned models
+    * (minCount = 1, the default) `lmMerge(train(A), train(B)) ≡
+    * train(A ∪ B)` BIT-EXACTLY — count tables AND downstream scores
+    * (asserted in TextSpec). For pruned models the merge is the standard
+    * approximation: a type just under `minCount` in both halves stays
+    * pruned even though the joint count would survive. */
+  def lmMerge(a: LmModel, b: LmModel): LmModel = {
+    val uni = a.uni.unionAll(b.uni).groupBy("token")
+      .agg(sum("c_uni").as("c_uni")).localCheckpoint(true)
+    val bi = a.bi.unionAll(b.bi).groupBy("prev", "cur")
+      .agg(sum("c_bi").as("c_bi")).localCheckpoint(true)
+    LmModel(uni, bi, uni.count() <= 5000000L)
+  }
+
   /** Score `target` against a trained [[LmModel]]. */
   def lmScoreWith(model: LmModel, target: DataFrame,
       lam: Double = 0.5): DataFrame = {

@@ -992,6 +992,24 @@ class TextSpec extends SparkTestBase {
     assert(rolled == perDoc)
   }
 
+  test("lmMerge: merged count tables equal the jointly-trained model bit-exactly") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = Text.lmMerge(Text.lmTrain(a), Text.lmTrain(b))
+    val joint = Text.lmTrain(docs)
+    assert(merged.uni.exceptAll(joint.uni).count() == 0
+      && joint.uni.exceptAll(merged.uni).count() == 0)
+    assert(merged.bi.exceptAll(joint.bi).count() == 0
+      && joint.bi.exceptAll(merged.bi).count() == 0)
+    val sm = Text.lmScoreWith(merged, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val sj = Text.lmScoreWith(joint, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(sm.sameElements(sj))
+  }
+
   test("refIntegrity counts duplicates and orphans in both directions") {
     import spark.implicits._
     val d = Seq(1L, 2L, 2L, 3L).toDF("doc_id")
