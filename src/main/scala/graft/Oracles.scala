@@ -1671,6 +1671,24 @@ af AS (
                            x -> x IN ('the', 'a', 'fast', 'small', 'big'))) AS BIGINT) AS en_hits,
                          CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
                   FROM documents) a) b""",
+    // declared-lang vs detector agreement per (source, lang); unknown
+    // abstains (counted separately, never a mismatch)
+    "lang_mismatch" -> """
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN lang_pred <> 'unknown' AND lang_pred <> lang
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+             CAST(SUM(CASE WHEN lang_pred = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown,
+             CAST(SUM(CASE WHEN lang_pred <> 'unknown' AND lang_pred <> lang
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS mismatch_frac
+      FROM (SELECT source, lang,
+                   CASE WHEN CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                          x -> x IN ('the', 'a', 'fast', 'small', 'big'))) AS BIGINT)
+                        / CAST(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS DOUBLE) > 0.02
+                        THEN 'en' ELSE 'unknown' END AS lang_pred
+            FROM documents) p
+      GROUP BY source, lang""",
+
     "fingerprints" -> """
       SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
       FROM documents""",
@@ -1735,6 +1753,44 @@ af AS (
       JOIN sz sa ON cm.doc_a = sa.doc_id
       JOIN sz sb ON cm.doc_b = sb.doc_id
       WHERE CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) >= 0.5"""
+    },
+
+    // fuzzy decontamination: the dedup_minhash_lsh construction pointed
+    // across the %20 train/eval split — band collision then exact-Jaccard
+    // verify, all hashes md5-mirrorable
+    "decontaminate_fuzzy" -> {
+      val sigCols = (0 until 32)
+        .map(j => s"min(md5('$j:' || shingle)) AS h$j").mkString(",\n                   ")
+      def bandRows(tbl: String) = (0 until 8).map { b =>
+        val parts = (b * 4 until (b + 1) * 4).map(j => s"h$j").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS band_hash FROM $tbl"
+      }.mkString("\n               UNION ALL ")
+      s"""
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      sht AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+      she AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+      sigt AS (SELECT doc_id,
+                   $sigCols
+               FROM sht GROUP BY doc_id),
+      sige AS (SELECT doc_id,
+                   $sigCols
+               FROM she GROUP BY doc_id),
+      bt AS (${bandRows("sigt")}),
+      be AS (${bandRows("sige")}),
+      cand AS (SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_id
+               FROM bt t JOIN be e USING (band, band_hash)),
+      szt AS (SELECT doc_id, count(*) AS size_t FROM sht GROUP BY 1),
+      sze AS (SELECT doc_id AS eval_id, count(*) AS size_e FROM she GROUP BY 1),
+      cm AS (SELECT c.doc_id, c.eval_id, count(*) AS n_common
+             FROM cand c JOIN sht a ON a.doc_id = c.doc_id
+             JOIN she b ON b.doc_id = c.eval_id AND b.shingle = a.shingle
+             GROUP BY 1, 2)
+      SELECT cm.doc_id, cm.eval_id,
+             CAST(cm.n_common AS DOUBLE) / (szt.size_t + sze.size_e - cm.n_common) AS jaccard
+      FROM cm JOIN szt USING (doc_id) JOIN sze USING (eval_id)
+      WHERE CAST(cm.n_common AS DOUBLE) / (szt.size_t + sze.size_e - cm.n_common) >= 0.5"""
     },
 
     // mirrorable simhash: 60-bit md5 token hash ('0x'||hex cast — the

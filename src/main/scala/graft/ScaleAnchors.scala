@@ -194,6 +194,22 @@ object ScaleAnchors {
       t("novelty_score")(ops.Text.noveltyScore(
         d.filter(ops.Text.inTrainSplit()), d.filter(!ops.Text.inTrainSplit())).count())
 
+      // r9 audit family: incremental admission, fuzzy decontamination,
+      // perplexity thirds, and the funnel. All linear one-pass shapes;
+      // decontaminate_fuzzy's candidate volume tracks the planted
+      // cross-split near-dup mass (id%20==1 copies of id%20==0 docs land
+      // on opposite sides of the %20 eval cut), so rows ∝ scale
+      t("dedup_incremental")(ops.Text.dedupIncremental(
+        d.filter(!ops.Text.inTrainSplit()),
+        d.filter(ops.Text.inTrainSplit())).count())
+      t("decontaminate_fuzzy")(ops.Text.decontaminateFuzzy(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), threshold = 0.3).count())
+      t("perplexity_buckets")(ops.Text.perplexityBuckets(d, model).count())
+      t("curation_funnel")(ops.Text.curationFunnel(d, model,
+        minAvgLogp = -12.0, maxUnseenFrac = 0.9, maxDupFrac = 0.9,
+        maxLowQualityFrac = 0.9, rates = Map("en" -> 0.5, "zh" -> 0.75)).count())
+
       println(out.map {
         case (k, v: String) => s""""$k":"$v""""
         case (k, v) => s""""$k":$v"""

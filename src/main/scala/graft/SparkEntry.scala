@@ -304,6 +304,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0), // train
         docs.filter(col("doc_id") % 20 === 0)) // held-out "benchmark"
     }),
+    // fuzzy (MinHash-LSH) decontamination: same %20 split, band collision
+    // + exact-Jaccard verify; md5 mirror hashes so the oracle value-checks
+    // the candidate set (xxhash64 sketch is the scale default)
+    "decontaminate_fuzzy" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Text.decontaminateFuzzy(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), mirrorableHash = true)
+    }),
     // enforcement form: the clean train set after dropping flagged docs
     "decontaminate_filter" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -342,6 +352,8 @@ object SparkEntry {
       rates = Map("en" -> 0.5, "zh" -> 0.75))),
     // corpus-level PII rollup of the scrubber's detector counts
     "pii_report" -> ((s, d) => Text.piiReport(Tables.documents(s, d))),
+    // metadata-lang vs detector agreement audit per (source, lang)
+    "lang_mismatch" -> ((s, d) => Text.langMismatch(Tables.documents(s, d))),
     // documents <-> embeddings referential-integrity one-row audit
     "ref_integrity" -> ((s, d) =>
       Quality.refIntegrity(Tables.documents(s, d), Tables.embeddings(s, d))),

@@ -139,10 +139,41 @@ object Text {
     * the profiles here are token-level). */
   def langId(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val en = size(filter(toks, t => t.isin("the", "a", "fast", "small", "big")))
-    documents.select(col("doc_id"), col("lang"), en.cast("long").as("en_hits"), size(toks).cast("long").as("n_tokens"))
+    documents.select(col("doc_id"), col("lang"),
+        enHits(toks).as("en_hits"), size(toks).cast("long").as("n_tokens"))
       .withColumn("en_score", col("en_hits").cast("double") / col("n_tokens"))
-      .withColumn("lang_pred", when(col("en_score") > 0.02, "en").otherwise("unknown"))
+      .withColumn("lang_pred", langPredOf(col("en_score")))
+  }
+
+  // Detector pieces shared by [[langId]] and [[langMismatch]] so the audit
+  // can never drift from the detector it audits.
+  private def enHits(toks: Column): Column =
+    size(filter(toks, t => t.isin("the", "a", "fast", "small", "big"))).cast("long")
+  private def langPredOf(score: Column): Column =
+    when(score > 0.02, "en").otherwise("unknown")
+
+  /** Language-label audit: per (source, declared lang), how often the
+    * [[langId]] detector agrees with the metadata label — the
+    * mislabeled-language sweep a multilingual pipeline runs before
+    * trusting `lang` for mixture weighting or per-language filtering
+    * (metadata lang tags on crawled data are notoriously wrong; a source
+    * with a high mismatch rate gets its tags re-derived, not trusted).
+    * `mismatch` counts only confident disagreements — the detector's
+    * "unknown" abstains rather than flagging, so rates are conservative.
+    * Scan-local detector projection → one combining groupBy: |sources ×
+    * langs| result rows, the [[sourceReport]] 100 TB shape. */
+  def langMismatch(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val score = enHits(toks).cast("double") / size(toks).cast("long")
+    documents
+      .select(col("source"), col("lang"), langPredOf(score).as("lang_pred"))
+      .groupBy("source", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("lang_pred") =!= "unknown" && col("lang_pred") =!= col("lang"))
+          .cast("long")).as("n_mismatch"),
+        sum((col("lang_pred") === "unknown").cast("long")).as("n_unknown"))
+      .withColumn("mismatch_frac",
+        col("n_mismatch").cast("double") / col("n_docs"))
   }
 
   /** Gopher/RedPajama-style rule-bundle quality filter (Rae et al. 2021
@@ -1126,6 +1157,49 @@ object Text {
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+
+  /** Fuzzy (MinHash-LSH) decontamination — the GPT-3/Pile-style
+    * benchmark-overlap removal when exact shingle-count matching
+    * ([[decontaminate]]) is too strict: a train document is flagged
+    * against an eval document when the two collide in ≥1 LSH band AND
+    * their exact shingle Jaccard clears `threshold` (catches paraphrased
+    * or lightly-edited benchmark copies whose shared-shingle COUNT is
+    * high but diluted by edits). The same banding OR-construction as
+    * [[dedupMinHashLshFrom]], pointed across two corpora.
+    *
+    * Scale shape: both sides collapse to band buckets; the EVAL side
+    * (benchmarks — thousands of docs, not billions) broadcasts, so
+    * candidate generation is one shuffle-free map-side join over the
+    * train buckets, and the Jaccard verify touches only colliding pairs
+    * with the eval postings broadcast again. Anti-join `train` on the
+    * flagged doc_ids to enforce ([[decontaminateFilter]]'s shape). */
+  def decontaminateFuzzy(train: DataFrame, evalSet: DataFrame,
+      threshold: Double = 0.5, k: Int = 5, numHashes: Int = 32,
+      bands: Int = 8, mirrorableHash: Boolean = false): DataFrame = {
+    val shT = shingles(train, k)
+    val shE = shingles(evalSet, k)
+    def bucketsOf(sh: DataFrame) =
+      if (mirrorableHash) mirrorableBandBuckets(sh, numHashes, bands)
+      else bandBuckets(minHashSignaturesFrom(sh, numHashes), numHashes, bands)
+    val cand = bucketsOf(shT).as("t")
+      .join(broadcast(bucketsOf(shE)).as("e"),
+        col("t.band") === col("e.band") && col("t.band_hash") === col("e.band_hash"))
+      .select(col("t.doc_id").as("doc_id"), col("e.doc_id").as("eval_id"))
+      .distinct()
+    val sizeT = shT.groupBy("doc_id").agg(count(lit(1)).as("size_t"))
+    val sizeE = shE.groupBy("doc_id").agg(count(lit(1)).as("size_e"))
+      .withColumnRenamed("doc_id", "eval_id")
+    cand.join(shT, Seq("doc_id"))
+      .join(broadcast(shE.select(col("doc_id").as("eval_id"), col("shingle"))),
+        Seq("eval_id", "shingle"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_common"))
+      .join(sizeT, Seq("doc_id"))
+      .join(broadcast(sizeE), Seq("eval_id"))
+      .withColumn("jaccard", col("n_common").cast("double")
+        / (col("size_t") + col("size_e") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id", "eval_id", "jaccard")
+  }
 
   /** Enforcement form of [[decontaminate]] ([[lmGate]]/[[nbFilter]]'s
     * shape): drop every train document flagged against the benchmark,

@@ -992,6 +992,25 @@ class TextSpec extends SparkTestBase {
     assert(rolled == perDoc)
   }
 
+  test("decontaminateFuzzy flags near-copies across corpora on both hash paths") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // one-token paraphrase of the benchmark doc -> flagged
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+      // unrelated -> clean
+      (2L, "completely different content about catalyst optimizer internals and physical plans here")
+    ).toDF("doc_id", "text")
+    for (mirror <- Seq(true, false)) {
+      val flagged = Text.decontaminateFuzzy(train, evalSet,
+          threshold = 0.3, mirrorableHash = mirror)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flagged == Set((1L, 100L)), s"mirror=$mirror got $flagged")
+    }
+  }
+
   test("lmMerge: merged count tables equal the jointly-trained model bit-exactly") {
     val a = docs.filter(col("doc_id") % 2 === 0)
     val b = docs.filter(col("doc_id") % 2 =!= 0)
