@@ -1671,6 +1671,34 @@ af AS (
                            x -> x IN ('the', 'a', 'fast', 'small', 'big'))) AS BIGINT) AS en_hits,
                          CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
                   FROM documents) a) b""",
+    // Zipf-shape 1-row report over the occurrence-count histogram; head
+    // cut is value-based (whole tie group at the rank-⌈V/10⌉ count kept)
+    "token_spectrum" -> """
+      WITH wc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+                        FROM documents) p GROUP BY token),
+      hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_types FROM wc GROUP BY c),
+      cum AS (SELECT c, n_types,
+                     SUM(n_types) OVER (ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_types,
+                     SUM(c * n_types) OVER (ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mass,
+                     SUM(n_types) OVER () AS v,
+                     SUM(c * n_types) OVER () AS n
+              FROM hist),
+      agg AS (SELECT CAST(MAX(n) AS BIGINT) AS n_tokens,
+                     CAST(MAX(v) AS BIGINT) AS n_types,
+                     CAST(SUM(CASE WHEN c = 1 THEN n_types ELSE 0 END) AS BIGINT) AS hapax_types,
+                     CAST(MIN(CASE WHEN cum_types >= (v + 9) // 10 THEN cum_mass END) AS BIGINT) AS head_mass
+              FROM cum)
+      SELECT n_tokens, n_types,
+             CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
+             hapax_types,
+             CAST(hapax_types AS DOUBLE) / n_types AS hapax_type_frac,
+             CAST(hapax_types AS DOUBLE) / n_tokens AS hapax_mass_frac,
+             CAST(head_mass AS DOUBLE) / n_tokens AS head_mass_frac
+      FROM agg""",
+
     // declared-lang vs detector agreement per (source, lang); unknown
     // abstains (counted separately, never a mismatch)
     "lang_mismatch" -> """

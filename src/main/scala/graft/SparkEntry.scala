@@ -354,6 +354,8 @@ object SparkEntry {
     "pii_report" -> ((s, d) => Text.piiReport(Tables.documents(s, d))),
     // metadata-lang vs detector agreement audit per (source, lang)
     "lang_mismatch" -> ((s, d) => Text.langMismatch(Tables.documents(s, d))),
+    // Zipf-shape corpus health: hapax share + head mass over the count histogram
+    "token_spectrum" -> ((s, d) => Text.tokenSpectrum(Tables.documents(s, d))),
     // documents <-> embeddings referential-integrity one-row audit
     "ref_integrity" -> ((s, d) =>
       Quality.refIntegrity(Tables.documents(s, d), Tables.embeddings(s, d))),

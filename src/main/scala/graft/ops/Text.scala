@@ -58,6 +58,50 @@ object Text {
       .groupBy("token")
       .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
 
+  /** Token-spectrum corpus-health report (1 row): the Zipf-shape numbers a
+    * tokenizer/vocabulary decision reads — total mass N, type count V,
+    * type-token ratio, hapax (count-1) type share and token-mass share,
+    * and the mass captured by the head (top ⌈V/10⌉ types). Head membership
+    * is VALUE-based: the cut count c* is the occurrence count at rank
+    * ⌈V/10⌉ descending, and the whole tie group at c* is included — so the
+    * report is a pure function of the count multiset (partitioning- and
+    * engine-independent), the [[perplexityBuckets]] boundary discipline.
+    *
+    * Scale shape: [[wordCount]]'s combining groupBy collapses the corpus to
+    * the vocabulary, a second groupBy collapses THAT to the count
+    * HISTOGRAM (distinct occurrence counts — thousands of rows at any
+    * corpus size), and the rank/mass sweep is one window over histogram
+    * rows plus a 1-row aggregate. Nothing after the first groupBy scales
+    * with the corpus. */
+  def tokenSpectrum(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = wordCount(documents).groupBy(col("n_occurrences").as("c"))
+      .agg(count(lit(1)).as("n_types"))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum_types", sum("n_types").over(w))
+      .withColumn("cum_mass", sum(col("c") * col("n_types")).over(w))
+      .withColumn("v", sum("n_types").over(Window.partitionBy()))
+      .withColumn("n", sum(col("c") * col("n_types")).over(Window.partitionBy()))
+    cum.agg(
+        max(col("n")).as("n_tokens"),
+        max(col("v")).as("n_types"),
+        // hapax mass == hapax types (each count-1 type carries 1 token)
+        sum(when(col("c") === 1L, col("n_types")).otherwise(0L)).as("hapax_types"),
+        // boundary row = FIRST (largest-c) histogram row covering the rank
+        // cut; its cum_mass is the smallest among qualifying rows
+        min(when(col("cum_types") >= expr("(v + 9) div 10"), col("cum_mass")))
+          .as("head_mass"))
+      .select(
+        col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("type_token_ratio"),
+        col("hapax_types"),
+        (col("hapax_types").cast("double") / col("n_types")).as("hapax_type_frac"),
+        (col("hapax_types").cast("double") / col("n_tokens")).as("hapax_mass_frac"),
+        (col("head_mass").cast("double") / col("n_tokens")).as("head_mass_frac"))
+  }
+
   /** Per-document token statistics: whitespace tokens, a BPE-ish regex token
     * count (runs of word chars / digits / single punctuation), char count,
     * mean token length. */

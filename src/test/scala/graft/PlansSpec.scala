@@ -128,7 +128,9 @@ class PlansSpec extends SparkTestBase {
       "semdedup_exact",          // documented small-corpus all-pairs baseline
       "semdedup")                // nCells-row centroid broadcast (assignment)
     // Sanctioned unpartitioned windows/sorts: |teams|-bounded frames only.
-    val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features")
+    val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features",
+      "token_spectrum") // cumulative sweep over the count HISTOGRAM — rows
+                        // = distinct occurrence counts, bounded at any corpus size
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val qe = fn(spark, SF).queryExecution
       val physical = qe.executedPlan.toString

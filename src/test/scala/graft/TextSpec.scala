@@ -1029,6 +1029,20 @@ class TextSpec extends SparkTestBase {
     assert(sm.sameElements(sj))
   }
 
+  test("tokenSpectrum: exact hapax and value-based head-mass on hand corpora") {
+    import spark.implicits._
+    // counts a=3 b=2 c=1 -> N=6 V=3 hapax=1; head cut ceil(3/10)=1 -> c*=3
+    val r = Text.tokenSpectrum(
+      Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")).collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 3 && r.getLong(3) == 1)
+    assert(r.getDouble(2) == 3.0 / 6 && r.getDouble(4) == 1.0 / 3
+      && r.getDouble(5) == 1.0 / 6 && r.getDouble(6) == 3.0 / 6)
+    // all-tied counts: the whole tie group joins the head -> head mass 1.0
+    val t = Text.tokenSpectrum(
+      Seq((1L, "x y"), (2L, "y z x z")).toDF("doc_id", "text")).collect().head
+    assert(t.getLong(3) == 0 && t.getDouble(6) == 1.0)
+  }
+
   test("refIntegrity counts duplicates and orphans in both directions") {
     import spark.implicits._
     val d = Seq(1L, 2L, 2L, 3L).toDF("doc_id")
