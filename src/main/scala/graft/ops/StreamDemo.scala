@@ -608,6 +608,84 @@ object StreamDemo {
       .start()
   }
 
+  /** Streaming LM refresh — [[streamClassifierRefresh]]'s lifecycle for
+    * the bigram perplexity-gate model ([[Text.lmMerge]]'s batch merge as a
+    * running fold): each micro-batch's uni/bigram count deltas
+    * ([[Text.lmCountDeltas]], the SAME aggregation unit batch training
+    * uses) fold into cumulative vocabulary-sized stores under
+    * `storeDir/{uni,bi}/batch_id=N`, with the ClassifierStore rules per
+    * layer — ordering-based replay exclusion (`< batchId`) and
+    * newest-predecessor retention. The streamed model is bit-parity with
+    * batch [[Text.lmTrain]] over everything ingested — count tables AND
+    * downstream scores (StreamLmSpec, mid-stream and across checkpointed
+    * restart). */
+  def streamLmRefresh(spark: SparkSession, docsDir: String,
+      storeDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("source", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (ud, bd) = Text.lmCountDeltas(batch)
+        val uni = LmStore.view(spark, storeDir, "uni", batchId)
+          .unionByName(ud)
+          .groupBy("token").agg(sum("c_uni").as("c_uni"))
+          .localCheckpoint(true)
+        uni.write.mode("overwrite").parquet(s"$storeDir/uni/batch_id=$batchId")
+        val bi = LmStore.view(spark, storeDir, "bi", batchId)
+          .unionByName(bd)
+          .groupBy("prev", "cur").agg(sum("c_bi").as("c_bi"))
+          .localCheckpoint(true)
+        bi.write.mode("overwrite").parquet(s"$storeDir/bi/batch_id=$batchId")
+        for (layer <- Seq("uni", "bi");
+             (_, p) <- ReportStore.completeIds(spark, storeDir, layer, "batch_id=")
+               .filter(_._1 < batchId)
+               .sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1).drop(1))
+          ReportStore.fs(spark, p).delete(p, true)
+        ()
+      }
+      .start()
+  }
+
+  /** Materialize the newest committed streamed LM — scoring-ready,
+    * bit-identical to batch [[Text.lmTrain]] over everything ingested. */
+  def readLmModel(spark: SparkSession, storeDir: String): Text.LmModel =
+    Text.lmFromCounts(
+      LmStore.view(spark, storeDir, "uni", Long.MaxValue),
+      LmStore.view(spark, storeDir, "bi", Long.MaxValue))
+
+  /** Store plumbing for [[streamLmRefresh]] — the ClassifierStore
+    * listing/completeness/ordering rules applied to the two LM count
+    * layers. */
+  private[ops] object LmStore {
+    import org.apache.spark.sql.types._
+    val uniSchema: StructType = StructType(Seq(
+      StructField("token", StringType), StructField("c_uni", LongType)))
+    val biSchema: StructType = StructType(Seq(
+      StructField("prev", StringType), StructField("cur", StringType),
+      StructField("c_bi", LongType)))
+    /** Newest complete cumulative table of `layer` strictly below
+      * `excludeBatch`; empty store → empty frame with the layer schema. */
+    def view(spark: SparkSession, storeDir: String, layer: String,
+        excludeBatch: Long): DataFrame = {
+      val schema = if (layer == "uni") uniSchema else biSchema
+      ReportStore.completeIds(spark, storeDir, layer, "batch_id=")
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) =>
+          spark.read.schema(schema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      }
+    }
+  }
+
   /** Materialize the newest committed streamed model — scoring-ready,
     * bit-identical to batch training over everything ingested. */
   def readClassifierModel(spark: SparkSession, storeDir: String): Text.NbModel =

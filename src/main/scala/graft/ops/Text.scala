@@ -1527,23 +1527,33 @@ object Text {
     // unmaterialized plan re-tokenizes the whole reference corpus per
     // consumer. localCheckpoint truncates to the vocabulary-sized result —
     // the dedupClusters / Pipeline.stage materialization discipline.
-    val uni = tokenPostings(reference).groupBy("token")
-      .agg(count(lit(1)).as("c_uni"))
-      .filter(col("c_uni") >= minCount)
-      .localCheckpoint(true)
-    // the LogicalRDD leaf reports no stats, which would silently demote
-    // both scoring joins to sort-merge even for a tiny vocabulary — so the
-    // broadcast decision is MEASURED from the materialized frame (the
-    // bitsFor / simhashAdaptiveBlocks adaptive-sizing discipline): small
-    // vocab → broadcast hash joins over the unshuffled posting stream;
-    // huge vocab (web-scale tail past ~5M types) → Spark's natural
-    // token-keyed shuffle join, which is the right plan at that size.
-    val vocabBroadcastable = uni.count() <= 5000000L
-    val bi = bigramPositions(reference).groupBy("prev", "cur")
-      .agg(count(lit(1)).as("c_bi"))
-      .filter(col("c_bi") >= minCount)
-      .localCheckpoint(true)
-    LmModel(uni, bi, vocabBroadcastable)
+    val (ud, bd) = lmCountDeltas(reference)
+    lmFromCounts(ud.filter(col("c_uni") >= minCount),
+      bd.filter(col("c_bi") >= minCount))
+  }
+
+  /** The LM's aggregation unit — per-corpus (or per-micro-batch) uni and
+    * bigram count tables. ONE definition shared by [[lmTrain]] and the
+    * streaming refresh ([[graft.ops.StreamDemo]] `streamLmRefresh`), the
+    * `nbCountDelta` discipline, so batch and streamed models can never
+    * drift on what they count. */
+  private[ops] def lmCountDeltas(documents: DataFrame): (DataFrame, DataFrame) =
+    (tokenPostings(documents).groupBy("token").agg(count(lit(1)).as("c_uni")),
+      bigramPositions(documents).groupBy("prev", "cur")
+        .agg(count(lit(1)).as("c_bi")))
+
+  /** Assemble a scoring-ready [[LmModel]] from already-aggregated count
+    * tables — the entry point for the streaming refresh's cumulative store
+    * and any externally-persisted model. Frames are materialized
+    * (vocabulary-sized checkpoints) and the broadcast decision is
+    * RE-MEASURED from the actual vocabulary — the LogicalRDD leaf reports
+    * no stats, which would silently demote both scoring joins to
+    * sort-merge even for a tiny vocabulary (small vocab → broadcast hash
+    * joins over the unshuffled posting stream; web-scale tail past ~5M
+    * types → Spark's natural token-keyed shuffle join). */
+  def lmFromCounts(uni: DataFrame, bi: DataFrame): LmModel = {
+    val u = uni.localCheckpoint(true)
+    LmModel(u, bi.localCheckpoint(true), u.count() <= 5000000L)
   }
 
   def lmScore(reference: DataFrame, target: DataFrame,

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
+
+import graft.ops.{StreamDemo, Text}
+
+/** Streaming LM refresh ([[StreamDemo.streamLmRefresh]]): the lmMerge law,
+  * streamed — after any prefix of micro-batches the stored model must be
+  * BIT-EXACTLY [[Text.lmTrain]] over the documents ingested so far (uni and
+  * bigram count tables are integers; the broadcast decision re-measures
+  * through the shared lmFromCounts path), including across a checkpointed
+  * restart, and downstream perplexity scores must agree bit-for-bit. */
+class StreamLmSpec extends SparkTestBase with TimeLimitedTests {
+  val timeLimit: Span = Span(240, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  test("streamed LM equals batch training over everything ingested; restart-safe") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("lm_src")
+    val store = java.nio.file.Files.createTempDirectory("lm_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("lm_ckpt")
+
+    val all = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text", "source").orderBy("doc_id")
+    val rows = all.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"lm_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    def uniMap(m: Text.LmModel) = m.uni.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def biMap(m: Text.LmModel) = m.bi.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def batchTwin(slice: Array[org.apache.spark.sql.Row]): Text.LmModel =
+      Text.lmTrain(
+        spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema))
+
+    // run 1: two files -> two micro-batches; the second folds into the first
+    stage(1, rows.slice(0, cut1))
+    stage(2, rows.slice(cut1, cut2))
+    val q1 = StreamDemo.streamLmRefresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    val mid = StreamDemo.readLmModel(spark, store.toString)
+    val midTwin = batchTwin(rows.slice(0, cut2))
+    assert(uniMap(mid) == uniMap(midTwin) && biMap(mid) == biMap(midTwin),
+      "streamed LM drifted from the batch twin mid-stream")
+
+    // checkpointed restart with a third file: resumes, does not re-count
+    stage(3, rows.slice(cut2, rows.length))
+    val q2 = StreamDemo.streamLmRefresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = StreamDemo.readLmModel(spark, store.toString)
+    val twin = batchTwin(rows)
+    assert(uniMap(streamed) == uniMap(twin) && biMap(streamed) == biMap(twin),
+      "streamed LM drifted from the batch twin after restart")
+
+    // ...and it scores identically to the batch-trained model
+    val target = Tables.documents(spark, SF).limit(50)
+    def scores(m: Text.LmModel) = Text.lmScoreWith(m, target).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(scores(streamed) == scores(twin))
+
+    // retention per layer: at most the newest predecessor + the latest
+    for (layer <- Seq("uni", "bi")) {
+      val parts = new java.io.File(s"$store/$layer").listFiles()
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+      assert(parts.length <= 2, s"$layer retention failed: ${parts.mkString(",")}")
+    }
+  }
+}
