@@ -1185,6 +1185,25 @@ af AS (
                   ELSE 'tail' END AS ppl_bucket
       FROM scored s JOIN cuts c USING (source)""",
 
+    // CCNet enforcement: keep head+middle of the per-source thirds
+    "perplexity_filter" -> s"""
+      WITH ls AS ($lmScoreSql),
+      scored AS (SELECT ls.doc_id, d.source, ls.avg_logp
+                 FROM ls JOIN documents d USING (doc_id)),
+      hist AS (SELECT source, avg_logp, CAST(COUNT(*) AS BIGINT) AS c
+               FROM scored GROUP BY source, avg_logp),
+      cum AS (SELECT source, avg_logp,
+                     SUM(c) OVER (PARTITION BY source ORDER BY avg_logp DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     SUM(c) OVER (PARTITION BY source) AS n
+              FROM hist),
+      cuts AS (SELECT source,
+                      MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN avg_logp END) AS b_middle
+               FROM cum GROUP BY source),
+      kept AS (SELECT s.doc_id FROM scored s JOIN cuts c USING (source)
+               WHERE s.avg_logp >= c.b_middle)
+      SELECT d.* FROM documents d JOIN kept USING (doc_id)""",
+
     // per-stage curation survivors (docs + token mass): source_report's
     // gate + the lm_score band + the mixture sample key, as 0/1 flags over
     // one scan — flag products mirror the left-semi stack exactly

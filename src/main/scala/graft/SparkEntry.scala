@@ -344,6 +344,9 @@ object SparkEntry {
     // boundaries over the q6 score histogram), reusing the memoized LM
     "perplexity_buckets" -> ((s, d) =>
       Text.perplexityBuckets(Tables.documents(s, d), lmModel(s, d))),
+    // enforcement form: keep head+middle, drop the least-fluent tail
+    "perplexity_filter" -> ((s, d) =>
+      Text.perplexityFilter(Tables.documents(s, d), lmModel(s, d))),
     // per-stage survivor counts through the curation_e2e_lm gate stack
     // (same thresholds), docs + token mass per stage in one flag pass
     "curation_funnel" -> ((s, d) => Text.curationFunnel(Tables.documents(s, d),

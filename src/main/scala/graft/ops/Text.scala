@@ -1654,6 +1654,20 @@ object Text {
       .select("doc_id", "source", "avg_logp", "ppl_bucket")
   }
 
+  /** Enforcement form of [[perplexityBuckets]] — CCNet's actual gate:
+    * keep the fluent `keep` buckets (head+middle by default; Wenzek et al.
+    * drop or down-weight the tail), full payload preserved. One doc_id
+    * left-semi join against the bucketed frame — the [[lmGate]] /
+    * [[nbFilter]] / [[decontaminateFilter]] enforcement shape, but with
+    * the PER-SOURCE adaptive threshold a fixed global perplexity cutoff
+    * can't express (a fixed cutoff over-prunes low-resource domains). */
+  def perplexityFilter(documents: DataFrame, model: LmModel,
+      keep: Seq[String] = Seq("head", "middle"), lam: Double = 0.5): DataFrame =
+    documents.join(
+      perplexityBuckets(documents, model, lam)
+        .filter(col("ppl_bucket").isin(keep: _*)).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
   // -------------------------------------------------------------------------
   // Linear quality classifier (fastText-style seed-source gate)
   // -------------------------------------------------------------------------

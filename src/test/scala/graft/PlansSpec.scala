@@ -115,6 +115,7 @@ class PlansSpec extends SparkTestBase {
       "lm_score",                // 1-row N/V totals broadcast
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate
       "perplexity_buckets",      // same 1-row totals broadcast via lmScoreWith
+      "perplexity_filter",       // same, via the bucket gate
       "curation_funnel",         // same 1-row totals broadcast via the LM gate flag
       "quality_classifier",      // 1-row smoothing-floor broadcast
       "classifier_pr",           // bounded histogram cumulative self-join

@@ -95,6 +95,24 @@ class SkewSpec extends SparkTestBase {
       assert(m1 < HotN / 2,
         s"dedup_exact: a task read $m1 shuffle records — hot key funneled into one task")
 
+      // dedup_incremental under the same hot fingerprint: corpus side
+      // (even ids — half the 100k copies) collapses to ONE distinct
+      // fingerprint map-side; batch side (odd ids) runs the two-phase
+      // keeper groupBy. No admission: every batch copy is known.
+      var inc: Array[org.apache.spark.sql.Row] = null
+      val mInc = maxTaskShuffleRecords {
+        inc = Text.dedupIncremental(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0)).collect()
+      }
+      val hotInc = inc.filter(_.getAs[Long]("doc_id") < HotN)
+      assert(hotInc.length == HotN / 2)
+      assert(hotInc.forall(_.getAs[Int]("in_corpus") == 1),
+        "hot batch copies must all be known to the corpus")
+      assert(hotInc.count(_.getAs[Int]("admitted") == 1) == 0)
+      assert(mInc < HotN / 4, // hot mass is HotN/2 here — same relative bound
+        s"dedup_incremental: a task read $mInc shuffle records — hot key funneled into one task")
+
       // source_report: 91%-mass source pre-aggregates map-side
       var report: Array[org.apache.spark.sql.Row] = null
       val m2 = maxTaskShuffleRecords {

@@ -1029,6 +1029,16 @@ class TextSpec extends SparkTestBase {
     assert(sm.sameElements(sj))
   }
 
+  test("perplexityFilter keeps exactly the head+middle bucket population") {
+    val buckets = q("perplexity_buckets")
+    val wantIds = buckets.filter(col("ppl_bucket").isin("head", "middle"))
+      .collect().map(_.getLong(0)).toSet
+    val got = q("perplexity_filter").cache()
+    assert(got.collect().map(_.getAs[Long]("doc_id")).toSet == wantIds)
+    // full payload preserved
+    assert(got.columns.toSeq == docs.columns.toSeq)
+  }
+
   test("tokenSpectrum: exact hapax and value-based head-mass on hand corpora") {
     import spark.implicits._
     // counts a=3 b=2 c=1 -> N=6 V=3 hapax=1; head cut ceil(3/10)=1 -> c*=3
