@@ -401,6 +401,9 @@ object SparkEntry {
     "embedding_near_dup_lsh" -> ((s, d) =>
       Similarity.embeddingNearDupLsh(Tables.embeddings(s, d), mirrorableHash = true)),
     "similarity_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    // IVF-PQ: product-quantized ADC under the IVF probe pruning, exact
+    // rerank of survivors (rows-only: k-means, the sanctioned tier)
+    "similarity_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d))),
     // D4-style diversity rebalancing: cap each embedding-space region's
     // contribution (md5 mirror planes -> the kept set is oracle-exact);
     // the IVF-cell flavor (cell_balanced_sample) is rows-only by

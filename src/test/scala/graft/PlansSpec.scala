@@ -112,6 +112,7 @@ class PlansSpec extends SparkTestBase {
       "median_label",            // 1-row global-median broadcast
       "quality_report",          // union of 1-row check frames
       "similarity_ivf_topk",     // nCells-row centroid broadcast (probe scoring)
+      "similarity_ivfpq_topk",   // same centroid broadcast via the IVF probe tier
       "lm_score",                // 1-row N/V totals broadcast
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate
       "perplexity_buckets",      // same 1-row totals broadcast via lmScoreWith

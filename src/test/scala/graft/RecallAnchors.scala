@@ -22,6 +22,11 @@ object RecallAnchors {
   val quantTopK = 0.64
   /** LSH-pruned semantic decontamination vs exact form (measured 0.667). */
   val semanticDecon = 0.66
+  /** IVF-PQ (m=8 product codes, ADC, 6k-survivor exact rerank) top-k vs
+    * brute-force truth (measured 0.625 at sf0.001, 0.588 at sf0.01 —
+    * bounded above by the IVF probe ceiling 0.632, the residual gap is
+    * ADC survivor misses). */
+  val ivfPqTopK = 0.54
   /** LSH embedding near-dup pairs vs exact near-dup (r9 declared query = md5 mirror planes, measured 0.803; xxhash64 family measured 0.757). */
   val embeddingNearDup = 0.72
 }

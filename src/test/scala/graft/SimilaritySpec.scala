@@ -62,6 +62,38 @@ class SimilaritySpec extends SparkTestBase {
       s"IVF recall regressed below anchor (PLANS.md): $recall")
   }
 
+  test("IVF-PQ: code-shape laws and recall vs exact truth") {
+    val e = Tables.embeddings(spark, SF)
+    val idx = graft.ops.Similarity.pqBuild(e)
+    // every vector coded with exactly m codes, each inside its codebook
+    val n = e.count()
+    assert(idx.codes.count() == n)
+    val ks = idx.codebooks.groupBy("sub").count().collect()
+    assert(ks.length == idx.m && ks.map(_.getLong(1)).distinct.length == 1)
+    val k0 = ks.head.getLong(1)
+    assert(idx.codes
+      .filter(size(col("codes")) =!= idx.m
+        || exists(col("codes"), c => c < 0 || c >= k0.toInt)).count() == 0)
+    // codebook is broadcast-sized by construction: m * ks * subDim doubles
+    assert(idx.codebooks.count() == idx.m * k0)
+    val truth = pairs("similarity_bruteforce_topk")
+    val pq = pairs("similarity_ivfpq_topk")
+    val recall = pq.intersect(truth).size.toDouble / truth.size
+    info(s"IVF-PQ recall@5 = $recall")
+    assert(recall >= RecallAnchors.ivfPqTopK,
+      s"IVF-PQ recall regressed below anchor (PLANS.md): $recall")
+    // the rerank tier reports EXACT cosines: every reported (pair, score)
+    // must match the brute-force score for that pair bit-for-bit
+    val exact = q("similarity_bruteforce_topk")
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val reported = q("similarity_ivfpq_topk")
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+    assert(reported.forall(r =>
+      exact.get((r.getLong(0), r.getLong(1))).forall(_ == r.getDouble(2))),
+      "IVF-PQ reranked scores must be the exact cosines")
+  }
+
   test("quantized ANN: recall vs exact truth and near-agreement with full-precision LSH") {
     val truth = pairs("similarity_bruteforce_topk")
     val quant = pairs("similarity_quantized_topk")
