@@ -121,6 +121,7 @@ object ScaleAnchors {
       t("similarity_lsh_topk")(ops.Similarity.lshTopK(e).count())
       t("similarity_ivf_topk")(ops.Similarity.ivfQuery(idx, e).count())
       t("similarity_quantized_topk")(ops.Similarity.quantTopK(e).count())
+      t("similarity_ivfpq_topk")(ops.Similarity.ivfPqTopK(e).count())
       val lsh = ops.Similarity.lshBuild(e)
       out("lsh_bucket_pairs") = lsh.buckets.as("x").join(lsh.buckets.as("y"),
           col("x.table_id") === col("y.table_id") && col("x.bucket") === col("y.bucket") &&

@@ -1032,6 +1032,41 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rk")
   }
 
+  /** Persist an IVF-PQ index: the IVF layers via [[ivfWrite]]
+    * (cell-partitioned vectors — the pruned-service path), the code words
+    * ALSO cell-partitioned (cell joined on from the IVF assignment) so a
+    * probe-pruned query can read only the probed cells' codes, and the
+    * broadcast-sized codebook table. */
+  def pqWrite(index: PqIndex, dir: String): Unit = {
+    ivfWrite(index.ivf, s"$dir/ivf")
+    Sinks.overwritePartitioned(
+      index.codes.join(index.ivf.vectors.select("vec_id", "cell"), Seq("vec_id")),
+      s"$dir/codes", "cell")
+    Sinks.overwriteLayer(index.codebooks, s"$dir/codebooks")
+  }
+
+  /** Reload a persisted IVF-PQ index; `m`/`subDim` re-derive from the
+    * (bounded) codebook table, and the codes schema is DECLARED so the
+    * partition column's type survives any session inference setting (the
+    * [[ivfRead]] rule). */
+  def pqRead(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    import org.apache.spark.sql.types._
+    val codesSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("codes", ArrayType(IntegerType)),
+      StructField("cell", IntegerType)))
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val shape = codebooks
+      .agg(max(col("sub")).as("maxSub"), max(size(col("centroid"))).as("subDim"))
+      .head()
+    PqIndex(
+      ivfRead(spark, s"$dir/ivf"),
+      codebooks,
+      spark.read.schema(codesSchema).parquet(s"$dir/codes")
+        .select("vec_id", "codes"),
+      shape.getInt(0) + 1, shape.getInt(1))
+  }
+
   /** Self-join IVF-PQ ANN over the corpus — same output contract as the
     * rest of the top-k family; recall anchored in ScalaTest (k-means
     * assignments are engine-specific, the sanctioned rows-only tier). */

@@ -60,6 +60,23 @@ class AnnIndexSpec extends SparkTestBase {
       "every cell should have materialized on disk for this corpus")
   }
 
+  test("IVF-PQ index: disk round-trip parity (codes, codebooks, shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val mem = Similarity.pqBuild(emb, nCells = 16)
+    Similarity.pqWrite(mem, dir)
+    val disk = Similarity.pqRead(spark, dir)
+    // shape re-derives from the bounded codebook table
+    assert(disk.m == mem.m && disk.subDim == mem.subDim)
+    // codes layer is cell-partitioned like the vectors layer
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    // parity: identical top-k from the reloaded index
+    val memQ = Similarity.pqQuery(mem, queryBatch, k = 5, nProbe = 4)
+    val diskQ = Similarity.pqQuery(disk, queryBatch, k = 5, nProbe = 4)
+    assert(sortedRows(diskQ) == sortedRows(memQ))
+  }
+
   test("LSH index: disk round-trip parity and (table_id, bucket) pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh").toString
     val mem = Similarity.lshBuild(emb)
