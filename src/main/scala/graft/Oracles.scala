@@ -714,6 +714,31 @@ af AS (
                        / (vs.n_vectors * (vs.n_vectors - 1)) END AS avg_pairwise_dot
       FROM vs JOIN c USING (label)""",
 
+    // per-hash-split embedding drift: all centroid arithmetic on per-dim
+    // q6-decimal sums (the embedding_stats identity discipline); corpus
+    // totals = sum of split sums; sqrt/×/÷ are correctly-rounded IEEE so
+    // the final cosine is bit-identical when the expression tree matches
+    "embedding_drift" -> s"""
+      WITH e AS (SELECT CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                              WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                              ELSE 'test' END AS split,
+                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      vs AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                    ${r6avg("sqrt(list_dot_product(v, v))")} AS mean_norm
+             FROM e GROUP BY split),
+      ds AS (SELECT split, i AS dim, ${r6sum("v[i]")} AS s_d
+             FROM (SELECT split, v, UNNEST(generate_series(1, len(v))) AS i FROM e) g
+             GROUP BY split, i),
+      corpus AS (SELECT dim, ${r6sum("s_d")} AS t_d FROM ds GROUP BY dim),
+      agg AS (SELECT split, ${r6sum("s_d * s_d")} AS ss,
+                     ${r6sum("t_d * t_d")} AS tt,
+                     ${r6sum("s_d * t_d")} AS st
+              FROM ds JOIN corpus USING (dim) GROUP BY split)
+      SELECT vs.split, vs.n_vectors, vs.mean_norm,
+             sqrt(agg.ss) / vs.n_vectors AS centroid_norm,
+             agg.st / (sqrt(agg.ss) * sqrt(agg.tt)) AS drift_cos
+      FROM vs JOIN agg USING (split)""",
+
     // int8-style scalar quantization: per-vector min/max affine codes, one
     // row per (vec_id, dim); double-of-float arithmetic + floor(x+0.5) is
     // bit-identical across engines (round() is not)

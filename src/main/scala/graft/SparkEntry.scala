@@ -387,6 +387,8 @@ object SparkEntry {
     "similarity_quantized_topk" -> ((s, d) =>
       Similarity.quantTopK(Tables.embeddings(s, d), mirrorableHash = true)),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
+    // per-hash-split centroid drift vs the corpus centroid (split balance)
+    "embedding_drift" -> ((s, d) => Similarity.embeddingDrift(Tables.embeddings(s, d))),
     // SemDeDup: cluster-free exact twin is oracled; the clustered form is
     // rows-only (k-means cells) with containment/witness laws in SimilaritySpec
     "semdedup_exact" -> ((s, d) =>

@@ -78,6 +78,40 @@ object Similarity {
         "avg_pairwise_dot")
   }
 
+  /** Embedding-space split-balance audit: per hash-split (the
+    * [[graft.ops.Text]] `hashSplit` md5 contract applied to vec_id), the
+    * population, norm profile, centroid magnitude, and the COSINE between
+    * the split centroid and the corpus centroid (`drift_cos`) — 1.0 means
+    * the split points where the corpus points; a low value flags a
+    * distribution-shifted val/test split that would make eval numbers
+    * unrepresentative. The centroid arithmetic runs entirely on per-dim
+    * q6-decimal sums (the [[embeddingStats]] identity discipline):
+    * centroids are never materialized as vectors, and the corpus-level
+    * per-dim totals are the SUM OF THE SPLIT SUMS — one more |dims|-row
+    * aggregate, not a second corpus pass. Two linear aggregations total;
+    * everything after is |splits| × |dims| arithmetic. */
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    val bucket = substring(md5(col("vec_id").cast("string")), 1, 2)
+    val split = when(bucket < "cd", "train").when(bucket < "e6", "val")
+      .otherwise("test")
+    val v = embeddings.select(split.as("split"), dvec(col("embedding")).as("v"))
+    val vs = v.select(col("split"), dotd(col("v"), col("v")).as("sq_norm"))
+      .groupBy("split").agg(
+        count(lit(1)).as("n_vectors"),
+        r6avg(sqrt(col("sq_norm"))).as("mean_norm"))
+    val ds = v.select(col("split"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("split", "dim").agg(r6sum(col("x")).as("s_d"))
+    val corpus = ds.groupBy("dim").agg(r6sum(col("s_d")).as("t_d"))
+    val agg = ds.join(corpus, Seq("dim")).groupBy("split").agg(
+      r6sum(col("s_d") * col("s_d")).as("ss"),
+      r6sum(col("t_d") * col("t_d")).as("tt"),
+      r6sum(col("s_d") * col("t_d")).as("st"))
+    vs.join(agg, Seq("split"))
+      .withColumn("centroid_norm", sqrt(col("ss")) / col("n_vectors"))
+      .withColumn("drift_cos", col("st") / (sqrt(col("ss")) * sqrt(col("tt"))))
+      .select("split", "n_vectors", "mean_norm", "centroid_norm", "drift_cos")
+  }
+
   /** Scalar (int8-style) embedding quantization: per-vector min/max affine
     * codes in [0, levels-1] — the 4x memory compression an ANN serving tier
     * applies so a 100 TB float corpus fits the candidate store (codes +
@@ -928,47 +962,94 @@ object Similarity {
       m: Int, subDim: Int)
 
   /** Train IVF-PQ: the [[ivfBuild]] coarse quantizer plus m independent
-    * sub-quantizers, each a k-means over one contiguous dim/m slice of the
-    * SAME train-on-sample/assign-all lifecycle (one shared sample feeds
-    * all m fits; assignment is m lazy model.transform columns fused into
-    * one pass over the corpus). `codebookSize` clamps at toy corpus sizes
-    * so every centroid can be populated (≥4 sample points per code), the
-    * [[cellsFor]] fit-quality discipline; at corpus scale it is the
+    * sub-quantizers over the contiguous dim/m slices of ONE shared bounded
+    * sample. The sub-codebooks train DRIVER-SIDE (seeded Lloyd over
+    * ≤ fitMaxRows × dim doubles — the bpeTrain/centroid bounded-driver
+    * tier, and how PQ codebooks are conventionally trained): m MLlib fits
+    * would pay ~m·iters scheduler round-trips for a few-MB problem and
+    * were measured latency-bound, not compute-bound. ASSIGNMENT stays
+    * fully distributed and declarative — subvector explode, broadcast
+    * codebook join, codegen distance, map-side-combining `min_by` per
+    * (vector, subspace) — so the corpus-scale pass is one shuffle-free
+    * broadcast join however big the corpus. `codebookSize` clamps at toy
+    * corpus sizes so every centroid can be populated (≥4 sample points
+    * per code, the [[cellsFor]] discipline); at corpus scale it is the
     * standard 256 (one byte per subspace). */
   def pqBuild(embeddings: DataFrame, m: Int = 8, codebookSize: Int = 256,
       nCells: Int = 0, fitMaxRows: Long = 100000L): PqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val ivf = ivfBuild(embeddings, nCells, fitMaxRows)
     val (n, dim) = corpusDims(embeddings)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val ks = math.max(2, math.min(codebookSize.toLong,
-      math.min(n, fitMaxRows) / 4).toInt)
     val frac = math.min(1.0, fitMaxRows.toDouble / math.max(1L, n))
-    val featured = (0 until m).foldLeft(ivf.vectors) { (df, j) =>
-      df.withColumn(s"f$j", array_to_vector(slice(col("v"), j * subDim + 1, subDim)))
-    }
-    // ONE sample shared by all m sub-fits (each fit is one k-means over an
-    // 8-dim slice — random init + few iterations converge fast there)
-    val fitOn = (if (frac >= 1.0) featured else featured.sample(frac, seed = 42))
-      .persist()
-    val models = try {
-      (0 until m).map { j =>
-        new KMeans().setK(ks).setSeed(42 + j).setMaxIter(5).setInitMode("random")
-          .setFeaturesCol(s"f$j").setPredictionCol(s"c$j")
-          .fit(fitOn)
-      }
-    } finally fitOn.unpersist()
+    val sample = (if (frac >= 1.0) ivf.vectors else ivf.vectors.sample(frac, seed = 42))
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val ks = math.max(2, math.min(codebookSize, sample.length / 4))
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val codebooks = models.zipWithIndex.flatMap { case (mod, j) =>
-      mod.clusterCenters.zipWithIndex.map { case (c, i) => (j, i, c.toArray) }
-    }.toSeq.toDF("sub", "code", "centroid")
-    val codes = models.foldLeft(featured)((df, mod) => mod.transform(df))
+    val codebooks = (0 until m).flatMap { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      lloyd(pts, ks, seed = 42 + j).zipWithIndex.map { case (c, i) => (j, i, c) }
+    }.toDF("sub", "code", "centroid")
+    // distributed assignment: explode each vector into its m subvectors,
+    // broadcast-join all m·ks codebook rows on `sub`, codegen distance,
+    // keep the argmin code per (vec_id, sub) with a deterministic tie-break
+    val subvecs = ivf.vectors.select(col("vec_id"),
+        explode(array((0 until m).map(j => struct(lit(j).as("sub"),
+          slice(col("v"), j * subDim + 1, subDim).as("x"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.x").as("x"))
+    val codes = subvecs.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("dist", dotd(col("centroid"), col("centroid"))
+        - lit(2.0) * dotd(col("x"), col("centroid")))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+      .groupBy("vec_id")
+      .agg(collect_list(struct(col("sub"), col("code"))).as("parts"))
       .select(col("vec_id"),
-        array((0 until m).map(j => col(s"c$j")): _*).as("codes"))
+        transform(array_sort(col("parts")), p => p.getField("code")).as("codes"))
     PqIndex(ivf, codebooks, codes, m, subDim)
+  }
+
+  /** Seeded Lloyd iterations over a driver-resident sample — the PQ
+    * sub-codebook trainer. Deterministic (seeded init from sample points,
+    * index tie-breaks); empty clusters re-seed from the sample so every
+    * code stays live. Cost: ks · |pts| · subDim · iters multiplies — at
+    * the 100k-row sample cap and the 8-dim default slices, well under a
+    * second per subspace on one core. */
+  private def lloyd(pts: Array[Array[Double]], k: Int, seed: Int,
+      iters: Int = 8): Array[Array[Double]] = {
+    val d = pts.head.length
+    val rnd = new scala.util.Random(seed)
+    val centroids = Array.fill(k)(pts(rnd.nextInt(pts.length)).clone())
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < k) {
+        var s = 0.0; var i = 0
+        while (i < d) { val t = p(i) - centroids(c)(i); s += t * t; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](k, d)
+      val counts = new Array[Long](k)
+      for (p <- pts) {
+        val c = nearest(p); counts(c) += 1
+        var i = 0; while (i < d) { sums(c)(i) += p(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < d) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } else centroids(c) = pts(rnd.nextInt(pts.length)).clone()
+        c += 1
+      }
+      it += 1
+    }
+    centroids
   }
 
   /** Reconstruct every coded vector ONCE from its code word: explode to
