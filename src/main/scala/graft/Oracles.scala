@@ -789,6 +789,37 @@ af AS (
                  ") AS DOUBLE) / n_tokens)")} AS keep_rate
       FROM sc, tot""",
 
+    // upsampling (epoch-weighting) mixture: floor(rate) full copies per doc
+    // plus one more iff the md5 key clears the fractional remainder; the
+    // 200k budget pushes rates past 1.0 so repeats actually occur
+    "sample_repeats" -> s"""
+      WITH src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+      ), sc AS (
+        SELECT source, n_tokens,
+               ${q6("sqrt(CAST(n_tokens AS DOUBLE))")} AS scaled
+        FROM src
+      ), tot AS (
+        SELECT ${r6sum("scaled")} AS total_scaled FROM sc
+      ), w AS (
+        SELECT source,
+               CAST(CAST(floor(200000.0 * ${q6("scaled / total_scaled")}) AS BIGINT) AS DOUBLE)
+                 / n_tokens AS rate
+        FROM sc, tot
+      ), joined AS (
+        SELECT d.*, w.rate,
+               CAST(floor(w.rate) AS BIGINT) +
+               CASE WHEN CONCAT('0', substring(md5(CAST(d.doc_id AS VARCHAR)), 3, 4)) <
+                         printf('%05x', CAST(floor((w.rate - floor(w.rate)) * 65536.0) AS INT))
+                    THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN w USING (source)
+      )
+      SELECT source, doc_id, text, lang, n_chars, CAST(copy_id AS BIGINT) AS copy_id
+      FROM (SELECT *, UNNEST(generate_series(1, n_copies)) AS copy_id
+            FROM joined WHERE n_copies > 0) g""",
+
     // data-derived per-source keep rates applied with the sample_mixture md5
     // key; the hex threshold is rendered in-query (rate 1.0 -> '10000')
     "sample_temperature" -> s"""

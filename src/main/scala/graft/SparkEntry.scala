@@ -271,6 +271,10 @@ object SparkEntry {
       Text.temperatureWeights(Tables.documents(s, d), budgetTokens = 15000L)),
     "sample_temperature" -> ((s, d) => Text.sampleTemperature(Tables.documents(s, d),
       Text.temperatureWeights(Tables.documents(s, d), budgetTokens = 15000L))),
+    // the upsampling (epoch-weighting) form: a 200k-token budget pushes
+    // per-source rates past 1.0 so low-resource sources repeat
+    "sample_repeats" -> ((s, d) => Text.sampleWithRepeats(Tables.documents(s, d),
+      Text.temperatureWeights(Tables.documents(s, d), budgetTokens = 200000L))),
     // cross-doc shared-passage pairs over the md5 winnow fingerprints
     "passage_overlap" -> ((s, d) =>
       Text.passageOverlap(Tables.documents(s, d), mirrorableHash = true)),

@@ -776,6 +776,33 @@ object Text {
         format_string("%05x", floor(col("keep_rate") * 65536.0).cast("int")))
       .drop("keep_rate")
 
+  /** Temperature mixture WITH UPSAMPLING (epoch weighting): where
+    * [[sampleTemperature]] caps every source at one epoch (keep_rate ≤ 1),
+    * real multilingual mixtures REPEAT low-resource sources — a source
+    * whose token target exceeds its mass is seen ⌈rate⌉ or ⌊rate⌋ times
+    * per pass (mT5's "epochs per language"). Each doc emits ⌊rate⌋ full
+    * copies plus one more iff its deterministic md5 key clears the
+    * fractional remainder — so expected emitted token mass per source is
+    * EXACTLY target_tokens, membership is a pure function of doc_id, and
+    * repeated runs emit identical corpora. Output rows carry `copy_id`
+    * (1..n) so the packer downstream can spread copies across shards.
+    * Scale shape: |sources|-row broadcast join + a generator explode —
+    * no shuffle; output volume is the target budget by construction. */
+  def sampleWithRepeats(documents: DataFrame, weights: DataFrame): DataFrame = {
+    val rate = col("target_tokens").cast("double") / col("n_tokens")
+    documents
+      .join(broadcast(weights.select(col("source"),
+        rate.as("rate"))), Seq("source"))
+      .withColumn("n_copies", floor(col("rate")).cast("long") +
+        when(concat(lit("0"), substring(md5(col("doc_id").cast("string")), 3, 4)) <
+          format_string("%05x",
+            floor((col("rate") - floor(col("rate"))) * 65536.0).cast("int")),
+          1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("rate", "n_copies")
+  }
+
   /** PII scrubbing: redact emails, URLs, and phone-shaped digit runs with
     * typed placeholders and count each category — the privacy pass a
     * training corpus goes through before packing (counts feed audit

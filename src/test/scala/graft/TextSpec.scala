@@ -992,6 +992,27 @@ class TextSpec extends SparkTestBase {
     assert(rolled == perDoc)
   }
 
+  test("sampleWithRepeats: contiguous copies, floor(rate) or floor(rate)+1 per doc") {
+    val w = Text.temperatureWeights(docs, budgetTokens = 200000L)
+    val rates = w.select("source", "target_tokens", "n_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / r.getLong(2)).toMap
+    val out = Text.sampleWithRepeats(docs, w)
+      .groupBy("doc_id", "source").agg(
+        count(lit(1)).as("n"), min("copy_id").as("mn"), max("copy_id").as("mx"))
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (n, mn, mx) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val fl = math.floor(rates(r.getString(1))).toLong
+      assert(mn == 1L && mx == n, s"copies not contiguous for doc ${r.getLong(0)}")
+      assert(n == fl || n == fl + 1, s"doc ${r.getLong(0)} emitted $n copies at rate floor $fl")
+    }
+    // every doc whose source upsamples (rate >= 1) must appear
+    val upsampled = rates.filter(_._2 >= 1.0).keySet
+    val present = out.map(_.getString(1)).toSet
+    assert(upsampled.subsetOf(present))
+  }
+
   test("decontaminateFuzzy flags near-copies across corpora on both hash paths") {
     import spark.implicits._
     val evalSet = Seq(
