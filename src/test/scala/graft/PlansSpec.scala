@@ -127,6 +127,7 @@ class PlansSpec extends SparkTestBase {
       "source_divergence",       // 1-row corpus-token-mass broadcast
       "mixture_weights",         // 1-row mixture-normalizer broadcast
       "sample_temperature",      // same 1-row normalizer via the weights frame
+      "sample_repeats",          // same 1-row normalizer via the weights frame
       "semdedup_exact",          // documented small-corpus all-pairs baseline
       "semdedup")                // nCells-row centroid broadcast (assignment)
     // Sanctioned unpartitioned windows/sorts: |teams|-bounded frames only.
