@@ -1199,6 +1199,30 @@ af AS (
     // so the per-doc mean is order-independent; fractions are long/long
     "lm_score" -> lmScoreSql,
 
+    // best-copy exact dedup: keeper = highest quality score in the
+    // fingerprint group, ties to the lowest doc_id (window form here;
+    // Spark side is the two-phase max_by groupBy)
+    "dedup_exact_best" -> """
+      WITH q AS (SELECT doc_id,
+                        greatest(0.0, least(1.0,
+                          0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                            + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                            - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score,
+                        sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+                 FROM (SELECT doc_id, text,
+                              CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                              CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                              CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
+                       FROM documents) t),
+      k AS (SELECT doc_id,
+                   FIRST_VALUE(doc_id) OVER (PARTITION BY fingerprint
+                     ORDER BY quality_score DESC, doc_id ASC) AS keeper_id,
+                   CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_copies
+            FROM q)
+      SELECT doc_id, keeper_id, n_copies,
+             CAST(doc_id <> keeper_id AS INTEGER) AS is_dup
+      FROM k""",
+
     // incremental crawl admission: the non-train split dedups against the
     // train split's DISTINCT fingerprint set (dedup_exact fingerprints,
     // hashSplit train predicate) — admitted = unseen AND batch keeper

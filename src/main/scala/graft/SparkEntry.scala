@@ -203,6 +203,8 @@ object SparkEntry {
     "fingerprint_winnow" -> ((s, d) =>
       Text.winnowFingerprints(Tables.documents(s, d), mirrorableHash = true)),
     "dedup_exact" -> ((s, d) => Text.dedupExact(Tables.documents(s, d))),
+    // best-copy keeper: highest quality score wins its fingerprint group
+    "dedup_exact_best" -> ((s, d) => Text.dedupExactKeepBest(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Text.dedupNgramJaccardFrom(shingles(s, d))),
     // mirrorable (md5) signature + band hashes so the candidate set itself
     // is value-checked; the xxhash64 sketch aggregate stays the scale default

@@ -1176,6 +1176,28 @@ object Text {
         (col("doc_id") =!= col("keeper_id")).cast("int").as("is_dup"))
   }
 
+  /** Exact dedup keeping the BEST copy: the keeper of each fingerprint
+    * group is the copy with the highest quality score (ties → lowest
+    * doc_id), not the arbitrary min-id [[dedupExact]] keeps — what a
+    * production pipeline actually wants when duplicates differ in
+    * extraction quality (same normalized text, different surrounding
+    * whitespace/metadata history). Same skew-safe two-phase shape: ONE
+    * combining groupBy with a `max_by(struct)` keeper — never a window
+    * over a fingerprint's occurrences (the SkewSpec discipline; the
+    * ORACLE uses the window form, which is fine at its tier). */
+  def dedupExactKeepBest(documents: DataFrame): DataFrame = {
+    val fp = perDocCuration(documents)
+      .select("doc_id", "fingerprint", "quality_score")
+    fp.join(
+      fp.groupBy("fingerprint").agg(
+        max_by(col("doc_id"),
+          struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("keeper_id"),
+        count(lit(1)).as("n_copies")),
+      Seq("fingerprint"))
+      .select(col("doc_id"), col("keeper_id"), col("n_copies"),
+        (col("doc_id") =!= col("keeper_id")).cast("int").as("is_dup"))
+  }
+
   /** Incremental (cross-snapshot) exact deduplication — the admission pass
     * a recurring crawl runs against the corpus it already keeps: a NEW
     * batch document is admitted only if its fingerprint (a) has never been

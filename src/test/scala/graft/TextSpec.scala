@@ -992,6 +992,27 @@ class TextSpec extends SparkTestBase {
     assert(rolled == perDoc)
   }
 
+  test("dedupExactKeepBest: the higher-quality copy wins its fingerprint group") {
+    import spark.implicits._
+    // docs 1 and 2 normalize to the same fingerprint (lowercasing), but
+    // doc 2's lowercase 'the' counts as a stopword -> higher quality score
+    val d = Seq(
+      (1L, "The alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "the alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "unrelated solo document body")).toDF("doc_id", "text")
+      .withColumn("source", lit("src0"))
+    val r = Text.dedupExactKeepBest(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getInt(3)))).toMap
+    assert(r(1L) == ((2L, 2L, 1)), s"min-id copy must lose to the better one: $r")
+    assert(r(2L) == ((2L, 2L, 0)) && r(3L) == ((3L, 1L, 0)))
+    // same group structure as the min-id variant on the real corpus
+    val plain = q("dedup_exact").select("doc_id", "n_copies").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val best = q("dedup_exact_best").select("doc_id", "n_copies").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(plain == best)
+  }
+
   test("sampleWithRepeats: contiguous copies, floor(rate) or floor(rate)+1 per doc") {
     val w = Text.temperatureWeights(docs, budgetTokens = 200000L)
     val rates = w.select("source", "target_tokens", "n_tokens").collect()
