@@ -578,6 +578,22 @@ af AS (
     // gap-based sessionization: lag boundary predicate on integral
     // microseconds (epoch_us ↔ unix_micros), running sum of boundaries;
     // ordering ties break on the unique event_id
+    // ordered conversion funnel: step k's reach time = earliest event of
+    // that type strictly after the user's step-(k-1) reach time
+    "event_funnel" -> """
+      WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      s1 AS (SELECT e.user_id, MIN(e.ts) AS t
+             FROM events e JOIN s0 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t
+             FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+      SELECT 0 AS step_ord, 'view' AS step,
+             CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+      UNION ALL SELECT 1, 'click', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+      UNION ALL SELECT 2, 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)""",
+
     "sessionize" -> """
       WITH o AS (
         SELECT event_id, user_id, ts, value,
@@ -957,6 +973,19 @@ af AS (
     // cross-multiplied integer inequality — no float anywhere. Whitespace
     // char classes spelled as the explicit Java-\s set [ \t\n\x0B\f\r]
     // (RE2's \s lacks \x0B, same caveat as scrub_pii)
+    // enforcement twin of quality_rules: keep docs violating NO rule
+    "gopher_filter" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM (SELECT *,
+                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS r_n_tokens,
+                   CAST(len(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS BIGINT) AS r_n_word_chars,
+                   CAST(len(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS BIGINT) AS r_n_symbols,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS r_n_stopwords
+            FROM documents) t
+      WHERE NOT (r_n_tokens < 20 OR r_n_tokens > 100
+              OR r_n_word_chars < 3*r_n_tokens OR r_n_word_chars > 10*r_n_tokens
+              OR r_n_symbols*10 > r_n_tokens OR r_n_stopwords < 2)""",
+
     "quality_rules" -> """
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS docs,

@@ -184,6 +184,8 @@ object SparkEntry {
     "event_freshness" -> ((s, d) => StreamDemo.eventFreshness(Tables.events(s, d))),
     // gap-based sessionization: per-event session labels + session rollup
     "sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
+    // ordered conversion funnel (view -> click -> purchase, strict order)
+    "event_funnel" -> ((s, d) => Analytics.eventFunnel(Tables.events(s, d))),
     "session_stats" -> ((s, d) => Analytics.sessionStats(Tables.events(s, d))),
     // the engine's native session operator (streaming twin in StreamDemo)
     "session_windows" -> ((s, d) => StreamDemo.sessionWindowsBatch(Tables.events(s, d))),
@@ -261,6 +263,8 @@ object SparkEntry {
     "length_percentiles" -> ((s, d) => Text.lengthPercentiles(Tables.documents(s, d))),
     // C4-style dirty-word gate at its defaults (integer cross-product compare)
     "blocklist_filter" -> ((s, d) => Text.blocklistFilter(Tables.documents(s, d))),
+    // Gopher rule enforcement: keep only docs violating none of the rules
+    "gopher_filter" -> ((s, d) => Text.gopherFilter(Tables.documents(s, d))),
     // low-quality threshold 0.05 actually drops sources on the synthetic corpus
     "source_filter" -> ((s, d) => Text.filterBySource(Tables.documents(s, d), 0.5, 0.05)),
     "scrub_pii" -> ((s, d) => Text.scrubPii(Tables.documents(s, d))),

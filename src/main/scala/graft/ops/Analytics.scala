@@ -183,4 +183,33 @@ object Analytics {
         max("ts").as("t_end"),
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
         dsum(col("value")).as("value_sum"))
+
+  /** Ordered conversion funnel over the event stream: a user reaches step
+    * k at the EARLIEST event of type steps(k) that happens strictly after
+    * they reached step k−1 (the standard ordered-funnel semantics — a
+    * purchase before the first click does not count). Emits one row per
+    * step with the user count that got there.
+    *
+    * Scale shape: step 1 is a combining groupBy(user_id).min(ts); each
+    * later step is ONE user_id-keyed join of that step's (filtered) events
+    * against the previous reach frame plus another combining min — |steps|
+    * joins all riding the same user_id key, no window, no event-type
+    * cross-product. The final per-step counts are |steps| one-row
+    * aggregates unioned into the report. */
+  def eventFunnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty)
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val reaches = steps.tail.scanLeft(first) { (prev, s) =>
+      events.filter(col("event_type") === s)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col("t"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    }
+    reaches.zip(steps).zipWithIndex.map { case ((f, s), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step_ord"), lit(s).as("step"), col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
 }

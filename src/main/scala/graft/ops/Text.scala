@@ -230,16 +230,26 @@ object Text {
     * against the SQL oracle with no float in sight. One scan projection →
     * one combining groupBy(source): map-side partials, |sources| result
     * rows — the same 100 TB shape as [[sourceReport]]. */
+  // The four integral Gopher-rule signals — ONE definition shared by the
+  // [[qualityRules]] report and the [[gopherFilter]] enforcement gate so
+  // the two can never drift on what they measure.
+  private def ruleNTokens: Column = size(tokens(col("text"))).cast("long")
+  private def ruleNWordChars: Column =
+    length(regexp_replace(col("text"), "\\s", "")).cast("long")
+  private def ruleNSymbols: Column =
+    length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long")
+  private def ruleNStopwords: Column =
+    size(filter(tokens(col("text")), t => t === "the" || t === "a")).cast("long")
+
   def qualityRules(documents: DataFrame,
       minTokens: Int = 20, maxTokens: Int = 100,
       minMeanWordLen: Int = 3, maxMeanWordLen: Int = 10): DataFrame = {
-    val toks = tokens(col("text"))
     val perDoc = documents.select(
       col("source"),
-      size(toks).cast("long").as("n_tokens"),
-      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_word_chars"),
-      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long").as("n_symbols"),
-      size(filter(toks, t => t === "the" || t === "a")).cast("long").as("n_stopwords"))
+      ruleNTokens.as("n_tokens"),
+      ruleNWordChars.as("n_word_chars"),
+      ruleNSymbols.as("n_symbols"),
+      ruleNStopwords.as("n_stopwords"))
       .withColumn("r_short", (col("n_tokens") < minTokens).cast("long"))
       .withColumn("r_long", (col("n_tokens") > maxTokens).cast("long"))
       .withColumn("r_word_len",
@@ -258,6 +268,26 @@ object Text {
       sum("r_symbol").as("n_symbol"),
       sum("r_stopword").as("n_stopword"),
       sum("r_any").as("n_flagged"))
+  }
+
+  /** Doc-level enforcement of [[qualityRules]] — the gate as Gopher
+    * actually applies it (Rae et al. 2021 DROP documents failing any
+    * structural rule; the report only counts them): keep exactly the
+    * documents violating none of the five rules, full payload preserved.
+    * Signals and integer cross-product thresholds are the SAME private
+    * definitions the report reads, expressed as one scan-local predicate —
+    * no join, no shuffle; at 100 TB the gate runs inside the scan. */
+  def gopherFilter(documents: DataFrame,
+      minTokens: Int = 20, maxTokens: Int = 100,
+      minMeanWordLen: Int = 3, maxMeanWordLen: Int = 10): DataFrame = {
+    val nToks = ruleNTokens
+    val violation =
+      nToks < minTokens || nToks > maxTokens ||
+        ruleNWordChars < lit(minMeanWordLen.toLong) * nToks ||
+        ruleNWordChars > lit(maxMeanWordLen.toLong) * nToks ||
+        ruleNSymbols * lit(10L) > nToks ||
+        ruleNStopwords < 2L
+    documents.where(!violation)
   }
 
   /** Per-source document-length distribution: discrete percentiles (the

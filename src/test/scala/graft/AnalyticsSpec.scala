@@ -81,4 +81,28 @@ class AnalyticsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == naive.toMap)
   }
+
+  test("eventFunnel: strict ordering — an out-of-order purchase does not convert") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val ev = Seq(
+      // user 10: full ordered path
+      (1L, "2024-01-01 00:00:01", 10L, "view"),
+      (2L, "2024-01-01 00:00:02", 10L, "click"),
+      (3L, "2024-01-01 00:00:03", 10L, "purchase"),
+      // user 20: purchase BEFORE the view->click chain -> stops at click
+      (4L, "2024-01-01 00:00:05", 20L, "purchase"),
+      (5L, "2024-01-01 00:00:06", 20L, "view"),
+      (6L, "2024-01-01 00:00:07", 20L, "click"),
+      // user 30: view only
+      (7L, "2024-01-01 00:00:08", 30L, "view"))
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Analytics.eventFunnel(ev).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+    // monotone non-increasing on the real table too
+    val real = q("event_funnel").orderBy("step_ord").collect().map(_.getLong(2))
+    assert(real.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
 }

@@ -992,6 +992,15 @@ class TextSpec extends SparkTestBase {
     assert(rolled == perDoc)
   }
 
+  test("gopherFilter keeps exactly the docs the rule report leaves unflagged") {
+    val kept = q("gopher_filter").cache()
+    assert(kept.columns.toSeq == docs.columns.toSeq, "full payload preserved")
+    val flagged = q("quality_rules")
+      .agg(sum("n_flagged")).collect().head.getLong(0)
+    assert(kept.count() == docs.count() - flagged,
+      "gate population must complement the report's any-rule count")
+  }
+
   test("dedupExactKeepBest: the higher-quality copy wins its fingerprint group") {
     import spark.implicits._
     // docs 1 and 2 normalize to the same fingerprint (lowercasing), but
