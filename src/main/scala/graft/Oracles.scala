@@ -578,6 +578,16 @@ af AS (
     // gap-based sessionization: lag boundary predicate on integral
     // microseconds (epoch_us ↔ unix_micros), running sum of boundaries;
     // ordering ties break on the unique event_id
+    // retention triangle: distinct (user, day) first, then cohort join
+    "cohort_retention" -> """
+      WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
+      SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM days JOIN firsts USING (user_id)
+      WHERE day - cohort_day <= 7
+      GROUP BY 1, 2""",
+
     // ordered conversion funnel: step k's reach time = earliest event of
     // that type strictly after the user's step-(k-1) reach time
     "event_funnel" -> """

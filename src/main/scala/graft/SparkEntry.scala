@@ -186,6 +186,8 @@ object SparkEntry {
     "sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
     // ordered conversion funnel (view -> click -> purchase, strict order)
     "event_funnel" -> ((s, d) => Analytics.eventFunnel(Tables.events(s, d))),
+    // retention triangle: first-active-day cohorts x day offset
+    "cohort_retention" -> ((s, d) => Analytics.cohortRetention(Tables.events(s, d))),
     "session_stats" -> ((s, d) => Analytics.sessionStats(Tables.events(s, d))),
     // the engine's native session operator (streaming twin in StreamDemo)
     "session_windows" -> ((s, d) => StreamDemo.sessionWindowsBatch(Tables.events(s, d))),

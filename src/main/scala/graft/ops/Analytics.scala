@@ -212,4 +212,25 @@ object Analytics {
         .select(lit(i).as("step_ord"), lit(s).as("step"), col("n_users"))
     }.reduce(_.unionAll(_))
   }
+
+  /** Cohort retention over the event stream: users grouped by their first
+    * active day (the cohort); cell (cohort_day, k) counts users with any
+    * activity exactly k days after their first — the classic retention
+    * triangle. All-integer day arithmetic, deterministic.
+    *
+    * Scale shape: events collapse FIRST to distinct (user, day) — a
+    * combining aggregate that shrinks the stream to ≤ users × active-days
+    * before anything else — then one combining min per user (cohort), one
+    * user-keyed join riding the same key, and a final combining count
+    * per (cohort, offset) cell. No window, no cross-product; the
+    * retention matrix is |cohorts| × (maxDays+1) rows. */
+  def cohortRetention(events: DataFrame, maxDays: Int = 7): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(first, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") <= maxDays)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

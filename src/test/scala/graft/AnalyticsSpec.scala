@@ -105,4 +105,18 @@ class AnalyticsSpec extends SparkTestBase {
     val real = q("event_funnel").orderBy("step_ord").collect().map(_.getLong(2))
     assert(real.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+
+  test("cohortRetention: day-0 cell is the cohort size and bounds every later cell") {
+    val cells = q("cohort_retention").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells.nonEmpty)
+    val day0 = cells.collect { case ((c, 0L), n) => c -> n }
+    assert(day0.nonEmpty, "every cohort must have its day-0 cell")
+    for (((c, k), n) <- cells if k > 0L)
+      assert(day0.get(c).forall(n <= _),
+        s"cohort $c offset $k has $n users > its day-0 population")
+    // day-0 populations partition the user base
+    val users = Tables.events(spark, SF).select("user_id").distinct().count()
+    assert(day0.values.sum == users)
+  }
 }
