@@ -303,6 +303,12 @@ object SparkEntry {
       lmModel(s, d), minAvgLogp = -3.43, maxUnseenFrac = 0.5,
       maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
       rates = Map("en" -> 0.5, "zh" -> 0.75))),
+    // the perplexity-thirds variant: boundaries computed on the
+    // source-FILTERED corpus (population-dependent gate — order matters)
+    "curation_e2e_ppl" -> ((s, d) => Text.curationE2ePpl(Tables.documents(s, d),
+      lmModel(s, d),
+      maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
+      rates = Map("en" -> 0.5, "zh" -> 0.75))),
     // the classifier-gated variant: same source/sampling thresholds with
     // the NB gate (mean_logodds >= 0) in the LM band's slot
     "curation_e2e_cls" -> ((s, d) => Text.curationE2eCls(Tables.documents(s, d),

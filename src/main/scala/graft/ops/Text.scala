@@ -1138,6 +1138,30 @@ object Text {
         rates, defaultRate).drop("sample_key"),
       budgetTokens, tok, bucketChars)
 
+  /** [[curationE2e]] with the PERPLEXITY-THIRDS gate active: source
+    * filter → [[perplexityFilter]] (keep head+middle per source) →
+    * mixture sampling → split+pack, as ONE declared plan. UNLIKE the
+    * [[curationE2eLm]] band gate — whose per-doc scores are
+    * corpus-independent, so gate order is immaterial — the thirds
+    * boundaries DEPEND on the gated population: this composition computes
+    * them on the source-FILTERED corpus (the CCNet order: clean out bad
+    * sources first, then take each surviving source's fluent thirds),
+    * which is a different gate than bucketing the raw corpus and
+    * intersecting. The oracle mirrors that population choice exactly. */
+  def curationE2ePpl(documents: DataFrame, model: LmModel,
+      keep: Seq[String] = Seq("head", "middle"),
+      maxDupFrac: Double = 0.5, maxLowQualityFrac: Double = 0.8,
+      rates: Map[String, Double] = Map("en" -> 0.5),
+      defaultRate: Double = 1.0, budgetTokens: Long = 2048L,
+      tok: Tok = WhitespaceTok, bucketChars: Int = 2): DataFrame =
+    packSequencesSplit(
+      sampleMixture(
+        perplexityFilter(
+          filterBySource(documents, maxDupFrac, maxLowQualityFrac),
+          model, keep),
+        rates, defaultRate).drop("sample_key"),
+      budgetTokens, tok, bucketChars)
+
   /** Curation funnel: per-stage survivor counts (documents AND tokens)
     * through the [[curationE2eLm]] gate stack — raw → source filter → LM
     * perplexity gate → mixture sampling — the attrition dashboard every

@@ -992,6 +992,23 @@ class TextSpec extends SparkTestBase {
     assert(rolled == perDoc)
   }
 
+  test("curationE2ePpl: thirds-gated pipeline is contained in the ungated one") {
+    val gated = q("curation_e2e_ppl").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val ungated = q("curation_e2e").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(gated.nonEmpty && gated.subsetOf(ungated),
+      "the perplexity gate can only remove docs from the base pipeline")
+    // and the gate is the population-dependent thirds: survivors per
+    // source are at least the head+middle rank cut of the FILTERED corpus
+    val model = Text.lmTrain(docs.filter(Text.inTrainSplit()))
+    val filtered = Text.filterBySource(docs, 0.5, 0.05)
+    val keptByGate = Text.perplexityFilter(filtered, model)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scoreable = Text.perplexityBuckets(filtered, model).count()
+    assert(keptByGate.size >= (2 * scoreable + 2) / 3 - 1)
+  }
+
   test("gopherFilter keeps exactly the docs the rule report leaves unflagged") {
     val kept = q("gopher_filter").cache()
     assert(kept.columns.toSeq == docs.columns.toSeq, "full payload preserved")
