@@ -74,6 +74,47 @@ class StreamAndMiscSpec extends SparkTestBase with TimeLimitedTests {
     assert(r.last.getAs[Long]("n_events") == 1)
   }
 
+  test("streaming funnel state equals the batch funnel after every ordered prefix") {
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("events_funnel")
+    val ev = Tables.events(spark, SF)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("ts", "event_id")
+    val rows = ev.collect()
+    val cut = rows.length / 2
+    def stage(n: Int, slice: Array[Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"funnel_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), ev.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dir.resolve(s"batch$n.parquet"))
+    }
+    def streamedCounts(): Map[Int, Long] = {
+      // last state per user = max step (the machine is monotone)
+      val last = spark.table("funnel_stream")
+        .groupBy("user_id").agg(max("step_reached").as("s"))
+        .collect().map(_.getAs[Int]("s"))
+      (0 to 2).map(k => k -> last.count(_ >= k).toLong).toMap
+    }
+    def batchCounts(slice: Array[Row]): Map[Int, Long] =
+      graft.ops.Analytics.eventFunnel(
+        spark.createDataFrame(java.util.Arrays.asList(slice: _*), ev.schema))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    stage(1, rows.slice(0, cut))
+    val query = StreamDemo.funnelStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      query.processAllAvailable()
+      assert(streamedCounts() == batchCounts(rows.slice(0, cut)),
+        "streamed funnel drifted from the batch twin mid-stream")
+      stage(2, rows.slice(cut, rows.length))
+      query.processAllAvailable()
+      assert(streamedCounts() == batchCounts(rows),
+        "streamed funnel drifted from the batch twin at the end")
+    } finally query.stop()
+  }
+
   test("stateful stream: mapGroupsWithState per-user profile equals batch groupBy") {
     val dir = java.nio.file.Files.createTempDirectory("events_state")
     java.nio.file.Files.copy(
