@@ -950,6 +950,19 @@ af AS (
                '\+?[0-9][0-9()\t\n\x0B\f\r .-]{7,}[0-9]', '<PHONE>', 'g') AS text_scrubbed
       FROM documents""",
 
+    // unicode canonicalization: duckdb's nfc_normalize IS java's
+    // Normalizer.NFC (both implement UAX #15), and the junk class is
+    // spelled so Java regex and RE2 read it identically
+    "normalize_text" -> """
+      WITH n AS (SELECT doc_id, lang, source, n_chars, text AS text_orig,
+                        regexp_replace(nfc_normalize(text),
+                          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}\x{FEFF}]',
+                          '', 'g') AS text_norm
+                 FROM documents)
+      SELECT doc_id, text_norm AS text, lang, source, n_chars,
+             CAST(text_norm <> text_orig AS INTEGER) AS changed
+      FROM n""",
+
     // per-source curation report: integral counts only (low-quality via a
     // deterministic threshold compare on the per-row quality double, dups
     // via the dedup_exact fingerprint min), fractions = long/long in
@@ -1266,6 +1279,22 @@ af AS (
     // train split's DISTINCT fingerprint set (dedup_exact fingerprints,
     // hashSplit train predicate) — admitted = unseen AND batch keeper
     "dedup_incremental" -> """
+      WITH fp AS (SELECT doc_id,
+                         sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+                         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS in_train
+                  FROM documents),
+      corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE in_train),
+      batch AS (SELECT doc_id, fingerprint FROM fp WHERE NOT in_train),
+      k AS (SELECT fingerprint, MIN(doc_id) AS keeper_id FROM batch GROUP BY 1)
+      SELECT b.doc_id,
+             CAST(c.fingerprint IS NOT NULL AS INTEGER) AS in_corpus,
+             CAST(b.doc_id <> k.keeper_id AS INTEGER) AS is_batch_dup,
+             CAST(c.fingerprint IS NULL AND b.doc_id = k.keeper_id AS INTEGER) AS admitted
+      FROM batch b JOIN k USING (fingerprint) LEFT JOIN corpus c USING (fingerprint)""",
+
+    // the bloom-prefiltered path is exact (zero false negatives + verify
+    // join), so its oracle IS dedup_incremental's — asserted bit-identical
+    "dedup_incremental_bloom" -> """
       WITH fp AS (SELECT doc_id,
                          sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
                          substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS in_train

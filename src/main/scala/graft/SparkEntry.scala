@@ -270,6 +270,9 @@ object SparkEntry {
     // low-quality threshold 0.05 actually drops sources on the synthetic corpus
     "source_filter" -> ((s, d) => Text.filterBySource(Tables.documents(s, d), 0.5, 0.05)),
     "scrub_pii" -> ((s, d) => Text.scrubPii(Tables.documents(s, d))),
+    // NFC + control/zero-width strip through the custom codegen
+    // UnicodeNormalize expression; DuckDB mirrors via nfc_normalize
+    "normalize_text" -> ((s, d) => Text.normalizeText(Tables.documents(s, d))),
     // rebalance the over-represented en half away, thin zh a quarter
     "sample_mixture" -> ((s, d) => Text.sampleMixture(Tables.documents(s, d),
       Map("en" -> 0.5, "zh" -> 0.75))),
@@ -355,6 +358,15 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Text.dedupIncremental(
+        docs.filter(!Text.inTrainSplit()),
+        docs.filter(Text.inTrainSplit()))
+    }),
+    // same admission semantics through the bloom-prefiltered membership
+    // path (scan-local might_contain + exact verify join) — bit-identical
+    // output, so it shares dedup_incremental's oracle
+    "dedup_incremental_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.dedupIncrementalBloom(
         docs.filter(!Text.inTrainSplit()),
         docs.filter(Text.inTrainSplit()))
     }),

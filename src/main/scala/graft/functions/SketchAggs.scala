@@ -4,11 +4,11 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{BloomFilterAggregate, ImperativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Real sketch aggregates as custom Catalyst `TypedImperativeAggregate`s —
@@ -162,4 +162,28 @@ object SketchAggs {
     ColumnBridge.column(
       SimHashAgg(ColumnBridge.expression(token), ColumnBridge.expression(weight))
         .toAggregateExpression())
+
+  /** Serialized bloom filter over a pre-hashed (LongType) key column —
+    * Spark's own `BloomFilterAggregate`, the engine's runtime-join-filter
+    * sketch, reused as a first-class membership index. Two-phase like every
+    * aggregate here: per-partition blooms OR-merge at the single reducer,
+    * so building it over 10⁹ keys is one combining pass, never a shuffle of
+    * the keys themselves. `estItems`/`numBits` are plan-time literals
+    * (Spark clamps them to the runtime-filter conf caps, so raise
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` when sizing past
+    * the 8 MB default). */
+  def bloomAgg(hashedKey: Column, estItems: Long, numBits: Long): Column =
+    ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(hashedKey),
+      Literal(estItems), Literal(numBits)).toAggregateExpression())
+
+  /** Membership probe against a built bloom: `might_contain(bloom, key)`.
+    * The bloom rides the plan as a binary literal (the same shape Spark's
+    * InjectRuntimeFilter produces), so the probe is scan-local — no join,
+    * no shuffle, evaluated inside whole-stage codegen. The key column MUST
+    * be hashed the same way the build side was ([[bloomAgg]]'s
+    * `hashedKey`); same hash ⇒ zero false negatives, by construction. */
+  def mightContain(bloom: Array[Byte], hashedKey: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), ColumnBridge.expression(hashedKey)))
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd Unicode canonical/compatibility normalization (NFC / NFKC) —
+  * the text-cleaning primitive Spark's function library lacks (there is no
+  * `normalize` in `org.apache.spark.sql.functions`), needed before any
+  * byte-level dedup/fingerprint pass: the same visible text arriving as
+  * precomposed `é` (U+00E9) vs `e`+combining-acute (U+0065 U+0301) hashes
+  * to different fingerprints and silently defeats exact dedup.
+  *
+  * A Scala UDF here would force every row out of Tungsten format through a
+  * String codec and an interpreter round-trip; this expression stays inside
+  * whole-stage codegen — the generated Java is ONE static call into
+  * [[TextExprs.nfcJava]], which first runs `Normalizer.isNormalized` (a
+  * cheap quick-check table scan that answers true for all-ASCII and most
+  * already-composed text) and only allocates a normalized copy when the
+  * input actually needs one. On the dominant already-normalized path the
+  * input `UTF8String` is returned as-is: zero allocation per row.
+  *
+  * Oracle mirror: DuckDB ships `nfc_normalize`, so the NFC form is
+  * value-checked end-to-end by the declared `normalize_text` query; NFKC
+  * (ligature/width/compatibility folding — `ﬁ`→`fi`, full-width→ASCII) has
+  * no DuckDB twin and is spec-tested instead. */
+case class UnicodeNormalize(child: Expression, compatibility: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = if (compatibility) "nfkc" else "nfc"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    if (compatibility) TextExprs.nfkcJava(s) else TextExprs.nfcJava(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (compatibility) "nfkcJava" else "nfcJava"
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.$fn($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExprs {
+
+  // static forwarders (Scala emits them on the companion class) keep the
+  // generated-Java call sites plain `graft.functions.TextExprs.nfcJava(x)`
+
+  def nfcJava(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+
+  def nfkcJava(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFKC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFKC))
+  }
+
+  /** Column wrapper: NFC (canonical composition) normalization. */
+  def nfc(c: Column): Column =
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(c), compatibility = false))
+
+  /** Column wrapper: NFKC (compatibility) normalization. */
+  def nfkc(c: Column): Column =
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(c), compatibility = true))
+}

@@ -58,6 +58,59 @@ object Text {
       .groupBy("token")
       .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
 
+  /** φ-heavy hitters per source — tokens whose occurrence count strictly
+    * exceeds a 1/φ share of the source's token mass (the classic frequent-
+    * items threshold; by pigeonhole at most φ−1 tokens can qualify). The
+    * boilerplate detector a curation run reads per source: a token carrying
+    * >5% of a crawl source's mass (φ=20) is navigation chrome, not
+    * language. Exact form: combining groupBy(source, token) → |sources|-row
+    * broadcast totals join → integer threshold compare (count·φ > total —
+    * no float in the gate). The shuffle is the distinct (source, token)
+    * vocabulary — the [[wordCount]] shape. */
+  def heavyHitters(documents: DataFrame, phi: Int = 20): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n_occurrences"))
+    val totals = counts.groupBy("source")
+      .agg(sum("n_occurrences").cast("long").as("n_tokens"))
+    counts.join(broadcast(totals), Seq("source"))
+      .where(col("n_occurrences") * phi > col("n_tokens"))
+      .select(col("source"), col("token"), col("n_occurrences"), col("n_tokens"),
+        (col("n_occurrences").cast("double") / col("n_tokens")).as("share"))
+  }
+
+  /** [[heavyHitters]] through Spark's `approx_top_k` FrequentItems sketch —
+    * the shape that survives an unbounded vocabulary. The exact form
+    * shuffles the full distinct (source, token) set; on a web crawl that
+    * long tail is billions of rows shuffled to answer a question about a
+    * handful of heads. Here each partition folds its tokens into a bounded
+    * sketch (`maxItemsTracked` entries), per-source sketches OR-merge at
+    * the reducer, and only |sources| sketch rows ever shuffle.
+    *
+    * Exactness contract: while a source's distinct-token count stays under
+    * the sketch capacity no purge ever fires, estimates ARE counts, and —
+    * because at most φ−1 items can clear the threshold and every qualifying
+    * count strictly exceeds every non-qualifying one — the k=φ cut loses
+    * nothing: output is BIT-IDENTICAL to [[heavyHitters]] (the declared
+    * query shares its oracle). Past capacity the sketch degrades to the
+    * published ε = O(1/maxItemsTracked) error: every token with share
+    * > 1/φ is still returned while maxItemsTracked ≫ φ (no false
+    * negatives), only the reported counts become estimates. */
+  def heavyHittersApprox(documents: DataFrame, phi: Int = 20,
+      maxItemsTracked: Int = 4096): DataFrame = {
+    val sk = documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source").agg(
+        expr(s"approx_top_k(token, $phi, $maxItemsTracked)").as("top"),
+        count(lit(1)).cast("long").as("n_tokens"))
+    sk.select(col("source"), col("n_tokens"), explode(col("top")).as("kv"))
+      .select(col("source"), col("kv.item").as("token"),
+        col("kv.count").as("n_occurrences"), col("n_tokens"))
+      .where(col("n_occurrences") * phi > col("n_tokens"))
+      .select(col("source"), col("token"), col("n_occurrences"), col("n_tokens"),
+        (col("n_occurrences").cast("double") / col("n_tokens")).as("share"))
+  }
+
   /** Token-spectrum corpus-health report (1 row): the Zipf-shape numbers a
     * tokenizer/vocabulary decision reads — total mass N, type count V,
     * type-token ratio, hapax (count-1) type share and token-mass share,
@@ -883,6 +936,32 @@ object Text {
       sum(col("n_urls")).as("total_urls"),
       sum(col("n_phones")).as("total_phones"))
 
+  /** Unicode + control-character text normalization — the canonicalization
+    * pass that MUST precede any byte-level fingerprint/dedup stage: the
+    * same visible text arriving precomposed (`é` = U+00E9) vs decomposed
+    * (`e` + U+0301) — or carrying stray NULs, zero-width spaces, or BOMs
+    * from a crawler — hashes to different [[fingerprints]] and silently
+    * defeats exact dedup. Two layers, both engine-portable:
+    *
+    *   1. NFC canonical composition via the custom codegen expression
+    *      [[graft.functions.TextExprs.nfc]] (Spark has no builtin;
+    *      zero-allocation fast path for already-normalized text);
+    *   2. strip of non-printing bytes: C0 controls except \t \n \r, DEL,
+    *      zero-width space (U+200B), and BOM/ZWNBSP (U+FEFF) — spelled as
+    *      an explicit class Java regex and RE2 read identically (the
+    *      scrubPii discipline).
+    *
+    * Output keeps the full payload with `text` REPLACED (the downstream
+    * contract scrubPii set) plus a `changed` audit flag. Pure codegen'd
+    * projection — no shuffle; at 100 TB it runs inside the scan stage.
+    * DuckDB mirrors it exactly: `nfc_normalize` + the same RE2 class. */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    val junk = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}\\x{FEFF}]"
+    val norm = regexp_replace(graft.functions.TextExprs.nfc(col("text")), junk, "")
+    documents.withColumn("changed", (norm =!= col("text")).cast("int"))
+      .withColumn("text", norm)
+  }
+
   /** Deterministic hash split (train/val/test): assignment is a pure
     * function of doc_id — stable under corpus growth, re-runs, and
     * repartitioning, unlike `sample()`/`randomSplit()` (the property a
@@ -1272,6 +1351,58 @@ object Text {
     val keepers = bfp.groupBy("fingerprint").agg(min("doc_id").as("keeper_id"))
     bfp.join(keepers, Seq("fingerprint"))
       .join(seen, Seq("fingerprint"), "left")
+      .select(col("doc_id"),
+        col("known").isNotNull.cast("int").as("in_corpus"),
+        (col("doc_id") =!= col("keeper_id")).cast("int").as("is_batch_dup"),
+        (col("known").isNull && col("doc_id") === col("keeper_id"))
+          .cast("int").as("admitted"))
+  }
+
+  /** [[dedupIncremental]] with a bloom-filter prefilter on the corpus
+    * membership test — the shape that survives a petabyte "seen" index.
+    *
+    * The plain form joins EVERY batch fingerprint against the corpus
+    * distinct-fingerprint set: at 100 TB of history that join shuffles the
+    * whole batch against a multi-billion-row index even though, on a
+    * healthy crawl, only a few percent of batch docs are actually known.
+    * Here the corpus side first collapses to Spark's own
+    * `BloomFilterAggregate` (one combining pass, ~`bitsPerKey` bits per
+    * distinct fingerprint — 1% false positives at the default 10), the
+    * bloom rides the batch scan as a `might_contain` LITERAL (scan-local,
+    * codegen, no shuffle — the InjectRuntimeFilter pattern), and only the
+    * surviving candidates (true dups + the fp fraction) do the exact
+    * verify join. Build and probe hash identically (`xxhash64` of the
+    * fingerprint), so the bloom has zero false negatives and the verify
+    * join makes the output BIT-IDENTICAL to [[dedupIncremental]] — the
+    * declared query shares its DuckDB oracle.
+    *
+    * Driver materialization is the bloom bytes only (est·bitsPerKey/8 —
+    * 8 MB at the runtime-filter conf cap; for a larger index raise
+    * `maxNumBits` or shard blooms by fingerprint prefix). `est` is an
+    * upper bound (corpus row count — parquet-metadata-grade), never a
+    * sampled guess: oversizing costs bits, undersizing only costs fp rate,
+    * never correctness. */
+  def dedupIncrementalBloom(batch: DataFrame, corpus: DataFrame,
+      bitsPerKey: Int = 10): DataFrame = {
+    import graft.functions.SketchAggs
+    val seen = fingerprints(corpus).select("fingerprint").distinct()
+    val est = math.max(64L, corpus.count())
+    val bloomOpt = Option(
+      seen.select(SketchAggs.bloomAgg(xxhash64(col("fingerprint")),
+        est, est * bitsPerKey).as("bf"))
+        .head.getAs[Array[Byte]]("bf"))
+    val bfp = fingerprints(batch)
+    val keepers = bfp.groupBy("fingerprint").agg(min("doc_id").as("keeper_id"))
+    val candidates = bloomOpt match {
+      case Some(bloom) =>
+        bfp.where(SketchAggs.mightContain(bloom, xxhash64(col("fingerprint"))))
+      case None => bfp.limit(0) // empty corpus ⇒ nothing can be known
+    }
+    val known = candidates.select("fingerprint").distinct()
+      .join(seen, Seq("fingerprint"), "left_semi")
+      .withColumn("known", lit(1L))
+    bfp.join(keepers, Seq("fingerprint"))
+      .join(known, Seq("fingerprint"), "left")
       .select(col("doc_id"),
         col("known").isNotNull.cast("int").as("in_corpus"),
         (col("doc_id") =!= col("keeper_id")).cast("int").as("is_batch_dup"),

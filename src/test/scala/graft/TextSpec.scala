@@ -947,6 +947,56 @@ class TextSpec extends SparkTestBase {
     assert(r(13L) == ((1, 0, 0)))
   }
 
+  test("normalizeText: NFC composition + junk strip; normalized twins share a fingerprint") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "cafe\u0301 crema", "en", "web"), // decomposed e+COMBINING ACUTE
+      (2L, "caf\u00e9 crema", "en", "web"),  // already NFC: byte-identical out
+      (3L, "a\u0000b\u200Bc\uFEFFd\u007f", "en", "web"), // NUL/ZWSP/BOM/DEL stripped
+      (4L, "plain ascii\twith\ntabs", "en", "web"), // tab and newline survive
+      (5L, "\uFB01le", "en", "web") // NFC keeps the fi ligature (canonical, not compat)
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = Text.normalizeText(fx).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("text"), x.getAs[Int]("changed")))).toMap
+    assert(r(1L) == (("caf\u00e9 crema", 1)))
+    assert(r(2L) == (("caf\u00e9 crema", 0)))
+    assert(r(3L) == (("abcd", 1)))
+    assert(r(4L) == (("plain ascii\twith\ntabs", 0)))
+    assert(r(5L) == (("\uFB01le", 0)))
+    // the motivating property: composition-variant twins dedup after the pass
+    val fps = Text.fingerprints(Text.normalizeText(fx)).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    // NFKC (spec-only form) additionally folds the ligature
+    assert(fx.select(graft.functions.TextExprs.nfkc(col("text")).as("t"))
+      .where(col("t") === "file").count() == 1)
+    // idempotent: a second pass is a no-op on every row
+    val once = Text.normalizeText(fx)
+    assert(Text.normalizeText(once.drop("changed"))
+      .agg(sum("changed")).head.getLong(0) == 0L)
+  }
+
+  test("dedupIncrementalBloom ≡ dedupIncremental, even with a saturated bloom") {
+    import spark.implicits._
+    val corpus = docs.filter(Text.inTrainSplit())
+    val batch = docs.filter(!Text.inTrainSplit())
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getInt(3)))).toMap
+    val exact = asMap(Text.dedupIncremental(batch, corpus))
+    // default sizing: the bloom is a pure prefilter, output bit-identical
+    assert(asMap(Text.dedupIncrementalBloom(batch, corpus)) == exact)
+    // 1 bit/key: the bloom saturates (high fp rate) — the exact verify
+    // join must still yield identical flags; only the candidate volume,
+    // never correctness, depends on the sizing
+    assert(asMap(Text.dedupIncrementalBloom(batch, corpus, bitsPerKey = 1)) == exact)
+    // empty corpus: everything unseen, batch keepers admitted
+    val none = Text.dedupIncrementalBloom(batch, corpus.limit(0), bitsPerKey = 10)
+    assert(none.agg(sum("in_corpus")).head.getLong(0) == 0L)
+    assert(asMap(none) == asMap(Text.dedupIncremental(batch, corpus.limit(0))))
+  }
+
   test("perplexityBuckets: buckets are value-ordered and sized to their rank cuts") {
     val pb = q("perplexity_buckets").cache()
     // exactly the scoreable (>= 1 bigram) docs, each bucketed once
