@@ -670,6 +670,32 @@ af AS (
       SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq
       FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents) t
       GROUP BY token""",
+    // φ-heavy hitters per source (φ=30): count·φ > source token mass,
+    // all-integer gate; share = BIGINT/BIGINT double division, IEEE-exact
+    // on both engines. The approx twin is bit-identical by the pigeonhole
+    // + under-capacity argument in Text.heavyHittersApprox's docstring.
+    "heavy_hitters" -> """
+      WITH t AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token
+                 FROM documents),
+      c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM t GROUP BY 1, 2),
+      tot AS (SELECT source, CAST(SUM(n_occurrences) AS BIGINT) AS n_tokens
+              FROM c GROUP BY 1)
+      SELECT c.source, c.token, c.n_occurrences, tot.n_tokens,
+             CAST(c.n_occurrences AS DOUBLE) / tot.n_tokens AS share
+      FROM c JOIN tot USING (source)
+      WHERE c.n_occurrences * 30 > tot.n_tokens""",
+    "heavy_hitters_approx" -> """
+      WITH t AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token
+                 FROM documents),
+      c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM t GROUP BY 1, 2),
+      tot AS (SELECT source, CAST(SUM(n_occurrences) AS BIGINT) AS n_tokens
+              FROM c GROUP BY 1)
+      SELECT c.source, c.token, c.n_occurrences, tot.n_tokens,
+             CAST(c.n_occurrences AS DOUBLE) / tot.n_tokens AS share
+      FROM c JOIN tot USING (source)
+      WHERE c.n_occurrences * 30 > tot.n_tokens""",
     "token_stats" -> """
       SELECT doc_id,
              CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
@@ -1044,6 +1070,23 @@ af AS (
             FROM (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
                   FROM documents GROUP BY 1, 2) h) cw
       GROUP BY source""",
+
+    // length winsorize: per-source [p5, p95] value-based cuts from the
+    // length_percentiles histogram, full payload kept
+    "length_filter" -> """
+      WITH h AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM documents GROUP BY 1, 2),
+      cw AS (SELECT source, n_chars,
+                    CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cum,
+                    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+             FROM h),
+      cuts AS (SELECT source,
+                      MIN(CASE WHEN cum >= (n*5 + 99) // 100 THEN n_chars END) AS p_lo,
+                      MIN(CASE WHEN cum >= (n*95 + 99) // 100 THEN n_chars END) AS p_hi
+               FROM cw GROUP BY source)
+      SELECT d.source, d.doc_id, d.text, d.lang, d.n_chars
+      FROM documents d JOIN cuts USING (source)
+      WHERE d.n_chars >= cuts.p_lo AND d.n_chars <= cuts.p_hi""",
 
     // blocklist gate: integer cross-product compare, full payload kept
     "blocklist_filter" -> """

@@ -194,6 +194,12 @@ object SparkEntry {
 
     // ---- text / dedup (north star)
     "word_count" -> ((s, d) => Text.wordCount(Tables.documents(s, d))),
+    // φ-frequent tokens per source, exact and through the approx_top_k
+    // FrequentItems sketch (bit-identical while under sketch capacity —
+    // the approx twin shares the exact oracle)
+    "heavy_hitters" -> ((s, d) => Text.heavyHitters(Tables.documents(s, d))),
+    "heavy_hitters_approx" -> ((s, d) =>
+      Text.heavyHittersApprox(Tables.documents(s, d))),
     "token_stats" -> ((s, d) => Text.tokenStats(Tables.documents(s, d))),
     // BPE leg is rows-only by construction (greedy merge loop has no DuckDB
     // analog); BpeSpec carries reference-agreement/round-trip/monotonicity laws
@@ -263,6 +269,8 @@ object SparkEntry {
     "quality_rules" -> ((s, d) => Text.qualityRules(Tables.documents(s, d))),
     // per-source discrete length percentiles (histogram-collapsed window)
     "length_percentiles" -> ((s, d) => Text.lengthPercentiles(Tables.documents(s, d))),
+    // per-source length winsorize: population-dependent [p5, p95] cut
+    "length_filter" -> ((s, d) => Text.lengthFilter(Tables.documents(s, d))),
     // C4-style dirty-word gate at its defaults (integer cross-product compare)
     "blocklist_filter" -> ((s, d) => Text.blocklistFilter(Tables.documents(s, d))),
     // Gopher rule enforcement: keep only docs violating none of the rules

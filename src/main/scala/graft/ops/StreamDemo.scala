@@ -651,6 +651,81 @@ object StreamDemo {
       .start()
   }
 
+  /** Streaming φ-heavy-hitter refresh — [[Text.heavyHittersApprox]]'s
+    * FrequentItems sketch maintained incrementally over a document stream.
+    * This is the lifecycle where the sketch form pays for itself twice:
+    * the batch exact path would need ALL history re-shuffled per refresh,
+    * and even the classifier-style exact count fold carries a
+    * vocabulary-sized table per batch — here the carried state is
+    * |sources| rows of bounded sketch bytes, period. Each micro-batch
+    * folds its own tokens into per-source `approx_top_k_accumulate`
+    * states (one combining aggregation — the delta never leaves the
+    * batch's size class) and `approx_top_k_combine` merges them with the
+    * cumulative state. Token mass is carried alongside as an exact long,
+    * so the φ threshold stays an integer gate at read time.
+    *
+    * While each source's distinct-token count stays under
+    * `maxItemsTracked` the sketches never purge, and
+    * [[readStreamTopK]]'s estimates after ANY prefix of batches are
+    * BIT-EXACTLY the batch [[Text.heavyHitters]] over the documents
+    * ingested so far — including across a checkpointed restart
+    * (StreamTopKSpec). Replay safety and retention are the
+    * [[ClassifierStore]] rules: cumulative read excludes ids `>= batchId`
+    * (a replayed batch folds into exactly its pre-batch state; a fresh
+    * checkpoint on a reused store starts clean), newest committed
+    * predecessor retained. */
+  def streamTopKRefresh(spark: SparkSession, docsDir: String,
+      storeDir: String, checkpointDir: String,
+      maxItemsTracked: Int = 4096,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("source", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = Text.sourceTokenPostings(batch)
+          .groupBy("source").agg(
+            expr(s"approx_top_k_accumulate(token, $maxItemsTracked)").as("st"),
+            count(lit(1)).cast("long").as("n_tokens"))
+        val updated = TopKStore.stateView(spark, storeDir, batchId)
+          .unionByName(delta)
+          .groupBy("source").agg(
+            expr(s"approx_top_k_combine(st, $maxItemsTracked)").as("st"),
+            sum("n_tokens").cast("long").as("n_tokens"))
+          .localCheckpoint(true)
+        updated.write.mode("overwrite")
+          .parquet(s"$storeDir/topk/batch_id=$batchId")
+        for ((_, p) <- TopKStore.complete(spark, storeDir)
+            .filter(_._1 < batchId).sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1)
+            .drop(1))
+          ReportStore.fs(spark, p).delete(p, true)
+        ()
+      }
+      .start()
+  }
+
+  /** φ-heavy hitters from the newest complete streamed sketch state —
+    * same output contract as [[Text.heavyHittersApprox]] (and, under
+    * sketch capacity, bit-identical to batch [[Text.heavyHitters]] over
+    * everything ingested). Empty or uncommitted store → empty frame. */
+  def readStreamTopK(spark: SparkSession, storeDir: String,
+      phi: Int = 30): DataFrame = {
+    TopKStore.stateView(spark, storeDir, Long.MaxValue)
+      .select(col("source"), col("n_tokens"),
+        explode(expr(s"approx_top_k_estimate(st, $phi)")).as("kv"))
+      .select(col("source"), col("kv.item").as("token"),
+        col("kv.count").as("n_occurrences"), col("n_tokens"))
+      .where(col("n_occurrences") * phi > col("n_tokens"))
+      .select(col("source"), col("token"), col("n_occurrences"), col("n_tokens"),
+        (col("n_occurrences").cast("double") / col("n_tokens")).as("share"))
+  }
+
   /** Streaming LM refresh — [[streamClassifierRefresh]]'s lifecycle for
     * the bigram perplexity-gate model ([[Text.lmMerge]]'s batch merge as a
     * running fold): each micro-batch's uni/bigram count deltas
@@ -757,6 +832,34 @@ object StreamDemo {
           spark.read.schema(countsSchema).parquet(p.toString)
         case None => spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), countsSchema)
+      }
+  }
+
+  /** Store plumbing for [[streamTopKRefresh]] — the [[ClassifierStore]]
+    * rules applied to the per-source sketch-state layer. The state struct
+    * is `approx_top_k_accumulate`'s own output shape, persisted verbatim
+    * (sketch bytes + sizing + item type), so a reader can estimate without
+    * re-touching any token data. */
+  private[ops] object TopKStore {
+    import org.apache.spark.sql.types._
+    val stateSchema: StructType = StructType.fromDDL(
+      "source STRING, " +
+      "st STRUCT<sketch: BINARY, maxItemsTracked: INT, " +
+      "itemDataType: STRING, itemDataTypeDDL: STRING>, " +
+      "n_tokens BIGINT")
+    def complete(spark: SparkSession,
+        storeDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      ReportStore.completeIds(spark, storeDir, "topk", "batch_id=")
+    /** Newest complete cumulative state strictly below `excludeBatch`;
+      * empty store → empty frame with the layer schema. */
+    def stateView(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame =
+      complete(spark, storeDir)
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) =>
+          spark.read.schema(stateSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), stateSchema)
       }
   }
 

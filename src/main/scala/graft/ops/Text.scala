@@ -58,18 +58,23 @@ object Text {
       .groupBy("token")
       .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
 
+  /** (source, token) postings — THE tokenization the heavy-hitter family
+    * (batch exact, batch sketch, streaming refresh) shares, so the three
+    * paths can never disagree on what a token is. */
+  def sourceTokenPostings(documents: DataFrame): DataFrame =
+    documents.select(col("source"), explode(tokens(col("text"))).as("token"))
+
   /** φ-heavy hitters per source — tokens whose occurrence count strictly
     * exceeds a 1/φ share of the source's token mass (the classic frequent-
     * items threshold; by pigeonhole at most φ−1 tokens can qualify). The
     * boilerplate detector a curation run reads per source: a token carrying
-    * >5% of a crawl source's mass (φ=20) is navigation chrome, not
+    * a >3% share of a crawl source's mass (φ=30 here) is navigation chrome, not
     * language. Exact form: combining groupBy(source, token) → |sources|-row
     * broadcast totals join → integer threshold compare (count·φ > total —
     * no float in the gate). The shuffle is the distinct (source, token)
     * vocabulary — the [[wordCount]] shape. */
-  def heavyHitters(documents: DataFrame, phi: Int = 20): DataFrame = {
-    val counts = documents
-      .select(col("source"), explode(tokens(col("text"))).as("token"))
+  def heavyHitters(documents: DataFrame, phi: Int = 30): DataFrame = {
+    val counts = sourceTokenPostings(documents)
       .groupBy("source", "token").agg(count(lit(1)).as("n_occurrences"))
     val totals = counts.groupBy("source")
       .agg(sum("n_occurrences").cast("long").as("n_tokens"))
@@ -96,10 +101,9 @@ object Text {
     * published ε = O(1/maxItemsTracked) error: every token with share
     * > 1/φ is still returned while maxItemsTracked ≫ φ (no false
     * negatives), only the reported counts become estimates. */
-  def heavyHittersApprox(documents: DataFrame, phi: Int = 20,
+  def heavyHittersApprox(documents: DataFrame, phi: Int = 30,
       maxItemsTracked: Int = 4096): DataFrame = {
-    val sk = documents
-      .select(col("source"), explode(tokens(col("text"))).as("token"))
+    val sk = sourceTokenPostings(documents)
       .groupBy("source").agg(
         expr(s"approx_top_k(token, $phi, $maxItemsTracked)").as("top"),
         count(lit(1)).cast("long").as("n_tokens"))
@@ -368,6 +372,34 @@ object Text {
       max(col("n")).as("docs"),
       pct(25).as("p25"), pct(50).as("p50"),
       pct(75).as("p75"), pct(95).as("p95"))
+  }
+
+  /** Length winsorize gate — drop each source's length-distribution tails
+    * (docs shorter than the `loPct`-th or longer than the `hiPct`-th
+    * per-source length percentile). The adaptive version of C4's fixed
+    * length rule: a code-heavy source and a news source have different
+    * "normal" lengths, so the cut must be population-dependent per source,
+    * exactly like [[perplexityFilter]]'s thirds. Boundaries are VALUE-based
+    * integer ranks over the [[lengthPercentiles]] histogram (bounded window
+    * state however large one source gets), broadcast back as a
+    * |sources|-row cut table; membership is a pure integer compare, full
+    * payload kept. */
+  def lengthFilter(documents: DataFrame, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = documents.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+    def pct(q: Int) =
+      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("n_chars")))
+    val cuts = cum.groupBy("source")
+      .agg(pct(loPct).as("p_lo"), pct(hiPct).as("p_hi"))
+    documents.join(broadcast(cuts), Seq("source"))
+      .where(col("n_chars") >= col("p_lo") && col("n_chars") <= col("p_hi"))
+      .drop("p_lo", "p_hi")
   }
 
   /** Blocklist (bad-word) filtering, the C4/RefinedWeb "dirty word list"

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
+
+import graft.ops.{StreamDemo, Text}
+
+/** Streaming heavy-hitter refresh ([[StreamDemo.streamTopKRefresh]]): under
+  * sketch capacity the estimates after any prefix of micro-batches must be
+  * BIT-EXACTLY batch [[Text.heavyHitters]] over the documents ingested so
+  * far, including across a checkpointed restart. */
+class StreamTopKSpec extends SparkTestBase with TimeLimitedTests {
+  val timeLimit: Span = Span(240, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  test("streamed sketch equals batch heavy hitters over everything ingested; restart-safe") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("topk_src")
+    val store = java.nio.file.Files.createTempDirectory("topk_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("topk_ckpt")
+
+    val all = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text", "source").orderBy("doc_id")
+    val rows = all.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"topk_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    def hh(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def batchTwin(slice: Array[org.apache.spark.sql.Row]) = Text.heavyHitters(
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema))
+
+    // run 1: two files -> two micro-batches; the second folds into the first
+    stage(1, rows.slice(0, cut1))
+    stage(2, rows.slice(cut1, cut2))
+    val q1 = StreamDemo.streamTopKRefresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(hh(StreamDemo.readStreamTopK(spark, store.toString)) ==
+      hh(batchTwin(rows.slice(0, cut2))),
+      "streamed heavy hitters drifted from the batch twin mid-stream")
+
+    // checkpointed restart with a third file: resumes, does not re-count
+    stage(3, rows.slice(cut2, rows.length))
+    val q2 = StreamDemo.streamTopKRefresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(hh(StreamDemo.readStreamTopK(spark, store.toString)) ==
+      hh(batchTwin(rows)),
+      "streamed heavy hitters drifted from the batch twin after restart")
+
+    // carried token mass is the exact ingested count
+    val mass = StreamDemo.readStreamTopK(spark, store.toString)
+      .select("source", "n_tokens").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Text.sourceTokenPostings(all).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mass.forall { case (s, n) => want(s) == n })
+
+    // retention: at most the newest predecessor + the latest survive
+    val parts = new java.io.File(s"$store/topk").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(parts.length <= 2, s"retention failed: ${parts.mkString(",")}")
+  }
+}

@@ -978,6 +978,46 @@ class TextSpec extends SparkTestBase {
       .agg(sum("changed")).head.getLong(0) == 0L)
   }
 
+  test("lengthFilter: per-source tails trimmed within the percentile bounds") {
+    val kept = q("length_filter").cache()
+    val keptBy = kept.groupBy("source").agg(
+      count(lit(1)).as("k"), min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, n) <- totals) {
+      val (k, lo, hi) = keptBy(src)
+      // below-lo mass < ceil(5% n); above-hi mass <= 5% n (value-based cuts)
+      val below = docs.filter(col("source") === src && col("n_chars") < lo).count()
+      val above = docs.filter(col("source") === src && col("n_chars") > hi).count()
+      assert(below < (n * 5 + 99) / 100, s"$src: $below below-lo of $n")
+      assert(above <= n * 5 / 100, s"$src: $above above-hi of $n")
+      assert(k == n - below - above)
+    }
+  }
+
+  test("heavyHitters: pigeonhole bound holds; approx twin bit-identical under capacity") {
+    import spark.implicits._
+    val exact = q("heavy_hitters").cache()
+    // at most φ-1 qualifiers per source, every share strictly > 1/φ
+    val perSource = exact.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) < 30))
+    assert(exact.where(col("share") <= 1.0 / 30).count() == 0)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(key(q("heavy_hitters_approx")) == key(exact))
+    // under-capacity sketch law: 70k distinct tokens vs maxItemsTracked=64 —
+    // the three planted 10%-mass tokens must survive (no false negatives for
+    // share >> 1/maxItemsTracked) with estimates within 10% of truth
+    val synth = spark.range(0, 100000).selectExpr(
+      "'s' AS source",
+      "CASE WHEN id % 10 < 3 THEN concat('heavy', id % 10) ELSE concat('t', id) END AS text")
+    val hh = Text.heavyHittersApprox(synth, phi = 15, maxItemsTracked = 64)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(hh.keySet == Set("heavy0", "heavy1", "heavy2"))
+    assert(hh.values.forall(c => math.abs(c - 10000L) <= 1000L))
+  }
+
   test("dedupIncrementalBloom ≡ dedupIncremental, even with a saturated bloom") {
     import spark.implicits._
     val corpus = docs.filter(Text.inTrainSplit())
