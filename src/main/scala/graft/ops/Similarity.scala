@@ -483,6 +483,63 @@ object Similarity {
     Sinks.overwriteLayer(index.centroids, s"$dir/centroids")
   }
 
+  /** Append new vectors to a persisted IVF index WITHOUT refitting the
+    * quantizer — the maintenance path a standing ANN service actually
+    * runs: embeddings arrive continuously, and a full rebuild per batch
+    * re-reads the whole corpus. New vectors are assigned to their nearest
+    * EXISTING centroid (the same constant-term-dropped distance
+    * [[ivfQuery]] probes with, so probe routing and member assignment can
+    * never disagree) via one broadcast of the centroid table and a
+    * map-side-combining `min_by` — no shuffle of the standing index, no
+    * k-means pass — then land as plain appended files inside the standing
+    * `cell=N` partition directories: plan-time probe pruning keeps working
+    * unchanged over old + new files.
+    *
+    * The trade, stated plainly: centroids go stale as the appended
+    * distribution drifts, and per-cell occupancy degrades away from the
+    * [[cellsFor]] target. [[ivfStats]] is the audit that decides when the
+    * accumulated drift warrants a rebuild ([[ivfBuild]] + [[ivfWrite]]);
+    * AnnIndexSpec pins the rebuild trigger arithmetic. */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    withNorms(newVectors)
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        dotd(col("centroid"), col("centroid")) - lit(2.0) * dotd(col("v"), col("centroid")))
+      .groupBy("vec_id").agg(
+        min_by(struct(col("v"), col("norm"), col("cell")),
+          struct(col("dist"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.norm").as("norm"),
+        col("m.cell").as("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/vectors")
+  }
+
+  /** Occupancy audit of a persisted IVF index — the |cells|-row report
+    * that drives the append-vs-rebuild decision: per-cell member counts
+    * and each cell's ratio to the mean occupancy (a ratio drifting ≫1 on
+    * hot cells means the standing centroids no longer fit the appended
+    * distribution — time to [[ivfBuild]] afresh, which re-derives the
+    * cell count from the grown corpus via [[cellsFor]]). One combining
+    * count over the vectors layer; nothing but |cells| rows shuffles. */
+  def ivfStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val idx = ivfRead(spark, dir)
+    val occ = idx.vectors.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    // |cells| rows: the 1-row totals broadcast is the lm_score-sanctioned
+    // bounded-scalar pattern
+    val tot = occ.agg(sum("n_vectors").cast("long").as("n_total"),
+      count(lit(1)).cast("long").as("n_cells"))
+    occ.crossJoin(broadcast(tot))
+      .withColumn("mean_occupancy",
+        col("n_total").cast("double") / col("n_cells"))
+      .withColumn("occupancy_ratio",
+        col("n_vectors").cast("double") / col("mean_occupancy"))
+      .select("cell", "n_vectors", "n_total", "n_cells",
+        "mean_occupancy", "occupancy_ratio")
+  }
+
   /** Reload a persisted IVF index. The vectors schema (incl. the `cell`
     * partition column's INT type) is DECLARED, not inferred, so the index
     * round-trips identically regardless of the session's

@@ -119,4 +119,52 @@ class AnnIndexSpec extends SparkTestBase {
     assert(inList.get.split(",").length <= 2,
       s"probe filter names more than nProbe cells: ${inList.get}")
   }
+
+  test("ivfAppend: no-refit maintenance — assignment consistent, pruning intact, stats audit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf3").toString
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    Similarity.ivfWrite(Similarity.ivfBuild(base, nCells = 16), dir)
+    val before = Similarity.ivfRead(spark, dir).vectors.count()
+    Similarity.ivfAppend(spark, dir, batch)
+    val disk = Similarity.ivfRead(spark, dir)
+
+    // every vector landed exactly once; appended cells ⊆ existing cells
+    assert(disk.vectors.count() == before + batch.count())
+    assert(disk.vectors.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+
+    // appended assignment == independent argmin over the same centroids
+    // (the probe-distance formula), deterministic lowest-cell tie-break
+    val cents = disk.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val appended = disk.vectors.join(batch.select("vec_id"), Seq("vec_id"))
+      .select("vec_id", "v", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    for ((id, v, cell) <- appended) {
+      val want = cents.map { case (c, cv) =>
+        val dot = cv.zip(v).map { case (a, b) => a * b }.sum
+        val cc = cv.map(x => x * x).sum
+        (cc - 2.0 * dot, c)
+      }.min._2
+      assert(cell == want, s"vec $id assigned $cell, argmin is $want")
+    }
+
+    // a planted identical twin of an appended vector is retrieved through
+    // the PRUNED service path (the index still works end-to-end)
+    val probe = batch.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("embedding"))
+    val twinOf = batch.limit(1).collect().head.getLong(0)
+    val hits = Similarity.ivfQueryPruned(disk, probe, k = 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(twinOf), s"appended twin $twinOf not in top-k $hits")
+
+    // occupancy audit: per-cell counts conserve the total; ratios
+    // average to 1 by construction (the rebuild trigger reads the max)
+    val st = Similarity.ivfStats(spark, dir).collect()
+    assert(st.map(_.getAs[Long]("n_vectors")).sum == before + batch.count())
+    assert(st.forall(_.getAs[Long]("n_total") == before + batch.count()))
+    val meanRatio = st.map(_.getAs[Double]("occupancy_ratio")).sum / st.length
+    assert(math.abs(meanRatio - 1.0) < 1e-9)
+  }
 }
