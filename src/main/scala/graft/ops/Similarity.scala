@@ -764,6 +764,64 @@ object Similarity {
       meta.getAs[Int]("tables"), meta.getAs[Int]("bits"), meta.getAs[Int]("dim"))
   }
 
+  /** Append new vectors to a persisted LSH index — the [[ivfAppend]]
+    * maintenance story for the bucket layer. New vectors are bucketed with
+    * the STANDING index's own (tables, bits, dim) from the meta layer —
+    * never re-derived from the batch's size: a different `bits` value
+    * would hash into a different bucket space and split the corpus across
+    * two incompatible geometries. The planes are deterministic functions
+    * of (table, bit, dim), so append-then-query is bit-identical to
+    * rebuild-at-the-same-bits — no plane state to reconcile, files simply
+    * accumulate inside the standing (table_id, bucket) partition dirs and
+    * plan-time bucket pruning keeps working. The input dim is verified
+    * against the meta layer before anything writes (a wrong-dim batch
+    * would silently mis-bucket every vector).
+    *
+    * The trade: `bits` was sized by [[bitsFor]] for the BUILD-time corpus;
+    * as appends accumulate, per-bucket occupancy — and with it candidate
+    * volume per query — grows linearly. [[lshStats]] reports when the
+    * standing bits fall below what bitsFor would choose today. */
+  def lshAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (tables, bits, dim) =
+      (meta.getAs[Int]("tables"), meta.getAs[Int]("bits"), meta.getAs[Int]("dim"))
+    val (_, newDim) = corpusDims(newVectors)
+    require(newDim == dim,
+      s"appended vectors have dim $newDim, index was built at dim $dim")
+    val e = withNorms(newVectors)
+    e.select(col("vec_id"),
+        posexplode(graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)))
+      .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket"))
+      .write.mode("append").partitionBy("table_id", "bucket")
+      .parquet(s"$dir/buckets")
+    e.write.mode("append").parquet(s"$dir/vectors")
+  }
+
+  /** Sizing audit of a persisted LSH index (1 row): vector count, the
+    * standing bits vs what [[bitsFor]] would choose for today's corpus,
+    * and measured mean/max bucket occupancy. `rebuild_recommended` turns
+    * true once appends have grown the corpus past the next power-of-two
+    * occupancy step — the cue to rebuild at re-derived bits. */
+  def lshStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetOccupancy: Int = 64): DataFrame = {
+    import spark.implicits._
+    val idx = lshRead(spark, dir)
+    // ONE bounded job: the (table, bucket) occupancy rollup collapses to a
+    // single row before it reaches the driver (the 1-row scalar budget);
+    // bitsFor then runs on the driver scalar — no UDF in any plan
+    val r = idx.buckets.groupBy("table_id", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .agg((sum("c") / lit(idx.tables)).cast("long"),
+        avg("c"), max("c").cast("long"))
+      .head()
+    val (n, meanOcc, maxOcc) = (r.getLong(0), r.getDouble(1), r.getLong(2))
+    val rec = bitsFor(n, targetOccupancy)
+    Seq((n, meanOcc, maxOcc, idx.bits, rec, rec > idx.bits))
+      .toDF("n_vectors", "mean_occupancy", "max_occupancy",
+        "bits", "bits_recommended", "rebuild_recommended")
+  }
+
   /** Bucket-pruned query against a standing (typically on-disk) index:
     * the query batch's distinct (table_id, bucket) probes — bounded by
     * |queries|·tables rows — become a LITERAL per-table IN-predicate on

@@ -167,4 +167,46 @@ class AnnIndexSpec extends SparkTestBase {
     val meanRatio = st.map(_.getAs[Double]("occupancy_ratio")).sum / st.length
     assert(math.abs(meanRatio - 1.0) < 1e-9)
   }
+
+  test("lshAppend: standing-bits bucketing, append ≡ rebuild-at-same-bits, sizing audit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh2").toString
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val built = Similarity.lshBuild(base)
+    Similarity.lshWrite(built, dir)
+    Similarity.lshAppend(spark, dir, batch)
+    val disk = Similarity.lshRead(spark, dir)
+
+    // params untouched; every vector bucketed once per table
+    assert(disk.tables == built.tables && disk.bits == built.bits)
+    assert(disk.buckets.count() == emb.count() * built.tables)
+
+    // append ≡ rebuild at the SAME bits: the planes derive from
+    // (table, bit, dim) alone, so bucketing the union corpus with the
+    // standing params reproduces the appended layer exactly
+    val rebuilt = graft.ops.Similarity.withNorms(emb).select(col("vec_id"),
+        posexplode(graft.functions.LshExprs.signLshBuckets(
+          col("v"), built.tables, built.bits, built.dim)))
+      .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket"))
+    assert(sortedRows(disk.buckets) == sortedRows(rebuilt))
+
+    // a planted twin of an appended vector is retrieved through the
+    // pruned service path
+    val probe = batch.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("embedding"))
+    val twinOf = batch.limit(1).collect().head.getLong(0)
+    val hits = Similarity.lshQueryPruned(disk, probe, k = 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(twinOf), s"appended twin $twinOf not in top-k $hits")
+
+    // wrong-dim batches are refused before anything writes
+    val bad = batch.limit(5).select(col("vec_id"), col("label"),
+      slice(col("embedding"), 1, 8).as("embedding"))
+    intercept[IllegalArgumentException] { Similarity.lshAppend(spark, dir, bad) }
+
+    // sizing audit: count conserved; recommendation consistent with bitsFor
+    val st = Similarity.lshStats(spark, dir).head()
+    assert(st.getAs[Long]("n_vectors") == emb.count())
+    assert(st.getAs[Int]("bits_recommended") >= st.getAs[Int]("bits"))
+  }
 }
