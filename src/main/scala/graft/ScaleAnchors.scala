@@ -211,6 +211,19 @@ object ScaleAnchors {
         minAvgLogp = -12.0, maxUnseenFrac = 0.9, maxDupFrac = 0.9,
         maxLowQualityFrac = 0.9, rates = Map("en" -> 0.5, "zh" -> 0.75)).count())
 
+      // r9 session-4 family: the bloom admission path must track the plain
+      // incremental shape (prefilter + verify over the same planted dup
+      // mass); heavy hitters shuffle the distinct (source, token) vocab
+      // (fixed generative vocab ⇒ ~flat rows across scales) while the
+      // sketch twin shuffles |sources| sketch rows at ANY vocab
+      t("dedup_incremental_bloom")(ops.Text.dedupIncrementalBloom(
+        d.filter(!ops.Text.inTrainSplit()),
+        d.filter(ops.Text.inTrainSplit())).count())
+      t("heavy_hitters")(ops.Text.heavyHitters(d, phi = 500).count())
+      t("heavy_hitters_approx")(ops.Text.heavyHittersApprox(d, phi = 500).count())
+      t("length_filter")(ops.Text.lengthFilter(d).count())
+      t("normalize_text")(ops.Text.normalizeText(d).count())
+
       println(out.map {
         case (k, v: String) => s""""$k":"$v""""
         case (k, v) => s""""$k":$v"""
