@@ -501,8 +501,16 @@ object Similarity {
     * accumulated drift warrants a rebuild ([[ivfBuild]] + [[ivfWrite]]);
     * AnnIndexSpec pins the rebuild trigger arithmetic. */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
-      newVectors: DataFrame): Unit = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
+      newVectors: DataFrame): Unit =
+    ivfAssign(spark.read.parquet(s"$dir/centroids"), newVectors)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/vectors")
+
+  /** No-refit assignment of raw vectors to STANDING centroids — the shared
+    * unit of [[ivfAppend]] and [[pqAppend]]: broadcast centroid table,
+    * constant-term-dropped probe distance, map-side-combining `min_by`
+    * with the deterministic lowest-cell tie-break. */
+  private def ivfAssign(centroids: DataFrame, newVectors: DataFrame): DataFrame =
     withNorms(newVectors)
       .crossJoin(broadcast(centroids))
       .withColumn("dist",
@@ -512,9 +520,6 @@ object Similarity {
           struct(col("dist"), col("cell"))).as("m"))
       .select(col("vec_id"), col("m.v").as("v"), col("m.norm").as("norm"),
         col("m.cell").as("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$dir/vectors")
-  }
 
   /** Occupancy audit of a persisted IVF index — the |cells|-row report
     * that drives the append-vs-rebuild decision: per-cell member counts
@@ -1106,14 +1111,21 @@ object Similarity {
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
       lloyd(pts, ks, seed = 42 + j).zipWithIndex.map { case (c, i) => (j, i, c) }
     }.toDF("sub", "code", "centroid")
-    // distributed assignment: explode each vector into its m subvectors,
-    // broadcast-join all m·ks codebook rows on `sub`, codegen distance,
-    // keep the argmin code per (vec_id, sub) with a deterministic tie-break
-    val subvecs = ivf.vectors.select(col("vec_id"),
+    PqIndex(ivf, codebooks, pqEncode(ivf.vectors, codebooks, m, subDim), m, subDim)
+  }
+
+  /** Distributed PQ encoding against a FIXED codebook table — the shared
+    * unit of [[pqBuild]] and [[pqAppend]]: explode each vector into its m
+    * subvectors, broadcast-join all m·ks codebook rows on `sub`, codegen
+    * distance, keep the argmin code per (vec_id, sub) with a deterministic
+    * tie-break. One shuffle-free broadcast join however big the corpus. */
+  private def pqEncode(vectors: DataFrame, codebooks: DataFrame,
+      m: Int, subDim: Int): DataFrame = {
+    val subvecs = vectors.select(col("vec_id"),
         explode(array((0 until m).map(j => struct(lit(j).as("sub"),
           slice(col("v"), j * subDim + 1, subDim).as("x"))): _*)).as("sv"))
       .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.x").as("x"))
-    val codes = subvecs.join(broadcast(codebooks), Seq("sub"))
+    subvecs.join(broadcast(codebooks), Seq("sub"))
       .withColumn("dist", dotd(col("centroid"), col("centroid"))
         - lit(2.0) * dotd(col("x"), col("centroid")))
       .groupBy("vec_id", "sub")
@@ -1122,7 +1134,37 @@ object Similarity {
       .agg(collect_list(struct(col("sub"), col("code"))).as("parts"))
       .select(col("vec_id"),
         transform(array_sort(col("parts")), p => p.getField("code")).as("codes"))
-    PqIndex(ivf, codebooks, codes, m, subDim)
+  }
+
+  /** Append new vectors to a persisted IVF-PQ index — the [[ivfAppend]]
+    * maintenance story extended through the quantization tier: assign to
+    * STANDING coarse centroids ([[ivfAssign]] — one shared pass feeds both
+    * layers), encode with the STANDING sub-codebooks ([[pqEncode]] — never
+    * refit: a new codebook would decode old codes into different vectors),
+    * and append files into the standing `cell=N` dirs of BOTH the vectors
+    * and codes layers, so the probe-pruned [[pqQuery]] keeps working over
+    * old + new. Input dim verified against the codebook shape before
+    * anything writes. Codebook drift is real (appended vectors quantize
+    * against centroids fit on the build-time sample); [[ivfStats]] on the
+    * `ivf` sublayer remains the rebuild cue. */
+  def pqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame): Unit = {
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val shape = codebooks
+      .agg(max(col("sub")).as("maxSub"), max(size(col("centroid"))).as("subDim"))
+      .head()
+    val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
+    val (_, dim) = corpusDims(newVectors)
+    require(dim == m * subDim,
+      s"appended vectors have dim $dim, index encodes ${m * subDim} (m=$m × subDim=$subDim)")
+    // one assignment pass feeds the vectors append, the codes append, and
+    // the cell join — pinned so the three consumers share it
+    val assigned = ivfAssign(spark.read.parquet(s"$dir/ivf/centroids"), newVectors)
+      .localCheckpoint(true)
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/ivf/vectors")
+    pqEncode(assigned, codebooks, m, subDim)
+      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
   /** Seeded Lloyd iterations over a driver-resident sample — the PQ

@@ -209,4 +209,45 @@ class AnnIndexSpec extends SparkTestBase {
     assert(st.getAs[Long]("n_vectors") == emb.count())
     assert(st.getAs[Int]("bits_recommended") >= st.getAs[Int]("bits"))
   }
+
+  test("pqAppend: standing-codebook encoding, both layers appended, twin retrievable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq2").toString
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    Similarity.pqWrite(Similarity.pqBuild(base, nCells = 16), dir)
+    val before = Similarity.pqRead(spark, dir)
+    val cb = before.codebooks.collect()
+      .map(r => (r.getInt(0), r.getInt(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    Similarity.pqAppend(spark, dir, batch)
+    val disk = Similarity.pqRead(spark, dir)
+
+    // shape untouched; both layers grew by exactly the batch
+    assert(disk.m == before.m && disk.subDim == before.subDim)
+    assert(disk.codes.count() == emb.count())
+    assert(disk.ivf.vectors.count() == emb.count())
+
+    // every appended code word: m codes, each a live code of its subspace
+    val appended = disk.codes.join(batch.select("vec_id"), Seq("vec_id"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(appended.length == batch.count())
+    for ((id, codes) <- appended) {
+      assert(codes.length == disk.m, s"vec $id has ${codes.length} codes")
+      for ((c, j) <- codes.zipWithIndex)
+        assert(cb(j).contains(c), s"vec $id sub $j code $c not in codebook")
+    }
+
+    // a planted identical twin of an appended vector is retrieved through
+    // the probe-pruned asymmetric-ADC + rerank path
+    val probe = batch.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("embedding"))
+    val twinOf = batch.limit(1).collect().head.getLong(0)
+    val hits = Similarity.pqQuery(disk, probe, k = 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(twinOf), s"appended twin $twinOf not in top-k $hits")
+
+    // wrong-dim batches are refused before anything writes
+    val bad = batch.limit(5).select(col("vec_id"), col("label"),
+      slice(col("embedding"), 1, 8).as("embedding"))
+    intercept[IllegalArgumentException] { Similarity.pqAppend(spark, dir, bad) }
+  }
 }
