@@ -259,6 +259,34 @@ class PropertiesSpec extends SparkTestBase {
     check("parse total on bit-flips")(Prop.forAll(flipped)(sane))
   }
 
+  test("law: unicode normalization is total, idempotent, and junk-free") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextExprs
+    // arbitrary well-formed strings, weighted toward the hazardous ranges:
+    // combining marks, compatibility chars, controls, zero-widths
+    val hazard: Gen[String] = for {
+      n <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf('\u0301', '\u0308', '\u0327'), // combining marks
+        2 -> Gen.oneOf('\u00e9', '\u00c5', '\u212b', '\ufb01'), // composed + compat (angstrom, fi)
+        1 -> Gen.oneOf('\u0000', '\u0007', '\u001b', '\u007f'), // controls
+        1 -> Gen.oneOf('\u200b', '\ufeff', '\t', '\n'))) // zero-width + kept whitespace
+    } yield cs.mkString
+    val junk = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u200B\\uFEFF]".r
+    def norm(s: String): String = {
+      val u = TextExprs.nfcJava(UTF8String.fromString(s)).toString
+      junk.replaceAllIn(u, "")
+    }
+    check("idempotent")(Prop.forAll(hazard)(s => norm(norm(s)) == norm(s)))
+    check("junk-free output")(Prop.forAll(hazard)(s =>
+      junk.findFirstIn(norm(s)).isEmpty))
+    check("nfkc total + idempotent")(Prop.forAll(hazard) { s =>
+      val once = TextExprs.nfkcJava(UTF8String.fromString(s)).toString
+      TextExprs.nfkcJava(UTF8String.fromString(once)).toString == once
+    })
+  }
+
   test("simhash mask edge: maxHamming=0 blocks on the full 64-bit fingerprint") {
     assert(ops.Text.simhashMasks(1, 0) == Seq(-1L))
     assert(ops.Text.simhashMasks(4, 3).reduce(_ | _) == -1L) // blocks tile all 64 bits
