@@ -579,6 +579,48 @@ af AS (
     // microseconds (epoch_us ↔ unix_micros), running sum of boundaries;
     // ordering ties break on the unique event_id
     // retention triangle: distinct (user, day) first, then cohort join
+    // day-over-day burst monitor: trailing 7-day window over the
+    // (day, type) count grid; burst = integer cross-product gate
+    "event_trends" -> """
+      WITH daily AS (SELECT date_trunc('day', ts) AS day, event_type,
+                            CAST(COUNT(*) AS BIGINT) AS n_events
+                     FROM events GROUP BY 1, 2),
+      w AS (SELECT day, event_type, n_events,
+                   CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_sum,
+                   CAST(COUNT(n_events) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_n
+            FROM daily)
+      SELECT day, event_type, n_events,
+             CASE WHEN prev_n > 0 THEN CAST(prev_sum AS DOUBLE) / prev_n END AS baseline_avg,
+             CAST(prev_n > 0 AND n_events * prev_n > 2 * prev_sum AS INTEGER) AS is_burst
+      FROM w""",
+
+    // crawl-refresh diff over the deterministic snapshot split: the md5
+    // doc_id bucket synthesizes adds (<08), content edits ([08,18)), and
+    // removals (>=e0); modified = normalized fingerprint changed
+    "corpus_diff" -> """
+      WITH b AS (SELECT doc_id, source, text,
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bk
+                 FROM documents),
+      olds AS (SELECT doc_id, source,
+                      sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+               FROM b WHERE bk >= '08'),
+      news AS (SELECT doc_id, source,
+                      sha256(regexp_replace(lower(
+                        CASE WHEN bk < '18' THEN text || ' [rev2]' ELSE text END),
+                        '\s+', ' ', 'g')) AS fp
+               FROM b WHERE bk < 'e0')
+      SELECT COALESCE(n.source, o.source) AS source,
+             CAST(SUM(CASE WHEN o.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             CAST(SUM(CASE WHEN n.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(SUM(CASE WHEN n.fp IS NOT NULL AND o.fp IS NOT NULL
+                            AND n.fp <> o.fp THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+             CAST(SUM(CASE WHEN n.fp IS NOT NULL AND o.fp IS NOT NULL
+                            AND n.fp = o.fp THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+      FROM news n FULL OUTER JOIN olds o USING (doc_id)
+      GROUP BY 1""",
+
     "cohort_retention" -> """
       WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
       firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)

@@ -188,6 +188,20 @@ object SparkEntry {
     "event_funnel" -> ((s, d) => Analytics.eventFunnel(Tables.events(s, d))),
     // retention triangle: first-active-day cohorts x day offset
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(Tables.events(s, d))),
+    // day-over-day burst monitor: integer cross-product gate vs the
+    // trailing 7-day baseline
+    "event_trends" -> ((s, d) => Analytics.eventTrends(Tables.events(s, d))),
+    // crawl-refresh diff: two snapshots synthesized deterministically from
+    // the md5 doc_id bucket (added <08 | modified [08,18) | removed >=e0)
+    "corpus_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Text.corpusDiff(
+        docs.filter(b < "e0").withColumn("text",
+          when(b < "18", concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))),
+        docs.filter(b >= "08"))
+    }),
     "session_stats" -> ((s, d) => Analytics.sessionStats(Tables.events(s, d))),
     // the engine's native session operator (streaming twin in StreamDemo)
     "session_windows" -> ((s, d) => StreamDemo.sessionWindowsBatch(Tables.events(s, d))),

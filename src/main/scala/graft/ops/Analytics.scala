@@ -233,4 +233,36 @@ object Analytics {
       .groupBy("cohort_day", "day_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Day-over-day burst detection per event type — the anomaly monitor a
+    * daily-cadence pipeline reads: each (day, type)'s count against its
+    * trailing `baselineDays`-day average, flagged when today exceeds
+    * `burstRatio`× the baseline. The burst gate is the cross-multiplied
+    * INTEGER inequality `n·prev_n > ratio·prev_sum` (the repo's no-float
+    * gate discipline); `baseline_avg` is reported as one exact long/long
+    * division. Days with no trailing history (`prev_n = 0`) report a null
+    * baseline and never flag.
+    *
+    * Scale shape: the corpus collapses to a (day, type) count grid FIRST
+    * (combining groupBy — the only corpus-sized pass), then the lag
+    * window runs over ≤ |types|·|days| rows with bounded per-partition
+    * state. */
+  def eventTrends(events: DataFrame, baselineDays: Int = 7,
+      burstRatio: Int = 2): DataFrame = {
+    val daily = events.groupBy(
+        date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-baselineDays, -1)
+    daily
+      .withColumn("prev_sum", sum("n_events").over(w))
+      .withColumn("prev_n", count(col("n_events")).over(w))
+      .withColumn("baseline_avg",
+        when(col("prev_n") > 0, col("prev_sum").cast("double") / col("prev_n")))
+      .withColumn("is_burst",
+        (col("prev_n") > 0 &&
+          col("n_events") * col("prev_n") > lit(burstRatio.toLong) * col("prev_sum"))
+          .cast("int"))
+      .drop("prev_sum", "prev_n")
+  }
 }

@@ -1442,6 +1442,36 @@ object Text {
           .cast("int").as("admitted"))
   }
 
+  /** Snapshot-to-snapshot corpus diff — the crawl-refresh audit: which
+    * documents were added, removed, content-modified, or unchanged between
+    * two corpus snapshots, rolled up per source. Identity is `doc_id`
+    * (the stable crawl key); "modified" means the normalized content
+    * fingerprint ([[fingerprints]]' sha-256) changed under the same id,
+    * so whitespace/case-only churn does not count as a modification.
+    *
+    * Scale shape: each snapshot collapses scan-locally to
+    * (doc_id, source, fingerprint) — 70-odd bytes/doc through the wire,
+    * never payloads — then ONE doc_id-keyed full-outer join classifies
+    * all four states in a single pass (two anti-joins + an inner join
+    * would shuffle three times) and a combining |sources|-row rollup
+    * counts them. */
+  def corpusDiff(newSnap: DataFrame, oldSnap: DataFrame): DataFrame = {
+    val n = newSnap.select(col("doc_id"), col("source").as("src_new"),
+      fingerprintCol.as("fp_new"))
+    val o = oldSnap.select(col("doc_id"), col("source").as("src_old"),
+      fingerprintCol.as("fp_old"))
+    n.join(o, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_new"), col("src_old")).as("source"),
+        col("fp_new"), col("fp_old"))
+      .groupBy("source").agg(
+        sum(col("fp_old").isNull.cast("long")).as("n_added"),
+        sum(col("fp_new").isNull.cast("long")).as("n_removed"),
+        sum((col("fp_new").isNotNull && col("fp_old").isNotNull &&
+          col("fp_new") =!= col("fp_old")).cast("long")).as("n_modified"),
+        sum((col("fp_new").isNotNull && col("fp_old").isNotNull &&
+          col("fp_new") === col("fp_old")).cast("long")).as("n_unchanged"))
+  }
+
   /** (doc_id, shingle) postings: distinct word k-shingles per document. */
   def shingles(documents: DataFrame, k: Int = 5): DataFrame =
     documents.select(col("doc_id"), tokens(col("text")).as("toks"))

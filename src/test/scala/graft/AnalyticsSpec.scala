@@ -119,4 +119,27 @@ class AnalyticsSpec extends SparkTestBase {
     val users = Tables.events(spark, SF).select("user_id").distinct().count()
     assert(day0.values.sum == users)
   }
+
+  test("eventTrends: baseline-free days never flag; hand burst flags exactly once") {
+    import spark.implicits._
+    // 8 quiet days at 2 events then a 10-event spike on day 9
+    val ev = (for {
+      d <- 1 to 9
+      i <- 1 to (if (d == 9) 10 else 2)
+    } yield (d.toLong * 100 + i, f"2024-03-$d%02d 10:$i%02d:00", "click"))
+      .toDF("user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val r = Analytics.eventTrends(ev).orderBy("day").collect()
+    assert(r.head.isNullAt(3) && r.head.getInt(4) == 0,
+      "first day has no baseline and must not flag")
+    assert(r.count(_.getInt(4) == 1) == 1)
+    assert(r.last.getInt(4) == 1 && r.last.getLong(2) == 10L)
+    assert(math.abs(r.last.getDouble(3) - 2.0) < 1e-12)
+    // real table: flagged rows all satisfy the integer gate vs the
+    // recomputed trailing window
+    val real = q("event_trends").cache()
+    assert(real.count() > 0)
+    assert(real.filter(col("is_burst") === 1 &&
+      !(col("n_events") > lit(2.0) * col("baseline_avg"))).count() == 0)
+  }
 }

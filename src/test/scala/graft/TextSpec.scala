@@ -978,6 +978,32 @@ class TextSpec extends SparkTestBase {
       .agg(sum("changed")).head.getLong(0) == 0L)
   }
 
+  test("corpusDiff: the four states partition both snapshots; ws-only churn is not a modification") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "alpha beta", "web"), (2L, "gamma delta", "web"),
+      (3L, "epsilon zeta", "news"), (4L, "eta theta", "news")
+    ).toDF("doc_id", "text", "source")
+    val nw = Seq(
+      (1L, "Alpha  beta", "web"),    // case+ws churn only -> unchanged
+      (2L, "gamma delta prime", "web"), // content edit -> modified
+      (4L, "eta theta", "news"),     // identical -> unchanged
+      (5L, "iota kappa", "wiki")     // new id -> added; doc 3 -> removed
+    ).toDF("doc_id", "text", "source")
+    val r = Text.corpusDiff(nw, old).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("web") == ((0L, 0L, 1L, 1L)))
+    assert(r("news") == ((0L, 1L, 0L, 1L)))
+    assert(r("wiki") == ((1L, 0L, 0L, 0L)))
+    // conservation: every classified doc comes from exactly one snapshot slot
+    val q2 = q("corpus_diff").agg(
+      sum(col("n_added") + col("n_modified") + col("n_unchanged")).as("n_new"),
+      sum(col("n_removed") + col("n_modified") + col("n_unchanged")).as("n_old")).head()
+    val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+    assert(q2.getLong(0) == docs.filter(b < "e0").count())
+    assert(q2.getLong(1) == docs.filter(b >= "08").count())
+  }
+
   test("lengthFilter: per-source tails trimmed within the percentile bounds") {
     val kept = q("length_filter").cache()
     val keptBy = kept.groupBy("source").agg(
