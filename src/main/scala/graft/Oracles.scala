@@ -760,6 +760,33 @@ af AS (
                          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
                          CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
                   FROM documents) a) b""",
+    // within-source percentile calibration: scores binned to the 1e-2 grid
+    // (identical IEEE floor(s*100) both engines), cumulative share over the
+    // per-source bin histogram, exact long/long division
+    "score_calibrate" -> """
+      WITH raw AS (SELECT doc_id, source,
+                          CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                          CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
+                   FROM documents),
+      s AS (SELECT doc_id, source,
+                   greatest(0.0, least(1.0,
+                     0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                         + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                         - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score
+            FROM raw),
+      b AS (SELECT doc_id, source, quality_score,
+                   CAST(floor(quality_score * 100) AS BIGINT) AS score_bin
+            FROM s),
+      h AS (SELECT source, score_bin, CAST(COUNT(*) AS BIGINT) AS c
+            FROM b GROUP BY 1, 2),
+      cuts AS (SELECT source, score_bin,
+                      CAST(CAST(SUM(c) OVER (PARTITION BY source ORDER BY score_bin) AS BIGINT) AS DOUBLE)
+                        / CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS calibrated
+               FROM h)
+      SELECT b.source, b.score_bin, b.doc_id, b.quality_score, cuts.calibrated
+      FROM b JOIN cuts USING (source, score_bin)""",
+
     // deterministic md5-bucket corpus split (train/val/test) — pure function
     // of doc_id, byte-identical hex + binary string compare in both engines
     "corpus_split" -> """

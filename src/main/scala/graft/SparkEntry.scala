@@ -220,6 +220,8 @@ object SparkEntry {
     "bpe_tokenize" -> ((s, d) =>
       Text.bpeTokenStats(Tables.documents(s, d), bpeMerges(s, d))),
     "text_quality" -> ((s, d) => Text.qualityScore(Tables.documents(s, d))),
+    // within-source percentile calibration on the 1e-2 bin grid
+    "score_calibrate" -> ((s, d) => Text.scoreCalibrate(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => Text.langId(Tables.documents(s, d))),
     "fingerprints" -> ((s, d) => Text.fingerprints(Tables.documents(s, d))),
     // mirrorable (md5) gram hash so the windowed-min selection itself is

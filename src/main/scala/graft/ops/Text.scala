@@ -228,6 +228,32 @@ object Text {
         lit(0.3) + lit(0.5) * col("diversity") + lit(2.0) * col("stop_ratio")
           - when(col("n_tokens") < 20, 0.2).otherwise(0.0))))
 
+  /** Per-source percentile calibration of the heuristic quality score —
+    * the step that makes one global threshold meaningful ACROSS sources:
+    * raw scores are distribution-dependent (a code-heavy source's 0.5 and
+    * a news source's 0.5 mean different quality), so each doc gets its
+    * within-source percentile instead. Scores collapse to the 1e-2 bin
+    * grid FIRST (floor(s·100) — [[classifierPr]]'s discipline), so the
+    * cumulative window runs over ≤101 rows per source however large the
+    * source, and the bounded calibration table (|sources|·101 rows)
+    * broadcasts back over the scored scan. `calibrated` = exact
+    * cum/n long-division; identical bins ⇒ identical percentile, ties
+    * never split. */
+  def scoreCalibrate(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = withQualityCols(documents)
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .withColumn("score_bin", floor(col("quality_score") * 100).cast("long"))
+    val hist = scored.groupBy("source", "score_bin").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("source").orderBy("score_bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = hist.withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+      .select(col("source"), col("score_bin"),
+        (col("cum").cast("double") / col("n")).as("calibrated"))
+    scored.join(broadcast(cuts), Seq("source", "score_bin"))
+  }
+
   /** Heuristic quality scoring: stopword ratio, lexical diversity, length —
     * the length/punct/stopword-ratio family of LLM-corpus quality filters. */
   def qualityScore(documents: DataFrame): DataFrame =

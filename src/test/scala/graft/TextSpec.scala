@@ -978,6 +978,23 @@ class TextSpec extends SparkTestBase {
       .agg(sum("changed")).head.getLong(0) == 0L)
   }
 
+  test("scoreCalibrate: percentiles monotone per source, top bin at 1.0, ties share a value") {
+    val cal = q("score_calibrate").cache()
+    assert(cal.count() == docs.count(), "every doc calibrated exactly once")
+    assert(cal.where(col("calibrated") <= 0.0 || col("calibrated") > 1.0).count() == 0)
+    val bySource = cal.select("source", "score_bin", "calibrated").distinct()
+      .collect().groupBy(_.getString(0))
+    for ((src, rows) <- bySource) {
+      val sorted = rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._2 < p(1)._2),
+        s"$src: calibrated percentile not strictly increasing across occupied bins")
+      assert(sorted.last._2 == 1.0, s"$src: top occupied bin must calibrate to 1.0")
+    }
+    // ties: same (source, bin) always maps to ONE calibrated value
+    assert(cal.groupBy("source", "score_bin")
+      .agg(countDistinct("calibrated").as("k")).where(col("k") > 1).count() == 0)
+  }
+
   test("corpusDiff: the four states partition both snapshots; ws-only churn is not a modification") {
     import spark.implicits._
     val old = Seq(
