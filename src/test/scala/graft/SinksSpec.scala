@@ -233,4 +233,24 @@ class SinksSpec extends SparkTestBase {
     val blob = spark.read.parquet(s"$dir/kpi_summary_blob")
     assert(blob.count() == 1 && blob.columns.toSeq == Seq("kpi_data"))
   }
+
+  test("sortedOverwrite: files carry disjoint sort-key ranges (zone-map-prunable layout)") {
+    val dir = tmp("graft_sorted")
+    val docs = Tables.documents(spark, SF)
+    Sinks.sortedOverwrite(docs, dir, 8, "doc_id")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // per-file key ranges must be pairwise disjoint — the property parquet
+    // min/max footer stats inherit, which is what lets a selective scan
+    // skip every file whose range misses the predicate
+    val ranges = back.select(input_file_name().as("f"), col("doc_id"))
+      .groupBy("f").agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple files")
+    for (Array((_, aHi), (bLo, _)) <- ranges.sliding(2).map(_.toArray))
+      assert(aHi < bLo, s"overlapping file ranges: hi=$aHi lo=$bLo")
+    // a point lookup returns exactly its row through the clustered layout
+    val probe = docs.select("doc_id").orderBy("doc_id").limit(1).head.getLong(0)
+    assert(back.filter(col("doc_id") === probe).count() == 1)
+  }
 }
