@@ -1047,12 +1047,13 @@ af AS (
 
     // unicode canonicalization: duckdb's nfc_normalize IS java's
     // Normalizer.NFC (both implement UAX #15), and the junk class is
-    // spelled so Java regex and RE2 read it identically
+    // spelled so Java regex and RE2 read it identically; strip runs FIRST
+    // (strip-then-compose is the idempotent order — see Text.normalizeText)
     "normalize_text" -> """
       WITH n AS (SELECT doc_id, lang, source, n_chars, text AS text_orig,
-                        regexp_replace(nfc_normalize(text),
+                        nfc_normalize(regexp_replace(text,
                           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}\x{FEFF}]',
-                          '', 'g') AS text_norm
+                          '', 'g')) AS text_norm
                  FROM documents)
       SELECT doc_id, text_norm AS text, lang, source, n_chars,
              CAST(text_norm <> text_orig AS INTEGER) AS changed

@@ -1001,21 +1001,27 @@ object Text {
     * from a crawler — hashes to different [[fingerprints]] and silently
     * defeats exact dedup. Two layers, both engine-portable:
     *
-    *   1. NFC canonical composition via the custom codegen expression
-    *      [[graft.functions.TextExprs.nfc]] (Spark has no builtin;
-    *      zero-allocation fast path for already-normalized text);
-    *   2. strip of non-printing bytes: C0 controls except \t \n \r, DEL,
+    *   1. strip of non-printing bytes: C0 controls except \t \n \r, DEL,
     *      zero-width space (U+200B), and BOM/ZWNBSP (U+FEFF) — spelled as
     *      an explicit class Java regex and RE2 read identically (the
-    *      scrubPii discipline).
+    *      scrubPii discipline);
+    *   2. NFC canonical composition via the custom codegen expression
+    *      [[graft.functions.TextExprs.nfc]] (Spark has no builtin;
+    *      zero-allocation fast path for already-normalized text).
+    *
+    * The ORDER is load-bearing: strip-then-compose is idempotent, while
+    * compose-then-strip is NOT — removing a zero-width char can juxtapose
+    * a base letter and a combining mark that a second NFC pass would then
+    * compose, so the "cleaned" corpus would keep changing under re-runs
+    * (found by the PropertiesSpec idempotence law on "A" U+200B U+0301).
     *
     * Output keeps the full payload with `text` REPLACED (the downstream
     * contract scrubPii set) plus a `changed` audit flag. Pure codegen'd
     * projection — no shuffle; at 100 TB it runs inside the scan stage.
-    * DuckDB mirrors it exactly: `nfc_normalize` + the same RE2 class. */
+    * DuckDB mirrors it exactly: the same RE2 class, then `nfc_normalize`. */
   def normalizeText(documents: DataFrame): DataFrame = {
     val junk = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}\\x{FEFF}]"
-    val norm = regexp_replace(graft.functions.TextExprs.nfc(col("text")), junk, "")
+    val norm = graft.functions.TextExprs.nfc(regexp_replace(col("text"), junk, ""))
     documents.withColumn("changed", (norm =!= col("text")).cast("int"))
       .withColumn("text", norm)
   }
