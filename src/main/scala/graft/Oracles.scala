@@ -2225,6 +2225,37 @@ af AS (
       GROUP BY 1, 2
       HAVING count(*) >= 3""",
 
+    // per-eval-doc leak rollup of the decontaminate pair pass
+    "decontaminate_report" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+      ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0),
+      pairs AS (SELECT tr.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+                FROM tr JOIN ev USING (shingle)
+                GROUP BY 1, 2
+                HAVING count(*) >= 3)
+      SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_train_docs_flagged,
+             CAST(SUM(n_shared) AS BIGINT) AS total_shared_shingles
+      FROM pairs GROUP BY 1""",
+
+    // mirror-site matrix over the synthetic "mirror" source: distinct
+    // (fingerprint, source) projection first, so pair fanout is bounded by
+    // |sources|, never by copy counts
+    "dup_source_matrix" -> """
+      WITH m AS (SELECT text, source FROM documents
+                 UNION ALL
+                 SELECT text, 'mirror' AS source FROM documents
+                 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'),
+      f AS (SELECT DISTINCT sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+                            source
+            FROM m)
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_fingerprints
+      FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2""",
+
     // ExactSubstr: positional 10-gram md5 keys; keeper = first occurrence
     // (row_number over (doc_id, pos) — selection-equivalent to Spark's
     // two-phase min(struct)); non-keepers become removal-start markers;

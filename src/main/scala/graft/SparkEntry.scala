@@ -349,6 +349,24 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0), // train
         docs.filter(col("doc_id") % 20 === 0)) // held-out "benchmark"
     }),
+    // per-eval-doc leak rollup of the same pair pass
+    "decontaminate_report" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Text.decontaminateReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+    }),
+    // mirror-site detector over a deterministic synthetic mirror (the
+    // corpus has no natural cross-source exact dups): docs in md5 bucket
+    // < "20" duplicated under source "mirror"
+    "dup_source_matrix" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Text.dupSourceMatrix(docs.unionByName(
+        docs.filter(b < "20").withColumn("source", lit("mirror"))))
+    }),
     // fuzzy (MinHash-LSH) decontamination: same %20 split, band collision
     // + exact-Jaccard verify; md5 mirror hashes so the oracle value-checks
     // the candidate set (xxhash64 sketch is the scale default)

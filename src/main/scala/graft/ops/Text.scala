@@ -1474,6 +1474,39 @@ object Text {
           .cast("int").as("admitted"))
   }
 
+  /** Per-eval-document rollup of [[decontaminate]]'s pair evidence — the
+    * report a benchmark owner reads: for each held-out doc, how many train
+    * documents it leaked into and the total shared-shingle volume. One
+    * combining groupBy over the (already eval-side-broadcast) pair pass. */
+  def decontaminateReport(train: DataFrame, evalSet: DataFrame, k: Int = 5,
+      minShared: Int = 3): DataFrame =
+    decontaminate(train, evalSet, k, minShared)
+      .groupBy("eval_id").agg(
+        count(lit(1)).as("n_train_docs_flagged"),
+        sum("n_shared").as("total_shared_shingles"))
+
+  /** Cross-source duplication matrix — the mirror-site detector: for every
+    * unordered source pair, how many distinct normalized fingerprints
+    * appear in BOTH sources. A pair sharing a large fraction of its
+    * fingerprints is the same site crawled twice under different names;
+    * the curation decision (drop one side wholesale) needs exactly this
+    * matrix.
+    *
+    * Skew shape, stated carefully: the join is per-fingerprint over the
+    * DISTINCT (fingerprint, source) projection, so a fingerprint
+    * duplicated 10⁵× within one source contributes ONE row per source and
+    * at most |sources|²/2 pairs — the blowup is bounded by the source
+    * count, never by the duplicate count (contrast a naive doc-level
+    * self-join, which is quadratic in copies). */
+  def dupSourceMatrix(documents: DataFrame): DataFrame = {
+    val fs = documents.select(fingerprintCol.as("fingerprint"), col("source")).distinct()
+    fs.as("a").join(fs.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_fingerprints"))
+  }
+
   /** Snapshot-to-snapshot corpus diff — the crawl-refresh audit: which
     * documents were added, removed, content-modified, or unchanged between
     * two corpus snapshots, rolled up per source. Identity is `doc_id`

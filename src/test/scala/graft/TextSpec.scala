@@ -995,6 +995,32 @@ class TextSpec extends SparkTestBase {
       .agg(countDistinct("calibrated").as("k")).where(col("k") > 1).count() == 0)
   }
 
+  test("dupSourceMatrix: copy-count-invariant, unordered pairs, mirror detected") {
+    import spark.implicits._
+    // doc "x" appears 1× in web but 1000× in news: the matrix must count
+    // ONE shared fingerprint, not 1000 pairs (the skew contract)
+    val hot = (1 to 1000).map(i => (i.toLong, "x y z", "news")) :+ ((2000L, "x y z", "web")) :+
+      ((3000L, "unique words here", "web"))
+    val m = Text.dupSourceMatrix(hot.toDF("doc_id", "text", "source")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == Map(("news", "web") -> 1L))
+    // declared query: every real source sharing bucket<20 docs pairs with
+    // "mirror", and n_shared is bounded by that source's bucket<20 docs
+    val q2 = q("dup_source_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(q2.nonEmpty && q2.keys.forall { case (a, b) => a < b })
+    assert(q2.keys.exists { case (a, b) => a == "mirror" || b == "mirror" })
+  }
+
+  test("decontaminateReport: rollup conserves the pair pass") {
+    val pairs = q("decontaminate").cache()
+    val rep = q("decontaminate_report").cache()
+    assert(rep.count() == pairs.select("eval_id").distinct().count())
+    assert(rep.agg(sum("n_train_docs_flagged")).head.getLong(0) == pairs.count())
+    assert(rep.agg(sum("total_shared_shingles")).head.getLong(0) ==
+      pairs.agg(sum("n_shared")).head.getLong(0))
+  }
+
   test("corpusDiff: the four states partition both snapshots; ws-only churn is not a modification") {
     import spark.implicits._
     val old = Seq(
