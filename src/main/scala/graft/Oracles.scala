@@ -2450,6 +2450,52 @@ af AS (
         FROM directed) t
       WHERE rk <= 5""",
 
+    // kNN label propagation: the lsh_topk chain as a CTE, then a majority
+    // vote per query with the (votes DESC, label ASC) deterministic
+    // tie-break — value-checks neighbors, votes, and tie handling
+    "knn_label" -> """
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      bitsv AS (SELECT coalesce(MIN(bb), 24) AS bits
+                FROM range(4, 25) rb(bb), nn WHERE (1::BIGINT << bb) * 64 >= n),
+      planes AS (
+        SELECT t, b, list(p ORDER BY d) AS plane
+        FROM (SELECT t.range AS t, b.range AS b, d.range AS d,
+                     ((('0x' || substr(md5('lsh:' || t.range || ':' || b.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(8) t, range(24) b, range(64) d, bitsv
+              WHERE b.range < bits) pp
+        GROUP BY 1, 2),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      buckets AS (
+        SELECT vec_id, t AS table_id,
+               CAST(SUM(CASE WHEN list_dot_product(v, plane) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+        FROM nrm, planes
+        GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      scored AS (SELECT cand.a, cand.b,
+                        floor(CAST(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+                 FROM cand
+                 JOIN nrm na ON na.vec_id = cand.a
+                 JOIN nrm nb ON nb.vec_id = cand.b),
+      directed AS (SELECT a AS query_id, b AS neighbor_id, cos_sim FROM scored
+                   UNION ALL SELECT b, a, cos_sim FROM scored),
+      topk AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+                 FROM directed) t
+               WHERE rk <= 5),
+      votes AS (SELECT topk.query_id, l.label AS n_label, CAST(COUNT(*) AS BIGINT) AS votes
+                FROM topk JOIN embeddings l ON l.vec_id = topk.neighbor_id
+                GROUP BY 1, 2),
+      pred AS (SELECT query_id, n_label, votes,
+                      row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, n_label) AS r
+               FROM votes)
+      SELECT p.query_id AS vec_id, emb.label AS label_true,
+             p.n_label AS label_pred, p.votes
+      FROM pred p JOIN embeddings emb ON emb.vec_id = p.query_id
+      WHERE p.r = 1""",
+
     // mirrorable quantized top-k: md5-plane candidates (as above) scored
     // through the int8 ADC tier — reconstruction collapses algebraically to
     // vmin + scale·floor((x−vmin)/scale + 0.5) (the tinyint round-trip is

@@ -472,6 +472,9 @@ object SparkEntry {
     // the scale default (index lifecycle, quantized tier)
     "similarity_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), mirrorableHash = true)),
+    // kNN majority-label propagation over the md5-mirror LSH tier
+    "knn_label" -> ((s, d) =>
+      Similarity.knnLabel(Tables.embeddings(s, d), mirrorableHash = true)),
     "embedding_near_dup_lsh" -> ((s, d) =>
       Similarity.embeddingNearDupLsh(Tables.embeddings(s, d), mirrorableHash = true)),
     "similarity_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),

@@ -678,6 +678,33 @@ object Similarity {
     * ([[bitsFor]]). Recall vs [[cosineTopK]] is asserted in ScalaTest.
     * No DuckDB oracle (xxhash64-derived hyperplanes are Spark-specific).
     */
+  /** kNN label propagation — the semi-supervised labeling pass a curation
+    * pipeline runs when a small labeled seed must annotate a large corpus
+    * (quality tiers, topic tags): each vector takes the majority label of
+    * its k nearest neighbors from [[lshTopK]]'s candidate machinery.
+    * Vote ties break deterministically (higher count, then smallest
+    * label). The vote window runs per query over ≤ |labels| rows —
+    * bounded state regardless of corpus size; the expensive part is the
+    * neighbor search, which is the LSH tier's already-audited shape.
+    * With `mirrorableHash` the whole pass — planes, buckets, candidates,
+    * q6 cosines, votes, tie-breaks — is DuckDB-value-checked
+    * (`knn_label`); xxhash64 fused bucketing stays the scale default. */
+  def knnLabel(embeddings: DataFrame, k: Int = 5,
+      mirrorableHash: Boolean = false): DataFrame = {
+    val nn = lshTopK(embeddings, k = k, mirrorableHash = mirrorableHash)
+    val labels = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"))
+    val votes = nn.join(labels, Seq("neighbor_id"))
+      .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("query_id").as("vec_id"), col("n_label").as("label_pred"),
+        col("votes"))
+      .join(embeddings.select(col("vec_id"), col("label").as("label_true")),
+        Seq("vec_id"))
+      .select("vec_id", "label_true", "label_pred", "votes")
+  }
+
   /** A built sign-LSH index: the corpus bucket table plus vectors-with-norms
     * and the (tables, bits, dim) bucketing parameters. The hyperplanes are
     * derived deterministically from (table, bit, dim) inside the codegen

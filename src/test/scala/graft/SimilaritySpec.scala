@@ -337,4 +337,25 @@ class SimilaritySpec extends SparkTestBase {
       assert(kept16(b) == expect, s"bucket $b kept set is not the smallest-key prefix")
     }
   }
+
+  test("knnLabel: planted cluster labels propagate; exactly one prediction per vector") {
+    import spark.implicits._
+    // two antipodal tight clusters with distinct labels + deterministic jitter
+    val vecs = (0 until 40).map { i =>
+      val c = i % 2
+      val v = (0 until 64).map { d =>
+        val base = if (c == 0) 1.0 else (if (d % 2 == 0) 1.0 else -1.0)
+        (base + 0.01 * ((i * 31 + d) % 7)).toFloat
+      }.toArray
+      (i.toLong, c, v)
+    }.toDF("vec_id", "label", "embedding")
+    val r = graft.ops.Similarity.knnLabel(vecs, k = 5).collect()
+    assert(r.length == 40)
+    assert(r.forall(x => x.getInt(1) == x.getInt(2)),
+      "in-cluster majority label must propagate")
+    // declared (mirror-plane) query: one prediction per vector, votes in [1, k]
+    val q2 = q("knn_label").cache()
+    assert(q2.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    assert(q2.filter(col("votes") < 1 || col("votes") > 5).count() == 0)
+  }
 }
