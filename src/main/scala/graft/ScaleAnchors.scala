@@ -223,6 +223,20 @@ object ScaleAnchors {
       t("heavy_hitters_approx")(ops.Text.heavyHittersApprox(d, phi = 500).count())
       t("length_filter")(ops.Text.lengthFilter(d).count())
       t("normalize_text")(ops.Text.normalizeText(d).count())
+      // snapshot diff: old = ids %3!=0 with planted edits, new = ids %5!=0;
+      // all four states populated at any scale, rows ∝ |sources| (bounded)
+      t("corpus_diff")(ops.Text.corpusDiff(
+        d.filter(col("doc_id") % 5 =!= 0),
+        d.filter(col("doc_id") % 3 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" edit"))).otherwise(col("text")))).count())
+      // mirror matrix: pair fanout bounded by |sources|² regardless of the
+      // planted near-dup mass
+      t("dup_source_matrix")(ops.Text.dupSourceMatrix(d.unionByName(
+        d.filter(col("doc_id") % 4 === 0)
+          .withColumn("source", lit("mirror")))).count())
+      t("score_calibrate")(ops.Text.scoreCalibrate(d).count())
+      t("knn_label")(ops.Similarity.knnLabel(e).count())
 
       println(out.map {
         case (k, v: String) => s""""$k":"$v""""
