@@ -315,4 +315,33 @@ class SkewSpec extends SparkTestBase {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("hot fingerprint: dupSourceMatrix pair fanout collapses before the join") {
+    val docs = skewDocs(spark).cache()
+    try {
+      // mirror the whole corpus under one extra source: the 100k-copy hot
+      // fingerprint now exists in BOTH 'hot' and 'mirror' — the distinct
+      // (fp, source) collapse must make it ONE pair row, and no task may
+      // read a copy-count-sized shuffle block
+      val mirrored = docs.unionByName(docs.withColumn("source", lit("mirror")))
+      var rows: Array[org.apache.spark.sql.Row] = null
+      val m = maxTaskShuffleRecords {
+        rows = Text.dupSourceMatrix(mirrored).collect()
+      }
+      val asMap = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // hot fingerprint: exactly one shared fp between hot and mirror
+      assert(asMap(("hot", "mirror")) == 1L)
+      // each cold source shares exactly its distinct-fingerprint count
+      // with the mirror (cold docs are unique, so that's its doc count)
+      val coldCounts = docs.filter(col("doc_id") >= HotN)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      for ((s, n) <- coldCounts)
+        assert(asMap((s"mirror", s)) == n, s"$s: ${asMap((s"mirror", s))} != $n")
+      // the shuffle never carries the 100k copies: the distinct collapses
+      // them map-side (fp rows ≈ unique fingerprints × sources, ≪ copies)
+      assert(m < HotN / 2,
+        s"dupSourceMatrix: a task read $m shuffle records — copies leaked through")
+    } finally docs.unpersist()
+  }
 }
