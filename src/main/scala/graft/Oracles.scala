@@ -2225,6 +2225,19 @@ af AS (
       GROUP BY 1, 2
       HAVING count(*) >= 3""",
 
+    // bloom tier is exact (zero false negatives + exact verify join), so
+    // its oracle IS decontaminate's
+    "decontaminate_bloom" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+      ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0)
+      SELECT tr.doc_id, ev.eval_id, count(*) AS n_shared
+      FROM tr JOIN ev USING (shingle)
+      GROUP BY 1, 2
+      HAVING count(*) >= 3""",
+
     // per-eval-doc leak rollup of the decontaminate pair pass
     "decontaminate_report" -> """
       WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),

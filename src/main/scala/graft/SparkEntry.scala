@@ -349,6 +349,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0), // train
         docs.filter(col("doc_id") % 20 === 0)) // held-out "benchmark"
     }),
+    // bloom-prefiltered membership tier: bit-identical output (exact join
+    // behind the probe), shares decontaminate's oracle
+    "decontaminate_bloom" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Text.decontaminateBloom(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+    }),
     // per-eval-doc leak rollup of the same pair pass
     "decontaminate_report" -> ((s, d) => {
       import org.apache.spark.sql.functions.col

@@ -386,14 +386,22 @@ object Similarity {
     * [[cellsFor]] — constant expected occupancy, the scale default. */
   def ivfBuild(embeddings: DataFrame, nCells: Int = 0,
       fitMaxRows: Long = 100000L): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = withNorms(embeddings)
-    val featured = e.withColumn("features", array_to_vector(col("v")))
     // one bounded aggregate job supplies n AND the empty-corpus guard (an
     // extra bare count() per build was the r4 nit); the sample fraction is
     // exact, keeping the train-on-sample/assign-all contract unbiased
     val (n, _) = corpusDims(embeddings)
+    ivfBuildNormed(withNorms(embeddings), n, nCells, fitMaxRows)
+  }
+
+  /** The build core over an already-normalized (vec_id, v, norm) frame —
+    * shared by [[ivfBuild]] (fresh corpus) and [[ivfMaintain]]'s rebuild
+    * path (the STORED vector layer: an index rebuild must not need the
+    * original source table). */
+  private def ivfBuildNormed(e: DataFrame, n: Long, nCells: Int,
+      fitMaxRows: Long): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = e.withColumn("features", array_to_vector(col("v")))
     val cells = if (nCells > 0) nCells else cellsFor(n, fitMaxRows)
     val frac = math.min(1.0, fitMaxRows.toDouble / math.max(1L, n))
     val fitOn = (if (frac >= 1.0) featured else featured.sample(frac, seed = 42))
@@ -408,7 +416,7 @@ object Similarity {
         .setFeaturesCol("features")
         .fit(fitOn)
     } finally fitOn.unpersist()
-    val spark = embeddings.sparkSession
+    val spark = e.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
@@ -416,6 +424,34 @@ object Similarity {
     val vectors = model.transform(featured)
       .select(col("vec_id"), col("v"), col("norm"), col("prediction").as("cell"))
     IvfIndex(centroids, vectors)
+  }
+
+  /** Append-with-rebuild-policy maintenance — the loop a standing ANN
+    * service actually runs: [[ivfAppend]] the batch, read the
+    * [[ivfStats]] audit, and when any cell's occupancy has drifted past
+    * `maxOccupancyRatio`× the mean (the appended distribution no longer
+    * matches the build-time centroids), REBUILD with the cell count
+    * re-derived from the grown corpus. The rebuild trains on the stored
+    * vector layer itself — the index is self-contained — through the same
+    * train-on-sample/assign-all contract, and the stored frame is pinned
+    * (`localCheckpoint`) BEFORE the overwrite so the rebuild never reads
+    * the directory it is replacing. Returns true when a rebuild fired.
+    * Maintenance is an offline pass: the layer overwrite is not
+    * reader-atomic (run it in the ingest window, not under live query
+    * load). */
+  def ivfMaintain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame, maxOccupancyRatio: Double = 4.0,
+      fitMaxRows: Long = 100000L): Boolean = {
+    ivfAppend(spark, dir, newVectors)
+    val worst = ivfStats(spark, dir)
+      .agg(max("occupancy_ratio")).head.getDouble(0)
+    if (worst <= maxOccupancyRatio) false
+    else {
+      val stored = ivfRead(spark, dir).vectors
+        .select("vec_id", "v", "norm").localCheckpoint(true)
+      ivfWrite(ivfBuildNormed(stored, stored.count(), nCells = 0, fitMaxRows), dir)
+      true
+    }
   }
 
   /** Query an IVF index: each query vector is scored only against the

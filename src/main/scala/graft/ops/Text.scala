@@ -1474,6 +1474,42 @@ object Text {
           .cast("int").as("admitted"))
   }
 
+  /** [[decontaminate]] with a bloom prefilter on the train-side postings —
+    * the shape for when the eval suite outgrows a broadcast. The plain
+    * form broadcasts the eval shingle index (fine for thousands of
+    * benchmark docs); once eval is tens of millions of shingles
+    * (benchmarks + paraphrase expansions + held-out corpora), the
+    * broadcast dies but the BLOOM of those shingles still fits anywhere:
+    * one combining `BloomFilterAggregate` over eval shingles, a
+    * scan-local `might_contain` probe over the (enormous) train posting
+    * stream, and only surviving candidates — true overlaps plus the fp
+    * fraction — reach the exact shingle join. Shared-xxhash64 build/probe
+    * ⇒ zero false negatives; the exact join behind the filter makes the
+    * output BIT-IDENTICAL to [[decontaminate]] (the declared query shares
+    * its oracle). The [[dedupIncrementalBloom]] pattern pointed across
+    * corpora. */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame, k: Int = 5,
+      minShared: Int = 3, bitsPerKey: Int = 10): DataFrame = {
+    import graft.functions.SketchAggs
+    val evalSh = shingles(evalSet, k)
+    val est = math.max(64L, evalSh.count())
+    val bloomOpt = Option(
+      evalSh.select(SketchAggs.bloomAgg(xxhash64(col("shingle")),
+        est, est * bitsPerKey).as("bf"))
+        .head.getAs[Array[Byte]]("bf"))
+    val trainSh = shingles(train, k)
+    val candidates = bloomOpt match {
+      case Some(bloom) =>
+        trainSh.where(SketchAggs.mightContain(bloom, xxhash64(col("shingle"))))
+      case None => trainSh.limit(0)
+    }
+    candidates
+      .join(evalSh.withColumnRenamed("doc_id", "eval_id"), Seq("shingle"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-eval-document rollup of [[decontaminate]]'s pair evidence — the
     * report a benchmark owner reads: for each held-out doc, how many train
     * documents it leaked into and the total shared-shingle volume. One

@@ -210,6 +210,39 @@ class AnnIndexSpec extends SparkTestBase {
     assert(st.getAs[Int]("bits_recommended") >= st.getAs[Int]("bits"))
   }
 
+  test("ivfMaintain: quiet appends keep the index; degenerate drift triggers a rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf4").toString
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    Similarity.ivfWrite(Similarity.ivfBuild(base, nCells = 16), dir)
+
+    // a distribution-matching batch appends without a rebuild
+    val quiet = emb.filter(col("vec_id") % 10 === 0)
+    assert(!Similarity.ivfMaintain(spark, dir, quiet, maxOccupancyRatio = 30.0))
+    val afterQuiet = Similarity.ivfRead(spark, dir)
+    assert(afterQuiet.vectors.count() == emb.count())
+    assert(afterQuiet.centroids.count() == 16, "quiet append must not refit")
+
+    // a degenerate batch (one semantic blob, ids disjoint from the corpus)
+    // piles into few cells: ratio blows past the bound -> rebuild fires,
+    // cells re-derive from the grown corpus and occupancy flattens
+    val blob = spark.range(3000).select(
+      (col("id") + 1000000L).as("vec_id"), lit(0).as("label"),
+      array((0 until 64).map(d =>
+        (lit(1.0f) + (pmod(col("id") + d, lit(13)).cast("float") / 1000.0f))): _*)
+        .as("embedding"))
+    assert(Similarity.ivfMaintain(spark, dir, blob, maxOccupancyRatio = 4.0))
+    val rebuilt = Similarity.ivfRead(spark, dir)
+    assert(rebuilt.vectors.count() == emb.count() + 3000)
+    assert(rebuilt.vectors.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    // the rebuild adapted: the blob now spreads over its own cells, so the
+    // worst ratio drops below the pre-rebuild level
+    val worst = Similarity.ivfStats(spark, dir)
+      .agg(max("occupancy_ratio")).head.getDouble(0)
+    info(s"post-rebuild worst occupancy ratio = $worst")
+    assert(worst < 10.0, s"rebuild did not flatten occupancy: $worst")
+  }
+
   test("pqAppend: standing-codebook encoding, both layers appended, twin retrievable") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq2").toString
     val base = emb.filter(col("vec_id") % 10 =!= 0)

@@ -1087,6 +1087,21 @@ class TextSpec extends SparkTestBase {
     assert(hh.values.forall(c => math.abs(c - 10000L) <= 1000L))
   }
 
+  test("decontaminateBloom ≡ decontaminate, even with a saturated bloom") {
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val ev = docs.filter(col("doc_id") % 20 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val exact = asSet(Text.decontaminate(train, ev))
+    assert(exact.nonEmpty)
+    assert(asSet(Text.decontaminateBloom(train, ev)) == exact)
+    // saturated bloom (1 bit/key): fp rate soars, output identical — the
+    // sizing trades candidate volume, never correctness
+    assert(asSet(Text.decontaminateBloom(train, ev, bitsPerKey = 1)) == exact)
+    // empty eval: nothing can be contaminated
+    assert(Text.decontaminateBloom(train, ev.limit(0)).count() == 0)
+  }
+
   test("dedupIncrementalBloom ≡ dedupIncremental, even with a saturated bloom") {
     import spark.implicits._
     val corpus = docs.filter(Text.inTrainSplit())
