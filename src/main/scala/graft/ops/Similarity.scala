@@ -755,13 +755,42 @@ object Similarity {
     * pass, bits sized for constant occupancy ([[bitsFor]]). */
   def lshBuild(embeddings: DataFrame, tables: Int = 8,
       targetOccupancy: Int = 64): LshIndex = {
-    val e = withNorms(embeddings)
     val (n, dim) = corpusDims(embeddings)
+    lshBuildNormed(withNorms(embeddings), n, dim, tables, targetOccupancy)
+  }
+
+  /** The build core over an already-normalized (vec_id, v, norm) frame —
+    * shared by [[lshBuild]] and [[lshMaintain]]'s rebuild path (the
+    * stored vector layer). */
+  private def lshBuildNormed(e: DataFrame, n: Long, dim: Int, tables: Int,
+      targetOccupancy: Int): LshIndex = {
     val bits = bitsFor(n, targetOccupancy)
     val buckets = e.select(col("vec_id"),
         posexplode(graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)))
       .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket"))
     LshIndex(buckets, e, tables, bits, dim)
+  }
+
+  /** Append-with-rebuild-policy maintenance for the LSH index — the
+    * [[ivfMaintain]] loop at the bucket layer: append with the standing
+    * bits, read the [[lshStats]] sizing audit, and when appends have
+    * grown the corpus past the next [[bitsFor]] power-of-two step (so
+    * per-bucket occupancy — and with it candidate volume per query — has
+    * doubled), rebuild at re-derived bits from the STORED vector layer.
+    * Returns true when a rebuild fired. Same offline-pass caveat as
+    * ivfMaintain: the layer overwrite is not reader-atomic. */
+  def lshMaintain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame, targetOccupancy: Int = 64): Boolean = {
+    lshAppend(spark, dir, newVectors)
+    val st = lshStats(spark, dir, targetOccupancy).head()
+    if (!st.getAs[Boolean]("rebuild_recommended")) false
+    else {
+      val old = lshRead(spark, dir)
+      val stored = old.vectors.localCheckpoint(true)
+      lshWrite(lshBuildNormed(stored, st.getAs[Long]("n_vectors"), old.dim,
+        old.tables, targetOccupancy), dir)
+      true
+    }
   }
 
   /** Query a sign-LSH index with an external (vec_id, embedding) batch:

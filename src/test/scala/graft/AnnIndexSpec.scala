@@ -243,6 +243,33 @@ class AnnIndexSpec extends SparkTestBase {
     assert(worst < 10.0, s"rebuild did not flatten occupancy: $worst")
   }
 
+  test("lshMaintain: below the bitsFor step no rebuild; past it bits re-derive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh3").toString
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    Similarity.lshWrite(Similarity.lshBuild(base), dir)
+    val bits0 = Similarity.lshRead(spark, dir).bits
+
+    // small batch: same bitsFor step, append only
+    val quiet = emb.filter(col("vec_id") % 10 === 0)
+    assert(!Similarity.lshMaintain(spark, dir, quiet))
+    assert(Similarity.lshRead(spark, dir).bits == bits0)
+
+    // grow the corpus ~17x with fresh hash-uniform vectors: bitsFor steps
+    // up, the rebuild fires, and the new bits cover the grown corpus
+    import spark.implicits._
+    val grown = spark.range(30000).select(
+      (col("id") + 2000000L).as("vec_id"), lit(0).as("label"),
+      array((0 until 64).map(d =>
+        (pmod(xxhash64(col("id"), lit(d)), lit(2001)).cast("float") / 1000.0f - 1.0f)): _*)
+        .as("embedding"))
+    assert(Similarity.lshMaintain(spark, dir, grown))
+    val after = Similarity.lshRead(spark, dir)
+    assert(after.bits > bits0, s"bits did not re-derive: ${after.bits} vs $bits0")
+    assert(after.vectors.count() == emb.count() + 30000)
+    assert(after.buckets.count() == after.vectors.count() * after.tables)
+    assert(!Similarity.lshStats(spark, dir).head().getAs[Boolean]("rebuild_recommended"))
+  }
+
   test("pqAppend: standing-codebook encoding, both layers appended, twin retrievable") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq2").toString
     val base = emb.filter(col("vec_id") % 10 =!= 0)
