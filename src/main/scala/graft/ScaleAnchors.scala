@@ -238,6 +238,26 @@ object ScaleAnchors {
       t("score_calibrate")(ops.Text.scoreCalibrate(d).count())
       t("knn_label")(ops.Similarity.knnLabel(e).count())
 
+      // events family: every op collapses to a bounded grid (days × types,
+      // cohort triangle, |steps| rows) after ONE combining pass over the
+      // stream — walls must stay ~flat as the event count scales
+      val ev = spark.range(nDocs * 4).select(
+        col("id").as("event_id"),
+        pmod(xxhash64(col("id"), lit("u")), lit(math.max(50L, nDocs / 10)))
+          .as("user_id"),
+        to_timestamp(from_unixtime(lit(1700000000L) +
+          pmod(xxhash64(col("id"), lit("t")), lit(86400L * 30)))).as("ts"),
+        element_at(typedLit(Seq("view", "click", "signup", "purchase")),
+          pmod(xxhash64(col("id"), lit("e")), lit(4)).cast("int") + 1)
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit("v")), lit(10000)).cast("double") / 100.0)
+          .as("value")).localCheckpoint(true)
+      t("event_trends")(ops.Analytics.eventTrends(ev).count())
+      t("cohort_retention")(ops.Analytics.cohortRetention(ev).count())
+      t("event_funnel")(ops.Analytics.eventFunnel(ev).count())
+      t("sessionize")(ops.Analytics.sessionize(ev)
+        .select("user_id", "session_id").distinct().count())
+
       println(out.map {
         case (k, v: String) => s""""$k":"$v""""
         case (k, v) => s""""$k":$v"""
