@@ -1823,6 +1823,82 @@ af AS (
                                substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
                         FROM samp) a) b) c) d""",
 
+    // curation_e2e with the calibrated-percentile gate: the score_calibrate
+    // chain computed ON the source-filtered population (order matters),
+    // keep calibrated > 0.25, then the shared sampler + pack tail
+    "curation_e2e_cal" -> """
+      WITH kept AS (
+        SELECT d.* FROM documents d
+        WHERE source IN (
+          SELECT source
+          FROM (SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+                       CAST(SUM(CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+                FROM (SELECT source, quality_score,
+                             CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint)
+                                  THEN 1 ELSE 0 END AS is_dup
+                      FROM (SELECT doc_id, source,
+                                   greatest(0.0, least(1.0,
+                                     0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                                       + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                                       - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score,
+                                   sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+                            FROM (SELECT doc_id, source, text,
+                                         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                                         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                                         CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
+                                  FROM documents) t) q) r
+                GROUP BY source) s
+          WHERE CAST(n_dup_docs AS DOUBLE) / n_docs <= 0.5
+            AND CAST(n_low_quality AS DOUBLE) / n_docs <= 0.05)),
+      kraw AS (SELECT doc_id, source,
+                      CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                      CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                      CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
+               FROM kept),
+      ks AS (SELECT doc_id, source,
+                    greatest(0.0, least(1.0,
+                      0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                          + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                          - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score
+             FROM kraw),
+      kb AS (SELECT doc_id, source,
+                    CAST(floor(quality_score * 100) AS BIGINT) AS score_bin
+             FROM ks),
+      kh AS (SELECT source, score_bin, CAST(COUNT(*) AS BIGINT) AS c
+             FROM kb GROUP BY 1, 2),
+      kcuts AS (SELECT source, score_bin,
+                       CAST(CAST(SUM(c) OVER (PARTITION BY source ORDER BY score_bin) AS BIGINT) AS DOUBLE)
+                         / CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS calibrated
+                FROM kh),
+      gated AS (SELECT k.* FROM kept k
+                JOIN kb ON k.doc_id = kb.doc_id
+                JOIN kcuts ON kb.source = kcuts.source AND kb.score_bin = kcuts.score_bin
+                WHERE kcuts.calibrated > 0.25),
+      samp AS (
+        SELECT * FROM gated
+        WHERE CONCAT('0', substring(md5(CAST(doc_id AS VARCHAR)), 3, 4)) <
+              CASE lang WHEN 'en' THEN '08000' WHEN 'zh' THEN '0c000' ELSE '10000' END)
+      SELECT doc_id, lang, split, bucket, n_tokens, offset_tokens,
+             CONCAT(bucket, '-', CAST(p AS VARCHAR)) AS pack_id,
+             GREATEST(offset_tokens, p * 2048) - offset_tokens AS slice_start,
+             LEAST(offset_tokens + n_tokens, (p + 1) * 2048)
+               - GREATEST(offset_tokens, p * 2048) AS slice_len
+      FROM (SELECT *,
+                   UNNEST(generate_series(offset_tokens // 2048,
+                     (offset_tokens + GREATEST(n_tokens, 1) - 1) // 2048)) AS p
+            FROM (SELECT doc_id, lang, split, bucket, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+            FROM (SELECT doc_id, lang, bucket,
+                         CASE WHEN bucket < 'cd' THEN 'train'
+                              WHEN bucket < 'e6' THEN 'val' ELSE 'test' END AS split,
+                         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+                  FROM (SELECT doc_id, lang, text,
+                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+                        FROM samp) a) b) c) d""",
+
     // curation_e2e with the CCNet LM layer: the lm_score model CTEs (train
     // split, same interpolation/q6 discipline) gate the kept docs on
     // avg_logp >= -3.43 AND unseen_frac <= 0.5 before sampling + packing

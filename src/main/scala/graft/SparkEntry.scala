@@ -336,6 +336,11 @@ object SparkEntry {
       lmModel(s, d),
       maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
       rates = Map("en" -> 0.5, "zh" -> 0.75))),
+    // the calibrated-percentile variant: drop each surviving source's
+    // bottom quartile of the heuristic score (population-dependent)
+    "curation_e2e_cal" -> ((s, d) => Text.curationE2eCal(Tables.documents(s, d),
+      minPercentile = 0.25, maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
+      rates = Map("en" -> 0.5, "zh" -> 0.75))),
     // the classifier-gated variant: same source/sampling thresholds with
     // the NB gate (mean_logodds >= 0) in the LM band's slot
     "curation_e2e_cls" -> ((s, d) => Text.curationE2eCls(Tables.documents(s, d),

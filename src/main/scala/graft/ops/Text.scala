@@ -1305,6 +1305,45 @@ object Text {
         rates, defaultRate).drop("sample_key"),
       budgetTokens, tok, bucketChars)
 
+  /** Calibrated-percentile quality gate — drop each source's bottom score
+    * bins up to (AT MOST) `minPercentile` of its mass: membership is
+    * bin-granular, so a tie bin is never split — the dropped prefix is
+    * the largest one whose cumulative share stays ≤ `minPercentile`
+    * (if the lowest bin alone exceeds it, nothing drops). Like
+    * [[perplexityFilter]]'s thirds (and unlike the corpus-independent
+    * [[lmGate]] band), the boundary DEPENDS on the gated population:
+    * compute it on whatever corpus reaches this stage. Full payload kept
+    * via one doc_id left-semi. */
+  def calibrateFilter(documents: DataFrame,
+      minPercentile: Double = 0.25): DataFrame =
+    documents.join(
+      scoreCalibrate(documents).where(col("calibrated") > minPercentile)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+  /** [[curationE2e]] with the CALIBRATED-score gate active: source filter
+    * → [[calibrateFilter]] (drop up to each surviving source's bottom
+    * quartile, tie-bin-granular)
+    * → mixture sampling → split+pack, as ONE declared plan. The fifth e2e
+    * twin: distinct from lm/cls (corpus-independent per-doc scores) and
+    * from ppl (rank thirds on a scored stream) — here the gate is a
+    * PERCENTILE of the heuristic score, so cross-source fairness is built
+    * in: every source loses the same fraction, however its raw score
+    * distribution sits. Boundaries computed on the source-filtered
+    * population (gate order matters; the oracle mirrors it). */
+  def curationE2eCal(documents: DataFrame, minPercentile: Double = 0.25,
+      maxDupFrac: Double = 0.5, maxLowQualityFrac: Double = 0.8,
+      rates: Map[String, Double] = Map("en" -> 0.5),
+      defaultRate: Double = 1.0, budgetTokens: Long = 2048L,
+      tok: Tok = WhitespaceTok, bucketChars: Int = 2): DataFrame =
+    packSequencesSplit(
+      sampleMixture(
+        calibrateFilter(
+          filterBySource(documents, maxDupFrac, maxLowQualityFrac),
+          minPercentile),
+        rates, defaultRate).drop("sample_key"),
+      budgetTokens, tok, bucketChars)
+
   /** Curation funnel: per-stage survivor counts (documents AND tokens)
     * through the [[curationE2eLm]] gate stack — raw → source filter → LM
     * perplexity gate → mixture sampling — the attrition dashboard every

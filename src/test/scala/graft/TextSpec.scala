@@ -978,6 +978,34 @@ class TextSpec extends SparkTestBase {
       .agg(sum("changed")).head.getLong(0) == 0L)
   }
 
+  test("curationE2eCal: the calibrated gate drops ≤ the bottom quartile, tie-bin granular") {
+    // the gated e2e's packed docs are a subset of the ungated e2e's
+    val calDocs = q("curation_e2e_cal").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val plainDocs = q("curation_e2e").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(calDocs.nonEmpty && calDocs.subsetOf(plainDocs))
+    assert(calDocs.size < plainDocs.size, "the gate must drop someone")
+    // fairness bound on the gate itself: per source, dropped mass ≤ 25%
+    // and dropped bins sit strictly below every kept bin
+    val filtered = Text.filterBySource(docs, 0.5, 0.05)
+    val cal = Text.scoreCalibrate(filtered).cache()
+    val gatedIds = Text.calibrateFilter(filtered, 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = cal.select("source", "doc_id", "score_bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((src, grp) <- rows.groupBy(_._1)) {
+      val dropped = grp.filterNot(t => gatedIds.contains(t._2))
+      assert(dropped.length <= grp.length / 4,
+        s"$src dropped ${dropped.length}/${grp.length} > quartile")
+      if (dropped.nonEmpty) {
+        val keptBins = grp.filter(t => gatedIds.contains(t._2)).map(_._3)
+        assert(dropped.map(_._3).max < keptBins.min,
+          s"$src: a dropped bin overlaps the kept range")
+      }
+    }
+  }
+
   test("scoreCalibrate: percentiles monotone per source, top bin at 1.0, ties share a value") {
     val cal = q("score_calibrate").cache()
     assert(cal.count() == docs.count(), "every doc calibrated exactly once")
