@@ -582,14 +582,16 @@ af AS (
     // day-over-day burst monitor: trailing 7-day window over the
     // (day, type) count grid; burst = integer cross-product gate
     "event_trends" -> """
-      WITH daily AS (SELECT date_trunc('day', ts) AS day, event_type,
+      WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                            CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS day_num,
+                            event_type,
                             CAST(COUNT(*) AS BIGINT) AS n_events
-                     FROM events GROUP BY 1, 2),
+                     FROM events GROUP BY 1, 2, 3),
       w AS (SELECT day, event_type, n_events,
-                   CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY day
-                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_sum,
-                   CAST(COUNT(n_events) OVER (PARTITION BY event_type ORDER BY day
-                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_n
+                   CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY day_num
+                     RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_sum,
+                   CAST(COUNT(n_events) OVER (PARTITION BY event_type ORDER BY day_num
+                     RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_n
             FROM daily)
       SELECT day, event_type, n_events,
              CASE WHEN prev_n > 0 THEN CAST(prev_sum AS DOUBLE) / prev_n END AS baseline_avg,

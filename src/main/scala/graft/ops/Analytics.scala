@@ -252,8 +252,14 @@ object Analytics {
     val daily = events.groupBy(
         date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val w = Window.partitionBy("event_type").orderBy("day")
-      .rowsBetween(-baselineDays, -1)
+      // RANGE frame over integer epoch days, not a ROWS frame over the
+      // grid: a sparse type's grid omits empty days, and "previous 7
+      // ROWS" would silently reach weeks into the past — the baseline
+      // must be the CALENDAR window, with absent days contributing
+      // nothing (prev_n counts only observed days)
+      .withColumn("day_num", unix_date(to_date(col("day"))))
+    val w = Window.partitionBy("event_type").orderBy("day_num")
+      .rangeBetween(-baselineDays, -1)
     daily
       .withColumn("prev_sum", sum("n_events").over(w))
       .withColumn("prev_n", count(col("n_events")).over(w))
@@ -263,6 +269,6 @@ object Analytics {
         (col("prev_n") > 0 &&
           col("n_events") * col("prev_n") > lit(burstRatio.toLong) * col("prev_sum"))
           .cast("int"))
-      .drop("prev_sum", "prev_n")
+      .drop("prev_sum", "prev_n", "day_num")
   }
 }

@@ -135,6 +135,19 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r.count(_.getInt(4) == 1) == 1)
     assert(r.last.getInt(4) == 1 && r.last.getLong(2) == 10L)
     assert(math.abs(r.last.getDouble(3) - 2.0) < 1e-12)
+    // sparse type: events on day 1 and day 20 only — the CALENDAR window
+    // [13,19] is empty, so day 20 has NO baseline and must not flag (a
+    // rows-based frame would wrongly reach back to day 1)
+    val sparse = Seq(
+      (1L, "2024-03-01 10:00:00", "rare"),
+      (2L, "2024-03-20 10:00:00", "rare"),
+      (3L, "2024-03-20 11:00:00", "rare"))
+      .toDF("user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val sr = Analytics.eventTrends(sparse).orderBy("day").collect()
+    assert(sr.length == 2)
+    assert(sr.last.isNullAt(3) && sr.last.getInt(4) == 0,
+      "stale days must not leak into the calendar baseline")
     // real table: flagged rows all satisfy the integer gate vs the
     // recomputed trailing window
     val real = q("event_trends").cache()
