@@ -1143,6 +1143,16 @@ af AS (
                   FROM documents GROUP BY 1, 2) h) cw
       GROUP BY source""",
 
+    // exact-n stratified sample: the perSource smallest md5(doc_id) keys
+    // within each source, deterministic tie-break on doc_id
+    "stratified_sample" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM (SELECT *,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents) t
+      WHERE rk <= 20""",
+
     // length winsorize: per-source [p5, p95] value-based cuts from the
     // length_percentiles histogram, full payload kept
     "length_filter" -> """

@@ -287,6 +287,9 @@ object SparkEntry {
     "length_percentiles" -> ((s, d) => Text.lengthPercentiles(Tables.documents(s, d))),
     // per-source length winsorize: population-dependent [p5, p95] cut
     "length_filter" -> ((s, d) => Text.lengthFilter(Tables.documents(s, d))),
+    // exact-n eval-set constructor: 20 smallest md5 keys per source
+    "stratified_sample" -> ((s, d) =>
+      Text.stratifiedSample(Tables.documents(s, d), perSource = 20)),
     // C4-style dirty-word gate at its defaults (integer cross-product compare)
     "blocklist_filter" -> ((s, d) => Text.blocklistFilter(Tables.documents(s, d))),
     // Gopher rule enforcement: keep only docs violating none of the rules

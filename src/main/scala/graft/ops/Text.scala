@@ -1305,6 +1305,26 @@ object Text {
         rates, defaultRate).drop("sample_key"),
       budgetTokens, tok, bucketChars)
 
+  /** Exact-count stratified sample — `perSource` docs from EVERY source,
+    * deterministically: the kept set is the `perSource` smallest
+    * md5(doc_id) keys within each source (the [[Similarity.bucketBalancedSample]]
+    * keep rule at the source grain). This is the eval-set constructor:
+    * unlike the rate-based [[sampleMixture]] (whose per-source count is
+    * binomial), a benchmark slice needs EXACTLY n per stratum, stable
+    * under corpus growth in the sense that a doc can only leave the
+    * sample when a smaller-keyed doc arrives in its source — never
+    * through reshuffling. Rank filter collapses to WindowGroupLimit
+    * (bounded per-task state on hot sources); full payload kept. */
+  def stratifiedSample(documents: DataFrame, perSource: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perSource)
+      .drop("rk")
+  }
+
   /** Calibrated-percentile quality gate — drop each source's bottom score
     * bins up to (AT MOST) `minPercentile` of its mass: membership is
     * bin-granular, so a tie bin is never split — the dropped prefix is

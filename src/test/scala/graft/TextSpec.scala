@@ -1075,6 +1075,22 @@ class TextSpec extends SparkTestBase {
     assert(q2.getLong(1) == docs.filter(b >= "08").count())
   }
 
+  test("stratifiedSample: exactly min(n, perSource) per source; growth-stable membership") {
+    val s20 = q("stratified_sample").cache()
+    val bySrc = s20.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == totals.keySet)
+    for ((src, n) <- totals) assert(bySrc(src) == math.min(n, 20L))
+    // growth-stability: the 10-sample is a strict subset of the 20-sample
+    // per source (smallest-key prefixes nest)
+    val ids20 = s20.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids10 = Text.stratifiedSample(docs, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids10.subsetOf(ids20) && ids10.size < ids20.size)
+  }
+
   test("lengthFilter: per-source tails trimmed within the percentile bounds") {
     val kept = q("length_filter").cache()
     val keptBy = kept.groupBy("source").agg(
