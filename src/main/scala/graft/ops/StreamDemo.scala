@@ -726,6 +726,78 @@ object StreamDemo {
         (col("n_occurrences").cast("double") / col("n_tokens")).as("share"))
   }
 
+  /** Streaming distinct-cardinality refresh — the third sketch lifecycle
+    * (after the top-k FrequentItems fold and the bloom membership index):
+    * per-event-type distinct users maintained incrementally as HLL
+    * sketches. Each micro-batch folds its own rows into per-type
+    * `hll_sketch_agg` states and `hll_union_agg` merges them with the
+    * cumulative store; carried state is |event_types| rows of ~KB sketch
+    * bytes, never a user set. The HLL register-max merge is idempotent
+    * and order-insensitive, so the union of per-batch sketches estimates
+    * EXACTLY what one batch sketch over everything ingested estimates
+    * (StreamDistinctSpec asserts equality, not closeness) — and replay
+    * folding a batch twice cannot inflate the count, unlike any exact
+    * counter fold. Store rules are still [[ClassifierStore]]'s
+    * (`< batchId` exclusion, newest-predecessor retention): idempotence
+    * makes replay harmless for the VALUE, the ordering rule keeps the
+    * layer lineage clean on a reused store. */
+  def streamDistinctRefresh(spark: SparkSession, eventsDir: String,
+      storeDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    Tables.initReadConfigs(spark) // BEFORE the footer read (nanos-ts conf)
+    val fileSchema = spark.read.parquet(eventsDir).schema
+    Tables.normalizeTs(
+      spark.readStream.schema(fileSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(eventsDir))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch.groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val updated = DistinctStore.stateView(spark, storeDir, batchId)
+          .unionByName(delta)
+          .groupBy("event_type")
+          .agg(expr("hll_union_agg(sk)").as("sk"))
+          .localCheckpoint(true)
+        updated.write.mode("overwrite")
+          .parquet(s"$storeDir/hll/batch_id=$batchId")
+        for ((_, p) <- DistinctStore.complete(spark, storeDir)
+            .filter(_._1 < batchId).sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1)
+            .drop(1))
+          ReportStore.fs(spark, p).delete(p, true)
+        ()
+      }
+      .start()
+  }
+
+  /** Per-type distinct-user estimates from the newest complete streamed
+    * sketch state. Empty or uncommitted store → empty frame. */
+  def readStreamDistinct(spark: SparkSession, storeDir: String): DataFrame =
+    DistinctStore.stateView(spark, storeDir, Long.MaxValue)
+      .select(col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("approx_distinct_users"))
+
+  /** Store plumbing for [[streamDistinctRefresh]] — the [[ClassifierStore]]
+    * rules applied to the per-type HLL layer. */
+  private[ops] object DistinctStore {
+    import org.apache.spark.sql.types._
+    val stateSchema: StructType = StructType(Seq(
+      StructField("event_type", StringType), StructField("sk", BinaryType)))
+    def complete(spark: SparkSession,
+        storeDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      ReportStore.completeIds(spark, storeDir, "hll", "batch_id=")
+    def stateView(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame =
+      complete(spark, storeDir)
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) =>
+          spark.read.schema(stateSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), stateSchema)
+      }
+  }
+
   /** Streaming LM refresh — [[streamClassifierRefresh]]'s lifecycle for
     * the bigram perplexity-gate model ([[Text.lmMerge]]'s batch merge as a
     * running fold): each micro-batch's uni/bigram count deltas

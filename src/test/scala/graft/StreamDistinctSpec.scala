@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
+
+import graft.ops.StreamDemo
+
+/** Streaming HLL cardinality refresh ([[StreamDemo.streamDistinctRefresh]]):
+  * the register-max merge is order-insensitive, so after any prefix of
+  * micro-batches the streamed estimate must EQUAL (not approximate) the
+  * single batch sketch over everything ingested — including across a
+  * checkpointed restart. */
+class StreamDistinctSpec extends SparkTestBase with TimeLimitedTests {
+  val timeLimit: Span = Span(240, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  test("streamed sketch estimate equals the batch sketch; restart-safe; sane vs exact") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("hll_src")
+    val store = java.nio.file.Files.createTempDirectory("hll_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("hll_ckpt")
+
+    val all = Tables.events(spark, SF)
+      .select("user_id", "ts", "event_type", "value").orderBy("ts", "user_id")
+    val rows = all.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"hll_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    def streamedEst = StreamDemo.readStreamDistinct(spark, store.toString)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def batchEst(slice: Array[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    stage(1, rows.slice(0, cut1))
+    stage(2, rows.slice(cut1, cut2))
+    val q1 = StreamDemo.streamDistinctRefresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(streamedEst == batchEst(rows.slice(0, cut2)),
+      "streamed HLL estimate drifted from the batch sketch mid-stream")
+
+    stage(3, rows.slice(cut2, rows.length))
+    val q2 = StreamDemo.streamDistinctRefresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    val fin = streamedEst
+    assert(fin == batchEst(rows), "streamed HLL estimate drifted after restart")
+
+    // estimates land within the HLL error envelope of exact truth
+    val exact = spark.createDataFrame(java.util.Arrays.asList(rows: _*), all.schema)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((t, n) <- exact)
+      assert(math.abs(fin(t) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"$t: estimate ${fin(t)} vs exact $n beyond 5%")
+
+    // retention: at most the newest predecessor + the latest survive
+    val parts = new java.io.File(s"$store/hll").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(parts.length <= 2, s"retention failed: ${parts.mkString(",")}")
+  }
+}
