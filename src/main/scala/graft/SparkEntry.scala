@@ -516,4 +516,27 @@ object SparkEntry {
     * (approx_distinct, minhash/simhash/LSH, multimodal stub) → driver
     * records a weaker rows-only check. */
   def oracleSql: Map[String, String] = Oracles.sql
+
+  /** The sanctioned rows-only queries: exactly the [[queries]] keys with NO
+    * [[oracleSql]] entry, each with the reason it cannot be SQL-mirrored
+    * and where its correctness laws live instead. PlansSpec's
+    * registry-completeness law asserts `queries.keySet -- oracleSql.keySet
+    * == sanctionedRowsOnly.keySet`, so a future query cannot silently ship
+    * unverified: a new key must either gain a DuckDB oracle or be
+    * explicitly sanctioned here with a reason. */
+  def sanctionedRowsOnly: Map[String, String] = Map(
+    "approx_distinct" ->
+      "HLL++ register estimate is engine-specific; exact-vs-approx <10% law + opt-in plan-rewrite law in PlansSpec",
+    "bpe_tokenize" ->
+      "greedy BPE merge-loop training has no SQL analog; reference-agreement/round-trip/monotonicity laws in BpeSpec",
+    "cell_balanced_sample" ->
+      "k-means cell ids are MLlib-specific; quota/containment/determinism laws in SimilaritySpec (md5-bucket twin bucket_balanced_sample is oracled)",
+    "multimodal_meta" ->
+      "opaque binary container parsing (DuckDB has no media parser); header round-trip + bit-flip fuzz laws in PropertiesSpec",
+    "semdedup" ->
+      "k-means cells are MLlib-specific; kept-independence/witness laws in SimilaritySpec (exact twin semdedup_exact is oracled)",
+    "similarity_ivf_topk" ->
+      "k-means coarse quantizer is MLlib-specific; recall-vs-bruteforce anchors in SimilaritySpec + ScaleAnchors",
+    "similarity_ivfpq_topk" ->
+      "k-means coarse + PQ sub-quantizers are engine-specific; code-shape laws + pinned recall anchors in SimilaritySpec")
 }

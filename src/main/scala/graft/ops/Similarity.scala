@@ -301,6 +301,35 @@ object Similarity {
     (r.getLong(0), r.getInt(1))
   }
 
+  /** (row count, max embedding dim) of an APPEND batch. Unlike
+    * [[corpusDims]], an empty batch is legal here — appends are a
+    * maintenance loop, and an upstream filter (or [[withNorms]] dropping
+    * an all-zero batch) legitimately produces nothing to add — so the
+    * empty case reports (0, 0) and the caller no-ops instead of failing
+    * a standing service. */
+  private def appendDims(batch: DataFrame): (Long, Int) = {
+    val r = batch.agg(count(lit(1)), max(size(col("embedding")))).head()
+    if (r.getLong(0) == 0L) (0L, 0) else (r.getLong(0), r.getInt(1))
+  }
+
+  /** Driver-side fit-sample BYTE budget: every sample row cap is derived
+    * from the embedding dim through [[fitRowsFor]] so the materialized
+    * sample is bounded in bytes, not rows — a row-only cap silently grows
+    * with dim (100k rows of dim-1024 doubles ≈ 820 MB collected boxed,
+    * the r9 advice finding). 64 MB of raw doubles keeps the full 100k-row
+    * sample at the test dim 64 (100k·64·8 = 51 MB, so all pinned recall
+    * anchors carry unchanged) and caps a dim-1024 fit at 8k rows — still
+    * ≥4 sample points per code at the standard 256-way PQ codebooks. */
+  private[graft] val fitMaxBytes: Long = 64L << 20
+
+  /** Effective fit-sample row cap for a given dim: the caller's
+    * `fitMaxRows` tightened to the [[fitMaxBytes]] budget. The 1024-row
+    * floor is a fit-quality bound (cellsFor's ≥8-points-per-centroid
+    * discipline needs it); it dominates only past dim ~8192, beyond any
+    * published embedding width. */
+  private[graft] def fitRowsFor(dim: Int, fitMaxRows: Long): Long =
+    math.min(fitMaxRows, math.max(1024L, fitMaxBytes / (8L * math.max(1, dim))))
+
   /** Bucket width: bits sized so expected bucket occupancy ≈
     * `targetOccupancy` — the log₂(n) scaling that keeps candidate volume
     * LINEAR in corpus size (occupancy constant ⇒ candidates ≈ n·occupancy
@@ -389,8 +418,8 @@ object Similarity {
     // one bounded aggregate job supplies n AND the empty-corpus guard (an
     // extra bare count() per build was the r4 nit); the sample fraction is
     // exact, keeping the train-on-sample/assign-all contract unbiased
-    val (n, _) = corpusDims(embeddings)
-    ivfBuildNormed(withNorms(embeddings), n, nCells, fitMaxRows)
+    val (n, dim) = corpusDims(embeddings)
+    ivfBuildNormed(withNorms(embeddings), n, nCells, fitRowsFor(dim, fitMaxRows))
   }
 
   /** The build core over an already-normalized (vec_id, v, norm) frame —
@@ -443,13 +472,19 @@ object Similarity {
       newVectors: DataFrame, maxOccupancyRatio: Double = 4.0,
       fitMaxRows: Long = 100000L): Boolean = {
     ivfAppend(spark, dir, newVectors)
-    val worst = ivfStats(spark, dir)
-      .agg(max("occupancy_ratio")).head.getDouble(0)
+    // max over an empty stats frame is SQL-null (a vectors layer can be
+    // empty when every build-time row was zero-norm-filtered); an empty
+    // index has no occupancy drift, so treat it as no-rebuild rather than
+    // NPE-ing a standing maintenance loop
+    val statsRow = ivfStats(spark, dir).agg(max("occupancy_ratio")).head
+    val worst = if (statsRow.isNullAt(0)) 0.0 else statsRow.getDouble(0)
     if (worst <= maxOccupancyRatio) false
     else {
       val stored = ivfRead(spark, dir).vectors
         .select("vec_id", "v", "norm").localCheckpoint(true)
-      ivfWrite(ivfBuildNormed(stored, stored.count(), nCells = 0, fitMaxRows), dir)
+      val dims = stored.agg(count(lit(1)), max(size(col("v")))).head()
+      ivfWrite(ivfBuildNormed(stored, dims.getLong(0), nCells = 0,
+        fitRowsFor(dims.getInt(1), fitMaxRows)), dir)
       true
     }
   }
@@ -537,10 +572,22 @@ object Similarity {
     * accumulated drift warrants a rebuild ([[ivfBuild]] + [[ivfWrite]]);
     * AnnIndexSpec pins the rebuild trigger arithmetic. */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
-      newVectors: DataFrame): Unit =
-    ivfAssign(spark.read.parquet(s"$dir/centroids"), newVectors)
+      newVectors: DataFrame): Unit = {
+    // dim verified against the standing centroid width BEFORE anything
+    // writes (the lshAppend/pqAppend contract): the codegen dot product
+    // folds over min(lengths), so a wrong-dim batch would otherwise be
+    // silently mis-assigned over a dimension PREFIX and appended as
+    // corrupt rows. An empty batch is a no-op, not an error.
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val dim = centroids.agg(max(size(col("centroid")))).head.getInt(0)
+    val (n, newDim) = appendDims(newVectors)
+    if (n == 0L) return
+    require(newDim == dim,
+      s"appended vectors have dim $newDim, index was built at dim $dim")
+    ivfAssign(centroids, newVectors)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/vectors")
+  }
 
   /** No-refit assignment of raw vectors to STANDING centroids — the shared
     * unit of [[ivfAppend]] and [[pqAppend]]: broadcast centroid table,
@@ -883,7 +930,8 @@ object Similarity {
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (tables, bits, dim) =
       (meta.getAs[Int]("tables"), meta.getAs[Int]("bits"), meta.getAs[Int]("dim"))
-    val (_, newDim) = corpusDims(newVectors)
+    val (n, newDim) = appendDims(newVectors)
+    if (n == 0L) return // empty append batch: no-op, not an error
     require(newDim == dim,
       s"appended vectors have dim $newDim, index was built at dim $dim")
     val e = withNorms(newVectors)
@@ -1193,7 +1241,11 @@ object Similarity {
     val (n, dim) = corpusDims(embeddings)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val frac = math.min(1.0, fitMaxRows.toDouble / math.max(1L, n))
+    // the one true driver collect in this file: byte-bounded via
+    // fitRowsFor, so a dim-1024 production corpus collects ≤ fitMaxBytes
+    // of doubles, not fitMaxRows of arbitrarily wide rows
+    val effRows = fitRowsFor(dim, fitMaxRows)
+    val frac = math.min(1.0, effRows.toDouble / math.max(1L, n))
     val sample = (if (frac >= 1.0) ivf.vectors else ivf.vectors.sample(frac, seed = 42))
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     val ks = math.max(2, math.min(codebookSize, sample.length / 4))
@@ -1246,7 +1298,8 @@ object Similarity {
       .agg(max(col("sub")).as("maxSub"), max(size(col("centroid"))).as("subDim"))
       .head()
     val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
-    val (_, dim) = corpusDims(newVectors)
+    val (n, dim) = appendDims(newVectors)
+    if (n == 0L) return // empty append batch: no-op, not an error
     require(dim == m * subDim,
       s"appended vectors have dim $dim, index encodes ${m * subDim} (m=$m × subDim=$subDim)")
     // one assignment pass feeds the vectors append, the codes append, and

@@ -98,9 +98,13 @@ object Text {
     * count strictly exceeds every non-qualifying one — the k=φ cut loses
     * nothing: output is BIT-IDENTICAL to [[heavyHitters]] (the declared
     * query shares its oracle). Past capacity the sketch degrades to the
-    * published ε = O(1/maxItemsTracked) error: every token with share
-    * > 1/φ is still returned while maxItemsTracked ≫ φ (no false
-    * negatives), only the reported counts become estimates. */
+    * published ε = O(1/maxItemsTracked) error, and because the φ-gate here
+    * compares ESTIMATED counts, a token whose true share sits within ε of
+    * 1/φ can undercount below the threshold once purges begin: the
+    * no-false-negative guarantee holds only for shares comfortably above
+    * 1/φ + ε (with maxItemsTracked ≫ φ the at-risk band is a ~φ/
+    * maxItemsTracked sliver of the share axis), and reported counts
+    * become estimates. */
   def heavyHittersApprox(documents: DataFrame, phi: Int = 30,
       maxItemsTracked: Int = 4096): DataFrame = {
     val sk = sourceTokenPostings(documents)
@@ -1508,8 +1512,14 @@ object Text {
   def dedupIncrementalBloom(batch: DataFrame, corpus: DataFrame,
       bitsPerKey: Int = 10): DataFrame = {
     import graft.functions.SketchAggs
+    // pinned so the bloom build and the exact verify join read ONE
+    // materialization of the corpus fingerprint set instead of recomputing
+    // the sha-256 lineage twice, and so `est` (now the EXACT distinct
+    // count — tighter bloom sizing than the old corpus-row upper bound)
+    // is a free read of the pinned frame, not a third corpus pass
     val seen = fingerprints(corpus).select("fingerprint").distinct()
-    val est = math.max(64L, corpus.count())
+      .localCheckpoint(true)
+    val est = math.max(64L, seen.count())
     val bloomOpt = Option(
       seen.select(SketchAggs.bloomAgg(xxhash64(col("fingerprint")),
         est, est * bitsPerKey).as("bf"))
@@ -1550,7 +1560,10 @@ object Text {
   def decontaminateBloom(train: DataFrame, evalSet: DataFrame, k: Int = 5,
       minShared: Int = 3, bitsPerKey: Int = 10): DataFrame = {
     import graft.functions.SketchAggs
-    val evalSh = shingles(evalSet, k)
+    // pinned for the same reason as dedupIncrementalBloom's `seen`: the
+    // bloom build, the sizing count, and the exact verify join all read
+    // one materialization of the eval shingle set
+    val evalSh = shingles(evalSet, k).localCheckpoint(true)
     val est = math.max(64L, evalSh.count())
     val bloomOpt = Option(
       evalSh.select(SketchAggs.bloomAgg(xxhash64(col("shingle")),

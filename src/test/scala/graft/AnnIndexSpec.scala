@@ -166,6 +166,20 @@ class AnnIndexSpec extends SparkTestBase {
     assert(st.forall(_.getAs[Long]("n_total") == before + batch.count()))
     val meanRatio = st.map(_.getAs[Double]("occupancy_ratio")).sum / st.length
     assert(math.abs(meanRatio - 1.0) < 1e-9)
+
+    // wrong-dim batches are refused BEFORE anything writes (the r9 advice
+    // finding: the dot product folds over min(lengths), so an unguarded
+    // wrong-dim batch would be silently prefix-assigned into the index)
+    val bad = batch.limit(5).select(col("vec_id"), col("label"),
+      slice(col("embedding"), 1, 8).as("embedding"))
+    intercept[IllegalArgumentException] { Similarity.ivfAppend(spark, dir, bad) }
+    assert(Similarity.ivfRead(spark, dir).vectors.count() == before + batch.count())
+
+    // an empty append batch is a no-op across all three index families,
+    // not a crash of the standing maintenance loop
+    val empty = emb.limit(0)
+    Similarity.ivfAppend(spark, dir, empty)
+    assert(Similarity.ivfRead(spark, dir).vectors.count() == before + batch.count())
   }
 
   test("lshAppend: standing-bits bucketing, append ≡ rebuild-at-same-bits, sizing audit") {
@@ -203,6 +217,11 @@ class AnnIndexSpec extends SparkTestBase {
     val bad = batch.limit(5).select(col("vec_id"), col("label"),
       slice(col("embedding"), 1, 8).as("embedding"))
     intercept[IllegalArgumentException] { Similarity.lshAppend(spark, dir, bad) }
+
+    // empty batch: no-op, not a crash
+    Similarity.lshAppend(spark, dir, emb.limit(0))
+    assert(Similarity.lshRead(spark, dir).buckets.count() ==
+      emb.count() * built.tables)
 
     // sizing audit: count conserved; recommendation consistent with bitsFor
     val st = Similarity.lshStats(spark, dir).head()
@@ -309,5 +328,9 @@ class AnnIndexSpec extends SparkTestBase {
     val bad = batch.limit(5).select(col("vec_id"), col("label"),
       slice(col("embedding"), 1, 8).as("embedding"))
     intercept[IllegalArgumentException] { Similarity.pqAppend(spark, dir, bad) }
+
+    // empty batch: no-op, not a crash
+    Similarity.pqAppend(spark, dir, emb.limit(0))
+    assert(Similarity.pqRead(spark, dir).codes.count() == emb.count())
   }
 }

@@ -156,6 +156,29 @@ class PlansSpec extends SparkTestBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("registry completeness: every declared query is oracled or sanctioned rows-only") {
+    val declared = SparkEntry.queries.keySet
+    val oracled = SparkEntry.oracleSql.keySet
+    val sanctioned = SparkEntry.sanctionedRowsOnly
+    // no stale entries: oracles and sanctions only for declared queries
+    assert((oracled -- declared).isEmpty,
+      s"oracle for undeclared queries: ${(oracled -- declared).toSeq.sorted}")
+    assert((sanctioned.keySet -- declared).isEmpty,
+      s"sanction for undeclared queries: ${(sanctioned.keySet -- declared).toSeq.sorted}")
+    // a query is verified exactly one way
+    assert((oracled & sanctioned.keySet).isEmpty,
+      s"both oracled and sanctioned: ${(oracled & sanctioned.keySet).toSeq.sorted}")
+    // THE law: the oracle-less remainder is exactly the sanctioned set —
+    // a new query key must gain a DuckDB oracle or an explicit sanction
+    // with a reason, never ship silently unverified
+    assert(declared -- oracled == sanctioned.keySet,
+      s"unsanctioned oracle-less queries: ${(declared -- oracled -- sanctioned.keySet).toSeq.sorted}; " +
+        s"sanctioned-but-now-oracled: ${(sanctioned.keySet -- (declared -- oracled)).toSeq.sorted}")
+    // every sanction names its correctness laws
+    assert(sanctioned.values.forall(r => r.nonEmpty && r.contains("Spec")),
+      "each sanction reason must cite the spec carrying its laws")
+  }
+
   test("count(distinct) rewrites to HLL++ only under the opt-in flag") {
     val exact = q("consistency_check").collect().head.getAs[Long]("unique_players")
     withExtendedSession { ext =>

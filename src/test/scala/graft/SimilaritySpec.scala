@@ -358,4 +358,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(q2.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
     assert(q2.filter(col("votes") < 1 || col("votes") > 5).count() == 0)
   }
+
+  test("fitRowsFor law: driver fit samples are byte-bounded at any dim") {
+    import graft.ops.Similarity.{fitMaxBytes, fitRowsFor}
+    // the test dim keeps the full documented 100k-row sample (anchors carry)
+    assert(fitRowsFor(64, 100000L) == 100000L)
+    // at production widths the cap derives from bytes, not rows: for every
+    // dim past the fit-quality floor, rows·dim·8 ≤ fitMaxBytes
+    for (dim <- Seq(128, 256, 512, 768, 1024, 1536, 4096, 8192)) {
+      val rows = fitRowsFor(dim, 100000L)
+      assert(rows * dim * 8L <= fitMaxBytes,
+        s"dim $dim: $rows rows = ${rows * dim * 8L} bytes > $fitMaxBytes")
+      assert(rows >= 1024L, s"dim $dim: sample too small to fit 256 codes")
+    }
+    // the caller's explicit row cap is never exceeded
+    assert(fitRowsFor(8, 500L) == 500L)
+  }
 }
