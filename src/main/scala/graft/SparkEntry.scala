@@ -89,11 +89,20 @@ object SparkEntry {
     inLmCache.getOrElseUpdate(d, Text.lmTrain(Tables.documents(s, d)
       .filter(org.apache.spark.sql.functions.col("source").isin(trustedSources: _*))))
 
+  // The order-3 LM (the CCNet-like gate at an order that can see word
+  // order): same train split and memoization discipline as the bigram
+  // lmModel above.
+  private val lmn3ModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Text.LmNModel]
+  private def lmn3Model(s: SparkSession, d: String): Text.LmNModel =
+    lmn3ModelCache.getOrElseUpdate(d,
+      Text.lmnTrain(Tables.documents(s, d).filter(Text.inTrainSplit()), order = 3))
+
   /** Drop memoized per-directory models (BPE merges, LM counts, classifier
     * weights, in-domain contrast LM). */
   def clearModelCaches(): Unit = {
     bpeMergesCache.clear(); lmModelCache.clear()
-    nbModelCache.clear(); inLmCache.clear()
+    nbModelCache.clear(); inLmCache.clear(); lmn3ModelCache.clear()
   }
 
   /** Build + materialize every shared pipeline stage. The bench calls this
@@ -258,6 +267,11 @@ object SparkEntry {
     // applied as a filter so no join is needed)
     "lm_score" -> ((s, d) =>
       Text.lmScoreWith(lmModel(s, d), Tables.documents(s, d))),
+    // the order-3 (trigram) generalization: recursive Jelinek-Mercer over
+    // the single (k, g, c) gram table — same train split, same q6/decimal
+    // score discipline, DuckDB-mirrored end to end
+    "lm_score_n3" -> ((s, d) =>
+      Text.lmnScoreWith(lmn3Model(s, d), Tables.documents(s, d))),
     // closed-form NB log-odds classifier seeded on the trusted sources:
     // the full weight table, the per-doc scores, and nothing hidden —
     // both DuckDB-mirrored (training is a deterministic aggregation)

@@ -7,16 +7,23 @@ import org.apache.spark.sql.functions._
   * BINARY columns + typed metadata, with decode/feature-extraction running as
   * a partition-local typed transformation.
   *
-  * The container ships no image/audio CODECS (no pixel/sample decode), but
-  * container HEADERS are public byte layouts that need no codec — so the
+  * Container HEADERS are public byte layouts that need no codec — so the
   * metadata decode here is REAL: [[Containers]] builds valid minimal
   * PNG/JPEG/WAV/AVI containers and [[Containers.parse]] extracts
   * width/height/frame-count/sample-rate from the actual bytes. A malformed
   * payload degrades to a quarantine `error` column instead of throwing.
-  * Only the pixel/sample transcode inside [[resizeMedia]] remains a
-  * sanctioned deterministic stub (marked `???`); the emitted container is
-  * still a valid header round-trip. No DuckDB oracle (binary payloads):
-  * rows-only check + ScalaTest header round-trips.
+  *
+  * PNG and WAV transcode is ALSO real: PNG pixel data is zlib
+  * (`java.util.zip.Inflater/Deflater` — in the JDK, no external codec) under
+  * the five spec scanline filters, and WAV data is raw PCM — so
+  * [[Containers.decodePngPixels]] / [[Containers.decodeWavSamples]] decode
+  * actual pixels/samples, [[resizeMedia]] box-resamples REAL pixels, and
+  * [[mediaNearDup]] / [[audioStats]] run on decoded content (aHash/dHash
+  * perceptual fingerprints; RMS/clipping/silence). Only JPEG entropy
+  * decode and AVI stream decode remain sanctioned stubs (genuine codecs
+  * the container doesn't ship — marked `???` below). No DuckDB oracle
+  * (binary payloads): rows-only checks + ScalaTest round-trip/filter/fuzz
+  * laws in PropertiesSpec.
   */
 object Multimodal {
 

@@ -876,6 +876,70 @@ object StreamDemo {
     }
   }
 
+  /** Streaming order-n LM refresh — [[streamLmRefresh]]'s lifecycle for
+    * the [[Text.LmNModel]] family. The order-n model keeps every gram
+    * order in ONE (k, g, c) table, so the store is a single cumulative
+    * layer (`storeDir/counts/batch_id=N`) folded with [[Text.lmnMerge]]'s
+    * union+sum — simpler plumbing than the bigram's two layers, same
+    * ClassifierStore replay rules (`< batchId` exclusion,
+    * newest-predecessor retention). Bit-parity with batch
+    * [[Text.lmnTrain]] over everything ingested, mid-stream and across
+    * checkpointed restart (StreamAndMiscSpec). */
+  def streamLmnRefresh(spark: SparkSession, docsDir: String,
+      storeDir: String, checkpointDir: String, order: Int = 3,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("source", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val merged = LmNStore.view(spark, storeDir, batchId)
+          .unionByName(Text.lmnCountDeltas(batch, order))
+          .groupBy("k", "g").agg(sum("c").as("c"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite")
+          .parquet(s"$storeDir/counts/batch_id=$batchId")
+        for ((_, p) <- ReportStore.completeIds(spark, storeDir, "counts", "batch_id=")
+               .filter(_._1 < batchId)
+               .sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1).drop(1))
+          ReportStore.fs(spark, p).delete(p, true)
+        ()
+      }
+      .start()
+  }
+
+  /** Materialize the newest committed streamed order-n LM — scoring-ready,
+    * bit-identical to batch [[Text.lmnTrain]] over everything ingested. */
+  def readLmNModel(spark: SparkSession, storeDir: String,
+      order: Int = 3): Text.LmNModel =
+    Text.lmnFromCounts(LmNStore.view(spark, storeDir, Long.MaxValue), order)
+
+  /** Store plumbing for [[streamLmnRefresh]] — the ClassifierStore rules
+    * on the single (k, g, c) cumulative layer. */
+  private[ops] object LmNStore {
+    import org.apache.spark.sql.types._
+    val countsSchema: StructType = StructType(Seq(
+      StructField("k", IntegerType), StructField("g", StringType),
+      StructField("c", LongType)))
+    /** Newest complete cumulative table strictly below `excludeBatch`;
+      * empty store → empty frame with the layer schema. */
+    def view(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame =
+      ReportStore.completeIds(spark, storeDir, "counts", "batch_id=")
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) =>
+          spark.read.schema(countsSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), countsSchema)
+      }
+  }
+
   /** Materialize the newest committed streamed model — scoring-ready,
     * bit-identical to batch training over everything ingested. */
   def readClassifierModel(spark: SparkSession, storeDir: String): Text.NbModel =

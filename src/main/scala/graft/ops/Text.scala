@@ -2080,6 +2080,154 @@ object Text {
         "avg_logp")
   }
 
+  // ---------------------------------------------------------------- LmN —
+  // the order-n generalization of the bigram LM above. CCNet's production
+  // gate is a 5-gram KenLM (Wenzek et al. 2020 §4.3); a bigram
+  // under-discriminates fluency because it cannot see word order beyond
+  // adjacent pairs. The order-n model recovers that discrimination with
+  // the SAME exact-relational discipline: count tables are k-gram
+  // aggregations (k = 1..order) over the reference, scoring is recursive
+  // Jelinek-Mercer interpolation
+  //
+  //   p₁(w)        = (c(w)+1) / (N+V)                      (add-one unigram)
+  //   pₖ(w | ctx)  = λ·[c(ctx·w)/c(ctx) if c(ctx)>0 else 0] + (1−λ)·pₖ₋₁
+  //
+  // which at order = 2 reduces EXACTLY to [[lmScoreWith]]'s formula
+  // (TextSpec asserts bit-parity). ln p is q6-quantized per position and
+  // decimal-summed, so scores stay reduction-order independent and
+  // DuckDB-mirrorable (the lm_score_n3 declared query).
+
+  /** A trained order-n interpolated LM. ONE count table holds every order:
+    * (k, g, c) where `g` is the space-joined k-gram (tokens are \s+-split,
+    * so the join is injective) — one frame to checkpoint, merge, and
+    * stream-refresh, however many orders the model carries. */
+  case class LmNModel(order: Int, counts: DataFrame, vocabBroadcastable: Boolean)
+
+  /** The space-joined k-gram ending at 1-based token index `i` of column
+    * `toks` (callers guarantee i ≥ k, so every element_at index ≥ 1). */
+  private def gramEndingAt(toks: Column, i: Column, k: Int): Column =
+    concat_ws(" ", ((k - 1) to 0 by -1).map(j => element_at(toks, i - j)): _*)
+
+  /** The LmN aggregation unit — per-corpus (or per-micro-batch) k-gram
+    * counts for all orders 1..order in ONE Generate pass and ONE combining
+    * groupBy (contrast k separate corpus scans): each token position emits
+    * the grams that END there (lengths 1..min(i, order)), so the k-gram
+    * table matches what k independent [[lmCountDeltas]]-style passes would
+    * count. Shared by [[lmnTrain]] and the streaming refresh
+    * ([[graft.ops.StreamDemo]] `streamLmnRefresh`) so batch and streamed
+    * models can never drift on what they count. */
+  private[ops] def lmnCountDeltas(documents: DataFrame, order: Int): DataFrame = {
+    require(order >= 2, s"LM order must be ≥ 2, got $order")
+    documents.select(tokens(col("text")).as("toks"))
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("toks"))),
+        i => filter(
+          array((1 to order).map(k =>
+            when(i >= k, struct(lit(k).as("k"),
+              gramEndingAt(col("toks"), i, k).as("g")))): _*),
+          x => x.isNotNull)))).as("kg"))
+      .groupBy(col("kg.k").as("k"), col("kg.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Train the order-n LM — the [[lmTrain]] contract at any order: one
+    * count pass, hapax pruning via `minCount` (pruned types score through
+    * the backoff path), vocabulary-sized checkpoint. */
+  def lmnTrain(reference: DataFrame, order: Int = 3,
+      minCount: Long = 1L): LmNModel =
+    lmnFromCounts(lmnCountDeltas(reference, order)
+      .filter(col("c") >= minCount), order)
+
+  /** Assemble a scoring-ready [[LmNModel]] from an already-aggregated
+    * (k, g, c) table — the streaming-refresh / external-persistence entry
+    * point, mirroring [[lmFromCounts]]: checkpoint to the model-sized
+    * leaf, re-measure the broadcast decision from the ACTUAL table size
+    * (total rows across all orders, so every per-order view the scorer
+    * broadcasts is individually under the bound). */
+  def lmnFromCounts(counts: DataFrame, order: Int): LmNModel = {
+    val c = counts.localCheckpoint(true)
+    LmNModel(order, c, c.count() <= 5000000L)
+  }
+
+  /** Incremental order-n refresh — [[lmMerge]]'s lifecycle on the single
+    * (k, g, c) table: exact long sums, so for unpruned models
+    * `lmnMerge(train(A), train(B)) ≡ train(A ∪ B)` BIT-EXACTLY (counts
+    * and downstream scores; asserted in TextSpec). */
+  def lmnMerge(a: LmNModel, b: LmNModel): LmNModel = {
+    require(a.order == b.order,
+      s"cannot merge LMs of different orders: ${a.order} vs ${b.order}")
+    lmnFromCounts(a.counts.unionByName(b.counts)
+      .groupBy("k", "g").agg(sum("c").as("c")), a.order)
+  }
+
+  /** Per-position lookup frame for order-n scoring: each scored position
+    * (current token at index i, i = order..len — docs shorter than `order`
+    * tokens have no full-context position and are excluded, the
+    * [[lmScoreWith]] len≥2 discipline at len≥order) carries the grams
+    * ending at i (g1..gN — numerators) and at i−1 (x1..x(N−1) — the MLE
+    * denominators/contexts). One Generate pass, 2·order−1 string columns
+    * per position. */
+  private def lmnPositions(target: DataFrame, order: Int): DataFrame = {
+    val slots = (1 to order).map(k => (s"g$k", 0, k)) ++
+      (1 until order).map(k => (s"x$k", 1, k))
+    target.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= order)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(order), size(col("toks"))),
+        i => struct(slots.map { case (name, back, k) =>
+          gramEndingAt(col("toks"), i - back, k).as(name)
+        }: _*))).as("p"))
+      .select(col("doc_id") +: slots.map { case (name, _, _) =>
+        col(s"p.$name").as(name) }: _*)
+  }
+
+  /** Score `target` against a trained [[LmNModel]] — recursive
+    * Jelinek-Mercer over 2·order−1 left joins against the per-order count
+    * views (all broadcast when the model fits, exactly the bigram
+    * scorer's measured decision; past ~5M total gram types they fall back
+    * to Spark's natural gram-keyed shuffle joins). Emits the
+    * [[lmScoreWith]] shape: per-doc full-order-gram count, unseen count /
+    * fraction (c(g_order)=0 — the out-of-domain signal), and the q6
+    * decimal mean ln p. */
+  def lmnScoreWith(model: LmNModel, target: DataFrame,
+      lam: Double = 0.5): DataFrame = {
+    val n = model.order
+    def hint(df: DataFrame): DataFrame =
+      if (model.vocabBroadcastable) broadcast(df) else df
+    def view(k: Int, key: String, cName: String): DataFrame =
+      model.counts.filter(col("k") === k)
+        .select(col("g").as(key), col("c").as(cName))
+    val totals = model.counts.filter(col("k") === 1)
+      .agg(sum("c").as("lm_n"), count(lit(1)).as("lm_v"))
+    var df = lmnPositions(target, n)
+    for (k <- 1 to n)
+      df = df.join(hint(view(k, s"g$k", s"cg$k")), Seq(s"g$k"), "left")
+    for (k <- 1 until n)
+      df = df.join(hint(view(k, s"x$k", s"cx$k")), Seq(s"x$k"), "left")
+    df = df.crossJoin(broadcast(totals))
+    // the recursion unrolled lowest-order first: EXACTLY the bigram
+    // formula at n=2, one more interpolation level per order above it —
+    // double arithmetic in fixed fold order, so the oracle mirrors it
+    // term for term
+    var p: Column = (coalesce(col("cg1"), lit(0L)) + lit(1L)).cast("double") /
+      (col("lm_n") + col("lm_v"))
+    for (k <- 2 to n)
+      p = lit(lam) * when(coalesce(col(s"cx${k - 1}"), lit(0L)) > 0,
+            coalesce(col(s"cg$k"), lit(0L)).cast("double") / col(s"cx${k - 1}"))
+          .otherwise(lit(0.0)) +
+        lit(1.0 - lam) * p
+    df.withColumn("logp", log(p))
+      .withColumn("unseen", (coalesce(col(s"cg$n"), lit(0L)) === 0L).cast("long"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_ngrams"),
+        sum("unseen").as("n_unseen_ngrams"),
+        graft.functions.Exact.r6avg(col("logp")).as("avg_logp"))
+      .withColumn("unseen_frac",
+        col("n_unseen_ngrams").cast("double") / col("n_ngrams"))
+      .select("doc_id", "n_ngrams", "n_unseen_ngrams", "unseen_frac",
+        "avg_logp")
+  }
+
   /** CCNet-style perplexity bucketing: within each source, split documents
     * into `head` / `middle` / `tail` thirds by fluency under a trained LM
     * (Wenzek et al. 2020 §4.3 — CCNet keeps head+middle and drops or

@@ -114,6 +114,7 @@ class PlansSpec extends SparkTestBase {
       "similarity_ivf_topk",     // nCells-row centroid broadcast (probe scoring)
       "similarity_ivfpq_topk",   // same centroid broadcast via the IVF probe tier
       "lm_score",                // 1-row N/V totals broadcast
+      "lm_score_n3",             // same 1-row totals broadcast at order 3
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate
       "perplexity_buckets",      // same 1-row totals broadcast via lmScoreWith
       "perplexity_filter",       // same, via the bucket gate

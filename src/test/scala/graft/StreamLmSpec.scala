@@ -75,4 +75,58 @@ class StreamLmSpec extends SparkTestBase with TimeLimitedTests {
       assert(parts.length <= 2, s"$layer retention failed: ${parts.mkString(",")}")
     }
   }
+
+  test("streamed order-3 LM equals batch lmnTrain over everything ingested; restart-safe") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("lmn_src")
+    val store = java.nio.file.Files.createTempDirectory("lmn_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("lmn_ckpt")
+
+    val all = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text", "source").orderBy("doc_id").limit(200)
+    val rows = all.collect()
+    val cut = rows.length / 2
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"lmn_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    def countMap(m: Text.LmNModel) = m.counts.collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    def batchTwin(slice: Array[org.apache.spark.sql.Row]): Text.LmNModel =
+      Text.lmnTrain(spark.createDataFrame(
+        java.util.Arrays.asList(slice: _*), all.schema), order = 3)
+
+    // run 1: first half as one micro-batch
+    stage(1, rows.slice(0, cut))
+    val q1 = StreamDemo.streamLmnRefresh(
+      s2, src.toString, store.toString, ckpt.toString, order = 3)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(countMap(StreamDemo.readLmNModel(spark, store.toString)) ==
+      countMap(batchTwin(rows.slice(0, cut))),
+      "streamed order-3 LM drifted from the batch twin mid-stream")
+
+    // checkpointed restart with the second half: resumes, does not re-count
+    stage(2, rows.slice(cut, rows.length))
+    val q2 = StreamDemo.streamLmnRefresh(
+      s2, src.toString, store.toString, ckpt.toString, order = 3)
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = StreamDemo.readLmNModel(spark, store.toString)
+    val twin = batchTwin(rows)
+    assert(countMap(streamed) == countMap(twin),
+      "streamed order-3 LM drifted from the batch twin after restart")
+
+    // ...and it scores identically to the batch-trained model
+    val target = Tables.documents(spark, SF).limit(50)
+    def scores(m: Text.LmNModel) = Text.lmnScoreWith(m, target).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(scores(streamed) == scores(twin))
+
+    // retention: at most the newest predecessor + the latest
+    val parts = new java.io.File(s"$store/counts").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(parts.length <= 2, s"retention failed: ${parts.mkString(",")}")
+  }
 }

@@ -1315,6 +1315,56 @@ class TextSpec extends SparkTestBase {
     assert(sm.sameElements(sj))
   }
 
+  test("LmN at order 2 reproduces the bigram scorer bit-exactly") {
+    // the generalization law: recursive Jelinek-Mercer at order 2 IS the
+    // bigram formula, so the whole oracled bigram surface pins the shared
+    // machinery (column names differ by design: n_ngrams vs n_bigrams)
+    val ref = docs.filter(Text.inTrainSplit())
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    val got = Text.lmnScoreWith(Text.lmnTrain(ref, order = 2), docs)
+      .collect().map(tup).sortBy(_._1)
+    val want = Text.lmScoreWith(Text.lmTrain(ref), docs)
+      .collect().map(tup).sortBy(_._1)
+    assert(got.sameElements(want))
+  }
+
+  test("lmnMerge: merged gram table equals joint training bit-exactly; scores agree") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = Text.lmnMerge(Text.lmnTrain(a, order = 3), Text.lmnTrain(b, order = 3))
+    val joint = Text.lmnTrain(docs, order = 3)
+    assert(merged.counts.exceptAll(joint.counts).count() == 0
+      && joint.counts.exceptAll(merged.counts).count() == 0)
+    def scores(m: Text.LmNModel) = Text.lmnScoreWith(m, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(scores(merged).sameElements(scores(joint)))
+  }
+
+  test("order-3 LM sees word order the bigram cannot") {
+    import spark.implicits._
+    // reference trigrams: 'a b c' and 'x b y'. The probe 'a b y' is built
+    // ENTIRELY of seen bigrams (a b, b y) — a bigram model calls it
+    // in-domain — but its trigram 'a b y' never occurred: only an order-3
+    // context catches the recombination
+    val ref = ((1 to 10).map(i => (i.toLong, "a b c")) ++
+      (11 to 20).map(i => (i.toLong, "x b y"))).toDF("doc_id", "text")
+    val m3 = Text.lmnTrain(ref, order = 3)
+    val m2 = Text.lmTrain(ref)
+    val probes = Seq((100L, "a b c"), (101L, "a b y")).toDF("doc_id", "text")
+    val tri = Text.lmnScoreWith(m3, probes).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    val bi = Text.lmScoreWith(m2, probes).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    // bigram: both probes fully seen, identical bigram-level fluency
+    assert(bi(100L)._1 == 0.0 && bi(101L)._1 == 0.0)
+    // trigram: the recombined probe is 100% unseen at order 3 and scores
+    // strictly less fluent than the verbatim one
+    assert(tri(100L)._1 == 0.0 && tri(101L)._1 == 1.0)
+    assert(tri(101L)._2 < tri(100L)._2)
+  }
+
   test("perplexityFilter keeps exactly the head+middle bucket population") {
     val buckets = q("perplexity_buckets")
     val wantIds = buckets.filter(col("ppl_bucket").isin("head", "middle"))
