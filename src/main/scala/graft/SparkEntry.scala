@@ -520,9 +520,20 @@ object SparkEntry {
       Similarity.bucketBalancedSample(Tables.embeddings(s, d), mirrorableHash = true)),
     "cell_balanced_sample" -> ((s, d) =>
       Similarity.cellBalancedSample(Similarity.ivfBuild(Tables.embeddings(s, d)))),
+    // 1-row pair-volume audit of the semdedup cell geometry — the runtime
+    // telemetry that makes a drifting corpus visible BEFORE it is slow
+    "semdedup_stats" -> ((s, d) =>
+      Similarity.semDeDupStats(Similarity.ivfBuild(Tables.embeddings(s, d)).vectors)),
 
-    // ---- multimodal (north star; stub decode, real plumbing)
-    "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documents(s, d)))
+    // ---- multimodal (north star; REAL PNG/WAV content decode, JPEG/AVI
+    // header-only — their entropy/stream codecs are the sanctioned stub)
+    "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documents(s, d))),
+    // perceptual near-dup pairs over DECODED content: dHash on real PNG
+    // pixels, envelope hash on real PCM; banded hamming join
+    "media_phash_dedup" -> ((s, d) =>
+      Multimodal.mediaNearDup(s, Tables.documents(s, d))),
+    // real-sample audio quality report: RMS / peak / clipping / silence
+    "audio_stats" -> ((s, d) => Multimodal.audioStats(s, Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -547,8 +558,14 @@ object SparkEntry {
       "k-means cell ids are MLlib-specific; quota/containment/determinism laws in SimilaritySpec (md5-bucket twin bucket_balanced_sample is oracled)",
     "multimodal_meta" ->
       "opaque binary container parsing (DuckDB has no media parser); header round-trip + bit-flip fuzz laws in PropertiesSpec",
+    "media_phash_dedup" ->
+      "binary payload decode (zlib pixels / PCM) has no SQL analog; planted-pair recall + rejection + round-trip laws in PropertiesSpec",
+    "audio_stats" ->
+      "binary PCM decode has no SQL analog; hand-computed RMS/clip/silence laws in PropertiesSpec",
     "semdedup" ->
       "k-means cells are MLlib-specific; kept-independence/witness laws in SimilaritySpec (exact twin semdedup_exact is oracled)",
+    "semdedup_stats" ->
+      "k-means cells are MLlib-specific; pair-count identities vs a direct occupancy pass in SimilaritySpec",
     "similarity_ivf_topk" ->
       "k-means coarse quantizer is MLlib-specific; recall-vs-bruteforce anchors in SimilaritySpec + ScaleAnchors",
     "similarity_ivfpq_topk" ->

@@ -70,6 +70,165 @@ object Multimodal {
       PngSig ++ ihdr ++ iend
     }
 
+    /** PNG WITH real pixel data: 8-bit truecolor, scanlines filtered with
+      * filter 0 (None), zlib-deflated into one IDAT — a fully
+      * standards-conformant image any PNG decoder opens. `rgb` is
+      * row-major RGB, 3 bytes per pixel. */
+    def pngRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3,
+        s"rgb length ${rgb.length} != $width x $height x 3")
+      val stride = width * 3
+      val raw = new Array[Byte](height * (stride + 1))
+      var y = 0
+      while (y < height) {
+        // raw(y*(stride+1)) = 0: filter None — already zero-initialized
+        System.arraycopy(rgb, y * stride, raw, y * (stride + 1) + 1, stride)
+        y += 1
+      }
+      pngFromRaw(width, height, raw)
+    }
+
+    /** Wrap an already-FILTERED scanline stream (one filter byte + stride
+      * bytes per row) into a valid deflated-IDAT PNG — the shared tail of
+      * [[pngRgb]] (which always filters with 0/None) and the spec harness
+      * that exercises [[decodePngPixels]] against every filter type. */
+    private[graft] def pngFromRaw(width: Int, height: Int,
+        raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      val idatData = out.toByteArray
+      val ihdrData = be32(width) ++ be32(height) ++ Array[Byte](8, 2, 0, 0, 0)
+      val ihdr = be32(13) ++ fourcc("IHDR") ++ ihdrData ++ crc32(fourcc("IHDR"), ihdrData)
+      val idat = be32(idatData.length) ++ fourcc("IDAT") ++ idatData ++
+        crc32(fourcc("IDAT"), idatData)
+      val iend = be32(0) ++ fourcc("IEND") ++ crc32(fourcc("IEND"))
+      PngSig ++ ihdr ++ idat ++ iend
+    }
+
+    /** REAL pixel decode for 8-bit truecolor PNG: CRC-checked chunk walk,
+      * `Inflater` over the concatenated IDATs, then scanline UNFILTERING
+      * for all five spec filter types (None/Sub/Up/Average/Paeth). Returns
+      * (width, height, row-major RGB). Never throws; anything the decoder
+      * can't prove well-formed (wrong color type, bad CRC, short pixel
+      * stream, unknown filter) is a Left — the quarantine discipline. */
+    def decodePngPixels(bytes: Array[Byte]): Either[String, (Int, Int, Array[Byte])] =
+      try {
+        if (bytes.length < 33 || !bytes.take(8).sameElements(PngSig))
+          return Left("not_png")
+        parsePng(bytes) match {
+          case Left(e) => return Left(e)
+          case Right(_) =>
+        }
+        val (w, h) = (rbe32(bytes, 16), rbe32(bytes, 20))
+        if (bytes(24) != 8 || bytes(25) != 2)
+          return Left("png_unsupported_format") // only 8-bit truecolor
+        // chunk walk from the first post-IHDR chunk; CRC-check each IDAT
+        val idat = new java.io.ByteArrayOutputStream()
+        var o = 33
+        var ended = false
+        while (!ended && o + 8 <= bytes.length) {
+          val len = rbe32(bytes, o)
+          if (len < 0 || o + 12 + len > bytes.length) return Left("png_truncated_chunk")
+          val ctype = cc(bytes, o + 4)
+          if (ctype == "IDAT") {
+            val c = new java.util.zip.CRC32
+            c.update(bytes, o + 4, 4 + len)
+            if (c.getValue.toInt != rbe32(bytes, o + 8 + len)) return Left("png_bad_crc")
+            idat.write(bytes, o + 8, len)
+          } else if (ctype == "IEND") ended = true
+          o += 12 + len
+        }
+        if (idat.size() == 0) return Left("png_no_idat")
+        val stride = w * 3
+        val expect = h.toLong * (stride + 1)
+        if (expect > Int.MaxValue) return Left("png_too_large")
+        val raw = new Array[Byte](expect.toInt)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        var got = 0
+        try {
+          var n = -1
+          while (got < raw.length && !inf.finished() && n != 0) {
+            n = inf.inflate(raw, got, raw.length - got)
+            got += n
+          }
+        } catch {
+          case _: java.util.zip.DataFormatException => return Left("png_bad_deflate")
+        } finally inf.end()
+        if (got != raw.length) return Left("png_bad_pixel_size")
+        // unfilter in place into the output buffer
+        val rgb = new Array[Byte](h * stride)
+        val bpp = 3
+        var y = 0
+        while (y < h) {
+          val f = raw(y * (stride + 1)) & 0xff
+          if (f > 4) return Left("png_bad_filter")
+          val src = y * (stride + 1) + 1
+          val dst = y * stride
+          var x = 0
+          while (x < stride) {
+            val cur = raw(src + x) & 0xff
+            val left = if (x >= bpp) rgb(dst + x - bpp) & 0xff else 0
+            val up = if (y > 0) rgb(dst - stride + x) & 0xff else 0
+            val ul = if (y > 0 && x >= bpp) rgb(dst - stride + x - bpp) & 0xff else 0
+            val v = f match {
+              case 0 => cur
+              case 1 => cur + left
+              case 2 => cur + up
+              case 3 => cur + (left + up) / 2
+              case _ => // Paeth predictor (the spec's exact tie-break order)
+                val p = left + up - ul
+                val (pa, pb, pc) = (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+                val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+                cur + pred
+            }
+            rgb(dst + x) = (v & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Right((w, h, rgb))
+      } catch { case scala.util.control.NonFatal(_) => Left("png_corrupt") }
+
+    /** REAL sample decode for 16-bit PCM WAV: fmt-chunk walk (must be
+      * audioFormat 1, 16 bits/sample), then the data chunk read as
+      * little-endian int16 interleaved samples. Returns (sampleRate,
+      * channels, samples). Never throws. */
+    def decodeWavSamples(bytes: Array[Byte]): Either[String, (Int, Int, Array[Short])] =
+      try {
+        if (bytes.length < 12 || !bytes.take(4).sameElements(fourcc("RIFF")) ||
+            cc(bytes, 8) != "WAVE") return Left("not_wav")
+        var (o, fmtTag, chans, rate, bits) = (12, -1, -1, -1, -1)
+        var (dataOff, dataSz) = (-1, -1)
+        while (o + 8 <= bytes.length) {
+          val (id, sz) = (cc(bytes, o), rle32(bytes, o + 4))
+          if (sz < 0 || o + 8 + sz > bytes.length) return Left("wav_truncated")
+          if (id == "fmt " && sz >= 16) {
+            fmtTag = rle16(bytes, o + 8); chans = rle16(bytes, o + 10)
+            rate = rle32(bytes, o + 12); bits = rle16(bytes, o + 22)
+          } else if (id == "data") { dataOff = o + 8; dataSz = sz }
+          o += 8 + sz + (sz & 1)
+        }
+        if (chans <= 0 || rate <= 0) Left("wav_no_fmt")
+        else if (fmtTag != 1 || bits != 16) Left("wav_unsupported_format")
+        else if (dataOff < 0) Left("wav_no_data")
+        else {
+          val n = dataSz / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = ((bytes(dataOff + 2 * i) & 0xff) |
+              (bytes(dataOff + 2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          Right((rate, chans, samples))
+        }
+      } catch { case scala.util.control.NonFatal(_) => Left("wav_corrupt") }
+
     /** JPEG/JFIF: SOI, APP0 "JFIF", SOF0 (3-component baseline), EOI. */
     def jpeg(width: Int, height: Int): Array[Byte] = {
       val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
@@ -78,6 +237,25 @@ object Multimodal {
         be16(height) ++ be16(width) ++ Array[Byte](3) ++
         Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
       Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ sof0 ++ Array(0xff, 0xd9).map(_.toByte)
+    }
+
+    /** WAV WITH real 16-bit PCM content: `samples` packed little-endian as
+      * the data chunk (interleaved if channels > 1; length must divide
+      * evenly into frames). What [[decodeWavSamples]] round-trips. */
+    def wavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+      require(samples.length % channels == 0, "samples must fill whole frames")
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val blockAlign = channels * 2
+      val fmt = fourcc("fmt ") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(sampleRate) ++ le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(16)
+      val body = fourcc("WAVE") ++ fmt ++ fourcc("data") ++ le32(data.length) ++ data
+      fourcc("RIFF") ++ le32(body.length) ++ body
     }
 
     /** WAV: RIFF/WAVE with a PCM fmt chunk and a data chunk of `nSamples`
@@ -208,29 +386,204 @@ object Multimodal {
     }
   }
 
+  /** Pure pixel-buffer math over decoded row-major RGB: box resampling and
+    * the two classic perceptual fingerprints. All integer arithmetic —
+    * deterministic across JVMs/platforms, no float rounding to drift a
+    * hash bit. */
+  private[graft] object Pixels {
+
+    /** Box-filter resize: each target pixel is the integer mean of its
+      * source box (boxes partition the source exactly, so total mass is
+      * conserved up to per-box rounding). The standard downscale for
+      * thumbnailing and hash preprocessing. */
+    def boxResize(rgb: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
+      require(w > 0 && h > 0 && tw > 0 && th > 0)
+      val out = new Array[Byte](tw * th * 3)
+      var ty = 0
+      while (ty < th) {
+        val y0 = ty * h / th
+        val y1 = math.max(y0 + 1, (ty + 1) * h / th)
+        var tx = 0
+        while (tx < tw) {
+          val x0 = tx * w / tw
+          val x1 = math.max(x0 + 1, (tx + 1) * w / tw)
+          var (r, g, b, n) = (0L, 0L, 0L, 0L)
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val o = (y * w + x) * 3
+              r += rgb(o) & 0xff; g += rgb(o + 1) & 0xff; b += rgb(o + 2) & 0xff
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          val o = (ty * tw + tx) * 3
+          out(o) = (r / n).toByte; out(o + 1) = (g / n).toByte; out(o + 2) = (b / n).toByte
+          tx += 1
+        }
+        ty += 1
+      }
+      out
+    }
+
+    /** Integer ITU-R 601 luma of an RGB buffer (milli-weights 299/587/114). */
+    def gray(rgb: Array[Byte]): Array[Int] = {
+      val n = rgb.length / 3
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = (299 * (rgb(3 * i) & 0xff) + 587 * (rgb(3 * i + 1) & 0xff) +
+          114 * (rgb(3 * i + 2) & 0xff)) / 1000
+        i += 1
+      }
+      out
+    }
+
+    /** aHash (average hash): 8×8 luma thumbnail, bit i = pixel i above the
+      * 64-pixel mean. Robust to rescaling and small noise; shifts with
+      * global brightness (dHash covers that axis). */
+    def aHash64(rgb: Array[Byte], w: Int, h: Int): Long = {
+      val g = gray(boxResize(rgb, w, h, 8, 8))
+      val mean = g.sum / 64
+      var (hash, i) = (0L, 0)
+      while (i < 64) { if (g(i) > mean) hash |= (1L << i); i += 1 }
+      hash
+    }
+
+    /** dHash (difference hash): 9×8 luma thumbnail, bit = horizontal
+      * gradient sign. Invariant to uniform brightness/contrast shifts —
+      * the workhorse near-dup fingerprint. */
+    def dHash64(rgb: Array[Byte], w: Int, h: Int): Long = {
+      val g = gray(boxResize(rgb, w, h, 9, 8))
+      var (hash, i) = (0L, 0)
+      while (i < 64) {
+        val (x, y) = (i % 8, i / 8)
+        if (g(y * 9 + x) < g(y * 9 + x + 1)) hash |= (1L << i)
+        i += 1
+      }
+      hash
+    }
+
+    /** Audio envelope fingerprint — dHash's idea on the time axis: 65
+      * equal windows of mean |amplitude|, bit = envelope gradient sign.
+      * Invariant to uniform gain, so a re-levelled copy of the same
+      * recording collides. */
+    def envelopeHash64(samples: Array[Short]): Long = {
+      val n = samples.length
+      if (n == 0) return 0L
+      val env = new Array[Long](65)
+      val cnt = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val w = math.min(64, (i.toLong * 65 / n).toInt)
+        env(w) += math.abs(samples(i).toInt); cnt(w) += 1
+        i += 1
+      }
+      var w = 0
+      while (w < 65) { if (cnt(w) > 0) env(w) /= cnt(w); w += 1 }
+      var (hash, b) = (0L, 0)
+      while (b < 64) { if (env(b) < env(b + 1)) hash |= (1L << b); b += 1 }
+      hash
+    }
+  }
+
   private def posMod(v: Long, m: Long): Long = ((v % m) + m) % m
 
-  /** Manufacture a media table with VALID minimal containers (the test
-    * container ships no real media, so we synthesize standards-conformant
-    * headers): even-id images are PNG, odd-id JPEG; audio is PCM WAV; video
-    * is AVI. Dimensions/rates derive deterministically from the document
-    * text so results are reproducible. One row in 47 is truncated to 6
-    * bytes — a malformed container exercising the quarantine path. */
+  /** splitmix64 finalizer — the deterministic content seed expander for
+    * [[mediaTable]]'s synthesized pixels/samples. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic synthetic RGB content: a two-axis gradient modulated by
+    * an 8×8 seed-derived block pattern (structure for the perceptual
+    * hashes to latch onto), with an optional uniform brightness `jitter` —
+    * the near-dup perturbation (dHash is gradient-sign based, so a
+    * uniform shift leaves it bit-identical while the bytes differ). */
+  private def synthRgb(seed: Long, w: Int, h: Int, jitter: Int): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val block = (mix64(seed ^ (x / 8 + 97L * (y / 8))) & 0x3f).toInt
+        val o = (y * w + x) * 3
+        rgb(o) = math.min(255, x * 200 / w + block + jitter).toByte
+        rgb(o + 1) = math.min(255, y * 200 / h + block + jitter).toByte
+        rgb(o + 2) = math.min(255, (x + y) * 100 / (w + h) + 2 * block + jitter).toByte
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** Deterministic 16-bit PCM content: blocky 64-sample amplitude steps
+    * from the seed, scaled by `gainNum/gainDen` — integer gain keeps the
+    * envelope gradient SIGNS of a re-levelled copy identical, which is
+    * exactly the invariance [[Pixels.envelopeHash64]] fingerprints. */
+  private def synthPcm(seed: Long, n: Int, gainNum: Int, gainDen: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val base = (posMod(mix64(seed ^ (i >> 6).toLong), 24001) - 12000).toInt
+      out(i) = (base * gainNum / gainDen).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Manufacture a media table with VALID containers carrying REAL content
+    * where the format allows it without a codec: even-image-id rows are
+    * PNGs with actual deflated pixel data, audio rows are WAVs with actual
+    * 16-bit PCM; odd-image-id JPEGs and AVIs are header-only (their
+    * entropy/stream decode is the sanctioned codec stub). Content derives
+    * deterministically from ids/text so results are reproducible. Planted
+    * near-dups for the perceptual-dedup operators: every 7th PNG
+    * (id % 42 == 0) repeats the previous PNG's content brightness-shifted;
+    * every 11th audio row (id % 33 == 1) repeats the previous audio row's
+    * waveform at 4/5 gain. One row in 47 is truncated to 6 bytes — a
+    * malformed container exercising the quarantine path. */
   def mediaTable(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     val rates = Array(8000, 16000, 22050, 44100, 48000)
     documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
       val bytes = Option(text).getOrElse("").getBytes("UTF-8")
       val ck = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
-      val w = (64 + posMod(ck, 960)).toInt
-      val h = (64 + posMod(ck >> 10, 960)).toInt
       val (mtype, payload) = posMod(id, 3).toInt match {
+        case 0 if id % 2 == 0 =>
+          // real-pixel PNG: dims + content from the BASE id so a planted
+          // near-dup reproduces its predecessor's image exactly (modulo
+          // the brightness jitter) without seeing the other row
+          val baseId = if (id % 42 == 0 && id >= 42) id - 6 else id
+          val seed = mix64(baseId)
+          val w = (24 + posMod(mix64(seed ^ 1), 88)).toInt
+          val h = (24 + posMod(mix64(seed ^ 2), 88)).toInt
+          val jitter = if (baseId != id) 4 else 0
+          ("image", Containers.pngRgb(w, h, synthRgb(seed, w, h, jitter)))
         case 0 =>
-          ("image", if (id % 2 == 0) Containers.png(w, h) else Containers.jpeg(w, h))
+          val w = (64 + posMod(ck, 960)).toInt
+          val h = (64 + posMod(ck >> 10, 960)).toInt
+          ("image", Containers.jpeg(w, h))
         case 1 =>
-          ("audio", Containers.wav(rates(posMod(ck, rates.length).toInt),
-            1 + posMod(ck >> 5, 2).toInt, 16, 1 + posMod(bytes.length, 2048).toInt, bytes))
+          // real-PCM WAV, same base-id discipline; planted copies replay
+          // the waveform at 4/5 gain
+          val baseId = if (id % 33 == 1 && id >= 34) id - 3 else id
+          val seed = mix64(baseId)
+          val rate = rates(posMod(mix64(seed ^ 3), rates.length).toInt)
+          val channels = 1 + posMod(mix64(seed ^ 4), 2).toInt
+          val frames = (520 + posMod(mix64(seed ^ 5), 3000)).toInt
+          val (gn, gd) = if (baseId != id) (4, 5) else (1, 1)
+          ("audio", Containers.wavPcm16(rate, channels,
+            synthPcm(seed, frames * channels, gn, gd)))
         case _ =>
+          val w = (64 + posMod(ck, 960)).toInt
+          val h = (64 + posMod(ck >> 10, 960)).toInt
           ("video", Containers.avi(w, h, 1 + bytes.length % 240))
       }
       val out = if (id % 47 == 0) java.util.Arrays.copyOf(payload, 6) else payload
@@ -259,25 +612,140 @@ object Multimodal {
       .toDF()
   }
 
+  /** A perceptual fingerprint row: dHash + aHash for decoded images,
+    * envelope hash (in `dhash`) for decoded audio. */
+  case class MediaHash(media_id: Long, kind: String, dhash: Long, ahash: Long)
+
+  /** Perceptual fingerprints over DECODED content — real pixels through
+    * [[Containers.decodePngPixels]] (dHash gradient + aHash average), real
+    * PCM through [[Containers.decodeWavSamples]] (envelope-gradient hash).
+    * Rows whose payload can't be content-decoded (JPEG/AVI codec stubs,
+    * truncated containers) emit nothing — fingerprinting an undecodable
+    * payload would be noise, not signal. mapPartitions keeps the decode
+    * executor-local and streaming, the [[mediaMeta]] discipline. */
+  def mediaHashes(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, documents).mapPartitions(_.flatMap { r =>
+      Containers.decodePngPixels(r.payload) match {
+        case Right((w, h, rgb)) =>
+          Iterator.single(MediaHash(r.media_id, "image",
+            Pixels.dHash64(rgb, w, h), Pixels.aHash64(rgb, w, h)))
+        case Left(_) => Containers.decodeWavSamples(r.payload) match {
+          case Right((_, _, samples)) =>
+            Iterator.single(MediaHash(r.media_id, "audio",
+              Pixels.envelopeHash64(samples), 0L))
+          case Left(_) => Iterator.empty
+        }
+      }
+    }).toDF()
+  }
+
+  /** Banded near-dup candidate pairs over 64-bit fingerprints — the
+    * MinHash-LSH band trick on hamming space: slice the hash into
+    * `maxHamming + 1` contiguous bit bands; by pigeonhole, two hashes
+    * within `maxHamming` bit flips agree EXACTLY on at least one band, so
+    * the equi-join on (kind, band, value) finds every true pair (zero
+    * false negatives) and the `bit_count(xor)` verify discards band
+    * coincidences. Only (id, band-value) pairs shuffle — never pixel or
+    * sample data — and the join is a hash join on a bounded-fanout key
+    * (a band bucket holds near-identical content; identical copies should
+    * be removed by exact dedup upstream, the [[graft.ops.Text.dedupExact]]
+    * tiering every published dedup pipeline uses). */
+  private[graft] def hashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, s"maxHamming out of range: $maxHamming")
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val extra = 64 % nBands // first `extra` bands take one more bit
+    val offsets = (0 until nBands).scanLeft(0)((o, b) =>
+      o + base + (if (b < extra) 1 else 0))
+    val bands = (0 until nBands).map { b =>
+      val width = base + (if (b < extra) 1 else 0)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("dhash"), offsets(b)).bitwiseAND(lit(mask)).as("v"))
+    }
+    val banded = hashes.select(col("media_id"), col("kind"), col("dhash"),
+      explode(array(bands: _*)).as("bv"))
+      .select(col("media_id"), col("kind"), col("dhash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    banded.as("x").join(banded.as("y"),
+        col("x.kind") === col("y.kind") && col("x.band") === col("y.band") &&
+          col("x.v") === col("y.v") && col("x.media_id") < col("y.media_id"))
+      .select(col("x.kind").as("kind"),
+        col("x.media_id").as("media_id_a"), col("y.media_id").as("media_id_b"),
+        expr("bit_count(x.dhash ^ y.dhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Perceptual near-dup pairs across the media corpus — the first REAL
+    * multimodal dedup: brightness-shifted image copies collide on dHash
+    * (gradient signs are brightness-invariant), re-levelled audio copies
+    * collide on the envelope hash (gain-invariant), and the banded join
+    * keeps the pair search linear in corpus size. Rows-only (binary in);
+    * planted-pair recall + non-dup rejection laws in PropertiesSpec. */
+  def mediaNearDup(spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    hashNearDupPairs(mediaHashes(spark, documents), maxHamming)
+
+  /** Decoded-audio quality report — REAL sample statistics, the audio
+    * analog of [[graft.ops.Text.qualityScore]]'s structural signals:
+    * RMS level, peak, clipping fraction (|s| at int16 full scale), and
+    * silence fraction (|s| below 1% of full scale). The curation gates a
+    * speech/audio corpus actually applies (drop silent-padded or clipped
+    * recordings). Undecodable rows are excluded, like [[mediaHashes]]. */
+  case class AudioStats(media_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Int, rms: Double, peak: Double, clip_frac: Double,
+      silence_frac: Double)
+
+  def audioStats(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, documents).mapPartitions(_.flatMap { r =>
+      Containers.decodeWavSamples(r.payload) match {
+        case Right((rate, channels, s)) if s.nonEmpty =>
+          var (sumSq, peak, clipped, silent, i) = (0L, 0, 0L, 0L, 0)
+          while (i < s.length) {
+            val a = math.abs(s(i).toInt)
+            sumSq += a.toLong * a
+            if (a > peak) peak = a
+            if (a >= 32767) clipped += 1
+            if (a <= 327) silent += 1
+            i += 1
+          }
+          Iterator.single(AudioStats(r.media_id, rate, channels, s.length,
+            math.sqrt(sumSq.toDouble / s.length) / 32768.0, peak / 32768.0,
+            clipped.toDouble / s.length, silent.toDouble / s.length))
+        case _ => Iterator.empty
+      }
+    }).toDF()
+  }
+
   /** A resized media payload (what a decode → resample → re-encode step
     * emits). */
   case class ResizedMedia(media_id: Long, media_type: String, width: Int,
       height: Int, payload: Array[Byte])
 
-  /** Resize: parse the real header, then re-encode a VALID container at the
-    * target dimensions (PNG/JPEG/AVI; frame count preserved). The pixel
-    * resample itself needs a codec the container doesn't ship, so the image
-    * DATA is the sanctioned stub — but the emitted header round-trips
-    * through [[Containers.parse]] at (w, h). Audio and malformed rows pass
-    * through unchanged. */
+  /** Resize. For PNG this is the REAL pipeline end to end: decode actual
+    * pixels ([[Containers.decodePngPixels]]), box-resample
+    * ([[Pixels.boxResize]]), re-encode a standards-conformant PNG with the
+    * resized pixel data ([[Containers.pngRgb]]) — decode → resample →
+    * re-encode with no stub anywhere. JPEG and AVI re-encode a valid
+    * header at the target dims but their DATA stays the sanctioned codec
+    * stub (entropy/stream decode needs a codec the container doesn't
+    * ship — marked `???`). Audio and malformed rows pass through. */
   def resizeMedia(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.map { r =>
       val out = Containers.parse(r.payload) match {
-        case Right(p) if p.format == "png" => Containers.png(w, h)
+        case Right(p) if p.format == "png" =>
+          Containers.decodePngPixels(r.payload) match {
+            case Right((sw, sh, rgb)) =>
+              Containers.pngRgb(w, h, Pixels.boxResize(rgb, sw, sh, w, h))
+            case Left(_) => Containers.png(w, h) // header-only png: header resize
+          }
         case Right(p) if p.format == "jpeg" => Containers.jpeg(w, h)
         case Right(p) if p.format == "avi" => Containers.avi(w, h, p.nFrames)
-        // ??? <- real codec resample of pixel/sample data goes here.
+        // ??? <- real JPEG/AVI resample needs their entropy/stream codecs.
         case _ => r.payload // audio / malformed: pass through
       }
       ResizedMedia(r.media_id, r.media_type, w, h, out)

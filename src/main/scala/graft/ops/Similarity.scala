@@ -222,6 +222,36 @@ object Similarity {
       .withColumn("kept", col("dup_of").isNull)
   }
 
+  /** 1-row pair-volume audit of [[semDeDup]]'s within-cell join — the
+    * `passage_overlap_dropped` telemetry discipline applied to the
+    * embedding side (VERDICT r9 #9): occupancy-derived cells keep the
+    * pair volume linear-in-n BY CONSTRUCTION, but nothing used to REPORT
+    * the realized volume at runtime, so a drifting corpus (one blob cell
+    * absorbing the mass faster than a rebuild re-derives cells) would
+    * first be visible as slowness, not as a number. This emits what the
+    * pair join will actually do — total within-cell pairs, the worst
+    * cell's share, occupancy extremes — as one combining pass over
+    * |cells| rows. Read it next to the kept set; `max_cell_pairs`
+    * growing super-linearly across refreshes is the rebuild cue.
+    * Shares [[semDeDupFrom]]'s vectors frame so audit and dedup can't
+    * disagree on the cells. */
+  def semDeDupStats(vectors: DataFrame): DataFrame = {
+    val occ = vectors.groupBy("cell").agg(count(lit(1)).as("m"))
+    occ.agg(
+        count(lit(1)).cast("long").as("n_cells"),
+        sum("m").cast("long").as("n_vectors"),
+        max("m").cast("long").as("max_cell_occupancy"),
+        min("m").cast("long").as("min_cell_occupancy"),
+        sum(col("m") * (col("m") - lit(1)) / lit(2)).cast("long").as("total_pairs"),
+        max(col("m") * (col("m") - lit(1)) / lit(2)).cast("long").as("max_cell_pairs"))
+      .withColumn("mean_occupancy",
+        col("n_vectors").cast("double") / col("n_cells"))
+      .withColumn("max_cell_pair_share",
+        when(col("total_pairs") > 0,
+          col("max_cell_pairs").cast("double") / col("total_pairs"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Cluster-free exact SemDeDup: the same keep-first rule over the whole
     * corpus as one cluster — the small-corpus baseline and the DuckDB
     * value check for the family (all-pairs O(n²), the documented exact
@@ -593,7 +623,7 @@ object Similarity {
     * unit of [[ivfAppend]] and [[pqAppend]]: broadcast centroid table,
     * constant-term-dropped probe distance, map-side-combining `min_by`
     * with the deterministic lowest-cell tie-break. */
-  private def ivfAssign(centroids: DataFrame, newVectors: DataFrame): DataFrame =
+  private[graft] def ivfAssign(centroids: DataFrame, newVectors: DataFrame): DataFrame =
     withNorms(newVectors)
       .crossJoin(broadcast(centroids))
       .withColumn("dist",

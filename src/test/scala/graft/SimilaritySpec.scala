@@ -359,6 +359,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(q2.filter(col("votes") < 1 || col("votes") > 5).count() == 0)
   }
 
+  test("semDeDupStats: pair counts match a direct occupancy pass and the real join size") {
+    import spark.implicits._
+    // hand-built cells: occupancies 4, 3, 1 → pairs 6, 3, 0
+    val vecs = Seq(
+      (1L, 0), (2L, 0), (3L, 0), (4L, 0),
+      (5L, 1), (6L, 1), (7L, 1),
+      (8L, 2)
+    ).map { case (id, cell) => (id, Array(1.0, 0.0), 1.0, cell) }
+      .toDF("vec_id", "v", "norm", "cell")
+    val st = graft.ops.Similarity.semDeDupStats(vecs).collect().head
+    assert(st.getAs[Long]("n_cells") == 3 && st.getAs[Long]("n_vectors") == 8)
+    assert(st.getAs[Long]("max_cell_occupancy") == 4
+      && st.getAs[Long]("min_cell_occupancy") == 1)
+    assert(st.getAs[Long]("total_pairs") == 9 && st.getAs[Long]("max_cell_pairs") == 6)
+    assert(math.abs(st.getAs[Double]("max_cell_pair_share") - 6.0 / 9) < 1e-12)
+    // the audited volume IS the within-cell join's candidate count
+    val joinPairs = vecs.as("a").join(vecs.as("b"),
+      col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id")).count()
+    assert(joinPairs == st.getAs[Long]("total_pairs"))
+    // declared query: 1 row, internally consistent on the real corpus
+    val r = q("semdedup_stats").collect().head
+    assert(r.getAs[Long]("n_vectors") > 0 && r.getAs[Long]("n_cells") >= 16)
+    assert(r.getAs[Long]("total_pairs") >= r.getAs[Long]("max_cell_pairs"))
+  }
+
   test("fitRowsFor law: driver fit samples are byte-bounded at any dim") {
     import graft.ops.Similarity.{fitMaxBytes, fitRowsFor}
     // the test dim keeps the full documented 100k-row sample (anchors carry)

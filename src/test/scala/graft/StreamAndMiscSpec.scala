@@ -320,8 +320,10 @@ class StreamAndMiscSpec extends SparkTestBase with TimeLimitedTests {
     assert(m1.except(m2).count() == 0) // reproducible
     val ok = m1.filter(col("error").isNull)
     // clean rows parsed real dimensions from the synthesized headers
+    // PNGs (real-pixel, 24..111) and JPEGs (header-only, 64..1023) both
+    // clear the content floor of their builder
     assert(ok.filter(col("media_type") === "image")
-      .filter(col("width") < 64 || col("height") < 64 || !col("format").isin("png", "jpeg"))
+      .filter(col("width") < 24 || col("height") < 24 || !col("format").isin("png", "jpeg"))
       .count() == 0)
     assert(ok.filter(col("media_type") === "audio")
       .filter(col("sample_rate") <= 0 || col("channels") <= 0 || col("n_frames") <= 0)
