@@ -168,6 +168,96 @@ object StreamDemo {
       .filter(col("step_reached") >= 0)
   }
 
+  /** Watermark-correct streaming funnel — [[funnelStream]]'s event-time
+    * upgrade (VERDICT r9 #6): the best-effort machine folds events in
+    * ARRIVAL order, so a cross-batch late event can only "advance, never
+    * rewind" — a click arriving after its user's purchase was already
+    * inspected loses the conversion the batch operator would count. Here
+    * events BUFFER per user until the watermark passes them, then fold in
+    * EVENT-TIME order — so any late-but-within-lateness event lands in
+    * its true position and the finalized reach states are exactly the
+    * batch operator's over all watermark-complete events (StreamAnnSpec's
+    * sibling law in StreamFunnelSpec: mid-stream, with a planted late
+    * conversion the best-effort machine provably misses, and across
+    * checkpointed restart).
+    *
+    * Mechanics ([[userActivityStreamTwsEventTime]]'s timer machinery
+    * pointed at ordering instead of expiry): per key, a ListState buffers
+    * (ts, type, event_id); each input batch registers an event-time timer
+    * just past its max buffered ts; when the watermark crosses it,
+    * `handleExpiredTimer` drains the ripe prefix (ts ≤ watermark) in
+    * (ts, event_id) order through the same strict-order advance rule and
+    * emits the updated reach. Events beyond the watermark stay buffered —
+    * state is bounded by the lateness horizon's event volume per user,
+    * the price of ordering correctness (the best-effort machine stays
+    * available for pipelines that can't afford the buffer). Sets
+    * session-wide RocksDB provider conf; no-data micro-batches stay
+    * enabled (they fire the final timers when the source quiesces). */
+  def funnelStreamEventTime(spark: SparkSession, eventsDir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      lateness: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    import spark.implicits._
+    require(steps.nonEmpty)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val bufEnc = implicitly[org.apache.spark.sql.Encoder[(java.sql.Timestamp, String, Long)]]
+    val machEnc = implicitly[org.apache.spark.sql.Encoder[(Int, java.sql.Timestamp)]]
+    class OrderedFunnelProcessor
+        extends StatefulProcessor[Long, (Long, java.sql.Timestamp, String, Long),
+          (Long, Int, java.sql.Timestamp)] {
+      @transient private var buf: ListState[(java.sql.Timestamp, String, Long)] = _
+      @transient private var machine: ValueState[(Int, java.sql.Timestamp)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        buf = getHandle.getListState("buf", bufEnc, TTLConfig.NONE)
+        machine = getHandle.getValueState("machine", machEnc, TTLConfig.NONE)
+      }
+      override def handleInputRows(key: Long,
+          rows: Iterator[(Long, java.sql.Timestamp, String, Long)],
+          timers: TimerValues): Iterator[(Long, Int, java.sql.Timestamp)] = {
+        var maxTs = 0L
+        rows.foreach { case (_, ts, tpe, eid) =>
+          buf.appendValue((ts, tpe, eid))
+          if (ts.getTime > maxTs) maxTs = ts.getTime
+        }
+        // fire when the watermark has passed every event of this batch
+        // (+1 ms: the watermark is ms-grained, events carry micros)
+        if (maxTs > 0L) getHandle.registerTimer(maxTs + 1L)
+        Iterator.empty
+      }
+      override def handleExpiredTimer(key: Long, timers: TimerValues,
+          info: ExpiredTimerInfo): Iterator[(Long, Int, java.sql.Timestamp)] = {
+        val wm = timers.getCurrentWatermarkInMs()
+        val all = buf.get().toArray
+        val (ripe, pending) = all.partition(_._1.getTime < wm)
+        if (ripe.isEmpty) return Iterator.empty
+        var (reached, t) =
+          if (machine.exists()) machine.get() else (-1, new java.sql.Timestamp(0L))
+        val before = reached
+        for (e <- ripe.sortBy(x => (x._1.getTime, x._1.getNanos, x._3))) {
+          if (reached + 1 < steps.length && e._2 == steps(reached + 1)
+              && (reached == -1 || e._1.compareTo(t) > 0)) {
+            reached += 1; t = e._1
+          }
+        }
+        machine.update((reached, t))
+        buf.clear()
+        if (pending.nonEmpty) buf.put(pending)
+        if (reached > before && reached >= 0) Iterator.single((key, reached, t))
+        else Iterator.empty
+      }
+    }
+    eventsStream(spark, eventsDir)
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new OrderedFunnelProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
+      .toDF("user_id", "step_reached", "t_reach")
+  }
+
   /** Per-user running profile via `transformWithState` — the Spark 4
     * arbitrary-state operator superseding [[userActivityStream]]'s
     * mapGroupsWithState: typed per-key state handles (ValueState here) and
@@ -912,6 +1002,66 @@ object StreamDemo {
         ()
       }
       .start()
+  }
+
+  /** Streaming ANN admission — the index-maintenance lifecycle
+    * ([[graft.ops.Similarity.ivfAppend]]) as a standing stream: embedding
+    * vectors arrive continuously, each micro-batch is assigned to the
+    * STANDING centroids (the same constant-term-dropped argmin batch
+    * appends use, so routing and membership can never disagree) and lands
+    * as a cell-partitioned DELTA layer under
+    * `indexDir/appends/batch_id=N`.
+    *
+    * Replay discipline: unlike the cumulative count stores (classifier,
+    * LM, top-k), appended vectors are DATA, not a fold — so each batch is
+    * its own immutable layer written with `overwrite` into its own
+    * `batch_id=N` directory: a crashed-and-replayed batch overwrites its
+    * own partial output (idempotent), and readers only see layers whose
+    * `_SUCCESS` marker committed ([[ReportStore.completeIds]]). The base
+    * index files are never touched. [[streamIvfRead]] assembles base +
+    * complete deltas; each delta is cell-partitioned, so plan-time probe
+    * pruning works across every layer. Streamed content ≡ batch
+    * `ivfAppend` over the same vectors (StreamAnnSpec, mid-stream and
+    * across checkpointed restart). [[graft.ops.Similarity.ivfStats]]-style
+    * occupancy drift remains the rebuild cue — rebuild compacts the
+    * deltas into a fresh base. */
+  def streamIvfAppend(spark: SparkSession, vecsDir: String,
+      indexDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .localCheckpoint(true) // standing geometry: read once, not per batch
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(vecsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity.ivfAssign(centroids, batch)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexDir/appends/batch_id=$batchId")
+      }
+      .start()
+  }
+
+  /** Assemble the streamed IVF index: base layer + every COMPLETE append
+    * delta. Declared schemas (the ivfRead discipline) and per-layer cell
+    * partitioning, so probe pruning prunes within each layer's files. */
+  def streamIvfRead(spark: SparkSession,
+      indexDir: String): graft.ops.Similarity.IvfIndex = {
+    import org.apache.spark.sql.types._
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("v", ArrayType(DoubleType)),
+      StructField("norm", DoubleType), StructField("cell", IntegerType)))
+    val base = graft.ops.Similarity.ivfRead(spark, indexDir)
+    val deltas = ReportStore.completeIds(spark, indexDir, "appends", "batch_id=")
+      .map { case (_, p) => spark.read.schema(vecSchema).parquet(p.toString) }
+    graft.ops.Similarity.IvfIndex(base.centroids,
+      deltas.foldLeft(base.vectors)(_ unionByName _))
   }
 
   /** Materialize the newest committed streamed order-n LM — scoring-ready,

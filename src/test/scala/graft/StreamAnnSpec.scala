@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
+
+import graft.ops.{Similarity, StreamDemo}
+
+/** Streaming ANN admission ([[StreamDemo.streamIvfAppend]]): after any
+  * prefix of micro-batches the assembled index must hold EXACTLY the same
+  * (vec_id, cell, v, norm) content as batch [[Similarity.ivfAppend]] over
+  * the same vectors (assignment goes through the shared ivfAssign, so only
+  * the layer layout differs), including across a checkpointed restart; and
+  * a planted twin of a streamed vector must be retrievable through the
+  * probe-pruned service path mid-stream. */
+class StreamAnnSpec extends SparkTestBase with TimeLimitedTests {
+  val timeLimit: Span = Span(240, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  test("streamed IVF appends equal batch ivfAppend; restart-safe; twin retrievable") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("ann_src")
+    val streamDir = java.nio.file.Files.createTempDirectory("ann_stream").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("ann_batch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_ckpt")
+
+    val emb = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding").orderBy("vec_id")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val arriving = emb.filter(col("vec_id") % 5 === 0).collect()
+    val cut = arriving.length / 2
+
+    // one shared base index, written to both layouts
+    val built = Similarity.ivfBuild(base, nCells = 16)
+    Similarity.ivfWrite(built, streamDir)
+    Similarity.ivfWrite(built, batchDir)
+
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"ann_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), emb.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    def contents(idx: Similarity.IvfIndex) = idx.vectors
+      .select("vec_id", "cell", "norm").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+
+    // run 1: first slice arrives as one micro-batch
+    stage(1, arriving.slice(0, cut))
+    val q1 = StreamDemo.streamIvfAppend(
+      s2, src.toString, streamDir, ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    Similarity.ivfAppend(spark, batchDir,
+      spark.createDataFrame(
+        java.util.Arrays.asList(arriving.slice(0, cut): _*), emb.schema))
+    assert(contents(StreamDemo.streamIvfRead(spark, streamDir)) ==
+      contents(Similarity.ivfRead(spark, batchDir)),
+      "streamed index drifted from the batch-append twin mid-stream")
+
+    // planted twin of a streamed vector, retrievable through the PRUNED path
+    val twinOf = arriving.head.getLong(0)
+    val probe = spark.createDataFrame(
+        java.util.Arrays.asList(arriving.head), emb.schema)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("embedding"))
+    val hits = Similarity.ivfQueryPruned(
+        StreamDemo.streamIvfRead(spark, streamDir), probe, k = 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(twinOf), s"streamed twin $twinOf not in top-k $hits")
+
+    // checkpointed restart with the second slice: resumes, no re-append
+    stage(2, arriving.slice(cut, arriving.length))
+    val q2 = StreamDemo.streamIvfAppend(
+      s2, src.toString, streamDir, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    Similarity.ivfAppend(spark, batchDir,
+      spark.createDataFrame(
+        java.util.Arrays.asList(arriving.slice(cut, arriving.length): _*), emb.schema))
+    val streamed = StreamDemo.streamIvfRead(spark, streamDir)
+    assert(contents(streamed) == contents(Similarity.ivfRead(spark, batchDir)),
+      "streamed index drifted from the batch-append twin after restart")
+    // every vector exactly once — replay did not duplicate any delta
+    assert(streamed.vectors.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+}

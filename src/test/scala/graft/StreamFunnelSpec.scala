@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
+
+import graft.ops.StreamDemo
+
+/** Watermark-correct streaming funnel ([[StreamDemo.funnelStreamEventTime]]):
+  * late-but-within-lateness events are folded in EVENT-TIME order, so the
+  * finalized reach states equal the batch operator over every
+  * watermark-complete prefix — including the planted late-conversion case
+  * the best-effort [[StreamDemo.funnelStream]] machine provably misses, and
+  * across a checkpointed restart. */
+class StreamFunnelSpec extends SparkTestBase with TimeLimitedTests {
+  val timeLimit: Span = Span(240, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def evDf(rows: Seq[(Long, String, Long, String)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (eid, ts, uid, tpe) =>
+        Row(eid, java.sql.Timestamp.valueOf(ts), uid, tpe, 1.0, "{}")
+      }: _*), schema)
+  }
+
+  private def stage(dir: java.nio.file.Path, n: Int, df: DataFrame): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"fet_tmp$n")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, dir.resolve(s"batch$n.parquet"))
+  }
+
+  /** Per-user furthest reach under the batch strict-order chain (the
+    * eventFunnel scanLeft, kept per user instead of counted). */
+  private def batchReach(ev: DataFrame): Map[Long, Int] = {
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val reaches = steps.tail.scanLeft(first) { (prev, s) =>
+      ev.filter(col("event_type") === s)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col("t"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    }
+    reaches.zipWithIndex.flatMap { case (f, i) =>
+      f.select("user_id").collect().map(_.getLong(0) -> i)
+    }.groupMapReduce(_._1)(_._2)(math.max)
+  }
+
+  /** Emitted reach rows land in a parquet sink (memory sinks cannot
+    * recover a checkpoint); max per user = the finalized furthest step. */
+  private def streamedReach(out: String): Map[Long, Int] = {
+    if (!new java.io.File(out).exists()) return Map.empty
+    spark.read.schema("user_id LONG, step_reached INT, t_reach TIMESTAMP")
+      .parquet(out)
+      .groupBy("user_id").agg(max("step_reached").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  private def startFunnel(s2: org.apache.spark.sql.SparkSession, dir: String,
+      ckpt: String, out: String, lateness: String) =
+    StreamDemo.funnelStreamEventTime(s2, dir, steps, lateness)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); () }
+      .start()
+
+  test("late-within-lateness conversion counts; best-effort machine misses it; restart-safe") {
+    val s2 = spark.newSession()
+    val dir = java.nio.file.Files.createTempDirectory("fet_events")
+    val ckpt = java.nio.file.Files.createTempDirectory("fet_ckpt")
+
+    // user 1: view 10:00, purchase 10:06 arrive FIRST; the click 10:03
+    // arrives late (cross-batch) but within the 10-minute lateness.
+    // Event-time order is view → click → purchase = full conversion.
+    stage(dir, 1, evDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:06:00", 1L, "purchase"))))
+    stage(dir, 2, evDf(Seq(
+      (3L, "2024-01-01 10:03:00", 1L, "click"))))
+
+    val out = java.nio.file.Files.createTempDirectory("fet_out").toString + "/rows"
+    val q1 = startFunnel(s2, dir.toString, ckpt.toString, out, "10 minutes")
+    try q1.processAllAvailable() finally q1.stop()
+
+    // checkpointed restart delivers the watermark-advancing sentinel (a
+    // different user far in the future): user 1's buffered state must be
+    // recovered by the resumed query and finalize there
+    stage(dir, 3, evDf(Seq((4L, "2024-01-01 12:00:00", 99L, "view"))))
+    val q2 = startFunnel(s2, dir.toString, ckpt.toString, out, "10 minutes")
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = streamedReach(out)
+    assert(got.get(1L).contains(2),
+      s"event-time funnel should convert the late click: $got")
+
+    // the best-effort machine on the SAME event sequence stops at click:
+    // the purchase was inspected in an earlier micro-batch than the late
+    // click, and arrival-order folding never revisits it (its own feed
+    // dir so the cross-batch arrival order is forced)
+    val dirBe = java.nio.file.Files.createTempDirectory("fet_be_events")
+    val outBe = java.nio.file.Files.createTempDirectory("fet_be").toString + "/rows"
+    stage(dirBe, 1, evDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:06:00", 1L, "purchase"))))
+    val qb = StreamDemo.funnelStream(s2, dirBe.toString, steps)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outBe); () }
+      .outputMode("update").start()
+    try {
+      qb.processAllAvailable()
+      stage(dirBe, 2, evDf(Seq((3L, "2024-01-01 10:03:00", 1L, "click"))))
+      qb.processAllAvailable()
+    } finally qb.stop()
+    assert(streamedReach(outBe).get(1L).contains(1),
+      "expected the best-effort machine to miss the late conversion")
+  }
+
+  test("finalized reaches equal the batch chain over the real events table") {
+    val s2 = spark.newSession()
+    val dir = java.nio.file.Files.createTempDirectory("fet_events2")
+    val ev = Tables.events(spark, SF)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // zero lateness: the watermark reaches max(ts) as soon as everything
+    // is ingested, so a far-future sentinel finalizes every real event
+    stage(dir, 1, ev)
+    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+    stage(dir, 2, evDf(Seq((999999L,
+      new java.sql.Timestamp(maxTs.getTime + 3600L * 1000).toString,
+      999999L, "view"))))
+    val out2 = java.nio.file.Files.createTempDirectory("fet_out2").toString + "/rows"
+    val ckpt2 = java.nio.file.Files.createTempDirectory("fet_ckpt2")
+    val q = startFunnel(s2, dir.toString, ckpt2.toString, out2, "0 seconds")
+    try q.processAllAvailable() finally q.stop()
+    val got = streamedReach(out2) - 999999L
+    val want = batchReach(ev)
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+}
