@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Full-surface 10× scale gate (VERDICT r9 #1): run EVERY declared
+  * `SparkEntry.queries` entry at two driver scale factors a decade apart
+  * (sf0.01 → sf0.1 by default — the driver's own TPC-H-style generator
+  * holds the distribution fixed across sf, so the wall/row ratios isolate
+  * SCALE) and emit one JSON line per scale plus a final comparison line
+  * that FLAGS super-linear growth.
+  *
+  * This is the systemic guard the per-family [[ScaleAnchors]] tables
+  * approximate: anchors go deep on the heavy families with planted
+  * skew/dups and candidate-volume counters; the gate goes WIDE — no
+  * declared query can regress to a super-linear shape without a flag in
+  * the round-close artifact.
+  *
+  * Flag rule: a query is flagged when its 10× wall exceeds
+  * `ratioLimit × max(wall_1x, floorSec)` — the `floorSec` (default 0.3 s)
+  * absorbs the fixed per-query costs (planning, codegen, 1-row scalar
+  * jobs) that dominate sub-second 1× walls and would otherwise turn
+  * noise into ratios; `ratioLimit` (default 12 = 10 × a 20% margin)
+  * flags anything growing meaningfully faster than the data. Output rows
+  * are recorded alongside so a flagged wall can be read against its
+  * result cardinality (a 10×-rows output legitimately costs ~10×).
+  *
+  * Run: `sbt "runMain graft.ScaleGate [dir1x dir10x]"`. The result table
+  * lives in PLANS.md §"Full-surface scale gate". Exit code 1 when any
+  * query is flagged or errors, so the gate can sit in a round-close
+  * script.
+  */
+object ScaleGate {
+  def main(args: Array[String]): Unit = {
+    val (dir1, dir10) = args match {
+      case Array(a, b, _*) => (a, b)
+      case _ => ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    }
+    val ratioLimit = sys.env.getOrElse("SPARK_GRAFT_SCALE_RATIO", "12.0").toDouble
+    val floorSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_FLOOR", "0.3").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def jsonSafe(s: String): String =
+      String.valueOf(s).replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(200)
+
+    // per scale: (query -> (wall sec, output rows))
+    def runScale(tag: String, dir: String): Map[String, (Double, Long)] = {
+      // each scale gets a cold model/stage slate, like a fresh bench run
+      SparkEntry.clearModelCaches()
+      val tS = System.nanoTime()
+      try SparkEntry.prebuildStages(spark, dir) catch {
+        case e: Throwable => errors(s"$tag:pipeline_stages") =
+          s"${e.getClass.getSimpleName}: ${jsonSafe(e.getMessage)}"
+      }
+      val stageSec = (System.nanoTime() - tS) / 1e9
+      val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val n = try fn(spark, dir).count() catch {
+          case e: Throwable =>
+            errors(s"$tag:$name") = s"${e.getClass.getSimpleName}: ${jsonSafe(e.getMessage)}"
+            -1L
+        }
+        name -> (((System.nanoTime() - t0) / 1e9, n))
+      }
+      val all = ("pipeline_stages" -> ((stageSec, 0L))) +: rows
+      val qs = all.map { case (k, (s, n)) =>
+        s""""$k":{"sec":${math.round(s * 100) / 100.0},"rows":$n}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"scale_gate_$tag","dir":"$dir","queries":$qs}""")
+      all.toMap
+    }
+
+    val r1 = runScale("1x", dir1)
+    val r10 = runScale("10x", dir10)
+
+    val flagged = r10.keys.toSeq.sorted.flatMap { name =>
+      (r1.get(name), r10.get(name)) match {
+        case (Some((s1, _)), Some((s10, _)))
+            if s10 > ratioLimit * math.max(s1, floorSec) =>
+          Some(name -> (math.round(s10 * 100 / math.max(s1, floorSec)) / 100.0))
+        case _ => None
+      }
+    }
+    val fJson = flagged.map { case (k, r) => s""""$k":$r""" }.mkString("{", ",", "}")
+    val eJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_gate","ratio_limit":$ratioLimit,"floor_sec":$floorSec,"flagged":$fJson,"errors":$eJson}""")
+    spark.stop()
+    if (flagged.nonEmpty || errors.nonEmpty) sys.exit(1)
+  }
+}
