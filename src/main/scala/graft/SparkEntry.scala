@@ -559,7 +559,7 @@ object SparkEntry {
     "multimodal_meta" ->
       "opaque binary container parsing (DuckDB has no media parser); header round-trip + bit-flip fuzz laws in PropertiesSpec",
     "media_phash_dedup" ->
-      "binary payload decode (zlib pixels / PCM) has no SQL analog; planted-pair recall + rejection + round-trip laws in PropertiesSpec",
+      "binary payload decode (zlib/JPEG pixels, PCM) has no SQL analog; planted-pair recall + rejection + round-trip laws in PropertiesSpec",
     "audio_stats" ->
       "binary PCM decode has no SQL analog; hand-computed RMS/clip/silence laws in PropertiesSpec",
     "semdedup" ->

@@ -13,17 +13,19 @@ import org.apache.spark.sql.functions._
   * width/height/frame-count/sample-rate from the actual bytes. A malformed
   * payload degrades to a quarantine `error` column instead of throwing.
   *
-  * PNG and WAV transcode is ALSO real: PNG pixel data is zlib
+  * PNG, JPEG, and WAV transcode is ALSO real: PNG pixel data is zlib
   * (`java.util.zip.Inflater/Deflater` — in the JDK, no external codec) under
-  * the five spec scanline filters, and WAV data is raw PCM — so
-  * [[Containers.decodePngPixels]] / [[Containers.decodeWavSamples]] decode
-  * actual pixels/samples, [[resizeMedia]] box-resamples REAL pixels, and
-  * [[mediaNearDup]] / [[audioStats]] run on decoded content (aHash/dHash
-  * perceptual fingerprints; RMS/clipping/silence). Only JPEG entropy
-  * decode and AVI stream decode remain sanctioned stubs (genuine codecs
-  * the container doesn't ship — marked `???` below). No DuckDB oracle
-  * (binary payloads): rows-only checks + ScalaTest round-trip/filter/fuzz
-  * laws in PropertiesSpec.
+  * the five spec scanline filters, JPEG entropy coding goes through the
+  * JDK's own baseline codec (`javax.imageio`, java.desktop — also in the
+  * JDK, headless-safe), and WAV data is raw PCM — so
+  * [[Containers.decodePngPixels]] / [[Containers.decodeJpegPixels]] /
+  * [[Containers.decodeWavSamples]] decode actual pixels/samples,
+  * [[resizeMedia]] box-resamples REAL pixels, and [[mediaNearDup]] /
+  * [[audioStats]] run on decoded content (aHash/dHash perceptual
+  * fingerprints; RMS/clipping/silence). Only AVI video-stream decode
+  * remains a sanctioned stub (a genuine codec the container doesn't ship —
+  * marked `???` below). No DuckDB oracle (binary payloads): rows-only
+  * checks + ScalaTest round-trip/filter/fuzz laws in PropertiesSpec.
   */
 object Multimodal {
 
@@ -228,6 +230,61 @@ object Multimodal {
           Right((rate, chans, samples))
         }
       } catch { case scala.util.control.NonFatal(_) => Left("wav_corrupt") }
+
+    /** JPEG WITH real entropy-coded content — via the JDK's own baseline
+      * JPEG codec (`javax.imageio`, part of java.desktop: in the JDK, no
+      * external dep, headless-safe). Lossy by nature: [[decodeJpegPixels]]
+      * recovers the pixels up to DCT quantization error (bounded-error
+      * round-trip law in PropertiesSpec), which is exactly what the
+      * perceptual-hash tier is robust to. */
+    def jpegRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3,
+        s"rgb length ${rgb.length} != $width x $height x 3")
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) |
+            (rgb(i + 2) & 0xff))
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+
+    /** REAL JPEG pixel decode via the JDK codec. Total: any input the
+      * codec rejects (or that is not a JPEG at all) degrades to Left. */
+    def decodeJpegPixels(bytes: Array[Byte]): Either[String, (Int, Int, Array[Byte])] =
+      try {
+        if (bytes.length < 2 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+          return Left("not_jpeg")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return Left("jpeg_undecodable")
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w <= 0 || h <= 0) return Left("jpeg_bad_dims")
+        if (w.toLong * h * 3 > Int.MaxValue) return Left("jpeg_too_large")
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            rgb(i) = ((p >> 16) & 0xff).toByte
+            rgb(i + 1) = ((p >> 8) & 0xff).toByte
+            rgb(i + 2) = (p & 0xff).toByte
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        Right((w, h, rgb))
+      } catch { case scala.util.control.NonFatal(_) => Left("jpeg_corrupt") }
 
     /** JPEG/JFIF: SOI, APP0 "JFIF", SOF0 (3-component baseline), EOI. */
     def jpeg(width: Int, height: Int): Array[Byte] = {
@@ -538,17 +595,19 @@ object Multimodal {
     out
   }
 
-  /** Manufacture a media table with VALID containers carrying REAL content
-    * where the format allows it without a codec: even-image-id rows are
-    * PNGs with actual deflated pixel data, audio rows are WAVs with actual
-    * 16-bit PCM; odd-image-id JPEGs and AVIs are header-only (their
-    * entropy/stream decode is the sanctioned codec stub). Content derives
-    * deterministically from ids/text so results are reproducible. Planted
-    * near-dups for the perceptual-dedup operators: every 7th PNG
-    * (id % 42 == 0) repeats the previous PNG's content brightness-shifted;
-    * every 11th audio row (id % 33 == 1) repeats the previous audio row's
-    * waveform at 4/5 gain. One row in 47 is truncated to 6 bytes — a
-    * malformed container exercising the quarantine path. */
+  /** Manufacture a media table with VALID containers carrying REAL
+    * content wherever a JDK-resident codec exists: even-image-id rows are
+    * PNGs with actual deflated pixel data, odd-image-id rows are JPEGs
+    * with actual entropy-coded pixel data (JDK baseline codec), audio
+    * rows are WAVs with actual 16-bit PCM; AVIs are header-only (their
+    * stream decode is the sanctioned codec stub). Content derives
+    * deterministically from ids/text so results are reproducible.
+    * Planted near-dups for the perceptual-dedup operators: every 7th PNG
+    * (id % 42 == 0) and every 5th JPEG (id % 30 == 3) repeat the previous
+    * same-format image brightness-shifted; every 11th audio row
+    * (id % 33 == 1) repeats the previous audio row's waveform at 4/5
+    * gain. One row in 47 is truncated to 6 bytes — a malformed container
+    * exercising the quarantine path. */
   def mediaTable(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     val rates = Array(8000, 16000, 22050, 44100, 48000)
@@ -567,9 +626,16 @@ object Multimodal {
           val jitter = if (baseId != id) 4 else 0
           ("image", Containers.pngRgb(w, h, synthRgb(seed, w, h, jitter)))
         case 0 =>
-          val w = (64 + posMod(ck, 960)).toInt
-          val h = (64 + posMod(ck >> 10, 960)).toInt
-          ("image", Containers.jpeg(w, h))
+          // real-content JPEG through the JDK codec, same base-id planting
+          // discipline as PNG (every 5th JPEG repeats its predecessor
+          // brightness-shifted — lossy encode, so the perceptual pair law
+          // holds at a small hamming tolerance rather than exactly)
+          val baseId = if (id % 30 == 3 && id >= 33) id - 6 else id
+          val seed = mix64(baseId)
+          val w = (24 + posMod(mix64(seed ^ 1), 88)).toInt
+          val h = (24 + posMod(mix64(seed ^ 2), 88)).toInt
+          val jitter = if (baseId != id) 4 else 0
+          ("image", Containers.jpegRgb(w, h, synthRgb(seed, w, h, jitter)))
         case 1 =>
           // real-PCM WAV, same base-id discipline; planted copies replay
           // the waveform at 4/5 gain
@@ -626,7 +692,9 @@ object Multimodal {
   def mediaHashes(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     mediaTable(spark, documents).mapPartitions(_.flatMap { r =>
-      Containers.decodePngPixels(r.payload) match {
+      val px = Containers.decodePngPixels(r.payload)
+        .orElse(Containers.decodeJpegPixels(r.payload))
+      px match {
         case Right((w, h, rgb)) =>
           Iterator.single(MediaHash(r.media_id, "image",
             Pixels.dHash64(rgb, w, h), Pixels.aHash64(rgb, w, h)))
@@ -725,14 +793,14 @@ object Multimodal {
   case class ResizedMedia(media_id: Long, media_type: String, width: Int,
       height: Int, payload: Array[Byte])
 
-  /** Resize. For PNG this is the REAL pipeline end to end: decode actual
-    * pixels ([[Containers.decodePngPixels]]), box-resample
-    * ([[Pixels.boxResize]]), re-encode a standards-conformant PNG with the
-    * resized pixel data ([[Containers.pngRgb]]) — decode → resample →
-    * re-encode with no stub anywhere. JPEG and AVI re-encode a valid
-    * header at the target dims but their DATA stays the sanctioned codec
-    * stub (entropy/stream decode needs a codec the container doesn't
-    * ship — marked `???`). Audio and malformed rows pass through. */
+  /** Resize. For PNG and JPEG this is the REAL pipeline end to end:
+    * decode actual pixels ([[Containers.decodePngPixels]] /
+    * [[Containers.decodeJpegPixels]]), box-resample
+    * ([[Pixels.boxResize]]), re-encode a standards-conformant container
+    * with the resized pixel data — decode → resample → re-encode with no
+    * stub anywhere. AVI re-encodes a valid header at the target dims but
+    * its stream DATA stays the sanctioned codec stub (marked `???`).
+    * Audio and malformed rows pass through. */
   def resizeMedia(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.map { r =>
@@ -743,9 +811,14 @@ object Multimodal {
               Containers.pngRgb(w, h, Pixels.boxResize(rgb, sw, sh, w, h))
             case Left(_) => Containers.png(w, h) // header-only png: header resize
           }
-        case Right(p) if p.format == "jpeg" => Containers.jpeg(w, h)
+        case Right(p) if p.format == "jpeg" =>
+          Containers.decodeJpegPixels(r.payload) match {
+            case Right((sw, sh, rgb)) =>
+              Containers.jpegRgb(w, h, Pixels.boxResize(rgb, sw, sh, w, h))
+            case Left(_) => Containers.jpeg(w, h) // header-only jpeg: header resize
+          }
         case Right(p) if p.format == "avi" => Containers.avi(w, h, p.nFrames)
-        // ??? <- real JPEG/AVI resample needs their entropy/stream codecs.
+        // ??? <- real AVI resample needs its video stream codec.
         case _ => r.payload // audio / malformed: pass through
       }
       ResizedMedia(r.media_id, r.media_type, w, h, out)

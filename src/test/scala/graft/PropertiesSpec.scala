@@ -244,6 +244,7 @@ class PropertiesSpec extends SparkTestBase {
         Containers.wav(8000, 2, 16, 4, Array[Byte](1)),
         Containers.avi(320, 240, 12),
         Containers.pngRgb(9, 7, Array.tabulate[Byte](9 * 7 * 3)(_.toByte)),
+        Containers.jpegRgb(9, 7, Array.tabulate[Byte](9 * 7 * 3)(_.toByte)),
         Containers.wavPcm16(8000, 1, Array[Short](5, -9, 300, -32768)))
       pos <- Gen.choose(0, base.length - 1)
       bit <- Gen.choose(0, 7)
@@ -259,7 +260,11 @@ class PropertiesSpec extends SparkTestBase {
         case Left(reason) => reason.nonEmpty
         case Right((rate, ch, _)) => rate > 0 && ch > 0
       }
-      pxOk && auOk && (Containers.parse(bytes) match {
+      val jpOk = Containers.decodeJpegPixels(bytes) match {
+        case Left(reason) => reason.nonEmpty
+        case Right((w, h, rgb)) => w > 0 && h > 0 && rgb.length == w * h * 3
+      }
+      pxOk && auOk && jpOk && (Containers.parse(bytes) match {
         case Left(reason) => reason.nonEmpty
         case Right(p) => p.format match {
           case "png" | "jpeg" => p.width > 0 && p.height > 0
@@ -344,6 +349,38 @@ class PropertiesSpec extends SparkTestBase {
         dw == 8 && dh == 6 && java.util.Arrays.equals(drgb, want) })
   }
 
+  test("law: JPEG transcode is real — bounded-error round-trip, real resize") {
+    import graft.ops.Multimodal.{Containers, Pixels}
+    // the JDK baseline codec is lossy: decode(encode) must keep the dims
+    // exact and the pixels within DCT quantization error on smooth content
+    val (w, h) = (32, 24)
+    val rgb = Array.tabulate[Byte](w * h * 3) { i =>
+      val (x, y) = ((i / 3) % w, (i / 3) / w)
+      (i % 3 match {
+        case 0 => x * 255 / w
+        case 1 => y * 255 / h
+        case _ => (x + y) * 127 / (w + h)
+      }).toByte
+    }
+    val back = Containers.decodeJpegPixels(Containers.jpegRgb(w, h, rgb))
+    assert(back.exists { case (dw, dh, _) => dw == w && dh == h })
+    val drgb = back.toOption.get._3
+    val meanErr = rgb.indices.map(i =>
+      math.abs((rgb(i) & 0xff) - (drgb(i) & 0xff))).sum.toDouble / rgb.length
+    assert(meanErr < 16.0, s"mean abs channel error $meanErr too high")
+    // ...and small enough that the perceptual gradient hash survives
+    assert(java.lang.Long.bitCount(
+      Pixels.dHash64(rgb, w, h) ^ Pixels.dHash64(drgb, w, h)) <= 3)
+    // resizeMedia's JPEG branch really resamples: target dims decode back
+    val s = spark
+    import s.implicits._
+    val media = Seq(graft.ops.Multimodal.MediaRow(
+      1L, "image", Containers.jpegRgb(w, h, rgb))).toDS()
+    val rz = graft.ops.Multimodal.resizeMedia(media, 8, 6).collect().head
+    assert(Containers.decodeJpegPixels(rz.payload)
+      .exists { case (dw, dh, _) => dw == 8 && dh == 6 })
+  }
+
   test("law: WAV PCM round-trip and hand-computed audio stats") {
     import graft.ops.Multimodal.Containers
     val pcm: Gen[(Int, Int, Array[Short])] = for {
@@ -392,23 +429,39 @@ class PropertiesSpec extends SparkTestBase {
     val docs = Tables.documents(spark, SF)
     val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     def decodable(id: Long) = id % 47 != 0 // truncated rows can't hash
-    val plantedImg = ids.filter(id => id % 42 == 0 && id >= 42 &&
+    // lossless PNG pairs: the brightness shift leaves dHash bit-identical,
+    // so every planted pair MUST surface
+    val plantedPng = ids.filter(id => id % 42 == 0 && id >= 42 &&
+      ids(id - 6) && decodable(id) && decodable(id - 6)).map(id => (id - 6, id))
+    // lossy JPEG pairs: DCT noise can cost a few dHash bits, so a planted
+    // pair surfaces iff its true hamming clears the query's maxHamming —
+    // asserted both ways from the hashes themselves below
+    val plantedJpg = ids.filter(id => id % 30 == 3 && id >= 33 &&
       ids(id - 6) && decodable(id) && decodable(id - 6)).map(id => (id - 6, id))
     val plantedAud = ids.filter(id => id % 33 == 1 && id >= 34 &&
       ids(id - 3) && decodable(id) && decodable(id - 3)).map(id => (id - 3, id))
-    assert(plantedImg.nonEmpty && plantedAud.nonEmpty, "test corpus too small")
+    assert(plantedPng.nonEmpty && plantedJpg.nonEmpty && plantedAud.nonEmpty,
+      "test corpus too small")
+    val dhashes = graft.ops.Multimodal.mediaHashes(spark, docs)
+      .filter(col("kind") === "image").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val jpgWithin = plantedJpg.filter { case (a, b) =>
+      java.lang.Long.bitCount(dhashes(a) ^ dhashes(b)) <= 3 }
+    assert(jpgWithin.size * 2 >= plantedJpg.size,
+      s"lossy encode destroyed most planted JPEG pairs: $jpgWithin of $plantedJpg")
     val pairs = q("media_phash_dedup").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getAs[Number](3).longValue))
     assert(pairs.forall(_._4 <= 3))
     val gotImg = pairs.filter(_._1 == "image").map(p => (p._2, p._3)).toSet
     val gotAud = pairs.filter(_._1 == "audio").map(p => (p._2, p._3)).toSet
-    assert(plantedImg.subsetOf(gotImg),
-      s"missed planted image pairs: ${plantedImg -- gotImg}")
+    val wantImg = plantedPng ++ jpgWithin
+    assert(wantImg.subsetOf(gotImg),
+      s"missed planted image pairs: ${wantImg -- gotImg}")
     assert(plantedAud.subsetOf(gotAud),
       s"missed planted audio pairs: ${plantedAud -- gotAud}")
     // rejection: unrelated content does not collide (deterministic corpus)
-    assert(gotImg == plantedImg, s"spurious image pairs: ${gotImg -- plantedImg}")
+    assert(gotImg == wantImg, s"spurious image pairs: ${gotImg -- wantImg}")
     assert(gotAud == plantedAud, s"spurious audio pairs: ${gotAud -- plantedAud}")
 
     // audio_stats: one row per decodable audio payload, all in range
