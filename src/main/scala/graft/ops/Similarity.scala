@@ -1293,7 +1293,7 @@ object Similarity {
     * subvectors, broadcast-join all m·ks codebook rows on `sub`, codegen
     * distance, keep the argmin code per (vec_id, sub) with a deterministic
     * tie-break. One shuffle-free broadcast join however big the corpus. */
-  private def pqEncode(vectors: DataFrame, codebooks: DataFrame,
+  private[graft] def pqEncode(vectors: DataFrame, codebooks: DataFrame,
       m: Int, subDim: Int): DataFrame = {
     val subvecs = vectors.select(col("vec_id"),
         explode(array((0 until m).map(j => struct(lit(j).as("sub"),

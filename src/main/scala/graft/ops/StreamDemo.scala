@@ -1064,6 +1064,152 @@ object StreamDemo {
       deltas.foldLeft(base.vectors)(_ unionByName _))
   }
 
+  /** [[streamIvfAppend]] for the LSH bucket layer — new vectors bucket
+    * with the STANDING (tables, bits, dim) from the meta layer (the
+    * [[graft.ops.Similarity.lshAppend]] contract: planes derive from the
+    * params alone, so streamed bucketing ≡ batch append bit-exactly),
+    * each micro-batch an immutable (table_id, bucket)-partitioned delta
+    * under `indexDir/appends/batch_id=N` with the same
+    * overwrite-own-dir replay idempotence. Wrong-dim batches fail the
+    * stream rather than corrupt the bucket space. */
+  def streamLshAppend(spark: SparkSession, vecsDir: String,
+      indexDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val (tables, bits, dim) =
+      (meta.getAs[Int]("tables"), meta.getAs[Int]("bits"), meta.getAs[Int]("dim"))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(vecsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val e = graft.ops.Similarity.withNorms(batch).localCheckpoint(true)
+        val n = e.count()
+        if (n > 0) {
+          val badDim = e.filter(size(col("v")) =!= dim).count()
+          require(badDim == 0,
+            s"streamed batch $batchId carries $badDim wrong-dim vectors (index dim $dim)")
+          e.select(col("vec_id"), posexplode(
+              graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)))
+            .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket"))
+            .write.mode("overwrite").partitionBy("table_id", "bucket")
+            .parquet(s"$indexDir/appends/batch_id=$batchId/buckets")
+          e.write.mode("overwrite")
+            .parquet(s"$indexDir/appends/batch_id=$batchId/vectors")
+          // the batch commits atomically-enough for readers: the vectors
+          // sublayer lands last and carries the _SUCCESS the reader gates
+          // on, so a half-written delta (buckets only) is never assembled
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Batch-delta directories under `indexDir/appends` whose EVERY
+    * sublayer carries its `_SUCCESS` marker — the completeness gate for
+    * multi-sublayer deltas (single-layer IVF deltas go through
+    * [[ReportStore.completeIds]], whose `_SUCCESS` sits at the batch dir
+    * itself). Writers emit sublayers in a fixed order with the gate's
+    * last one written last, so a crashed half-delta is never listed. */
+  private def completeDeltaDirs(spark: SparkSession, indexDir: String,
+      sublayers: Seq[String]): Seq[String] = {
+    val appends = new org.apache.hadoop.fs.Path(s"$indexDir/appends")
+    val hfs = ReportStore.fs(spark, appends)
+    if (!hfs.exists(appends)) Seq.empty
+    else hfs.listStatus(appends).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("batch_id=") &&
+        sublayers.forall(s =>
+          hfs.exists(new org.apache.hadoop.fs.Path(p, s"$s/_SUCCESS"))))
+      .map(_.toString)
+  }
+
+  /** Assemble the streamed LSH index: base + complete two-sublayer
+    * deltas (buckets written first, vectors last). */
+  def streamLshRead(spark: SparkSession,
+      indexDir: String): graft.ops.Similarity.LshIndex = {
+    val base = graft.ops.Similarity.lshRead(spark, indexDir)
+    val deltas = completeDeltaDirs(spark, indexDir, Seq("buckets", "vectors"))
+    val buckets = deltas.map(p => spark.read
+      .schema(base.buckets.schema).parquet(s"$p/buckets"))
+      .foldLeft(base.buckets)(_ unionByName _)
+    val vectors = deltas.map(p => spark.read
+      .schema(base.vectors.schema).parquet(s"$p/vectors"))
+      .foldLeft(base.vectors)(_ unionByName _)
+    base.copy(buckets = buckets, vectors = vectors)
+  }
+
+  /** [[streamIvfAppend]] for the full IVF-PQ index — the streamed form of
+    * [[graft.ops.Similarity.pqAppend]]: one shared standing-centroid
+    * assignment pass feeds a cell-partitioned vectors sublayer AND a
+    * codes sublayer encoded against the STANDING sub-codebooks (never
+    * refit — a new codebook would decode old codes into different
+    * vectors). Codes land last and carry the completeness gate. */
+  def streamPqAppend(spark: SparkSession, vecsDir: String,
+      indexDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    val codebooks = spark.read.parquet(s"$indexDir/codebooks").localCheckpoint(true)
+    val shape = codebooks
+      .agg(max(col("sub")).as("maxSub"), max(size(col("centroid"))).as("subDim"))
+      .head()
+    val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
+    val centroids = spark.read.parquet(s"$indexDir/ivf/centroids")
+      .localCheckpoint(true)
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(vecsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val e = graft.ops.Similarity.withNorms(batch).localCheckpoint(true)
+        if (e.count() > 0) {
+          val badDim = e.filter(size(col("v")) =!= m * subDim).count()
+          require(badDim == 0,
+            s"streamed batch $batchId carries $badDim wrong-dim vectors (index dim ${m * subDim})")
+          val assigned = graft.ops.Similarity.ivfAssign(centroids, batch)
+            .localCheckpoint(true)
+          assigned.write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$indexDir/appends/batch_id=$batchId/vectors")
+          graft.ops.Similarity.pqEncode(assigned, codebooks, m, subDim)
+            .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$indexDir/appends/batch_id=$batchId/codes")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Assemble the streamed IVF-PQ index: base + complete two-sublayer
+    * deltas in both the vectors and codes tiers, pruning intact. */
+  def streamPqRead(spark: SparkSession,
+      indexDir: String): graft.ops.Similarity.PqIndex = {
+    val base = graft.ops.Similarity.pqRead(spark, indexDir)
+    val deltas = completeDeltaDirs(spark, indexDir, Seq("vectors", "codes"))
+    // project each delta to the base layer's exact columns: partition
+    // discovery re-adds `cell`, which the base codes layer doesn't carry
+    val vectors = deltas.map(p => spark.read
+      .schema(base.ivf.vectors.schema).parquet(s"$p/vectors")
+      .select(base.ivf.vectors.columns.map(col): _*))
+      .foldLeft(base.ivf.vectors)(_ unionByName _)
+    val codes = deltas.map(p => spark.read
+      .schema(base.codes.schema).parquet(s"$p/codes")
+      .select(base.codes.columns.map(col): _*))
+      .foldLeft(base.codes)(_ unionByName _)
+    base.copy(ivf = graft.ops.Similarity.IvfIndex(base.ivf.centroids, vectors),
+      codes = codes)
+  }
+
   /** Materialize the newest committed streamed order-n LM — scoring-ready,
     * bit-identical to batch [[Text.lmnTrain]] over everything ingested. */
   def readLmNModel(spark: SparkSession, storeDir: String,

@@ -83,4 +83,89 @@ class StreamAnnSpec extends SparkTestBase with TimeLimitedTests {
     assert(streamed.vectors.groupBy("vec_id").count()
       .filter(col("count") > 1).count() == 0)
   }
+
+  test("streamed LSH appends bucket identically to batch lshAppend; twin retrievable") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("annl_src")
+    val streamDir = java.nio.file.Files.createTempDirectory("annl_stream").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("annl_batch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("annl_ckpt")
+
+    val emb = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding").orderBy("vec_id")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val arriving = emb.filter(col("vec_id") % 5 === 0)
+    val built = Similarity.lshBuild(base)
+    Similarity.lshWrite(built, streamDir)
+    Similarity.lshWrite(built, batchDir)
+
+    val tmp = java.nio.file.Files.createTempDirectory("annl_tmp")
+    arriving.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles((_, n) => n.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, src.resolve("batch1.parquet"))
+
+    val q = StreamDemo.streamLshAppend(s2, src.toString, streamDir, ckpt.toString)
+    try q.processAllAvailable() finally q.stop()
+    Similarity.lshAppend(spark, batchDir, arriving)
+
+    // planes derive from standing params alone ⇒ streamed bucketing must
+    // be BIT-IDENTICAL to batch append
+    def bucketSet(idx: Similarity.LshIndex) = idx.buckets
+      .select("vec_id", "table_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue,
+        r.getAs[Number](2).longValue)).toSet
+    val streamed = StreamDemo.streamLshRead(spark, streamDir)
+    assert(bucketSet(streamed) == bucketSet(Similarity.lshRead(spark, batchDir)))
+
+    // a planted twin of a streamed vector is retrievable through the
+    // pruned service path over the assembled index
+    val twinOf = arriving.limit(1).collect().head.getLong(0)
+    val probe = arriving.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("embedding"))
+    val hits = Similarity.lshQueryPruned(streamed, probe, k = 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(twinOf), s"streamed twin $twinOf not in top-k $hits")
+  }
+
+  test("streamed PQ appends encode with standing codebooks, equal batch pqAppend") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("annp_src")
+    val streamDir = java.nio.file.Files.createTempDirectory("annp_stream").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("annp_batch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("annp_ckpt")
+
+    val emb = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding").orderBy("vec_id")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val arriving = emb.filter(col("vec_id") % 5 === 0)
+    val built = Similarity.pqBuild(base, nCells = 16)
+    Similarity.pqWrite(built, streamDir)
+    Similarity.pqWrite(built, batchDir)
+
+    val tmp = java.nio.file.Files.createTempDirectory("annp_tmp")
+    arriving.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles((_, n) => n.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, src.resolve("batch1.parquet"))
+
+    val q = StreamDemo.streamPqAppend(s2, src.toString, streamDir, ckpt.toString)
+    try q.processAllAvailable() finally q.stop()
+    Similarity.pqAppend(spark, batchDir, arriving)
+
+    // standing codebooks + standing centroids ⇒ streamed codes must be
+    // BIT-IDENTICAL to batch append's
+    def codeSet(idx: Similarity.PqIndex) = idx.codes
+      .select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    val streamed = StreamDemo.streamPqRead(spark, streamDir)
+    assert(codeSet(streamed) == codeSet(Similarity.pqRead(spark, batchDir)))
+    assert(streamed.ivf.vectors.count() == emb.count())
+
+    // twin retrievable through the probe-pruned ADC + rerank path
+    val twinOf = arriving.limit(1).collect().head.getLong(0)
+    val probe = arriving.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("embedding"))
+    val hits = Similarity.pqQuery(streamed, probe, k = 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(twinOf), s"streamed twin $twinOf not in top-k $hits")
+  }
 }
