@@ -24,8 +24,9 @@ trap 'rm -rf "$tmpdir"' EXIT
 for i in $(seq 1 "$RUNS"); do
   SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.Bench" \
     > "$tmpdir/run$i.log" 2>&1 || { echo "bench run $i failed" >&2; exit 1; }
-  # the bench prints exactly one JSON object line
-  grep -m1 '^{"metric"' "$tmpdir/run$i.log" > "$tmpdir/run$i.json" \
+  # the bench prints one full JSON object line; sbt may prefix it with
+  # "[info] ", so match from the brace onward
+  grep -m1 -o '{"metric":"total",.*}' "$tmpdir/run$i.log" > "$tmpdir/run$i.json" \
     || { echo "no bench JSON in run $i" >&2; tail -5 "$tmpdir/run$i.log" >&2; exit 1; }
 done
 

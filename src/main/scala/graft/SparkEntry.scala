@@ -353,6 +353,12 @@ object SparkEntry {
       lmModel(s, d),
       maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
       rates = Map("en" -> 0.5, "zh" -> 0.75))),
+    // the ORDER-3 thirds variant: the e2e pipeline at the gate order
+    // CCNet's production model actually uses, same composition ordering
+    "curation_e2e_n3" -> ((s, d) => Text.curationE2ePplN(Tables.documents(s, d),
+      lmn3Model(s, d),
+      maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
+      rates = Map("en" -> 0.5, "zh" -> 0.75))),
     // the calibrated-percentile variant: drop each surviving source's
     // bottom quartile of the heuristic score (population-dependent)
     "curation_e2e_cal" -> ((s, d) => Text.curationE2eCal(Tables.documents(s, d),
@@ -447,6 +453,10 @@ object SparkEntry {
     // boundaries over the q6 score histogram), reusing the memoized LM
     "perplexity_buckets" -> ((s, d) =>
       Text.perplexityBuckets(Tables.documents(s, d), lmModel(s, d))),
+    // CCNet thirds at the order the published gate actually uses: same
+    // value-based boundary machinery over the trigram scorer
+    "perplexity_buckets_n3" -> ((s, d) =>
+      Text.perplexityBucketsN(Tables.documents(s, d), lmn3Model(s, d))),
     // enforcement form: keep head+middle, drop the least-fluent tail
     "perplexity_filter" -> ((s, d) =>
       Text.perplexityFilter(Tables.documents(s, d), lmModel(s, d))),
@@ -533,7 +543,11 @@ object SparkEntry {
     "media_phash_dedup" -> ((s, d) =>
       Multimodal.mediaNearDup(s, Tables.documents(s, d))),
     // real-sample audio quality report: RMS / peak / clipping / silence
-    "audio_stats" -> ((s, d) => Multimodal.audioStats(s, Tables.documents(s, d)))
+    "audio_stats" -> ((s, d) => Multimodal.audioStats(s, Tables.documents(s, d))),
+    // decode → box-resample → re-encode over REAL pixels, reported per
+    // media type with target-validity counts (quarantine made visible)
+    "media_resize_report" -> ((s, d) =>
+      Multimodal.resizeReport(s, Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -562,6 +576,8 @@ object SparkEntry {
       "binary payload decode (zlib/JPEG pixels, PCM) has no SQL analog; planted-pair recall + rejection + round-trip laws in PropertiesSpec",
     "audio_stats" ->
       "binary PCM decode has no SQL analog; hand-computed RMS/clip/silence laws in PropertiesSpec",
+    "media_resize_report" ->
+      "binary transcode (zlib/JPEG/PCM) has no SQL analog; per-type validity/count laws in PropertiesSpec",
     "semdedup" ->
       "k-means cells are MLlib-specific; kept-independence/witness laws in SimilaritySpec (exact twin semdedup_exact is oracled)",
     "semdedup_stats" ->

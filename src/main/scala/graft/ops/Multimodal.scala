@@ -804,25 +804,58 @@ object Multimodal {
   def resizeMedia(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.map { r =>
-      val out = Containers.parse(r.payload) match {
-        case Right(p) if p.format == "png" =>
-          Containers.decodePngPixels(r.payload) match {
-            case Right((sw, sh, rgb)) =>
-              Containers.pngRgb(w, h, Pixels.boxResize(rgb, sw, sh, w, h))
-            case Left(_) => Containers.png(w, h) // header-only png: header resize
-          }
-        case Right(p) if p.format == "jpeg" =>
-          Containers.decodeJpegPixels(r.payload) match {
-            case Right((sw, sh, rgb)) =>
-              Containers.jpegRgb(w, h, Pixels.boxResize(rgb, sw, sh, w, h))
-            case Left(_) => Containers.jpeg(w, h) // header-only jpeg: header resize
-          }
-        case Right(p) if p.format == "avi" => Containers.avi(w, h, p.nFrames)
-        // ??? <- real AVI resample needs its video stream codec.
-        case _ => r.payload // audio / malformed: pass through
-      }
-      ResizedMedia(r.media_id, r.media_type, w, h, out)
+      ResizedMedia(r.media_id, r.media_type, w, h, resizePayload(r.payload, w, h))
     })
+  }
+
+  /** The per-payload resize core [[resizeMedia]] and [[resizeReport]]
+    * share. */
+  private def resizePayload(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+    Containers.parse(payload) match {
+      case Right(p) if p.format == "png" =>
+        Containers.decodePngPixels(payload) match {
+          case Right((sw, sh, rgb)) =>
+            Containers.pngRgb(w, h, Pixels.boxResize(rgb, sw, sh, w, h))
+          case Left(_) => Containers.png(w, h) // header-only png: header resize
+        }
+      case Right(p) if p.format == "jpeg" =>
+        Containers.decodeJpegPixels(payload) match {
+          case Right((sw, sh, rgb)) =>
+            Containers.jpegRgb(w, h, Pixels.boxResize(rgb, sw, sh, w, h))
+          case Left(_) => Containers.jpeg(w, h) // header-only jpeg: header resize
+        }
+      case Right(p) if p.format == "avi" => Containers.avi(w, h, p.nFrames)
+      // ??? <- real AVI resample needs its video stream codec.
+      case _ => payload // audio / malformed: pass through
+    }
+
+  /** Corpus-level report of the real resize pass — the thumbnailing audit
+    * a multimodal ingest reads: per media type, item count, in/out byte
+    * mass (the size win of normalizing a corpus to one target geometry),
+    * and how many outputs are VALID containers at the target dims
+    * (malformed inputs pass through and fail the check — quarantine made
+    * visible, the `passage_overlap_dropped` no-silent-drops discipline).
+    * Audio counts as valid when it round-trips (resize is a no-op for
+    * it); the decode → resample → re-encode runs on REAL pixels for
+    * PNG/JPEG. Rows-only (binary in); laws in PropertiesSpec. */
+  def resizeReport(spark: SparkSession, documents: DataFrame,
+      w: Int = 64, h: Int = 64): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, documents).mapPartitions(_.map { r =>
+      val out = resizePayload(r.payload, w, h)
+      val ok = Containers.parse(out) match {
+        case Right(p) if p.format == "wav" => true // audio: unchanged payload
+        case Right(p) => p.width == w && p.height == h
+        case Left(_) => false
+      }
+      (r.media_type, r.payload.length.toLong, out.length.toLong,
+        if (ok) 1L else 0L)
+    }).toDF("media_type", "in_bytes", "out_bytes", "ok")
+      .groupBy("media_type").agg(
+        count(lit(1)).as("n_items"),
+        sum("in_bytes").as("total_in_bytes"),
+        sum("out_bytes").as("total_out_bytes"),
+        sum("ok").as("n_valid_at_target"))
   }
 
   /** One sampled frame of a media item. */

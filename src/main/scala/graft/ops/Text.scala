@@ -1309,6 +1309,25 @@ object Text {
         rates, defaultRate).drop("sample_key"),
       budgetTokens, tok, bucketChars)
 
+  /** [[curationE2ePpl]] with the ORDER-N gate in the thirds slot — the
+    * e2e pipeline at the order CCNet's production gate actually uses.
+    * Same population-dependent ordering (boundaries computed on the
+    * source-FILTERED corpus), same one-declared-plan composition; only
+    * the scorer changes. Declared as `curation_e2e_n3`, oracled. */
+  def curationE2ePplN(documents: DataFrame, model: LmNModel,
+      keep: Seq[String] = Seq("head", "middle"),
+      maxDupFrac: Double = 0.5, maxLowQualityFrac: Double = 0.8,
+      rates: Map[String, Double] = Map("en" -> 0.5),
+      defaultRate: Double = 1.0, budgetTokens: Long = 2048L,
+      tok: Tok = WhitespaceTok, bucketChars: Int = 2): DataFrame =
+    packSequencesSplit(
+      sampleMixture(
+        perplexityFilterN(
+          filterBySource(documents, maxDupFrac, maxLowQualityFrac),
+          model, keep),
+        rates, defaultRate).drop("sample_key"),
+      budgetTokens, tok, bucketChars)
+
   /** Exact-count stratified sample — `perSource` docs from EVERY source,
     * deterministically: the kept set is the `perSource` smallest
     * md5(doc_id) keys within each source (the [[Similarity.bucketBalancedSample]]
@@ -2246,9 +2265,27 @@ object Text {
     * and broadcasts the |sources|-row boundary table back over the scored
     * stream. No per-doc global sort anywhere. */
   def perplexityBuckets(documents: DataFrame, model: LmModel,
-      lam: Double = 0.5): DataFrame = {
+      lam: Double = 0.5): DataFrame =
+    bucketsFromScored(lmScoreWith(model, documents, lam), documents)
+
+  /** [[perplexityBuckets]] under the order-n model — the thirds at the
+    * order CCNet actually gates with (its production model is a 5-gram
+    * KenLM). Same value-based boundaries, same histogram collapse; only
+    * the scorer changes. Declared as `perplexity_buckets_n3`, oracled. */
+  def perplexityBucketsN(documents: DataFrame, model: LmNModel,
+      lam: Double = 0.5): DataFrame =
+    bucketsFromScored(lmnScoreWith(model, documents, lam), documents)
+
+  /** The scorer-agnostic thirds machinery both bucket entry points share
+    * (one definition ⇒ bigram and order-n buckets can never drift on the
+    * boundary rule): within each source, value-based head/middle cuts
+    * over the (source, avg_logp) HISTOGRAM — the cumulative window runs
+    * over distinct q6 scores, not docs — broadcast back over the scored
+    * stream. */
+  private def bucketsFromScored(scoredIn: DataFrame,
+      documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = lmScoreWith(model, documents, lam)
+    val scored = scoredIn
       .join(documents.select("doc_id", "source"), Seq("doc_id"))
       .select("doc_id", "source", "avg_logp")
     val hist = scored.groupBy(col("source"), col("avg_logp"))
@@ -2282,6 +2319,14 @@ object Text {
       keep: Seq[String] = Seq("head", "middle"), lam: Double = 0.5): DataFrame =
     documents.join(
       perplexityBuckets(documents, model, lam)
+        .filter(col("ppl_bucket").isin(keep: _*)).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+  /** [[perplexityFilter]] under the order-n model. */
+  def perplexityFilterN(documents: DataFrame, model: LmNModel,
+      keep: Seq[String] = Seq("head", "middle"), lam: Double = 0.5): DataFrame =
+    documents.join(
+      perplexityBucketsN(documents, model, lam)
         .filter(col("ppl_bucket").isin(keep: _*)).select("doc_id"),
       Seq("doc_id"), "left_semi")
 

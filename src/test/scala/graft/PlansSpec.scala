@@ -117,8 +117,10 @@ class PlansSpec extends SparkTestBase {
       "lm_score_n3",             // same 1-row totals broadcast at order 3
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate
       "perplexity_buckets",      // same 1-row totals broadcast via lmScoreWith
+      "perplexity_buckets_n3",   // same, via the order-3 scorer
       "perplexity_filter",       // same, via the bucket gate
       "curation_e2e_ppl",        // same, via the thirds gate in the pipeline
+      "curation_e2e_n3",         // same, via the order-3 thirds gate
       "curation_funnel",         // same 1-row totals broadcast via the LM gate flag
       "quality_classifier",      // 1-row smoothing-floor broadcast
       "classifier_pr",           // bounded histogram cumulative self-join

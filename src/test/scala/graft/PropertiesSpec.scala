@@ -474,6 +474,21 @@ class PropertiesSpec extends SparkTestBase {
         r.getDouble(6) >= 0 && r.getDouble(6) <= 1 &&
         r.getDouble(7) >= 0 && r.getDouble(7) <= 1
     })
+
+    // media_resize_report: counts partition the media table; every
+    // non-quarantined row transcodes to a VALID container at the target
+    val rr = q("media_resize_report").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rr.keySet == Set("image", "audio", "video"))
+    for ((mtype, m) <- Seq("image" -> 0L, "audio" -> 1L, "video" -> 2L)) {
+      val typeIds = ids.filter(_ % 3 == m)
+      val row = rr(mtype)
+      assert(row.getAs[Long]("n_items") == typeIds.size)
+      assert(row.getAs[Long]("n_valid_at_target") ==
+        typeIds.count(decodable), s"$mtype validity mismatch")
+      assert(row.getAs[Long]("total_in_bytes") > 0
+        && row.getAs[Long]("total_out_bytes") > 0)
+    }
   }
 
   test("law: unicode normalization is total, idempotent, and junk-free") {
