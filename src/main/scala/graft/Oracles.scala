@@ -1401,6 +1401,54 @@ af AS (
              CAST(n_true_pos AS DOUBLE) / total_pos AS recall
       FROM cum CROSS JOIN totp""",
 
+    // threshold-free separability: exact rank-sum (Mann-Whitney) AUC
+    // over the classifier_pr score-bin histogram, half-credit ties;
+    // all-integer sums, one double division at the end
+    "classifier_auc" -> """
+      WITH p AS (SELECT source IN ('src0','src1','src2','src3') AS is_pos,
+                        unnest(regexp_split_to_array(text, '\s+')) AS token
+                 FROM documents),
+      counts AS (SELECT token,
+                        CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                        CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+                 FROM p GROUP BY token),
+      tot AS (SELECT CAST(SUM(c_pos) + COUNT(*) AS BIGINT) AS np_v,
+                     CAST(SUM(c_neg) + COUNT(*) AS BIGINT) AS nn_v FROM counts),
+      weights AS (SELECT token,
+                         floor(((ln(c_pos + 1) - ln(np_v)) - (ln(c_neg + 1) - ln(nn_v)))
+                               * 1000000.0 + 0.5) / 1000000.0 AS weight
+                  FROM counts CROSS JOIN tot),
+      floor_w AS (SELECT floor((ln(nn_v) - ln(np_v)) * 1000000.0 + 0.5)
+                         / 1000000.0 AS w0 FROM tot),
+      tk AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+             FROM documents),
+      scored AS (SELECT tk.doc_id, COALESCE(w.weight, f.w0) AS w
+                 FROM tk LEFT JOIN weights w USING (token) CROSS JOIN floor_w f),
+      agg AS (SELECT doc_id,
+                     CAST(CAST(SUM(CAST(w AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(w) AS mean_logodds
+              FROM scored GROUP BY doc_id),
+      labeled AS (SELECT a.doc_id, a.mean_logodds,
+                         d.source IN ('src0','src1','src2','src3') AS is_pos
+                  FROM agg a JOIN documents d USING (doc_id)),
+      hist AS (SELECT CAST(floor(mean_logodds * 100.0) AS BIGINT) AS bin,
+                      CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM labeled GROUP BY bin),
+      below AS (SELECT h.bin,
+                       CAST(COALESCE(SUM(h2.q), 0) AS BIGINT) AS neg_below
+                FROM hist h LEFT JOIN hist h2 ON h2.bin < h.bin
+                GROUP BY h.bin)
+      SELECT CAST(SUM(h.p) AS BIGINT) AS n_pos,
+             CAST(SUM(h.q) AS BIGINT) AS n_neg,
+             CAST(SUM(h.p * b.neg_below) AS BIGINT) AS n_wins,
+             CAST(SUM(h.p * h.q) AS BIGINT) AS n_ties,
+             (CAST(CAST(SUM(h.p * b.neg_below) AS BIGINT) AS DOUBLE)
+                + CAST(CAST(SUM(h.p * h.q) AS BIGINT) AS DOUBLE) / 2.0)
+               / (CAST(CAST(SUM(h.p) AS BIGINT) AS DOUBLE)
+                  * CAST(SUM(h.q) AS BIGINT)) AS auc
+      FROM hist h JOIN below b ON h.bin = b.bin""",
+
     // Moore-Lewis cross-entropy difference: the lm_score model CTEs built
     // twice — in-domain from the trusted sources, background from the
     // train hash-split — scoring every doc's bigram stream once under

@@ -283,6 +283,11 @@ object SparkEntry {
     "classifier_pr" -> ((s, d) =>
       Text.classifierPr(Tables.documents(s, d), nbModel(s, d),
         org.apache.spark.sql.functions.col("source").isin(trustedSources: _*))),
+    // threshold-free separability: exact rank-sum (Mann-Whitney) ROC-AUC
+    // over the same score bins, half-credit ties
+    "classifier_auc" -> ((s, d) =>
+      Text.classifierAuc(Tables.documents(s, d), nbModel(s, d),
+        org.apache.spark.sql.functions.col("source").isin(trustedSources: _*))),
     // Moore-Lewis cross-entropy difference: in-domain LM (trusted sources)
     // vs the train-split background LM, scored in one bigram pass
     "contrast_score" -> ((s, d) =>

@@ -2495,6 +2495,44 @@ object Text {
         (col("n_true_pos").cast("double") / col("total_pos")).as("recall"))
   }
 
+  /** Exact ROC-AUC of the classifier score against `truth` — the one-row
+    * threshold-free companion to [[classifierPr]]: the probability a
+    * random positive outscores a random negative (Mann-Whitney U), with
+    * the standard half-credit for ties. Computed over the same 1e-2 score
+    * bins as the PR curve (so "tie" means same bin — the AUC OF THE
+    * BINNED SCORE, a well-defined exact quantity, not an approximation of
+    * something else):
+    *   AUC = [Σ_b pos_b·neg_below_b + ½·Σ_b pos_b·neg_b] / (P·N)
+    * Scale shape: per-doc scores collapse to the bounded bin histogram
+    * first; the below-b negative mass runs as the |bins|² broadcast
+    * self-join ([[classifierPr]]'s discipline — the corpus never moves
+    * through an unpartitioned window); one 1-row aggregate ends it.
+    * All-integer sums, one double division — DuckDB-oracled
+    * (`classifier_auc`). */
+  def classifierAuc(documents: DataFrame, model: NbModel,
+      truth: Column): DataFrame = {
+    val hist = nbScoreWith(model, documents)
+      .join(documents.select(col("doc_id"), truth.as("is_pos")), Seq("doc_id"))
+      .withColumn("bin", floor(col("mean_logodds") * 100.0).cast("long"))
+      .groupBy("bin").agg(
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("is_pos"), 0L).otherwise(1L)).as("q"))
+      .localCheckpoint(true)
+    val below = hist.select(col("bin"))
+      .join(broadcast(hist.select(col("bin").as("b2"), col("q").as("q2"))),
+        col("b2") < col("bin"), "left")
+      .groupBy("bin").agg(coalesce(sum("q2"), lit(0L)).as("neg_below"))
+    hist.join(below, Seq("bin"))
+      .agg(
+        sum("p").cast("long").as("n_pos"),
+        sum("q").cast("long").as("n_neg"),
+        sum(col("p") * col("neg_below")).cast("long").as("n_wins"),
+        sum(col("p") * col("q")).cast("long").as("n_ties"))
+      .select(col("n_pos"), col("n_neg"), col("n_wins"), col("n_ties"),
+        ((col("n_wins").cast("double") + col("n_ties").cast("double") / 2.0)
+          / (col("n_pos").cast("double") * col("n_neg"))).as("auc"))
+  }
+
   // -------------------------------------------------------------------------
   // Contrastive data selection (Moore-Lewis cross-entropy difference)
   // -------------------------------------------------------------------------

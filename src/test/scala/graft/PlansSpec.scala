@@ -124,6 +124,7 @@ class PlansSpec extends SparkTestBase {
       "curation_funnel",         // same 1-row totals broadcast via the LM gate flag
       "quality_classifier",      // 1-row smoothing-floor broadcast
       "classifier_pr",           // bounded histogram cumulative self-join
+      "classifier_auc",          // same bounded histogram self-join (rank sums)
       "curation_e2e_cls",        // 1-row smoothing-floor broadcast via the gate
       "contrast_score",          // two 1-row N/V totals broadcasts (both LMs)
       "contrast_select",         // same totals broadcasts via contrast scoring

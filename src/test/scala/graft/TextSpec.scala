@@ -1365,6 +1365,30 @@ class TextSpec extends SparkTestBase {
     assert(tri(101L)._2 < tri(100L)._2)
   }
 
+  test("classifierAuc equals a direct pairwise rank computation; bounded in [0,1]") {
+    val truth = col("source").isin("src0", "src1", "src2", "src3")
+    val m = Text.nbTrain(docs, truth)
+    // naive O(P·N) pairwise AUC over the SAME 1e-2 bins, computed in test
+    val binned = Text.nbScoreWith(m, docs)
+      .join(docs.select(col("doc_id"),
+        truth.as("is_pos")), Seq("doc_id"))
+      .select(floor(col("mean_logodds") * 100.0).cast("long").as("bin"),
+        col("is_pos"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val pos = binned.filter(_._2).map(_._1)
+    val neg = binned.filterNot(_._2).map(_._1)
+    val wins = pos.map(p => neg.count(_ < p).toLong).sum
+    val ties = pos.map(p => neg.count(_ == p).toLong).sum
+    val want = (wins + ties / 2.0) / (pos.length.toDouble * neg.length)
+    val r = Text.classifierAuc(docs, m, truth).collect().head
+    assert(r.getAs[Long]("n_pos") == pos.length && r.getAs[Long]("n_neg") == neg.length)
+    assert(r.getAs[Long]("n_wins") == wins && r.getAs[Long]("n_ties") == ties)
+    assert(r.getAs[Double]("auc") == want)
+    assert(want >= 0.0 && want <= 1.0)
+    // resubstitution on the seed labels should separate better than chance
+    assert(want > 0.5, s"seed-recovery AUC $want not above chance")
+  }
+
   test("perplexityFilter keeps exactly the head+middle bucket population") {
     val buckets = q("perplexity_buckets")
     val wantIds = buckets.filter(col("ppl_bucket").isin("head", "middle"))
