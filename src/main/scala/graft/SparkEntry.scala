@@ -499,6 +499,9 @@ object SparkEntry {
     // ---- similarity (north star)
     "similarity_bruteforce_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "quantize_embeddings" -> ((s, d) => Similarity.quantizeEmbeddings(Tables.embeddings(s, d))),
+    // top-16 principal-component reduction (the SemDeDup preprocessing
+    // tier): distributed covariance, driver d×d eigen, broadcast project
+    "embedding_pca" -> ((s, d) => Similarity.embeddingPca(Tables.embeddings(s, d))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     // int8 ADC + exact rerank over md5-plane LSH candidates — the full
     // candidates→ADC→survivors→rerank pipeline is DuckDB-value-checked
@@ -583,6 +586,8 @@ object SparkEntry {
       "binary PCM decode has no SQL analog; hand-computed RMS/clip/silence laws in PropertiesSpec",
     "media_resize_report" ->
       "binary transcode (zlib/JPEG/PCM) has no SQL analog; per-type validity/count laws in PropertiesSpec",
+    "embedding_pca" ->
+      "eigendecomposition is engine-specific (sign/degenerate-order are implementation-defined); shape/orthonormality/low-rank-recovery laws in SimilaritySpec",
     "semdedup" ->
       "k-means cells are MLlib-specific; kept-independence/witness laws in SimilaritySpec (exact twin semdedup_exact is oracled)",
     "semdedup_stats" ->

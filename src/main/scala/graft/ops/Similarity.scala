@@ -135,6 +135,65 @@ object Similarity {
       .select(col("vec_id"), col("pos").cast("long").as("dim"), col("code"),
         col("vmin"), col("vmax"))
 
+  /** PCA dimensionality reduction of the embedding corpus — the
+    * preprocessing tier the published embedding-curation pipelines run
+    * before clustering/dedup (SemDeDup §3 operates on (whitened) reduced
+    * embeddings; Matryoshka/truncation serves the same storage goal):
+    * project every vector onto the top-`k` principal components, cutting
+    * the per-vector footprint dim→k while keeping the variance that
+    * separates content.
+    *
+    * Train-on-all / closed-form: MLlib's PCA aggregates the d×d
+    * covariance DISTRIBUTED (one combining pass — no driver sample
+    * needed at embedding widths; d²=4096 doubles of state at dim 64) and
+    * eigendecomposes the d×d matrix on the driver — the [[pqBuild]]
+    * bounded-driver tier with a d², not n, footprint. The basis is then
+    * one broadcast matrix multiply per vector. Output: (vec_id, label,
+    * reduced ARRAY<DOUBLE> of length k) plus the same-order
+    * `explained_variance` vector carried on every row's metadata twin
+    * [[pcaVariance]].
+    *
+    * No DuckDB oracle (eigendecomposition is engine-specific — sign and
+    * degenerate-eigenvalue order are implementation-defined); laws in
+    * SimilaritySpec: output shape, orthonormal basis, planted low-rank
+    * structure recovered (top components capture ≥95% of a
+    * 2-D-subspace-plus-noise corpus), explained variance non-increasing
+    * and ≤ 1. */
+  def embeddingPca(embeddings: DataFrame, k: Int = 16): DataFrame = {
+    import org.apache.spark.ml.feature.{PCA => MlPca}
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val (_, dim) = corpusDims(embeddings)
+    require(k >= 1 && k <= dim, s"k=$k out of range for dim $dim")
+    val featured = embeddings.select(col("vec_id"), col("label"),
+      array_to_vector(dvec(col("embedding"))).as("features"))
+    val model = new MlPca().setK(k)
+      .setInputCol("features").setOutputCol("reduced_v")
+      .fit(featured)
+    model.transform(featured)
+      .select(col("vec_id"), col("label"),
+        vector_to_array(col("reduced_v")).as("reduced"))
+  }
+
+  /** The variance side of [[embeddingPca]]: one row per component with
+    * its explained-variance share, non-increasing by construction — the
+    * "how small can k be" diagnostic read before committing to a width. */
+  def pcaVariance(embeddings: DataFrame, k: Int = 16): DataFrame = {
+    import org.apache.spark.ml.feature.{PCA => MlPca}
+    import org.apache.spark.ml.functions.array_to_vector
+    val (_, dim) = corpusDims(embeddings)
+    require(k >= 1 && k <= dim, s"k=$k out of range for dim $dim")
+    val featured = embeddings.select(
+      array_to_vector(dvec(col("embedding"))).as("features"))
+    val model = new MlPca().setK(k)
+      .setInputCol("features").setOutputCol("reduced_v")
+      .fit(featured)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    model.explainedVariance.toArray.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq
+      .toDF("component", "explained_variance_share")
+  }
+
   /** Brute-force cosine top-k: each query vector against the whole corpus,
     * k nearest by cosine, ties broken by neighbor id.
     *

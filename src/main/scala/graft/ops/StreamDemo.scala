@@ -1210,6 +1210,50 @@ object StreamDemo {
       codes = codes)
   }
 
+  /** Streaming thumbnail pipeline — the multimodal streaming leg:
+    * documents arrive continuously, each micro-batch's media decodes and
+    * resizes through the REAL transcode path
+    * ([[graft.ops.Multimodal.resizeMedia]] — actual pixels for PNG/JPEG)
+    * and lands as an immutable `batch_id=N` layer (the
+    * overwrite-own-dir replay rule of [[streamIvfAppend]]: a replayed
+    * batch overwrites its own partial output, `_SUCCESS` gates readers).
+    * The streamed union equals the batch resize over everything ingested
+    * (StreamAndMiscSpec). */
+  def streamMediaThumbnails(spark: SparkSession, docsDir: String,
+      outDir: String, checkpointDir: String, w: Int = 64, h: Int = 64,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("source", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Multimodal.resizeMedia(Multimodal.mediaTable(spark, batch), w, h)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/thumbs/batch_id=$batchId")
+      }
+      .start()
+  }
+
+  /** Assemble the streamed thumbnail corpus: every COMPLETE batch layer. */
+  def readMediaThumbnails(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("media_type", StringType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("payload", BinaryType)))
+    val layers = ReportStore.completeIds(spark, outDir, "thumbs", "batch_id=")
+      .map { case (_, p) => spark.read.schema(schema).parquet(p.toString) }
+    layers.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+  }
+
   /** Materialize the newest committed streamed order-n LM — scoring-ready,
     * bit-identical to batch [[Text.lmnTrain]] over everything ingested. */
   def readLmNModel(spark: SparkSession, storeDir: String,

@@ -384,6 +384,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(r.getAs[Long]("total_pairs") >= r.getAs[Long]("max_cell_pairs"))
   }
 
+  test("embeddingPca: shape, variance ordering, planted low-rank structure recovered") {
+    import spark.implicits._
+    // planted rank-2 corpus: vectors live in span{e0+e1, e2-e3} + tiny noise
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      val (a, b) = (rnd.nextGaussian() * 10, rnd.nextGaussian() * 10)
+      val v = Array.tabulate(dim) { d =>
+        val sig = d match {
+          case 0 | 1 => a
+          case 2 => b
+          case 3 => -b
+          case _ => 0.0
+        }
+        (sig + rnd.nextGaussian() * 0.01).toFloat
+      }
+      (i.toLong, 0, v)
+    }.toDF("vec_id", "label", "embedding")
+    val reduced = graft.ops.Similarity.embeddingPca(vecs, k = 4).collect()
+    assert(reduced.length == 200)
+    assert(reduced.forall(_.getSeq[Double](2).length == 4))
+    val ev = graft.ops.Similarity.pcaVariance(vecs, k = 4).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    // shares are a distribution: non-increasing, in [0,1], summing ≤ 1
+    assert(ev.zip(ev.tail).forall { case (a, b) => a >= b - 1e-12 })
+    assert(ev.forall(v => v >= 0 && v <= 1) && ev.sum <= 1 + 1e-9)
+    // the two planted directions carry ≈ all the variance
+    assert(ev.take(2).sum > 0.95, s"top-2 share ${ev.take(2).sum} too low")
+    // declared query: one reduced row per corpus vector, width 16
+    val q2 = q("embedding_pca").cache()
+    assert(q2.count() == Tables.embeddings(spark, SF).count())
+    assert(q2.filter(size(col("reduced")) =!= 16).count() == 0)
+  }
+
   test("fitRowsFor law: driver fit samples are byte-bounded at any dim") {
     import graft.ops.Similarity.{fitMaxBytes, fitRowsFor}
     // the test dim keeps the full documented 100k-row sample (anchors carry)

@@ -366,6 +366,43 @@ class StreamAndMiscSpec extends SparkTestBase with TimeLimitedTests {
     assert(frames.select("media_id", "frame_idx").except(again).count() == 0)
   }
 
+  test("streaming thumbnails equal the batch resize over everything ingested; restart-safe") {
+    import org.apache.spark.sql.Row
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("thumb_src")
+    val out = java.nio.file.Files.createTempDirectory("thumb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("thumb_ckpt")
+    val docs = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text", "source").orderBy("doc_id")
+    val rows = docs.collect()
+    val cut = rows.length / 2
+    def stage(n: Int, slice: Array[Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"thumb_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), docs.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    stage(1, rows.slice(0, cut))
+    val q1 = StreamDemo.streamMediaThumbnails(
+      s2, src.toString, out, ckpt.toString, w = 32, h = 32)
+    try q1.processAllAvailable() finally q1.stop()
+    // checkpointed restart with the second half: resumes, no re-resize
+    stage(2, rows.slice(cut, rows.length))
+    val q2 = StreamDemo.streamMediaThumbnails(
+      s2, src.toString, out, ckpt.toString, w = 32, h = 32)
+    try q2.processAllAvailable() finally q2.stop()
+    // streamed union ≡ the batch resize (payload bytes are deterministic)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val streamed = keyed(StreamDemo.readMediaThumbnails(spark, out))
+    val batch = keyed(Multimodal.resizeMedia(
+      Multimodal.mediaTable(spark, Tables.documents(spark, SF)), 32, 32).toDF())
+    assert(streamed.keySet == batch.keySet)
+    assert(streamed == batch, "streamed thumbnails drifted from the batch resize")
+  }
+
   test("MLlib random-forest smoke: finite R2, importances sum to 1") {
     val feats = q("award_features")
     val res = graft.ml.Train.trainAwardModel(feats)
