@@ -379,6 +379,13 @@ class PropertiesSpec extends SparkTestBase {
     val rz = graft.ops.Multimodal.resizeMedia(media, 8, 6).collect().head
     assert(Containers.decodeJpegPixels(rz.payload)
       .exists { case (dw, dh, _) => dw == 8 && dh == 6 })
+    // cross-format collision: the SAME image encoded as PNG and as JPEG
+    // fingerprints within tolerance — the perceptual tier is
+    // format-agnostic, exactly what a real mirror-site dedup needs
+    val pngSide = Containers.decodePngPixels(Containers.pngRgb(w, h, rgb))
+      .toOption.get._3
+    assert(java.lang.Long.bitCount(
+      Pixels.dHash64(pngSide, w, h) ^ Pixels.dHash64(drgb, w, h)) <= 3)
   }
 
   test("law: WAV PCM round-trip and hand-computed audio stats") {
