@@ -1342,6 +1342,23 @@ class TextSpec extends SparkTestBase {
     assert(scores(merged).sameElements(scores(joint)))
   }
 
+  test("order-5 LM trains, scores, and merges through the same shared path") {
+    // the order parameter is real, not a trigram special case: the
+    // KenLM-conventional order 5 runs through the identical machinery
+    val m5 = Text.lmnTrain(docs, order = 5)
+    val s5 = Text.lmnScoreWith(m5, docs).cache()
+    assert(s5.count() == docs.filter(
+      size(split(col("text"), "\\s+")) >= 5).count())
+    assert(s5.filter(col("unseen_frac") < 0 || col("unseen_frac") > 1
+      || col("avg_logp") >= 0).count() == 0)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = Text.lmnMerge(Text.lmnTrain(a, 5), Text.lmnTrain(b, 5))
+    val joint = Text.lmnTrain(docs, 5)
+    assert(merged.counts.exceptAll(joint.counts).count() == 0
+      && joint.counts.exceptAll(merged.counts).count() == 0)
+  }
+
   test("order-3 LM sees word order the bigram cannot") {
     import spark.implicits._
     // reference trigrams: 'a b c' and 'x b y'. The probe 'a b y' is built
