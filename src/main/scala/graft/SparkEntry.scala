@@ -500,8 +500,10 @@ object SparkEntry {
     "similarity_bruteforce_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "quantize_embeddings" -> ((s, d) => Similarity.quantizeEmbeddings(Tables.embeddings(s, d))),
     // top-16 principal-component reduction (the SemDeDup preprocessing
-    // tier): distributed covariance, driver d×d eigen, broadcast project
-    "embedding_pca" -> ((s, d) => Similarity.embeddingPca(Tables.embeddings(s, d))),
+    // tier): distributed covariance, driver d×d eigen, broadcast project —
+    // declared in the scalar (vec_id, component, value) layout with
+    // per-component sign normalization so the rows-only check is stable
+    "embedding_pca" -> ((s, d) => Similarity.embeddingPcaRows(Tables.embeddings(s, d))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     // int8 ADC + exact rerank over md5-plane LSH candidates — the full
     // candidates→ADC→survivors→rerank pipeline is DuckDB-value-checked
@@ -543,8 +545,8 @@ object SparkEntry {
     "semdedup_stats" -> ((s, d) =>
       Similarity.semDeDupStats(Similarity.ivfBuild(Tables.embeddings(s, d)).vectors)),
 
-    // ---- multimodal (north star; REAL PNG/WAV content decode, JPEG/AVI
-    // header-only — their entropy/stream codecs are the sanctioned stub)
+    // ---- multimodal (north star; REAL PNG/JPEG/WAV content decode —
+    // only AVI stream decode remains the sanctioned stub)
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documents(s, d))),
     // perceptual near-dup pairs over DECODED content: dHash on real PNG
     // pixels, envelope hash on real PCM; banded hamming join
@@ -587,7 +589,7 @@ object SparkEntry {
     "media_resize_report" ->
       "binary transcode (zlib/JPEG/PCM) has no SQL analog; per-type validity/count laws in PropertiesSpec",
     "embedding_pca" ->
-      "eigendecomposition is engine-specific (sign/degenerate-order are implementation-defined); shape/orthonormality/low-rank-recovery laws in SimilaritySpec",
+      "eigendecomposition is engine-specific (degenerate-eigenvalue order is implementation-defined even after sign normalization); shape/orthonormality/low-rank-recovery/sign laws in SimilaritySpec",
     "semdedup" ->
       "k-means cells are MLlib-specific; kept-independence/witness laws in SimilaritySpec (exact twin semdedup_exact is oracled)",
     "semdedup_stats" ->
@@ -596,4 +598,15 @@ object SparkEntry {
       "k-means coarse quantizer is MLlib-specific; recall-vs-bruteforce anchors in SimilaritySpec + ScaleAnchors",
     "similarity_ivfpq_topk" ->
       "k-means coarse + PQ sub-quantizers are engine-specific; code-shape laws + pinned recall anchors in SimilaritySpec")
+
+  /** Declared queries ALLOWED to emit a nested-typed (array/map/struct)
+    * column, each with the reason. The driver's rows-only check sorts the
+    * result in pandas, and a nested column crashes that sort (the r10
+    * `embedding_pca` failure: `ARRAY<DOUBLE>` → unhashable ndarray, the
+    * round's only red row) — so PlansSpec's harness-shape law asserts
+    * every declared output schema is atomic-typed unless the key sits
+    * here. Empty by design: a query that NEEDS nested output should
+    * usually `posexplode` to scalar rows instead (the
+    * `quantize_embeddings` / `embedding_pca` discipline). */
+  def sanctionedNestedOutput: Map[String, String] = Map.empty
 }

@@ -259,11 +259,21 @@ object Multimodal {
     }
 
     /** REAL JPEG pixel decode via the JDK codec. Total: any input the
-      * codec rejects (or that is not a JPEG at all) degrades to Left. */
+      * codec rejects (or that is not a JPEG at all) degrades to Left.
+      * The size bound is applied to the SOF-declared dimensions BEFORE the
+      * codec allocates anything: a crafted header with huge dims would
+      * otherwise OOM inside `ImageIO.read` (an Error, which the NonFatal
+      * quarantine cannot catch — ADVICE r10). */
     def decodeJpegPixels(bytes: Array[Byte]): Either[String, (Int, Int, Array[Byte])] =
       try {
         if (bytes.length < 2 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
           return Left("not_jpeg")
+        parseJpeg(bytes) match {
+          case Left(e) => return Left(e)
+          case Right(p) =>
+            if (p.width.toLong * p.height * 3 > Int.MaxValue)
+              return Left("jpeg_too_large")
+        }
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         if (img == null) return Left("jpeg_undecodable")
         val (w, h) = (img.getWidth, img.getHeight)
@@ -683,9 +693,10 @@ object Multimodal {
   case class MediaHash(media_id: Long, kind: String, dhash: Long, ahash: Long)
 
   /** Perceptual fingerprints over DECODED content — real pixels through
-    * [[Containers.decodePngPixels]] (dHash gradient + aHash average), real
-    * PCM through [[Containers.decodeWavSamples]] (envelope-gradient hash).
-    * Rows whose payload can't be content-decoded (JPEG/AVI codec stubs,
+    * [[Containers.decodePngPixels]] AND [[Containers.decodeJpegPixels]]
+    * (dHash gradient + aHash average), real PCM through
+    * [[Containers.decodeWavSamples]] (envelope-gradient hash). Rows whose
+    * payload can't be content-decoded (the AVI stream-decode stub,
     * truncated containers) emit nothing — fingerprinting an undecodable
     * payload would be noise, not signal. mapPartitions keeps the decode
     * executor-local and streaming, the [[mediaMeta]] discipline. */

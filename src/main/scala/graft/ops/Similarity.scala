@@ -174,6 +174,35 @@ object Similarity {
         vector_to_array(col("reduced_v")).as("reduced"))
   }
 
+  /** [[embeddingPca]] in the harness-checkable SCALAR layout — the
+    * [[quantizeEmbeddings]] discipline (one row per (vec_id, component),
+    * atomic columns only): `posexplode` the reduced vector, then
+    * SIGN-NORMALIZE each component and q6-round.
+    *
+    * Sign normalization is what makes the rows-only check stable: an
+    * eigenvector's sign is implementation-defined (v and −v span the same
+    * component), so the raw projection could flap between runs/engines.
+    * The convention here — flip each component so its value at the
+    * largest-|value| carrier (smallest vec_id on ties) is non-negative —
+    * is a deterministic function of the projected corpus alone, computed
+    * as one |k|-row aggregate broadcast back over the scalar stream.
+    * Component order under DEGENERATE eigenvalues stays engine-specific,
+    * so the query remains sanctioned rows-only ([[pcaVariance]] and the
+    * SimilaritySpec planted-rank laws carry the value checks). */
+  def embeddingPcaRows(embeddings: DataFrame, k: Int = 16): DataFrame = {
+    val rows = embeddingPca(embeddings, k)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("reduced")).as(Seq("component", "value")))
+    val signs = rows.groupBy("component").agg(
+      max_by(col("value"), struct(abs(col("value")), -col("vec_id")))
+        .as("anchor"))
+      .select(col("component"),
+        when(col("anchor") < 0.0, lit(-1.0)).otherwise(lit(1.0)).as("sign"))
+    rows.join(broadcast(signs), Seq("component"))
+      .select(col("vec_id"), col("label"), col("component").cast("long").as("component"),
+        q6(col("value") * col("sign")).as("value"))
+  }
+
   /** The variance side of [[embeddingPca]]: one row per component with
     * its explained-variance share, non-increasing by construction — the
     * "how small can k be" diagnostic read before committing to a width. */

@@ -1034,6 +1034,11 @@ object StreamDemo {
       StructField("embedding", ArrayType(FloatType))))
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .localCheckpoint(true) // standing geometry: read once, not per batch
+    // standing dim, read once with the centroids (the streamLshAppend /
+    // batch-ivfAppend contract): the assignment dot product folds over
+    // min(lengths), so a wrong-dim batch would otherwise be silently
+    // assigned over a dimension PREFIX and appended as corrupt delta rows
+    val dim = centroids.agg(max(size(col("centroid")))).head.getInt(0)
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -1041,9 +1046,16 @@ object StreamDemo {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Similarity.ivfAssign(centroids, batch)
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$indexDir/appends/batch_id=$batchId")
+        val b = batch.localCheckpoint(true)
+        if (b.count() > 0) { // empty batch: no-op, not an error
+          val badDim = b.filter(size(col("embedding")) =!= dim).count()
+          require(badDim == 0,
+            s"streamed batch $batchId carries $badDim wrong-dim vectors (index dim $dim)")
+          graft.ops.Similarity.ivfAssign(centroids, b)
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$indexDir/appends/batch_id=$batchId")
+        }
+        ()
       }
       .start()
   }

@@ -183,6 +183,38 @@ class PlansSpec extends SparkTestBase {
       "each sanction reason must cite the spec carrying its laws")
   }
 
+  test("harness-shape law: every declared query output is atomic-typed (or sanctioned nested)") {
+    // The driver's rows-only check sorts results in pandas; an
+    // array/map/struct column crashes that sort (the r10 embedding_pca
+    // failure — `spark_rows: null`, the round's only red row). Schema is
+    // available at construction time, so the law costs no execution.
+    val sanctionedNested = SparkEntry.sanctionedNestedOutput
+    assert((sanctionedNested.keySet -- SparkEntry.queries.keySet).isEmpty,
+      s"nested sanction for undeclared queries: ${(sanctionedNested.keySet -- SparkEntry.queries.keySet).toSeq.sorted}")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val nested = fn(spark, SF).schema.fields.filter(f => f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType
+           | _: org.apache.spark.sql.types.MapType
+           | _: org.apache.spark.sql.types.StructType => true
+        case _ => false
+      })
+      if (nested.isEmpty || sanctionedNested.contains(name)) None
+      else Some(s"$name: ${nested.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"declared queries with unsanctioned nested output columns:\n${offenders.mkString("\n")}")
+    // sanctions don't linger once a query goes scalar
+    val nowAtomic = sanctionedNested.keySet.filter { name =>
+      SparkEntry.queries(name)(spark, SF).schema.fields.forall(f => f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType
+           | _: org.apache.spark.sql.types.MapType
+           | _: org.apache.spark.sql.types.StructType => false
+        case _ => true
+      })
+    }
+    assert(nowAtomic.isEmpty, s"stale nested sanctions (output is atomic now): $nowAtomic")
+  }
+
   test("count(distinct) rewrites to HLL++ only under the opt-in flag") {
     val exact = q("consistency_check").collect().head.getAs[Long]("unique_players")
     withExtendedSession { ext =>

@@ -412,10 +412,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(ev.forall(v => v >= 0 && v <= 1) && ev.sum <= 1 + 1e-9)
     // the two planted directions carry ≈ all the variance
     assert(ev.take(2).sum > 0.95, s"top-2 share ${ev.take(2).sum} too low")
-    // declared query: one reduced row per corpus vector, width 16
+    // declared query (scalar layout): 16 rows per corpus vector, atomic
+    // columns, and the sign convention holds — each component's value at
+    // its largest-|value| carrier is non-negative
     val q2 = q("embedding_pca").cache()
-    assert(q2.count() == Tables.embeddings(spark, SF).count())
-    assert(q2.filter(size(col("reduced")) =!= 16).count() == 0)
+    assert(q2.count() == Tables.embeddings(spark, SF).count() * 16)
+    assert(q2.schema.fields.forall(_.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _ => true
+    }))
+    val anchors = q2.groupBy("component")
+      .agg(max_by(col("value"), abs(col("value"))).as("anchor")).collect()
+    assert(anchors.length == 16)
+    assert(anchors.forall(_.getDouble(1) >= 0.0),
+      "sign normalization violated: a component's largest-|value| carrier is negative")
+    // sign-normalized scalar rows carry the same geometry: per-vector
+    // energy equals the array form's (projection is orthonormal either way)
+    val arr = graft.ops.Similarity.embeddingPca(Tables.embeddings(spark, SF))
+      .select(col("vec_id"),
+        aggregate(col("reduced"), lit(0.0), (a, x) => a + x * x).as("e")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scal = q2.groupBy("vec_id").agg(sum(col("value") * col("value")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(arr.keySet == scal.keySet)
+    assert(arr.forall { case (id, e) => math.abs(e - scal(id)) < 1e-3 },
+      "scalar layout lost projection energy vs the array form")
+    q2.unpersist()
   }
 
   test("fitRowsFor law: driver fit samples are byte-bounded at any dim") {
