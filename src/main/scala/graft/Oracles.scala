@@ -275,6 +275,88 @@ af AS (
              CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
       FROM scored GROUP BY doc_id"""
 
+  // order-5 (KenLM-conventional) interpolated LM scoring — the lmScoreN3
+  // recursion two orders up: 2n−1 = 9 left joins (g5..g1 numerators,
+  // x4..x1 contexts) against the k-gram count tables, the interpolation
+  // nested lowest-order first in EXACTLY the Spark fold's double
+  // arithmetic order. Positions are full-context only (len ≥ 5).
+  private val lmScoreN5Sql: String = """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                  FROM documents),
+      ref AS (SELECT * FROM tk
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+      uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+              FROM (SELECT unnest(t) AS token FROM ref) p GROUP BY token),
+      tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS lm_n,
+                     CAST(COUNT(*) AS BIGINT) AS lm_v FROM uni),
+      bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+             FROM (SELECT t[i] AS w1, t[i+1] AS w2
+                   FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                         FROM ref WHERE len(t) >= 2) g) b
+             GROUP BY w1, w2),
+      tri AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+              FROM (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+                    FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+                          FROM ref WHERE len(t) >= 3) g) b
+              GROUP BY w1, w2, w3),
+      qd AS (SELECT w1, w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS c4
+             FROM (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, t[i+3] AS w4
+                   FROM (SELECT t, unnest(generate_series(1, len(t) - 3)) AS i
+                         FROM ref WHERE len(t) >= 4) g) b
+             GROUP BY w1, w2, w3, w4),
+      pt AS (SELECT w1, w2, w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS c5
+             FROM (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, t[i+3] AS w4,
+                          t[i+4] AS w5
+                   FROM (SELECT t, unnest(generate_series(1, len(t) - 4)) AS i
+                         FROM ref WHERE len(t) >= 5) g) b
+             GROUP BY w1, w2, w3, w4, w5),
+      pos AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3,
+                     t[i+3] AS w4, t[i+4] AS w5
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+                    FROM tk WHERE len(t) >= 5) g),
+      scored AS (
+        SELECT pos.doc_id,
+               CASE WHEN COALESCE(g5.c5, 0) = 0 THEN 1 ELSE 0 END AS unseen,
+               floor(ln(
+                   0.5 * (CASE WHEN COALESCE(x4.c4, 0) > 0
+                               THEN CAST(COALESCE(g5.c5, 0) AS DOUBLE) / x4.c4
+                               ELSE 0.0 END)
+                 + 0.5 * (
+                     0.5 * (CASE WHEN COALESCE(x3.c3, 0) > 0
+                                 THEN CAST(COALESCE(g4.c4, 0) AS DOUBLE) / x3.c3
+                                 ELSE 0.0 END)
+                   + 0.5 * (
+                       0.5 * (CASE WHEN COALESCE(x2.c2, 0) > 0
+                                   THEN CAST(COALESCE(g3.c3, 0) AS DOUBLE) / x2.c2
+                                   ELSE 0.0 END)
+                     + 0.5 * (
+                         0.5 * (CASE WHEN COALESCE(x1.c_uni, 0) > 0
+                                     THEN CAST(COALESCE(g2.c2, 0) AS DOUBLE) / x1.c_uni
+                                     ELSE 0.0 END)
+                       + 0.5 * CAST(COALESCE(g1.c_uni, 0) + 1 AS DOUBLE)
+                             / (tot.lm_n + tot.lm_v))))
+               ) * 1000000.0 + 0.5) / 1000000.0 AS q
+        FROM pos
+        LEFT JOIN pt g5 ON pos.w1 = g5.w1 AND pos.w2 = g5.w2 AND pos.w3 = g5.w3
+                       AND pos.w4 = g5.w4 AND pos.w5 = g5.w5
+        LEFT JOIN qd x4 ON pos.w1 = x4.w1 AND pos.w2 = x4.w2 AND pos.w3 = x4.w3
+                       AND pos.w4 = x4.w4
+        LEFT JOIN qd g4 ON pos.w2 = g4.w1 AND pos.w3 = g4.w2 AND pos.w4 = g4.w3
+                       AND pos.w5 = g4.w4
+        LEFT JOIN tri x3 ON pos.w2 = x3.w1 AND pos.w3 = x3.w2 AND pos.w4 = x3.w3
+        LEFT JOIN tri g3 ON pos.w3 = g3.w1 AND pos.w4 = g3.w2 AND pos.w5 = g3.w3
+        LEFT JOIN bi x2 ON pos.w3 = x2.w1 AND pos.w4 = x2.w2
+        LEFT JOIN bi g2 ON pos.w4 = g2.w1 AND pos.w5 = g2.w2
+        LEFT JOIN uni x1 ON pos.w4 = x1.token
+        LEFT JOIN uni g1 ON pos.w5 = g1.token
+        CROSS JOIN tot)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(unseen) AS BIGINT) AS n_unseen_ngrams,
+             CAST(CAST(SUM(unseen) AS BIGINT) AS DOUBLE) / COUNT(*) AS unseen_frac,
+             CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
+      FROM scored GROUP BY doc_id"""
+
   private val contrastScoreSql: String = """
       WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
                   FROM documents),
@@ -1485,6 +1567,10 @@ af AS (
     // order-3 (trigram) LM twin: same train split, recursive interpolation
     // with the bigram formula as its inner term — see lmScoreN3Sql
     "lm_score_n3" -> lmScoreN3Sql,
+
+    // order-5 (KenLM-conventional) LM twin: the same recursion two orders
+    // up, 9 joins over the (k, g, c) gram mirror — see lmScoreN5Sql
+    "lm_score_n5" -> lmScoreN5Sql,
 
     // best-copy exact dedup: keeper = highest quality score in the
     // fingerprint group, ties to the lowest doc_id (window form here;

@@ -115,6 +115,7 @@ class PlansSpec extends SparkTestBase {
       "similarity_ivfpq_topk",   // same centroid broadcast via the IVF probe tier
       "lm_score",                // 1-row N/V totals broadcast
       "lm_score_n3",             // same 1-row totals broadcast at order 3
+      "lm_score_n5",             // same 1-row totals broadcast at order 5
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate
       "perplexity_buckets",      // same 1-row totals broadcast via lmScoreWith
       "perplexity_buckets_n3",   // same, via the order-3 scorer
