@@ -531,6 +531,10 @@ object SparkEntry {
       Similarity.semDeDupExact(Tables.embeddings(s, d), threshold = 0.4)),
     "semdedup" -> ((s, d) =>
       Similarity.semDeDup(Tables.embeddings(s, d), threshold = 0.4)),
+    // the PCA-composed form: cells fit + assigned in the reduced space,
+    // τ verify full-dim — the paper's preprocessing tier made real
+    "semdedup_reduced" -> ((s, d) =>
+      Similarity.semDeDupReduced(Tables.embeddings(s, d), threshold = 0.4)),
     // mirrorable (md5-literal) hyperplanes: the oracle reproduces buckets,
     // candidate set, and q6 cosines exactly; xxhash64 fused bucketing stays
     // the scale default (index lifecycle, quantized tier)
@@ -605,6 +609,8 @@ object SparkEntry {
       "eigendecomposition is engine-specific (degenerate-eigenvalue order is implementation-defined even after sign normalization); shape/orthonormality/low-rank-recovery/sign laws in SimilaritySpec",
     "semdedup" ->
       "k-means cells are MLlib-specific; kept-independence/witness laws in SimilaritySpec (exact twin semdedup_exact is oracled)",
+    "semdedup_reduced" ->
+      "PCA eigen + k-means cells are engine-specific; planted-cluster-survival/kept-independence/full-dim-verify laws in SimilaritySpec (exact twin semdedup_exact is oracled)",
     "semdedup_stats" ->
       "k-means cells are MLlib-specific; pair-count identities vs a direct occupancy pass in SimilaritySpec",
     "similarity_ivf_topk" ->

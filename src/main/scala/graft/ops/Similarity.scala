@@ -295,6 +295,40 @@ object Similarity {
       nCells: Int = 0, fitMaxRows: Long = 100000L): DataFrame =
     semDeDupFrom(ivfBuild(embeddings, nCells, fitMaxRows).vectors, threshold)
 
+  /** SemDeDup over the PCA-REDUCED corpus — the composition the paper
+    * actually runs (Abbas et al. 2023 §3 clusters reduced/whitened
+    * embeddings; [[embeddingPca]] is documented as this preprocessing
+    * tier, and this operator is what consumes it): project to `pcaK`
+    * dims, fit + assign the k-means cells IN THE REDUCED SPACE — the
+    * fit sample's bytes, the broadcast centroid width, and every
+    * assignment dot product shrink dim/pcaK-fold — then run the
+    * standard within-cell keep-first pass with the τ verify on the
+    * FULL-dim vectors. Reduction can therefore only change WHICH pairs
+    * become candidates (the cell geometry); what a candidate pair
+    * SCORES is bit-identical to [[semDeDup]]'s, so a planted τ-close
+    * pair that lands in one reduced cell is dropped with exactly the
+    * same witness arithmetic (SimilaritySpec laws: planted duplicate
+    * clusters survive the k=16 projection; kept-independence holds
+    * per cell; pair-volume telemetry vs the full-dim cells).
+    *
+    * Output contract matches [[semDeDup]] (vec_id, cell, dup_of, kept)
+    * over vectors with nonzero norm in both spaces (a nonzero vector
+    * whose top-k projection is exactly zero is measure-zero and drops
+    * like a zero-norm input). Rows-only by construction twice over
+    * (eigen + k-means are engine-specific). */
+  def semDeDupReduced(embeddings: DataFrame, threshold: Double = 0.85,
+      pcaK: Int = 16, nCells: Int = 0, fitMaxRows: Long = 100000L): DataFrame = {
+    // pin the projected corpus (n×pcaK doubles — the SMALL representation;
+    // at pcaK=16 it is dim/16 of the input): the cell build reads it three
+    // times (corpus dims, fit sample, assignment), and without the pin each
+    // pass would re-run the broadcast matrix multiply over the full corpus
+    val reduced = embeddingPca(embeddings, pcaK)
+      .withColumnRenamed("reduced", "embedding").localCheckpoint(true)
+    val cells = ivfBuild(reduced, nCells, fitMaxRows).vectors
+      .select(col("vec_id"), col("cell"))
+    semDeDupFrom(withNorms(embeddings).join(cells, Seq("vec_id")), threshold)
+  }
+
   /** [[semDeDup]] over an already-built index's vectors frame
     * (vec_id, v, norm, cell) — build once, dedup every refresh. */
   def semDeDupFrom(vectors: DataFrame, threshold: Double): DataFrame = {

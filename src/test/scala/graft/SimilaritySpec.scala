@@ -201,6 +201,82 @@ class SimilaritySpec extends SparkTestBase {
       s"(cross-cluster sacrifice: ${keptC.size - keptE.size})")
   }
 
+  test("semDeDupReduced: planted duplicate clusters survive the k=16 projection; full-dim verify laws hold") {
+    import spark.implicits._
+    import graft.functions.VectorExprs.dotd
+    import graft.functions.Exact.q6
+    val tau = 0.95
+    // planted corpus: 8 well-separated centers in dim 64 (within-center
+    // noise keeps ordinary members BELOW tau: cos ≈ 0.8), plus an exact
+    // tau-close twin for every 5th member — the duplicate clusters the
+    // reduced-space cells must keep together
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Int, Array[Float])]()
+    val twins = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var id = 0L
+    for (c <- centers.indices; m <- 0 until 25) {
+      val v = Array.tabulate(dim)(d =>
+        (centers(c)(d) * 10 + rnd.nextGaussian() * 5.0).toFloat)
+      rows += ((id, c, v))
+      if (m % 5 == 0) {
+        rows += ((id + 1, c, v.map(x => x + rnd.nextGaussian().toFloat * 0.001f)))
+        twins += ((id, id + 1)); id += 1
+      }
+      id += 1
+    }
+    val emb = rows.toSeq.toDF("vec_id", "label", "embedding")
+    val out = graft.ops.Similarity.semDeDupReduced(emb, threshold = tau, pcaK = 16)
+      .cache()
+    val n = rows.size
+    assert(out.count() == n, "one verdict row per corpus vector")
+    // every planted twin is dropped: its base is tau-close and earlier, and
+    // the projection must have kept the pair in one cell
+    val verdicts = out.select("vec_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val survivedTwins = twins.filter { case (_, t) => verdicts(t) }
+    assert(survivedTwins.isEmpty,
+      s"planted duplicates survived the reduction: $survivedTwins")
+    // full-dim verify laws transfer: no two kept vectors in one reduced
+    // cell are tau-close, and every witness is earlier/same-cell/tau-close
+    val vecs = graft.ops.Similarity.withNorms(emb).select("vec_id", "v", "norm")
+    val cv = out.join(vecs, Seq("vec_id")).cache()
+    val kept = cv.filter(col("kept"))
+    val closeKeptPairs = kept.select(col("cell"), col("vec_id"), col("v"), col("norm"))
+      .join(kept.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv"),
+        col("norm").as("bn")), Seq("cell"))
+      .filter(col("vec_id") < col("b_id"))
+      .filter(q6(dotd(col("v"), col("bv")) / (col("norm") * col("bn"))) >= tau)
+      .count()
+    assert(closeKeptPairs == 0, s"$closeKeptPairs tau-close kept pairs within a reduced cell")
+    val badWitness = cv.filter(!col("kept"))
+      .join(cv.select(col("vec_id").as("dup_of"), col("cell").as("w_cell"),
+        col("v").as("wv"), col("norm").as("wn")), Seq("dup_of"))
+      .filter(col("dup_of") >= col("vec_id") || col("w_cell") =!= col("cell") ||
+        q6(dotd(col("v"), col("wv")) / (col("norm") * col("wn"))) < tau)
+      .count()
+    assert(badWitness == 0, s"$badWitness dropped rows carry an invalid witness")
+    // pair-volume telemetry: the reduced-space cells bound the candidate
+    // join exactly like the full-dim cells (same |cells| geometry), and
+    // the audit frame reads identically off either vectors frame
+    val reducedCells = graft.ops.Similarity.embeddingPca(emb, 16)
+      .withColumnRenamed("reduced", "embedding")
+    val stFull = graft.ops.Similarity.semDeDupStats(
+      graft.ops.Similarity.ivfBuild(emb).vectors).collect().head
+    val stRed = graft.ops.Similarity.semDeDupStats(
+      graft.ops.Similarity.ivfBuild(reducedCells).vectors).collect().head
+    assert(stRed.getAs[Long]("n_vectors") == stFull.getAs[Long]("n_vectors"))
+    assert(stRed.getAs[Long]("total_pairs") > 0)
+    info(s"pair volume: full-dim cells ${stFull.getAs[Long]("total_pairs")}, " +
+      s"reduced cells ${stRed.getAs[Long]("total_pairs")} " +
+      s"(assignment arithmetic shrinks ${dim}/16 = 4x per vector)")
+    // declared query on the driver corpus: one row per nonzero-norm vector
+    val realN = graft.ops.Similarity.withNorms(Tables.embeddings(spark, SF)).count()
+    assert(q("semdedup_reduced").count() == realN)
+    cv.unpersist(); out.unpersist()
+  }
+
   test("cellsFor law: cells grow with n, occupancy bounded, floor and fit-cap respected") {
     val fitMax = 100000L
     // floor: small corpora keep the 16-cell minimum (r8-pinned geometry)
