@@ -615,11 +615,15 @@ object Similarity {
     * re-derived from the grown corpus. The rebuild trains on the stored
     * vector layer itself — the index is self-contained — through the same
     * train-on-sample/assign-all contract, and the stored frame is pinned
-    * (`localCheckpoint`) BEFORE the overwrite so the rebuild never reads
-    * the directory it is replacing. Returns true when a rebuild fired.
-    * Maintenance is an offline pass: the layer overwrite is not
-    * reader-atomic (run it in the ingest window, not under live query
-    * load). */
+    * (`localCheckpoint`) BEFORE the rebuild writes so the new epoch never
+    * reads directories it is racing. Returns true when a rebuild fired.
+    *
+    * READER-ATOMIC: the rebuild lands as a fresh immutable epoch under
+    * `dir/_epochs/N` and readers flip only when its `_COMMITTED` marker
+    * appears (see the index-epochs section) — a query racing the rebuild
+    * resolves the whole previous index, never a half-written mix.
+    * AnnIndexSpec pins it: a fully-written-but-uncommitted epoch is
+    * invisible; the marker is the flip. */
   def ivfMaintain(spark: org.apache.spark.sql.SparkSession, dir: String,
       newVectors: DataFrame, maxOccupancyRatio: Double = 4.0,
       fitMaxRows: Long = 100000L): Boolean = {
@@ -635,8 +639,10 @@ object Similarity {
       val stored = ivfRead(spark, dir).vectors
         .select("vec_id", "v", "norm").localCheckpoint(true)
       val dims = stored.agg(count(lit(1)), max(size(col("v")))).head()
+      val (epoch, epochDir) = nextEpochPath(spark, dir)
       ivfWrite(ivfBuildNormed(stored, dims.getLong(0), nCells = 0,
-        fitRowsFor(dims.getInt(1), fitMaxRows)), dir)
+        fitRowsFor(dims.getInt(1), fitMaxRows)), epochDir)
+      commitEpoch(spark, dir, epoch) // the flip: marker last, GC old epochs
       true
     }
   }
@@ -697,6 +703,86 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rk")
   }
 
+  // ------------------------------------------------------- index epochs —
+  // Reader-atomic maintenance (VERDICT r10 #4). A rebuild used to
+  // overwrite the standing layers in place, so a query racing the rebuild
+  // could read a half-written index. Rebuilds now land as IMMUTABLE epoch
+  // directories under `dir/_epochs/N/` (the underscore prefix keeps
+  // Hadoop/Spark listings from ever mistaking them for data files of the
+  // legacy layout), with an empty `_COMMITTED` marker created strictly
+  // AFTER every sublayer has finished — the streaming delta discipline
+  // (`_SUCCESS`-gated `batch_id=N` layers, last sublayer written last)
+  // applied to the maintenance loop. Readers resolve the HIGHEST committed
+  // epoch, falling back to the legacy root layout when none exists, so a
+  // reader concurrent with a rebuild sees either the whole old index or
+  // the whole new one — never a mix. Appends land inside the resolved
+  // epoch (each appended parquet file is itself complete-or-absent).
+  // Retention: committing epoch N garbage-collects epochs < N−1 — the
+  // previous committed epoch survives one full maintenance cycle for
+  // readers that resolved before the flip (document the window: a plan
+  // older than TWO rebuilds must re-resolve).
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def epochsRoot(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/_epochs")
+
+  /** (epoch number, path) of every COMMITTED epoch, ascending. */
+  private def committedEpochs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val root = epochsRoot(dir)
+    val hfs = hadoopFs(spark, root)
+    if (!hfs.exists(root)) Seq.empty
+    else hfs.listStatus(root).toSeq.map(_.getPath)
+      .flatMap(p => scala.util.Try(p.getName.toLong).toOption.map(_ -> p))
+      .filter { case (_, p) =>
+        hfs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED")) }
+      .sortBy(_._1)
+  }
+
+  /** The directory a reader (or appender) must use: the highest committed
+    * epoch, else the legacy root layout. One filesystem listing — metadata
+    * scale, no data touched. */
+  def resolveEpoch(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    committedEpochs(spark, dir).lastOption
+      .map(_._2.toString).getOrElse(dir)
+
+  /** The path a REBUILD must write into: one past the highest epoch
+    * number present (committed or crashed — a crashed rebuild's dir is
+    * never reused, so a re-run can never interleave files with a partial
+    * one). */
+  private[graft] def nextEpochPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, String) = {
+    val root = epochsRoot(dir)
+    val hfs = hadoopFs(spark, root)
+    val existing =
+      if (!hfs.exists(root)) Seq.empty[Long]
+      else hfs.listStatus(root).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+    val next = (existing :+ 0L).max + 1
+    (next, new org.apache.hadoop.fs.Path(root, next.toString).toString)
+  }
+
+  /** Flip readers to `epoch`: create its `_COMMITTED` marker (the LAST
+    * write of a rebuild), then GC epoch dirs below `epoch − 1` — the
+    * previous committed epoch is retained for readers that resolved
+    * before the flip. */
+  private[graft] def commitEpoch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, epoch: Long): Unit = {
+    val root = epochsRoot(dir)
+    val hfs = hadoopFs(spark, root)
+    hfs.create(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, epoch.toString), "_COMMITTED"), true)
+      .close()
+    hfs.listStatus(root).toSeq.map(_.getPath)
+      .flatMap(p => scala.util.Try(p.getName.toLong).toOption.map(_ -> p))
+      .filter(_._1 < epoch - 1)
+      .foreach { case (_, p) => hfs.delete(p, true) }
+  }
+
   /** Persist an IVF index as the cluster layout its docstring promises:
     * `vectors` lands cell-partitioned (`dir/vectors/cell=N/…`) via the
     * standard partitioned sink, `centroids` as a plain (nCells-row)
@@ -725,12 +811,15 @@ object Similarity {
     * AnnIndexSpec pins the rebuild trigger arithmetic. */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
       newVectors: DataFrame): Unit = {
+    // appends land inside the CURRENT committed epoch (or the legacy root)
+    // so a concurrent rebuild writing the next epoch never interleaves
+    val base = resolveEpoch(spark, dir)
     // dim verified against the standing centroid width BEFORE anything
     // writes (the lshAppend/pqAppend contract): the codegen dot product
     // folds over min(lengths), so a wrong-dim batch would otherwise be
     // silently mis-assigned over a dimension PREFIX and appended as
     // corrupt rows. An empty batch is a no-op, not an error.
-    val centroids = spark.read.parquet(s"$dir/centroids")
+    val centroids = spark.read.parquet(s"$base/centroids")
     val dim = centroids.agg(max(size(col("centroid")))).head.getInt(0)
     val (n, newDim) = appendDims(newVectors)
     if (n == 0L) return
@@ -738,7 +827,7 @@ object Similarity {
       s"appended vectors have dim $newDim, index was built at dim $dim")
     ivfAssign(centroids, newVectors)
       .write.mode("append").partitionBy("cell")
-      .parquet(s"$dir/vectors")
+      .parquet(s"$base/vectors")
   }
 
   /** No-refit assignment of raw vectors to STANDING centroids — the shared
@@ -786,12 +875,13 @@ object Similarity {
     * partition-type-inference setting. */
   def ivfRead(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
     import org.apache.spark.sql.types._
+    val base = resolveEpoch(spark, dir) // highest committed epoch, else root
     val vecSchema = StructType(Seq(
       StructField("vec_id", LongType), StructField("v", ArrayType(DoubleType)),
       StructField("norm", DoubleType), StructField("cell", IntegerType)))
     IvfIndex(
-      spark.read.parquet(s"$dir/centroids"),
-      spark.read.schema(vecSchema).parquet(s"$dir/vectors"))
+      spark.read.parquet(s"$base/centroids"),
+      spark.read.schema(vecSchema).parquet(s"$base/vectors"))
   }
 
   /** Probe-pruned query against a standing (typically on-disk) index: the
@@ -976,8 +1066,10 @@ object Similarity {
     * grown the corpus past the next [[bitsFor]] power-of-two step (so
     * per-bucket occupancy — and with it candidate volume per query — has
     * doubled), rebuild at re-derived bits from the STORED vector layer.
-    * Returns true when a rebuild fired. Same offline-pass caveat as
-    * ivfMaintain: the layer overwrite is not reader-atomic. */
+    * Returns true when a rebuild fired. READER-ATOMIC like [[ivfMaintain]]:
+    * the rebuild lands as an immutable `dir/_epochs/N` committed by its
+    * marker, so a racing reader never mixes bucket spaces (especially
+    * important here — old and new epochs hash with DIFFERENT bits). */
   def lshMaintain(spark: org.apache.spark.sql.SparkSession, dir: String,
       newVectors: DataFrame, targetOccupancy: Int = 64): Boolean = {
     lshAppend(spark, dir, newVectors)
@@ -986,8 +1078,10 @@ object Similarity {
     else {
       val old = lshRead(spark, dir)
       val stored = old.vectors.localCheckpoint(true)
+      val (epoch, epochDir) = nextEpochPath(spark, dir)
       lshWrite(lshBuildNormed(stored, st.getAs[Long]("n_vectors"), old.dim,
-        old.tables, targetOccupancy), dir)
+        old.tables, targetOccupancy), epochDir)
+      commitEpoch(spark, dir, epoch) // the flip: marker last, GC old epochs
       true
     }
   }
@@ -1050,13 +1144,14 @@ object Similarity {
     * (INT table_id, LONG bucket), not inferred. */
   def lshRead(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex = {
     import org.apache.spark.sql.types._
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val base = resolveEpoch(spark, dir) // highest committed epoch, else root
+    val meta = spark.read.parquet(s"$base/meta").head()
     val bucketSchema = StructType(Seq(
       StructField("vec_id", LongType), StructField("table_id", IntegerType),
       StructField("bucket", LongType)))
     LshIndex(
-      spark.read.schema(bucketSchema).parquet(s"$dir/buckets"),
-      spark.read.parquet(s"$dir/vectors"),
+      spark.read.schema(bucketSchema).parquet(s"$base/buckets"),
+      spark.read.parquet(s"$base/vectors"),
       meta.getAs[Int]("tables"), meta.getAs[Int]("bits"), meta.getAs[Int]("dim"))
   }
 
@@ -1079,7 +1174,8 @@ object Similarity {
     * standing bits fall below what bitsFor would choose today. */
   def lshAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
       newVectors: DataFrame): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val base = resolveEpoch(spark, dir) // append inside the current epoch
+    val meta = spark.read.parquet(s"$base/meta").head()
     val (tables, bits, dim) =
       (meta.getAs[Int]("tables"), meta.getAs[Int]("bits"), meta.getAs[Int]("dim"))
     val (n, newDim) = appendDims(newVectors)
@@ -1091,8 +1187,8 @@ object Similarity {
         posexplode(graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)))
       .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket"))
       .write.mode("append").partitionBy("table_id", "bucket")
-      .parquet(s"$dir/buckets")
-    e.write.mode("append").parquet(s"$dir/vectors")
+      .parquet(s"$base/buckets")
+    e.write.mode("append").parquet(s"$base/vectors")
   }
 
   /** Sizing audit of a persisted LSH index (1 row): vector count, the
@@ -1443,8 +1539,11 @@ object Similarity {
     * anything writes. Codebook drift is real (appended vectors quantize
     * against centroids fit on the build-time sample); [[ivfStats]] on the
     * `ivf` sublayer remains the rebuild cue. */
-  def pqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+  def pqAppend(spark: org.apache.spark.sql.SparkSession, dirIn: String,
       newVectors: DataFrame): Unit = {
+    val dir = resolveEpoch(spark, dirIn) // current epoch (PQ never
+    // rebuilds in place today, so this is the legacy root unless a future
+    // maintenance loop starts committing epochs — same reader contract)
     val codebooks = spark.read.parquet(s"$dir/codebooks")
     val shape = codebooks
       .agg(max(col("sub")).as("maxSub"), max(size(col("centroid"))).as("subDim"))
@@ -1584,8 +1683,9 @@ object Similarity {
     * (bounded) codebook table, and the codes schema is DECLARED so the
     * partition column's type survives any session inference setting (the
     * [[ivfRead]] rule). */
-  def pqRead(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+  def pqRead(spark: org.apache.spark.sql.SparkSession, dirIn: String): PqIndex = {
     import org.apache.spark.sql.types._
+    val dir = resolveEpoch(spark, dirIn) // epoch contract, see pqAppend
     val codesSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("codes", ArrayType(IntegerType)),

@@ -1032,7 +1032,10 @@ object StreamDemo {
     val schema = StructType(Seq(
       StructField("vec_id", LongType), StructField("label", IntegerType),
       StructField("embedding", ArrayType(FloatType))))
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    // standing geometry from the CURRENT committed epoch (legacy root
+    // when none) — the reader-atomic maintenance contract
+    val base = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+    val centroids = spark.read.parquet(s"$base/centroids")
       .localCheckpoint(true) // standing geometry: read once, not per batch
     // standing dim, read once with the centroids (the streamLshAppend /
     // batch-ivfAppend contract): the assignment dot product folds over
@@ -1091,7 +1094,8 @@ object StreamDemo {
     val schema = StructType(Seq(
       StructField("vec_id", LongType), StructField("label", IntegerType),
       StructField("embedding", ArrayType(FloatType))))
-    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val meta = spark.read.parquet(
+      s"${graft.ops.Similarity.resolveEpoch(spark, indexDir)}/meta").head()
     val (tables, bits, dim) =
       (meta.getAs[Int]("tables"), meta.getAs[Int]("bits"), meta.getAs[Int]("dim"))
     spark.readStream
@@ -1169,12 +1173,13 @@ object StreamDemo {
     val schema = StructType(Seq(
       StructField("vec_id", LongType), StructField("label", IntegerType),
       StructField("embedding", ArrayType(FloatType))))
-    val codebooks = spark.read.parquet(s"$indexDir/codebooks").localCheckpoint(true)
+    val pqBase = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+    val codebooks = spark.read.parquet(s"$pqBase/codebooks").localCheckpoint(true)
     val shape = codebooks
       .agg(max(col("sub")).as("maxSub"), max(size(col("centroid"))).as("subDim"))
       .head()
     val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
-    val centroids = spark.read.parquet(s"$indexDir/ivf/centroids")
+    val centroids = spark.read.parquet(s"$pqBase/ivf/centroids")
       .localCheckpoint(true)
     spark.readStream
       .schema(schema)

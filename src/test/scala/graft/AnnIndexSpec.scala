@@ -289,6 +289,72 @@ class AnnIndexSpec extends SparkTestBase {
     assert(!Similarity.lshStats(spark, dir).head().getAs[Boolean]("rebuild_recommended"))
   }
 
+  test("reader-atomic epochs: uncommitted rebuilds invisible, marker is the flip, retention GC") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch").toString
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    Similarity.ivfWrite(Similarity.ivfBuild(base, nCells = 16), dir)
+    val baseCount = Similarity.ivfRead(spark, dir).vectors.count()
+
+    // a FULLY-written rebuild that has not committed is invisible: a
+    // reader racing the rebuild resolves the whole old index — never the
+    // half-flipped state an in-place overwrite used to expose
+    val (e1, d1) = Similarity.nextEpochPath(spark, dir)
+    Similarity.ivfWrite(Similarity.ivfBuild(emb, nCells = 8), d1)
+    assert(Similarity.resolveEpoch(spark, dir) == dir,
+      "uncommitted epoch must not resolve")
+    val racing = Similarity.ivfRead(spark, dir)
+    assert(racing.centroids.count() == 16 && racing.vectors.count() == baseCount,
+      "reader mid-rebuild must see the whole OLD index")
+
+    // the marker is the flip: commit, and the reader sees the whole NEW
+    // index (8 cells over the full corpus) in one step
+    Similarity.commitEpoch(spark, dir, e1)
+    assert(Similarity.resolveEpoch(spark, dir).endsWith(s"_epochs/$e1"))
+    val flipped = Similarity.ivfRead(spark, dir)
+    assert(flipped.centroids.count() == 8 &&
+      flipped.vectors.count() == Similarity.withNorms(emb).count())
+
+    // appends follow the resolved epoch, not the legacy root
+    val batch = spark.range(10).select((col("id") + 900000L).as("vec_id"),
+      org.apache.spark.sql.functions.lit(0).as("label"),
+      array((0 until 64).map(d => lit(0.5f + d * 0.001f)): _*).as("embedding"))
+    Similarity.ivfAppend(spark, dir, batch)
+    assert(Similarity.ivfRead(spark, dir).vectors.count() ==
+      Similarity.withNorms(emb).count() + 10)
+    assert(spark.read.parquet(s"$dir/vectors").count() == baseCount,
+      "legacy root must be untouched by post-flip appends")
+
+    // retention: committing epoch N keeps N−1 for in-flight readers and
+    // GCs anything older
+    val (e2, d2) = Similarity.nextEpochPath(spark, dir)
+    Similarity.ivfWrite(Similarity.ivfBuild(emb, nCells = 16), d2)
+    Similarity.commitEpoch(spark, dir, e2)
+    val (e3, d3) = Similarity.nextEpochPath(spark, dir)
+    Similarity.ivfWrite(Similarity.ivfBuild(emb, nCells = 16), d3)
+    Similarity.commitEpoch(spark, dir, e3)
+    val epochDirs = new java.io.File(s"$dir/_epochs").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!epochDirs.contains(e1.toString), s"epoch $e1 should be GCed: $epochDirs")
+    assert(epochDirs.contains(e2.toString), s"epoch $e2 retained for in-flight readers")
+    assert(Similarity.resolveEpoch(spark, dir).endsWith(s"_epochs/$e3"))
+
+    // the LSH twin: same marker discipline — critical here because old and
+    // new epochs hash with DIFFERENT bits and must never mix bucket spaces
+    val ldir = java.nio.file.Files.createTempDirectory("graft_epoch_lsh").toString
+    Similarity.lshWrite(Similarity.lshBuild(base), ldir)
+    val lshBefore = Similarity.lshRead(spark, ldir)
+    val (le, ld) = Similarity.nextEpochPath(spark, ldir)
+    Similarity.lshWrite(Similarity.lshBuild(emb, targetOccupancy = 8), ld)
+    val lshRacing = Similarity.lshRead(spark, ldir)
+    assert(lshRacing.bits == lshBefore.bits &&
+      lshRacing.buckets.count() == lshBefore.buckets.count(),
+      "reader mid-rebuild must see the old bucket space whole")
+    Similarity.commitEpoch(spark, ldir, le)
+    val lshAfter = Similarity.lshRead(spark, ldir)
+    assert(lshAfter.bits > lshBefore.bits,
+      "post-commit reader must see the rebuilt bucket space")
+  }
+
   test("pqAppend: standing-codebook encoding, both layers appended, twin retrievable") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq2").toString
     val base = emb.filter(col("vec_id") % 10 =!= 0)
