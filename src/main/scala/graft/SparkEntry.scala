@@ -562,8 +562,8 @@ object SparkEntry {
     "semdedup_stats" -> ((s, d) =>
       Similarity.semDeDupStats(Similarity.ivfBuild(Tables.embeddings(s, d)).vectors)),
 
-    // ---- multimodal (north star; REAL PNG/JPEG/WAV content decode —
-    // only AVI stream decode remains the sanctioned stub)
+    // ---- multimodal (north star; REAL PNG/JPEG/WAV/MJPEG-AVI content
+    // decode — only non-MJPEG AVI codecs remain the sanctioned stub)
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documents(s, d))),
     // perceptual near-dup pairs over DECODED content: dHash on real PNG
     // pixels, envelope hash on real PCM; banded hamming join

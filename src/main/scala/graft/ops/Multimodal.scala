@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   * [[Containers.decodeWavSamples]] decode actual pixels/samples,
   * [[resizeMedia]] box-resamples REAL pixels, and [[mediaNearDup]] /
   * [[audioStats]] run on decoded content (aHash/dHash perceptual
-  * fingerprints; RMS/clipping/silence). Only AVI video-stream decode
-  * remains a sanctioned stub (a genuine codec the container doesn't ship —
-  * marked `???` below). No DuckDB oracle (binary payloads): rows-only
-  * checks + ScalaTest round-trip/filter/fuzz laws in PropertiesSpec.
+  * fingerprints; RMS/clipping/silence). MJPEG AVI video decodes for real
+  * too — the MJPEG "codec" stores each frame as a standalone baseline
+  * JPEG in the movi chunk stream ([[Containers.decodeAviFrames]]), so the
+  * JDK JPEG codec closes that gap: frame sampling, video resize, and the
+  * video near-dup tier run on actual frames. Only NON-MJPEG AVI stream
+  * codecs remain the sanctioned stub (genuinely external codecs — marked
+  * `???` below). No DuckDB oracle (binary payloads): rows-only checks +
+  * ScalaTest round-trip/filter/fuzz laws in PropertiesSpec.
   */
 object Multimodal {
 
@@ -350,6 +354,113 @@ object Multimodal {
       fourcc("RIFF") ++ le32(body.length) ++ body
     }
 
+    /** MJPEG AVI WITH real frame content: the standard RIFF layout —
+      * LIST/hdrl (avih + LIST/strl with a 'vids'/'MJPG' strh and a
+      * BITMAPINFOHEADER strf whose biCompression is 'MJPG') followed by
+      * LIST/movi holding one `00dc` chunk PER FRAME, each chunk a bare
+      * baseline JPEG (that is the whole MJPEG "codec": the AVI spec stores
+      * Motion-JPEG streams as independent JPEG frames, which is why the
+      * JDK JPEG codec closes this container's decode gap). Chunks pad to
+      * even per RIFF. What [[decodeAviFrames]] round-trips byte-exactly. */
+    def aviMjpeg(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(frames.nonEmpty, "an MJPEG AVI needs at least one frame")
+      val avih = le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(30) ++ le32(0) ++
+        le32(frames.length) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(width) ++ le16(height) // rcFrame
+      val strf = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++
+        fourcc("MJPG") ++ le32(width * height * 3) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strl = fourcc("strl") ++
+        fourcc("strh") ++ le32(strh.length) ++ strh ++
+        fourcc("strf") ++ le32(strf.length) ++ strf
+      val hdrl = fourcc("hdrl") ++ fourcc("avih") ++ le32(avih.length) ++ avih ++
+        fourcc("LIST") ++ le32(strl.length) ++ strl
+      val movi = fourcc("movi") ++ frames.toArray.flatMap { f =>
+        val chunk = fourcc("00dc") ++ le32(f.length) ++ f
+        if (f.length % 2 == 1) chunk :+ 0.toByte else chunk
+      }
+      val body = fourcc("AVI ") ++
+        fourcc("LIST") ++ le32(hdrl.length) ++ hdrl ++
+        fourcc("LIST") ++ le32(movi.length) ++ movi
+      fourcc("RIFF") ++ le32(body.length) ++ body
+    }
+
+    /** REAL frame extraction for MJPEG AVIs: header walk (avih dims, the
+      * strh handler check), then the movi LIST's `00dc` chunks returned as
+      * the frame byte payloads — each a standalone JPEG for
+      * [[decodeJpegPixels]]. Non-MJPEG fourccs degrade to
+      * `avi_codec_unsupported` (the sanctioned stub path for codecs the
+      * container genuinely doesn't ship); anything malformed degrades to a
+      * reason, never a throw. */
+    def decodeAviFrames(bytes: Array[Byte]): Either[String, (Int, Int, Vector[Array[Byte]])] =
+      try {
+        if (bytes.length < 12 || !bytes.take(4).sameElements(fourcc("RIFF")) ||
+            cc(bytes, 8) != "AVI ") return Left("not_avi")
+        val dims = parseRiff(bytes) match {
+          case Left(e) => return Left(e)
+          case Right(p) => (p.width, p.height)
+        }
+        val strh = findChunkData(bytes, 12, bytes.length, "strh") match {
+          case Some((o, sz)) if sz >= 8 => o
+          case _ => return Left("avi_no_strh")
+        }
+        if (cc(bytes, strh + 4) != "MJPG") return Left("avi_codec_unsupported")
+        val (mFrom, mTo) = findListData(bytes, 12, bytes.length, "movi") match {
+          case Some(r) => r
+          case None => return Left("avi_no_movi")
+        }
+        val frames = Vector.newBuilder[Array[Byte]]
+        var o = mFrom
+        while (o + 8 <= mTo) {
+          val (id, sz) = (cc(bytes, o), rle32(bytes, o + 4))
+          if (sz < 0 || o + 8 + sz > mTo) return Left("avi_truncated_chunk")
+          if (id == "00dc") frames += java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + sz)
+          o += 8 + sz + (sz & 1)
+        }
+        val fs = frames.result()
+        if (fs.isEmpty) Left("avi_no_frames") else Right((dims._1, dims._2, fs))
+      } catch { case scala.util.control.NonFatal(_) => Left("avi_corrupt") }
+
+    /** First chunk with fourcc `id` in [from, to), descending into LISTs;
+      * returns (data offset, size). Bounds-checked like [[findAvih]]. */
+    private def findChunkData(b: Array[Byte], from: Int, to: Int,
+        id: String): Option[(Int, Int)] = {
+      var o = from
+      while (o + 8 <= to) {
+        val (cid, sz) = (cc(b, o), rle32(b, o + 4))
+        if (sz < 0 || o + 8 + sz > to) return None
+        if (cid == id) return Some((o + 8, sz))
+        if (cid == "LIST") {
+          val r = findChunkData(b, o + 12, o + 8 + sz, id)
+          if (r.isDefined) return r
+        }
+        o += 8 + sz + (sz & 1)
+      }
+      None
+    }
+
+    /** First LIST whose list-type fourcc is `listType` in [from, to);
+      * returns the (from, to) byte range of the list's chunk stream. */
+    private def findListData(b: Array[Byte], from: Int, to: Int,
+        listType: String): Option[(Int, Int)] = {
+      var o = from
+      while (o + 12 <= to) {
+        val (cid, sz) = (cc(b, o), rle32(b, o + 4))
+        if (sz < 0 || o + 8 + sz > to) return None
+        if (cid == "LIST") {
+          if (cc(b, o + 8) == listType) return Some((o + 12, o + 8 + sz))
+          val r = findListData(b, o + 12, o + 8 + sz, listType)
+          if (r.isDefined) return r
+        }
+        o += 8 + sz + (sz & 1)
+      }
+      None
+    }
+
     /** Parse any supported container's header. Never throws. */
     def parse(bytes: Array[Byte]): Either[String, Parsed] =
       try {
@@ -606,18 +717,20 @@ object Multimodal {
   }
 
   /** Manufacture a media table with VALID containers carrying REAL
-    * content wherever a JDK-resident codec exists: even-image-id rows are
-    * PNGs with actual deflated pixel data, odd-image-id rows are JPEGs
-    * with actual entropy-coded pixel data (JDK baseline codec), audio
-    * rows are WAVs with actual 16-bit PCM; AVIs are header-only (their
-    * stream decode is the sanctioned codec stub). Content derives
+    * content everywhere a JDK-resident codec exists: even-image-id rows
+    * are PNGs with actual deflated pixel data, odd-image-id rows are
+    * JPEGs with actual entropy-coded pixel data (JDK baseline codec),
+    * audio rows are WAVs with actual 16-bit PCM, and video rows are MJPEG
+    * AVIs whose movi stream holds 2-4 actual JPEG frames. Content derives
     * deterministically from ids/text so results are reproducible.
     * Planted near-dups for the perceptual-dedup operators: every 7th PNG
     * (id % 42 == 0) and every 5th JPEG (id % 30 == 3) repeat the previous
-    * same-format image brightness-shifted; every 11th audio row
-    * (id % 33 == 1) repeats the previous audio row's waveform at 4/5
-    * gain. One row in 47 is truncated to 6 bytes — a malformed container
-    * exercising the quarantine path. */
+    * same-format image brightness-shifted; every 12th video
+    * (id % 36 == 2) repeats the previous video's frames
+    * brightness-shifted; every 11th audio row (id % 33 == 1) repeats the
+    * previous audio row's waveform at 4/5 gain. One row in 47 is
+    * truncated to 6 bytes — a malformed container exercising the
+    * quarantine path. */
   def mediaTable(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     val rates = Array(8000, 16000, 22050, 44100, 48000)
@@ -658,9 +771,18 @@ object Multimodal {
           ("audio", Containers.wavPcm16(rate, channels,
             synthPcm(seed, frames * channels, gn, gd)))
         case _ =>
-          val w = (64 + posMod(ck, 960)).toInt
-          val h = (64 + posMod(ck >> 10, 960)).toInt
-          ("video", Containers.avi(w, h, 1 + bytes.length % 240))
+          // real-content MJPEG AVI: 2-4 JDK-encoded JPEG frames, same
+          // base-id planting discipline (every 12th video repeats its
+          // predecessor's frames brightness-shifted — the lossy-pair law)
+          val baseId = if (id % 36 == 2 && id >= 38) id - 6 else id
+          val seed = mix64(baseId)
+          val w = (24 + posMod(mix64(seed ^ 6), 56)).toInt
+          val h = (24 + posMod(mix64(seed ^ 7), 56)).toInt
+          val nf = (2 + posMod(mix64(seed ^ 8), 3)).toInt
+          val jitter = if (baseId != id) 4 else 0
+          val frames = (0 until nf).map(f =>
+            Containers.jpegRgb(w, h, synthRgb(mix64(seed ^ (0x100L + f)), w, h, jitter)))
+          ("video", Containers.aviMjpeg(w, h, frames))
       }
       val out = if (id % 47 == 0) java.util.Arrays.copyOf(payload, 6) else payload
       MediaRow(id, mtype, out)
@@ -695,11 +817,14 @@ object Multimodal {
   /** Perceptual fingerprints over DECODED content — real pixels through
     * [[Containers.decodePngPixels]] AND [[Containers.decodeJpegPixels]]
     * (dHash gradient + aHash average), real PCM through
-    * [[Containers.decodeWavSamples]] (envelope-gradient hash). Rows whose
-    * payload can't be content-decoded (the AVI stream-decode stub,
-    * truncated containers) emit nothing — fingerprinting an undecodable
-    * payload would be noise, not signal. mapPartitions keeps the decode
-    * executor-local and streaming, the [[mediaMeta]] discipline. */
+    * [[Containers.decodeWavSamples]] (envelope-gradient hash), and real
+    * MJPEG first frames through [[Containers.decodeAviFrames]] (a video
+    * near-dup keys on its representative frame — the thumbnail-dedup
+    * shape). Rows whose payload can't be content-decoded (non-MJPEG AVI
+    * codecs, truncated containers) emit nothing — fingerprinting an
+    * undecodable payload would be noise, not signal. mapPartitions keeps
+    * the decode executor-local and streaming, the [[mediaMeta]]
+    * discipline. */
   def mediaHashes(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     mediaTable(spark, documents).mapPartitions(_.flatMap { r =>
@@ -713,7 +838,16 @@ object Multimodal {
           case Right((_, _, samples)) =>
             Iterator.single(MediaHash(r.media_id, "audio",
               Pixels.envelopeHash64(samples), 0L))
-          case Left(_) => Iterator.empty
+          case Left(_) => Containers.decodeAviFrames(r.payload) match {
+            case Right((_, _, frames)) =>
+              Containers.decodeJpegPixels(frames.head) match {
+                case Right((fw, fh, rgb)) =>
+                  Iterator.single(MediaHash(r.media_id, "video",
+                    Pixels.dHash64(rgb, fw, fh), Pixels.aHash64(rgb, fw, fh)))
+                case Left(_) => Iterator.empty
+              }
+            case Left(_) => Iterator.empty
+          }
         }
       }
     }).toDF()
@@ -835,8 +969,23 @@ object Multimodal {
             Containers.jpegRgb(w, h, Pixels.boxResize(rgb, sw, sh, w, h))
           case Left(_) => Containers.jpeg(w, h) // header-only jpeg: header resize
         }
-      case Right(p) if p.format == "avi" => Containers.avi(w, h, p.nFrames)
-      // ??? <- real AVI resample needs its video stream codec.
+      case Right(p) if p.format == "avi" =>
+        Containers.decodeAviFrames(payload) match {
+          case Right((_, _, frames)) =>
+            // MJPEG: decode EVERY frame, box-resample, re-encode —
+            // all-or-nothing (one undecodable frame degrades the whole
+            // clip to the header stub rather than emit a half-real one)
+            val decoded = frames.map(Containers.decodeJpegPixels)
+            if (decoded.forall(_.isRight))
+              Containers.aviMjpeg(w, h, decoded.map {
+                case Right((fw, fh, rgb)) =>
+                  Containers.jpegRgb(w, h, Pixels.boxResize(rgb, fw, fh, w, h))
+                case Left(_) => Array.emptyByteArray // unreachable (forall above)
+              })
+            else Containers.avi(w, h, p.nFrames)
+          case Left(_) => Containers.avi(w, h, p.nFrames)
+          // ??? <- non-MJPEG AVI resample still needs its stream codec.
+        }
       case _ => payload // audio / malformed: pass through
     }
 
@@ -876,20 +1025,28 @@ object Multimodal {
     * sampled frame. flatMap keeps the explosion on the executors (a 2-hour
     * clip fans out where its partition lives, never through the driver),
     * and downstream per-frame feature extraction parallelizes after one
-    * narrow shuffle. Frame count comes from the REAL header parse (AVI
-    * dwTotalFrames / WAV sample frames); malformed rows emit no frames.
-    * The frame payload is a deterministic slice — extracting actual frame
-    * bytes needs the codec the container doesn't ship. */
+    * narrow shuffle. For MJPEG AVIs the payload is the REAL frame — the
+    * standalone JPEG extracted from the movi chunk stream, directly
+    * decodable by [[Containers.decodeJpegPixels]]. For everything else the
+    * frame count comes from the header parse (AVI dwTotalFrames / WAV
+    * sample frames), malformed rows emit no frames, and the payload stays
+    * the deterministic slice. */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int = 30): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val total = decode(r).n_frames
-      (0 until total by everyN).map { i =>
-        // ??? <- real frame extraction goes here; deterministic slice below.
-        val off = if (r.payload.isEmpty) 0 else i % math.max(1, r.payload.length)
-        MediaFrame(r.media_id, i,
-          java.util.Arrays.copyOfRange(r.payload, off,
-            math.min(r.payload.length, off + 64)))
+      Containers.decodeAviFrames(r.payload) match {
+        case Right((_, _, frames)) =>
+          (0 until frames.length by everyN).map(i => MediaFrame(r.media_id, i, frames(i)))
+        case Left(_) =>
+          val total = decode(r).n_frames
+          (0 until total by everyN).map { i =>
+            // ??? <- real extraction for non-MJPEG codecs goes here;
+            // deterministic slice below.
+            val off = if (r.payload.isEmpty) 0 else i % math.max(1, r.payload.length)
+            MediaFrame(r.media_id, i,
+              java.util.Arrays.copyOfRange(r.payload, off,
+                math.min(r.payload.length, off + 64)))
+          }
       }
     }
   }

@@ -245,7 +245,10 @@ class PropertiesSpec extends SparkTestBase {
         Containers.avi(320, 240, 12),
         Containers.pngRgb(9, 7, Array.tabulate[Byte](9 * 7 * 3)(_.toByte)),
         Containers.jpegRgb(9, 7, Array.tabulate[Byte](9 * 7 * 3)(_.toByte)),
-        Containers.wavPcm16(8000, 1, Array[Short](5, -9, 300, -32768)))
+        Containers.wavPcm16(8000, 1, Array[Short](5, -9, 300, -32768)),
+        Containers.aviMjpeg(9, 7, Seq(
+          Containers.jpegRgb(9, 7, Array.tabulate[Byte](9 * 7 * 3)(_.toByte)),
+          Containers.jpegRgb(9, 7, Array.tabulate[Byte](9 * 7 * 3)(i => (i * 3).toByte)))))
       pos <- Gen.choose(0, base.length - 1)
       bit <- Gen.choose(0, 7)
     } yield { val b = base.clone(); b(pos) = (b(pos) ^ (1 << bit)).toByte; b }
@@ -264,7 +267,11 @@ class PropertiesSpec extends SparkTestBase {
         case Left(reason) => reason.nonEmpty
         case Right((w, h, rgb)) => w > 0 && h > 0 && rgb.length == w * h * 3
       }
-      pxOk && auOk && jpOk && (Containers.parse(bytes) match {
+      val avOk = Containers.decodeAviFrames(bytes) match {
+        case Left(reason) => reason.nonEmpty
+        case Right((w, h, fs)) => w > 0 && h > 0 && fs.nonEmpty
+      }
+      pxOk && auOk && jpOk && avOk && (Containers.parse(bytes) match {
         case Left(reason) => reason.nonEmpty
         case Right(p) => p.format match {
           case "png" | "jpeg" => p.width > 0 && p.height > 0
@@ -420,6 +427,56 @@ class PropertiesSpec extends SparkTestBase {
       math.sqrt((32767.0 * 32767 + 32768.0 * 32768 + 16384.0 * 16384) / 4) / 32768) < 1e-12)
   }
 
+  test("law: MJPEG AVI frames round-trip verbatim; video resize and frame sampling are real") {
+    import graft.ops.Multimodal.{Containers, Pixels}
+    val (w, h) = (20, 14)
+    def frameRgb(k: Int) = Array.tabulate[Byte](w * h * 3) { i =>
+      val (x, y) = ((i / 3) % w, (i / 3) / w)
+      ((x * 200 / w + y * 55 / h + k * 9) % 251).toByte
+    }
+    val frames = (0 until 3).map(k => Containers.jpegRgb(w, h, frameRgb(k)))
+    val clip = Containers.aviMjpeg(w, h, frames)
+    // container-level round-trip: the movi chunks hold the frame bytes
+    // VERBATIM (MJPEG stores frames as standalone JPEGs, no transcoding)
+    val Right((dw, dh, back)) = Containers.decodeAviFrames(clip)
+    assert(dw == w && dh == h && back.length == 3)
+    assert(back.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // header parse agrees with the frame count
+    assert(Containers.parse(clip).exists(p =>
+      p.format == "avi" && p.nFrames == 3 && p.width == w && p.height == h))
+    // non-MJPEG fourcc degrades to the sanctioned stub reason, not a throw
+    val legacy = Containers.avi(w, h, 3)
+    assert(Containers.decodeAviFrames(legacy) == Left("avi_no_strh"))
+
+    // resizeMedia's AVI branch really resamples: every frame decodes at
+    // the target dims with EXACTLY the box-resampled pixels (up to the
+    // JPEG re-encode's bounded DCT error — checked via dHash tolerance)
+    val s = spark
+    import s.implicits._
+    val media = Seq(graft.ops.Multimodal.MediaRow(1L, "video", clip)).toDS()
+    val rz = graft.ops.Multimodal.resizeMedia(media, 10, 8).collect().head
+    val Right((rw, rh, rframes)) = Containers.decodeAviFrames(rz.payload)
+    assert(rw == 10 && rh == 8 && rframes.length == 3)
+    for ((rf, k) <- rframes.zipWithIndex) {
+      val Right((fw, fh, rgb)) = Containers.decodeJpegPixels(rf)
+      assert(fw == 10 && fh == 8, s"frame $k not at target dims")
+      val srcPx = Containers.decodeJpegPixels(frames(k)).toOption.get._3
+      val want = Pixels.boxResize(srcPx, w, h, 10, 8)
+      assert(java.lang.Long.bitCount(
+        Pixels.dHash64(want, 10, 8) ^ Pixels.dHash64(rgb, 10, 8)) <= 3,
+        s"frame $k drifted past DCT tolerance")
+    }
+    // sampleFrames emits the REAL frame bytes for MJPEG clips
+    val sampled = graft.ops.Multimodal.sampleFrames(media, everyN = 1).collect()
+      .sortBy(_.frame_idx)
+    assert(sampled.length == 3)
+    assert(sampled.zip(frames).forall { case (mf, f) =>
+      java.util.Arrays.equals(mf.payload, f) })
+    // every-2nd sampling keeps frames 0 and 2
+    assert(graft.ops.Multimodal.sampleFrames(media, everyN = 2).collect()
+      .map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+  }
+
   test("law: perceptual hashes are invariant where they claim; planted near-dups found") {
     import graft.ops.Multimodal.{Containers, Pixels}
     // dHash: uniform brightness shift flips no gradient sign
@@ -447,29 +504,45 @@ class PropertiesSpec extends SparkTestBase {
       ids(id - 6) && decodable(id) && decodable(id - 6)).map(id => (id - 6, id))
     val plantedAud = ids.filter(id => id % 33 == 1 && id >= 34 &&
       ids(id - 3) && decodable(id) && decodable(id - 3)).map(id => (id - 3, id))
-    assert(plantedPng.nonEmpty && plantedJpg.nonEmpty && plantedAud.nonEmpty,
-      "test corpus too small")
-    val dhashes = graft.ops.Multimodal.mediaHashes(spark, docs)
-      .filter(col("kind") === "image").collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // lossy MJPEG video pairs: the planted copy repeats its predecessor's
+    // frames brightness-shifted; the video hash keys on the FIRST frame,
+    // so the JPEG tolerance discipline applies
+    val plantedVid = ids.filter(id => id % 36 == 2 && id >= 38 &&
+      ids(id - 6) && decodable(id) && decodable(id - 6)).map(id => (id - 6, id))
+    assert(plantedPng.nonEmpty && plantedJpg.nonEmpty && plantedAud.nonEmpty &&
+      plantedVid.nonEmpty, "test corpus too small")
+    val allHashes = graft.ops.Multimodal.mediaHashes(spark, docs).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val dhashes = allHashes.filter(_._1 == "image")
+      .map(t => t._2 -> t._3).toMap
+    val vhashes = allHashes.filter(_._1 == "video")
+      .map(t => t._2 -> t._3).toMap
     val jpgWithin = plantedJpg.filter { case (a, b) =>
       java.lang.Long.bitCount(dhashes(a) ^ dhashes(b)) <= 3 }
     assert(jpgWithin.size * 2 >= plantedJpg.size,
       s"lossy encode destroyed most planted JPEG pairs: $jpgWithin of $plantedJpg")
+    val vidWithin = plantedVid.filter { case (a, b) =>
+      java.lang.Long.bitCount(vhashes(a) ^ vhashes(b)) <= 3 }
+    assert(vidWithin.size * 2 >= plantedVid.size,
+      s"lossy encode destroyed most planted video pairs: $vidWithin of $plantedVid")
     val pairs = q("media_phash_dedup").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getAs[Number](3).longValue))
     assert(pairs.forall(_._4 <= 3))
     val gotImg = pairs.filter(_._1 == "image").map(p => (p._2, p._3)).toSet
     val gotAud = pairs.filter(_._1 == "audio").map(p => (p._2, p._3)).toSet
+    val gotVid = pairs.filter(_._1 == "video").map(p => (p._2, p._3)).toSet
     val wantImg = plantedPng ++ jpgWithin
     assert(wantImg.subsetOf(gotImg),
       s"missed planted image pairs: ${wantImg -- gotImg}")
     assert(plantedAud.subsetOf(gotAud),
       s"missed planted audio pairs: ${plantedAud -- gotAud}")
+    assert(vidWithin.subsetOf(gotVid),
+      s"missed planted video pairs: ${vidWithin -- gotVid}")
     // rejection: unrelated content does not collide (deterministic corpus)
     assert(gotImg == wantImg, s"spurious image pairs: ${gotImg -- wantImg}")
     assert(gotAud == plantedAud, s"spurious audio pairs: ${gotAud -- plantedAud}")
+    assert(gotVid == vidWithin, s"spurious video pairs: ${gotVid -- vidWithin}")
 
     // audio_stats: one row per decodable audio payload, all in range
     val st = q("audio_stats").collect()
