@@ -22,7 +22,11 @@ import org.apache.spark.sql.SparkSession
   * noise into ratios; `ratioLimit` (default 12 = 10 × a 20% margin)
   * flags anything growing meaningfully faster than the data. Output rows
   * are recorded alongside so a flagged wall can be read against its
-  * result cardinality (a 10×-rows output legitimately costs ~10×).
+  * result cardinality (a 10×-rows output legitimately costs ~10×), and
+  * per-query shuffle read/write bytes are metered via a task listener so
+  * a flagged wall ratio separates PLAN growth (shuffle bytes are a
+  * deterministic function of plan + data) from host noise without a
+  * re-run.
   *
   * Run: `sbt "runMain graft.ScaleGate [dir1x dir10x]"`. The result table
   * lives in PLANS.md §"Full-surface scale gate". Exit code 1 when any
@@ -50,7 +54,38 @@ object ScaleGate {
     def jsonSafe(s: String): String =
       String.valueOf(s).replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(200)
 
-    // per scale: (query -> (wall sec, output rows))
+    // Cumulative shuffle read/write bytes across all tasks (VERDICT r10
+    // #7): per-query deltas separate PLAN growth from host noise when a
+    // wall ratio flags — shuffle bytes are deterministic per plan+data,
+    // walls are not. The bus is async, so each query's delta is taken
+    // after a short drain-until-stable poll (the SkewSpec discipline).
+    val shufR = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufW = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    def drainedShuffle(): (Long, Long) = {
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 20) { // ≤1 s for the async bus
+        Thread.sleep(50)
+        val cur = shufR.get() + shufW.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        waited += 1
+      }
+      (shufR.get(), shufW.get())
+    }
+
+    // per scale: (query -> (wall sec, output rows, shuffle r+w MB))
     def runScale(tag: String, dir: String): Map[String, (Double, Long)] = {
       // each scale gets a cold model/stage slate, like a fresh bench run
       SparkEntry.clearModelCaches()
@@ -60,6 +95,10 @@ object ScaleGate {
           s"${e.getClass.getSimpleName}: ${jsonSafe(e.getMessage)}"
       }
       val stageSec = (System.nanoTime() - tS) / 1e9
+      val (stageR, stageW) = drainedShuffle()
+      var (lastR, lastW) = (stageR, stageW)
+      val shuffles = scala.collection.mutable.LinkedHashMap(
+        "pipeline_stages" -> ((stageR, stageW)))
       val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val n = try fn(spark, dir).count() catch {
@@ -67,11 +106,17 @@ object ScaleGate {
             errors(s"$tag:$name") = s"${e.getClass.getSimpleName}: ${jsonSafe(e.getMessage)}"
             -1L
         }
-        name -> (((System.nanoTime() - t0) / 1e9, n))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (r, w) = drainedShuffle()
+        shuffles(name) = (r - lastR, w - lastW)
+        lastR = r; lastW = w
+        name -> ((sec, n))
       }
       val all = ("pipeline_stages" -> ((stageSec, 0L))) +: rows
+      def mb(b: Long): Double = math.round(b / 1e5) / 10.0
       val qs = all.map { case (k, (s, n)) =>
-        s""""$k":{"sec":${math.round(s * 100) / 100.0},"rows":$n}"""
+        val (r, w) = shuffles(k)
+        s""""$k":{"sec":${math.round(s * 100) / 100.0},"rows":$n,"sh_r_mb":${mb(r)},"sh_w_mb":${mb(w)}}"""
       }.mkString("{", ",", "}")
       println(s"""{"metric":"scale_gate_$tag","dir":"$dir","queries":$qs}""")
       all.toMap
