@@ -41,6 +41,15 @@ object SparkEntry {
   // cached so the tokenize+explode runs once, like the box lineage above
   private def shingles(s: SparkSession, d: String) =
     Pipeline.stage(s, d, "shingles")(Text.shingles(Tables.documents(s, d)))
+  // The media table's container ENCODE (2-4 JDK-JPEG frames per video row,
+  // deflated PNGs, PCM packing) is the expensive half of every media
+  // query; build it once per (session, sfDir) like box/shingles and let
+  // the four media queries share the materialized rows.
+  private def media(s: SparkSession, d: String) =
+    Pipeline.stage(s, d, "media")(
+      Multimodal.mediaTable(s, Tables.documents(s, d)).toDF())
+      .as[Multimodal.MediaRow](
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
 
   private val rollIds = Seq("player_id", "player_name", "team_name", "game_id",
     "line_id", "game_date", "minutes")
@@ -122,6 +131,7 @@ object SparkEntry {
   def prebuildStages(s: SparkSession, d: String): Unit = {
     af(s, d) // transitively builds box, pa, adv, roll
     shingles(s, d)
+    media(s, d)
     ()
   }
 
@@ -564,17 +574,18 @@ object SparkEntry {
 
     // ---- multimodal (north star; REAL PNG/JPEG/WAV/MJPEG-AVI content
     // decode — only non-MJPEG AVI codecs remain the sanctioned stub)
-    "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documents(s, d))),
-    // perceptual near-dup pairs over DECODED content: dHash on real PNG
-    // pixels, envelope hash on real PCM; banded hamming join
+    "multimodal_meta" -> ((s, d) => Multimodal.mediaMetaFrom(media(s, d))),
+    // perceptual near-dup pairs over DECODED content: dHash on real
+    // PNG/JPEG pixels and MJPEG first frames, envelope hash on real PCM;
+    // banded hamming join
     "media_phash_dedup" -> ((s, d) =>
-      Multimodal.mediaNearDup(s, Tables.documents(s, d))),
+      Multimodal.mediaNearDupFrom(media(s, d))),
     // real-sample audio quality report: RMS / peak / clipping / silence
-    "audio_stats" -> ((s, d) => Multimodal.audioStats(s, Tables.documents(s, d))),
+    "audio_stats" -> ((s, d) => Multimodal.audioStatsFrom(media(s, d))),
     // decode → box-resample → re-encode over REAL pixels, reported per
     // media type with target-validity counts (quarantine made visible)
     "media_resize_report" -> ((s, d) =>
-      Multimodal.resizeReport(s, Tables.documents(s, d)))
+      Multimodal.resizeReportFrom(media(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -803,11 +803,18 @@ object Multimodal {
     * decode per-executor and streaming (no collect, no driver loop); the
     * iterator shape is where a batched codec (or GPU decode) would amortize
     * per-partition setup cost. */
-  def mediaMeta(spark: SparkSession, documents: DataFrame): DataFrame = {
+  def mediaMeta(spark: SparkSession, documents: DataFrame): DataFrame =
+    mediaMetaFrom(mediaTable(spark, documents))
+
+  /** [[mediaMeta]] over an already-built media table — the shared-stage
+    * entry point: the table's container ENCODE (2-4 JPEG frames per video
+    * row) is the expensive half, so SparkEntry builds it once per
+    * (session, sfDir) through Pipeline.stage and every media query reads
+    * the materialized rows instead of re-encoding the corpus. */
+  def mediaMetaFrom(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    mediaTable(spark, documents)
-      .mapPartitions(rows => rows.map(decode))
-      .toDF()
+    media.mapPartitions(rows => rows.map(decode)).toDF()
   }
 
   /** A perceptual fingerprint row: dHash + aHash for decoded images,
@@ -825,9 +832,15 @@ object Multimodal {
     * undecodable payload would be noise, not signal. mapPartitions keeps
     * the decode executor-local and streaming, the [[mediaMeta]]
     * discipline. */
-  def mediaHashes(spark: SparkSession, documents: DataFrame): DataFrame = {
+  def mediaHashes(spark: SparkSession, documents: DataFrame): DataFrame =
+    mediaHashesFrom(mediaTable(spark, documents))
+
+  /** [[mediaHashes]] over an already-built media table ([[mediaMetaFrom]]
+    * discipline). */
+  def mediaHashesFrom(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    mediaTable(spark, documents).mapPartitions(_.flatMap { r =>
+    media.mapPartitions(_.flatMap { r =>
       val px = Containers.decodePngPixels(r.payload)
         .orElse(Containers.decodeJpegPixels(r.payload))
       px match {
@@ -901,6 +914,10 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame =
     hashNearDupPairs(mediaHashes(spark, documents), maxHamming)
 
+  /** [[mediaNearDup]] over an already-built media table. */
+  def mediaNearDupFrom(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    hashNearDupPairs(mediaHashesFrom(media), maxHamming)
+
   /** Decoded-audio quality report — REAL sample statistics, the audio
     * analog of [[graft.ops.Text.qualityScore]]'s structural signals:
     * RMS level, peak, clipping fraction (|s| at int16 full scale), and
@@ -911,9 +928,14 @@ object Multimodal {
       n_samples: Int, rms: Double, peak: Double, clip_frac: Double,
       silence_frac: Double)
 
-  def audioStats(spark: SparkSession, documents: DataFrame): DataFrame = {
+  def audioStats(spark: SparkSession, documents: DataFrame): DataFrame =
+    audioStatsFrom(mediaTable(spark, documents))
+
+  /** [[audioStats]] over an already-built media table. */
+  def audioStatsFrom(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    mediaTable(spark, documents).mapPartitions(_.flatMap { r =>
+    media.mapPartitions(_.flatMap { r =>
       Containers.decodeWavSamples(r.payload) match {
         case Right((rate, channels, s)) if s.nonEmpty =>
           var (sumSq, peak, clipped, silent, i) = (0L, 0, 0L, 0L, 0)
@@ -999,9 +1021,15 @@ object Multimodal {
     * it); the decode → resample → re-encode runs on REAL pixels for
     * PNG/JPEG. Rows-only (binary in); laws in PropertiesSpec. */
   def resizeReport(spark: SparkSession, documents: DataFrame,
+      w: Int = 64, h: Int = 64): DataFrame =
+    resizeReportFrom(mediaTable(spark, documents), w, h)
+
+  /** [[resizeReport]] over an already-built media table. */
+  def resizeReportFrom(media: Dataset[MediaRow],
       w: Int = 64, h: Int = 64): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    mediaTable(spark, documents).mapPartitions(_.map { r =>
+    media.mapPartitions(_.map { r =>
       val out = resizePayload(r.payload, w, h)
       val ok = Containers.parse(out) match {
         case Right(p) if p.format == "wav" => true // audio: unchanged payload
