@@ -2763,6 +2763,34 @@ af AS (
       WHERE rk <= 5""",
     // semantic decontamination, exact broadcast form: cross-corpus cosine
     // over the %20 train/eval split, q6-rounded like embedding_near_dup
+    // incremental semantic-dedup admission: a batch vector is dropped iff
+    // a standing vector is tau-close (witness = smallest standing id) or a
+    // smaller-id batch vector is tau-close (keep-first at the batch
+    // boundary; the witness may itself be dropped — the published chain
+    // semantics, so NO recursion: plain joins). Standing witness wins the
+    // dup_src report. Same %20 split and q6 cosine as decontaminate_semantic.
+    "semdedup_incremental" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      st AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
+      b AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+      ws AS (SELECT b.vec_id, MIN(st.vec_id) AS w_standing
+             FROM b, st
+             WHERE floor(CAST(list_dot_product(st.v, b.v) / (st.nrm * b.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
+             GROUP BY b.vec_id),
+      wb AS (SELECT b2.vec_id, MIN(b1.vec_id) AS w_batch
+             FROM b b2, b b1
+             WHERE b1.vec_id < b2.vec_id
+               AND floor(CAST(list_dot_product(b1.v, b2.v) / (b1.nrm * b2.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
+             GROUP BY b2.vec_id)
+      SELECT b.vec_id,
+             COALESCE(ws.w_standing, wb.w_batch) AS dup_of,
+             CASE WHEN ws.w_standing IS NOT NULL THEN 'standing'
+                  WHEN wb.w_batch IS NOT NULL THEN 'batch' END AS dup_src,
+             (ws.w_standing IS NULL AND wb.w_batch IS NULL) AS kept
+      FROM b LEFT JOIN ws ON b.vec_id = ws.vec_id
+             LEFT JOIN wb ON b.vec_id = wb.vec_id""",
+
     "decontaminate_semantic" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),

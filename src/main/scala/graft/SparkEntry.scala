@@ -545,6 +545,17 @@ object SparkEntry {
     // τ verify full-dim — the paper's preprocessing tier made real
     "semdedup_reduced" -> ((s, d) =>
       Similarity.semDeDupReduced(Tables.embeddings(s, d), threshold = 0.4)),
+    // the ADMISSION form: a new batch (%20 split, the decontamination
+    // convention) admitted against the standing corpus — batch-side
+    // broadcast, standing streams past it; dedup_incremental's embedding twin
+    "semdedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      Similarity.semDeDupIncremental(
+        emb.filter(col("vec_id") % 20 =!= 0),  // standing
+        emb.filter(col("vec_id") % 20 === 0),  // new batch
+        threshold = 0.4)
+    }),
     // mirrorable (md5-literal) hyperplanes: the oracle reproduces buckets,
     // candidate set, and q6 cosines exactly; xxhash64 fused bucketing stays
     // the scale default (index lifecycle, quantized tier)

@@ -344,6 +344,81 @@ object Similarity {
       .withColumn("kept", col("dup_of").isNull)
   }
 
+  /** Incremental semantic dedup — the ADMISSION form of [[semDeDup]], the
+    * embedding-world twin of [[graft.ops.Text.dedupIncremental]]: a new
+    * crawl/embedding batch is admitted against a STANDING corpus instead
+    * of re-deduplicating everything. A batch vector is DROPPED iff some
+    * standing vector is τ-close (witness `dup_of` = the smallest such
+    * standing id, `dup_src` = "standing") or some smaller-id batch vector
+    * is τ-close (`dup_src` = "batch" — the keep-first rule applied at the
+    * batch boundary; the witness may itself be dropped, exactly the
+    * published chain semantics of [[semDeDupFrom]]). Standing witnesses
+    * take precedence in the report (history beats batch order).
+    *
+    * Scale shape: the batch side is BROADCAST (admission batches are
+    * bounded by construction — the [[decontaminateSemantic]] shape), so
+    * the standing corpus STREAMS past it: admission cost is linear in
+    * standing size with no standing-side shuffle, and the within-batch
+    * pass is |batch|²-bounded. For a cell-indexed standing corpus,
+    * [[semDeDupIncrementalPruned]] prunes the standing scan to the cells
+    * the batch occupies. Output: one row per (nonzero-norm) batch vector
+    * — (vec_id, dup_of, dup_src, kept). DuckDB-oracled
+    * (`semdedup_incremental`). */
+  def semDeDupIncremental(standing: DataFrame, batch: DataFrame,
+      threshold: Double = 0.85): DataFrame =
+    semDeDupIncrementalNormed(withNorms(standing), withNorms(batch), threshold)
+
+  /** The admission core over already-normalized (vec_id, v, norm) frames —
+    * shared by [[semDeDupIncremental]] (raw inputs), the pruned variant,
+    * and the streaming admission loop (whose standing layer is stored
+    * normalized). */
+  private[graft] def semDeDupIncrementalNormed(standing: DataFrame,
+      batch: DataFrame, threshold: Double): DataFrame = {
+    // the bounded batch is read three times (standing probe, both sides of
+    // the within-batch pass) — pin it once, then broadcast
+    val b = batch.select(col("vec_id"), col("v"), col("norm")).localCheckpoint(true)
+    val probe = b.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("norm").as("bn"))
+    val fromStanding = standing
+      .select(col("vec_id").as("s_id"), col("v"), col("norm"))
+      .join(broadcast(probe),
+        q6(dotd(col("v"), col("bv")) / (col("norm") * col("bn"))) >= threshold)
+      .groupBy("b_id").agg(min(col("s_id")).as("w_standing"))
+      .withColumnRenamed("b_id", "vec_id")
+    val fromBatch = b
+      .join(broadcast(b.select(col("vec_id").as("w_id"), col("v").as("wv"),
+        col("norm").as("wn"))), col("w_id") < col("vec_id"))
+      .filter(q6(dotd(col("v"), col("wv")) / (col("norm") * col("wn"))) >= threshold)
+      .groupBy("vec_id").agg(min(col("w_id")).as("w_batch"))
+    b.select("vec_id")
+      .join(fromStanding, Seq("vec_id"), "left")
+      .join(fromBatch, Seq("vec_id"), "left")
+      .withColumn("dup_of", coalesce(col("w_standing"), col("w_batch")))
+      .withColumn("dup_src", when(col("w_standing").isNotNull, lit("standing"))
+        .when(col("w_batch").isNotNull, lit("batch")))
+      .withColumn("kept", col("dup_of").isNull)
+      .select("vec_id", "dup_of", "dup_src", "kept")
+  }
+
+  /** [[semDeDupIncremental]] against a CELL-INDEXED standing corpus: the
+    * standing scan prunes to the cells the batch lands in (assignment via
+    * the broadcast centroid table — the [[ivfAppend]] routing), so
+    * admission reads |occupied cells| · occupancy standing vectors
+    * instead of the whole corpus — the [[semDeDup]] trade at the
+    * admission boundary: a cross-cell τ-pair is sacrificed by design, a
+    * true near-dup lands in its twin's cell with overwhelming
+    * probability (planted law in SimilaritySpec). Rows-only (k-means). */
+  def semDeDupIncrementalPruned(index: IvfIndex, batch: DataFrame,
+      threshold: Double = 0.85): DataFrame = {
+    val assigned = ivfAssign(index.centroids, batch).localCheckpoint(true)
+    val cells = assigned.select("cell").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq // bounded: ≤ |batch| distinct cells
+    val standing = index.vectors.filter(col("cell").isInCollection(cells))
+      .select("vec_id", "v", "norm")
+    semDeDupIncrementalNormed(standing,
+      assigned.select("vec_id", "v", "norm"), threshold)
+  }
+
   /** 1-row pair-volume audit of [[semDeDup]]'s within-cell join — the
     * `passage_overlap_dropped` telemetry discipline applied to the
     * embedding side (VERDICT r9 #9): occupancy-derived cells keep the

@@ -1160,6 +1160,77 @@ object StreamDemo {
     base.copy(buckets = buckets, vectors = vectors)
   }
 
+  /** Streaming semantic-dedup ADMISSION —
+    * [[graft.ops.Similarity.semDeDupIncremental]] as a standing service,
+    * the embedding-world twin of [[streamNearDupDocs]]: each micro-batch
+    * of embedding vectors is admitted against the standing corpus (base
+    * layer + everything PREVIOUSLY admitted), and only the kept vectors
+    * land — as an immutable normalized `(vec_id, v, norm)` delta under
+    * `standingDir/admitted/batch_id=N` (`_SUCCESS`-gated,
+    * overwrite-own-dir replay idempotence), so the NEXT batch dedups
+    * against them. Batch semantics are the sequential fold of the batch
+    * operator (StreamSemDedupSpec asserts parity incl. checkpointed
+    * restart); a replayed batch re-admits against the same standing set
+    * and overwrites its own delta — ordering-based exclusion keeps a
+    * crashed prior run's higher-id partitions out
+    * ([[ReportStore.completeIds]] + the `<` rule via batch ids being
+    * monotone under one checkpoint). Zero-norm vectors are dropped at
+    * the door (the [[graft.ops.Similarity.withNorms]] cosine contract). */
+  def streamSemDedupAdmit(spark: SparkSession, vecsDir: String,
+      standingDir: String, checkpointDir: String, threshold: Double = 0.85,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(vecsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = graft.ops.Similarity.withNorms(batch).localCheckpoint(true)
+        if (b.count() > 0) {
+          // ordering-based exclusion (`< batchId`): a REPLAYED batch must
+          // not see its own crashed prior delta in standing (it would drop
+          // every vector as a dup of itself and overwrite an EMPTY
+          // admitted layer), and a crashed prior RUN's stale higher-id
+          // partitions are not provably-committed history either
+          val standing = semDedupStandingVectors(spark, standingDir, batchId)
+          val verdict = graft.ops.Similarity
+            .semDeDupIncrementalNormed(standing, b, threshold)
+          b.join(verdict.filter(col("kept")).select("vec_id"),
+              Seq("vec_id"), "left_semi")
+            .write.mode("overwrite")
+            .parquet(s"$standingDir/admitted/batch_id=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The standing corpus the admission loop dedups against: the base
+    * `(vec_id, v, norm)` layer plus every COMPLETE admitted delta whose
+    * batch id is `< excludeFrom` — the writer passes the in-flight batch
+    * id (ordering-based replay/stale-partition exclusion, the
+    * [[ReportStore.seenView]] rule); external readers pass the default
+    * `Long.MaxValue` to see everything committed. */
+  def semDedupStandingVectors(spark: SparkSession, standingDir: String,
+      excludeFrom: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.types._
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("v", ArrayType(DoubleType)),
+      StructField("norm", DoubleType)))
+    val base = spark.read.schema(vecSchema).parquet(s"$standingDir/base")
+      .select("vec_id", "v", "norm")
+    ReportStore.completeIds(spark, standingDir, "admitted", "batch_id=")
+      .filter(_._1 < excludeFrom)
+      .map { case (_, p) => spark.read.schema(vecSchema).parquet(p.toString)
+        .select("vec_id", "v", "norm") }
+      .foldLeft(base)(_ unionByName _)
+  }
+
   /** [[streamIvfAppend]] for the full IVF-PQ index — the streamed form of
     * [[graft.ops.Similarity.pqAppend]]: one shared standing-centroid
     * assignment pass feeds a cell-partitioned vectors sublayer AND a

@@ -136,7 +136,8 @@ class PlansSpec extends SparkTestBase {
       "sample_repeats",          // same 1-row normalizer via the weights frame
       "semdedup_exact",          // documented small-corpus all-pairs baseline
       "semdedup",                // nCells-row centroid broadcast (assignment)
-      "semdedup_reduced")        // same centroid broadcast, reduced space
+      "semdedup_reduced",        // same centroid broadcast, reduced space
+      "semdedup_incremental")    // bounded batch-side broadcast (admission shape)
     // Sanctioned unpartitioned windows/sorts: |teams|-bounded frames only.
     val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features",
       "token_spectrum") // cumulative sweep over the count HISTOGRAM — rows

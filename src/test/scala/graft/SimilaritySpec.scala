@@ -277,6 +277,68 @@ class SimilaritySpec extends SparkTestBase {
     cv.unpersist(); out.unpersist()
   }
 
+  test("semDeDupIncremental: empty-standing reduces to exact; planted twins drop with the right witness") {
+    import spark.implicits._
+    val tau = 0.4
+    val emb = Tables.embeddings(spark, SF)
+    val standing = emb.filter(col("vec_id") % 20 =!= 0)
+    val batch = emb.filter(col("vec_id") % 20 === 0)
+
+    // law 1: against an EMPTY standing corpus, admission is exactly the
+    // keep-first pass over the batch alone (same witnesses)
+    val empty = standing.limit(0)
+    val viaIncr = graft.ops.Similarity.semDeDupIncremental(empty, batch, tau)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(3))).sortBy(_._1)
+    val viaExact = graft.ops.Similarity.semDeDupExact(batch, tau)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(viaIncr.sameElements(viaExact),
+      "empty-standing admission must equal the exact keep-first pass")
+
+    // law 2: planted standing twins — a batch vector whose (near-)copy is
+    // already standing is dropped with dup_src=standing and the twin as
+    // witness (ids chosen so no smaller standing vector interferes)
+    // independent random directions: in 16-dim, |cos| between two random
+    // Gaussian vectors is ≪ 0.999 (deterministic under the fixed seed),
+    // so ONLY the planted exact copies are τ-close at 0.999
+    val rnd2 = new scala.util.Random(5)
+    val rows = (0 until 20).map { i =>
+      (100L + i, 0, Array.fill(16)(rnd2.nextGaussian().toFloat))
+    }
+    val stand2 = rows.toDF("vec_id", "label", "embedding")
+    // batch = exact copies of standing 100..109 (new ids 500..509) plus
+    // 10 fresh random directions
+    val copies = rows.take(10).map { case (id, l, v) => (400L + id, l, v) }
+    val fresh = (0 until 10).map { i =>
+      (900L + i, 0, Array.fill(16)(rnd2.nextGaussian().toFloat))
+    }
+    val batch2 = (copies ++ fresh).toDF("vec_id", "label", "embedding")
+    val out = graft.ops.Similarity.semDeDupIncremental(stand2, batch2, threshold = 0.999)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+         (if (r.isNullAt(2)) "" else r.getString(2)), r.getBoolean(3))).toMap
+    for ((id, _, _) <- copies)
+      assert(out(id) == ((id - 400L, "standing", false)),
+        s"copy $id: expected standing witness ${id - 400L}, got ${out(id)}")
+    // an exact copy is cos=1.0 to its twin; the fresh directions are not
+    // 0.999-close to any standing vector (scaled-index family) — kept
+    for ((id, _, _) <- fresh)
+      assert(out(id)._3, s"fresh vector $id wrongly dropped: ${out(id)}")
+
+    // law 3: the pruned (cell-indexed) variant catches the same planted
+    // copies — an exact twin lands in its copy's cell by construction
+    val idx = graft.ops.Similarity.ivfBuild(stand2, nCells = 4)
+    val pruned = graft.ops.Similarity.semDeDupIncrementalPruned(idx, batch2, 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    for ((id, _, _) <- copies)
+      assert(!pruned(id), s"pruned admission missed planted copy $id")
+
+    // declared query: one verdict row per nonzero-norm batch vector
+    val n = graft.ops.Similarity.withNorms(batch).count()
+    assert(q("semdedup_incremental").count() == n)
+  }
+
   test("cellsFor law: cells grow with n, occupancy bounded, floor and fit-cap respected") {
     val fitMax = 100000L
     // floor: small corpora keep the 16-cell minimum (r8-pinned geometry)

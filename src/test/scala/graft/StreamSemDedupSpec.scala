@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
+
+import graft.ops.{Similarity, StreamDemo}
+
+/** Streaming semantic-dedup admission ([[StreamDemo.streamSemDedupAdmit]]):
+  * the embedding-world twin of StreamDedupSpec's text admission. The loop
+  * must
+  *  1. match the SEQUENTIAL batch fold of
+  *     [[Similarity.semDeDupIncremental]] over the same slices (each batch
+  *     admitted against base + previously admitted),
+  *  2. be REPLAY-SAFE under the crash-between-offset-and-commit window:
+  *     the replayed batch re-admits against the PRE-batch standing set
+  *     (ordering exclusion keeps its own crashed delta out — without the
+  *     `< batchId` rule it would drop every vector as a dup of itself and
+  *     overwrite an EMPTY delta),
+  *  3. continue (not restart) admission across a checkpointed restart. */
+class StreamSemDedupSpec extends SparkTestBase with TimeLimitedTests {
+  val timeLimit: Span = Span(300, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  test("streaming semantic admission: batch parity, forced replay, restart continuation") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("ssem_src")
+    val standing = java.nio.file.Files.createTempDirectory("ssem_standing")
+    val ckpt = java.nio.file.Files.createTempDirectory("ssem_ckpt")
+    val tau = 0.4
+
+    val all = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding").orderBy("vec_id")
+    val rows = all.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    def df(slice: Array[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+    val baseDf = df(rows.slice(0, cut1))
+    val slices = Seq(rows.slice(cut1, cut2), rows.slice(cut2, rows.length))
+
+    // the standing base layer: normalized vectors, the service's format
+    Similarity.withNorms(baseDf).select("vec_id", "v", "norm")
+      .write.parquet(s"$standing/base")
+
+    def stage(n: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"ssem_tmp$n")
+      df(slices(n)).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.copy(part, src.resolve(s"batch$n.parquet"))
+    }
+    def admittedIds(): Set[Long] =
+      StreamDemo.semDedupStandingVectors(spark, standing.toString)
+        .select("vec_id").as[Long].collect().toSet --
+        Similarity.withNorms(baseDf).select("vec_id").as[Long].collect().toSet
+
+    // ---- run 1: first slice only
+    stage(0)
+    val q1 = StreamDemo.streamSemDedupAdmit(
+      spark, src.toString, standing.toString, ckpt.toString, tau)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterBatch1 = admittedIds()
+    assert(afterBatch1.nonEmpty, "first batch admitted nothing")
+
+    // ---- forced replay: drop the newest commit marker; the restarted
+    // query re-executes batch 0 against the PRE-batch standing set
+    val commits = new java.io.File(s"$ckpt/commits")
+    val lastCommit = commits.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(lastCommit.delete(), s"could not delete $lastCommit")
+    new java.io.File(commits, s".${lastCommit.getName}.crc").delete()
+    val q2 = StreamDemo.streamSemDedupAdmit(
+      spark, src.toString, standing.toString, ckpt.toString, tau)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(admittedIds() == afterBatch1,
+      "replayed batch changed the admitted set (ordering exclusion broken?)")
+
+    // ---- restart continuation: second slice through a fresh query on the
+    // same checkpoint — admission continues against base + batch-0 admits
+    stage(1)
+    val q3 = StreamDemo.streamSemDedupAdmit(
+      spark, src.toString, standing.toString, ckpt.toString, tau)
+    try q3.processAllAvailable() finally q3.stop()
+    val streamed = admittedIds()
+    assert(streamed.size > afterBatch1.size, "second batch admitted nothing")
+
+    // ---- batch parity: the sequential fold of the batch operator
+    var standNorm = Similarity.withNorms(baseDf)
+      .select("vec_id", "v", "norm").localCheckpoint(true)
+    val folded = scala.collection.mutable.Set[Long]()
+    for (slice <- slices) {
+      val bn = Similarity.withNorms(df(slice))
+        .select("vec_id", "v", "norm").localCheckpoint(true)
+      val kept = Similarity.semDeDupIncrementalNormed(standNorm, bn, tau)
+        .filter(col("kept")).select("vec_id").localCheckpoint(true)
+      folded ++= kept.as[Long].collect()
+      standNorm = standNorm
+        .unionByName(bn.join(kept, Seq("vec_id"), "left_semi"))
+        .localCheckpoint(true)
+    }
+    assert(streamed == folded.toSet,
+      s"stream/batch admission drift: stream-only=${streamed -- folded}, " +
+        s"batch-only=${folded.toSet -- streamed}")
+
+    // the admitted layers store the service format (normalized, nonzero)
+    val layer = StreamDemo.semDedupStandingVectors(spark, standing.toString)
+    assert(layer.filter(col("norm") <= 0.0).count() == 0)
+    assert(layer.groupBy("vec_id").count().filter(col("count") > 1).count() == 0,
+      "a vector was admitted twice across batches")
+  }
+}
