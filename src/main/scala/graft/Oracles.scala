@@ -1986,6 +1986,67 @@ af AS (
                                substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
                         FROM samp) a) b) c) d""",
 
+    // curation_e2e with the SEMANTIC-dedup drop gate: the semdedup_exact
+    // dropped set (vectors with a tau-close smaller-id twin) excluded
+    // after the source filter, then the same sampling + packing — the
+    // cross-table composition mirroring Text.curationE2eDrop
+    "curation_e2e_sem" -> """
+      WITH kept AS (
+        SELECT d.* FROM documents d
+        WHERE source IN (
+          SELECT source
+          FROM (SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+                       CAST(SUM(CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+                FROM (SELECT source, quality_score,
+                             CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint)
+                                  THEN 1 ELSE 0 END AS is_dup
+                      FROM (SELECT doc_id, source,
+                                   greatest(0.0, least(1.0,
+                                     0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                                       + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                                       - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score,
+                                   sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+                            FROM (SELECT doc_id, source, text,
+                                         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                                         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                                         CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
+                                  FROM documents) t) q) r
+                GROUP BY source) s
+          WHERE CAST(n_dup_docs AS DOUBLE) / n_docs <= 0.5
+            AND CAST(n_low_quality AS DOUBLE) / n_docs <= 0.05)),
+      semn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+               FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+               WHERE list_dot_product(v, v) > 0),
+      semdrop AS (SELECT DISTINCT a.vec_id
+                  FROM semn a JOIN semn b ON b.vec_id < a.vec_id
+                  WHERE floor(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.4),
+      gate AS (SELECT * FROM kept
+               WHERE doc_id NOT IN (SELECT vec_id FROM semdrop)),
+      samp AS (
+        SELECT * FROM gate
+        WHERE CONCAT('0', substring(md5(CAST(doc_id AS VARCHAR)), 3, 4)) <
+              CASE lang WHEN 'en' THEN '08000' WHEN 'zh' THEN '0c000' ELSE '10000' END)
+      SELECT doc_id, lang, split, bucket, n_tokens, offset_tokens,
+             CONCAT(bucket, '-', CAST(p AS VARCHAR)) AS pack_id,
+             GREATEST(offset_tokens, p * 2048) - offset_tokens AS slice_start,
+             LEAST(offset_tokens + n_tokens, (p + 1) * 2048)
+               - GREATEST(offset_tokens, p * 2048) AS slice_len
+      FROM (SELECT *,
+                   UNNEST(generate_series(offset_tokens // 2048,
+                     (offset_tokens + GREATEST(n_tokens, 1) - 1) // 2048)) AS p
+            FROM (SELECT doc_id, lang, split, bucket, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+            FROM (SELECT doc_id, lang, bucket,
+                         CASE WHEN bucket < 'cd' THEN 'train'
+                              WHEN bucket < 'e6' THEN 'val' ELSE 'test' END AS split,
+                         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+                  FROM (SELECT doc_id, lang, text,
+                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+                        FROM samp) a) b) c) d""",
+
     // curation_e2e with the perplexity-THIRDS gate: the per-source head/
     // middle boundaries are computed on the source-FILTERED population
     // (kept ⋈ scores), mirroring Text.curationE2ePpl's gate order exactly

@@ -392,6 +392,18 @@ object SparkEntry {
     "curation_e2e_cal" -> ((s, d) => Text.curationE2eCal(Tables.documents(s, d),
       minPercentile = 0.25, maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
       rates = Map("en" -> 0.5, "zh" -> 0.75))),
+    // the SEMANTIC-dedup-gated variant: the embedding leg composed into
+    // the text pipeline — drop docs whose id-aligned vector has a τ-close
+    // smaller-id twin (the exact oracled twin here; at corpus scale swap
+    // in the clustered semDeDup kept set — the drop-list gate is identical)
+    "curation_e2e_sem" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Text.curationE2eDrop(Tables.documents(s, d),
+        Similarity.semDeDupExact(Tables.embeddings(s, d), threshold = 0.4)
+          .filter(!col("kept")).select(col("vec_id").as("doc_id")),
+        maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
+        rates = Map("en" -> 0.5, "zh" -> 0.75))
+    }),
     // the classifier-gated variant: same source/sampling thresholds with
     // the NB gate (mean_logodds >= 0) in the LM band's slot
     "curation_e2e_cls" -> ((s, d) => Text.curationE2eCls(Tables.documents(s, d),

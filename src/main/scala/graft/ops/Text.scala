@@ -1227,6 +1227,30 @@ object Text {
         rates, defaultRate).drop("sample_key"),
       budgetTokens, tok, bucketChars)
 
+  /** [[curationE2e]] with an external DROP-LIST gate in the LM-gate slot:
+    * source filter → drop listed ids → mixture sampling → split+pack, as
+    * ONE declared plan. The drop list is any (doc_id) frame — a
+    * semantic-dedup verdict's dropped set
+    * ([[graft.ops.Similarity.semDeDupExact]] / `semDeDup`), a
+    * decontamination flag list, a manual blocklist — applied as one
+    * doc_id left-anti join (AQE-splittable, the enforcement-join shape
+    * every gate here uses). Declared as `curation_e2e_sem` with the EXACT
+    * semantic-dedup dropped set over the id-aligned embeddings table
+    * (`ref_integrity` is the alignment audit), which keeps the whole
+    * cross-table composition DuckDB-oracled; at corpus scale the caller
+    * swaps in the clustered `semDeDup` kept set — the gate itself is
+    * identical. */
+  def curationE2eDrop(documents: DataFrame, dropIds: DataFrame,
+      maxDupFrac: Double = 0.5, maxLowQualityFrac: Double = 0.8,
+      rates: Map[String, Double] = Map("en" -> 0.5),
+      defaultRate: Double = 1.0, budgetTokens: Long = 2048L,
+      tok: Tok = WhitespaceTok, bucketChars: Int = 2): DataFrame =
+    packSequencesSplit(
+      sampleMixture(filterBySource(documents, maxDupFrac, maxLowQualityFrac)
+          .join(dropIds.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+        rates, defaultRate).drop("sample_key"),
+      budgetTokens, tok, bucketChars)
+
   /** Perplexity-band gate — the CCNet-style LM filtering layer the
     * [[lmScoreWith]] scorer exists for: keep only documents whose bigram-LM
     * fluency sits inside the band (mean ln p ≥ `minAvgLogp`, i.e.

@@ -135,6 +135,8 @@ class PlansSpec extends SparkTestBase {
       "sample_temperature",      // same 1-row normalizer via the weights frame
       "sample_repeats",          // same 1-row normalizer via the weights frame
       "semdedup_exact",          // documented small-corpus all-pairs baseline
+      "curation_e2e_sem",        // composes the semdedup_exact all-pairs twin
+                                 // (clustered semDeDup is the scale swap-in)
       "semdedup",                // nCells-row centroid broadcast (assignment)
       "semdedup_reduced",        // same centroid broadcast, reduced space
       "semdedup_incremental")    // bounded batch-side broadcast (admission shape)

@@ -339,6 +339,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(q("semdedup_incremental").count() == n)
   }
 
+  test("curation_e2e_sem: the semantic gate drops exactly the dedup verdict's non-kept ids") {
+    import spark.implicits._
+    // doc-set identity: the sem-gated pipeline's surviving docs are the
+    // plain curation_e2e survivors MINUS the semantic-dropped ids (the
+    // source filter and the hash sampler are unaffected by the gate, so
+    // only membership — not sampling — changes; pack offsets legitimately
+    // differ and are covered by the DuckDB oracle)
+    val plain = q("curation_e2e").select("doc_id").distinct()
+      .as[Long].collect().toSet
+    val gated = q("curation_e2e_sem").select("doc_id").distinct()
+      .as[Long].collect().toSet
+    val dropped = graft.ops.Similarity
+      .semDeDupExact(Tables.embeddings(spark, SF), threshold = 0.4)
+      .filter(!col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(dropped.nonEmpty, "test corpus plants no semantic dups — law vacuous")
+    assert(gated == plain -- dropped,
+      s"gate drift: unexpected=${gated -- (plain -- dropped)}, missing=${(plain -- dropped) -- gated}")
+  }
+
   test("cellsFor law: cells grow with n, occupancy bounded, floor and fit-cap respected") {
     val fitMax = 100000L
     // floor: small corpora keep the 16-cell minimum (r8-pinned geometry)
