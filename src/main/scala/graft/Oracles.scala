@@ -1657,6 +1657,28 @@ af AS (
                   ELSE 'tail' END AS ppl_bucket
       FROM scored s JOIN cuts c USING (source)""",
 
+    // the thirds at order 5: identical CTE stack, the 9-join scorer
+    "perplexity_buckets_n5" -> s"""
+      WITH ls AS ($lmScoreN5Sql),
+      scored AS (SELECT ls.doc_id, d.source, ls.avg_logp
+                 FROM ls JOIN documents d USING (doc_id)),
+      hist AS (SELECT source, avg_logp, CAST(COUNT(*) AS BIGINT) AS c
+               FROM scored GROUP BY source, avg_logp),
+      cum AS (SELECT source, avg_logp,
+                     SUM(c) OVER (PARTITION BY source ORDER BY avg_logp DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     SUM(c) OVER (PARTITION BY source) AS n
+              FROM hist),
+      cuts AS (SELECT source,
+                      MAX(CASE WHEN cum >= (n + 2) // 3 THEN avg_logp END) AS b_head,
+                      MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN avg_logp END) AS b_middle
+               FROM cum GROUP BY source)
+      SELECT s.doc_id, s.source, s.avg_logp,
+             CASE WHEN s.avg_logp >= c.b_head THEN 'head'
+                  WHEN s.avg_logp >= c.b_middle THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM scored s JOIN cuts c USING (source)""",
+
     "perplexity_buckets" -> s"""
       WITH ls AS ($lmScoreSql),
       scored AS (SELECT ls.doc_id, d.source, ls.avg_logp
@@ -2146,6 +2168,76 @@ af AS (
           WHERE CAST(n_dup_docs AS DOUBLE) / n_docs <= 0.5
             AND CAST(n_low_quality AS DOUBLE) / n_docs <= 0.05)),
       ls AS ($lmScoreN3Sql),
+      scored AS (SELECT k.doc_id, k.source, ls.avg_logp
+                 FROM ls JOIN kept k USING (doc_id)),
+      hist AS (SELECT source, avg_logp, CAST(COUNT(*) AS BIGINT) AS c
+               FROM scored GROUP BY source, avg_logp),
+      cum AS (SELECT source, avg_logp,
+                     SUM(c) OVER (PARTITION BY source ORDER BY avg_logp DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     SUM(c) OVER (PARTITION BY source) AS n
+              FROM hist),
+      cuts AS (SELECT source,
+                      MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN avg_logp END) AS b_middle
+               FROM cum GROUP BY source),
+      gated AS (SELECT k.* FROM kept k
+                JOIN scored s2 ON k.doc_id = s2.doc_id
+                JOIN cuts c ON s2.source = c.source
+                WHERE s2.avg_logp >= c.b_middle),
+      samp AS (
+        SELECT * FROM gated
+        WHERE CONCAT('0', substring(md5(CAST(doc_id AS VARCHAR)), 3, 4)) <
+              CASE lang WHEN 'en' THEN '08000' WHEN 'zh' THEN '0c000' ELSE '10000' END)
+      SELECT doc_id, lang, split, bucket, n_tokens, offset_tokens,
+             CONCAT(bucket, '-', CAST(p AS VARCHAR)) AS pack_id,
+             GREATEST(offset_tokens, p * 2048) - offset_tokens AS slice_start,
+             LEAST(offset_tokens + n_tokens, (p + 1) * 2048)
+               - GREATEST(offset_tokens, p * 2048) AS slice_len
+      FROM (SELECT *,
+                   UNNEST(generate_series(offset_tokens // 2048,
+                     (offset_tokens + GREATEST(n_tokens, 1) - 1) // 2048)) AS p
+            FROM (SELECT doc_id, lang, split, bucket, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+            FROM (SELECT doc_id, lang, bucket,
+                         CASE WHEN bucket < 'cd' THEN 'train'
+                              WHEN bucket < 'e6' THEN 'val' ELSE 'test' END AS split,
+                         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+                  FROM (SELECT doc_id, lang, text,
+                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+                        FROM samp) a) b) c) d""",
+
+    // curation_e2e with the calibrated-percentile gate: the score_calibrate
+    // chain computed ON the source-filtered population (order matters),
+    // keep calibrated > 0.25, then the shared sampler + pack tail
+    // the e2e pipeline with the ORDER-5 thirds gate (same stack)
+    "curation_e2e_n5" -> s"""
+      WITH kept AS (
+        SELECT d.* FROM documents d
+        WHERE source IN (
+          SELECT source
+          FROM (SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+                       CAST(SUM(CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+                FROM (SELECT source, quality_score,
+                             CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint)
+                                  THEN 1 ELSE 0 END AS is_dup
+                      FROM (SELECT doc_id, source,
+                                   greatest(0.0, least(1.0,
+                                     0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                                       + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                                       - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score,
+                                   sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+                            FROM (SELECT doc_id, source, text,
+                                         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+                                         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                                         CAST(len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_distinct_tokens
+                                  FROM documents) t) q) r
+                GROUP BY source) s
+          WHERE CAST(n_dup_docs AS DOUBLE) / n_docs <= 0.5
+            AND CAST(n_low_quality AS DOUBLE) / n_docs <= 0.05)),
+      ls AS ($lmScoreN5Sql),
       scored AS (SELECT k.doc_id, k.source, ls.avg_logp
                  FROM ls JOIN kept k USING (doc_id)),
       hist AS (SELECT source, avg_logp, CAST(COUNT(*) AS BIGINT) AS c

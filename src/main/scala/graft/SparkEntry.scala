@@ -387,6 +387,11 @@ object SparkEntry {
       lmn3Model(s, d),
       maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
       rates = Map("en" -> 0.5, "zh" -> 0.75))),
+    // the ORDER-5 e2e twin: identical composition, the KenLM-order scorer
+    "curation_e2e_n5" -> ((s, d) => Text.curationE2ePplN(Tables.documents(s, d),
+      lmn5Model(s, d),
+      maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
+      rates = Map("en" -> 0.5, "zh" -> 0.75))),
     // the calibrated-percentile variant: drop each surviving source's
     // bottom quartile of the heuristic score (population-dependent)
     "curation_e2e_cal" -> ((s, d) => Text.curationE2eCal(Tables.documents(s, d),
@@ -497,6 +502,10 @@ object SparkEntry {
     // value-based boundary machinery over the trigram scorer
     "perplexity_buckets_n3" -> ((s, d) =>
       Text.perplexityBucketsN(Tables.documents(s, d), lmn3Model(s, d))),
+    // the thirds at order 5 — the KenLM-conventional model through the
+    // SAME scorer-agnostic boundary routine (only the scorer changes)
+    "perplexity_buckets_n5" -> ((s, d) =>
+      Text.perplexityBucketsN(Tables.documents(s, d), lmn5Model(s, d))),
     // enforcement form: keep head+middle, drop the least-fluent tail
     "perplexity_filter" -> ((s, d) =>
       Text.perplexityFilter(Tables.documents(s, d), lmModel(s, d))),

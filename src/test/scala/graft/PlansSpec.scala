@@ -119,9 +119,11 @@ class PlansSpec extends SparkTestBase {
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate
       "perplexity_buckets",      // same 1-row totals broadcast via lmScoreWith
       "perplexity_buckets_n3",   // same, via the order-3 scorer
+      "perplexity_buckets_n5",   // same, via the order-5 scorer
       "perplexity_filter",       // same, via the bucket gate
       "curation_e2e_ppl",        // same, via the thirds gate in the pipeline
       "curation_e2e_n3",         // same, via the order-3 thirds gate
+      "curation_e2e_n5",         // same, via the order-5 thirds gate
       "curation_funnel",         // same 1-row totals broadcast via the LM gate flag
       "quality_classifier",      // 1-row smoothing-floor broadcast
       "classifier_pr",           // bounded histogram cumulative self-join
