@@ -128,6 +128,24 @@ object ScaleAnchors {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
 
+      // admission family (r11): a FIXED bounded batch against the scaled
+      // standing corpus — exact admission streams standing past the
+      // broadcast batch (wall ∝ standing size), while the cell-pruned
+      // form reads only the batch's cells (touched standing rows ≈
+      // |batch cells| × occupancy, occupancy constant by cellsFor ⇒
+      // wall ~flat across the 10× step). The counter makes the touched
+      // mass a number, not a vibe.
+      val batch = vecs(spark, 200).select(
+        (col("vec_id") + 10000000L).as("vec_id"), col("label"), col("embedding"))
+        .localCheckpoint(true)
+      t("semdedup_incr_exact")(
+        ops.Similarity.semDeDupIncremental(e, batch, 0.4).count())
+      t("semdedup_incr_pruned")(
+        ops.Similarity.semDeDupIncrementalPruned(idx, batch, 0.4).count())
+      out("incr_pruned_standing") = idx.vectors.join(
+        ops.Similarity.ivfAssign(idx.centroids, batch).select("cell").distinct(),
+        Seq("cell"), "left_semi").count()
+
       // recall at scale: with cells ∝ n and CONSTANT nProbe, the probed
       // corpus fraction shrinks 10× per step — this measures whether the
       // nearest neighbors still live in the probed cells (data-adapted
