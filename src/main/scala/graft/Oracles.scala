@@ -2742,6 +2742,40 @@ af AS (
       JOIN sz sb ON cm.doc_b = sb.doc_id
       WHERE CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) >= 0.5""",
 
+    // cross-tier dedup agreement: the n-gram Jaccard pair set vs the
+    // embedding cosine pair set over the id-aligned corpus — 1-row
+    // overlap telemetry (both tiers' own oracles supply the pair CTEs)
+    "dedup_agreement" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+      rare AS (SELECT sh.* FROM sh
+               JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 128) r
+               USING (shingle)),
+      cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+             FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      tp AS (SELECT cm.id_a, cm.id_b FROM cm
+             JOIN sz sa ON cm.id_a = sa.doc_id
+             JOIN sz sb ON cm.id_b = sb.doc_id
+             WHERE CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) >= 0.5),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM n a JOIN n b ON a.vec_id < b.vec_id
+             WHERE floor(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.4),
+      c AS (SELECT (SELECT count(*) FROM tp) AS n_left,
+                   (SELECT count(*) FROM ep) AS n_right,
+                   (SELECT count(*) FROM tp JOIN ep USING (id_a, id_b)) AS n_both)
+      SELECT CAST(n_left AS BIGINT) AS n_left,
+             CAST(n_right AS BIGINT) AS n_right,
+             CAST(n_both AS BIGINT) AS n_both,
+             CASE WHEN n_left + n_right - n_both > 0
+                  THEN CAST(n_both AS DOUBLE) / (n_left + n_right - n_both)
+                  ELSE 0.0 END AS agreement_jaccard
+      FROM c""",
+
     // cross-corpus shingle overlap: train (doc_id % 20 <> 0) docs sharing
     // >= 3 distinct 5-shingles with an eval (doc_id % 20 = 0) doc
     "decontaminate" -> """

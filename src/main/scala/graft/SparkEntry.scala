@@ -539,6 +539,12 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Text.clustersFromPairs(
       Tables.documents(s, d).select("doc_id"),
       Text.dedupNgramJaccardFrom(shingles(s, d)).select("doc_a", "doc_b"))),
+    // cross-tier agreement: do the text n-gram tier and the embedding
+    // cosine tier see the same duplicate pairs on the id-aligned corpus?
+    "dedup_agreement" -> ((s, d) => Quality.dedupAgreement(
+      Text.dedupNgramJaccardFrom(shingles(s, d)).select("doc_a", "doc_b"),
+      Similarity.embeddingNearDup(Tables.embeddings(s, d))
+        .select("vec_a", "vec_b"))),
 
     // ---- similarity (north star)
     "similarity_bruteforce_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
@@ -548,6 +554,9 @@ object SparkEntry {
     // declared in the scalar (vec_id, component, value) layout with
     // per-component sign normalization so the rows-only check is stable
     "embedding_pca" -> ((s, d) => Similarity.embeddingPcaRows(Tables.embeddings(s, d))),
+    // the "how small can k be" diagnostic next to the reduction: one row
+    // per component, explained-variance share non-increasing
+    "pca_variance" -> ((s, d) => Similarity.pcaVariance(Tables.embeddings(s, d))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     // int8 ADC + exact rerank over md5-plane LSH candidates — the full
     // candidates→ADC→survivors→rerank pipeline is DuckDB-value-checked
@@ -617,7 +626,11 @@ object SparkEntry {
     // decode → box-resample → re-encode over REAL pixels, reported per
     // media type with target-validity counts (quarantine made visible)
     "media_resize_report" -> ((s, d) =>
-      Multimodal.resizeReportFrom(media(s, d)))
+      Multimodal.resizeReportFrom(media(s, d))),
+    // frame-sampling audit: how much of the sampled frame stream is REAL
+    // decodable content (MJPEG) vs deterministic-slice placeholders
+    "media_frame_report" -> ((s, d) =>
+      Multimodal.frameReport(media(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -648,6 +661,10 @@ object SparkEntry {
       "binary PCM decode has no SQL analog; hand-computed RMS/clip/silence laws in PropertiesSpec",
     "media_resize_report" ->
       "binary transcode (zlib/JPEG/PCM) has no SQL analog; per-type validity/count laws in PropertiesSpec",
+    "media_frame_report" ->
+      "binary frame extraction (MJPEG decode) has no SQL analog; per-type identity laws in PropertiesSpec",
+    "pca_variance" ->
+      "eigen explained-variance shares are engine-specific; distribution/ordering laws in SimilaritySpec",
     "embedding_pca" ->
       "eigendecomposition is engine-specific (degenerate-eigenvalue order is implementation-defined even after sign normalization); shape/orthonormality/low-rank-recovery/sign laws in SimilaritySpec",
     "semdedup" ->

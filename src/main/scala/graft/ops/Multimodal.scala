@@ -1049,6 +1049,33 @@ object Multimodal {
   /** One sampled frame of a media item. */
   case class MediaFrame(media_id: Long, frame_idx: Int, payload: Array[Byte])
 
+  /** Frame-sampling audit — the [[resizeReport]] discipline applied to
+    * [[sampleFrames]]: per media type, items, sampled frame rows at the
+    * `everyN` cadence, and how many sampled frames are REAL standalone
+    * JPEGs (the MJPEG tier) versus deterministic-slice placeholders
+    * (non-MJPEG codecs) — the no-silent-stubs telemetry: a reader sees
+    * exactly how much of the frame stream is decodable content. One
+    * partition-local pass, a \|types\|-row combining rollup. */
+  def frameReport(media: Dataset[MediaRow], everyN: Int = 30): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      Containers.decodeAviFrames(r.payload) match {
+        case Right((_, _, fs)) =>
+          val sampled = (0 until fs.length by everyN).map(fs(_))
+          (r.media_type, 1L, sampled.size.toLong,
+            sampled.count(f => Containers.decodeJpegPixels(f).isRight).toLong)
+        case Left(_) =>
+          val n = (0 until decode(r).n_frames by everyN).size.toLong
+          (r.media_type, 1L, n, 0L)
+      }
+    }).toDF("media_type", "n", "sampled", "real")
+      .groupBy("media_type").agg(
+        sum("n").cast("long").as("n_items"),
+        sum("sampled").cast("long").as("n_frames_sampled"),
+        sum("real").cast("long").as("n_real_frames"))
+  }
+
   /** Frame sampling: every Nth frame of each clip, one output row per
     * sampled frame. flatMap keeps the explosion on the executors (a 2-hour
     * clip fans out where its partition lives, never through the driver),

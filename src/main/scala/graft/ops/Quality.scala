@@ -191,4 +191,34 @@ object Quality {
       sum(when(col("c_vec").isNull, 1L).otherwise(0L)).as("n_docs_missing_vec"),
       sum(when(col("c_doc").isNull, 1L).otherwise(0L)).as("n_vecs_missing_doc"))
   }
+
+  /** Cross-tier dedup AGREEMENT audit: given two near-dup pair frames
+    * (id_a < id_b) — e.g. the text n-gram tier and the embedding cosine
+    * tier over the id-aligned corpus — one row of overlap telemetry:
+    * pair count per tier, the intersection, and the Jaccard agreement.
+    * This is the "are my tiers seeing the same duplicates" number a
+    * layered dedup pipeline reads before trusting one tier to gate
+    * alone: near-zero agreement flags mis-aligned ids or a drifted
+    * threshold; near-one says the cheaper tier suffices. The
+    * [[refIntegrity]] discipline: both sides collapse to distinct
+    * id-pairs, ONE full-outer pair join, a single conditional-sum
+    * aggregate — one shuffle, a 1-row output. */
+  def dedupAgreement(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.toDF("id_a", "id_b").distinct().withColumn("in_l", lit(1))
+    val r = right.toDF("id_a", "id_b").distinct().withColumn("in_r", lit(1))
+    // sums coalesce to 0: an agg over ZERO pairs (both tiers empty) must
+    // still emit a well-typed row, not SQL-null counts
+    l.join(r, Seq("id_a", "id_b"), "full_outer").agg(
+        coalesce(sum(coalesce(col("in_l"), lit(0))), lit(0L))
+          .cast("long").as("n_left"),
+        coalesce(sum(coalesce(col("in_r"), lit(0))), lit(0L))
+          .cast("long").as("n_right"),
+        coalesce(sum(when(col("in_l").isNotNull && col("in_r").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).cast("long").as("n_both"))
+      .withColumn("agreement_jaccard",
+        when(col("n_left") + col("n_right") - col("n_both") > 0,
+          col("n_both").cast("double") /
+            (col("n_left") + col("n_right") - col("n_both")))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -105,6 +105,7 @@ class PlansSpec extends SparkTestBase {
       "tfidf_top_terms",         // 1-row corpus-count broadcast
       "similarity_bruteforce_topk", // bounded query-side broadcast (correctness baseline)
       "embedding_near_dup",      // documented small-corpus all-pairs baseline
+      "dedup_agreement",         // composes the embedding all-pairs baseline
       "decontaminate_semantic",  // bounded eval-side broadcast (production shape)
       "event_freshness",         // 1-row global-max broadcast
       "kpi_summary", "league_stats", // 1-row KPI frames

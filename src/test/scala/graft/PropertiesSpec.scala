@@ -475,6 +475,28 @@ class PropertiesSpec extends SparkTestBase {
     // every-2nd sampling keeps frames 0 and 2
     assert(graft.ops.Multimodal.sampleFrames(media, everyN = 2).collect()
       .map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+
+    // media_frame_report: per-type identities on the real corpus — every
+    // video's sampled frames are REAL decodable JPEGs (the MJPEG tier);
+    // image/audio sampled frames stay deterministic slices (real = 0);
+    // item counts partition the media table
+    val docs = Tables.documents(spark, SF)
+    val fr = q("media_frame_report").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(fr.keySet == Set("image", "audio", "video"))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    for ((mtype, m) <- Seq("image" -> 0L, "audio" -> 1L, "video" -> 2L))
+      assert(fr(mtype).getAs[Long]("n_items") == ids.count(_ % 3 == m),
+        s"$mtype item count drifted")
+    val vid = fr("video")
+    assert(vid.getAs[Long]("n_frames_sampled") > 0)
+    assert(vid.getAs[Long]("n_real_frames") == vid.getAs[Long]("n_frames_sampled"),
+      "a sampled MJPEG frame failed to decode as a real JPEG")
+    assert(fr("image").getAs[Long]("n_real_frames") == 0
+      && fr("audio").getAs[Long]("n_real_frames") == 0)
+    // audio clips sample many PCM frame rows at the default cadence
+    assert(fr("audio").getAs[Long]("n_frames_sampled") >
+      fr("audio").getAs[Long]("n_items"))
   }
 
   test("law: perceptual hashes are invariant where they claim; planted near-dups found") {

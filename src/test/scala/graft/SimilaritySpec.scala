@@ -595,6 +595,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(arr.forall { case (id, e) => math.abs(e - scal(id)) < 1e-3 },
       "scalar layout lost projection energy vs the array form")
     q2.unpersist()
+    // the declared variance diagnostic: 16 rows, shares a distribution
+    val pv = q("pca_variance").collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(pv.length == 16)
+    assert(pv.zip(pv.tail).forall { case (a, b) => a >= b - 1e-12 })
+    assert(pv.forall(v => v >= 0 && v <= 1) && pv.sum <= 1 + 1e-9)
+  }
+
+  test("dedupAgreement: hand-computed overlap; declared cross-tier audit is one sane row") {
+    import spark.implicits._
+    // hand case: left {A,B,C}, right {B,C,D} → both 2, jaccard 2/4
+    val l = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val r = Seq((1L, 3L), (2L, 4L), (5L, 6L)).toDF("vec_a", "vec_b")
+    val row = graft.ops.Quality.dedupAgreement(l, r).collect().head
+    assert(row.getLong(0) == 3 && row.getLong(1) == 3 && row.getLong(2) == 2)
+    assert(math.abs(row.getDouble(3) - 0.5) < 1e-12)
+    // empty sides: zero counts, defined jaccard
+    val z = graft.ops.Quality.dedupAgreement(l.limit(0), r.limit(0)).collect().head
+    assert(z.getLong(0) == 0 && z.getLong(1) == 0 && z.getLong(2) == 0
+      && z.getDouble(3) == 0.0)
+    // declared query: one row, both tiers non-empty on the test corpus,
+    // intersection bounded by either side
+    val q1 = q("dedup_agreement").collect().head
+    assert(q1.getLong(0) > 0 && q1.getLong(1) > 0)
+    assert(q1.getLong(2) <= math.min(q1.getLong(0), q1.getLong(1)))
+    assert(q1.getDouble(3) >= 0.0 && q1.getDouble(3) <= 1.0)
   }
 
   test("fitRowsFor law: driver fit samples are byte-bounded at any dim") {
