@@ -795,7 +795,10 @@ object Similarity {
   // Retention: committing epoch N garbage-collects epochs < N−1 — the
   // previous committed epoch survives one full maintenance cycle for
   // readers that resolved before the flip (document the window: a plan
-  // older than TWO rebuilds must re-resolve).
+  // older than TWO rebuilds must re-resolve). Writer contract: ONE
+  // maintenance writer at a time (the standard index-maintenance
+  // assumption — concurrent rebuilds could race the same epoch number);
+  // readers and appenders are unrestricted.
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
       p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
