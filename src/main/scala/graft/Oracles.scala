@@ -217,6 +217,50 @@ af AS (
              CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
       FROM scored GROUP BY doc_id"""
 
+  // hapax-pruned bigram LM scoring: lmScoreSql with minCount = 2 —
+  // singleton uni/bigram types dropped from the COUNT tables (HAVING),
+  // totals computed over the PRUNED unigram table (they are the model's
+  // normalizer, so pruning must shrink them identically on both engines);
+  // pruned types score through the add-one backoff like any unseen type
+  private val lmScorePrunedSql: String = """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                  FROM documents),
+      ref AS (SELECT * FROM tk
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+      uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+              FROM (SELECT unnest(t) AS token FROM ref) p GROUP BY token
+              HAVING COUNT(*) >= 2),
+      tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS lm_n,
+                     CAST(COUNT(*) AS BIGINT) AS lm_v FROM uni),
+      bi AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_bi
+             FROM (SELECT t[i] AS prev, t[i+1] AS cur
+                   FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                         FROM ref WHERE len(t) >= 2) g) b
+             GROUP BY prev, cur
+             HAVING COUNT(*) >= 2),
+      bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+             FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                   FROM tk WHERE len(t) >= 2) g),
+      scored AS (
+        SELECT bg.doc_id,
+               CASE WHEN COALESCE(bi.c_bi, 0) = 0 THEN 1 ELSE 0 END AS unseen,
+               floor(ln(
+                   0.5 * (CASE WHEN COALESCE(up.c_uni, 0) > 0
+                               THEN CAST(COALESCE(bi.c_bi, 0) AS DOUBLE) / up.c_uni
+                               ELSE 0.0 END)
+                 + 0.5 * CAST(COALESCE(uc.c_uni, 0) + 1 AS DOUBLE) / (tot.lm_n + tot.lm_v)
+               ) * 1000000.0 + 0.5) / 1000000.0 AS q
+        FROM bg LEFT JOIN bi ON bg.prev = bi.prev AND bg.cur = bi.cur
+                LEFT JOIN uni up ON bg.prev = up.token
+                LEFT JOIN uni uc ON bg.cur = uc.token
+                CROSS JOIN tot)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(unseen) AS BIGINT) AS n_unseen_bigrams,
+             CAST(CAST(SUM(unseen) AS BIGINT) AS DOUBLE) / COUNT(*) AS unseen_frac,
+             CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
+      FROM scored GROUP BY doc_id"""
+
   // order-3 (trigram) interpolated LM scoring — the lm_score CTE family
   // one order up: recursive Jelinek-Mercer
   //   p = 0.5·(c_tri/c_bi_ctx | 0) + 0.5·(0.5·(c_bi/c_uni_ctx | 0)
@@ -1563,6 +1607,10 @@ af AS (
     // q6-quantized and decimal-summed (the tfidf ln discipline + r6avg),
     // so the per-doc mean is order-independent; fractions are long/long
     "lm_score" -> lmScoreSql,
+
+    // hapax-pruned (minCount=2) twin: HAVING-pruned count tables, totals
+    // over the pruned vocabulary — see lmScorePrunedSql
+    "lm_score_pruned" -> lmScorePrunedSql,
 
     // order-3 (trigram) LM twin: same train split, recursive interpolation
     // with the bigram formula as its inner term — see lmScoreN3Sql

@@ -98,6 +98,17 @@ object SparkEntry {
     inLmCache.getOrElseUpdate(d, Text.lmTrain(Tables.documents(s, d)
       .filter(org.apache.spark.sql.functions.col("source").isin(trustedSources: _*))))
 
+  // The hapax-PRUNED bigram LM (minCount = 2): the vocabulary-compression
+  // knob a production gate ships — singleton types carry no usable signal
+  // and dominate vocabulary size (Zipf), so pruning them shrinks the
+  // broadcast model several-fold while pruned types still score through
+  // the add-one backoff path. Same split/memoization as lmModel.
+  private val lmPrunedCache =
+    scala.collection.concurrent.TrieMap.empty[String, Text.LmModel]
+  private def lmPrunedModel(s: SparkSession, d: String): Text.LmModel =
+    lmPrunedCache.getOrElseUpdate(d,
+      Text.lmTrain(Tables.documents(s, d).filter(Text.inTrainSplit()), minCount = 2L))
+
   // The order-3 LM (the CCNet-like gate at an order that can see word
   // order): same train split and memoization discipline as the bigram
   // lmModel above.
@@ -120,7 +131,7 @@ object SparkEntry {
   def clearModelCaches(): Unit = {
     bpeMergesCache.clear(); lmModelCache.clear()
     nbModelCache.clear(); inLmCache.clear(); lmn3ModelCache.clear()
-    lmn5ModelCache.clear()
+    lmn5ModelCache.clear(); lmPrunedCache.clear()
   }
 
   /** Build + materialize every shared pipeline stage. The bench calls this
@@ -286,6 +297,10 @@ object SparkEntry {
     // applied as a filter so no join is needed)
     "lm_score" -> ((s, d) =>
       Text.lmScoreWith(lmModel(s, d), Tables.documents(s, d))),
+    // the hapax-pruned model (minCount=2): singleton uni/bigrams dropped,
+    // pruned types score through the add-one backoff — the shipped shape
+    "lm_score_pruned" -> ((s, d) =>
+      Text.lmScoreWith(lmPrunedModel(s, d), Tables.documents(s, d))),
     // the order-3 (trigram) generalization: recursive Jelinek-Mercer over
     // the single (k, g, c) gram table — same train split, same q6/decimal
     // score discipline, DuckDB-mirrored end to end
@@ -586,6 +601,15 @@ object SparkEntry {
         emb.filter(col("vec_id") % 20 === 0),  // new batch
         threshold = 0.4)
     }),
+    // the cell-pruned admission (the scale path): standing scan pruned to
+    // the cells the batch occupies on an IVF-indexed standing corpus
+    "semdedup_incremental_pruned" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      Similarity.semDeDupIncrementalPruned(
+        Similarity.ivfBuild(emb.filter(col("vec_id") % 20 =!= 0)),
+        emb.filter(col("vec_id") % 20 === 0), threshold = 0.4)
+    }),
     // mirrorable (md5-literal) hyperplanes: the oracle reproduces buckets,
     // candidate set, and q6 cosines exactly; xxhash64 fused bucketing stays
     // the scale default (index lifecycle, quantized tier)
@@ -669,6 +693,8 @@ object SparkEntry {
       "eigendecomposition is engine-specific (degenerate-eigenvalue order is implementation-defined even after sign normalization); shape/orthonormality/low-rank-recovery/sign laws in SimilaritySpec",
     "semdedup" ->
       "k-means cells are MLlib-specific; kept-independence/witness laws in SimilaritySpec (exact twin semdedup_exact is oracled)",
+    "semdedup_incremental_pruned" ->
+      "k-means cells prune the standing scan (engine-specific); planted-twin law in SimilaritySpec; the exact form semdedup_incremental is oracled",
     "semdedup_reduced" ->
       "PCA eigen + k-means cells are engine-specific; planted-cluster-survival/kept-independence/full-dim-verify laws in SimilaritySpec (exact twin semdedup_exact is oracled)",
     "semdedup_stats" ->

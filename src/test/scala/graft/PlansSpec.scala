@@ -115,6 +115,7 @@ class PlansSpec extends SparkTestBase {
       "similarity_ivf_topk",     // nCells-row centroid broadcast (probe scoring)
       "similarity_ivfpq_topk",   // same centroid broadcast via the IVF probe tier
       "lm_score",                // 1-row N/V totals broadcast
+      "lm_score_pruned",         // same totals broadcast, pruned vocabulary
       "lm_score_n3",             // same 1-row totals broadcast at order 3
       "lm_score_n5",             // same 1-row totals broadcast at order 5
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate
@@ -142,7 +143,8 @@ class PlansSpec extends SparkTestBase {
                                  // (clustered semDeDup is the scale swap-in)
       "semdedup",                // nCells-row centroid broadcast (assignment)
       "semdedup_reduced",        // same centroid broadcast, reduced space
-      "semdedup_incremental")    // bounded batch-side broadcast (admission shape)
+      "semdedup_incremental",    // bounded batch-side broadcast (admission shape)
+      "semdedup_incremental_pruned") // same batch broadcast + centroid routing
     // Sanctioned unpartitioned windows/sorts: |teams|-bounded frames only.
     val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features",
       "token_spectrum") // cumulative sweep over the count HISTOGRAM — rows

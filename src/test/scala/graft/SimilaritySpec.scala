@@ -334,9 +334,19 @@ class SimilaritySpec extends SparkTestBase {
     for ((id, _, _) <- copies)
       assert(!pruned(id), s"pruned admission missed planted copy $id")
 
-    // declared query: one verdict row per nonzero-norm batch vector
+    // declared queries: one verdict row per nonzero-norm batch vector in
+    // BOTH forms (the pruned scan covers every assigned batch vector)
     val n = graft.ops.Similarity.withNorms(batch).count()
     assert(q("semdedup_incremental").count() == n)
+    assert(q("semdedup_incremental_pruned").count() == n)
+    // pruning can only REMOVE standing witnesses (cells it skips), never
+    // invent one: every pruned drop is a drop in the exact form too
+    val exactKept = q("semdedup_incremental").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val prunedDrops = q("semdedup_incremental_pruned").collect()
+      .filter(!_.getBoolean(3)).map(_.getLong(0))
+    assert(prunedDrops.forall(id => !exactKept(id)),
+      "pruned admission dropped a vector the exact form keeps")
   }
 
   test("curation_e2e_sem: the semantic gate drops exactly the dedup verdict's non-kept ids") {

@@ -1329,6 +1329,43 @@ class TextSpec extends SparkTestBase {
     assert(got.sameElements(want))
   }
 
+  test("pruned LM: singleton types leave the model but score through the backoff") {
+    import spark.implicits._
+    // planted corpus: 'common' appears many times, 'hapax' once — the
+    // shrink effect must be exact (the tiny sf0.001 vocabulary happens to
+    // have no singleton unigrams, so the shrink is planted, not assumed)
+    val planted = (Seq((1L, "common common common hapax")) ++
+      (2 to 6).map(i => (i.toLong, "common common"))).toDF("doc_id", "text")
+    val pf = Text.lmTrain(planted)
+    val pp = Text.lmTrain(planted, minCount = 2L)
+    assert(pf.uni.count() == 2 && pp.uni.count() == 1,
+      "hapax type must leave the pruned vocabulary")
+    assert(pp.uni.exceptAll(pf.uni.filter(col("c_uni") >= 2)).count() == 0)
+    assert(pf.uni.filter(col("c_uni") >= 2).exceptAll(pp.uni).count() == 0)
+
+    val ref = docs.filter(Text.inTrainSplit())
+    val full = Text.lmTrain(ref)
+    val pruned = Text.lmTrain(ref, minCount = 2L)
+    // on the real corpus pruning keeps exactly the count>=2 rows
+    assert(pruned.uni.exceptAll(full.uni.filter(col("c_uni") >= 2)).count() == 0)
+    assert(full.uni.filter(col("c_uni") >= 2).exceptAll(pruned.uni).count() == 0)
+    assert(pruned.bi.exceptAll(full.bi.filter(col("c_bi") >= 2)).count() == 0)
+    // scoring is total: every scoreable doc still gets a row, probabilities
+    // stay valid (ln p < 0), and docs made of now-pruned types score
+    // through the add-one backoff rather than vanishing
+    val s = Text.lmScoreWith(pruned, docs).cache()
+    assert(s.count() == Text.lmScoreWith(full, docs).count())
+    assert(s.filter(col("avg_logp") >= 0 ||
+      col("unseen_frac") < 0 || col("unseen_frac") > 1).count() == 0)
+    // pruned-away bigrams surface as UNSEEN: the pruned model's unseen
+    // mass is >= the full model's on every doc
+    val uf = Text.lmScoreWith(full, docs)
+      .select(col("doc_id"), col("n_unseen_bigrams").as("u_full"))
+    assert(s.join(uf, Seq("doc_id"))
+      .filter(col("n_unseen_bigrams") < col("u_full")).count() == 0)
+    s.unpersist()
+  }
+
   test("lmnMerge: merged gram table equals joint training bit-exactly; scores agree") {
     val a = docs.filter(col("doc_id") % 2 === 0)
     val b = docs.filter(col("doc_id") % 2 =!= 0)
