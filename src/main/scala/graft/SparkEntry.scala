@@ -126,12 +126,19 @@ object SparkEntry {
     lmn5ModelCache.getOrElseUpdate(d,
       Text.lmnTrain(Tables.documents(s, d).filter(Text.inTrainSplit()), order = 5))
 
+  // The PCA basis: one covariance pass + driver eigen per corpus dir,
+  // shared by embedding_pca, pca_variance, and any composed consumer.
+  private val pcaModelCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.ml.feature.PCAModel]
+  private def pcaModel(s: SparkSession, d: String): org.apache.spark.ml.feature.PCAModel =
+    pcaModelCache.getOrElseUpdate(d, Similarity.pcaFit(Tables.embeddings(s, d)))
+
   /** Drop memoized per-directory models (BPE merges, LM counts, classifier
     * weights, in-domain contrast LM). */
   def clearModelCaches(): Unit = {
     bpeMergesCache.clear(); lmModelCache.clear()
     nbModelCache.clear(); inLmCache.clear(); lmn3ModelCache.clear()
-    lmn5ModelCache.clear(); lmPrunedCache.clear()
+    lmn5ModelCache.clear(); lmPrunedCache.clear(); pcaModelCache.clear()
   }
 
   /** Build + materialize every shared pipeline stage. The bench calls this
@@ -568,10 +575,11 @@ object SparkEntry {
     // tier): distributed covariance, driver d×d eigen, broadcast project —
     // declared in the scalar (vec_id, component, value) layout with
     // per-component sign normalization so the rows-only check is stable
-    "embedding_pca" -> ((s, d) => Similarity.embeddingPcaRows(Tables.embeddings(s, d))),
+    "embedding_pca" -> ((s, d) =>
+      Similarity.embeddingPcaRowsOf(pcaModel(s, d), Tables.embeddings(s, d))),
     // the "how small can k be" diagnostic next to the reduction: one row
     // per component, explained-variance share non-increasing
-    "pca_variance" -> ((s, d) => Similarity.pcaVariance(Tables.embeddings(s, d))),
+    "pca_variance" -> ((s, d) => Similarity.pcaVarianceOf(pcaModel(s, d), s)),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     // int8 ADC + exact rerank over md5-plane LSH candidates — the full
     // candidates→ADC→survivors→rerank pipeline is DuckDB-value-checked

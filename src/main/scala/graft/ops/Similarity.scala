@@ -159,17 +159,32 @@ object Similarity {
     * structure recovered (top components capture ≥95% of a
     * 2-D-subspace-plus-noise corpus), explained variance non-increasing
     * and ≤ 1. */
-  def embeddingPca(embeddings: DataFrame, k: Int = 16): DataFrame = {
+  def embeddingPca(embeddings: DataFrame, k: Int = 16): DataFrame =
+    pcaProject(pcaFit(embeddings, k), embeddings)
+
+  /** Fit the PCA basis once — the train-once/project-many split the
+    * model-cache pattern needs (SparkEntry memoizes the fitted model per
+    * corpus dir so embedding_pca, pca_variance, and any composed consumer
+    * share ONE covariance pass + eigen). */
+  def pcaFit(embeddings: DataFrame,
+      k: Int = 16): org.apache.spark.ml.feature.PCAModel = {
     import org.apache.spark.ml.feature.{PCA => MlPca}
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.functions.array_to_vector
     val (_, dim) = corpusDims(embeddings)
     require(k >= 1 && k <= dim, s"k=$k out of range for dim $dim")
-    val featured = embeddings.select(col("vec_id"), col("label"),
-      array_to_vector(dvec(col("embedding"))).as("features"))
-    val model = new MlPca().setK(k)
+    new MlPca().setK(k)
       .setInputCol("features").setOutputCol("reduced_v")
-      .fit(featured)
-    model.transform(featured)
+      .fit(embeddings.select(
+        array_to_vector(dvec(col("embedding"))).as("features")))
+  }
+
+  /** Project a corpus onto an already-fitted basis — one broadcast matrix
+    * multiply per vector, no fit. */
+  def pcaProject(model: org.apache.spark.ml.feature.PCAModel,
+      embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    model.transform(embeddings.select(col("vec_id"), col("label"),
+        array_to_vector(dvec(col("embedding"))).as("features")))
       .select(col("vec_id"), col("label"),
         vector_to_array(col("reduced_v")).as("reduced"))
   }
@@ -189,8 +204,15 @@ object Similarity {
     * Component order under DEGENERATE eigenvalues stays engine-specific,
     * so the query remains sanctioned rows-only ([[pcaVariance]] and the
     * SimilaritySpec planted-rank laws carry the value checks). */
-  def embeddingPcaRows(embeddings: DataFrame, k: Int = 16): DataFrame = {
-    val rows = embeddingPca(embeddings, k)
+  def embeddingPcaRows(embeddings: DataFrame, k: Int = 16): DataFrame =
+    embeddingPcaRowsOf(pcaFit(embeddings, k), embeddings)
+
+  /** [[embeddingPcaRows]] off an already-fitted model (the memoized-model
+    * entry point — one fit feeds the rows query, the variance diagnostic,
+    * and any composed consumer). */
+  def embeddingPcaRowsOf(model: org.apache.spark.ml.feature.PCAModel,
+      embeddings: DataFrame): DataFrame = {
+    val rows = pcaProject(model, embeddings)
       .select(col("vec_id"), col("label"),
         posexplode(col("reduced")).as(Seq("component", "value")))
     val signs = rows.groupBy("component").agg(
@@ -206,17 +228,12 @@ object Similarity {
   /** The variance side of [[embeddingPca]]: one row per component with
     * its explained-variance share, non-increasing by construction — the
     * "how small can k be" diagnostic read before committing to a width. */
-  def pcaVariance(embeddings: DataFrame, k: Int = 16): DataFrame = {
-    import org.apache.spark.ml.feature.{PCA => MlPca}
-    import org.apache.spark.ml.functions.array_to_vector
-    val (_, dim) = corpusDims(embeddings)
-    require(k >= 1 && k <= dim, s"k=$k out of range for dim $dim")
-    val featured = embeddings.select(
-      array_to_vector(dvec(col("embedding"))).as("features"))
-    val model = new MlPca().setK(k)
-      .setInputCol("features").setOutputCol("reduced_v")
-      .fit(featured)
-    val spark = embeddings.sparkSession
+  def pcaVariance(embeddings: DataFrame, k: Int = 16): DataFrame =
+    pcaVarianceOf(pcaFit(embeddings, k), embeddings.sparkSession)
+
+  /** The variance diagnostic off an already-fitted model. */
+  def pcaVarianceOf(model: org.apache.spark.ml.feature.PCAModel,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     model.explainedVariance.toArray.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq
