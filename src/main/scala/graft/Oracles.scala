@@ -401,6 +401,61 @@ af AS (
              CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
       FROM scored GROUP BY doc_id"""
 
+  // order-3 STUPID BACKOFF scoring (Brants et al. 2007): same position /
+  // count CTEs as lmScoreN3Sql, different fold — the highest seen order's
+  // pure MLE ratio, α=0.4 multiplied per unseen level, add-one unigram
+  // base. CASE nesting mirrors the Spark when/otherwise fold term for
+  // term (identical double arithmetic order ⇒ identical q6 grid point).
+  private val lmScoreSb3Sql: String = """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                  FROM documents),
+      ref AS (SELECT * FROM tk
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+      uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+              FROM (SELECT unnest(t) AS token FROM ref) p GROUP BY token),
+      tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS lm_n,
+                     CAST(COUNT(*) AS BIGINT) AS lm_v FROM uni),
+      bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bi
+             FROM (SELECT t[i] AS w1, t[i+1] AS w2
+                   FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                         FROM ref WHERE len(t) >= 2) g) b
+             GROUP BY w1, w2),
+      tri AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c_tri
+              FROM (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+                    FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+                          FROM ref WHERE len(t) >= 3) g) b
+              GROUP BY w1, w2, w3),
+      pos AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM tk WHERE len(t) >= 3) g),
+      scored AS (
+        SELECT pos.doc_id,
+               CASE WHEN COALESCE(tri.c_tri, 0) = 0 THEN 1 ELSE 0 END AS unseen,
+               floor(ln(
+                 CASE WHEN COALESCE(tri.c_tri, 0) > 0
+                       AND COALESCE(bctx.c_bi, 0) > 0
+                      THEN CAST(COALESCE(tri.c_tri, 0) AS DOUBLE) / bctx.c_bi
+                      ELSE 0.4 * (
+                        CASE WHEN COALESCE(bcur.c_bi, 0) > 0
+                              AND COALESCE(uctx.c_uni, 0) > 0
+                             THEN CAST(COALESCE(bcur.c_bi, 0) AS DOUBLE) / uctx.c_uni
+                             ELSE 0.4 * (CAST(COALESCE(ucur.c_uni, 0) + 1 AS DOUBLE)
+                                   / (tot.lm_n + tot.lm_v)) END) END
+               ) * 1000000.0 + 0.5) / 1000000.0 AS q
+        FROM pos
+        LEFT JOIN tri ON pos.w1 = tri.w1 AND pos.w2 = tri.w2 AND pos.w3 = tri.w3
+        LEFT JOIN bi bctx ON pos.w1 = bctx.w1 AND pos.w2 = bctx.w2
+        LEFT JOIN bi bcur ON pos.w2 = bcur.w1 AND pos.w3 = bcur.w2
+        LEFT JOIN uni uctx ON pos.w2 = uctx.token
+        LEFT JOIN uni ucur ON pos.w3 = ucur.token
+        CROSS JOIN tot)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(unseen) AS BIGINT) AS n_unseen_ngrams,
+             CAST(CAST(SUM(unseen) AS BIGINT) AS DOUBLE) / COUNT(*) AS unseen_frac,
+             CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
+      FROM scored GROUP BY doc_id"""
+
   private val contrastScoreSql: String = """
       WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
                   FROM documents),
@@ -1619,6 +1674,10 @@ af AS (
     // order-5 (KenLM-conventional) LM twin: the same recursion two orders
     // up, 9 joins over the (k, g, c) gram mirror — see lmScoreN5Sql
     "lm_score_n5" -> lmScoreN5Sql,
+
+    // order-3 stupid-backoff twin (Brants 2007): same CTEs as the n3
+    // interpolated mirror, CASE fold — see lmScoreSb3Sql
+    "lm_score_sb3" -> lmScoreSb3Sql,
 
     // best-copy exact dedup: keeper = highest quality score in the
     // fingerprint group, ties to the lowest doc_id (window form here;

@@ -317,6 +317,11 @@ object SparkEntry {
     // joins over ONE Generate pass, DuckDB-mirrored join for join
     "lm_score_n5" -> ((s, d) =>
       Text.lmnScoreWith(lmn5Model(s, d), Tables.documents(s, d))),
+    // stupid backoff (Brants 2007) over the SAME memoized trigram model:
+    // highest-seen-order MLE with a fixed α=0.4 penalty per unseen level —
+    // the web-scale counts-only smoothing, DuckDB-mirrored term for term
+    "lm_score_sb3" -> ((s, d) =>
+      Text.lmnScoreBackoff(lmn3Model(s, d), Tables.documents(s, d))),
     // closed-form NB log-odds classifier seeded on the trusted sources:
     // the full weight table, the per-doc scores, and nothing hidden —
     // both DuckDB-mirrored (training is a deterministic aggregation)

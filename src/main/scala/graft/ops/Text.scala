@@ -2235,6 +2235,28 @@ object Text {
   def lmnScoreWith(model: LmNModel, target: DataFrame,
       lam: Double = 0.5): DataFrame = {
     val n = model.order
+    // the recursion unrolled lowest-order first: EXACTLY the bigram
+    // formula at n=2, one more interpolation level per order above it —
+    // double arithmetic in fixed fold order, so the oracle mirrors it
+    // term for term
+    var p: Column = (coalesce(col("cg1"), lit(0L)) + lit(1L)).cast("double") /
+      (col("lm_n") + col("lm_v"))
+    for (k <- 2 to n)
+      p = lit(lam) * when(coalesce(col(s"cx${k - 1}"), lit(0L)) > 0,
+            coalesce(col(s"cg$k"), lit(0L)).cast("double") / col(s"cx${k - 1}"))
+          .otherwise(lit(0.0)) +
+        lit(1.0 - lam) * p
+    lmnAggScores(lmnJoined(model, target), p, n)
+  }
+
+  /** The shared 2·order−1-join lookup frame the order-n scorers fold
+    * over: positions joined against every per-order numerator (g1..gN)
+    * and context (x1..x(N−1)) count view plus the one-row totals — the
+    * [[lmnScoreWith]] join stack factored out so alternative smoothers
+    * ([[lmnScoreBackoff]]) reuse the identical measured-broadcast plan
+    * and can never drift on what they look up. */
+  private def lmnJoined(model: LmNModel, target: DataFrame): DataFrame = {
+    val n = model.order
     def hint(df: DataFrame): DataFrame =
       if (model.vocabBroadcastable) broadcast(df) else df
     def view(k: Int, key: String, cName: String): DataFrame =
@@ -2247,18 +2269,13 @@ object Text {
       df = df.join(hint(view(k, s"g$k", s"cg$k")), Seq(s"g$k"), "left")
     for (k <- 1 until n)
       df = df.join(hint(view(k, s"x$k", s"cx$k")), Seq(s"x$k"), "left")
-    df = df.crossJoin(broadcast(totals))
-    // the recursion unrolled lowest-order first: EXACTLY the bigram
-    // formula at n=2, one more interpolation level per order above it —
-    // double arithmetic in fixed fold order, so the oracle mirrors it
-    // term for term
-    var p: Column = (coalesce(col("cg1"), lit(0L)) + lit(1L)).cast("double") /
-      (col("lm_n") + col("lm_v"))
-    for (k <- 2 to n)
-      p = lit(lam) * when(coalesce(col(s"cx${k - 1}"), lit(0L)) > 0,
-            coalesce(col(s"cg$k"), lit(0L)).cast("double") / col(s"cx${k - 1}"))
-          .otherwise(lit(0.0)) +
-        lit(1.0 - lam) * p
+    df.crossJoin(broadcast(totals))
+  }
+
+  /** The shared per-doc reduction under any per-position probability
+    * column: q6-quantized ln p, decimal-summed (reduction-order
+    * independent, DuckDB-mirrorable), plus the unseen-full-gram counters. */
+  private def lmnAggScores(df: DataFrame, p: Column, n: Int): DataFrame =
     df.withColumn("logp", log(p))
       .withColumn("unseen", (coalesce(col(s"cg$n"), lit(0L)) === 0L).cast("long"))
       .groupBy("doc_id").agg(
@@ -2269,6 +2286,44 @@ object Text {
         col("n_unseen_ngrams").cast("double") / col("n_ngrams"))
       .select("doc_id", "n_ngrams", "n_unseen_ngrams", "unseen_frac",
         "avg_logp")
+
+  /** Score `target` under STUPID BACKOFF (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4) — the smoothing actually
+    * used at web scale, where normalization is traded away for counts-only
+    * scoring: a position scores the pure MLE ratio at the highest order
+    * whose n-gram was seen, and each unseen level multiplies a fixed
+    * backoff penalty α (the paper's 0.4) instead of interpolating:
+    *
+    *   S(w | ctx_k) = c(g_k)/c(x_{k-1})      if c(g_k) > 0
+    *                  α · S(w | ctx_{k-1})    otherwise
+    *
+    * with the add-one unigram base (c(w)+1)/(N+V) — the [[lmScoreWith]]
+    * convention, keeping S > 0 so ln S is total (Brants leaves the base
+    * to the implementation; unsmoothed c(w)/N would send unseen tokens to
+    * ln 0). S is a SCORE, not a probability (it doesn't sum to 1 over the
+    * vocabulary — the paper's point: at trillion-token counts the
+    * normalization machinery of Kneser-Ney buys nothing), so avg_logp
+    * here ranks fluency but is not a log-likelihood.
+    *
+    * Same [[lmnJoined]] lookup plan and q6/decimal reduction as the
+    * interpolated scorer — only the fold differs, mirrored term for term
+    * by the DuckDB oracle (`lm_score_sb3`). Scale shape: identical to
+    * [[lmnScoreWith]] — the measured-broadcast join stack over one
+    * Generate pass; the fold is pure codegen arithmetic. */
+  def lmnScoreBackoff(model: LmNModel, target: DataFrame,
+      alpha: Double = 0.4): DataFrame = {
+    val n = model.order
+    // unrolled lowest-order first like the interpolated fold: the base is
+    // the add-one unigram, each higher order either takes over with its
+    // MLE ratio or multiplies the penalty onto the lower-order score
+    var p: Column = (coalesce(col("cg1"), lit(0L)) + lit(1L)).cast("double") /
+      (col("lm_n") + col("lm_v"))
+    for (k <- 2 to n)
+      p = when(coalesce(col(s"cg$k"), lit(0L)) > 0 &&
+            coalesce(col(s"cx${k - 1}"), lit(0L)) > 0,
+          coalesce(col(s"cg$k"), lit(0L)).cast("double") / col(s"cx${k - 1}"))
+        .otherwise(lit(alpha) * p)
+    lmnAggScores(lmnJoined(model, target), p, n)
   }
 
   /** CCNet-style perplexity bucketing: within each source, split documents

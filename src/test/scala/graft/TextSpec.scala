@@ -1396,6 +1396,44 @@ class TextSpec extends SparkTestBase {
       && joint.counts.exceptAll(merged.counts).count() == 0)
   }
 
+  test("stupid backoff: seen positions score pure MLE, each unseen level multiplies α") {
+    import spark.implicits._
+    // reference: 'a b c' ×10, 'x b y' ×10 → c(ab)=10, c(abc)=10, c(b)=20,
+    // c(by)=10, N=60 tokens, V=5 types {a,b,c,x,y}. The three probes hit
+    // the three fold arms exactly once each (single position per probe):
+    //   'a b c' — trigram seen   → pure MLE 10/10 = 1,      ln = 0
+    //   'a b y' — trigram unseen → α · c(by)/c(b) = 0.4·0.5
+    //   'a b z' — all unseen     → α² · (c(z)+1)/(N+V) = 0.16/65
+    val ref = ((1 to 10).map(i => (i.toLong, "a b c")) ++
+      (11 to 20).map(i => (i.toLong, "x b y"))).toDF("doc_id", "text")
+    val m = Text.lmnTrain(ref, order = 3)
+    val probes = Seq((100L, "a b c"), (101L, "a b y"), (102L, "a b z"))
+      .toDF("doc_id", "text")
+    val s = Text.lmnScoreBackoff(m, probes).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getDouble(4)))).toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(s(100L) == ((0L, 0.0)))
+    assert(s(101L) == ((1L, q6(math.log(0.4 * (10.0 / 20.0))))))
+    assert(s(102L) == ((1L, q6(math.log(0.4 * (0.4 * (1.0 / 65.0)))))))
+  }
+
+  test("stupid backoff on the corpus: total, bounded, unseen counters match the JM twin") {
+    // S ∈ (0, 1] by construction (MLE ratios ≤ 1, α < 1, add-one base < 1)
+    // so avg_logp ≤ 0; the unseen column is a function of cg_n alone, so
+    // the two order-3 scorers must agree on it doc for doc
+    val m = Text.lmnTrain(docs.filter(Text.inTrainSplit()), order = 3)
+    val sb = Text.lmnScoreBackoff(m, docs).cache()
+    assert(sb.filter(col("avg_logp") > 0 ||
+      col("unseen_frac") < 0 || col("unseen_frac") > 1).count() == 0)
+    val jm = Text.lmnScoreWith(m, docs)
+      .select(col("doc_id"), col("n_ngrams").as("nj"),
+        col("n_unseen_ngrams").as("uj"))
+    assert(sb.join(jm, Seq("doc_id"), "full")
+      .filter(col("n_ngrams") =!= col("nj") ||
+        col("n_unseen_ngrams") =!= col("uj")).count() == 0)
+    sb.unpersist()
+  }
+
   test("order-3 LM sees word order the bigram cannot") {
     import spark.implicits._
     // reference trigrams: 'a b c' and 'x b y'. The probe 'a b y' is built
