@@ -261,6 +261,59 @@ af AS (
              CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
       FROM scored GROUP BY doc_id"""
 
+  // interpolated Kneser-Ney bigram scoring (D = 0.75): absolute-discounted
+  // bigram MLE plus the discount mass routed to the CONTINUATION
+  // distribution — fwd/bwd are distinct-successor/-predecessor TYPE counts
+  // over the bigram type table, T the bigram type total, p_cont add-one
+  // smoothed over (T + V) (the repo's base convention so ln is total).
+  // Arithmetic mirrors the Spark fold term for term: greatest(c−D,0)/c(u)
+  // + ((D·N1fwd)/c(u))·p_cont, unseen contexts score p_cont directly.
+  private val lmScoreKnSql: String = """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                  FROM documents),
+      ref AS (SELECT * FROM tk
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+      uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+              FROM (SELECT unnest(t) AS token FROM ref) p GROUP BY token),
+      bi AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_bi
+             FROM (SELECT t[i] AS prev, t[i+1] AS cur
+                   FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                         FROM ref WHERE len(t) >= 2) g) b
+             GROUP BY prev, cur),
+      fwd AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS n1_fwd
+              FROM bi GROUP BY prev),
+      bwd AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS n1_bwd
+              FROM bi GROUP BY cur),
+      tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bi) AS kn_t,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS lm_v),
+      bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+             FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                   FROM tk WHERE len(t) >= 2) g),
+      scored AS (
+        SELECT bg.doc_id,
+               CASE WHEN COALESCE(bi.c_bi, 0) = 0 THEN 1 ELSE 0 END AS unseen,
+               floor(ln(
+                 CASE WHEN COALESCE(up.c_uni, 0) > 0
+                      THEN greatest(CAST(COALESCE(bi.c_bi, 0) AS DOUBLE) - 0.75, 0.0)
+                             / up.c_uni
+                         + 0.75 * CAST(COALESCE(fwd.n1_fwd, 0) AS DOUBLE) / up.c_uni
+                             * (CAST(COALESCE(bwd.n1_bwd, 0) + 1 AS DOUBLE)
+                                  / (tot.kn_t + tot.lm_v))
+                      ELSE CAST(COALESCE(bwd.n1_bwd, 0) + 1 AS DOUBLE)
+                             / (tot.kn_t + tot.lm_v) END
+               ) * 1000000.0 + 0.5) / 1000000.0 AS q
+        FROM bg LEFT JOIN bi ON bg.prev = bi.prev AND bg.cur = bi.cur
+                LEFT JOIN uni up ON bg.prev = up.token
+                LEFT JOIN fwd ON bg.prev = fwd.prev
+                LEFT JOIN bwd ON bg.cur = bwd.cur
+                CROSS JOIN tot)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(unseen) AS BIGINT) AS n_unseen_bigrams,
+             CAST(CAST(SUM(unseen) AS BIGINT) AS DOUBLE) / COUNT(*) AS unseen_frac,
+             CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
+      FROM scored GROUP BY doc_id"""
+
   // order-3 (trigram) interpolated LM scoring — the lm_score CTE family
   // one order up: recursive Jelinek-Mercer
   //   p = 0.5·(c_tri/c_bi_ctx | 0) + 0.5·(0.5·(c_bi/c_uni_ctx | 0)
@@ -1678,6 +1731,10 @@ af AS (
     // order-3 stupid-backoff twin (Brants 2007): same CTEs as the n3
     // interpolated mirror, CASE fold — see lmScoreSb3Sql
     "lm_score_sb3" -> lmScoreSb3Sql,
+
+    // interpolated Kneser-Ney bigram twin (D=0.75): continuation-count
+    // CTEs over the bigram type table — see lmScoreKnSql
+    "lm_score_kn" -> lmScoreKnSql,
 
     // best-copy exact dedup: keeper = highest quality score in the
     // fingerprint group, ties to the lowest doc_id (window form here;

@@ -322,6 +322,11 @@ object SparkEntry {
     // the web-scale counts-only smoothing, DuckDB-mirrored term for term
     "lm_score_sb3" -> ((s, d) =>
       Text.lmnScoreBackoff(lmn3Model(s, d), Tables.documents(s, d))),
+    // interpolated Kneser-Ney (the KenLM/CCNet smoothing) over the SAME
+    // memoized bigram model: absolute discount + continuation counts,
+    // DuckDB-mirrored including the two type-count tables
+    "lm_score_kn" -> ((s, d) =>
+      Text.lmScoreKneserNey(lmModel(s, d), Tables.documents(s, d))),
     // closed-form NB log-odds classifier seeded on the trusted sources:
     // the full weight table, the per-doc scores, and nothing hidden —
     // both DuckDB-mirrored (training is a deterministic aggregation)

@@ -2123,6 +2123,72 @@ object Text {
         "avg_logp")
   }
 
+  /** Score `target` under interpolated KNESER-NEY (Kneser & Ney 1995;
+    * the Chen & Goodman 1999 interpolated form with one absolute discount
+    * D) — the smoothing KenLM ships and CCNet gates with, and the quality
+    * benchmark the web-scale shortcuts ([[lmnScoreBackoff]]) are measured
+    * against. Per bigram position (u, w):
+    *
+    *   p(w|u) = max(c(uw) − D, 0)/c(u) + D·N1+(u·)/c(u) · p_cont(w)
+    *   p_cont(w) = (N1+(·w) + 1) / (T + V)
+    *
+    * where N1+(u·) is the count of distinct continuations of u, N1+(·w)
+    * the count of distinct contexts preceding w (the novel-continuation
+    * signal that makes KN better than frequency backoff: "Francisco" is
+    * frequent but follows only "San", so its continuation probability is
+    * tiny), T the number of distinct bigram TYPES, and V the unigram
+    * vocabulary. Unseen contexts (c(u) = 0) score p_cont(w) directly.
+    * p_cont carries the repo's add-one convention (the [[lmScoreWith]]
+    * base discipline) so p > 0 always and ln p is total; textbook KN
+    * leaves unseen-word mass to a separate OOV model.
+    *
+    * Scale shape: the two continuation-count tables are groupBys OVER THE
+    * BIGRAM TYPE TABLE (vocabulary-sized, not corpus-sized), T and V are
+    * one-row broadcast scalars, and scoring is the [[lmScoreWith]] join
+    * stack plus two more vocabulary-keyed joins — nothing touches the
+    * corpus twice. Oracle parity: q6-quantized ln p, decimal-summed
+    * (`lm_score_kn`, mirrored term for term). */
+  def lmScoreKneserNey(model: LmModel, target: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    val uni = model.uni
+    def hint(df: DataFrame): DataFrame =
+      if (model.vocabBroadcastable) broadcast(df) else df
+    // continuation counts: distinct-successor / distinct-predecessor type
+    // counts per token, derived from the TYPE table (each (prev, cur) row
+    // is one type — count rows, not masses)
+    val fwd = model.bi.groupBy("prev").agg(count(lit(1)).as("n1_fwd"))
+    val bwd = model.bi.groupBy(col("cur")).agg(count(lit(1)).as("n1_bwd"))
+    val totals = model.bi.agg(count(lit(1)).as("kn_t"))
+      .crossJoin(uni.agg(count(lit(1)).as("lm_v")))
+    val d = lit(discount)
+    val pCont = (coalesce(col("n1_bwd"), lit(0L)) + lit(1L)).cast("double") /
+      (col("kn_t") + col("lm_v"))
+    val scored = bigramPositions(target)
+      .join(model.bi, Seq("prev", "cur"), "left")
+      .join(hint(uni.select(col("token").as("prev"), col("c_uni").as("c_prev"))),
+        Seq("prev"), "left")
+      .join(hint(fwd), Seq("prev"), "left")
+      .join(hint(bwd), Seq("cur"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("p",
+        when(coalesce(col("c_prev"), lit(0L)) > 0,
+          greatest(coalesce(col("c_bi"), lit(0L)).cast("double") - d, lit(0.0)) /
+            col("c_prev")
+          + d * coalesce(col("n1_fwd"), lit(0L)).cast("double") / col("c_prev")
+            * pCont)
+        .otherwise(pCont))
+      .withColumn("logp", log(col("p")))
+      .withColumn("unseen", (coalesce(col("c_bi"), lit(0L)) === 0L).cast("long"))
+    scored.groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("unseen").as("n_unseen_bigrams"),
+        graft.functions.Exact.r6avg(col("logp")).as("avg_logp"))
+      .withColumn("unseen_frac",
+        col("n_unseen_bigrams").cast("double") / col("n_bigrams"))
+      .select("doc_id", "n_bigrams", "n_unseen_bigrams", "unseen_frac",
+        "avg_logp")
+  }
+
   // ---------------------------------------------------------------- LmN —
   // the order-n generalization of the bigram LM above. CCNet's production
   // gate is a 5-gram KenLM (Wenzek et al. 2020 §4.3); a bigram

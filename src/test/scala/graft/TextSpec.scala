@@ -1396,6 +1396,52 @@ class TextSpec extends SparkTestBase {
       && joint.counts.exceptAll(merged.counts).count() == 0)
   }
 
+  test("Kneser-Ney: hand-computed probabilities; the Francisco effect flips the JM ranking") {
+    import spark.implicits._
+    // reference: 's f' ×10 (f FREQUENT but follows only s — the
+    // 'Francisco' shape), 'a d' 'b d' 'c d' (d rarer but with 3 distinct
+    // predecessors), 'x y' ×2. Derived model: V=8, bigram types T=5,
+    // c(x)=2, N1+(x·)=1, N1+(·f)=1, N1+(·d)=3, N1+(·y)=1.
+    val ref = ((1 to 10).map(i => (i.toLong, "s f")) ++
+      Seq((11L, "a d"), (12L, "b d"), (13L, "c d"),
+        (14L, "x y"), (15L, "x y"))).toDF("doc_id", "text")
+    val m = Text.lmTrain(ref)
+    val probes = Seq((100L, "x f"), (101L, "x d"), (102L, "x y"),
+      (103L, "q d")).toDF("doc_id", "text")
+    val kn = Text.lmScoreKneserNey(m, probes).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // hand-computed: unseen bigram under seen context x routes the full
+    // discount mass D·N1+(x·)/c(x) = 0.375 to the continuation prob
+    assert(kn(100L) == q6(math.log(0.375 * (2.0 / 13.0))))
+    assert(kn(101L) == q6(math.log(0.375 * (4.0 / 13.0))))
+    assert(kn(102L) == q6(math.log(
+      math.max(2.0 - 0.75, 0.0) / 2 + 0.75 * 1.0 / 2 * (2.0 / 13.0))))
+    // unseen context falls straight through to the continuation prob
+    assert(kn(103L) == q6(math.log(4.0 / 13.0)))
+    // the Francisco effect: KN ranks 'x d' ABOVE 'x f' (d continues
+    // novel contexts, f doesn't) while frequency-backoff JM ranks them
+    // the other way (c(f)=10 > c(d)=3 in the unigram base)
+    val jm = Text.lmScoreWith(m, probes).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(kn(101L) > kn(100L) && jm(100L) > jm(101L))
+  }
+
+  test("Kneser-Ney on the corpus: total, bounded, unseen counters match the JM twin") {
+    val m = Text.lmTrain(docs.filter(Text.inTrainSplit()))
+    val kn = Text.lmScoreKneserNey(m, docs).cache()
+    assert(kn.count() == Text.lmScoreWith(m, docs).count())
+    assert(kn.filter(col("avg_logp") >= 0 ||
+      col("unseen_frac") < 0 || col("unseen_frac") > 1).count() == 0)
+    val jm = Text.lmScoreWith(m, docs)
+      .select(col("doc_id"), col("n_bigrams").as("nj"),
+        col("n_unseen_bigrams").as("uj"))
+    assert(kn.join(jm, Seq("doc_id"), "full")
+      .filter(col("n_bigrams") =!= col("nj") ||
+        col("n_unseen_bigrams") =!= col("uj")).count() == 0)
+    kn.unpersist()
+  }
+
   test("stupid backoff: seen positions score pure MLE, each unseen level multiplies α") {
     import spark.implicits._
     // reference: 'a b c' ×10, 'x b y' ×10 → c(ab)=10, c(abc)=10, c(b)=20,
