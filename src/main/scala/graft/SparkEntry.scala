@@ -642,6 +642,11 @@ object SparkEntry {
     // IVF-PQ: product-quantized ADC under the IVF probe pruning, exact
     // rerank of survivors (rows-only: k-means, the sanctioned tier)
     "similarity_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d))),
+    // IVFADC as published: the PQ codes the residual v − centroid(cell),
+    // spending the same byte budget on the centered distribution — lower
+    // reconstruction error at identical storage and plan shape
+    "similarity_ivfpq_residual_topk" -> ((s, d) =>
+      Similarity.ivfPqResidualTopK(Tables.embeddings(s, d))),
     // D4-style diversity rebalancing: cap each embedding-space region's
     // contribution (md5 mirror planes -> the kept set is oracle-exact);
     // the IVF-cell flavor (cell_balanced_sample) is rows-only by
@@ -720,7 +725,9 @@ object SparkEntry {
     "similarity_ivf_topk" ->
       "k-means coarse quantizer is MLlib-specific; recall-vs-bruteforce anchors in SimilaritySpec + ScaleAnchors",
     "similarity_ivfpq_topk" ->
-      "k-means coarse + PQ sub-quantizers are engine-specific; code-shape laws + pinned recall anchors in SimilaritySpec")
+      "k-means coarse + PQ sub-quantizers are engine-specific; code-shape laws + pinned recall anchors in SimilaritySpec",
+    "similarity_ivfpq_residual_topk" ->
+      "k-means coarse + residual PQ sub-quantizers are engine-specific; strict MSE-improvement law vs the raw twin + pinned recall anchor in SimilaritySpec")
 
   /** Declared queries ALLOWED to emit a nested-typed (array/map/struct)
     * column, each with the reason. The driver's rows-only check sorts the

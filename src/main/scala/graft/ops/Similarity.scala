@@ -1562,7 +1562,20 @@ object Similarity {
     * is what lets a billion-vector index live in memory while the
     * full-precision vectors stay on disk for the rerank tier only. */
   case class PqIndex(ivf: IvfIndex, codebooks: DataFrame, codes: DataFrame,
-      m: Int, subDim: Int)
+      m: Int, subDim: Int, residual: Boolean = false)
+
+  /** The residual frame under an IVF coarse quantizer: each vector minus
+    * its cell centroid — what IVFADC (Jégou et al. 2011 §III.C) actually
+    * quantizes. Residuals concentrate near the origin (the coarse
+    * quantizer already explained the cell-level structure), so the same
+    * sub-codebook budget spends its resolution on a much smaller
+    * support — lower reconstruction error, higher recall, identical
+    * storage. One broadcast centroid join + a linear per-vector zip;
+    * never per-pair. */
+  private def residualFrame(ivf: IvfIndex): DataFrame =
+    ivf.vectors.join(broadcast(ivf.centroids), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("centroid"), (a, b) => a - b).as("v"))
 
   /** Train IVF-PQ: the [[ivfBuild]] coarse quantizer plus m independent
     * sub-quantizers over the contiguous dim/m slices of ONE shared bounded
@@ -1579,17 +1592,23 @@ object Similarity {
     * per code, the [[cellsFor]] discipline); at corpus scale it is the
     * standard 256 (one byte per subspace). */
   def pqBuild(embeddings: DataFrame, m: Int = 8, codebookSize: Int = 256,
-      nCells: Int = 0, fitMaxRows: Long = 100000L): PqIndex = {
+      nCells: Int = 0, fitMaxRows: Long = 100000L,
+      residual: Boolean = false): PqIndex = {
     val ivf = ivfBuild(embeddings, nCells, fitMaxRows)
     val (n, dim) = corpusDims(embeddings)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
+    // residual mode quantizes (v − cell centroid) — sub-codebooks train on
+    // and codes encode the SAME frame, so build and append can never
+    // disagree on what a code means
+    val encodeSrc =
+      if (residual) residualFrame(ivf).localCheckpoint(true) else ivf.vectors
     // the one true driver collect in this file: byte-bounded via
     // fitRowsFor, so a dim-1024 production corpus collects ≤ fitMaxBytes
     // of doubles, not fitMaxRows of arbitrarily wide rows
     val effRows = fitRowsFor(dim, fitMaxRows)
     val frac = math.min(1.0, effRows.toDouble / math.max(1L, n))
-    val sample = (if (frac >= 1.0) ivf.vectors else ivf.vectors.sample(frac, seed = 42))
+    val sample = (if (frac >= 1.0) encodeSrc else encodeSrc.sample(frac, seed = 42))
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     val ks = math.max(2, math.min(codebookSize, sample.length / 4))
     val spark = embeddings.sparkSession
@@ -1598,7 +1617,8 @@ object Similarity {
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
       lloyd(pts, ks, seed = 42 + j).zipWithIndex.map { case (c, i) => (j, i, c) }
     }.toDF("sub", "code", "centroid")
-    PqIndex(ivf, codebooks, pqEncode(ivf.vectors, codebooks, m, subDim), m, subDim)
+    PqIndex(ivf, codebooks, pqEncode(encodeSrc, codebooks, m, subDim), m,
+      subDim, residual)
   }
 
   /** Distributed PQ encoding against a FIXED codebook table — the shared
@@ -1650,10 +1670,19 @@ object Similarity {
       s"appended vectors have dim $dim, index encodes ${m * subDim} (m=$m × subDim=$subDim)")
     // one assignment pass feeds the vectors append, the codes append, and
     // the cell join — pinned so the three consumers share it
-    val assigned = ivfAssign(spark.read.parquet(s"$dir/ivf/centroids"), newVectors)
+    val centroids = spark.read.parquet(s"$dir/ivf/centroids")
+    val assigned = ivfAssign(centroids, newVectors)
       .localCheckpoint(true)
     assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/ivf/vectors")
-    pqEncode(assigned, codebooks, m, subDim)
+    // encode in the index's persisted convention: a residual-built index
+    // must residual-encode appends, or old and new codes decode into
+    // different vector spaces
+    val toEncode =
+      if (!pqResidualMeta(spark, dir)) assigned
+      else assigned.join(broadcast(centroids), Seq("cell"))
+        .select(col("vec_id"),
+          zip_with(col("v"), col("centroid"), (a, b) => a - b).as("v"))
+    pqEncode(toEncode, codebooks, m, subDim)
       .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
@@ -1708,8 +1737,8 @@ object Similarity {
     * columnar execution; reconstruct-then-codegen-dot shares the one
     * DotProduct kernel with every other tier and costs the same
     * m·subDim = dim multiplies per scored pair.) */
-  private def pqRecon(index: PqIndex): DataFrame =
-    index.codes
+  private def pqRecon(index: PqIndex): DataFrame = {
+    val parts = index.codes
       .select(col("vec_id").as("neighbor_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
       .join(broadcast(index.codebooks), Seq("sub", "code"))
@@ -1718,8 +1747,20 @@ object Similarity {
       .select(col("neighbor_id"),
         flatten(transform(array_sort(col("parts")), p => p.getField("centroid")))
           .as("rv"))
-      .withColumn("rnorm", sqrt(dotd(col("rv"), col("rv"))))
+    // residual codes reconstruct relative to the coarse centroid: add it
+    // back (one narrow cell join + broadcast centroids — linear, per
+    // vector, never per candidate pair)
+    val recon =
+      if (!index.residual) parts
+      else parts
+        .join(index.ivf.vectors.select(col("vec_id").as("neighbor_id"), col("cell")),
+          Seq("neighbor_id"))
+        .join(broadcast(index.ivf.centroids), Seq("cell"))
+        .select(col("neighbor_id"),
+          zip_with(col("centroid"), col("rv"), (a, b) => a + b).as("rv"))
+    recon.withColumn("rnorm", sqrt(dotd(col("rv"), col("rv"))))
       .filter(col("rnorm") > 0.0)
+  }
 
   /** Query an IVF-PQ index: probe the `nProbe` nearest cells (the
     * [[ivfQuery]] pruning), score the cell members ASYMMETRICALLY — full-
@@ -1772,6 +1813,12 @@ object Similarity {
       index.codes.join(index.ivf.vectors.select("vec_id", "cell"), Seq("vec_id")),
       s"$dir/codes", "cell")
     Sinks.overwriteLayer(index.codebooks, s"$dir/codebooks")
+    // the 1-row meta layer pins the encode convention (raw vs residual) —
+    // appenders and readers MUST agree with the build, or codes decode
+    // into the wrong vector space
+    val spark = index.codebooks.sparkSession
+    import spark.implicits._
+    Sinks.overwriteLayer(Seq(index.residual).toDF("residual"), s"$dir/meta")
   }
 
   /** Reload a persisted IVF-PQ index; `m`/`subDim` re-derive from the
@@ -1794,7 +1841,18 @@ object Similarity {
       codebooks,
       spark.read.schema(codesSchema).parquet(s"$dir/codes")
         .select("vec_id", "codes"),
-      shape.getInt(0) + 1, shape.getInt(1))
+      shape.getInt(0) + 1, shape.getInt(1),
+      pqResidualMeta(spark, dir))
+  }
+
+  /** The persisted encode convention: read the 1-row meta layer; indexes
+    * written before the layer existed are raw-encoded (the only
+    * convention that ever shipped without it). */
+  private def pqResidualMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    if (!hadoopFs(spark, metaPath).exists(metaPath)) false
+    else spark.read.parquet(s"$dir/meta").head().getBoolean(0)
   }
 
   /** Self-join IVF-PQ ANN over the corpus — same output contract as the
@@ -1804,5 +1862,21 @@ object Similarity {
       codebookSize: Int = 256, nCells: Int = 0, nProbe: Int = 0,
       rerankFactor: Int = 6, fitMaxRows: Long = 100000L): DataFrame =
     pqQuery(pqBuild(embeddings, m, codebookSize, nCells, fitMaxRows),
+      embeddings, k, nProbe, rerankFactor)
+
+  /** [[ivfPqTopK]] with RESIDUAL encoding — IVFADC as published (Jégou
+    * et al. 2011 §III.C): the PQ quantizes `v − centroid(cell)` instead
+    * of `v`, so the sub-codebooks spend their resolution on the
+    * centered residual distribution rather than re-explaining the
+    * cell-level structure the coarse quantizer already captured. Same
+    * storage (m codes/vector), same query plan (reconstruct = centroid +
+    * decoded residual, one extra broadcast join), strictly lower mean
+    * reconstruction error — the recall-per-byte upgrade, asserted
+    * against the raw-encoded twin in SimilaritySpec. */
+  def ivfPqResidualTopK(embeddings: DataFrame, k: Int = 5, m: Int = 8,
+      codebookSize: Int = 256, nCells: Int = 0, nProbe: Int = 0,
+      rerankFactor: Int = 6, fitMaxRows: Long = 100000L): DataFrame =
+    pqQuery(pqBuild(embeddings, m, codebookSize, nCells, fitMaxRows,
+        residual = true),
       embeddings, k, nProbe, rerankFactor)
 }

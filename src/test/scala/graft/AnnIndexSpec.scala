@@ -399,4 +399,38 @@ class AnnIndexSpec extends SparkTestBase {
     Similarity.pqAppend(spark, dir, emb.limit(0))
     assert(Similarity.pqRead(spark, dir).codes.count() == emb.count())
   }
+
+  test("residual PQ: convention persists; appends encode in the index's space") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqr").toString
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    Similarity.pqWrite(Similarity.pqBuild(base, nCells = 16, residual = true), dir)
+    val disk = Similarity.pqRead(spark, dir)
+    // the encode convention survives the round-trip (a reader that lost it
+    // would decode residual codes as raw vectors)
+    assert(disk.residual, "persisted residual flag must survive pqRead")
+    // append an EXACT COPY of an indexed vector under a fresh id: same
+    // cell ⇒ same residual ⇒ the appended code word must equal the
+    // original's BIT-exactly — which can only happen if the append path
+    // residual-encodes (a raw-encoded append would code the uncentered
+    // vector against residual codebooks)
+    val src = base.limit(1)
+    val srcId = src.collect().head.getLong(0)
+    val copy = src.select((col("vec_id") + 2000000L).as("vec_id"),
+      col("label"), col("embedding"))
+    Similarity.pqAppend(spark, dir, copy)
+    val after = Similarity.pqRead(spark, dir)
+    val codesOf = after.codes
+      .filter(col("vec_id").isin(srcId, srcId + 2000000L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codesOf(srcId + 2000000L) == codesOf(srcId),
+      "appended copy must receive the original's exact code word")
+    // legacy compatibility: an index written WITHOUT the meta layer reads
+    // as raw-encoded (the only convention that ever shipped without it)
+    val legacyDir = java.nio.file.Files.createTempDirectory("graft_pql").toString
+    Similarity.pqWrite(Similarity.pqBuild(base, nCells = 16), legacyDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$legacyDir/meta"), true)
+    assert(!Similarity.pqRead(spark, legacyDir).residual)
+  }
 }

@@ -114,10 +114,13 @@ class PlansSpec extends SparkTestBase {
       "quality_report",          // union of 1-row check frames
       "similarity_ivf_topk",     // nCells-row centroid broadcast (probe scoring)
       "similarity_ivfpq_topk",   // same centroid broadcast via the IVF probe tier
+      "similarity_ivfpq_residual_topk", // same centroid broadcast, residual decode
       "lm_score",                // 1-row N/V totals broadcast
       "lm_score_pruned",         // same totals broadcast, pruned vocabulary
       "lm_score_n3",             // same 1-row totals broadcast at order 3
       "lm_score_n5",             // same 1-row totals broadcast at order 5
+      "lm_score_sb3",            // same 1-row totals broadcast (backoff base)
+      "lm_score_kn",             // 1-row (T, V) continuation-totals broadcast
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate
       "perplexity_buckets",      // same 1-row totals broadcast via lmScoreWith
       "perplexity_buckets_n3",   // same, via the order-3 scorer

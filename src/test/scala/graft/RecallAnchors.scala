@@ -27,6 +27,10 @@ object RecallAnchors {
     * bounded above by the IVF probe ceiling 0.632, the residual gap is
     * ADC survivor misses). */
   val ivfPqTopK = 0.54
+  /** residual-encoded (IVFADC-proper) IVF-PQ top-k vs brute-force truth
+    * (measured 0.628 at sf0.001 — at the raw twin's level with 12% lower
+    * reconstruction MSE, 0.199 vs 0.225). */
+  val ivfPqResidualTopK = 0.56
   /** LSH embedding near-dup pairs vs exact near-dup (r9 declared query = md5 mirror planes, measured 0.803; xxhash64 family measured 0.757). */
   val embeddingNearDup = 0.72
 }

@@ -94,6 +94,51 @@ class SimilaritySpec extends SparkTestBase {
       "IVF-PQ reranked scores must be the exact cosines")
   }
 
+  test("residual IVF-PQ: strictly lower reconstruction error than raw PQ; recall holds") {
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, SF)
+    val raw = Similarity.pqBuild(e)
+    val res = Similarity.pqBuild(e, residual = true)
+    assert(res.residual && !raw.residual)
+    // mean squared reconstruction error from the PUBLIC index pieces:
+    // decode codes through the codebooks, add the coarse centroid back in
+    // residual mode, compare against the indexed vectors
+    def mse(idx: Similarity.PqIndex): Double = {
+      val parts = idx.codes
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .join(idx.codebooks, Seq("sub", "code"))
+        .groupBy("vec_id")
+        .agg(collect_list(struct(col("sub"), col("centroid"))).as("parts"))
+        .select(col("vec_id"),
+          flatten(transform(array_sort(col("parts")),
+            p => p.getField("centroid"))).as("rv"))
+      val recon =
+        if (!idx.residual) parts
+        else parts
+          .join(idx.ivf.vectors.select("vec_id", "cell"), Seq("vec_id"))
+          .join(idx.ivf.centroids, Seq("cell"))
+          .select(col("vec_id"),
+            zip_with(col("centroid"), col("rv"), (a, b) => a + b).as("rv"))
+      recon.join(idx.ivf.vectors.select("vec_id", "v"), Seq("vec_id"))
+        .select(aggregate(zip_with(col("v"), col("rv"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("se"))
+        .agg(avg("se")).head().getDouble(0)
+    }
+    val (mRaw, mRes) = (mse(raw), mse(res))
+    info(f"reconstruction MSE raw=$mRaw%.6f residual=$mRes%.6f")
+    assert(mRes < mRaw,
+      "residual encoding must reconstruct strictly better at equal code budget")
+    // end-to-end recall of the residual variant vs brute-force truth
+    val truth = pairs("similarity_bruteforce_topk")
+    val got = Similarity.ivfPqResidualTopK(e).filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(s"residual IVF-PQ recall@5 = $recall")
+    assert(recall >= RecallAnchors.ivfPqResidualTopK,
+      s"residual IVF-PQ recall regressed below anchor (PLANS.md): $recall")
+  }
+
   test("quantized ANN: recall vs exact truth and near-agreement with full-precision LSH") {
     val truth = pairs("similarity_bruteforce_topk")
     val quant = pairs("similarity_quantized_topk")
