@@ -297,6 +297,10 @@ object SparkEntry {
     "corpus_pack" -> ((s, d) => Text.packSequences(Tables.documents(s, d))),
     "corpus_pack_split" -> ((s, d) => Text.packSequencesSplit(Tables.documents(s, d))),
     "repetition_signals" -> ((s, d) => Text.repetitionSignals(Tables.documents(s, d))),
+    // DEFLATE compressibility (the Gopher-family entropy heuristic): one
+    // shuffle-free mapPartitions pass; both curation tails (boilerplate,
+    // non-text junk) live at the ratio extremes
+    "compression_signals" -> ((s, d) => Text.compressionSignals(Tables.documents(s, d))),
     "chunk_documents" -> ((s, d) => Text.chunkDocuments(Tables.documents(s, d))),
     "split_leakage" -> ((s, d) => Text.splitLeakage(Tables.documents(s, d))),
     // bigram LM trained on the train hash-split, scoring the whole corpus
@@ -706,6 +710,8 @@ object SparkEntry {
       "binary payload decode (zlib/JPEG pixels, PCM) has no SQL analog; planted-pair recall + rejection + round-trip laws in PropertiesSpec",
     "audio_stats" ->
       "binary PCM decode has no SQL analog; hand-computed RMS/clip/silence laws in PropertiesSpec",
+    "compression_signals" ->
+      "DEFLATE byte lengths have no SQL analog (no zlib in DuckDB); planted repetitive<prose<junk ordering + bounds + determinism laws in TextSpec",
     "media_resize_report" ->
       "binary transcode (zlib/JPEG/PCM) has no SQL analog; per-type validity/count laws in PropertiesSpec",
     "media_frame_report" ->

@@ -2123,6 +2123,61 @@ object Text {
         "avg_logp")
   }
 
+  /** One document's compressibility signals — see [[compressionSignals]]. */
+  case class CompressionRow(doc_id: Long, raw_bytes: Long,
+      deflate_bytes: Long, compression_ratio: Double)
+
+  /** DEFLATE compressibility as a quality signal (the Gopher/FineWeb-family
+    * entropy heuristic): boilerplate soup and template spam compress far
+    * below natural prose, while encrypted/binary junk pasted into text
+    * barely compresses at all — so both curation tails live at the ratio
+    * extremes and one signal flags them together, without a trained model.
+    * Emits per doc: UTF-8 byte length, deflated byte length (JDK zlib,
+    * default level), and their q6-rounded ratio (1.0 for empty text).
+    *
+    * Scale shape: one mapPartitions pass (the sanctioned slot for
+    * byte-level work the relational layer can't express — the
+    * [[graft.ops.Multimodal]] decode discipline), executor-local and
+    * streaming, one Deflater per row released deterministically (native
+    * zlib memory must not wait for GC). No shuffle at all — the signal is
+    * embarrassingly parallel. No DuckDB oracle (no zlib in the oracle
+    * engine): rows-only with planted-ordering laws in TextSpec. */
+  def compressionSignals(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val buf = new Array[Byte](8192)
+        rows.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val d = new java.util.zip.Deflater()
+          val n = try {
+            d.setInput(raw); d.finish()
+            var total = 0L
+            while (!d.finished()) total += d.deflate(buf)
+            total
+          } finally d.end()
+          val ratio = if (raw.isEmpty) 1.0
+            else math.floor(n.toDouble / raw.length * 1e6 + 0.5) / 1e6
+          CompressionRow(id, raw.length.toLong, n, ratio)
+        }
+      }.toDF()
+  }
+
+  /** Keep the compressibility mid-band: drop docs below `loRatio`
+    * (near-pure repetition/boilerplate) and above `hiRatio`
+    * (incompressible non-text junk) — the two-sided gate the signal
+    * exists for. Thresholds are corpus-tuning knobs like the
+    * [[qualityRules]] defaults. */
+  def compressionFilter(documents: DataFrame, loRatio: Double = 0.2,
+      hiRatio: Double = 0.9): DataFrame =
+    documents.join(
+      compressionSignals(documents)
+        .filter(col("compression_ratio").between(loRatio, hiRatio))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
   /** Score `target` under interpolated KNESER-NEY (Kneser & Ney 1995;
     * the Chen & Goodman 1999 interpolated form with one absolute discount
     * D) — the smoothing KenLM ships and CCNet gates with, and the quality

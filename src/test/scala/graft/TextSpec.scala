@@ -1396,6 +1396,38 @@ class TextSpec extends SparkTestBase {
       && joint.counts.exceptAll(merged.counts).count() == 0)
   }
 
+  test("compression signals: planted ordering, bounds, determinism; filter keeps the mid-band") {
+    import spark.implicits._
+    // three planted regimes: pure repetition compresses hardest, natural
+    // prose sits in the middle, high-entropy junk barely compresses
+    val rep = ("na " * 400).trim
+    val prose = Iterator.continually(
+      "the quick brown fox jumps over one lazy dog while rain falls softly")
+      .take(20).mkString(" ")
+    val junk = {
+      val rnd = new scala.util.Random(7)
+      Array.fill(1200)((33 + rnd.nextInt(94)).toChar).mkString
+    }
+    val planted = Seq((1L, rep), (2L, prose), (3L, junk)).toDF("doc_id", "text")
+    val s = Text.compressionSignals(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(s(1L)._3 < s(2L)._3 && s(2L)._3 < s(3L)._3,
+      s"expected repetition < prose < junk, got $s")
+    // bounds: positive lengths, raw = utf8 length, ratio > 0
+    for ((id, (raw, defl, ratio)) <- s) {
+      assert(raw > 0 && defl > 0 && ratio > 0, s"doc $id: $raw $defl $ratio")
+      assert(ratio == math.floor(defl.toDouble / raw * 1e6 + 0.5) / 1e6)
+    }
+    // corpus pass: one row per doc, deterministic across runs
+    val c1 = Text.compressionSignals(docs).collect().sortBy(_.getLong(0)).toSeq
+    val c2 = Text.compressionSignals(docs).collect().sortBy(_.getLong(0)).toSeq
+    assert(c1 == c2 && c1.size == docs.count())
+    // the two-sided gate keeps exactly the mid-band
+    val kept = Text.compressionFilter(planted, loRatio = s(1L)._3 + 1e-6,
+      hiRatio = s(3L)._3 - 1e-6).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"filter must keep only the prose row, kept $kept")
+  }
+
   test("Kneser-Ney: hand-computed probabilities; the Francisco effect flips the JM ranking") {
     import spark.implicits._
     // reference: 's f' ×10 (f FREQUENT but follows only s — the
