@@ -509,6 +509,59 @@ af AS (
              CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
       FROM scored GROUP BY doc_id"""
 
+  // DSIR hashed-n-gram importance weights (Xie et al. 2023): md5-bucketed
+  // (uni+bi)-gram stream, add-one-smoothed in-domain over raw-corpus bucket
+  // probabilities, q6 per-bucket log ratio, decimal-exact per-doc sums —
+  // the bucket id mirrors Spark's conv(md5)%B via the '0x' hex cast twin.
+  private val dsirGramsCte: String = """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                  FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(t) AS g FROM tk
+        UNION ALL
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM tk WHERE len(t) >= 2) x),
+      gb AS (SELECT g.doc_id,
+                    (('0x' || substr(md5(g.g), 1, 15))::BIGINT % 1024) AS bucket,
+                    d.source IN ('src0','src1','src2','src3') AS in_dom
+             FROM grams g JOIN documents d ON g.doc_id = d.doc_id),
+      bg AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_bg
+             FROM gb GROUP BY bucket),
+      ind AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_in
+              FROM gb WHERE in_dom GROUP BY bucket),
+      tot AS (SELECT (SELECT CAST(SUM(c_bg) AS BIGINT) FROM bg) AS t_bg,
+                     (SELECT CAST(SUM(c_in) AS BIGINT) FROM ind) AS t_in),
+      lr AS (SELECT bg.bucket,
+                    floor(ln(
+                        (CAST(COALESCE(ind.c_in, 0) + 1 AS DOUBLE) / (tot.t_in + 1024))
+                      / (CAST(bg.c_bg + 1 AS DOUBLE) / (tot.t_bg + 1024))
+                    ) * 1000000.0 + 0.5) / 1000000.0 AS lnr
+             FROM bg LEFT JOIN ind ON bg.bucket = ind.bucket CROSS JOIN tot),
+      w AS (SELECT gb.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(CAST(SUM(CAST(lnr AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_logratio,
+                   CAST(CAST(SUM(CAST(lnr AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(lnr) AS avg_logratio
+            FROM gb JOIN lr ON gb.bucket = lr.bucket
+            GROUP BY gb.doc_id)"""
+
+  private val dsirWeightsSql: String = dsirGramsCte + """
+      SELECT doc_id, n_grams, sum_logratio, avg_logratio FROM w"""
+
+  // Gumbel-top-k resampling on the DSIR log weights: the Gumbel is the
+  // deterministic md5 substitute u = (60-bit md5 + 1)/(2^60 + 2),
+  // g = −ln(−ln u), key = q6(sum + g) — identical IEEE arithmetic on both
+  // engines, ties broken by doc_id
+  private val dsirSampleSql: String = dsirGramsCte + """
+      SELECT doc_id, sum_logratio,
+             floor((sum_logratio - ln(-ln(
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 1.0)
+                 / 1152921504606846978.0)))
+               * 1000000.0 + 0.5) / 1000000.0 AS sample_key
+      FROM w
+      ORDER BY sample_key DESC, doc_id
+      LIMIT 100"""
+
   private val contrastScoreSql: String = """
       WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
                   FROM documents),
@@ -1735,6 +1788,11 @@ af AS (
     // interpolated Kneser-Ney bigram twin (D=0.75): continuation-count
     // CTEs over the bigram type table — see lmScoreKnSql
     "lm_score_kn" -> lmScoreKnSql,
+
+    // DSIR hashed-n-gram importance weights + Gumbel-top-k resample —
+    // see dsirGramsCte (md5-bucket twin of conv(md5)%B)
+    "dsir_weights" -> dsirWeightsSql,
+    "dsir_sample" -> dsirSampleSql,
 
     // best-copy exact dedup: keeper = highest quality score in the
     // fingerprint group, ties to the lowest doc_id (window form here;

@@ -349,6 +349,21 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("source").isin(trustedSources: _*))),
     // Moore-Lewis cross-entropy difference: in-domain LM (trusted sources)
     // vs the train-split background LM, scored in one bigram pass
+    // DSIR (Xie et al. 2023): hashed (uni+bi)-gram importance weights of
+    // the trusted-source target distribution over the raw corpus — the
+    // B-bucket model is broadcast-sized at any vocabulary; md5 buckets =
+    // the mirrorable declared form (xxhash64 is the scale default)
+    "dsir_weights" -> ((s, d) =>
+      Text.dsirWeights(Tables.documents(s, d),
+        org.apache.spark.sql.functions.col("source").isin(trustedSources: _*),
+        mirrorableHash = true)),
+    // Gumbel-top-k resampling on those log weights (exact softmax draw
+    // without replacement); the Gumbel is the seeded md5 substitute, so
+    // the drawn set is deterministic and DuckDB-mirrorable
+    "dsir_sample" -> ((s, d) =>
+      Text.dsirResample(Tables.documents(s, d),
+        org.apache.spark.sql.functions.col("source").isin(trustedSources: _*),
+        mirrorableHash = true)),
     "contrast_score" -> ((s, d) =>
       Text.lmContrastWith(inLm(s, d), lmModel(s, d), Tables.documents(s, d))),
     "contrast_select" -> ((s, d) =>

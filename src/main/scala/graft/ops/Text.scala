@@ -2178,6 +2178,96 @@ object Text {
         .select("doc_id"),
       Seq("doc_id"), "left_semi")
 
+  // ---------------------------------------------------------------- DSIR —
+  // Data Selection via Importance Resampling (Xie et al. 2023): score every
+  // raw document by how much more likely its HASHED n-gram features are
+  // under the target-domain distribution than under the raw-corpus one,
+  // then resample with Gumbel-top-k on the log importance weights. The
+  // hashing is the scale move: the model is a FIXED B-bucket table however
+  // large the vocabulary, so the "LM" fits in one broadcast at any corpus
+  // size — this is the selection scheme behind several public LLM corpora.
+
+  /** The hashed (unigram + bigram) feature stream: one Generate pass per
+    * document emitting a bucket id in [0, B) per gram occurrence. The md5
+    * form is the oracle-mirrorable declared path (DuckDB computes the
+    * identical bucket); xxhash64 is the scale default (same discipline as
+    * [[winnowFingerprints]]' gramHash). */
+  private def dsirBucketStream(documents: DataFrame, inDomain: Column,
+      buckets: Int, mirrorableHash: Boolean): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), inDomain.as("in_dom"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("in_dom"), explode(flatten(transform(
+        sequence(lit(1), size(col("toks"))),
+        i => filter(
+          array((1 to 2).map(k =>
+            when(i >= k, struct(gramEndingAt(col("toks"), i, k).as("g")))): _*),
+          x => x.isNotNull)))).as("kg"))
+      .select(col("doc_id"), col("in_dom"), col("kg.g").as("g"))
+    val b =
+      if (mirrorableHash)
+        pmod(expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"),
+          lit(buckets.toLong))
+      else pmod(xxhash64(col("g")), lit(buckets.toLong))
+    grams.select(col("doc_id"), col("in_dom"), b.as("bucket"))
+  }
+
+  /** The B-row log-importance table: ln of the add-one-smoothed in-domain
+    * bucket probability over the add-one-smoothed raw-corpus one,
+    * q6-quantized per bucket so every downstream sum is decimal-exact and
+    * DuckDB-mirrorable. B rows total — broadcast-sized at any corpus
+    * size, the point of feature hashing. */
+  private def dsirLogRatios(gbs: DataFrame, buckets: Int): DataFrame = {
+    val bg = gbs.groupBy("bucket").agg(count(lit(1)).as("c_bg"))
+    val ind = gbs.filter(col("in_dom"))
+      .groupBy("bucket").agg(count(lit(1)).as("c_in"))
+    val totals = bg.agg(sum("c_bg").as("t_bg"))
+      .crossJoin(ind.agg(sum("c_in").as("t_in")))
+    bg.join(ind, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), q6(log(
+        ((coalesce(col("c_in"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t_in") + lit(buckets.toLong)))
+        / ((col("c_bg") + lit(1L)).cast("double") /
+          (col("t_bg") + lit(buckets.toLong))))).as("lnr"))
+  }
+
+  /** Per-document DSIR importance weights: the decimal-exact sum (and
+    * mean) of the per-gram log ratios. High `sum_logratio` = looks like
+    * the target domain; the raw-corpus mode sits near 0. Scale shape: two
+    * Generate passes over the corpus (model counts, then scoring — the
+    * [[lmScoreWith]] train/score split), a B-row broadcast join between
+    * them, one doc_id aggregation; nothing is vocabulary-sized. */
+  def dsirWeights(documents: DataFrame, inDomain: Column,
+      buckets: Int = 1024, mirrorableHash: Boolean = false): DataFrame = {
+    val gbs = dsirBucketStream(documents, inDomain, buckets, mirrorableHash)
+    val lr = dsirLogRatios(gbs, buckets).localCheckpoint(true)
+    gbs.join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        graft.functions.Exact.r6sum(col("lnr")).as("sum_logratio"),
+        graft.functions.Exact.r6avg(col("lnr")).as("avg_logratio"))
+      .select("doc_id", "n_grams", "sum_logratio", "avg_logratio")
+  }
+
+  /** Gumbel-top-k importance RESAMPLING over [[dsirWeights]] — the paper's
+    * §2.3 sampling-without-replacement trick: adding independent Gumbel
+    * noise to each log weight and taking the top k draws exactly from the
+    * softmax of the weights. The noise is the repo's seeded-hash
+    * substitute (P9 discipline): u = (md5(doc_id) 60-bit + 1)/(2⁶⁰ + 2)
+    * ∈ (0, 1), g = −ln(−ln u) — deterministic, engine-mirrorable, and
+    * independent of the weights. One TakeOrderedAndProject global top-k;
+    * no full sort materializes. */
+  def dsirResample(documents: DataFrame, inDomain: Column, k: Int = 100,
+      buckets: Int = 1024, mirrorableHash: Boolean = false): DataFrame = {
+    val u = (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+        .cast("double") + lit(1.0)) / lit(1152921504606846978.0)
+    dsirWeights(documents, inDomain, buckets, mirrorableHash)
+      .withColumn("sample_key", q6(col("sum_logratio") - log(-log(u))))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "sum_logratio", "sample_key")
+  }
+
   /** Score `target` under interpolated KNESER-NEY (Kneser & Ney 1995;
     * the Chen & Goodman 1999 interpolated form with one absolute discount
     * D) — the smoothing KenLM ships and CCNet gates with, and the quality

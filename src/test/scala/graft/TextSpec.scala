@@ -1396,6 +1396,43 @@ class TextSpec extends SparkTestBase {
       && joint.counts.exceptAll(merged.counts).count() == 0)
   }
 
+  test("DSIR: importance follows content, not the label; Gumbel resample is deterministic") {
+    import spark.implicits._
+    // planted shift: trusted docs speak vocabulary A, the wild background
+    // vocabulary B; two WILD probes — one written in A, one in B. The
+    // importance weight must follow CONTENT (the hashed-feature ratio),
+    // not the in-domain label
+    val corpus = ((1 to 20).map(i =>
+        (i.toLong, "alpha beta gamma delta epsilon " * 4, "trusted")) ++
+      (21 to 40).map(i =>
+        (i.toLong, "zeta eta theta iota kappa " * 4, "wild")) ++
+      Seq((100L, "alpha beta gamma delta alpha beta gamma", "wild"),
+        (101L, "zeta eta theta iota zeta eta theta", "wild")))
+      .toDF("doc_id", "text", "source")
+    val inDom = col("source") === "trusted"
+    for (mirror <- Seq(true, false)) { // the md5 declared form AND the xxhash64 scale default
+      val w = Text.dsirWeights(corpus, inDom, mirrorableHash = mirror)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(w.size == 42, "every doc gets a weight row")
+      // 7 tokens → 7 unigrams + 6 bigrams = 13 grams per probe
+      assert(w(100L)._1 == 13 && w(101L)._1 == 13)
+      assert(w(100L)._2 > 0 && w(101L)._2 < 0,
+        s"target-vocabulary probe must score positive, background negative: $w")
+    }
+    // Gumbel-top-k: deterministic, a subset of the corpus, exactly k rows;
+    // the planted margin (tens of nats) dominates the Gumbel spread, so no
+    // background-vocabulary doc can enter the draw
+    def draw() = Text.dsirResample(corpus, inDom, k = 10, mirrorableHash = true)
+      .collect().map(_.getLong(0)).toSet
+    val s1 = draw()
+    assert(s1 == draw() && s1.size == 10)
+    assert(!s1.contains(101L) && s1.forall(id => id <= 20 || id == 100L),
+      s"only target-vocabulary docs can be drawn, got $s1")
+    // k >= n degenerates to the whole corpus
+    assert(Text.dsirResample(corpus, inDom, k = 100, mirrorableHash = true)
+      .count() == 42)
+  }
+
   test("compression signals: planted ordering, bounds, determinism; filter keeps the mid-band") {
     import spark.implicits._
     // three planted regimes: pure repetition compresses hardest, natural
