@@ -2884,6 +2884,37 @@ af AS (
       WHERE CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) >= 0.5"""
     },
 
+    // edit-distance near-dup: the SAME md5-mirrorable banding candidate
+    // CTEs as dedup_minhash_lsh, verified with classic Levenshtein ≤ 20
+    // (both engines implement the same DP distance; Spark's thresholded
+    // banded form returns the exact distance inside the bound, so the
+    // filtered SETS agree)
+    "dedup_edit_distance" -> {
+      val sigCols = (0 until 32)
+        .map(j => s"min(md5('$j:' || shingle)) AS h$j").mkString(",\n                   ")
+      val bandRows = (0 until 8).map { b =>
+        val parts = (b * 4 until (b + 1) * 4).map(j => s"h$j").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS band_hash FROM sigs"
+      }.mkString("\n               UNION ALL ")
+      s"""
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      sigs AS (SELECT doc_id,
+                   $sigCols
+               FROM sh GROUP BY doc_id),
+      buckets AS ($bandRows),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM buckets x JOIN buckets y USING (band, band_hash)
+               WHERE x.doc_id < y.doc_id)
+      SELECT cand.doc_a, cand.doc_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+      FROM cand
+      JOIN documents a ON a.doc_id = cand.doc_a
+      JOIN documents b ON b.doc_id = cand.doc_b
+      WHERE levenshtein(a.text, b.text) <= 20"""
+    },
+
     // fuzzy decontamination: the dedup_minhash_lsh construction pointed
     // across the %20 train/eval split — band collision then exact-Jaccard
     // verify, all hashes md5-mirrorable

@@ -282,6 +282,12 @@ object SparkEntry {
     // is value-checked; the xxhash64 sketch aggregate stays the scale default
     "dedup_minhash_lsh" -> ((s, d) =>
       Text.dedupMinHashLshFrom(shingles(s, d), mirrorableHash = true)),
+    // character-level verify tier over the SAME banding candidates:
+    // thresholded (banded-DP) Levenshtein ≤ 20 — catches in-word edits the
+    // token shingles blur; md5 candidates keep the oracle end-to-end
+    "dedup_edit_distance" -> ((s, d) =>
+      Text.dedupEditDistanceFrom(shingles(s, d), Tables.documents(s, d),
+        mirrorableHash = true)),
     // mirrorable (md5) fingerprint; block-invariance lets the oracle
     // value-check via a plain hamming self-join over the same fingerprints
     "dedup_simhash" -> ((s, d) =>

@@ -1004,6 +1004,74 @@ object StreamDemo {
       .start()
   }
 
+  /** Streaming DSIR model refresh — [[streamLmnRefresh]]'s lifecycle for
+    * the hashed-n-gram importance model: each micro-batch's B-bucket
+    * count deltas ([[Text.dsirCountDeltas]], the SAME aggregation unit
+    * batch training uses — in-domain membership decided per row by the
+    * `inDomainSources` set) fold into ONE cumulative
+    * `storeDir/counts/batch_id=N` layer by union+sum, ClassifierStore
+    * replay rules (`< batchId` exclusion, newest-predecessor retention).
+    * The folded counts equal batch [[Text.dsirCountDeltas]] over
+    * everything ingested BIT-exactly — counts are exact longs — so
+    * downstream [[Text.dsirScoreWith]] weights are bit-parity too
+    * (StreamAndMiscSpec). The store is B rows however much text has
+    * streamed: the refresh write is constant-size forever. */
+  def streamDsirRefresh(spark: SparkSession, docsDir: String,
+      storeDir: String, checkpointDir: String,
+      inDomainSources: Seq[String], buckets: Int = 1024,
+      mirrorableHash: Boolean = false,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("source", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val merged = DsirStore.view(spark, storeDir, batchId)
+          .unionByName(Text.dsirCountDeltas(batch,
+            col("source").isin(inDomainSources: _*), buckets, mirrorableHash))
+          .groupBy("bucket").agg(sum("c_bg").as("c_bg"), sum("c_in").as("c_in"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite")
+          .parquet(s"$storeDir/counts/batch_id=$batchId")
+        for ((_, p) <- ReportStore.completeIds(spark, storeDir, "counts", "batch_id=")
+               .filter(_._1 < batchId)
+               .sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1).drop(1))
+          ReportStore.fs(spark, p).delete(p, true)
+        ()
+      }
+      .start()
+  }
+
+  /** The newest committed streamed DSIR count model — scoring-ready via
+    * [[Text.dsirScoreWith]], bit-identical to batch
+    * [[Text.dsirCountDeltas]] over everything ingested. */
+  def readDsirCounts(spark: SparkSession, storeDir: String): DataFrame =
+    DsirStore.view(spark, storeDir, Long.MaxValue)
+
+  /** Store plumbing for [[streamDsirRefresh]] — the LmNStore rules on the
+    * single B-row bucket-count layer. */
+  private[ops] object DsirStore {
+    import org.apache.spark.sql.types._
+    val countsSchema: StructType = StructType(Seq(
+      StructField("bucket", LongType), StructField("c_bg", LongType),
+      StructField("c_in", LongType)))
+    def view(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame =
+      ReportStore.completeIds(spark, storeDir, "counts", "batch_id=")
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) =>
+          spark.read.schema(countsSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), countsSchema)
+      }
+  }
+
   /** Streaming ANN admission — the index-maintenance lifecycle
     * ([[graft.ops.Similarity.ivfAppend]]) as a standing stream: embedding
     * vectors arrive continuously, each micro-batch is assigned to the

@@ -2211,24 +2211,58 @@ object Text {
     grams.select(col("doc_id"), col("in_dom"), b.as("bucket"))
   }
 
-  /** The B-row log-importance table: ln of the add-one-smoothed in-domain
-    * bucket probability over the add-one-smoothed raw-corpus one,
-    * q6-quantized per bucket so every downstream sum is decimal-exact and
-    * DuckDB-mirrorable. B rows total — broadcast-sized at any corpus
-    * size, the point of feature hashing. */
-  private def dsirLogRatios(gbs: DataFrame, buckets: Int): DataFrame = {
-    val bg = gbs.groupBy("bucket").agg(count(lit(1)).as("c_bg"))
-    val ind = gbs.filter(col("in_dom"))
-      .groupBy("bucket").agg(count(lit(1)).as("c_in"))
-    val totals = bg.agg(sum("c_bg").as("t_bg"))
-      .crossJoin(ind.agg(sum("c_in").as("t_in")))
-    bg.join(ind, Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
+  /** The DSIR aggregation unit — per-corpus (or per-micro-batch) bucket
+    * counts: (bucket, c_bg, c_in) with c_bg the raw-corpus gram count and
+    * c_in the in-domain share. ONE definition shared by batch
+    * [[dsirWeights]] and the streaming refresh
+    * ([[graft.ops.StreamDemo]] `streamDsirRefresh`), the [[lmCountDeltas]]
+    * discipline — batch and streamed models can never drift on what they
+    * count, and two cumulative stores merge by plain union+sum. */
+  private[graft] def dsirCountDeltas(documents: DataFrame, inDomain: Column,
+      buckets: Int = 1024, mirrorableHash: Boolean = false): DataFrame =
+    dsirBucketStream(documents, inDomain, buckets, mirrorableHash)
+      .groupBy("bucket").agg(
+        count(lit(1)).as("c_bg"),
+        sum(col("in_dom").cast("long")).as("c_in"))
+
+  /** The B-row log-importance table off an aggregated count model: ln of
+    * the add-one-smoothed in-domain bucket probability over the add-one-
+    * smoothed raw-corpus one, q6-quantized per bucket so every downstream
+    * sum is decimal-exact and DuckDB-mirrorable. B rows total —
+    * broadcast-sized at any corpus size, the point of feature hashing. */
+  private def dsirLogRatios(counts: DataFrame, buckets: Int): DataFrame = {
+    val totals = counts.agg(sum("c_bg").as("t_bg"), sum("c_in").as("t_in"))
+    counts.crossJoin(broadcast(totals))
       .select(col("bucket"), q6(log(
         ((coalesce(col("c_in"), lit(0L)) + lit(1L)).cast("double") /
           (col("t_in") + lit(buckets.toLong)))
         / ((col("c_bg") + lit(1L)).cast("double") /
           (col("t_bg") + lit(buckets.toLong))))).as("lnr"))
+  }
+
+  /** Score `target` against a standing DSIR count model (the streaming-
+    * refresh / external-persistence entry point): one Generate pass over
+    * the target, a B-row broadcast join, one doc_id aggregation. */
+  def dsirScoreWith(counts: DataFrame, target: DataFrame,
+      buckets: Int = 1024, mirrorableHash: Boolean = false): DataFrame = {
+    val lr = dsirLogRatios(counts, buckets).localCheckpoint(true)
+    // buckets the model never saw (possible only when target ≠ training
+    // corpus) score the zero-count ratio — same smoothed arithmetic with
+    // both counts at 0, one broadcast scalar
+    val lnr0 = broadcast(counts
+      .agg(sum("c_bg").as("t_bg"), sum("c_in").as("t_in"))
+      .select(q6(log(
+        (lit(1.0) / (col("t_in") + lit(buckets.toLong)))
+        / (lit(1.0) / (col("t_bg") + lit(buckets.toLong))))).as("lnr0")))
+    dsirBucketStream(target, lit(false), buckets, mirrorableHash)
+      .join(broadcast(lr), Seq("bucket"), "left")
+      .crossJoin(lnr0)
+      .withColumn("lnr", coalesce(col("lnr"), col("lnr0")))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        graft.functions.Exact.r6sum(col("lnr")).as("sum_logratio"),
+        graft.functions.Exact.r6avg(col("lnr")).as("avg_logratio"))
+      .select("doc_id", "n_grams", "sum_logratio", "avg_logratio")
   }
 
   /** Per-document DSIR importance weights: the decimal-exact sum (and
@@ -2238,16 +2272,9 @@ object Text {
     * [[lmScoreWith]] train/score split), a B-row broadcast join between
     * them, one doc_id aggregation; nothing is vocabulary-sized. */
   def dsirWeights(documents: DataFrame, inDomain: Column,
-      buckets: Int = 1024, mirrorableHash: Boolean = false): DataFrame = {
-    val gbs = dsirBucketStream(documents, inDomain, buckets, mirrorableHash)
-    val lr = dsirLogRatios(gbs, buckets).localCheckpoint(true)
-    gbs.join(broadcast(lr), Seq("bucket"))
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_grams"),
-        graft.functions.Exact.r6sum(col("lnr")).as("sum_logratio"),
-        graft.functions.Exact.r6avg(col("lnr")).as("avg_logratio"))
-      .select("doc_id", "n_grams", "sum_logratio", "avg_logratio")
-  }
+      buckets: Int = 1024, mirrorableHash: Boolean = false): DataFrame =
+    dsirScoreWith(dsirCountDeltas(documents, inDomain, buckets, mirrorableHash),
+      documents, buckets, mirrorableHash)
 
   /** Gumbel-top-k importance RESAMPLING over [[dsirWeights]] — the paper's
     * §2.3 sampling-without-replacement trick: adding independent Gumbel
@@ -3057,6 +3084,45 @@ object Text {
         col("n_common").cast("double") / (col("size_a") + col("size_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Edit-distance near-dup: the MinHash-band candidate generator with a
+    * LEVENSHTEIN verify tier — the character-level complement of the
+    * Jaccard verify, catching the near-dups token shingles blur (small
+    * in-word edits, punctuation/whitespace drift, OCR noise) and giving
+    * an interpretable "how many edits apart" audit column. Candidates are
+    * the SAME banding OR-construction as [[dedupMinHashLshFrom]] (linear
+    * band hashes, only colliding pairs verified); the verify uses Spark's
+    * THRESHOLDED levenshtein — banded DP, O(len·maxDist) per pair instead
+    * of O(len²), returning −1 past the threshold so over-distance pairs
+    * cost the bound, not the full matrix. The md5 `mirrorableHash` twin
+    * makes the declared query DuckDB-oracled end-to-end (same candidate
+    * set, and both engines implement classic Levenshtein). */
+  def dedupEditDistance(documents: DataFrame, maxDist: Int = 20,
+      numHashes: Int = 32, bands: Int = 8,
+      mirrorableHash: Boolean = false): DataFrame =
+    dedupEditDistanceFrom(shingles(documents), documents, maxDist,
+      numHashes, bands, mirrorableHash)
+
+  /** Same, over precomputed shingle postings — the shared-stage entry
+    * point (the shingle frame is the corpus-sized subtree every minhash
+    * query re-reads, so SparkEntry stages it once). */
+  def dedupEditDistanceFrom(sh: DataFrame, documents: DataFrame,
+      maxDist: Int = 20, numHashes: Int = 32, bands: Int = 8,
+      mirrorableHash: Boolean = false): DataFrame = {
+    val buckets =
+      if (mirrorableHash) mirrorableBandBuckets(sh, numHashes, bands)
+      else bandBuckets(minHashSignaturesFrom(sh, numHashes), numHashes, bands)
+    val texts = documents.select(col("doc_id"), col("text"))
+    bandCandidates(buckets)
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+        Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist") >= 0L) // −1 = past the threshold bound
   }
 
   /** md5 twin of [[minHashSignaturesFrom]] + [[bandBuckets]] fused: one

@@ -129,4 +129,64 @@ class StreamLmSpec extends SparkTestBase with TimeLimitedTests {
       .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
     assert(parts.length <= 2, s"retention failed: ${parts.mkString(",")}")
   }
+
+  test("streamed DSIR counts equal batch deltas over everything ingested; weights bit-parity") {
+    import org.apache.spark.sql.functions.col
+    val trusted = Seq("src0", "src1", "src2", "src3")
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("dsir_src")
+    val store = java.nio.file.Files.createTempDirectory("dsir_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("dsir_ckpt")
+
+    val all = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text", "source").orderBy("doc_id").limit(200)
+    val rows = all.collect()
+    val cut = rows.length / 2
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"dsir_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    def countMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def batchTwin(slice: Array[org.apache.spark.sql.Row]) =
+      graft.ops.Text.dsirCountDeltas(
+        spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema),
+        col("source").isin(trusted: _*))
+
+    // run 1: first half as one micro-batch
+    stage(1, rows.slice(0, cut))
+    val q1 = StreamDemo.streamDsirRefresh(
+      s2, src.toString, store.toString, ckpt.toString, trusted)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(countMap(StreamDemo.readDsirCounts(spark, store.toString)) ==
+      countMap(batchTwin(rows.slice(0, cut))),
+      "streamed DSIR counts drifted from the batch twin mid-stream")
+
+    // checkpointed restart with the second half: resumes, does not re-count
+    stage(2, rows.slice(cut, rows.length))
+    val q2 = StreamDemo.streamDsirRefresh(
+      s2, src.toString, store.toString, ckpt.toString, trusted)
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = StreamDemo.readDsirCounts(spark, store.toString)
+    val twin = batchTwin(rows)
+    assert(countMap(streamed) == countMap(twin),
+      "streamed DSIR counts drifted from the batch twin after restart")
+
+    // ...and downstream importance weights score bit-identically
+    val target = Tables.documents(spark, SF).limit(50)
+    def weights(counts: org.apache.spark.sql.DataFrame) =
+      graft.ops.Text.dsirScoreWith(counts, target).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(weights(streamed) == weights(twin))
+
+    // retention: at most the newest predecessor + the latest; and the
+    // store is B-bounded (≤ 1024 rows) however much text streamed
+    val parts = new java.io.File(s"$store/counts").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(parts.length <= 2, s"retention failed: ${parts.mkString(",")}")
+    assert(streamed.count() <= 1024L)
+  }
 }

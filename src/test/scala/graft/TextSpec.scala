@@ -1396,6 +1396,35 @@ class TextSpec extends SparkTestBase {
       && joint.counts.exceptAll(merged.counts).count() == 0)
   }
 
+  test("edit-distance dedup: planted 0/1-edit pairs found with exact distances, bounded by the threshold") {
+    import spark.implicits._
+    // 40-token base; B = one char appended to the LAST token (edit
+    // distance 1, only the last 5 shingles change → the minhash bands
+    // still collide); C = verbatim copy; D = unrelated vocabulary
+    val baseTxt = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val planted = Seq(
+      (1L, baseTxt), (2L, baseTxt + "x"), (3L, baseTxt),
+      (4L, (1 to 40).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    for (mirror <- Seq(true, false)) { // declared md5 form AND the xxhash64 scale default
+      val got = Text.dedupEditDistance(planted, mirrorableHash = mirror)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == Map((1L, 3L) -> 0L, (1L, 2L) -> 1L, (2L, 3L) -> 1L),
+        s"mirror=$mirror got $got")
+    }
+    // corpus pass: every emitted distance within the bound, and the
+    // THRESHOLDED distance agrees with the full unthresholded DP on every
+    // surviving pair
+    val rows = Text.dedupEditDistance(docs, mirrorableHash = true)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .withColumn("full", levenshtein(col("ta"), col("tb")).cast("long"))
+      .cache()
+    assert(rows.filter(col("edit_dist") < 0 || col("edit_dist") > 20).count() == 0)
+    assert(rows.filter(col("edit_dist") =!= col("full")).count() == 0,
+      "banded-DP distance must equal the full DP inside the threshold")
+    rows.unpersist()
+  }
+
   test("DSIR: importance follows content, not the label; Gumbel resample is deterministic") {
     import spark.implicits._
     // planted shift: trusted docs speak vocabulary A, the wild background
