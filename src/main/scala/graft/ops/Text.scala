@@ -2285,10 +2285,16 @@ object Text {
     * independent of the weights. One TakeOrderedAndProject global top-k;
     * no full sort materializes. */
   def dsirResample(documents: DataFrame, inDomain: Column, k: Int = 100,
-      buckets: Int = 1024, mirrorableHash: Boolean = false): DataFrame = {
+      buckets: Int = 1024, mirrorableHash: Boolean = false): DataFrame =
+    dsirResampleFrom(dsirWeights(documents, inDomain, buckets, mirrorableHash), k)
+
+  /** The Gumbel-top-k draw off an already-computed weight frame — the
+    * shared-model entry point (SparkEntry scores once, draws from the
+    * same frame). */
+  def dsirResampleFrom(weights: DataFrame, k: Int = 100): DataFrame = {
     val u = (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
         .cast("double") + lit(1.0)) / lit(1152921504606846978.0)
-    dsirWeights(documents, inDomain, buckets, mirrorableHash)
+    weights
       .withColumn("sample_key", q6(col("sum_logratio") - log(-log(u))))
       .orderBy(col("sample_key").desc, col("doc_id"))
       .limit(k)
