@@ -372,6 +372,81 @@ af AS (
              CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
       FROM scored GROUP BY doc_id"""
 
+  // trigram interpolated Kneser-Ney (D = 0.75): the lmScoreN3 position and
+  // count CTEs plus the five continuation TYPE-count tables (f2 = trigram
+  // types by prefix pair, b2 = by suffix pair, m1 = by middle token,
+  // f1/b1 = bigram types by first/second token); the middle level scores
+  // CONTINUATION counts — Chen & Goodman eq. 18 — and unseen contexts
+  // fall through level by level. Nesting mirrors the Spark fold term for
+  // term; p1 carries the add-one convention over (T2 + V).
+  private val lmScoreKn3Sql: String = """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                  FROM documents),
+      ref AS (SELECT * FROM tk
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+      uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+              FROM (SELECT unnest(t) AS token FROM ref) p GROUP BY token),
+      bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bi
+             FROM (SELECT t[i] AS w1, t[i+1] AS w2
+                   FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                         FROM ref WHERE len(t) >= 2) g) b
+             GROUP BY w1, w2),
+      tri AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c_tri
+              FROM (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+                    FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+                          FROM ref WHERE len(t) >= 3) g) b
+              GROUP BY w1, w2, w3),
+      f2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n1f2 FROM tri GROUP BY w1, w2),
+      b2 AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS n1b2 FROM tri GROUP BY w2, w3),
+      m1 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1m FROM tri GROUP BY w2),
+      f1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1f1 FROM bi GROUP BY w1),
+      b1 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b1 FROM bi GROUP BY w2),
+      tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bi) AS kn_t2,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS lm_v),
+      pos AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM tk WHERE len(t) >= 3) g),
+      scored AS (
+        SELECT pos.doc_id,
+               CASE WHEN COALESCE(tri.c_tri, 0) = 0 THEN 1 ELSE 0 END AS unseen,
+               floor(ln(
+                 CASE WHEN COALESCE(bctx.c_bi, 0) > 0
+                      THEN greatest(CAST(COALESCE(tri.c_tri, 0) AS DOUBLE) - 0.75, 0.0)
+                             / bctx.c_bi
+                         + 0.75 * CAST(COALESCE(f2.n1f2, 0) AS DOUBLE) / bctx.c_bi
+                             * (CASE WHEN COALESCE(m1.n1m, 0) > 0
+                                     THEN greatest(CAST(COALESCE(b2.n1b2, 0) AS DOUBLE) - 0.75, 0.0)
+                                            / m1.n1m
+                                        + 0.75 * CAST(COALESCE(f1.n1f1, 0) AS DOUBLE) / m1.n1m
+                                            * (CAST(COALESCE(b1.n1b1, 0) + 1 AS DOUBLE)
+                                                 / (tot.kn_t2 + tot.lm_v))
+                                     ELSE CAST(COALESCE(b1.n1b1, 0) + 1 AS DOUBLE)
+                                            / (tot.kn_t2 + tot.lm_v) END)
+                      ELSE (CASE WHEN COALESCE(m1.n1m, 0) > 0
+                                 THEN greatest(CAST(COALESCE(b2.n1b2, 0) AS DOUBLE) - 0.75, 0.0)
+                                        / m1.n1m
+                                    + 0.75 * CAST(COALESCE(f1.n1f1, 0) AS DOUBLE) / m1.n1m
+                                        * (CAST(COALESCE(b1.n1b1, 0) + 1 AS DOUBLE)
+                                             / (tot.kn_t2 + tot.lm_v))
+                                 ELSE CAST(COALESCE(b1.n1b1, 0) + 1 AS DOUBLE)
+                                        / (tot.kn_t2 + tot.lm_v) END) END
+               ) * 1000000.0 + 0.5) / 1000000.0 AS q
+        FROM pos
+        LEFT JOIN tri ON pos.w1 = tri.w1 AND pos.w2 = tri.w2 AND pos.w3 = tri.w3
+        LEFT JOIN bi bctx ON pos.w1 = bctx.w1 AND pos.w2 = bctx.w2
+        LEFT JOIN f2 ON pos.w1 = f2.w1 AND pos.w2 = f2.w2
+        LEFT JOIN b2 ON pos.w2 = b2.w2 AND pos.w3 = b2.w3
+        LEFT JOIN m1 ON pos.w2 = m1.w2
+        LEFT JOIN f1 ON pos.w2 = f1.w1
+        LEFT JOIN b1 ON pos.w3 = b1.w2
+        CROSS JOIN tot)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(unseen) AS BIGINT) AS n_unseen_ngrams,
+             CAST(CAST(SUM(unseen) AS BIGINT) AS DOUBLE) / COUNT(*) AS unseen_frac,
+             CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
+      FROM scored GROUP BY doc_id"""
+
   // order-5 (KenLM-conventional) interpolated LM scoring — the lmScoreN3
   // recursion two orders up: 2n−1 = 9 left joins (g5..g1 numerators,
   // x4..x1 contexts) against the k-gram count tables, the interpolation
@@ -1788,6 +1863,10 @@ af AS (
     // interpolated Kneser-Ney bigram twin (D=0.75): continuation-count
     // CTEs over the bigram type table — see lmScoreKnSql
     "lm_score_kn" -> lmScoreKnSql,
+
+    // trigram interpolated Kneser-Ney twin: five continuation TYPE-count
+    // tables, continuation counts at the middle level — see lmScoreKn3Sql
+    "lm_score_kn3" -> lmScoreKn3Sql,
 
     // DSIR hashed-n-gram importance weights + Gumbel-top-k resample —
     // see dsirGramsCte (md5-bucket twin of conv(md5)%B)

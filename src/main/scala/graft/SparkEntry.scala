@@ -350,6 +350,11 @@ object SparkEntry {
     // DuckDB-mirrored including the two type-count tables
     "lm_score_kn" -> ((s, d) =>
       Text.lmScoreKneserNey(lmModel(s, d), Tables.documents(s, d))),
+    // trigram interpolated KN over the memoized order-3 model — the real
+    // KenLM recursion: the middle level scores CONTINUATION type counts
+    // (Chen & Goodman eq. 18), DuckDB-mirrored incl. all five type tables
+    "lm_score_kn3" -> ((s, d) =>
+      Text.lmnScoreKneserNey(lmn3Model(s, d), Tables.documents(s, d))),
     // closed-form NB log-odds classifier seeded on the trusted sources:
     // the full weight table, the per-doc scores, and nothing hidden —
     // both DuckDB-mirrored (training is a deterministic aggregation)

@@ -2570,6 +2570,76 @@ object Text {
     lmnAggScores(lmnJoined(model, target), p, n)
   }
 
+  /** Trigram interpolated KNESER-NEY over the order-n model — the
+    * [[lmScoreKneserNey]] recursion at the order where KN's defining move
+    * appears: the MIDDLE level scores CONTINUATION counts, not raw
+    * frequencies (Chen & Goodman 1999 eq. 18 — lower-order distributions
+    * model "how novel is this continuation", which raw counts get wrong):
+    *
+    *   p(w|uv)    = max(c(uvw)−D, 0)/c(uv) + D·N1+(uv·)/c(uv) · p₂(w|v)
+    *   p₂(w|v)    = max(N1+(·vw)−D, 0)/N1+(·v·)
+    *                  + D·N1+(v·)/N1+(·v·) · p₁(w)
+    *   p₁(w)      = (N1+(·w) + 1) / (T₂ + V)
+    *
+    * with N1+ the distinct-type counts (·vw: trigram types ending vw;
+    * ·v·: trigram types with middle v; v·: bigram types starting v; ·w:
+    * bigram types ending w), T₂ the bigram type total, V the vocabulary;
+    * unseen contexts fall through to the next level (c(uv)=0 → p₂;
+    * N1+(·v·)=0 → p₁), and p₁ carries the repo's add-one convention so
+    * ln p is total. Every derived table is a groupBy over the TYPE table
+    * (vocabulary-sized, never corpus-sized), all measured-broadcast.
+    * Accepts any model of order ≥ 3 (uses the k ≤ 3 views). Oracle
+    * parity: q6 ln p, decimal-summed (`lm_score_kn3`, mirrored including
+    * all five type-count tables). */
+  def lmnScoreKneserNey(model: LmNModel, target: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    require(model.order >= 3, s"trigram KN needs order >= 3, got ${model.order}")
+    def hint(df: DataFrame): DataFrame =
+      if (model.vocabBroadcastable) broadcast(df) else df
+    val sg = split(col("g"), " ")
+    val tri = model.counts.filter(col("k") === 3)
+    val bi = model.counts.filter(col("k") === 2)
+    // the five continuation/type tables, each a combining groupBy over a
+    // type table keyed by a column the position frame already carries
+    val n1f2 = tri.groupBy(concat_ws(" ", element_at(sg, 1), element_at(sg, 2)).as("x2"))
+      .agg(count(lit(1)).as("n1f2"))
+    val n1b2 = tri.groupBy(concat_ws(" ", element_at(sg, 2), element_at(sg, 3)).as("g2"))
+      .agg(count(lit(1)).as("n1b2"))
+    val n1m = tri.groupBy(element_at(sg, 2).as("x1"))
+      .agg(count(lit(1)).as("n1m"))
+    val n1f1 = bi.groupBy(element_at(sg, 1).as("x1"))
+      .agg(count(lit(1)).as("n1f1"))
+    val n1b1 = bi.groupBy(element_at(sg, 2).as("g1"))
+      .agg(count(lit(1)).as("n1b1"))
+    val totals = bi.agg(count(lit(1)).as("kn_t2"))
+      .crossJoin(model.counts.filter(col("k") === 1).agg(count(lit(1)).as("lm_v")))
+    val d = lit(discount)
+    var df = lmnPositions(target, 3)
+      .join(hint(model.counts.filter(col("k") === 3)
+        .select(col("g").as("g3"), col("c").as("cg3"))), Seq("g3"), "left")
+      .join(hint(model.counts.filter(col("k") === 2)
+        .select(col("g").as("x2"), col("c").as("cx2"))), Seq("x2"), "left")
+      .join(hint(n1f2), Seq("x2"), "left")
+      .join(hint(n1b2), Seq("g2"), "left")
+      .join(hint(n1m), Seq("x1"), "left")
+      .join(hint(n1f1), Seq("x1"), "left")
+      .join(hint(n1b1), Seq("g1"), "left")
+      .crossJoin(broadcast(totals))
+    val p1 = (coalesce(col("n1b1"), lit(0L)) + lit(1L)).cast("double") /
+      (col("kn_t2") + col("lm_v"))
+    val p2 = when(coalesce(col("n1m"), lit(0L)) > 0,
+        greatest(coalesce(col("n1b2"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("n1m")
+        + d * coalesce(col("n1f1"), lit(0L)).cast("double") / col("n1m") * p1)
+      .otherwise(p1)
+    val p = when(coalesce(col("cx2"), lit(0L)) > 0,
+        greatest(coalesce(col("cg3"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("cx2")
+        + d * coalesce(col("n1f2"), lit(0L)).cast("double") / col("cx2") * p2)
+      .otherwise(p2)
+    lmnAggScores(df, p, 3)
+  }
+
   /** CCNet-style perplexity bucketing: within each source, split documents
     * into `head` / `middle` / `tail` thirds by fluency under a trained LM
     * (Wenzek et al. 2020 §4.3 — CCNet keeps head+middle and drops or

@@ -121,6 +121,7 @@ class PlansSpec extends SparkTestBase {
       "lm_score_n5",             // same 1-row totals broadcast at order 5
       "lm_score_sb3",            // same 1-row totals broadcast (backoff base)
       "lm_score_kn",             // 1-row (T, V) continuation-totals broadcast
+      "lm_score_kn3",            // 1-row (T2, V) continuation-totals broadcast
       "dsir_weights",            // 1-row unseen-bucket-ratio broadcast
       "dsir_sample",             // same 1-row broadcast via the weights
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate

@@ -1540,6 +1540,47 @@ class TextSpec extends SparkTestBase {
     kn.unpersist()
   }
 
+  test("trigram Kneser-Ney: hand-computed probabilities through every fall-through level") {
+    import spark.implicits._
+    // reference: 'a b c' ×10, 'x b c' ×5, 'x b y' ×5. Derived type model:
+    // T2=4 bigram types, V=5; f2(a,b)=1, m1(b)=3, b2(b,c)=2, f1(b)=2,
+    // b1(c)=1. The four probes hit: full KN, unseen top context, unseen
+    // trigram + unseen continuation, and double fall-through.
+    val ref = ((1 to 10).map(i => (i.toLong, "a b c")) ++
+      (11 to 15).map(i => (i.toLong, "x b c")) ++
+      (16 to 20).map(i => (i.toLong, "x b y"))).toDF("doc_id", "text")
+    val m = Text.lmnTrain(ref, order = 3)
+    val probes = Seq((100L, "a b c"), (101L, "q b c"), (102L, "a b z"),
+      (103L, "q r s")).toDF("doc_id", "text")
+    val got = Text.lmnScoreKneserNey(m, probes).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // fold-order mirrors of the scorer's arithmetic
+    val p1c = 2.0 / 9; val p1z = 1.0 / 9; val p1s = 1.0 / 9
+    val p2c = math.max(2.0 - 0.75, 0.0) / 3 + 0.75 * 2.0 / 3 * p1c
+    val p2z = math.max(0.0 - 0.75, 0.0) / 3 + 0.75 * 2.0 / 3 * p1z
+    assert(got(100L) == q6(math.log(
+      math.max(10.0 - 0.75, 0.0) / 10 + 0.75 * 1.0 / 10 * p2c)))
+    assert(got(101L) == q6(math.log(p2c)))      // c(q b) = 0 → middle level
+    assert(got(102L) == q6(math.log(
+      math.max(0.0 - 0.75, 0.0) / 10 + 0.75 * 1.0 / 10 * p2z)))
+    assert(got(103L) == q6(math.log(p1s)))      // both contexts unseen → base
+  }
+
+  test("trigram Kneser-Ney on the corpus: total, bounded, unseen counters match the JM twin") {
+    val m = Text.lmnTrain(docs.filter(Text.inTrainSplit()), order = 3)
+    val kn = Text.lmnScoreKneserNey(m, docs).cache()
+    assert(kn.filter(col("avg_logp") >= 0 ||
+      col("unseen_frac") < 0 || col("unseen_frac") > 1).count() == 0)
+    val jm = Text.lmnScoreWith(m, docs)
+      .select(col("doc_id"), col("n_ngrams").as("nj"),
+        col("n_unseen_ngrams").as("uj"))
+    assert(kn.join(jm, Seq("doc_id"), "full")
+      .filter(col("n_ngrams") =!= col("nj") ||
+        col("n_unseen_ngrams") =!= col("uj")).count() == 0)
+    kn.unpersist()
+  }
+
   test("stupid backoff: seen positions score pure MLE, each unseen level multiplies α") {
     import spark.implicits._
     // reference: 'a b c' ×10, 'x b y' ×10 → c(ab)=10, c(abc)=10, c(b)=20,
