@@ -401,6 +401,10 @@ object SparkEntry {
     "quality_rules" -> ((s, d) => Text.qualityRules(Tables.documents(s, d))),
     // per-source discrete length percentiles (histogram-collapsed window)
     "length_percentiles" -> ((s, d) => Text.lengthPercentiles(Tables.documents(s, d))),
+    // Greenwald-Khanna sketch twin: constant memory however many distinct
+    // values — the path for continuous score columns at web scale
+    "length_percentiles_approx" -> ((s, d) =>
+      Text.lengthPercentilesApprox(Tables.documents(s, d))),
     // per-source length winsorize: population-dependent [p5, p95] cut
     "length_filter" -> ((s, d) => Text.lengthFilter(Tables.documents(s, d))),
     // exact-n eval-set constructor: 20 smallest md5 keys per source
@@ -750,6 +754,8 @@ object SparkEntry {
       "binary PCM decode has no SQL analog; hand-computed RMS/clip/silence laws in PropertiesSpec",
     "compression_signals" ->
       "DEFLATE byte lengths have no SQL analog (no zlib in DuckDB); planted repetitive<prose<junk ordering + bounds + determinism laws in TextSpec",
+    "length_percentiles_approx" ->
+      "Greenwald-Khanna sketch merge order is engine-specific; rank-error law vs the exact oracled twin (length_percentiles) in TextSpec",
     "media_resize_report" ->
       "binary transcode (zlib/JPEG/PCM) has no SQL analog; per-type validity/count laws in PropertiesSpec",
     "media_frame_report" ->

@@ -404,6 +404,23 @@ object Text {
       pct(75).as("p75"), pct(95).as("p95"))
   }
 
+  /** Sketch twin of [[lengthPercentiles]]: Greenwald-Khanna
+    * `approx_percentile` at the same four points — the constant-memory
+    * path for when even the per-source length HISTOGRAM outgrows window
+    * state (continuous-valued score columns at web scale; the exact form
+    * stays the default for integer lengths, where distinct values are
+    * bounded). accuracy=10000 ⇒ rank error ≤ n/10000. No DuckDB oracle
+    * (GK merge order is engine-specific); the law pins each approx point
+    * between the exact neighbors ±1% rank on every source (TextSpec). */
+  def lengthPercentilesApprox(documents: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    documents.groupBy("source").agg(
+      count(lit(1)).as("docs"),
+      percentile_approx(col("n_chars"), lit(0.25), lit(accuracy)).as("p25"),
+      percentile_approx(col("n_chars"), lit(0.50), lit(accuracy)).as("p50"),
+      percentile_approx(col("n_chars"), lit(0.75), lit(accuracy)).as("p75"),
+      percentile_approx(col("n_chars"), lit(0.95), lit(accuracy)).as("p95"))
+
   /** Length winsorize gate — drop each source's length-distribution tails
     * (docs shorter than the `loPct`-th or longer than the `hiPct`-th
     * per-source length percentile). The adaptive version of C4's fixed

@@ -1540,6 +1540,33 @@ class TextSpec extends SparkTestBase {
     kn.unpersist()
   }
 
+  test("approx length percentiles: every sketch point within 1% rank of the exact twin") {
+    // per source: each GK point must land between the exact values at
+    // ranks ⌈n·(q−0.01)⌉ and ⌈n·(q+0.01)⌉ — the sketch's rank-error
+    // contract measured against the oracled exact twin
+    val lengths = docs.select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def exactAt(src: String, q: Double): (Long, Long) = {
+      val xs = lengths(src); val n = xs.length
+      def at(p: Double) = xs(math.min(n - 1,
+        math.max(0, math.ceil(n * p).toInt - 1)))
+      (at(math.max(0.0, q - 0.01)), at(math.min(1.0, q + 0.01)))
+    }
+    val approx = Text.lengthPercentilesApprox(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))))
+      .toMap
+    for ((src, (n, pts)) <- approx) {
+      assert(n == lengths(src).length.toLong)
+      for ((p, q) <- pts.zip(Seq(0.25, 0.50, 0.75, 0.95))) {
+        val (lo, hi) = exactAt(src, q)
+        assert(p >= lo && p <= hi,
+          s"$src q=$q: approx $p outside exact ±1% rank band [$lo, $hi]")
+      }
+    }
+  }
+
   test("trigram Kneser-Ney: hand-computed probabilities through every fall-through level") {
     import spark.implicits._
     // reference: 'a b c' ×10, 'x b c' ×5, 'x b y' ×5. Derived type model:
