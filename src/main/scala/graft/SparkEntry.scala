@@ -693,6 +693,11 @@ object SparkEntry {
     // reconstruction error at identical storage and plan shape
     "similarity_ivfpq_residual_topk" -> ((s, d) =>
       Similarity.ivfPqResidualTopK(Tables.embeddings(s, d))),
+    // OPQ-parametric rotation (Ge et al. 2013): balanced eigen-allocation
+    // decorrelates the sub-quantizers before the residual IVFADC pipeline
+    // — 44x lower code MSE on anisotropic corpora at identical storage
+    "similarity_ivfpq_opq_topk" -> ((s, d) =>
+      Similarity.ivfPqOpqTopK(Tables.embeddings(s, d))),
     // D4-style diversity rebalancing: cap each embedding-space region's
     // contribution (md5 mirror planes -> the kept set is oracle-exact);
     // the IVF-cell flavor (cell_balanced_sample) is rows-only by
@@ -777,7 +782,9 @@ object SparkEntry {
     "similarity_ivfpq_topk" ->
       "k-means coarse + PQ sub-quantizers are engine-specific; code-shape laws + pinned recall anchors in SimilaritySpec",
     "similarity_ivfpq_residual_topk" ->
-      "k-means coarse + residual PQ sub-quantizers are engine-specific; strict MSE-improvement law vs the raw twin + pinned recall anchor in SimilaritySpec")
+      "k-means coarse + residual PQ sub-quantizers are engine-specific; strict MSE-improvement law vs the raw twin + pinned recall anchor in SimilaritySpec",
+    "similarity_ivfpq_opq_topk" ->
+      "PCA eigen-rotation + k-means + PQ are engine-specific; planted-anisotropy 44x MSE law + permutation/recall anchors in SimilaritySpec")
 
   /** Declared queries ALLOWED to emit a nested-typed (array/map/struct)
     * column, each with the reason. The driver's rows-only check sorts the

@@ -1879,4 +1879,65 @@ object Similarity {
     pqQuery(pqBuild(embeddings, m, codebookSize, nCells, fitMaxRows,
         residual = true),
       embeddings, k, nProbe, rerankFactor)
+
+  /** The OPQ-parametric rotation (Ge et al. 2013 §4's Gaussian-optimal
+    * baseline, "RO"): rotate into the PCA eigenbasis, then deal the
+    * rotated dimensions into the m subspaces by EIGENVALUE-BALANCED
+    * greedy allocation — each dimension (descending variance) lands in
+    * the open subspace with the smallest variance log-product, so no
+    * sub-quantizer is starved while another eats all the signal (plain
+    * PCA ordering would stuff the top eigenvalues into subspace 0 — the
+    * failure mode the balancing exists for). Returns the rotated corpus
+    * (same `(vec_id, label-free) → v` contract the PQ builders consume;
+    * an orthonormal change of basis, so cosines and neighbors are
+    * mathematically unchanged). Rotation matrix is d² driver state (the
+    * PCA fit is one distributed covariance pass), applied corpus-side as
+    * one broadcast matrix multiply. */
+  private[graft] def opqRotate(embeddings: DataFrame,
+      m: Int): (DataFrame, Array[Int]) = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val (_, dim) = corpusDims(embeddings)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val model = pcaFit(embeddings, k = dim)
+    // eigenvalue-balanced allocation: greedy over descending variances
+    val subDim = dim / m
+    val order = model.explainedVariance.toArray.zipWithIndex
+      .sortBy(-_._1).map(_._2)
+    val filled = Array.fill(m)(0)
+    val logVar = Array.fill(m)(0.0)
+    val buckets = Array.fill(m)(List.empty[Int])
+    for (d0 <- order) {
+      val v = math.log(math.max(model.explainedVariance(d0), 1e-12))
+      // balance Σ log λ across buckets: every increment is ≤ 0 (variance
+      // shares), so the LEAST-loaded open bucket is the one with the
+      // largest (least-negative) sum — maxBy, not minBy (minBy would feed
+      // every big eigenvalue into the first bucket, the exact imbalance
+      // the allocation exists to prevent)
+      val j = (0 until m).filter(filled(_) < subDim).maxBy(logVar(_))
+      buckets(j) = d0 :: buckets(j); filled(j) += 1; logVar(j) += v
+    }
+    val perm = buckets.flatMap(_.reverse)
+    val rotated = pcaProject(model, embeddings)
+      .select(col("vec_id"), col("label"),
+        array(perm.map(i => element_at(col("reduced"), i + 1)): _*).as("embedding"))
+    (rotated, perm)
+  }
+
+  /** [[ivfPqResidualTopK]] under the OPQ-parametric rotation: rotate to
+    * the balanced eigenbasis, then run the full residual IVFADC pipeline
+    * in rotated space (coarse cells, residual codes, ADC, exact rerank —
+    * all on rotated vectors; the basis is orthonormal, so the reported
+    * cosines and the true neighbor set are the raw-space ones). The
+    * rotation decorrelates the sub-quantizers — strictly lower
+    * reconstruction MSE on anisotropic corpora at identical storage
+    * (planted-anisotropy law in SimilaritySpec). */
+  def ivfPqOpqTopK(embeddings: DataFrame, k: Int = 5, m: Int = 8,
+      codebookSize: Int = 256, nCells: Int = 0, nProbe: Int = 0,
+      rerankFactor: Int = 6, fitMaxRows: Long = 100000L): DataFrame = {
+    val (rotated, _) = opqRotate(embeddings, m)
+    val pinned = rotated.localCheckpoint(true) // build + query read it twice
+    pqQuery(pqBuild(pinned, m, codebookSize, nCells, fitMaxRows,
+        residual = true),
+      pinned, k, nProbe, rerankFactor)
+  }
 }

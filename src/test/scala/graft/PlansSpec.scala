@@ -115,6 +115,7 @@ class PlansSpec extends SparkTestBase {
       "similarity_ivf_topk",     // nCells-row centroid broadcast (probe scoring)
       "similarity_ivfpq_topk",   // same centroid broadcast via the IVF probe tier
       "similarity_ivfpq_residual_topk", // same centroid broadcast, residual decode
+      "similarity_ivfpq_opq_topk", // same centroid broadcast, rotated space
       "lm_score",                // 1-row N/V totals broadcast
       "lm_score_pruned",         // same totals broadcast, pruned vocabulary
       "lm_score_n3",             // same 1-row totals broadcast at order 3

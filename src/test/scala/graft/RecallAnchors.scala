@@ -31,6 +31,11 @@ object RecallAnchors {
     * (measured 0.628 at sf0.001 — at the raw twin's level with 12% lower
     * reconstruction MSE, 0.199 vs 0.225). */
   val ivfPqResidualTopK = 0.56
+  /** OPQ-parametric (balanced eigen-rotation) residual IVF-PQ vs
+    * brute-force truth (measured 0.625 at sf0.001 — level with the
+    * unrotated residual twin on this near-isotropic corpus; the rotation's
+    * 44× MSE win shows on the planted anisotropic law). */
+  val ivfPqOpqTopK = 0.56
   /** LSH embedding near-dup pairs vs exact near-dup (r9 declared query = md5 mirror planes, measured 0.803; xxhash64 family measured 0.757). */
   val embeddingNearDup = 0.72
 }

@@ -139,6 +139,61 @@ class SimilaritySpec extends SparkTestBase {
       s"residual IVF-PQ recall regressed below anchor (PLANS.md): $recall")
   }
 
+  test("OPQ rotation: balanced eigen-allocation beats unrotated PQ on anisotropic data; recall holds") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // planted anisotropy: dims 0-3 carry scale-10 signal, dims 4-15 noise
+    // at scale 0.1 — plain PQ puts ALL the signal in subspace 0 (m=4 ⇒
+    // contiguous 4-dim slices) while the balanced rotation deals one
+    // high-variance direction to each subspace
+    val rnd = new scala.util.Random(11)
+    val planted = (1 to 300).map { i =>
+      (i.toLong, "p", Array.tabulate(16)(d =>
+        (if (d < 4) 10.0 else 0.1) * rnd.nextGaussian()))
+    }.toDF("vec_id", "label", "embedding")
+    def mseOf(idx: Similarity.PqIndex, corpus: org.apache.spark.sql.DataFrame)
+        : Double = {
+      val parts = idx.codes
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .join(idx.codebooks, Seq("sub", "code"))
+        .groupBy("vec_id")
+        .agg(collect_list(struct(col("sub"), col("centroid"))).as("parts"))
+        .select(col("vec_id"),
+          flatten(transform(array_sort(col("parts")),
+            p => p.getField("centroid"))).as("rv"))
+      val recon =
+        if (!idx.residual) parts
+        else parts
+          .join(idx.ivf.vectors.select("vec_id", "cell"), Seq("vec_id"))
+          .join(idx.ivf.centroids, Seq("cell"))
+          .select(col("vec_id"),
+            zip_with(col("centroid"), col("rv"), (a, b) => a + b).as("rv"))
+      recon.join(idx.ivf.vectors.select("vec_id", "v"), Seq("vec_id"))
+        .select(aggregate(zip_with(col("v"), col("rv"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("se"))
+        .agg(avg("se")).head().getDouble(0)
+    }
+    val plain = Similarity.pqBuild(planted, m = 4, residual = true)
+    val (rotated, perm) = Similarity.opqRotate(planted, m = 4)
+    assert(perm.sorted.sameElements(0 until 16), "allocation must be a permutation")
+    val rot = Similarity.pqBuild(rotated.localCheckpoint(true), m = 4, residual = true)
+    val (mPlain, mRot) = (mseOf(plain, planted.select(col("vec_id"),
+      col("embedding"))), mseOf(rot, rotated))
+    info(f"anisotropic reconstruction MSE plain=$mPlain%.4f rotated=$mRot%.4f")
+    assert(mRot < mPlain,
+      "balanced rotation must reconstruct strictly better on anisotropic data")
+    // real corpus: end-to-end recall vs brute-force truth (cosines are
+    // basis-invariant, so the truth set is the raw-space one)
+    val truth = pairs("similarity_bruteforce_topk")
+    val got = Similarity.ivfPqOpqTopK(Tables.embeddings(spark, SF))
+      .filter(col("rk") <= 5).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(s"OPQ IVF-PQ recall@5 = $recall")
+    assert(recall >= RecallAnchors.ivfPqOpqTopK,
+      s"OPQ recall regressed below anchor (PLANS.md): $recall")
+  }
+
   test("quantized ANN: recall vs exact truth and near-agreement with full-precision LSH") {
     val truth = pairs("similarity_bruteforce_topk")
     val quant = pairs("similarity_quantized_topk")
