@@ -637,6 +637,59 @@ af AS (
       ORDER BY sample_key DESC, doc_id
       LIMIT 100"""
 
+  /** Shared CTE stack for the Poisson-bootstrap pair: NB scoring (the
+    * quality_classifier CTEs) → per-doc gate-correctness bit → 64-way
+    * replicate cross join with md5 uniforms → Poisson(1) inverse-CDF
+    * weights (`wts`). The caller's `tail` aggregates `wts`. Thresholds
+    * are the exact repr doubles of Σ_{j≤k} e⁻¹/j!, digit-for-digit the
+    * literals in Text.poisson1Inv. */
+  private def classifierBootstrapSql(tail: String): String = """
+      WITH p AS (SELECT source IN ('src0','src1','src2','src3') AS is_pos,
+                        unnest(regexp_split_to_array(text, '\s+')) AS token
+                 FROM documents),
+      counts AS (SELECT token,
+                        CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                        CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+                 FROM p GROUP BY token),
+      tot AS (SELECT CAST(SUM(c_pos) + COUNT(*) AS BIGINT) AS np_v,
+                     CAST(SUM(c_neg) + COUNT(*) AS BIGINT) AS nn_v FROM counts),
+      weights AS (SELECT token,
+                         floor(((ln(c_pos + 1) - ln(np_v)) - (ln(c_neg + 1) - ln(nn_v)))
+                               * 1000000.0 + 0.5) / 1000000.0 AS weight
+                  FROM counts CROSS JOIN tot),
+      floor_w AS (SELECT floor((ln(nn_v) - ln(np_v)) * 1000000.0 + 0.5)
+                         / 1000000.0 AS w0 FROM tot),
+      tk AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+             FROM documents),
+      scored AS (SELECT tk.doc_id, COALESCE(w.weight, f.w0) AS w
+                 FROM tk LEFT JOIN weights w USING (token) CROSS JOIN floor_w f),
+      agg AS (SELECT doc_id,
+                     CAST(CAST(SUM(CAST(w AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(w) AS mean_logodds
+              FROM scored GROUP BY doc_id),
+      pred AS (SELECT a.doc_id,
+                      CASE WHEN (a.mean_logodds >= 0.0)
+                                = (d.source IN ('src0','src1','src2','src3'))
+                           THEN 1 ELSE 0 END AS correct
+               FROM agg a JOIN documents d USING (doc_id)),
+      rep AS (SELECT unnest(range(0, 64)) AS replicate),
+      draws AS (SELECT p.doc_id, r.replicate, p.correct,
+                       (('0x' || substr(md5(CAST(p.doc_id AS VARCHAR) || ':'
+                                            || CAST(r.replicate AS VARCHAR)), 1, 15))::BIGINT
+                        + 1) / 1152921504606846978.0 AS u
+                FROM pred p CROSS JOIN rep r),
+      wts AS (SELECT doc_id, replicate, correct,
+                     CASE WHEN u < 0.36787944117144233 THEN 0
+                          WHEN u < 0.7357588823428847 THEN 1
+                          WHEN u < 0.9196986029286058 THEN 2
+                          WHEN u < 0.9810118431238463 THEN 3
+                          WHEN u < 0.9963401531726563 THEN 4
+                          WHEN u < 0.9994058151824183 THEN 5
+                          WHEN u < 0.999916758850712 THEN 6
+                          ELSE 7 END AS w
+              FROM draws)
+      """ + tail
+
   private val contrastScoreSql: String = """
       WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
                   FROM documents),
@@ -1810,6 +1863,31 @@ af AS (
                / (CAST(CAST(SUM(h.p) AS BIGINT) AS DOUBLE)
                   * CAST(SUM(h.q) AS BIGINT)) AS auc
       FROM hist h JOIN below b ON h.bin = b.bin""",
+
+    // Poisson(1) bootstrap of the gate accuracy: same score CTEs, then a
+    // 64-replicate cross join with md5-hash uniforms through the exact
+    // Poisson(1) inverse-CDF double literals; all-integer sums per
+    // replicate, one double division
+    "classifier_bootstrap" -> classifierBootstrapSql(
+      """SELECT CAST(replicate AS BIGINT) AS replicate,
+             CAST(SUM(w) AS BIGINT) AS n_eff,
+             CAST(SUM(w * correct) AS BIGINT) AS n_correct_w,
+             CAST(SUM(w * correct) AS DOUBLE) / SUM(w) AS acc
+      FROM wts GROUP BY replicate"""),
+
+    // one-row percentile CI over the replicate accuracies: decimal-exact
+    // q6 mean + nearest-rank order statistics at ranks 2 and 63 of 64
+    "classifier_ci" -> classifierBootstrapSql(
+      """SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+             floor((CAST(CAST(SUM(CAST(acc_q6 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                    / COUNT(acc_q6)) * 1000000.0 + 0.5) / 1000000.0 AS acc_mean,
+             MAX(CASE WHEN rk = 2 THEN acc_q6 END) AS acc_lo95,
+             MAX(CASE WHEN rk = 63 THEN acc_q6 END) AS acc_hi95
+      FROM (SELECT acc_q6, row_number() OVER (ORDER BY acc_q6, replicate) AS rk
+            FROM (SELECT replicate,
+                         floor((CAST(SUM(w * correct) AS DOUBLE) / SUM(w))
+                               * 1000000.0 + 0.5) / 1000000.0 AS acc_q6
+                  FROM wts GROUP BY replicate) q) r"""),
 
     // Moore-Lewis cross-entropy difference: the lm_score model CTEs built
     // twice — in-domain from the trusted sources, background from the
@@ -3073,6 +3151,44 @@ af AS (
       JOIN sz sa ON cm.doc_a = sa.doc_id
       JOIN sz sb ON cm.doc_b = sb.doc_id
       WHERE CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) >= 0.5""",
+
+    // Broder containment over the same shingle index: n_common /
+    // min(|A|, |B|) at 0.6, same df-cap as the Jaccard twin
+    "dedup_containment" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+      rare AS (SELECT sh.* FROM sh
+               JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 128) r
+               USING (shingle)),
+      cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+             FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT cm.doc_a, cm.doc_b, cm.n_common,
+             sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+             CAST(cm.n_common AS DOUBLE) / least(sa.n_shingles, sb.n_shingles) AS containment
+      FROM cm
+      JOIN sz sa ON cm.doc_a = sa.doc_id
+      JOIN sz sb ON cm.doc_b = sb.doc_id
+      WHERE CAST(cm.n_common AS DOUBLE) / least(sa.n_shingles, sb.n_shingles) >= 0.6""",
+
+    // containment decontamination: |S(train) ∩ S(eval)| / |S(eval)| at
+    // 0.6 over the %20 split — the engulfed-benchmark detector
+    "decontaminate_containment" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+      ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0),
+      se AS (SELECT eval_id, count(*) AS size_eval FROM ev GROUP BY 1),
+      cm AS (SELECT tr.doc_id, ev.eval_id, count(*) AS n_common
+             FROM tr JOIN ev USING (shingle)
+             GROUP BY 1, 2)
+      SELECT cm.doc_id, cm.eval_id, cm.n_common, se.size_eval,
+             CAST(cm.n_common AS DOUBLE) / se.size_eval AS containment
+      FROM cm JOIN se USING (eval_id)
+      WHERE CAST(cm.n_common AS DOUBLE) / se.size_eval >= 0.6""",
 
     // cross-tier dedup agreement: the n-gram Jaccard pair set vs the
     // embedding cosine pair set over the id-aligned corpus — 1-row

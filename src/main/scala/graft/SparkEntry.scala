@@ -291,6 +291,10 @@ object SparkEntry {
     // best-copy keeper: highest quality score wins its fingerprint group
     "dedup_exact_best" -> ((s, d) => Text.dedupExactKeepBest(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Text.dedupNgramJaccardFrom(shingles(s, d))),
+    // Broder containment over the same shared shingle stage: near-SUPERSET
+    // pairs (short doc engulfed by a long one) that resemblance misses
+    "dedup_containment" -> ((s, d) =>
+      Text.dedupContainmentFrom(shingles(s, d), threshold = 0.6)),
     // mirrorable (md5) signature + band hashes so the candidate set itself
     // is value-checked; the xxhash64 sketch aggregate stays the scale default
     "dedup_minhash_lsh" -> ((s, d) =>
@@ -371,6 +375,18 @@ object SparkEntry {
     "classifier_auc" -> ((s, d) =>
       Text.classifierAuc(Tables.documents(s, d), nbModel(s, d),
         org.apache.spark.sql.functions.col("source").isin(trustedSources: _*))),
+    // Poisson(1) bootstrap of the gate accuracy (Chamandy et al. 2012):
+    // all 64 replicates in ONE pass via independent per-(doc, replicate)
+    // hash weights; R rows of all-integer sums
+    "classifier_bootstrap" -> ((s, d) =>
+      Text.classifierBootstrap(Tables.documents(s, d), nbModel(s, d),
+        org.apache.spark.sql.functions.col("source").isin(trustedSources: _*))),
+    // the one-row percentile CI over those replicates (mean + nearest-rank
+    // 2.5%/97.5% order statistics on the q6 accuracies)
+    "classifier_ci" -> ((s, d) =>
+      Text.classifierCiFrom(
+        Text.classifierBootstrap(Tables.documents(s, d), nbModel(s, d),
+          org.apache.spark.sql.functions.col("source").isin(trustedSources: _*)))),
     // Moore-Lewis cross-entropy difference: in-domain LM (trusted sources)
     // vs the train-split background LM, scored in one bigram pass
     // DSIR (Xie et al. 2023): hashed (uni+bi)-gram importance weights of
@@ -544,6 +560,16 @@ object SparkEntry {
       Text.decontaminateFilter(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0))
+    }),
+    // containment decontamination (Broder containment of the EVAL side):
+    // catches a benchmark item quoted whole inside a long train doc,
+    // where Jaccard → 0 as the train doc grows
+    "decontaminate_containment" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Text.decontaminateContainment(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), threshold = 0.6)
     }),
     // novel-ngram rate of the held-out splits vs the train hash-split —
     // the graded memorization/leakage audit

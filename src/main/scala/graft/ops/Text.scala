@@ -1967,6 +1967,87 @@ object Text {
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
   }
 
+  /** Near-SUPERSET detection via Broder CONTAINMENT (Broder 1997, "On the
+    * resemblance and containment of documents" §2: c(A,B) =
+    * |S(A)∩S(B)| / |S(A)|) — the pair family resemblance (Jaccard) is
+    * structurally blind to: a short document wholly quoted inside a much
+    * longer one (aggregator pages, quote-reply chains, license headers
+    * around real content) has Jaccard |A|/|B| → 0 as B grows, but
+    * containment of the SMALLER side stays 1. A serious dedup tier runs
+    * both: resemblance for like-sized near-dups, containment for
+    * engulfed ones. Emitted score: containment of the smaller shingle
+    * set in the pair, n_common / min(|A|, |B|) — symmetric, and ≥ the
+    * pair's Jaccard by construction (law in TextSpec).
+    *
+    * Scale shape: identical to [[dedupNgramJaccardFrom]] — same shingle
+    * inverted-index candidate join (the repo's one shared `shingles`
+    * stage feeds both), same df-cap detonation guard, same keyed
+    * aggregation; only the final scalar differs. At 100 TB the candidate
+    * generator swaps to MinHash banding exactly as resemblance does
+    * (banding recalls high-containment pairs too: a contained doc's
+    * minhashes are a subset-biased sample of the container's). */
+  def dedupContainment(documents: DataFrame, threshold: Double = 0.8,
+      maxShingleDf: Int = 128): DataFrame =
+    dedupContainmentFrom(shingles(documents), threshold, maxShingleDf)
+
+  /** Same, over precomputed (doc_id, shingle) postings (the shared-stage
+    * entry point, [[dedupNgramJaccardFrom]]'s discipline). */
+  def dedupContainmentFrom(sh: DataFrame, threshold: Double = 0.8,
+      maxShingleDf: Int = 128): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // df-cap mirror of dedupNgramJaccardFrom: one boilerplate shingle in
+    // 10⁶ docs would detonate the candidate self-join; capped shingles
+    // leave candidate generation and the numerator, denominators keep
+    // the full sets. Mirrored exactly in the oracle SQL.
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("shingle"),
+      Seq("shingle"))
+    val a = rare.as("a"); val b = rare.as("b")
+    val common = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), Seq("doc_b"))
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("size_a"), col("size_b")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "containment")
+  }
+
+  /** CONTAINMENT decontamination — the benchmark-leak detector the
+    * Jaccard-verified fuzzy pass ([[decontaminateFuzzy]]) structurally
+    * misses: a long train document QUOTING a whole benchmark item has
+    * near-zero Jaccard against it (the train doc's size swamps the
+    * union) but containment of the EVAL doc ≈ 1. This is the published
+    * criticism of resemblance-only decontamination (the GPT-3 appendix C
+    * n-gram-collision rule is itself a containment-style test). Flags
+    * (train doc_id, eval_id) when |S(train)∩S(eval)| / |S(eval)| ≥
+    * `threshold` — asymmetric on purpose: the eval side is the thing
+    * being engulfed.
+    *
+    * Scale shape: [[decontaminate]]'s — eval postings broadcast (the
+    * benchmark side is thousands of docs), candidate+count is one
+    * map-side join over the train postings; the eval sizes broadcast
+    * again for the denominator. */
+  def decontaminateContainment(train: DataFrame, evalSet: DataFrame,
+      threshold: Double = 0.8, k: Int = 5): DataFrame = {
+    val shE = shingles(evalSet, k)
+    val sizeE = shE.groupBy("doc_id").agg(count(lit(1)).as("size_eval"))
+      .withColumnRenamed("doc_id", "eval_id")
+    shingles(train, k)
+      .join(broadcast(shE.withColumnRenamed("doc_id", "eval_id")), Seq("shingle"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizeE), Seq("eval_id"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("size_eval"))
+      .filter(col("containment") >= threshold)
+      .select("doc_id", "eval_id", "n_common", "size_eval", "containment")
+  }
+
   /** TF-IDF keyword extraction: per-document top-k terms by tf·ln(N/df).
     * Pure relational rendering — term frequencies and document frequencies
     * are two hash aggregations over the token postings, the corpus size is
@@ -2941,6 +3022,91 @@ object Text {
       .select(col("n_pos"), col("n_neg"), col("n_wins"), col("n_ties"),
         ((col("n_wins").cast("double") + col("n_ties").cast("double") / 2.0)
           / (col("n_pos").cast("double") * col("n_neg"))).as("auc"))
+  }
+
+  /** Poisson(1) inverse-CDF: deterministic bootstrap weight from a uniform
+    * draw. Cumulative thresholds are the exact double literals of
+    * Σ_{j≤k} e⁻¹/j! (mirrored digit-for-digit in the oracle SQL, so the
+    * branch taken is bit-identical in both engines); mass beyond k = 6
+    * (≈ 8·10⁻⁵) truncates to 7 — both sides truncate identically, so
+    * this is a convention, not an approximation gap. */
+  private def poisson1Inv(u: Column): Column =
+    when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .when(u < 0.999916758850712, 6L)
+      .otherwise(7L)
+
+  /** POISSON BOOTSTRAP of the classifier gate's accuracy (Chamandy,
+    * Muralidharan, Najmi & Naidu 2012, "Estimating Uncertainty for
+    * Massive Data Streams" — Google's published at-scale bootstrap): the
+    * classical resample-n-of-n bootstrap needs coordinated sampling
+    * (every replicate must know the corpus size), which is impossible in
+    * one streaming pass; replacing each document's multinomial replicate
+    * count with an INDEPENDENT Poisson(1) weight makes every (doc,
+    * replicate) weight a pure local function of the doc — all R
+    * replicates compute in ONE pass, embarrassingly parallel, and the
+    * replicate distribution converges to the true bootstrap as n grows.
+    *
+    * One row per replicate r: effective mass n_eff = Σ_d w(d,r), weighted
+    * correct count, and the replicate's gate accuracy (the gate is
+    * [[nbScoreWith]]'s "keep ⟺ mean_logodds ≥ 0" vs `truth`). Weights are
+    * the repo's seeded-hash substitute (P9 discipline):
+    * u = (md5(doc_id:r) 60-bit + 1)/(2⁶⁰ + 2), w = Poisson(1)⁻¹(u) —
+    * deterministic, engine-mirrorable, independent across replicates.
+    *
+    * Scale shape: the R-way explode is a Generate over the per-doc
+    * correctness bits (corpus tokenized ONCE, before the explode), and
+    * the replicate aggregation combines map-side — each partition ships
+    * R partial rows, never R×n; output is R rows. All-integer sums, one
+    * double division per replicate (`classifier_bootstrap`, mirrored). */
+  def classifierBootstrap(documents: DataFrame, model: NbModel,
+      truth: Column, replicates: Int = 64): DataFrame = {
+    val correct = nbScoreWith(model, documents)
+      .join(documents.select(col("doc_id"), truth.as("is_pos")), Seq("doc_id"))
+      .select(col("doc_id"),
+        ((col("mean_logodds") >= 0.0) === col("is_pos")).cast("long").as("correct"))
+    val u = (expr("cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+        "cast(replicate as string))), 1, 15), 16, 10) as bigint)")
+        .cast("double") + lit(1.0)) / lit(1152921504606846978.0)
+    correct
+      .select(col("doc_id"), col("correct"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("replicate"))
+      .withColumn("replicate", col("replicate").cast("long"))
+      .withColumn("w", poisson1Inv(u))
+      .groupBy("replicate").agg(
+        sum("w").as("n_eff"),
+        sum(col("w") * col("correct")).as("n_correct_w"))
+      .select(col("replicate"), col("n_eff"), col("n_correct_w"),
+        (col("n_correct_w").cast("double") / col("n_eff")).as("acc"))
+  }
+
+  /** Percentile confidence interval over [[classifierBootstrap]]'s
+    * replicate accuracies — the one-row uncertainty statement a curation
+    * run attaches to its gate metric ("accuracy 0.93 ± what?"). Mean is
+    * the decimal-exact q6 average (reduction-order independent);
+    * lo/hi are nearest-rank order statistics at 2.5% / 97.5%
+    * (rank ⌈0.025·R⌉ and ⌈0.975·R⌉ of the ascending q6 accuracies,
+    * replicate id as the deterministic tiebreak).
+    *
+    * The rank window runs unpartitioned BY CONSTRUCTION on an R-row
+    * frame (R = 64 default) — bounded state, never corpus-sized; the
+    * corpus-scale work all happened map-side in the bootstrap pass. */
+  def classifierCiFrom(boot: DataFrame, replicates: Int = 64): DataFrame = {
+    val loRank = math.ceil(0.025 * replicates).toLong
+    val hiRank = math.ceil(0.975 * replicates).toLong
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("acc_q6"), col("replicate"))
+    boot.withColumn("acc_q6", q6(col("acc")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .agg(
+        count(lit(1)).as("n_replicates"),
+        q6(r6avg(col("acc_q6"))).as("acc_mean"),
+        max(when(col("rk") === loRank, col("acc_q6"))).as("acc_lo95"),
+        max(when(col("rk") === hiRank, col("acc_q6"))).as("acc_hi95"))
   }
 
   // -------------------------------------------------------------------------

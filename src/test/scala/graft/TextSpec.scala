@@ -1725,4 +1725,134 @@ class TextSpec extends SparkTestBase {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4), r.getLong(5)) == ((4L, 5L, 1L, 1L, 1L, 2L)))
   }
+
+  test("dedupContainment: containment >= jaccard on every candidate pair; " +
+      "planted engulfed doc caught at containment 1.0 where Jaccard misses") {
+    import spark.implicits._
+    // law 1 (real corpus): containment dominates resemblance pair-for-pair
+    val cont = Text.dedupContainmentFrom(Text.shingles(docs), threshold = 0.0)
+      .select(col("doc_a"), col("doc_b"), col("containment")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val jac = Text.dedupNgramJaccardFrom(Text.shingles(docs), threshold = 0.0)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac.nonEmpty && jac.keySet == cont.keySet,
+      "same candidate machinery must yield the same pair set at threshold 0")
+    for ((pair, j) <- jac) assert(cont(pair) >= j - 1e-12,
+      s"containment ${cont(pair)} < jaccard $j for $pair")
+    // law 2 (declared thresholds): every Jaccard-0.6 pair survives the
+    // containment-0.6 gate (containment >= jaccard pointwise)
+    val jacPairs = q("dedup_ngram_jaccard").filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contPairs = q("dedup_containment")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacPairs.subsetOf(contPairs))
+    // law 3 (planted): a short doc quoted whole inside a much longer one —
+    // resemblance |A|/|B| collapses, containment of the smaller side is 1
+    val core = (1 to 10).map(i => s"core$i").mkString(" ")
+    val synth = Seq(
+      (1L, core),
+      (2L, s"$core ${(1 to 60).map(i => s"pad$i").mkString(" ")}")
+    ).toDF("doc_id", "text")
+    val hit = Text.dedupContainment(synth, threshold = 0.8).collect()
+    assert(hit.length == 1 && hit.head.getAs[Double]("containment") == 1.0)
+    assert(Text.dedupNgramJaccard(synth, threshold = 0.5).count() == 0,
+      "Jaccard at 0.5 must miss the engulfed pair containment catches")
+  }
+
+  test("decontaminateContainment: engulfed benchmark flagged at 1.0 where the " +
+      "fuzzy Jaccard pass misses; denominator is the eval side") {
+    import spark.implicits._
+    val bench = (1 to 12).map(i => s"bench$i").mkString(" ")
+    val evalSet = Seq((100L, bench)).toDF("doc_id", "text")
+    val train = Seq(
+      // long doc QUOTING the whole benchmark: Jaccard 8/(8+96-8) ~ 0.08
+      (1L, s"${(1 to 50).map(i => s"x$i").mkString(" ")} $bench ${(1 to 50).map(i => s"y$i").mkString(" ")}"),
+      (2L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val flagged = Text.decontaminateContainment(train, evalSet, threshold = 0.8).collect()
+    assert(flagged.length == 1)
+    assert(flagged.head.getAs[Long]("doc_id") == 1L)
+    assert(flagged.head.getAs[Double]("containment") == 1.0)
+    assert(flagged.head.getAs[Long]("n_common") == flagged.head.getAs[Long]("size_eval"))
+    assert(Text.decontaminateFuzzy(train, evalSet, threshold = 0.5).count() == 0,
+      "resemblance-verified fuzzy pass must miss the engulfed benchmark")
+    // declared query sanity: every flagged row clears the 0.6 gate with a
+    // numerator bounded by the eval set size
+    val declared = q("decontaminate_containment").collect()
+    declared.foreach { r =>
+      assert(r.getAs[Double]("containment") >= 0.6)
+      assert(r.getAs[Long]("n_common") <= r.getAs[Long]("size_eval"))
+    }
+  }
+
+  test("classifierBootstrap: replicate rows re-derive from an independent JVM " +
+      "md5 + Poisson inverse-CDF; mass concentrates at Poisson(1) mean") {
+    val truth = col("source").isin("src0", "src1", "src2", "src3")
+    val m = Text.nbTrain(docs, truth)
+    val boot = Text.classifierBootstrap(docs, m, truth).collect()
+      .map(r => r.getAs[Long]("replicate") ->
+        ((r.getAs[Long]("n_eff"), r.getAs[Long]("n_correct_w"), r.getAs[Double]("acc"))))
+      .toMap
+    assert(boot.size == 64 && boot.keySet == (0L until 64L).toSet)
+    // independent re-derivation: per-doc correctness bits from the scored
+    // frame, weights from the JVM's own MessageDigest md5 through the same
+    // Poisson(1) thresholds — no Spark expression shared with the operator
+    val bits = Text.nbScoreWith(m, docs)
+      .join(docs.select(col("doc_id"), truth.as("is_pos")), Seq("doc_id"))
+      .select(col("doc_id"),
+        ((col("mean_logodds") >= 0.0) === col("is_pos")).cast("long").as("correct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val thresholds = Array(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+      0.9994058151824183, 0.999916758850712)
+    def pw(docId: Long, r: Long): Long = {
+      val u = (java.lang.Long.parseLong(md5hex(s"$docId:$r").substring(0, 15), 16)
+        .toDouble + 1.0) / 1152921504606846978.0
+      val k = thresholds.indexWhere(u < _)
+      if (k < 0) 7L else k.toLong
+    }
+    for (r <- Seq(0L, 17L, 63L)) {
+      val nEff = bits.map { case (id, _) => pw(id, r) }.sum
+      val nCor = bits.map { case (id, c) => pw(id, r) * c }.sum
+      assert(boot(r) == ((nEff, nCor, nCor.toDouble / nEff)),
+        s"replicate $r mismatch: got ${boot(r)}, want ($nEff, $nCor)")
+    }
+    // Poisson(1) mass law: total effective mass within 10% of R·n, every
+    // replicate acc a valid proportion
+    val totalMass = boot.values.map(_._1).sum.toDouble
+    val n = bits.length.toDouble
+    assert(math.abs(totalMass / (64.0 * n) - 1.0) < 0.1)
+    boot.values.foreach { case (_, _, a) => assert(a >= 0.0 && a <= 1.0) }
+    // determinism: second run bit-equal
+    val again = Text.classifierBootstrap(docs, m, truth).collect()
+      .map(r => r.getAs[Long]("replicate") ->
+        ((r.getAs[Long]("n_eff"), r.getAs[Long]("n_correct_w"), r.getAs[Double]("acc"))))
+      .toMap
+    assert(again == boot)
+  }
+
+  test("classifierCi: nearest-rank order statistics and decimal mean re-derive " +
+      "from the replicate frame; interval brackets the point accuracy") {
+    val truth = col("source").isin("src0", "src1", "src2", "src3")
+    val m = Text.nbTrain(docs, truth)
+    val boot = Text.classifierBootstrap(docs, m, truth)
+    val ci = Text.classifierCiFrom(boot).collect().head
+    def q6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val accs = boot.collect()
+      .map(r => (q6d(r.getAs[Double]("acc")), r.getAs[Long]("replicate")))
+      .sortBy(identity).map(_._1)
+    assert(ci.getAs[Long]("n_replicates") == 64L)
+    assert(ci.getAs[Double]("acc_lo95") == accs(1), "lo95 must be rank ceil(.025*64)=2")
+    assert(ci.getAs[Double]("acc_hi95") == accs(62), "hi95 must be rank ceil(.975*64)=63")
+    val mean = ci.getAs[Double]("acc_mean")
+    assert(math.abs(mean - accs.sum / 64.0) < 1e-6)
+    assert(ci.getAs[Double]("acc_lo95") <= mean && mean <= ci.getAs[Double]("acc_hi95"))
+    // the point (unweighted) gate accuracy falls inside the interval
+    val point = Text.nbScoreWith(m, docs)
+      .join(docs.select(col("doc_id"), truth.as("is_pos")), Seq("doc_id"))
+      .select(((col("mean_logodds") >= 0.0) === col("is_pos")).cast("long").as("c"))
+      .agg(avg("c")).collect().head.getDouble(0)
+    assert(ci.getAs[Double]("acc_lo95") <= point && point <= ci.getAs[Double]("acc_hi95"),
+      s"point accuracy $point outside [${ci.getAs[Double]("acc_lo95")}, ${ci.getAs[Double]("acc_hi95")}]")
+  }
 }
