@@ -637,6 +637,50 @@ af AS (
       ORDER BY sample_key DESC, doc_id
       LIMIT 100"""
 
+  /** One fold of the k-fold CV oracle: the NB train/score CTE stack with
+    * the training side restricted to `fold <> f` and the scoring side to
+    * `fold = f` (fold = 60-bit md5 of doc_id mod 5, mirroring
+    * Text.classifierCv's pmod assignment digit for digit). Nested WITH
+    * keeps each fold's CTE names scoped; the caller UNION ALLs folds. */
+  private def nbCvFoldSql(f: Int): String = s"""
+      SELECT * FROM (
+        WITH df AS (SELECT *,
+                           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5) AS fold
+                    FROM documents),
+        p AS (SELECT source IN ('src0','src1','src2','src3') AS is_pos,
+                     unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM df WHERE fold <> $f),
+        counts AS (SELECT token,
+                          CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                          CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+                   FROM p GROUP BY token),
+        tot AS (SELECT CAST(SUM(c_pos) + COUNT(*) AS BIGINT) AS np_v,
+                       CAST(SUM(c_neg) + COUNT(*) AS BIGINT) AS nn_v FROM counts),
+        weights AS (SELECT token,
+                           floor(((ln(c_pos + 1) - ln(np_v)) - (ln(c_neg + 1) - ln(nn_v)))
+                                 * 1000000.0 + 0.5) / 1000000.0 AS weight
+                    FROM counts CROSS JOIN tot),
+        floor_w AS (SELECT floor((ln(nn_v) - ln(np_v)) * 1000000.0 + 0.5)
+                           / 1000000.0 AS w0 FROM tot),
+        tk AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+               FROM df WHERE fold = $f),
+        scored AS (SELECT tk.doc_id, COALESCE(w.weight, fl.w0) AS w
+                   FROM tk LEFT JOIN weights w USING (token) CROSS JOIN floor_w fl),
+        agg AS (SELECT doc_id,
+                       CAST(CAST(SUM(CAST(w AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                         / COUNT(w) AS mean_logodds
+                FROM scored GROUP BY doc_id)
+        SELECT CAST($f AS BIGINT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN (a.mean_logodds >= 0.0)
+                                  = (d.source IN ('src0','src1','src2','src3'))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN (a.mean_logodds >= 0.0)
+                                  = (d.source IN ('src0','src1','src2','src3'))
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS acc
+        FROM agg a JOIN df d USING (doc_id)
+      )"""
+
   /** Shared CTE stack for the Poisson-bootstrap pair: NB scoring (the
     * quality_classifier CTEs) → per-doc gate-correctness bit → 64-way
     * replicate cross join with md5 uniforms → Poisson(1) inverse-CDF
@@ -1888,6 +1932,114 @@ af AS (
                          floor((CAST(SUM(w * correct) AS DOUBLE) / SUM(w))
                                * 1000000.0 + 0.5) / 1000000.0 AS acc_q6
                   FROM wts GROUP BY replicate) q) r"""),
+
+    // 5-fold cross-validated gate accuracy: per fold, the NB train CTEs
+    // over fold<>f and scoring over fold=f (md5-mod-5 assignment), one
+    // row of integer counts + one division; folds UNION ALLed
+    "classifier_cv" -> (0 until 5).map(nbCvFoldSql).mkString("\n      UNION ALL\n"),
+
+    // rank-fusion quality blend: three per-doc signal subqueries (each
+    // its own nested-WITH scope), 1e-2 score bins, per-signal
+    // strictly-below cumulative off the bin histogram, percentile =
+    // below/(n-1), blend = q6 mean of the three percentiles
+    "quality_blend" -> """
+      WITH sq AS (SELECT doc_id,
+                         greatest(0.0, least(1.0,
+                           0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                               + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                               - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS quality_score
+                  FROM (SELECT doc_id,
+                               CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                               CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                               CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
+                        FROM documents) a),
+      sd AS (SELECT doc_id, avg_logratio FROM (
+        WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                    FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(t) AS g FROM tk
+          UNION ALL
+          SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM tk WHERE len(t) >= 2) x),
+        gb AS (SELECT g.doc_id,
+                      (('0x' || substr(md5(g.g), 1, 15))::BIGINT % 1024) AS bucket,
+                      d.source IN ('src0','src1','src2','src3') AS in_dom
+               FROM grams g JOIN documents d ON g.doc_id = d.doc_id),
+        bg AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_bg
+               FROM gb GROUP BY bucket),
+        ind AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_in
+                FROM gb WHERE in_dom GROUP BY bucket),
+        tot AS (SELECT (SELECT CAST(SUM(c_bg) AS BIGINT) FROM bg) AS t_bg,
+                       (SELECT CAST(SUM(c_in) AS BIGINT) FROM ind) AS t_in),
+        lr AS (SELECT bg.bucket,
+                      floor(ln(
+                          (CAST(COALESCE(ind.c_in, 0) + 1 AS DOUBLE) / (tot.t_in + 1024))
+                        / (CAST(bg.c_bg + 1 AS DOUBLE) / (tot.t_bg + 1024))
+                      ) * 1000000.0 + 0.5) / 1000000.0 AS lnr
+               FROM bg LEFT JOIN ind ON bg.bucket = ind.bucket CROSS JOIN tot)
+        SELECT gb.doc_id,
+               CAST(CAST(SUM(CAST(lnr AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(lnr) AS avg_logratio
+        FROM gb JOIN lr ON gb.bucket = lr.bucket
+        GROUP BY gb.doc_id) dd),
+      sc AS (SELECT doc_id, mean_logodds FROM (
+        WITH p AS (SELECT source IN ('src0','src1','src2','src3') AS is_pos,
+                          unnest(regexp_split_to_array(text, '\s+')) AS token
+                   FROM documents),
+        counts AS (SELECT token,
+                          CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                          CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+                   FROM p GROUP BY token),
+        tot AS (SELECT CAST(SUM(c_pos) + COUNT(*) AS BIGINT) AS np_v,
+                       CAST(SUM(c_neg) + COUNT(*) AS BIGINT) AS nn_v FROM counts),
+        weights AS (SELECT token,
+                           floor(((ln(c_pos + 1) - ln(np_v)) - (ln(c_neg + 1) - ln(nn_v)))
+                                 * 1000000.0 + 0.5) / 1000000.0 AS weight
+                    FROM counts CROSS JOIN tot),
+        floor_w AS (SELECT floor((ln(nn_v) - ln(np_v)) * 1000000.0 + 0.5)
+                           / 1000000.0 AS w0 FROM tot),
+        tk AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+               FROM documents),
+        scored AS (SELECT tk.doc_id, COALESCE(w.weight, f.w0) AS w
+                   FROM tk LEFT JOIN weights w USING (token) CROSS JOIN floor_w f)
+        SELECT doc_id,
+               CAST(CAST(SUM(CAST(w AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(w) AS mean_logodds
+        FROM scored GROUP BY doc_id) cc),
+      sig AS (SELECT sq.doc_id, quality_score, avg_logratio, mean_logodds,
+                     CAST(floor(quality_score * 100.0) AS BIGINT) AS bin_q,
+                     CAST(floor(avg_logratio * 100.0) AS BIGINT) AS bin_d,
+                     CAST(floor(mean_logodds * 100.0) AS BIGINT) AS bin_c
+              FROM sq JOIN sd USING (doc_id) JOIN sc USING (doc_id)),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sig),
+      hq AS (SELECT bin_q, CAST(COUNT(*) AS BIGINT) AS c FROM sig GROUP BY 1),
+      bq AS (SELECT h.bin_q, CAST(COALESCE(SUM(h2.c), 0) AS BIGINT) AS below_q
+             FROM hq h LEFT JOIN hq h2 ON h2.bin_q < h.bin_q GROUP BY 1),
+      hd AS (SELECT bin_d, CAST(COUNT(*) AS BIGINT) AS c FROM sig GROUP BY 1),
+      bd AS (SELECT h.bin_d, CAST(COALESCE(SUM(h2.c), 0) AS BIGINT) AS below_d
+             FROM hd h LEFT JOIN hd h2 ON h2.bin_d < h.bin_d GROUP BY 1),
+      hc AS (SELECT bin_c, CAST(COUNT(*) AS BIGINT) AS c FROM sig GROUP BY 1),
+      bc AS (SELECT h.bin_c, CAST(COALESCE(SUM(h2.c), 0) AS BIGINT) AS below_c
+             FROM hc h LEFT JOIN hc h2 ON h2.bin_c < h.bin_c GROUP BY 1)
+      SELECT doc_id, quality_score, avg_logratio, mean_logodds,
+             pr_quality, pr_domain, pr_classifier,
+             floor(((pr_quality + pr_domain + pr_classifier) / 3.0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS blend_score
+      FROM (SELECT s.doc_id, s.quality_score, s.avg_logratio, s.mean_logodds,
+                   CASE WHEN nn.n_docs > 1
+                        THEN CAST(bq.below_q AS DOUBLE) / (nn.n_docs - 1)
+                        ELSE 0.0 END AS pr_quality,
+                   CASE WHEN nn.n_docs > 1
+                        THEN CAST(bd.below_d AS DOUBLE) / (nn.n_docs - 1)
+                        ELSE 0.0 END AS pr_domain,
+                   CASE WHEN nn.n_docs > 1
+                        THEN CAST(bc.below_c AS DOUBLE) / (nn.n_docs - 1)
+                        ELSE 0.0 END AS pr_classifier
+            FROM sig s
+            JOIN bq USING (bin_q)
+            JOIN bd USING (bin_d)
+            JOIN bc USING (bin_c)
+            CROSS JOIN nn) z""",
 
     // Moore-Lewis cross-entropy difference: the lm_score model CTEs built
     // twice — in-domain from the trusted sources, background from the

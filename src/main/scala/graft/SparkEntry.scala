@@ -387,6 +387,16 @@ object SparkEntry {
       Text.classifierCiFrom(
         Text.classifierBootstrap(Tables.documents(s, d), nbModel(s, d),
           org.apache.spark.sql.functions.col("source").isin(trustedSources: _*)))),
+    // honest eval: 5-fold cross-validated gate accuracy (md5 folds, train
+    // on 4/5, score the held-out fold — resubstitution can't flatter it)
+    "classifier_cv" -> ((s, d) =>
+      Text.classifierCv(Tables.documents(s, d),
+        org.apache.spark.sql.functions.col("source").isin(trustedSources: _*))),
+    // FineWeb-style rank fusion: heuristic quality + DSIR importance + NB
+    // log-odds, each as a 1e-2-granular corpus percentile, blended q6
+    "quality_blend" -> ((s, d) =>
+      Text.qualityBlend(Tables.documents(s, d), nbModel(s, d),
+        dsirCounts(s, d), mirrorableHash = true)),
     // Moore-Lewis cross-entropy difference: in-domain LM (trusted sources)
     // vs the train-split background LM, scored in one bigram pass
     // DSIR (Xie et al. 2023): hashed (uni+bi)-gram importance weights of

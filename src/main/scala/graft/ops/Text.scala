@@ -3024,6 +3024,101 @@ object Text {
           / (col("n_pos").cast("double") * col("n_neg"))).as("auc"))
   }
 
+  /** K-FOLD CROSS-VALIDATED accuracy of the classifier gate — the honest
+    * eval the resubstitution diagnostics ([[classifierPr]]/
+    * [[classifierAuc]], scored on their own training labels) explicitly
+    * defer: split the corpus into `folds` deterministic md5 buckets,
+    * train on k−1, score the held-out fold, one row per fold with the
+    * gate accuracy. Resubstitution flatters a memorizing model;
+    * held-out folds can't.
+    *
+    * The fold key is the engine-portable 60-bit md5 of doc_id mod k (the
+    * corpus-split discipline of [[inTrainSplit]]) — a pure projection, no
+    * shuffle, and the oracle mirrors the assignment exactly. Each fold's
+    * training is the same vocabulary-sized count aggregation as
+    * [[nbTrain]] over (k−1)/k of the corpus — k model passes total, the
+    * irreducible CV cost — and each scoring pass touches only its own
+    * fold. Output is k rows of integer counts + one division
+    * (`classifier_cv`, DuckDB-mirrored fold by fold). */
+  def classifierCv(documents: DataFrame, truth: Column,
+      folds: Int = 5): DataFrame = {
+    val foldOf = pmod(
+      expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"),
+      lit(folds.toLong))
+    val tagged = documents.withColumn("fold", foldOf)
+    (0 until folds).map { f =>
+      val m = nbTrain(tagged.filter(col("fold") =!= f.toLong), truth)
+      nbScoreWith(m, tagged.filter(col("fold") === f.toLong))
+        .join(tagged.filter(col("fold") === f.toLong)
+          .select(col("doc_id"), truth.as("is_pos")), Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(((col("mean_logodds") >= 0.0) === col("is_pos")).cast("long"))
+            .as("n_correct"))
+        .select(lit(f.toLong).as("fold"), col("n_docs"), col("n_correct"),
+          (col("n_correct").cast("double") / col("n_docs")).as("acc"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** RANK-FUSION quality blend — the multi-signal curation score the
+    * recent public corpora actually gate on (FineWeb-style: no single
+    * signal is trustworthy, so convert each to a corpus PERCENTILE and
+    * average the percentiles, which is immune to the signals' wildly
+    * different scales and tail shapes). Signals fused here: the heuristic
+    * [[qualityScore]], the DSIR domain-importance mean
+    * ([[dsirScoreWith]]), and the NB classifier log-odds mean
+    * ([[nbScoreWith]]) — three independent signal FAMILIES (rules,
+    * importance weights, discriminative model).
+    *
+    * The percentile is percent_rank at 1e-2 granularity, computed the
+    * scale-correct way ([[classifierPr]]'s discipline): scores bin to
+    * floor(s·100) — all three signals are means of bounded per-token
+    * quantities, so the bin set is bounded — then each signal's
+    * percentile is (docs in strictly smaller bins)/(n−1) off a bounded
+    * histogram self-join. The corpus never moves through an
+    * unpartitioned window; ties within a bin share the percentile
+    * exactly like RANK. Blend = q6 mean of the three percentiles
+    * (`quality_blend`, DuckDB-mirrored term for term). */
+  def qualityBlend(documents: DataFrame, model: NbModel,
+      dsirCounts: DataFrame, buckets: Int = 1024,
+      mirrorableHash: Boolean = false): DataFrame = {
+    val sig = qualityScore(documents).select(col("doc_id"), col("quality_score"))
+      .join(dsirScoreWith(dsirCounts, documents, buckets, mirrorableHash)
+        .select(col("doc_id"), col("avg_logratio")), Seq("doc_id"))
+      .join(nbScoreWith(model, documents)
+        .select(col("doc_id"), col("mean_logodds")), Seq("doc_id"))
+      .withColumn("bin_q", floor(col("quality_score") * 100.0).cast("long"))
+      .withColumn("bin_d", floor(col("avg_logratio") * 100.0).cast("long"))
+      .withColumn("bin_c", floor(col("mean_logodds") * 100.0).cast("long"))
+      .localCheckpoint(true)
+    val n = sig.agg(count(lit(1)).as("n_docs"))
+    // per signal: bounded bin histogram -> strictly-below cumulative
+    // (|bins|² broadcast self-join, classifierPr's shape) -> join back
+    def below(bin: String): DataFrame = {
+      val hist = sig.groupBy(bin).agg(count(lit(1)).as("c"))
+      hist.select(col(bin))
+        .join(broadcast(hist.select(col(bin).as("b2"), col("c"))),
+          col("b2") < col(bin), "left")
+        .groupBy(bin).agg(coalesce(sum("c"), lit(0L)).as(s"below_$bin"))
+    }
+    def pr(bin: String): Column =
+      when(col("n_docs") > 1L,
+        col(s"below_$bin").cast("double") / (col("n_docs") - lit(1L)))
+        .otherwise(lit(0.0))
+    sig
+      .join(broadcast(below("bin_q")), Seq("bin_q"))
+      .join(broadcast(below("bin_d")), Seq("bin_d"))
+      .join(broadcast(below("bin_c")), Seq("bin_c"))
+      .crossJoin(broadcast(n))
+      .withColumn("pr_quality", pr("bin_q"))
+      .withColumn("pr_domain", pr("bin_d"))
+      .withColumn("pr_classifier", pr("bin_c"))
+      .withColumn("blend_score",
+        q6((col("pr_quality") + col("pr_domain") + col("pr_classifier")) / 3.0))
+      .select("doc_id", "quality_score", "avg_logratio", "mean_logodds",
+        "pr_quality", "pr_domain", "pr_classifier", "blend_score")
+  }
+
   /** Poisson(1) inverse-CDF: deterministic bootstrap weight from a uniform
     * draw. Cumulative thresholds are the exact double literals of
     * Σ_{j≤k} e⁻¹/j! (mirrored digit-for-digit in the oracle SQL, so the

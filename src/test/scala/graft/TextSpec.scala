@@ -1855,4 +1855,67 @@ class TextSpec extends SparkTestBase {
     assert(ci.getAs[Double]("acc_lo95") <= point && point <= ci.getAs[Double]("acc_hi95"),
       s"point accuracy $point outside [${ci.getAs[Double]("acc_lo95")}, ${ci.getAs[Double]("acc_hi95")}]")
   }
+
+  test("classifierCv: md5 folds partition the corpus; fold-0 row re-derives " +
+      "from a JVM-side fold split; held-out accuracy beats chance") {
+    val truth = col("source").isin("src0", "src1", "src2", "src3")
+    val cv = Text.classifierCv(docs, truth).collect()
+      .map(r => r.getAs[Long]("fold") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"), r.getAs[Double]("acc"))))
+      .toMap
+    assert(cv.keySet == (0L until 5L).toSet)
+    val total = docs.count()
+    assert(cv.values.map(_._1).sum == total, "folds must partition the corpus")
+    cv.values.foreach { case (n, c, a) =>
+      assert(c <= n && a == c.toDouble / n && a >= 0.0 && a <= 1.0)
+    }
+    // independent fold derivation: JVM md5 mod 5 (the engine computes the
+    // same key via conv(substring(md5...))); train/score fold 0 manually
+    def foldOf(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 15), 16) % 5
+    val ids0 = docs.select("doc_id").collect().map(_.getLong(0)).filter(foldOf(_) == 0L).toSet
+    assert(ids0.nonEmpty && ids0.size < total)
+    val m0 = Text.nbTrain(docs.filter(!col("doc_id").isin(ids0.toSeq: _*)), truth)
+    val manual = Text.nbScoreWith(m0, docs.filter(col("doc_id").isin(ids0.toSeq: _*)))
+      .join(docs.select(col("doc_id"), truth.as("is_pos")), Seq("doc_id"))
+      .select(((col("mean_logodds") >= 0.0) === col("is_pos")).cast("long").as("c"))
+      .collect().map(_.getLong(0))
+    assert(cv(0L) == ((manual.length.toLong, manual.sum,
+      manual.sum.toDouble / manual.length)))
+    // held-out (honest) accuracy still separates better than chance
+    val meanAcc = cv.values.map(_._3).sum / 5.0
+    assert(meanAcc > 0.5, s"held-out accuracy $meanAcc not above chance")
+  }
+
+  test("qualityBlend: percentiles re-derive from per-signal strictly-below " +
+      "bin counts; blend is the q6 mean; all bounded in [0,1]") {
+    val rows = q("quality_blend").collect()
+    assert(rows.length == docs.count())
+    def q6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val n = rows.length
+    // re-derive each signal's percentile from scratch off the emitted raw
+    // signal columns (bins + strictly-below counts, RANK tie semantics)
+    def prOf(vals: Array[(Long, Double)]): Map[Long, Double] = {
+      val bins = vals.map { case (id, v) => (id, math.floor(v * 100.0).toLong) }
+      val hist = bins.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+      bins.map { case (id, b) =>
+        id -> hist.filter(_._1 < b).values.sum.toDouble / (n - 1)
+      }.toMap
+    }
+    val prQ = prOf(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality_score"))))
+    val prD = prOf(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("avg_logratio"))))
+    val prC = prOf(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("mean_logodds"))))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Double]("pr_quality") == prQ(id))
+      assert(r.getAs[Double]("pr_domain") == prD(id))
+      assert(r.getAs[Double]("pr_classifier") == prC(id))
+      val want = q6d((prQ(id) + prD(id) + prC(id)) / 3.0)
+      assert(r.getAs[Double]("blend_score") == want)
+      Seq("pr_quality", "pr_domain", "pr_classifier", "blend_score").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c = $v out of [0,1]")
+      }
+    }
+  }
 }
