@@ -3193,6 +3193,56 @@ af AS (
       WHERE CAST(cm.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - cm.n_common) >= 0.5"""
     },
 
+    // minhash calibration: same md5-mirrorable signature/banding CTEs,
+    // estimate = agreeing components / 32 vs the exact shingle Jaccard,
+    // abs error q6; zero-overlap collisions kept via LEFT JOIN
+    "minhash_estimate" -> {
+      val sigCols = (0 until 32)
+        .map(j => s"min(md5('$j:' || shingle)) AS h$j").mkString(",\n                   ")
+      val bandRows = (0 until 8).map { b =>
+        val parts = (b * 4 until (b + 1) * 4).map(j => s"h$j").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS band_hash FROM sigs"
+      }.mkString("\n               UNION ALL ")
+      val agreeTerms = (0 until 32)
+        .map(j => s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END")
+        .mkString("\n                      + ")
+      s"""
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      sigs AS (SELECT doc_id,
+                   $sigCols
+               FROM sh GROUP BY doc_id),
+      buckets AS ($bandRows),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM buckets x JOIN buckets y USING (band, band_hash)
+               WHERE x.doc_id < y.doc_id),
+      sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+      cm AS (SELECT doc_a, doc_b, count(*) AS n_common
+             FROM cand
+             JOIN sh a ON a.doc_id = doc_a
+             JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+             GROUP BY 1, 2),
+      est AS (SELECT c.doc_a, c.doc_b,
+                     CAST($agreeTerms AS BIGINT) AS n_agree
+              FROM cand c
+              JOIN sigs sa ON sa.doc_id = c.doc_a
+              JOIN sigs sb ON sb.doc_id = c.doc_b)
+      SELECT e.doc_a, e.doc_b, e.n_agree,
+             CAST(e.n_agree AS DOUBLE) / 32.0 AS est_jaccard,
+             CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+             CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+               / (sa.n_shingles + sb.n_shingles - COALESCE(cm.n_common, 0)) AS jaccard,
+             floor(abs(CAST(e.n_agree AS DOUBLE) / 32.0
+                       - CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+                         / (sa.n_shingles + sb.n_shingles - COALESCE(cm.n_common, 0)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS abs_err
+      FROM est e
+      LEFT JOIN cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
+      JOIN sz sa ON e.doc_a = sa.doc_id
+      JOIN sz sb ON e.doc_b = sb.doc_id"""
+    },
+
     // edit-distance near-dup: the SAME md5-mirrorable banding candidate
     // CTEs as dedup_minhash_lsh, verified with classic Levenshtein ≤ 20
     // (both engines implement the same DP distance; Spark's thresholded

@@ -295,6 +295,10 @@ object SparkEntry {
     // pairs (short doc engulfed by a long one) that resemblance misses
     "dedup_containment" -> ((s, d) =>
       Text.dedupContainmentFrom(shingles(s, d), threshold = 0.6)),
+    // sketch calibration: per band-collision pair, the signature-estimated
+    // Jaccard next to the exact one + abs error — the numHashes-sizing
+    // measurement for every estimate-only admission rule
+    "minhash_estimate" -> ((s, d) => Text.minhashEstimateFrom(shingles(s, d))),
     // mirrorable (md5) signature + band hashes so the candidate set itself
     // is value-checked; the xxhash64 sketch aggregate stays the scale default
     "dedup_minhash_lsh" -> ((s, d) =>

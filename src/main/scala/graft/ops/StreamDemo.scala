@@ -1072,6 +1072,75 @@ object StreamDemo {
       }
   }
 
+  /** Streaming Poisson-bootstrap CI refresh — the uncertainty statement of
+    * [[Text.classifierBootstrap]] as a standing stream: documents arrive
+    * continuously, a FROZEN classifier gate (the model under evaluation —
+    * eval of a pinned gate on live data, the deployment-monitoring shape)
+    * scores each micro-batch, and the per-replicate integer sums fold
+    * into one cumulative `sums/batch_id=N` layer under the
+    * [[DsirStore]]/ClassifierStore replay rules. Poisson(1) weights are
+    * doc-LOCAL (the whole point of the Chamandy et al. construction), so
+    * the batch deltas sum to exactly the whole-history replicate sums —
+    * streamed CI ≡ batch bootstrap over everything ingested, BIT-exactly,
+    * across checkpointed restart (StreamClassifierSpec). The store is R
+    * rows forever however much text streams; [[readBootstrap]] +
+    * [[Text.classifierCiFrom]] turn it into the live confidence interval. */
+  def streamBootstrapRefresh(spark: SparkSession, docsDir: String,
+      model: Text.NbModel, storeDir: String, checkpointDir: String,
+      truthSources: Seq[String], replicates: Int = 64,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("source", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val merged = BootstrapStore.view(spark, storeDir, batchId)
+          .unionByName(Text.bootstrapDeltas(batch, model,
+            col("source").isin(truthSources: _*), replicates))
+          .groupBy("replicate").agg(
+            sum("n_eff").as("n_eff"), sum("n_correct_w").as("n_correct_w"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite")
+          .parquet(s"$storeDir/sums/batch_id=$batchId")
+        for ((_, p) <- ReportStore.completeIds(spark, storeDir, "sums", "batch_id=")
+               .filter(_._1 < batchId)
+               .sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1).drop(1))
+          ReportStore.fs(spark, p).delete(p, true)
+        ()
+      }
+      .start()
+  }
+
+  /** The newest committed streamed bootstrap sums, accuracy attached —
+    * [[Text.classifierCiFrom]]-ready, bit-identical to batch
+    * [[Text.classifierBootstrap]] over everything ingested. */
+  def readBootstrap(spark: SparkSession, storeDir: String): DataFrame =
+    Text.withBootstrapAcc(BootstrapStore.view(spark, storeDir, Long.MaxValue))
+
+  /** Store plumbing for [[streamBootstrapRefresh]] — the [[DsirStore]]
+    * rules on the single R-row replicate-sum layer. */
+  private[ops] object BootstrapStore {
+    import org.apache.spark.sql.types._
+    val sumsSchema: StructType = StructType(Seq(
+      StructField("replicate", LongType), StructField("n_eff", LongType),
+      StructField("n_correct_w", LongType)))
+    def view(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame =
+      ReportStore.completeIds(spark, storeDir, "sums", "batch_id=")
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) =>
+          spark.read.schema(sumsSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), sumsSchema)
+      }
+  }
+
   /** Streaming ANN admission — the index-maintenance lifecycle
     * ([[graft.ops.Similarity.ivfAppend]]) as a standing stream: embedding
     * vectors arrive continuously, each micro-batch is assigned to the

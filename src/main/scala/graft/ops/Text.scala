@@ -3159,6 +3159,17 @@ object Text {
     * R partial rows, never R×n; output is R rows. All-integer sums, one
     * double division per replicate (`classifier_bootstrap`, mirrored). */
   def classifierBootstrap(documents: DataFrame, model: NbModel,
+      truth: Column, replicates: Int = 64): DataFrame =
+    withBootstrapAcc(bootstrapDeltas(documents, model, truth, replicates))
+
+  /** The replicate-keyed integer sums of one document set — the unit both
+    * [[classifierBootstrap]] (whole corpus) and the streaming CI refresh
+    * ([[StreamDemo.streamBootstrapRefresh]], per micro-batch) aggregate.
+    * Poisson weights are doc-local, so batch deltas SUM to the whole-
+    * corpus replicate sums exactly — the property that makes the
+    * streaming fold bit-equal to batch (the [[nbCountDelta]] contract,
+    * replicate-shaped). */
+  private[ops] def bootstrapDeltas(documents: DataFrame, model: NbModel,
       truth: Column, replicates: Int = 64): DataFrame = {
     val correct = nbScoreWith(model, documents)
       .join(documents.select(col("doc_id"), truth.as("is_pos")), Seq("doc_id"))
@@ -3175,9 +3186,14 @@ object Text {
       .groupBy("replicate").agg(
         sum("w").as("n_eff"),
         sum(col("w") * col("correct")).as("n_correct_w"))
-      .select(col("replicate"), col("n_eff"), col("n_correct_w"),
-        (col("n_correct_w").cast("double") / col("n_eff")).as("acc"))
   }
+
+  /** Attach the per-replicate accuracy to a (replicate, n_eff,
+    * n_correct_w) sum frame — shared by the batch query and the
+    * streamed-store reader so the division convention can't drift. */
+  private[ops] def withBootstrapAcc(sums: DataFrame): DataFrame =
+    sums.select(col("replicate"), col("n_eff"), col("n_correct_w"),
+      (col("n_correct_w").cast("double") / col("n_eff")).as("acc"))
 
   /** Percentile confidence interval over [[classifierBootstrap]]'s
     * replicate accuracies — the one-row uncertainty statement a curation
@@ -3507,6 +3523,67 @@ object Text {
   private def estJaccard(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / size(a)
+
+  /** MinHash CALIBRATION telemetry: per band-collision candidate pair,
+    * the signature-estimated Jaccard (fraction of agreeing components —
+    * the Broder unbiased estimator the sketch tier trusts when it skips
+    * the exact verify, e.g. [[dedupIncremental]]'s admission rule) next
+    * to the EXACT shingle Jaccard and their absolute error. This is the
+    * measurement that justifies — or indicts — every estimate-only
+    * decision: run it on a sample, read the error column, size
+    * `numHashes` accordingly (stderr ≈ √(J(1−J)/k)).
+    *
+    * md5-mirrorable end-to-end ([[dedupMinHashLshFrom]]'s declared-form
+    * discipline): signatures, band buckets, candidate set, estimate, and
+    * exact verify all reproduce in the DuckDB oracle
+    * (`minhash_estimate`). Scale shape: linear signature pass, candidate
+    * pairs only ever the band-collision set, and the component-agreement
+    * HOF runs on candidates — never corpus-wide. */
+  def minhashEstimateFrom(sh: DataFrame, numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sigCols = (0 until numHashes).map(j =>
+      min(md5(concat_ws(":", lit(j), col("shingle")))).as(s"h$j"))
+    // one signature pass feeds the banding AND both estimate join sides
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint(true)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          (b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*)).as("bh"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("band_hash"))
+      .distinct()
+    val sigArr = sigs.select(col("doc_id"),
+      array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = bandCandidates(buckets)
+      .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    bandCandidates(buckets)
+      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("n_agree", aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
+      .withColumn("est_jaccard",
+        col("n_agree").cast("double") / lit(numHashes.toDouble))
+      // a band collision without a shared shingle is a hash collision —
+      // cryptographically improbable under md5, but the estimator's
+      // contract (exact J = 0) must not silently drop the pair
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard", col("n_common").cast("double")
+        / (col("size_a") + col("size_b") - col("n_common")))
+      .withColumn("abs_err", q6(abs(col("est_jaccard") - col("jaccard"))))
+      .select("doc_a", "doc_b", "n_agree", "est_jaccard",
+        "n_common", "jaccard", "abs_err")
+  }
 
   /** Incremental near-dup admission — the batch-incremental core of the
     * streaming near-dup leg. Given the MinHash signature STORE of previously

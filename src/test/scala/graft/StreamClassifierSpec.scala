@@ -74,4 +74,63 @@ class StreamClassifierSpec extends SparkTestBase with TimeLimitedTests {
       .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
     assert(parts.length <= 2, s"retention failed: ${parts.mkString(",")}")
   }
+
+  test("streamed bootstrap CI equals the batch bootstrap over everything " +
+      "ingested, bit-exactly, across a checkpointed restart") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("boot_src")
+    val store = java.nio.file.Files.createTempDirectory("boot_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("boot_ckpt")
+
+    val all = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text", "source").orderBy("doc_id")
+    val rows = all.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"boot_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    // the FROZEN gate under evaluation: trained once on the full corpus
+    val truth = col("source").isin(trusted: _*)
+    val gate = Text.nbTrain(Tables.documents(spark, SF), truth)
+    def bootMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("replicate") ->
+        ((r.getAs[Long]("n_eff"), r.getAs[Long]("n_correct_w"),
+          r.getAs[Double]("acc")))).toMap
+    def batchTwin(slice: Array[org.apache.spark.sql.Row]) =
+      Text.classifierBootstrap(
+        spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema),
+        gate, truth)
+
+    // run 1: two micro-batches fold into one cumulative R-row layer
+    stage(1, rows.slice(0, cut1))
+    stage(2, rows.slice(cut1, cut2))
+    val q1 = StreamDemo.streamBootstrapRefresh(
+      s2, src.toString, gate, store.toString, ckpt.toString, trusted)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(bootMap(StreamDemo.readBootstrap(spark, store.toString)) ==
+      bootMap(batchTwin(rows.slice(0, cut2))),
+      "streamed bootstrap sums drifted from the batch twin mid-stream")
+
+    // checkpointed restart with the final slice: resumes, does not recount
+    stage(3, rows.slice(cut2, rows.length))
+    val q2 = StreamDemo.streamBootstrapRefresh(
+      s2, src.toString, gate, store.toString, ckpt.toString, trusted)
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = StreamDemo.readBootstrap(spark, store.toString)
+    assert(bootMap(streamed) == bootMap(batchTwin(rows)),
+      "streamed bootstrap sums drifted from the batch twin after restart")
+
+    // the live CI off the streamed store is bit-equal to the batch CI
+    val ciGot = Text.classifierCiFrom(streamed).collect().head
+    val ciWant = Text.classifierCiFrom(batchTwin(rows)).collect().head
+    assert(ciGot == ciWant)
+
+    // the store is R rows forever
+    assert(streamed.count() == 64L)
+  }
 }

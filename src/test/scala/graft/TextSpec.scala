@@ -1887,6 +1887,55 @@ class TextSpec extends SparkTestBase {
     assert(meanAcc > 0.5, s"held-out accuracy $meanAcc not above chance")
   }
 
+  test("minhashEstimate: signatures re-derive from JVM md5; estimator exact " +
+      "on identical docs; candidate set is the LSH family's own") {
+    import spark.implicits._
+    // independent re-derivation on a planted corpus: JVM-side md5 min
+    // signatures -> component agreement, vs the operator's n_agree
+    val core = (1 to 12).map(i => s"c$i").mkString(" ")
+    val synth = Seq(
+      (1L, core),
+      (2L, core), // exact dup of 1
+      (3L, s"${(1 to 6).map(i => s"c$i").mkString(" ")} ${(1 to 6).map(i => s"z$i").mkString(" ")}"),
+      (4L, (1 to 20).map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Text.minhashEstimateFrom(Text.shingles(synth)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_agree"), r.getAs[Double]("est_jaccard"),
+          r.getAs[Double]("jaccard")))).toMap
+    // JVM twin: shingles (word 5-grams), 32 md5-min components per doc
+    def shinglesOf(text: String): Set[String] = {
+      val t = text.split("\\s+"); (0 to t.length - 5).map(i => t.slice(i, i + 5).mkString(" ")).toSet
+    }
+    def sigOf(sh: Set[String]): IndexedSeq[String] =
+      (0 until 32).map(j => sh.map(s => md5hex(s"$j:$s")).min)
+    val texts = Map(1L -> core, 2L -> core,
+      3L -> s"${(1 to 6).map(i => s"c$i").mkString(" ")} ${(1 to 6).map(i => s"z$i").mkString(" ")}",
+      4L -> (1 to 20).map(i => s"q$i").mkString(" "))
+    for (((a, b), (nAgree, est, _)) <- got) {
+      val want = sigOf(shinglesOf(texts(a))).zip(sigOf(shinglesOf(texts(b))))
+        .count { case (x, y) => x == y }.toLong
+      assert(nAgree == want, s"pair ($a,$b): n_agree $nAgree != JVM twin $want")
+      assert(est == nAgree.toDouble / 32.0)
+    }
+    // the exact-dup pair: all components agree, exact jaccard 1, error 0
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == ((32L, 1.0, 1.0)))
+    // docs 1 and 4 share nothing: never candidates
+    assert(!got.contains((1L, 4L)) && !got.contains((4L, 1L)))
+    // real corpus: candidate pairs are exactly the mirrorable LSH family's
+    // (same banding machinery), and the estimator is well-calibrated in
+    // aggregate (mean |est - exact| within a few binomial standard errors)
+    val est = q("minhash_estimate").cache()
+    val estPairs = est.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Text.dedupMinHashLshFrom(Text.shingles(docs), threshold = 0.0,
+        mirrorableHash = true)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(estPairs == lshPairs,
+      "estimate telemetry must cover exactly the LSH candidate set")
+    val meanErr = est.agg(avg("abs_err")).collect().head.getDouble(0)
+    assert(meanErr < 0.15, s"mean |est - exact| $meanErr too large for k=32")
+  }
+
   test("qualityBlend: percentiles re-derive from per-signal strictly-below " +
       "bin counts; blend is the q6 mean; all bounded in [0,1]") {
     val rows = q("quality_blend").collect()
