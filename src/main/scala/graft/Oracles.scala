@@ -3392,6 +3392,72 @@ af AS (
       FROM cm JOIN se USING (eval_id)
       WHERE CAST(cm.n_common AS DOUBLE) / se.size_eval >= 0.6""",
 
+    // threshold sweep: the dedup_ngram_jaccard pair CTEs unfiltered, a
+    // 5-threshold unnest over the verified pairs, pair + affected-doc
+    // counts per cut (zero-pair thresholds report 0s via LEFT JOIN)
+    "dedup_threshold_sweep" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      ex AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM tk WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle FROM ex),
+      sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+      rare AS (SELECT sh.* FROM sh
+               JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 128) r
+               USING (shingle)),
+      cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+             FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      pj AS (SELECT cm.doc_a, cm.doc_b,
+                    CAST(cm.n_common AS DOUBLE)
+                      / (sa.n_shingles + sb.n_shingles - cm.n_common) AS jaccard
+             FROM cm
+             JOIN sz sa ON cm.doc_a = sa.doc_id
+             JOIN sz sb ON cm.doc_b = sb.doc_id),
+      th AS (SELECT unnest([0.5::DOUBLE, 0.6::DOUBLE, 0.7::DOUBLE,
+                            0.8::DOUBLE, 0.9::DOUBLE]) AS threshold),
+      sw AS (SELECT th.threshold, pj.doc_a, pj.doc_b
+             FROM pj JOIN th ON pj.jaccard >= th.threshold),
+      np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+             FROM sw GROUP BY 1),
+      nd AS (SELECT threshold, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_affected
+             FROM (SELECT threshold, doc_a AS doc_id FROM sw
+                   UNION ALL SELECT threshold, doc_b FROM sw) u
+             GROUP BY 1)
+      SELECT th.threshold,
+             CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(nd.n_docs_affected, 0) AS BIGINT) AS n_docs_affected
+      FROM th
+      LEFT JOIN np USING (threshold)
+      LEFT JOIN nd USING (threshold)""",
+
+    // vocabulary telemetry: Heaps position + top-100 Zipf slope per
+    // source; regression over decimal-exact q6 ln sums, closed form
+    "vocab_growth" -> s"""
+      WITH toks AS (SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS token
+                    FROM documents),
+      tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+              FROM toks GROUP BY 1),
+      freq AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS freq
+               FROM toks GROUP BY 1, 2),
+      top AS (SELECT source,
+                     floor(ln(CAST(rk AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS x,
+                     floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS y
+              FROM (SELECT source, freq,
+                           row_number() OVER (PARTITION BY source
+                                              ORDER BY freq DESC, token) AS rk
+                    FROM freq) r
+              WHERE rk <= 100),
+      reg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS k,
+                     ${r6sum("x")} AS sx, ${r6sum("y")} AS sy,
+                     ${r6sum("x * y")} AS sxy, ${r6sum("x * x")} AS sxx
+              FROM top GROUP BY 1)
+      SELECT t.source, t.n_tokens, t.n_distinct_tokens,
+             floor((ln(CAST(t.n_distinct_tokens AS DOUBLE))
+                    / ln(CAST(t.n_tokens AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS heaps_beta,
+             floor(((reg.k * reg.sxy - reg.sx * reg.sy)
+                    / (reg.k * reg.sxx - reg.sx * reg.sx)) * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope
+      FROM tot t JOIN reg USING (source)""",
+
     // cross-tier dedup agreement: the n-gram Jaccard pair set vs the
     // embedding cosine pair set over the id-aligned corpus — 1-row
     // overlap telemetry (both tiers' own oracles supply the pair CTEs)

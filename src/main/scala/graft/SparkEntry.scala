@@ -299,6 +299,12 @@ object SparkEntry {
     // Jaccard next to the exact one + abs error — the numHashes-sizing
     // measurement for every estimate-only admission rule
     "minhash_estimate" -> ((s, d) => Text.minhashEstimateFrom(shingles(s, d))),
+    // threshold-picking telemetry: pair/affected-doc counts at each
+    // candidate Jaccard cut, from ONE candidate/verify pass
+    "dedup_threshold_sweep" -> ((s, d) => Text.dedupThresholdSweep(shingles(s, d))),
+    // corpus-health vocabulary telemetry: Heaps-law position + top-100
+    // Zipf slope per source (template/junk sources flatten toward 0)
+    "vocab_growth" -> ((s, d) => Text.vocabGrowth(Tables.documents(s, d))),
     // mirrorable (md5) signature + band hashes so the candidate set itself
     // is value-checked; the xxhash64 sketch aggregate stays the scale default
     "dedup_minhash_lsh" -> ((s, d) =>

@@ -2048,6 +2048,82 @@ object Text {
       .select("doc_id", "eval_id", "n_common", "size_eval", "containment")
   }
 
+  /** Dedup THRESHOLD SWEEP — the pair-volume curve a pipeline reads
+    * before committing to a Jaccard cut: from ONE candidate/verify pass
+    * (the [[dedupNgramJaccardFrom]] machinery at threshold 0), the pair
+    * count and affected-document count at each candidate threshold. The
+    * curve's knee separates "template near-dups" from "topical overlap";
+    * picking 0.5 vs 0.8 can swing the cut corpus by whole percents, and
+    * this is the measurement that shows it BEFORE the cut (the
+    * no-silent-caps discipline applied to the threshold knob itself).
+    *
+    * Scale shape: the expensive part — candidate generation + exact
+    * verify — runs ONCE; the sweep is a |thresholds|-way Generate over
+    * the verified pair set (pairs, not corpus) and two bounded
+    * aggregations. */
+  def dedupThresholdSweep(sh: DataFrame,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+      maxShingleDf: Int = 128): DataFrame = {
+    val pairs = dedupNgramJaccardFrom(sh, threshold = 0.0, maxShingleDf)
+      .select("doc_a", "doc_b", "jaccard").localCheckpoint(true)
+    val swept = pairs
+      .withColumn("threshold", explode(array(thresholds.map(lit): _*)))
+      .filter(col("jaccard") >= col("threshold"))
+    val nPairs = swept.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = swept
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("threshold").agg(countDistinct(col("doc_id")).as("n_docs_affected"))
+    // thresholds with zero surviving pairs still report (0, 0) rows — a
+    // silent absence reads as "not measured"
+    val base = sh.sparkSession.createDataFrame(
+      thresholds.map(t => Tuple1(t))).toDF("threshold")
+    base.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
+  }
+
+  /** Corpus-health VOCABULARY telemetry per source: Heaps-law position
+    * (how fast vocabulary grows with corpus size — ln V / ln N, the
+    * exponent β of V ≈ N^β when the corpus is one sample point) and the
+    * ZIPF SLOPE of the top-`topK` rank-frequency curve (least-squares
+    * slope of ln freq on ln rank; natural text sits near −1, templated or
+    * synthetic junk flattens toward 0, and a slope shift per source is a
+    * contamination/boilerplate signal — Gopher's frequency diagnostics
+    * family).
+    *
+    * Exactness: ranks are deterministic (freq desc, token asc); the
+    * regression is the closed form over decimal-exact sums of q6 ln
+    * values (reduction-order independent, DuckDB-mirrored term for term).
+    * Scale shape: one token aggregation per source, a top-K window over
+    * the per-source frequency table (WindowGroupLimit — never a global
+    * sort), K·|sources| regression rows. */
+  def vocabGrowth(documents: DataFrame, topK: Int = 100): DataFrame = {
+    val toks = documents.select(col("source"), explode(tokens(col("text"))).as("token"))
+    val totals = toks.groupBy("source").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("token")).as("n_distinct_tokens"))
+    val freq = toks.groupBy("source", "token").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("freq").desc, col("token"))
+    val top = freq.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("source"), q6(log(col("rk").cast("double"))).as("x"),
+        q6(log(col("freq").cast("double"))).as("y"))
+    val reg = top.groupBy("source").agg(
+      count(lit(1)).as("k"),
+      r6sum(col("x")).as("sx"), r6sum(col("y")).as("sy"),
+      r6sum(col("x") * col("y")).as("sxy"),
+      r6sum(col("x") * col("x")).as("sxx"))
+    totals.join(reg, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("n_distinct_tokens"),
+        q6(log(col("n_distinct_tokens").cast("double"))
+          / log(col("n_tokens").cast("double"))).as("heaps_beta"),
+        q6((col("k") * col("sxy") - col("sx") * col("sy"))
+          / (col("k") * col("sxx") - col("sx") * col("sx"))).as("zipf_slope"))
+  }
+
   /** TF-IDF keyword extraction: per-document top-k terms by tf·ln(N/df).
     * Pure relational rendering — term frequencies and document frequencies
     * are two hash aggregations over the token postings, the corpus size is

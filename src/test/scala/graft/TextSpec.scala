@@ -1936,6 +1936,74 @@ class TextSpec extends SparkTestBase {
     assert(meanErr < 0.15, s"mean |est - exact| $meanErr too large for k=32")
   }
 
+  test("dedupThresholdSweep: counts re-derive from the unfiltered pair set; " +
+      "monotone non-increasing; all five thresholds always reported") {
+    val sweep = q("dedup_threshold_sweep").collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_affected")))).toMap
+    assert(sweep.keySet == Set(0.5, 0.6, 0.7, 0.8, 0.9),
+      "every threshold must report, even at zero pairs")
+    // re-derive from the jaccard twin at threshold 0
+    val pairs = Text.dedupNgramJaccardFrom(Text.shingles(docs), threshold = 0.0)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for ((t, (np, nd)) <- sweep) {
+      val above = pairs.filter(_._3 >= t)
+      assert(np == above.length.toLong, s"t=$t n_pairs")
+      assert(nd == above.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong, s"t=$t n_docs")
+    }
+    // the curve can only shrink as the cut tightens
+    val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    ts.sliding(2).foreach { case Seq(a, b) =>
+      assert(sweep(a)._1 >= sweep(b)._1 && sweep(a)._2 >= sweep(b)._2)
+    }
+  }
+
+  test("vocabGrowth: Zipf slope re-derives from a closed-form regression; " +
+      "Heaps beta in (0,1]; a planted flat source flattens the slope") {
+    import spark.implicits._
+    val rows = q("vocab_growth").collect()
+    assert(rows.nonEmpty)
+    def q6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // re-derive one source's regression from raw token counts
+    val src = rows.head.getAs[String]("source")
+    val freqs = docs.filter(col("source") === src)
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .groupBy("token").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (tok, f) => (-f, tok) }.take(100)
+    val xy = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (q6d(math.log(i + 1.0)), q6d(math.log(f.toDouble))) }
+    def dsum(vs: Array[Double]): Double =
+      vs.map(v => BigDecimal(q6d(v)).setScale(10)).sum.toDouble
+    val k = xy.length.toDouble
+    val (sx, sy) = (dsum(xy.map(_._1)), dsum(xy.map(_._2)))
+    val (sxy, sxx) = (dsum(xy.map(p => p._1 * p._2)), dsum(xy.map(p => p._1 * p._1)))
+    val wantSlope = q6d((k * sxy - sx * sy) / (k * sxx - sx * sx))
+    val got = rows.find(_.getAs[String]("source") == src).get
+    assert(got.getAs[Double]("zipf_slope") == wantSlope)
+    rows.foreach { r =>
+      val beta = r.getAs[Double]("heaps_beta")
+      assert(beta > 0.0 && beta <= 1.0, s"heaps_beta $beta out of range")
+      assert(r.getAs[Double]("zipf_slope") <= 0.0,
+        "rank-frequency slope cannot be positive (ranks are by freq desc)")
+    }
+    // planted law: a uniform-frequency source has slope EXACTLY 0; a
+    // frequency-decaying one is strictly negative
+    val synth = (
+      (1 to 20).map(i => (i.toLong, "flat", ("ta tb tc td " * 5).trim)) ++
+      (1 to 20).map(i => (100L + i, "zipfy",
+        ("a " * 8) + ("b " * 4) + ("c " * 2) + "d"))
+    ).toDF("doc_id", "source", "text")
+    val vg = Text.vocabGrowth(synth).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("zipf_slope")).toMap
+    // uniform frequencies ⇒ slope 0 up to the q6 term-rounding residue
+    // (each regression term is quantized, so the cancellation leaves ulps)
+    assert(math.abs(vg("flat")) <= 1e-5, s"uniform source slope ${vg("flat")} not ~0")
+    assert(vg("zipfy") < -0.5 && math.abs(vg("flat")) < math.abs(vg("zipfy")),
+      s"flat ${vg("flat")} not flatter than zipfy ${vg("zipfy")}")
+  }
+
   test("qualityBlend: percentiles re-derive from per-signal strictly-below " +
       "bin counts; blend is the q6 mean; all bounded in [0,1]") {
     val rows = q("quality_blend").collect()
