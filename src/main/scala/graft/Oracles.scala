@@ -1933,6 +1933,117 @@ af AS (
                                * 1000000.0 + 0.5) / 1000000.0 AS acc_q6
                   FROM wts GROUP BY replicate) q) r"""),
 
+    // filter-Venn ablation: the five gate families' own rules (length
+    // percentile band, quality >= 0.5, classifier >= 0, DSIR >= 0, exact
+    // keeper), one pass/fail combination count per row
+    "gate_overlap" -> """
+      WITH gl AS (SELECT d.doc_id FROM (
+          WITH h AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM documents GROUP BY 1, 2),
+          cw AS (SELECT source, n_chars,
+                        CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cum,
+                        CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+                 FROM h),
+          cuts AS (SELECT source,
+                          MIN(CASE WHEN cum >= (n*5 + 99) // 100 THEN n_chars END) AS p_lo,
+                          MIN(CASE WHEN cum >= (n*95 + 99) // 100 THEN n_chars END) AS p_hi
+                   FROM cw GROUP BY source)
+          SELECT d.doc_id
+          FROM documents d JOIN cuts USING (source)
+          WHERE d.n_chars >= cuts.p_lo AND d.n_chars <= cuts.p_hi) d),
+      gq AS (SELECT doc_id,
+                    CASE WHEN greatest(0.0, least(1.0,
+                           0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                               + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                               - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) >= 0.5
+                         THEN 1 ELSE 0 END AS g_quality
+             FROM (SELECT doc_id,
+                          CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                          CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
+                   FROM documents) a),
+      gc AS (SELECT doc_id,
+                    CASE WHEN mean_logodds >= 0.0 THEN 1 ELSE 0 END AS g_classifier
+             FROM (
+          WITH p AS (SELECT source IN ('src0','src1','src2','src3') AS is_pos,
+                            unnest(regexp_split_to_array(text, '\s+')) AS token
+                     FROM documents),
+          counts AS (SELECT token,
+                            CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                            CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+                     FROM p GROUP BY token),
+          tot AS (SELECT CAST(SUM(c_pos) + COUNT(*) AS BIGINT) AS np_v,
+                         CAST(SUM(c_neg) + COUNT(*) AS BIGINT) AS nn_v FROM counts),
+          weights AS (SELECT token,
+                             floor(((ln(c_pos + 1) - ln(np_v)) - (ln(c_neg + 1) - ln(nn_v)))
+                                   * 1000000.0 + 0.5) / 1000000.0 AS weight
+                      FROM counts CROSS JOIN tot),
+          floor_w AS (SELECT floor((ln(nn_v) - ln(np_v)) * 1000000.0 + 0.5)
+                             / 1000000.0 AS w0 FROM tot),
+          tk AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+                 FROM documents),
+          scored AS (SELECT tk.doc_id, COALESCE(w.weight, f.w0) AS w
+                     FROM tk LEFT JOIN weights w USING (token) CROSS JOIN floor_w f)
+          SELECT doc_id,
+                 CAST(CAST(SUM(CAST(w AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(w) AS mean_logodds
+          FROM scored GROUP BY doc_id) cc),
+      gd AS (SELECT doc_id,
+                    CASE WHEN avg_logratio >= 0.0 THEN 1 ELSE 0 END AS g_domain
+             FROM (
+          WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                      FROM documents),
+          grams AS (
+            SELECT doc_id, unnest(t) AS g FROM tk
+            UNION ALL
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                  FROM tk WHERE len(t) >= 2) x),
+          gb AS (SELECT g.doc_id,
+                        (('0x' || substr(md5(g.g), 1, 15))::BIGINT % 1024) AS bucket,
+                        d.source IN ('src0','src1','src2','src3') AS in_dom
+                 FROM grams g JOIN documents d ON g.doc_id = d.doc_id),
+          bg AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_bg
+                 FROM gb GROUP BY bucket),
+          ind AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_in
+                  FROM gb WHERE in_dom GROUP BY bucket),
+          tot AS (SELECT (SELECT CAST(SUM(c_bg) AS BIGINT) FROM bg) AS t_bg,
+                         (SELECT CAST(SUM(c_in) AS BIGINT) FROM ind) AS t_in),
+          lr AS (SELECT bg.bucket,
+                        floor(ln(
+                            (CAST(COALESCE(ind.c_in, 0) + 1 AS DOUBLE) / (tot.t_in + 1024))
+                          / (CAST(bg.c_bg + 1 AS DOUBLE) / (tot.t_bg + 1024))
+                        ) * 1000000.0 + 0.5) / 1000000.0 AS lnr
+                 FROM bg LEFT JOIN ind ON bg.bucket = ind.bucket CROSS JOIN tot)
+          SELECT gb.doc_id,
+                 CAST(CAST(SUM(CAST(lnr AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(lnr) AS avg_logratio
+          FROM gb JOIN lr ON gb.bucket = lr.bucket
+          GROUP BY gb.doc_id) dd),
+      gu AS (SELECT fp.doc_id,
+                    CASE WHEN fp.doc_id = g.keeper_id THEN 1 ELSE 0 END AS g_unique
+             FROM (SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint FROM documents) fp
+             JOIN (SELECT fingerprint, min(doc_id) AS keeper_id
+                   FROM (SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint FROM documents) q
+                   GROUP BY 1) g USING (fingerprint)),
+      f AS (SELECT d.doc_id,
+                   CASE WHEN gl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS g_len,
+                   gq.g_quality, gc.g_classifier, gd.g_domain, gu.g_unique
+            FROM documents d
+            LEFT JOIN gl ON gl.doc_id = d.doc_id
+            JOIN gq ON gq.doc_id = d.doc_id
+            JOIN gc ON gc.doc_id = d.doc_id
+            JOIN gd ON gd.doc_id = d.doc_id
+            JOIN gu ON gu.doc_id = d.doc_id)
+      SELECT CAST(g_len AS BIGINT) AS g_len,
+             CAST(g_quality AS BIGINT) AS g_quality,
+             CAST(g_classifier AS BIGINT) AS g_classifier,
+             CAST(g_domain AS BIGINT) AS g_domain,
+             CAST(g_unique AS BIGINT) AS g_unique,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(g_len + g_quality + g_classifier + g_domain + g_unique AS BIGINT) AS n_gates_passed
+      FROM f
+      GROUP BY g_len, g_quality, g_classifier, g_domain, g_unique""",
+
     // 5-fold cross-validated gate accuracy: per fold, the NB train CTEs
     // over fold<>f and scoring over fold=f (md5-mod-5 assignment), one
     // row of integer counts + one division; folds UNION ALLed

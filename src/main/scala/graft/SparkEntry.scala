@@ -407,6 +407,11 @@ object SparkEntry {
     "quality_blend" -> ((s, d) =>
       Text.qualityBlend(Tables.documents(s, d), nbModel(s, d),
         dsirCounts(s, d), mirrorableHash = true)),
+    // filter-Venn ablation: pass/fail combination counts across the five
+    // gate families — which gates bite, and do they overlap?
+    "gate_overlap" -> ((s, d) =>
+      Text.gateOverlap(Tables.documents(s, d), nbModel(s, d),
+        dsirCounts(s, d), mirrorableHash = true)),
     // Moore-Lewis cross-entropy difference: in-domain LM (trusted sources)
     // vs the train-split background LM, scored in one bigram pass
     // DSIR (Xie et al. 2023): hashed (uni+bi)-gram importance weights of

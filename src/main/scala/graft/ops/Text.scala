@@ -3195,6 +3195,46 @@ object Text {
         "pr_quality", "pr_domain", "pr_classifier", "blend_score")
   }
 
+  /** GATE-OVERLAP (filter Venn) telemetry — the ablation table the recent
+    * public corpus reports publish before committing to a filter stack:
+    * which gates bite, and do they bite the SAME documents? One row per
+    * observed pass/fail combination of five independent gate families —
+    * length percentile band ([[lengthFilter]]), heuristic quality
+    * ([[qualityScore]] ≥ `qualityMin`), NB classifier ([[nbScoreWith]]
+    * ≥ 0), DSIR domain importance ([[dsirScoreWith]] ≥ 0), and exact
+    * uniqueness ([[dedupExact]] keeper) — with the document count. A gate
+    * that only ever fails alongside another is redundant; a gate that
+    * fails alone is carrying unique signal. ≤ 2⁵ rows however large the
+    * corpus.
+    *
+    * Every flag reuses the named operator's own code path (no re-stated
+    * thresholds — the audit cannot drift from the gates it audits). Scale
+    * shape: five per-doc flag columns (each family's one pass), one
+    * combining groupBy over 5 bits. */
+  def gateOverlap(documents: DataFrame, model: NbModel,
+      dsirCounts: DataFrame, buckets: Int = 1024,
+      mirrorableHash: Boolean = false,
+      qualityMin: Double = 0.5): DataFrame = {
+    val flags = documents.select(col("doc_id"))
+      .join(lengthFilter(documents).select(col("doc_id"), lit(1L).as("g_len")),
+        Seq("doc_id"), "left")
+      .join(qualityScore(documents).select(col("doc_id"),
+        (col("quality_score") >= qualityMin).cast("long").as("g_quality")), Seq("doc_id"))
+      .join(nbScoreWith(model, documents).select(col("doc_id"),
+        (col("mean_logodds") >= 0.0).cast("long").as("g_classifier")), Seq("doc_id"))
+      .join(dsirScoreWith(dsirCounts, documents, buckets, mirrorableHash)
+        .select(col("doc_id"),
+          (col("avg_logratio") >= 0.0).cast("long").as("g_domain")), Seq("doc_id"))
+      .join(dedupExact(documents).select(col("doc_id"),
+        (col("is_dup") === 0).cast("long").as("g_unique")), Seq("doc_id"))
+      .withColumn("g_len", coalesce(col("g_len"), lit(0L)))
+    flags.groupBy("g_len", "g_quality", "g_classifier", "g_domain", "g_unique")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_gates_passed",
+        col("g_len") + col("g_quality") + col("g_classifier")
+          + col("g_domain") + col("g_unique"))
+  }
+
   /** Poisson(1) inverse-CDF: deterministic bootstrap weight from a uniform
     * draw. Cumulative thresholds are the exact double literals of
     * Σ_{j≤k} e⁻¹/j! (mirrored digit-for-digit in the oracle SQL, so the

@@ -151,11 +151,18 @@ class PlansSpec extends SparkTestBase {
       "semdedup",                // nCells-row centroid broadcast (assignment)
       "semdedup_reduced",        // same centroid broadcast, reduced space
       "semdedup_incremental",    // bounded batch-side broadcast (admission shape)
-      "semdedup_incremental_pruned") // same batch broadcast + centroid routing
+      "semdedup_incremental_pruned", // same batch broadcast + centroid routing
+      "classifier_bootstrap",    // 1-row smoothing-floor broadcast via nbScoreWith
+      "classifier_ci",           // same 1-row floor broadcast via the bootstrap
+      "classifier_cv",           // k 1-row smoothing-floor broadcasts (one per fold)
+      "quality_blend",           // 1-row floor + n-docs broadcasts (rank fusion)
+      "gate_overlap")            // same 1-row floor/ratio broadcasts via the gates
     // Sanctioned unpartitioned windows/sorts: |teams|-bounded frames only.
     val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features",
-      "token_spectrum") // cumulative sweep over the count HISTOGRAM — rows
+      "token_spectrum", // cumulative sweep over the count HISTOGRAM — rows
                         // = distinct occurrence counts, bounded at any corpus size
+      "classifier_ci")  // rank window over the R-row replicate frame (R = 64
+                        // BY CONSTRUCTION — corpus-scale work happened map-side)
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val qe = fn(spark, SF).queryExecution
       val physical = qe.executedPlan.toString

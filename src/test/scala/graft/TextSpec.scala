@@ -2004,6 +2004,38 @@ class TextSpec extends SparkTestBase {
       s"flat ${vg("flat")} not flatter than zipfy ${vg("zipfy")}")
   }
 
+  test("gateOverlap: combination counts re-derive from the five gates' own " +
+      "declared queries; cells partition the corpus") {
+    val cells = q("gate_overlap").collect()
+      .map(r => (r.getAs[Long]("g_len"), r.getAs[Long]("g_quality"),
+        r.getAs[Long]("g_classifier"), r.getAs[Long]("g_domain"),
+        r.getAs[Long]("g_unique")) -> r.getAs[Long]("n_docs")).toMap
+    val total = docs.count()
+    assert(cells.values.sum == total, "Venn cells must partition the corpus")
+    // re-derive every flag from the gate families' own declared queries
+    val lenKept = q("length_filter").select("doc_id").collect().map(_.getLong(0)).toSet
+    val qual = q("text_quality").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Double]("quality_score") >= 0.5)).toMap
+    val cls = q("quality_classifier").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("label") == 1L)).toMap
+    val dom = q("dsir_weights").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Double]("avg_logratio") >= 0.0)).toMap
+    val uniq = q("dedup_exact").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("is_dup") == 0)).toMap
+    def b(x: Boolean): Long = if (x) 1L else 0L
+    val want = docs.select("doc_id").collect().map(_.getLong(0))
+      .groupBy(id => (b(lenKept(id)), b(qual(id)), b(cls(id)), b(dom(id)), b(uniq(id))))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    assert(cells == want, "Venn cells drifted from the gates' own outputs")
+    // consistency of the convenience sum
+    q("gate_overlap").collect().foreach { r =>
+      assert(r.getAs[Long]("n_gates_passed") ==
+        r.getAs[Long]("g_len") + r.getAs[Long]("g_quality")
+          + r.getAs[Long]("g_classifier") + r.getAs[Long]("g_domain")
+          + r.getAs[Long]("g_unique"))
+    }
+  }
+
   test("qualityBlend: percentiles re-derive from per-signal strictly-below " +
       "bin counts; blend is the q6 mean; all bounded in [0,1]") {
     val rows = q("quality_blend").collect()
