@@ -3503,6 +3503,65 @@ af AS (
       FROM cm JOIN se USING (eval_id)
       WHERE CAST(cm.n_common AS DOUBLE) / se.size_eval >= 0.6""",
 
+    // KMV/theta distinct-intersection sketch: per source the 64 smallest
+    // md5(sha256) hashes; per pair, theta = 64th smallest of the union
+    // sketch, union est = 63/theta, jaccard est = both-members/m; exact
+    // twin columns from the full distinct hash table
+    "source_overlap_kmv" -> """
+      WITH da AS (SELECT source, text FROM documents
+                  UNION ALL
+                  SELECT 'mirror' AS source, text FROM documents
+                  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'),
+      hs AS (SELECT DISTINCT source,
+                    md5(sha256(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+             FROM da),
+      sk AS (SELECT source, h FROM (
+               SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+               FROM hs) s WHERE rk <= 64),
+      srcs AS (SELECT DISTINCT source FROM hs),
+      pairs AS (SELECT a.source AS source_a, b.source AS source_b
+                FROM srcs a JOIN srcs b ON a.source < b.source),
+      un AS (SELECT DISTINCT source_a, source_b, h FROM (
+               SELECT p.source_a, p.source_b, s.h
+               FROM pairs p JOIN sk s ON s.source = p.source_a
+               UNION ALL
+               SELECT p.source_a, p.source_b, s.h
+               FROM pairs p JOIN sk s ON s.source = p.source_b) u),
+      uk AS (SELECT source_a, source_b, h, rk FROM (
+               SELECT source_a, source_b, h,
+                      row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rk
+               FROM un) x WHERE rk <= 64),
+      est AS (SELECT uk.source_a, uk.source_b,
+                     CAST(COUNT(*) AS BIGINT) AS m,
+                     MAX(CASE WHEN uk.rk = 64 THEN
+                       (('0x' || substr(uk.h, 1, 15))::BIGINT + 1) / 1152921504606846978.0
+                     END) AS theta,
+                     CAST(SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+              FROM uk
+              LEFT JOIN sk sa ON sa.source = uk.source_a AND sa.h = uk.h
+              LEFT JOIN sk sb ON sb.source = uk.source_b AND sb.h = uk.h
+              GROUP BY 1, 2),
+      er AS (SELECT source_a, source_b,
+                    CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                         ELSE 63.0 / theta END AS union_est_raw,
+                    CAST(n_both AS DOUBLE) / m AS jaccard_raw
+             FROM est),
+      nex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM hs GROUP BY 1),
+      iex AS (SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_inter
+              FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+              GROUP BY 1, 2)
+      SELECT er.source_a, er.source_b, na.n AS n_a, nb.n AS n_b,
+             CAST(COALESCE(iex.n_inter, 0) AS BIGINT) AS n_inter,
+             floor(union_est_raw * 1000000.0 + 0.5) / 1000000.0 AS union_est,
+             floor(jaccard_raw * 1000000.0 + 0.5) / 1000000.0 AS jaccard_est,
+             floor((jaccard_raw * union_est_raw) * 1000000.0 + 0.5) / 1000000.0 AS inter_est
+      FROM er
+      JOIN nex na ON na.source = er.source_a
+      JOIN nex nb ON nb.source = er.source_b
+      LEFT JOIN iex ON iex.source_a = er.source_a AND iex.source_b = er.source_b""",
+
     // threshold sweep: the dedup_ngram_jaccard pair CTEs unfiltered, a
     // 5-threshold unnest over the verified pairs, pair + affected-doc
     // counts per cut (zero-pair thresholds report 0s via LEFT JOIN)

@@ -568,6 +568,16 @@ object SparkEntry {
       Text.dupSourceMatrix(docs.unionByName(
         docs.filter(b < "20").withColumn("source", lit("mirror"))))
     }),
+    // KMV/theta distinct-intersection sketch between sources over the
+    // same synthetic mirror (k-bounded state; HLL can't intersect), with
+    // the exact twin riding along as its own calibration table
+    "source_overlap_kmv" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Text.sourceOverlapKmv(docs.unionByName(
+        docs.filter(b < "20").withColumn("source", lit("mirror"))))
+    }),
     // fuzzy (MinHash-LSH) decontamination: same %20 split, band collision
     // + exact-Jaccard verify; md5 mirror hashes so the oracle value-checks
     // the candidate set (xxhash64 sketch is the scale default)

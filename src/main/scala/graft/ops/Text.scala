@@ -2084,6 +2084,82 @@ object Text {
         coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
   }
 
+  /** KMV (k-minimum-values / theta-sketch) DISTINCT-INTERSECTION
+    * estimation between sources (Bar-Yossef et al. 2002; the Apache
+    * DataSketches theta family): per source keep only the k smallest
+    * content-hash values; for any source PAIR, the union sketch's k-th
+    * smallest value θ estimates the union cardinality as (k−1)/θ, and
+    * the fraction of union-sketch members present in BOTH sketches
+    * estimates the Jaccard — giving the overlap estimate |A∩B| ≈ J·|A∪B|
+    * from k-bounded state per source. This is the sketch HLL cannot
+    * provide (HLL unions but never intersects) and the published answer
+    * to "how many documents do these two crawls share?" without an
+    * all-pairs join.
+    *
+    * The hash is md5 over the [[fingerprints]] sha-256 (engine-portable,
+    * deterministic), so sketches, θ, and every estimate mirror in the
+    * DuckDB oracle; the EXACT twin columns (distinct counts + true
+    * intersection) ride along, making the declared query its own
+    * calibration table ([[minhashEstimateFrom]]'s discipline at the SET
+    * level). Scale shape: one distinct + per-source top-k window for the
+    * sketches (k-bounded state per source forever), pairwise work
+    * |sources|²·k rows — never corpus². The exact twin's fingerprint
+    * self-join is the small-corpus baseline the sketch replaces at scale. */
+  def sourceOverlapKmv(documents: DataFrame, k: Int = 64): DataFrame = {
+    val uOf: Column => Column = h =>
+      (conv(substring(h, 1, 15), 16, 10).cast("long")
+        .cast("double") + lit(1.0)) / lit(1152921504606846978.0)
+    val hs = documents.select(col("source"),
+      md5(fingerprintCol).as("h")).distinct().localCheckpoint(true)
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+    val sk = hs.withColumn("rk", row_number().over(wS)).filter(col("rk") <= k)
+      .select("source", "h").localCheckpoint(true)
+    val sources = hs.select("source").distinct()
+    val pairs = sources.select(col("source").as("source_a"))
+      .join(sources.select(col("source").as("source_b")),
+        col("source_a") < col("source_b"))
+    val union = pairs
+      .join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a"))
+      .unionByName(pairs
+        .join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b")))
+      .distinct()
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy("source_a", "source_b").orderBy("h")
+    val uk = union.withColumn("rk", row_number().over(wP)).filter(col("rk") <= k)
+    val est = uk
+      .join(sk.select(col("source").as("source_a"), col("h"), lit(1L).as("in_a")),
+        Seq("source_a", "h"), "left")
+      .join(sk.select(col("source").as("source_b"), col("h"), lit(1L).as("in_b")),
+        Seq("source_b", "h"), "left")
+      .groupBy("source_a", "source_b").agg(
+        count(lit(1)).as("m"),
+        max(when(col("rk") === k, uOf(col("h")))).as("theta"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+          .as("n_both"))
+      // fewer than k distinct in the union ⇒ the sketch IS the union
+      .withColumn("union_est_raw", when(col("m") < k, col("m").cast("double"))
+        .otherwise(lit((k - 1).toDouble) / col("theta")))
+      .withColumn("jaccard_raw", col("n_both").cast("double") / col("m"))
+      .select(col("source_a"), col("source_b"),
+        q6(col("union_est_raw")).as("union_est"),
+        q6(col("jaccard_raw")).as("jaccard_est"),
+        q6(col("jaccard_raw") * col("union_est_raw")).as("inter_est"))
+    // exact twin: true distinct counts + true pairwise intersection
+    val nEx = hs.groupBy("source").agg(count(lit(1)).as("n"))
+    val interEx = hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    est
+      .join(nEx.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"))
+      .join(nEx.select(col("source").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+      .join(interEx, Seq("source_a", "source_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select("source_a", "source_b", "n_a", "n_b", "n_inter",
+        "union_est", "jaccard_est", "inter_est")
+  }
+
   /** Corpus-health VOCABULARY telemetry per source: Heaps-law position
     * (how fast vocabulary grows with corpus size — ln V / ln N, the
     * exponent β of V ≈ N^β when the corpus is one sample point) and the

@@ -2004,6 +2004,60 @@ class TextSpec extends SparkTestBase {
       s"flat ${vg("flat")} not flatter than zipfy ${vg("zipfy")}")
   }
 
+  test("sourceOverlapKmv: exact twin columns are truth; estimates re-derive " +
+      "from a JVM KMV sketch; planted full-mirror overlap is recovered") {
+    import spark.implicits._
+    // planted: B is an exact subset-mirror of half of A's docs; C disjoint
+    val aDocs = (1 to 200).map(i => (i.toLong, "sa", s"doc $i " + (1 to 10).map(j => s"w$i-$j").mkString(" ")))
+    val bDocs = (1 to 100).map(i => (1000L + i, "sb", s"doc $i " + (1 to 10).map(j => s"w$i-$j").mkString(" ")))
+    val cDocs = (1 to 150).map(i => (2000L + i, "sc", s"other $i " + (1 to 10).map(j => s"x$i-$j").mkString(" ")))
+    val synth = (aDocs ++ bDocs ++ cDocs).toDF("doc_id", "source", "text")
+    val rows = Text.sourceOverlapKmv(synth).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r).toMap
+    // exact twin columns are exact
+    val ab = rows(("sa", "sb"))
+    assert(ab.getAs[Long]("n_a") == 200L && ab.getAs[Long]("n_b") == 100L
+      && ab.getAs[Long]("n_inter") == 100L)
+    val ac = rows(("sa", "sc"))
+    assert(ac.getAs[Long]("n_inter") == 0L && ac.getAs[Double]("jaccard_est") == 0.0
+      && ac.getAs[Double]("inter_est") == 0.0)
+    // the KMV estimate recovers the planted overlap within sketch error
+    // (k=64: stderr of union est ~ 1/sqrt(k-2) ~ 13%; allow 3 sigma-ish)
+    val trueUnion = 200.0
+    assert(math.abs(ab.getAs[Double]("union_est") - trueUnion) / trueUnion < 0.4,
+      s"union est ${ab.getAs[Double]("union_est")} too far from $trueUnion")
+    assert(math.abs(ab.getAs[Double]("inter_est") - 100.0) / 100.0 < 0.5,
+      s"inter est ${ab.getAs[Double]("inter_est")} too far from 100")
+    // JVM re-derivation of the (sa, sb) estimate: k smallest md5(sha256)
+    // per source via MessageDigest, theta/jaccard through the same formulas
+    def hOf(text: String): String = {
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(text.toLowerCase.replaceAll("\\s+", " ").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      md5hex(sha)
+    }
+    val skA = aDocs.map(d => hOf(d._3)).distinct.sorted.take(64)
+    val skB = bDocs.map(d => hOf(d._3)).distinct.sorted.take(64)
+    val unionK = (skA ++ skB).distinct.sorted.take(64)
+    val m = unionK.length
+    val theta = (java.lang.Long.parseLong(unionK.last.substring(0, 15), 16)
+      .toDouble + 1.0) / 1152921504606846978.0
+    val unionRaw = if (m < 64) m.toDouble else 63.0 / theta
+    val jRaw = unionK.count(h => skA.contains(h) && skB.contains(h)).toDouble / m
+    def q6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(ab.getAs[Double]("union_est") == q6d(unionRaw))
+    assert(ab.getAs[Double]("jaccard_est") == q6d(jRaw))
+    assert(ab.getAs[Double]("inter_est") == q6d(jRaw * unionRaw))
+    // declared query: mirror source present, all estimates well-formed
+    val declared = q("source_overlap_kmv").collect()
+    assert(declared.exists(r => r.getAs[String]("source_a") == "mirror"
+      || r.getAs[String]("source_b") == "mirror"))
+    declared.foreach { r =>
+      assert(r.getAs[Double]("jaccard_est") >= 0.0 && r.getAs[Double]("jaccard_est") <= 1.0)
+      assert(r.getAs[Double]("union_est") >= 0.0 && r.getAs[Double]("inter_est") >= 0.0)
+    }
+  }
+
   test("gateOverlap: combination counts re-derive from the five gates' own " +
       "declared queries; cells partition the corpus") {
     val cells = q("gate_overlap").collect()
