@@ -1141,6 +1141,68 @@ object StreamDemo {
       }
   }
 
+  /** Streaming KMV sketch refresh — the [[Text.sourceOverlapKmv]] sketches
+    * as a standing stream: each micro-batch's distinct (source, hash) rows
+    * fold into the cumulative per-source k-minimum sketch (KMV is
+    * mergeable: k smallest of (sketch ∪ delta) = k smallest of the full
+    * union as long as every layer retains k). The store is ≤ k rows per
+    * source FOREVER however much text streams; streamed sketches — and
+    * therefore every pairwise overlap estimate off them — are BIT-equal to
+    * the batch sketch over everything ingested, incl. across checkpointed
+    * restart (StreamDedupSpec). The [[DsirStore]] replay rules. */
+  def streamKmvRefresh(spark: SparkSession, docsDir: String,
+      storeDir: String, checkpointDir: String, k: Int = 64,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("source", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val merged = Text.kmvSketchFrom(
+          KmvStore.view(spark, storeDir, batchId)
+            .unionByName(Text.kmvHashes(batch))
+            .distinct(), k)
+          .localCheckpoint(true)
+        merged.write.mode("overwrite")
+          .parquet(s"$storeDir/sketch/batch_id=$batchId")
+        for ((_, p) <- ReportStore.completeIds(spark, storeDir, "sketch", "batch_id=")
+               .filter(_._1 < batchId)
+               .sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1).drop(1))
+          ReportStore.fs(spark, p).delete(p, true)
+        ()
+      }
+      .start()
+  }
+
+  /** The newest committed streamed KMV sketch — estimate-ready via
+    * [[Text.kmvEstimatesFrom]], bit-identical to the batch sketch over
+    * everything ingested. */
+  def readKmvSketch(spark: SparkSession, storeDir: String): DataFrame =
+    KmvStore.view(spark, storeDir, Long.MaxValue)
+
+  /** Store plumbing for [[streamKmvRefresh]] — the [[DsirStore]] rules on
+    * the per-source k-minimum hash layer. */
+  private[ops] object KmvStore {
+    import org.apache.spark.sql.types._
+    val sketchSchema: StructType = StructType(Seq(
+      StructField("source", StringType), StructField("h", StringType)))
+    def view(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame =
+      ReportStore.completeIds(spark, storeDir, "sketch", "batch_id=")
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) =>
+          spark.read.schema(sketchSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), sketchSchema)
+      }
+  }
+
   /** Streaming ANN admission — the index-maintenance lifecycle
     * ([[graft.ops.Similarity.ivfAppend]]) as a standing stream: embedding
     * vectors arrive continuously, each micro-batch is assigned to the

@@ -2106,16 +2106,46 @@ object Text {
     * |sources|²·k rows — never corpus². The exact twin's fingerprint
     * self-join is the small-corpus baseline the sketch replaces at scale. */
   def sourceOverlapKmv(documents: DataFrame, k: Int = 64): DataFrame = {
+    val hs = kmvHashes(documents).localCheckpoint(true)
+    val est = kmvEstimatesFrom(kmvSketchFrom(hs, k), k)
+    // exact twin: true distinct counts + true pairwise intersection
+    val nEx = hs.groupBy("source").agg(count(lit(1)).as("n"))
+    val interEx = hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    est
+      .join(nEx.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"))
+      .join(nEx.select(col("source").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+      .join(interEx, Seq("source_a", "source_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select("source_a", "source_b", "n_a", "n_b", "n_inter",
+        "union_est", "jaccard_est", "inter_est")
+  }
+
+  /** The per-source KMV sketch of a distinct (source, h) hash frame: the
+    * k lexicographically smallest hashes per source — the unit both
+    * [[sourceOverlapKmv]] (whole corpus) and the streaming refresh
+    * ([[StreamDemo.streamKmvRefresh]], cumulative fold) compute. KMV is a
+    * MERGEABLE sketch: the k smallest of (sketch ∪ new hashes) equals the
+    * k smallest of the full union as long as every input retains k — the
+    * property that makes the streamed store bit-equal to batch. */
+  def kmvSketchFrom(hs: DataFrame, k: Int = 64): DataFrame = {
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+    hs.withColumn("rk", row_number().over(wS)).filter(col("rk") <= k)
+      .select("source", "h")
+  }
+
+  /** Pairwise KMV estimates off an already-built sketch frame — shared by
+    * the batch query and the streamed-store reader so the θ/Jaccard
+    * conventions can't drift. */
+  def kmvEstimatesFrom(sketch: DataFrame, k: Int = 64): DataFrame = {
     val uOf: Column => Column = h =>
       (conv(substring(h, 1, 15), 16, 10).cast("long")
         .cast("double") + lit(1.0)) / lit(1152921504606846978.0)
-    val hs = documents.select(col("source"),
-      md5(fingerprintCol).as("h")).distinct().localCheckpoint(true)
-    val wS = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("h")
-    val sk = hs.withColumn("rk", row_number().over(wS)).filter(col("rk") <= k)
-      .select("source", "h").localCheckpoint(true)
-    val sources = hs.select("source").distinct()
+    val sk = sketch.localCheckpoint(true)
+    val sources = sk.select("source").distinct()
     val pairs = sources.select(col("source").as("source_a"))
       .join(sources.select(col("source").as("source_b")),
         col("source_a") < col("source_b"))
@@ -2127,7 +2157,7 @@ object Text {
     val wP = org.apache.spark.sql.expressions.Window
       .partitionBy("source_a", "source_b").orderBy("h")
     val uk = union.withColumn("rk", row_number().over(wP)).filter(col("rk") <= k)
-    val est = uk
+    uk
       .join(sk.select(col("source").as("source_a"), col("h"), lit(1L).as("in_a")),
         Seq("source_a", "h"), "left")
       .join(sk.select(col("source").as("source_b"), col("h"), lit(1L).as("in_b")),
@@ -2145,20 +2175,13 @@ object Text {
         q6(col("union_est_raw")).as("union_est"),
         q6(col("jaccard_raw")).as("jaccard_est"),
         q6(col("jaccard_raw") * col("union_est_raw")).as("inter_est"))
-    // exact twin: true distinct counts + true pairwise intersection
-    val nEx = hs.groupBy("source").agg(count(lit(1)).as("n"))
-    val interEx = hs.as("a").join(hs.as("b"),
-        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    est
-      .join(nEx.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"))
-      .join(nEx.select(col("source").as("source_b"), col("n").as("n_b")), Seq("source_b"))
-      .join(interEx, Seq("source_a", "source_b"), "left")
-      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
-      .select("source_a", "source_b", "n_a", "n_b", "n_inter",
-        "union_est", "jaccard_est", "inter_est")
   }
+
+  /** The distinct (source, content-hash) frame [[sourceOverlapKmv]] and
+    * the streaming sketch fold both hash from — one definition so the
+    * batch and streamed sketches can never disagree on the hash. */
+  def kmvHashes(documents: DataFrame): DataFrame =
+    documents.select(col("source"), md5(fingerprintCol).as("h")).distinct()
 
   /** Corpus-health VOCABULARY telemetry per source: Heaps-law position
     * (how fast vocabulary grows with corpus size — ln V / ln N, the

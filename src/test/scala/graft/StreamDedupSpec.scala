@@ -166,4 +166,60 @@ class StreamDedupSpec extends SparkTestBase with TimeLimitedTests {
     assert(admitted == expect,
       s"admission drift vs empty-history batch truth: extra=${admitted -- expect} missing=${expect -- admitted}")
   }
+
+  test("streamed KMV sketch equals the batch sketch over everything ingested; " +
+      "overlap estimates off the store are bit-equal; restart-safe") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("kmv_src")
+    val store = java.nio.file.Files.createTempDirectory("kmv_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("kmv_ckpt")
+
+    val all = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text", "source").orderBy("doc_id")
+    val rows = all.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"kmv_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    def sketchSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    def batchTwin(slice: Array[org.apache.spark.sql.Row]) =
+      Text.kmvSketchFrom(Text.kmvHashes(
+        spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)))
+
+    stage(1, rows.slice(0, cut1))
+    stage(2, rows.slice(cut1, cut2))
+    val q1 = StreamDemo.streamKmvRefresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(sketchSet(StreamDemo.readKmvSketch(spark, store.toString)) ==
+      sketchSet(batchTwin(rows.slice(0, cut2))),
+      "streamed sketch drifted from the batch twin mid-stream")
+
+    // checkpointed restart: resumes, does not re-fold
+    stage(3, rows.slice(cut2, rows.length))
+    val q2 = StreamDemo.streamKmvRefresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = StreamDemo.readKmvSketch(spark, store.toString)
+    assert(sketchSet(streamed) == sketchSet(batchTwin(rows)),
+      "streamed sketch drifted from the batch twin after restart")
+
+    // pairwise estimates off the streamed store ≡ estimates off batch
+    def estMap(sk: org.apache.spark.sql.DataFrame) =
+      Text.kmvEstimatesFrom(sk).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getAs[Double]("union_est"), r.getAs[Double]("jaccard_est"),
+            r.getAs[Double]("inter_est")))).toMap
+    assert(estMap(streamed) == estMap(batchTwin(rows)))
+
+    // k-bounded store: at most 64 rows per source
+    val perSource = streamed.groupBy("source").count().collect()
+    perSource.foreach(r => assert(r.getLong(1) <= 64L))
+  }
 }
