@@ -156,7 +156,9 @@ class PlansSpec extends SparkTestBase {
       "classifier_ci",           // same 1-row floor broadcast via the bootstrap
       "classifier_cv",           // k 1-row smoothing-floor broadcasts (one per fold)
       "quality_blend",           // 1-row floor + n-docs broadcasts (rank fusion)
-      "gate_overlap")            // same 1-row floor/ratio broadcasts via the gates
+      "gate_overlap",            // same 1-row floor/ratio broadcasts via the gates
+      "source_overlap_kmv")      // |sources|-bounded pair frame (a < b non-equi
+                                 // join of the source LIST, never document rows)
     // Sanctioned unpartitioned windows/sorts: |teams|-bounded frames only.
     val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features",
       "token_spectrum", // cumulative sweep over the count HISTOGRAM — rows
