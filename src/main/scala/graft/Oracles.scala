@@ -1564,6 +1564,68 @@ af AS (
                '\+?[0-9][0-9()\t\n\x0B\f\r .-]{7,}[0-9]', '<PHONE>', 'g') AS text_scrubbed
       FROM documents""",
 
+    // secrets scrubbing: four detector classes, counts on the original
+    // text per class, replacement assigned -> prefix -> hex -> base64
+    "scrub_secrets" -> """
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '(?i)(api_key|apikey|secret|token|password|passwd)[ \t]*[=:][ \t]*[^ \t\n\x0B\f\r]{6,}')) AS BIGINT) AS n_assigned,
+             CAST(len(regexp_extract_all(text, 'AKIA[0-9A-Z]{16}')) AS BIGINT) AS n_prefix_keys,
+             CAST(len(regexp_extract_all(text, '[0-9a-fA-F]{32,}')) AS BIGINT) AS n_hex_blobs,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9+/]{40,}={0,2}')) AS BIGINT) AS n_base64_blobs,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '(?i)(api_key|apikey|secret|token|password|passwd)[ \t]*[=:][ \t]*[^ \t\n\x0B\f\r]{6,}', '<SECRET>', 'g'),
+                   'AKIA[0-9A-Z]{16}', '<SECRET>', 'g'),
+                 '[0-9a-fA-F]{32,}', '<SECRET>', 'g'),
+               '[A-Za-z0-9+/]{40,}={0,2}', '<SECRET>', 'g') AS text_scrubbed
+      FROM documents""",
+
+    // per-source secrets rollup over the same detectors
+    "secrets_report" -> """
+      WITH s AS (SELECT source,
+                        CAST(len(regexp_extract_all(text, '(?i)(api_key|apikey|secret|token|password|passwd)[ \t]*[=:][ \t]*[^ \t\n\x0B\f\r]{6,}')) AS BIGINT) AS n_assigned,
+                        CAST(len(regexp_extract_all(text, 'AKIA[0-9A-Z]{16}')) AS BIGINT) AS n_prefix_keys,
+                        CAST(len(regexp_extract_all(text, '[0-9a-fA-F]{32,}')) AS BIGINT) AS n_hex_blobs,
+                        CAST(len(regexp_extract_all(text, '[A-Za-z0-9+/]{40,}={0,2}')) AS BIGINT) AS n_base64_blobs
+                 FROM documents)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n_assigned > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_assigned,
+             CAST(SUM(CASE WHEN n_prefix_keys > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_prefix_key,
+             CAST(SUM(CASE WHEN n_hex_blobs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_hex,
+             CAST(SUM(CASE WHEN n_base64_blobs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_base64,
+             CAST(SUM(n_assigned + n_prefix_keys + n_hex_blobs + n_base64_blobs) AS BIGINT) AS total_hits
+      FROM s GROUP BY source""",
+
+    // robust per-source outliers: exact interpolated median + MAD over
+    // the quality score, outlier = |q - med| > 3 * 1.4826 * MAD (MAD 0
+    // => none by convention)
+    "quality_outliers" -> """
+      WITH sc AS (SELECT doc_id, source,
+                         greatest(0.0, least(1.0,
+                           0.3 + 0.5*(CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+                               + 2.0*(CAST(n_stopwords AS DOUBLE) / n_tokens)
+                               - CASE WHEN n_tokens < 20 THEN 0.2 ELSE 0.0 END)) AS q
+                  FROM (SELECT doc_id, source,
+                               CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+                               CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+                               CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
+                        FROM documents) a),
+      med AS (SELECT source, quantile_cont(q, 0.5) AS med FROM sc GROUP BY 1),
+      mad AS (SELECT sc.source, quantile_cont(abs(sc.q - med.med), 0.5) AS mad,
+                     MIN(med.med) AS med
+              FROM sc JOIN med USING (source) GROUP BY sc.source)
+      SELECT sc.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             floor(MIN(mad.med) * 1000000.0 + 0.5) / 1000000.0 AS median_score,
+             floor(MIN(mad.mad) * 1000000.0 + 0.5) / 1000000.0 AS mad_score,
+             CAST(SUM(CASE WHEN mad.mad > 0.0
+                            AND abs(sc.q - mad.med) > 3.0 * 1.4826 * mad.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM sc JOIN mad USING (source)
+      GROUP BY sc.source""",
+
     // unicode canonicalization: duckdb's nfc_normalize IS java's
     // Normalizer.NFC (both implement UAX #15), and the junk class is
     // spelled so Java regex and RE2 read it identically; strip runs FIRST

@@ -305,6 +305,15 @@ object SparkEntry {
     // corpus-health vocabulary telemetry: Heaps-law position + top-100
     // Zipf slope per source (template/junk sources flatten toward 0)
     "vocab_growth" -> ((s, d) => Text.vocabGrowth(Tables.documents(s, d))),
+    // detect-secrets-style credential scrubbing: four RE2/Java-identical
+    // detector classes, counts on original text + redacted column
+    "scrub_secrets" -> ((s, d) => Text.scrubSecrets(Tables.documents(s, d))),
+    // per-source secrets audit rollup — all-zero rows ARE the deliverable
+    // (proof of cleanliness, not hope)
+    "secrets_report" -> ((s, d) => Text.secretsReport(Tables.documents(s, d))),
+    // robust (median/MAD) per-source quality outliers — the 3-sigma rule's
+    // 50%-breakdown-point replacement for broken-extraction batches
+    "quality_outliers" -> ((s, d) => Text.qualityOutliers(Tables.documents(s, d))),
     // mirrorable (md5) signature + band hashes so the candidate set itself
     // is value-checked; the xxhash64 sketch aggregate stays the scale default
     "dedup_minhash_lsh" -> ((s, d) =>

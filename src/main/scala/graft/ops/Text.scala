@@ -1015,6 +1015,98 @@ object Text {
       sum(col("n_urls")).as("total_urls"),
       sum(col("n_phones")).as("total_phones"))
 
+  /** SECRET/CREDENTIAL scrubbing — the detect-secrets-style pass a code-
+    * bearing training corpus runs beside [[scrubPii]] (leaked API keys and
+    * tokens in crawled text are verbatim-memorization hazards; the
+    * published code-corpus pipelines scrub them before packing). Four
+    * detector classes, each a pure char-class/length rule spelled to read
+    * identically under Java regex and RE2 (the [[scrubPii]] discipline —
+    * no lookahead, which RE2 lacks):
+    *
+    *   - assigned secrets: `(?i)(api_key|apikey|secret|token|password|
+    *     passwd) [=:] value` — the config-file leak shape;
+    *   - provider-prefix keys: `AKIA…`-style fixed-prefix uppercase ids;
+    *   - long hex blobs (≥ 32 hex chars — raw key/digest material);
+    *   - long base64 runs (≥ 40 chars of the base64 alphabet with
+    *     optional `=` padding).
+    *
+    * Counts are detector hits on the ORIGINAL text per class (audit
+    * telemetry, like scrubPii); replacement applies assigned → prefix →
+    * hex → base64 on both engines. Codegen'd projection — no shuffle, no
+    * UDF; at 100 TB it runs inside the scan stage. */
+  def scrubSecrets(documents: DataFrame): DataFrame = {
+    val assigned = "(?i)(api_key|apikey|secret|token|password|passwd)" +
+      "[ \\t]*[=:][ \\t]*[^ \\t\\n\\x0B\\f\\r]{6,}"
+    val awsKey = "AKIA[0-9A-Z]{16}"
+    val hexBlob = "[0-9a-fA-F]{32,}"
+    val b64Blob = "[A-Za-z0-9+/]{40,}={0,2}"
+    documents.select(
+      col("doc_id"), col("source"),
+      regexp_count(col("text"), lit(assigned)).cast("long").as("n_assigned"),
+      regexp_count(col("text"), lit(awsKey)).cast("long").as("n_prefix_keys"),
+      regexp_count(col("text"), lit(hexBlob)).cast("long").as("n_hex_blobs"),
+      regexp_count(col("text"), lit(b64Blob)).cast("long").as("n_base64_blobs"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), assigned, "<SECRET>"),
+            awsKey, "<SECRET>"),
+          hexBlob, "<SECRET>"),
+        b64Blob, "<SECRET>").as("text_scrubbed"))
+  }
+
+  /** Corpus-level secrets audit — [[piiReport]]'s shape over
+    * [[scrubSecrets]]'s detectors: per source, documents carrying each
+    * class and total hit volume. All-integer counters; |sources| rows
+    * shuffle. An all-zero row is itself the deliverable (the audit that
+    * PROVES a corpus is clean, not just hopes). */
+  def secretsReport(documents: DataFrame): DataFrame =
+    scrubSecrets(documents).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum((col("n_assigned") > 0).cast("long")).as("docs_with_assigned"),
+      sum((col("n_prefix_keys") > 0).cast("long")).as("docs_with_prefix_key"),
+      sum((col("n_hex_blobs") > 0).cast("long")).as("docs_with_hex"),
+      sum((col("n_base64_blobs") > 0).cast("long")).as("docs_with_base64"),
+      sum(col("n_assigned") + col("n_prefix_keys") + col("n_hex_blobs")
+        + col("n_base64_blobs")).as("total_hits"))
+
+  /** ROBUST per-source quality outliers — median/MAD instead of
+    * mean/stddev ([[graft.ops.Quality.outlierStats]]'s 3σ rule breaks on
+    * exactly the corpora that need it: a batch of broken-extraction docs
+    * drags the mean toward itself and hides inside its own inflated σ;
+    * the median and the median-absolute-deviation have a 50% breakdown
+    * point). Per source: exact interpolated median of the heuristic
+    * quality score, MAD, and the count of documents with robust z-score
+    * |q − med| / (1.4826·MAD) > 3 (1.4826 = the consistency constant
+    * making MAD estimate σ under normality). MAD = 0 (half the source
+    * identical-scored) ⇒ no outliers by convention, both engines.
+    *
+    * Scale shape: exact percentile is ObjectHashAggregate state per
+    * SOURCE (bounded groups), two grouped passes (median, then MAD over
+    * the residuals) + one counting join — at true corpus scale the
+    * [[graft.ops.Quality.medianLabelApprox]] GK swap-in applies, exactly
+    * as documented there. */
+  def qualityOutliers(documents: DataFrame): DataFrame = {
+    val scored = qualityScore(documents)
+      .join(documents.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .localCheckpoint(true)
+    val med = scored.groupBy("source")
+      .agg(expr("percentile(quality_score, 0.5)").as("med"))
+    val mad = scored.join(broadcast(med), Seq("source"))
+      .groupBy("source")
+      .agg(expr("percentile(abs(quality_score - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
+    scored.join(broadcast(mad), Seq("source"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        q6(first(col("med"))).as("median_score"),
+        q6(first(col("mad"))).as("mad_score"),
+        sum(when(col("mad") > 0.0 &&
+          abs(col("quality_score") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Unicode + control-character text normalization — the canonicalization
     * pass that MUST precede any byte-level fingerprint/dedup stage: the
     * same visible text arriving precomposed (`é` = U+00E9) vs decomposed
