@@ -3865,11 +3865,16 @@ object Text {
     val sigArr = sigs.select(col("doc_id"),
       array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val common = bandCandidates(buckets)
+    // the candidate join feeds BOTH the exact-verify branch and the
+    // estimate branch of one plan — pin it so the band self-join runs
+    // once, not once per branch (candidates are the small post-collision
+    // set, safe to materialize)
+    val cand = bandCandidates(buckets).localCheckpoint(true)
+    val common = cand
       .join(sh.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    bandCandidates(buckets)
+    cand
       .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("n_agree", aggregate(zip_with(col("sig_a"), col("sig_b"),
