@@ -1564,6 +1564,33 @@ af AS (
                '\+?[0-9][0-9()\t\n\x0B\f\r .-]{7,}[0-9]', '<PHONE>', 'g') AS text_scrubbed
       FROM documents""",
 
+    // per-source duplication burden over the same synthetic mirror as
+    // dup_source_matrix (mirror ids offset so every doc_id is unique);
+    // keeper = min doc_id per fingerprint, cross-source = keeper lives
+    // in another source
+    "dedup_rate_by_source" -> """
+      WITH da AS (SELECT doc_id, source, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000 AS doc_id, 'mirror' AS source, text
+                  FROM documents
+                  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'),
+      fp AS (SELECT doc_id, source,
+                    sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+             FROM da),
+      g AS (SELECT fingerprint, min(doc_id) AS keeper_id FROM fp GROUP BY 1),
+      v AS (SELECT fp.doc_id, fp.source, g.keeper_id,
+                   CASE WHEN fp.doc_id <> g.keeper_id THEN 1 ELSE 0 END AS is_dup
+            FROM fp JOIN g USING (fingerprint)),
+      ks AS (SELECT doc_id AS keeper_id, source AS keeper_source FROM da)
+      SELECT v.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(v.is_dup) AS BIGINT) AS n_dups,
+             CAST(SUM(CASE WHEN v.is_dup = 1 AND ks.keeper_source <> v.source
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source_dups,
+             CAST(SUM(v.is_dup) AS DOUBLE) / COUNT(*) AS dup_frac
+      FROM v JOIN ks USING (keeper_id)
+      GROUP BY v.source""",
+
     // secrets scrubbing: four detector classes, counts on the original
     // text per class, replacement assigned -> prefix -> hex -> base64
     "scrub_secrets" -> """

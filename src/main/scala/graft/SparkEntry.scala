@@ -567,6 +567,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0))
     }),
+    // per-source duplication burden over the same synthetic mirror:
+    // dup fraction + within-feed vs cross-feed split (dup_source_matrix
+    // is the pairwise detail; this is the summary a report leads with)
+    "dedup_rate_by_source" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Text.dedupRateBySource(docs.unionByName(
+        docs.filter(b < "20").withColumn("source", lit("mirror"))
+          .withColumn("doc_id", col("doc_id") + 1000000L)))
+    }),
     // mirror-site detector over a deterministic synthetic mirror (the
     // corpus has no natural cross-source exact dups): docs in md5 bucket
     // < "20" duplicated under source "mirror"

@@ -1015,6 +1015,30 @@ object Text {
       sum(col("n_urls")).as("total_urls"),
       sum(col("n_phones")).as("total_phones"))
 
+  /** Per-source DUPLICATION burden — the one-line-per-source rollup a
+    * curation report leads with ("which feeds are wasting our tokens?"):
+    * [[dedupExact]]'s verdicts aggregated per source with the duplicate
+    * fraction, plus how many of the source's docs duplicate content whose
+    * KEEPER lives in a DIFFERENT source (within-feed template spam vs
+    * cross-feed mirroring — different remediations: a template fix vs a
+    * feed de-listing). All-integer counts + one exact division;
+    * \|sources\| rows shuffle. The cross-source detail view is
+    * [[dupSourceMatrix]]; this is its per-source summary. */
+  def dedupRateBySource(documents: DataFrame): DataFrame = {
+    val verdicts = dedupExact(documents)
+      .join(documents.select("doc_id", "source"), Seq("doc_id"))
+    val keeperSrc = documents.select(col("doc_id").as("keeper_id"),
+      col("source").as("keeper_source"))
+    verdicts.join(keeperSrc, Seq("keeper_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_dup").cast("long")).as("n_dups"),
+        sum(when(col("is_dup") === 1 && col("keeper_source") =!= col("source"),
+          1L).otherwise(0L)).as("n_cross_source_dups"))
+      .withColumn("dup_frac",
+        col("n_dups").cast("double") / col("n_docs"))
+  }
+
   /** SECRET/CREDENTIAL scrubbing — the detect-secrets-style pass a code-
     * bearing training corpus runs beside [[scrubPii]] (leaked API keys and
     * tokens in crawled text are verbatim-memorization hazards; the

@@ -2058,6 +2058,49 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("dedupRateBySource: planted mirror shows up as pure cross-source dups; " +
+      "rates re-derive from dedupExact's own verdicts") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "sa", "alpha beta gamma delta"),
+      (2L, "sa", "alpha beta gamma delta"),   // within-source dup of 1
+      (3L, "sa", "epsilon zeta eta theta"),
+      (10L, "mirror", "alpha beta gamma delta"), // cross-source dup of 1
+      (11L, "mirror", "iota kappa lambda mu")
+    ).toDF("doc_id", "source", "text")
+    val got = Text.dedupRateBySource(synth).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dups"),
+          r.getAs[Long]("n_cross_source_dups"), r.getAs[Double]("dup_frac")))).toMap
+    assert(got("sa") == ((3L, 1L, 0L, 1.0 / 3.0)),
+      s"sa: ${got("sa")} — doc 2 is a within-source dup, keeper in sa")
+    assert(got("mirror") == ((2L, 1L, 1L, 0.5)),
+      s"mirror: ${got("mirror")} — doc 10's keeper lives in sa")
+    // declared query: the planted mirror source duplicates ONLY cross-source
+    val declared = q("dedup_rate_by_source").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val m = declared("mirror")
+    assert(m.getAs[Long]("n_dups") == m.getAs[Long]("n_docs"),
+      "every mirror doc duplicates an original")
+    assert(m.getAs[Long]("n_cross_source_dups") == m.getAs[Long]("n_dups"),
+      "mirror dups must all be cross-source (keepers are the originals)")
+    assert(m.getAs[Double]("dup_frac") == 1.0)
+    // totals re-derive from dedupExact over the same augmented frame
+    val docsAug = {
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      docs.unionByName(docs.filter(b < "20")
+        .withColumn("source", lit("mirror"))
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    }
+    val wantDups = Text.dedupExact(docsAug)
+      .join(docsAug.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(sum(col("is_dup").cast("long")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    declared.foreach { case (src, r) =>
+      assert(r.getAs[Long]("n_dups") == wantDups(src), s"$src dup count drifted")
+    }
+  }
+
   test("scrubSecrets: planted credentials of all four classes detected and " +
       "redacted; clean text untouched; report re-derives from the scrubber") {
     import spark.implicits._
