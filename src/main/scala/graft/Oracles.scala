@@ -1257,6 +1257,89 @@ af AS (
              CAST(c.n_occurrences AS DOUBLE) / tot.n_tokens AS share
       FROM c JOIN tot USING (source)
       WHERE c.n_occurrences * 30 > tot.n_tokens""",
+    // Count-Min sketch heavy hitters: the counter table is rebuilt
+    // cell-for-cell on the md5 mirror plane (bucket_d(t) =
+    // md5("d:token")[0:15 hex] mod width), so est = min_d counter[d,h_d]
+    // is value-checked INCLUDING collisions. depth=4, width=2048, φ=30.
+    "heavy_hitters_cms" -> """
+      WITH t AS (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token
+                 FROM documents),
+      c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM t GROUP BY 1, 2),
+      tot AS (SELECT source, CAST(SUM(n_occurrences) AS BIGINT) AS n_tokens
+              FROM c GROUP BY 1),
+      hh AS (SELECT c.source, c.token, c.n_occurrences, tot.n_tokens
+             FROM c JOIN tot USING (source)
+             WHERE c.n_occurrences * 30 > tot.n_tokens),
+      lanes AS (SELECT unnest(range(4)) AS d),
+      cnt AS (SELECT t.source, lanes.d,
+                     (('0x' || substr(md5(CAST(lanes.d AS VARCHAR) || ':' || t.token), 1, 15))::BIGINT % 2048) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM t CROSS JOIN lanes GROUP BY 1, 2, 3),
+      probes AS (SELECT hh.*, lanes.d,
+                        (('0x' || substr(md5(CAST(lanes.d AS VARCHAR) || ':' || hh.token), 1, 15))::BIGINT % 2048) AS bucket
+                 FROM hh CROSS JOIN lanes)
+      SELECT p.source, p.token,
+             MAX(p.n_occurrences) AS n_occurrences, MAX(p.n_tokens) AS n_tokens,
+             MIN(cnt.c) AS est_occurrences,
+             MIN(cnt.c) - MAX(p.n_occurrences) AS overcount
+      FROM probes p JOIN cnt ON p.source = cnt.source AND p.d = cnt.d AND p.bucket = cnt.bucket
+      GROUP BY 1, 2""",
+    // BM25 top-20 for the corpus-derived probe query (4 mid-df-band terms,
+    // df·20 ≥ N ∧ df·4 ≤ N, ranked df desc / token asc). Lucene BM25 with
+    // k1=1.2, b=0.75; per-term scores q6-floored to BIGINT micro-units and
+    // integer-summed per doc, so the total is aggregation-order-exact.
+    "bm25_topk" -> """
+      WITH p AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                 FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+                       FROM documents) t
+                 GROUP BY 1, 2),
+      df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS dl
+             FROM documents),
+      stats AS (SELECT (SELECT n_docs FROM n) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+                FROM dl),
+      terms AS (SELECT token, df FROM df CROSS JOIN n
+                WHERE df * 20 >= n_docs AND df * 4 <= n_docs
+                ORDER BY df DESC, token ASC LIMIT 4),
+      scoredterm AS (
+        SELECT p.doc_id,
+               CAST(floor(
+                 ln(CAST(1.0 AS DOUBLE) + (stats.n_docs - terms.df + CAST(0.5 AS DOUBLE)) / (terms.df + CAST(0.5 AS DOUBLE)))
+                 * ((p.tf * CAST(2.2 AS DOUBLE)) / (p.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl)))
+                 * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_micro
+        FROM p JOIN terms USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+      perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+                        CAST(SUM(score_micro) AS BIGINT) AS score_micro
+                 FROM scoredterm GROUP BY 1
+                 ORDER BY score_micro DESC, doc_id ASC LIMIT 20)
+      SELECT doc_id, n_terms_hit, score_micro,
+             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rk
+      FROM perdoc""",
+    // SCD Type-2 history of each customer's order-priority: lag marks
+    // change points, a running sum numbers runs, lead closes intervals.
+    "scd2_dim" -> """
+      WITH e AS (SELECT o_custkey AS c_custkey, o_orderdate, o_orderkey,
+                        o_orderpriority AS priority
+                 FROM orders),
+      m AS (SELECT *,
+                   CASE WHEN lag(priority) OVER w IS NULL
+                          OR lag(priority) OVER w <> priority
+                        THEN 1 ELSE 0 END AS chg
+            FROM e WINDOW w AS (PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey)),
+      r AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+            FROM m),
+      g AS (SELECT c_custkey, version, MAX(priority) AS priority,
+                   MIN(o_orderdate) AS effective_from,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM r GROUP BY 1, 2)
+      SELECT c_custkey, version, priority, effective_from,
+             lead(effective_from) OVER (PARTITION BY c_custkey ORDER BY version) AS effective_to,
+             n_orders
+      FROM g""",
     "token_stats" -> """
       SELECT doc_id,
              CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,

@@ -233,6 +233,9 @@ object SparkEntry {
     "asof_join" -> ((s, d) => Relational.asOfLastUrgent(s, d)),
     "asof_join_binned" -> ((s, d) => Relational.asOfLastUrgentBinned(s, d)),
     "sort_multikey" -> ((s, d) => Relational.sortMultikey(box(s, d))),
+    // SCD Type-2 dimension history (one keyed-window change capture; the
+    // incremental MERGE twin scd2Apply is law-tested in RelationalSpec)
+    "scd2_dim" -> ((s, d) => Relational.scd2History(Tables.orders(s, d))),
 
     // ---- events / streaming-cadence analogs
     "stream_window_counts" -> ((s, d) => StreamDemo.windowCountsBatch(Tables.events(s, d))),
@@ -273,6 +276,10 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) => Text.heavyHitters(Tables.documents(s, d))),
     "heavy_hitters_approx" -> ((s, d) =>
       Text.heavyHittersApprox(Tables.documents(s, d))),
+    // the same φ-heads answered from Count-Min counters — bounded
+    // (|sources|·depth·width) sketch state instead of the vocabulary
+    // shuffle; md5 mirror plane, so the oracle rebuilds every counter cell
+    "heavy_hitters_cms" -> ((s, d) => Text.heavyHittersCms(Tables.documents(s, d))),
     "token_stats" -> ((s, d) => Text.tokenStats(Tables.documents(s, d))),
     // BPE leg is rows-only by construction (greedy merge loop has no DuckDB
     // analog); BpeSpec carries reference-agreement/round-trip/monotonicity laws
@@ -334,6 +341,10 @@ object SparkEntry {
     "dedup_substrings" -> ((s, d) =>
       Text.dedupSubstrings(Tables.documents(s, d), k = 10, mirrorableHash = true)),
     "tfidf_top_terms" -> ((s, d) => Text.tfidfTopTerms(Tables.documents(s, d))),
+    // BM25 ranked retrieval for the corpus-derived probe query: broadcast
+    // term set over the posting lists, integer micro-unit scores,
+    // TakeOrdered top-20
+    "bm25_topk" -> ((s, d) => Retrieval.bm25TopK(Tables.documents(s, d))),
     "corpus_split" -> ((s, d) => Text.hashSplit(Tables.documents(s, d))),
     "corpus_cap" -> ((s, d) => Text.corpusCap(Tables.documents(s, d))),
     "corpus_pack" -> ((s, d) => Text.packSequences(Tables.documents(s, d))),

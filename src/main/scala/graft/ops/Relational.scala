@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -228,6 +229,93 @@ object Relational {
     li.join(pt, Seq("_bin"))
       .filter(col(ts) >= col(lo) && col(ts) <= col(hi))
       .drop("_bin")
+  }
+
+  /** Slowly-changing-dimension (Type 2) history build: collapse a change
+    * stream — here each customer's order-priority over time — into
+    * versioned validity intervals `[effective_from, effective_to)`, open
+    * rows carrying a null `effective_to`. The dimension-maintenance
+    * operator every warehouse load runs; no analog in the reference
+    * (its team dim is static — `dags/ingest_nba_daily.py`), so this is
+    * SURVEY §2.10 surface.
+    *
+    * Gaps-and-islands in one keyed window: `lag` marks change points,
+    * a running sum numbers the runs (versions), one groupBy collapses each
+    * run, `lead` over the per-run frame closes the intervals. Exactly one
+    * shuffle on the dimension key; ties on a date break by order key, so
+    * the history is a pure function of the input. */
+  def scd2History(orders: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy("c_custkey").orderBy("o_orderdate", "o_orderkey")
+    val runs = orders.select(
+        col("o_custkey").as("c_custkey"), col("o_orderdate"),
+        col("o_orderkey"), col("o_orderpriority").as("priority"))
+      .withColumn("chg",
+        when(lag("priority", 1).over(byTime).isNull ||
+          lag("priority", 1).over(byTime) =!= col("priority"), 1L).otherwise(0L))
+      .withColumn("version", sum("chg").over(byTime))
+    val collapsed = runs.groupBy("c_custkey", "version")
+      .agg(max("priority").as("priority"),
+        min("o_orderdate").as("effective_from"),
+        count(lit(1)).cast("long").as("n_orders"))
+    val byVersion = Window.partitionBy("c_custkey").orderBy("version")
+    collapsed
+      .withColumn("effective_to", lead("effective_from", 1).over(byVersion))
+      .select("c_custkey", "version", "priority", "effective_from",
+        "effective_to", "n_orders")
+  }
+
+  /** SCD2 MERGE (the incremental form): apply a batch of per-key updates
+    * `(c_custkey, priority, as_of)` to a standing [[scd2History]] dimension.
+    * Open rows whose priority differs from the update close at `as_of` and
+    * a new open version appends; matching-priority updates fold into the
+    * open row's `n_orders`; keys never seen before enter at version 1.
+    * Pure-DataFrame outer-join + union — no driver loop; the incremental ≡
+    * batch law (applying a later slice of orders to the history built from
+    * the earlier slice reproduces the full-history build EXACTLY) is pinned
+    * in RelationalSpec. `updates` is the batch's change-point stream:
+    * one row per run `(c_custkey, priority, as_of, seq, n_orders)` with
+    * adjacent priorities per key distinct (collapse intra-batch runs
+    * first) and `seq` breaking same-day run order. */
+  def scd2Apply(dim: DataFrame, updates: DataFrame): DataFrame = {
+    val open = dim.filter(col("effective_to").isNull)
+    val closed = dim.filter(col("effective_to").isNotNull)
+    val byTime = Window.partitionBy("c_custkey").orderBy("as_of", "seq")
+    // updates may carry several change points per key: number them off the
+    // key's current open version, then close each non-final new row at the
+    // NEXT update's as_of
+    val u = updates.select(col("c_custkey"), col("priority").as("u_priority"),
+      col("as_of"), col("seq"), col("n_orders").as("u_n"))
+    val j = u.join(open.select(col("c_custkey"), col("priority").as("o_priority"),
+      col("version").as("o_version"), col("effective_from").as("o_from"),
+      col("n_orders").as("o_n")), Seq("c_custkey"), "left")
+    // The batch's FIRST row per key decides the open row's fate: same
+    // priority → it folds into the open version; different (or no open
+    // row) → the open row closes at its as_of and it starts a new version.
+    // Later batch rows (adjacent priorities differ by the run-collapse
+    // precondition) always open fresh versions.
+    val seq0 = j
+      .withColumn("rk", row_number().over(byTime).cast("long"))
+      .withColumn("fold1", first("u_priority").over(byTime) <=> col("o_priority"))
+    val foldsIntoOpen = col("rk") === 1L && col("fold1")
+    val newRows = seq0.select(col("c_custkey"),
+      when(foldsIntoOpen, col("o_version"))
+        .otherwise(coalesce(col("o_version"), lit(0L)) + col("rk") -
+          when(col("fold1"), 1L).otherwise(0L)).as("version"),
+      col("u_priority").as("priority"),
+      when(foldsIntoOpen, col("o_from")).otherwise(col("as_of")).as("effective_from"),
+      lead("as_of", 1).over(byTime).as("effective_to"),
+      when(foldsIntoOpen, col("o_n") + col("u_n")).otherwise(col("u_n")).as("n_orders"))
+    val untouchedOpen = open.join(u.select("c_custkey").distinct(),
+      Seq("c_custkey"), "left_anti")
+    val closedByUpdate = open.join(
+        seq0.filter(col("rk") === 1L && !col("fold1"))
+          .select(col("c_custkey"), col("as_of").as("close_at")),
+        Seq("c_custkey"))
+      .withColumn("effective_to", col("close_at")).drop("close_at")
+    closed.unionByName(untouchedOpen).unionByName(closedByUpdate)
+      .unionByName(newRows)
+      .select("c_custkey", "version", "priority", "effective_from",
+        "effective_to", "n_orders")
   }
 
   /** U1 `union_all_frames`: pd.concat of homogeneous frames

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over the `documents` corpus — the query-serving side of
+  * a training-data platform (find the documents a probe query surfaces;
+  * audit what a contamination query would retrieve). No analog in the
+  * reference (SURVEY.md §2.10 extension surface); the formula is the
+  * Robertson/Spärck Jones BM25 in its Lucene parameterization.
+  *
+  * Scale design: the per-token work is the inverted-index layout
+  * ([[Text.tokenPostings]] — (doc_id, token) postings with per-doc term
+  * frequencies), the query-term set is a ≤`nTerms`-row broadcast, so
+  * scoring touches only postings OF QUERY TERMS (a map-side semi-join —
+  * no shuffle proportional to the corpus vocabulary), and the final cut is
+  * `orderBy.limit` → TakeOrderedAndProject (per-partition top-k, k rows to
+  * the driver stage). Scores are summed as INTEGER micro-units
+  * (`floor(x·1e6 + 0.5)` per term, then a long sum) so the per-doc total is
+  * exact and independent of Spark's aggregation order — the
+  * classifier-AUC all-integer discipline.
+  */
+object Retrieval {
+
+  /** Corpus statistics + BM25 scoring frame for a caller-supplied query-term
+    * frame `terms(token)`. Exposed separately so tests can plant query
+    * terms; [[bm25TopK]] derives a deterministic probe query from the
+    * corpus itself. */
+  def bm25Score(documents: DataFrame, terms: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val p = termFrequencies(documents)
+    bm25ScoreFrom(documents, p, p.groupBy("token").agg(count(lit(1)).cast("long").as("df")),
+      terms, k1, b)
+  }
+
+  /** (doc_id, token, tf) — the posting-list layout both the scorer and the
+    * query-derivation read; built once per query via [[bm25TopK]]'s pin. */
+  def termFrequencies(documents: DataFrame): DataFrame =
+    Text.tokenPostings(documents)
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast("long").as("tf"))
+
+  private def bm25ScoreFrom(documents: DataFrame, p: DataFrame, df: DataFrame,
+      terms: DataFrame, k1: Double, b: Double): DataFrame = {
+    // 1-row corpus stats: N and avgdl (long sum / long count — exact, so
+    // the double division is a single deterministic op on both engines)
+    val dl = documents.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    // candidate postings: only query terms survive — broadcast semi-join
+    // (df is folded into the ≤nTerms-row term frame BEFORE touching the
+    // postings, so the vocabulary-sized df frame never joins the big side)
+    val qdf = terms.select("token").join(df, Seq("token"))
+    val cand = p.join(broadcast(qdf), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+    // Lucene BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5));
+    // tf-norm = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    // Left-assoc arithmetic mirrored token-for-token in the DuckDB oracle.
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    cand.select(col("doc_id"), col("token"),
+      floor(idf * tfn * lit(1000000.0) + lit(0.5)).cast("long").as("score_micro"))
+  }
+
+  /** BM25 top-k for a corpus-derived probe query: the query terms are the
+    * `nTerms` most document-frequent tokens in the MID-df band
+    * (N/20 ≤ df ≤ N/4 — informative content words: below the stopword
+    * plateau, above the hapax tail), tie-broken alphabetically — a pure
+    * function of the corpus, so the DuckDB oracle derives the identical
+    * query. Integer-gated band membership (df·20 ≥ N, df·4 ≤ N): no float
+    * in the cut. */
+  def bm25TopK(documents: DataFrame, nTerms: Int = 4, topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // the inverted index is built ONCE and pinned: query derivation, df,
+    // and scoring all read the same materialized posting lists
+    val p = termFrequencies(documents).localCheckpoint(true)
+    val df = p.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+      .localCheckpoint(true)
+    val n = documents.agg(count(lit(1)).cast("long").as("n_docs"))
+    val terms = df.crossJoin(broadcast(n))
+      .where(col("df") * 20 >= col("n_docs") && col("df") * 4 <= col("n_docs"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(nTerms)
+    val scored = bm25ScoreFrom(documents, p, df, terms, k1, b)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms_hit"),
+        sum("score_micro").cast("long").as("score_micro"))
+    // TakeOrderedAndProject cut; the rank window runs over the ≤topK
+    // surviving rows (post-limit), never the corpus
+    val top = scored.orderBy(col("score_micro").desc, col("doc_id").asc).limit(topK)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id").asc))
+        .cast("long"))
+  }
+}

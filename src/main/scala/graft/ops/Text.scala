@@ -119,6 +119,51 @@ object Text {
         (col("n_occurrences").cast("double") / col("n_tokens")).as("share"))
   }
 
+  /** Count-Min sketch heavy hitters — [[heavyHitters]] answered from CMS
+    * counters instead of the exact (source, token) count table. The sketch
+    * is expressed RELATIONALLY: counter cell (source, d, bucket) holds the
+    * summed mass of every token row d hashes there, so the whole structure
+    * is one combining groupBy with BOUNDED cardinality
+    * (|sources|·depth·width rows — fixed state no matter how wide the
+    * vocabulary grows, where the exact form's shuffle is the full distinct
+    * vocabulary). `est(t) = min_d counter[d, h_d(t)]` — the classic
+    * point-query — materializes only for the φ-heavy candidates (≤ φ−1 per
+    * source by pigeonhole), joined against the counter table on the ≤
+    * depth·(φ−1) probe cells.
+    *
+    * The hash is the repo's md5 mirror plane (`conv(substr(md5,1,15))` ↔
+    * `('0x' || substr(md5, 1, 15))::BIGINT`), so the DuckDB oracle rebuilds
+    * the SAME counters cell-for-cell and the declared query is value-checked
+    * end-to-end — including every collision. CMS guarantee pinned in
+    * TextSpec: `est ≥ true` always (counters only ever add mass), with
+    * equality when no other token shares all d cells; a planted
+    * width-4 sketch exercises real collisions. */
+  def heavyHittersCms(documents: DataFrame, phi: Int = 30,
+      depth: Int = 4, width: Int = 2048): DataFrame = {
+    val post = sourceTokenPostings(documents)
+    val ds = array((0 until depth).map(lit): _*)
+    // counter build: explode depth lanes, ONE combining groupBy to the
+    // bounded (source, d, bucket) cell table
+    val counters = post
+      .select(col("source"), explode(ds).as("d"), col("token"))
+      .select(col("source"), col("d"),
+        pmod(expr("cast(conv(substring(md5(concat(cast(d as string), ':', token)), 1, 15), 16, 10) as bigint)"),
+          lit(width)).as("bucket"))
+      .groupBy("source", "d", "bucket").agg(count(lit(1)).cast("long").as("c"))
+    // probe cells for the exact heavy-hitter candidates only
+    val hh = heavyHitters(documents, phi)
+    val probes = hh.select(col("source"), col("token"), col("n_occurrences"),
+        col("n_tokens"), explode(ds).as("d"))
+      .withColumn("bucket",
+        pmod(expr("cast(conv(substring(md5(concat(cast(d as string), ':', token)), 1, 15), 16, 10) as bigint)"),
+          lit(width)))
+    probes.join(counters, Seq("source", "d", "bucket"))
+      .groupBy("source", "token")
+      .agg(max("n_occurrences").as("n_occurrences"), max("n_tokens").as("n_tokens"),
+        min("c").as("est_occurrences"))
+      .withColumn("overcount", col("est_occurrences") - col("n_occurrences"))
+  }
+
   /** Token-spectrum corpus-health report (1 row): the Zipf-shape numbers a
     * tokenizer/vocabulary decision reads — total mass N, type count V,
     * type-token ratio, hapax (count-1) type share and token-mass share,

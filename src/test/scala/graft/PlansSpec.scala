@@ -157,14 +157,17 @@ class PlansSpec extends SparkTestBase {
       "classifier_cv",           // k 1-row smoothing-floor broadcasts (one per fold)
       "quality_blend",           // 1-row floor + n-docs broadcasts (rank fusion)
       "gate_overlap",            // same 1-row floor/ratio broadcasts via the gates
-      "source_overlap_kmv")      // |sources|-bounded pair frame (a < b non-equi
+      "source_overlap_kmv",      // |sources|-bounded pair frame (a < b non-equi
                                  // join of the source LIST, never document rows)
+      "bm25_topk")               // two 1-row broadcasts (corpus N; N+avgdl stats)
     // Sanctioned unpartitioned windows/sorts: |teams|-bounded frames only.
     val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features",
       "token_spectrum", // cumulative sweep over the count HISTOGRAM — rows
                         // = distinct occurrence counts, bounded at any corpus size
-      "classifier_ci")  // rank window over the R-row replicate frame (R = 64
+      "classifier_ci",  // rank window over the R-row replicate frame (R = 64
                         // BY CONSTRUCTION — corpus-scale work happened map-side)
+      "bm25_topk")      // rank window over the POST-LIMIT top-k frame (≤ 20
+                        // rows by construction — the corpus cut was TakeOrdered)
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val qe = fn(spark, SF).queryExecution
       val physical = qe.executedPlan.toString

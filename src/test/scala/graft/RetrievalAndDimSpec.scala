@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Relational, Retrieval, Text}
+
+/** Laws for the r12 wave-1 operators: BM25 ranked retrieval, the SCD
+  * Type-2 dimension family, and Count-Min heavy hitters. Each declared
+  * query also has a DuckDB oracle; these specs pin the semantic laws the
+  * hash-compare can't express (monotonicity, tiling, incremental ≡ batch,
+  * the sketch overestimate bound, plan shape).
+  */
+class RetrievalAndDimSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ---- BM25
+
+  test("bm25_topk: dense ranks 1..k, scores non-increasing, hits within the term budget") {
+    val r = q("bm25_topk").orderBy("rk").collect()
+    assert(r.length == 20)
+    assert(r.map(_.getAs[Long]("rk")).toSeq == (1L to 20L))
+    val scores = r.map(_.getAs[Long]("score_micro")).toSeq
+    assert(scores == scores.sorted.reverse, "scores must be non-increasing in rank")
+    assert(r.forall { x =>
+      val h = x.getAs[Long]("n_terms_hit"); h >= 1L && h <= 4L })
+  }
+
+  test("bm25: more query-term mass at equal length ranks higher; rarer term beats common") {
+    // same length (8 tokens); A has the term 3x, B 1x
+    val docs = Seq(
+      (1L, "cat cat cat pad pad pad pad pad"),
+      (2L, "cat pad pad pad pad pad pad pad"),
+      // C hits only `rare` (df=1), D only `common` (df=3) — equal tf & length
+      (3L, "rare fill fill fill fill fill fill fill"),
+      (4L, "common fill fill fill fill fill fill fill"),
+      (5L, "common common2 x1 x2 x3 x4 x5 x6"),
+      (6L, "common common3 y1 y2 y3 y4 y5 y6")
+    ).toDF("doc_id", "text")
+    val terms = Seq("cat").toDF("token")
+    val s = Retrieval.bm25Score(docs, terms)
+      .groupBy("doc_id").agg(sum("score_micro").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("s")).toMap
+    assert(s(1L) > s(2L), s"tf monotonicity violated: $s")
+
+    val terms2 = Seq("rare", "common").toDF("token")
+    val s2 = Retrieval.bm25Score(docs, terms2)
+      .groupBy("doc_id").agg(sum("score_micro").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("s")).toMap
+    assert(s2(3L) > s2(4L), s"idf discrimination violated: $s2")
+  }
+
+  test("bm25: length normalization — same tf scores higher in the shorter document") {
+    val docs = Seq(
+      (1L, "cat pad"),
+      (2L, "cat pad pad pad pad pad pad pad pad pad pad pad pad pad"),
+      (3L, "other text entirely here")
+    ).toDF("doc_id", "text")
+    val s = Retrieval.bm25Score(docs, Seq("cat").toDF("token"))
+      .groupBy("doc_id").agg(sum("score_micro").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("s")).toMap
+    assert(s(1L) > s(2L), s"length normalization violated: $s")
+  }
+
+  test("bm25_topk plan: top-k is TakeOrdered, term semi-join broadcasts") {
+    val plan = q("bm25_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k should plan as TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term semi-join should broadcast:\n$plan")
+  }
+
+  // ---- SCD Type-2
+
+  test("scd2_dim: versions tile each key's timeline with no gaps or overlaps") {
+    val d = q("scd2_dim").cache()
+    val orders = Tables.orders(spark, SF)
+    // exactly one open row per key
+    val keys = d.select("c_custkey").distinct().count()
+    assert(d.filter(col("effective_to").isNull).count() == keys)
+    // adjacent versions: to(v) == from(v+1), versions consecutive from 1
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_custkey").orderBy("version")
+    val adj = d
+      .withColumn("next_from", lead("effective_from", 1).over(w))
+      .withColumn("next_version", lead("version", 1).over(w))
+    assert(adj.filter(col("next_from").isNotNull &&
+      !(col("effective_to") <=> col("next_from"))).count() == 0,
+      "effective_to must equal the next version's effective_from")
+    assert(adj.filter(col("next_version").isNotNull &&
+      col("next_version") =!= col("version") + 1).count() == 0)
+    assert(d.groupBy("c_custkey").agg(min("version").as("v0"))
+      .filter(col("v0") =!= 1L).count() == 0)
+    // order mass conserved: per-key n_orders sums to the key's order count
+    val mass = d.groupBy("c_custkey").agg(sum("n_orders").as("n"))
+    val truth = orders.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n"))
+    assert(mass.join(truth, Seq("c_custkey"), "full")
+      .filter(!(mass("n") <=> truth("n"))).count() == 0)
+    // run-collapse: adjacent versions never carry the same priority
+    assert(adj.filter(col("next_version").isNotNull).alias("a")
+      .join(d.select(col("c_custkey"), col("version").as("next_version"),
+        col("priority").as("next_priority")), Seq("c_custkey", "next_version"))
+      .filter(col("priority") === col("next_priority")).count() == 0)
+  }
+
+  test("scd2Apply: incremental build over a date split equals the batch history exactly") {
+    val orders = Tables.orders(spark, SF).cache()
+    val cutDate = orders.agg(expr("percentile_approx(cast(cast(o_orderdate as timestamp) as long), 0.5, 10000)"))
+      .collect().head.getLong(0)
+    val first = orders.filter(col("o_orderdate").cast("timestamp").cast("long") <= cutDate)
+    val second = orders.filter(col("o_orderdate").cast("timestamp").cast("long") > cutDate)
+    assert(first.count() > 0 && second.count() > 0)
+    val dim = Relational.scd2History(first)
+    // the batch's change-point stream IS the second half's own history:
+    // version → seq, effective_from → as_of
+    val updates = Relational.scd2History(second).select(
+      col("c_custkey"), col("priority"), col("effective_from").as("as_of"),
+      col("version").as("seq"), col("n_orders"))
+    val got = Relational.scd2Apply(dim, updates)
+    val want = Relational.scd2History(orders)
+    val cols = Seq("c_custkey", "version", "priority", "effective_from",
+      "effective_to", "n_orders").map(col)
+    assert(got.select(cols: _*).except(want.select(cols: _*)).count() == 0 &&
+      want.select(cols: _*).except(got.select(cols: _*)).count() == 0,
+      "incremental SCD2 apply must reproduce the batch history bit-for-bit")
+  }
+
+  // ---- Count-Min heavy hitters
+
+  test("heavy_hitters_cms: estimates never undercount; sketch is near-exact at width 2048") {
+    val r = q("heavy_hitters_cms").cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("overcount") < 0).count() == 0,
+      "CMS point queries can only overcount")
+    // the declared query shares the exact query's candidate set
+    val exact = q("heavy_hitters").select("source", "token")
+    assert(r.select("source", "token").except(exact).count() == 0 &&
+      exact.except(r.select("source", "token")).count() == 0)
+    // 4 lanes × 2048 buckets over a sf0.001 vocab: essentially all exact
+    assert(r.filter(col("overcount") === 0).count() * 2 >= r.count())
+  }
+
+  test("cms: a forced single-lane collision overcounts by exactly the colliding mass") {
+    // width 2 / depth 1: every token lands in bucket md5("0:t")[0:15] % 2,
+    // so est(t) = total mass of t's bucket — computable by hand here
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha beta gamma", "s1")
+    ).toDF("doc_id", "text", "source")
+    val got = Text.heavyHittersCms(docs, phi = 30, depth = 1, width = 2)
+      .collect().map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("n_occurrences"), r.getAs[Long]("est_occurrences"))).toMap
+    def bucket(t: String): Long =
+      (BigInt(md5hex("0:" + t).substring(0, 15), 16) % 2).toLong
+    val mass = Map("alpha" -> 4L, "beta" -> 1L, "gamma" -> 1L)
+    for ((t, (n, est)) <- got) {
+      val expected = mass.filter { case (u, _) => bucket(u) == bucket(t) }.values.sum
+      assert(n == mass(t) && est == expected,
+        s"$t: true=$n est=$est expected=$expected (buckets: ${mass.keys.map(u => u -> bucket(u))})")
+    }
+  }
+}
