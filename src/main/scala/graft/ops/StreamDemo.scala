@@ -1186,6 +1186,70 @@ object StreamDemo {
   def readKmvSketch(spark: SparkSession, storeDir: String): DataFrame =
     KmvStore.view(spark, storeDir, Long.MaxValue)
 
+  /** Streaming Count-Min refresh — [[Text.cmsCounters]] as a standing
+    * sketch. CMS is MERGEABLE in the strongest sense (counters of a union
+    * are the cellwise sum of per-part counters), so each micro-batch folds
+    * its own bounded (source, d, bucket) counter table into the cumulative
+    * layer with one groupBy-sum; the store never exceeds
+    * |sources|·depth·width rows no matter how much text streams through.
+    * Replay rules are the KMV store's: the merge reads only layers with
+    * id < batchId, so a crashed-and-replayed batch re-derives its layer
+    * from the same inputs (idempotent); `_SUCCESS`-gated, previous layer
+    * retained one cycle. Streamed counters ≡ batch counters over
+    * everything ingested BIT-exactly, incl. across checkpointed restart
+    * (StreamDistinctSpec). */
+  def streamCmsRefresh(spark: SparkSession, docsDir: String,
+      storeDir: String, checkpointDir: String, depth: Int = 4,
+      width: Int = 2048,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("source", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val merged = CmsStore.view(spark, storeDir, batchId)
+          .unionByName(Text.cmsCounters(batch, depth, width))
+          .groupBy("source", "d", "bucket")
+          .agg(org.apache.spark.sql.functions.sum("c").cast("long").as("c"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite")
+          .parquet(s"$storeDir/counters/batch_id=$batchId")
+        for ((_, p) <- ReportStore.completeIds(spark, storeDir, "counters", "batch_id=")
+               .filter(_._1 < batchId)
+               .sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1).drop(1))
+          ReportStore.fs(spark, p).delete(p, true)
+        ()
+      }
+      .start()
+  }
+
+  /** The newest committed streamed CMS counter table — point-query-ready,
+    * bit-identical to [[Text.cmsCounters]] over everything ingested. */
+  def readCmsCounters(spark: SparkSession, storeDir: String): DataFrame =
+    CmsStore.view(spark, storeDir, Long.MaxValue)
+
+  private[ops] object CmsStore {
+    import org.apache.spark.sql.types._
+    val countersSchema: StructType = StructType(Seq(
+      StructField("source", StringType), StructField("d", IntegerType),
+      StructField("bucket", LongType), StructField("c", LongType)))
+    def view(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame =
+      ReportStore.completeIds(spark, storeDir, "counters", "batch_id=")
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) =>
+          spark.read.schema(countersSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), countersSchema)
+      }
+  }
+
   /** Store plumbing for [[streamKmvRefresh]] — the [[DsirStore]] rules on
     * the per-source k-minimum hash layer. */
   private[ops] object KmvStore {

@@ -140,29 +140,38 @@ object Text {
     * width-4 sketch exercises real collisions. */
   def heavyHittersCms(documents: DataFrame, phi: Int = 30,
       depth: Int = 4, width: Int = 2048): DataFrame = {
-    val post = sourceTokenPostings(documents)
-    val ds = array((0 until depth).map(lit): _*)
-    // counter build: explode depth lanes, ONE combining groupBy to the
-    // bounded (source, d, bucket) cell table
-    val counters = post
-      .select(col("source"), explode(ds).as("d"), col("token"))
-      .select(col("source"), col("d"),
-        pmod(expr("cast(conv(substring(md5(concat(cast(d as string), ':', token)), 1, 15), 16, 10) as bigint)"),
-          lit(width)).as("bucket"))
-      .groupBy("source", "d", "bucket").agg(count(lit(1)).cast("long").as("c"))
     // probe cells for the exact heavy-hitter candidates only
     val hh = heavyHitters(documents, phi)
     val probes = hh.select(col("source"), col("token"), col("n_occurrences"),
-        col("n_tokens"), explode(ds).as("d"))
-      .withColumn("bucket",
-        pmod(expr("cast(conv(substring(md5(concat(cast(d as string), ':', token)), 1, 15), 16, 10) as bigint)"),
-          lit(width)))
-    probes.join(counters, Seq("source", "d", "bucket"))
+        col("n_tokens"), explode(array((0 until depth).map(lit): _*)).as("d"))
+      .withColumn("bucket", cmsBucket(width))
+    probes.join(cmsCounters(documents, depth, width), Seq("source", "d", "bucket"))
       .groupBy("source", "token")
       .agg(max("n_occurrences").as("n_occurrences"), max("n_tokens").as("n_tokens"),
         min("c").as("est_occurrences"))
       .withColumn("overcount", col("est_occurrences") - col("n_occurrences"))
   }
+
+  /** CMS bucket on the md5 mirror plane, over in-scope columns `d` and
+    * `token` — ONE definition shared by the counter build, the point-query
+    * probes, and the streaming refresh, so the three can never disagree on
+    * where a token lands. */
+  private def cmsBucket(width: Int): Column =
+    pmod(expr("cast(conv(substring(md5(concat(cast(d as string), ':', token)), 1, 15), 16, 10) as bigint)"),
+      lit(width))
+
+  /** The CMS counter table itself: (source, d, bucket) → summed token mass.
+    * One combining groupBy with BOUNDED cardinality (|sources|·depth·width),
+    * and a MERGEABLE fold — counters of a union are the cellwise SUM of
+    * per-part counters — which is what [[StreamDemo.streamCmsRefresh]]
+    * exploits to keep a standing sketch under micro-batch appends. */
+  def cmsCounters(documents: DataFrame, depth: Int = 4,
+      width: Int = 2048): DataFrame =
+    sourceTokenPostings(documents)
+      .select(col("source"), explode(array((0 until depth).map(lit): _*)).as("d"),
+        col("token"))
+      .select(col("source"), col("d"), cmsBucket(width).as("bucket"))
+      .groupBy("source", "d", "bucket").agg(count(lit(1)).cast("long").as("c"))
 
   /** Token-spectrum corpus-health report (1 row): the Zipf-shape numbers a
     * tokenizer/vocabulary decision reads — total mass N, type count V,

@@ -253,4 +253,40 @@ class SinksSpec extends SparkTestBase {
     val probe = docs.select("doc_id").orderBy("doc_id").limit(1).head.getLong(0)
     assert(back.filter(col("doc_id") === probe).count() == 1)
   }
+
+  test("zorderOverwrite: one layout prunes on BOTH columns where a single sort cannot") {
+    val zDir = tmp("graft_zorder")
+    val sDir = tmp("graft_zsorted")
+    val orders = Tables.orders(spark, SF)
+      .withColumn("o_epoch", col("o_orderdate").cast("timestamp").cast("long"))
+    val nFiles = 16
+    Sinks.zorderOverwrite(orders, zDir, nFiles, "o_custkey", "o_epoch", bits = 8)
+    Sinks.sortedOverwrite(orders, sDir, nFiles, "o_custkey")
+    val zBack = spark.read.parquet(zDir)
+    val sBack = spark.read.parquet(sDir)
+    assert(zBack.count() == orders.count(), "z-order write must be lossless")
+
+    // files a zone-mapped scan must touch = files holding ≥1 matching row
+    def touched(back: org.apache.spark.sql.DataFrame,
+        pred: org.apache.spark.sql.Column): Long =
+      back.filter(pred).select(input_file_name()).distinct().count()
+    val ck = orders.agg(min("o_custkey"), max("o_custkey")).head()
+    val (ck0, ck1) = (ck.getLong(0), ck.getLong(1))
+    val ep = orders.agg(min("o_epoch"), max("o_epoch")).head()
+    val (ep0, ep1) = (ep.getLong(0), ep.getLong(1))
+    // ~1/8-wide band on each dimension
+    val ckBand = col("o_custkey") <= ck0 + (ck1 - ck0) / 8
+    val epBand = col("o_epoch") <= ep0 + (ep1 - ep0) / 8
+    assert(orders.filter(ckBand).count() > 0 && orders.filter(epBand).count() > 0)
+
+    // z-order: BOTH bands prune a substantial share of the 16 files
+    assert(touched(zBack, ckBand) <= 10,
+      s"z-order custkey band touched ${touched(zBack, ckBand)}/$nFiles files")
+    assert(touched(zBack, epBand) <= 10,
+      s"z-order epoch band touched ${touched(zBack, epBand)}/$nFiles files")
+    // single-column sort: razor-sharp on its key, helpless on the other
+    assert(touched(sBack, ckBand) <= 4)
+    assert(touched(sBack, epBand) >= nFiles - 2,
+      "a custkey-sorted layout should NOT prune an epoch predicate")
+  }
 }

@@ -222,4 +222,66 @@ class StreamDedupSpec extends SparkTestBase with TimeLimitedTests {
     val perSource = streamed.groupBy("source").count().collect()
     perSource.foreach(r => assert(r.getLong(1) <= 64L))
   }
+
+  test("streamed CMS counters equal the batch counters over everything ingested; " +
+      "point estimates agree; restart-safe; store stays bounded") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("cms_src")
+    val store = java.nio.file.Files.createTempDirectory("cms_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("cms_ckpt")
+
+    val all = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text", "source").orderBy("doc_id")
+    val rows = all.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"cms_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    // narrow width so the store bound (|sources|·depth·width) stays tiny
+    // and collisions actually occur in-test
+    val (depth, width) = (4, 64)
+    def counterMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    def batchTwin(slice: Array[org.apache.spark.sql.Row]) =
+      Text.cmsCounters(spark.createDataFrame(
+        java.util.Arrays.asList(slice: _*), all.schema), depth, width)
+
+    stage(1, rows.slice(0, cut1))
+    stage(2, rows.slice(cut1, cut2))
+    val q1 = StreamDemo.streamCmsRefresh(
+      s2, src.toString, store.toString, ckpt.toString, depth, width)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(counterMap(StreamDemo.readCmsCounters(spark, store.toString)) ==
+      counterMap(batchTwin(rows.slice(0, cut2))),
+      "streamed counters drifted from the batch twin mid-stream")
+
+    // checkpointed restart: resumes the fold, does not re-count
+    stage(3, rows.slice(cut2, rows.length))
+    val q2 = StreamDemo.streamCmsRefresh(
+      s2, src.toString, store.toString, ckpt.toString, depth, width)
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = StreamDemo.readCmsCounters(spark, store.toString)
+    assert(counterMap(streamed) == counterMap(batchTwin(rows)),
+      "streamed counters drifted from the batch twin after restart")
+
+    // bounded state: never more than |sources|·depth·width cells
+    val nSources = all.select("source").distinct().count()
+    assert(streamed.count() <= nSources * depth * width)
+
+    // the mass conservation CMS inherits: every lane carries the full
+    // per-source token mass
+    val mass = Text.sourceTokenPostings(spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), all.schema))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val laneMass = streamed.groupBy("source", "d").agg(sum("c").as("m"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Long]("m")).toMap
+    for (((srcName, _), m) <- laneMass) assert(m == mass(srcName),
+      s"lane mass drift for $srcName: $m != ${mass(srcName)}")
+  }
 }
