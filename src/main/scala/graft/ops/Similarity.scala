@@ -1593,8 +1593,17 @@ object Similarity {
     * standard 256 (one byte per subspace). */
   def pqBuild(embeddings: DataFrame, m: Int = 8, codebookSize: Int = 256,
       nCells: Int = 0, fitMaxRows: Long = 100000L,
+      residual: Boolean = false): PqIndex =
+    pqBuildFrom(ivfBuild(embeddings, nCells, fitMaxRows), embeddings, m,
+      codebookSize, fitMaxRows, residual)
+
+  /** [[pqBuild]] over a PRE-BUILT coarse index — the raw and residual PQ
+    * variants share one IVF geometry by construction (same corpus, same
+    * seed), so a caller holding the index (e.g. a memoizing bench/serving
+    * layer) avoids re-running the coarse k-means per codebook flavor. */
+  def pqBuildFrom(ivf: IvfIndex, embeddings: DataFrame, m: Int = 8,
+      codebookSize: Int = 256, fitMaxRows: Long = 100000L,
       residual: Boolean = false): PqIndex = {
-    val ivf = ivfBuild(embeddings, nCells, fitMaxRows)
     val (n, dim) = corpusDims(embeddings)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
