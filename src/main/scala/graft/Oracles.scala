@@ -314,6 +314,48 @@ af AS (
              CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
       FROM scored GROUP BY doc_id"""
 
+  // Good-Turing discounted UNIGRAM scoring (Katz's k=5 cutoff form):
+  // count-of-counts N_r over the unigram TYPE table, r* = (r+1)·N_{r+1}/N_r
+  // for r < 5 when N_{r+1} exists else MLE r, unseen mass (N_1+1)/(N+V)
+  // (the repo's add-one convention keeps ln total). Arithmetic mirrors the
+  // Spark fold term for term: the (r+1)·N_{r+1} product stays BIGINT-exact
+  // before the single CAST, then two left-assoc double divisions.
+  private val lmScoreGtSql: String = """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                  FROM documents),
+      ref AS (SELECT * FROM tk
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+      uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+              FROM (SELECT unnest(t) AS token FROM ref) p GROUP BY token),
+      coc AS (SELECT c_uni AS gt_r, CAST(COUNT(*) AS BIGINT) AS gt_nr
+              FROM uni GROUP BY c_uni),
+      tot AS (SELECT (SELECT CAST(SUM(c_uni) AS BIGINT) FROM uni) AS lm_n,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS lm_v,
+                     (SELECT COALESCE(CAST(SUM(gt_nr) AS BIGINT), 0)
+                      FROM coc WHERE gt_r = 1) AS gt_n1),
+      tg AS (SELECT doc_id, unnest(t) AS token FROM tk),
+      scored AS (
+        SELECT tg.doc_id,
+               CASE WHEN u.c_uni IS NULL THEN 1 ELSE 0 END AS unseen,
+               floor(ln(
+                 CASE WHEN u.c_uni IS NULL
+                      THEN CAST(tot.gt_n1 + 1 AS DOUBLE) / (tot.lm_n + tot.lm_v)
+                      WHEN u.c_uni < 5 AND COALESCE(c1.gt_nr, 0) > 0
+                      THEN CAST((u.c_uni + 1) * c1.gt_nr AS DOUBLE)
+                             / c0.gt_nr / tot.lm_n
+                      ELSE CAST(u.c_uni AS DOUBLE) / tot.lm_n END
+               ) * 1000000.0 + 0.5) / 1000000.0 AS q
+        FROM tg LEFT JOIN uni u ON tg.token = u.token
+                LEFT JOIN coc c0 ON u.c_uni = c0.gt_r
+                LEFT JOIN coc c1 ON u.c_uni + 1 = c1.gt_r
+                CROSS JOIN tot)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(unseen) AS BIGINT) AS n_unseen_tokens,
+             CAST(CAST(SUM(unseen) AS BIGINT) AS DOUBLE) / COUNT(*) AS unseen_frac,
+             CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
+      FROM scored GROUP BY doc_id"""
+
   // order-3 (trigram) interpolated LM scoring — the lm_score CTE family
   // one order up: recursive Jelinek-Mercer
   //   p = 0.5·(c_tri/c_bi_ctx | 0) + 0.5·(0.5·(c_bi/c_uni_ctx | 0)
@@ -2380,6 +2422,10 @@ af AS (
     // trigram interpolated Kneser-Ney twin: five continuation TYPE-count
     // tables, continuation counts at the middle level — see lmScoreKn3Sql
     "lm_score_kn3" -> lmScoreKn3Sql,
+
+    // Good-Turing discounted unigram twin (Katz k=5 cutoff):
+    // count-of-counts CTE, BIGINT-exact (r+1)·N_{r+1} — see lmScoreGtSql
+    "lm_score_gt" -> lmScoreGtSql,
 
     // DSIR hashed-n-gram importance weights + Gumbel-top-k resample —
     // see dsirGramsCte (md5-bucket twin of conv(md5)%B)

@@ -398,6 +398,12 @@ object SparkEntry {
     // DuckDB-mirrored including the two type-count tables
     "lm_score_kn" -> ((s, d) =>
       Text.lmScoreKneserNey(lmModel(s, d), Tables.documents(s, d))),
+    // Good-Turing discounted unigram scoring (Katz k=5 cutoff) over the
+    // SAME memoized model — the third classical smoothing family, its
+    // count-of-counts table a broadcast lookup, DuckDB-mirrored with
+    // BIGINT-exact (r+1)·N_{r+1} products
+    "lm_score_gt" -> ((s, d) =>
+      Text.lmScoreGoodTuring(lmModel(s, d), Tables.documents(s, d))),
     // trigram interpolated KN over the memoized order-3 model — the real
     // KenLM recursion: the middle level scores CONTINUATION type counts
     // (Chen & Goodman eq. 18), DuckDB-mirrored incl. all five type tables

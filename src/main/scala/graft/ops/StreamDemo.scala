@@ -1250,6 +1250,85 @@ object StreamDemo {
       }
   }
 
+  /** Streaming SCD2 dimension maintenance — [[graft.ops.Relational
+    * .scd2Apply]] as a standing stream: order micro-batches arrive in
+    * business-date order (the warehouse nightly-load contract; SCD2 is
+    * not defined for retroactive updates, which real loads route through
+    * a reprocessing path), each batch collapses to its own change-point
+    * run stream via [[graft.ops.Relational.scd2History]] — the SAME
+    * routine the batch build runs, so streamed and batch versions can
+    * never disagree on what a change point is — and merges into the
+    * standing dimension with one scd2Apply.
+    *
+    * Replay rules are the cumulative stores' ([[DsirStore]]): the merge
+    * reads only layers with id < batchId, so a crashed-and-replayed batch
+    * re-derives its layer from the same inputs (idempotent);
+    * `_SUCCESS`-gated, previous layer retained one cycle. Streamed
+    * dimension ≡ [[graft.ops.Relational.scd2History]] over everything
+    * ingested BIT-exactly, incl. across checkpointed restart — the
+    * scd2Apply incremental≡batch law applied inductively per micro-batch
+    * (StreamDimSpec). The store is dimension-sized (keys × versions),
+    * never order-stream-sized. */
+  def streamScd2Refresh(spark: SparkSession, ordersDir: String,
+      storeDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(ordersDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        if (b.count() > 0) {
+          val updates = graft.ops.Relational.scd2History(b).select(
+            col("c_custkey"), col("priority"),
+            col("effective_from").as("as_of"),
+            col("version").as("seq"), col("n_orders"))
+          val merged = graft.ops.Relational
+            .scd2Apply(Scd2Store.view(spark, storeDir, batchId), updates)
+            .localCheckpoint(true)
+          merged.write.mode("overwrite")
+            .parquet(s"$storeDir/dim/batch_id=$batchId")
+          for ((_, p) <- ReportStore.completeIds(spark, storeDir, "dim", "batch_id=")
+                 .filter(_._1 < batchId)
+                 .sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1).drop(1))
+            ReportStore.fs(spark, p).delete(p, true)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The newest committed streamed SCD2 dimension — bit-identical to the
+    * batch [[graft.ops.Relational.scd2History]] over everything ingested. */
+  def readScd2Dim(spark: SparkSession, storeDir: String): DataFrame =
+    Scd2Store.view(spark, storeDir, Long.MaxValue)
+
+  private[ops] object Scd2Store {
+    import org.apache.spark.sql.types._
+    val dimSchema: StructType = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("version", LongType),
+      StructField("priority", StringType),
+      StructField("effective_from", TimestampType),
+      StructField("effective_to", TimestampType),
+      StructField("n_orders", LongType)))
+    def view(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame =
+      ReportStore.completeIds(spark, storeDir, "dim", "batch_id=")
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) =>
+          spark.read.schema(dimSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), dimSchema)
+      }
+  }
+
   /** Store plumbing for [[streamKmvRefresh]] — the [[DsirStore]] rules on
     * the per-source k-minimum hash layer. */
   private[ops] object KmvStore {

@@ -2810,6 +2810,73 @@ object Text {
         "avg_logp")
   }
 
+  /** Score `target` under GOOD-TURING discounted unigram estimates (Good
+    * 1953; the Katz 1987 §3 discounting step with the standard small-count
+    * cutoff k) — the third classical smoothing family next to
+    * Jelinek-Mercer ([[lmScoreWith]]) and Kneser-Ney
+    * ([[lmScoreKneserNey]]). Per token position w with training count
+    * r = c(w):
+    *
+    *   r* = (r+1)·N_{r+1}/N_r   if r < k and N_{r+1} > 0, else r
+    *   p(w) = r* / N            (seen)
+    *   p(w) = (N_1 + 1)/(N + V) (unseen — GT's leave-one-out singleton
+    *                             mass under the repo's add-one convention,
+    *                             so p > 0 even on a singleton-free corpus)
+    *
+    * where N_r is the count-of-counts (how many types occur exactly r
+    * times) and N = Σ c(w). The cutoff k (Katz uses 5) keeps the estimate
+    * at MLE where N_{r+1} is too sparse to trust — and, unlike textbook
+    * GT, makes every branch total without a regression fit (Simple GT's
+    * log-log smoothing is deliberately NOT replicated: it is an
+    * engine-specific least-squares fit, while this form is exact integer
+    * ratios the DuckDB oracle mirrors bit-for-bit).
+    *
+    * Scale shape: the count-of-counts table is a groupBy over the
+    * VOCABULARY-sized unigram table, bounded by the number of distinct
+    * count values (≪ vocabulary; always broadcast), so scoring is the
+    * [[lmScoreWith]] token-keyed join plus two tiny broadcast lookups
+    * (N_r, N_{r+1}) and the usual one-row totals broadcast. Oracle
+    * parity: p is computed in one mirrored left-associative arithmetic
+    * chain — `((r+1)·N_{r+1} :: long) :: double / N_r / N` — then
+    * q6-quantized ln and decimal-summed per doc. */
+  def lmScoreGoodTuring(model: LmModel, target: DataFrame,
+      maxDiscount: Long = 5L): DataFrame = {
+    val uni = model.uni
+    def hint(df: DataFrame): DataFrame =
+      if (model.vocabBroadcastable) broadcast(df) else df
+    // count-of-counts over the TYPE table: N_r = |{w : c(w) = r}|
+    val coc = uni.groupBy(col("c_uni").as("gt_r"))
+      .agg(count(lit(1)).as("gt_nr"))
+    val totals = uni.agg(sum("c_uni").as("lm_n"), count(lit(1)).as("lm_v"))
+      .crossJoin(coc.filter(col("gt_r") === 1L)
+        .agg(coalesce(sum("gt_nr"), lit(0L)).as("gt_n1")))
+    val scored = tokenPostings(target)
+      .join(hint(uni), Seq("token"), "left")
+      .join(broadcast(coc), col("c_uni") === col("gt_r"), "left")
+      .join(broadcast(coc.select(col("gt_r").as("gt_r1"),
+          col("gt_nr").as("gt_nr1"))),
+        col("c_uni") + lit(1L) === col("gt_r1"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("p",
+        when(col("c_uni").isNull,
+          (col("gt_n1") + lit(1L)).cast("double") / (col("lm_n") + col("lm_v")))
+        .when(col("c_uni") < lit(maxDiscount) &&
+            coalesce(col("gt_nr1"), lit(0L)) > 0L,
+          ((col("c_uni") + lit(1L)) * col("gt_nr1")).cast("double") /
+            col("gt_nr") / col("lm_n"))
+        .otherwise(col("c_uni").cast("double") / col("lm_n")))
+      .withColumn("logp", log(col("p")))
+      .withColumn("unseen", col("c_uni").isNull.cast("long"))
+    scored.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum("unseen").as("n_unseen_tokens"),
+        graft.functions.Exact.r6avg(col("logp")).as("avg_logp"))
+      .withColumn("unseen_frac",
+        col("n_unseen_tokens").cast("double") / col("n_tokens"))
+      .select("doc_id", "n_tokens", "n_unseen_tokens", "unseen_frac",
+        "avg_logp")
+  }
+
   // ---------------------------------------------------------------- LmN —
   // the order-n generalization of the bigram LM above. CCNet's production
   // gate is a 5-gram KenLM (Wenzek et al. 2020 §4.3); a bigram

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
+
+import graft.ops.{Relational, StreamDemo}
+
+/** Streaming SCD2 dimension maintenance ([[StreamDemo.streamScd2Refresh]]):
+  * order micro-batches arriving in business-date order fold into a standing
+  * Type-2 dimension through the SAME change-point collapse + scd2Apply the
+  * batch build uses, so the streamed dimension must equal
+  * [[Relational.scd2History]] over everything ingested BIT-exactly — the
+  * RetrievalAndDimSpec incremental≡batch law applied inductively per
+  * micro-batch, including across a checkpointed restart. */
+class StreamDimSpec extends SparkTestBase with TimeLimitedTests {
+  val timeLimit: Span = Span(300, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  test("streamed SCD2 dimension equals the batch history; restart-safe") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("scd2_src")
+    val store = java.nio.file.Files.createTempDirectory("scd2_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2_ckpt")
+
+    // date-ordered slices — the nightly-load arrival contract the operator
+    // documents (ties at a slice boundary are fine: within-date order is
+    // o_orderkey on both the batch and streamed paths)
+    val all = Tables.orders(spark, SF)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .orderBy("o_orderdate", "o_orderkey")
+    val rows = all.collect()
+    assert(rows.length > 100, "need a non-trivial order stream")
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"scd2_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      val dst = src.resolve(s"batch$n.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      // pin strictly increasing mtimes so the file source's oldest-first
+      // order matches the business-date order whatever the copy timing
+      dst.toFile.setLastModified(1000000000000L + n * 60000L)
+      ()
+    }
+    def batchTwin(upTo: Int) = Relational.scd2History(
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.slice(0, upTo): _*), all.schema))
+    val cols = Seq("c_custkey", "version", "priority", "effective_from",
+      "effective_to", "n_orders").map(col)
+    def assertSame(got: org.apache.spark.sql.DataFrame,
+        want: org.apache.spark.sql.DataFrame, msg: String): Unit =
+      assert(got.select(cols: _*).except(want.select(cols: _*)).count() == 0 &&
+        want.select(cols: _*).except(got.select(cols: _*)).count() == 0, msg)
+
+    stage(1, rows.slice(0, cut1))
+    stage(2, rows.slice(cut1, cut2))
+    val q1 = StreamDemo.streamScd2Refresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assertSame(StreamDemo.readScd2Dim(spark, store.toString), batchTwin(cut2),
+      "streamed dimension drifted from the batch history mid-stream")
+
+    // checkpointed restart: a new query on the same checkpoint + store
+    // CONTINUES the fold from slice 3, it does not re-apply history
+    stage(3, rows.slice(cut2, rows.length))
+    val q2 = StreamDemo.streamScd2Refresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = StreamDemo.readScd2Dim(spark, store.toString)
+    assertSame(streamed, batchTwin(rows.length),
+      "streamed dimension drifted from the batch history after restart")
+
+    // SCD2 shape invariants survive the streamed path: exactly one open
+    // row per key, versions dense from 1
+    val open = streamed.filter(col("effective_to").isNull)
+      .groupBy("c_custkey").count()
+    assert(open.filter(col("count") =!= 1L).count() == 0,
+      "every key must carry exactly one open version")
+    val vr = streamed.groupBy("c_custkey")
+      .agg(min("version").as("v0"), max("version").as("v1"),
+        count(lit(1)).as("n"))
+    assert(vr.filter(col("v0") =!= 1L || col("v1") =!= col("n")).count() == 0,
+      "versions must be dense 1..n per key")
+  }
+}

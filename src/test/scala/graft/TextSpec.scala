@@ -1540,6 +1540,58 @@ class TextSpec extends SparkTestBase {
     kn.unpersist()
   }
 
+  test("Good-Turing: hand-computed probabilities exercise every branch") {
+    import spark.implicits._
+    // type counts a:1 b:1 c:2 d:3 e:6 → N=13, V=5; count-of-counts
+    // N_1=2, N_2=1, N_3=1, N_6=1 (N_4 GAP — the r=3 fallback case)
+    val ref = Seq((1L, "a"), (2L, "b"), (3L, "c c"), (4L, "d d d"),
+      (5L, "e e e e e e")).toDF("doc_id", "text")
+    val m = Text.lmTrain(ref)
+    val probes = Seq((100L, "a"), (101L, "c"), (102L, "d"), (103L, "e"),
+      (104L, "z"), (105L, "a z")).toDF("doc_id", "text")
+    val gt = Text.lmScoreGoodTuring(m, probes).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(4))))
+      .toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // r=1 < 5, N_2 exists: r* = 2·N_2/N_1 = 2·1/2 = 1 → p = 1/13
+    assert(gt(100L)._3 == q6(math.log(2.0 * 1 / 2 / 13)))
+    // r=2: r* = 3·N_3/N_2 = 3 → p = 3/13 (discount HERE is upward:
+    // the count-of-counts are too sparse to shrink r=2)
+    assert(gt(101L)._3 == q6(math.log(3.0 * 1 / 1 / 13)))
+    // r=3 but N_4 = 0 → MLE fallback 3/13
+    assert(gt(102L)._3 == q6(math.log(3.0 / 13)))
+    // r=6 ≥ k=5 → MLE 6/13
+    assert(gt(103L)._3 == q6(math.log(6.0 / 13)))
+    // unseen: (N_1 + 1)/(N + V) = 3/18, and the unseen counter fires
+    assert(gt(104L)._3 == q6(math.log(3.0 / 18)) && gt(104L)._2 == 1L)
+    // two-position doc: decimal-summed q6 mean, token counters exact
+    val want = java.math.BigDecimal.valueOf(q6(math.log(2.0 * 1 / 2 / 13)))
+      .add(java.math.BigDecimal.valueOf(q6(math.log(3.0 / 18))))
+      .doubleValue() / 2
+    assert(gt(105L) == ((2L, 1L, want)))
+    // maxDiscount = 1 disables discounting: every seen token scores MLE
+    val mle = Text.lmScoreGoodTuring(m, probes, maxDiscount = 1L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(mle(100L) == q6(math.log(1.0 / 13)) &&
+      mle(101L) == q6(math.log(2.0 / 13)) &&
+      mle(103L) == q6(math.log(6.0 / 13)))
+  }
+
+  test("Good-Turing on the corpus: total, bounded, counters match the JM twin") {
+    val m = Text.lmTrain(docs.filter(Text.inTrainSplit()))
+    val gt = Text.lmScoreGoodTuring(m, docs).cache()
+    // one row per doc (every doc has ≥ 1 token), ln p total and negative
+    assert(gt.count() == docs.count())
+    assert(gt.filter(col("avg_logp") >= 0 ||
+      col("unseen_frac") < 0 || col("unseen_frac") > 1).count() == 0)
+    // position accounting matches the tokenizer
+    val toks = Text.tokenPostings(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("nt"))
+    assert(gt.join(toks, Seq("doc_id"))
+      .filter(col("n_tokens") =!= col("nt")).count() == 0)
+    gt.unpersist()
+  }
+
   test("approx length percentiles: every sketch point within 1% rank of the exact twin") {
     // per source: each GK point must land between the exact values at
     // ranks ⌈n·(q−0.01)⌉ and ⌈n·(q+0.01)⌉ — the sketch's rank-error
