@@ -1157,6 +1157,35 @@ af AS (
              CAST(prev_n > 0 AND n_events * prev_n > 2 * prev_sum AS INTEGER) AS is_burst
       FROM w""",
 
+    // CUSUM drift per event type: the max(0, S+y) recursion unrolled to
+    // prefix-sum minus running-min (two cumulative windows over the
+    // bounded (type, day) grid); all-integer y = 2·D·x − 3·T deviations,
+    // integer alarm gate, one exact division for the reported excess
+    "event_drift_cusum" -> """
+      WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                            CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS day_num,
+                            event_type,
+                            CAST(COUNT(*) AS BIGINT) AS n_events
+                     FROM events GROUP BY 1, 2, 3),
+      tot AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS t_events,
+                     CAST(COUNT(*) AS BIGINT) AS d_days
+              FROM daily GROUP BY event_type),
+      c AS (SELECT d.event_type, d.day, d.day_num, d.n_events,
+                   t.t_events, t.d_days,
+                   CAST(SUM(2 * t.d_days * d.n_events - 3 * t.t_events) OVER
+                     (PARTITION BY d.event_type ORDER BY d.day_num
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+            FROM daily d JOIN tot t USING (event_type)),
+      m AS (SELECT *, LEAST(0, CAST(MIN(cs) OVER
+                     (PARTITION BY event_type ORDER BY day_num
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS mn
+            FROM c)
+      SELECT event_type, day, n_events,
+             CAST(cs - mn AS BIGINT) AS cusum,
+             CAST(cs - mn AS DOUBLE) / (2 * d_days) AS excess_events,
+             CAST(cs - mn > 4 * t_events AS INTEGER) AS is_drift
+      FROM m""",
+
     // crawl-refresh diff over the deterministic snapshot split: the md5
     // doc_id bucket synthesizes adds (<08), content edits ([08,18)), and
     // removals (>=e0); modified = normalized fingerprint changed

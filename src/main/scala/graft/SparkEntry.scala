@@ -267,6 +267,11 @@ object SparkEntry {
     // day-over-day burst monitor: integer cross-product gate vs the
     // trailing 7-day baseline
     "event_trends" -> ((s, d) => Analytics.eventTrends(Tables.events(s, d))),
+    // CUSUM drift per event type: the max(0,S+y) recursion unrolled to
+    // prefix-sum − running-min (two cumulative windows over the bounded
+    // day grid), all-integer deviations/gate, DuckDB-mirrored
+    "event_drift_cusum" -> ((s, d) =>
+      Analytics.eventDriftCusum(Tables.events(s, d))),
     // crawl-refresh diff: two snapshots synthesized deterministically from
     // the md5 doc_id bucket (added <08 | modified [08,18) | removed >=e0)
     "corpus_diff" -> ((s, d) => {
@@ -824,8 +829,14 @@ object SparkEntry {
       Similarity.cellBalancedSample(ivfIndex(s, d))),
     // 1-row pair-volume audit of the semdedup cell geometry — the runtime
     // telemetry that makes a drifting corpus visible BEFORE it is slow
+    // (shares the memoized coarse index: same corpus, same seed)
     "semdedup_stats" -> ((s, d) =>
-      Similarity.semDeDupStats(Similarity.ivfBuild(Tables.embeddings(s, d)).vectors)),
+      Similarity.semDeDupStats(ivfIndex(s, d).vectors)),
+    // recall-vs-nProbe tuning curve measured on the SAME standing index
+    // against exact ground truth over a hash-sampled query set — the
+    // scheduled recall audit that catches geometry drift before users do
+    "ann_recall_sweep" -> ((s, d) =>
+      Similarity.ivfRecallSweep(ivfIndex(s, d), Tables.embeddings(s, d))),
 
     // ---- multimodal (north star; REAL PNG/JPEG/WAV/MJPEG-AVI content
     // decode — only non-MJPEG AVI codecs remain the sanctioned stub)
@@ -900,7 +911,9 @@ object SparkEntry {
     "similarity_ivfpq_residual_topk" ->
       "k-means coarse + residual PQ sub-quantizers are engine-specific; strict MSE-improvement law vs the raw twin + pinned recall anchor in SimilaritySpec",
     "similarity_ivfpq_opq_topk" ->
-      "PCA eigen-rotation + k-means + PQ are engine-specific; planted-anisotropy 44x MSE law + permutation/recall anchors in SimilaritySpec")
+      "PCA eigen-rotation + k-means + PQ are engine-specific; planted-anisotropy 44x MSE law + permutation/recall anchors in SimilaritySpec",
+    "ann_recall_sweep" ->
+      "k-means probe geometry is MLlib-specific; monotone-recall + exhaustive-probe-recall=1 laws in SimilaritySpec")
 
   /** Declared queries ALLOWED to emit a nested-typed (array/map/struct)
     * column, each with the reason. The driver's rows-only check sorts the

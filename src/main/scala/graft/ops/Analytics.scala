@@ -271,4 +271,58 @@ object Analytics {
           .cast("int"))
       .drop("prev_sum", "prev_n", "day_num")
   }
+
+  /** CUSUM drift detection per event type (Page 1954) — the sequential
+    * changepoint monitor that catches a SUSTAINED feed-volume shift the
+    * day-over-day burst gate ([[eventTrends]]) structurally misses: a
+    * feed drifting to 1.6× its mean never doubles any single trailing
+    * window, but its cumulative excess grows linearly and crosses the
+    * CUSUM threshold within days.
+    *
+    * The textbook recursion S_t = max(0, S_{t−1} + y_t) has no direct
+    * window-function form, but unrolls exactly:
+    *
+    *   S_t = C_t − min(0, min_{j≤t} C_j)      where C_t = Σ_{j≤t} y_j
+    *
+    * — one prefix sum and one running min, both ordinary cumulative
+    * windows, so the detector is fully relational and DuckDB-mirrorable.
+    *
+    * Arithmetic is ALL-INTEGER (the [[eventTrends]] no-float gate
+    * discipline): with per-type totals (T events over D observed days),
+    * the deviation of day t from a 1.5×-mean reference is scored as
+    * y_t = 2·D·x_t − 3·T (the exact rational x_t − 1.5·T/D scaled by
+    * 2D), so C, the running min, and S stay exact longs; the alarm
+    * `S_t > 4·T` is the integer form of "accumulated excess beyond the
+    * 1.5× reference exceeds two mean days' volume". `excess_events`
+    * reports S_t/(2·D) — one exact long/long division at the end.
+    *
+    * Scale shape: the corpus collapses to the (type, day) count grid
+    * first (the only corpus-sized pass), per-type totals are a
+    * |types|-row broadcast join, and both windows run over the bounded
+    * grid with single-pass frames. Days with zero events are absent from
+    * the grid and contribute nothing — the detector monitors observed
+    * days (a feed that stops entirely is [[graft.ops.Quality]]
+    * freshness's job, not CUSUM's). */
+  def eventDriftCusum(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(
+        date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("day_num", unix_date(to_date(col("day"))))
+    val totals = daily.groupBy("event_type")
+      .agg(sum("n_events").as("t_events"),
+        count(lit(1)).as("d_days"))
+    val cum = Window.partitionBy("event_type").orderBy("day_num")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(totals), Seq("event_type"))
+      .withColumn("y",
+        lit(2L) * col("d_days") * col("n_events") - lit(3L) * col("t_events"))
+      .withColumn("c", sum("y").over(cum))
+      .withColumn("cusum", col("c") - least(lit(0L), min("c").over(cum)))
+      .withColumn("excess_events",
+        col("cusum").cast("double") / (lit(2L) * col("d_days")))
+      .withColumn("is_drift",
+        (col("cusum") > lit(4L) * col("t_events")).cast("int"))
+      .select("event_type", "day", "n_events", "cusum", "excess_events",
+        "is_drift")
+  }
 }

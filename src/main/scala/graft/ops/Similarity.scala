@@ -795,6 +795,64 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rk")
   }
 
+  /** Recall-vs-nProbe tuning sweep — the curve every ANN deployment
+    * publishes before picking its probe budget, measured ON the live
+    * index against exact ground truth over a SAMPLED query set (the
+    * production recall-audit shape: exact top-k for q sampled queries is
+    * O(q·n), not O(n²), so the audit stays cheap at any corpus size and
+    * runs on a schedule next to [[semDeDupStats]]-style telemetry).
+    *
+    * Queries are the `nQueries` corpus vectors with the smallest
+    * `xxhash64(vec_id)` — deterministic and uniformly spread over the id
+    * space (smallest raw ids would bias the audit toward one insertion
+    * region). Ground truth and every probe tier share ONE similarity
+    * definition (q6 cosine, ties by neighbor id — [[cosineTopK]]'s
+    * contract), so recall differences measure PRUNING loss only.
+    *
+    * Output: one row per grid point — (nprobe, n_queries, possible,
+    * hits, recall). Two laws pin it (SimilaritySpec): recall is monotone
+    * non-decreasing in nProbe (probe sets are nested, so a candidate
+    * superset's top-k can only trade misses upward against the global
+    * top-k), and nProbe = nCells ⇒ recall = 1 exactly (probing every
+    * cell IS the exhaustive scan). Rows-only (k-means geometry is
+    * engine-specific). */
+  def ivfRecallSweep(index: IvfIndex, embeddings: DataFrame, k: Int = 10,
+      nQueries: Int = 64, probeGrid: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(probeGrid.nonEmpty, "probeGrid must not be empty")
+    val e = withNorms(embeddings)
+    // bounded query sample, pinned: reused by ground truth + every tier
+    val queries = embeddings.join(
+        broadcast(e.select(col("vec_id"))
+          .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nQueries)),
+        Seq("vec_id"))
+      .localCheckpoint(true)
+    // exact ground truth: bounded query side broadcast over the corpus
+    val q = withNorms(queries).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("norm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("norm").as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val exact = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(true) // q·k rows, reused by every grid point
+    probeGrid.map { np =>
+      ivfQuery(index, queries, k, np)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(exact.groupBy().agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("possible"))))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("possible"), col("hits"),
+          (col("hits").cast("double") / col("possible")).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   // ------------------------------------------------------- index epochs —
   // Reader-atomic maintenance (VERDICT r10 #4). A rebuild used to
   // overwrite the standing layers in place, so a query racing the rebuild

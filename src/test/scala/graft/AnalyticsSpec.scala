@@ -155,4 +155,54 @@ class AnalyticsSpec extends SparkTestBase {
     assert(real.filter(col("is_burst") === 1 &&
       !(col("n_events") > lit(2.0) * col("baseline_avg"))).count() == 0)
   }
+
+  test("eventDriftCusum: window unroll equals the textbook recursion; " +
+      "sustained drift flags where the burst gate stays silent") {
+    import spark.implicits._
+    // 15 days at 10/day then a +2/day RAMP (12, 14, …, 40): every day
+    // stays under 2x its trailing-7-day average (burst-silent by
+    // construction — the ramp lifts the baseline with it), but the
+    // cumulative excess over the 1.5x-mean reference compounds
+    val ev = (for {
+      d <- 1 to 30
+      i <- 1 to (if (d <= 15) 10 else 10 + 2 * (d - 15))
+    } yield (d.toLong * 100 + i, f"2024-03-$d%02d 10:${i % 60}%02d:00", "feed"))
+      .toDF("user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val r = Analytics.eventDriftCusum(ev).orderBy("day").collect()
+    assert(r.length == 30)
+    // the window unroll IS the recursion: replay S_t = max(0, S_{t-1}+y_t)
+    val counts = r.map(_.getLong(2))
+    val t = counts.sum; val dDays = counts.length.toLong
+    var s = 0L
+    for ((x, i) <- counts.zipWithIndex) {
+      s = math.max(0L, s + (2L * dDays * x - 3L * t))
+      assert(r(i).getLong(3) == s, s"cusum mismatch at day ${i + 1}")
+      assert(r(i).getDouble(4) == s.toDouble / (2L * dDays))
+      assert(r(i).getInt(5) == (if (s > 4L * t) 1 else 0))
+    }
+    // the drift IS detected, and only deep in the ramp
+    val flagged = r.filter(_.getInt(5) == 1).map(_.getLong(2)).toSeq
+    assert(flagged.nonEmpty, "sustained ramp must trip CUSUM")
+    assert(flagged.forall(_ >= 28L), s"flags must sit in the ramp tail: $flagged")
+    // ...while the day-over-day burst gate never fires on the same stream
+    assert(Analytics.eventTrends(ev).filter(col("is_burst") === 1).count() == 0,
+      "burst gate must be structurally blind to a gradual ramp")
+    // a flat feed never flags and carries zero cusum pressure everywhere
+    val flat = (for { d <- 1 to 30; i <- 1 to 10 }
+      yield (d.toLong * 100 + i, f"2024-03-$d%02d 10:${i % 60}%02d:00", "flat"))
+      .toDF("user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val fr = Analytics.eventDriftCusum(flat).collect()
+    assert(fr.forall(row => row.getInt(5) == 0 && row.getLong(3) == 0L))
+    // real table: declared query returns the full grid, alarms obey the
+    // integer gate re-derived from per-type totals
+    val real = q("event_drift_cusum").cache()
+    assert(real.count() > 0)
+    val tot = real.groupBy("event_type")
+      .agg(sum("n_events").as("t2"), count(lit(1)).as("d2"))
+    assert(real.join(tot, Seq("event_type"))
+      .filter((col("is_drift") === 1) =!= (col("cusum") > lit(4L) * col("t2")))
+      .count() == 0)
+  }
 }

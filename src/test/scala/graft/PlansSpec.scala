@@ -104,6 +104,8 @@ class PlansSpec extends SparkTestBase {
       "scan_filter_recent",      // 1-row max-date cutoff broadcast
       "tfidf_top_terms",         // 1-row corpus-count broadcast
       "similarity_bruteforce_topk", // bounded query-side broadcast (correctness baseline)
+      "ann_recall_sweep",        // bounded hash-sampled query-side broadcast
+                                 // (ground truth) + 1-row denominator frames
       "embedding_near_dup",      // documented small-corpus all-pairs baseline
       "dedup_agreement",         // composes the embedding all-pairs baseline
       "decontaminate_semantic",  // bounded eval-side broadcast (production shape)

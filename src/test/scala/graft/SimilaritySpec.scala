@@ -747,4 +747,34 @@ class SimilaritySpec extends SparkTestBase {
     // the caller's explicit row cap is never exceeded
     assert(fitRowsFor(8, 500L) == 500L)
   }
+
+  test("ann recall sweep: monotone in nProbe; exhaustive probing recalls everything") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, SF)
+    val idx = Similarity.ivfBuild(emb)
+    val nCells = idx.centroids.count().toInt
+    val grid = Seq(1, 2, 4, nCells).distinct.sorted
+    val r = Similarity.ivfRecallSweep(idx, emb, k = 10, nQueries = 32,
+      probeGrid = grid).orderBy("nprobe").collect()
+    assert(r.map(_.getAs[Long]("nprobe")).toSeq == grid.map(_.toLong))
+    for (row <- r) {
+      val (nq, poss, hits, rec) = (row.getAs[Long]("n_queries"),
+        row.getAs[Long]("possible"), row.getAs[Long]("hits"),
+        row.getAs[Double]("recall"))
+      assert(nq == 32L && poss == nq * 10 && hits >= 0 && hits <= poss)
+      assert(rec == hits.toDouble / poss)
+    }
+    // nested probe sets: a candidate superset's top-k only trades misses
+    // upward against the global top-k, so recall never decreases
+    val recalls = r.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.sliding(2).forall(p => p.head <= p.last),
+      s"recall not monotone over $grid: $recalls")
+    // probing every cell IS the exhaustive scan
+    assert(recalls.last == 1.0, s"exhaustive probe must recall 1.0, got $recalls")
+    // the declared query: one row per default grid point
+    val declared = q("ann_recall_sweep")
+    assert(declared.count() == 4 &&
+      declared.columns.toSeq ==
+        Seq("nprobe", "n_queries", "possible", "hits", "recall"))
+  }
 }
