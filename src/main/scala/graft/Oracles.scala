@@ -838,7 +838,45 @@ af AS (
              avg_logp_in - avg_logp_bg AS ce_diff
       FROM ctr"""
 
-  val sql: Map[String, String] = Map(
+  /** Cohen's-kappa oracle derived from the gate_overlap oracle reused
+    * VERBATIM as a CTE (the two cannot drift); pair enumeration mirrors
+    * [[graft.ops.Text.gateNames]] order; DECIMAL(19,0) products keep the
+    * chance-expected mass exact to the shared DECIMAL(38) cap. */
+  private def gateKappaSql(overlapSql: String): String = {
+    val gates = Seq("g_len", "g_quality", "g_classifier", "g_domain", "g_unique")
+    val pairs = for {
+      i <- gates.indices; j <- (i + 1) until gates.size
+    } yield (gates(i), gates(j))
+    val conf = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS gate_a, '$b' AS gate_b,
+             CAST(SUM(CASE WHEN $a = 1 AND $b = 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN $a = 1 AND $b = 0 THEN n_docs ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN $a = 0 AND $b = 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN $a = 0 AND $b = 0 THEN n_docs ELSE 0 END) AS BIGINT) AS n00
+      FROM combos""" }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH combos AS ($overlapSql),
+      conf AS (
+      $conf),
+      k AS (SELECT *,
+                   CAST(n11 + n10 + n01 + n00 AS BIGINT) AS n,
+                   CAST(n11 + n10 AS DECIMAL(19,0)) * CAST(n11 + n01 AS DECIMAL(19,0))
+                     + CAST(n01 + n00 AS DECIMAL(19,0)) * CAST(n10 + n00 AS DECIMAL(19,0)) AS pe_mass
+            FROM conf)
+      SELECT gate_a, gate_b, n11, n10, n01, n00,
+             CAST(n11 + n00 AS DOUBLE) / n AS agree_frac,
+             CASE WHEN CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) - pe_mass <> 0
+                  THEN CAST(CAST(n AS DECIMAL(19,0)) * CAST(n11 + n00 AS DECIMAL(19,0)) - pe_mass AS DOUBLE)
+                       / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) - pe_mass AS DOUBLE)
+             END AS kappa
+      FROM k"""
+  }
+
+  // lazy: baseSql is initialized further down the object body
+  lazy val sql: Map[String, String] = baseSql +
+    ("gate_kappa" -> gateKappaSql(baseSql("gate_overlap")))
+
+  private val baseSql: Map[String, String] = Map(
     // ---- ingestion / scans
     "scan_filter_recent" -> withPipe(
       "SELECT * FROM box WHERE game_date >= (SELECT max(game_date) FROM box) - INTERVAL 30 DAY"),

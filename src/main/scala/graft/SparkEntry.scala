@@ -457,6 +457,12 @@ object SparkEntry {
     "gate_overlap" -> ((s, d) =>
       Text.gateOverlap(Tables.documents(s, d), nbModel(s, d),
         dsirCounts(s, d), mirrorableHash = true)),
+    // chance-corrected pairwise gate agreement (Cohen's kappa) off the
+    // bounded Venn frame — 10 aggregations over ≤ 32 rows; the standard
+    // redundancy verdict the raw Venn counts only gesture at
+    "gate_kappa" -> ((s, d) =>
+      Text.gateKappa(Text.gateOverlap(Tables.documents(s, d), nbModel(s, d),
+        dsirCounts(s, d), mirrorableHash = true))),
     // Moore-Lewis cross-entropy difference: in-domain LM (trusted sources)
     // vs the train-split background LM, scored in one bigram pass
     // DSIR (Xie et al. 2023): hashed (uni+bi)-gram importance weights of

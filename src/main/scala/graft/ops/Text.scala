@@ -3571,6 +3571,64 @@ object Text {
           + col("g_domain") + col("g_unique"))
   }
 
+  /** The gate families of [[gateOverlap]], in declared order — ONE list
+    * shared with [[gateKappa]] so the pair enumeration cannot drift. */
+  private[graft] val gateNames: Seq[String] =
+    Seq("g_len", "g_quality", "g_classifier", "g_domain", "g_unique")
+
+  /** Cohen's kappa (Cohen 1960) between every pair of the five gate
+    * families — the chance-corrected agreement statistic that turns
+    * [[gateOverlap]]'s Venn counts into the standard redundancy verdict:
+    * raw agreement is inflated when both gates pass almost everything
+    * (p_e → 1), while κ ≈ 0 says the gates are independent signals and
+    * κ → 1 says one is redundant. Consumes the BOUNDED (≤ 2⁵-row) combo
+    * frame, so the whole statistic costs 10 aggregations over ≤ 32 rows —
+    * corpus-scale work happened once, inside the overlap pass.
+    *
+    * All-integer confusion marginals; the chance-expected mass
+    * a₁·b₁ + a₀·b₀ is computed in DECIMAL(19,0) products (exact to
+    * n = 10¹⁹ docs — the DECIMAL(38) cap both engines share), and
+    *
+    *   κ = (n·(n₁₁+n₀₀) − pe_mass) / (n² − pe_mass)
+    *
+    * is one double division of two exact decimals (null when the
+    * denominator degenerates: a gate with no variance has no
+    * chance-corrected agreement). DuckDB-oracled with the overlap SQL
+    * reused VERBATIM as a CTE, so the two oracles cannot drift. */
+  def gateKappa(overlap: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val c = overlap.localCheckpoint(true) // ≤ 32 rows; 10 consumers below
+    val pairs = for {
+      i <- gateNames.indices; j <- (i + 1) until gateNames.size
+    } yield (gateNames(i), gateNames(j))
+    val conf = pairs.map { case (a, b) =>
+      def cell(va: Int, vb: Int) =
+        sum(when(col(a) === va.toLong && col(b) === vb.toLong, col("n_docs"))
+          .otherwise(0L)).cast("long")
+      c.agg(cell(1, 1).as("n11"), cell(1, 0).as("n10"),
+          cell(0, 1).as("n01"), cell(0, 0).as("n00"))
+        .select(lit(a).as("gate_a"), lit(b).as("gate_b"),
+          col("n11"), col("n10"), col("n01"), col("n00"))
+    }.reduce(_.unionByName(_))
+    val d19 = DecimalType(19, 0)
+    conf
+      .withColumn("n", col("n11") + col("n10") + col("n01") + col("n00"))
+      .withColumn("pe_mass",
+        (col("n11") + col("n10")).cast(d19) * (col("n11") + col("n01")).cast(d19)
+          + (col("n01") + col("n00")).cast(d19) * (col("n10") + col("n00")).cast(d19))
+      .withColumn("agree_frac",
+        (col("n11") + col("n00")).cast("double") / col("n"))
+      .withColumn("num",
+        col("n").cast(d19) * (col("n11") + col("n00")).cast(d19) - col("pe_mass"))
+      .withColumn("den",
+        col("n").cast(d19) * col("n").cast(d19) - col("pe_mass"))
+      .withColumn("kappa",
+        when(col("den") =!= lit(0),
+          col("num").cast("double") / col("den").cast("double")))
+      .select("gate_a", "gate_b", "n11", "n10", "n01", "n00",
+        "agree_frac", "kappa")
+  }
+
   /** Poisson(1) inverse-CDF: deterministic bootstrap weight from a uniform
     * draw. Cumulative thresholds are the exact double literals of
     * Σ_{j≤k} e⁻¹/j! (mirrored digit-for-digit in the oracle SQL, so the

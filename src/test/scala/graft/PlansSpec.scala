@@ -160,6 +160,7 @@ class PlansSpec extends SparkTestBase {
       "classifier_cv",           // k 1-row smoothing-floor broadcasts (one per fold)
       "quality_blend",           // 1-row floor + n-docs broadcasts (rank fusion)
       "gate_overlap",            // same 1-row floor/ratio broadcasts via the gates
+      "gate_kappa",              // same broadcasts via the overlap pass it consumes
       "source_overlap_kmv",      // |sources|-bounded pair frame (a < b non-equi
                                  // join of the source LIST, never document rows)
       "bm25_topk")               // two 1-row broadcasts (corpus N; N+avgdl stats)

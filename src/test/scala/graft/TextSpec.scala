@@ -1540,6 +1540,38 @@ class TextSpec extends SparkTestBase {
     kn.unpersist()
   }
 
+  test("gateKappa: hand-computed agreement anchors; declared query covers all pairs") {
+    import spark.implicits._
+    // synthetic Venn frame: g_len ≡ g_quality (perfect agreement),
+    // g_classifier independent of both (balanced 2x2 vs g_len),
+    // g_domain ≡ NOT g_len (perfect disagreement), g_unique constant 1
+    val combos = Seq(
+      (1L, 1L, 1L, 0L, 1L, 5L), (1L, 1L, 0L, 0L, 1L, 5L),
+      (0L, 0L, 1L, 1L, 1L, 5L), (0L, 0L, 0L, 1L, 1L, 5L))
+      .toDF("g_len", "g_quality", "g_classifier", "g_domain", "g_unique",
+        "n_docs")
+    val k = Text.gateKappa(combos).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toMap
+    assert(k.size == 10)
+    assert(k(("g_len", "g_quality")) == Some(1.0), "identical gates: kappa 1")
+    assert(k(("g_len", "g_classifier")) == Some(0.0), "independent gates: kappa 0")
+    assert(k(("g_len", "g_domain")) == Some(-1.0), "inverted gates: kappa -1")
+    // a constant gate has no variance to correct: kappa 0 against a
+    // varying gate, NULL against itself-degenerate chance (pe = 1)
+    assert(k(("g_len", "g_unique")) == Some(0.0))
+    // real corpus: full pair grid, every kappa in [-1, 1] or null, and
+    // each pair's confusion mass is the whole corpus
+    val real = q("gate_kappa").cache()
+    assert(real.count() == 10)
+    assert(real.filter(col("kappa").isNotNull &&
+      (col("kappa") < -1.0 || col("kappa") > 1.0)).count() == 0)
+    val nDocs = Tables.documents(spark, SF).count()
+    assert(real.filter(col("n11") + col("n10") + col("n01") + col("n00")
+      =!= nDocs).count() == 0)
+    real.unpersist()
+  }
+
   test("Good-Turing: hand-computed probabilities exercise every branch") {
     import spark.implicits._
     // type counts a:1 b:1 c:2 d:3 e:6 → N=13, V=5; count-of-counts
