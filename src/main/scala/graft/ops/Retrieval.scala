@@ -40,14 +40,35 @@ object Retrieval {
     Text.tokenPostings(documents)
       .groupBy("doc_id", "token").agg(count(lit(1)).cast("long").as("tf"))
 
+  /** (doc_id, dl) — whitespace token counts, the normalization layer of
+    * the index. ONE definition shared by the batch scorer and the
+    * streaming index refresh ([[graft.ops.StreamDemo]] `streamBm25Refresh`)
+    * so the two paths can never disagree on a document's length. */
+  def docLengths(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("dl"))
+
+  /** 1-row (n_docs, avgdl) from exact long totals — the long sum / long
+    * count division is a single deterministic double op on both engines,
+    * and on the streamed path the same division runs over the cumulative
+    * (n_docs, sum_dl) fold, so batch and streamed stats are bit-equal. */
+  def bm25Stats(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+
   private def bm25ScoreFrom(documents: DataFrame, p: DataFrame, df: DataFrame,
       terms: DataFrame, k1: Double, b: Double): DataFrame = {
-    // 1-row corpus stats: N and avgdl (long sum / long count — exact, so
-    // the double division is a single deterministic op on both engines)
-    val dl = documents.select(col("doc_id"),
-      size(split(col("text"), "\\s+")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val dl = docLengths(documents)
+    bm25ScoreParts(p, df, dl, bm25Stats(dl), terms, k1, b)
+  }
+
+  /** The scoring core over EXPLICIT index parts — posting lists `p`
+    * (doc_id, token, tf), document-frequency table `df`, lengths `dl`,
+    * 1-row `stats` (n_docs, avgdl) — so a standing (streamed) index
+    * scores through the very same plan the batch build uses. */
+  private[ops] def bm25ScoreParts(p: DataFrame, df: DataFrame,
+      dl: DataFrame, stats: DataFrame, terms: DataFrame,
+      k1: Double, b: Double): DataFrame = {
     // candidate postings: only query terms survive — broadcast semi-join
     // (df is folded into the ≤nTerms-row term frame BEFORE touching the
     // postings, so the vocabulary-sized df frame never joins the big side)
@@ -80,12 +101,23 @@ object Retrieval {
     val p = termFrequencies(documents).localCheckpoint(true)
     val df = p.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
       .localCheckpoint(true)
-    val n = documents.agg(count(lit(1)).cast("long").as("n_docs"))
-    val terms = df.crossJoin(broadcast(n))
+    val dl = docLengths(documents)
+    bm25TopKParts(p, df, dl, bm25Stats(dl), nTerms, topK, k1, b)
+  }
+
+  /** [[bm25TopK]] over EXPLICIT index parts — the entry point for a
+    * standing streamed index ([[graft.ops.StreamDemo]] `readBm25Index`):
+    * identical query derivation (integer-gated mid-df band off the df
+    * table and the 1-row stats) and identical scoring plan, so streamed
+    * and batch retrieval are bit-equal whenever the parts are. */
+  def bm25TopKParts(p: DataFrame, df: DataFrame, dl: DataFrame,
+      stats: DataFrame, nTerms: Int = 4, topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = df.crossJoin(broadcast(stats.select(col("n_docs"))))
       .where(col("df") * 20 >= col("n_docs") && col("df") * 4 <= col("n_docs"))
       .orderBy(col("df").desc, col("token").asc)
       .limit(nTerms)
-    val scored = bm25ScoreFrom(documents, p, df, terms, k1, b)
+    val scored = bm25ScoreParts(p, df, dl, stats, terms, k1, b)
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_terms_hit"),
         sum("score_micro").cast("long").as("score_micro"))

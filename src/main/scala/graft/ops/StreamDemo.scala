@@ -1310,6 +1310,134 @@ object StreamDemo {
   def readScd2Dim(spark: SparkSession, storeDir: String): DataFrame =
     Scd2Store.view(spark, storeDir, Long.MaxValue)
 
+  /** Streaming BM25 index maintenance — the inverted-index lifecycle as a
+    * standing stream. Per micro-batch, two kinds of layer land:
+    *
+    *  - DATA deltas (the ANN-append discipline — each batch its own
+    *    immutable `batch_id=N` directory, read in union):
+    *    `postings/` (doc_id, token, tf) and `dl/` (doc_id, dl), both
+    *    derived by the SAME [[graft.ops.Retrieval.termFrequencies]] /
+    *    `docLengths` routines the batch build runs — a document's
+    *    postings are a pure doc-local function, so per-batch derivation
+    *    equals whole-corpus derivation row for row;
+    *  - CUMULATIVE folds (the CMS-store discipline — pre-batch view +
+    *    batch delta, one combining groupBy): `df/` (token → document
+    *    frequency; vocabulary-sized forever) and `stats/` (ONE row of
+    *    exact long totals (n_docs, sum_dl)).
+    *
+    * CONSISTENT-SNAPSHOT rule (the multi-sublayer ANN discipline): the
+    * 1-row `stats` layer is written LAST, so the newest complete stats
+    * batch id B defines the snapshot — readers take data layers with
+    * id ≤ B and the df fold AT B, and a crash between sublayers leaves B
+    * pointing at the previous fully-landed batch. Replay re-derives every
+    * sublayer from the same inputs (folds read only layers < batchId;
+    * data deltas overwrite their own directory) — idempotent.
+    *
+    * [[readBm25Index]] + [[graft.ops.Retrieval.bm25TopKParts]] retrieve
+    * from the standing index through the batch scorer's own plan; scores
+    * are integer micro-units, so streamed ≡ batch retrieval is BIT-exact
+    * (StreamBm25Spec, incl. across checkpointed restart). */
+  def streamBm25Refresh(spark: SparkSession, docsDir: String,
+      storeDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("source", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        if (b.count() > 0) {
+          val p = graft.ops.Retrieval.termFrequencies(b).localCheckpoint(true)
+          val dl = graft.ops.Retrieval.docLengths(b).localCheckpoint(true)
+          p.write.mode("overwrite").parquet(s"$storeDir/postings/batch_id=$batchId")
+          dl.write.mode("overwrite").parquet(s"$storeDir/dl/batch_id=$batchId")
+          val dfMerged = Bm25Store.dfView(spark, storeDir, batchId)
+            .unionByName(p.groupBy("token")
+              .agg(count(lit(1)).cast("long").as("df")))
+            .groupBy("token").agg(sum("df").cast("long").as("df"))
+            .localCheckpoint(true)
+          dfMerged.write.mode("overwrite").parquet(s"$storeDir/df/batch_id=$batchId")
+          val statsMerged = Bm25Store.statsView(spark, storeDir, batchId)
+            .unionByName(dl.agg(count(lit(1)).cast("long").as("n_docs"),
+              sum("dl").cast("long").as("sum_dl")))
+            .agg(sum("n_docs").cast("long").as("n_docs"),
+              sum("sum_dl").cast("long").as("sum_dl"))
+            .localCheckpoint(true)
+          // stats LAST: its completion marker commits the whole batch
+          statsMerged.write.mode("overwrite").parquet(s"$storeDir/stats/batch_id=$batchId")
+          for (sub <- Seq("df", "stats");
+               (_, pth) <- ReportStore.completeIds(spark, storeDir, sub, "batch_id=")
+                 .filter(_._1 < batchId)
+                 .sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1).drop(1))
+            ReportStore.fs(spark, pth).delete(pth, true)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The standing streamed BM25 index at its newest CONSISTENT snapshot
+    * (see [[streamBm25Refresh]]): (postings, df, dl, stats-with-avgdl) —
+    * feed directly to [[graft.ops.Retrieval.bm25TopKParts]]. */
+  def readBm25Index(spark: SparkSession,
+      storeDir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val snap = ReportStore.completeIds(spark, storeDir, "stats", "batch_id=")
+      .map(_._1).sorted.lastOption.getOrElse(-1L)
+    val postings = Bm25Store.dataView(spark, storeDir, "postings",
+      Bm25Store.postingsSchema, snap)
+    val dl = Bm25Store.dataView(spark, storeDir, "dl", Bm25Store.dlSchema, snap)
+    val df = Bm25Store.dfView(spark, storeDir, snap + 1)
+    val stats = Bm25Store.statsView(spark, storeDir, snap + 1)
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    (postings, df, dl, stats)
+  }
+
+  private[ops] object Bm25Store {
+    import org.apache.spark.sql.types._
+    val postingsSchema: StructType = StructType(Seq(
+      StructField("doc_id", LongType), StructField("token", StringType),
+      StructField("tf", LongType)))
+    val dlSchema: StructType = StructType(Seq(
+      StructField("doc_id", LongType), StructField("dl", LongType)))
+    val dfSchema: StructType = StructType(Seq(
+      StructField("token", StringType), StructField("df", LongType)))
+    val statsSchema: StructType = StructType(Seq(
+      StructField("n_docs", LongType), StructField("sum_dl", LongType)))
+    /** Union of every complete data delta with id ≤ snap. */
+    def dataView(spark: SparkSession, storeDir: String, sub: String,
+        schema: StructType, snap: Long): DataFrame =
+      ReportStore.completeIds(spark, storeDir, sub, "batch_id=")
+        .filter(_._1 <= snap) match {
+        case Seq() => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        case layers => layers.map(l =>
+          spark.read.schema(schema).parquet(l._2.toString)).reduce(_.unionByName(_))
+      }
+    def dfView(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame =
+      ReportStore.completeIds(spark, storeDir, "df", "batch_id=")
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) => spark.read.schema(dfSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), dfSchema)
+      }
+    def statsView(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame =
+      ReportStore.completeIds(spark, storeDir, "stats", "batch_id=")
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) => spark.read.schema(statsSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), statsSchema)
+      }
+  }
+
   private[ops] object Scd2Store {
     import org.apache.spark.sql.types._
     val dimSchema: StructType = StructType(Seq(

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
+
+import graft.ops.{Retrieval, StreamDemo}
+
+/** Streaming BM25 index maintenance ([[StreamDemo.streamBm25Refresh]]):
+  * postings/dl land as immutable data deltas, df/stats as cumulative
+  * folds, the 1-row stats sublayer written last commits the snapshot.
+  * Retrieval over the standing index runs the batch scorer's own plan
+  * ([[Retrieval.bm25TopKParts]]) on integer micro-unit scores, so streamed
+  * and batch top-k must be BIT-equal over everything ingested — mid-stream
+  * and across a checkpointed restart. */
+class StreamBm25Spec extends SparkTestBase with TimeLimitedTests {
+  val timeLimit: Span = Span(300, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  test("streamed BM25 index retrieves bit-equal to the batch build; restart-safe") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("bm25_src")
+    val store = java.nio.file.Files.createTempDirectory("bm25_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25_ckpt")
+
+    val all = Tables.documents(spark, SF)
+      .select("doc_id", "lang", "text", "source").orderBy("doc_id")
+    val rows = all.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"bm25_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+      ()
+    }
+    def streamedTop(): Set[(Long, Long, Long, Long)] = {
+      val (p, df, dl, stats) = StreamDemo.readBm25Index(spark, store.toString)
+      Retrieval.bm25TopKParts(p, df, dl, stats).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    def batchTop(upTo: Int): Set[(Long, Long, Long, Long)] =
+      Retrieval.bm25TopK(spark.createDataFrame(
+          java.util.Arrays.asList(rows.slice(0, upTo): _*), all.schema))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    stage(1, rows.slice(0, cut1))
+    stage(2, rows.slice(cut1, cut2))
+    val q1 = StreamDemo.streamBm25Refresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(streamedTop() == batchTop(cut2),
+      "streamed retrieval drifted from the batch build mid-stream")
+
+    // checkpointed restart continues the fold from slice 3
+    stage(3, rows.slice(cut2, rows.length))
+    val q2 = StreamDemo.streamBm25Refresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(streamedTop() == batchTop(rows.length),
+      "streamed retrieval drifted from the batch build after restart")
+
+    // the cumulative df fold IS the whole-corpus document-frequency table
+    val (_, df, dl, stats) = StreamDemo.readBm25Index(spark, store.toString)
+    val wantDf = Retrieval.termFrequencies(spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), all.schema))
+      .groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    assert(df.except(wantDf).count() == 0 && wantDf.except(df).count() == 0,
+      "streamed df fold must equal the batch document-frequency table")
+    // stats fold: exact totals, one row
+    val st = stats.collect()
+    assert(st.length == 1 && st.head.getLong(0) == rows.length.toLong)
+    assert(dl.count() == rows.length.toLong)
+  }
+}
