@@ -4193,6 +4193,49 @@ af AS (
         FROM buckets) t
       WHERE rk <= 16""",
 
+    // multi-probe LSH (Lv et al. 2007 step-1): same md5 plane family and
+    // base buckets as lsh_topk, plus per-(query, table) flips of the
+    // `extra = 2` least-|margin| bits — probe = xor(bucket, 1<<b); the
+    // candidate set is DIRECTED (probe side × base buckets) and reranked
+    // by the shared q6 cosine
+    "similarity_lsh_multiprobe_topk" -> """
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      bitsv AS (SELECT coalesce(MIN(bb), 24) AS bits
+                FROM range(4, 25) rb(bb), nn WHERE (1::BIGINT << bb) * 64 >= n),
+      planes AS (
+        SELECT t, b, list(p ORDER BY d) AS plane
+        FROM (SELECT t.range AS t, b.range AS b, d.range AS d,
+                     ((('0x' || substr(md5('lsh:' || t.range || ':' || b.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(8) t, range(24) b, range(64) d, bitsv
+              WHERE b.range < bits) pp
+        GROUP BY 1, 2),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      margins AS (SELECT vec_id, t AS table_id, b, list_dot_product(v, plane) AS m
+                  FROM n, planes),
+      base AS (SELECT vec_id, table_id,
+                      CAST(SUM(CASE WHEN m > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+               FROM margins GROUP BY 1, 2),
+      flips AS (SELECT vec_id, table_id, b FROM (
+                  SELECT vec_id, table_id, b,
+                         row_number() OVER (PARTITION BY vec_id, table_id ORDER BY abs(m), b) AS rk
+                  FROM margins) f WHERE rk <= 2),
+      probes AS (SELECT vec_id, table_id, bucket FROM base
+                 UNION ALL
+                 SELECT f.vec_id, f.table_id, xor(bs.bucket, (1::BIGINT << f.b)) AS bucket
+                 FROM flips f JOIN base bs ON f.vec_id = bs.vec_id AND f.table_id = bs.table_id),
+      cand AS (SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM probes p JOIN base c ON p.table_id = c.table_id AND p.bucket = c.bucket
+                              AND p.vec_id <> c.vec_id),
+      scored AS (SELECT cand.query_id, cand.neighbor_id,
+                        floor(CAST(list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+                 FROM cand JOIN n nq ON nq.vec_id = cand.query_id
+                           JOIN n nc ON nc.vec_id = cand.neighbor_id)
+      SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+        FROM scored) t
+      WHERE rk <= 5""",
+
     "similarity_lsh_topk" -> """
       WITH nn AS (SELECT count(*) AS n FROM embeddings),
       bitsv AS (SELECT coalesce(MIN(bb), 24) AS bits

@@ -802,6 +802,12 @@ object SparkEntry {
     // the scale default (index lifecycle, quantized tier)
     "similarity_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), mirrorableHash = true)),
+    // multi-probe LSH (Lv et al. 2007): each query also probes its
+    // extraProbes least-|margin| bit flips — recall-of-many-tables at one
+    // table's index cost; candidate superset of single-probe by
+    // construction, DuckDB-mirrored incl. margins/flips/xor probes
+    "similarity_lsh_multiprobe_topk" -> ((s, d) =>
+      Similarity.lshTopKMultiProbe(Tables.embeddings(s, d))),
     // kNN majority-label propagation over the md5-mirror LSH tier
     "knn_label" -> ((s, d) =>
       Similarity.knnLabel(Tables.embeddings(s, d), mirrorableHash = true)),

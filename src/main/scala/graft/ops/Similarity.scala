@@ -1607,6 +1607,91 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rk")
   }
 
+  /** MULTI-PROBE sign-LSH top-k (Lv, Josephson, Wang, Charikar & Li 2007,
+    * "Multi-probe LSH: efficient indexing for high-dimensional similarity
+    * search", step-1 perturbation): instead of paying recall with MORE
+    * hash tables (each one a full extra copy of the bucket index), each
+    * query ALSO probes the buckets reached by flipping its
+    * `extraProbes` least-confident sign bits — the bits whose hyperplane
+    * margin |v·p| is smallest, i.e. exactly the ones a true near
+    * neighbor most likely landed on the other side of. The published
+    * result: multi-probe reaches the recall of many-table LSH with a
+    * fraction of the index memory — at 100 TB the bucket table IS the
+    * index cost, so probes-for-tables is the right trade.
+    *
+    * The INDEX side is unchanged (base sign buckets — a standing bucket
+    * layer serves single- and multi-probe queries alike); only the query
+    * side fans out to 1 + extraProbes keys per table. Probe enumeration
+    * is exact and deterministic: margins rank by (|m|, bit), flips are
+    * `bucket XOR (1 << bit)`. `extraProbes = 0` reduces BIT-exactly to
+    * the single-probe directed query, and the candidate set grows
+    * monotonically in `extraProbes` — so recall against the exact top-k
+    * can only improve (both laws in SimilaritySpec).
+    *
+    * Planes are the md5 mirror family ([[mirrorablePlaneVal]]) so the
+    * DuckDB oracle reproduces margins, flips, buckets — and therefore
+    * the candidate set — exactly; each margin is one codegen
+    * [[graft.functions.DotProduct]] against a literal plane (the same
+    * kernel every tier uses; the fused xxhash64 expression remains the
+    * scale default for plain bucketing, and a standing index built with
+    * it would compute query margins through the same literal-plane path
+    * against ITS plane family). */
+  def lshTopKMultiProbe(embeddings: DataFrame, k: Int = 5, tables: Int = 8,
+      targetOccupancy: Int = 64, extraProbes: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    require(extraProbes >= 0, "extraProbes must be non-negative")
+    val e = withNorms(embeddings)
+    val (n, dim) = corpusDims(embeddings)
+    val bits = bitsFor(n, targetOccupancy)
+    // one literal-plane pass: per (vector, table) the full margin vector,
+    // base bucket derived from the SAME margins (sign > 0 ⇔ bit set);
+    // pinned — it feeds corpus buckets, query base probes, and flips
+    val perT = (0 until tables).map { t =>
+      val ms = (0 until bits).map { b =>
+        dotd(col("v"), typedLit((0 until dim).map(d => mirrorablePlaneVal(t, b, d))))
+      }
+      struct(lit(t).as("table_id"), array(ms: _*).as("m"))
+    }
+    val margins = e.select(col("vec_id"), explode(array(perT: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table_id").as("table_id"), col("tb.m").as("m"))
+      .withColumn("base", (0 until bits).map(b =>
+          when(element_at(col("m"), b + 1) > 0.0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _))
+      .localCheckpoint(true)
+    val flipW = Window.partitionBy("vec_id", "table_id")
+      .orderBy(abs(col("mv")), col("pos"))
+    val flips = margins
+      .select(col("vec_id"), col("table_id"), col("base"),
+        posexplode(col("m")).as(Seq("pos", "mv")))
+      .withColumn("rk", row_number().over(flipW))
+      .filter(col("rk") <= extraProbes)
+      .select(col("vec_id").as("query_id"), col("table_id"),
+        col("base").bitwiseXOR(
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))")).as("bucket"))
+    val qProbes = margins
+      .select(col("vec_id").as("query_id"), col("table_id"),
+        col("base").as("bucket"))
+      .unionByName(flips)
+    val corpus = margins.select(col("vec_id").as("neighbor_id"),
+      col("table_id"), col("base").as("bucket"))
+    val cand = qProbes.join(corpus, Seq("table_id", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rk")
+  }
+
   // -------------------------------------------------------------------------
   // IVF-PQ: product quantization under the IVF coarse quantizer
   // (Jégou/Douze/Schmid 2011) — the billion-scale ANN workhorse shape

@@ -748,6 +748,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(fitRowsFor(8, 500L) == 500L)
   }
 
+  test("multi-probe LSH: zero extra probes ≡ single-probe; flips only add recall") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, SF)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "cos_sim", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // extraProbes = 0 probes only base buckets — the candidate relation is
+    // the symmetric ≥1-table collision set, so the directed multi-probe
+    // query must reproduce the mirrorable lshTopK row for row
+    val zero = rows(Similarity.lshTopKMultiProbe(emb, extraProbes = 0))
+    assert(zero == rows(Similarity.lshTopK(emb, mirrorableHash = true)),
+      "extraProbes=0 must reduce to the single-probe query bit-exactly")
+    // nested candidate sets ⇒ per-query recall against the exact top-k
+    // can only improve with probes
+    val exact = Similarity.cosineTopK(emb).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(s: Set[(Long, Long, Double, Long)]) =
+      s.count(t => exact((t._1, t._2)))
+    val multi = rows(q("similarity_lsh_multiprobe_topk"))
+    assert(hits(multi) >= hits(zero),
+      s"multi-probe recall ${hits(multi)} fell below single-probe ${hits(zero)}")
+    // the flips are doing real work on this corpus, not vacuously equal
+    assert(multi != zero, "extra probes should change the result here")
+    // contract: ≤ k rows per query, ranks dense from 1
+    val byQ = q("similarity_lsh_multiprobe_topk").groupBy("query_id")
+      .agg(count(lit(1)).as("c"), min("rk").as("lo"), max("rk").as("hi"))
+    assert(byQ.filter(col("c") > 5 || col("lo") =!= 1L ||
+      col("hi") =!= col("c")).count() == 0)
+  }
+
   test("ann recall sweep: monotone in nProbe; exhaustive probing recalls everything") {
     import graft.ops.Similarity
     val emb = Tables.embeddings(spark, SF)
