@@ -303,11 +303,24 @@ object Analytics {
     * the grid and contribute nothing — the detector monitors observed
     * days (a feed that stops entirely is [[graft.ops.Quality]]
     * freshness's job, not CUSUM's). */
-  def eventDriftCusum(events: DataFrame): DataFrame = {
-    val daily = events.groupBy(
+  def eventDriftCusum(events: DataFrame): DataFrame =
+    cusumOverGrid(dailyGrid(events))
+
+  /** The (day, event_type, n_events) count grid — the ONLY corpus-sized
+    * pass of the CUSUM detector, and a mergeable fold (counts of a union
+    * are the cellwise sum), which is what lets the streaming refresh
+    * ([[graft.ops.StreamDemo]] `streamCusumRefresh`) maintain it as
+    * bounded standing state. ONE definition for batch and stream. */
+  private[ops] def dailyGrid(events: DataFrame): DataFrame =
+    events.groupBy(
         date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-      .withColumn("day_num", unix_date(to_date(col("day"))))
+
+  /** The CUSUM windows over an already-aggregated grid — shared by
+    * [[eventDriftCusum]] and the streamed reader, so batch and streamed
+    * alarms can never drift. */
+  private[ops] def cusumOverGrid(grid: DataFrame): DataFrame = {
+    val daily = grid.withColumn("day_num", unix_date(to_date(col("day"))))
     val totals = daily.groupBy("event_type")
       .agg(sum("n_events").as("t_events"),
         count(lit(1)).as("d_days"))

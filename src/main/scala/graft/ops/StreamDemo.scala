@@ -1250,6 +1250,73 @@ object StreamDemo {
       }
   }
 
+  /** Streaming CUSUM drift monitoring — [[graft.ops.Analytics
+    * .eventDriftCusum]] as a standing stream, which is how a sequential
+    * changepoint detector is actually deployed: events arrive
+    * continuously, each micro-batch's (day, type) counts fold into the
+    * cumulative grid (counts of a union are the cellwise sum — the CMS
+    * merge property), and the detector's two windows re-run over the
+    * BOUNDED grid (≤ \|types\|·\|days\| rows) on read. Replay rules are
+    * the cumulative stores' (pre-batch view, `_SUCCESS`-gated layers,
+    * one-cycle retention). Streamed grid ≡ batch grid BIT-exactly, so
+    * [[readCusum]] ≡ the batch detector over everything ingested, incl.
+    * across checkpointed restart (StreamDriftSpec). */
+  def streamCusumRefresh(spark: SparkSession, eventsDir: String,
+      storeDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(eventsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        if (b.count() > 0) {
+          val merged = CusumStore.view(spark, storeDir, batchId)
+            .unionByName(graft.ops.Analytics.dailyGrid(b))
+            .groupBy("day", "event_type")
+            .agg(sum("n_events").cast("long").as("n_events"))
+            .localCheckpoint(true)
+          merged.write.mode("overwrite")
+            .parquet(s"$storeDir/grid/batch_id=$batchId")
+          for ((_, p) <- ReportStore.completeIds(spark, storeDir, "grid", "batch_id=")
+                 .filter(_._1 < batchId)
+                 .sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1).drop(1))
+            ReportStore.fs(spark, p).delete(p, true)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The standing drift report: the batch detector's own windows over the
+    * newest committed streamed grid — bit-identical to
+    * [[graft.ops.Analytics.eventDriftCusum]] over everything ingested. */
+  def readCusum(spark: SparkSession, storeDir: String): DataFrame =
+    graft.ops.Analytics.cusumOverGrid(
+      CusumStore.view(spark, storeDir, Long.MaxValue))
+
+  private[ops] object CusumStore {
+    import org.apache.spark.sql.types._
+    val gridSchema: StructType = StructType(Seq(
+      StructField("day", TimestampType), StructField("event_type", StringType),
+      StructField("n_events", LongType)))
+    def view(spark: SparkSession, storeDir: String,
+        excludeBatch: Long): DataFrame =
+      ReportStore.completeIds(spark, storeDir, "grid", "batch_id=")
+        .filter(_._1 < excludeBatch).sortBy(-_._1).headOption match {
+        case Some((_, p)) =>
+          spark.read.schema(gridSchema).parquet(p.toString)
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), gridSchema)
+      }
+  }
+
   /** Streaming SCD2 dimension maintenance — [[graft.ops.Relational
     * .scd2Apply]] as a standing stream: order micro-batches arrive in
     * business-date order (the warehouse nightly-load contract; SCD2 is

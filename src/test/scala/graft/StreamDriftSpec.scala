@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
+
+import graft.ops.{Analytics, StreamDemo}
+
+/** Streaming CUSUM drift monitoring ([[StreamDemo.streamCusumRefresh]]):
+  * the (day, type) count grid is a mergeable fold, the detector's windows
+  * re-run over the bounded standing grid on read — so the streamed report
+  * must equal the batch [[Analytics.eventDriftCusum]] over everything
+  * ingested BIT-exactly, mid-stream and across a checkpointed restart. */
+class StreamDriftSpec extends SparkTestBase with TimeLimitedTests {
+  val timeLimit: Span = Span(300, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  test("streamed CUSUM report equals the batch detector; restart-safe") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("cusum_src")
+    val store = java.nio.file.Files.createTempDirectory("cusum_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("cusum_ckpt")
+
+    // count folds commute, so slices need no ordering discipline — split
+    // by user hash to make every batch touch MANY days (the hard case:
+    // grid cells accumulate across batches)
+    val all = Tables.events(spark, SF)
+      .select("user_id", "ts", "event_type").orderBy(xxhash64(col("user_id")),
+        col("user_id"), col("ts"))
+    val rows = all.collect()
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"cusum_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), all.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+      ()
+    }
+    def report(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).toSet
+    def batchTwin(upTo: Int) = Analytics.eventDriftCusum(
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.slice(0, upTo): _*), all.schema))
+
+    stage(1, rows.slice(0, cut1))
+    stage(2, rows.slice(cut1, cut2))
+    val q1 = StreamDemo.streamCusumRefresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(report(StreamDemo.readCusum(spark, store.toString)) ==
+      report(batchTwin(cut2)),
+      "streamed CUSUM drifted from the batch detector mid-stream")
+
+    stage(3, rows.slice(cut2, rows.length))
+    val q2 = StreamDemo.streamCusumRefresh(
+      s2, src.toString, store.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(report(StreamDemo.readCusum(spark, store.toString)) ==
+      report(batchTwin(rows.length)),
+      "streamed CUSUM drifted from the batch detector after restart")
+
+    // bounded standing state: the grid, not the event stream
+    val grid = StreamDemo.readCusum(spark, store.toString)
+    val types = grid.select("event_type").distinct().count()
+    val days = grid.select("day").distinct().count()
+    assert(grid.count() <= types * days)
+    assert(grid.count() < rows.length,
+      "the standing grid must be smaller than the event stream it folds")
+  }
+}
