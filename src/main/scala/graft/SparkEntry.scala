@@ -147,6 +147,18 @@ object SparkEntry {
         idx.vectors.localCheckpoint(true))
     })
 
+  // The five-gate Venn frame is ≤ 2⁵ rows but costs five gate-family
+  // passes to build; gate_overlap and gate_kappa both consume it, so ONE
+  // memoized localCheckpoint per corpus dir serves both declared queries
+  // (the ivfIndexCache discipline; same PATH-keyed staleness caveat).
+  private val gateOverlapCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private def gateOverlapFrame(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    gateOverlapCache.getOrElseUpdate(d,
+      Text.gateOverlap(Tables.documents(s, d), nbModel(s, d),
+        dsirCounts(s, d), mirrorableHash = true).localCheckpoint(true))
+
   // The DSIR bucket-count model (mirrorable md5 buckets — the declared
   // form): B = 1024 rows per corpus dir, materialized once and shared by
   // dsir_weights and dsir_sample (one Generate + groupBy instead of one
@@ -166,6 +178,7 @@ object SparkEntry {
     nbModelCache.clear(); inLmCache.clear(); lmn3ModelCache.clear()
     lmn5ModelCache.clear(); lmPrunedCache.clear(); pcaModelCache.clear()
     dsirCountsCache.clear(); ivfIndexCache.clear()
+    gateOverlapCache.clear()
   }
 
   /** Build + materialize every shared pipeline stage. The bench calls this
@@ -454,15 +467,12 @@ object SparkEntry {
         dsirCounts(s, d), mirrorableHash = true)),
     // filter-Venn ablation: pass/fail combination counts across the five
     // gate families — which gates bite, and do they overlap?
-    "gate_overlap" -> ((s, d) =>
-      Text.gateOverlap(Tables.documents(s, d), nbModel(s, d),
-        dsirCounts(s, d), mirrorableHash = true)),
+    "gate_overlap" -> ((s, d) => gateOverlapFrame(s, d)),
     // chance-corrected pairwise gate agreement (Cohen's kappa) off the
     // bounded Venn frame — 10 aggregations over ≤ 32 rows; the standard
-    // redundancy verdict the raw Venn counts only gesture at
-    "gate_kappa" -> ((s, d) =>
-      Text.gateKappa(Text.gateOverlap(Tables.documents(s, d), nbModel(s, d),
-        dsirCounts(s, d), mirrorableHash = true))),
+    // redundancy verdict the raw Venn counts only gesture at (shares the
+    // memoized overlap pass: five gate families derived ONCE per corpus)
+    "gate_kappa" -> ((s, d) => Text.gateKappa(gateOverlapFrame(s, d))),
     // Moore-Lewis cross-entropy difference: in-domain LM (trusted sources)
     // vs the train-split background LM, scored in one bigram pass
     // DSIR (Xie et al. 2023): hashed (uni+bi)-gram importance weights of
