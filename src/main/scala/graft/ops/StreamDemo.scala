@@ -1406,7 +1406,8 @@ object StreamDemo {
     * (StreamBm25Spec, incl. across checkpointed restart). */
   def streamBm25Refresh(spark: SparkSession, docsDir: String,
       storeDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      compactAfter: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
@@ -1443,6 +1444,37 @@ object StreamDemo {
                  .filter(_._1 < batchId)
                  .sortBy(-(_: (Long, org.apache.hadoop.fs.Path))._1).drop(1))
             ReportStore.fs(spark, pth).delete(pth, true)
+          // small-files control (the streamed-dedup store's compaction
+          // discipline): once the raw data deltas pile past compactAfter,
+          // fold previous-compact ∪ newer raws into `<sub>_compact/
+          // upto=batchId`; raw deletion lags ONE cycle so a replay of
+          // this batch still finds everything it folds from. Runs AFTER
+          // the stats commit, so a compact never outpaces the snapshot.
+          val rawsNow = ReportStore
+            .completeIds(spark, storeDir, "postings", "batch_id=")
+          if (rawsNow.size > compactAfter) {
+            for ((sub, sc) <- Seq(
+                ("postings", Bm25Store.postingsSchema),
+                ("dl", Bm25Store.dlSchema))) {
+              val prev = Bm25Store.compactBefore(spark, storeDir, sub, Long.MaxValue)
+              val prevUpto = prev.map(_._1).getOrElse(-1L)
+              val folded = prev.map(pr =>
+                  spark.read.schema(sc).parquet(pr._2.toString))
+                .getOrElse(spark.createDataFrame(
+                  java.util.Collections.emptyList[org.apache.spark.sql.Row](), sc))
+                .unionByName(Bm25Store.rawLayers(spark, storeDir, sub, sc,
+                  prevUpto, batchId))
+                .localCheckpoint(true)
+              folded.write.mode("overwrite")
+                .parquet(s"$storeDir/${sub}_compact/upto=$batchId")
+              for ((id, pth) <- ReportStore.completeIds(spark, storeDir, sub, "batch_id=")
+                     if id <= prevUpto)
+                ReportStore.fs(spark, pth).delete(pth, true)
+              for ((id, pth) <- ReportStore.completeIds(spark, storeDir,
+                     s"${sub}_compact", "upto=") if id < prevUpto)
+                ReportStore.fs(spark, pth).delete(pth, true)
+            }
+          }
         }
         ()
       }
@@ -1477,15 +1509,32 @@ object StreamDemo {
       StructField("token", StringType), StructField("df", LongType)))
     val statsSchema: StructType = StructType(Seq(
       StructField("n_docs", LongType), StructField("sum_dl", LongType)))
-    /** Union of every complete data delta with id ≤ snap. */
-    def dataView(spark: SparkSession, storeDir: String, sub: String,
-        schema: StructType, snap: Long): DataFrame =
+    /** Newest complete compact with upto ≤ `before` (exclusive bound via
+      * Long.MaxValue = any). */
+    def compactBefore(spark: SparkSession, storeDir: String, sub: String,
+        atMost: Long): Option[(Long, org.apache.hadoop.fs.Path)] =
+      ReportStore.completeIds(spark, storeDir, s"${sub}_compact", "upto=")
+        .filter(_._1 <= atMost).sortBy(-_._1).headOption
+    /** Union of the complete RAW deltas with id in (`after`, `atMost`]. */
+    def rawLayers(spark: SparkSession, storeDir: String, sub: String,
+        schema: StructType, after: Long, atMost: Long): DataFrame =
       ReportStore.completeIds(spark, storeDir, sub, "batch_id=")
-        .filter(_._1 <= snap) match {
+        .filter(l => l._1 > after && l._1 <= atMost) match {
         case Seq() => spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
         case layers => layers.map(l =>
           spark.read.schema(schema).parquet(l._2.toString)).reduce(_.unionByName(_))
+      }
+    /** The full data layer at snapshot `snap`: the newest compact whose
+      * upto ≤ snap plus the raw deltas above it — compaction is pure
+      * layout, so this union is row-identical to the uncompacted store. */
+    def dataView(spark: SparkSession, storeDir: String, sub: String,
+        schema: StructType, snap: Long): DataFrame =
+      compactBefore(spark, storeDir, sub, snap) match {
+        case Some((upto, p)) =>
+          spark.read.schema(schema).parquet(p.toString)
+            .unionByName(rawLayers(spark, storeDir, sub, schema, upto, snap))
+        case None => rawLayers(spark, storeDir, sub, schema, -1L, snap)
       }
     def dfView(spark: SparkSession, storeDir: String,
         excludeBatch: Long): DataFrame =

@@ -74,5 +74,26 @@ class StreamBm25Spec extends SparkTestBase with TimeLimitedTests {
     val st = stats.collect()
     assert(st.length == 1 && st.head.getLong(0) == rows.length.toLong)
     assert(dl.count() == rows.length.toLong)
+
+    // COMPACTION is pure layout: a twin store forced to compact every
+    // batch (compactAfter = 1) retrieves identically and keeps the raw
+    // delta-directory count bounded — the small-files control at scale
+    val store2 = java.nio.file.Files.createTempDirectory("bm25_cstore")
+    val ckpt2 = java.nio.file.Files.createTempDirectory("bm25_cckpt")
+    val q3 = StreamDemo.streamBm25Refresh(
+      s2, src.toString, store2.toString, ckpt2.toString, compactAfter = 1)
+    try q3.processAllAvailable() finally q3.stop()
+    val (p2, df2, dl2, stats2) = StreamDemo.readBm25Index(spark, store2.toString)
+    val top2 = Retrieval.bm25TopKParts(p2, df2, dl2, stats2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(top2 == batchTop(rows.length),
+      "compacted store must retrieve bit-equal to the batch build")
+    assert(p2.count() == Retrieval.termFrequencies(spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), all.schema)).count(),
+      "compaction must preserve the posting rows exactly")
+    val rawDirs = new java.io.File(store2.toFile, "postings")
+      .listFiles((f: java.io.File) => f.getName.startsWith("batch_id=")).length
+    assert(rawDirs <= 2,
+      s"compaction must bound raw delta dirs, found $rawDirs")
   }
 }
