@@ -3477,6 +3477,43 @@ af AS (
                            x -> x IN ('the', 'a', 'fast', 'small', 'big'))) AS BIGINT) AS en_hits,
                          CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
                   FROM documents) a) b""",
+    // vocabulary-coverage curve: per target percentage, the smallest
+    // most-frequent-first vocabulary whose mass covers >= p% — cuts on
+    // count-CLASS boundaries, all-integer cum_mass·100 >= N·p gates,
+    // every target answered from ONE cumulative sweep of the histogram
+    "vocab_coverage" -> {
+      val pcts = Seq(50, 90, 95, 99)
+      val aggCols = (pcts.map(p =>
+        s"MIN(CASE WHEN cum_mass * 100 >= n * $p THEN cum_types END) AS vt_$p") ++
+        pcts.map(p =>
+          s"MIN(CASE WHEN cum_mass * 100 >= n * $p THEN cum_mass END) AS cm_$p"))
+        .mkString(",\n                 ")
+      val rows = pcts.map(p =>
+        s"""SELECT CAST($p AS BIGINT) AS pct, vt_$p AS vocab_types, n_types_total,
+             CAST(vt_$p AS DOUBLE) / n_types_total AS vocab_frac,
+             cm_$p AS covered_mass, n_tokens,
+             CAST(cm_$p AS DOUBLE) / n_tokens AS mass_frac
+      FROM a""").mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH wc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
+                        FROM documents) p GROUP BY token),
+      hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_types FROM wc GROUP BY c),
+      cum AS (SELECT c, n_types,
+                     CAST(SUM(n_types) OVER (ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types,
+                     CAST(SUM(c * n_types) OVER (ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_mass,
+                     CAST(SUM(c * n_types) OVER () AS BIGINT) AS n,
+                     CAST(SUM(n_types) OVER () AS BIGINT) AS v
+              FROM hist),
+      a AS (SELECT $aggCols,
+                 CAST(MAX(n) AS BIGINT) AS n_tokens,
+                 CAST(MAX(v) AS BIGINT) AS n_types_total
+            FROM cum)
+      $rows"""
+    },
+
     // Zipf-shape 1-row report over the occurrence-count histogram; head
     // cut is value-based (whole tie group at the rank-⌈V/10⌉ count kept)
     "token_spectrum" -> """

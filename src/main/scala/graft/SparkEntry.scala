@@ -732,6 +732,10 @@ object SparkEntry {
     "lang_mismatch" -> ((s, d) => Text.langMismatch(Tables.documents(s, d))),
     // Zipf-shape corpus health: hapax share + head mass over the count histogram
     "token_spectrum" -> ((s, d) => Text.tokenSpectrum(Tables.documents(s, d))),
+    // vocabulary-coverage curve: smallest most-frequent-first vocab
+    // covering 50/90/95/99% of token mass — the vocab-budget/OOV-rate
+    // planning table, one cumulative sweep of the count histogram
+    "vocab_coverage" -> ((s, d) => Text.vocabCoverage(Tables.documents(s, d))),
     // documents <-> embeddings referential-integrity one-row audit
     "ref_integrity" -> ((s, d) =>
       Quality.refIntegrity(Tables.documents(s, d), Tables.embeddings(s, d))),

@@ -217,6 +217,58 @@ object Text {
         (col("head_mass").cast("double") / col("n_tokens")).as("head_mass_frac"))
   }
 
+  /** VOCABULARY-COVERAGE curve — the tokenizer-budget telemetry: for each
+    * target percentage p, the smallest vocabulary (most-frequent types
+    * first) whose token mass covers ≥ p% of the corpus. This is the table
+    * a vocab-size decision reads (32k vs 64k vs 128k: what marginal mass
+    * does each doubling buy?) and the OOV-rate planning curve
+    * (1 − mass_frac is the replaced-token rate at that budget).
+    *
+    * Granularity convention: cuts land on count-CLASS boundaries (all
+    * types with equal count are interchangeable — any refinement below
+    * class granularity would be an arbitrary tie-break), so `vocab_types`
+    * is the cumulative type count of the first qualifying histogram row.
+    * The coverage gate is the all-integer `cum_mass·100 ≥ N·p` (exact to
+    * N = 9·10¹⁶ tokens).
+    *
+    * Scale shape: [[tokenSpectrum]]'s — ONE corpus-sized wordCount pass
+    * collapses to the count HISTOGRAM (rows = distinct count values,
+    * bounded at any corpus size), the cumulative windows sweep that
+    * bounded frame, and all targets aggregate in one pass (the explode is
+    * over a \|pcts\|-element literal array). DuckDB-mirrored. */
+  def vocabCoverage(documents: DataFrame,
+      pcts: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
+      "coverage targets must be percentages in (0, 100]")
+    val hist = wordCount(documents).groupBy(col("n_occurrences").as("c"))
+      .agg(count(lit(1)).as("n_types"))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum_types", sum("n_types").over(w))
+      .withColumn("cum_mass", sum(col("c") * col("n_types")).over(w))
+      .withColumn("n", sum(col("c") * col("n_types")).over(Window.partitionBy()))
+      .withColumn("v", sum("n_types").over(Window.partitionBy()))
+    def gate(p: Int) = col("cum_mass") * 100L >= col("n") * p.toLong
+    val aggExprs = pcts.map(p => min(when(gate(p), col("cum_types"))).as(s"vt_$p")) ++
+      pcts.map(p => min(when(gate(p), col("cum_mass"))).as(s"cm_$p")) ++
+      Seq(max(col("n")).as("n_tokens"), max(col("v")).as("n_types_total"))
+    val agged = cum.agg(aggExprs.head, aggExprs.tail: _*)
+    agged.select(
+        explode(array(pcts.map(p => struct(
+          lit(p.toLong).as("pct"), col(s"vt_$p").as("vocab_types"),
+          col(s"cm_$p").as("covered_mass"))): _*)).as("r"),
+        col("n_tokens"), col("n_types_total"))
+      .select(col("r.pct").as("pct"), col("r.vocab_types").as("vocab_types"),
+        col("n_types_total"),
+        (col("r.vocab_types").cast("double") / col("n_types_total"))
+          .as("vocab_frac"),
+        col("r.covered_mass").as("covered_mass"), col("n_tokens"),
+        (col("r.covered_mass").cast("double") / col("n_tokens"))
+          .as("mass_frac"))
+  }
+
   /** Per-document token statistics: whitespace tokens, a BPE-ish regex token
     * count (runs of word chars / digits / single punctuation), char count,
     * mean token length. */

@@ -168,6 +168,7 @@ class PlansSpec extends SparkTestBase {
     val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features",
       "token_spectrum", // cumulative sweep over the count HISTOGRAM — rows
                         // = distinct occurrence counts, bounded at any corpus size
+      "vocab_coverage", // same bounded-histogram cumulative sweep
       "classifier_ci",  // rank window over the R-row replicate frame (R = 64
                         // BY CONSTRUCTION — corpus-scale work happened map-side)
       "bm25_topk")      // rank window over the POST-LIMIT top-k frame (≤ 20

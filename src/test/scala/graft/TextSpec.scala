@@ -1540,6 +1540,34 @@ class TextSpec extends SparkTestBase {
     kn.unpersist()
   }
 
+  test("vocabCoverage: hand-computed cuts; curve monotone and gates honored") {
+    import spark.implicits._
+    // counts w4:4 w3:3 w2:2 x:1 y:1 → N=11, V=5; cumulative (types, mass)
+    // down the histogram: (1,4) (2,7) (3,9) (5,11)
+    val docs1 = Seq((1L, "w4 w4 w4 w4 w3 w3 w3 w2 w2 x y"))
+      .toDF("doc_id", "text")
+    val r = Text.vocabCoverage(docs1).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(4)))).toMap
+    assert(r(50L) == ((2L, 7L)), s"50% cut: ${r(50L)}")   // 7/11 ≥ 0.50
+    assert(r(90L) == ((5L, 11L)), s"90% cut: ${r(90L)}")  // 9/11 < 0.90 → all
+    assert(r(95L) == ((5L, 11L)) && r(99L) == ((5L, 11L)))
+    // real corpus: monotone in pct, integer gate honored exactly, fracs sane
+    val real = q("vocab_coverage").orderBy("pct").cache()
+    val rows = real.collect()
+    assert(rows.length == 4)
+    val vts = rows.map(_.getLong(1))
+    assert(vts.sliding(2).forall(p => p.head <= p.last),
+      "vocab size must be monotone in the coverage target")
+    for (row <- rows) {
+      val (pct, vt, vtot, cm, n) = (row.getLong(0), row.getLong(1),
+        row.getLong(2), row.getLong(4), row.getLong(5))
+      assert(cm * 100 >= n * pct, s"$pct% gate violated: $cm/$n")
+      assert(vt >= 1 && vt <= vtot)
+      assert(row.getDouble(6) == cm.toDouble / n)
+    }
+    real.unpersist()
+  }
+
   test("gateKappa: hand-computed agreement anchors; declared query covers all pairs") {
     import spark.implicits._
     // synthetic Venn frame: g_len ≡ g_quality (perfect agreement),
