@@ -356,6 +356,84 @@ af AS (
              CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
       FROM scored GROUP BY doc_id"""
 
+  // Katz back-off (Katz 1987): GT-discounted bigram MLE (min(1, r*/r)
+  // clamp, k=5 cutoff) with the freed mass routed through α(u) =
+  // (1 − Σ_seen p_GT(w|u)) / (1 − Σ_seen p_GT(w)) to the GT unigram; the
+  // two α sums run on the q6 decimal grid (the r6sum mirror — SUM of
+  // DECIMAL(28,10) cast through VARCHAR), per-type probabilities stay raw
+  // per-row doubles; degenerate α falls through to the plain unigram
+  private val lmScoreKatzSql: String = """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+                  FROM documents),
+      ref AS (SELECT * FROM tk
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+      uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+              FROM (SELECT unnest(t) AS token FROM ref) p GROUP BY token),
+      ucoc AS (SELECT c_uni AS ur, CAST(COUNT(*) AS BIGINT) AS unr
+               FROM uni GROUP BY c_uni),
+      tot AS (SELECT (SELECT CAST(SUM(c_uni) AS BIGINT) FROM uni) AS lm_n,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS lm_v,
+                     (SELECT COALESCE(CAST(SUM(unr) AS BIGINT), 0)
+                      FROM ucoc WHERE ur = 1) AS gt_n1),
+      puni AS (SELECT u.token,
+                      LEAST(CASE WHEN u.c_uni < 5 AND COALESCE(c1.unr, 0) > 0
+                                 THEN CAST((u.c_uni + 1) * c1.unr AS DOUBLE)
+                                        / c0.unr / tot.lm_n
+                                 ELSE CAST(u.c_uni AS DOUBLE) / tot.lm_n END,
+                            CAST(u.c_uni AS DOUBLE) / tot.lm_n) AS p_uni
+               FROM uni u LEFT JOIN ucoc c0 ON u.c_uni = c0.ur
+                          LEFT JOIN ucoc c1 ON u.c_uni + 1 = c1.ur
+                          CROSS JOIN tot),
+      bi AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_bi
+             FROM (SELECT t[i] AS prev, t[i+1] AS cur
+                   FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                         FROM ref WHERE len(t) >= 2) g) b
+             GROUP BY prev, cur),
+      bcoc AS (SELECT c_bi AS br, CAST(COUNT(*) AS BIGINT) AS bnr
+               FROM bi GROUP BY c_bi),
+      pbi AS (SELECT b.prev, b.cur,
+                     LEAST(CASE WHEN b.c_bi < 5 AND COALESCE(d1.bnr, 0) > 0
+                                THEN CAST((b.c_bi + 1) * d1.bnr AS DOUBLE)
+                                       / d0.bnr / up.c_uni
+                                ELSE CAST(b.c_bi AS DOUBLE) / up.c_uni END,
+                           CAST(b.c_bi AS DOUBLE) / up.c_uni) AS p_bi
+              FROM bi b LEFT JOIN bcoc d0 ON b.c_bi = d0.br
+                        LEFT JOIN bcoc d1 ON b.c_bi + 1 = d1.br
+                        JOIN uni up ON b.prev = up.token),
+      al AS (SELECT p.prev,
+                    CAST(CAST(SUM(CAST(floor(p.p_bi * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s_pbi,
+                    CAST(CAST(SUM(CAST(floor(pu.p_uni * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s_puni
+             FROM pbi p JOIN puni pu ON p.cur = pu.token GROUP BY p.prev),
+      al2 AS (SELECT prev,
+                     CASE WHEN 1.0 - s_pbi > 0 AND 1.0 - s_puni > 0
+                          THEN (1.0 - s_pbi) / (1.0 - s_puni) END AS alpha
+              FROM al),
+      bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+             FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                   FROM tk WHERE len(t) >= 2) g),
+      scored AS (
+        SELECT bg.doc_id,
+               CASE WHEN p.p_bi IS NULL THEN 1 ELSE 0 END AS unseen,
+               floor(ln(
+                 CASE WHEN p.p_bi IS NOT NULL THEN p.p_bi
+                      WHEN up.c_uni IS NOT NULL AND a.alpha IS NOT NULL
+                      THEN a.alpha * COALESCE(pu.p_uni,
+                             CAST(tot.gt_n1 + 1 AS DOUBLE) / (tot.lm_n + tot.lm_v))
+                      ELSE COALESCE(pu.p_uni,
+                             CAST(tot.gt_n1 + 1 AS DOUBLE) / (tot.lm_n + tot.lm_v)) END
+               ) * 1000000.0 + 0.5) / 1000000.0 AS q
+        FROM bg LEFT JOIN pbi p ON bg.prev = p.prev AND bg.cur = p.cur
+                LEFT JOIN puni pu ON bg.cur = pu.token
+                LEFT JOIN uni up ON bg.prev = up.token
+                LEFT JOIN al2 a ON bg.prev = a.prev
+                CROSS JOIN tot)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(unseen) AS BIGINT) AS n_unseen_bigrams,
+             CAST(CAST(SUM(unseen) AS BIGINT) AS DOUBLE) / COUNT(*) AS unseen_frac,
+             CAST(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(q) AS avg_logp
+      FROM scored GROUP BY doc_id"""
+
   // order-3 (trigram) interpolated LM scoring — the lm_score CTE family
   // one order up: recursive Jelinek-Mercer
   //   p = 0.5·(c_tri/c_bi_ctx | 0) + 0.5·(0.5·(c_bi/c_uni_ctx | 0)
@@ -2493,6 +2571,10 @@ af AS (
     // Good-Turing discounted unigram twin (Katz k=5 cutoff):
     // count-of-counts CTE, BIGINT-exact (r+1)·N_{r+1} — see lmScoreGtSql
     "lm_score_gt" -> lmScoreGtSql,
+
+    // Katz back-off twin: GT-discounted bigram + α-routed unigram backoff,
+    // α sums on the q6 decimal grid — see lmScoreKatzSql
+    "lm_score_katz" -> lmScoreKatzSql,
 
     // DSIR hashed-n-gram importance weights + Gumbel-top-k resample —
     // see dsirGramsCte (md5-bucket twin of conv(md5)%B)

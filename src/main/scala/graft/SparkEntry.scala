@@ -422,6 +422,12 @@ object SparkEntry {
     // BIGINT-exact (r+1)·N_{r+1} products
     "lm_score_gt" -> ((s, d) =>
       Text.lmScoreGoodTuring(lmModel(s, d), Tables.documents(s, d))),
+    // Katz back-off over the SAME memoized model: GT-discounted bigram
+    // MLE with the freed mass α-routed to the GT unigram — the backoff
+    // construction GT discounting exists to feed, DuckDB-mirrored incl.
+    // the decimal-grid α sums
+    "lm_score_katz" -> ((s, d) =>
+      Text.lmScoreKatz(lmModel(s, d), Tables.documents(s, d))),
     // trigram interpolated KN over the memoized order-3 model — the real
     // KenLM recursion: the middle level scores CONTINUATION type counts
     // (Chen & Goodman eq. 18), DuckDB-mirrored incl. all five type tables

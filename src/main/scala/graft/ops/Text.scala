@@ -2929,6 +2929,116 @@ object Text {
         "avg_logp")
   }
 
+  /** Score `target` under KATZ BACK-OFF (Katz 1987, "Estimation of
+    * probabilities from sparse data for the language model component of a
+    * speech recognizer") — the backoff construction the Good-Turing
+    * discount ([[lmScoreGoodTuring]]) exists to feed. Per bigram position
+    * (u, w):
+    *
+    *   p(w|u) = p_GT(w|u)                  if c(uw) > 0   (discounted MLE)
+    *          = α(u) · p_GT(w)             if c(u) > 0    (routed backoff)
+    *          = p_GT(w)                    if c(u) = 0    (unseen context)
+    *
+    *   α(u) = (1 − Σ_{w: c(uw)>0} p_GT(w|u)) / (1 − Σ_{w: c(uw)>0} p_GT(w))
+    *
+    * — the mass the discounts freed in context u, renormalized over what
+    * the unigram model assigns OUTSIDE u's seen successors. Discounts use
+    * the GT ratio CLAMPED at 1 (`d_r = min(1, r* / r)` — tiny-corpus
+    * count-of-counts can push raw r* above r, which would mint
+    * probability; the clamp keeps Σ_seen p ≤ 1 so α ≥ 0 always), with the
+    * same k = `maxDiscount` cutoff and add-one OOV mass (N₁+1)/(N+V) as
+    * the unigram scorer. When a context's discounts freed no mass
+    * (α numerator 0) or its successors cover the whole unigram grid
+    * (denominator ≤ 0), α is undefined and the position falls through to
+    * the plain unigram — the documented total-scoring convention.
+    *
+    * Determinism: each per-TYPE probability is a pure per-row double
+    * expression (no sum → order-independent), and the two α sums run on
+    * the q6 decimal grid ([[graft.functions.Exact.r6sum]]) so they are
+    * reduction-order independent — α is then bit-deterministic and the
+    * DuckDB oracle mirrors it term for term. Scale shape: both
+    * probability tables and the α table are groupBys/joins over the
+    * vocabulary-sized TYPE tables, never the corpus; scoring is the
+    * [[lmScoreWith]] join stack plus one α lookup. */
+  def lmScoreKatz(model: LmModel, target: DataFrame,
+      maxDiscount: Long = 5L): DataFrame = {
+    val uni = model.uni
+    def hint(df: DataFrame): DataFrame =
+      if (model.vocabBroadcastable) broadcast(df) else df
+    val ucoc = uni.groupBy(col("c_uni").as("ur")).agg(count(lit(1)).as("unr"))
+    val totals = uni.agg(sum("c_uni").as("lm_n"), count(lit(1)).as("lm_v"))
+      .crossJoin(ucoc.filter(col("ur") === 1L)
+        .agg(coalesce(sum("unr"), lit(0L)).as("gt_n1")))
+    // GT unigram probability per VOCAB type, min(1, d_r)-clamped — raw
+    // doubles (scoring takes ln of these; α quantizes inside r6sum)
+    val uniMle = col("c_uni").cast("double") / col("lm_n")
+    val pUni = uni
+      .join(broadcast(ucoc), col("c_uni") === col("ur"), "left")
+      .join(broadcast(ucoc.select(col("ur").as("ur1"), col("unr").as("unr1"))),
+        col("c_uni") + lit(1L) === col("ur1"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("p_uni", least(
+        when(col("c_uni") < lit(maxDiscount) &&
+            coalesce(col("unr1"), lit(0L)) > 0L,
+          ((col("c_uni") + lit(1L)) * col("unr1")).cast("double") /
+            col("unr") / col("lm_n"))
+        .otherwise(uniMle), uniMle))
+      .select(col("token"), col("p_uni"))
+      .localCheckpoint(true)
+    // GT-discounted conditional per bigram TYPE
+    val bcoc = model.bi.groupBy(col("c_bi").as("br")).agg(count(lit(1)).as("bnr"))
+    val biMle = col("c_bi").cast("double") / col("c_prev")
+    val pBi = model.bi
+      .join(broadcast(bcoc), col("c_bi") === col("br"), "left")
+      .join(broadcast(bcoc.select(col("br").as("br1"), col("bnr").as("bnr1"))),
+        col("c_bi") + lit(1L) === col("br1"), "left")
+      .join(hint(uni.select(col("token").as("prev"), col("c_uni").as("c_prev"))),
+        Seq("prev"))
+      .withColumn("p_bi", least(
+        when(col("c_bi") < lit(maxDiscount) &&
+            coalesce(col("bnr1"), lit(0L)) > 0L,
+          ((col("c_bi") + lit(1L)) * col("bnr1")).cast("double") /
+            col("bnr") / col("c_prev"))
+        .otherwise(biMle), biMle))
+      .select(col("prev"), col("cur"), col("p_bi"))
+      .localCheckpoint(true)
+    // α per context: both sums on the q6 decimal grid over the TYPE table
+    val alpha = pBi
+      .join(hint(pUni.select(col("token").as("cur"), col("p_uni"))), Seq("cur"))
+      .groupBy("prev")
+      .agg(graft.functions.Exact.r6sum(col("p_bi")).as("s_pbi"),
+        graft.functions.Exact.r6sum(col("p_uni")).as("s_puni"))
+      .withColumn("alpha",
+        when(lit(1.0) - col("s_pbi") > 0.0 && lit(1.0) - col("s_puni") > 0.0,
+          (lit(1.0) - col("s_pbi")) / (lit(1.0) - col("s_puni"))))
+      .select(col("prev"), col("alpha"))
+    val scored = bigramPositions(target)
+      .join(hint(pBi), Seq("prev", "cur"), "left")
+      .join(hint(pUni.select(col("token").as("cur"), col("p_uni"))),
+        Seq("cur"), "left")
+      .join(hint(uni.select(col("token").as("prev"), col("c_uni").as("c_prev"))),
+        Seq("prev"), "left")
+      .join(hint(alpha), Seq("prev"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("p_uni_t", coalesce(col("p_uni"),
+        (col("gt_n1") + lit(1L)).cast("double") / (col("lm_n") + col("lm_v"))))
+      .withColumn("p",
+        when(col("p_bi").isNotNull, col("p_bi"))
+        .when(col("c_prev").isNotNull && col("alpha").isNotNull,
+          col("alpha") * col("p_uni_t"))
+        .otherwise(col("p_uni_t")))
+      .withColumn("logp", log(col("p")))
+      .withColumn("unseen", col("p_bi").isNull.cast("long"))
+    scored.groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("unseen").as("n_unseen_bigrams"),
+        graft.functions.Exact.r6avg(col("logp")).as("avg_logp"))
+      .withColumn("unseen_frac",
+        col("n_unseen_bigrams").cast("double") / col("n_bigrams"))
+      .select("doc_id", "n_bigrams", "n_unseen_bigrams", "unseen_frac",
+        "avg_logp")
+  }
+
   // ---------------------------------------------------------------- LmN —
   // the order-n generalization of the bigram LM above. CCNet's production
   // gate is a 5-gram KenLM (Wenzek et al. 2020 §4.3); a bigram

@@ -126,6 +126,7 @@ class PlansSpec extends SparkTestBase {
       "lm_score_kn",             // 1-row (T, V) continuation-totals broadcast
       "lm_score_kn3",            // 1-row (T2, V) continuation-totals broadcast
       "lm_score_gt",             // 1-row (N, V, N_1) totals broadcast
+      "lm_score_katz",           // same 1-row totals broadcast (backoff OOV)
       "dsir_weights",            // 1-row unseen-bucket-ratio broadcast
       "dsir_sample",             // same 1-row broadcast via the weights
       "curation_e2e_lm",         // same 1-row totals broadcast via the LM gate

@@ -1637,6 +1637,34 @@ class TextSpec extends SparkTestBase {
       mle(103L) == q6(math.log(6.0 / 13)))
   }
 
+  test("Katz back-off: hand-computed probabilities through every branch") {
+    import spark.implicits._
+    // unigrams a1 b1 c1 d2 e1 f1 g1 x2 y2 → N=12 V=9 N₁=6 (OOV mass 7/21);
+    // bigrams (a,d)1 (b,d)1 (c,e)1 (f,g)1 (x,y)2 → coc N₁=4, N₂=1, so
+    // d₁ = 2·N₂/N₁ = 0.5 (a REAL discount) while (x,y) keeps MLE 1.0
+    val ref = Seq((1L, "a d"), (2L, "b d"), (3L, "c e"), (4L, "f g"),
+      (5L, "x y"), (6L, "x y")).toDF("doc_id", "text")
+    val m = Text.lmTrain(ref)
+    val probes = Seq((100L, "a d"), (101L, "a z"), (102L, "x z"),
+      (103L, "x y"), (104L, "q d")).toDF("doc_id", "text")
+    val k = Text.lmScoreKatz(m, probes).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(4)))).toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // seen bigram, discounted: p = min(1, 0.5)·c(ad)/c(a) = 0.5
+    assert(k(100L) == ((0L, q6(math.log(0.5)))))
+    // unseen word under context a: α(a) = (1 − q6(0.5))/(1 − q6(2/12)),
+    // routed to the add-one OOV mass 7/21
+    val alphaA = (1.0 - 0.5) / (1.0 - q6(2.0 / 12))
+    assert(k(101L) == ((1L, q6(math.log(alphaA * (7.0 / 21))))))
+    // context x freed no mass (its one successor keeps MLE 1.0): α
+    // undefined → plain unigram fallback
+    assert(k(102L) == ((1L, q6(math.log(7.0 / 21)))))
+    // undiscounted seen bigram: p = 1 exactly
+    assert(k(103L) == ((0L, 0.0)))
+    // unseen context: straight GT unigram of the word
+    assert(k(104L) == ((1L, q6(math.log(2.0 / 12)))))
+  }
+
   test("Good-Turing on the corpus: total, bounded, counters match the JM twin") {
     val m = Text.lmTrain(docs.filter(Text.inTrainSplit()))
     val gt = Text.lmScoreGoodTuring(m, docs).cache()
