@@ -190,6 +190,11 @@ object SparkEntry {
     af(s, d) // transitively builds box, pa, adv, roll
     shingles(s, d)
     media(s, d)
+    // the shared coarse-IVF fit is a pipeline stage too (five similarity
+    // queries read it) — build it here so the one-time k-means cost is
+    // metered as pipeline_stages, not as whichever similarity query is
+    // alphabetically first in the bench loop
+    ivfIndex(s, d)
     ()
   }
 
