@@ -24,6 +24,17 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def jsonSafe(s: String): String =
       String.valueOf(s).replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(200)
+    // Optional subset run (diagnostics only — the official artifact is the
+    // full surface): SPARK_GRAFT_BENCH_ONLY=comma,separated,names restricts
+    // the timing loop. Used to separate per-query plan cost from shared-JVM
+    // aging (GC / code-cache / catalog growth across ~200 sequential
+    // queries): a subset re-run in a fresh JVM isolates the former.
+    val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = onlyEnv match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     val tS = System.nanoTime()
     try SparkEntry.prebuildStages(spark, sfDir) catch {
       case e: Throwable =>
@@ -32,7 +43,7 @@ object Bench {
     }
     val stageSec = (System.nanoTime() - tS) / 1e9
     val results = ("pipeline_stages" -> stageSec) +:
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>

@@ -917,11 +917,13 @@ af AS (
       FROM ctr"""
 
   /** Cohen's-kappa oracle derived from the gate_overlap oracle reused
-    * VERBATIM as a CTE (the two cannot drift); pair enumeration mirrors
-    * [[graft.ops.Text.gateNames]] order; DECIMAL(19,0) products keep the
-    * chance-expected mass exact to the shared DECIMAL(38) cap. */
+    * VERBATIM as a CTE (the two cannot drift); pair enumeration reads
+    * [[graft.ops.Text.gateNames]] DIRECTLY (not a duplicated literal, so a
+    * gate rename/reorder cannot desynchronize the oracle's pair grid);
+    * DECIMAL(19,0) products keep the chance-expected mass exact to the
+    * shared DECIMAL(38) cap. */
   private def gateKappaSql(overlapSql: String): String = {
-    val gates = Seq("g_len", "g_quality", "g_classifier", "g_domain", "g_unique")
+    val gates = graft.ops.Text.gateNames
     val pairs = for {
       i <- gates.indices; j <- (i + 1) until gates.size
     } yield (gates(i), gates(j))
@@ -4547,4 +4549,73 @@ af AS (
       SELECT n.vec_id, wit.dup_of, wit.dup_of IS NULL AS kept
       FROM n LEFT JOIN wit USING (vec_id)"""
   )
+
+  /** DuckDB mirror of the greedy BPE ENCODE under a LEARNED merges table
+    * ([[graft.functions.Bpe.Codec.encodeWord]]): the merges — a
+    * deterministic driver artifact of the corpus (count ties break
+    * lexicographically in training) — are inlined as a VALUES literal, and
+    * the merge loop is a recursive CTE over the DISTINCT corpus words
+    * (vocabulary-bounded, the same bounded-table shape as training).
+    *
+    * Per recursion step a word merges ALL non-overlapping occurrences of
+    * its best-ranked adjacent pair, left to right — rendered as a
+    * `list_reduce` fold whose accumulator merges `x` into its last token
+    * iff (last, x) equals the best pair. The fold reproduces the JVM
+    * sweep's semantics exactly, including `"aaa" + (a,a) → [aa, a]`
+    * (once the accumulator tail becomes the merged token `ab`, it can
+    * never re-match as the LEFT of the pair in the same round: `ab = a`
+    * is impossible with `b` non-empty). Pair keys are `a || ' ' || b` —
+    * unambiguous because words are whitespace-split, so no token contains
+    * a space (the same key trick as the JVM rank map). A word's final
+    * state is its unique `best IS NULL` row; re-joining word lengths to
+    * the per-document word multiset and summing yields `n_bpe_tokens`.
+    *
+    * Verify-time wiring: [[SparkEntry.oracleSql]] calls this with the
+    * memoized merges AFTER the queries have run (Verify dumps
+    * oracle_sql.json last), so the SQL always carries the exact table the
+    * Spark result was encoded with. */
+  def bpeTokenizeSql(merges: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val mergesCte =
+      if (merges.isEmpty)
+        "SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b WHERE 1=0"
+      else
+        merges.zipWithIndex
+          .map { case ((a, b), r) => s"($r,'${esc(a)}','${esc(b)}')" }
+          .mkString("SELECT * FROM (VALUES ", ",", ") t(rank, a, b)")
+    raw"""
+      WITH RECURSIVE
+      merges(rank, a, b) AS ($mergesCte),
+      words AS (SELECT DISTINCT w FROM (SELECT unnest(regexp_split_to_array(text,'\s+')) AS w FROM documents) WHERE w<>''),
+      enc AS (
+        SELECT w, toks,
+          (SELECT min(m.rank) FROM merges m
+           WHERE list_contains(list_transform(list_zip(toks, toks[2:]),
+                   p -> p[1] || ' ' || p[2]), m.a || ' ' || m.b)) AS best
+        FROM (SELECT w, regexp_extract_all(w,'.') AS toks FROM words) b0
+        UNION ALL
+        SELECT w, toks,
+          (SELECT min(m.rank) FROM merges m
+           WHERE list_contains(list_transform(list_zip(toks, toks[2:]),
+                   p -> p[1] || ' ' || p[2]), m.a || ' ' || m.b)) AS best
+        FROM (
+          SELECT w,
+            list_reduce(list_transform(toks, t -> [t]),
+              (acc, x) -> CASE WHEN acc[len(acc)] = ba AND x[1] = bb
+                          THEN acc[1:len(acc)-1] || [ba || bb] ELSE acc || x END) AS toks
+          FROM (SELECT e.w, e.toks, m.a AS ba, m.b AS bb
+                FROM enc e JOIN merges m ON m.rank = e.best) t0) t1
+      ),
+      wordlen AS (SELECT w, len(toks) AS n FROM enc WHERE best IS NULL),
+      perdoc AS (
+        SELECT doc_id, sum(n) AS n_bpe
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(text,'\s+')) AS w FROM documents) d
+        JOIN wordlen USING (w) GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(length(d.text) AS BIGINT) AS n_chars,
+        CAST(len(regexp_split_to_array(d.text,'\s+')) AS BIGINT) AS n_ws_tokens,
+        CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+        CASE WHEN coalesce(p.n_bpe, 0) > 0 THEN CAST(length(d.text) AS DOUBLE)/p.n_bpe END AS chars_per_bpe_token
+      FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+  }
 }

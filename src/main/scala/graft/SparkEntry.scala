@@ -195,6 +195,11 @@ object SparkEntry {
     // metered as pipeline_stages, not as whichever similarity query is
     // alphabetically first in the bench loop
     ivfIndex(s, d)
+    // likewise the memoized five-gate Venn frame: gate_kappa sorts before
+    // gate_overlap in the bench loop, so without this the corpus-scale
+    // five-gate pass is metered under gate_kappa (same cost-attribution
+    // shape the ivfIndex line above fixes)
+    gateOverlapFrame(s, d)
     ()
   }
 
@@ -895,11 +900,27 @@ object SparkEntry {
       Multimodal.frameReport(media(s, d)))
   )
 
+  /** The BPE-encode oracle is built at CALL time from the memoized merges
+    * table: Verify dumps oracle_sql.json AFTER running the queries, so by
+    * then [[bpeMerges]] has trained on exactly one corpus directory and the
+    * emitted SQL carries that table inline ([[Oracles.bpeTokenizeSql]]).
+    * If zero directories are cached (subset Verify run that skipped
+    * bpe_tokenize) or more than one (a multi-dir JVM, where "the" merges
+    * table is ambiguous), the entry is withheld and bpe_tokenize falls
+    * back to the sanctioned rows-only path — both derived views below use
+    * THIS one definition, so the registry-completeness law holds in every
+    * cache state. */
+  private def bpeOracle: Map[String, String] = bpeMergesCache.toMap.toSeq match {
+    case Seq((_, merges)) =>
+      Map("bpe_tokenize" -> Oracles.bpeTokenizeSql(merges))
+    case _ => Map.empty
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for the Spark-specific ops
     * (approx_distinct, minhash/simhash/LSH, multimodal stub) → driver
     * records a weaker rows-only check. */
-  def oracleSql: Map[String, String] = Oracles.sql
+  def oracleSql: Map[String, String] = Oracles.sql ++ bpeOracle
 
   /** The sanctioned rows-only queries: exactly the [[queries]] keys with NO
     * [[oracleSql]] entry, each with the reason it cannot be SQL-mirrored
@@ -911,8 +932,11 @@ object SparkEntry {
   def sanctionedRowsOnly: Map[String, String] = Map(
     "approx_distinct" ->
       "HLL++ register estimate is engine-specific; exact-vs-approx <10% law + opt-in plan-rewrite law in PlansSpec",
+    // bpe_tokenize: ORACLED at verify time (the learned merges inline into
+    // a recursive-CTE encode mirror — see bpeOracle above); the rows-only
+    // sanction below applies only when no trained merges table is in cache
     "bpe_tokenize" ->
-      "greedy BPE merge-loop training has no SQL analog; reference-agreement/round-trip/monotonicity laws in BpeSpec",
+      "greedy BPE merge-loop training ran in no cached corpus dir (or several), so the verify-time encode oracle cannot pin one merges table; reference-agreement/round-trip/monotonicity laws in BpeSpec",
     "cell_balanced_sample" ->
       "k-means cell ids are MLlib-specific; quota/containment/determinism laws in SimilaritySpec (md5-bucket twin bucket_balanced_sample is oracled)",
     "multimodal_meta" ->
@@ -950,7 +974,7 @@ object SparkEntry {
     "similarity_ivfpq_opq_topk" ->
       "PCA eigen-rotation + k-means + PQ are engine-specific; planted-anisotropy 44x MSE law + permutation/recall anchors in SimilaritySpec",
     "ann_recall_sweep" ->
-      "k-means probe geometry is MLlib-specific; monotone-recall + exhaustive-probe-recall=1 laws in SimilaritySpec")
+      "k-means probe geometry is MLlib-specific; monotone-recall + exhaustive-probe-recall=1 laws in SimilaritySpec") -- bpeOracle.keySet
 
   /** Declared queries ALLOWED to emit a nested-typed (array/map/struct)
     * column, each with the reason. The driver's rows-only check sorts the

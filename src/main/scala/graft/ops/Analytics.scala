@@ -149,10 +149,10 @@ object Analytics {
     * sum share its partitioning and sort order (the second WindowExec
     * reuses the exchange, adding no shuffle). Per-user event volume bounds
     * the partition — the right key for a behavioral table. A pathological
-    * single-user firehose (bot traffic) would need a time-sliced salt with
-    * boundary repair across slice edges; per the [[graft.ops.Ranks]]
-    * two-phase discipline, that substitution is documented rather than
-    * default because it costs an extra join on every healthy corpus. */
+    * single-user firehose (bot traffic) needs the time-sliced salt with
+    * boundary repair in [[sessionizeSalted]]; per the [[graft.ops.Ranks]]
+    * two-phase discipline, the salted path is opt-in rather than default
+    * because it costs an extra join on every healthy corpus. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes * 60L * 1000000L
@@ -164,6 +164,79 @@ object Analytics {
       .withColumn("session_idx",
         sum("new_session").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        concat(col("user_id").cast("string"), lit("-"),
+          col("session_idx").cast("string")).as("session_id"),
+        col("session_idx"))
+  }
+
+  /** [[sessionize]] under a TIME-SLICED SALT with boundary repair — the
+    * firehose-safe variant for a pathologically hot user (bot traffic: one
+    * user_id carrying 10⁵+ events would funnel through a single task in
+    * the plain user_id window). Output is IDENTICAL to [[sessionize]]
+    * (SkewSpec asserts frame equality on both a planted firehose and a
+    * healthy corpus); only the partitioning changes.
+    *
+    * Three phases, all exact:
+    *  1. local pass — the lag + running-sum window runs per
+    *     (user_id, time-slice of `sliceHours`), so per-task input is
+    *     bounded by one user's events per slice, not per lifetime. The
+    *     slice key is derived from ts, so slice-major order ≡ global event
+    *     order (ts ties can't span slices) and within-slice numbering is a
+    *     suffix of the global numbering.
+    *  2. boundary repair — one (user_id, slice) summary row per nonempty
+    *     slice (first/last event micros, local session count: a
+    *     |users|·|slices|-bounded frame, NOT event-scale). A user_id
+    *     window over slices decides each boundary: slice s CONTINUES the
+    *     previous nonempty slice's last session iff
+    *     first_us(s) − last_us(prev) ≤ gap — exactly the unsalted
+    *     predicate, because the only cross-slice information sessionization
+    *     needs is the previous EVENT's timestamp. Empty slices between
+    *     nonempty ones need no special case: the gap test against the
+    *     previous nonempty slice is the full predicate. A running sum of
+    *     per-slice contributed sessions (k_s − cont_s) rebases local
+    *     indices to the global numbering: g = C_prev + local − cont (a
+    *     continued first session merges INTO the previous slice's last,
+    *     shifting the whole slice down by one).
+    *  3. join-back — the ≤2-column repair frame joins on
+    *     (user_id, slice), the same key the local window already
+    *     shuffled on. The firehose user's repair rows stay one-per-slice,
+    *     so no hot key re-forms.
+    *
+    * Ranks.scala two-phase discipline: the event-scale pass is salted; the
+    * unsalted window runs only on the slice-summary frame, whose per-user
+    * row count is |slices| — bounded by the retention window, not by event
+    * volume. */
+  def sessionizeSalted(events: DataFrame, gapMinutes: Int = 30,
+      sliceHours: Int = 24): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sliceUs = sliceHours * 3600L * 1000000L
+    val wLocal = Window.partitionBy("user_id", "_slice")
+      .orderBy(col("ts"), col("event_id"))
+    val local = events
+      .withColumn("_us", unix_micros(col("ts")))
+      .withColumn("_slice", floor(col("_us") / sliceUs))
+      .withColumn("_prev_us", lag(col("_us"), 1).over(wLocal))
+      .withColumn("_new",
+        (col("_prev_us").isNull || (col("_us") - col("_prev_us")) > gapUs)
+          .cast("long"))
+      .withColumn("_lidx",
+        sum("_new").over(
+          wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSlice = Window.partitionBy("user_id").orderBy("_slice")
+    val repair = local.groupBy("user_id", "_slice")
+      .agg(min("_us").as("_first_us"), max("_us").as("_last_us"),
+        max("_lidx").as("_k"))
+      .withColumn("_prev_last", lag(col("_last_us"), 1).over(wSlice))
+      .withColumn("_cont",
+        (col("_prev_last").isNotNull &&
+          (col("_first_us") - col("_prev_last")) <= gapUs).cast("long"))
+      .withColumn("_c_prev",
+        coalesce(sum(col("_k") - col("_cont")).over(
+          wSlice.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id"), col("_slice"), col("_cont"), col("_c_prev"))
+    local.join(repair, Seq("user_id", "_slice"))
+      .withColumn("session_idx", col("_c_prev") + col("_lidx") - col("_cont"))
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         concat(col("user_id").cast("string"), lit("-"),
           col("session_idx").cast("string")).as("session_id"),

@@ -272,10 +272,14 @@ object Relational {
     * Pure-DataFrame outer-join + union — no driver loop; the incremental ≡
     * batch law (applying a later slice of orders to the history built from
     * the earlier slice reproduces the full-history build EXACTLY) is pinned
-    * in RelationalSpec. `updates` is the batch's change-point stream:
-    * one row per run `(c_custkey, priority, as_of, seq, n_orders)` with
-    * adjacent priorities per key distinct (collapse intra-batch runs
-    * first) and `seq` breaking same-day run order. */
+    * in RelationalSpec. `updates` is the batch's update stream: rows
+    * `(c_custkey, priority, as_of, seq, n_orders)` with `seq` breaking
+    * same-day order. Intra-batch runs of equal adjacent priorities are
+    * collapsed INTERNALLY (the same gaps-and-islands pass as
+    * [[scd2History]], n_orders summed per run) — an uncollapsed or
+    * unordered batch is therefore handled, not a silent-corruption
+    * precondition (it previously produced adjacent same-priority
+    * versions; streamScd2Refresh already collapsed via scd2History). */
   def scd2Apply(dim: DataFrame, updates: DataFrame): DataFrame = {
     val open = dim.filter(col("effective_to").isNull)
     val closed = dim.filter(col("effective_to").isNotNull)
@@ -283,8 +287,23 @@ object Relational {
     // updates may carry several change points per key: number them off the
     // key's current open version, then close each non-final new row at the
     // NEXT update's as_of
-    val u = updates.select(col("c_custkey"), col("priority").as("u_priority"),
+    val uRaw = updates.select(col("c_custkey"), col("priority").as("u_priority"),
       col("as_of"), col("seq"), col("n_orders").as("u_n"))
+    // run-collapse (totality guard): adjacent same-priority update rows
+    // fold into one change point — earliest (as_of, seq), summed n_orders.
+    // Run minima inherit the batch order, so the collapsed stream sorts
+    // identically under byTime; already-collapsed input passes through
+    // unchanged (chg = 1 on every row).
+    val u = uRaw
+      .withColumn("_chg",
+        when(lag("u_priority", 1).over(byTime).isNull ||
+          lag("u_priority", 1).over(byTime) =!= col("u_priority"), 1L)
+          .otherwise(0L))
+      .withColumn("_run", sum("_chg").over(byTime))
+      .groupBy(col("c_custkey"), col("_run"))
+      .agg(max("u_priority").as("u_priority"), min("as_of").as("as_of"),
+        min("seq").as("seq"), sum("u_n").as("u_n"))
+      .drop("_run")
     val j = u.join(open.select(col("c_custkey"), col("priority").as("o_priority"),
       col("version").as("o_version"), col("effective_from").as("o_from"),
       col("n_orders").as("o_n")), Seq("c_custkey"), "left")

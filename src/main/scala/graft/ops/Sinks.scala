@@ -72,14 +72,18 @@ object Sinks {
       min(col(colA).cast("double")).as("a0"), max(col(colA).cast("double")).as("a1"),
       min(col(colB).cast("double")).as("b0"), max(col(colB).cast("double")).as("b1"))
       .collect().head
-    val (a0, a1, b0, b1) =
-      (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2), stats.getDouble(3))
+    // An empty input (or an all-null key column) yields null min/max — fall
+    // back to a degenerate single-lane write instead of NPE-ing; null KEY
+    // VALUES inside a nonempty column coalesce to the low lane explicitly
+    // (they'd otherwise produce a null z-code and cluster silently).
+    def statAt(i: Int): Double = if (stats.isNullAt(i)) 0.0 else stats.getDouble(i)
+    val (a0, a1, b0, b1) = (statAt(0), statAt(1), statAt(2), statAt(3))
     val top = (1L << bits) - 1
     def lane(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L)
       else least(lit(top), greatest(lit(0L),
-        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble + 1.0))
-          .cast("long")))
+        floor((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) / lit(hi - lo)
+          * lit(top.toDouble + 1.0)).cast("long")))
     val (a, b) = (lane(colA, a0, a1), lane(colB, b0, b1))
     val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc

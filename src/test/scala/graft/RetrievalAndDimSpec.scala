@@ -126,6 +126,44 @@ class RetrievalAndDimSpec extends SparkTestBase {
       "incremental SCD2 apply must reproduce the batch history bit-for-bit")
   }
 
+  test("scd2Apply: an UNCOLLAPSED update batch collapses internally (totality, not precondition)") {
+    // dim: one open version per key
+    val dim = Seq(
+      (1L, 1L, "LOW", java.sql.Date.valueOf("2024-01-01"), null.asInstanceOf[java.sql.Date], 3L),
+      (2L, 1L, "HIGH", java.sql.Date.valueOf("2024-01-01"), null.asInstanceOf[java.sql.Date], 2L))
+      .toDF("c_custkey", "version", "priority", "effective_from", "effective_to", "n_orders")
+    // uncollapsed: key 1 carries an adjacent same-priority run (HIGH, HIGH)
+    // then LOW; key 2 opens with a run equal to its open row's priority
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val raw = Seq(
+      (1L, "HIGH", d("2024-02-01"), 1L, 1L),
+      (1L, "HIGH", d("2024-02-03"), 2L, 2L),
+      (1L, "LOW", d("2024-02-05"), 3L, 1L),
+      (2L, "HIGH", d("2024-02-02"), 1L, 4L),
+      (2L, "HIGH", d("2024-02-04"), 2L, 1L))
+      .toDF("c_custkey", "priority", "as_of", "seq", "n_orders")
+    // hand-collapsed equivalent (runs folded: summed n, earliest as_of/seq)
+    val collapsed = Seq(
+      (1L, "HIGH", d("2024-02-01"), 1L, 3L),
+      (1L, "LOW", d("2024-02-05"), 3L, 1L),
+      (2L, "HIGH", d("2024-02-02"), 1L, 5L))
+      .toDF("c_custkey", "priority", "as_of", "seq", "n_orders")
+    val cols = Seq("c_custkey", "version", "priority", "effective_from",
+      "effective_to", "n_orders").map(col)
+    val gotRaw = Relational.scd2Apply(dim, raw).select(cols: _*)
+    val gotCollapsed = Relational.scd2Apply(dim, collapsed).select(cols: _*)
+    assert(gotRaw.except(gotCollapsed).count() == 0 &&
+      gotCollapsed.except(gotRaw).count() == 0,
+      "uncollapsed batch must apply exactly like its run-collapsed form")
+    // and the result carries no adjacent same-priority versions per key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_custkey").orderBy("version")
+    val adjacentDup = gotRaw
+      .withColumn("_prev", lag("priority", 1).over(w))
+      .filter(col("_prev") === col("priority")).count()
+    assert(adjacentDup == 0L, "adjacent same-priority versions leaked through")
+  }
+
   // ---- Count-Min heavy hitters
 
   test("heavy_hitters_cms: estimates never undercount; sketch is near-exact at width 2048") {

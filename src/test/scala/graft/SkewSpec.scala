@@ -344,4 +344,50 @@ class SkewSpec extends SparkTestBase {
         s"dupSourceMatrix: a task read $m shuffle records — copies leaked through")
     } finally docs.unpersist()
   }
+
+  test("single-user firehose: salted sessionize ≡ unsalted, per-task shuffle bounded") {
+    // one bot user with 100k events — every 5 minutes, a 1-hour extra jump
+    // each 1000 events (session breaks), spanning ~370 day-slices so the
+    // boundary repair fires hundreds of times mid-session — plus 500
+    // healthy users to prove the healthy path is untouched
+    val fire = spark.range(HotN).select(
+      col("id").as("event_id"),
+      lit(0L).as("user_id"),
+      timestamp_micros(col("id") * 300000000L +
+        floor(col("id") / lit(1000)).cast("long") * 3600000000L).as("ts"),
+      (col("id") % 10).cast("double").as("value"))
+    val cold = spark.range(5000).select(
+      (col("id") + lit(HotN)).as("event_id"),
+      (pmod(col("id"), lit(500)) + 1L).as("user_id"),
+      // ~10 events per healthy user, 40 minutes apart → a few sessions each
+      timestamp_micros(col("id") * 2400000000L).as("ts"),
+      lit(1.0).as("value"))
+    val events = fire.unionByName(cold)
+    val expected = graft.ops.Analytics.sessionize(events)
+      .collect().map(_.toString).sorted
+    // AQE's byte-based partition coalescing merges these toy-sized
+    // partitions into one task, which would hide exactly the distinction
+    // under test (key-level funneling vs key-level spread) — at real scale
+    // the advisory size bounds tasks instead. Pin it off for the
+    // measurement; the salted KEY spread is what the bound asserts.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    var got: Array[String] = null
+    val m =
+      try maxTaskShuffleRecords {
+        got = graft.ops.Analytics.sessionizeSalted(events)
+          .collect().map(_.toString)
+      } finally prev match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None => spark.conf.unset(coalesceKey)
+      }
+    assert(got.sorted.sameElements(expected),
+      s"salted sessionize diverged: ${got.length} vs ${expected.length} rows")
+    // the salted event-scale pass partitions on (user, day-slice): the hot
+    // user's 100k events split across ~370 slices (~270 events each), so
+    // no task may read an event-lifetime-sized shuffle block
+    assert(m < HotN / 2,
+      s"sessionizeSalted: a task read $m shuffle records — the firehose funneled")
+  }
 }
