@@ -16,26 +16,29 @@ package graft
 object RecallAnchors {
   /** sign-LSH top-k vs brute-force truth (r9 declared query = md5 mirror planes, measured 0.700; xxhash64 family measured 0.682). */
   val lshTopK = 0.64
-  /** IVF (k-means, nProbe) top-k vs brute-force truth (measured 0.632). */
-  val ivfTopK = 0.58
+  /** IVF (k-means, nProbe) top-k vs brute-force truth (measured 0.759 at
+    * the r13 6-probe default; 0.632 at the old 4-probe point). */
+  val ivfTopK = 0.70
   /** int8 ADC + exact-rerank top-k vs brute-force truth (r9 declared query = md5 mirror planes, measured 0.700). */
   val quantTopK = 0.64
   /** LSH-pruned semantic decontamination vs exact form (measured 0.667). */
   val semanticDecon = 0.66
   /** IVF-PQ (m=8 product codes, ADC, 6k-survivor exact rerank) top-k vs
-    * brute-force truth (measured 0.625 at sf0.001, 0.588 at sf0.01 —
-    * bounded above by the IVF probe ceiling 0.632, the residual gap is
-    * ADC survivor misses). */
-  val ivfPqTopK = 0.54
+    * brute-force truth (measured 0.742 at the r13 6-probe default;
+    * 0.625/0.588 at the old 4-probe point — bounded above by the IVF
+    * probe ceiling, the residual gap is ADC survivor misses). */
+  val ivfPqTopK = 0.68
   /** residual-encoded (IVFADC-proper) IVF-PQ top-k vs brute-force truth
-    * (measured 0.628 at sf0.001 — at the raw twin's level with 12% lower
+    * (measured 0.749 at the r13 6-probe default, 0.628 at the old
+    * 4-probe point — at the raw twin's level with 12% lower
     * reconstruction MSE, 0.199 vs 0.225). */
-  val ivfPqResidualTopK = 0.56
+  val ivfPqResidualTopK = 0.68
   /** OPQ-parametric (balanced eigen-rotation) residual IVF-PQ vs
     * brute-force truth (measured 0.625 at sf0.001 — level with the
-    * unrotated residual twin on this near-isotropic corpus; the rotation's
-    * 44× MSE win shows on the planted anisotropic law). */
-  val ivfPqOpqTopK = 0.56
+    * unrotated residual twin on this near-isotropic corpus — 0.745 at the
+    * r13 6-probe default; the rotation's 44× MSE win shows on the planted
+    * anisotropic law). */
+  val ivfPqOpqTopK = 0.68
   /** LSH embedding near-dup pairs vs exact near-dup (r9 declared query = md5 mirror planes, measured 0.803; xxhash64 family measured 0.757). */
   val embeddingNearDup = 0.72
 }

@@ -487,11 +487,12 @@ class SimilaritySpec extends SparkTestBase {
     assert(ops.Similarity.cellsFor(1000000000L, fitMax) == fitMax / 8L)
     assert(ops.Similarity.cellsFor(100000L, 800L) == 100,
       "cap uses min(n, fitMaxRows)/8")
-    // probe scaling: √cells, floor 4, reproduces the pinned geometry at the
-    // anchor operating point (16 cells → 4 probes) and grows with cells
-    assert(ops.Similarity.probesFor(16) == 4)
-    assert(ops.Similarity.probesFor(157) == 13)
-    assert(ops.Similarity.probesFor(12500) == 112)
+    // probe scaling: 1.5·√cells, floor 4 — the r13 default-recall knob
+    // moves the anchor operating point to 16 cells → 6 probes (recall@10
+    // ≥ 0.7 measured at sf0.01 and sf0.1) and still grows √-sublinearly
+    assert(ops.Similarity.probesFor(16) == 6)
+    assert(ops.Similarity.probesFor(157) == 19)
+    assert(ops.Similarity.probesFor(12500) == 168)
     val ps = cells.map(ops.Similarity.probesFor)
     assert(ps == ps.sorted, "probes must be monotone in cells")
   }
@@ -801,9 +802,10 @@ class SimilaritySpec extends SparkTestBase {
       s"recall not monotone over $grid: $recalls")
     // probing every cell IS the exhaustive scan
     assert(recalls.last == 1.0, s"exhaustive probe must recall 1.0, got $recalls")
-    // the declared query: one row per default grid point
+    // the declared query: one row per default grid point (incl. the
+    // default 6-probe operating point)
     val declared = q("ann_recall_sweep")
-    assert(declared.count() == 4 &&
+    assert(declared.count() == 5 &&
       declared.columns.toSeq ==
         Seq("nprobe", "n_queries", "possible", "hits", "recall"))
   }
