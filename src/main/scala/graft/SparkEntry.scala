@@ -273,6 +273,11 @@ object SparkEntry {
     // SCD Type-2 dimension history (one keyed-window change capture; the
     // incremental MERGE twin scd2Apply is law-tested in RelationalSpec)
     "scd2_dim" -> ((s, d) => Relational.scd2History(Tables.orders(s, d))),
+    // the same dimension built by an ACTUAL Structured Streaming run
+    // (three checkpointed micro-batches through scd2Apply) — verified
+    // against the SAME DuckDB oracle as scd2_dim via the streamed≡batch
+    // law, putting a real streaming execution on the oracle board
+    "stream_scd2_dim" -> ((s, d) => StreamDemo.streamedScd2Dim(s, d)),
 
     // ---- events / streaming-cadence analogs
     "stream_window_counts" -> ((s, d) => StreamDemo.windowCountsBatch(Tables.events(s, d))),
@@ -920,7 +925,10 @@ object SparkEntry {
     * same parquet tables. Omitted for the Spark-specific ops
     * (approx_distinct, minhash/simhash/LSH, multimodal stub) → driver
     * records a weaker rows-only check. */
-  def oracleSql: Map[String, String] = Oracles.sql ++ bpeOracle
+  def oracleSql: Map[String, String] =
+    // stream_scd2_dim shares scd2_dim's oracle VERBATIM: the streamed fold
+    // must land bit-identical to the batch history (StreamDimSpec law)
+    Oracles.sql + ("stream_scd2_dim" -> Oracles.sql("scd2_dim")) ++ bpeOracle
 
   /** The sanctioned rows-only queries: exactly the [[queries]] keys with NO
     * [[oracleSql]] entry, each with the reason it cannot be SQL-mirrored
