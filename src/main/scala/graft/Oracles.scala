@@ -1537,6 +1537,23 @@ af AS (
              CAST(CAST(length(text) AS BIGINT) - (CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) - 1) AS DOUBLE)
                / CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS mean_token_len
       FROM documents""",
+    // exact Shannon character entropy, bits per glyph: per-(doc, glyph)
+    // counts, q6-quantized p·ln p terms summed in DECIMAL(28,10) (the
+    // lm_score discipline), bits via the shared ln-2 double literal; the
+    // [^\n] glyph class is the Java/RE2-identical alphabet choice
+    "char_entropy" -> s"""
+      WITH g AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^\\n]')) AS ch FROM documents),
+      c AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+      t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS nd FROM c GROUP BY 1),
+      e AS (SELECT c.doc_id,
+                   ${r6sum("(CAST(c.c AS DOUBLE) / t.n) * ln(CAST(c.c AS DOUBLE) / t.n)")} AS s
+            FROM c JOIN t USING (doc_id) GROUP BY c.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(t.n, 0) AS BIGINT) AS n_glyphs,
+             CAST(coalesce(t.nd, 0) AS BIGINT) AS n_distinct_glyphs,
+             0.0 - e.s / 0.6931471805599453 AS char_entropy_bits
+      FROM documents d LEFT JOIN t USING (doc_id) LEFT JOIN e ON d.doc_id = e.doc_id""",
     "text_quality" -> """
       SELECT doc_id, lang, n_tokens, n_stopwords, n_distinct_tokens,
              stop_ratio, diversity,

@@ -401,6 +401,8 @@ object SparkEntry {
     // shuffle-free mapPartitions pass; both curation tails (boilerplate,
     // non-text junk) live at the ratio extremes
     "compression_signals" -> ((s, d) => Text.compressionSignals(Tables.documents(s, d))),
+    // exact Shannon char entropy — the oracled twin of the DEFLATE proxy
+    "char_entropy" -> ((s, d) => Text.charEntropy(Tables.documents(s, d))),
     "chunk_documents" -> ((s, d) => Text.chunkDocuments(Tables.documents(s, d))),
     "split_leakage" -> ((s, d) => Text.splitLeakage(Tables.documents(s, d))),
     // bigram LM trained on the train hash-split, scoring the whole corpus

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact._
@@ -2658,6 +2659,47 @@ object Text {
           CompressionRow(id, raw.length.toLong, n, ratio)
         }
       }.toDF()
+  }
+
+  /** Per-document Shannon character entropy, in bits per glyph — the
+    * DIRECT information-density twin of [[compressionSignals]]' DEFLATE
+    * proxy, and unlike it fully DuckDB-oracled (pure counting +
+    * q6-quantized p·ln p terms; no codec). Low entropy flags repetition /
+    * template spam, implausibly high entropy flags non-text junk — the
+    * same two-sided curation gate, with an exact closed form the
+    * compression signal only approximates (TextSpec pins hand-computed
+    * values and the rank agreement between the two signals' extremes).
+    *
+    * Newlines are excluded from the glyph alphabet (`[^\n]` on both
+    * engines — the one regex class Java and RE2 treat identically here;
+    * bare `.` diverges on \r and U+2028/2029) so the signal measures
+    * content, not line structure.
+    *
+    * Scale shape: glyph explode → combining groupBy(doc_id, ch), so the
+    * shuffle carries (doc, glyph, count) rows — |docs|·|alphabet|-bounded,
+    * never corpus-character-scale. The per-doc total rides a window over
+    * the ALREADY-COLLAPSED counts (≤ alphabet rows per doc partition).
+    * Exactness: each p·ln p term is q6-quantized and summed in
+    * DECIMAL(28,10) (order-independent, [[graft.functions.Exact.r6sum]]);
+    * the bits conversion divides by the ln 2 DOUBLE LITERAL
+    * 0.6931471805599453 on both engines so no libm constant can differ. */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    val counts = documents.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("[^\\n]"), lit(0))).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val ent = counts
+      .withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_glyphs"),
+        count(lit(1)).as("n_distinct_glyphs"),
+        r6sum(
+          col("c").cast("double") / col("n") *
+            log(col("c").cast("double") / col("n"))).as("s"))
+    documents.select(col("doc_id")).join(ent, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_glyphs"), lit(0L)).as("n_glyphs"),
+        coalesce(col("n_distinct_glyphs"), lit(0L)).as("n_distinct_glyphs"),
+        (lit(0.0) - col("s") / lit(0.6931471805599453)).as("char_entropy_bits"))
   }
 
   /** Keep the compressibility mid-band: drop docs below `loRatio`

@@ -1494,6 +1494,42 @@ class TextSpec extends SparkTestBase {
     assert(kept == Set(2L), s"filter must keep only the prose row, kept $kept")
   }
 
+  test("char entropy: hand-computed values, alphabet exclusions, compression-extreme agreement") {
+    import spark.implicits._
+    val rep = ("na " * 400).trim // 2-ish bits: three glyphs, skewed
+    val junk = {
+      val rnd = new scala.util.Random(7)
+      Array.fill(1200)((33 + rnd.nextInt(94)).toChar).mkString
+    }
+    val planted = Seq(
+      (1L, "aabb"),           // uniform over {a,b} → exactly 1 bit
+      (2L, "aaaa"),           // single glyph → exactly 0 bits
+      (3L, ""),               // no glyphs → null entropy
+      (4L, "\n\n\n"),         // newlines excluded from the alphabet
+      (5L, rep), (6L, junk)).toDF("doc_id", "text")
+    val e = Text.charEntropy(planted).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(e(1L)._1 == 4L && e(1L)._2 == 2L && math.abs(e(1L)._3 - 1.0) < 1e-5)
+    assert(e(2L)._3 == 0.0)
+    for (id <- Seq(3L, 4L))
+      assert(e(id)._1 == 0L && e(id)._2 == 0L && e(id)._3.isNaN,
+        s"doc $id should have an empty alphabet and null entropy: ${e(id)}")
+    // entropy never exceeds log2(alphabet) beyond the q6 term
+    // quantization (≤ 5e-7 per glyph term); junk ≈ uniform over ~94 glyphs
+    for ((id, (n, nd, bits)) <- e if n > 0)
+      assert(bits <= math.log(nd.toDouble) / math.log(2.0) + nd * 1e-6,
+        s"doc $id: $bits bits over alphabet $nd")
+    assert(e(6L)._3 > 6.0, s"junk should be near log2(94)≈6.55, got ${e(6L)._3}")
+    // the two signals agree on the planted extremes: repetition lowest,
+    // junk highest (entropy is the exact form of what DEFLATE approximates)
+    assert(e(5L)._3 < e(6L)._3)
+    val c = Text.compressionSignals(planted.filter(col("doc_id").isin(5L, 6L)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(c(5L) < c(6L), "compression should rank the same extremes")
+  }
+
   test("Kneser-Ney: hand-computed probabilities; the Francisco effect flips the JM ranking") {
     import spark.implicits._
     // reference: 's f' ×10 (f FREQUENT but follows only s — the
