@@ -1537,6 +1537,8 @@ af AS (
              CAST(CAST(length(text) AS BIGINT) - (CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) - 1) AS DOUBLE)
                / CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS mean_token_len
       FROM documents""",
+    // greedy MMR diversification, pick-for-pick vs the driver loop
+    "mmr_diversify" -> mmrDiversifySql(16, 64, 0.7),
     // exact Shannon character entropy, bits per glyph: per-(doc, glyph)
     // counts, q6-quantized p·ln p terms summed in DECIMAL(28,10) (the
     // lm_score discipline), bits via the shared ln-2 double literal; the
@@ -4566,6 +4568,49 @@ af AS (
       SELECT n.vec_id, wit.dup_of, wit.dup_of IS NULL AS kept
       FROM n LEFT JOIN wit USING (vec_id)"""
   )
+
+  /** DuckDB mirror of [[graft.ops.Similarity.mmrDiversify]]: the greedy
+    * selection loop as a recursive CTE whose rows carry the selected-id
+    * LIST; each step's LATERAL picks the (score DESC, vec_id) argmax over
+    * the not-yet-selected shortlist, with max-sim-to-selected read from
+    * the precomputed shortlist² pair grid via `list_contains`. Every
+    * float op mirrors the Spark/driver side on the q6 grid: per-dim
+    * q6/decimal centroid sums, q6 cosines, and the λ·rel − (1−λ)·maxsim
+    * score with both λ literals rendered from the same doubles. */
+  def mmrDiversifySql(k: Int, shortlist: Int, lambda: Double): String = {
+    val comp = 1.0 - lambda
+    s"""
+      WITH RECURSIVE
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      ds AS (SELECT i AS dim, ${r6sum("v[i]")} AS t_d
+             FROM (SELECT v, UNNEST(generate_series(1, len(v))) AS i FROM e) g GROUP BY i),
+      t AS (SELECT list(t_d ORDER BY dim) AS tv FROM ds),
+      rel AS (SELECT vec_id, floor(list_dot_product(v, tv) / (nrm * sqrt(list_dot_product(tv, tv))) * 1000000.0 + 0.5) / 1000000.0 AS rel
+              FROM n CROSS JOIN t),
+      short AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT $shortlist),
+      pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                       floor(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0 AS sim
+                FROM short a JOIN short b ON a.vec_id <> b.vec_id
+                JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id),
+      sel(iter, ids, pick, rel, score) AS (
+        SELECT 1, [s.vec_id], s.vec_id, s.rel,
+               floor(($lambda * s.rel - $comp * 0.0) * 1000000.0 + 0.5) / 1000000.0
+        FROM (SELECT vec_id, rel FROM short ORDER BY floor(($lambda * rel) * 1000000.0 + 0.5) / 1000000.0 DESC, vec_id LIMIT 1) s
+        UNION ALL
+        SELECT s.iter + 1, s.ids || [c.vec_id], c.vec_id, c.rel, c.score
+        FROM sel s JOIN LATERAL (
+          SELECT sh.vec_id, sh.rel,
+                 floor(($lambda * sh.rel - $comp * coalesce(
+                   (SELECT max(p.sim) FROM pairs p WHERE p.ia = sh.vec_id AND list_contains(s.ids, p.ib)), 0.0))
+                   * 1000000.0 + 0.5) / 1000000.0 AS score
+          FROM short sh WHERE NOT list_contains(s.ids, sh.vec_id)
+          ORDER BY score DESC, sh.vec_id LIMIT 1) c ON true
+        WHERE s.iter < $k
+      )
+      SELECT CAST(iter AS BIGINT) AS rank, pick AS vec_id, rel AS relevance, score AS mmr_score
+      FROM sel"""
+  }
 
   /** DuckDB mirror of the greedy BPE ENCODE under a LEARNED merges table
     * ([[graft.functions.Bpe.Codec.encodeWord]]): the merges — a

@@ -846,6 +846,11 @@ object SparkEntry {
     "similarity_lsh_multiprobe_topk" -> ((s, d) =>
       Similarity.lshTopKMultiProbe(Tables.embeddings(s, d))),
     // kNN majority-label propagation over the md5-mirror LSH tier
+    // greedy MMR diverse top-k over the embedding corpus (centroid
+    // relevance vs redundancy with the selected set) — fully oracled via
+    // a recursive-CTE mirror of the greedy loop
+    "mmr_diversify" -> ((s, d) =>
+      Similarity.mmrDiversify(Tables.embeddings(s, d))),
     "knn_label" -> ((s, d) =>
       Similarity.knnLabel(Tables.embeddings(s, d), mirrorableHash = true)),
     "embedding_near_dup_lsh" -> ((s, d) =>

@@ -263,6 +263,85 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rk")
   }
 
+  /** MMR diversification (Carbonell & Goldstein 1998, maximal marginal
+    * relevance): greedily select `k` vectors that trade relevance to the
+    * corpus centroid against redundancy with what's already selected —
+    * score(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s). THE diverse-sampling
+    * primitive of a training-data pipeline: top-k-by-relevance alone
+    * returns near-duplicates of one dominant mode; MMR spends the same
+    * budget covering modes.
+    *
+    * Standard two-stage shape: the DISTRIBUTED stages are the relevance
+    * pass (exact per-dimension q6/decimal centroid sums — the
+    * [[embeddingDrift]] discipline, so the centroid is order-independent
+    * and oracle-exact — then one codegen dot per vector), the
+    * `shortlist`-sized Top-K cut (TakeOrdered), and the shortlist²
+    * pairwise q6 cosines; the greedy loop then runs driver-side over the
+    * BOUNDED shortlist tables (≤ shortlist² sim rows — the LSH-hyperplane
+    * / BPE-merge bounded-driver-table class), which is how production MMR
+    * re-rankers run at any corpus size: diversification applies to a
+    * retrieval shortlist, never the raw corpus.
+    *
+    * Fully DuckDB-oracled ([[graft.Oracles.mmrDiversifySql]]): the greedy
+    * selection is a recursive CTE carrying the selected-id list, with the
+    * same q6 score grid, the same IEEE op order (λ·rel − (1−λ)·maxsim,
+    * both λ literals rendered from the same doubles), and the same
+    * (score DESC, vec_id) tie order — pick-for-pick, bit-for-bit. Empty-
+    * selection max-sim is 0.0 on both sides; later rounds take the TRUE
+    * max (which may be negative), not a 0-clamp. */
+  def mmrDiversify(embeddings: DataFrame, k: Int = 16, shortlist: Int = 64,
+      lambda: Double = 0.7): DataFrame = {
+    val spark = embeddings.sparkSession
+    val comp = 1.0 - lambda
+    // exact centroid DIRECTION: per-dim q6/decimal sums (norm cancels in
+    // the cosine, so the un-normalized sum vector is the query)
+    val sums = embeddings.select(dvec(col("embedding")).as("v"))
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(r6sum(col("x")).as("s"))
+      .orderBy("dim").collect().map(_.getDouble(1))
+    var tt = 0.0
+    sums.foreach(s => tt += s * s) // sequential, = list_dot_product order
+    val tn = math.sqrt(tt)
+    val tv = typedLit(sums.toSeq)
+    val short = withNorms(embeddings)
+      .withColumn("rel", q6(dotd(col("v"), tv) / (col("norm") * lit(tn))))
+      .orderBy(col("rel").desc, col("vec_id")).limit(shortlist)
+      .select(col("vec_id"), col("rel"), col("v"), col("norm"))
+      .localCheckpoint(true) // shortlist rows, reused by both collects
+    val a = short.select(col("vec_id").as("ia"), col("v").as("va"),
+      col("norm").as("na"))
+    val b = short.select(col("vec_id").as("ib"), col("v").as("vb"),
+      col("norm").as("nb"))
+    val sim = a.join(b, col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        q6(dotd(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val cands = short.select("vec_id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    val chosen = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    var iter = 1L
+    while (iter <= k && chosen.size < cands.length) {
+      var bestId = 0L; var bestRel = 0.0; var bestScore = 0.0; var found = false
+      cands.foreach { case (id, r) =>
+        if (!chosen.contains(id)) {
+          val ms = if (chosen.isEmpty) 0.0
+            else chosen.iterator.map(s => sim((id, s))).max
+          val sc = math.floor((lambda * r - comp * ms) * 1000000.0 + 0.5) / 1000000.0
+          if (!found || sc > bestScore) { // ties keep the smaller vec_id
+            found = true; bestId = id; bestRel = r; bestScore = sc
+          }
+        }
+      }
+      picks += ((iter, bestId, bestRel, bestScore))
+      chosen += bestId
+      iter += 1
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
+
   /** Embedding-cosine near-duplicate pairs: (a < b) with cosine ≥ threshold
     * — the embedding leg of the dedup family. Exact all-pairs semantics
     * (the small-corpus baseline; the LSH bucketing of [[lshTopK]] is the

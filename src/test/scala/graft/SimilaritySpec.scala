@@ -44,6 +44,47 @@ class SimilaritySpec extends SparkTestBase {
       "dequantized vectors must preserve direction")
   }
 
+  test("MMR diversify: λ=1 degenerates to relevance top-k; scores non-increasing; planted cluster broken up") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, SF)
+    // λ=1 → redundancy term off → selection IS the relevance order
+    val pure = Similarity.mmrDiversify(e, k = 8, lambda = 1.0)
+      .orderBy("rank").collect()
+    val relOrder = pure.map(_.getAs[Double]("relevance")).toSeq
+    assert(relOrder == relOrder.sorted.reverse,
+      s"λ=1 must select in relevance order, got $relOrder")
+    // default λ: picks unique, ranks dense, scores non-increasing (the
+    // candidate set shrinks and max-sim only grows — a theorem for λ≤1)
+    val d = Similarity.mmrDiversify(e).orderBy("rank").collect()
+    assert(d.map(_.getAs[Long]("rank")).toSeq == (1L to 16L))
+    assert(d.map(_.getAs[Long]("vec_id")).distinct.length == 16)
+    // scores are NOT monotone in general (a negative max-sim is a
+    // diversity BONUS: score = λ·rel − (1−λ)·maxsim can exceed the
+    // first pick's λ·rel — observed on this corpus at rank 2), but every
+    // score is bounded by λ·|rel| + (1−λ)·|sim| ≤ 1 in cosine space
+    val scores = d.map(_.getAs[Double]("mmr_score")).toSeq
+    assert(scores.forall(s => s >= -1.0 - 1e-6 && s <= 1.0 + 1e-6),
+      s"MMR scores must stay in cosine bounds: $scores")
+    // planted: a tight 5-copy cluster dominates relevance; λ=1 spends its
+    // first picks inside it, default λ breaks out after one pick
+    val cluster = (0L until 5L).map(i =>
+      (i, "a", Array(1.0, 0.001 * i, 0.0, 0.0)))
+    val spread = Seq((10L, "b", Array(0.2, 1.0, 0.0, 0.0)),
+      (11L, "c", Array(0.2, 0.0, 1.0, 0.0)))
+    val planted = (cluster ++ spread).toDF("vec_id", "label", "embedding")
+    def picksOf(lam: Double) =
+      Similarity.mmrDiversify(planted, k = 2, shortlist = 7, lambda = lam)
+        .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    val pureP = picksOf(1.0)
+    assert(pureP.forall(_ < 5L), s"pure relevance should stay in the cluster: $pureP")
+    // λ=0.5: the in-cluster runner-up scores 0.5·rel − 0.5·(sim≈1) < 0,
+    // any spread vector scores 0.5·rel > 0 — the breakout is decisive
+    val mmrP = picksOf(0.5)
+    assert(mmrP.head < 5L && mmrP(1) >= 10L,
+      s"MMR should break out of the cluster on pick 2: $mmrP")
+  }
+
   test("LSH ANN recalls a meaningful share of true neighbors at far lower cost") {
     val truth = pairs("similarity_bruteforce_topk")
     val ann = pairs("similarity_lsh_topk")
