@@ -314,6 +314,10 @@ object SparkEntry {
     "session_stats" -> ((s, d) => Analytics.sessionStats(Tables.events(s, d))),
     // the engine's native session operator (streaming twin in StreamDemo)
     "session_windows" -> ((s, d) => StreamDemo.sessionWindowsBatch(Tables.events(s, d))),
+    // the same sessions produced by an ACTUAL streaming run through the
+    // engine's session STATE STORE (three micro-batches, cross-batch
+    // partial-session merges) — verified against session_windows' oracle
+    "stream_session_windows" -> ((s, d) => StreamDemo.streamedSessionWindows(s, d)),
 
     // ---- text / dedup (north star)
     "word_count" -> ((s, d) => Text.wordCount(Tables.documents(s, d))),
@@ -933,9 +937,12 @@ object SparkEntry {
     * (approx_distinct, minhash/simhash/LSH, multimodal stub) → driver
     * records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    // stream_scd2_dim shares scd2_dim's oracle VERBATIM: the streamed fold
-    // must land bit-identical to the batch history (StreamDimSpec law)
-    Oracles.sql + ("stream_scd2_dim" -> Oracles.sql("scd2_dim")) ++ bpeOracle
+    // the streamed queries share their batch twins' oracles VERBATIM: the
+    // streamed fold / state store must land bit-identical to the batch
+    // build (StreamDimSpec / StreamAndMiscSpec laws)
+    Oracles.sql +
+      ("stream_scd2_dim" -> Oracles.sql("scd2_dim")) +
+      ("stream_session_windows" -> Oracles.sql("session_windows")) ++ bpeOracle
 
   /** The sanctioned rows-only queries: exactly the [[queries]] keys with NO
     * [[oracleSql]] entry, each with the reason it cannot be SQL-mirrored
