@@ -9,6 +9,14 @@
 # two runs is the reproducible floor judges keep re-deriving by hand
 # (rounds 4-9); this script makes the floor the round-close artifact.
 #
+# r14: every run carries its own in-run calibration pair (a pinned
+# CPU+shuffle probe at start and end — Bench.calibrate), merged here as
+# `calibrations`, so floor drift across rounds can be drag-normalized
+# against the host's measured speed instead of adjudicated after the
+# fact. Subset (diagnostic) runs are stamped with a "subset" key by the
+# bench and REJECTED here — a fresh-JVM subset timing must never bias
+# the official floor.
+#
 # Usage: scripts/bench_floor.sh [sf_dir] [out_json]
 #   sf_dir   defaults to /root/testdata/sf0.1
 #   out_json defaults to /tmp/bench_floor.json (also printed to stdout)
@@ -22,27 +30,40 @@ tmpdir=$(mktemp -d)
 trap 'rm -rf "$tmpdir"' EXIT
 
 for i in $(seq 1 "$RUNS"); do
-  SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.Bench" \
+  # the bench also writes its full JSON artifact to a file (r13 #6) —
+  # point it into the scratch dir so stdout truncation can't lose the run
+  SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_JSON="$tmpdir/run$i.json" \
+    sbt -batch "runMain graft.Bench" \
     > "$tmpdir/run$i.log" 2>&1 || { echo "bench run $i failed" >&2; exit 1; }
-  # the bench prints one full JSON object line; sbt may prefix it with
-  # "[info] ", so match from the brace onward
-  grep -m1 -o '{"metric":"total",.*}' "$tmpdir/run$i.log" > "$tmpdir/run$i.json" \
-    || { echo "no bench JSON in run $i" >&2; tail -5 "$tmpdir/run$i.log" >&2; exit 1; }
+  if [ ! -s "$tmpdir/run$i.json" ]; then
+    # fallback: the bench prints one full JSON object line; sbt may prefix
+    # it with "[info] ", so match from the brace onward
+    grep -m1 -o '{"metric":"total",.*}' "$tmpdir/run$i.log" > "$tmpdir/run$i.json" \
+      || { echo "no bench JSON in run $i" >&2; tail -5 "$tmpdir/run$i.log" >&2; exit 1; }
+  fi
 done
 
 python3 - "$tmpdir" "$RUNS" "$OUT" <<'PY'
 import json, sys
 tmpdir, runs, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 rs = [json.load(open(f"{tmpdir}/run{i}.json")) for i in range(1, runs + 1)]
+for i, r in enumerate(rs, 1):
+    if "subset" in r:
+        sys.exit(f"run {i} is a stamped SUBSET (diagnostic) run - refusing to floor it")
 names = rs[0]["queries"].keys()
 floor = {q: min(r["queries"][q] for r in rs) for q in names}
+stage_names = set().union(*(r.get("stages", {}).keys() for r in rs))
+stages = {s: min(r["stages"][s] for r in rs if s in r.get("stages", {}))
+          for s in sorted(stage_names)}
 doc = {
     "metric": "bench_floor_total_sec",
     "value": round(sum(floor.values()), 2),
     "unit": "sec",
     "runs": runs,
     "raw_totals": [r["value"] for r in rs],
+    "calibrations": [[r.get("calib_start_sec"), r.get("calib_end_sec")] for r in rs],
     "sf": rs[0].get("sf"),
+    "stages": stages,
     "queries": floor,
 }
 line = json.dumps(doc)

@@ -1,6 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed calibration probe (VERDICT r13 #1): a pinned CPU + shuffle
+    * micro-workload, independent of the benchmark corpus, run at the START
+    * and END of every bench invocation and recorded in the artifact. Two
+    * identical probes bracket the run, so host-contention drift between
+    * rounds (the 138 → 187 → 216 s carried-floor slide that r11–r13 each
+    * adjudicated after the fact) becomes a NUMBER in the artifact: floors
+    * are read alongside the run's own calibration wall, and a
+    * drag-normalized ratio is (floor / calib) vs the prior round's
+    * (floor / calib) rather than raw seconds vs raw seconds.
+    *
+    * Shape: one wide hash+filter pass (CPU / codegen bound) into a
+    * modulo-keyed repartition (real shuffle write+read) into a two-level
+    * aggregate — the two resources the query surface actually spends.
+    * Row count is fixed, not scaled to the host: the probe must measure
+    * the HOST, so the work is constant by construction. */
+  def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0L, 120000000L, 1L)
+      .select((xxhash64(col("id")) % 8192).as("k"),
+        (xxhash64(col("id"), lit("v")) % 1000).cast("double").as("v"))
+      .repartition(col("k"))
+      .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .agg(sum("s"), sum("n")).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,13 +56,18 @@ object Bench {
     // full surface): SPARK_GRAFT_BENCH_ONLY=comma,separated,names restricts
     // the timing loop. Used to separate per-query plan cost from shared-JVM
     // aging (GC / code-cache / catalog growth across ~200 sequential
-    // queries): a subset re-run in a fresh JVM isolates the former.
+    // queries): a subset re-run in a fresh JVM isolates the former. The
+    // artifact is STAMPED with the subset (r13 ADVICE): a diagnostic run's
+    // JSON is distinguishable, so floor-merge tooling can refuse it.
     val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benchQueries = onlyEnv match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // calibration probe #1: run COLD-JVM-adjacent but after session build —
+    // the probe brackets the measured region (prebuild + timing loop)
+    val calibStart = calibrate(spark)
     val tS = System.nanoTime()
     try SparkEntry.prebuildStages(spark, sfDir) catch {
       case e: Throwable =>
@@ -52,21 +85,36 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    // calibration probe #2: same fixed workload after the loop — the pair
+    // bounds how much the host drifted DURING the run, not just between runs
+    val calibEnd = calibrate(spark)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     // stage decomposition of the pipeline_stages entry (nested builds
-    // overlap — attribution, not additive)
+    // overlap — attribution, not additive); includes the recorded
+    // non-DataFrame stages (ivf_index, gate_overlap_frame, dsir_counts)
     val stJson = graft.ops.Pipeline.timings(spark, sfDir).toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val subsetJson = onlyEnv.map(_.toSeq.sorted
+      .map(n => "\"" + n + "\"").mkString(""","subset":[""", ",", "]")).getOrElse("")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stages":$stJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stages":$stJson,"errors":$errJson,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd$subsetJson,"sf":"$sfDir"}"""
+    println(line)
     // the full line above grows with the query count and a tail-capture can
-    // truncate its head (r5: artifact parsed as null) — repeat the headline
-    // number alone as the LAST line so any tail keeps it; distinct metric
-    // name so a consumer summing "total" entries can't double-count
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","sf":"$sfDir","errors_n":${errors.size}}""")
+    // truncate its head (r5 and r13: artifact parsed as null) — two
+    // defenses: (1) the full line is ALSO written to a file (r13 #6), so
+    // the per-query map always survives whatever happens to stdout;
+    // (2) the headline number repeats alone as the LAST stdout line so any
+    // tail keeps it; distinct metric name so a consumer summing "total"
+    // entries can't double-count.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LAST_RUN.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","sf":"$sfDir","errors_n":${errors.size},"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"subset_n":${onlyEnv.map(_.size).getOrElse(0)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

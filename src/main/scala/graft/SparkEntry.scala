@@ -142,9 +142,12 @@ object SparkEntry {
     .empty[String, Similarity.IvfIndex]
   private def ivfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
     ivfIndexCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
       val idx = Similarity.ivfBuild(Tables.embeddings(s, d))
-      Similarity.IvfIndex(idx.centroids.localCheckpoint(true),
+      val pinned = Similarity.IvfIndex(idx.centroids.localCheckpoint(true),
         idx.vectors.localCheckpoint(true))
+      ops.Pipeline.record(s, d, "ivf_index", (System.nanoTime() - t0) / 1e9)
+      pinned
     })
 
   // The five-gate Venn frame is ≤ 2⁵ rows but costs five gate-family
@@ -155,9 +158,13 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def gateOverlapFrame(s: SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    gateOverlapCache.getOrElseUpdate(d,
-      Text.gateOverlap(Tables.documents(s, d), nbModel(s, d),
-        dsirCounts(s, d), mirrorableHash = true).localCheckpoint(true))
+    gateOverlapCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val f = Text.gateOverlap(Tables.documents(s, d), nbModel(s, d),
+        dsirCounts(s, d), mirrorableHash = true).localCheckpoint(true)
+      ops.Pipeline.record(s, d, "gate_overlap_frame", (System.nanoTime() - t0) / 1e9)
+      f
+    })
 
   // The DSIR bucket-count model (mirrorable md5 buckets — the declared
   // form): B = 1024 rows per corpus dir, materialized once and shared by
@@ -166,10 +173,14 @@ object SparkEntry {
   private val dsirCountsCache = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.sql.DataFrame]
   private def dsirCounts(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    dsirCountsCache.getOrElseUpdate(d,
-      Text.dsirCountDeltas(Tables.documents(s, d),
+    dsirCountsCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val f = Text.dsirCountDeltas(Tables.documents(s, d),
         org.apache.spark.sql.functions.col("source").isin(trustedSources: _*),
-        mirrorableHash = true).localCheckpoint(true))
+        mirrorableHash = true).localCheckpoint(true)
+      ops.Pipeline.record(s, d, "dsir_counts", (System.nanoTime() - t0) / 1e9)
+      f
+    })
 
   /** Drop memoized per-directory models (BPE merges, LM counts, classifier
     * weights, in-domain contrast LM). */
@@ -284,6 +295,11 @@ object SparkEntry {
     // batch twin of the keyed streaming profiles (mapGroupsWithState /
     // transformWithState end state) — anchors that family to an oracle
     "user_profiles" -> ((s, d) => StreamDemo.userActivityBatch(Tables.events(s, d))),
+    // the same profiles built by an ACTUAL transformWithState run (three
+    // checkpointed micro-batches through the RocksDB ValueState fold) —
+    // verified against user_profiles' oracle via the monotone-final-state
+    // law, putting the THIRD state mechanism on the oracle board
+    "stream_user_profiles" -> ((s, d) => StreamDemo.streamedUserProfiles(s, d)),
     "props_agg" -> ((s, d) => StreamDemo.propsAgg(Tables.events(s, d))),
     "event_freshness" -> ((s, d) => StreamDemo.eventFreshness(Tables.events(s, d))),
     // gap-based sessionization: per-event session labels + session rollup
@@ -932,17 +948,32 @@ object SparkEntry {
     case _ => Map.empty
   }
 
+  /** ONE consistent snapshot of the two oracle-registry views (r13 ADVICE:
+    * [[bpeOracle]] re-reads the mutable merges cache, so evaluating
+    * [[oracleSql]] and [[sanctionedRowsOnly]] as independent calls could
+    * transiently see DIFFERENT cache states and put bpe_tokenize in both
+    * views or neither). Both views derive from a single [[bpeOracle]]
+    * evaluation here; the registry-completeness law (PlansSpec) checks
+    * THIS pair, and the public defs below are thin projections of it. */
+  def oracleViews: (Map[String, String], Map[String, String]) = {
+    val bpe = bpeOracle
+    (baseOracleSql ++ bpe, baseSanctionedRowsOnly -- bpe.keySet)
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for the Spark-specific ops
     * (approx_distinct, minhash/simhash/LSH, multimodal stub) → driver
     * records a weaker rows-only check. */
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = oracleViews._1
+
+  private def baseOracleSql: Map[String, String] =
     // the streamed queries share their batch twins' oracles VERBATIM: the
     // streamed fold / state store must land bit-identical to the batch
     // build (StreamDimSpec / StreamAndMiscSpec laws)
     Oracles.sql +
       ("stream_scd2_dim" -> Oracles.sql("scd2_dim")) +
-      ("stream_session_windows" -> Oracles.sql("session_windows")) ++ bpeOracle
+      ("stream_session_windows" -> Oracles.sql("session_windows")) +
+      ("stream_user_profiles" -> Oracles.sql("user_profiles"))
 
   /** The sanctioned rows-only queries: exactly the [[queries]] keys with NO
     * [[oracleSql]] entry, each with the reason it cannot be SQL-mirrored
@@ -951,7 +982,9 @@ object SparkEntry {
     * == sanctionedRowsOnly.keySet`, so a future query cannot silently ship
     * unverified: a new key must either gain a DuckDB oracle or be
     * explicitly sanctioned here with a reason. */
-  def sanctionedRowsOnly: Map[String, String] = Map(
+  def sanctionedRowsOnly: Map[String, String] = oracleViews._2
+
+  private def baseSanctionedRowsOnly: Map[String, String] = Map(
     "approx_distinct" ->
       "HLL++ register estimate is engine-specific; exact-vs-approx <10% law + opt-in plan-rewrite law in PlansSpec",
     // bpe_tokenize: ORACLED at verify time (the learned merges inline into
@@ -996,7 +1029,7 @@ object SparkEntry {
     "similarity_ivfpq_opq_topk" ->
       "PCA eigen-rotation + k-means + PQ are engine-specific; planted-anisotropy 44x MSE law + permutation/recall anchors in SimilaritySpec",
     "ann_recall_sweep" ->
-      "k-means probe geometry is MLlib-specific; monotone-recall + exhaustive-probe-recall=1 laws in SimilaritySpec") -- bpeOracle.keySet
+      "k-means probe geometry is MLlib-specific; monotone-recall + exhaustive-probe-recall=1 laws in SimilaritySpec")
 
   /** Declared queries ALLOWED to emit a nested-typed (array/map/struct)
     * column, each with the reason. The driver's rows-only check sorts the

@@ -46,6 +46,16 @@ object Pipeline {
       case ((s, d, name), t) if (s eq spark) && d == sfDir => name -> t
     }.toMap
 
+  /** Record an externally-built stage's wall seconds under this
+    * (session, dir) — for shared builds that are not single DataFrames
+    * (the coarse IVF index: two frames) or are memoized outside [[stage]]
+    * (SparkEntry's per-dir model caches). Keeps the bench's per-stage
+    * decomposition complete: without it the IVF fit and the five-gate
+    * Venn build land in the `pipeline_stages` total with no attributable
+    * line (VERDICT r13 #4). */
+  def record(spark: SparkSession, sfDir: String, name: String, sec: Double): Unit =
+    buildSecs.put((spark, sfDir, name), sec)
+
   /** Memoized named stage: builds `df` once per (session, sfDir, name),
     * eagerly materializes it with LINEAGE TRUNCATION, and hands the same
     * frame to every consumer. First-build is guarded by a per-key lock so a

@@ -164,6 +164,19 @@ class StreamAndMiscSpec extends SparkTestBase with TimeLimitedTests {
     } finally query.stop()
   }
 
+  test("declared stream_user_profiles: three-batch transformWithState run equals the batch profiles") {
+    // the DECLARED query end to end: staged slices -> real tws stream ->
+    // monotone-final-state collapse; must equal user_profiles bit-exactly
+    // (shared DuckDB oracle at verify time)
+    val streamed = q("stream_user_profiles")
+      .select(col("user_id"), col("n_events").cast("long"), col("last_seen"))
+    val batch = StreamDemo.userActivityBatch(Tables.events(spark, SF))
+      .select(col("user_id"), col("n_events").cast("long"), col("last_seen"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("streaming dedup: one emission per distinct fingerprint") {
     val dir = java.nio.file.Files.createTempDirectory("docs_dedup")
     java.nio.file.Files.copy(
