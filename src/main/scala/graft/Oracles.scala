@@ -4409,6 +4409,43 @@ af AS (
         FROM directed) t
       WHERE rk <= 5""",
 
+    // IVF probe/candidate/rerank pipeline under the DETERMINISTIC md5-grid
+    // coarse quantizer (VERDICT r13 #3): cells and probes derive from the
+    // same md5 point set on both engines (ascending-dim list_dot_product ≡
+    // the codegen dot, so the raw-double distance ordering is
+    // bit-deterministic), candidates are the cell join, and only the q6
+    // cosine rerank rounds — value-checks the ENTIRE inverted-file chain
+    // the k-means tiers share (assignment argmin, probe top-4, self-
+    // exclusion, (cos DESC, id) rank ties)
+    "similarity_ivfgrid_topk" -> """
+      WITH cents AS (
+        SELECT c, list(p ORDER BY d) AS centroid
+        FROM (SELECT c.range AS c, d.range AS d,
+                     ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(16) c, range(64) d) pp
+        GROUP BY 1),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      dist AS (SELECT n.vec_id, cents.c AS cell,
+                      list_dot_product(centroid, centroid) - 2.0 * list_dot_product(v, centroid) AS dist
+               FROM n, cents),
+      ranked AS (SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+                 FROM dist),
+      assign AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+      probes AS (SELECT vec_id AS query_id, cell FROM ranked WHERE r <= 4),
+      cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+               FROM probes p JOIN assign a ON a.cell = p.cell
+               WHERE a.vec_id <> p.query_id),
+      scored AS (SELECT c.query_id, c.neighbor_id,
+                        floor(CAST(list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+                 FROM cand c JOIN n nq ON nq.vec_id = c.query_id
+                 JOIN n nc ON nc.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+        FROM scored) t
+      WHERE rk <= 5""",
+
     // kNN label propagation: the lsh_topk chain as a CTE, then a majority
     // vote per query with the (votes DESC, label ASC) deterministic
     // tie-break — value-checks neighbors, votes, and tie handling

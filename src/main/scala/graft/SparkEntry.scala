@@ -877,6 +877,12 @@ object SparkEntry {
       Similarity.embeddingNearDupLsh(Tables.embeddings(s, d), mirrorableHash = true)),
     "similarity_ivf_topk" -> ((s, d) =>
       Similarity.ivfQuery(ivfIndex(s, d), Tables.embeddings(s, d))),
+    // the IVF probe/candidate/rerank pipeline under a DETERMINISTIC
+    // md5-grid coarse quantizer — the oracle-mirrorable twin that puts the
+    // shared inverted-file plumbing on the hash-verified board (k-means
+    // tiers stay the scale default; they share ivfQuery verbatim)
+    "similarity_ivfgrid_topk" -> ((s, d) =>
+      Similarity.ivfGridTopK(Tables.embeddings(s, d))),
     // IVF-PQ: product-quantized ADC under the IVF probe pruning, exact
     // rerank of survivors (rows-only: k-means, the sanctioned tier)
     "similarity_ivfpq_topk" -> ((s, d) =>

@@ -938,6 +938,63 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
+  /** Deterministic coarse-quantizer "centroid" value for cell `c`,
+    * dimension `d` — the [[mirrorablePlaneVal]] md5 formula under an
+    * `ivfgrid:` prefix, giving a fixed point set in [-1, 1]^dim that
+    * DuckDB reproduces exactly from the same md5 arithmetic. */
+  private[graft] def gridCentroidVal(c: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ivfgrid:$c:$d".getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString.substring(0, 15)
+    ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+  }
+
+  /** IVF index under the DETERMINISTIC md5-grid coarse quantizer — the
+    * oracle-mirrorable twin of [[ivfBuild]] (VERDICT r13 #3): cells are
+    * the md5-derived fixed points of [[gridCentroidVal]] instead of
+    * k-means centroids, so the WHOLE inverted-file pipeline — nearest-cell
+    * assignment, probe selection, cell-join candidates, q6 rerank — runs
+    * through [[ivfQuery]]'s own code bit-exactly while every number is
+    * reproducible in DuckDB (`similarity_ivfgrid_topk`). The k-means tiers
+    * stay the scale default: data-adapted cells follow the corpus
+    * distribution, a fixed grid does not — this twin buys a hash-verified
+    * correctness anchor for the shared probe/candidate/rerank plumbing,
+    * not a recall improvement.
+    *
+    * Assignment is the same broadcast-centroids shape as [[ivfAssign]]:
+    * nCells rows cross-joined per vector (one codegen dot per (vector,
+    * cell)), argmin by the constant-term-dropped squared distance with the
+    * cell id as the deterministic tie-break. Scale: |centroids| is a
+    * driver literal, the per-vector window is nCells-bounded, and the
+    * output is the standard (vec_id, v, norm, cell) vectors layer —
+    * partitionable by cell exactly like the k-means index. */
+  def ivfGridBuild(embeddings: DataFrame, nCells: Int = 16): IvfIndex = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (_, dim) = corpusDims(embeddings)
+    val centroids = (0 until nCells)
+      .map(c => (c, (0 until dim).map(d => gridCentroidVal(c, d))))
+      .toDF("cell", "centroid")
+    val e = withNorms(embeddings)
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    val vectors = e.select(col("vec_id"), col("v"), col("norm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        dotd(col("centroid"), col("centroid")) - lit(2.0) * dotd(col("v"), col("centroid")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+    IvfIndex(centroids, vectors)
+  }
+
+  /** Self-join ANN through the md5-grid IVF index: identical plumbing to
+    * [[ivfTopK]] ([[ivfQuery]] probes → cell-join candidates → q6 cosine
+    * rerank), deterministic geometry, DuckDB-value-checked end to end.
+    * Defaults (16 cells, 4 probes) are literals mirrored by the oracle. */
+  def ivfGridTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 16,
+      nProbe: Int = 4): DataFrame =
+    ivfQuery(ivfGridBuild(embeddings, nCells), embeddings, k, nProbe)
+
   // ------------------------------------------------------- index epochs —
   // Reader-atomic maintenance (VERDICT r10 #4). A rebuild used to
   // overwrite the standing layers in place, so a query racing the rebuild

@@ -103,6 +103,34 @@ class SimilaritySpec extends SparkTestBase {
       s"IVF recall regressed below anchor (PLANS.md): $recall")
   }
 
+  test("md5-grid IVF twin: shared-plumbing laws — unique assignment, probe containment, exhaustive probing ≡ brute force") {
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, SF)
+    val idx = Similarity.ivfGridBuild(e, nCells = 16)
+    // every non-degenerate vector lands in exactly one cell
+    val n = idx.vectors.count()
+    assert(idx.vectors.select("vec_id").distinct().count() == n)
+    assert(e.count() >= n) // zero-norm rows excluded, nothing else
+    // the declared default (16 cells, 4 probes) is a SUBSET of what wider
+    // probing returns per query — probe sets are nested
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p4 = asSet(Similarity.ivfQuery(idx, e, k = 5, nProbe = 4))
+    // exhaustive-probe law: probing EVERY cell is the exhaustive scan, so
+    // the result (restricted to brute force's query sample) equals
+    // brute-force top-5 bit-for-bit — same q6 grid, same tie contract
+    val all = asSet(Similarity.ivfQuery(idx, e, k = 5, nProbe = 16))
+    val truth = pairs("similarity_bruteforce_topk")
+    val truthQ = truth.map(_._1)
+    assert(all.filter(p => truthQ.contains(p._1)) == truth,
+      "nProbe = nCells must reproduce brute-force top-5 bit-for-bit")
+    // grid recall at the declared 4-probe point: meaningful, recorded
+    val recall = p4.intersect(truth).size.toDouble / truth.size
+    info(s"md5-grid IVF recall@5 (4/16 probes) = $recall")
+    assert(recall > 0.2, s"grid-quantizer recall collapsed: $recall")
+  }
+
   test("IVF-PQ: code-shape laws and recall vs exact truth") {
     val e = Tables.embeddings(spark, SF)
     val idx = graft.ops.Similarity.pqBuild(e)
