@@ -248,7 +248,12 @@ class PropertiesSpec extends SparkTestBase {
         Containers.wavPcm16(8000, 1, Array[Short](5, -9, 300, -32768)),
         Containers.aviMjpeg(9, 7, Seq(
           Containers.jpegRgb(9, 7, Array.tabulate[Byte](9 * 7 * 3)(_.toByte)),
-          Containers.jpegRgb(9, 7, Array.tabulate[Byte](9 * 7 * 3)(i => (i * 3).toByte)))))
+          Containers.jpegRgb(9, 7, Array.tabulate[Byte](9 * 7 * 3)(i => (i * 3).toByte)))),
+        Containers.aviDib(9, 7, Seq(
+          Array.tabulate[Byte](9 * 7 * 3)(_.toByte),
+          Array.tabulate[Byte](9 * 7 * 3)(i => (i * 3).toByte))),
+        Containers.bmp(9, 7, Containers.rgbToDib(9, 7,
+          Array.tabulate[Byte](9 * 7 * 3)(_.toByte))))
       pos <- Gen.choose(0, base.length - 1)
       bit <- Gen.choose(0, 7)
     } yield { val b = base.clone(); b(pos) = (b(pos) ^ (1 << bit)).toByte; b }
@@ -271,7 +276,11 @@ class PropertiesSpec extends SparkTestBase {
         case Left(reason) => reason.nonEmpty
         case Right((w, h, fs)) => w > 0 && h > 0 && fs.nonEmpty
       }
-      pxOk && auOk && jpOk && avOk && (Containers.parse(bytes) match {
+      val bmOk = Containers.decodeBmpPixels(bytes) match {
+        case Left(reason) => reason.nonEmpty
+        case Right((w, h, rgb)) => w > 0 && h > 0 && rgb.length == w * h * 3
+      }
+      pxOk && auOk && jpOk && avOk && bmOk && (Containers.parse(bytes) match {
         case Left(reason) => reason.nonEmpty
         case Right(p) => p.format match {
           case "png" | "jpeg" => p.width > 0 && p.height > 0
@@ -497,6 +506,68 @@ class PropertiesSpec extends SparkTestBase {
     // audio clips sample many PCM frame rows at the default cadence
     assert(fr("audio").getAs[Long]("n_frames_sampled") >
       fr("audio").getAs[Long]("n_items"))
+  }
+
+  test("law: DIB AVI frames decode to real pixels; round-trip is LOSSLESS; resize and sampling are real") {
+    import graft.ops.Multimodal.{Containers, Pixels}
+    val (w, h) = (21, 13) // odd width exercises the 4-byte row padding
+    def frameRgb(k: Int) = Array.tabulate[Byte](w * h * 3) { i =>
+      val (x, y) = ((i / 3) % w, (i / 3) / w)
+      ((x * 180 / w + y * 63 / h + k * 11) % 247).toByte
+    }
+    val rgbs = (0 until 3).map(frameRgb)
+    // DIB layout round-trip: rgb -> bottom-up padded BGR -> rgb, bit-exact
+    for (rgb <- rgbs) {
+      val dib = Containers.rgbToDib(w, h, rgb)
+      assert(dib.length == ((w * 3 + 3) & ~3) * h)
+      assert(Containers.dibToRgb(w, h, dib).exists(java.util.Arrays.equals(_, rgb)))
+    }
+    val clip = Containers.aviDib(w, h, rgbs)
+    // container round-trip: every extracted frame is a standalone BMP
+    // whose pixels equal the source EXACTLY (no codec => no loss)
+    val Right((dw, dh, codec, back)) = Containers.decodeAviFramesWithCodec(clip)
+    assert(dw == w && dh == h && codec == "DIB " && back.length == 3)
+    for ((bmpBytes, k) <- back.zipWithIndex) {
+      val Right((fw, fh, rgb)) = Containers.decodeImagePixels(bmpBytes)
+      assert(fw == w && fh == h)
+      assert(java.util.Arrays.equals(rgb, rgbs(k)), s"DIB frame $k not lossless")
+    }
+    // header parse agrees
+    assert(Containers.parse(clip).exists(p =>
+      p.format == "avi" && p.nFrames == 3 && p.width == w && p.height == h))
+
+    // resizeMedia's DIB branch re-encodes IN KIND with EXACT box-resampled
+    // pixels — lossless end to end, no dHash tolerance needed
+    val s = spark
+    import s.implicits._
+    val media = Seq(graft.ops.Multimodal.MediaRow(1L, "video", clip)).toDS()
+    val rz = graft.ops.Multimodal.resizeMedia(media, 10, 8).collect().head
+    val Right((rw, rh, rcodec, rframes)) = Containers.decodeAviFramesWithCodec(rz.payload)
+    assert(rw == 10 && rh == 8 && rcodec == "DIB " && rframes.length == 3)
+    for ((rf, k) <- rframes.zipWithIndex) {
+      val Right((fw, fh, rgb)) = Containers.decodeImagePixels(rf)
+      assert(fw == 10 && fh == 8)
+      assert(java.util.Arrays.equals(rgb, Pixels.boxResize(rgbs(k), w, h, 10, 8)),
+        s"DIB frame $k resample not exact")
+    }
+    // sampleFrames emits real standalone BMP frames for DIB clips
+    val sampled = graft.ops.Multimodal.sampleFrames(media, everyN = 1).collect()
+      .sortBy(_.frame_idx)
+    assert(sampled.length == 3)
+    assert(sampled.forall(mf => Containers.decodeImagePixels(mf.payload).isRight))
+    // frameReport counts DIB frames as REAL on a pure-DIB table
+    val fr = graft.ops.Multimodal.frameReport(media, everyN = 1).collect().head
+    assert(fr.getAs[Long]("n_frames_sampled") == 3 && fr.getAs[Long]("n_real_frames") == 3)
+    // structural bit flips degrade to a reasoned Left, never a throw: kill
+    // the strh handler fourcc and the movi list type respectively
+    def flipAt(pat: String): Array[Byte] = {
+      val idx = clip.indexOfSlice(pat.getBytes("US-ASCII"))
+      assert(idx >= 0, s"pattern $pat not found")
+      val b = clip.clone(); b(idx) = (b(idx) ^ 0x01).toByte; b
+    }
+    assert(Containers.decodeAviFrames(flipAt("DIB ")) ==
+      Left("avi_codec_unsupported"))
+    assert(Containers.decodeAviFrames(flipAt("movi")).isLeft)
   }
 
   test("law: perceptual hashes are invariant where they claim; planted near-dups found") {
