@@ -1539,6 +1539,7 @@ af AS (
       FROM documents""",
     // greedy MMR diversification, pick-for-pick vs the driver loop
     "mmr_diversify" -> mmrDiversifySql(16, 64, 0.7),
+    "mmr_shortlist_stats" -> mmrShortlistStatsSql(64),
     // exact Shannon character entropy, bits per glyph: per-(doc, glyph)
     // counts, q6-quantized p·ln p terms summed in DECIMAL(28,10) (the
     // lm_score discipline), bits via the shared ln-2 double literal; the
@@ -4648,6 +4649,29 @@ af AS (
       SELECT CAST(iter AS BIGINT) AS rank, pick AS vec_id, rel AS relevance, score AS mmr_score
       FROM sel"""
   }
+
+  /** DuckDB mirror of [[graft.ops.Similarity.mmrShortlistStats]]: the same
+    * per-dim q6/decimal centroid sums and q6 relevance as
+    * [[mmrDiversifySql]], then the (rel DESC, vec_id) shortlist cut and
+    * the three bounded aggregates — weakest admitted vs strongest excluded
+    * relevance, with the boundary-tie flag. */
+  def mmrShortlistStatsSql(shortlist: Int): String = s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      ds AS (SELECT i AS dim, ${r6sum("v[i]")} AS t_d
+             FROM (SELECT v, UNNEST(generate_series(1, len(v))) AS i FROM e) g GROUP BY i),
+      t AS (SELECT list(t_d ORDER BY dim) AS tv FROM ds),
+      rel AS (SELECT vec_id, floor(list_dot_product(v, tv) / (nrm * sqrt(list_dot_product(tv, tv))) * 1000000.0 + 0.5) / 1000000.0 AS rel
+              FROM n CROSS JOIN t),
+      short AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT $shortlist),
+      nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM rel),
+      sb AS (SELECT CAST(count(*) AS BIGINT) AS shortlist_size, min(rel) AS min_shortlist_rel FROM short),
+      ex AS (SELECT max(rel) AS max_excluded_rel FROM rel
+             WHERE vec_id NOT IN (SELECT vec_id FROM short))
+      SELECT nc.n_candidates, sb.shortlist_size, sb.min_shortlist_rel,
+             ex.max_excluded_rel,
+             coalesce(ex.max_excluded_rel = sb.min_shortlist_rel, false) AS boundary_tie
+      FROM nc, sb, ex"""
 
   /** DuckDB mirror of the greedy BPE ENCODE under a LEARNED merges table
     * ([[graft.functions.Bpe.Codec.encodeWord]]): the merges — a

@@ -95,6 +95,7 @@ object ScaleAnchors {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val voc = vocab()
+    var gkViolations = 0
 
     for (scale <- Seq(1L, 10L)) {
       val nDocs = baseDocs * scale
@@ -240,6 +241,32 @@ object ScaleAnchors {
       t("heavy_hitters")(ops.Text.heavyHitters(d, phi = 500).count())
       t("heavy_hitters_approx")(ops.Text.heavyHittersApprox(d, phi = 500).count())
       t("length_filter")(ops.Text.lengthFilter(d).count())
+      // GK sketch rank law AT SCALE (VERDICT r13 #7): every
+      // length_percentiles_approx point must land within ±1% rank of the
+      // exact per-source distribution — the TextSpec law re-pinned here at
+      // the 10x grain where the bench actually runs, so the sketch's
+      // accuracy=10000 error contract is measured on a distribution the
+      // size the sketch MERGES at (per-partition sketches combining is
+      // where GK error compounds, and it only shows up at volume)
+      locally {
+        val lengths = d.select(col("source"), col("n_chars")).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+        var bad = 0
+        for (r <- ops.Text.lengthPercentilesApprox(d).collect()) {
+          val xs = lengths(r.getString(0))
+          val n = xs.length
+          def at(p: Double) = xs(math.min(n - 1,
+            math.max(0, math.ceil(n * p).toInt - 1)))
+          for ((qq, i) <- Seq(0.25, 0.50, 0.75, 0.95).zipWithIndex) {
+            val v = r.getLong(2 + i)
+            if (v < at(math.max(0.0, qq - 0.01)) ||
+                v > at(math.min(1.0, qq + 0.01))) bad += 1
+          }
+        }
+        out("gk_rank_violations") = bad
+        gkViolations += bad
+      }
       t("normalize_text")(ops.Text.normalizeText(d).count())
       // snapshot diff: old = ids %3!=0 with planted edits, new = ids %5!=0;
       // all four states populated at any scale, rows ∝ |sources| (bounded)
@@ -282,5 +309,10 @@ object ScaleAnchors {
       }.mkString("{", ",", "}"))
     }
     spark.stop()
+    if (gkViolations > 0) {
+      System.err.println(
+        s"[anchors] GK rank law violated at scale: $gkViolations points outside the ±1% band")
+      sys.exit(1)
+    }
   }
 }

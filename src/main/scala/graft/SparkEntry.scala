@@ -871,6 +871,11 @@ object SparkEntry {
     // a recursive-CTE mirror of the greedy loop
     "mmr_diversify" -> ((s, d) =>
       Similarity.mmrDiversify(Tables.embeddings(s, d))),
+    // 1-row shortlist-sufficiency audit of the MMR cut: weakest admitted
+    // vs strongest excluded relevance + boundary-tie flag (the silent
+    // shortlist cap made visible — the passage_overlap_dropped discipline)
+    "mmr_shortlist_stats" -> ((s, d) =>
+      Similarity.mmrShortlistStats(Tables.embeddings(s, d))),
     "knn_label" -> ((s, d) =>
       Similarity.knnLabel(Tables.embeddings(s, d), mirrorableHash = true)),
     "embedding_near_dup_lsh" -> ((s, d) =>

@@ -289,12 +289,14 @@ object Similarity {
     * (score DESC, vec_id) tie order — pick-for-pick, bit-for-bit. Empty-
     * selection max-sim is 0.0 on both sides; later rounds take the TRUE
     * max (which may be negative), not a 0-clamp. */
-  def mmrDiversify(embeddings: DataFrame, k: Int = 16, shortlist: Int = 64,
-      lambda: Double = 0.7): DataFrame = {
-    val spark = embeddings.sparkSession
-    val comp = 1.0 - lambda
-    // exact centroid DIRECTION: per-dim q6/decimal sums (norm cancels in
-    // the cosine, so the un-normalized sum vector is the query)
+  /** (vec_id, rel, v, norm) relevance frame to the exact corpus-centroid
+    * direction — the shared distributed stage of [[mmrDiversify]] and
+    * [[mmrShortlistStats]]: per-dim q6/decimal centroid sums (the
+    * [[embeddingDrift]] discipline — order-independent and oracle-exact;
+    * norm cancels in the cosine, so the un-normalized sum vector is the
+    * query), then one codegen dot per vector. The |dims|-row collect is
+    * the bounded-driver-table class. */
+  private def mmrRelevance(embeddings: DataFrame): DataFrame = {
     val sums = embeddings.select(dvec(col("embedding")).as("v"))
       .select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("dim").agg(r6sum(col("x")).as("s"))
@@ -303,10 +305,17 @@ object Similarity {
     sums.foreach(s => tt += s * s) // sequential, = list_dot_product order
     val tn = math.sqrt(tt)
     val tv = typedLit(sums.toSeq)
-    val short = withNorms(embeddings)
+    withNorms(embeddings)
       .withColumn("rel", q6(dotd(col("v"), tv) / (col("norm") * lit(tn))))
-      .orderBy(col("rel").desc, col("vec_id")).limit(shortlist)
       .select(col("vec_id"), col("rel"), col("v"), col("norm"))
+  }
+
+  def mmrDiversify(embeddings: DataFrame, k: Int = 16, shortlist: Int = 64,
+      lambda: Double = 0.7): DataFrame = {
+    val spark = embeddings.sparkSession
+    val comp = 1.0 - lambda
+    val short = mmrRelevance(embeddings)
+      .orderBy(col("rel").desc, col("vec_id")).limit(shortlist)
       .localCheckpoint(true) // shortlist rows, reused by both collects
     val a = short.select(col("vec_id").as("ia"), col("v").as("va"),
       col("norm").as("na"))
@@ -340,6 +349,37 @@ object Similarity {
     }
     import spark.implicits._
     picks.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
+
+  /** Shortlist-sufficiency telemetry for [[mmrDiversify]] (VERDICT r13
+    * #8 — the `passage_overlap_dropped` no-silent-caps discipline applied
+    * to MMR): the `shortlist` cut is a silent cap, so this 1-row audit
+    * makes it visible — candidate count, realized shortlist size, the
+    * WEAKEST admitted relevance vs the STRONGEST excluded relevance, and
+    * whether the boundary was a tie (a tie means the cut discarded
+    * candidates with relevance identical to admitted ones on id order —
+    * the diversity-relevant clip case, since MMR might have preferred an
+    * excluded equal-relevance candidate for its lower redundancy).
+    * `max_excluded_rel` is NULL when the corpus fits the shortlist.
+    *
+    * Scale shape: the shortlist is a TakeOrdered (never a global window),
+    * the excluded max is one anti-join + aggregate over (id, rel) pairs,
+    * and the three 1-row legs combine via broadcast nested-loop joins —
+    * nothing corpus-sized crosses the driver. */
+  def mmrShortlistStats(embeddings: DataFrame, shortlist: Int = 64): DataFrame = {
+    val rel = mmrRelevance(embeddings).select("vec_id", "rel")
+    val short = rel.orderBy(col("rel").desc, col("vec_id")).limit(shortlist)
+      .localCheckpoint(true) // shortlist rows, reused by two legs
+    val nc = rel.agg(count(lit(1)).cast("long").as("n_candidates"))
+    val sb = short.agg(count(lit(1)).cast("long").as("shortlist_size"),
+      min("rel").as("min_shortlist_rel"))
+    val ex = rel.join(short.select("vec_id"), Seq("vec_id"), "left_anti")
+      .agg(max("rel").as("max_excluded_rel"))
+    nc.crossJoin(sb).crossJoin(ex)
+      .withColumn("boundary_tie",
+        coalesce(col("max_excluded_rel") === col("min_shortlist_rel"), lit(false)))
+      .select("n_candidates", "shortlist_size", "min_shortlist_rel",
+        "max_excluded_rel", "boundary_tie")
   }
 
   /** Embedding-cosine near-duplicate pairs: (a < b) with cosine ≥ threshold
