@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Compare two bench-floor artifacts (scripts/bench_floor.sh output) the
+way the round judges do, with the r14 calibration normalization applied.
+
+Usage: scripts/floor_compare.py OLD_FLOOR.json NEW_FLOOR.json
+
+Prints one JSON line:
+  - carried-subset totals and ratio over the SHARED query set (the only
+    sound cross-round comparison: new queries are additions, not drift);
+  - the same ratio excluding `pipeline_stages` (the shared-prebuild
+    meter absorbs attribution movement when stage wiring changes);
+  - median per-query ratio over shared entries > 50 ms (robust to a few
+    cold-JIT outliers in a way the total is not);
+  - calibration walls per run and the drag-normalized ratio:
+    (new_shared / new_calib) / (old_shared / old_calib), using each
+    artifact's median end-probe calibration. Artifacts without
+    calibrations (pre-r14) fall back to the raw ratio with
+    "calib_normalized": null.
+  - entries added/removed, so a silently-shrunk surface is visible.
+"""
+import json
+import statistics
+import sys
+
+
+def med_calib(doc):
+    pairs = [p for p in doc.get("calibrations", []) if p and p[-1] is not None]
+    if not pairs:
+        return None
+    # end-probe: the start probe carries first-touch JIT, the end probe is
+    # the steady-state host speed the timing loop actually ran under
+    return statistics.median(p[-1] for p in pairs)
+
+
+def main(old_path, new_path):
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+    qo, qn = old["queries"], new["queries"]
+    shared = sorted(set(qo) & set(qn))
+    so = sum(qo[q] for q in shared)
+    sn = sum(qn[q] for q in shared)
+    sxo = sum(qo[q] for q in shared if q != "pipeline_stages")
+    sxn = sum(qn[q] for q in shared if q != "pipeline_stages")
+    ratios = sorted(qn[q] / qo[q] for q in shared if qo[q] > 0.05)
+    co, cn = med_calib(old), med_calib(new)
+    raw_ratio = sn / so if so else None
+    calib_norm = (sn / cn) / (so / co) if (co and cn and so) else None
+    out = {
+        "shared_entries": len(shared),
+        "old_shared_sec": round(so, 2),
+        "new_shared_sec": round(sn, 2),
+        "ratio": round(raw_ratio, 4) if raw_ratio else None,
+        "ratio_excl_pipeline_stages": round(sxn / sxo, 4) if sxo else None,
+        "median_per_query_ratio": round(statistics.median(ratios), 4) if ratios else None,
+        "old_calib_sec": round(co, 2) if co else None,
+        "new_calib_sec": round(cn, 2) if cn else None,
+        "calib_normalized_ratio": round(calib_norm, 4) if calib_norm else None,
+        "added": sorted(set(qn) - set(qo)),
+        "removed": sorted(set(qo) - set(qn)),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        sys.exit(__doc__.strip())
+    main(sys.argv[1], sys.argv[2])
