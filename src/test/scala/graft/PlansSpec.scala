@@ -115,6 +115,8 @@ class PlansSpec extends SparkTestBase {
       "median_label",            // 1-row global-median broadcast
       "quality_report",          // union of 1-row check frames
       "similarity_ivf_topk",     // nCells-row centroid broadcast (probe scoring)
+      "similarity_ivfgrid_topk", // same nCells-row centroid broadcast, md5-grid
+      "mmr_shortlist_stats",     // three 1-row audit legs combined (nc×sb×ex)
       "similarity_ivfpq_topk",   // same centroid broadcast via the IVF probe tier
       "similarity_ivfpq_residual_topk", // same centroid broadcast, residual decode
       "similarity_ivfpq_opq_topk", // same centroid broadcast, rotated space

@@ -85,6 +85,43 @@ class SimilaritySpec extends SparkTestBase {
       s"MMR should break out of the cluster on pick 2: $mmrP")
   }
 
+  test("mmrShortlistStats: ordering, null-when-fits, and boundary-tie laws") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    def emb(id: Long, v: Seq[Float]) = (id, "x", v.toArray)
+    // five distinct-direction vectors: rel values distinct, cut at 2
+    val distinct5 = Seq(
+      emb(1L, Seq(1f, 0f)), emb(2L, Seq(0.9f, 0.1f)), emb(3L, Seq(0.5f, 0.5f)),
+      emb(4L, Seq(0.1f, 0.9f)), emb(5L, Seq(0f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val s1 = Similarity.mmrShortlistStats(distinct5, shortlist = 2).collect().head
+    assert(s1.getAs[Long]("n_candidates") == 5)
+    assert(s1.getAs[Long]("shortlist_size") == 2)
+    // the cut is top-by-rel: weakest admitted >= strongest excluded
+    assert(s1.getAs[Double]("min_shortlist_rel") >= s1.getAs[Double]("max_excluded_rel"))
+    // corpus fits the shortlist: nothing excluded, max_excluded_rel NULL
+    val s2 = Similarity.mmrShortlistStats(distinct5, shortlist = 64).collect().head
+    assert(s2.getAs[Long]("shortlist_size") == 5)
+    assert(s2.isNullAt(s2.fieldIndex("max_excluded_rel")))
+    assert(!s2.getAs[Boolean]("boundary_tie"))
+    // planted boundary tie: ids 2 and 3 are IDENTICAL vectors (equal rel),
+    // shortlist=2 admits {1st, one of the twins} on id order — the audit
+    // must flag that the cut discarded an equal-relevance candidate
+    val tied = Seq(
+      emb(1L, Seq(1f, 0.2f)), emb(2L, Seq(1f, 0.1f)), emb(3L, Seq(1f, 0.1f)),
+      emb(4L, Seq(0f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val s3 = Similarity.mmrShortlistStats(tied, shortlist = 2).collect().head
+    assert(s3.getAs[Double]("max_excluded_rel") == s3.getAs[Double]("min_shortlist_rel"))
+    assert(s3.getAs[Boolean]("boundary_tie"),
+      "equal-relevance boundary cut must be flagged")
+    // zero-norm rows are excluded from candidacy (the cosine-family rule)
+    val withZero = distinct5.unionByName(
+      Seq(emb(9L, Seq(0f, 0f))).toDF("vec_id", "label", "embedding"))
+    assert(Similarity.mmrShortlistStats(withZero, shortlist = 2).collect()
+      .head.getAs[Long]("n_candidates") == 5)
+  }
+
   test("LSH ANN recalls a meaningful share of true neighbors at far lower cost") {
     val truth = pairs("similarity_bruteforce_topk")
     val ann = pairs("similarity_lsh_topk")
