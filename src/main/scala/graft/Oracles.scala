@@ -4447,6 +4447,67 @@ af AS (
         FROM scored) t
       WHERE rk <= 5""",
 
+    // the PRODUCT-QUANTIZATION pipeline under md5-grid geometry at both
+    // tiers (r14): subvector slices, per-subspace argmin encode, flattened
+    // code-table reconstruction, asymmetric ADC (raw doubles — one
+    // ascending 64-dim dot over the same flattened list on both engines,
+    // so the pre-rerank ordering is bit-deterministic), k·6 survivor cut,
+    // q6 exact rerank — the SAME pqEncode/pqQuery plan the k-means tiers
+    // run, value-checked end to end
+    "similarity_pqgrid_topk" -> """
+      WITH cents AS (
+        SELECT c, list(p ORDER BY d) AS centroid
+        FROM (SELECT c.range AS c, d.range AS d,
+                     ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(16) c, range(64) d) pp
+        GROUP BY 1),
+      cbs AS (
+        SELECT j, c, list(p ORDER BY d) AS cb
+        FROM (SELECT j.range AS j, c.range AS c, d.range AS d,
+                     ((('0x' || substr(md5('pqgrid:' || j.range || ':' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(8) j, range(16) c, range(8) d) pp
+        GROUP BY 1, 2),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      dist AS (SELECT n.vec_id, cents.c AS cell,
+                      list_dot_product(centroid, centroid) - 2.0 * list_dot_product(v, centroid) AS dist
+               FROM n, cents),
+      ranked AS (SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+                 FROM dist),
+      assign AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+      probes AS (SELECT vec_id AS query_id, cell FROM ranked WHERE r <= 4),
+      subv AS (SELECT vec_id, j.range AS j, v[j.range*8+1 : j.range*8+8] AS x
+               FROM n, range(8) j),
+      enc AS (SELECT vec_id, j, c FROM (
+                SELECT s.vec_id, s.j, cbs.c,
+                       row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                         list_dot_product(cb, cb) - 2.0 * list_dot_product(x, cb), cbs.c) AS r
+                FROM subv s JOIN cbs ON cbs.j = s.j) t WHERE r = 1),
+      recon AS (SELECT enc.vec_id AS neighbor_id, flatten(list(cb ORDER BY enc.j)) AS rv
+                FROM enc JOIN cbs ON cbs.j = enc.j AND cbs.c = enc.c
+                GROUP BY 1),
+      rn AS (SELECT neighbor_id, rv, sqrt(list_dot_product(rv, rv)) AS rnorm
+             FROM recon WHERE list_dot_product(rv, rv) > 0),
+      cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+               FROM probes p JOIN assign a ON a.cell = p.cell
+               WHERE a.vec_id <> p.query_id),
+      approx AS (SELECT c.query_id, c.neighbor_id,
+                        list_dot_product(nq.v, rn.rv) / (nq.nrm * rn.rnorm) AS approx_sim
+                 FROM cand c JOIN n nq ON nq.vec_id = c.query_id
+                 JOIN rn ON rn.neighbor_id = c.neighbor_id),
+      survivors AS (SELECT query_id, neighbor_id FROM (
+                      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id) AS ar
+                      FROM approx) t WHERE ar <= 30),
+      scored AS (SELECT s.query_id, s.neighbor_id,
+                        floor(CAST(list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+                 FROM survivors s JOIN n nq ON nq.vec_id = s.query_id
+                 JOIN n nc ON nc.vec_id = s.neighbor_id)
+      SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+        FROM scored) t
+      WHERE rk <= 5""",
+
     // kNN label propagation: the lsh_topk chain as a CTE, then a majority
     // vote per query with the (votes DESC, label ASC) deterministic
     // tie-break — value-checks neighbors, votes, and tie handling

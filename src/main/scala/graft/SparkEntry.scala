@@ -888,6 +888,12 @@ object SparkEntry {
     // tiers stay the scale default; they share ivfQuery verbatim)
     "similarity_ivfgrid_topk" -> ((s, d) =>
       Similarity.ivfGridTopK(Tables.embeddings(s, d))),
+    // the PRODUCT-QUANTIZATION chain (encode → ADC → rerank) under
+    // md5-grid geometry at both tiers — pqEncode/pqQuery run verbatim on
+    // a deterministic index, so the plumbing the k-means PQ tiers share
+    // is hash-verified (the ivfgrid discipline extended to PQ)
+    "similarity_pqgrid_topk" -> ((s, d) =>
+      Similarity.pqGridTopK(Tables.embeddings(s, d))),
     // IVF-PQ: product-quantized ADC under the IVF probe pruning, exact
     // rerank of survivors (rows-only: k-means, the sanctioned tier)
     "similarity_ivfpq_topk" -> ((s, d) =>

@@ -1035,6 +1035,51 @@ object Similarity {
       nProbe: Int = 4): DataFrame =
     ivfQuery(ivfGridBuild(embeddings, nCells), embeddings, k, nProbe)
 
+  /** Deterministic sub-codebook value for (subspace, code, dim) — the
+    * [[gridCentroidVal]] md5 formula under a `pqgrid:` prefix. */
+  private[graft] def pqGridCentroidVal(j: Int, c: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pqgrid:$j:$c:$d".getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString.substring(0, 15)
+    ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+  }
+
+  /** IVF-PQ index with DETERMINISTIC md5-grid geometry at BOTH tiers —
+    * the oracle-mirrorable twin of [[pqBuild]]: the coarse quantizer is
+    * [[ivfGridBuild]]'s md5 point set and the m sub-codebooks come from
+    * [[pqGridCentroidVal]] literals, so the entire product-quantization
+    * pipeline — subvector slicing, per-subspace argmin ENCODE
+    * ([[pqEncode]], run verbatim), code-table RECONSTRUCTION, asymmetric
+    * ADC scoring, and the k·rerank exact-rerank — reproduces in DuckDB
+    * number for number (raw-double ADC ordering is bit-deterministic:
+    * ascending-dim dots over the same flattened reconstruction on both
+    * engines). The k-means/Lloyd tiers stay the scale default; they share
+    * [[pqEncode]]/[[pqQuery]] with this twin by construction, so a green
+    * hash here value-checks the shared plumbing they run. */
+  def pqGridBuild(embeddings: DataFrame, m: Int = 8, codebookSize: Int = 16,
+      nCells: Int = 16): PqIndex = {
+    val (_, dim) = corpusDims(embeddings)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val ivf = ivfGridBuild(embeddings, nCells)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val codebooks = (for { j <- 0 until m; c <- 0 until codebookSize }
+      yield (j, c, (0 until subDim).map(d => pqGridCentroidVal(j, c, d))))
+      .toDF("sub", "code", "centroid")
+    PqIndex(ivf, codebooks, pqEncode(ivf.vectors, codebooks, m, subDim), m, subDim)
+  }
+
+  /** Self-join IVF-PQ ANN through the md5-grid index — [[pqQuery]]'s own
+    * probe → ADC → rerank plan over deterministic geometry, DuckDB-value-
+    * checked end to end. Defaults (8×16 codebooks, 16 cells, 4 probes,
+    * 6k rerank pool) are literals mirrored by the oracle. */
+  def pqGridTopK(embeddings: DataFrame, k: Int = 5, m: Int = 8,
+      codebookSize: Int = 16, nCells: Int = 16, nProbe: Int = 4,
+      rerankFactor: Int = 6): DataFrame =
+    pqQuery(pqGridBuild(embeddings, m, codebookSize, nCells), embeddings,
+      k, nProbe, rerankFactor)
+
   // ------------------------------------------------------- index epochs —
   // Reader-atomic maintenance (VERDICT r10 #4). A rebuild used to
   // overwrite the standing layers in place, so a query racing the rebuild

@@ -116,6 +116,7 @@ class PlansSpec extends SparkTestBase {
       "quality_report",          // union of 1-row check frames
       "similarity_ivf_topk",     // nCells-row centroid broadcast (probe scoring)
       "similarity_ivfgrid_topk", // same nCells-row centroid broadcast, md5-grid
+      "similarity_pqgrid_topk",  // same centroid broadcast + m·ks codebook broadcast
       "mmr_shortlist_stats",     // three 1-row audit legs combined (nc×sb×ex)
       "similarity_ivfpq_topk",   // same centroid broadcast via the IVF probe tier
       "similarity_ivfpq_residual_topk", // same centroid broadcast, residual decode

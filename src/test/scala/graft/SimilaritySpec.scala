@@ -168,6 +168,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.2, s"grid-quantizer recall collapsed: $recall")
   }
 
+  test("md5-grid PQ twin: code-shape laws; exhaustive probe + unbounded rerank ≡ brute force") {
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, SF)
+    val idx = Similarity.pqGridBuild(e, m = 8, codebookSize = 16, nCells = 16)
+    // code-shape: one m-length code word per indexed vector, codes in range
+    val codes = idx.codes.collect()
+    assert(codes.length == idx.ivf.vectors.count())
+    assert(codes.forall { r =>
+      val cs = r.getSeq[Int](1)
+      cs.length == 8 && cs.forall(c => c >= 0 && c < 16)
+    })
+    // probing every cell with an unbounded rerank pool makes the ADC tier
+    // a pure pre-sort: the exact rerank then reproduces brute-force top-5
+    // bit-for-bit (same q6 grid, same tie contract)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = asSet(Similarity.pqQuery(idx, e, k = 5, nProbe = 16,
+      rerankFactor = 1000000))
+    val truth = pairs("similarity_bruteforce_topk")
+    val truthQ = truth.map(_._1)
+    assert(all.filter(p => truthQ.contains(p._1)) == truth,
+      "exhaustive probe + unbounded rerank must reproduce brute-force top-5")
+    // recall at the declared operating point (4/16 probes, 6k rerank pool):
+    // recorded, floored loosely — grid codebooks are a correctness anchor,
+    // not a tuned quantizer
+    val p4 = asSet(Similarity.pqGridTopK(e))
+    val recall = p4.intersect(truth).size.toDouble / truth.size
+    info(s"md5-grid PQ recall@5 (4/16 probes, ADC+rerank) = $recall")
+    assert(recall > 0.1, s"grid-PQ recall collapsed: $recall")
+  }
+
   test("IVF-PQ: code-shape laws and recall vs exact truth") {
     val e = Tables.embeddings(spark, SF)
     val idx = graft.ops.Similarity.pqBuild(e)
