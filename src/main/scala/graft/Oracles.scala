@@ -4447,6 +4447,36 @@ af AS (
         FROM scored) t
       WHERE rk <= 5""",
 
+    // the CLUSTERED SemDeDup form under the md5-grid cells (r14): the
+    // Abbas et al. cluster-first / within-cell keep-first pass with the
+    // deterministic coarse quantizer, so the witness rule (dropped iff a
+    // smaller-id same-cell vector is τ-close; dup_of = the MINIMUM such
+    // witness) is value-checked exactly as semDeDupFrom computes it
+    "semdedup_grid" -> """
+      WITH cents AS (
+        SELECT c, list(p ORDER BY d) AS centroid
+        FROM (SELECT c.range AS c, d.range AS d,
+                     ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(16) c, range(64) d) pp
+        GROUP BY 1),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      dist AS (SELECT n.vec_id, cents.c AS cell,
+                      list_dot_product(centroid, centroid) - 2.0 * list_dot_product(v, centroid) AS dist
+               FROM n, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+                   FROM dist) t WHERE r = 1),
+      nv AS (SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell, n.v, n.nrm
+             FROM assign a JOIN n ON n.vec_id = a.vec_id),
+      wit AS (SELECT x.vec_id, min(y.vec_id) AS dup_of
+              FROM nv x JOIN nv y ON y.cell = x.cell AND y.vec_id < x.vec_id
+              WHERE floor(CAST(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.85
+              GROUP BY 1)
+      SELECT nv.vec_id, nv.cell, wit.dup_of, wit.dup_of IS NULL AS kept
+      FROM nv LEFT JOIN wit ON wit.vec_id = nv.vec_id""",
+
     // the PRODUCT-QUANTIZATION pipeline under md5-grid geometry at both
     // tiers (r14): subvector slices, per-subspace argmin encode, flattened
     // code-table reconstruction, asymmetric ADC (raw doubles — one

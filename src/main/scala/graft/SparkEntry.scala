@@ -150,6 +150,23 @@ object SparkEntry {
       pinned
     })
 
+  // ONE md5-grid coarse index per corpus dir (the ivfIndexCache
+  // discipline): deterministic geometry shared by the three grid-oracled
+  // declared queries (similarity_ivfgrid_topk, similarity_pqgrid_topk,
+  // semdedup_grid) — each previously would have re-run the same
+  // assignment pass.
+  private val ivfGridIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, Similarity.IvfIndex]
+  private def ivfGridIndex(s: SparkSession, d: String): Similarity.IvfIndex =
+    ivfGridIndexCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val idx = Similarity.ivfGridBuild(Tables.embeddings(s, d))
+      val pinned = Similarity.IvfIndex(idx.centroids.localCheckpoint(true),
+        idx.vectors.localCheckpoint(true))
+      ops.Pipeline.record(s, d, "ivfgrid_index", (System.nanoTime() - t0) / 1e9)
+      pinned
+    })
+
   // The five-gate Venn frame is ≤ 2⁵ rows but costs five gate-family
   // passes to build; gate_overlap and gate_kappa both consume it, so ONE
   // memoized localCheckpoint per corpus dir serves both declared queries
@@ -189,7 +206,7 @@ object SparkEntry {
     nbModelCache.clear(); inLmCache.clear(); lmn3ModelCache.clear()
     lmn5ModelCache.clear(); lmPrunedCache.clear(); pcaModelCache.clear()
     dsirCountsCache.clear(); ivfIndexCache.clear()
-    gateOverlapCache.clear()
+    gateOverlapCache.clear(); ivfGridIndexCache.clear()
   }
 
   /** Build + materialize every shared pipeline stage. The bench calls this
@@ -211,6 +228,8 @@ object SparkEntry {
     // five-gate pass is metered under gate_kappa (same cost-attribution
     // shape the ivfIndex line above fixes)
     gateOverlapFrame(s, d)
+    // and the shared md5-grid coarse index (three grid-oracled queries)
+    ivfGridIndex(s, d)
     ()
   }
 
@@ -887,13 +906,21 @@ object SparkEntry {
     // shared inverted-file plumbing on the hash-verified board (k-means
     // tiers stay the scale default; they share ivfQuery verbatim)
     "similarity_ivfgrid_topk" -> ((s, d) =>
-      Similarity.ivfGridTopK(Tables.embeddings(s, d))),
+      Similarity.ivfQuery(ivfGridIndex(s, d), Tables.embeddings(s, d),
+        k = 5, nProbe = 4)),
     // the PRODUCT-QUANTIZATION chain (encode → ADC → rerank) under
     // md5-grid geometry at both tiers — pqEncode/pqQuery run verbatim on
     // a deterministic index, so the plumbing the k-means PQ tiers share
     // is hash-verified (the ivfgrid discipline extended to PQ)
     "similarity_pqgrid_topk" -> ((s, d) =>
-      Similarity.pqGridTopK(Tables.embeddings(s, d))),
+      Similarity.pqQuery(Similarity.pqGridBuildFrom(ivfGridIndex(s, d)),
+        Tables.embeddings(s, d), k = 5, nProbe = 4)),
+    // the CLUSTERED SemDeDup form (cluster-first, within-cell keep-first)
+    // on the oracle board via the same md5-grid cells — semDeDupFrom runs
+    // verbatim, so the within-cell witness/keeper plumbing the k-means
+    // semdedup tiers share is hash-verified
+    "semdedup_grid" -> ((s, d) =>
+      Similarity.semDeDupFrom(ivfGridIndex(s, d).vectors, 0.85)),
     // IVF-PQ: product-quantized ADC under the IVF probe pruning, exact
     // rerank of survivors (rows-only: k-means, the sanctioned tier)
     "similarity_ivfpq_topk" -> ((s, d) =>

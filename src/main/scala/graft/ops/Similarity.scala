@@ -1060,9 +1060,19 @@ object Similarity {
       nCells: Int = 16): PqIndex = {
     val (_, dim) = corpusDims(embeddings)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    pqGridBuildFrom(ivfGridBuild(embeddings, nCells), m, codebookSize)
+  }
+
+  /** [[pqGridBuild]] over a PRE-BUILT md5-grid coarse index (the
+    * [[pqBuildFrom]] sharing discipline: one grid geometry serves the
+    * ivfgrid / pqgrid / semdedup-grid declared queries). Dim comes from
+    * the bounded centroid table. */
+  def pqGridBuildFrom(ivf: IvfIndex, m: Int = 8,
+      codebookSize: Int = 16): PqIndex = {
+    val dim = ivf.centroids.head().getSeq[Double](1).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val ivf = ivfGridBuild(embeddings, nCells)
-    val spark = embeddings.sparkSession
+    val spark = ivf.centroids.sparkSession
     import spark.implicits._
     val codebooks = (for { j <- 0 until m; c <- 0 until codebookSize }
       yield (j, c, (0 until subDim).map(d => pqGridCentroidVal(j, c, d))))

@@ -117,6 +117,7 @@ class PlansSpec extends SparkTestBase {
       "similarity_ivf_topk",     // nCells-row centroid broadcast (probe scoring)
       "similarity_ivfgrid_topk", // same nCells-row centroid broadcast, md5-grid
       "similarity_pqgrid_topk",  // same centroid broadcast + m·ks codebook broadcast
+      "semdedup_grid",           // same nCells-row centroid broadcast (assignment)
       "mmr_shortlist_stats",     // three 1-row audit legs combined (nc×sb×ex)
       "similarity_ivfpq_topk",   // same centroid broadcast via the IVF probe tier
       "similarity_ivfpq_residual_topk", // same centroid broadcast, residual decode

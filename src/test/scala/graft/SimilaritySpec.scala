@@ -168,6 +168,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.2, s"grid-quantizer recall collapsed: $recall")
   }
 
+  test("semdedup_grid: one row per nonzero vector; witness ordering and kept-independence hold") {
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, SF)
+    val out = q("semdedup_grid").collect()
+    val nonzero = Similarity.ivfGridBuild(e, 16).vectors.count()
+    assert(out.length == nonzero)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    // dropped rows carry a smaller-id witness; kept ⇔ no witness
+    assert(out.forall { r =>
+      val kept = r.getAs[Boolean]("kept")
+      if (kept) r.isNullAt(r.fieldIndex("dup_of"))
+      else r.getAs[Long]("dup_of") < r.getLong(0)
+    })
+    // kept-independence per cell: no two kept vectors in one cell τ-close
+    // (a later kept vector would have had the earlier as witness)
+    val keptIds = out.filter(_.getAs[Boolean]("kept")).map(_.getLong(0)).toSet
+    val keptVecs = Similarity.ivfGridBuild(e, 16).vectors.collect()
+      .filter(r => keptIds(r.getLong(0)))
+      .map(r => (r.getInt(3), r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    for (g <- keptVecs.groupBy(_._1).values; Array(a, b) <- g.sortBy(_._2).combinations(2)) {
+      var dot = 0.0; var i = 0
+      while (i < a._3.length) { dot += a._3(i) * b._3(i); i += 1 }
+      assert(q6d(dot / (a._4 * b._4)) < 0.85,
+        s"kept pair (${a._2}, ${b._2}) in cell ${a._1} is τ-close")
+    }
+  }
+
   test("md5-grid PQ twin: code-shape laws; exhaustive probe + unbounded rerank ≡ brute force") {
     import graft.ops.Similarity
     val e = Tables.embeddings(spark, SF)
