@@ -4477,6 +4477,67 @@ af AS (
       SELECT nv.vec_id, nv.cell, wit.dup_of, wit.dup_of IS NULL AS kept
       FROM nv LEFT JOIN wit ON wit.vec_id = nv.vec_id""",
 
+    // the D4 cell-quota rebalancer over the md5-grid cells (r14): the
+    // same assignment CTE, then the deterministic md5(vec_id) pick rule —
+    // per-cell quota-16 kept set value-checked rank for rank
+    "cell_balanced_sample_grid" -> """
+      WITH cents AS (
+        SELECT c, list(p ORDER BY d) AS centroid
+        FROM (SELECT c.range AS c, d.range AS d,
+                     ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(16) c, range(64) d) pp
+        GROUP BY 1),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      dist AS (SELECT n.vec_id, cents.c AS cell,
+                      list_dot_product(centroid, centroid) - 2.0 * list_dot_product(v, centroid) AS dist
+               FROM n, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+                   FROM dist) t WHERE r = 1)
+      SELECT vec_id, cell, rk FROM (
+        SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+               CAST(row_number() OVER (PARTITION BY cell
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+        FROM assign) t
+      WHERE rk <= 16""",
+
+    // the 1-row pair-volume audit over the md5-grid cells (r14): the
+    // occupancy rollup semDeDupStats computes, value-checked — integer
+    // occupancy/pair counts plus the two double shares
+    "semdedup_stats_grid" -> """
+      WITH cents AS (
+        SELECT c, list(p ORDER BY d) AS centroid
+        FROM (SELECT c.range AS c, d.range AS d,
+                     ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(16) c, range(64) d) pp
+        GROUP BY 1),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      dist AS (SELECT n.vec_id, cents.c AS cell,
+                      list_dot_product(centroid, centroid) - 2.0 * list_dot_product(v, centroid) AS dist
+               FROM n, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+                   FROM dist) t WHERE r = 1),
+      occ AS (SELECT cell, count(*) AS m FROM assign GROUP BY 1),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                     CAST(sum(m) AS BIGINT) AS n_vectors,
+                     CAST(max(m) AS BIGINT) AS max_cell_occupancy,
+                     CAST(min(m) AS BIGINT) AS min_cell_occupancy,
+                     CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS total_pairs,
+                     CAST(max((m * (m - 1)) // 2) AS BIGINT) AS max_cell_pairs
+              FROM occ)
+      SELECT n_cells, n_vectors, max_cell_occupancy, min_cell_occupancy,
+             total_pairs, max_cell_pairs,
+             CAST(n_vectors AS DOUBLE) / n_cells AS mean_occupancy,
+             CASE WHEN total_pairs > 0
+                  THEN CAST(max_cell_pairs AS DOUBLE) / total_pairs
+                  ELSE 0.0 END AS max_cell_pair_share
+      FROM agg""",
+
     // the PRODUCT-QUANTIZATION pipeline under md5-grid geometry at both
     // tiers (r14): subvector slices, per-subspace argmin encode, flattened
     // code-table reconstruction, asymmetric ADC (raw doubles — one

@@ -921,6 +921,14 @@ object SparkEntry {
     // semdedup tiers share is hash-verified
     "semdedup_grid" -> ((s, d) =>
       Similarity.semDeDupFrom(ivfGridIndex(s, d).vectors, 0.85)),
+    // the D4 cell-quota rebalancer and the pair-volume audit over the SAME
+    // md5-grid cells — cellBalancedSample/semDeDupStats run verbatim, so
+    // the per-cell quota pick (md5 keys) and the occupancy arithmetic the
+    // k-means flavors share are hash-verified too
+    "cell_balanced_sample_grid" -> ((s, d) =>
+      Similarity.cellBalancedSample(ivfGridIndex(s, d))),
+    "semdedup_stats_grid" -> ((s, d) =>
+      Similarity.semDeDupStats(ivfGridIndex(s, d).vectors)),
     // IVF-PQ: product-quantized ADC under the IVF probe pruning, exact
     // rerank of survivors (rows-only: k-means, the sanctioned tier)
     "similarity_ivfpq_topk" -> ((s, d) =>

@@ -118,6 +118,8 @@ class PlansSpec extends SparkTestBase {
       "similarity_ivfgrid_topk", // same nCells-row centroid broadcast, md5-grid
       "similarity_pqgrid_topk",  // same centroid broadcast + m·ks codebook broadcast
       "semdedup_grid",           // same nCells-row centroid broadcast (assignment)
+      "cell_balanced_sample_grid", // same grid-assignment centroid broadcast
+      "semdedup_stats_grid",     // same grid-assignment centroid broadcast
       "mmr_shortlist_stats",     // three 1-row audit legs combined (nc×sb×ex)
       "similarity_ivfpq_topk",   // same centroid broadcast via the IVF probe tier
       "similarity_ivfpq_residual_topk", // same centroid broadcast, residual decode
