@@ -997,9 +997,13 @@ object Similarity {
     * through [[ivfQuery]]'s own code bit-exactly while every number is
     * reproducible in DuckDB (`similarity_ivfgrid_topk`). The k-means tiers
     * stay the scale default: data-adapted cells follow the corpus
-    * distribution, a fixed grid does not — this twin buys a hash-verified
-    * correctness anchor for the shared probe/candidate/rerank plumbing,
-    * not a recall improvement.
+    * distribution, a fixed grid does not — measured on the test corpus the
+    * grid's largest cell holds ~half the vectors and ~72% of the pair
+    * volume (`semdedup_stats_grid` makes exactly this skew visible), which
+    * is the occupancy blow-up [[cellsFor]]'s constant-occupancy discipline
+    * exists to prevent. This twin buys a hash-verified correctness anchor
+    * for the shared probe/candidate/rerank plumbing, not a recall
+    * improvement and not a partitioning strategy.
     *
     * Assignment is the same broadcast-centroids shape as [[ivfAssign]]:
     * nCells rows cross-joined per vector (one codegen dot per (vector,
