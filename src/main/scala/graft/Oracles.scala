@@ -1507,6 +1507,59 @@ af AS (
       SELECT doc_id, n_terms_hit, score_micro,
              CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rk
       FROM perdoc""",
+    // hybrid RRF retrieval (r14): the bm25_topk CTEs verbatim give the
+    // lexical ranks; the mmr_diversify centroid CTEs over the lexical
+    // top-k's embeddings (Rocchio PRF) give the semantic ranks; RRF
+    // fuses 1/(60+rank) with missing tiers contributing 0 — integer
+    // ranks make every float deterministic, doc_id breaks ties
+    "hybrid_rrf_topk" -> s"""
+      WITH p AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                 FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+                       FROM documents) t
+                 GROUP BY 1, 2),
+      df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS dl
+             FROM documents),
+      stats AS (SELECT (SELECT n_docs FROM n) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+                FROM dl),
+      terms AS (SELECT token, df FROM df CROSS JOIN n
+                WHERE df * 20 >= n_docs AND df * 4 <= n_docs
+                ORDER BY df DESC, token ASC LIMIT 4),
+      scoredterm AS (
+        SELECT p.doc_id,
+               CAST(floor(
+                 ln(CAST(1.0 AS DOUBLE) + (stats.n_docs - terms.df + CAST(0.5 AS DOUBLE)) / (terms.df + CAST(0.5 AS DOUBLE)))
+                 * ((p.tf * CAST(2.2 AS DOUBLE)) / (p.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl)))
+                 * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_micro
+        FROM p JOIN terms USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+      perdoc AS (SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS score_micro
+                 FROM scoredterm GROUP BY 1
+                 ORDER BY score_micro DESC, doc_id ASC LIMIT 20),
+      lexr AS (SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS lex_rk
+               FROM perdoc),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      ds AS (SELECT i AS dim, ${r6sum("v[i]")} AS t_d
+             FROM (SELECT v, UNNEST(generate_series(1, len(v))) AS i
+                   FROM e JOIN lexr ON e.vec_id = lexr.doc_id) g GROUP BY i),
+      t AS (SELECT list(t_d ORDER BY dim) AS tv FROM ds),
+      rel AS (SELECT vec_id, floor(list_dot_product(v, tv) / (nrm * sqrt(list_dot_product(tv, tv))) * 1000000.0 + 0.5) / 1000000.0 AS rel
+              FROM nrm CROSS JOIN t),
+      semtop AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 20),
+      semr AS (SELECT vec_id AS doc_id,
+                      CAST(row_number() OVER (ORDER BY rel DESC, vec_id) AS BIGINT) AS sem_rk
+               FROM semtop),
+      fused AS (SELECT coalesce(lexr.doc_id, semr.doc_id) AS doc_id, lex_rk, sem_rk,
+                       coalesce(1.0 / (60 + lex_rk), 0.0) + coalesce(1.0 / (60 + sem_rk), 0.0) AS rrf_score
+                FROM lexr FULL JOIN semr ON lexr.doc_id = semr.doc_id),
+      top AS (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20)
+      SELECT doc_id, lex_rk, sem_rk, rrf_score,
+             CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rk
+      FROM top""",
+
     // SCD Type-2 history of each customer's order-priority: lag marks
     // change points, a running sum numbers runs, lead closes intervals.
     "scd2_dim" -> """

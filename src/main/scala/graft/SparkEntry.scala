@@ -431,6 +431,11 @@ object SparkEntry {
     // term set over the posting lists, integer micro-unit scores,
     // TakeOrdered top-20
     "bm25_topk" -> ((s, d) => Retrieval.bm25TopK(Tables.documents(s, d))),
+    // hybrid retrieval: RRF fusion of the BM25 top-k with a semantic
+    // embedding rank from Rocchio pseudo-relevance feedback (the standard
+    // hybrid-search operator; cross-table, fully oracled)
+    "hybrid_rrf_topk" -> ((s, d) =>
+      Similarity.hybridRrfTopK(Tables.documents(s, d), Tables.embeddings(s, d))),
     "corpus_split" -> ((s, d) => Text.hashSplit(Tables.documents(s, d))),
     "corpus_cap" -> ((s, d) => Text.corpusCap(Tables.documents(s, d))),
     "corpus_pack" -> ((s, d) => Text.packSequences(Tables.documents(s, d))),

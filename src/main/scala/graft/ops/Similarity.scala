@@ -296,8 +296,17 @@ object Similarity {
     * norm cancels in the cosine, so the un-normalized sum vector is the
     * query), then one codegen dot per vector. The |dims|-row collect is
     * the bounded-driver-table class. */
-  private def mmrRelevance(embeddings: DataFrame): DataFrame = {
-    val sums = embeddings.select(dvec(col("embedding")).as("v"))
+  private def mmrRelevance(embeddings: DataFrame): DataFrame =
+    mmrRelevanceTo(embeddings, embeddings)
+
+  /** The relevance core parameterized by WHOSE centroid is the query:
+    * [[mmrDiversify]]/[[mmrShortlistStats]] use the whole corpus
+    * (`centroidOf = embeddings`); [[hybridRrfTopK]] uses the lexical
+    * top-k's embeddings (pseudo-relevance feedback). `centroidOf` needs
+    * only an `embedding` column. */
+  private def mmrRelevanceTo(embeddings: DataFrame,
+      centroidOf: DataFrame): DataFrame = {
+    val sums = centroidOf.select(dvec(col("embedding")).as("v"))
       .select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("dim").agg(r6sum(col("x")).as("s"))
       .orderBy("dim").collect().map(_.getDouble(1))
@@ -308,6 +317,48 @@ object Similarity {
     withNorms(embeddings)
       .withColumn("rel", q6(dotd(col("v"), tv) / (col("norm") * lit(tn))))
       .select(col("vec_id"), col("rel"), col("v"), col("norm"))
+  }
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher 2009: RRF outperforms Condorcet and individual-ranker
+    * fusion) — THE standard hybrid-search shape: fuse the LEXICAL BM25
+    * top-k with a SEMANTIC embedding ranking, score(d) =
+    * Σ_tier 1/(rrfK + rank_tier(d)), missing-from-a-tier contributes 0.
+    *
+    * The semantic tier's query vector comes by pseudo-relevance feedback
+    * (Rocchio 1971): the exact per-dim q6/decimal centroid of the lexical
+    * top-k's embeddings (documents and embeddings are id-aligned), then a
+    * q6 cosine rank of the WHOLE corpus to it — so the semantic leg can
+    * surface documents the term match missed, which is the point of
+    * hybrid. Fully DuckDB-oracled: BM25 micro-unit scores, the
+    * [[mmrDiversify]] centroid discipline, and integer ranks make every
+    * float deterministic (1/(k+rank) on identical integer ranks summed in
+    * one fixed order).
+    *
+    * Scale shape: both tiers end in TakeOrdered cuts; the rank windows run
+    * post-limit over ≤ topK rows; the fusion is a full outer join of two
+    * ≤ topK frames. The corpus-scale passes are BM25's (already audited)
+    * and one relevance dot per vector. */
+  def hybridRrfTopK(documents: DataFrame, embeddings: DataFrame,
+      topK: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lex = Retrieval.bm25TopK(documents, topK = topK)
+      .select(col("doc_id"), col("rk").as("lex_rk"))
+      .localCheckpoint(true) // ≤ topK rows, read by PRF centroid + fusion
+    val fb = embeddings.join(
+      broadcast(lex.select(col("doc_id").as("vec_id"))), Seq("vec_id"))
+    val semR = mmrRelevanceTo(embeddings, fb)
+      .orderBy(col("rel").desc, col("vec_id")).limit(topK)
+      .withColumn("sem_rk", row_number().over(
+        Window.orderBy(col("rel").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rk"))
+    val fused = lex.join(semR, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rk")), lit(0.0)))
+    fused.orderBy(col("rrf_score").desc, col("doc_id")).limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "lex_rk", "sem_rk", "rrf_score", "rk")
   }
 
   def mmrDiversify(embeddings: DataFrame, k: Int = 16, shortlist: Int = 64,

@@ -168,6 +168,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.2, s"grid-quantizer recall collapsed: $recall")
   }
 
+  test("hybridRrfTopK: RRF arithmetic recomputes from the tier ranks; ordering and rank density hold") {
+    val rows = q("hybrid_rrf_topk").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    def term(r: org.apache.spark.sql.Row, f: String): Double = {
+      val i = r.fieldIndex(f)
+      if (r.isNullAt(i)) 0.0 else 1.0 / (60 + r.getLong(i))
+    }
+    // every fused score is exactly the sum of its tier terms
+    for (r <- rows)
+      assert(r.getAs[Double]("rrf_score") == term(r, "lex_rk") + term(r, "sem_rk"),
+        s"RRF arithmetic drifted for doc ${r.getLong(0)}")
+    // rk is dense 1..n and consistent with (score DESC, doc_id ASC)
+    val byRk = rows.sortBy(_.getAs[Long]("rk"))
+    assert(byRk.map(_.getAs[Long]("rk")).toSeq == (1L to rows.length).toSeq)
+    val resorted = rows.sortBy(r => (-r.getAs[Double]("rrf_score"), r.getLong(0)))
+    assert(resorted.map(_.getLong(0)).toSeq == byRk.map(_.getLong(0)).toSeq)
+    // every present tier rank is a valid 1..20 rank
+    for (r <- rows; f <- Seq("lex_rk", "sem_rk"); i = r.fieldIndex(f)
+         if !r.isNullAt(i))
+      assert(r.getLong(i) >= 1 && r.getLong(i) <= 20)
+    // a doc ranked in BOTH tiers outscores any doc in only one tier at
+    // an equal-or-worse rank pair (monotonicity of the fusion)
+    val both = rows.filter(r => !r.isNullAt(r.fieldIndex("lex_rk")) &&
+      !r.isNullAt(r.fieldIndex("sem_rk")))
+    val solo = rows.filter(r => r.isNullAt(r.fieldIndex("lex_rk")) ^
+      r.isNullAt(r.fieldIndex("sem_rk")))
+    for (b <- both; s <- solo) {
+      val sr = Seq("lex_rk", "sem_rk").map(f =>
+        if (s.isNullAt(s.fieldIndex(f))) Long.MaxValue else s.getLong(s.fieldIndex(f))).min
+      if (b.getLong(b.fieldIndex("lex_rk")) <= sr &&
+          b.getLong(b.fieldIndex("sem_rk")) <= sr)
+        assert(b.getAs[Double]("rrf_score") > s.getAs[Double]("rrf_score"))
+    }
+  }
+
   test("semdedup_grid: one row per nonzero vector; witness ordering and kept-independence hold") {
     import graft.ops.Similarity
     val e = Tables.embeddings(spark, SF)
