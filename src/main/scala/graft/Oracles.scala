@@ -1507,6 +1507,33 @@ af AS (
       SELECT doc_id, n_terms_hit, score_micro,
              CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rk
       FROM perdoc""",
+    // embedding-QA outlier report (r14): q6/decimal norm profile (count +
+    // two decimal sums), per-dim decimal centroid sums, identical CASE
+    // guards — z-scores, centroid cosines, and the zero-vector/|z|>3 flag
+    // value-checked per vector
+    "embedding_outliers" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n, ${r6sum("nrm")} AS s1,
+                    ${r6sum("nrm*nrm")} AS s2 FROM n),
+      ds AS (SELECT i AS dim, ${r6sum("v[i]")} AS t_d
+             FROM (SELECT v, UNNEST(generate_series(1, len(v))) AS i FROM e) g GROUP BY i),
+      t AS (SELECT list(t_d ORDER BY dim) AS tv FROM ds),
+      base AS (SELECT n.vec_id, n.nrm AS norm,
+                      s1 / st.n AS mean_norm,
+                      CASE WHEN st.n > 1 THEN sqrt((s2 - s1 * s1 / st.n) / (st.n - 1)) END AS std_norm,
+                      CASE WHEN n.nrm > 0
+                           THEN floor(list_dot_product(n.v, tv) / (n.nrm * sqrt(list_dot_product(tv, tv))) * 1000000.0 + 0.5) / 1000000.0
+                      END AS centroid_cos
+               FROM n CROSS JOIN st CROSS JOIN t),
+      z AS (SELECT vec_id, norm,
+                   CASE WHEN std_norm > 0 THEN (norm - mean_norm) / std_norm END AS norm_z,
+                   centroid_cos
+            FROM base)
+      SELECT vec_id, norm, norm_z, centroid_cos,
+             norm = 0.0 OR abs(norm_z) > 3.0 AS is_outlier
+      FROM z""",
+
     // hybrid RRF retrieval (r14): the bm25_topk CTEs verbatim give the
     // lexical ranks; the mmr_diversify centroid CTEs over the lexical
     // top-k's embeddings (Rocchio PRF) give the semantic ranks; RRF

@@ -323,6 +323,12 @@ object SparkEntry {
     "event_freshness" -> ((s, d) => StreamDemo.eventFreshness(Tables.events(s, d))),
     // gap-based sessionization: per-event session labels + session rollup
     "sessionize" -> ((s, d) => Analytics.sessionize(Tables.events(s, d))),
+    // the firehose-safe SALTED variant (time-sliced local windows +
+    // boundary repair) declared against the SAME oracle: the skew path's
+    // salted≡unsalted law (SkewSpec, 10^5-event hot user), hash-verified
+    // on the real corpus too
+    "sessionize_salted" -> ((s, d) =>
+      Analytics.sessionizeSalted(Tables.events(s, d))),
     // ordered conversion funnel (view -> click -> purchase, strict order)
     "event_funnel" -> ((s, d) => Analytics.eventFunnel(Tables.events(s, d))),
     // retention triangle: first-active-day cohorts x day offset
@@ -904,6 +910,11 @@ object SparkEntry {
       Similarity.knnLabel(Tables.embeddings(s, d), mirrorableHash = true)),
     "embedding_near_dup_lsh" -> ((s, d) =>
       Similarity.embeddingNearDupLsh(Tables.embeddings(s, d), mirrorableHash = true)),
+    // per-vector embedding QA: norm z-scores vs the corpus profile +
+    // centroid cosine + the zero-vector/|z|>3 outlier flag — the gate run
+    // BEFORE indexing/dedup (flags what withNorms would silently drop)
+    "embedding_outliers" -> ((s, d) =>
+      Similarity.embeddingOutliers(Tables.embeddings(s, d))),
     "similarity_ivf_topk" -> ((s, d) =>
       Similarity.ivfQuery(ivfIndex(s, d), Tables.embeddings(s, d))),
     // the IVF probe/candidate/rerank pipeline under a DETERMINISTIC
@@ -1030,7 +1041,10 @@ object SparkEntry {
     Oracles.sql +
       ("stream_scd2_dim" -> Oracles.sql("scd2_dim")) +
       ("stream_session_windows" -> Oracles.sql("session_windows")) +
-      ("stream_user_profiles" -> Oracles.sql("user_profiles"))
+      ("stream_user_profiles" -> Oracles.sql("user_profiles")) +
+      // the salted skew path must land bit-identical to the plain
+      // sessionizer (the SkewSpec law) — same oracle VERBATIM
+      ("sessionize_salted" -> Oracles.sql("sessionize"))
 
   /** The sanctioned rows-only queries: exactly the [[queries]] keys with NO
     * [[oracleSql]] entry, each with the reason it cannot be SQL-mirrored

@@ -433,6 +433,47 @@ object Similarity {
         "max_excluded_rel", "boundary_tie")
   }
 
+  /** Embedding-quality outlier report — the QA gate a pipeline runs
+    * BEFORE indexing/deduplicating an embedding corpus: per vector, its
+    * L2 norm, the norm's z-score against the corpus profile (a collapsed
+    * or exploded norm is the classic sign of a failed encode), and its q6
+    * cosine to the exact corpus centroid (monitoring signal; NULL for the
+    * zero vector). `is_outlier` flags the zero vector and any |z| past
+    * `zThreshold` — the rows [[withNorms]]'s cosine family would silently
+    * drop or an ANN index would pollute.
+    *
+    * All corpus statistics ride the q6/decimal discipline (count + two
+    * decimal sums + the per-dim centroid sums — order-independent,
+    * DuckDB-oracled); the per-vector pass is one broadcast of three
+    * scalars. Scale: two linear aggregations and a map — no shuffle
+    * beyond the combining groupBys. */
+  def embeddingOutliers(embeddings: DataFrame, zThreshold: Double = 3.0): DataFrame = {
+    val v = embeddings.select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(dotd(col("v"), col("v"))))
+    val stats = v.agg(
+      count(lit(1)).cast("long").as("n"),
+      r6sum(col("norm")).as("s1"),
+      r6sum(col("norm") * col("norm")).as("s2"))
+    // centroid direction over ALL rows (zero vectors contribute zero mass)
+    val sums = v.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(r6sum(col("x")).as("s"))
+      .orderBy("dim").collect().map(_.getDouble(1))
+    var tt = 0.0
+    sums.foreach(s => tt += s * s) // sequential, = list_dot_product order
+    val (tn, tv) = (math.sqrt(tt), typedLit(sums.toSeq))
+    v.crossJoin(broadcast(stats))
+      .withColumn("mean_norm", col("s1") / col("n"))
+      .withColumn("std_norm", when(col("n") > 1,
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))))
+      .withColumn("norm_z", when(col("std_norm") > 0,
+        (col("norm") - col("mean_norm")) / col("std_norm")))
+      .withColumn("centroid_cos", when(col("norm") > 0,
+        q6(dotd(col("v"), tv) / (col("norm") * lit(tn)))))
+      .withColumn("is_outlier",
+        col("norm") === 0.0 || abs(col("norm_z")) > zThreshold)
+      .select("vec_id", "norm", "norm_z", "centroid_cos", "is_outlier")
+  }
+
   /** Embedding-cosine near-duplicate pairs: (a < b) with cosine ≥ threshold
     * — the embedding leg of the dedup family. Exact all-pairs semantics
     * (the small-corpus baseline; the LSH bucketing of [[lshTopK]] is the

@@ -121,6 +121,7 @@ class PlansSpec extends SparkTestBase {
       "cell_balanced_sample_grid", // same grid-assignment centroid broadcast
       "semdedup_stats_grid",     // same grid-assignment centroid broadcast
       "mmr_shortlist_stats",     // three 1-row audit legs combined (nc×sb×ex)
+      "embedding_outliers",      // 1-row norm-profile (n, s1, s2) broadcast
       "similarity_ivfpq_topk",   // same centroid broadcast via the IVF probe tier
       "similarity_ivfpq_residual_topk", // same centroid broadcast, residual decode
       "similarity_ivfpq_opq_topk", // same centroid broadcast, rotated space

@@ -168,6 +168,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.2, s"grid-quantizer recall collapsed: $recall")
   }
 
+  test("embeddingOutliers: zero vector and extreme norm flagged; inliers clean; one row per vector") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    def emb(id: Long, v: Seq[Float]) = (id, "x", v.toArray)
+    // 30 unit-ish inliers + the two classic encode failures: the zero
+    // vector (collapsed) and a 100x norm (exploded)
+    val rows = (1L to 30L).map(i => emb(i, Seq(1f, i.toFloat / 1000))) :+
+      emb(98L, Seq(0f, 0f)) :+ emb(99L, Seq(100f, 0f))
+    val out = Similarity.embeddingOutliers(
+        rows.toDF("vec_id", "label", "embedding")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 32) // zero vector NOT dropped — that's the point
+    val zero = out(98L)
+    assert(zero.getAs[Boolean]("is_outlier"))
+    assert(zero.isNullAt(zero.fieldIndex("centroid_cos")))
+    assert(zero.getDouble(zero.fieldIndex("norm")) == 0.0)
+    assert(out(99L).getAs[Boolean]("is_outlier"), "exploded norm must flag")
+    assert(out(99L).getAs[Double]("norm_z") > 3.0)
+    for (i <- 1L to 30L) {
+      assert(!out(i).getAs[Boolean]("is_outlier"), s"inlier $i flagged")
+      assert(out(i).getAs[Double]("centroid_cos") > 0.9) // inliers point with the corpus
+    }
+  }
+
   test("hybridRrfTopK: RRF arithmetic recomputes from the tier ranks; ordering and rank density hold") {
     val rows = q("hybrid_rrf_topk").collect()
     assert(rows.nonEmpty && rows.length <= 20)
