@@ -1587,6 +1587,56 @@ af AS (
              CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rk
       FROM top""",
 
+    // passage-level BM25 with MaxP doc aggregation (r14): the
+    // chunk_documents window geometry materialized as token-slice text,
+    // the bm25_topk CTEs verbatim over the CHUNK corpus (chunk-level
+    // df/dl/avgdl and the mid-df probe query), per-chunk integer
+    // micro-unit sums, then max-per-document — value-checked end to end
+    "bm25_maxp_topk" -> """
+      WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      cb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM tk WHERE len(toks) > 0),
+      chunks AS (SELECT doc_id * 1048576 + ci AS chunk_key, doc_id,
+                        array_to_string(toks[ci*48+1 : ci*48 + LEAST(64, n_tokens - ci*48)], ' ') AS text
+                 FROM (SELECT doc_id, n_tokens, toks,
+                              UNNEST(generate_series(0, GREATEST(0, n_tokens - 64 + 48 - 1) // 48)) AS ci
+                       FROM cb) g),
+      p AS (SELECT chunk_key, token, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT chunk_key, unnest(regexp_split_to_array(text, '\s+')) AS token
+                  FROM chunks) t
+            GROUP BY 1, 2),
+      df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM chunks),
+      dl AS (SELECT chunk_key, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS dl
+             FROM chunks),
+      stats AS (SELECT (SELECT n_docs FROM n) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+                FROM dl),
+      ddf AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_df
+              FROM (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+                    FROM documents) t
+              GROUP BY 1),
+      dn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      terms AS (SELECT token FROM ddf CROSS JOIN dn
+                WHERE doc_df * 20 >= nd AND doc_df * 4 <= nd
+                ORDER BY doc_df DESC, token ASC LIMIT 4),
+      scoredterm AS (
+        SELECT p.chunk_key,
+               CAST(floor(
+                 ln(CAST(1.0 AS DOUBLE) + (stats.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+                 * ((p.tf * CAST(2.2 AS DOUBLE)) / (p.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl)))
+                 * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_micro
+        FROM p JOIN terms USING (token) JOIN df USING (token) JOIN dl USING (chunk_key) CROSS JOIN stats),
+      perchunk AS (SELECT chunk_key, CAST(SUM(score_micro) AS BIGINT) AS chunk_score
+                   FROM scoredterm GROUP BY 1),
+      perdoc AS (SELECT c.doc_id, CAST(max(pc.chunk_score) AS BIGINT) AS score_micro,
+                        CAST(count(*) AS BIGINT) AS n_chunks_hit
+                 FROM perchunk pc JOIN chunks c ON c.chunk_key = pc.chunk_key
+                 GROUP BY 1
+                 ORDER BY score_micro DESC, doc_id ASC LIMIT 20)
+      SELECT doc_id, score_micro, n_chunks_hit,
+             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rk
+      FROM perdoc""",
+
     // SCD Type-2 history of each customer's order-priority: lag marks
     // change points, a running sum numbers runs, lead closes intervals.
     "scd2_dim" -> """

@@ -442,6 +442,10 @@ object SparkEntry {
     // hybrid-search operator; cross-table, fully oracled)
     "hybrid_rrf_topk" -> ((s, d) =>
       Similarity.hybridRrfTopK(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // passage-level BM25 with MaxP aggregation (Dai & Callan 2019): score
+    // sliding token windows independently, rank docs by their best chunk
+    "bm25_maxp_topk" -> ((s, d) =>
+      Retrieval.bm25MaxPTopK(Tables.documents(s, d))),
     "corpus_split" -> ((s, d) => Text.hashSplit(Tables.documents(s, d))),
     "corpus_cap" -> ((s, d) => Text.corpusCap(Tables.documents(s, d))),
     "corpus_pack" -> ((s, d) => Text.packSequences(Tables.documents(s, d))),

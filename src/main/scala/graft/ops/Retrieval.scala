@@ -128,4 +128,78 @@ object Retrieval {
       row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id").asc))
         .cast("long"))
   }
+
+  /** Passage-level BM25 with MaxP document aggregation (Dai & Callan 2019,
+    * "Deeper Text Understanding for IR" — max-passage is the standard
+    * long-document retrieval shape): score fixed-token CHUNKS
+    * independently against the query, then a document's relevance is its
+    * BEST chunk's score. Whole documents dilute a locally-relevant passage
+    * under BM25's length normalization; MaxP retrieves the document whose
+    * best WINDOW matches.
+    *
+    * Chunks are [[graft.ops.Text.chunkDocuments]]'s sliding windows
+    * (`chunkTokens` tokens advancing by `chunkTokens − overlap`)
+    * materialized as token-slice text; the chunk corpus gets its OWN
+    * df/dl/avgdl SCORING statistics (passage-level idf, the published
+    * form), while the probe QUERY is derived at the DOCUMENT level —
+    * [[bm25TopK]]'s own mid-df band over the same corpus — so the two
+    * declared retrieval queries answer the SAME query and differ only in
+    * document-vs-best-passage scoring (the comparison MaxP exists for; a
+    * chunk-level band would also be degenerate here: chunking makes the
+    * df distribution bimodal — head tokens hit ~every chunk, tail tokens
+    * one — leaving the mid band near-empty). Chunk keys are
+    * `doc_id·2²⁰ + chunk_idx` (numeric — engine-neutral tie order; bounds
+    * documents at 2²⁰ chunks ≈ 50M tokens, far past any training doc).
+    * Output: top `topK` documents by (best-chunk micro-score DESC, doc_id)
+    * with the number of query-matching chunks.
+    *
+    * Scale shape: the chunk explode is partition-local, everything
+    * downstream is [[bm25TopK]]'s audited broadcast-semi-join plan over
+    * more, smaller "documents", and MaxP is one combining groupBy riding
+    * the chunk→doc key map; the final cut is TakeOrdered with the rank
+    * window post-limit. */
+  def bm25MaxPTopK(documents: DataFrame, chunkTokens: Long = 64L,
+      overlap: Long = 16L, nTerms: Int = 4, topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val chunkText = Text.chunkDocuments(documents, chunkTokens, overlap)
+      .join(documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(
+        (col("doc_id") * lit(1048576L) + col("chunk_idx")).as("chunk_key"),
+        col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"),
+          (col("start_tok") + 1L).cast("int"),
+          col("n_tok_chunk").cast("int"))).as("text"))
+      .localCheckpoint(true) // read by postings, dl, and the MaxP key map
+    val asDocs = chunkText.select(col("chunk_key").as("doc_id"), col("text"))
+    val p = termFrequencies(asDocs).localCheckpoint(true)
+    val df = p.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+      .localCheckpoint(true)
+    val dl = docLengths(asDocs)
+    val stats = bm25Stats(dl)
+    // query terms from the DOCUMENT-level band (bm25TopK's derivation —
+    // same query, so the two retrieval queries are directly comparable);
+    // scoring statistics stay chunk-level
+    val docDf = termFrequencies(documents)
+      .groupBy("token").agg(count(lit(1)).cast("long").as("doc_df"))
+    val nDocs = bm25Stats(docLengths(documents)).select(col("n_docs"))
+    val terms = docDf.crossJoin(broadcast(nDocs))
+      .where(col("doc_df") * 20 >= col("n_docs") && col("doc_df") * 4 <= col("n_docs"))
+      .orderBy(col("doc_df").desc, col("token").asc)
+      .limit(nTerms)
+      .select("token")
+    val perChunk = bm25ScoreParts(p, df, dl, stats, terms, k1, b)
+      .groupBy("doc_id")
+      .agg(sum("score_micro").cast("long").as("chunk_score"))
+      .withColumnRenamed("doc_id", "chunk_key")
+    val perDoc = perChunk
+      .join(chunkText.select("chunk_key", "doc_id"), Seq("chunk_key"))
+      .groupBy("doc_id")
+      .agg(max("chunk_score").as("score_micro"),
+        count(lit(1)).cast("long").as("n_chunks_hit"))
+    val top = perDoc.orderBy(col("score_micro").desc, col("doc_id").asc).limit(topK)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id").asc))
+        .cast("long"))
+      .select("doc_id", "score_micro", "n_chunks_hit", "rk")
+  }
 }

@@ -172,7 +172,8 @@ class PlansSpec extends SparkTestBase {
       "source_overlap_kmv",      // |sources|-bounded pair frame (a < b non-equi
                                  // join of the source LIST, never document rows)
       "bm25_topk",               // two 1-row broadcasts (corpus N; N+avgdl stats)
-      "hybrid_rrf_topk")         // bm25's stats broadcasts + the ≤topK lex frame
+      "hybrid_rrf_topk",         // bm25's stats broadcasts + the ≤topK lex frame
+      "bm25_maxp_topk")          // bm25's two 1-row stats broadcasts (chunk corpus)
     // Sanctioned unpartitioned windows/sorts: |teams|-bounded frames only.
     val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features",
       "token_spectrum", // cumulative sweep over the count HISTOGRAM — rows
@@ -182,8 +183,9 @@ class PlansSpec extends SparkTestBase {
                         // BY CONSTRUCTION — corpus-scale work happened map-side)
       "bm25_topk",      // rank window over the POST-LIMIT top-k frame (≤ 20
                         // rows by construction — the corpus cut was TakeOrdered)
-      "hybrid_rrf_topk") // two post-limit rank windows (sem tier + fusion),
+      "hybrid_rrf_topk", // two post-limit rank windows (sem tier + fusion),
                          // each ≤ topK rows by construction
+      "bm25_maxp_topk")  // rank window over the post-limit top-k doc frame
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val qe = fn(spark, SF).queryExecution
       val physical = qe.executedPlan.toString

@@ -26,6 +26,31 @@ class RetrievalAndDimSpec extends SparkTestBase {
       val h = x.getAs[Long]("n_terms_hit"); h >= 1L && h <= 4L })
   }
 
+  test("bm25_maxp_topk: dense ranks, ordered scores, chunk hits bounded by each doc's chunk count") {
+    val rows = q("bm25_maxp_topk").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val byRk = rows.sortBy(_.getAs[Long]("rk"))
+    assert(byRk.map(_.getAs[Long]("rk")).toSeq == (1L to rows.length).toSeq)
+    // MaxP scores non-increasing with rank; ties broken by doc_id
+    assert(byRk.sliding(2).forall { case Array(a, b) =>
+      a.getAs[Long]("score_micro") > b.getAs[Long]("score_micro") ||
+        (a.getAs[Long]("score_micro") == b.getAs[Long]("score_micro") &&
+          a.getLong(0) < b.getLong(0))
+    })
+    // a doc's query-matching chunk count is bounded by its chunk count
+    val nChunks = Text.chunkDocuments(Tables.documents(spark, SF), 64L, 16L)
+      .groupBy("doc_id").agg(count(lit(1)).as("nc")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall { r =>
+      val h = r.getAs[Long]("n_chunks_hit")
+      h >= 1 && h <= nChunks(r.getLong(0))
+    })
+    // MaxP on a single-chunk doc scores that doc's whole text: for every
+    // returned doc short enough to be one chunk, the best-chunk score is
+    // the full-document chunk's score by construction (sanity: present)
+    assert(rows.exists(r => nChunks(r.getLong(0)) == 1L))
+  }
+
   test("bm25: more query-term mass at equal length ranks higher; rarer term beats common") {
     // same length (8 tokens); A has the term 3x, B 1x
     val docs = Seq(
