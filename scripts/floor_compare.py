@@ -16,11 +16,29 @@ Prints one JSON line:
     artifact's median end-probe calibration. Artifacts without
     calibrations (pre-r14) fall back to the raw ratio with
     "calib_normalized": null.
+  - probe/total disagreement (r14 VERDICT #3): start/end probes bracket
+    a run but can invert under BURSTY mid-run contention — r14's
+    definitive-close run had the round's fastest probe pair and its
+    slowest total. Per run we compute drag = raw_total / end_probe; if
+    max/min drag across an artifact's runs exceeds DRAG_SPREAD_MAX the
+    probes and totals disagree about how loaded the host was, so the
+    drag normalization is untrustworthy: calib_normalized_ratio is
+    REFUSED (null) and `calib_disagreement` names the offending side.
   - entries added/removed, so a silently-shrunk surface is visible.
+
+All missing-data guards use `is not None` — a legitimate 0.0 (zero
+shared total, zero wall) reports as the computed number, never nulled
+by bare truthiness (r14 ADVICE).
 """
 import json
 import statistics
 import sys
+
+# max allowed (max drag / min drag) across one artifact's runs before the
+# probe pair and the totals are declared in disagreement. 1.5 separates
+# the r14 inversion (fast probes + 367 s total vs 15-21 s probes + ~240 s
+# totals => spread ~2.2) from ordinary run-to-run jitter (< 1.3 observed).
+DRAG_SPREAD_MAX = 1.5
 
 
 def med_calib(doc):
@@ -30,6 +48,20 @@ def med_calib(doc):
     # end-probe: the start probe carries first-touch JIT, the end probe is
     # the steady-state host speed the timing loop actually ran under
     return statistics.median(p[-1] for p in pairs)
+
+
+def drag_spread(doc):
+    """max/min of per-run (raw_total / end_probe); None if unavailable."""
+    totals = doc.get("raw_totals") or []
+    pairs = doc.get("calibrations") or []
+    drags = [t / p[-1] for t, p in zip(totals, pairs)
+             if t is not None and p and p[-1] is not None and p[-1] > 0]
+    if len(drags) < 2:
+        return None
+    lo = min(drags)
+    if lo <= 0:
+        return None
+    return max(drags) / lo
 
 
 def main(old_path, new_path):
@@ -43,18 +75,32 @@ def main(old_path, new_path):
     sxn = sum(qn[q] for q in shared if q != "pipeline_stages")
     ratios = sorted(qn[q] / qo[q] for q in shared if qo[q] > 0.05)
     co, cn = med_calib(old), med_calib(new)
-    raw_ratio = sn / so if so else None
-    calib_norm = (sn / cn) / (so / co) if (co and cn and so) else None
+    raw_ratio = sn / so if so > 0 else None
+    # probe/total disagreement gate: refuse normalization when either
+    # artifact's runs show probes and totals telling different stories
+    disagree = []
+    for label, doc in (("old", old), ("new", new)):
+        spread = drag_spread(doc)
+        if spread is not None and spread > DRAG_SPREAD_MAX:
+            disagree.append({"artifact": label, "drag_spread": round(spread, 3)})
+    calib_norm = None
+    if co is not None and cn is not None and co > 0 and cn > 0 and so > 0 \
+            and not disagree:
+        calib_norm = (sn / cn) / (so / co)
     out = {
         "shared_entries": len(shared),
         "old_shared_sec": round(so, 2),
         "new_shared_sec": round(sn, 2),
-        "ratio": round(raw_ratio, 4) if raw_ratio else None,
-        "ratio_excl_pipeline_stages": round(sxn / sxo, 4) if sxo else None,
-        "median_per_query_ratio": round(statistics.median(ratios), 4) if ratios else None,
-        "old_calib_sec": round(co, 2) if co else None,
-        "new_calib_sec": round(cn, 2) if cn else None,
-        "calib_normalized_ratio": round(calib_norm, 4) if calib_norm else None,
+        "ratio": round(raw_ratio, 4) if raw_ratio is not None else None,
+        "ratio_excl_pipeline_stages":
+            round(sxn / sxo, 4) if sxo > 0 else None,
+        "median_per_query_ratio":
+            round(statistics.median(ratios), 4) if ratios else None,
+        "old_calib_sec": round(co, 2) if co is not None else None,
+        "new_calib_sec": round(cn, 2) if cn is not None else None,
+        "calib_normalized_ratio":
+            round(calib_norm, 4) if calib_norm is not None else None,
+        "calib_disagreement": disagree,
         "added": sorted(set(qn) - set(qo)),
         "removed": sorted(set(qo) - set(qn)),
     }

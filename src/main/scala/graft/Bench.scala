@@ -88,7 +88,13 @@ object Bench {
     // calibration probe #2: same fixed workload after the loop — the pair
     // bounds how much the host drifted DURING the run, not just between runs
     val calibEnd = calibrate(spark)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms grain — far below run-to-run jitter): full
+    // double precision made the 200+-entry line ~40% longer, and an
+    // oversized line is exactly what a stdout tail-capture truncates
+    // (BENCH_r13/r14 parsed null — r14 VERDICT #2)
+    def r4(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -96,25 +102,31 @@ object Bench {
     // overlap — attribution, not additive); includes the recorded
     // non-DataFrame stages (ivf_index, gate_overlap_frame, dsir_counts)
     val stJson = graft.ops.Pipeline.timings(spark, sfDir).toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val subsetJson = onlyEnv.map(_.toSeq.sorted
       .map(n => "\"" + n + "\"").mkString(""","subset":[""", ",", "]")).getOrElse("")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stages":$stJson,"errors":$errJson,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd$subsetJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"stages":$stJson,"errors":$errJson,"calib_start_sec":${r4(calibStart)},"calib_end_sec":${r4(calibEnd)}$subsetJson,"sf":"$sfDir"}"""
     println(line)
-    // the full line above grows with the query count and a tail-capture can
-    // truncate its head (r5 and r13: artifact parsed as null) — two
-    // defenses: (1) the full line is ALSO written to a file (r13 #6), so
-    // the per-query map always survives whatever happens to stdout;
-    // (2) the headline number repeats alone as the LAST stdout line so any
-    // tail keeps it; distinct metric name so a consumer summing "total"
-    // entries can't double-count.
+    // the full line grows with the query count and a tail-capture can
+    // truncate its head (r5/r13/r14: committed artifact parsed as null) —
+    // three defenses: (1) the full line is ALSO written to a file (r13
+    // #6), so the per-query map always survives whatever happens to
+    // stdout; (2) the headline number repeats alone under a distinct
+    // metric name so a consumer summing "total" entries can't
+    // double-count; (3) the full line prints AGAIN as the very LAST
+    // stdout line (r14 VERDICT #2) — a tail window that starts mid-run
+    // now ends on a complete copy of the map instead of a beheaded one.
+    // BENCH_LAST_RUN.json in the repo root is a TRACKED round artifact
+    // (committed at each round close, like BENCH_FLOOR_r*.json), so the
+    // default write is not working-tree pollution (r14 ADVICE #4).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LAST_RUN.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","sf":"$sfDir","errors_n":${errors.size},"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"subset_n":${onlyEnv.map(_.size).getOrElse(0)}}""")
+    println(s"""{"metric":"total_tail","value":${r4(total)},"unit":"sec","sf":"$sfDir","errors_n":${errors.size},"calib_start_sec":${r4(calibStart)},"calib_end_sec":${r4(calibEnd)},"subset_n":${onlyEnv.map(_.size).getOrElse(0)}}""")
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1531,7 +1531,7 @@ af AS (
                    centroid_cos
             FROM base)
       SELECT vec_id, norm, norm_z, centroid_cos,
-             norm = 0.0 OR abs(norm_z) > 3.0 AS is_outlier
+             coalesce(norm = 0.0 OR abs(norm_z) > 3.0, false) AS is_outlier
       FROM z""",
 
     // hybrid RRF retrieval (r14): the bm25_topk CTEs verbatim give the

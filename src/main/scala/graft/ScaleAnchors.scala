@@ -249,15 +249,31 @@ object ScaleAnchors {
       // size the sketch MERGES at (per-partition sketches combining is
       // where GK error compounds, and it only shows up at volume)
       locally {
-        val lengths = d.select(col("source"), col("n_chars")).collect()
-          .map(r => (r.getString(0), r.getLong(1)))
-          .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+        // ±1% rank bounds derived from the per-source LENGTH HISTOGRAM
+        // (r14 ADVICE: the previous form collected the whole (source,
+        // n_chars) corpus to the driver and sorted it — corpus-sized
+        // driver memory + GC pressure mid-anchor-run). The histogram is
+        // bounded by the length VALUE DOMAIN, not the corpus: the
+        // distributed combining groupBy ships |sources|×|distinct
+        // lengths| rows, and the driver-side cum-count walk reproduces
+        // the sorted-array rank semantics exactly (value at rank
+        // ceil(n·p) = smallest length whose cumulative count ≥ ceil(n·p)).
+        val hist = d.groupBy(col("source"), col("n_chars"))
+          .agg(count(lit(1)).as("c")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .groupBy(_._1).view.mapValues { rows =>
+            val sorted = rows.map(t => (t._2, t._3)).sortBy(_._1)
+            val cum = sorted.scanLeft(0L)(_ + _._2).tail
+            (sorted.map(_._1), cum) // (ascending lengths, cumulative counts)
+          }.toMap
         var bad = 0
         for (r <- ops.Text.lengthPercentilesApprox(d).collect()) {
-          val xs = lengths(r.getString(0))
-          val n = xs.length
-          def at(p: Double) = xs(math.min(n - 1,
-            math.max(0, math.ceil(n * p).toInt - 1)))
+          val (vals, cum) = hist(r.getString(0))
+          val n = cum.last
+          def at(p: Double): Long = {
+            val rank = math.min(n, math.max(1L, math.ceil(n * p).toLong))
+            vals(cum.indexWhere(_ >= rank))
+          }
           for ((qq, i) <- Seq(0.25, 0.50, 0.75, 0.95).zipWithIndex) {
             val v = r.getLong(2 + i)
             if (v < at(math.max(0.0, qq - 0.01)) ||

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -57,8 +57,186 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd asymmetric-distance (ADC) dot product for product-quantized
+  * candidates: `q · decode(codes)` where `decode` reassembles the coded
+  * vector from the PLAN-CONSTANT flat codebook (layout
+  * `[(sub·ks + code)·subDim + dim]`) plus an optional additive `base`
+  * (the coarse cell centroid, for residual/IVFADC codes; pass an empty
+  * array for raw codes).
+  *
+  * This is the shuffle-shape fix of r14 VERDICT #1: the previous plan
+  * reconstructed every candidate to a d-dim double array and JOINED that
+  * onto the (query, candidate) pairs, so the PQ family's candidate
+  * shuffle carried d doubles per row — the surface's largest shuffle
+  * mover (77–111 MB at sf0.1). With this expression the candidate join
+  * carries the m int codes (the codebook rides the serialized plan as a
+  * reference object — ks·dim doubles, corpus-independent by
+  * construction), an 8× narrower neighbor payload at the d=64/m=8
+  * defaults and the published IVFADC wire shape (Jégou et al. 2011
+  * §III.B: candidates ship codes, never vectors).
+  *
+  * Why decode-and-dot rather than the per-(query, subspace) LOOKUP
+  * table of the classic formulation: the LUT is the right shape when a
+  * small query batch scans many candidates per query — but as a
+  * COLUMNAR plan the table must travel WITH the query rows, inflating
+  * the query-side payload from `dim` to `m·ks` doubles (32× at the
+  * ks=256 defaults), which is a net shuffle LOSS whenever queries are
+  * corpus-scale (the self-join ANN queries here). Decode-and-dot keeps
+  * both join payloads minimal (codes + the unchanged qv) and spends
+  * m·subDim = dim fused multiply-adds per pair — identical FLOPs to the
+  * reconstruct-join it replaces, now without the d-dim shuffle.
+  *
+  * Summation order is ascending dim with ONE accumulator across
+  * subspace boundaries — bit-identical to `DotProduct(q, reconstruct)`
+  * over the flattened reconstruction (and to DuckDB's serial
+  * `list_dot_product`), with the base added per element BEFORE the
+  * multiply exactly like the `zip_with(centroid, rv, _+_)` it replaces.
+  * The AdcSpec/SimilaritySpec adc≡reconstruct law pins this: the ADC
+  * path and the reconstruct-join path must produce IDENTICAL frames. */
+case class PqAdcDot(q: Expression, codes: Expression, base: Expression,
+    codebook: Array[Double], ks: Int, subDim: Int)
+    extends TernaryExpression {
+
+  override def first: Expression = q
+  override def second: Expression = codes
+  override def third: Expression = base
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dot"
+
+  override def nullSafeEval(qv: Any, cd: Any, bs: Any): Any = {
+    val qa = qv.asInstanceOf[ArrayData]
+    val ca = cd.asInstanceOf[ArrayData]
+    val ba = bs.asInstanceOf[ArrayData]
+    val m = ca.numElements()
+    val hasBase = ba.numElements() > 0
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val off = (j * ks + ca.getInt(j)) * subDim
+      var t = 0
+      while (t < subDim) {
+        val i = j * subDim + t
+        val r = if (hasBase) ba.getDouble(i) + codebook(off + t)
+                else codebook(off + t)
+        s += qa.getDouble(i) * r
+        t += 1
+      }
+      j += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, (qv, cd, bs) => {
+      val j = ctx.freshName("j"); val t = ctx.freshName("t")
+      val i = ctx.freshName("i"); val off = ctx.freshName("off")
+      val m = ctx.freshName("m"); val hb = ctx.freshName("hasBase")
+      val r = ctx.freshName("r")
+      s"""
+         |final int $m = $cd.numElements();
+         |final boolean $hb = $bs.numElements() > 0;
+         |double ${ev.value}_acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  final int $off = ($j * $ks + $cd.getInt($j)) * $subDim;
+         |  for (int $t = 0; $t < $subDim; $t++) {
+         |    final int $i = $j * $subDim + $t;
+         |    final double $r = $hb ? $bs.getDouble($i) + $cb[$off + $t]
+         |                          : $cb[$off + $t];
+         |    ${ev.value}_acc += $qv.getDouble($i) * $r;
+         |  }
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(q = newFirst, codes = newSecond, base = newThird)
+}
+
+/** Codegen'd squared L2 norm of a PQ-decoded vector:
+  * `‖base + decode(codes)‖²` against the same plan-constant flat
+  * codebook as [[PqAdcDot]] — the per-NEIGHBOR half of the ADC cosine,
+  * computed once per coded vector from its m int codes (a corpus-linear
+  * narrow pass) instead of materializing the d-dim reconstruction.
+  * Ascending-dim single-accumulator order, base added per element before
+  * the square: bit-identical to `DotProduct(recon, recon)` over the
+  * reconstruct-join frame it replaces. */
+case class PqAdcNorm2(codes: Expression, base: Expression,
+    codebook: Array[Double], ks: Int, subDim: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = base
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_norm2"
+
+  override def nullSafeEval(cd: Any, bs: Any): Any = {
+    val ca = cd.asInstanceOf[ArrayData]
+    val ba = bs.asInstanceOf[ArrayData]
+    val m = ca.numElements()
+    val hasBase = ba.numElements() > 0
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val off = (j * ks + ca.getInt(j)) * subDim
+      var t = 0
+      while (t < subDim) {
+        val r = if (hasBase) ba.getDouble(j * subDim + t) + codebook(off + t)
+                else codebook(off + t)
+        s += r * r
+        t += 1
+      }
+      j += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, (cd, bs) => {
+      val j = ctx.freshName("j"); val t = ctx.freshName("t")
+      val off = ctx.freshName("off"); val m = ctx.freshName("m")
+      val hb = ctx.freshName("hasBase"); val r = ctx.freshName("r")
+      s"""
+         |final int $m = $cd.numElements();
+         |final boolean $hb = $bs.numElements() > 0;
+         |double ${ev.value}_acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  final int $off = ($j * $ks + $cd.getInt($j)) * $subDim;
+         |  for (int $t = 0; $t < $subDim; $t++) {
+         |    final double $r = $hb ? $bs.getDouble($j * $subDim + $t) + $cb[$off + $t]
+         |                          : $cb[$off + $t];
+         |    ${ev.value}_acc += $r * $r;
+         |  }
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(codes = newLeft, base = newRight)
+}
+
 object VectorExprs {
   /** Column-API wrapper for [[DotProduct]]. */
   def dotd(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-API wrapper for [[PqAdcDot]]. */
+  def pqAdcDot(q: Column, codes: Column, base: Column,
+      codebook: Array[Double], ks: Int, subDim: Int): Column =
+    ColumnBridge.column(PqAdcDot(ColumnBridge.expression(q),
+      ColumnBridge.expression(codes), ColumnBridge.expression(base),
+      codebook, ks, subDim))
+
+  /** Column-API wrapper for [[PqAdcNorm2]]. */
+  def pqAdcNorm2(codes: Column, base: Column,
+      codebook: Array[Double], ks: Int, subDim: Int): Column =
+    ColumnBridge.column(PqAdcNorm2(ColumnBridge.expression(codes),
+      ColumnBridge.expression(base), codebook, ks, subDim))
 }

@@ -469,8 +469,14 @@ object Similarity {
         (col("norm") - col("mean_norm")) / col("std_norm")))
       .withColumn("centroid_cos", when(col("norm") > 0,
         q6(dotd(col("v"), tv) / (col("norm") * lit(tn)))))
-      .withColumn("is_outlier",
-        col("norm") === 0.0 || abs(col("norm_z")) > zThreshold)
+      // coalesce → false (r14 ADVICE): with a degenerate norm profile
+      // (n=1 or an exactly uniform-norm corpus, e.g. pre-normalized
+      // embeddings) std_norm is NULL/0 so norm_z is NULL, and
+      // `false || NULL > z` is NULL — a three-valued QA flag that
+      // boolean filters (is_outlier = false / NOT is_outlier) silently
+      // drop. Healthy rows must report false, not NULL; oracle mirrors.
+      .withColumn("is_outlier", coalesce(
+        col("norm") === 0.0 || abs(col("norm_z")) > zThreshold, lit(false)))
       .select("vec_id", "norm", "norm_z", "centroid_cos", "is_outlier")
   }
 
