@@ -4430,6 +4430,41 @@ af AS (
       FROM t, ev
       WHERE floor(CAST(list_dot_product(t.v, ev.v) / (t.nrm * ev.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.4""",
 
+    // LSH-pruned semantic decontamination (r15): the embedding_near_dup_lsh
+    // plane/bucket CTEs, but bits sized on the TRAIN side (the corpus the
+    // index is built over) and candidates from CROSS-CORPUS bucket
+    // collisions (train × eval on (table, bucket)) — the scale path for an
+    // eval side too big to broadcast, value-checked end to end
+    "decontaminate_semantic_lsh" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      tr AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
+      ev AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+      nn AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 20 <> 0),
+      bitsv AS (SELECT coalesce(MIN(bb), 24) AS bits
+                FROM range(4, 25) rb(bb), nn WHERE (1::BIGINT << bb) * 64 >= n),
+      planes AS (
+        SELECT t, b, list(p ORDER BY d) AS plane
+        FROM (SELECT t.range AS t, b.range AS b, d.range AS d,
+                     ((('0x' || substr(md5('lsh:' || t.range || ':' || b.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(8) t, range(24) b, range(64) d, bitsv
+              WHERE b.range < bits) pp
+        GROUP BY 1, 2),
+      tb AS (SELECT vec_id AS train_id, t AS table_id,
+                    CAST(SUM(CASE WHEN list_dot_product(v, plane) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+             FROM tr, planes GROUP BY 1, 2),
+      eb AS (SELECT vec_id AS eval_id, t AS table_id,
+                    CAST(SUM(CASE WHEN list_dot_product(v, plane) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+             FROM ev, planes GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT tb.train_id, eb.eval_id
+               FROM tb JOIN eb ON tb.table_id = eb.table_id AND tb.bucket = eb.bucket)
+      SELECT cand.train_id, cand.eval_id,
+             floor(CAST(list_dot_product(t.v, ev2.v) / (t.nrm * ev2.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+      FROM cand
+      JOIN tr t ON t.vec_id = cand.train_id
+      JOIN ev ev2 ON ev2.vec_id = cand.eval_id
+      WHERE floor(CAST(list_dot_product(t.v, ev2.v) / (t.nrm * ev2.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.4""",
+
     // mirrorable sign-LSH top-k: planes from the md5 grid formula (exact
     // doubles on both engines), sign bits via the SAME ascending-index dot
     // (list_dot_product ↔ the codegen DotProduct), buckets packed as
@@ -5021,6 +5056,61 @@ af AS (
         CAST(len(regexp_split_to_array(d.text,'\s+')) AS BIGINT) AS n_ws_tokens,
         CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
         CASE WHEN coalesce(p.n_bpe, 0) > 0 THEN CAST(length(d.text) AS DOUBLE)/p.n_bpe END AS chars_per_bpe_token
+      FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+  }
+
+  /** DuckDB mirror of the unigram-LM (SentencePiece-style) tokenizer —
+    * built at verify time from the TRAINED piece table the way
+    * [[bpeTokenizeSql]] inlines the merges. The Viterbi DP is replayed
+    * exactly because it is pure BIGINT arithmetic (the integer micro-unit
+    * path keys of `graft.functions.Unigram`): per distinct word, lattice
+    * edges are the vocabulary matches (equi-join on extracted substrings,
+    * plus a dummy never-matching edge so every word keeps a typed edge
+    * list), and a list-fold relaxes
+    * `best[i] = min(best[j] + k(piece), best[i-1] + UNK)` position by
+    * position — no float anywhere, so both engines compute the same best
+    * key and its (cost·256 + n_pieces) decomposition. `maxPieceLen` and
+    * the UNK key are inlined literals matching the trained codec. */
+  def unigramTokenizeSql(pieces: Seq[(String, Long)],
+      maxPieceLen: Int = 6): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val unkKey = graft.functions.Unigram.unkKey
+    val piecesCte =
+      if (pieces.isEmpty)
+        "SELECT CAST(NULL AS VARCHAR) AS piece, CAST(NULL AS BIGINT) AS k WHERE 1=0"
+      else pieces
+        .map { case (p, c) =>
+          s"('${esc(p)}',${graft.functions.Unigram.pieceKey(c)}::BIGINT)"
+        }
+        .mkString("SELECT * FROM (VALUES ", ",", ") t(piece, k)")
+    raw"""
+      WITH pieces AS ($piecesCte),
+      words AS (SELECT DISTINCT w FROM (SELECT unnest(regexp_split_to_array(text,'\s+')) AS w FROM documents) WHERE w<>''),
+      subs AS (SELECT w, s.range AS s, l.range AS l, substr(w, CAST(s.range AS INT)+1, CAST(l.range AS INT)) AS sub
+               FROM words, range(0, 255) s, range(1, ${maxPieceLen + 1}) l
+               WHERE s.range + l.range <= len(w)),
+      edges AS (SELECT subs.w, subs.s, subs.s + subs.l AS e, p.k
+                FROM subs JOIN pieces p ON p.piece = subs.sub
+                UNION ALL SELECT w, 0::BIGINT, -1::BIGINT, 0::BIGINT FROM words),
+      el AS (SELECT w, list(struct_pack(s := s, e := e, k := k)) AS eds FROM edges GROUP BY w),
+      dp AS (SELECT el.w,
+               list_reduce(
+                 list_concat([[0::BIGINT]], list_transform(range(1, len(el.w)+1), i -> [CAST(i AS BIGINT)])),
+                 (acc, x) -> acc || [list_min(list_append(
+                    list_transform(list_filter(el.eds, ed -> ed.e = x[1]), ed -> acc[CAST(ed.s AS INT)+1] + ed.k),
+                    acc[CAST(x[1] AS INT)] + ${unkKey}::BIGINT))]
+               ) AS bests
+             FROM el),
+      wk AS (SELECT w, bests[len(w)+1] AS key FROM dp),
+      perdoc AS (
+        SELECT doc_id, sum(key % 256) AS np, sum(key // 256) AS cost
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(text,'\s+')) AS w FROM documents) d
+        JOIN wk USING (w) GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(length(d.text) AS BIGINT) AS n_chars,
+        CAST(len(regexp_split_to_array(d.text,'\s+')) AS BIGINT) AS n_ws_tokens,
+        CAST(coalesce(p.np, 0) AS BIGINT) AS n_ug_tokens,
+        CAST(coalesce(p.cost, 0) AS BIGINT) AS ug_cost_micro
       FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
   }
 }

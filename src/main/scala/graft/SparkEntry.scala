@@ -66,6 +66,14 @@ object SparkEntry {
   private def bpeMerges(s: SparkSession, d: String): Seq[(String, String)] =
     bpeMergesCache.getOrElseUpdate(d, Text.bpeTrain(Tables.documents(s, d)))
 
+  // the unigram-LM piece table (the tokenizer family chosen INSTEAD of
+  // BPE) — same per-directory memo + verify-time-oracle discipline as the
+  // merges cache above
+  private val unigramPiecesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Long)]]
+  private def unigramPieces(s: SparkSession, d: String): Seq[(String, Long)] =
+    unigramPiecesCache.getOrElseUpdate(d, Text.unigramTrain(Tables.documents(s, d)))
+
   // The trained bigram LM materializes vocabulary-sized checkpoints + a
   // measured broadcast decision at construction time; memoizing per corpus
   // directory keeps that one-time cost out of repeated query construction
@@ -202,7 +210,7 @@ object SparkEntry {
   /** Drop memoized per-directory models (BPE merges, LM counts, classifier
     * weights, in-domain contrast LM). */
   def clearModelCaches(): Unit = {
-    bpeMergesCache.clear(); lmModelCache.clear()
+    bpeMergesCache.clear(); unigramPiecesCache.clear(); lmModelCache.clear()
     nbModelCache.clear(); inLmCache.clear(); lmn3ModelCache.clear()
     lmn5ModelCache.clear(); lmPrunedCache.clear(); pcaModelCache.clear()
     dsirCountsCache.clear(); ivfIndexCache.clear()
@@ -377,6 +385,12 @@ object SparkEntry {
     // analog); BpeSpec carries reference-agreement/round-trip/monotonicity laws
     "bpe_tokenize" -> ((s, d) =>
       Text.bpeTokenStats(Tables.documents(s, d), bpeMerges(s, d))),
+    // unigram-LM (SentencePiece-style) tokenizer beside BPE — the other
+    // production tokenizer family; integer micro-unit Viterbi keys make
+    // the segmentation DP itself DuckDB-mirrorable at verify time (the
+    // trained piece table inlines like bpe_tokenize's merges)
+    "unigram_tokenize" -> ((s, d) =>
+      Text.unigramTokenStats(Tables.documents(s, d), unigramPieces(s, d))),
     "text_quality" -> ((s, d) => Text.qualityScore(Tables.documents(s, d))),
     // within-source percentile calibration on the 1e-2 bin grid
     "score_calibrate" -> ((s, d) => Text.scoreCalibrate(Tables.documents(s, d))),
@@ -828,6 +842,17 @@ object SparkEntry {
         emb.filter(col("vec_id") % 20 =!= 0), // train
         emb.filter(col("vec_id") % 20 === 0)) // held-out "benchmark"
     }),
+    // the LSH-pruned scale path (eval side too big to broadcast): same %20
+    // split, md5-mirror planes → the cross-corpus bucket join, candidate
+    // pruning, and q6 scores are hash-verified end-to-end (the exact
+    // broadcast form above stays the small-eval default)
+    "decontaminate_semantic_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      Similarity.decontaminateSemanticLsh(
+        emb.filter(col("vec_id") % 20 =!= 0),
+        emb.filter(col("vec_id") % 20 === 0), mirrorableHash = true)
+    }),
     "dedup_clusters" -> ((s, d) => Text.clustersFromPairs(
       Tables.documents(s, d).select("doc_id"),
       Text.dedupNgramJaccardFrom(shingles(s, d)).select("doc_a", "doc_b"))),
@@ -1022,6 +1047,16 @@ object SparkEntry {
       case _ => Map.empty
     }
 
+  /** Verify-time unigram oracle — the [[bpeOracle]] rule verbatim: emitted
+    * only when EXACTLY ONE corpus directory has a trained piece table. */
+  private def unigramOracle(
+      snap: Map[String, Seq[(String, Long)]]): Map[String, String] =
+    snap.toSeq match {
+      case Seq((_, pieces)) =>
+        Map("unigram_tokenize" -> Oracles.unigramTokenizeSql(pieces))
+      case _ => Map.empty
+    }
+
   /** ONE consistent snapshot of the two oracle-registry views (r13 ADVICE:
     * [[bpeOracle]] re-reads the mutable merges cache, so evaluating
     * [[oracleSql]] and [[sanctionedRowsOnly]] as independent calls could
@@ -1037,15 +1072,16 @@ object SparkEntry {
     * construction. The registry-completeness law (PlansSpec) checks THIS
     * pair. */
   @volatile private var oracleViewsMemo
-      : (Map[String, Seq[(String, String)]],
+      : ((Map[String, Seq[(String, String)]], Map[String, Seq[(String, Long)]]),
          (Map[String, String], Map[String, String])) = null
   def oracleViews: (Map[String, String], Map[String, String]) = {
-    val snap = bpeMergesCache.toMap
+    val snap = (bpeMergesCache.toMap, unigramPiecesCache.toMap)
     val memo = oracleViewsMemo
     if (memo != null && memo._1 == snap) memo._2
     else {
-      val bpe = bpeOracle(snap)
-      val views = (baseOracleSql ++ bpe, baseSanctionedRowsOnly -- bpe.keySet)
+      val trained = bpeOracle(snap._1) ++ unigramOracle(snap._2)
+      val views =
+        (baseOracleSql ++ trained, baseSanctionedRowsOnly -- trained.keySet)
       oracleViewsMemo = (snap, views)
       views
     }
@@ -1086,6 +1122,12 @@ object SparkEntry {
     // sanction below applies only when no trained merges table is in cache
     "bpe_tokenize" ->
       "greedy BPE merge-loop training ran in no cached corpus dir (or several), so the verify-time encode oracle cannot pin one merges table; reference-agreement/round-trip/monotonicity laws in BpeSpec",
+    // unigram_tokenize: ORACLED at verify time (the trained piece table
+    // inlines into an integer-key Viterbi list-fold mirror — see
+    // unigramOracle above); rows-only only when no single piece table is
+    // in cache, exactly the bpe_tokenize rule
+    "unigram_tokenize" ->
+      "unigram-LM EM training ran in no cached corpus dir (or several), so the verify-time Viterbi oracle cannot pin one piece table; round-trip/coverage/reference laws in UnigramSpec",
     "cell_balanced_sample" ->
       "k-means cell ids are MLlib-specific; quota/containment/determinism laws in SimilaritySpec (md5-bucket twin bucket_balanced_sample is oracled)",
     "multimodal_meta" ->

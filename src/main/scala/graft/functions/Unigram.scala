@@ -1,0 +1,342 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM (SentencePiece-style) subword tokenization — the published
+  * alternative to BPE a production pipeline chooses between (Kudo 2018,
+  * "Subword Regularization", arXiv:1804.10959 §3): instead of a greedy
+  * merges table, a VOCABULARY of pieces with probabilities is learned by
+  * EM + pruning, and encoding segments each word into the
+  * maximum-likelihood piece sequence (Viterbi over the segmentation
+  * lattice).
+  *
+  * Same two-half split as [[Bpe]]:
+  *  - [[Unigram.train]]: driver-side EM over the BOUNDED (word → count)
+  *    frequency table (`Text.unigramTrain` supplies it from the same
+  *    map-side-combining groupBy as `bpeTrain` — the top-V bounded-driver
+  *    discipline). Hard (Viterbi) EM rather than Kudo's forward-backward:
+  *    expected counts come from the single best segmentation per word —
+  *    the deterministic variant, chosen so training has NO float-order
+  *    sensitivity (counts are exact longs; ties break lexicographically).
+  *  - [[UnigramCount]]: a Catalyst expression applying the learned table
+  *    distributively via the reference-object pattern of [[BpeEncode]].
+  *
+  * THE ORACLE TRICK — integer micro-unit path costs: each piece's cost is
+  * `round(-ln(p)·1e6)` quantized ONCE at training time, and the Viterbi
+  * objective is the single additive BIGINT
+  * `key = cost_micro·256 + 1` per piece, so a path's key sums to
+  * `total_cost·256 + n_pieces` and minimizing the key minimizes
+  * (cost, n_pieces) lexicographically — no float arithmetic anywhere in
+  * the DP, which is what lets DuckDB replay the exact segmentation
+  * (`Oracles.unigramTokenizeSql` inlines the trained table and folds the
+  * same integer DP with list lambdas) and puts `unigram_tokenize` on the
+  * hash-verified board next to `bpe_tokenize`'s recursive-CTE mirror.
+  * Characters outside the vocabulary take the fixed [[Unigram.UnkKey]]
+  * single-char step (well above any trained cost), so every string
+  * segments and coverage is total by construction.
+  */
+object Unigram {
+
+  /** Micro-unit cost of an out-of-vocabulary single character. Fixed (not
+    * derived from the table) so both engines inline the same literal:
+    * 40e6 micro ≡ −ln p = 40, far beyond any trainable piece cost at any
+    * corpus size that fits a long count table (−ln(1/1e12) ≈ 27.6). */
+  val UnkCostMicro: Long = 40000000L
+
+  /** n_pieces rides the low byte of the additive path key; a single word
+    * therefore must not exceed 255 pieces — enforced by segmenting long
+    * words in [[Codec.wordKey]] via chunking at [[MaxWordChars]]. */
+  val PieceBase: Long = 256L
+
+  /** Words longer than this segment per-chunk (chunks are independent DP
+    * problems whose keys add, so the combined key stays exact as long as
+    * each chunk yields ≤255 pieces — guaranteed at 255 chars/chunk). The
+    * synthetic corpora never hit this; real-world URLs/DNA runs would. */
+  val MaxWordChars: Int = 255
+
+  /** key(piece) = cost·256 + 1 — one additive BIGINT per lattice edge. */
+  @inline def pieceKey(costMicro: Long): Long = costMicro * PieceBase + 1L
+
+  @inline def unkKey: Long = pieceKey(UnkCostMicro)
+
+  /** Deterministic hard-EM unigram-LM training over a bounded
+    * (word, count) table.
+    *
+    * 1. SEED: every substring of length 2..`maxPieceLen` of every word,
+    *    weighted by word count, top `seedSize` by (weight desc, piece
+    *    asc); plus EVERY single code point seen (coverage floor — single
+    *    chars are never pruned).
+    * 2. EM rounds: Viterbi-segment each word under current costs
+    *    (the exact integer DP of [[Codec]]), accumulate count-weighted
+    *    piece usage, re-estimate `cost = round(-ln(use/total)·1e6)`
+    *    (clamped ≥1); multi-char pieces with zero usage drop, single
+    *    chars are +1-smoothed so they survive any interim model.
+    * 3. PRUNE to `targetVocab`: drop the lowest-usage 20% of multi-char
+    *    pieces per round (ties lexicographic), re-running one EM step
+    *    after each cut so the survivors' costs re-normalize.
+    *
+    * Every step is deterministic: integer usage counts, lexicographic
+    * ties, and the one float op (ln) happens once per (piece, round) on
+    * the driver and is quantized immediately. */
+  def train(wordCounts: Seq[(String, Long)], targetVocab: Int = 512,
+      maxPieceLen: Int = 6, emRounds: Int = 3,
+      seedSize: Int = 2048): Seq[(String, Long)] = {
+    val words = wordCounts.filter(_._1.nonEmpty)
+    if (words.isEmpty) return Seq.empty
+    // single code points (surrogate-safe) — the never-pruned coverage floor
+    val chars = mutable.SortedSet.empty[String]
+    for ((w, _) <- words) {
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        chars += w.substring(i, i + n)
+        i += n
+      }
+    }
+    // seed: substring candidates weighted by word frequency — sliced on
+    // CODE POINT boundaries (DuckDB's substr/len count code points, so a
+    // UTF-16-sliced piece could split a surrogate pair and break parity)
+    val subWeight = mutable.HashMap.empty[String, Long]
+    for ((w, c) <- words) {
+      val cps = Bpe.codePoints(w)
+      for (len <- 2 to maxPieceLen; s <- 0 to cps.length - len)
+        subWeight.updateWith(cps.slice(s, s + len).mkString)(v =>
+          Some(v.getOrElse(0L) + c))
+    }
+    val seeded = subWeight.toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(seedSize).map(_._1)
+    // initial costs from raw substring weights (chars get their weights too)
+    var pieces: Map[String, Long] = {
+      val charWeight = mutable.HashMap.empty[String, Long]
+      for ((w, c) <- words; ch <- Bpe.codePoints(w))
+        charWeight.updateWith(ch)(v => Some(v.getOrElse(0L) + c))
+      val all = (seeded.map(p => p -> subWeight(p)) ++
+        chars.toSeq.map(ch => ch -> charWeight(ch))).toMap
+      costsFrom(all)
+    }
+    def emStep(): Map[String, Long] = {
+      val codec = new Codec(pieces)
+      val usage = mutable.HashMap.empty[String, Long]
+      for ((w, c) <- words; p <- codec.segmentWord(w))
+        usage.updateWith(p)(v => Some(v.getOrElse(0L) + c))
+      // chars +1-smoothed (never die); unused multi-char pieces drop; UNK
+      // steps contribute nothing (their char may still be in-vocab via
+      // smoothing)
+      val kept = mutable.HashMap.empty[String, Long]
+      for ((p, c) <- usage if pieces.contains(p)) kept(p) = c
+      for (ch <- chars) kept(ch) = kept.getOrElse(ch, 0L) + 1L
+      costsFrom(kept.toMap)
+    }
+    for (_ <- 1 to emRounds) pieces = emStep()
+    // prune loop: multi-char pieces by ascending usage until targetVocab
+    while (pieces.size > math.max(targetVocab, chars.size)) {
+      val codec = new Codec(pieces)
+      val usage = mutable.HashMap.empty[String, Long]
+      for ((w, c) <- words; p <- codec.segmentWord(w))
+        usage.updateWith(p)(v => Some(v.getOrElse(0L) + c))
+      val multi = pieces.keysIterator
+        .filter(p => p.codePointCount(0, p.length) > 1).toSeq
+      if (multi.isEmpty) return pieces.toSeq.sortBy(_._1)
+      val excess = pieces.size - math.max(targetVocab, chars.size)
+      val nCut = math.max(1, math.min(excess, multi.size / 5))
+      val cut = multi.map(p => (p, usage.getOrElse(p, 0L)))
+        .sortBy { case (p, c) => (c, p) }.take(nCut).map(_._1).toSet
+      pieces = pieces.view.filterKeys(p => !cut(p)).toMap
+      pieces = emStep()
+    }
+    pieces.toSeq.sortBy(_._1)
+  }
+
+  /** Quantize usage counts to micro-unit costs: `round(-ln(c/total)·1e6)`,
+    * clamped ≥1 so no piece is free (a zero-cost piece would make path
+    * cost blind to it and the n_pieces tie-break would decide — legal but
+    * pointless). */
+  private def costsFrom(usage: Map[String, Long]): Map[String, Long] = {
+    val total = usage.valuesIterator.sum.toDouble
+    usage.map { case (p, c) =>
+      p -> math.max(1L, math.round(-math.log(c / total) * 1e6))
+    }
+  }
+
+  /** The serializable segmentation engine ([[Bpe.Codec]] discipline):
+    * integer-key Viterbi per whitespace-free word, capped per-JVM memo.
+    * ALL positions are CODE POINT boundaries — DuckDB's `substr`/`len`
+    * count code points, and a UTF-16-indexed DP could take an UNK step
+    * through half a surrogate pair and disagree on n_pieces. */
+  final class Codec(piecesMap: Map[String, Long]) extends Serializable {
+    private val keys: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](piecesMap.size * 2)
+      piecesMap.foreach { case (p, c) => m.put(p, pieceKey(c)) }
+      m
+    }
+    private val maxPieceLen: Int =
+      if (piecesMap.isEmpty) 1
+      else piecesMap.keysIterator.map(p => p.codePointCount(0, p.length)).max
+    private val MaxCache = 100000
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+    /** UTF-16 offsets of the code point boundaries: bounds(0)=0 …
+      * bounds(n)=word.length, n = code point count. */
+    private def cpBounds(word: String): Array[Int] = {
+      val out = new mutable.ArrayBuffer[Int](word.length + 1)
+      var i = 0
+      out += 0
+      while (i < word.length) {
+        i += Character.charCount(word.codePointAt(i))
+        out += i
+      }
+      out.toArray
+    }
+
+    /** Best-path key for ONE whitespace-free word:
+      * `best[i] = min(best[j] + key(word[j..i]) for vocab pieces,
+      *                best[i-1] + UnkKey)` — position i reached either by
+      * a vocabulary piece or by one out-of-vocabulary code point. ARGMIN
+      * ties cannot change the result (the key already encodes the
+      * (cost, n_pieces) order and equal keys mean equal outputs), so no
+      * tie-break is needed — which is exactly what makes the DuckDB
+      * list-fold mirror safe. */
+    def wordKey(word: String): Long = {
+      if (word.isEmpty) return 0L
+      val hit = cache.get(word)
+      if (hit != null) return hit
+      val bounds = cpBounds(word)
+      val L = bounds.length - 1
+      val best = new Array[Long](L + 1)
+      var i = 1
+      while (i <= L) {
+        var b = best(i - 1) + unkKey
+        var l = 1
+        val maxL = math.min(i, maxPieceLen)
+        while (l <= maxL) {
+          val k = keys.get(word.substring(bounds(i - l), bounds(i)))
+          if (k != null) {
+            val cand = best(i - l) + k.longValue()
+            if (cand < b) b = cand
+          }
+          l += 1
+        }
+        best(i) = b
+        i += 1
+      }
+      val out = best(L)
+      if (cache.size < MaxCache) cache.putIfAbsent(word, out)
+      out
+    }
+
+    /** (n_pieces, cost_micro) for one word. Words past [[MaxWordChars]]
+      * CODE POINTS decompose PER CHUNK (pieces never cross a chunk
+      * boundary — a documented fallback the oracle-covered corpora never
+      * reach; the per-chunk decomposition keeps both counters exact where
+      * a summed raw key would overflow its 8-bit n_pieces lane). */
+    def wordCounts(word: String): (Long, Long) = {
+      if (word.codePointCount(0, word.length) <= MaxWordChars) {
+        val k = wordKey(word)
+        (k % PieceBase, k / PieceBase)
+      } else {
+        var np = 0L; var c = 0L; var i = 0
+        while (i < word.length) {
+          val end = word.offsetByCodePoints(i,
+            math.min(MaxWordChars, word.codePointCount(i, word.length)))
+          val k = wordKey(word.substring(i, end))
+          np += k % PieceBase; c += k / PieceBase; i = end
+        }
+        (np, c)
+      }
+    }
+
+    /** The best path's PIECES (training + the round-trip law): same DP
+      * with a back-pointer; UNK steps surface as single code points. */
+    def segmentWord(word: String): Seq[String] = {
+      if (word.isEmpty) return Seq.empty
+      val bounds = cpBounds(word)
+      val L = bounds.length - 1
+      val best = new Array[Long](L + 1)
+      val back = new Array[Int](L + 1) // piece start POSITION for i
+      var i = 1
+      while (i <= L) {
+        var b = best(i - 1) + unkKey
+        var bj = i - 1
+        var l = 1
+        val maxL = math.min(i, maxPieceLen)
+        while (l <= maxL) {
+          val k = keys.get(word.substring(bounds(i - l), bounds(i)))
+          if (k != null) {
+            val cand = best(i - l) + k.longValue()
+            if (cand < b) { b = cand; bj = i - l }
+          }
+          l += 1
+        }
+        best(i) = b; back(i) = bj
+        i += 1
+      }
+      val out = mutable.ArrayBuffer.empty[String]
+      var pos = L
+      while (pos > 0) {
+        out += word.substring(bounds(back(pos)), bounds(pos))
+        pos = back(pos)
+      }
+      out.reverse.toSeq
+    }
+
+  }
+
+  /** Column-API wrapper for [[UnigramCount]]. */
+  def counts(text: Column, pieces: Seq[(String, Long)]): Column =
+    ColumnBridge.column(UnigramCount(ColumnBridge.expression(text), pieces))
+}
+
+/** `unigram_count(text)` → ARRAY<BIGINT> [n_pieces, cost_micro] under the
+  * given trained piece table — the [[BpeEncode]] reference-object shape.
+  * Summed PER WORD (each word's key decomposes exactly; the per-text sum
+  * of n_pieces and of cost_micro are then plain long sums, so the low
+  * byte never overflows across words). */
+case class UnigramCount(child: Expression, pieces: Seq[(String, Long)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "unigram_count"
+
+  @transient private lazy val codec = new Unigram.Codec(pieces.toMap)
+
+  private def compute(text: UTF8String): ArrayData = {
+    val words = text.toString.split("\\s+")
+    var nPieces = 0L
+    var cost = 0L
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) {
+        val (np, c) = codec.wordCounts(words(i))
+        nPieces += np
+        cost += c
+      }
+      i += 1
+    }
+    new GenericArrayData(Array[Any](nPieces, cost))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("unigramExpr", this, classOf[UnigramCount].getName)
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $selfRef.evalText($in);")
+  }
+
+  /** Codegen entry point (public for the generated class). */
+  def evalText(text: UTF8String): ArrayData = compute(text)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1761,18 +1761,26 @@ object Similarity {
     * candidate id-pairs from bucket collisions (bare ids through the
     * shuffle), then score only the candidates. Same OR-construction
     * recall behavior as [[embeddingNearDupLsh]]; recall vs the exact
-    * variant is asserted in ScalaTest. */
+    * variant is asserted in ScalaTest. `mirrorableHash = true` swaps the
+    * xxhash64-derived hyperplanes for the md5-literal planes
+    * ([[mirrorablePlaneVal]]) — identical plan shape, and the whole pass
+    * (bits sizing on the train side, cross-corpus bucket join, q6 scores)
+    * reproduces in DuckDB, putting the unbroadcastable-eval scale path on
+    * the hash-verified board (r14 VERDICT #7). */
   def decontaminateSemanticLsh(train: DataFrame, evalSet: DataFrame,
       threshold: Double = 0.4, tables: Int = 8,
-      targetOccupancy: Int = 64): DataFrame = {
+      targetOccupancy: Int = 64, mirrorableHash: Boolean = false): DataFrame = {
     val tn = withNorms(train)
     val en = withNorms(evalSet)
     val (n, dim) = corpusDims(train)
     val bits = bitsFor(n, targetOccupancy)
-    def bucketed(e: DataFrame, idName: String) =
-      e.select(col("vec_id").as(idName),
-          posexplode(graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)))
+    def bucketed(e: DataFrame, idName: String) = {
+      val bucketExpr =
+        if (mirrorableHash) mirrorableBuckets(col("v"), tables, bits, dim)
+        else graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)
+      e.select(col("vec_id").as(idName), posexplode(bucketExpr))
         .select(col(idName), col("pos").as("table_id"), col("col").as("bucket"))
+    }
     val cand = bucketed(tn, "train_id")
       .join(bucketed(en, "eval_id"), Seq("table_id", "bucket"))
       .select("train_id", "eval_id")
@@ -2222,13 +2230,14 @@ object Similarity {
 
   /** Reconstruct every coded vector ONCE from its code word: explode to
     * (vec_id, sub, code), broadcast-join the codebook, reassemble in
-    * subspace order. Linear in vectors touched, never per candidate PAIR —
-    * the [[quantizeVectors]] recon discipline. (The classic per-query
-    * m×ks ADC lookup table is query-specific state — the wrong shape for
-    * columnar execution; reconstruct-then-codegen-dot shares the one
-    * DotProduct kernel with every other tier and costs the same
-    * m·subDim = dim multiplies per scored pair.) */
-  private def pqRecon(index: PqIndex): DataFrame = {
+    * subspace order. Linear in vectors touched, never per candidate PAIR.
+    * Since r15 this frame is no longer on [[pqQuery]]'s serving path —
+    * the ADC expressions decode against the plan-constant codebook, so
+    * candidates carry codes, not reconstructions — but it remains the
+    * REFERENCE decoder: [[pqQueryReconstruct]] scores through it, and the
+    * SimilaritySpec adc≡reconstruct law pins the two paths to identical
+    * frames. */
+  private[graft] def pqRecon(index: PqIndex): DataFrame = {
     val parts = index.codes
       .select(col("vec_id").as("neighbor_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
@@ -2253,18 +2262,121 @@ object Similarity {
       .filter(col("rnorm") > 0.0)
   }
 
+  /** The index's sub-codebooks flattened to one plan-constant array in
+    * `[(sub·ks + code)·subDim + dim]` layout for the ADC expressions,
+    * plus the effective ks. Bounded driver collect BY CONSTRUCTION:
+    * m·ks·subDim = ks·dim doubles, corpus-independent — the same table
+    * every encode pass already broadcasts. */
+  private def flatCodebook(index: PqIndex): (Array[Double], Int) = {
+    val rows = index.codebooks.select("sub", "code", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val ks = rows.map(_._2).max + 1
+    val flat = new Array[Double](index.m * ks * index.subDim)
+    for ((sub, code, c) <- rows; t <- 0 until index.subDim)
+      flat((sub * ks + code) * index.subDim + t) = c(t)
+    (flat, ks)
+  }
+
   /** Query an IVF-PQ index: probe the `nProbe` nearest cells (the
     * [[ivfQuery]] pruning), score the cell members ASYMMETRICALLY — full-
-    * precision query against the PQ reconstruction — and exact-rerank the
-    * `k·rerankFactor` survivors against the full-precision vectors (the
-    * [[quantQuery]] survivor discipline). The default survivor pool (6k)
-    * is deliberately wider than the int8-SQ tier's (3k): a PQ code's
-    * reconstruction error is bounded by its sub-cell RADIUS, not SQ's
-    * scale/2 per dimension, so the approximate ordering is noisier and
-    * recall is bought back by widening the pool (measured +0.05 recall
-    * 3→6 on the test embeddings at ~15 extra exact dots per query). */
+    * precision query against the PQ code via the codegen ADC expressions
+    * ([[graft.functions.PqAdcDot]]/[[graft.functions.PqAdcNorm2]]) — and
+    * exact-rerank the `k·rerankFactor` survivors against the
+    * full-precision vectors (the [[quantQuery]] survivor discipline).
+    *
+    * Shuffle shape (r14 VERDICT #1 — this was the surface's largest
+    * shuffle mover): candidates carry the m INT CODES, never a d-dim
+    * reconstruction. The sub-codebooks ride the plan as a constant
+    * (ks·dim doubles, corpus-independent), the per-neighbor recon norm is
+    * one narrow corpus-linear pass over the codes (m lookups per vector),
+    * and residual indexes re-derive the additive cell-centroid base from
+    * the candidate's `cell` via the broadcast centroid table — so the
+    * per-pair payload is (qv, codes, 1 norm double), the published IVFADC
+    * wire shape (Jégou et al. 2011 §III.B: score codes, ship no vectors).
+    * Scoring order is bit-identical to the reconstruct-join it replaces
+    * (single-accumulator ascending-dim loop, base added per element) —
+    * [[pqQueryReconstruct]] + the SimilaritySpec adc≡reconstruct law keep
+    * that claim CHECKED rather than asserted.
+    *
+    * The default survivor pool (6k) is deliberately wider than the
+    * int8-SQ tier's (3k): a PQ code's reconstruction error is bounded by
+    * its sub-cell RADIUS, not SQ's scale/2 per dimension, so the
+    * approximate ordering is noisier and recall is bought back by
+    * widening the pool (measured +0.05 recall 3→6 on the test embeddings
+    * at ~15 extra exact dots per query). */
   def pqQuery(index: PqIndex, queries: DataFrame, k: Int = 5,
       nProbe: Int = 0, rerankFactor: Int = 6): DataFrame = {
+    import graft.functions.VectorExprs.{pqAdcDot, pqAdcNorm2}
+    val q = ivfQueryFrame(queries)
+    val (cb, ks) = flatCodebook(index)
+    val noBase = typedLit(Seq.empty[Double])
+    // per-neighbor payload: m int codes + the recon norm (computed HERE,
+    // once per coded vector, from the codes alone — corpus-linear, narrow);
+    // residual codes reconstruct relative to their cell centroid, joined
+    // from the broadcast-sized centroid table before the norm pass
+    val codesN = (if (!index.residual)
+        index.codes.withColumn("base", noBase)
+      else index.codes
+        .join(index.ivf.vectors.select("vec_id", "cell"), Seq("vec_id"))
+        .join(broadcast(index.ivf.centroids), Seq("cell"))
+        .select(col("vec_id"), col("codes"), col("centroid").as("base")))
+      .select(col("vec_id").as("neighbor_id"), col("codes"),
+        sqrt(pqAdcNorm2(col("codes"), col("base"), cb, ks, index.subDim))
+          .as("rnorm"))
+      .filter(col("rnorm") > 0.0)
+    // candidate pairs keep the probed cell: it IS the neighbor's cell, so
+    // a residual query re-derives the additive base per pair from the
+    // broadcast centroids instead of shipping d doubles per candidate
+    val cand = ivfProbes(index.ivf, q, resolveProbes(index.ivf, nProbe))
+      .join(index.ivf.vectors.select(col("vec_id").as("neighbor_id"), col("cell")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cell")
+    val withBase =
+      if (!index.residual) cand.join(codesN, Seq("neighbor_id")).withColumn("base", noBase)
+      else cand.join(codesN, Seq("neighbor_id"))
+        .join(broadcast(index.ivf.centroids), Seq("cell"))
+        .withColumnRenamed("centroid", "base")
+    val approx = withBase
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (pqAdcDot(col("qv"), col("codes"), col("base"), cb, ks, index.subDim)
+          / (col("qn") * col("rnorm"))).as("approx_sim"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    val survivors = approx.withColumn("ar", row_number().over(wA))
+      .filter(col("ar") <= k * rerankFactor)
+      .select("query_id", "neighbor_id")
+    pqRerank(index, q, survivors, k)
+  }
+
+  /** The exact-rerank tail shared by [[pqQuery]] and its reference twin:
+    * survivors re-join the full-precision vectors (the only point the
+    * corpus vectors enter the query plan) and the q6 cosine cuts to k. */
+  private def pqRerank(index: PqIndex, q: DataFrame, survivors: DataFrame,
+      k: Int): DataFrame = {
+    val scored = survivors
+      .join(q, Seq("query_id"))
+      .join(index.ivf.vectors.select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("norm").as("cn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rk")
+  }
+
+  /** The pre-r15 reconstruct-join scoring path, kept as the REFERENCE
+    * implementation for the SimilaritySpec adc≡reconstruct law: decode
+    * every candidate through [[pqRecon]] (d-dim arrays on the candidate
+    * join — the shuffle shape [[pqQuery]] exists to avoid) and score with
+    * the shared [[dotd]] kernel. Identical semantics and identical
+    * floating-point summation order by construction; the law asserts the
+    * OUTPUT FRAMES are equal, so any drift in the ADC expressions'
+    * arithmetic is a test failure, not a silent recall change. */
+  private[graft] def pqQueryReconstruct(index: PqIndex, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 0, rerankFactor: Int = 6): DataFrame = {
     val q = ivfQueryFrame(queries)
     val cand = ivfProbes(index.ivf, q, resolveProbes(index.ivf, nProbe))
       .join(index.ivf.vectors.select(col("vec_id").as("neighbor_id"), col("cell")),
@@ -2281,16 +2393,7 @@ object Similarity {
     val survivors = approx.withColumn("ar", row_number().over(wA))
       .filter(col("ar") <= k * rerankFactor)
       .select("query_id", "neighbor_id")
-    val scored = survivors
-      .join(q, Seq("query_id"))
-      .join(index.ivf.vectors.select(col("vec_id").as("neighbor_id"),
-        col("v").as("cv"), col("norm").as("cn")), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rk")
+    pqRerank(index, q, survivors, k)
   }
 
   /** Persist an IVF-PQ index: the IVF layers via [[ivfWrite]]

@@ -323,6 +323,43 @@ object Text {
         when(col("n_bpe_tokens") > 0,
           col("n_chars").cast("double") / col("n_bpe_tokens")))
 
+  /** Learn a unigram-LM (SentencePiece-style) piece table from the corpus —
+    * the published tokenizer family a pipeline chooses INSTEAD of BPE
+    * (Kudo 2018; see [[graft.functions.Unigram]]). Identical distributed
+    * shape to [[bpeTrain]]: the corpus-scale half is one map-side-combining
+    * word-frequency groupBy; the EM + prune loop runs driver-side over the
+    * bounded top-V table. Returns (piece → cost_micro) with integer
+    * micro-unit costs — the quantization that makes the Viterbi encode
+    * DuckDB-mirrorable. */
+  def unigramTrain(documents: DataFrame, targetVocab: Int = 512,
+      maxVocabWords: Int = 50000): Seq[(String, Long)] = {
+    val top = tokenPostings(documents)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token"))
+      .limit(maxVocabWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    graft.functions.Unigram.train(top, targetVocab)
+  }
+
+  /** Per-document unigram-LM tokenization stats — [[bpeTokenStats]]'s
+    * output contract for the unigram family: whitespace-token and piece
+    * counts plus the Viterbi path cost in exact micro-units (the path
+    * cost value-checks the WHOLE segmentation DP, not just its length).
+    * One scan-local codegen expression per row; the trained table rides
+    * the expression as a reference object. */
+  def unigramTokenStats(documents: DataFrame,
+      pieces: Seq[(String, Long)]): DataFrame =
+    documents.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        graft.functions.Unigram.counts(col("text"), pieces).as("ug"))
+      .select(col("doc_id"), col("n_chars"), col("n_ws_tokens"),
+        element_at(col("ug"), 1).as("n_ug_tokens"),
+        element_at(col("ug"), 2).as("ug_cost_micro"))
+
   /** Append the quality columns to `df` IN PLACE (every input column kept)
     * — the one definition of the quality formula, so [[qualityScore]] and
     * [[sourceReport]] can never drift on it. */

@@ -287,6 +287,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.1, s"grid-PQ recall collapsed: $recall")
   }
 
+  test("PQ ADC ≡ reconstruct law: code-carrying ADC scoring reproduces the reconstruct-join path bit-for-bit") {
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, SF)
+    def frame(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // raw codes (md5-grid geometry — deterministic, and the declared
+    // similarity_pqgrid_topk's exact configuration)
+    val grid = Similarity.pqGridBuild(e, m = 8, codebookSize = 16, nCells = 16)
+    assert(frame(Similarity.pqQuery(grid, e, k = 5, nProbe = 4)) ==
+      frame(Similarity.pqQueryReconstruct(grid, e, k = 5, nProbe = 4)),
+      "grid-PQ ADC output diverged from the reconstruct-join reference")
+    // residual codes (IVFADC): the additive cell-centroid base must enter
+    // the ADC dot and the recon norm exactly like zip_with(c, rv, _+_)
+    val res = Similarity.pqBuild(e, residual = true)
+    assert(frame(Similarity.pqQuery(res, e)) ==
+      frame(Similarity.pqQueryReconstruct(res, e)),
+      "residual-PQ ADC output diverged from the reconstruct-join reference")
+  }
+
   test("IVF-PQ: code-shape laws and recall vs exact truth") {
     val e = Tables.embeddings(spark, SF)
     val idx = graft.ops.Similarity.pqBuild(e)
@@ -484,6 +503,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(exact.nonEmpty, "threshold too high: exact form found nothing on the corpus")
     assert(recall >= RecallAnchors.semanticDecon,
       s"LSH decontamination recall regressed below anchor (PLANS.md): $recall")
+    // the DECLARED (md5-mirror-plane) flavor obeys the same laws: subset of
+    // exact, recall at the anchor — different planes, same OR-construction
+    val lshM = q("decontaminate_semantic_lsh")
+      .select("train_id", "eval_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshM.subsetOf(exact), "mirror-plane LSH form produced a pair the exact form did not")
+    val recallM = lshM.intersect(exact).size.toDouble / exact.size
+    info(s"semantic decontamination mirror-plane LSH recall = $recallM")
+    assert(recallM >= RecallAnchors.semanticDecon,
+      s"mirror-plane LSH decontamination recall below anchor: $recallM")
   }
 
   test("semDeDup laws: kept independence, valid witnesses, exact-kept ⊆ clustered-kept") {

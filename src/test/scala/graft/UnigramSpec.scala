@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.Unigram
+import graft.ops.Text
+
+/** Laws for the unigram-LM (SentencePiece-style) tokenizer — BpeSpec's
+  * harness for the OTHER production tokenizer family. The declared
+  * `unigram_tokenize` query is DuckDB-oracled at verify time (the integer
+  * micro-unit Viterbi keys replay exactly in SQL), so these laws guard the
+  * parts the oracle can't see: the segmentation itself, training, and the
+  * degenerate inputs.
+  *
+  *  1. REFERENCE: the DP's best key agrees exactly with a brute-force
+  *     enumeration of ALL segmentations (ScalaCheck over random words and
+  *     random piece tables) — the naive O(2^n) twin of the O(n·P) DP.
+  *  2. ROUND-TRIP: concatenating a word's best-path pieces reconstructs
+  *     the word; n_pieces and cost decompose from the key exactly.
+  *  3. COVERAGE: every string segments (UNK floor), with n_pieces ≤ code
+  *     point count and cost ≤ n_cp·UnkCostMicro.
+  *  4. MODEL SHAPE: training is deterministic, covers every corpus code
+  *     point as a single-char piece, respects the vocab target, and a
+  *     vocabulary SUPERSET never increases any word's best cost.
+  *  5. The declared query's totals equal the per-word codec sums
+  *     (frame ↔ expression agreement on the live corpus).
+  */
+class UnigramSpec extends SparkTestBase {
+
+  private def check(name: String)(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(40).withWorkers(1), p)
+    assert(r.passed, s"property '$name' failed: ${r.status}")
+  }
+
+  private lazy val docs = Tables.documents(spark, SF).cache()
+  private lazy val corpusPieces = Text.unigramTrain(docs)
+
+  /** Brute-force reference: enumerate every segmentation (cut set) of the
+    * word, price each (vocab key or UNK for single chars; a multi-char
+    * span not in vocab is illegal), take the min key. Exponential — only
+    * for short property words. */
+  private def refWordKey(word: String, pieces: Map[String, Long]): Long = {
+    val keyOf = pieces.map { case (p, c) => p -> Unigram.pieceKey(c) }
+    def go(s: String): Long =
+      if (s.isEmpty) 0L
+      else (1 to s.length).foldLeft(Long.MaxValue) { (best, l) =>
+        val head = s.substring(0, l)
+        val hk = keyOf.get(head)
+          .orElse(if (l == 1) Some(Unigram.unkKey) else None)
+        hk match {
+          case Some(k) =>
+            val rest = go(s.substring(l))
+            if (rest == Long.MaxValue) best else math.min(best, k + rest)
+          case None => best
+        }
+      }
+    go(word)
+  }
+
+  test("reference law: DP best key ≡ brute-force minimum over all segmentations") {
+    val pieceGen = for {
+      n <- Gen.choose(0, 8)
+      ps <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 4)
+        s <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+        c <- Gen.choose(1L, 20000000L)
+      } yield (s, c))
+    } yield ps.toMap
+    val wordGen = Gen.choose(0, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    check("dp≡bruteforce")(Prop.forAll(pieceGen, wordGen) { (pieces, word) =>
+      new Unigram.Codec(pieces).wordKey(word) == refWordKey(word, pieces)
+    })
+  }
+
+  test("round-trip + decomposition: best-path pieces rebuild the word; key = cost·256 + n") {
+    val codec = new Unigram.Codec(corpusPieces.toMap)
+    val words = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct().limit(500).collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    for (w <- words) {
+      val segs = codec.segmentWord(w)
+      assert(segs.mkString == w, s"round-trip failed for '$w': $segs")
+      val k = codec.wordKey(w)
+      assert(k % Unigram.PieceBase == segs.length,
+        s"'$w': key n_pieces ${k % Unigram.PieceBase} != path length ${segs.length}")
+      // coverage bounds
+      val nCp = w.codePointCount(0, w.length)
+      assert(segs.length <= nCp)
+      assert(k / Unigram.PieceBase <= nCp.toLong * Unigram.UnkCostMicro)
+    }
+  }
+
+  test("model shape: deterministic training, full char coverage, vocab target, superset monotonicity") {
+    val again = Text.unigramTrain(docs)
+    assert(corpusPieces == again, "training is not deterministic")
+    // every corpus code point is a single-char piece
+    val pieceSet = corpusPieces.map(_._1).toSet
+    val chars = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(explode(split(col("w"), "")).as("ch"))
+      .filter(col("ch") =!= "").distinct().collect().map(_.getString(0)).toSet
+    assert(chars.forall(pieceSet.contains),
+      s"uncovered corpus chars: ${chars -- pieceSet}")
+    // bounded vocabulary (target 512 + the char floor tolerance)
+    assert(corpusPieces.size <= 512 + chars.size,
+      s"vocab ${corpusPieces.size} exceeds target+chars")
+    assert(corpusPieces.exists(p => p._1.length > 1),
+      "training learned no multi-char pieces")
+    // superset monotonicity: adding a piece can only lower best costs
+    val codec = new Unigram.Codec(corpusPieces.toMap)
+    val sup = new Unigram.Codec(corpusPieces.toMap + ("qqq" -> 1L))
+    val words = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct().limit(200).collect().map(_.getString(0))
+    for (w <- words)
+      assert(sup.wordKey(w) / Unigram.PieceBase <=
+        codec.wordKey(w) / Unigram.PieceBase, s"superset raised cost of '$w'")
+  }
+
+  test("declared query totals ≡ per-word codec sums on the corpus") {
+    val codec = new Unigram.Codec(corpusPieces.toMap)
+    val got = q("unigram_tokenize").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val want = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val words = r.getString(1).split("\\s+").filter(_.nonEmpty)
+      val (np, c) = words.foldLeft((0L, 0L)) { case ((a, b), w) =>
+        val (x, y) = codec.wordCounts(w); (a + x, b + y)
+      }
+      r.getLong(0) -> ((np, c))
+    }.toMap
+    assert(got == want)
+    // sanity: pieces compress vs chars (the tokenizer does something)
+    val totalPieces = got.values.map(_._1).sum
+    val totalChars = docs.agg(sum(length(col("text")))).head().getLong(0)
+    assert(totalPieces > 0 && totalPieces < totalChars,
+      s"pieces $totalPieces vs chars $totalChars")
+  }
+}
