@@ -4764,6 +4764,82 @@ af AS (
         FROM scored) t
       WHERE rk <= 5""",
 
+    // NN-descent graph ANN (r15): the Dong 2011 build replayed exactly —
+    // md5-plane LSH pairs + md5-grid cell-hub stars seed the graph, two
+    // neighbor-of-neighbor rounds re-score candidates (q6 cosine) and cut
+    // to the 14 best per node, final top-5 with ranks. Every step is
+    // md5/q6/integer arithmetic, so the whole iterative build is
+    // hash-verified (the grid-twin discipline applied to a graph index)
+    "similarity_nndescent_topk" -> """
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      bitsv AS (SELECT coalesce(MIN(bb), 24) AS bits
+                FROM range(4, 25) rb(bb), nn WHERE (1::BIGINT << bb) * 64 >= n),
+      planes AS (
+        SELECT t, b, list(p ORDER BY d) AS plane
+        FROM (SELECT t.range AS t, b.range AS b, d.range AS d,
+                     ((('0x' || substr(md5('lsh:' || t.range || ':' || b.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(2) t, range(24) b, range(64) d, bitsv
+              WHERE b.range < bits) pp
+        GROUP BY 1, 2),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      buckets AS (
+        SELECT vec_id, t AS table_id,
+               CAST(SUM(CASE WHEN list_dot_product(v, plane) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+        FROM nrm, planes GROUP BY 1, 2),
+      lshp AS (SELECT x.vec_id AS a, y.vec_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+      cents AS (
+        SELECT c, list(p ORDER BY d) AS centroid
+        FROM (SELECT c.range AS c, d.range AS d,
+                     ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(16) c, range(64) d) pp
+        GROUP BY 1),
+      adist AS (SELECT nrm.vec_id, cents.c AS cell,
+                       list_dot_product(centroid, centroid) - 2.0 * list_dot_product(v, centroid) AS dist
+                FROM nrm, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+                   FROM adist) t WHERE r = 1),
+      hubs AS (SELECT cell, vec_id AS hub FROM (
+                 SELECT cell, vec_id,
+                        row_number() OVER (PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS hr
+                 FROM assign) t WHERE hr <= 3),
+      stars AS (SELECT a.vec_id AS a, h.hub AS b
+                FROM assign a JOIN hubs h USING (cell) WHERE a.vec_id <> h.hub),
+      seed AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM lshp UNION ALL SELECT a, b FROM stars) u),
+      sc0 AS (SELECT s.a, s.b,
+                     floor(CAST(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+              FROM seed s JOIN nrm na ON na.vec_id = s.a JOIN nrm nb ON nb.vec_id = s.b),
+      g0 AS (SELECT a, b, cos_sim FROM (
+               SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS rk
+               FROM sc0) t WHERE rk <= 14),
+      und1 AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM g0 UNION ALL SELECT b AS a, a AS b FROM g0) u),
+      cand1 AS (SELECT DISTINCT a, b FROM (
+                  SELECT x.a AS a, y.b AS b FROM und1 x JOIN und1 y ON x.b = y.a WHERE x.a <> y.b
+                  UNION ALL SELECT a, b FROM g0) u),
+      sc1 AS (SELECT s.a, s.b,
+                     floor(CAST(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+              FROM cand1 s JOIN nrm na ON na.vec_id = s.a JOIN nrm nb ON nb.vec_id = s.b),
+      g1 AS (SELECT a, b, cos_sim FROM (
+               SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS rk
+               FROM sc1) t WHERE rk <= 14),
+      und2 AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM g1 UNION ALL SELECT b AS a, a AS b FROM g1) u),
+      cand2 AS (SELECT DISTINCT a, b FROM (
+                  SELECT x.a AS a, y.b AS b FROM und2 x JOIN und2 y ON x.b = y.a WHERE x.a <> y.b
+                  UNION ALL SELECT a, b FROM g1) u),
+      sc2 AS (SELECT s.a, s.b,
+                     floor(CAST(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+              FROM cand2 s JOIN nrm na ON na.vec_id = s.a JOIN nrm nb ON nb.vec_id = s.b),
+      g2 AS (SELECT a, b, cos_sim FROM (
+               SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS rk
+               FROM sc2) t WHERE rk <= 14)
+      SELECT a AS query_id, b AS neighbor_id, cos_sim, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS BIGINT) AS rk
+        FROM g2) t
+      WHERE rk <= 5""",
+
     // kNN label propagation: the lsh_topk chain as a CTE, then a majority
     // vote per query with the (votes DESC, label ASC) deterministic
     // tie-break — value-checks neighbors, votes, and tie handling

@@ -974,6 +974,12 @@ object SparkEntry {
       Similarity.cellBalancedSample(ivfGridIndex(s, d))),
     "semdedup_stats_grid" -> ((s, d) =>
       Similarity.semDeDupStats(ivfGridIndex(s, d).vectors)),
+    // NN-descent graph ANN (Dong 2011): md5-seeded deterministic build —
+    // LSH-pair + cell-hub-star seed graph, two neighbor-of-neighbor
+    // improvement rounds, per-node top-14 keeps — hash-verified end to
+    // end (the grid-twin discipline applied to the graph-index family)
+    "similarity_nndescent_topk" -> ((s, d) =>
+      Similarity.nnDescentTopK(Tables.embeddings(s, d))),
     // IVF-PQ: product-quantized ADC under the IVF probe pruning, exact
     // rerank of survivors (rows-only: k-means, the sanctioned tier)
     "similarity_ivfpq_topk" -> ((s, d) =>

@@ -1192,6 +1192,99 @@ object Similarity {
     pqQuery(pqGridBuild(embeddings, m, codebookSize, nCells), embeddings,
       k, nProbe, rerankFactor)
 
+  // ------------------------------------------------- NN-descent (graph ANN) —
+
+  /** NN-descent k-NN graph construction (Dong, Moses & Li 2011, "Efficient
+    * K-Nearest Neighbor Graph Construction for Generic Similarity
+    * Measures", WWW'11) — the graph-based ANN family (the HNSW/NSG
+    * build primitive) beside the IVF/LSH/PQ tiers: start from a cheap
+    * approximate neighbor graph and repeatedly improve it with the paper's
+    * one observation, "a neighbor of a neighbor is likely a neighbor" —
+    * each round scores the neighbor-of-neighbor candidates and keeps the
+    * best `graphK` per node.
+    *
+    * Spark-natural form: iterative DataFrame rounds, each one
+    * (id-only undirected edge join) → (q6-cosine scoring, vectors attached
+    * once per round) → (per-node bounded top-`graphK` cut), with
+    * `localCheckpoint` between rounds so the logical plan stays flat (the
+    * `dedup_clusters` iterative-join discipline). Per-round candidate
+    * volume is ≤ graphK²·n pairs BY CONSTRUCTION — corpus-linear at fixed
+    * degree, never all-pairs; the window runs over ≤ graphK²+graphK rows
+    * per node.
+    *
+    * DETERMINISTIC END TO END, so the whole build is DuckDB-mirrorable
+    * (the md5-grid discipline applied to a graph index): the seed graph is
+    *  (a) md5-plane LSH bucket pairs (`tables` OR'd tables — the quality
+    *      seed; [[mirrorablePlaneVal]] literals), plus
+    *  (b) per-md5-grid-cell HUB stars: every vector links to its cell's
+    *      `hubsPerCell` smallest-md5 members (the [[cellBalancedSample]]
+    *      pick key) — the connectivity floor that guarantees no node
+    *      starts isolated (an isolated node can never be discovered by
+    *      neighbor-of-neighbor propagation).
+    * Rounds re-score the standing edges together with the new candidates
+    * (identical frames on both engines beat a left-anti micro-optimization
+    * that the oracle would have to replicate).
+    *
+    * The per-node k-th-best cosine is monotone non-decreasing across
+    * rounds (each round's keep-set is a superset cut of the previous
+    * graph) — the convergence law NnDescentSpec pins, alongside the
+    * recall anchor vs brute force. */
+  def nnDescentTopK(embeddings: DataFrame, k: Int = 5, graphK: Int = 14,
+      rounds: Int = 2, nCells: Int = 16, lshTables: Int = 2,
+      hubsPerCell: Int = 3, targetOccupancy: Int = 64): DataFrame = {
+    val e = withNorms(embeddings)
+    val (n, dim) = corpusDims(embeddings)
+    val ev = e.select(col("vec_id"), col("v"), col("norm")).localCheckpoint(true)
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(ev.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an")), Seq("a"))
+      .join(ev.select(col("vec_id").as("b"), col("v").as("bv"), col("norm").as("bn")), Seq("b"))
+      .select(col("a"), col("b"),
+        q6(dotd(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos_sim"))
+    def topK(edges: DataFrame, kk: Int): DataFrame = {
+      val w = Window.partitionBy("a").orderBy(col("cos_sim").desc, col("b"))
+      edges.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= kk).select("a", "b", "cos_sim")
+    }
+    // seed (a): md5-plane LSH bucket pairs, both directions
+    val bits = bitsFor(n, targetOccupancy)
+    val bucketed = ev.select(col("vec_id"),
+        posexplode(mirrorableBuckets(col("v"), lshTables, bits, dim)))
+      .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket"))
+    val lshPairs = bucketed.as("x").join(bucketed.as("y"),
+        col("x.table_id") === col("y.table_id") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    // seed (b): stars to each md5-grid cell's smallest-md5 hubs
+    val cells = ivfGridBuild(embeddings, nCells).vectors.select("vec_id", "cell")
+      .localCheckpoint(true)
+    val hubW = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val hubs = cells.withColumn("hr", row_number().over(hubW))
+      .filter(col("hr") <= hubsPerCell)
+      .select(col("cell"), col("vec_id").as("hub"))
+    val starPairs = cells.join(hubs, Seq("cell"))
+      .filter(col("vec_id") =!= col("hub"))
+      .select(col("vec_id").as("a"), col("hub").as("b"))
+    var g = topK(score(lshPairs.unionByName(starPairs).dropDuplicates("a", "b")),
+      graphK).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val und = g.select("a", "b")
+        .unionByName(g.select(col("b").as("a"), col("a").as("b")))
+        .dropDuplicates("a", "b")
+      val non = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("y.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val cand = non.unionByName(g.select("a", "b")).dropDuplicates("a", "b")
+      g = topK(score(cand), graphK).localCheckpoint(true)
+    }
+    val w = Window.partitionBy("a").orderBy(col("cos_sim").desc, col("b"))
+    g.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("a").as("query_id"), col("b").as("neighbor_id"),
+        col("cos_sim"), col("rk"))
+  }
+
   // ------------------------------------------------------- index epochs —
   // Reader-atomic maintenance (VERDICT r10 #4). A rebuild used to
   // overwrite the standing layers in place, so a query racing the rebuild

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Laws for the NN-descent graph-ANN build (Dong 2011) — the declared
+  * `similarity_nndescent_topk` is hash-verified against a full DuckDB
+  * replay of the iterative build, so these laws pin the properties the
+  * oracle compare can't express:
+  *
+  *  1. CONVERGENCE: each round keeps the per-node top-`graphK` from a
+  *     SUPERSET of the previous graph's edges, so every node's j-th best
+  *     kept cosine is monotone non-decreasing in the round count — the
+  *     NN-descent improvement guarantee, tested over rounds 0 → 1 → 2.
+  *  2. RECALL: the 2-round graph's top-5 vs brute-force truth at the
+  *     pinned anchor (RecallAnchors.nnDescentTopK) — and strictly above
+  *     the seed graph's (round-0) recall, i.e. the descent rounds EARN
+  *     their cost.
+  *  3. SHAPE: ≤ k rows per query, ranks dense from 1, cosines in range,
+  *     no self-edges.
+  */
+class NnDescentSpec extends SparkTestBase {
+
+  private lazy val emb = Tables.embeddings(spark, SF).cache()
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val truth = pairs(q("similarity_bruteforce_topk"))
+
+  test("shape: per-query rank discipline, bounded cosines, no self-edges") {
+    val t = q("similarity_nndescent_topk").cache()
+    assert(t.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(t.filter(col("cos_sim") < -1.000001 || col("cos_sim") > 1.000001).count() == 0)
+    val byQ = t.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"), min("rk").as("mn"))
+    assert(byQ.filter(col("n") > 5 || col("mx") =!= col("n") || col("mn") =!= 1).count() == 0,
+      "ranks must be dense 1..n with n <= 5")
+  }
+
+  test("convergence law: per-node j-th best cosine is monotone in rounds; descent beats the seed") {
+    def kept(rounds: Int): Map[(Long, Long), Double] =
+      Similarity.nnDescentTopK(emb, k = 10, rounds = rounds).collect()
+        .map(r => (r.getLong(0), r.getLong(3)) -> r.getDouble(2)).toMap
+    val r0 = kept(0); val r1 = kept(1); val r2 = kept(2)
+    def monotone(lo: Map[(Long, Long), Double], hi: Map[(Long, Long), Double],
+        tag: String): Unit =
+      for (((node, j), c) <- lo; hc <- hi.get((node, j)))
+        assert(hc >= c, s"$tag: node $node rank $j cosine regressed $c -> $hc")
+    monotone(r0, r1, "round 0->1")
+    monotone(r1, r2, "round 1->2")
+    // the rounds must actually improve recall over the seed graph
+    val seedRecall = pairs(Similarity.nnDescentTopK(emb, rounds = 0))
+      .intersect(truth).size.toDouble / truth.size
+    val fullRecall = pairs(q("similarity_nndescent_topk"))
+      .intersect(truth).size.toDouble / truth.size
+    info(s"nn-descent recall@5: seed=$seedRecall, 2 rounds=$fullRecall")
+    assert(fullRecall > seedRecall,
+      s"descent rounds did not improve recall: $seedRecall -> $fullRecall")
+  }
+
+  test("recall anchor vs brute force") {
+    val recall = pairs(q("similarity_nndescent_topk"))
+      .intersect(truth).size.toDouble / truth.size
+    info(s"nn-descent recall@5 (2 rounds, graphK=14) = $recall")
+    assert(recall >= RecallAnchors.nnDescentTopK,
+      s"nn-descent recall regressed below anchor (PLANS.md): $recall")
+  }
+}

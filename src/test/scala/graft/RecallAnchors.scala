@@ -41,4 +41,9 @@ object RecallAnchors {
   val ivfPqOpqTopK = 0.68
   /** LSH embedding near-dup pairs vs exact near-dup (r9 declared query = md5 mirror planes, measured 0.803; xxhash64 family measured 0.757). */
   val embeddingNearDup = 0.72
+  /** NN-descent graph top-k (2 rounds, graphK=14, LSH+hub-star seed) vs
+    * brute-force truth (measured 0.849 at r15 declaration; 0.68 at
+    * graphK=10 — the degree buys the recall, the round count is flat
+    * cost). */
+  val nnDescentTopK = 0.78
 }
