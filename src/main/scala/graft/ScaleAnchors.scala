@@ -129,6 +129,37 @@ object ScaleAnchors {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
 
+      // md5-grid family (r14 VERDICT #8): the FIXED 16-cell grid twins
+      // are CORRECTNESS MIRRORS, not the scale default — with cells
+      // constant, occupancy grows ∝ n and within-cell pair volume ∝ n²,
+      // and the md5 point set is structurally skewed on real embeddings
+      // (measured at declaration: one cell held 49% of vectors / 72% of
+      // pair volume at sf0.1 — commit 34760fd). These counters pin that
+      // skew and the quadratic candidate growth as NUMBERS with a diffable
+      // tripwire, so a future change that silently routes corpus-scale
+      // work through the fixed grid (instead of the occupancy-disciplined
+      // cellsFor geometry) shows up as a counter jump, not a slow bench.
+      {
+        val gidx = ops.Similarity.ivfGridBuild(e)
+        val gocc = gidx.vectors.groupBy("cell").count()
+          .agg(count(lit(1)), max("count"),
+            sum(col("count") * (col("count") - 1) / 2), sum("count")).head()
+        out("grid_cells") = gocc.getLong(0)
+        out("grid_max_occ") = gocc.getLong(1)
+        out("grid_pair_volume") = gocc.getDouble(2).toLong
+        out("grid_occ_skew") = math.round(
+          gocc.getLong(1) * 1000.0 / gocc.getLong(3)) / 1000.0
+        // probe-candidate volume of the declared 4-probe grid queries:
+        // the id-pair mass the ivfgrid/pqgrid plans actually shuffle
+        out("grid_probe_candidates") = ops.Similarity
+          .ivfGridProbeCandidates(gidx, e, nProbe = 4)
+        t("similarity_ivfgrid_topk")(
+          ops.Similarity.ivfQuery(gidx, e, k = 5, nProbe = 4).count())
+        t("similarity_pqgrid_topk")(ops.Similarity.pqQuery(
+          ops.Similarity.pqGridBuildFrom(gidx), e, k = 5, nProbe = 4).count())
+        t("semdedup_grid")(ops.Similarity.semDeDupFrom(gidx.vectors, 0.85).count())
+      }
+
       // admission family (r11): a FIXED bounded batch against the scaled
       // standing corpus — exact admission streams standing past the
       // broadcast batch (wall ∝ standing size), while the cell-pruned

@@ -1192,6 +1192,18 @@ object Similarity {
     pqQuery(pqGridBuild(embeddings, m, codebookSize, nCells), embeddings,
       k, nProbe, rerankFactor)
 
+  /** Probe-candidate volume of an IVF query plan — the id-pair mass the
+    * probe→cell join actually shuffles, exposed for the scale anchors
+    * (ScaleAnchors pins the md5-grid family's quadratic candidate growth
+    * with it; the cellsFor geometry's counter is `ivf_pair_volume`). */
+  def ivfGridProbeCandidates(index: IvfIndex, queries: DataFrame,
+      nProbe: Int): Long =
+    ivfProbes(index, ivfQueryFrame(queries), nProbe)
+      .join(index.vectors.select(col("vec_id").as("neighbor_id"), col("cell")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .count()
+
   // ------------------------------------------------- NN-descent (graph ANN) —
 
   /** NN-descent k-NN graph construction (Dong, Moses & Li 2011, "Efficient
