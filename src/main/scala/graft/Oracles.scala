@@ -35,6 +35,77 @@ object Oracles {
   private def r6sum(x: String) = s"CAST(CAST(sum(CAST(${q6(x)} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
   private def r6avg(x: String) = s"${r6sum(x)}/count($x)"
 
+  /** The NN-descent BUILD as a reusable CTE list (through `g2`, the
+    * standing 14-NN graph) — shared verbatim by the build oracle
+    * (`similarity_nndescent_topk`) and the serving oracle
+    * (`similarity_graphsearch_topk`), so the two can never drift on what
+    * the graph IS. */
+  private val nnDescentBuildCtes: String = """nn AS (SELECT count(*) AS n FROM embeddings),
+      bitsv AS (SELECT coalesce(MIN(bb), 24) AS bits
+                FROM range(4, 25) rb(bb), nn WHERE (1::BIGINT << bb) * 64 >= n),
+      planes AS (
+        SELECT t, b, list(p ORDER BY d) AS plane
+        FROM (SELECT t.range AS t, b.range AS b, d.range AS d,
+                     ((('0x' || substr(md5('lsh:' || t.range || ':' || b.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(2) t, range(24) b, range(64) d, bitsv
+              WHERE b.range < bits) pp
+        GROUP BY 1, 2),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      buckets AS (
+        SELECT vec_id, t AS table_id,
+               CAST(SUM(CASE WHEN list_dot_product(v, plane) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+        FROM nrm, planes GROUP BY 1, 2),
+      lshp AS (SELECT x.vec_id AS a, y.vec_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+      cents AS (
+        SELECT c, list(p ORDER BY d) AS centroid
+        FROM (SELECT c.range AS c, d.range AS d,
+                     ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(16) c, range(64) d) pp
+        GROUP BY 1),
+      adist AS (SELECT nrm.vec_id, cents.c AS cell,
+                       list_dot_product(centroid, centroid) - 2.0 * list_dot_product(v, centroid) AS dist
+                FROM nrm, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+                   FROM adist) t WHERE r = 1),
+      hubs AS (SELECT cell, vec_id AS hub FROM (
+                 SELECT cell, vec_id,
+                        row_number() OVER (PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS hr
+                 FROM assign) t WHERE hr <= 3),
+      stars AS (SELECT a.vec_id AS a, h.hub AS b
+                FROM assign a JOIN hubs h USING (cell) WHERE a.vec_id <> h.hub),
+      seed AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM lshp UNION ALL SELECT a, b FROM stars) u),
+      sc0 AS (SELECT s.a, s.b,
+                     floor(CAST(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+              FROM seed s JOIN nrm na ON na.vec_id = s.a JOIN nrm nb ON nb.vec_id = s.b),
+      g0 AS (SELECT a, b, cos_sim FROM (
+               SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS rk
+               FROM sc0) t WHERE rk <= 14),
+      und1 AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM g0 UNION ALL SELECT b AS a, a AS b FROM g0) u),
+      cand1 AS (SELECT DISTINCT a, b FROM (
+                  SELECT x.a AS a, y.b AS b FROM und1 x JOIN und1 y ON x.b = y.a WHERE x.a <> y.b
+                  UNION ALL SELECT a, b FROM g0) u),
+      sc1 AS (SELECT s.a, s.b,
+                     floor(CAST(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+              FROM cand1 s JOIN nrm na ON na.vec_id = s.a JOIN nrm nb ON nb.vec_id = s.b),
+      g1 AS (SELECT a, b, cos_sim FROM (
+               SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS rk
+               FROM sc1) t WHERE rk <= 14),
+      und2 AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM g1 UNION ALL SELECT b AS a, a AS b FROM g1) u),
+      cand2 AS (SELECT DISTINCT a, b FROM (
+                  SELECT x.a AS a, y.b AS b FROM und2 x JOIN und2 y ON x.b = y.a WHERE x.a <> y.b
+                  UNION ALL SELECT a, b FROM g1) u),
+      sc2 AS (SELECT s.a, s.b,
+                     floor(CAST(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+              FROM cand2 s JOIN nrm na ON na.vec_id = s.a JOIN nrm nb ON nb.vec_id = s.b),
+      g2 AS (SELECT a, b, cos_sim FROM (
+               SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS rk
+               FROM sc2) t WHERE rk <= 14)"""
+
+
   /** The shared CTE chain: box-score normalization and the derived layers.
     * DuckDB only plans CTEs that a query references, so every oracle query
     * carries the whole chain. Mirrors Ingest.box / Analytics / Features /
@@ -4769,76 +4840,67 @@ af AS (
     // neighbor-of-neighbor rounds re-score candidates (q6 cosine) and cut
     // to the 14 best per node, final top-5 with ranks. Every step is
     // md5/q6/integer arithmetic, so the whole iterative build is
-    // hash-verified (the grid-twin discipline applied to a graph index)
-    "similarity_nndescent_topk" -> """
-      WITH nn AS (SELECT count(*) AS n FROM embeddings),
-      bitsv AS (SELECT coalesce(MIN(bb), 24) AS bits
-                FROM range(4, 25) rb(bb), nn WHERE (1::BIGINT << bb) * 64 >= n),
-      planes AS (
-        SELECT t, b, list(p ORDER BY d) AS plane
-        FROM (SELECT t.range AS t, b.range AS b, d.range AS d,
-                     ((('0x' || substr(md5('lsh:' || t.range || ':' || b.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
-              FROM range(2) t, range(24) b, range(64) d, bitsv
-              WHERE b.range < bits) pp
-        GROUP BY 1, 2),
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
-      buckets AS (
-        SELECT vec_id, t AS table_id,
-               CAST(SUM(CASE WHEN list_dot_product(v, plane) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS bucket
-        FROM nrm, planes GROUP BY 1, 2),
-      lshp AS (SELECT x.vec_id AS a, y.vec_id AS b
-               FROM buckets x JOIN buckets y
-                 ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
-      cents AS (
-        SELECT c, list(p ORDER BY d) AS centroid
-        FROM (SELECT c.range AS c, d.range AS d,
-                     ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
-              FROM range(16) c, range(64) d) pp
-        GROUP BY 1),
-      adist AS (SELECT nrm.vec_id, cents.c AS cell,
-                       list_dot_product(centroid, centroid) - 2.0 * list_dot_product(v, centroid) AS dist
-                FROM nrm, cents),
-      assign AS (SELECT vec_id, cell FROM (
-                   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
-                   FROM adist) t WHERE r = 1),
-      hubs AS (SELECT cell, vec_id AS hub FROM (
-                 SELECT cell, vec_id,
-                        row_number() OVER (PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS hr
-                 FROM assign) t WHERE hr <= 3),
-      stars AS (SELECT a.vec_id AS a, h.hub AS b
-                FROM assign a JOIN hubs h USING (cell) WHERE a.vec_id <> h.hub),
-      seed AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM lshp UNION ALL SELECT a, b FROM stars) u),
-      sc0 AS (SELECT s.a, s.b,
-                     floor(CAST(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-              FROM seed s JOIN nrm na ON na.vec_id = s.a JOIN nrm nb ON nb.vec_id = s.b),
-      g0 AS (SELECT a, b, cos_sim FROM (
-               SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS rk
-               FROM sc0) t WHERE rk <= 14),
-      und1 AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM g0 UNION ALL SELECT b AS a, a AS b FROM g0) u),
-      cand1 AS (SELECT DISTINCT a, b FROM (
-                  SELECT x.a AS a, y.b AS b FROM und1 x JOIN und1 y ON x.b = y.a WHERE x.a <> y.b
-                  UNION ALL SELECT a, b FROM g0) u),
-      sc1 AS (SELECT s.a, s.b,
-                     floor(CAST(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-              FROM cand1 s JOIN nrm na ON na.vec_id = s.a JOIN nrm nb ON nb.vec_id = s.b),
-      g1 AS (SELECT a, b, cos_sim FROM (
-               SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS rk
-               FROM sc1) t WHERE rk <= 14),
-      und2 AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM g1 UNION ALL SELECT b AS a, a AS b FROM g1) u),
-      cand2 AS (SELECT DISTINCT a, b FROM (
-                  SELECT x.a AS a, y.b AS b FROM und2 x JOIN und2 y ON x.b = y.a WHERE x.a <> y.b
-                  UNION ALL SELECT a, b FROM g1) u),
-      sc2 AS (SELECT s.a, s.b,
-                     floor(CAST(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-              FROM cand2 s JOIN nrm na ON na.vec_id = s.a JOIN nrm nb ON nb.vec_id = s.b),
-      g2 AS (SELECT a, b, cos_sim FROM (
-               SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS rk
-               FROM sc2) t WHERE rk <= 14)
+    // hash-verified (the grid-twin discipline applied to a graph index).
+    // The build CTEs (through g2) are shared with the graph-SEARCH oracle
+    // below via nnDescentBuildCtes.
+    "similarity_nndescent_topk" -> s"""
+      WITH $nnDescentBuildCtes
       SELECT a AS query_id, b AS neighbor_id, cos_sim, rk FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS BIGINT) AS rk
         FROM g2) t
       WHERE rk <= 5""",
+
+    // beam search over the standing NN-descent graph (r15): every corpus
+    // vector queries from the 4 global smallest-md5 entry nodes, three
+    // frontier-expansion hops (beam ∪ graph neighbors, rescore, keep the
+    // 24 best per query), final top-5 — the HNSW-style serving path,
+    // value-checked end to end on top of the shared build CTEs
+    "similarity_graphsearch_topk" -> s"""
+      WITH $nnDescentBuildCtes,
+      entries AS (SELECT vec_id AS node FROM nrm
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+      s0 AS (SELECT nq.vec_id AS query_id, en.node,
+                    floor(CAST(list_dot_product(nq.v, nb.v) / (nq.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+             FROM nrm nq CROSS JOIN entries en JOIN nrm nb ON nb.vec_id = en.node
+             WHERE nq.vec_id <> en.node),
+      b0 AS (SELECT query_id, node, cos_sim FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node) AS rk
+               FROM s0) t WHERE rk <= 24),
+      c1 AS (SELECT DISTINCT query_id, node FROM (
+               SELECT query_id, node FROM b0
+               UNION ALL SELECT b0.query_id, g2.b AS node FROM b0 JOIN g2 ON g2.a = b0.node) u
+             WHERE query_id <> node),
+      s1 AS (SELECT c.query_id, c.node,
+                    floor(CAST(list_dot_product(nq.v, nb.v) / (nq.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+             FROM c1 c JOIN nrm nq ON nq.vec_id = c.query_id JOIN nrm nb ON nb.vec_id = c.node),
+      b1 AS (SELECT query_id, node, cos_sim FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node) AS rk
+               FROM s1) t WHERE rk <= 24),
+      c2 AS (SELECT DISTINCT query_id, node FROM (
+               SELECT query_id, node FROM b1
+               UNION ALL SELECT b1.query_id, g2.b AS node FROM b1 JOIN g2 ON g2.a = b1.node) u
+             WHERE query_id <> node),
+      s2 AS (SELECT c.query_id, c.node,
+                    floor(CAST(list_dot_product(nq.v, nb.v) / (nq.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+             FROM c2 c JOIN nrm nq ON nq.vec_id = c.query_id JOIN nrm nb ON nb.vec_id = c.node),
+      b2 AS (SELECT query_id, node, cos_sim FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node) AS rk
+               FROM s2) t WHERE rk <= 24),
+      c3 AS (SELECT DISTINCT query_id, node FROM (
+               SELECT query_id, node FROM b2
+               UNION ALL SELECT b2.query_id, g2.b AS node FROM b2 JOIN g2 ON g2.a = b2.node) u
+             WHERE query_id <> node),
+      s3 AS (SELECT c.query_id, c.node,
+                    floor(CAST(list_dot_product(nq.v, nb.v) / (nq.nrm * nb.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+             FROM c3 c JOIN nrm nq ON nq.vec_id = c.query_id JOIN nrm nb ON nb.vec_id = c.node),
+      b3 AS (SELECT query_id, node, cos_sim FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node) AS rk
+               FROM s3) t WHERE rk <= 24)
+      SELECT query_id, node AS neighbor_id, cos_sim, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node) AS BIGINT) AS rk
+        FROM b3) t
+      WHERE rk <= 5""",
+
 
     // kNN label propagation: the lsh_topk chain as a CTE, then a majority
     // vote per query with the (votes DESC, label ASC) deterministic

@@ -980,6 +980,13 @@ object SparkEntry {
     // end (the grid-twin discipline applied to the graph-index family)
     "similarity_nndescent_topk" -> ((s, d) =>
       Similarity.nnDescentTopK(Tables.embeddings(s, d))),
+    // beam-search SERVING over the standing NN-descent graph (entry nodes
+    // → 3 frontier-expansion hops → top-5): query cost O(beam·degree·hops)
+    // independent of corpus size — hash-verified on the shared build CTEs
+    "similarity_graphsearch_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.graphSearchTopK(emb, emb, Similarity.nnDescentGraph(emb))
+    }),
     // IVF-PQ: product-quantized ADC under the IVF probe pruning, exact
     // rerank of survivors (rows-only: k-means, the sanctioned tier)
     "similarity_ivfpq_topk" -> ((s, d) =>

@@ -1244,19 +1244,40 @@ object Similarity {
   def nnDescentTopK(embeddings: DataFrame, k: Int = 5, graphK: Int = 14,
       rounds: Int = 2, nCells: Int = 16, lshTables: Int = 2,
       hubsPerCell: Int = 3, targetOccupancy: Int = 64): DataFrame = {
+    val g = nnDescentGraph(embeddings, graphK, rounds, nCells, lshTables,
+      hubsPerCell, targetOccupancy)
+    val w = Window.partitionBy("a").orderBy(col("cos_sim").desc, col("b"))
+    g.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("a").as("query_id"), col("b").as("neighbor_id"),
+        col("cos_sim"), col("rk"))
+  }
+
+  /** Pair scoring shared by the graph family: q6 cosine with the corpus
+    * vectors attached exactly once per (a, b) id-pair frame. */
+  private def graphScore(ev: DataFrame, pairs: DataFrame): DataFrame = pairs
+    .join(ev.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an")), Seq("a"))
+    .join(ev.select(col("vec_id").as("b"), col("v").as("bv"), col("norm").as("bn")), Seq("b"))
+    .select(col("a"), col("b"),
+      q6(dotd(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos_sim"))
+
+  private def graphTopK(edges: DataFrame, kk: Int): DataFrame = {
+    val w = Window.partitionBy("a").orderBy(col("cos_sim").desc, col("b"))
+    edges.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kk).select("a", "b", "cos_sim")
+  }
+
+  /** The NN-descent BUILD, exposed as the standing k-NN graph frame
+    * (a, b, cos_sim) — [[nnDescentTopK]] is its final cut, and the graph
+    * itself is what [[graphSearchTopK]] serves, [[nnWrite]] persists, and
+    * [[nnInsert]] maintains. See [[nnDescentTopK]] for the algorithm and
+    * determinism notes. */
+  def nnDescentGraph(embeddings: DataFrame, graphK: Int = 14,
+      rounds: Int = 2, nCells: Int = 16, lshTables: Int = 2,
+      hubsPerCell: Int = 3, targetOccupancy: Int = 64): DataFrame = {
     val e = withNorms(embeddings)
     val (n, dim) = corpusDims(embeddings)
     val ev = e.select(col("vec_id"), col("v"), col("norm")).localCheckpoint(true)
-    def score(pairs: DataFrame): DataFrame = pairs
-      .join(ev.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an")), Seq("a"))
-      .join(ev.select(col("vec_id").as("b"), col("v").as("bv"), col("norm").as("bn")), Seq("b"))
-      .select(col("a"), col("b"),
-        q6(dotd(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos_sim"))
-    def topK(edges: DataFrame, kk: Int): DataFrame = {
-      val w = Window.partitionBy("a").orderBy(col("cos_sim").desc, col("b"))
-      edges.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= kk).select("a", "b", "cos_sim")
-    }
     // seed (a): md5-plane LSH bucket pairs, both directions
     val bits = bitsFor(n, targetOccupancy)
     val bucketed = ev.select(col("vec_id"),
@@ -1278,7 +1299,8 @@ object Similarity {
     val starPairs = cells.join(hubs, Seq("cell"))
       .filter(col("vec_id") =!= col("hub"))
       .select(col("vec_id").as("a"), col("hub").as("b"))
-    var g = topK(score(lshPairs.unionByName(starPairs).dropDuplicates("a", "b")),
+    var g = graphTopK(graphScore(ev,
+        lshPairs.unionByName(starPairs).dropDuplicates("a", "b")),
       graphK).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val und = g.select("a", "b")
@@ -1288,12 +1310,67 @@ object Similarity {
         .select(col("x.a").as("a"), col("y.b").as("b"))
         .filter(col("a") =!= col("b"))
       val cand = non.unionByName(g.select("a", "b")).dropDuplicates("a", "b")
-      g = topK(score(cand), graphK).localCheckpoint(true)
+      g = graphTopK(graphScore(ev, cand), graphK).localCheckpoint(true)
     }
-    val w = Window.partitionBy("a").orderBy(col("cos_sim").desc, col("b"))
-    g.withColumn("rk", row_number().over(w).cast("long"))
+    g
+  }
+
+  /** Beam search over a standing k-NN graph — the SERVING half of the
+    * graph-ANN family (the HNSW/NSG query discipline in its batch-columnar
+    * form): every query starts at the same few global ENTRY nodes (the
+    * `entryPoints` smallest-md5 corpus ids — the [[cellBalancedSample]]
+    * pick key applied globally via one TakeOrdered, never a full-corpus
+    * window), then `hops` rounds of frontier expansion — join the beam
+    * with the graph's edges, rescore, keep the `beam` best per query —
+    * converge on the query's neighborhood. The beam set is a SUPERSET cut
+    * each hop (current beam ∪ its neighbors), so per-query j-th best
+    * cosine is monotone in hops, the [[nnDescentGraph]] convergence law
+    * transposed to serving.
+    *
+    * Scale shape: per query per hop the plan scores ≤ beam·graphK + beam
+    * candidate pairs (id-only through the joins, vectors attached once
+    * per hop), independent of corpus size — the whole point of serving
+    * from a graph: query cost is O(beam·degree·hops), while the
+    * IVF/LSH tiers pay probe-occupancy ∝ n/cells. Deterministic
+    * throughout (md5 entries, q6 scores, id tie-breaks), so the declared
+    * self-join query is DuckDB-replayed end to end on top of the
+    * nn-descent build CTEs. */
+  def graphSearchTopK(embeddings: DataFrame, queries: DataFrame,
+      graph: DataFrame, k: Int = 5, beam: Int = 24, hops: Int = 3,
+      entryPoints: Int = 4): DataFrame = {
+    val ev = withNorms(embeddings)
+      .select(col("vec_id"), col("v"), col("norm")).localCheckpoint(true)
+    val q = ivfQueryFrame(queries)
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(q, Seq("query_id"))
+      .join(ev.select(col("vec_id").as("node"), col("v").as("nv"),
+        col("norm").as("nnorm")), Seq("node"))
+      .select(col("query_id"), col("node"),
+        q6(dotd(col("qv"), col("nv")) / (col("qn") * col("nnorm"))).as("cos_sim"))
+    def topB(scored: DataFrame, b: Int): DataFrame = {
+      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("node"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= b).select("query_id", "node", "cos_sim")
+    }
+    val entries = ev
+      .select(col("vec_id").as("node"), md5(col("vec_id").cast("string")).as("mk"))
+      .orderBy(col("mk"), col("node")).limit(entryPoints).select("node")
+    var beamDf = topB(score(q.select("query_id").crossJoin(broadcast(entries))
+        .filter(col("query_id") =!= col("node"))), beam)
+      .localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val nbrs = beamDf.select(col("query_id"), col("node"))
+        .join(graph.select(col("a").as("node"), col("b").as("nbr")), Seq("node"))
+        .select(col("query_id"), col("nbr").as("node"))
+      val cand = beamDf.select("query_id", "node").unionByName(nbrs)
+        .filter(col("query_id") =!= col("node"))
+        .dropDuplicates("query_id", "node")
+      beamDf = topB(score(cand), beam).localCheckpoint(true)
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("node"))
+    beamDf.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
-      .select(col("a").as("query_id"), col("b").as("neighbor_id"),
+      .select(col("query_id"), col("node").as("neighbor_id"),
         col("cos_sim"), col("rk"))
   }
 

@@ -68,4 +68,26 @@ class NnDescentSpec extends SparkTestBase {
     assert(recall >= RecallAnchors.nnDescentTopK,
       s"nn-descent recall regressed below anchor (PLANS.md): $recall")
   }
+
+  test("graph search: beam monotone in hops; recall anchor; entry-independence of good answers") {
+    val graph = Similarity.nnDescentGraph(emb)
+    def kept(hops: Int): Map[(Long, Long), Double] =
+      Similarity.graphSearchTopK(emb, emb, graph, k = 24, hops = hops).collect()
+        .map(r => (r.getLong(0), r.getLong(3)) -> r.getDouble(2)).toMap
+    // each hop's beam is a superset cut of the previous beam → the j-th
+    // best cosine per query never regresses as hops grow
+    val h1 = kept(1); val h2 = kept(2); val h3 = kept(3)
+    for (((qid, j), c) <- h1; hc <- h2.get((qid, j)))
+      assert(hc >= c, s"hop 1->2: query $qid rank $j regressed $c -> $hc")
+    for (((qid, j), c) <- h2; hc <- h3.get((qid, j)))
+      assert(hc >= c, s"hop 2->3: query $qid rank $j regressed $c -> $hc")
+    // serving recall at the declared operating point (4 entries, beam 24,
+    // 3 hops) — bounded above by the graph's own recall, so the anchor
+    // sits below nnDescentTopK's
+    val recall = pairs(q("similarity_graphsearch_topk"))
+      .intersect(truth).size.toDouble / truth.size
+    info(s"graph-search recall@5 (beam=24, hops=3, entries=4) = $recall")
+    assert(recall >= RecallAnchors.graphSearchTopK,
+      s"graph-search recall regressed below anchor (PLANS.md): $recall")
+  }
 }

@@ -46,4 +46,9 @@ object RecallAnchors {
     * graphK=10 — the degree buys the recall, the round count is flat
     * cost). */
   val nnDescentTopK = 0.78
+  /** Beam search over the standing NN-descent graph (4 md5 entries,
+    * beam 24, 3 hops) vs brute-force truth (measured 0.916 at r15
+    * declaration; 0.66 at beam 8 — the beam buys the recall). Bounded
+    * above by the graph's own recall plus beam-escape. */
+  val graphSearchTopK = 0.85
 }
