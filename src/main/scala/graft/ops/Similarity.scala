@@ -1315,6 +1315,115 @@ object Similarity {
     g
   }
 
+  /** A persisted/standing NN-descent graph index: the directed top-graphK
+    * EDGES layer (a, b, cos_sim, part) and the full-precision VECTORS
+    * layer (vec_id, v, norm, part), both hash-partitioned on
+    * `part = pmod(id, 64)` — bounded file counts and co-locatable joins.
+    * NOTE the honest scale caveat: unlike the IVF cell layout, graph
+    * serving cannot partition-PRUNE at plan time (the beam is discovered
+    * hop by hop at runtime — which is why point-lookup systems serve HNSW
+    * from a KV tier); the batch-columnar form here reads the edges layer
+    * per hop through a hash join, which is the right shape for BATCH
+    * query workloads (dedup/labeling/retrieval sweeps), not single-query
+    * latency. */
+  final case class NnGraphIndex(edges: DataFrame, vectors: DataFrame,
+      graphK: Int)
+
+  private val GraphParts = 64
+
+  /** Build a standing graph index in memory: the [[nnDescentGraph]] edges
+    * plus the norm-carrying vectors layer. */
+  def nnBuildIndex(embeddings: DataFrame, graphK: Int = 14,
+      rounds: Int = 2): NnGraphIndex = {
+    val ev = withNorms(embeddings).select(col("vec_id"), col("v"), col("norm"))
+    NnGraphIndex(nnDescentGraph(embeddings, graphK, rounds), ev, graphK)
+  }
+
+  /** Persist a graph index: hash-partitioned edges + vectors layers and a
+    * 1-row meta layer pinning graphK (the [[pqWrite]] meta discipline —
+    * readers and maintainers must agree on the degree contract). */
+  def nnWrite(index: NnGraphIndex, dir: String): Unit = {
+    Sinks.overwritePartitioned(
+      index.edges.withColumn("part", pmod(col("a"), lit(GraphParts)).cast("int")),
+      s"$dir/edges", "part")
+    Sinks.overwritePartitioned(
+      index.vectors.withColumn("part", pmod(col("vec_id"), lit(GraphParts)).cast("int")),
+      s"$dir/vectors", "part")
+    val spark = index.edges.sparkSession
+    import spark.implicits._
+    Sinks.overwriteLayer(Seq(index.graphK).toDF("graph_k"), s"$dir/meta")
+  }
+
+  /** Reload a persisted graph index; schemas DECLARED (the [[ivfRead]]
+    * rule) so the partition column's type survives session settings. */
+  def nnRead(spark: org.apache.spark.sql.SparkSession, dirIn: String): NnGraphIndex = {
+    import org.apache.spark.sql.types._
+    val dir = resolveEpoch(spark, dirIn)
+    val edgeSchema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType),
+      StructField("cos_sim", DoubleType), StructField("part", IntegerType)))
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("v", ArrayType(DoubleType)),
+      StructField("norm", DoubleType), StructField("part", IntegerType)))
+    val graphK = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    NnGraphIndex(
+      spark.read.schema(edgeSchema).parquet(s"$dir/edges").drop("part"),
+      spark.read.schema(vecSchema).parquet(s"$dir/vectors").drop("part"),
+      graphK)
+  }
+
+  /** Incremental insert into a persisted graph index — the standard
+    * graph-ANN maintenance move (an HNSW-style insert, batched): each new
+    * vector BEAM-SEARCHES the standing graph for its `graphK` nearest
+    * ([[graphSearchTopK]] — O(beam·degree·hops) per inserted vector, never
+    * a corpus scan), then appends
+    *  (a) its forward adjacency (new → found),
+    *  (b) the REVERSE edges (found → new), so the new node becomes
+    *      reachable by later searches (without them it would be a sink no
+    *      frontier expansion can discover), and
+    *  (c) exact within-batch edges (the batch is bounded by the append
+    *      contract, so its all-pairs top-k is a broadcast-scale job).
+    * Reverse edges may push a touched node's adjacency past graphK until
+    * the next rebuild — APPEND + periodic COMPACTION, the streaming-delta
+    * discipline: serving is unaffected (a wider adjacency only widens the
+    * rescored beam candidates; the per-query cut still applies), and
+    * [[nnDescentGraph]] re-run at rebuild time re-normalizes every degree.
+    * Dim is verified against the standing vectors before anything writes;
+    * an empty batch is a no-op. */
+  def nnInsert(spark: org.apache.spark.sql.SparkSession, dirIn: String,
+      newVectors: DataFrame): Unit = {
+    val dir = resolveEpoch(spark, dirIn)
+    val index = nnRead(spark, dir)
+    val (n, newDim) = appendDims(newVectors)
+    if (n == 0L) return
+    val dim = index.vectors.agg(max(size(col("v")))).head().getInt(0)
+    require(newDim == dim,
+      s"inserted vectors have dim $newDim, index was built at dim $dim")
+    val batch = withNorms(newVectors)
+      .select(col("vec_id"), col("v"), col("norm")).localCheckpoint(true)
+    // (a) forward adjacency from a beam search over the standing graph —
+    // queries are the NEW vectors, corpus is the STANDING vectors
+    val standingQ = batch.select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("norm").as("qn"))
+    val found = graphSearchFrom(index.vectors, standingQ, index.edges,
+      k = index.graphK)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"), col("cos_sim"))
+    // (c) within-batch exact adjacency (bounded batch → broadcast pairs)
+    val bPairs = batch.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an"))
+      .join(broadcast(batch.select(col("vec_id").as("b"), col("v").as("bv"),
+        col("norm").as("bn"))), col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        q6(dotd(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos_sim"))
+    val fwd = graphTopK(found.unionByName(bPairs), index.graphK)
+    // (b) reverse edges make the new nodes DISCOVERABLE
+    val rev = fwd.select(col("b").as("a"), col("a").as("b"), col("cos_sim"))
+    fwd.unionByName(rev)
+      .withColumn("part", pmod(col("a"), lit(GraphParts)).cast("int"))
+      .write.mode("append").partitionBy("part").parquet(s"$dir/edges")
+    batch.withColumn("part", pmod(col("vec_id"), lit(GraphParts)).cast("int"))
+      .write.mode("append").partitionBy("part").parquet(s"$dir/vectors")
+  }
+
   /** Beam search over a standing k-NN graph — the SERVING half of the
     * graph-ANN family (the HNSW/NSG query discipline in its batch-columnar
     * form): every query starts at the same few global ENTRY nodes (the
@@ -1337,10 +1446,18 @@ object Similarity {
     * nn-descent build CTEs. */
   def graphSearchTopK(embeddings: DataFrame, queries: DataFrame,
       graph: DataFrame, k: Int = 5, beam: Int = 24, hops: Int = 3,
+      entryPoints: Int = 4): DataFrame =
+    graphSearchFrom(
+      withNorms(embeddings).select(col("vec_id"), col("v"), col("norm"))
+        .localCheckpoint(true),
+      ivfQueryFrame(queries), graph, k, beam, hops, entryPoints)
+
+  /** [[graphSearchTopK]] over pre-normed corpus vectors and a pre-built
+    * (query_id, qv, qn) frame — shared with [[nnInsert]], whose queries
+    * are the incoming batch rather than corpus members. */
+  private def graphSearchFrom(ev: DataFrame, q: DataFrame,
+      graph: DataFrame, k: Int = 5, beam: Int = 24, hops: Int = 3,
       entryPoints: Int = 4): DataFrame = {
-    val ev = withNorms(embeddings)
-      .select(col("vec_id"), col("v"), col("norm")).localCheckpoint(true)
-    val q = ivfQueryFrame(queries)
     def score(pairs: DataFrame): DataFrame = pairs
       .join(q, Seq("query_id"))
       .join(ev.select(col("vec_id").as("node"), col("v").as("nv"),

@@ -90,4 +90,48 @@ class NnDescentSpec extends SparkTestBase {
     assert(recall >= RecallAnchors.graphSearchTopK,
       s"graph-search recall regressed below anchor (PLANS.md): $recall")
   }
+
+  test("graph index: disk round-trip parity, insert finds planted twin, reverse reachability") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nng").toString
+    val mem = Similarity.nnBuildIndex(emb)
+    Similarity.nnWrite(mem, dir)
+    val disk = Similarity.nnRead(spark, dir)
+    assert(disk.graphK == mem.graphK)
+    // round-trip parity: serving from the reloaded layers returns exactly
+    // the in-memory results for a bounded query batch
+    val batch = emb.filter(col("vec_id") % 100 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val memQ = Similarity.graphSearchTopK(emb, batch, mem.edges)
+    val diskQ = Similarity.graphSearchTopK(
+      disk.vectors.select(col("vec_id"), lit(0).as("label"),
+        transform(col("v"), x => x.cast("float")).as("embedding")),
+      batch, disk.edges)
+    assert(rows(memQ) == rows(diskQ))
+    // insert: a planted near-twin of standing vector 7 (jitter one dim)
+    val twinV = emb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    twinV(0) = twinV(0) + 0.001f
+    val batchNew = Seq((900001L, twinV, 0), (900002L,
+      twinV.map(x => -x), 0)).toDF("vec_id", "embedding", "label")
+    Similarity.nnInsert(spark, dir, batchNew)
+    val after = Similarity.nnRead(spark, dir)
+    assert(after.vectors.filter(col("vec_id") >= 900001L).count() == 2)
+    // the inserted twin's adjacency leads with its standing original
+    val twinEdges = after.edges.filter(col("a") === 900001L)
+      .orderBy(col("cos_sim").desc, col("b")).collect()
+    assert(twinEdges.nonEmpty && twinEdges.head.getLong(1) == 7L,
+      s"twin's best edge is ${twinEdges.headOption.map(_.getLong(1))}, expected 7")
+    // reverse reachability: a fresh search for the twin's own vector over
+    // the maintained index discovers the NEW node (reverse edges wired)
+    val probe = Seq((900099L, twinV, 0)).toDF("vec_id", "embedding", "label")
+    val hits = Similarity.graphSearchTopK(
+      after.vectors.select(col("vec_id"), lit(0).as("label"),
+        transform(col("v"), x => x.cast("float")).as("embedding")),
+      probe, after.edges, k = 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(900001L),
+      s"inserted node not discoverable through reverse edges: $hits")
+  }
 }
