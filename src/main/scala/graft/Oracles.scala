@@ -4850,6 +4850,37 @@ af AS (
         FROM g2) t
       WHERE rk <= 5""",
 
+    // PageRank-style centrality over the NN-descent graph (r15): 3 damped
+    // power iterations on the q6/decimal grid (q6 per-edge contributions,
+    // order-independent decimal inbound sums, re-quantized damped update)
+    // — the graph-based curation exemplar signal, value-checked exactly
+    "graph_centrality" -> s"""
+      WITH $nnDescentBuildCtes,
+      ed AS (SELECT a, b FROM g2),
+      nodes AS (SELECT DISTINCT vec_id FROM (SELECT a AS vec_id FROM ed UNION ALL SELECT b AS vec_id FROM ed) u),
+      nc AS (SELECT count(*) AS n FROM nodes),
+      outdeg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+      pr0 AS (SELECT vec_id, ${q6("1.0 / nc.n")} AS score FROM nodes, nc),
+      it1c AS (SELECT ed.b AS vec_id, ${q6("pr0.score / outdeg.deg")} AS c
+               FROM ed JOIN pr0 ON pr0.vec_id = ed.a JOIN outdeg ON outdeg.a = ed.a),
+      it1s AS (SELECT vec_id, ${r6sum("c")} AS s FROM it1c GROUP BY 1),
+      pr1 AS (SELECT nodes.vec_id, ${q6("(1.0 - 0.85) / nc.n + 0.85 * coalesce(it1s.s, 0.0)")} AS score
+              FROM nodes CROSS JOIN nc LEFT JOIN it1s ON it1s.vec_id = nodes.vec_id),
+      it2c AS (SELECT ed.b AS vec_id, ${q6("pr1.score / outdeg.deg")} AS c
+               FROM ed JOIN pr1 ON pr1.vec_id = ed.a JOIN outdeg ON outdeg.a = ed.a),
+      it2s AS (SELECT vec_id, ${r6sum("c")} AS s FROM it2c GROUP BY 1),
+      pr2 AS (SELECT nodes.vec_id, ${q6("(1.0 - 0.85) / nc.n + 0.85 * coalesce(it2s.s, 0.0)")} AS score
+              FROM nodes CROSS JOIN nc LEFT JOIN it2s ON it2s.vec_id = nodes.vec_id),
+      it3c AS (SELECT ed.b AS vec_id, ${q6("pr2.score / outdeg.deg")} AS c
+               FROM ed JOIN pr2 ON pr2.vec_id = ed.a JOIN outdeg ON outdeg.a = ed.a),
+      it3s AS (SELECT vec_id, ${r6sum("c")} AS s FROM it3c GROUP BY 1),
+      pr3 AS (SELECT nodes.vec_id, ${q6("(1.0 - 0.85) / nc.n + 0.85 * coalesce(it3s.s, 0.0)")} AS score
+              FROM nodes CROSS JOIN nc LEFT JOIN it3s ON it3s.vec_id = nodes.vec_id)
+      SELECT vec_id, score, rk FROM (
+        SELECT vec_id, score, CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rk
+        FROM pr3) t
+      WHERE rk <= 50""",
+
     // beam search over the standing NN-descent graph (r15): every corpus
     // vector queries from the 4 global smallest-md5 entry nodes, three
     // frontier-expansion hops (beam ∪ graph neighbors, rescore, keep the

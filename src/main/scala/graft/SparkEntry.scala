@@ -987,6 +987,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.graphSearchTopK(emb, emb, Similarity.nnDescentGraph(emb))
     }),
+    // PageRank-style centrality over the same standing graph: the
+    // cluster-exemplar signal for representativeness-weighted curation —
+    // q6/decimal power iterations, hash-verified
+    "graph_centrality" -> ((s, d) =>
+      Similarity.graphCentrality(
+        Similarity.nnDescentGraph(Tables.embeddings(s, d)))),
     // IVF-PQ: product-quantized ADC under the IVF probe pruning, exact
     // rerank of survivors (rows-only: k-means, the sanctioned tier)
     "similarity_ivfpq_topk" -> ((s, d) =>

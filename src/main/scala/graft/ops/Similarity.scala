@@ -1424,6 +1424,52 @@ object Similarity {
       .write.mode("append").partitionBy("part").parquet(s"$dir/vectors")
   }
 
+  /** PageRank-style centrality over a standing k-NN graph — the
+    * graph-analytics signal a curation pipeline derives from its
+    * similarity graph (representativeness-weighted sampling: a document
+    * whose neighborhood keeps pointing back at it is a cluster exemplar;
+    * an isolated one is an outlier — the graph-based data-selection
+    * family). Power iteration with damping over the DIRECTED top-graphK
+    * edges, every arithmetic step on the q6/decimal grid so the scores
+    * are engine-exact (the per-edge contribution is q6-quantized, the
+    * inbound sum is an order-independent decimal sum, and the damped
+    * update re-quantizes — no float-order drift anywhere), which puts a
+    * 3-iteration PageRank on the hash-verified oracle board.
+    *
+    * Scale shape per iteration: one broadcast-free edge join against the
+    * (vec_id, score) frame + one combining groupBy — linear in edges
+    * (= graphK·n by construction). Output is the top-`topN` exemplars via
+    * TakeOrdered; the rank window runs post-limit over ≤ topN rows (the
+    * Retrieval.scala discipline — never an unpartitioned window over the
+    * corpus). */
+  def graphCentrality(graph: DataFrame, iters: Int = 3,
+      damping: Double = 0.85, topN: Int = 50): DataFrame = {
+    val edges = graph.select("a", "b").localCheckpoint(true)
+    val nodes = edges.select(col("a").as("vec_id"))
+      .unionByName(edges.select(col("b").as("vec_id")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    val outdeg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var scores = nodes.withColumn("score", q6(lit(1.0 / n)))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(scores.withColumnRenamed("vec_id", "a"), Seq("a"))
+        .join(outdeg, Seq("a"))
+        .select(col("b").as("vec_id"), q6(col("score") / col("deg")).as("c"))
+      val inbound = contrib.groupBy("vec_id").agg(r6sum(col("c")).as("s"))
+      scores = nodes.join(inbound, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          q6(lit((1.0 - damping) / n)
+            + lit(damping) * coalesce(col("s"), lit(0.0))).as("score"))
+        .localCheckpoint(true)
+    }
+    val top = scores.orderBy(col("score").desc, col("vec_id")).limit(topN)
+    val w = Window.orderBy(col("score").desc, col("vec_id"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select("vec_id", "score", "rk")
+  }
+
   /** Beam search over a standing k-NN graph — the SERVING half of the
     * graph-ANN family (the HNSW/NSG query discipline in its batch-columnar
     * form): every query starts at the same few global ENTRY nodes (the

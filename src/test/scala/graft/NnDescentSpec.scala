@@ -91,6 +91,32 @@ class NnDescentSpec extends SparkTestBase {
       s"graph-search recall regressed below anchor (PLANS.md): $recall")
   }
 
+  test("graph centrality: teleport floor, near-unit mass, hubs outrank leaves") {
+    val graph = Similarity.nnDescentGraph(emb).cache()
+    val nNodes = graph.select("a").unionByName(graph.select(col("b").as("a")))
+      .distinct().count()
+    val all = Similarity.graphCentrality(graph, topN = nNodes.toInt).cache()
+    assert(all.count() == nNodes)
+    // every score carries at least the teleport mass (the damped update's
+    // additive floor survives q6 by construction: floor + non-negative)
+    val floor = 0.15 / nNodes - 1e-6
+    assert(all.filter(col("score") < floor).count() == 0)
+    // total mass stays ~1: per-iteration q6 rounding drifts each node by
+    // ≤ 1e-6, so after 3 iterations the sum is within ~3n·1e-6 + damping
+    // leakage of unity — a broken outdeg join or a lost node would be a
+    // MACROSCOPIC violation
+    val mass = all.agg(sum("score")).head().getDouble(0)
+    assert(math.abs(mass - 1.0) < 0.05, s"centrality mass drifted: $mass")
+    // the most central node must be well-connected: its IN-degree sits in
+    // the top half of the in-degree distribution (an exemplar, not a leaf)
+    val top1 = all.orderBy(col("score").desc, col("vec_id")).head().getLong(0)
+    val indegs = graph.groupBy("b").agg(count(lit(1)).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val med = indegs.values.toSeq.sorted.apply(indegs.size / 2)
+    assert(indegs.getOrElse(top1, 0L) >= med,
+      s"top-central node $top1 has in-degree ${indegs.getOrElse(top1, 0L)} < median $med")
+  }
+
   test("graph index: disk round-trip parity, insert finds planted twin, reverse reachability") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_nng").toString
