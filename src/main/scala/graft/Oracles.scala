@@ -1578,6 +1578,66 @@ af AS (
       SELECT doc_id, n_terms_hit, score_micro,
              CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rk
       FROM perdoc""",
+
+    // BM25 + RM3 pseudo-relevance feedback (r15): the bm25_topk CTEs run
+    // the first pass, the top-5 docs build the relevance model (q6 tf/dl ·
+    // normalized integer doc weights, decimal sums), the 10 strongest
+    // expansion terms interpolate with the original query at α=0.5, and
+    // the weighted second pass lands back on the integer-micro grid —
+    // the whole two-pass pipeline value-checked exactly
+    "bm25_rm3_topk" -> raw"""
+      WITH p AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                 FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+                       FROM documents) t
+                 GROUP BY 1, 2),
+      df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS dl
+             FROM documents),
+      stats AS (SELECT (SELECT n_docs FROM n) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+                FROM dl),
+      terms AS (SELECT token, df FROM df CROSS JOIN n
+                WHERE df * 20 >= n_docs AND df * 4 <= n_docs
+                ORDER BY df DESC, token ASC LIMIT 4),
+      scoredterm AS (
+        SELECT p.doc_id,
+               CAST(floor(
+                 ln(CAST(1.0 AS DOUBLE) + (stats.n_docs - terms.df + CAST(0.5 AS DOUBLE)) / (terms.df + CAST(0.5 AS DOUBLE)))
+                 * ((p.tf * CAST(2.2 AS DOUBLE)) / (p.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl)))
+                 * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_micro
+        FROM p JOIN terms USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+      fbdoc AS (SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS sm
+                FROM scoredterm GROUP BY 1
+                ORDER BY sm DESC, doc_id ASC LIMIT 5),
+      smsum AS (SELECT CAST(SUM(sm) AS BIGINT) AS sm_sum FROM fbdoc),
+      relc AS (SELECT p.token,
+                      ${q6("(CAST(p.tf AS DOUBLE) / dl.dl) * (CAST(f.sm AS DOUBLE) / smsum.sm_sum)")} AS c
+               FROM p JOIN fbdoc f USING (doc_id) JOIN dl USING (doc_id) CROSS JOIN smsum),
+      rel AS (SELECT token, ${r6sum("c")} AS relw FROM relc GROUP BY 1),
+      fbt AS (SELECT token, relw FROM rel ORDER BY relw DESC, token ASC LIMIT 10),
+      relsum AS (SELECT ${r6sum("relw")} AS relw_sum FROM fbt),
+      wraw AS (SELECT token, (0.5 / 4) AS w FROM terms
+               UNION ALL
+               SELECT token, ${q6("(1.0 - 0.5) * relw / relw_sum")} AS w
+               FROM fbt CROSS JOIN relsum),
+      wts AS (SELECT token, ${r6sum("w")} AS w FROM wraw GROUP BY 1),
+      st2 AS (
+        SELECT p.doc_id,
+               CAST(floor(CAST(
+                 CAST(floor(
+                   ln(CAST(1.0 AS DOUBLE) + (stats.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+                   * ((p.tf * CAST(2.2 AS DOUBLE)) / (p.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl)))
+                   * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                 AS DOUBLE) * wts.w + CAST(0.5 AS DOUBLE)) AS BIGINT) AS wsm
+        FROM p JOIN wts USING (token) JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+      perdoc2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+                         CAST(SUM(wsm) AS BIGINT) AS score_micro
+                  FROM st2 GROUP BY 1
+                  ORDER BY score_micro DESC, doc_id ASC LIMIT 20)
+      SELECT doc_id, n_terms_hit, score_micro,
+             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rk
+      FROM perdoc2""",
     // embedding-QA outlier report (r14): q6/decimal norm profile (count +
     // two decimal sums), per-dim decimal centroid sums, identical CASE
     // guards — z-scores, centroid cosines, and the zero-vector/|z|>3 flag

@@ -450,6 +450,11 @@ object SparkEntry {
     // BM25 ranked retrieval for the corpus-derived probe query: broadcast
     // term set over the posting lists, integer micro-unit scores,
     // TakeOrdered top-20
+    // RM3 pseudo-relevance feedback: first-pass top-5 docs build the
+    // relevance model, 10 expansion terms interpolate at α=0.5, weighted
+    // second pass — q6/decimal/integer-micro throughout, hash-verified
+    "bm25_rm3_topk" -> ((s, d) =>
+      Retrieval.bm25Rm3TopK(Tables.documents(s, d))),
     "bm25_topk" -> ((s, d) => Retrieval.bm25TopK(Tables.documents(s, d))),
     // hybrid retrieval: RRF fusion of the BM25 top-k with a semantic
     // embedding rank from Rocchio pseudo-relevance feedback (the standard

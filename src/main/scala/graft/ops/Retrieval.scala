@@ -129,6 +129,80 @@ object Retrieval {
         .cast("long"))
   }
 
+  /** BM25 + RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
+    * models; the RM3 interpolation is the Anserini/Indri standard): run
+    * the probe query, treat its top `fbDocs` documents as relevant, build
+    * the relevance model P(w|R) = Σ_d P(w|d)·P(d|R) over their terms,
+    * keep the `fbTerms` strongest expansion terms, interpolate with the
+    * original query (α·original + (1−α)·expansion), and re-score with the
+    * weighted expanded query — the classic recall-boosting second pass a
+    * retrieval audit runs when the probe query under-covers.
+    *
+    * Determinism discipline: doc weights P(d|R) are the exact integer
+    * first-pass scores normalized once; every fractional step (tf/dl ·
+    * P(d|R), the expansion normalization, the interpolation) is
+    * q6-quantized and summed on the decimal grid (order-independent), and
+    * the final per-(doc, term) weighted score is floor(score_micro·w+0.5)
+    * back on the integer-micro grid — so the whole two-pass pipeline
+    * replays exactly in DuckDB.
+    *
+    * Scale shape: the feedback-doc set is `fbDocs` rows (broadcast), its
+    * postings one semi-join; the expanded term set is ≤ nTerms+fbTerms
+    * rows (broadcast) — both passes keep the bm25TopK contract: postings
+    * of query terms only, integer sums, TakeOrdered cuts, rank windows
+    * post-limit. */
+  def bm25Rm3TopK(documents: DataFrame, nTerms: Int = 4, fbDocs: Int = 5,
+      fbTerms: Int = 10, alpha: Double = 0.5, topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.functions.Exact.{q6, r6sum}
+    val p = termFrequencies(documents).localCheckpoint(true)
+    val df = p.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+      .localCheckpoint(true)
+    val dl = docLengths(documents).localCheckpoint(true)
+    val stats = bm25Stats(dl)
+    val terms = df.crossJoin(broadcast(stats.select(col("n_docs"))))
+      .where(col("df") * 20 >= col("n_docs") && col("df") * 4 <= col("n_docs"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(nTerms).localCheckpoint(true)
+    // first pass: exact integer doc scores, top-fbDocs feedback set
+    val fb = bm25ScoreParts(p, df, dl, stats, terms, k1, b)
+      .groupBy("doc_id").agg(sum("score_micro").cast("long").as("sm"))
+      .orderBy(col("sm").desc, col("doc_id").asc).limit(fbDocs)
+      .localCheckpoint(true)
+    // relevance model: P(w|R) = Σ_fb q6( tf/dl · sm_d/sm_sum ), decimal sum
+    val rel = p.join(broadcast(fb), Seq("doc_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(fb.agg(sum("sm").cast("long").as("sm_sum"))))
+      .select(col("token"),
+        q6((col("tf").cast("double") / col("dl"))
+          * (col("sm").cast("double") / col("sm_sum"))).as("c"))
+      .groupBy("token").agg(r6sum(col("c")).as("relw"))
+    val fbT = rel.orderBy(col("relw").desc, col("token").asc)
+      .limit(fbTerms).localCheckpoint(true)
+    // interpolation: α uniform over the original terms + (1−α) normalized
+    // expansion weights; overlapping terms take both contributions
+    val origW = terms.select(col("token"), lit(alpha / nTerms).as("w"))
+    val fbW = fbT
+      .crossJoin(broadcast(fbT.agg(r6sum(col("relw")).as("relw_sum"))))
+      .select(col("token"),
+        q6(lit(1.0 - alpha) * col("relw") / col("relw_sum")).as("w"))
+    val weights = origW.unionByName(fbW)
+      .groupBy("token").agg(r6sum(col("w")).as("w")).localCheckpoint(true)
+    // second pass: weighted BM25 back on the integer-micro grid
+    val scored = bm25ScoreParts(p, df, dl, stats, weights.select("token"), k1, b)
+      .join(broadcast(weights), Seq("token"))
+      .select(col("doc_id"),
+        floor(col("score_micro").cast("double") * col("w") + lit(0.5))
+          .cast("long").as("wsm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms_hit"),
+        sum("wsm").cast("long").as("score_micro"))
+    val top = scored.orderBy(col("score_micro").desc, col("doc_id").asc).limit(topK)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id").asc))
+        .cast("long"))
+  }
+
   /** Passage-level BM25 with MaxP document aggregation (Dai & Callan 2019,
     * "Deeper Text Understanding for IR" — max-passage is the standard
     * long-document retrieval shape): score fixed-token CHUNKS

@@ -26,6 +26,26 @@ class RetrievalAndDimSpec extends SparkTestBase {
       val h = x.getAs[Long]("n_terms_hit"); h >= 1L && h <= 4L })
   }
 
+  test("bm25_rm3_topk: dense ranks, expanded term budget, feedback actually reweights") {
+    val r = q("bm25_rm3_topk").orderBy("rk").collect()
+    assert(r.length == 20)
+    assert(r.map(_.getAs[Long]("rk")).toSeq == (1L to 20L))
+    val scores = r.map(_.getAs[Long]("score_micro")).toSeq
+    assert(scores == scores.sorted.reverse, "scores must be non-increasing in rank")
+    // hits bounded by the expanded budget (≤ 4 original + 10 expansion)
+    assert(r.forall { x =>
+      val h = x.getAs[Long]("n_terms_hit"); h >= 1L && h <= 14L })
+    // the expansion must DO something: some retrieved doc hits more terms
+    // than the original 4-term query could, or the ordering diverges from
+    // plain bm25 (a no-op RM3 would reproduce bm25_topk exactly with
+    // n_terms_hit ≤ 4)
+    val plain = q("bm25_topk").orderBy("rk").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val rm3 = r.map(_.getAs[Long]("doc_id")).toSeq
+    assert(r.exists(_.getAs[Long]("n_terms_hit") > 4L) || rm3 != plain,
+      "RM3 output is indistinguishable from the unexpanded query")
+  }
+
   test("bm25_maxp_topk: dense ranks, ordered scores, chunk hits bounded by each doc's chunk count") {
     val rows = q("bm25_maxp_topk").collect()
     assert(rows.nonEmpty && rows.length <= 20)
