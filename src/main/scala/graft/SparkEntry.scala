@@ -175,6 +175,23 @@ object SparkEntry {
       pinned
     })
 
+  // ONE standing NN-descent graph per corpus dir — three declared queries
+  // (build top-k, beam-search serving, centrality) consume the same graph,
+  // exactly how a production deployment holds one graph index and serves
+  // many workloads off it (the ivfIndexCache discipline; same PATH-keyed
+  // staleness caveat). The 2-round iterative build already checkpoints
+  // internally; the final edges frame is pinned here.
+  private val nnGraphCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+  private def nnGraph(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    nnGraphCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val g = Similarity.nnDescentGraph(Tables.embeddings(s, d))
+        .localCheckpoint(true)
+      ops.Pipeline.record(s, d, "nn_graph", (System.nanoTime() - t0) / 1e9)
+      g
+    })
+
   // The five-gate Venn frame is ≤ 2⁵ rows but costs five gate-family
   // passes to build; gate_overlap and gate_kappa both consume it, so ONE
   // memoized localCheckpoint per corpus dir serves both declared queries
@@ -215,6 +232,7 @@ object SparkEntry {
     lmn5ModelCache.clear(); lmPrunedCache.clear(); pcaModelCache.clear()
     dsirCountsCache.clear(); ivfIndexCache.clear()
     gateOverlapCache.clear(); ivfGridIndexCache.clear()
+    nnGraphCache.clear()
   }
 
   /** Build + materialize every shared pipeline stage. The bench calls this
@@ -238,6 +256,11 @@ object SparkEntry {
     gateOverlapFrame(s, d)
     // and the shared md5-grid coarse index (three grid-oracled queries)
     ivfGridIndex(s, d)
+    // and the standing NN-descent graph (build / serving / centrality all
+    // read it) — the iterative 2-round build is the costliest shared
+    // stage of the graph family and must not land on whichever graph
+    // query the bench loop reaches first
+    nnGraph(s, d)
     ()
   }
 
@@ -983,21 +1006,27 @@ object SparkEntry {
     // LSH-pair + cell-hub-star seed graph, two neighbor-of-neighbor
     // improvement rounds, per-node top-14 keeps — hash-verified end to
     // end (the grid-twin discipline applied to the graph-index family)
-    "similarity_nndescent_topk" -> ((s, d) =>
-      Similarity.nnDescentTopK(Tables.embeddings(s, d))),
+    "similarity_nndescent_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("a").orderBy(col("cos_sim").desc, col("b"))
+      nnGraph(s, d).withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("a").as("query_id"), col("b").as("neighbor_id"),
+          col("cos_sim"), col("rk"))
+    }),
     // beam-search SERVING over the standing NN-descent graph (entry nodes
     // → 3 frontier-expansion hops → top-5): query cost O(beam·degree·hops)
     // independent of corpus size — hash-verified on the shared build CTEs
     "similarity_graphsearch_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.graphSearchTopK(emb, emb, Similarity.nnDescentGraph(emb))
+      Similarity.graphSearchTopK(emb, emb, nnGraph(s, d))
     }),
     // PageRank-style centrality over the same standing graph: the
     // cluster-exemplar signal for representativeness-weighted curation —
     // q6/decimal power iterations, hash-verified
     "graph_centrality" -> ((s, d) =>
-      Similarity.graphCentrality(
-        Similarity.nnDescentGraph(Tables.embeddings(s, d)))),
+      Similarity.graphCentrality(nnGraph(s, d))),
     // IVF-PQ: product-quantized ADC under the IVF probe pruning, exact
     // rerank of survivors (rows-only: k-means, the sanctioned tier)
     "similarity_ivfpq_topk" -> ((s, d) =>
