@@ -61,7 +61,9 @@ doc = {
     "unit": "sec",
     "runs": runs,
     "raw_totals": [r["value"] for r in rs],
-    "calibrations": [[r.get("calib_start_sec"), r.get("calib_end_sec")] for r in rs],
+    "calibrations": [[x for x in (r.get("calib_start_sec"), r.get("calib_mid_sec"),
+                        r.get("calib_end_sec")) if x is not None and x >= 0]
+                     for r in rs],
     "sf": rs[0].get("sf"),
     "stages": stages,
     "queries": floor,

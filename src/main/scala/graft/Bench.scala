@@ -75,8 +75,18 @@ object Bench {
         errors("pipeline_stages") = s"${e.getClass.getSimpleName}: ${jsonSafe(e.getMessage)}"
     }
     val stageSec = (System.nanoTime() - tS) / 1e9
+    // calibration probe #1.5 (r14 VERDICT #3): start/end probes bracket
+    // the run but INVERT under bursty mid-run contention (the r14
+    // definitive-close run had the round's fastest probe pair and its
+    // slowest total). One probe at the loop's midpoint catches the burst;
+    // floor_compare's drag-spread gate reads the end probe as before and
+    // the mid value is recorded for the disagreement diagnosis.
+    val sorted = benchQueries.toSeq.sortBy(_._1)
+    val midAt = sorted.size / 2
+    var calibMid = -1.0
     val results = ("pipeline_stages" -> stageSec) +:
-      benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      sorted.zipWithIndex.map { case ((name, fn), i) =>
+        if (i == midAt) calibMid = calibrate(spark)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -106,7 +116,7 @@ object Bench {
     val subsetJson = onlyEnv.map(_.toSeq.sorted
       .map(n => "\"" + n + "\"").mkString(""","subset":[""", ",", "]")).getOrElse("")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"stages":$stJson,"errors":$errJson,"calib_start_sec":${r4(calibStart)},"calib_end_sec":${r4(calibEnd)}$subsetJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"stages":$stJson,"errors":$errJson,"calib_start_sec":${r4(calibStart)},"calib_mid_sec":${r4(calibMid)},"calib_end_sec":${r4(calibEnd)}$subsetJson,"sf":"$sfDir"}"""
     println(line)
     // the full line grows with the query count and a tail-capture can
     // truncate its head (r5/r13/r14: committed artifact parsed as null) —

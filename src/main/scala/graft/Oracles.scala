@@ -4910,6 +4910,31 @@ af AS (
         FROM g2) t
       WHERE rk <= 5""",
 
+    // greedy facility-location selection over the NN-descent graph (r15):
+    // the 16 submodular-coverage picks unroll mechanically (generated CTE
+    // chain), q6/decimal gains — value-checked exactly
+    "facility_location_select" -> facilityLocationSql(16),
+
+    // 1-row health audit of the NN-descent graph (r15): degree spreads,
+    // unreachable-node count, reciprocity — integer counts + exact
+    // divisions over the shared build CTEs
+    "graph_degree_stats" -> s"""
+      WITH $nnDescentBuildCtes,
+      ed AS (SELECT a, b FROM g2),
+      outd AS (SELECT CAST(count(*) AS BIGINT) AS n_sources, CAST(min(d) AS BIGINT) AS min_out, CAST(max(d) AS BIGINT) AS max_out
+               FROM (SELECT a, count(*) AS d FROM ed GROUP BY 1) t),
+      ind AS (SELECT CAST(count(*) AS BIGINT) AS n_targets, CAST(min(d) AS BIGINT) AS min_in, CAST(max(d) AS BIGINT) AS max_in
+              FROM (SELECT b, count(*) AS d FROM ed GROUP BY 1) t),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM (
+               SELECT DISTINCT vec_id FROM (SELECT a AS vec_id FROM ed UNION ALL SELECT b AS vec_id FROM ed) u) t),
+      ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed),
+      rc AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal FROM ed x
+             WHERE EXISTS (SELECT 1 FROM ed y WHERE y.a = x.b AND y.b = x.a))
+      SELECT n_nodes, n_edges, min_out, max_out, min_in, max_in,
+             n_nodes - n_targets AS unreachable_nodes, n_reciprocal,
+             CAST(n_reciprocal AS DOUBLE) / n_edges AS reciprocity
+      FROM nd CROSS JOIN ec CROSS JOIN outd CROSS JOIN ind CROSS JOIN rc""",
+
     // PageRank-style centrality over the NN-descent graph (r15): 3 damped
     // power iterations on the q6/decimal grid (q6 per-edge contributions,
     // order-independent decimal inbound sums, re-quantized damped update)
@@ -5342,4 +5367,64 @@ af AS (
         CAST(coalesce(p.cost, 0) AS BIGINT) AS ug_cost_micro
       FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
   }
+  /** DuckDB replay of the greedy facility-location selection over the
+    * NN-descent graph ([[graft.ops.Similarity.facilityLocationSelect]]):
+    * the `picks` greedy iterations unroll MECHANICALLY (gain → argmax →
+    * coverage update per step), every gain an order-independent decimal
+    * sum of q6 contributions, so the whole submodular loop value-checks
+    * exactly. Generated once at object init for the declared picks=16. */
+  private def facilityLocationSql(picks: Int): String = {
+    val iters = (1 to picks).map { i =>
+      val prevCov = if (i == 1) "cov0" else s"cov${i - 1}"
+      val notIn =
+        if (i == 1) ""
+        else " WHERE s NOT IN (" +
+          (1 until i).map(j => s"SELECT s FROM pick$j").mkString(" UNION ALL ") + ")"
+      s"""
+      gain$i AS (SELECT e.s, ${r6sum("q6g")} AS gain
+                 FROM (SELECT e0.s, ${q6("greatest(0.0, e0.cos_sim - c.cov)")} AS q6g
+                       FROM fedges e0 JOIN $prevCov c ON c.vec_id = e0.v) e GROUP BY 1),
+      pick$i AS MATERIALIZED (SELECT s, gain FROM gain$i$notIn ORDER BY gain DESC, s ASC LIMIT 1),
+      cov$i AS MATERIALIZED (SELECT c.vec_id, greatest(c.cov, coalesce(e.cos_sim, 0.0)) AS cov
+                FROM $prevCov c LEFT JOIN
+                  (SELECT e2.v, e2.cos_sim FROM fedges e2 JOIN pick$i p ON e2.s = p.s) e
+                  ON e.v = c.vec_id)"""
+    }.mkString(",")
+    val sel = (1 to picks)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS pick_rank, s AS vec_id, gain FROM pick$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH $nnDescentBuildCtes,
+      undg AS MATERIALIZED (SELECT v, s, max(cos_sim) AS cos_sim FROM (
+                 SELECT a AS v, b AS s, cos_sim FROM g2
+                 UNION ALL SELECT b AS v, a AS s, cos_sim FROM g2) u GROUP BY 1, 2),
+      fnodes AS MATERIALIZED (SELECT DISTINCT v AS vec_id FROM undg),
+      fedges AS MATERIALIZED (SELECT v, s, cos_sim FROM undg
+                 UNION ALL SELECT vec_id, vec_id, 1.0 FROM fnodes),
+      cov0 AS MATERIALIZED (SELECT vec_id, 0.0 AS cov FROM fnodes),$iters
+      $sel"""
+  }
+  /** Verify-time oracle for the per-source tokenizer comparison: the two
+    * trained-table mirrors ([[bpeTokenizeSql]], [[unigramTokenizeSql]])
+    * compose as nested-WITH subqueries and aggregate per source — emitted
+    * only when BOTH tokenizers trained in exactly one corpus dir (the
+    * bpeOracle rule, conjoined). */
+  def tokenizerCompareSql(merges: Seq[(String, String)],
+      pieces: Seq[(String, Long)]): String = s"""
+      WITH bt AS (${bpeTokenizeSql(merges)}),
+      ut AS (${unigramTokenizeSql(pieces)})
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(bt.n_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(bt.n_ws_tokens) AS BIGINT) AS n_ws_tokens,
+             CAST(SUM(bt.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+             CAST(SUM(ut.n_ug_tokens) AS BIGINT) AS n_ug_tokens,
+             CASE WHEN SUM(bt.n_bpe_tokens) > 0
+                  THEN CAST(SUM(bt.n_chars) AS DOUBLE) / SUM(bt.n_bpe_tokens) END AS chars_per_bpe,
+             CASE WHEN SUM(ut.n_ug_tokens) > 0
+                  THEN CAST(SUM(bt.n_chars) AS DOUBLE) / SUM(ut.n_ug_tokens) END AS chars_per_ug
+      FROM documents d
+      JOIN bt ON bt.doc_id = d.doc_id
+      JOIN ut ON ut.doc_id = d.doc_id
+      GROUP BY 1"""
 }

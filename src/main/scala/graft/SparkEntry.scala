@@ -414,6 +414,11 @@ object SparkEntry {
     // trained piece table inlines like bpe_tokenize's merges)
     "unigram_tokenize" -> ((s, d) =>
       Text.unigramTokenStats(Tables.documents(s, d), unigramPieces(s, d))),
+    // per-source BPE vs unigram compression audit — the tokenizer-choice
+    // report; oracled at verify time when BOTH trained tables are pinned
+    "tokenizer_compare" -> ((s, d) =>
+      Text.tokenizerCompare(Tables.documents(s, d), bpeMerges(s, d),
+        unigramPieces(s, d))),
     "text_quality" -> ((s, d) => Text.qualityScore(Tables.documents(s, d))),
     // within-source percentile calibration on the 1e-2 bin grid
     "score_calibrate" -> ((s, d) => Text.scoreCalibrate(Tables.documents(s, d))),
@@ -1027,6 +1032,15 @@ object SparkEntry {
     // q6/decimal power iterations, hash-verified
     "graph_centrality" -> ((s, d) =>
       Similarity.graphCentrality(nnGraph(s, d))),
+    // greedy facility-location (submodular coverage) selection over the
+    // same standing graph: the 16 documents that together best cover the
+    // corpus — q6/decimal greedy loop, hash-verified
+    "facility_location_select" -> ((s, d) =>
+      Similarity.facilityLocationSelect(nnGraph(s, d))),
+    // 1-row graph health audit (degree spreads, unreachable nodes,
+    // reciprocity) — the serving-readiness telemetry, hash-verified
+    "graph_degree_stats" -> ((s, d) =>
+      Similarity.graphDegreeStats(nnGraph(s, d))),
     // IVF-PQ: product-quantized ADC under the IVF probe pruning, exact
     // rerank of survivors (rows-only: k-means, the sanctioned tier)
     "similarity_ivfpq_topk" -> ((s, d) =>
@@ -1100,6 +1114,18 @@ object SparkEntry {
       case _ => Map.empty
     }
 
+  /** Verify-time tokenizer-comparison oracle: emitted only when BOTH
+    * tokenizers trained in exactly one corpus dir (their mirrors compose
+    * as nested-WITH subqueries — [[Oracles.tokenizerCompareSql]]). */
+  private def tokenizerCompareOracle(
+      bpeSnap: Map[String, Seq[(String, String)]],
+      ugSnap: Map[String, Seq[(String, Long)]]): Map[String, String] =
+    (bpeSnap.toSeq, ugSnap.toSeq) match {
+      case (Seq((db, merges)), Seq((du, pieces))) if db == du =>
+        Map("tokenizer_compare" -> Oracles.tokenizerCompareSql(merges, pieces))
+      case _ => Map.empty
+    }
+
   /** Verify-time unigram oracle — the [[bpeOracle]] rule verbatim: emitted
     * only when EXACTLY ONE corpus directory has a trained piece table. */
   private def unigramOracle(
@@ -1132,7 +1158,8 @@ object SparkEntry {
     val memo = oracleViewsMemo
     if (memo != null && memo._1 == snap) memo._2
     else {
-      val trained = bpeOracle(snap._1) ++ unigramOracle(snap._2)
+      val trained = bpeOracle(snap._1) ++ unigramOracle(snap._2) ++
+        tokenizerCompareOracle(snap._1, snap._2)
       val views =
         (baseOracleSql ++ trained, baseSanctionedRowsOnly -- trained.keySet)
       oracleViewsMemo = (snap, views)
@@ -1181,6 +1208,8 @@ object SparkEntry {
     // in cache, exactly the bpe_tokenize rule
     "unigram_tokenize" ->
       "unigram-LM EM training ran in no cached corpus dir (or several), so the verify-time Viterbi oracle cannot pin one piece table; round-trip/coverage/reference laws in UnigramSpec",
+    "tokenizer_compare" ->
+      "the per-source comparison needs BOTH trained tokenizer tables pinned to one corpus dir; falls back rows-only when either cache is empty/ambiguous (the bpe_tokenize rule, conjoined); per-tokenizer laws in BpeSpec/UnigramSpec",
     "cell_balanced_sample" ->
       "k-means cell ids are MLlib-specific; quota/containment/determinism laws in SimilaritySpec (md5-bucket twin bucket_balanced_sample is oracled)",
     "multimodal_meta" ->

@@ -1424,6 +1424,102 @@ object Similarity {
       .write.mode("append").partitionBy("part").parquet(s"$dir/vectors")
   }
 
+  /** 1-row health audit of a standing k-NN graph — the telemetry a
+    * serving deployment reads BEFORE trusting beam search on a graph
+    * (the [[semDeDupStats]] discipline applied to the graph tier): node
+    * and edge counts, the out-degree spread (a source below the full
+    * graphK degree had too few candidates — coverage holes), the
+    * in-degree spread (a zero in-degree node is UNREACHABLE by frontier
+    * expansion; a huge one is a hub hot-spot), and the reciprocity rate
+    * (mutual edges — low reciprocity marks asymmetric neighborhoods where
+    * reverse-edge insertion matters most). All integer counts + exact
+    * long-division means; two combining groupBys and a self-join on the
+    * id-only edge list. */
+  def graphDegreeStats(graph: DataFrame): DataFrame = {
+    val e = graph.select("a", "b").localCheckpoint(true)
+    val out = e.groupBy("a").agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).cast("long").as("n_sources"),
+        min("d").cast("long").as("min_out"),
+        max("d").cast("long").as("max_out"))
+    val in = e.groupBy("b").agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).cast("long").as("n_targets"),
+        min("d").cast("long").as("min_in"),
+        max("d").cast("long").as("max_in"))
+    val nodes = e.select(col("a").as("vec_id"))
+      .unionByName(e.select(col("b").as("vec_id"))).distinct()
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+    val counts = e.agg(count(lit(1)).cast("long").as("n_edges"))
+    val recip = e.as("x").join(e.as("y"),
+        col("x.a") === col("y.b") && col("x.b") === col("y.a"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_reciprocal"))
+    nodes.crossJoin(counts).crossJoin(out).crossJoin(in).crossJoin(recip)
+      .withColumn("unreachable_nodes", col("n_nodes") - col("n_targets"))
+      .withColumn("reciprocity",
+        col("n_reciprocal").cast("double") / col("n_edges"))
+      .select("n_nodes", "n_edges", "min_out", "max_out", "min_in", "max_in",
+        "unreachable_nodes", "n_reciprocal", "reciprocity")
+  }
+
+  /** Greedy facility-location selection over a standing k-NN graph — the
+    * submodular-coverage data-selection shape (Lin & Bilmes 2011 "A Class
+    * of Submodular Functions for Document Summarization"; the
+    * craig/facility-location family in training-data curation): pick the
+    * `picks` documents that together best COVER the corpus, where node v
+    * is covered by picked node s at their graph-edge cosine (0 without an
+    * edge; a picked node covers itself at 1). Each greedy step picks the
+    * candidate with the largest marginal coverage gain
+    * `Σ_v max(0, cos(v,c) − cov(v))` — the classic (1−1/e)-approximate
+    * maximizer. Complements [[mmrDiversify]] (relevance–redundancy) and
+    * [[graphCentrality]] (exemplar scoring): this one optimizes CORPUS
+    * coverage of the kept set.
+    *
+    * Determinism: cosines are q6, marginal gains are order-independent
+    * decimal sums of q6 contributions, argmax ties break by id — so the
+    * whole greedy loop replays in DuckDB (the oracle unrolls the `picks`
+    * iterations mechanically, [[Oracles.facilityLocationSql]]).
+    *
+    * Scale shape per iteration: one edge⋈coverage join + one combining
+    * groupBy (linear in edges = graphK·n), a 1-row TakeOrdered argmax,
+    * and an n-row coverage update kept flat by localCheckpoint; the
+    * picked list is `picks` ids on the driver (bounded by contract). */
+  def facilityLocationSelect(graph: DataFrame, picks: Int = 16): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    // undirected coverage edges + unit self-loops
+    val und = graph.select(col("a").as("v"), col("b").as("s"), col("cos_sim"))
+      .unionByName(graph.select(col("b").as("v"), col("a").as("s"), col("cos_sim")))
+      .groupBy("v", "s").agg(max("cos_sim").as("cos_sim"))
+    val nodes = und.select(col("v").as("vec_id")).distinct()
+    val edges = und
+      .unionByName(nodes.select(col("vec_id").as("v"), col("vec_id").as("s"),
+        lit(1.0).as("cos_sim")))
+      .localCheckpoint(true)
+    var cov = nodes.withColumn("cov", lit(0.0)).localCheckpoint(true)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    for (_ <- 1 to picks) {
+      val gains = edges
+        .join(cov.withColumnRenamed("vec_id", "v"), Seq("v"))
+        .select(col("s"),
+          q6(greatest(lit(0.0), col("cos_sim") - col("cov"))).as("g"))
+        .groupBy("s").agg(r6sum(col("g")).as("gain"))
+      val cand =
+        if (picked.isEmpty) gains
+        else gains.filter(!col("s").isInCollection(picked.map(_._1).toSeq))
+      val best = cand.orderBy(col("gain").desc, col("s").asc).limit(1).head()
+      val (bs, bg) = (best.getLong(0), best.getDouble(1))
+      picked += ((bs, bg))
+      cov = cov
+        .join(edges.filter(col("s") === bs).select(col("v").as("vec_id"),
+          col("cos_sim")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          greatest(col("cov"), coalesce(col("cos_sim"), lit(0.0))).as("cov"))
+        .localCheckpoint(true)
+    }
+    picked.zipWithIndex
+      .map { case ((s, g), i) => (i + 1L, s, g) }.toSeq
+      .toDF("pick_rank", "vec_id", "gain")
+  }
+
   /** PageRank-style centrality over a standing k-NN graph — the
     * graph-analytics signal a curation pipeline derives from its
     * similarity graph (representativeness-weighted sampling: a document

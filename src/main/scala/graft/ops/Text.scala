@@ -343,6 +343,33 @@ object Text {
     graft.functions.Unigram.train(top, targetVocab)
   }
 
+  /** Per-source tokenizer comparison — the audit a pipeline runs to CHOOSE
+    * between its two trained tokenizers: for each source, document count,
+    * char/whitespace-token mass, and the BPE vs unigram-LM subword counts
+    * with their chars-per-token compression ratios. A source whose
+    * chars-per-token diverges between the two tokenizers (code, CJK) is
+    * exactly where the choice matters; whitespace counts misprice both.
+    * One scan with both codec expressions + a combining groupBy; long
+    * sums, single exact divisions. */
+  def tokenizerCompare(documents: DataFrame, merges: Seq[(String, String)],
+      pieces: Seq[(String, Long)]): DataFrame =
+    documents.select(
+        col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_ws"),
+        size(graft.functions.Bpe.encode(col("text"), merges)).cast("long").as("n_bpe"),
+        element_at(graft.functions.Unigram.counts(col("text"), pieces), 1).as("n_ug"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars"),
+        sum("n_ws").cast("long").as("n_ws_tokens"),
+        sum("n_bpe").cast("long").as("n_bpe_tokens"),
+        sum("n_ug").cast("long").as("n_ug_tokens"))
+      .withColumn("chars_per_bpe", when(col("n_bpe_tokens") > 0,
+        col("n_chars").cast("double") / col("n_bpe_tokens")))
+      .withColumn("chars_per_ug", when(col("n_ug_tokens") > 0,
+        col("n_chars").cast("double") / col("n_ug_tokens")))
+
   /** Per-document unigram-LM tokenization stats — [[bpeTokenStats]]'s
     * output contract for the unigram family: whitespace-token and piece
     * counts plus the Viterbi path cost in exact micro-units (the path

@@ -117,6 +117,24 @@ class NnDescentSpec extends SparkTestBase {
       s"top-central node $top1 has in-degree ${indegs.getOrElse(top1, 0L)} < median $med")
   }
 
+  test("facility location: dense distinct picks, submodular non-increasing gains, coverage dominates singles") {
+    val graph = Similarity.nnDescentGraph(emb).cache()
+    val picksDf = Similarity.facilityLocationSelect(graph).cache()
+    val rows = picksDf.orderBy("pick_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1L to 16L))
+    assert(rows.map(_._2).distinct.length == 16, "picked ids must be distinct")
+    // greedy on a submodular objective: marginal gains are non-increasing
+    // in pick order (2e-6 tolerance for the per-step q6 requantization)
+    val gains = rows.map(_._3)
+    for (i <- 1 until gains.length)
+      assert(gains(i) <= gains(i - 1) + 2e-6,
+        s"gain increased at pick ${i + 1}: ${gains(i - 1)} -> ${gains(i)}")
+    // every gain is positive (the self-loop guarantees ≥1 of fresh
+    // coverage while unpicked nodes remain) and the first is the largest
+    assert(gains.forall(_ > 0.0))
+  }
+
   test("graph index: disk round-trip parity, insert finds planted twin, reverse reachability") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_nng").toString

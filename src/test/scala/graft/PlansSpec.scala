@@ -173,7 +173,12 @@ class PlansSpec extends SparkTestBase {
                                  // join of the source LIST, never document rows)
       "bm25_topk",               // two 1-row broadcasts (corpus N; N+avgdl stats)
       "hybrid_rrf_topk",         // bm25's stats broadcasts + the ≤topK lex frame
-      "bm25_maxp_topk")          // bm25's two 1-row stats broadcasts (chunk corpus)
+      "bm25_maxp_topk",          // bm25's two 1-row stats broadcasts (chunk corpus)
+      "bm25_rm3_topk",           // bm25's stats broadcasts + the fbDocs(5)-row
+                                 // feedback frame + two 1-row normalizer
+                                 // broadcasts (sm_sum, relw_sum)
+      "graph_degree_stats")      // five 1-row audit aggregates crossJoined
+                                 // into the single report row
     // Sanctioned unpartitioned windows/sorts: |teams|-bounded frames only.
     val globalWindowOk = Set("team_rankings", "team_dashboard", "team_features",
       "token_spectrum", // cumulative sweep over the count HISTOGRAM — rows
@@ -185,7 +190,11 @@ class PlansSpec extends SparkTestBase {
                         // rows by construction — the corpus cut was TakeOrdered)
       "hybrid_rrf_topk", // two post-limit rank windows (sem tier + fusion),
                          // each ≤ topK rows by construction
-      "bm25_maxp_topk")  // rank window over the post-limit top-k doc frame
+      "bm25_maxp_topk",  // rank window over the post-limit top-k doc frame
+      "bm25_rm3_topk",   // rank window over the post-limit top-k doc frame
+                         // (both passes cut via TakeOrdered before ranking)
+      "graph_centrality") // rank window over the POST-LIMIT topN(50) exemplar
+                          // frame — the corpus-scale cut was TakeOrdered
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val qe = fn(spark, SF).queryExecution
       val physical = qe.executedPlan.toString
