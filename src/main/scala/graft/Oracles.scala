@@ -4915,6 +4915,18 @@ af AS (
     // chain), q6/decimal gains — value-checked exactly
     "facility_location_select" -> facilityLocationSql(16),
 
+    // hard-negative mining from the NN-descent graph (r15): per anchor,
+    // neighbors ranked (5, 10] - close but below the positives band (the
+    // DPR/ANCE contrastive-training shape) - a rank-band cut over the
+    // shared build CTEs, value-checked exactly
+    "hard_negatives" -> s"""
+      WITH $nnDescentBuildCtes
+      SELECT a AS query_id, b AS neg_id, cos_sim, r - 5 AS rk FROM (
+        SELECT a, b, cos_sim,
+               CAST(row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS BIGINT) AS r
+        FROM g2) t
+      WHERE r > 5 AND r <= 10""",
+
     // 1-row health audit of the NN-descent graph (r15): degree spreads,
     // unreachable-node count, reciprocity — integer counts + exact
     // divisions over the shared build CTEs

@@ -1041,6 +1041,11 @@ object SparkEntry {
     // reciprocity) — the serving-readiness telemetry, hash-verified
     "graph_degree_stats" -> ((s, d) =>
       Similarity.graphDegreeStats(nnGraph(s, d))),
+    // hard-negative mining for contrastive retrieval training: per
+    // anchor, graph neighbors ranked (5, 10] — close but below the
+    // positives band — hash-verified
+    "hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(nnGraph(s, d))),
     // IVF-PQ: product-quantized ADC under the IVF probe pruning, exact
     // rerank of survivors (rows-only: k-means, the sanctioned tier)
     "similarity_ivfpq_topk" -> ((s, d) =>

@@ -1394,8 +1394,26 @@ object Similarity {
       newVectors: DataFrame): Unit = {
     val dir = resolveEpoch(spark, dirIn)
     val index = nnRead(spark, dir)
+    nnInsertFrames(index, newVectors).foreach { case (edges, batch) =>
+      edges
+        .withColumn("part", pmod(col("a"), lit(GraphParts)).cast("int"))
+        .write.mode("append").partitionBy("part").parquet(s"$dir/edges")
+      batch.withColumn("part", pmod(col("vec_id"), lit(GraphParts)).cast("int"))
+        .write.mode("append").partitionBy("part").parquet(s"$dir/vectors")
+    }
+  }
+
+  /** [[nnInsert]]'s core as FRAMES — (new edges fwd+reverse, batch
+    * vectors) against an in-memory standing index, shared by the batch
+    * append above and the streaming delta-layer admission
+    * ([[graft.ops.StreamDemo]] `streamNnInsert`), so the two maintenance
+    * paths can never disagree on what an insert means. None for an empty
+    * batch (a no-op, not an error); dim verified against the standing
+    * vectors before anything is computed. */
+  private[graft] def nnInsertFrames(index: NnGraphIndex,
+      newVectors: DataFrame): Option[(DataFrame, DataFrame)] = {
     val (n, newDim) = appendDims(newVectors)
-    if (n == 0L) return
+    if (n == 0L) return None
     val dim = index.vectors.agg(max(size(col("v")))).head().getInt(0)
     require(newDim == dim,
       s"inserted vectors have dim $newDim, index was built at dim $dim")
@@ -1417,11 +1435,23 @@ object Similarity {
     val fwd = graphTopK(found.unionByName(bPairs), index.graphK)
     // (b) reverse edges make the new nodes DISCOVERABLE
     val rev = fwd.select(col("b").as("a"), col("a").as("b"), col("cos_sim"))
-    fwd.unionByName(rev)
-      .withColumn("part", pmod(col("a"), lit(GraphParts)).cast("int"))
-      .write.mode("append").partitionBy("part").parquet(s"$dir/edges")
-    batch.withColumn("part", pmod(col("vec_id"), lit(GraphParts)).cast("int"))
-      .write.mode("append").partitionBy("part").parquet(s"$dir/vectors")
+    Some((fwd.unionByName(rev), batch))
+  }
+
+  /** Hard-negative mining from a standing k-NN graph — the contrastive-
+    * training data op (DPR/ANCE-style retrieval training wants negatives
+    * that are CLOSE to the query but outside the positives band; random
+    * negatives are too easy and the model learns nothing): for each
+    * anchor, its graph neighbors ranked (skip, skip+take] — below the
+    * presumed-positive top-`skip`, still high-cosine. Pure rank-band cut
+    * over the standing edges (one bounded window per node, ≤ graphK
+    * rows); the graph build already paid the search cost. */
+  def hardNegatives(graph: DataFrame, skip: Int = 5, take: Int = 5): DataFrame = {
+    val w = Window.partitionBy("a").orderBy(col("cos_sim").desc, col("b"))
+    graph.withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") > skip && col("r") <= skip + take)
+      .select(col("a").as("query_id"), col("b").as("neg_id"), col("cos_sim"),
+        (col("r") - skip).as("rk"))
   }
 
   /** 1-row health audit of a standing k-NN graph — the telemetry a

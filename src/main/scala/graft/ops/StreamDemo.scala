@@ -2083,6 +2083,65 @@ object StreamDemo {
       codes = codes)
   }
 
+  /** Streaming admission for the GRAPH index — the fourth index family's
+    * maintenance stream ([[streamIvfAppend]]/[[streamLshAppend]]/
+    * [[streamPqAppend]] discipline applied to
+    * [[graft.ops.Similarity.nnInsert]]): each micro-batch of embedding
+    * vectors beam-searches the CURRENT assembled graph (base + previously
+    * committed deltas — re-read per batch, so sequential micro-batches
+    * see each other's inserts exactly like sequential batch `nnInsert`
+    * calls do) and lands its vectors + forward/reverse/within-batch edges
+    * as an immutable two-sublayer `batch_id=N` delta. Edges land LAST and
+    * carry the completeness gate; a replayed batch overwrites its own
+    * directory (idempotent). Streamed content ≡ sequential batch
+    * `nnInsert` over the same files (StreamAnnSpec law). */
+  def streamNnInsert(spark: SparkSession, vecsDir: String,
+      indexDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(vecsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        if (b.count() > 0) {
+          // the standing view INCLUDING committed deltas — sequential
+          // semantics (batch N+1 can link to batch N's vectors)
+          val idx = streamNnRead(spark, indexDir)
+          graft.ops.Similarity.nnInsertFrames(idx, b).foreach {
+            case (edges, vecs) =>
+              vecs.write.mode("overwrite")
+                .parquet(s"$indexDir/appends/batch_id=$batchId/vectors")
+              edges.write.mode("overwrite")
+                .parquet(s"$indexDir/appends/batch_id=$batchId/edges")
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Assemble the streamed graph index: base layers + every COMPLETE
+    * two-sublayer delta (edges written last gate completeness). */
+  def streamNnRead(spark: SparkSession,
+      indexDir: String): graft.ops.Similarity.NnGraphIndex = {
+    val base = graft.ops.Similarity.nnRead(spark, indexDir)
+    val deltas = completeDeltaDirs(spark, indexDir, Seq("vectors", "edges"))
+    val vectors = deltas.map(p => spark.read
+      .schema(base.vectors.schema).parquet(s"$p/vectors"))
+      .foldLeft(base.vectors)(_ unionByName _)
+    val edges = deltas.map(p => spark.read
+      .schema(base.edges.schema).parquet(s"$p/edges"))
+      .foldLeft(base.edges)(_ unionByName _)
+    graft.ops.Similarity.NnGraphIndex(edges, vectors, base.graphK)
+  }
+
   /** Streaming thumbnail pipeline — the multimodal streaming leg:
     * documents arrive continuously, each micro-batch's media decodes and
     * resizes through the REAL transcode path

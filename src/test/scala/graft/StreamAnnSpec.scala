@@ -168,4 +168,72 @@ class StreamAnnSpec extends SparkTestBase with TimeLimitedTests {
       .select("neighbor_id").collect().map(_.getLong(0)).toSet
     assert(hits.contains(twinOf), s"streamed twin $twinOf not in top-k $hits")
   }
+  test("streamed graph inserts equal sequential batch nnInsert; restart-safe; inserted twin discoverable") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("anng_src")
+    val streamDir = java.nio.file.Files.createTempDirectory("anng_stream").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("anng_batch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("anng_ckpt")
+
+    val emb = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding").orderBy("vec_id")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val arriving = emb.filter(col("vec_id") % 5 === 0).collect()
+    val cut = arriving.length / 2
+
+    val built = Similarity.nnBuildIndex(base)
+    Similarity.nnWrite(built, streamDir)
+    Similarity.nnWrite(built, batchDir)
+
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"anng_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), emb.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    def edges(idx: Similarity.NnGraphIndex) = idx.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def vecs(idx: Similarity.NnGraphIndex) = idx.vectors
+      .select("vec_id", "norm").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+    // run 1: first slice as one micro-batch ≡ one batch nnInsert
+    stage(1, arriving.slice(0, cut))
+    val q1 = StreamDemo.streamNnInsert(s2, src.toString, streamDir, ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    Similarity.nnInsert(spark, batchDir, spark.createDataFrame(
+      java.util.Arrays.asList(arriving.slice(0, cut): _*), emb.schema))
+    val mid = StreamDemo.streamNnRead(spark, streamDir)
+    val midBatch = Similarity.nnRead(spark, batchDir)
+    assert(edges(mid) == edges(midBatch) && vecs(mid) == vecs(midBatch),
+      "streamed graph drifted from the sequential batch-insert twin mid-stream")
+
+    // an inserted vector is DISCOVERABLE through the streamed serving path
+    val insertedId = arriving.head.getLong(0)
+    val probe = spark.createDataFrame(
+        java.util.Arrays.asList(arriving.head), emb.schema)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("embedding"))
+    val hits = Similarity.graphSearchTopK(
+        mid.vectors.select(col("vec_id"), lit(0).as("label"),
+          transform(col("v"), x => x.cast("float")).as("embedding")),
+        probe, mid.edges, k = 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(insertedId),
+      s"streamed insert $insertedId not discoverable: $hits")
+
+    // checkpointed restart with the second slice — sequential semantics:
+    // batch 2's beam search sees batch 1's inserts on BOTH paths
+    stage(2, arriving.slice(cut, arriving.length))
+    val q2 = StreamDemo.streamNnInsert(s2, src.toString, streamDir, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    Similarity.nnInsert(spark, batchDir, spark.createDataFrame(
+      java.util.Arrays.asList(arriving.slice(cut, arriving.length): _*), emb.schema))
+    val fin = StreamDemo.streamNnRead(spark, streamDir)
+    assert(edges(fin) == edges(Similarity.nnRead(spark, batchDir)),
+      "streamed graph drifted from the batch twin after restart")
+    // replay did not duplicate any delta
+    assert(fin.vectors.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
 }
