@@ -150,14 +150,23 @@ object ScaleAnchors {
         out("grid_occ_skew") = math.round(
           gocc.getLong(1) * 1000.0 / gocc.getLong(3)) / 1000.0
         // probe-candidate volume of the declared 4-probe grid queries:
-        // the id-pair mass the ivfgrid/pqgrid plans actually shuffle
+        // the id-pair mass the ivfgrid/pqgrid plans actually shuffle.
+        // COUNTERS run at FULL scale (they ARE the tripwire: measured
+        // ×100 growth for the 10× step — 1.23M → 124.5M candidates at
+        // the 2k→20k grain); the query WALLS are timed on a capped
+        // 5k-vector slice, because actually scoring the quadratic
+        // candidate mass is the pathology the fence exists to forbid
+        // (measured before the cap: ivfgrid 789 s at 20k vectors — the
+        // number that proves the point once; no need to pay it per run).
         out("grid_probe_candidates") = ops.Similarity
           .ivfGridProbeCandidates(gidx, e, nProbe = 4)
+        val eCap = e.orderBy("vec_id").limit(5000).localCheckpoint(true)
+        val gCap = ops.Similarity.ivfGridBuild(eCap)
         t("similarity_ivfgrid_topk")(
-          ops.Similarity.ivfQuery(gidx, e, k = 5, nProbe = 4).count())
+          ops.Similarity.ivfQuery(gCap, eCap, k = 5, nProbe = 4).count())
         t("similarity_pqgrid_topk")(ops.Similarity.pqQuery(
-          ops.Similarity.pqGridBuildFrom(gidx), e, k = 5, nProbe = 4).count())
-        t("semdedup_grid")(ops.Similarity.semDeDupFrom(gidx.vectors, 0.85).count())
+          ops.Similarity.pqGridBuildFrom(gCap), eCap, k = 5, nProbe = 4).count())
+        t("semdedup_grid")(ops.Similarity.semDeDupFrom(gCap.vectors, 0.85).count())
       }
 
       // admission family (r11): a FIXED bounded batch against the scaled
