@@ -36,9 +36,10 @@ for i in $(seq 1 "$RUNS"); do
     sbt -batch "runMain graft.Bench" \
     > "$tmpdir/run$i.log" 2>&1 || { echo "bench run $i failed" >&2; exit 1; }
   if [ ! -s "$tmpdir/run$i.json" ]; then
-    # fallback: the bench prints one full JSON object line; sbt may prefix
-    # it with "[info] ", so match from the brace onward
-    grep -m1 -o '{"metric":"total",.*}' "$tmpdir/run$i.log" > "$tmpdir/run$i.json" \
+    # fallback: the bench prints the full artifact once under metric
+    # "total_full" (the bounded last-line "total" is a partial map — never
+    # floor it); sbt may prefix with "[info] ", so match from the brace on
+    grep -m1 -o '{"metric":"total_full",.*}' "$tmpdir/run$i.log" > "$tmpdir/run$i.json" \
       || { echo "no bench JSON in run $i" >&2; tail -5 "$tmpdir/run$i.log" >&2; exit 1; }
   fi
 done

@@ -59,11 +59,13 @@ object Oracles {
       lshp AS (SELECT x.vec_id AS a, y.vec_id AS b
                FROM buckets x JOIN buckets y
                  ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+      gcells AS (SELECT LEAST(GREATEST(16, (count(*) + 127) // 128), 65536) AS cells FROM embeddings),
       cents AS (
         SELECT c, list(p ORDER BY d) AS centroid
         FROM (SELECT c.range AS c, d.range AS d,
                      ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
-              FROM range(16) c, range(64) d) pp
+              FROM range(65536) c, range(64) d, gcells
+              WHERE c.range < cells) pp
         GROUP BY 1),
       adist AS (SELECT nrm.vec_id, cents.c AS cell,
                        list_dot_product(centroid, centroid) - 2.0 * list_dot_product(v, centroid) AS dist
@@ -4715,11 +4717,13 @@ af AS (
     // the k-means tiers share (assignment argmin, probe top-4, self-
     // exclusion, (cos DESC, id) rank ties)
     "similarity_ivfgrid_topk" -> """
-      WITH cents AS (
+      WITH gcells AS (SELECT LEAST(GREATEST(16, (count(*) + 127) // 128), 65536) AS cells FROM embeddings),
+      cents AS (
         SELECT c, list(p ORDER BY d) AS centroid
         FROM (SELECT c.range AS c, d.range AS d,
                      ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
-              FROM range(16) c, range(64) d) pp
+              FROM range(65536) c, range(64) d, gcells
+              WHERE c.range < cells) pp
         GROUP BY 1),
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
@@ -4743,17 +4747,76 @@ af AS (
         FROM scored) t
       WHERE rk <= 5""",
 
+    // the recall-vs-nProbe tuning sweep over the md5-grid index (VERDICT
+    // r15 #4): query sample (64 smallest md5(vec_id) — the mirrorable
+    // pick), exact top-10 ground truth, every probe tier's ANN top-10,
+    // and the hits/possible recall arithmetic, all reproduced number for
+    // number — the tuning-curve MATH itself is hash-verified, and the
+    // k-means sweep (ann_recall_sweep, rows-only) runs this exact code
+    "ann_recall_sweep_grid" -> """
+      WITH gcells AS (SELECT LEAST(GREATEST(16, (count(*) + 127) // 128), 65536) AS cells FROM embeddings),
+      cents AS (
+        SELECT c, list(p ORDER BY d) AS centroid
+        FROM (SELECT c.range AS c, d.range AS d,
+                     ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
+              FROM range(65536) c, range(64) d, gcells
+              WHERE c.range < cells) pp
+        GROUP BY 1),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
+      dist AS (SELECT n.vec_id, cents.c AS cell,
+                      list_dot_product(centroid, centroid) - 2.0 * list_dot_product(v, centroid) AS dist
+               FROM n, cents),
+      ranked AS (SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+                 FROM dist),
+      assign AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+      qs AS (SELECT vec_id FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+      exact AS (SELECT query_id, neighbor_id FROM (
+                  SELECT qn.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         row_number() OVER (PARTITION BY qn.vec_id
+                           ORDER BY floor(CAST(list_dot_product(qn.v, c.v) / (qn.nrm * c.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 DESC, c.vec_id) AS rk
+                  FROM qs q JOIN n qn ON qn.vec_id = q.vec_id
+                  JOIN n c ON c.vec_id <> q.vec_id) t
+                WHERE rk <= 10),
+      pgrid AS (SELECT * FROM (VALUES (1), (2), (4), (6), (8)) g(np)),
+      probes AS (SELECT g.np, r.vec_id AS query_id, r.cell
+                 FROM ranked r JOIN qs q ON q.vec_id = r.vec_id
+                 JOIN pgrid g ON r.r <= g.np),
+      cand AS (SELECT p.np, p.query_id, a.vec_id AS neighbor_id
+               FROM probes p JOIN assign a ON a.cell = p.cell
+               WHERE a.vec_id <> p.query_id),
+      ann AS (SELECT np, query_id, neighbor_id FROM (
+                SELECT c.np, c.query_id, c.neighbor_id,
+                       row_number() OVER (PARTITION BY c.np, c.query_id
+                         ORDER BY floor(CAST(list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 DESC, c.neighbor_id) AS rk
+                FROM cand c JOIN n nq ON nq.vec_id = c.query_id
+                JOIN n nc ON nc.vec_id = c.neighbor_id) t
+              WHERE rk <= 10),
+      tot AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+                     CAST(count(*) AS BIGINT) AS possible FROM exact),
+      hitc AS (SELECT g.np, CAST(count(e.query_id) AS BIGINT) AS hits
+               FROM pgrid g
+               LEFT JOIN ann a ON a.np = g.np
+               LEFT JOIN exact e ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+               GROUP BY 1)
+      SELECT CAST(h.np AS BIGINT) AS nprobe, t.n_queries, t.possible, h.hits,
+             CAST(h.hits AS DOUBLE) / t.possible AS recall
+      FROM hitc h, tot t""",
+
     // the CLUSTERED SemDeDup form under the md5-grid cells (r14): the
     // Abbas et al. cluster-first / within-cell keep-first pass with the
     // deterministic coarse quantizer, so the witness rule (dropped iff a
     // smaller-id same-cell vector is τ-close; dup_of = the MINIMUM such
     // witness) is value-checked exactly as semDeDupFrom computes it
     "semdedup_grid" -> """
-      WITH cents AS (
+      WITH gcells AS (SELECT LEAST(GREATEST(16, (count(*) + 127) // 128), 65536) AS cells FROM embeddings),
+      cents AS (
         SELECT c, list(p ORDER BY d) AS centroid
         FROM (SELECT c.range AS c, d.range AS d,
                      ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
-              FROM range(16) c, range(64) d) pp
+              FROM range(65536) c, range(64) d, gcells
+              WHERE c.range < cells) pp
         GROUP BY 1),
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
@@ -4777,11 +4840,13 @@ af AS (
     // same assignment CTE, then the deterministic md5(vec_id) pick rule —
     // per-cell quota-16 kept set value-checked rank for rank
     "cell_balanced_sample_grid" -> """
-      WITH cents AS (
+      WITH gcells AS (SELECT LEAST(GREATEST(16, (count(*) + 127) // 128), 65536) AS cells FROM embeddings),
+      cents AS (
         SELECT c, list(p ORDER BY d) AS centroid
         FROM (SELECT c.range AS c, d.range AS d,
                      ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
-              FROM range(16) c, range(64) d) pp
+              FROM range(65536) c, range(64) d, gcells
+              WHERE c.range < cells) pp
         GROUP BY 1),
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
@@ -4803,11 +4868,13 @@ af AS (
     // occupancy rollup semDeDupStats computes, value-checked — integer
     // occupancy/pair counts plus the two double shares
     "semdedup_stats_grid" -> """
-      WITH cents AS (
+      WITH gcells AS (SELECT LEAST(GREATEST(16, (count(*) + 127) // 128), 65536) AS cells FROM embeddings),
+      cents AS (
         SELECT c, list(p ORDER BY d) AS centroid
         FROM (SELECT c.range AS c, d.range AS d,
                      ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
-              FROM range(16) c, range(64) d) pp
+              FROM range(65536) c, range(64) d, gcells
+              WHERE c.range < cells) pp
         GROUP BY 1),
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE list_dot_product(v, v) > 0),
@@ -4842,11 +4909,13 @@ af AS (
     // q6 exact rerank — the SAME pqEncode/pqQuery plan the k-means tiers
     // run, value-checked end to end
     "similarity_pqgrid_topk" -> """
-      WITH cents AS (
+      WITH gcells AS (SELECT LEAST(GREATEST(16, (count(*) + 127) // 128), 65536) AS cells FROM embeddings),
+      cents AS (
         SELECT c, list(p ORDER BY d) AS centroid
         FROM (SELECT c.range AS c, d.range AS d,
                      ((('0x' || substr(md5('ivfgrid:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001) - 1000) / 1000.0 AS p
-              FROM range(16) c, range(64) d) pp
+              FROM range(65536) c, range(64) d, gcells
+              WHERE c.range < cells) pp
         GROUP BY 1),
       cbs AS (
         SELECT j, c, list(p ORDER BY d) AS cb

@@ -129,16 +129,19 @@ object ScaleAnchors {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
 
-      // md5-grid family (r14 VERDICT #8): the FIXED 16-cell grid twins
-      // are CORRECTNESS MIRRORS, not the scale default — with cells
-      // constant, occupancy grows ∝ n and within-cell pair volume ∝ n²,
-      // and the md5 point set is structurally skewed on real embeddings
-      // (measured at declaration: one cell held 49% of vectors / 72% of
-      // pair volume at sf0.1 — commit 34760fd). These counters pin that
-      // skew and the quadratic candidate growth as NUMBERS with a diffable
-      // tripwire, so a future change that silently routes corpus-scale
-      // work through the fixed grid (instead of the occupancy-disciplined
-      // cellsFor geometry) shows up as a counter jump, not a slow bench.
+      // md5-grid family (r14 VERDICT #8, r15 VERDICT #1): the grid twins
+      // are CORRECTNESS MIRRORS whose cell count now follows the same
+      // constant-occupancy discipline as the k-means family
+      // (gridCellsFor — r15 measured the prior FIXED 16-cell geometry at
+      // 1.23 M → 124.5 M probe candidates across one 10× step, ×100 for
+      // ×10 data; ivfgrid wall 789 s at 20k vectors before the fix).
+      // With cells ∝ n the expected occupancy is flat, so
+      // grid_probe_candidates ≈ n·nProbe·occupancy grows ~LINEARLY and
+      // grid_max_occ should hold ~flat across the 10× step (the
+      // cellsFor-pair 168→172 shape). The md5 point set is still
+      // structurally skewed on real embeddings (one hot cell), so
+      // grid_max_occ / grid_occ_skew remain the tripwire for routing
+      // corpus-scale work through the grid instead of k-means.
       {
         val gidx = ops.Similarity.ivfGridBuild(e)
         val gocc = gidx.vectors.groupBy("cell").count()
@@ -151,22 +154,17 @@ object ScaleAnchors {
           gocc.getLong(1) * 1000.0 / gocc.getLong(3)) / 1000.0
         // probe-candidate volume of the declared 4-probe grid queries:
         // the id-pair mass the ivfgrid/pqgrid plans actually shuffle.
-        // COUNTERS run at FULL scale (they ARE the tripwire: measured
-        // ×100 growth for the 10× step — 1.23M → 124.5M candidates at
-        // the 2k→20k grain); the query WALLS are timed on a capped
-        // 5k-vector slice, because actually scoring the quadratic
-        // candidate mass is the pathology the fence exists to forbid
-        // (measured before the cap: ivfgrid 789 s at 20k vectors — the
-        // number that proves the point once; no need to pay it per run).
+        // Counters AND walls both run at FULL scale now — with derived
+        // cells the candidate mass is occupancy-bounded, so timing the
+        // real declared plan is affordable by construction (the 5k cap
+        // that protected the fixed-16 geometry is gone with it).
         out("grid_probe_candidates") = ops.Similarity
           .ivfGridProbeCandidates(gidx, e, nProbe = 4)
-        val eCap = e.orderBy("vec_id").limit(5000).localCheckpoint(true)
-        val gCap = ops.Similarity.ivfGridBuild(eCap)
         t("similarity_ivfgrid_topk")(
-          ops.Similarity.ivfQuery(gCap, eCap, k = 5, nProbe = 4).count())
+          ops.Similarity.ivfQuery(gidx, e, k = 5, nProbe = 4).count())
         t("similarity_pqgrid_topk")(ops.Similarity.pqQuery(
-          ops.Similarity.pqGridBuildFrom(gCap), eCap, k = 5, nProbe = 4).count())
-        t("semdedup_grid")(ops.Similarity.semDeDupFrom(gCap.vectors, 0.85).count())
+          ops.Similarity.pqGridBuildFrom(gidx), e, k = 5, nProbe = 4).count())
+        t("semdedup_grid")(ops.Similarity.semDeDupFrom(gidx.vectors, 0.85).count())
       }
 
       // admission family (r11): a FIXED bounded batch against the scaled

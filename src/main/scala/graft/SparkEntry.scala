@@ -1080,6 +1080,14 @@ object SparkEntry {
     // scheduled recall audit that catches geometry drift before users do
     "ann_recall_sweep" -> ((s, d) =>
       Similarity.ivfRecallSweep(ivfIndex(s, d), Tables.embeddings(s, d))),
+    // the SAME recall-vs-nProbe audit over the md5-grid index (VERDICT
+    // r15 #4): deterministic geometry + md5 query pick make the whole
+    // tuning curve — sample, exact truth, every probe tier, the recall
+    // division — hash-verified in DuckDB, so the sweep MATH itself sits
+    // on the oracle board (the k-means sweep shares this code verbatim)
+    "ann_recall_sweep_grid" -> ((s, d) =>
+      Similarity.ivfRecallSweep(ivfGridIndex(s, d), Tables.embeddings(s, d),
+        mirrorablePick = true)),
 
     // ---- multimodal (north star; REAL PNG/JPEG/WAV/MJPEG-AVI content
     // decode — only non-MJPEG AVI codecs remain the sanctioned stub)

@@ -1037,16 +1037,27 @@ object Similarity {
     * non-decreasing in nProbe (probe sets are nested, so a candidate
     * superset's top-k can only trade misses upward against the global
     * top-k), and nProbe = nCells ⇒ recall = 1 exactly (probing every
-    * cell IS the exhaustive scan). Rows-only (k-means geometry is
-    * engine-specific). */
+    * cell IS the exhaustive scan). Over a k-means index the sweep is
+    * rows-only (MLlib geometry is engine-specific); over the md5-grid
+    * index with `mirrorablePick = true` the WHOLE curve — sample pick,
+    * exact truth, every probe tier, the recall arithmetic — is
+    * DuckDB-hash-verified (`ann_recall_sweep_grid`, VERDICT r15 #4).
+    *
+    * `mirrorablePick` switches the query-sample key from xxhash64 (no
+    * DuckDB equivalent) to md5 over the stringified id — same
+    * deterministic uniform spread, reproducible in SQL as
+    * md5(CAST(vec_id AS VARCHAR)). */
   def ivfRecallSweep(index: IvfIndex, embeddings: DataFrame, k: Int = 10,
-      nQueries: Int = 64, probeGrid: Seq[Int] = Seq(1, 2, 4, 6, 8)): DataFrame = {
+      nQueries: Int = 64, probeGrid: Seq[Int] = Seq(1, 2, 4, 6, 8),
+      mirrorablePick: Boolean = false): DataFrame = {
     require(probeGrid.nonEmpty, "probeGrid must not be empty")
     val e = withNorms(embeddings)
+    val pickKey = if (mirrorablePick) md5(col("vec_id").cast("string"))
+      else xxhash64(col("vec_id"))
     // bounded query sample, pinned: reused by ground truth + every tier
     val queries = embeddings.join(
         broadcast(e.select(col("vec_id"))
-          .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nQueries)),
+          .orderBy(pickKey, col("vec_id")).limit(nQueries)),
         Seq("vec_id"))
       .localCheckpoint(true)
     // exact ground truth: bounded query side broadcast over the corpus
@@ -1087,6 +1098,24 @@ object Similarity {
     ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
   }
 
+  /** Grid cell count sized so expected occupancy ≈ [[targetCellOccupancy]]
+    * — the [[cellsFor]] discipline for the md5-grid twin (VERDICT r15 #1:
+    * a FIXED 16-cell grid made probe-candidate volume quadratic in n —
+    * 1.23 M → 124.5 M id-pairs across one 10× step, measured). Pure
+    * integer arithmetic ((n + occ − 1) / occ) so DuckDB reproduces the
+    * count exactly from its own count(*) — no float ceil to disagree at
+    * boundaries. The floor of 16 preserves the r8-pinned small-corpus
+    * geometry (every sf ≤ 0.1 test corpus still gets 16 cells, so the
+    * standing oracle hashes carry over); the 65536 cap bounds the
+    * driver-literal centroid table (65536 × 64 doubles ≈ 32 MB broadcast)
+    * — past ~8.4 M vectors occupancy grows linearly, and the k-means
+    * family ([[cellsFor]], uncapped fit-bounded) is the scale default
+    * anyway. Mirrored in SQL as
+    * LEAST(GREATEST(16, (n + 127) // 128), 65536). */
+  private[graft] def gridCellsFor(n: Long): Int =
+    math.min(math.max(16L,
+      (n + targetCellOccupancy - 1L) / targetCellOccupancy), 65536L).toInt
+
   /** IVF index under the DETERMINISTIC md5-grid coarse quantizer — the
     * oracle-mirrorable twin of [[ivfBuild]] (VERDICT r13 #3): cells are
     * the md5-derived fixed points of [[gridCentroidVal]] instead of
@@ -1097,11 +1126,15 @@ object Similarity {
     * stay the scale default: data-adapted cells follow the corpus
     * distribution, a fixed grid does not — measured on the test corpus the
     * grid's largest cell holds ~half the vectors and ~72% of the pair
-    * volume (`semdedup_stats_grid` makes exactly this skew visible), which
-    * is the occupancy blow-up [[cellsFor]]'s constant-occupancy discipline
-    * exists to prevent. This twin buys a hash-verified correctness anchor
-    * for the shared probe/candidate/rerank plumbing, not a recall
-    * improvement and not a partitioning strategy.
+    * volume (`semdedup_stats_grid` makes exactly this skew visible). The
+    * CELL COUNT, though, follows the same constant-occupancy discipline as
+    * the k-means family: `nCells = 0` (the default) derives it from the
+    * corpus via [[gridCellsFor]] (VERDICT r15 #1 — a fixed count made the
+    * grid family's probe-candidate mass quadratic in n), and the oracle
+    * derives the identical count from its own count(*). This twin buys a
+    * hash-verified correctness anchor for the shared
+    * probe/candidate/rerank plumbing, not a recall improvement and not a
+    * partitioning strategy.
     *
     * Assignment is the same broadcast-centroids shape as [[ivfAssign]]:
     * nCells rows cross-joined per vector (one codegen dot per (vector,
@@ -1110,11 +1143,12 @@ object Similarity {
     * driver literal, the per-vector window is nCells-bounded, and the
     * output is the standard (vec_id, v, norm, cell) vectors layer —
     * partitionable by cell exactly like the k-means index. */
-  def ivfGridBuild(embeddings: DataFrame, nCells: Int = 16): IvfIndex = {
+  def ivfGridBuild(embeddings: DataFrame, nCells: Int = 0): IvfIndex = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val (_, dim) = corpusDims(embeddings)
-    val centroids = (0 until nCells)
+    val (n, dim) = corpusDims(embeddings)
+    val cells = if (nCells > 0) nCells else gridCellsFor(n)
+    val centroids = (0 until cells)
       .map(c => (c, (0 until dim).map(d => gridCentroidVal(c, d))))
       .toDF("cell", "centroid")
     val e = withNorms(embeddings)
@@ -1132,8 +1166,9 @@ object Similarity {
   /** Self-join ANN through the md5-grid IVF index: identical plumbing to
     * [[ivfTopK]] ([[ivfQuery]] probes → cell-join candidates → q6 cosine
     * rerank), deterministic geometry, DuckDB-value-checked end to end.
-    * Defaults (16 cells, 4 probes) are literals mirrored by the oracle. */
-  def ivfGridTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 16,
+    * The cell count derives from corpus size ([[gridCellsFor]], mirrored
+    * by the oracle from count(*)); k and nProbe are mirrored literals. */
+  def ivfGridTopK(embeddings: DataFrame, k: Int = 5, nCells: Int = 0,
       nProbe: Int = 4): DataFrame =
     ivfQuery(ivfGridBuild(embeddings, nCells), embeddings, k, nProbe)
 
@@ -1159,7 +1194,7 @@ object Similarity {
     * [[pqEncode]]/[[pqQuery]] with this twin by construction, so a green
     * hash here value-checks the shared plumbing they run. */
   def pqGridBuild(embeddings: DataFrame, m: Int = 8, codebookSize: Int = 16,
-      nCells: Int = 16): PqIndex = {
+      nCells: Int = 0): PqIndex = {
     val (_, dim) = corpusDims(embeddings)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     pqGridBuildFrom(ivfGridBuild(embeddings, nCells), m, codebookSize)
@@ -1184,10 +1219,11 @@ object Similarity {
 
   /** Self-join IVF-PQ ANN through the md5-grid index — [[pqQuery]]'s own
     * probe → ADC → rerank plan over deterministic geometry, DuckDB-value-
-    * checked end to end. Defaults (8×16 codebooks, 16 cells, 4 probes,
-    * 6k rerank pool) are literals mirrored by the oracle. */
+    * checked end to end. Defaults (8×16 codebooks, 4 probes, 6k rerank
+    * pool) are literals mirrored by the oracle; the coarse cell count
+    * derives from corpus size ([[gridCellsFor]], mirrored from count(*)). */
   def pqGridTopK(embeddings: DataFrame, k: Int = 5, m: Int = 8,
-      codebookSize: Int = 16, nCells: Int = 16, nProbe: Int = 4,
+      codebookSize: Int = 16, nCells: Int = 0, nProbe: Int = 4,
       rerankFactor: Int = 6): DataFrame =
     pqQuery(pqGridBuild(embeddings, m, codebookSize, nCells), embeddings,
       k, nProbe, rerankFactor)
@@ -1242,7 +1278,7 @@ object Similarity {
     * graph) — the convergence law NnDescentSpec pins, alongside the
     * recall anchor vs brute force. */
   def nnDescentTopK(embeddings: DataFrame, k: Int = 5, graphK: Int = 14,
-      rounds: Int = 2, nCells: Int = 16, lshTables: Int = 2,
+      rounds: Int = 2, nCells: Int = 0, lshTables: Int = 2,
       hubsPerCell: Int = 3, targetOccupancy: Int = 64): DataFrame = {
     val g = nnDescentGraph(embeddings, graphK, rounds, nCells, lshTables,
       hubsPerCell, targetOccupancy)
@@ -1273,7 +1309,7 @@ object Similarity {
     * [[nnInsert]] maintains. See [[nnDescentTopK]] for the algorithm and
     * determinism notes. */
   def nnDescentGraph(embeddings: DataFrame, graphK: Int = 14,
-      rounds: Int = 2, nCells: Int = 16, lshTables: Int = 2,
+      rounds: Int = 2, nCells: Int = 0, lshTables: Int = 2,
       hubsPerCell: Int = 3, targetOccupancy: Int = 64): DataFrame = {
     val e = withNorms(embeddings)
     val (n, dim) = corpusDims(embeddings)
@@ -1354,8 +1390,31 @@ object Similarity {
     Sinks.overwriteLayer(Seq(index.graphK).toDF("graph_k"), s"$dir/meta")
   }
 
-  /** Reload a persisted graph index; schemas DECLARED (the [[ivfRead]]
-    * rule) so the partition column's type survives session settings. */
+  /** Complete (reader-visible) delta append dirs under `indexDir/appends`
+    * — a delta counts only when EVERY sublayer's `_SUCCESS` exists, so a
+    * crash between sublayer writes leaves an invisible partial, never a
+    * torn index. Shared by the batch maintenance paths here and the
+    * streaming admission paths in [[graft.ops.StreamDemo]] (one
+    * completeness rule for both — r15 ADVICE #1). */
+  private[ops] def completeDeltaDirs(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, sublayers: Seq[String]): Seq[String] = {
+    val appends = new org.apache.hadoop.fs.Path(s"$indexDir/appends")
+    val hfs = appends.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!hfs.exists(appends)) Seq.empty
+    else hfs.listStatus(appends).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("batch_id=") &&
+        sublayers.forall(s =>
+          hfs.exists(new org.apache.hadoop.fs.Path(p, s"$s/_SUCCESS"))))
+      .map(_.toString)
+  }
+
+  /** Reload a persisted graph index: the base layers plus every COMPLETE
+    * two-sublayer delta (vectors written first, edges last — edges'
+    * `_SUCCESS` gates visibility, so a torn insert is skipped whole).
+    * Schemas DECLARED (the [[ivfRead]] rule) so the partition column's
+    * type survives session settings. Batch [[nnInsert]] and the
+    * streaming admission (`streamNnInsert`) both land the same delta
+    * shape, and this is the one read path for both. */
   def nnRead(spark: org.apache.spark.sql.SparkSession, dirIn: String): NnGraphIndex = {
     import org.apache.spark.sql.types._
     val dir = resolveEpoch(spark, dirIn)
@@ -1366,9 +1425,16 @@ object Similarity {
       StructField("vec_id", LongType), StructField("v", ArrayType(DoubleType)),
       StructField("norm", DoubleType), StructField("part", IntegerType)))
     val graphK = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val baseEdges =
+      spark.read.schema(edgeSchema).parquet(s"$dir/edges").drop("part")
+    val baseVecs =
+      spark.read.schema(vecSchema).parquet(s"$dir/vectors").drop("part")
+    val deltas = completeDeltaDirs(spark, dir, Seq("vectors", "edges"))
     NnGraphIndex(
-      spark.read.schema(edgeSchema).parquet(s"$dir/edges").drop("part"),
-      spark.read.schema(vecSchema).parquet(s"$dir/vectors").drop("part"),
+      deltas.map(p => spark.read.schema(baseEdges.schema)
+        .parquet(s"$p/edges")).foldLeft(baseEdges)(_ unionByName _),
+      deltas.map(p => spark.read.schema(baseVecs.schema)
+        .parquet(s"$p/vectors")).foldLeft(baseVecs)(_ unionByName _),
       graphK)
   }
 
@@ -1389,17 +1455,29 @@ object Similarity {
     * rescored beam candidates; the per-query cut still applies), and
     * [[nnDescentGraph]] re-run at rebuild time re-normalizes every degree.
     * Dim is verified against the standing vectors before anything writes;
-    * an empty batch is a no-op. */
+    * an empty batch is a no-op.
+    *
+    * Durability (r15 ADVICE #1): the insert lands as a two-sublayer DELTA
+    * under `appends/batch_id=b<md5 of the sorted batch ids>` — the SAME
+    * mechanism the streaming admission uses — written vectors FIRST and
+    * edges LAST, each in overwrite mode. A crash between the writes
+    * leaves an incomplete delta [[nnRead]] never assembles (no dangling
+    * edges), and a RETRY overwrites the same content-keyed dir instead of
+    * appending duplicates — idempotent by construction. The old in-place
+    * `mode(append)` into the base layers had neither property. */
   def nnInsert(spark: org.apache.spark.sql.SparkSession, dirIn: String,
       newVectors: DataFrame): Unit = {
     val dir = resolveEpoch(spark, dirIn)
     val index = nnRead(spark, dir)
     nnInsertFrames(index, newVectors).foreach { case (edges, batch) =>
-      edges
-        .withColumn("part", pmod(col("a"), lit(GraphParts)).cast("int"))
-        .write.mode("append").partitionBy("part").parquet(s"$dir/edges")
-      batch.withColumn("part", pmod(col("vec_id"), lit(GraphParts)).cast("int"))
-        .write.mode("append").partitionBy("part").parquet(s"$dir/vectors")
+      // content key: md5 over the sorted batch ids (bounded by the append
+      // contract) — a replay of the same batch maps to the same delta dir
+      val key = batch.agg(
+        md5(concat_ws(",", sort_array(collect_list(col("vec_id"))))))
+        .head().getString(0)
+      val delta = s"$dir/appends/batch_id=b$key"
+      batch.write.mode("overwrite").parquet(s"$delta/vectors")
+      edges.write.mode("overwrite").parquet(s"$delta/edges")
     }
   }
 
@@ -1508,14 +1586,80 @@ object Similarity {
     * whole greedy loop replays in DuckDB (the oracle unrolls the `picks`
     * iterations mechanically, [[Oracles.facilityLocationSql]]).
     *
-    * Scale shape per iteration: one edge⋈coverage join + one combining
-    * groupBy (linear in edges = graphK·n), a 1-row TakeOrdered argmax,
-    * and an n-row coverage update kept flat by localCheckpoint; the
-    * picked list is `picks` ids on the driver (bounded by contract). */
+    * LAZY-GREEDY (Minoux 1978 accelerated greedy; VERDICT r15 #6): one
+    * full gain pass seeds per-candidate upper BOUNDS, then each pick pops
+    * the largest bound and recomputes ONLY that candidate's exact gain
+    * (a graphK-row job) until the top of the queue is fresh — by
+    * submodularity a candidate's gain never grows as coverage grows, so
+    * a stale bound is always an upper bound and a fresh top dominates
+    * every other candidate's possible gain. The PICK SEQUENCE is
+    * bit-identical to the eager form (spec law): ties break on
+    * (bound DESC, id ASC), and at equal bounds the fresh top has the
+    * smallest id by construction of the ordering, exactly the eager
+    * (gain DESC, id ASC) argmax. The eager form stays as
+    * [[facilityLocationSelectEager]] for the equality law.
+    *
+    * Scale shape: ONE edges-linear gain pass (graphK·n) up front, then
+    * per pick a 2-row TakeOrdered on the n-row bounds frame, a bounded
+    * number of graphK-row exact-gain jobs (typically 1–3 — the Minoux
+    * speedup), an n-row bounds refresh, and an n-row coverage update,
+    * all kept flat by localCheckpoint. The eager form paid the
+    * edges-linear pass on EVERY pick.
+    *
+    * `picks` exceeding the node count returns one row per node (the
+    * bounds queue drains and the loop stops — r15 ADVICE: the eager form
+    * died on .head() of an empty candidate frame instead). */
   def facilityLocationSelect(graph: DataFrame, picks: Int = 16): DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
-    // undirected coverage edges + unit self-loops
+    val (edges, nodes) = facilityEdges(graph)
+    var cov = nodes.withColumn("cov", lit(0.0)).localCheckpoint(true)
+    // seed bounds: exact gains at zero coverage (the one full pass)
+    var bounds = edges
+      .select(col("s"), q6(greatest(lit(0.0), col("cos_sim"))).as("g"))
+      .groupBy("s").agg(r6sum(col("g")).as("ub"))
+      .withColumn("fresh", lit(true))
+      .localCheckpoint(true)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var drained = false
+    while (picked.size < picks && !drained) {
+      val top = bounds.orderBy(col("ub").desc, col("s").asc).limit(1).collect()
+      if (top.isEmpty) drained = true
+      else {
+        val (ts, tub, tfresh) =
+          (top(0).getLong(0), top(0).getDouble(1), top(0).getBoolean(2))
+        if (tfresh) {
+          picked += ((ts, tub))
+          cov = cov
+            .join(edges.filter(col("s") === ts).select(col("v").as("vec_id"),
+              col("cos_sim")), Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              greatest(col("cov"), coalesce(col("cos_sim"), lit(0.0))).as("cov"))
+            .localCheckpoint(true)
+          // coverage moved: every remaining bound is stale again
+          bounds = bounds.filter(col("s") =!= ts)
+            .withColumn("fresh", lit(false)).localCheckpoint(true)
+        } else {
+          // recompute ONLY the top candidate's gain against live coverage
+          val g = edges.filter(col("s") === ts)
+            .join(cov.withColumnRenamed("vec_id", "v"), Seq("v"))
+            .select(q6(greatest(lit(0.0), col("cos_sim") - col("cov"))).as("g"))
+            .agg(r6sum(col("g")).as("gain")).head().getDouble(0)
+          bounds = bounds.select(col("s"),
+              when(col("s") === ts, lit(g)).otherwise(col("ub")).as("ub"),
+              when(col("s") === ts, lit(true)).otherwise(col("fresh")).as("fresh"))
+            .localCheckpoint(true)
+        }
+      }
+    }
+    picked.zipWithIndex
+      .map { case ((s, g), i) => (i + 1L, s, g) }.toSeq
+      .toDF("pick_rank", "vec_id", "gain")
+  }
+
+  /** The undirected coverage edge list (+ unit self-loops) and node set
+    * shared by the lazy and eager facility-location forms. */
+  private def facilityEdges(graph: DataFrame): (DataFrame, DataFrame) = {
     val und = graph.select(col("a").as("v"), col("b").as("s"), col("cos_sim"))
       .unionByName(graph.select(col("b").as("v"), col("a").as("s"), col("cos_sim")))
       .groupBy("v", "s").agg(max("cos_sim").as("cos_sim"))
@@ -1524,9 +1668,21 @@ object Similarity {
       .unionByName(nodes.select(col("vec_id").as("v"), col("vec_id").as("s"),
         lit(1.0).as("cos_sim")))
       .localCheckpoint(true)
+    (edges, nodes)
+  }
+
+  /** The r14 EAGER greedy — full gain recomputation per pick. Kept as the
+    * reference implementation for the lazy≡eager equality law
+    * (SimilaritySpec); [[facilityLocationSelect]] is the serving path. */
+  private[graft] def facilityLocationSelectEager(graph: DataFrame,
+      picks: Int = 16): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val (edges, nodes) = facilityEdges(graph)
     var cov = nodes.withColumn("cov", lit(0.0)).localCheckpoint(true)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-    for (_ <- 1 to picks) {
+    val nNodes = nodes.count()
+    for (_ <- 1 to math.min(picks.toLong, nNodes).toInt) {
       val gains = edges
         .join(cov.withColumnRenamed("vec_id", "v"), Seq("v"))
         .select(col("s"),

@@ -1918,17 +1918,11 @@ object StreamDemo {
     * [[ReportStore.completeIds]], whose `_SUCCESS` sits at the batch dir
     * itself). Writers emit sublayers in a fixed order with the gate's
     * last one written last, so a crashed half-delta is never listed. */
+  // delta completeness gate shared with the batch maintenance paths —
+  // one rule for both (graft.ops.Similarity.completeDeltaDirs)
   private def completeDeltaDirs(spark: SparkSession, indexDir: String,
-      sublayers: Seq[String]): Seq[String] = {
-    val appends = new org.apache.hadoop.fs.Path(s"$indexDir/appends")
-    val hfs = ReportStore.fs(spark, appends)
-    if (!hfs.exists(appends)) Seq.empty
-    else hfs.listStatus(appends).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("batch_id=") &&
-        sublayers.forall(s =>
-          hfs.exists(new org.apache.hadoop.fs.Path(p, s"$s/_SUCCESS"))))
-      .map(_.toString)
-  }
+      sublayers: Seq[String]): Seq[String] =
+    graft.ops.Similarity.completeDeltaDirs(spark, indexDir, sublayers)
 
   /** Assemble the streamed LSH index: base + complete two-sublayer
     * deltas (buckets written first, vectors last). */
@@ -2127,20 +2121,14 @@ object StreamDemo {
       .start()
   }
 
-  /** Assemble the streamed graph index: base layers + every COMPLETE
-    * two-sublayer delta (edges written last gate completeness). */
+  /** Assemble the streamed graph index — now just [[graft.ops.Similarity
+    * .nnRead]]: since r16 the batch insert lands the SAME two-sublayer
+    * delta shape the streaming admission does (r15 ADVICE #1), so the
+    * base read path assembles complete deltas itself and the streamed
+    * and batch maintenance paths share one reader by construction. */
   def streamNnRead(spark: SparkSession,
-      indexDir: String): graft.ops.Similarity.NnGraphIndex = {
-    val base = graft.ops.Similarity.nnRead(spark, indexDir)
-    val deltas = completeDeltaDirs(spark, indexDir, Seq("vectors", "edges"))
-    val vectors = deltas.map(p => spark.read
-      .schema(base.vectors.schema).parquet(s"$p/vectors"))
-      .foldLeft(base.vectors)(_ unionByName _)
-    val edges = deltas.map(p => spark.read
-      .schema(base.edges.schema).parquet(s"$p/edges"))
-      .foldLeft(base.edges)(_ unionByName _)
-    graft.ops.Similarity.NnGraphIndex(edges, vectors, base.graphK)
-  }
+      indexDir: String): graft.ops.Similarity.NnGraphIndex =
+    graft.ops.Similarity.nnRead(spark, indexDir)
 
   /** Streaming thumbnail pipeline — the multimodal streaming leg:
     * documents arrive continuously, each micro-batch's media decodes and

@@ -135,6 +135,31 @@ class NnDescentSpec extends SparkTestBase {
     assert(gains.forall(_ > 0.0))
   }
 
+  test("facility location: lazy greedy ≡ eager greedy; overdrawn picks drain gracefully") {
+    val graph = Similarity.nnDescentGraph(emb).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("pick_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // Minoux lazy-greedy must reproduce the eager pick SEQUENCE (ids,
+    // order, gain values) bit-exactly — stale bounds are upper bounds by
+    // submodularity and the (bound DESC, id ASC) pop order reproduces
+    // the eager argmax tie-break
+    assert(rows(Similarity.facilityLocationSelect(graph, picks = 8)) ==
+      rows(Similarity.facilityLocationSelectEager(graph, picks = 8)))
+    // picks > node count: return one row per node instead of dying on an
+    // empty candidate frame (r15 ADVICE #4). Tiny graph = one real edge,
+    // so the node universe (2 endpoints) is far below the pick budget.
+    val one = graph.orderBy("a", "b").limit(1).cache()
+    val tiny = one
+    val nTiny = tiny.select(col("a").as("v"))
+      .unionByName(tiny.select(col("b").as("v"))).distinct().count()
+    assert(nTiny > 0 && nTiny < 10)
+    val over = rows(Similarity.facilityLocationSelect(tiny, picks = 10))
+    assert(over.size == nTiny,
+      s"overdrawn picks should drain to $nTiny rows, got ${over.size}")
+    assert(over.map(_._1) == (1L to nTiny))
+  }
+
   test("graph index: disk round-trip parity, insert finds planted twin, reverse reachability") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_nng").toString

@@ -106,6 +106,8 @@ class PlansSpec extends SparkTestBase {
       "similarity_bruteforce_topk", // bounded query-side broadcast (correctness baseline)
       "ann_recall_sweep",        // bounded hash-sampled query-side broadcast
                                  // (ground truth) + 1-row denominator frames
+      "ann_recall_sweep_grid",   // same bounded query-side broadcast, md5-grid
+                                 // geometry + md5 sample pick (oracled twin)
       "embedding_near_dup",      // documented small-corpus all-pairs baseline
       "dedup_agreement",         // composes the embedding all-pairs baseline
       "decontaminate_semantic",  // bounded eval-side broadcast (production shape)

@@ -1062,4 +1062,37 @@ class SimilaritySpec extends SparkTestBase {
       declared.columns.toSeq ==
         Seq("nprobe", "n_queries", "possible", "hits", "recall"))
   }
+
+  test("ann recall sweep (md5-grid twin): same laws over the oracled geometry") {
+    import graft.ops.Similarity
+    // the hash-verified sweep (ann_recall_sweep_grid, VERDICT r15 #4)
+    // obeys the SAME curve laws as the k-means sweep — they run
+    // ivfRecallSweep verbatim, only the index geometry differs
+    val emb = Tables.embeddings(spark, SF)
+    val idx = Similarity.ivfGridBuild(emb)
+    val nCells = idx.centroids.count().toInt
+    val grid = Seq(1, 2, 4, nCells).distinct.sorted
+    val r = Similarity.ivfRecallSweep(idx, emb, k = 10, nQueries = 32,
+      probeGrid = grid, mirrorablePick = true).orderBy("nprobe").collect()
+    assert(r.map(_.getAs[Long]("nprobe")).toSeq == grid.map(_.toLong))
+    for (row <- r) {
+      val (nq, poss, hits, rec) = (row.getAs[Long]("n_queries"),
+        row.getAs[Long]("possible"), row.getAs[Long]("hits"),
+        row.getAs[Double]("recall"))
+      assert(nq == 32L && poss == nq * 10 && hits >= 0 && hits <= poss)
+      assert(rec == hits.toDouble / poss)
+    }
+    val recalls = r.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.sliding(2).forall(p => p.head <= p.last),
+      s"grid-sweep recall not monotone over $grid: $recalls")
+    assert(recalls.last == 1.0,
+      s"exhaustive probe must recall 1.0, got $recalls")
+    // the declared (oracled) query: 5 default grid points, schema pinned
+    val declared = q("ann_recall_sweep_grid")
+    assert(declared.count() == 5 &&
+      declared.columns.toSeq ==
+        Seq("nprobe", "n_queries", "possible", "hits", "recall"))
+    // the md5 pick is a real sample, not the whole corpus
+    assert(declared.select("n_queries").head().getLong(0) == 64L)
+  }
 }
