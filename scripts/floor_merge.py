@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Merge several bench_floor.sh artifacts into one N-run floor.
+
+Usage: scripts/floor_merge.py OUT.json DERIVATION FLOOR1.json FLOOR2.json ...
+
+The r15 close merged four 2-run artifacts by hand; this formalizes the rule:
+  - every input must cover the SAME query key set (the r14 VERDICT #6 fix:
+    an entry missing from any run would be a min over fewer runs — refuse);
+  - per-query floor = min across all inputs; stages likewise (stages may
+    legitimately differ in coverage when stage wiring changes — min over
+    the inputs that have the key);
+  - raw_totals and calibrations concatenate in input order, so
+    floor_compare.py's drag-spread gate sees every run;
+  - `value` is the sum of merged per-query floors (NOT min of totals).
+DERIVATION is a free-text provenance string recorded in the artifact.
+"""
+import json
+import sys
+
+
+def main():
+    if len(sys.argv) < 4:
+        sys.exit(__doc__)
+    out, derivation, paths = sys.argv[1], sys.argv[2], sys.argv[3:]
+    docs = [json.load(open(p)) for p in paths]
+    keysets = [set(d["queries"].keys()) for d in docs]
+    if any(k != keysets[0] for k in keysets[1:]):
+        diff = set().union(*keysets) - set.intersection(*keysets)
+        sys.exit(f"query key sets differ across inputs (not every entry "
+                 f"covers every run): {sorted(diff)}")
+    sfs = {d.get("sf") for d in docs}
+    if len(sfs) != 1:
+        sys.exit(f"mixed sf dirs: {sfs}")
+    floor = {q: min(d["queries"][q] for d in docs) for q in keysets[0]}
+    stage_names = set().union(*(d.get("stages", {}).keys() for d in docs))
+    stages = {s: min(d["stages"][s] for d in docs if s in d.get("stages", {}))
+              for s in sorted(stage_names)}
+    merged = {
+        "metric": "bench_floor_total_sec",
+        "value": round(sum(floor.values()), 2),
+        "unit": "sec",
+        "runs": sum(d.get("runs", 0) for d in docs),
+        "derivation": derivation,
+        "raw_totals": [t for d in docs for t in d.get("raw_totals", [])],
+        "calibrations": [c for d in docs for c in d.get("calibrations", [])],
+        "sf": sfs.pop(),
+        "stages": stages,
+        "queries": {q: floor[q] for q in sorted(floor)},
+    }
+    line = json.dumps(merged)
+    open(out, "w").write(line + "\n")
+    print(json.dumps({k: merged[k] for k in
+                      ("metric", "value", "runs", "raw_totals")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -4658,7 +4658,7 @@ af AS (
       flips AS (SELECT vec_id, table_id, b FROM (
                   SELECT vec_id, table_id, b,
                          row_number() OVER (PARTITION BY vec_id, table_id ORDER BY abs(m), b) AS rk
-                  FROM margins) f WHERE rk <= 2),
+                  FROM margins) f, bitsv WHERE rk <= GREATEST(2, bits - 4)),
       probes AS (SELECT vec_id, table_id, bucket FROM base
                  UNION ALL
                  SELECT f.vec_id, f.table_id, xor(bs.bucket, (1::BIGINT << f.b)) AS bucket
@@ -5398,18 +5398,26 @@ af AS (
     * built at verify time from the TRAINED piece table the way
     * [[bpeTokenizeSql]] inlines the merges. The Viterbi DP is replayed
     * exactly because it is pure BIGINT arithmetic (the integer micro-unit
-    * path keys of `graft.functions.Unigram`): per distinct word, lattice
-    * edges are the vocabulary matches (equi-join on extracted substrings,
-    * plus a dummy never-matching edge so every word keeps a typed edge
-    * list), and a list-fold relaxes
+    * path keys of `graft.functions.Unigram`): per distinct word CHUNK,
+    * lattice edges are the vocabulary matches (equi-join on extracted
+    * substrings, plus a dummy never-matching edge so every chunk keeps a
+    * typed edge list), and a list-fold relaxes
     * `best[i] = min(best[j] + k(piece), best[i-1] + UNK)` position by
     * position — no float anywhere, so both engines compute the same best
     * key and its (cost·256 + n_pieces) decomposition. `maxPieceLen` and
-    * the UNK key are inlined literals matching the trained codec. */
+    * the UNK key are inlined literals matching the trained codec.
+    *
+    * Long words mirror the codec's PER-CHUNK decomposition (r15 ADVICE
+    * #2): words past MaxWordChars code points split into independent
+    * MaxWordChars-sized DP chunks whose (n_pieces, cost) counters SUM —
+    * exactly `Unigram.Codec.wordCounts` — so a URL or DNA run no longer
+    * silently diverges from the engine. The chunk fan-out is bounded at
+    * 256 chunks (= 65 280-char words), far past any realistic token. */
   def unigramTokenizeSql(pieces: Seq[(String, Long)],
       maxPieceLen: Int = 6): String = {
     def esc(s: String) = s.replace("'", "''")
     val unkKey = graft.functions.Unigram.unkKey
+    val maxW = graft.functions.Unigram.MaxWordChars
     val piecesCte =
       if (pieces.isEmpty)
         "SELECT CAST(NULL AS VARCHAR) AS piece, CAST(NULL AS BIGINT) AS k WHERE 1=0"
@@ -5421,24 +5429,30 @@ af AS (
     raw"""
       WITH pieces AS ($piecesCte),
       words AS (SELECT DISTINCT w FROM (SELECT unnest(regexp_split_to_array(text,'\s+')) AS w FROM documents) WHERE w<>''),
-      subs AS (SELECT w, s.range AS s, l.range AS l, substr(w, CAST(s.range AS INT)+1, CAST(l.range AS INT)) AS sub
-               FROM words, range(0, 255) s, range(1, ${maxPieceLen + 1}) l
-               WHERE s.range + l.range <= len(w)),
-      edges AS (SELECT subs.w, subs.s, subs.s + subs.l AS e, p.k
+      chunks AS (SELECT w, substr(w, CAST(c.range AS INT)*${maxW}+1, ${maxW}) AS cw
+                 FROM words, range(0, 256) c
+                 WHERE c.range*${maxW} < len(w)),
+      cwords AS (SELECT DISTINCT cw FROM chunks),
+      subs AS (SELECT cw, s.range AS s, l.range AS l, substr(cw, CAST(s.range AS INT)+1, CAST(l.range AS INT)) AS sub
+               FROM cwords, range(0, ${maxW}) s, range(1, ${maxPieceLen + 1}) l
+               WHERE s.range + l.range <= len(cw)),
+      edges AS (SELECT subs.cw, subs.s, subs.s + subs.l AS e, p.k
                 FROM subs JOIN pieces p ON p.piece = subs.sub
-                UNION ALL SELECT w, 0::BIGINT, -1::BIGINT, 0::BIGINT FROM words),
-      el AS (SELECT w, list(struct_pack(s := s, e := e, k := k)) AS eds FROM edges GROUP BY w),
-      dp AS (SELECT el.w,
+                UNION ALL SELECT cw, 0::BIGINT, -1::BIGINT, 0::BIGINT FROM cwords),
+      el AS (SELECT cw, list(struct_pack(s := s, e := e, k := k)) AS eds FROM edges GROUP BY cw),
+      dp AS (SELECT el.cw,
                list_reduce(
-                 list_concat([[0::BIGINT]], list_transform(range(1, len(el.w)+1), i -> [CAST(i AS BIGINT)])),
+                 list_concat([[0::BIGINT]], list_transform(range(1, len(el.cw)+1), i -> [CAST(i AS BIGINT)])),
                  (acc, x) -> acc || [list_min(list_append(
                     list_transform(list_filter(el.eds, ed -> ed.e = x[1]), ed -> acc[CAST(ed.s AS INT)+1] + ed.k),
                     acc[CAST(x[1] AS INT)] + ${unkKey}::BIGINT))]
                ) AS bests
              FROM el),
-      wk AS (SELECT w, bests[len(w)+1] AS key FROM dp),
+      ck AS (SELECT cw, bests[len(cw)+1] AS key FROM dp),
+      wk AS (SELECT chunks.w, sum(ck.key % 256) AS np, sum(ck.key // 256) AS cost
+             FROM chunks JOIN ck USING (cw) GROUP BY 1),
       perdoc AS (
-        SELECT doc_id, sum(key % 256) AS np, sum(key // 256) AS cost
+        SELECT doc_id, sum(wk.np) AS np, sum(wk.cost) AS cost
         FROM (SELECT doc_id, unnest(regexp_split_to_array(text,'\s+')) AS w FROM documents) d
         JOIN wk USING (w) GROUP BY 1)
       SELECT d.doc_id,

@@ -202,6 +202,15 @@ object ScaleAnchors {
           ivfR.intersect(truth).size * 1000.0 / truth.size) / 1000.0
         out("recall_lsh") = math.round(
           lshR.intersect(truth).size * 1000.0 / truth.size) / 1000.0
+        // the designed answer to single-probe decay (VERDICT r15 #2):
+        // multi-probe with the DERIVED flip budget (extraProbesFor —
+        // flips grow with bitsFor's bits) — pinned at BOTH scales; the
+        // 10× point must hold ≥ 0.5 where single-probe collapses to
+        // ~0.175 (measured r15). Query side bounded to the same
+        // 200-query audit sample as the other recall anchors.
+        val mpR = pairs(ops.Similarity.lshTopKMultiProbe(e, maxQueries = 200))
+        out("recall_lsh_multiprobe") = math.round(
+          mpR.intersect(truth).size * 1000.0 / truth.size) / 1000.0
         // planted-pair recall: the RETRIEVAL TARGETS (cosine ≈ 1 jittered
         // twins) — the number that must stay ~1.0 at any scale; the top-k
         // recall above is diluted by weak uniform-noise "neighbors", the

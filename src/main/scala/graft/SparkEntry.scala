@@ -192,6 +192,29 @@ object SparkEntry {
       g
     })
 
+  // ONE bucketed SERVING publication of the standing graph's edges per
+  // corpus dir (VERDICT r15 #5): hash-bucketed + sorted on the hop-join
+  // key `a`, external-path table (never the session warehouse dir — a
+  // read-only verify/bench session must not litter its cwd), so every
+  // graph-serving hop join reuses the layer's partitioning instead of
+  // re-shuffling the edges side per hop. Table name is dir-keyed (one
+  // session can hold several corpus dirs — ScaleGate runs two).
+  private val nnServingCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+  private def nnServingEdges(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    nnServingCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_srv_edges").toString
+      val tbl = Similarity.publishServingEdges(nnGraph(s, d),
+        s"graph_edges_srv_$key", Some(path))
+      ops.Pipeline.record(s, d, "nn_serving_publish",
+        (System.nanoTime() - t0) / 1e9)
+      tbl
+    })
+
   // The five-gate Venn frame is ≤ 2⁵ rows but costs five gate-family
   // passes to build; gate_overlap and gate_kappa both consume it, so ONE
   // memoized localCheckpoint per corpus dir serves both declared queries
@@ -232,7 +255,7 @@ object SparkEntry {
     lmn5ModelCache.clear(); lmPrunedCache.clear(); pcaModelCache.clear()
     dsirCountsCache.clear(); ivfIndexCache.clear()
     gateOverlapCache.clear(); ivfGridIndexCache.clear()
-    nnGraphCache.clear()
+    nnGraphCache.clear(); nnServingCache.clear()
   }
 
   /** Build + materialize every shared pipeline stage. The bench calls this
@@ -261,6 +284,9 @@ object SparkEntry {
     // stage of the graph family and must not land on whichever graph
     // query the bench loop reaches first
     nnGraph(s, d)
+    // the bucketed serving publication reads the graph above; publishing
+    // here meters the one-time external-table write as pipeline_stages
+    nnServingEdges(s, d)
     ()
   }
 
@@ -1027,6 +1053,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.graphSearchTopK(emb, emb, nnGraph(s, d))
     }),
+    // the SAME beam-search serving against the PUBLISHED bucketed edges
+    // layout (VERDICT r15 #5): hop joins read the layer's own hash
+    // partitioning, so the edges side never re-shuffles — identical
+    // values (same oracle SQL verbatim), lower gate shuffle bytes than
+    // the in-memory-graph twin above
+    "similarity_graphserve_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.graphSearchTopK(emb, emb, nnServingEdges(s, d))
+    }),
     // PageRank-style centrality over the same standing graph: the
     // cluster-exemplar signal for representativeness-weighted curation —
     // q6/decimal power iterations, hash-verified
@@ -1196,7 +1231,10 @@ object SparkEntry {
       ("stream_user_profiles" -> Oracles.sql("user_profiles")) +
       // the salted skew path must land bit-identical to the plain
       // sessionizer (the SkewSpec law) — same oracle VERBATIM
-      ("sessionize_salted" -> Oracles.sql("sessionize"))
+      ("sessionize_salted" -> Oracles.sql("sessionize")) +
+      // serving from the published bucketed edges layout is a PHYSICAL
+      // layout change only — same beam search, same oracle VERBATIM
+      ("similarity_graphserve_topk" -> Oracles.sql("similarity_graphsearch_topk"))
 
   /** The sanctioned rows-only queries: exactly the [[queries]] keys with NO
     * [[oracleSql]] entry, each with the reason it cannot be SQL-mirrored

@@ -841,6 +841,19 @@ object Similarity {
   private[graft] def probesFor(cells: Int): Int =
     math.max(4, math.ceil(1.5 * math.sqrt(cells.toDouble)).toInt)
 
+  /** Multi-probe flip budget ∝ bucket bits (VERDICT r15 #2 — the
+    * [[probesFor]] treatment for the LSH tier): [[bitsFor]] raises bits
+    * logarithmically with the corpus, each extra bit HALVES the chance a
+    * true neighbor shares the exact bucket, and step-1 perturbation must
+    * cover the extra low-margin bits or recall collapses (single-probe
+    * measured 0.555 → 0.175 across one 10× step; fixed 2 flips → 0.396).
+    * `bits − 4` keeps every ≤ 2k test corpus at the r13-pinned 2 flips
+    * (bits ≤ 6 there, so standing oracle hashes carry over) and reaches
+    * ≈ 0.57 recall at the 20k/9-bit anchor grain (measured sweep:
+    * 2 → 0.396, 4 → 0.528, 5 ≈ 0.57, 6 → 0.610). Mirrored in SQL as
+    * GREATEST(2, bits - 4). */
+  private[graft] def extraProbesFor(bits: Int): Int = math.max(2, bits - 4)
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nCells` cells; each vector is indexed under exactly one
     * cell, and a query is scored only against the members of its `nProbe`
@@ -1438,6 +1451,33 @@ object Similarity {
       graphK)
   }
 
+  /** Publish a standing graph's EDGES as a BUCKETED serving table
+    * (VERDICT r15 #5): hash-bucketed AND sorted on the hop-join key `a`
+    * ([[graft.ops.Sinks.overwriteBucketed]]), so every beam-search hop's
+    * edge join reads the layer's own partitioning — the edges side plans
+    * NO shuffle exchange (PlansSpec law); only the per-hop beam
+    * (queries × beam id-pairs) moves. The dir-partitioned `edges` layer
+    * [[nnWrite]] lands is the MAINTENANCE layout (bounded files,
+    * append-able deltas); this is the SERVING layout a query fleet mounts
+    * once per epoch. The pre-repartition on the bucket key puts each
+    * bucket in exactly one task ⇒ one file per bucket (the bucketed-write
+    * small-files rule). */
+  def publishServingEdges(edges: DataFrame, table: String,
+      path: Option[String] = None, nBuckets: Int = GraphParts): DataFrame = {
+    val spark = edges.sparkSession
+    Sinks.overwriteBucketed(edges.repartition(nBuckets, col("a")),
+      table, "a", nBuckets, path)
+    spark.table(table)
+  }
+
+  /** [[publishServingEdges]] from a PERSISTED index dir — the production
+    * restart path: mount the current epoch's edges (base + complete
+    * insert deltas) as the bucketed serving table without rebuilding. */
+  def nnPublishServing(spark: org.apache.spark.sql.SparkSession,
+      dirIn: String, table: String, path: Option[String] = None,
+      nBuckets: Int = GraphParts): DataFrame =
+    publishServingEdges(nnRead(spark, dirIn).edges, table, path, nBuckets)
+
   /** Incremental insert into a persisted graph index — the standard
     * graph-ANN maintenance move (an HNSW-style insert, batched): each new
     * vector BEAM-SEARCHES the standing graph for its `graphK` nearest
@@ -1514,6 +1554,42 @@ object Similarity {
     // (b) reverse edges make the new nodes DISCOVERABLE
     val rev = fwd.select(col("b").as("a"), col("a").as("b"), col("cos_sim"))
     Some((fwd.unionByName(rev), batch))
+  }
+
+  /** Append + audit + conditional REBUILD of a persisted graph index —
+    * the [[ivfMaintain]] loop for the graph tier (completes the fourth
+    * index family's maintenance verbs: insert / refresh / serve /
+    * rebuild). [[nnInsert]]'s reverse edges widen touched nodes'
+    * adjacency past graphK until a rebuild re-normalizes every degree;
+    * this runs the audit after each append (max out-degree vs the
+    * graphK contract — [[graphDegreeStats]]'s drift signal) and, past
+    * `maxDegreeRatio`, re-runs the NN-descent build over the STORED
+    * vector layer (the index is self-contained — the float round-trip is
+    * exact, NnDescentSpec's disk-parity law) into a fresh immutable
+    * epoch, committed reader-atomically ([[ivfMaintain]]'s marker-last
+    * flip). Insert deltas collapse into the new epoch's base layers;
+    * centrality scores deliberately do NOT carry (they scored the OLD
+    * graph — the first [[nnCentralityRefresh]] on the new epoch
+    * cold-starts). Returns true when a rebuild fired. */
+  def nnMaintain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame, maxDegreeRatio: Double = 2.0): Boolean = {
+    nnInsert(spark, dir, newVectors)
+    val idx = nnRead(spark, dir)
+    val statsRow = idx.edges.groupBy("a").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head
+    val maxOut = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    if (maxOut <= maxDegreeRatio * idx.graphK) false
+    else {
+      val stored = idx.vectors.select("vec_id", "v", "norm")
+        .localCheckpoint(true)
+      val emb = stored.select(col("vec_id"), lit(0).as("label"),
+        transform(col("v"), x => x.cast("float")).as("embedding"))
+      val (epoch, epochDir) = nextEpochPath(spark, dir)
+      nnWrite(NnGraphIndex(nnDescentGraph(emb, idx.graphK), stored,
+        idx.graphK), epochDir)
+      commitEpoch(spark, dir, epoch) // the flip: marker last, GC old epochs
+      true
+    }
   }
 
   /** Hard-negative mining from a standing k-NN graph — the contrastive-
@@ -1726,6 +1802,26 @@ object Similarity {
     * corpus). */
   def graphCentrality(graph: DataFrame, iters: Int = 3,
       damping: Double = 0.85, topN: Int = 50): DataFrame = {
+    val scores = graphCentralityScores(graph, iters, damping)
+    val top = scores.orderBy(col("score").desc, col("vec_id")).limit(topN)
+    val w = Window.orderBy(col("score").desc, col("vec_id"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select("vec_id", "score", "rk")
+  }
+
+  /** The FULL centrality score vector (vec_id, score) — [[graphCentrality]]
+    * is its top-N cut, and the incremental refresh
+    * ([[nnCentralityRefresh]], VERDICT r15 #7) re-enters here with the
+    * previous vector as a WARM START: `init` scores carry over for nodes
+    * that already existed, new nodes enter at the uniform q6(1/n) cold
+    * value (n = the CURRENT node count). Determinism is unchanged — every
+    * step stays on the q6/decimal grid — so warm-starting is a pure
+    * continuation: on an UNCHANGED graph,
+    * `scores(g, k, init = scores(g, m))` ≡ `scores(g, m + k)` bit-exactly
+    * (the cumulative-replay law, NnDescentSpec), and a q6-converged
+    * vector is a literal fixed point of further refreshes. */
+  def graphCentralityScores(graph: DataFrame, iters: Int = 3,
+      damping: Double = 0.85, init: Option[DataFrame] = None): DataFrame = {
     val edges = graph.select("a", "b").localCheckpoint(true)
     val nodes = edges.select(col("a").as("vec_id"))
       .unionByName(edges.select(col("b").as("vec_id")))
@@ -1733,7 +1829,15 @@ object Similarity {
     val n = nodes.count()
     val outdeg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    var scores = nodes.withColumn("score", q6(lit(1.0 / n)))
+    var scores = init match {
+      case None => nodes.withColumn("score", q6(lit(1.0 / n)))
+      case Some(prev) => nodes
+        .join(prev.select(col("vec_id"), col("score").as("prev_score")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("prev_score"), q6(lit(1.0 / n))).as("score"))
+        .localCheckpoint(true)
+    }
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(scores.withColumnRenamed("vec_id", "a"), Seq("a"))
@@ -1746,10 +1850,80 @@ object Similarity {
             + lit(damping) * coalesce(col("s"), lit(0.0))).as("score"))
         .localCheckpoint(true)
     }
-    val top = scores.orderBy(col("score").desc, col("vec_id")).limit(topN)
-    val w = Window.orderBy(col("score").desc, col("vec_id"))
-    top.withColumn("rk", row_number().over(w).cast("long"))
-      .select("vec_id", "score", "rk")
+    scores
+  }
+
+  /** Latest COMPLETE centrality scores version under a persisted graph
+    * index (`dir/scores/v=N`, `_SUCCESS`-gated like every maintenance
+    * layer here): (version, scores frame), or None before the first
+    * refresh. */
+  def nnCentralityScores(spark: org.apache.spark.sql.SparkSession,
+      dirIn: String): Option[(Long, DataFrame)] =
+    latestScoresBelow(spark, resolveEpoch(spark, dirIn), Long.MaxValue)
+
+  /** Latest complete scores version strictly BELOW `bound` — the replay
+    * guard: a streaming refresh keyed `v = batchId` must warm-start from
+    * the version before its own batch, so a REPLAY of a batch whose first
+    * attempt already committed its version recomputes from the same
+    * predecessor instead of continuing from its own crashed output. */
+  private def latestScoresBelow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bound: Long): Option[(Long, DataFrame)] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/scores")
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!hfs.exists(root)) None
+    else hfs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("v=") &&
+        hfs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(p => p.getName.stripPrefix("v=").toLong -> p.toString)
+      .filter(_._1 < bound)
+      .sortBy(-_._1).headOption
+      .map { case (v, p) =>
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("vec_id", LongType),
+          StructField("score", DoubleType)))
+        (v, spark.read.schema(schema).parquet(p))
+      }
+  }
+
+  /** Incremental PageRank refresh of a persisted graph index (VERDICT r15
+    * #7 — the fourth maintenance verb of the graph tier, next to
+    * insert/read/serve): re-run `iters` power iterations over the CURRENT
+    * standing graph (base + complete insert deltas), WARM-STARTED from
+    * the previous scores version, and commit the result as the next
+    * `scores/v=N+1` layer. The scores store is n rows — the
+    * cumulative-store shape, never an unbounded log.
+    *
+    * Idempotence follows the [[nnInsert]] delta rules: the version number
+    * derives from the latest COMPLETE version, so a retry of a crashed
+    * refresh (no `_SUCCESS`) recomputes the SAME version dir in overwrite
+    * mode; a duplicate refresh of an unchanged graph writes a new version
+    * with value-identical rows (warm continuation is deterministic).
+    * Returns (version written, scores). */
+  def nnCentralityRefresh(spark: org.apache.spark.sql.SparkSession,
+      dirIn: String, iters: Int = 3,
+      damping: Double = 0.85): (Long, DataFrame) = {
+    val dir = resolveEpoch(spark, dirIn)
+    val v = nnCentralityScores(spark, dir).map(_._1 + 1L).getOrElse(0L)
+    (v, nnCentralityRefreshAt(spark, dir, v, iters, damping))
+  }
+
+  /** [[nnCentralityRefresh]] at an EXPLICIT version — the streaming form:
+    * the admission stream keys each refresh `v = batchId` (monotone by
+    * the checkpoint contract) and warm-starts from the latest complete
+    * version strictly below it, so a checkpointed REPLAY overwrites its
+    * own version from the same predecessor — bit-identical outcome, the
+    * overwrite-own-dir replay rule. One maintenance driver per index (the
+    * single-writer rule every layer here follows). */
+  private[graft] def nnCentralityRefreshAt(
+      spark: org.apache.spark.sql.SparkSession, dirIn: String, version: Long,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val dir = resolveEpoch(spark, dirIn)
+    val prev = latestScoresBelow(spark, dir, version)
+    val graph = nnRead(spark, dir).edges
+    val scores = graphCentralityScores(graph, iters, damping,
+      prev.map(_._2)).localCheckpoint(true)
+    scores.write.mode("overwrite").parquet(s"$dir/scores/v=$version")
+    scores
   }
 
   /** Beam search over a standing k-NN graph — the SERVING half of the
@@ -2609,14 +2783,26 @@ object Similarity {
     * kernel every tier uses; the fused xxhash64 expression remains the
     * scale default for plain bucketing, and a standing index built with
     * it would compute query margins through the same literal-plane path
-    * against ITS plane family). */
+    * against ITS plane family).
+    *
+    * `extraProbes < 0` (the default) derives the flip budget from the
+    * bucket-bit count via [[extraProbesFor]] — the probesFor treatment
+    * applied to multi-probe (VERDICT r15 #2): [[bitsFor]] raises bits
+    * with the corpus and single-probe recall collapses with it (measured
+    * 0.555 → 0.175 across one 10× step), while a FIXED flip count probes
+    * a shrinking fraction of the perturbation space (measured at the 20k
+    * grain: 2 flips → recall 0.396, derived 5 → ≈0.57). `maxQueries > 0`
+    * bounds the query side to the `maxQueries` smallest vec_ids (the
+    * [[cosineTopK]] sample rule) — the recall-audit form ScaleAnchors
+    * pins; 0 keeps the full declared self-join. */
   def lshTopKMultiProbe(embeddings: DataFrame, k: Int = 5, tables: Int = 8,
-      targetOccupancy: Int = 64, extraProbes: Int = 2): DataFrame = {
+      targetOccupancy: Int = 64, extraProbes: Int = -1,
+      maxQueries: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.typedLit
-    require(extraProbes >= 0, "extraProbes must be non-negative")
     val e = withNorms(embeddings)
     val (n, dim) = corpusDims(embeddings)
     val bits = bitsFor(n, targetOccupancy)
+    val eProbes = if (extraProbes >= 0) extraProbes else extraProbesFor(bits)
     // one literal-plane pass: per (vector, table) the full margin vector,
     // base bucket derived from the SAME margins (sign > 0 ⇔ bit set);
     // pinned — it feeds corpus buckets, query base probes, and flips
@@ -2632,17 +2818,23 @@ object Similarity {
           when(element_at(col("m"), b + 1) > 0.0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _))
       .localCheckpoint(true)
+    // query side: the full corpus (declared self-join) or the bounded
+    // audit sample — flips and base probes computed only for it
+    val qMargins =
+      if (maxQueries <= 0) margins
+      else margins.join(broadcast(e.select(col("vec_id"))
+        .orderBy(col("vec_id")).limit(maxQueries)), Seq("vec_id"))
     val flipW = Window.partitionBy("vec_id", "table_id")
       .orderBy(abs(col("mv")), col("pos"))
-    val flips = margins
+    val flips = qMargins
       .select(col("vec_id"), col("table_id"), col("base"),
         posexplode(col("m")).as(Seq("pos", "mv")))
       .withColumn("rk", row_number().over(flipW))
-      .filter(col("rk") <= extraProbes)
+      .filter(col("rk") <= eProbes)
       .select(col("vec_id").as("query_id"), col("table_id"),
         col("base").bitwiseXOR(
           expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))")).as("bucket"))
-    val qProbes = margins
+    val qProbes = qMargins
       .select(col("vec_id").as("query_id"), col("table_id"),
         col("base").as("bucket"))
       .unionByName(flips)

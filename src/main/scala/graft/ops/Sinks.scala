@@ -124,11 +124,15 @@ object Sinks {
     * exactly the pa ⋈ adv ⋈ af pattern). Bucketing requires the table
     * catalog (`saveAsTable`), not a bare path. */
   def overwriteBucketed(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+      nBuckets: Int, path: Option[String] = None): Unit = {
+    // explicit path ⇒ EXTERNAL bucketed table (serving layers that must
+    // not land under the session warehouse dir — e.g. the graph-serving
+    // edges published from a read-only query session)
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** The reference's four warehouse schemas, addressed BY NAME by every
     * downstream DAG (`CREATE SCHEMA IF NOT EXISTS raw` etc.,

@@ -2091,7 +2091,8 @@ object StreamDemo {
     * `nnInsert` over the same files (StreamAnnSpec law). */
   def streamNnInsert(spark: SparkSession, vecsDir: String,
       indexDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      centralityIters: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("vec_id", LongType), StructField("label", IntegerType),
@@ -2115,6 +2116,14 @@ object StreamDemo {
               edges.write.mode("overwrite")
                 .parquet(s"$indexDir/appends/batch_id=$batchId/edges")
           }
+          // incremental centrality refresh (VERDICT r15 #7): warm-start
+          // power iteration from the previous scores version over the
+          // graph INCLUDING this batch's delta, committed as
+          // scores/v=batchId — a replay overwrites its own version from
+          // the same predecessor (nnCentralityRefreshAt's replay rule)
+          if (centralityIters > 0)
+            graft.ops.Similarity.nnCentralityRefreshAt(
+              spark, indexDir, batchId, centralityIters)
         }
         ()
       }

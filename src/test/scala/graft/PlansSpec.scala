@@ -295,4 +295,45 @@ class PlansSpec extends SparkTestBase {
       } finally ext.conf.set("spark.graft.approxDistinct", "false")
     }
   }
+
+  test("graph serving layout: hop joins reuse the bucketed layer's partitioning (VERDICT r15 #5)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, SF)
+    val graph = Similarity.nnDescentGraph(emb).localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_srv_plan").toString
+    val served = Similarity.publishServingEdges(graph,
+      "graph_edges_srv_plantest", Some(path))
+    // the SAME files read WITHOUT bucket metadata — the layout a plain
+    // parquet read (or the old per-hop in-memory join) would see
+    val raw = spark.read.parquet(path)
+    val beam = emb.select(col("vec_id").as("query_id"),
+      col("vec_id").as("node"))
+    def hopExchanges(edges: org.apache.spark.sql.DataFrame): Int = {
+      val hop = beam.join(
+        edges.select(col("a").as("node"), col("b").as("nbr")), Seq("node"))
+      "Exchange hashpartitioning".r
+        .findAllIn(hop.queryExecution.executedPlan.toString).length
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // bucketed: ONLY the beam side exchanges — the edges side reads the
+      // layer's own hash partitioning (+ its sortBy order)
+      assert(hopExchanges(served) == 1,
+        "bucketed hop join must shuffle only the beam side")
+      assert(hopExchanges(raw) == 2,
+        "plain-parquet hop join should shuffle both sides (control)")
+      // layout is PHYSICAL only: the served beam search is bit-identical
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.mkString("|")).sorted.toSeq
+      assert(rows(Similarity.graphSearchTopK(emb, emb, served)) ==
+        rows(Similarity.graphSearchTopK(emb, emb, graph)),
+        "serving from the bucketed layout changed values")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graph_edges_srv_plantest")
+    }
+  }
 }

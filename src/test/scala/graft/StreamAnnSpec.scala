@@ -236,4 +236,68 @@ class StreamAnnSpec extends SparkTestBase with TimeLimitedTests {
     assert(fin.vectors.groupBy("vec_id").count()
       .filter(col("count") > 1).count() == 0)
   }
+
+  test("streamed centrality refresh: warm-start scores store equals the sequential batch twin; restart-safe") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("anngc_src")
+    val streamDir = java.nio.file.Files.createTempDirectory("anngc_stream").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("anngc_batch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("anngc_ckpt")
+
+    val emb = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding").orderBy("vec_id")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val arriving = emb.filter(col("vec_id") % 5 === 0).collect()
+    val cut = arriving.length / 2
+
+    val built = Similarity.nnBuildIndex(base)
+    Similarity.nnWrite(built, streamDir)
+    Similarity.nnWrite(built, batchDir)
+
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"anngc_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), emb.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    def scoresOf(dir: String) = Similarity.nnCentralityScores(spark, dir)
+      .map { case (v, df) => (v, df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet) }
+
+    // micro-batch 1 (stream batchId 0) ≡ batch insert + refresh at v=0:
+    // the streamed warm start (cold here — no prior version) must land
+    // value- and version-identical to the batch maintenance twin
+    stage(1, arriving.slice(0, cut))
+    val q1 = StreamDemo.streamNnInsert(s2, src.toString, streamDir,
+      ckpt.toString, centralityIters = 3)
+    try q1.processAllAvailable() finally q1.stop()
+    Similarity.nnInsert(spark, batchDir, spark.createDataFrame(
+      java.util.Arrays.asList(arriving.slice(0, cut): _*), emb.schema))
+    Similarity.nnCentralityRefreshAt(spark, batchDir, 0L, iters = 3)
+    val mid = scoresOf(streamDir)
+    assert(mid.nonEmpty && mid == scoresOf(batchDir),
+      "streamed centrality store drifted from the batch twin mid-stream")
+    // the store is n rows — the full standing node set, never a log
+    val nNodes = StreamDemo.streamNnRead(spark, streamDir).edges
+      .select(col("a").as("v"))
+      .unionByName(StreamDemo.streamNnRead(spark, streamDir).edges
+        .select(col("b").as("v"))).distinct().count()
+    assert(mid.get._2.size == nNodes)
+
+    // checkpointed RESTART with micro-batch 2 (batchId 1): the refresh
+    // warm-starts from v=0 on both paths and commits v=1
+    stage(2, arriving.slice(cut, arriving.length))
+    val q2 = StreamDemo.streamNnInsert(s2, src.toString, streamDir,
+      ckpt.toString, centralityIters = 3)
+    try q2.processAllAvailable() finally q2.stop()
+    Similarity.nnInsert(spark, batchDir, spark.createDataFrame(
+      java.util.Arrays.asList(arriving.slice(cut, arriving.length): _*), emb.schema))
+    Similarity.nnCentralityRefreshAt(spark, batchDir, 1L, iters = 3)
+    val fin = scoresOf(streamDir)
+    assert(fin.map(_._1).contains(1L),
+      s"restarted stream should commit scores v=1, got ${fin.map(_._1)}")
+    assert(fin == scoresOf(batchDir),
+      "streamed centrality store drifted from the batch twin after restart")
+  }
 }
