@@ -1688,43 +1688,84 @@ object Similarity {
   def facilityLocationSelect(graph: DataFrame, picks: Int = 16): DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
-    val (edges, nodes) = facilityEdges(graph)
-    var cov = nodes.withColumn("cov", lit(0.0)).localCheckpoint(true)
-    // seed bounds: exact gains at zero coverage (the one full pass)
-    var bounds = edges
-      .select(col("s"), q6(greatest(lit(0.0), col("cos_sim"))).as("g"))
-      .groupBy("s").agg(r6sum(col("g")).as("ub"))
-      .withColumn("fresh", lit(true))
-      .localCheckpoint(true)
+    val (edges, _) = facilityEdges(graph)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-    var drained = false
-    while (picked.size < picks && !drained) {
-      val top = bounds.orderBy(col("ub").desc, col("s").asc).limit(1).collect()
-      if (top.isEmpty) drained = true
-      else {
-        val (ts, tub, tfresh) =
-          (top(0).getLong(0), top(0).getDouble(1), top(0).getBoolean(2))
-        if (tfresh) {
-          picked += ((ts, tub))
-          cov = cov
-            .join(edges.filter(col("s") === ts).select(col("v").as("vec_id"),
-              col("cos_sim")), Seq("vec_id"), "left")
-            .select(col("vec_id"),
-              greatest(col("cov"), coalesce(col("cos_sim"), lit(0.0))).as("cov"))
-            .localCheckpoint(true)
-          // coverage moved: every remaining bound is stale again
-          bounds = bounds.filter(col("s") =!= ts)
-            .withColumn("fresh", lit(false)).localCheckpoint(true)
+    // coverage stays VIRTUAL: cov(v) = max cos over the picked set's edges
+    // — ≤ picks·degree rows computed inside each gain job and broadcast,
+    // never a per-pick materialized n-row layer (the r15 eager form paid
+    // an n-row localCheckpoint per pick ON TOP of its full gain pass)
+    def covFrame: DataFrame = edges
+      .filter(col("s").isInCollection(picked.map(_._1).toSeq))
+      .groupBy("v").agg(max("cos_sim").as("cov"))
+    // exact current gains, restricted to a candidate set (None = all
+    // unpicked) — identical arithmetic to the eager form: q6 marginal
+    // contributions, order-independent decimal sum
+    def gains(cands: Option[Seq[Long]]): DataFrame = {
+      val base = cands.fold(edges)(c =>
+        edges.filter(col("s").isInCollection(c)))
+      val unpicked =
+        if (picked.isEmpty) base
+        else base.filter(!col("s").isInCollection(picked.map(_._1).toSeq))
+      val covered =
+        if (picked.isEmpty) unpicked.withColumn("cov", lit(0.0))
+        else unpicked.join(broadcast(covFrame), Seq("v"), "left")
+          .withColumn("cov", coalesce(col("cov"), lit(0.0)))
+      covered
+        .select(col("s"),
+          q6(greatest(lit(0.0), col("cos_sim") - col("cov"))).as("g"))
+        .groupBy("s").agg(r6sum(col("g")).as("gain"))
+    }
+    // driver-side bound cache: the top-M candidates of the last full pass
+    // (bounds only DECREASE as coverage grows — submodularity — so a
+    // candidate outside the cache can never exceed `ceiling`, the M-th
+    // cached bound). M is picks-proportional, NEVER corpus-proportional:
+    // the driver holds O(picks) rows at any corpus size.
+    var m = math.max(64, 16 * picks)
+    val cache = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Boolean)]
+    var allCovered = false // cache holds EVERY unpicked candidate
+    var ceiling = Double.NegativeInfinity
+    def refill(): Unit = {
+      val rows = gains(None).orderBy(col("gain").desc, col("s").asc)
+        .limit(m).collect()
+      cache.clear()
+      cache ++= rows.map(r => (r.getLong(0), r.getDouble(1), true))
+      allCovered = rows.length < m
+      ceiling = if (allCovered) Double.NegativeInfinity else cache.last._2
+    }
+    refill()
+    var done = false
+    while (picked.size < picks && !done) {
+      if (cache.isEmpty) { refill(); if (cache.isEmpty) done = true }
+      if (!done) {
+        // the cache order is (bound DESC, id ASC) — rebuilt after updates
+        val top = cache.head
+        if (top._3 && (allCovered || top._2 > ceiling)) {
+          // fresh AND it dominates every uncached candidate: this IS the
+          // eager argmax (ties inside the cache resolve by the id-asc
+          // sort; an uncached tie would violate top._2 > ceiling)
+          picked += ((top._1, top._2))
+          cache.remove(0)
+          // coverage moved: every remaining bound is stale
+          for (i <- cache.indices)
+            cache(i) = (cache(i)._1, cache(i)._2, false)
+        } else if (!top._3) {
+          // batch-refresh the R stale candidates with the largest bounds
+          // in ONE bounded job (graphK·R edge rows)
+          val batch = cache.filter(!_._3).take(32).map(_._1)
+          val fresh = gains(Some(batch.toSeq)).collect()
+            .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          for (i <- cache.indices; if batch.contains(cache(i)._1))
+            cache(i) = (cache(i)._1,
+              fresh.getOrElse(cache(i)._1, 0.0), true)
+          val sorted = cache.sortBy(t => (-t._2, t._1))
+          cache.clear(); cache ++= sorted
         } else {
-          // recompute ONLY the top candidate's gain against live coverage
-          val g = edges.filter(col("s") === ts)
-            .join(cov.withColumnRenamed("vec_id", "v"), Seq("v"))
-            .select(q6(greatest(lit(0.0), col("cos_sim") - col("cov"))).as("g"))
-            .agg(r6sum(col("g")).as("gain")).head().getDouble(0)
-          bounds = bounds.select(col("s"),
-              when(col("s") === ts, lit(g)).otherwise(col("ub")).as("ub"),
-              when(col("s") === ts, lit(true)).otherwise(col("fresh")).as("fresh"))
-            .localCheckpoint(true)
+          // fresh top but it no longer clears the uncached ceiling: the
+          // argmax may live outside the cache — widen and re-derive
+          // everything from a full pass (rare: gains must collapse below
+          // the M-th seed bound first)
+          m *= 2
+          refill()
         }
       }
     }
