@@ -1014,15 +1014,24 @@ object Similarity {
 
   private def ivfScore(vectors: DataFrame, q: DataFrame, probes: DataFrame,
       k: Int): DataFrame = {
-    // candidate id-pairs from the narrow cell join; vectors attached once
-    val cand = probes
-      .join(vectors.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-    val scored = cand
+    // Score INSIDE the cell join (r16): probe rows carry their query
+    // vector into the join and each corpus row carries its own, so the
+    // only shuffles are the two CELL-keyed inputs — n·nProbe probe rows
+    // and n corpus rows, each one vector wide — plus the post-projection
+    // (query_id, neighbor_id, cos) triple into the rank window. The r15
+    // shape formed the id-pair frame first and attached vectors to it
+    // through two more joins; at the 10× anchor grain (17.9 M candidate
+    // pairs) the second attach shuffled the pair frame WITH query vectors
+    // already aboard (~9.6 GB) — candidate-mass × vector-width bytes,
+    // exactly what a probe plan exists to avoid. The pair explosion now
+    // stays inside the join operator (codegen, never materialized wider
+    // than the output triple); the hot-cell skew this exposes at the join
+    // is AQE skew-join territory, bytes-bounded either way.
+    val scored = probes
       .join(q, Seq("query_id"))
-      .join(vectors.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-        col("norm").as("cn")), Seq("neighbor_id"))
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("v").as("cv"), col("norm").as("cn")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -3184,21 +3193,26 @@ object Similarity {
         sqrt(pqAdcNorm2(col("codes"), col("base"), cb, ks, index.subDim))
           .as("rnorm"))
       .filter(col("rnorm") > 0.0)
-    // candidate pairs keep the probed cell: it IS the neighbor's cell, so
-    // a residual query re-derives the additive base per pair from the
-    // broadcast centroids instead of shipping d doubles per candidate
-    val cand = ivfProbes(index.ivf, q, resolveProbes(index.ivf, nProbe))
-      .join(index.ivf.vectors.select(col("vec_id").as("neighbor_id"), col("cell")),
-        Seq("cell"))
+    // ADC scores inside the CELL join (r16, the ivfScore fusion): the
+    // probe side carries its query vector and the corpus side its m-byte
+    // codes, so the only shuffles are the two cell-keyed inputs —
+    // n·nProbe query rows and n code rows — never the candidate-pair
+    // frame (the r15 shape shuffled the pair frame twice: once to attach
+    // codes, once more WITH codes aboard to attach qv). The residual base
+    // joins from the broadcast centroid table AFTER pair formation — d
+    // doubles per pair exist only inside the codegen stage, not in any
+    // exchange.
+    val codesC = codesN.join(index.ivf.vectors
+      .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("neighbor_id"))
+    val paired = ivfProbes(index.ivf, q, resolveProbes(index.ivf, nProbe))
+      .join(q, Seq("query_id"))
+      .join(codesC, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "cell")
     val withBase =
-      if (!index.residual) cand.join(codesN, Seq("neighbor_id")).withColumn("base", noBase)
-      else cand.join(codesN, Seq("neighbor_id"))
-        .join(broadcast(index.ivf.centroids), Seq("cell"))
+      if (!index.residual) paired.withColumn("base", noBase)
+      else paired.join(broadcast(index.ivf.centroids), Seq("cell"))
         .withColumnRenamed("centroid", "base")
     val approx = withBase
-      .join(q, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (pqAdcDot(col("qv"), col("codes"), col("base"), cb, ks, index.subDim)
           / (col("qn") * col("rnorm"))).as("approx_sim"))
