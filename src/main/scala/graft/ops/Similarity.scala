@@ -987,7 +987,11 @@ object Similarity {
   def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int = 5,
       nProbe: Int = 0): DataFrame = {
     val q = ivfQueryFrame(queries)
-    ivfScore(index.vectors, q, ivfProbes(index, q, resolveProbes(index, nProbe)), k)
+    // corpus row count picks the scoring shape (fuseCorpusRows): cheap —
+    // a pinned in-memory layer counts cached blocks, a parquet layer
+    // answers from footer metadata
+    ivfScore(index.vectors, q, ivfProbes(index, q, resolveProbes(index, nProbe)),
+      k, index.vectors.count())
   }
 
   /** `nProbe = 0` → √cells ([[probesFor]]); the centroid table is
@@ -1012,28 +1016,59 @@ object Similarity {
       .select(col("query_id"), col("cell"))
   }
 
+  /** Corpus-size threshold (rows) between the two candidate-scoring
+    * shapes ([[ivfScore]], [[pqQuery]]): at or below it, the whole corpus
+    * side (vectors / codes) is broadcast-scale, every join in the
+    * broadcast-attach shape is a BHJ, and NOTHING pair-shaped ever
+    * shuffles — the optimal small/medium plan (measured at the 2k bench
+    * grain: fusing cost pqgrid 2.2 → 5.6 s warm). Above it the attach
+    * joins fall off the broadcast cliff and would shuffle the candidate
+    * frame at pair-mass × vector-width bytes, so the FUSED shape takes
+    * over (measured at the 20k anchor grain: ivfgrid 49 → 2.4 s,
+    * pqgrid 17.7 → 5.5 s). 16 k rows ≈ 8.5 MB of 64-dim doubles — just
+    * under Spark's 10 MB broadcast default. Both shapes produce
+    * bit-identical results (same pairs, same q6 arithmetic; the grid
+    * oracles pass under either). */
+  private val fuseCorpusRows = 16000L
+
   private def ivfScore(vectors: DataFrame, q: DataFrame, probes: DataFrame,
-      k: Int): DataFrame = {
-    // Score INSIDE the cell join (r16): probe rows carry their query
-    // vector into the join and each corpus row carries its own, so the
-    // only shuffles are the two CELL-keyed inputs — n·nProbe probe rows
-    // and n corpus rows, each one vector wide — plus the post-projection
-    // (query_id, neighbor_id, cos) triple into the rank window. The r15
-    // shape formed the id-pair frame first and attached vectors to it
-    // through two more joins; at the 10× anchor grain (17.9 M candidate
-    // pairs) the second attach shuffled the pair frame WITH query vectors
-    // already aboard (~9.6 GB) — candidate-mass × vector-width bytes,
-    // exactly what a probe plan exists to avoid. The pair explosion now
-    // stays inside the join operator (codegen, never materialized wider
-    // than the output triple); the hot-cell skew this exposes at the join
-    // is AQE skew-join territory, bytes-bounded either way.
-    val scored = probes
-      .join(q, Seq("query_id"))
-      .join(vectors.select(col("vec_id").as("neighbor_id"), col("cell"),
-        col("v").as("cv"), col("norm").as("cn")), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+      k: Int, corpusRows: Long): DataFrame = {
+    val scored =
+      if (corpusRows <= fuseCorpusRows) {
+        // broadcast-attach shape: narrow id-pairs from the cell join,
+        // vectors attached by two broadcast joins — zero shuffles while
+        // the corpus side broadcasts (see [[fuseCorpusRows]])
+        val cand = probes
+          .join(vectors.select(col("vec_id").as("neighbor_id"), col("cell")),
+            Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id")
+        cand
+          .join(q, Seq("query_id"))
+          .join(vectors.select(col("vec_id").as("neighbor_id"),
+            col("v").as("cv"), col("norm").as("cn")), Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+      } else {
+        // FUSED shape (r16): probe rows carry their query vector INTO the
+        // cell join and each corpus row its own, so the only exchanges
+        // are the two cell-keyed inputs — n·nProbe probe rows and n
+        // corpus rows, each one vector wide — plus the narrow
+        // (query_id, neighbor_id, cos) triple into the rank window. The
+        // attach shape above this size would shuffle the candidate frame
+        // WITH query vectors aboard (~9.6 GB at the 17.9 M-pair anchor
+        // grain) — candidate-mass × vector-width bytes, exactly what a
+        // probe plan exists to avoid. The pair explosion stays inside
+        // the codegen join stage, never materialized wider than the
+        // output triple.
+        probes
+          .join(q, Seq("query_id"))
+          .join(vectors.select(col("vec_id").as("neighbor_id"), col("cell"),
+            col("v").as("cv"), col("norm").as("cn")), Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+      }
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -2245,7 +2280,8 @@ object Similarity {
     val probes = ivfProbes(index, q, resolveProbes(index, nProbe)).localCheckpoint(true)
     val cells = probes.select("cell").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
-    ivfScore(index.vectors.filter(col("cell").isInCollection(cells)), q, probes, k)
+    val pruned = index.vectors.filter(col("cell").isInCollection(cells))
+    ivfScore(pruned, q, probes, k, pruned.count())
   }
 
   /** md5-derived hyperplane component — the oracle-mirrorable plane source
@@ -3202,12 +3238,31 @@ object Similarity {
     // joins from the broadcast centroid table AFTER pair formation — d
     // doubles per pair exist only inside the codegen stage, not in any
     // exchange.
-    val codesC = codesN.join(index.ivf.vectors
-      .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("neighbor_id"))
-    val paired = ivfProbes(index.ivf, q, resolveProbes(index.ivf, nProbe))
-      .join(q, Seq("query_id"))
-      .join(codesC, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    // Shape by corpus size ([[fuseCorpusRows]] — same dual as ivfScore,
+    // same bit-identical output): below the broadcast cliff the id-pair
+    // frame stays narrow and codes/queries attach via broadcast joins;
+    // past it the probe rows carry their query vector INTO the cell join
+    // and codes ride the corpus side, so nothing pair-shaped shuffles
+    // (the residual base always joins from broadcast centroids after
+    // pair formation — d doubles per pair exist only inside codegen).
+    val probes = ivfProbes(index.ivf, q, resolveProbes(index.ivf, nProbe))
+    val paired =
+      if (index.ivf.vectors.count() <= fuseCorpusRows) {
+        probes
+          .join(index.ivf.vectors
+            .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id", "cell")
+          .join(codesN, Seq("neighbor_id"))
+          .join(q, Seq("query_id"))
+      } else {
+        val codesC = codesN.join(index.ivf.vectors
+          .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("neighbor_id"))
+        probes
+          .join(q, Seq("query_id"))
+          .join(codesC, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+      }
     val withBase =
       if (!index.residual) paired.withColumn("base", noBase)
       else paired.join(broadcast(index.ivf.centroids), Seq("cell"))
