@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures sbt stdout (last 2000 chars) and parses the
+// FINAL line as the bench JSON artifact (BENCH_r12–r16 all committed
+// `parsed: null`). Two settings make that line final and raw: the forked
+// runMain's stdout passes through UNLOGGED (no "[info] " prefix; its
+// stderr stays on stderr, so Spark shutdown noise can't trail the JSON),
+// and sbt's "[success] Total time..." banner — the line that followed the
+// JSON in every failed round — is suppressed globally. Failures still
+// print "[error] ..." and exit nonzero.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — silence the
+// false-positive unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

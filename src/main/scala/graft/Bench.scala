@@ -142,9 +142,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    // budget 1800 chars: 2000-char capture window minus sbt's ~100-char
-    // "[success] Total time..." trailer and slack for a partial line above
-    val tailBudget = 1800
+    // budget 1600 chars (r16 VERDICT #2 — the r16 line ran 1,794 of an
+    // 1,800 budget, one growth burst from truncation): the 2000-char
+    // capture window minus generous slack for a partial preceding line.
+    // build.sbt makes this the FINAL raw stdout line (unlogged fork
+    // output + showSuccess=false), so nothing trails it.
+    val tailBudget = 1600
     def tailLine(k: Int): String = {
       val top = results.sortBy(-_._2).take(k)
         .map { case (n, v) => s"\"" + n + "\":" + r4(v) }.mkString("{", ",", "}")
