@@ -206,10 +206,17 @@ object SparkEntry {
       val t0 = System.nanoTime()
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_srv_edges").toString
+      // DETERMINISTIC external path (r16 ADVICE): one fixed dir per corpus
+      // key, overwritten in place on republish — a fresh temp dir per
+      // publication leaked the previous one after clearCaches. The root is
+      // configurable because a SERVING layout must live on storage every
+      // executor can read: a real deployment sets `spark.graft.serving.dir`
+      // to a shared filesystem; the local default keeps verify/bench
+      // sessions from littering their (read-only) cwd or corpus dir.
+      val root = s.conf.get("spark.graft.serving.dir",
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_serving").toString)
       val tbl = Similarity.publishServingEdges(nnGraph(s, d),
-        s"graph_edges_srv_$key", Some(path))
+        s"graph_edges_srv_$key", Some(s"$root/graph_edges_srv_$key"))
       ops.Pipeline.record(s, d, "nn_serving_publish",
         (System.nanoTime() - t0) / 1e9)
       tbl

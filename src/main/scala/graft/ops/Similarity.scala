@@ -885,7 +885,19 @@ object Similarity {
     * lifecycle of a real ANN service. At cluster scale `vectors` is a
     * parquet layer partitioned by cell, so a probe scan prunes to the
     * nProbe cells it touches. */
-  final case class IvfIndex(centroids: DataFrame, vectors: DataFrame)
+  final case class IvfIndex(centroids: DataFrame, vectors: DataFrame) {
+    /** Corpus row count, memoized PER INDEX (r16 VERDICT #5): it picks the
+      * candidate-scoring shape ([[fusedShape]]), and counting inside every
+      * query call re-executed the whole build lineage once per call on
+      * unpinned one-shot indexes (the grid paths / ScaleAnchors). Lazy, so
+      * building an index stays plan-only; the first query pays one count —
+      * footer metadata on a parquet-backed index ([[ivfRead]]), cached
+      * blocks on a pinned one — and every later query reads the field. */
+    lazy val corpusRows: Long = vectors.count()
+    /** Vector dimensionality off the bounded centroid table (nCells rows —
+      * one metadata-scale head, memoized for the bytes-based shape cut). */
+    lazy val dim: Int = centroids.select(size(col("centroid"))).head.getInt(0)
+  }
 
   /** Build the IVF index: fit the k-means coarse quantizer on a sample
     * capped at `fitMaxRows` (train-on-sample / assign-all — see
@@ -987,11 +999,10 @@ object Similarity {
   def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int = 5,
       nProbe: Int = 0): DataFrame = {
     val q = ivfQueryFrame(queries)
-    // corpus row count picks the scoring shape (fuseCorpusRows): cheap —
-    // a pinned in-memory layer counts cached blocks, a parquet layer
-    // answers from footer metadata
+    // the memoized corpus size/dim pick the scoring shape ([[fusedShape]]) —
+    // one count per INDEX, not per call (r16 VERDICT #5)
     ivfScore(index.vectors, q, ivfProbes(index, q, resolveProbes(index, nProbe)),
-      k, index.vectors.count())
+      k, fusedShape(index.corpusRows, index.dim, index.vectors.sparkSession))
   }
 
   /** `nProbe = 0` → √cells ([[probesFor]]); the centroid table is
@@ -1016,28 +1027,44 @@ object Similarity {
       .select(col("query_id"), col("cell"))
   }
 
-  /** Corpus-size threshold (rows) between the two candidate-scoring
-    * shapes ([[ivfScore]], [[pqQuery]]): at or below it, the whole corpus
-    * side (vectors / codes) is broadcast-scale, every join in the
-    * broadcast-attach shape is a BHJ, and NOTHING pair-shaped ever
-    * shuffles — the optimal small/medium plan (measured at the 2k bench
-    * grain: fusing cost pqgrid 2.2 → 5.6 s warm). Above it the attach
-    * joins fall off the broadcast cliff and would shuffle the candidate
-    * frame at pair-mass × vector-width bytes, so the FUSED shape takes
-    * over (measured at the 20k anchor grain: ivfgrid 49 → 2.4 s,
-    * pqgrid 17.7 → 5.5 s). 16 k rows ≈ 8.5 MB of 64-dim doubles — just
-    * under Spark's 10 MB broadcast default. Both shapes produce
-    * bit-identical results (same pairs, same q6 arithmetic; the grid
-    * oracles pass under either). */
-  private val fuseCorpusRows = 16000L
+  /** Decide between the two candidate-scoring shapes ([[ivfScore]],
+    * [[pqQuery]]) by CORPUS BYTES, not rows (r16 VERDICT #3): the
+    * broadcast-attach shape is only optimal while the corpus side
+    * (vectors / codes) genuinely broadcasts, and that is a byte question —
+    * `rows × dim × 8` (the double payload) against the session's
+    * `spark.sql.autoBroadcastJoinThreshold`. The old 16 k-row constant was
+    * calibrated to dim 64 (~8.5 MB); at dim 512 it would have tried to
+    * broadcast ~66 MB and fallen off the exact cliff the dual exists to
+    * avoid. The cut sits at 80 % of the configured threshold because
+    * Spark's own size ESTIMATE carries per-row overhead beyond the raw
+    * doubles — at the 10 MB default and dim 64 that lands at 16,384 rows,
+    * the measured r16 boundary (attach optimal at the 2 k bench grain:
+    * fusing cost pqgrid 2.2 → 5.6 s warm; fused mandatory at the 20 k
+    * anchor grain: ivfgrid 49 → 2.4 s, pqgrid 17.7 → 5.5 s). A disabled
+    * threshold (-1/0) means nothing broadcasts → always fused. Both shapes
+    * produce bit-identical results (same pairs, same q6 arithmetic; the
+    * grid oracles pass under either — SimilaritySpec pins equality on a
+    * planted non-64-dim corpus). */
+  private[graft] def fusedShape(corpusRows: Long, dim: Int,
+      spark: org.apache.spark.sql.SparkSession): Boolean = {
+    // the same size grammar Spark's own conf reader uses, including the
+    // "-1 disables broadcast" convention (a bare leading minus negates)
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+      "10485760").trim
+    val thr =
+      if (raw.startsWith("-"))
+        -org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.substring(1))
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    thr <= 0L || corpusRows * dim.toLong * 8L > thr * 4L / 5L
+  }
 
   private def ivfScore(vectors: DataFrame, q: DataFrame, probes: DataFrame,
-      k: Int, corpusRows: Long): DataFrame = {
+      k: Int, fused: Boolean): DataFrame = {
     val scored =
-      if (corpusRows <= fuseCorpusRows) {
+      if (!fused) {
         // broadcast-attach shape: narrow id-pairs from the cell join,
         // vectors attached by two broadcast joins — zero shuffles while
-        // the corpus side broadcasts (see [[fuseCorpusRows]])
+        // the corpus side broadcasts (see [[fusedShape]])
         val cand = probes
           .join(vectors.select(col("vec_id").as("neighbor_id"), col("cell")),
             Seq("cell"))
@@ -1594,7 +1621,16 @@ object Similarity {
         col("norm").as("bn"))), col("a") =!= col("b"))
       .select(col("a"), col("b"),
         q6(dotd(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos_sim"))
-    val fwd = graphTopK(found.unionByName(bPairs), index.graphK)
+    // replay guard (r16 ADVICE): on a checkpointed streaming replay the
+    // standing view can already contain this batch's own completed delta,
+    // so one (a, b) pair can arrive BOTH as a beam-search hit and as a
+    // within-batch pair — the same q6 cosine either way (same vectors,
+    // same kernel); collapse duplicates BEFORE the rank cut so a replayed
+    // pair never occupies two of a node's graphK slots. A no-op on the
+    // normal path: beam targets are standing ids, within-batch pairs are
+    // batch ids, and the sets are disjoint before the delta lands.
+    val fwd = graphTopK(found.unionByName(bPairs)
+      .groupBy("a", "b").agg(max("cos_sim").as("cos_sim")), index.graphK)
     // (b) reverse edges make the new nodes DISCOVERABLE
     val rev = fwd.select(col("b").as("a"), col("a").as("b"), col("cos_sim"))
     Some((fwd.unionByName(rev), batch))
@@ -1618,6 +1654,20 @@ object Similarity {
   def nnMaintain(spark: org.apache.spark.sql.SparkSession, dir: String,
       newVectors: DataFrame, maxDegreeRatio: Double = 2.0): Boolean = {
     nnInsert(spark, dir, newVectors)
+    nnRebuildIfDrifted(spark, dir, maxDegreeRatio)
+  }
+
+  /** The audit + conditional-rebuild leg of [[nnMaintain]], shared with
+    * the streaming admission ([[graft.ops.StreamDemo]] `streamNnInsert` —
+    * r16 VERDICT #7: the degree-drift rebuild only ran batch-side): read
+    * the assembled graph, compare max out-degree against the
+    * `maxDegreeRatio`×graphK contract, and past it re-run the NN-descent
+    * build over the stored vector layer into a committed epoch. One
+    * decision rule for both maintenance paths, so a stream and a batch
+    * loop can never disagree on when the graph needs normalizing. */
+  private[graft] def nnRebuildIfDrifted(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxDegreeRatio: Double): Boolean = {
     val idx = nnRead(spark, dir)
     val statsRow = idx.edges.groupBy("a").agg(count(lit(1)).as("d"))
       .agg(max("d")).head
@@ -2281,7 +2331,12 @@ object Similarity {
     val cells = probes.select("cell").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
     val pruned = index.vectors.filter(col("cell").isInCollection(cells))
-    ivfScore(pruned, q, probes, k, pruned.count())
+    // the shape cut reads the PRUNED side's size (it is what must
+    // broadcast), so this count is per query batch by construction — but
+    // on the disk layout this path serves it is a partition-pruned footer
+    // count over only the probed cells' files, metadata-scale
+    ivfScore(pruned, q, probes, k,
+      fusedShape(pruned.count(), index.dim, index.vectors.sparkSession))
   }
 
   /** md5-derived hyperplane component — the oracle-mirrorable plane source
@@ -3060,9 +3115,9 @@ object Similarity {
     * `ivf` sublayer remains the rebuild cue. */
   def pqAppend(spark: org.apache.spark.sql.SparkSession, dirIn: String,
       newVectors: DataFrame): Unit = {
-    val dir = resolveEpoch(spark, dirIn) // current epoch (PQ never
-    // rebuilds in place today, so this is the legacy root unless a future
-    // maintenance loop starts committing epochs — same reader contract)
+    val dir = resolveEpoch(spark, dirIn) // current epoch — appends land
+    // inside the epoch [[pqMaintain]]'s rebuilds commit, never a
+    // directory a concurrent rebuild is writing
     val codebooks = spark.read.parquet(s"$dir/codebooks")
     val shape = codebooks
       .agg(max(col("sub")).as("maxSub"), max(size(col("centroid"))).as("subDim"))
@@ -3238,16 +3293,18 @@ object Similarity {
     // joins from the broadcast centroid table AFTER pair formation — d
     // doubles per pair exist only inside the codegen stage, not in any
     // exchange.
-    // Shape by corpus size ([[fuseCorpusRows]] — same dual as ivfScore,
-    // same bit-identical output): below the broadcast cliff the id-pair
-    // frame stays narrow and codes/queries attach via broadcast joins;
-    // past it the probe rows carry their query vector INTO the cell join
-    // and codes ride the corpus side, so nothing pair-shaped shuffles
-    // (the residual base always joins from broadcast centroids after
-    // pair formation — d doubles per pair exist only inside codegen).
+    // Shape by corpus bytes ([[fusedShape]] — same dual as ivfScore, same
+    // bit-identical output, memoized size/dim so nothing re-counts per
+    // call): below the broadcast cliff the id-pair frame stays narrow and
+    // codes/queries attach via broadcast joins; past it the probe rows
+    // carry their query vector INTO the cell join and codes ride the
+    // corpus side, so nothing pair-shaped shuffles (the residual base
+    // always joins from broadcast centroids after pair formation — d
+    // doubles per pair exist only inside codegen).
     val probes = ivfProbes(index.ivf, q, resolveProbes(index.ivf, nProbe))
     val paired =
-      if (index.ivf.vectors.count() <= fuseCorpusRows) {
+      if (!fusedShape(index.ivf.corpusRows, index.ivf.dim,
+          index.ivf.vectors.sparkSession)) {
         probes
           .join(index.ivf.vectors
             .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
@@ -3342,6 +3399,12 @@ object Similarity {
     val spark = index.codebooks.sparkSession
     import spark.implicits._
     Sinks.overwriteLayer(Seq(index.residual).toDF("residual"), s"$dir/meta")
+    // the m-row BUILD-TIME drift baseline (r16 VERDICT #1): per-sub mean
+    // quantization error + code utilization at write time, the reference
+    // point [[pqStats]] reads its err_ratio against. Computed over the
+    // index as built — one audit pass, amortized into the corpus-scale
+    // write this call already is.
+    Sinks.overwriteLayer(pqSubStats(index), s"$dir/stats")
   }
 
   /** Reload a persisted IVF-PQ index; `m`/`subDim` re-derive from the
@@ -3376,6 +3439,115 @@ object Similarity {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     if (!hadoopFs(spark, metaPath).exists(metaPath)) false
     else spark.read.parquet(s"$dir/meta").head().getBoolean(0)
+  }
+
+  /** Per-sub-quantizer fit audit over an in-memory index — the m-row frame
+    * behind the PQ family's drift decision ([[pqStats]]/[[pqMaintain]]):
+    * for each subspace, the mean squared quantization error of the STORED
+    * codes against the actual subvectors (in the index's own encode
+    * convention — residual indexes audit the residual frame), the number
+    * of codes in live use, and the code-utilization entropy
+    * (ln n − Σc·ln c / n over the code histogram — a collapsing
+    * distribution concentrates codes and the entropy falls even before
+    * the MSE moves). Plan shape: one broadcast codebook join over the
+    * exploded (vec_id, sub) pairs, then a map-side-combining rollup to
+    * m·ks groups and a final m-row cut — corpus-linear, nothing
+    * pair-shaped, the [[ivfStats]] audit discipline. */
+  private[graft] def pqSubStats(index: PqIndex): DataFrame = {
+    val src = if (index.residual) residualFrame(index.ivf)
+      else index.ivf.vectors.select(col("vec_id"), col("v"))
+    val subvecs = src.select(col("vec_id"),
+        explode(array((0 until index.m).map(j => struct(lit(j).as("sub"),
+          slice(col("v"), j * index.subDim + 1, index.subDim).as("x"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.x").as("x"))
+    val coded = index.codes.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    subvecs.join(coded, Seq("vec_id", "sub"))
+      .join(broadcast(index.codebooks), Seq("sub", "code"))
+      .select(col("sub"), col("code"),
+        (dotd(col("x"), col("x")) - lit(2.0) * dotd(col("x"), col("centroid"))
+          + dotd(col("centroid"), col("centroid"))).as("err2"))
+      .groupBy("sub", "code")
+      .agg(count(lit(1)).as("c"), sum("err2").as("se"))
+      .groupBy("sub").agg(
+        (sum("se") / sum("c")).as("mse"),
+        count(lit(1)).cast("long").as("codes_used"),
+        (log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"))
+          .as("code_entropy"))
+  }
+
+  /** Drift audit of a persisted IVF-PQ index — the m-row report that
+    * drives [[pqMaintain]]'s append-or-rebuild decision (r16 VERDICT #1:
+    * IVF/LSH/graph all had an audit-driven rebuild loop; PQ codebook
+    * drift — a shifted corpus distribution degrading ADC quality — had
+    * none): current per-sub quantization error and code utilization
+    * ([[pqSubStats]]) joined against the BUILD-TIME baseline the write
+    * recorded, with `err_ratio = mse_now / mse_build` as the drift
+    * signal (null for a pre-baseline legacy index or a zero-error
+    * degenerate baseline — no measurable drift, no trigger). */
+  def pqStats(spark: org.apache.spark.sql.SparkSession,
+      dirIn: String): DataFrame = {
+    val base = resolveEpoch(spark, dirIn)
+    val now = pqSubStats(pqRead(spark, base))
+      .select(col("sub"), col("mse").as("mse_now"),
+        col("codes_used"), col("code_entropy"))
+    val statsPath = new org.apache.hadoop.fs.Path(s"$base/stats")
+    val build =
+      if (hadoopFs(spark, statsPath).exists(statsPath))
+        spark.read.parquet(s"$base/stats")
+          .select(col("sub"), col("mse").as("mse_build"))
+      else now.select(col("sub"), lit(null).cast("double").as("mse_build"))
+    now.join(build, Seq("sub"))
+      .withColumn("err_ratio",
+        when(col("mse_build") > 0.0, col("mse_now") / col("mse_build")))
+      .select("sub", "mse_build", "mse_now", "err_ratio",
+        "codes_used", "code_entropy")
+  }
+
+  /** Append-with-rebuild-policy maintenance for the PQ tier — the
+    * [[ivfMaintain]] loop completed for the last index family without it
+    * (r16 VERDICT #1): [[pqAppend]] the batch (standing centroids,
+    * standing codebooks — never refit in place), read the [[pqStats]]
+    * drift audit, and when any subspace's quantization error has drifted
+    * past `maxErrorRatio`× its build-time baseline (the appended
+    * distribution no longer matches the codebooks — ADC ordering noise
+    * grows and recall decays), REBUILD from the stored full-precision
+    * vector layer: fresh coarse quantizer, fresh sub-codebooks refit on
+    * the grown corpus, same m / effective-ks budget / encode convention.
+    *
+    * READER-ATOMIC: the rebuild lands as a fresh immutable epoch under
+    * `dir/_epochs/N` — codes, codebooks, coarse layers, meta, and the new
+    * baseline TOGETHER — and readers flip only at the `_COMMITTED`
+    * marker, so old codes decode against OLD codebooks until the flip
+    * (a half-flipped mix would decode codes into the wrong vector space;
+    * the [[ivfMaintain]] marker-last rules). Returns true when a rebuild
+    * fired. */
+  def pqMaintain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame, maxErrorRatio: Double = 4.0,
+      fitMaxRows: Long = 100000L): Boolean = {
+    pqAppend(spark, dir, newVectors)
+    val row = pqStats(spark, dir).agg(max("err_ratio")).head
+    val worst = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    if (worst <= maxErrorRatio) false
+    else {
+      val idx = pqRead(spark, dir)
+      // the effective sub-codebook budget the standing index ran with
+      // (build-time clamping already applied); pqBuild re-clamps against
+      // the GROWN corpus sample, so a small-corpus clamp relaxes upward
+      val ks = idx.codebooks.agg(max("code")).head.getInt(0) + 1
+      // rebuild trains on the stored full-precision layer itself — the
+      // index is self-contained; pinned before the epoch writes so the
+      // new epoch never reads directories it is racing
+      val stored = idx.ivf.vectors.select("vec_id", "v", "norm")
+        .localCheckpoint(true)
+      val emb = stored.select(col("vec_id"), lit(0).as("label"),
+        col("v").as("embedding"))
+      val (epoch, epochDir) = nextEpochPath(spark, dir)
+      pqWrite(pqBuild(emb, idx.m, ks, nCells = 0, fitMaxRows,
+        idx.residual), epochDir)
+      commitEpoch(spark, dir, epoch) // the flip: marker last, GC old epochs
+      true
+    }
   }
 
   /** Self-join IVF-PQ ANN over the corpus — same output contract as the

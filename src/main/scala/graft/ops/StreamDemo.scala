@@ -2088,11 +2088,22 @@ object StreamDemo {
     * as an immutable two-sublayer `batch_id=N` delta. Edges land LAST and
     * carry the completeness gate; a replayed batch overwrites its own
     * directory (idempotent). Streamed content ≡ sequential batch
-    * `nnInsert` over the same files (StreamAnnSpec law). */
+    * `nnInsert` over the same files (StreamAnnSpec law).
+    *
+    * `maxDegreeRatio > 0` turns on MAINTENANCE MODE (r16 VERDICT #7): each
+    * batch is followed by [[graft.ops.Similarity.nnRebuildIfDrifted]] —
+    * the same audit + committed-epoch rebuild rule the batch
+    * [[graft.ops.Similarity.nnMaintain]] loop runs — so reverse-edge
+    * pileup past `maxDegreeRatio`×graphK re-normalizes every degree
+    * without stopping the stream, and readers flip whole epochs at the
+    * marker. In this mode batches are additionally filtered to
+    * genuinely-new vec_ids so a replay that straddles a rebuild stays
+    * idempotent (the rebuilt base already holds the collapsed deltas). */
   def streamNnInsert(spark: SparkSession, vecsDir: String,
       indexDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1,
-      centralityIters: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      centralityIters: Int = 0,
+      maxDegreeRatio: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("vec_id", LongType), StructField("label", IntegerType),
@@ -2104,23 +2115,64 @@ object StreamDemo {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.localCheckpoint(true)
+        val b0 = batch.localCheckpoint(true)
+        // maintenance mode (r16 VERDICT #7): a mid-stream rebuild collapses
+        // earlier deltas into a fresh epoch's base, so a replayed
+        // pre-rebuild batch would find its delta gate gone and re-insert
+        // vectors the rebuilt base already holds. The admission stream is
+        // keyed by vec_id — filter to genuinely-new ids against the
+        // standing view (one id-column scan per batch, only in
+        // maintenance mode) so re-admission is idempotent across epochs.
+        val b =
+          if (maxDegreeRatio <= 0.0) b0
+          else b0.join(
+            streamNnRead(spark, indexDir).vectors.select("vec_id"),
+            Seq("vec_id"), "left_anti").localCheckpoint(true)
         if (b.count() > 0) {
-          // the standing view INCLUDING committed deltas — sequential
-          // semantics (batch N+1 can link to batch N's vectors)
-          val idx = streamNnRead(spark, indexDir)
-          graft.ops.Similarity.nnInsertFrames(idx, b).foreach {
-            case (edges, vecs) =>
-              vecs.write.mode("overwrite")
-                .parquet(s"$indexDir/appends/batch_id=$batchId/vectors")
-              edges.write.mode("overwrite")
-                .parquet(s"$indexDir/appends/batch_id=$batchId/edges")
+          // deltas land inside the CURRENT epoch (the pqAppend/ivfAppend
+          // rule) — after a maintenance rebuild flips the epoch, a delta
+          // written at the legacy root would be invisible to readers
+          val epochDir = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+          val deltaDir = s"$epochDir/appends/batch_id=$batchId"
+          // replay exclusion (r16 ADVICE): if this delta is already
+          // COMPLETE (edges' _SUCCESS — the LAST write — exists), the
+          // insert finished on a prior attempt and the crash was in the
+          // scores refresh below. Re-running the insert would beam-search
+          // a standing view that already CONTAINS this delta and land
+          // DIFFERENT edges over the first attempt's, breaking the
+          // streamed ≡ batch law; skip it and write only the scores
+          // version. (nnInsertFrames additionally dedups (a,b) pairs, so
+          // even a replay that races this check can't double-rank.)
+          val gate = new org.apache.hadoop.fs.Path(s"$deltaDir/edges/_SUCCESS")
+          val replayOfComplete = gate
+            .getFileSystem(spark.sessionState.newHadoopConf()).exists(gate)
+          if (!replayOfComplete) {
+            // the standing view INCLUDING committed deltas — sequential
+            // semantics (batch N+1 can link to batch N's vectors)
+            val idx = streamNnRead(spark, indexDir)
+            graft.ops.Similarity.nnInsertFrames(idx, b).foreach {
+              case (edges, vecs) =>
+                vecs.write.mode("overwrite").parquet(s"$deltaDir/vectors")
+                edges.write.mode("overwrite").parquet(s"$deltaDir/edges")
+            }
           }
+          // degree-drift maintenance (r16 VERDICT #7): the SAME audit +
+          // committed-epoch rebuild rule nnMaintain runs batch-side, now
+          // wired into the admission stream — reverse-edge pileup past
+          // maxDegreeRatio×graphK re-runs NN-descent over the stored
+          // vector layer into a fresh epoch; mid-stream readers flip at
+          // the marker and only ever see whole epochs
+          if (maxDegreeRatio > 0.0)
+            graft.ops.Similarity.nnRebuildIfDrifted(spark, indexDir,
+              maxDegreeRatio)
           // incremental centrality refresh (VERDICT r15 #7): warm-start
           // power iteration from the previous scores version over the
           // graph INCLUDING this batch's delta, committed as
           // scores/v=batchId — a replay overwrites its own version from
-          // the same predecessor (nnCentralityRefreshAt's replay rule)
+          // the same predecessor (nnCentralityRefreshAt's replay rule);
+          // after a maintenance rebuild the new epoch has no scores yet,
+          // so the refresh cold-starts there (the nnMaintain contract:
+          // centrality scored the OLD graph and does not carry)
           if (centralityIters > 0)
             graft.ops.Similarity.nnCentralityRefreshAt(
               spark, indexDir, batchId, centralityIters)

@@ -289,6 +289,83 @@ class AnnIndexSpec extends SparkTestBase {
     assert(!Similarity.lshStats(spark, dir).head().getAs[Boolean]("rebuild_recommended"))
   }
 
+  test("pqMaintain: quiet appends keep the codebooks; ADC drift triggers a reader-atomic codebook rebuild that restores recall") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqm").toString
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    Similarity.pqWrite(Similarity.pqBuild(base, nCells = 16), dir)
+    val cb0 = sortedRows(spark.read.parquet(s"$dir/codebooks"))
+
+    // a distribution-matching batch appends without a rebuild: codes land,
+    // codebooks byte-identical (standing codebooks are never refit in place)
+    val quiet = emb.filter(col("vec_id") % 10 === 0)
+    assert(!Similarity.pqMaintain(spark, dir, quiet, maxErrorRatio = 4.0))
+    assert(Similarity.resolveEpoch(spark, dir) == dir, "quiet append must not commit an epoch")
+    val afterQuiet = Similarity.pqRead(spark, dir)
+    assert(afterQuiet.codes.count() == Similarity.withNorms(emb).count())
+    assert(sortedRows(afterQuiet.codebooks) == cb0)
+    val quietWorst = Similarity.pqStats(spark, dir)
+      .agg(max("err_ratio")).head.getDouble(0)
+    info(s"post-quiet worst err_ratio = $quietWorst")
+
+    // a degenerate region FAR outside the trained support (coords ~10 vs
+    // the corpus's [-1,1]): every blob subvector quantizes to the same
+    // nearest code, so ADC can no longer order candidates inside the blob
+    // — the audit's per-sub error explodes vs the build-time baseline
+    val blob = spark.range(200).select(
+      (col("id") + 1000000L).as("vec_id"), lit(0).as("label"),
+      array((0 until 64).map(d =>
+        (lit(10.0f) + pmod(xxhash64(col("id"), lit(d)), lit(500)).cast("float")
+          / 1000.0f)): _*).as("embedding"))
+    Similarity.pqAppend(spark, dir, blob)
+    val driftStats = Similarity.pqStats(spark, dir).cache()
+    val preWorst = driftStats.agg(max("err_ratio")).head.getDouble(0)
+    val preMse = driftStats.agg(max("mse_now")).head.getDouble(0)
+    assert(preWorst > 4.0, s"planted drift must trip the audit: $preWorst")
+
+    // recall on the drifted region BEFORE the rebuild, against exact truth
+    // (exhaustive probing of a grid index ≡ brute force — the pinned law)
+    val grown = afterQuiet.ivf.vectors
+      .select(col("vec_id"), lit(0).as("label"), col("v").as("embedding"))
+      .unionByName(blob.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding")))
+      .localCheckpoint(true)
+    val blobQ = blob.filter(col("vec_id") % 10 === 0).localCheckpoint(true)
+    def pairsOf(df: DataFrame): Set[(Long, Long)] = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairsOf(Similarity.ivfQuery(
+      Similarity.ivfGridBuild(grown, nCells = 16), blobQ, k = 5, nProbe = 16))
+    val preRecall = pairsOf(Similarity.pqQuery(
+        Similarity.pqRead(spark, dir), blobQ, k = 5))
+      .intersect(truth).size.toDouble / truth.size
+
+    // the maintenance loop now sees the drift and rebuilds (empty batch:
+    // append no-ops, the audit still runs) — reader-atomic epoch commit
+    assert(Similarity.pqMaintain(spark, dir, emb.limit(0), maxErrorRatio = 4.0))
+    assert(Similarity.resolveEpoch(spark, dir).contains("_epochs"),
+      "rebuild must land as a committed epoch")
+    val rebuilt = Similarity.pqRead(spark, dir)
+    assert(rebuilt.codes.count() == Similarity.withNorms(emb).count() + 200)
+    assert(sortedRows(rebuilt.codebooks) != cb0, "rebuild must refit codebooks")
+    // the refit codebooks explain the grown corpus again: absolute ADC
+    // error collapses and the fresh baseline reads ~1
+    val postStats = Similarity.pqStats(spark, dir).cache()
+    val postMse = postStats.agg(max("mse_now")).head.getDouble(0)
+    val postWorst = postStats.agg(max("err_ratio")).head.getDouble(0)
+    info(s"mse_now max $preMse -> $postMse; err_ratio $preWorst -> $postWorst")
+    assert(postMse < preMse / 10.0, s"rebuild did not restore ADC fit: $preMse -> $postMse")
+    assert(postWorst < 2.0)
+    // and the ADC ordering can rank inside the blob again: recall over
+    // the drifted queries recovers past the degraded pre-rebuild value
+    val postRecall = pairsOf(Similarity.pqQuery(rebuilt, blobQ, k = 5))
+      .intersect(truth).size.toDouble / truth.size
+    info(s"blob recall@5: pre-rebuild $preRecall -> post-rebuild $postRecall")
+    assert(postRecall > preRecall,
+      s"rebuild must restore recall: $preRecall -> $postRecall")
+    assert(postRecall >= 0.5, s"post-rebuild recall still degraded: $postRecall")
+  }
+
   test("reader-atomic epochs: uncommitted rebuilds invisible, marker is the flip, retention GC") {
     val dir = java.nio.file.Files.createTempDirectory("graft_epoch").toString
     val base = emb.filter(col("vec_id") % 2 === 0)

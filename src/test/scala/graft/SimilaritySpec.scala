@@ -255,6 +255,60 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("fusedShape: bytes-based cut is dim-aware; fused ≡ attach bit-for-bit on a dim-256 corpus (IVF and PQ duals)") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    // the cut is rows × dim × 8 bytes vs 80 % of the session broadcast
+    // threshold (10 MB default → 8,388,608-byte budget): at dim 64 the
+    // boundary is the measured r16 one (16,384 rows); at dim 256 the SAME
+    // byte budget is only 4,096 rows — the old 16 k-row constant would
+    // have tried to broadcast 4× the budget there (r16 VERDICT #3)
+    assert(!Similarity.fusedShape(16384, 64, spark))
+    assert(Similarity.fusedShape(16385, 64, spark))
+    assert(!Similarity.fusedShape(4096, 256, spark))
+    assert(Similarity.fusedShape(4097, 256, spark),
+      "a dim-256 corpus must go fused well below 16k rows")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      // a disabled threshold means NOTHING broadcasts → always fused
+      spark.conf.set(key, "-1")
+      assert(Similarity.fusedShape(1, 2, spark))
+      // size-suffixed values parse through the same grammar Spark uses
+      spark.conf.set(key, "1MB")
+      assert(Similarity.fusedShape(600, 256, spark)) // 1.2 MB > 0.8 MB budget
+      // bit-equality of the two scoring shapes at a non-64 dim: the same
+      // planted dim-256 corpus queried under a 1 MB threshold (fused) and
+      // a 100 MB threshold (attach) must produce identical frames — same
+      // pairs, same q6 cosines, same ranks (the shape is a plan choice,
+      // never a semantics choice)
+      val rnd = new scala.util.Random(7)
+      val planted = (1L to 600L)
+        .map(i => (i, "x", Array.fill(256)(rnd.nextGaussian())))
+        .toDF("vec_id", "label", "embedding")
+        .localCheckpoint(true)
+      def frames(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3))).toSet -> name
+      val gidx = Similarity.ivfGridBuild(planted, nCells = 16)
+      val pidx = Similarity.pqGridBuild(planted, m = 8, codebookSize = 16,
+        nCells = 16)
+      val (ivfFused, _) = frames("ivf", Similarity.ivfQuery(gidx, planted, k = 5, nProbe = 4))
+      val (pqFused, _) = frames("pq", Similarity.pqQuery(pidx, planted, k = 5, nProbe = 4))
+      spark.conf.set(key, "100MB")
+      assert(!Similarity.fusedShape(600, 256, spark)) // attach now
+      // fresh index values: corpusRows/dim memoize per instance, and the
+      // shape must be re-decided under the new threshold
+      val gidx2 = Similarity.ivfGridBuild(planted, nCells = 16)
+      val pidx2 = Similarity.pqGridBuild(planted, m = 8, codebookSize = 16,
+        nCells = 16)
+      val (ivfAttach, _) = frames("ivf", Similarity.ivfQuery(gidx2, planted, k = 5, nProbe = 4))
+      val (pqAttach, _) = frames("pq", Similarity.pqQuery(pidx2, planted, k = 5, nProbe = 4))
+      assert(ivfFused == ivfAttach, "IVF fused and attach shapes diverged")
+      assert(pqFused == pqAttach, "PQ fused and attach shapes diverged")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("md5-grid PQ twin: code-shape laws; exhaustive probe + unbounded rerank ≡ brute force") {
     import graft.ops.Similarity
     val e = Tables.embeddings(spark, SF)
@@ -748,6 +802,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(ops.Similarity.probesFor(12500) == 168)
     val ps = cells.map(ops.Similarity.probesFor)
     assert(ps == ps.sorted, "probes must be monotone in cells")
+  }
+
+  test("gridCellsFor decade law: cap first binds at n = 8,388,481; occupancy pinned below, ∝ n beyond") {
+    import graft.ops.Similarity
+    // floor: the r8-pinned 16-cell small-corpus geometry
+    assert(Similarity.gridCellsFor(50L) == 16)
+    assert(Similarity.gridCellsFor(2000L) == 16)
+    // below the cap, expected occupancy is pinned at ≤128 (+ the one-cell
+    // integer-ceil remainder) — candidate mass grows ~linearly in n
+    for (n <- Seq(10000L, 100000L, 1000000L, 8388480L)) {
+      val c = Similarity.gridCellsFor(n)
+      assert(c < 65536, s"n=$n must be cap-free, got $c")
+      assert(n.toDouble / c <= 128.0, s"n=$n: expected occupancy ${n.toDouble / c}")
+    }
+    // the cap's exact bite point from the integer arithmetic:
+    // (n + 127) / 128 ≥ 65536 ⟺ n ≥ 65536·128 − 127 = 8,388,481
+    assert(Similarity.gridCellsFor(8388480L) == 65535)
+    assert(Similarity.gridCellsFor(8388481L) == 65536)
+    // beyond the cap cells freeze, so expected occupancy grows ∝ n: each
+    // decade past ~8.4 M vectors multiplies per-cell candidate mass 10× —
+    // the measured boundary behind the documented "k-means (cellsFor,
+    // fit-bounded and data-adapted) is the scale path" routing rule
+    val occs = Seq(10000000L, 100000000L, 1000000000L).map { n =>
+      assert(Similarity.gridCellsFor(n) == 65536)
+      n.toDouble / Similarity.gridCellsFor(n)
+    }
+    assert(math.abs(occs(1) / occs(0) - 10.0) < 1e-9)
+    assert(math.abs(occs(2) / occs(1) - 10.0) < 1e-9)
+    // monotone everywhere (the oracle mirrors this arithmetic from its
+    // own count(*) — a non-monotone step would desync the twins)
+    val grid = Seq(1L, 16L, 2048L, 2049L, 100000L, 8388481L, 1L << 33)
+      .map(Similarity.gridCellsFor)
+    assert(grid == grid.sorted)
   }
 
   test("IVF index lifecycle: build once, query an external batch") {

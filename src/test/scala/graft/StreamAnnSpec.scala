@@ -237,6 +237,107 @@ class StreamAnnSpec extends SparkTestBase with TimeLimitedTests {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("streamed graph maintenance: planted degree drift triggers exactly one epoch rebuild; admission continues; equals the batch nnMaintain twin") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("anngm_src")
+    val streamDir = java.nio.file.Files.createTempDirectory("anngm_stream").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("anngm_batch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("anngm_ckpt")
+
+    val emb = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding").orderBy("vec_id")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val arriving = emb.filter(col("vec_id") % 5 === 0).collect()
+    val cut = arriving.length / 2
+
+    val built = Similarity.nnBuildIndex(base)
+    Similarity.nnWrite(built, streamDir)
+    Similarity.nnWrite(built, batchDir)
+    val graphK = Similarity.nnRead(spark, streamDir).graphK
+
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"anngm_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), emb.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+    def committedEpochs(dir: String): Seq[String] = {
+      val root = new java.io.File(s"$dir/_epochs")
+      if (!root.exists) Seq.empty
+      else root.listFiles.filter(d => new java.io.File(d, "_COMMITTED").exists)
+        .map(_.getName).toSeq.sorted
+    }
+    def maxOutDegree(dir: String): Long =
+      Similarity.nnRead(spark, dir).edges.groupBy("a")
+        .agg(count(lit(1)).as("d")).agg(max("d")).head.getLong(0)
+    def run(ratio: Double): Unit = {
+      val q = StreamDemo.streamNnInsert(s2, src.toString, streamDir,
+        ckpt.toString, maxDegreeRatio = ratio)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def edges(dir: String) = Similarity.nnRead(spark, dir).edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // a PLANTED DRIFT batch of 4·graphK jittered near-copies of one
+    // standing vector. The trip is GUARANTEED by averaging, not geometry
+    // luck: within-batch adjacency alone creates blob.length·graphK
+    // reverse edges over blob.length receivers, so some member receives
+    // ≥ graphK reverse on top of its graphK forward — out-degree ≥
+    // 2·graphK > 1.5·graphK.
+    val anchor = arriving.head
+    val av = anchor.getSeq[Float](anchor.fieldIndex("embedding"))
+    val blob = (0 until 4 * graphK).map { i =>
+      org.apache.spark.sql.Row(900000L + i, anchor.get(1),
+        av.zipWithIndex.map { case (x, d) => x + ((i * 13 + d) % 7) * 1e-4f })
+    }.toArray
+
+    // calm micro-batch: audit runs, contract holds, NO epoch
+    stage(1, arriving.slice(0, cut))
+    run(ratio = 1000.0)
+    Similarity.nnMaintain(spark, batchDir, spark.createDataFrame(
+      java.util.Arrays.asList(arriving.slice(0, cut): _*), emb.schema),
+      maxDegreeRatio = 1000.0)
+    assert(committedEpochs(streamDir).isEmpty,
+      "calm admission must not rebuild")
+
+    // drift micro-batch: EXACTLY ONE reader-atomic epoch rebuild fires and
+    // the degree contract is restored without stopping the stream
+    stage(2, blob)
+    run(ratio = 1.5)
+    assert(Similarity.nnMaintain(spark, batchDir, spark.createDataFrame(
+      java.util.Arrays.asList(blob: _*), emb.schema), maxDegreeRatio = 1.5),
+      "batch twin must also rebuild on the planted drift")
+    assert(committedEpochs(streamDir).size == 1,
+      s"planted drift must trigger exactly one rebuild: ${committedEpochs(streamDir)}")
+    assert(maxOutDegree(streamDir) <= 1.5 * graphK,
+      s"rebuild did not restore the degree contract: ${maxOutDegree(streamDir)}")
+
+    // admission CONTINUES on the new epoch: a 2-vector calm batch lands as
+    // a delta inside it — it can push any node's out-degree at most 2 past
+    // the rebuilt graphK bound (< 0.5·graphK), so no re-trip by
+    // construction — and readers assemble whole epochs only
+    stage(3, arriving.slice(cut, cut + 2))
+    run(ratio = 1.5)
+    Similarity.nnMaintain(spark, batchDir, spark.createDataFrame(
+      java.util.Arrays.asList(arriving.slice(cut, cut + 2): _*),
+      emb.schema), maxDegreeRatio = 1.5)
+    assert(committedEpochs(streamDir).size == 1,
+      "post-rebuild calm admission must not re-trip the audit")
+    val fin = StreamDemo.streamNnRead(spark, streamDir)
+    assert(fin.vectors.count() == Similarity.withNorms(
+        spark.createDataFrame(java.util.Arrays.asList(
+          arriving.slice(0, cut) ++ blob ++ arriving.slice(cut, cut + 2): _*),
+          emb.schema)).count() + Similarity.withNorms(base).count(),
+      "admission across the epoch flip lost or duplicated vectors")
+    assert(fin.vectors.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // one decision rule, two surfaces: the streamed maintenance loop and
+    // the batch nnMaintain twin land the IDENTICAL graph
+    assert(edges(streamDir) == edges(batchDir),
+      "streamed maintenance drifted from the batch nnMaintain twin")
+  }
+
   test("streamed centrality refresh: warm-start scores store equals the sequential batch twin; restart-safe") {
     val s2 = spark.newSession()
     val src = java.nio.file.Files.createTempDirectory("anngc_src")
