@@ -968,16 +968,33 @@ object Similarity {
       newVectors: DataFrame, maxOccupancyRatio: Double = 4.0,
       fitMaxRows: Long = 100000L): Boolean = {
     ivfAppend(spark, dir, newVectors)
-    // max over an empty stats frame is SQL-null (a vectors layer can be
-    // empty when every build-time row was zero-norm-filtered); an empty
-    // index has no occupancy drift, so treat it as no-rebuild rather than
-    // NPE-ing a standing maintenance loop
-    val statsRow = ivfStats(spark, dir).agg(max("occupancy_ratio")).head
-    val worst = if (statsRow.isNullAt(0)) 0.0 else statsRow.getDouble(0)
+    ivfRebuildIfDrifted(spark, dir, ivfRead(spark, dir).vectors,
+      maxOccupancyRatio, fitMaxRows)
+  }
+
+  /** The audit + conditional-rebuild leg of [[ivfMaintain]] over an
+    * EXPLICIT vectors view — shared with the streaming admission
+    * ([[graft.ops.StreamDemo]] `streamIvfAppend` maintenance mode, where
+    * the standing corpus is base + streamed delta layers rather than the
+    * persisted layer alone): compute the worst cell-occupancy ratio (the
+    * [[ivfStats]] arithmetic — max cell count over the mean across
+    * populated cells), and past `maxOccupancyRatio` rebuild from the
+    * given view into a committed epoch with the cell count re-derived
+    * from the grown corpus. One decision rule for both maintenance
+    * surfaces. An empty view has no drift (no rebuild, no NPE). */
+  private[graft] def ivfRebuildIfDrifted(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      vectors: DataFrame, maxOccupancyRatio: Double,
+      fitMaxRows: Long = 100000L): Boolean = {
+    val occ = vectors.groupBy("cell").agg(count(lit(1)).as("c"))
+      .agg((max("c") / (sum("c") / count(lit(1)))).as("worst")).head
+    val worst = if (occ.isNullAt(0)) 0.0 else occ.getDouble(0)
     if (worst <= maxOccupancyRatio) false
     else {
-      val stored = ivfRead(spark, dir).vectors
-        .select("vec_id", "v", "norm").localCheckpoint(true)
+      // the rebuild trains on the given view itself — the index (plus its
+      // streamed deltas) is self-contained; pinned BEFORE the epoch
+      // writes so the new epoch never reads directories it is racing
+      val stored = vectors.select("vec_id", "v", "norm").localCheckpoint(true)
       val dims = stored.agg(count(lit(1)), max(size(col("v")))).head()
       val (epoch, epochDir) = nextEpochPath(spark, dir)
       ivfWrite(ivfBuildNormed(stored, dims.getLong(0), nCells = 0,
@@ -2507,14 +2524,26 @@ object Similarity {
   def lshMaintain(spark: org.apache.spark.sql.SparkSession, dir: String,
       newVectors: DataFrame, targetOccupancy: Int = 64): Boolean = {
     lshAppend(spark, dir, newVectors)
-    val st = lshStats(spark, dir, targetOccupancy).head()
-    if (!st.getAs[Boolean]("rebuild_recommended")) false
+    lshRebuildIfDrifted(spark, dir, lshRead(spark, dir), targetOccupancy)
+  }
+
+  /** The audit + conditional-rebuild leg of [[lshMaintain]] over an
+    * EXPLICIT index view — shared with the streaming admission
+    * ([[graft.ops.StreamDemo]] `streamLshAppend` maintenance mode, where
+    * the standing corpus is base + streamed deltas): when [[bitsFor]] at
+    * today's corpus size steps past the standing bits, re-bucket the
+    * whole view at the re-derived bits into a committed epoch. One
+    * decision rule for both maintenance surfaces. */
+  private[graft] def lshRebuildIfDrifted(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idx: LshIndex, targetOccupancy: Int = 64): Boolean = {
+    val n = idx.buckets.count() / idx.tables
+    if (bitsFor(n, targetOccupancy) <= idx.bits) false
     else {
-      val old = lshRead(spark, dir)
-      val stored = old.vectors.localCheckpoint(true)
+      val stored = idx.vectors.localCheckpoint(true)
       val (epoch, epochDir) = nextEpochPath(spark, dir)
-      lshWrite(lshBuildNormed(stored, st.getAs[Long]("n_vectors"), old.dim,
-        old.tables, targetOccupancy), epochDir)
+      lshWrite(lshBuildNormed(stored, n, idx.dim, idx.tables,
+        targetOccupancy), epochDir)
       commitEpoch(spark, dir, epoch) // the flip: marker last, GC old epochs
       true
     }
@@ -3434,7 +3463,7 @@ object Similarity {
   /** The persisted encode convention: read the 1-row meta layer; indexes
     * written before the layer existed are raw-encoded (the only
     * convention that ever shipped without it). */
-  private def pqResidualMeta(spark: org.apache.spark.sql.SparkSession,
+  private[ops] def pqResidualMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): Boolean = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     if (!hadoopFs(spark, metaPath).exists(metaPath)) false
@@ -3526,18 +3555,42 @@ object Similarity {
       newVectors: DataFrame, maxErrorRatio: Double = 4.0,
       fitMaxRows: Long = 100000L): Boolean = {
     pqAppend(spark, dir, newVectors)
-    val row = pqStats(spark, dir).agg(max("err_ratio")).head
+    pqRebuildIfDrifted(spark, dir, pqRead(spark, dir), maxErrorRatio,
+      fitMaxRows)
+  }
+
+  /** The audit + conditional-rebuild leg of [[pqMaintain]] over an
+    * EXPLICIT index view — shared with the streaming admission
+    * ([[graft.ops.StreamDemo]] `streamPqAppend` maintenance mode, where
+    * the standing corpus is base + streamed deltas): run the
+    * [[pqSubStats]] audit on the view against the resolved epoch's
+    * build-time baseline, and past `maxErrorRatio` rebuild coarse +
+    * sub-codebooks from the view's full-precision vectors into a
+    * committed epoch. One decision rule for both maintenance surfaces. */
+  private[graft] def pqRebuildIfDrifted(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idx: PqIndex, maxErrorRatio: Double,
+      fitMaxRows: Long = 100000L): Boolean = {
+    val base = resolveEpoch(spark, dir)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$base/stats")
+    // no baseline (pre-stats legacy index) → no measurable drift
+    if (!hadoopFs(spark, statsPath).exists(statsPath)) return false
+    val row = pqSubStats(idx).select(col("sub"), col("mse").as("mse_now"))
+      .join(spark.read.parquet(s"$base/stats")
+        .select(col("sub"), col("mse").as("mse_build")), Seq("sub"))
+      .agg(max(when(col("mse_build") > 0.0,
+        col("mse_now") / col("mse_build")))).head
     val worst = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
     if (worst <= maxErrorRatio) false
     else {
-      val idx = pqRead(spark, dir)
       // the effective sub-codebook budget the standing index ran with
       // (build-time clamping already applied); pqBuild re-clamps against
       // the GROWN corpus sample, so a small-corpus clamp relaxes upward
       val ks = idx.codebooks.agg(max("code")).head.getInt(0) + 1
-      // rebuild trains on the stored full-precision layer itself — the
-      // index is self-contained; pinned before the epoch writes so the
-      // new epoch never reads directories it is racing
+      // rebuild trains on the view's full-precision layer itself — the
+      // index (plus its streamed deltas) is self-contained; pinned before
+      // the epoch writes so the new epoch never reads directories it is
+      // racing
       val stored = idx.ivf.vectors.select("vec_id", "v", "norm")
         .localCheckpoint(true)
       val emb = stored.select(col("vec_id"), lit(0).as("label"),

@@ -1812,21 +1812,25 @@ object StreamDemo {
     * deltas into a fresh base. */
   def streamIvfAppend(spark: SparkSession, vecsDir: String,
       indexDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      maxOccupancyRatio: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("vec_id", LongType), StructField("label", IntegerType),
       StructField("embedding", ArrayType(FloatType))))
-    // standing geometry from the CURRENT committed epoch (legacy root
-    // when none) — the reader-atomic maintenance contract
-    val base = graft.ops.Similarity.resolveEpoch(spark, indexDir)
-    val centroids = spark.read.parquet(s"$base/centroids")
-      .localCheckpoint(true) // standing geometry: read once, not per batch
-    // standing dim, read once with the centroids (the streamLshAppend /
-    // batch-ivfAppend contract): the assignment dot product folds over
-    // min(lengths), so a wrong-dim batch would otherwise be silently
-    // assigned over a dimension PREFIX and appended as corrupt delta rows
-    val dim = centroids.agg(max(size(col("centroid")))).head.getInt(0)
+    // standing geometry from the CURRENT committed epoch (legacy root when
+    // none) — the reader-atomic maintenance contract. Pinned once for the
+    // append-only stream; MAINTENANCE MODE re-resolves per batch instead,
+    // because its own rebuilds flip the epoch (and the centroids) mid-
+    // stream — a pinned copy would keep assigning against dead geometry.
+    val pinned =
+      if (maxOccupancyRatio > 0.0) None
+      else {
+        val c = spark.read.parquet(
+          s"${graft.ops.Similarity.resolveEpoch(spark, indexDir)}/centroids")
+          .localCheckpoint(true)
+        Some((c, c.agg(max(size(col("centroid")))).head.getInt(0)))
+      }
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -1834,31 +1838,62 @@ object StreamDemo {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.localCheckpoint(true)
+        val b0 = batch.localCheckpoint(true)
+        // maintenance mode: a mid-stream rebuild collapses earlier deltas
+        // into a fresh epoch's base, so a replay straddling the flip would
+        // re-insert vectors the rebuilt base already holds — filter to
+        // genuinely-new ids (the streamNnInsert rule)
+        val b =
+          if (maxOccupancyRatio <= 0.0) b0
+          else b0.join(streamIvfRead(spark, indexDir).vectors.select("vec_id"),
+            Seq("vec_id"), "left_anti").localCheckpoint(true)
         if (b.count() > 0) { // empty batch: no-op, not an error
+          val base = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+          val (centroids, dim) = pinned.getOrElse {
+            val c = spark.read.parquet(s"$base/centroids")
+            (c, c.agg(max(size(col("centroid")))).head.getInt(0))
+          }
+          // the assignment dot product folds over min(lengths), so a
+          // wrong-dim batch would otherwise be silently assigned over a
+          // dimension PREFIX and appended as corrupt delta rows
           val badDim = b.filter(size(col("embedding")) =!= dim).count()
           require(badDim == 0,
             s"streamed batch $batchId carries $badDim wrong-dim vectors (index dim $dim)")
+          // deltas land inside the CURRENT epoch, never a directory a
+          // rebuild is racing (the pqAppend/ivfAppend rule)
           graft.ops.Similarity.ivfAssign(centroids, b)
             .write.mode("overwrite").partitionBy("cell")
-            .parquet(s"$indexDir/appends/batch_id=$batchId")
+            .parquet(s"$base/appends/batch_id=$batchId")
+          // degree of the IVF world = cell occupancy: the SAME audit +
+          // committed-epoch rebuild rule batch ivfMaintain runs, here over
+          // the ASSEMBLED view (base + streamed deltas) — r16 VERDICT #7's
+          // streaming-maintenance symmetry extended to the IVF family
+          if (maxOccupancyRatio > 0.0)
+            graft.ops.Similarity.ivfRebuildIfDrifted(spark, indexDir,
+              streamIvfRead(spark, indexDir).vectors, maxOccupancyRatio)
         }
         ()
       }
       .start()
   }
 
-  /** Assemble the streamed IVF index: base layer + every COMPLETE append
-    * delta. Declared schemas (the ivfRead discipline) and per-layer cell
-    * partitioning, so probe pruning prunes within each layer's files. */
+  /** Assemble the streamed IVF index: the CURRENT epoch's base layer +
+    * its COMPLETE append deltas (epoch-resolved, so a maintenance rebuild
+    * flips readers to the compacted base and leaves the old epoch's
+    * deltas behind with it). Declared schemas (the ivfRead discipline)
+    * and per-layer cell partitioning, so probe pruning prunes within each
+    * layer's files. */
   def streamIvfRead(spark: SparkSession,
       indexDir: String): graft.ops.Similarity.IvfIndex = {
     import org.apache.spark.sql.types._
     val vecSchema = StructType(Seq(
       StructField("vec_id", LongType), StructField("v", ArrayType(DoubleType)),
       StructField("norm", DoubleType), StructField("cell", IntegerType)))
-    val base = graft.ops.Similarity.ivfRead(spark, indexDir)
-    val deltas = ReportStore.completeIds(spark, indexDir, "appends", "batch_id=")
+    // resolve ONCE and read base + deltas from the same snapshot — two
+    // independent resolutions could straddle a racing epoch flip
+    val epochBase = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+    val base = graft.ops.Similarity.ivfRead(spark, epochBase)
+    val deltas = ReportStore.completeIds(spark, epochBase, "appends", "batch_id=")
       .map { case (_, p) => spark.read.schema(vecSchema).parquet(p.toString) }
     graft.ops.Similarity.IvfIndex(base.centroids,
       deltas.foldLeft(base.vectors)(_ unionByName _))
@@ -1874,15 +1909,20 @@ object StreamDemo {
     * stream rather than corrupt the bucket space. */
   def streamLshAppend(spark: SparkSession, vecsDir: String,
       indexDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      maintainTargetOccupancy: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("vec_id", LongType), StructField("label", IntegerType),
       StructField("embedding", ArrayType(FloatType))))
-    val meta = spark.read.parquet(
-      s"${graft.ops.Similarity.resolveEpoch(spark, indexDir)}/meta").head()
-    val (tables, bits, dim) =
-      (meta.getAs[Int]("tables"), meta.getAs[Int]("bits"), meta.getAs[Int]("dim"))
+    // standing (tables, bits, dim) pinned for the append-only stream;
+    // MAINTENANCE MODE (> 0) re-reads per batch — its own rebuilds
+    // re-derive `bits`, and bucketing at dead bits would hash new vectors
+    // into a bucket space the rebuilt index no longer uses
+    val pinnedMeta =
+      if (maintainTargetOccupancy > 0) None
+      else Some(spark.read.parquet(
+        s"${graft.ops.Similarity.resolveEpoch(spark, indexDir)}/meta").head())
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -1890,9 +1930,21 @@ object StreamDemo {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val e = graft.ops.Similarity.withNorms(batch).localCheckpoint(true)
+        val e0 = graft.ops.Similarity.withNorms(batch).localCheckpoint(true)
+        // maintenance mode: replays straddling a rebuild must not
+        // re-admit vectors the compacted base already holds (the
+        // streamNnInsert rule)
+        val e =
+          if (maintainTargetOccupancy <= 0) e0
+          else e0.join(streamLshRead(spark, indexDir).vectors.select("vec_id"),
+            Seq("vec_id"), "left_anti").localCheckpoint(true)
         val n = e.count()
         if (n > 0) {
+          val base = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+          val meta = pinnedMeta.getOrElse(
+            spark.read.parquet(s"$base/meta").head())
+          val (tables, bits, dim) = (meta.getAs[Int]("tables"),
+            meta.getAs[Int]("bits"), meta.getAs[Int]("dim"))
           val badDim = e.filter(size(col("v")) =!= dim).count()
           require(badDim == 0,
             s"streamed batch $batchId carries $badDim wrong-dim vectors (index dim $dim)")
@@ -1900,12 +1952,19 @@ object StreamDemo {
               graft.functions.LshExprs.signLshBuckets(col("v"), tables, bits, dim)))
             .select(col("vec_id"), col("pos").as("table_id"), col("col").as("bucket"))
             .write.mode("overwrite").partitionBy("table_id", "bucket")
-            .parquet(s"$indexDir/appends/batch_id=$batchId/buckets")
+            .parquet(s"$base/appends/batch_id=$batchId/buckets")
           e.write.mode("overwrite")
-            .parquet(s"$indexDir/appends/batch_id=$batchId/vectors")
+            .parquet(s"$base/appends/batch_id=$batchId/vectors")
           // the batch commits atomically-enough for readers: the vectors
           // sublayer lands last and carries the _SUCCESS the reader gates
           // on, so a half-written delta (buckets only) is never assembled
+          // bitsFor stepping past the standing bits is the LSH drift
+          // signal: the SAME audit + committed-epoch rebuild rule batch
+          // lshMaintain runs, here over the assembled view (r16 VERDICT
+          // #7's streaming-maintenance symmetry extended to LSH)
+          if (maintainTargetOccupancy > 0)
+            graft.ops.Similarity.lshRebuildIfDrifted(spark, indexDir,
+              streamLshRead(spark, indexDir), maintainTargetOccupancy)
         }
         ()
       }
@@ -1924,12 +1983,14 @@ object StreamDemo {
       sublayers: Seq[String]): Seq[String] =
     graft.ops.Similarity.completeDeltaDirs(spark, indexDir, sublayers)
 
-  /** Assemble the streamed LSH index: base + complete two-sublayer
-    * deltas (buckets written first, vectors last). */
+  /** Assemble the streamed LSH index: the CURRENT epoch's base + its
+    * complete two-sublayer deltas (buckets written first, vectors last;
+    * epoch-resolved once so base and deltas come from one snapshot). */
   def streamLshRead(spark: SparkSession,
       indexDir: String): graft.ops.Similarity.LshIndex = {
-    val base = graft.ops.Similarity.lshRead(spark, indexDir)
-    val deltas = completeDeltaDirs(spark, indexDir, Seq("buckets", "vectors"))
+    val epochBase = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+    val base = graft.ops.Similarity.lshRead(spark, epochBase)
+    val deltas = completeDeltaDirs(spark, epochBase, Seq("buckets", "vectors"))
     val buckets = deltas.map(p => spark.read
       .schema(base.buckets.schema).parquet(s"$p/buckets"))
       .foldLeft(base.buckets)(_ unionByName _)
@@ -2018,19 +2079,30 @@ object StreamDemo {
     * vectors). Codes land last and carry the completeness gate. */
   def streamPqAppend(spark: SparkSession, vecsDir: String,
       indexDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      maxErrorRatio: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("vec_id", LongType), StructField("label", IntegerType),
       StructField("embedding", ArrayType(FloatType))))
-    val pqBase = graft.ops.Similarity.resolveEpoch(spark, indexDir)
-    val codebooks = spark.read.parquet(s"$pqBase/codebooks").localCheckpoint(true)
-    val shape = codebooks
-      .agg(max(col("sub")).as("maxSub"), max(size(col("centroid"))).as("subDim"))
-      .head()
-    val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
-    val centroids = spark.read.parquet(s"$pqBase/ivf/centroids")
-      .localCheckpoint(true)
+    // standing geometry pinned for the append-only stream; MAINTENANCE
+    // MODE re-reads per batch — its own rebuilds refit the codebooks, and
+    // encoding against dead codebooks would decode into the wrong space
+    def geometry(base: String) = {
+      val codebooks = spark.read.parquet(s"$base/codebooks")
+      val shape = codebooks
+        .agg(max(col("sub")).as("maxSub"), max(size(col("centroid"))).as("subDim"))
+        .head()
+      val centroids = spark.read.parquet(s"$base/ivf/centroids")
+      (codebooks, centroids, shape.getInt(0) + 1, shape.getInt(1))
+    }
+    val pinned =
+      if (maxErrorRatio > 0.0) None
+      else {
+        val (cb, c, m, sd) =
+          geometry(graft.ops.Similarity.resolveEpoch(spark, indexDir))
+        Some((cb.localCheckpoint(true), c.localCheckpoint(true), m, sd))
+      }
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -2038,31 +2110,60 @@ object StreamDemo {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val e = graft.ops.Similarity.withNorms(batch).localCheckpoint(true)
+        val e0 = graft.ops.Similarity.withNorms(batch).localCheckpoint(true)
+        // maintenance mode: replays straddling a rebuild must not
+        // re-admit vectors the compacted base already holds
+        val e =
+          if (maxErrorRatio <= 0.0) e0
+          else e0.join(
+            streamPqRead(spark, indexDir).ivf.vectors.select("vec_id"),
+            Seq("vec_id"), "left_anti").localCheckpoint(true)
         if (e.count() > 0) {
+          val base = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+          val (codebooks, centroids, m, subDim) =
+            pinned.getOrElse(geometry(base))
           val badDim = e.filter(size(col("v")) =!= m * subDim).count()
           require(badDim == 0,
             s"streamed batch $batchId carries $badDim wrong-dim vectors (index dim ${m * subDim})")
-          val assigned = graft.ops.Similarity.ivfAssign(centroids, batch)
+          // residual-built indexes must residual-encode streamed appends
+          // too (the pqAppend convention — codes decode into one space)
+          val residual = graft.ops.Similarity.pqResidualMeta(spark, base)
+          val assigned = graft.ops.Similarity
+            .ivfAssign(centroids,
+              e.select(col("vec_id"), col("label"), col("v").as("embedding")))
             .localCheckpoint(true)
           assigned.write.mode("overwrite").partitionBy("cell")
-            .parquet(s"$indexDir/appends/batch_id=$batchId/vectors")
-          graft.ops.Similarity.pqEncode(assigned, codebooks, m, subDim)
+            .parquet(s"$base/appends/batch_id=$batchId/vectors")
+          val toEncode =
+            if (!residual) assigned
+            else assigned.join(broadcast(centroids), Seq("cell"))
+              .select(col("vec_id"),
+                zip_with(col("v"), col("centroid"), (a, b) => a - b).as("v"))
+          graft.ops.Similarity.pqEncode(toEncode, codebooks, m, subDim)
             .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
             .write.mode("overwrite").partitionBy("cell")
-            .parquet(s"$indexDir/appends/batch_id=$batchId/codes")
+            .parquet(s"$base/appends/batch_id=$batchId/codes")
+          // codebook drift past the build-time baseline is the PQ drift
+          // signal: the SAME audit + committed-epoch rebuild rule batch
+          // pqMaintain runs, here over the assembled view (r16 VERDICT
+          // #7's streaming-maintenance symmetry extended to PQ)
+          if (maxErrorRatio > 0.0)
+            graft.ops.Similarity.pqRebuildIfDrifted(spark, indexDir,
+              streamPqRead(spark, indexDir), maxErrorRatio)
         }
         ()
       }
       .start()
   }
 
-  /** Assemble the streamed IVF-PQ index: base + complete two-sublayer
-    * deltas in both the vectors and codes tiers, pruning intact. */
+  /** Assemble the streamed IVF-PQ index: the CURRENT epoch's base +
+    * its complete two-sublayer deltas in both the vectors and codes
+    * tiers (epoch-resolved once — one snapshot), pruning intact. */
   def streamPqRead(spark: SparkSession,
       indexDir: String): graft.ops.Similarity.PqIndex = {
-    val base = graft.ops.Similarity.pqRead(spark, indexDir)
-    val deltas = completeDeltaDirs(spark, indexDir, Seq("vectors", "codes"))
+    val epochBase = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+    val base = graft.ops.Similarity.pqRead(spark, epochBase)
+    val deltas = completeDeltaDirs(spark, epochBase, Seq("vectors", "codes"))
     // project each delta to the base layer's exact columns: partition
     // discovery re-adds `cell`, which the base codes layer doesn't carry
     val vectors = deltas.map(p => spark.read

@@ -237,6 +237,184 @@ class StreamAnnSpec extends SparkTestBase with TimeLimitedTests {
       .filter(col("count") > 1).count() == 0)
   }
 
+  private def stageDf(src: java.nio.file.Path, n: Int,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"annm_tmp$n")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+  }
+
+  private def committedEpochs(dir: String): Seq[String] = {
+    val root = new java.io.File(s"$dir/_epochs")
+    if (!root.exists) Seq.empty
+    else root.listFiles.filter(d => new java.io.File(d, "_COMMITTED").exists)
+      .map(_.getName).toSeq.sorted
+  }
+
+  test("streamed IVF maintenance: occupancy drift triggers exactly one epoch rebuild; admission continues on the new epoch") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("annmi_src")
+    val dir = java.nio.file.Files.createTempDirectory("annmi_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("annmi_ckpt")
+    val emb = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding").orderBy("vec_id")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    Similarity.ivfWrite(Similarity.ivfBuild(base, nCells = 16), dir)
+    val baseN = Similarity.ivfRead(spark, dir).vectors.count()
+    def run(ratio: Double): Unit = {
+      val q = StreamDemo.streamIvfAppend(s2, src.toString, dir,
+        ckpt.toString, maxOccupancyRatio = ratio)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // calm: a distribution-matching batch lands as a delta, audit holds
+    val quiet = emb.filter(col("vec_id") % 10 === 0)
+    stageDf(src, 1, quiet)
+    run(ratio = 30.0)
+    assert(committedEpochs(dir).isEmpty, "calm admission must not rebuild")
+    val quietN = Similarity.withNorms(quiet).count()
+    assert(StreamDemo.streamIvfRead(spark, dir).vectors.count() == baseN + quietN)
+    // drift: a dominant one-region blob piles into few cells — the
+    // occupancy audit over the ASSEMBLED view (base + deltas) trips and
+    // compacts everything into ONE fresh epoch with re-derived cells
+    val blob = spark.range(1000).select(
+      (col("id") + 1000000L).as("vec_id"), lit(0).as("label"),
+      array((0 until 64).map(d =>
+        (lit(1.0f) + (pmod(col("id") + d, lit(13)).cast("float") / 1000.0f))): _*)
+        .cast("array<float>").as("embedding"))
+    stageDf(src, 2, blob)
+    run(ratio = 4.0)
+    assert(committedEpochs(dir).size == 1,
+      s"occupancy drift must trigger exactly one rebuild: ${committedEpochs(dir)}")
+    val rebuilt = StreamDemo.streamIvfRead(spark, dir)
+    assert(rebuilt.vectors.count() == baseN + quietN + 1000,
+      "compaction across the flip lost or duplicated vectors")
+    assert(rebuilt.vectors.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0)
+    val worst = rebuilt.vectors.groupBy("cell").count()
+      .agg(max("count") / avg("count")).head.getDouble(0)
+    info(s"post-rebuild worst occupancy ratio = $worst")
+    assert(worst <= 4.0, s"rebuild did not flatten occupancy: $worst")
+    // re-admission idempotence: a batch of ALREADY-ADMITTED ids is
+    // filtered to nothing (the replay-across-rebuild guard) — no delta,
+    // no growth, no re-trip
+    stageDf(src, 3, emb.filter(col("vec_id") % 10 === 1).limit(3))
+    run(ratio = 4.0)
+    assert(committedEpochs(dir).size == 1,
+      "post-rebuild calm admission must not re-trip")
+    assert(StreamDemo.streamIvfRead(spark, dir).vectors.count() ==
+      baseN + quietN + 1000, "re-admitted ids must not duplicate")
+    // admission continues: FRESH ids land as a delta INSIDE the epoch
+    stageDf(src, 4, emb.filter(col("vec_id") % 10 === 1).limit(3)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("label"),
+        col("embedding")))
+    run(ratio = 4.0)
+    assert(committedEpochs(dir).size == 1)
+    assert(StreamDemo.streamIvfRead(spark, dir).vectors.count() ==
+      baseN + quietN + 1003)
+  }
+
+  test("streamed LSH maintenance: bitsFor stepping past standing bits triggers exactly one epoch rebuild at re-derived bits") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("annml_src")
+    val dir = java.nio.file.Files.createTempDirectory("annml_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("annml_ckpt")
+    val emb = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding").orderBy("vec_id")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    Similarity.lshWrite(Similarity.lshBuild(base), dir)
+    val bits0 = Similarity.lshRead(spark, dir).bits
+    def run(occ: Int): Unit = {
+      val q = StreamDemo.streamLshAppend(s2, src.toString, dir,
+        ckpt.toString, maintainTargetOccupancy = occ)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // calm: same bitsFor step — delta only, geometry unchanged
+    stageDf(src, 1, emb.filter(col("vec_id") % 10 === 0))
+    run(occ = 64)
+    assert(committedEpochs(dir).isEmpty, "calm admission must not rebuild")
+    assert(StreamDemo.streamLshRead(spark, dir).bits == bits0)
+    // growth: ~17x fresh hash-uniform vectors step bitsFor up — one epoch,
+    // re-derived bits, every vector re-bucketed into the new space
+    val grown = spark.range(30000).select(
+      (col("id") + 2000000L).as("vec_id"), lit(0).as("label"),
+      array((0 until 64).map(d =>
+        (pmod(xxhash64(col("id"), lit(d)), lit(2001)).cast("float") / 1000.0f - 1.0f)): _*)
+        .cast("array<float>").as("embedding"))
+    stageDf(src, 2, grown)
+    run(occ = 64)
+    assert(committedEpochs(dir).size == 1,
+      s"growth must trigger exactly one rebuild: ${committedEpochs(dir)}")
+    val after = StreamDemo.streamLshRead(spark, dir)
+    assert(after.bits > bits0, s"bits did not re-derive: ${after.bits} vs $bits0")
+    assert(after.vectors.count() == Similarity.withNorms(emb).count() + 30000)
+    assert(after.buckets.count() == after.vectors.count() * after.tables)
+    assert(!Similarity.lshStats(spark, dir).head()
+      .getAs[Boolean]("rebuild_recommended"))
+    // admission continues inside the new epoch with fresh ids, no re-trip
+    stageDf(src, 3, emb.filter(col("vec_id") % 10 === 1).limit(3)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("label"),
+        col("embedding")))
+    run(occ = 64)
+    assert(committedEpochs(dir).size == 1)
+    assert(StreamDemo.streamLshRead(spark, dir).vectors.count() ==
+      Similarity.withNorms(emb).count() + 30003)
+  }
+
+  test("streamed PQ maintenance: ADC drift vs the build baseline triggers exactly one epoch codebook rebuild") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("annmp_src")
+    val dir = java.nio.file.Files.createTempDirectory("annmp_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("annmp_ckpt")
+    val emb = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding").orderBy("vec_id")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    Similarity.pqWrite(Similarity.pqBuild(base, nCells = 16), dir)
+    def run(ratio: Double): Unit = {
+      val q = StreamDemo.streamPqAppend(s2, src.toString, dir,
+        ckpt.toString, maxErrorRatio = ratio)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // calm: standing codebooks encode the batch, audit holds, no epoch
+    stageDf(src, 1, emb.filter(col("vec_id") % 10 === 0))
+    run(ratio = 4.0)
+    assert(committedEpochs(dir).isEmpty, "calm admission must not rebuild")
+    assert(StreamDemo.streamPqRead(spark, dir).codes.count() ==
+      Similarity.withNorms(emb).count())
+    // drift: an off-support blob the build-time codebooks cannot explain —
+    // the per-sub MSE audit over the assembled view trips; ONE epoch,
+    // refit codebooks, restored fit
+    val blob = spark.range(200).select(
+      (col("id") + 1000000L).as("vec_id"), lit(0).as("label"),
+      array((0 until 64).map(d =>
+        (lit(10.0f) + pmod(xxhash64(col("id"), lit(d)), lit(500)).cast("float")
+          / 1000.0f)): _*).cast("array<float>").as("embedding"))
+    stageDf(src, 2, blob)
+    run(ratio = 4.0)
+    assert(committedEpochs(dir).size == 1,
+      s"ADC drift must trigger exactly one rebuild: ${committedEpochs(dir)}")
+    val rebuilt = StreamDemo.streamPqRead(spark, dir)
+    assert(rebuilt.codes.count() == Similarity.withNorms(emb).count() + 200,
+      "compaction across the flip lost or duplicated codes")
+    val postWorst = Similarity.pqStats(spark, dir)
+      .agg(max("err_ratio")).head.getDouble(0)
+    info(s"post-rebuild worst err_ratio = $postWorst")
+    assert(postWorst < 2.0, s"rebuild did not restore ADC fit: $postWorst")
+    // admission continues inside the new epoch with fresh ids, no re-trip
+    stageDf(src, 3, emb.filter(col("vec_id") % 10 === 1).limit(2)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("label"),
+        col("embedding")))
+    run(ratio = 4.0)
+    assert(committedEpochs(dir).size == 1)
+    val fin = StreamDemo.streamPqRead(spark, dir)
+    assert(fin.codes.count() == Similarity.withNorms(emb).count() + 202)
+    assert(fin.codes.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("streamed graph maintenance: planted degree drift triggers exactly one epoch rebuild; admission continues; equals the batch nnMaintain twin") {
     val s2 = spark.newSession()
     val src = java.nio.file.Files.createTempDirectory("anngm_src")
