@@ -213,8 +213,14 @@ object SparkEntry {
       // executor can read: a real deployment sets `spark.graft.serving.dir`
       // to a shared filesystem; the local default keeps verify/bench
       // sessions from littering their (read-only) cwd or corpus dir.
+      // the DEFAULT root is user-scoped (r17 ADVICE): a fixed path under
+      // the shared world-writable tmpdir is clobberable across concurrent
+      // sessions for the same corpus key and pre-creatable (squattable) by
+      // another local user — suffixing the user name keeps the default
+      // deterministic per user while isolating users from each other
       val root = s.conf.get("spark.graft.serving.dir",
-        new java.io.File(sys.props("java.io.tmpdir"), "graft_serving").toString)
+        new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_serving_${sys.props.getOrElse("user.name", "anon")}").toString)
       val tbl = Similarity.publishServingEdges(nnGraph(s, d),
         s"graph_edges_srv_$key", Some(s"$root/graph_edges_srv_$key"))
       ops.Pipeline.record(s, d, "nn_serving_publish",

@@ -1019,7 +1019,8 @@ object Similarity {
     // the memoized corpus size/dim pick the scoring shape ([[fusedShape]]) —
     // one count per INDEX, not per call (r16 VERDICT #5)
     ivfScore(index.vectors, q, ivfProbes(index, q, resolveProbes(index, nProbe)),
-      k, fusedShape(index.corpusRows, index.dim, index.vectors.sparkSession))
+      k, fusedShape(index.corpusRows, vecRowBytes(index.dim),
+        index.vectors.sparkSession))
   }
 
   /** `nProbe = 0` → √cells ([[probesFor]]); the centroid table is
@@ -1047,22 +1048,29 @@ object Similarity {
   /** Decide between the two candidate-scoring shapes ([[ivfScore]],
     * [[pqQuery]]) by CORPUS BYTES, not rows (r16 VERDICT #3): the
     * broadcast-attach shape is only optimal while the corpus side
-    * (vectors / codes) genuinely broadcasts, and that is a byte question —
-    * `rows × dim × 8` (the double payload) against the session's
-    * `spark.sql.autoBroadcastJoinThreshold`. The old 16 k-row constant was
-    * calibrated to dim 64 (~8.5 MB); at dim 512 it would have tried to
-    * broadcast ~66 MB and fallen off the exact cliff the dual exists to
-    * avoid. The cut sits at 80 % of the configured threshold because
-    * Spark's own size ESTIMATE carries per-row overhead beyond the raw
-    * doubles — at the 10 MB default and dim 64 that lands at 16,384 rows,
-    * the measured r16 boundary (attach optimal at the 2 k bench grain:
-    * fusing cost pqgrid 2.2 → 5.6 s warm; fused mandatory at the 20 k
-    * anchor grain: ivfgrid 49 → 2.4 s, pqgrid 17.7 → 5.5 s). A disabled
-    * threshold (-1/0) means nothing broadcasts → always fused. Both shapes
-    * produce bit-identical results (same pairs, same q6 arithmetic; the
-    * grid oracles pass under either — SimilaritySpec pins equality on a
+    * genuinely broadcasts, and that is a byte question —
+    * `rows × rowBytes` against the session's
+    * `spark.sql.autoBroadcastJoinThreshold`. `rowBytes` is the PAYLOAD
+    * WIDTH OF WHAT THE CALL SITE ACTUALLY ATTACHES (r17 ADVICE): the IVF
+    * dual broadcasts full-precision vectors (`dim × 8` doubles); the PQ
+    * dual broadcasts the codes frame (m ints + the rnorm double,
+    * `m × 4 + 8` — ~30× narrower at the 64-dim/m=8 defaults), so sizing
+    * PQ by vector bytes would flip to fused far below the real cliff and
+    * give up the measured attach-shape win (2.2 s vs 5.6 s at the 2 k
+    * grain). The old 16 k-row constant was calibrated to dim 64
+    * (~8.5 MB); at dim 512 it would have tried to broadcast ~66 MB and
+    * fallen off the exact cliff the dual exists to avoid. The cut sits at
+    * 80 % of the configured threshold because Spark's own size ESTIMATE
+    * carries per-row overhead beyond the raw payload — at the 10 MB
+    * default and dim 64 vectors that lands at 16,384 rows, the measured
+    * r16 boundary (attach optimal at the 2 k bench grain: fusing cost
+    * pqgrid 2.2 → 5.6 s warm; fused mandatory at the 20 k anchor grain:
+    * ivfgrid 49 → 2.4 s, pqgrid 17.7 → 5.5 s). A disabled threshold
+    * (-1/0) means nothing broadcasts → always fused. Both shapes produce
+    * bit-identical results (same pairs, same q6 arithmetic; the grid
+    * oracles pass under either — SimilaritySpec pins equality on a
     * planted non-64-dim corpus). */
-  private[graft] def fusedShape(corpusRows: Long, dim: Int,
+  private[graft] def fusedShape(corpusRows: Long, rowBytes: Long,
       spark: org.apache.spark.sql.SparkSession): Boolean = {
     // the same size grammar Spark's own conf reader uses, including the
     // "-1 disables broadcast" convention (a bare leading minus negates)
@@ -1072,8 +1080,13 @@ object Similarity {
       if (raw.startsWith("-"))
         -org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.substring(1))
       else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-    thr <= 0L || corpusRows * dim.toLong * 8L > thr * 4L / 5L
+    thr <= 0L || corpusRows * rowBytes > thr * 4L / 5L
   }
+
+  /** The per-row broadcast payloads the two duals attach: full-precision
+    * vectors for IVF, the (codes, rnorm) frame for PQ. */
+  private[graft] def vecRowBytes(dim: Int): Long = dim.toLong * 8L
+  private[graft] def pqRowBytes(m: Int): Long = m.toLong * 4L + 8L
 
   private def ivfScore(vectors: DataFrame, q: DataFrame, probes: DataFrame,
       k: Int, fused: Boolean): DataFrame = {
@@ -1315,7 +1328,8 @@ object Similarity {
     val codebooks = (for { j <- 0 until m; c <- 0 until codebookSize }
       yield (j, c, (0 until subDim).map(d => pqGridCentroidVal(j, c, d))))
       .toDF("sub", "code", "centroid")
-    PqIndex(ivf, codebooks, pqEncode(ivf.vectors, codebooks, m, subDim), m, subDim)
+    PqIndex(ivf, codebooks, pqEncode(ivf.vectors, codebooks, m, subDim), m,
+      subDim, requestedKs = codebookSize)
   }
 
   /** Self-join IVF-PQ ANN through the md5-grid index — [[pqQuery]]'s own
@@ -1507,6 +1521,48 @@ object Similarity {
         sublayers.forall(s =>
           hfs.exists(new org.apache.hadoop.fs.Path(p, s"$s/_SUCCESS"))))
       .map(_.toString)
+  }
+
+  /** Lazily-built per-epoch bloom over the BASE layer's vec_ids — the
+    * membership sketch behind the streaming maintenance re-admission
+    * prefilter (r17 VERDICT #4). An epoch's base id set is immutable by
+    * construction (appends land as deltas, rebuilds make a NEW epoch), so
+    * the bloom is built ONCE per epoch — one projected id scan — and
+    * cached as an `idbloom` sublayer inside the epoch dir (`_SUCCESS`-
+    * gated; a crashed half-write is rebuilt, an epoch GC takes it along).
+    * Build and probe hash identically (`xxhash64(vec_id)` — the
+    * [[graft.ops.Text.dedupIncrementalBloom]] rule), so the bloom has
+    * zero false negatives: `might_contain == false` PROVES the id is not
+    * in the base. Sizing is the exact base count at `bitsPerKey` bits per
+    * id (~1 % fp at the default 10); Spark clamps the bit budget to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` — raise it when
+    * an epoch's base outgrows the 8 MB default. Returns None for an empty
+    * base (nothing can be known). */
+  private[graft] def epochIdBloom(spark: org.apache.spark.sql.SparkSession,
+      epochBase: String, baseIds: => DataFrame,
+      bitsPerKey: Int = 10): Option[Array[Byte]] = {
+    import graft.functions.SketchAggs
+    val dir = s"$epochBase/idbloom"
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    if (hadoopFs(spark, marker).exists(marker))
+      Option(spark.read.parquet(dir).head().getAs[Array[Byte]]("bf"))
+    else {
+      val ids = baseIds.select("vec_id")
+      val est = ids.count()
+      if (est == 0L) None
+      else {
+        val bf = Option(ids
+          .select(SketchAggs.bloomAgg(xxhash64(col("vec_id")), est,
+            est * bitsPerKey.toLong).as("bf"))
+          .head().getAs[Array[Byte]]("bf"))
+        bf.foreach { bytes =>
+          import spark.implicits._
+          Seq(Tuple2(bytes, est)).toDF("bf", "est")
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        bf
+      }
+    }
   }
 
   /** Reload a persisted graph index: the base layers plus every COMPLETE
@@ -2353,7 +2409,8 @@ object Similarity {
     // on the disk layout this path serves it is a partition-pruned footer
     // count over only the probed cells' files, metadata-scale
     ivfScore(pruned, q, probes, k,
-      fusedShape(pruned.count(), index.dim, index.vectors.sparkSession))
+      fusedShape(pruned.count(), vecRowBytes(index.dim),
+        index.vectors.sparkSession))
   }
 
   /** md5-derived hyperplane component — the oracle-mirrorable plane source
@@ -3041,7 +3098,13 @@ object Similarity {
     * is what lets a billion-vector index live in memory while the
     * full-precision vectors stay on disk for the rerank tier only. */
   case class PqIndex(ivf: IvfIndex, codebooks: DataFrame, codes: DataFrame,
-      m: Int, subDim: Int, residual: Boolean = false)
+      m: Int, subDim: Int, residual: Boolean = false,
+      // the caller's REQUESTED per-sub codebook budget (pre-clamp):
+      // pqBuild's ks = min(codebookSize, sample/4) only clamps DOWNWARD,
+      // so maintenance rebuilds must carry the original request — a
+      // rebuild capped at the standing index's effective ks would freeze
+      // a small-corpus clamp forever as the corpus grows
+      requestedKs: Int = 256)
 
   /** The residual frame under an IVF coarse quantizer: each vector minus
     * its cell centroid — what IVFADC (Jégou et al. 2011 §III.C) actually
@@ -3106,7 +3169,7 @@ object Similarity {
       lloyd(pts, ks, seed = 42 + j).zipWithIndex.map { case (c, i) => (j, i, c) }
     }.toDF("sub", "code", "centroid")
     PqIndex(ivf, codebooks, pqEncode(encodeSrc, codebooks, m, subDim), m,
-      subDim, residual)
+      subDim, residual, requestedKs = codebookSize)
   }
 
   /** Distributed PQ encoding against a FIXED codebook table — the shared
@@ -3332,7 +3395,7 @@ object Similarity {
     // doubles per pair exist only inside codegen).
     val probes = ivfProbes(index.ivf, q, resolveProbes(index.ivf, nProbe))
     val paired =
-      if (!fusedShape(index.ivf.corpusRows, index.ivf.dim,
+      if (!fusedShape(index.ivf.corpusRows, pqRowBytes(index.m),
           index.ivf.vectors.sparkSession)) {
         probes
           .join(index.ivf.vectors
@@ -3424,10 +3487,14 @@ object Similarity {
     Sinks.overwriteLayer(index.codebooks, s"$dir/codebooks")
     // the 1-row meta layer pins the encode convention (raw vs residual) —
     // appenders and readers MUST agree with the build, or codes decode
-    // into the wrong vector space
+    // into the wrong vector space — and the REQUESTED codebook budget, so
+    // a maintenance rebuild on a grown corpus can relax a small-corpus
+    // clamp back up toward the original request
     val spark = index.codebooks.sparkSession
     import spark.implicits._
-    Sinks.overwriteLayer(Seq(index.residual).toDF("residual"), s"$dir/meta")
+    Sinks.overwriteLayer(
+      Seq((index.residual, index.requestedKs)).toDF("residual", "codebook_size"),
+      s"$dir/meta")
     // the m-row BUILD-TIME drift baseline (r16 VERDICT #1): per-sub mean
     // quantization error + code utilization at write time, the reference
     // point [[pqStats]] reads its err_ratio against. Computed over the
@@ -3457,7 +3524,8 @@ object Similarity {
       spark.read.schema(codesSchema).parquet(s"$dir/codes")
         .select("vec_id", "codes"),
       shape.getInt(0) + 1, shape.getInt(1),
-      pqResidualMeta(spark, dir))
+      pqResidualMeta(spark, dir),
+      requestedKs = pqRequestedKsMeta(spark, dir))
   }
 
   /** The persisted encode convention: read the 1-row meta layer; indexes
@@ -3468,6 +3536,21 @@ object Similarity {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     if (!hadoopFs(spark, metaPath).exists(metaPath)) false
     else spark.read.parquet(s"$dir/meta").head().getBoolean(0)
+  }
+
+  /** The persisted REQUESTED codebook budget: meta layers written before
+    * the column existed (or missing entirely) fall back to the standard
+    * 256 — strictly better for a legacy index than freezing its
+    * effective (possibly small-corpus-clamped) ks through rebuilds. */
+  private[graft] def pqRequestedKsMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    if (!hadoopFs(spark, metaPath).exists(metaPath)) 256
+    else {
+      val meta = spark.read.parquet(s"$dir/meta")
+      if (!meta.columns.contains("codebook_size")) 256
+      else meta.select("codebook_size").head().getInt(0)
+    }
   }
 
   /** Per-sub-quantizer fit audit over an in-memory index — the m-row frame
@@ -3583,10 +3666,12 @@ object Similarity {
     val worst = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
     if (worst <= maxErrorRatio) false
     else {
-      // the effective sub-codebook budget the standing index ran with
-      // (build-time clamping already applied); pqBuild re-clamps against
-      // the GROWN corpus sample, so a small-corpus clamp relaxes upward
-      val ks = idx.codebooks.agg(max("code")).head.getInt(0) + 1
+      // rebuild with the ORIGINALLY REQUESTED budget (meta layer), not the
+      // standing index's effective ks: the effective value is already
+      // clamped and pqBuild's min(cap, sample/4) can only clamp downward,
+      // so capping at it would freeze a small-corpus clamp through every
+      // rebuild; with the request as cap, a grown corpus relaxes upward
+      val ks = idx.requestedKs
       // rebuild trains on the view's full-precision layer itself — the
       // index (plus its streamed deltas) is self-contained; pinned before
       // the epoch writes so the new epoch never reads directories it is

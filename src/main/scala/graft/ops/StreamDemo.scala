@@ -1826,10 +1826,9 @@ object StreamDemo {
     val pinned =
       if (maxOccupancyRatio > 0.0) None
       else {
-        val c = spark.read.parquet(
-          s"${graft.ops.Similarity.resolveEpoch(spark, indexDir)}/centroids")
-          .localCheckpoint(true)
-        Some((c, c.agg(max(size(col("centroid")))).head.getInt(0)))
+        val pe = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+        val c = spark.read.parquet(s"$pe/centroids").localCheckpoint(true)
+        Some((c, c.agg(max(size(col("centroid")))).head.getInt(0), pe))
       }
     spark.readStream
       .schema(schema)
@@ -1842,16 +1841,32 @@ object StreamDemo {
         // maintenance mode: a mid-stream rebuild collapses earlier deltas
         // into a fresh epoch's base, so a replay straddling the flip would
         // re-insert vectors the rebuilt base already holds — filter to
-        // genuinely-new ids (the streamNnInsert rule)
+        // genuinely-new ids (the streamNnInsert rule), bloom-prefiltered
+        // so the per-batch scan is bounded by the DELTA ids, not the base
         val b =
           if (maxOccupancyRatio <= 0.0) b0
-          else b0.join(streamIvfRead(spark, indexDir).vectors.select("vec_id"),
-            Seq("vec_id"), "left_anti").localCheckpoint(true)
+          else {
+            val eb = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+            readmitNewIds(spark, b0, eb,
+              graft.ops.Similarity.ivfRead(spark, eb).vectors,
+              deltaSublayers = Seq.empty).localCheckpoint(true)
+          }
         if (b.count() > 0) { // empty batch: no-op, not an error
           val base = graft.ops.Similarity.resolveEpoch(spark, indexDir)
-          val (centroids, dim) = pinned.getOrElse {
-            val c = spark.read.parquet(s"$base/centroids")
-            (c, c.agg(max(size(col("centroid")))).head.getInt(0))
+          val (centroids, dim) = pinned match {
+            case Some((c, d, pinnedEpoch)) =>
+              // pinned-geometry streams must FAIL, not corrupt, if an
+              // external batch maintain flipped the epoch mid-stream:
+              // stale-cell deltas landing inside the NEW epoch would be
+              // assembled as silent corruption (r17 ADVICE)
+              require(base == pinnedEpoch,
+                s"index epoch flipped mid-stream ($pinnedEpoch -> $base) " +
+                  "under pinned geometry; restart the stream (or run it in " +
+                  "maintenance mode) so assignment re-reads the new centroids")
+              (c, d)
+            case None =>
+              val c = spark.read.parquet(s"$base/centroids")
+              (c, c.agg(max(size(col("centroid")))).head.getInt(0))
           }
           // the assignment dot product folds over min(lengths), so a
           // wrong-dim batch would otherwise be silently assigned over a
@@ -1921,8 +1936,10 @@ object StreamDemo {
     // into a bucket space the rebuilt index no longer uses
     val pinnedMeta =
       if (maintainTargetOccupancy > 0) None
-      else Some(spark.read.parquet(
-        s"${graft.ops.Similarity.resolveEpoch(spark, indexDir)}/meta").head())
+      else {
+        val pe = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+        Some((spark.read.parquet(s"$pe/meta").head(), pe))
+      }
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -1933,16 +1950,30 @@ object StreamDemo {
         val e0 = graft.ops.Similarity.withNorms(batch).localCheckpoint(true)
         // maintenance mode: replays straddling a rebuild must not
         // re-admit vectors the compacted base already holds (the
-        // streamNnInsert rule)
+        // streamNnInsert rule), bloom-prefiltered so the per-batch scan
+        // is bounded by the DELTA ids, not the base
         val e =
           if (maintainTargetOccupancy <= 0) e0
-          else e0.join(streamLshRead(spark, indexDir).vectors.select("vec_id"),
-            Seq("vec_id"), "left_anti").localCheckpoint(true)
+          else {
+            val eb = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+            readmitNewIds(spark, e0, eb,
+              graft.ops.Similarity.lshRead(spark, eb).vectors,
+              deltaSublayers = Seq("buckets", "vectors")).localCheckpoint(true)
+          }
         val n = e.count()
         if (n > 0) {
           val base = graft.ops.Similarity.resolveEpoch(spark, indexDir)
-          val meta = pinnedMeta.getOrElse(
-            spark.read.parquet(s"$base/meta").head())
+          val meta = pinnedMeta match {
+            case Some((m, pinnedEpoch)) =>
+              // the pinned-geometry epoch guard (r17 ADVICE): bucketing at
+              // dead bits into a NEWER epoch is silent corruption — fail
+              require(base == pinnedEpoch,
+                s"index epoch flipped mid-stream ($pinnedEpoch -> $base) " +
+                  "under pinned geometry; restart the stream (or run it in " +
+                  "maintenance mode) so bucketing re-reads the new meta")
+              m
+            case None => spark.read.parquet(s"$base/meta").head()
+          }
           val (tables, bits, dim) = (meta.getAs[Int]("tables"),
             meta.getAs[Int]("bits"), meta.getAs[Int]("dim"))
           val badDim = e.filter(size(col("v")) =!= dim).count()
@@ -1982,6 +2013,67 @@ object StreamDemo {
   private def completeDeltaDirs(spark: SparkSession, indexDir: String,
       sublayers: Seq[String]): Seq[String] =
     graft.ops.Similarity.completeDeltaDirs(spark, indexDir, sublayers)
+
+  /** The current epoch's COMPLETE delta vec_ids — the SMALL side of the
+    * re-admission test (bounded by what streamed since the last rebuild,
+    * never the base corpus). `sublayers` empty means the single-layer IVF
+    * delta shape (the batch dir IS the vectors layer, `_SUCCESS` at the
+    * dir itself); otherwise the multi-sublayer shape with ids under
+    * `<delta>/vectors`. The declared one-column schema prunes the read to
+    * the id column. */
+  private def deltaVecIds(spark: SparkSession, epochBase: String,
+      sublayers: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idSchema = StructType(Seq(StructField("vec_id", LongType)))
+    val paths =
+      if (sublayers.isEmpty)
+        ReportStore.completeIds(spark, epochBase, "appends", "batch_id=")
+          .map(_._2.toString)
+      else completeDeltaDirs(spark, epochBase, sublayers).map(p => s"$p/vectors")
+    // partition discovery APPENDS the partition column (e.g. `cell`) even
+    // under a declared schema — project it back off before the union
+    paths.map(p => spark.read.schema(idSchema).parquet(p).select("vec_id"))
+      .foldLeft(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), idSchema))(
+        _ unionByName _)
+  }
+
+  /** Bloom-prefiltered re-admission (r17 VERDICT #4) — filter a
+    * maintenance-mode micro-batch to genuinely-new vec_ids WITHOUT
+    * scanning the full standing id projection per batch. The naive
+    * `batch LEFT ANTI standing` re-reads the whole base id column every
+    * micro-batch — at a 100 TB standing corpus that is a billions-row
+    * scan per trigger. Instead (the [[graft.ops.Text.dedupIncrementalBloom]]
+    * shape): the epoch base collapses ONCE per epoch to a bloom
+    * ([[graft.ops.Similarity.epochIdBloom]], cached as an epoch
+    * sublayer); per batch the bloom rides the batch scan as a
+    * `might_contain` literal (scan-local, codegen, no join). Ids the
+    * bloom rejects are PROVABLY not in the base (same-hash build/probe ⇒
+    * zero false negatives), so they only need the exact anti-join against
+    * the CURRENT EPOCH'S DELTA ids — bounded by rebuild cadence, not
+    * corpus size. Only might-contain survivors (true replays + the ~1 %
+    * fp fraction) pay the exact base anti-join, and a batch with none —
+    * the steady-state crawl — skips that scan entirely. Output is
+    * BIT-IDENTICAL to `batch LEFT ANTI (base ∪ deltas)`: the bloom/fresh
+    * split partitions the batch, each leg gets an exact test over its
+    * sufficient id set (StreamAnnSpec's maintenance laws hold unchanged). */
+  private[graft] def readmitNewIds(spark: SparkSession, b0: DataFrame,
+      epochBase: String, baseIds: => DataFrame,
+      deltaSublayers: Seq[String]): DataFrame = {
+    import graft.functions.SketchAggs
+    val d = deltaVecIds(spark, epochBase, deltaSublayers).localCheckpoint(true)
+    graft.ops.Similarity.epochIdBloom(spark, epochBase, baseIds) match {
+      case None => b0.join(d, Seq("vec_id"), "left_anti") // empty base
+      case Some(bloom) =>
+        val probe = SketchAggs.mightContain(bloom, xxhash64(col("vec_id")))
+        val fresh = b0.where(!probe).join(d, Seq("vec_id"), "left_anti")
+        val maybe = b0.where(probe).localCheckpoint(true)
+        if (maybe.isEmpty) fresh
+        else fresh.unionByName(
+          maybe.join(baseIds.select("vec_id").unionByName(d),
+            Seq("vec_id"), "left_anti"))
+    }
+  }
 
   /** Assemble the streamed LSH index: the CURRENT epoch's base + its
     * complete two-sublayer deltas (buckets written first, vectors last;
@@ -2099,9 +2191,9 @@ object StreamDemo {
     val pinned =
       if (maxErrorRatio > 0.0) None
       else {
-        val (cb, c, m, sd) =
-          geometry(graft.ops.Similarity.resolveEpoch(spark, indexDir))
-        Some((cb.localCheckpoint(true), c.localCheckpoint(true), m, sd))
+        val pe = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+        val (cb, c, m, sd) = geometry(pe)
+        Some((cb.localCheckpoint(true), c.localCheckpoint(true), m, sd, pe))
       }
     spark.readStream
       .schema(schema)
@@ -2112,16 +2204,31 @@ object StreamDemo {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val e0 = graft.ops.Similarity.withNorms(batch).localCheckpoint(true)
         // maintenance mode: replays straddling a rebuild must not
-        // re-admit vectors the compacted base already holds
+        // re-admit vectors the compacted base already holds —
+        // bloom-prefiltered so the per-batch scan is bounded by the
+        // DELTA ids, not the base
         val e =
           if (maxErrorRatio <= 0.0) e0
-          else e0.join(
-            streamPqRead(spark, indexDir).ivf.vectors.select("vec_id"),
-            Seq("vec_id"), "left_anti").localCheckpoint(true)
+          else {
+            val eb = graft.ops.Similarity.resolveEpoch(spark, indexDir)
+            readmitNewIds(spark, e0, eb,
+              graft.ops.Similarity.ivfRead(spark, s"$eb/ivf").vectors,
+              deltaSublayers = Seq("vectors", "codes")).localCheckpoint(true)
+          }
         if (e.count() > 0) {
           val base = graft.ops.Similarity.resolveEpoch(spark, indexDir)
-          val (codebooks, centroids, m, subDim) =
-            pinned.getOrElse(geometry(base))
+          val (codebooks, centroids, m, subDim) = pinned match {
+            case Some((cb, c, pm, sd, pinnedEpoch)) =>
+              // the pinned-geometry epoch guard (r17 ADVICE): encoding
+              // against dead codebooks into a NEWER epoch decodes into the
+              // wrong vector space — fail the stream loudly instead
+              require(base == pinnedEpoch,
+                s"index epoch flipped mid-stream ($pinnedEpoch -> $base) " +
+                  "under pinned geometry; restart the stream (or run it in " +
+                  "maintenance mode) so encoding re-reads the new codebooks")
+              (cb, c, pm, sd)
+            case None => geometry(base)
+          }
           val badDim = e.filter(size(col("v")) =!= m * subDim).count()
           require(badDim == 0,
             s"streamed batch $batchId carries $badDim wrong-dim vectors (index dim ${m * subDim})")
@@ -2217,19 +2324,7 @@ object StreamDemo {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b0 = batch.localCheckpoint(true)
-        // maintenance mode (r16 VERDICT #7): a mid-stream rebuild collapses
-        // earlier deltas into a fresh epoch's base, so a replayed
-        // pre-rebuild batch would find its delta gate gone and re-insert
-        // vectors the rebuilt base already holds. The admission stream is
-        // keyed by vec_id — filter to genuinely-new ids against the
-        // standing view (one id-column scan per batch, only in
-        // maintenance mode) so re-admission is idempotent across epochs.
-        val b =
-          if (maxDegreeRatio <= 0.0) b0
-          else b0.join(
-            streamNnRead(spark, indexDir).vectors.select("vec_id"),
-            Seq("vec_id"), "left_anti").localCheckpoint(true)
-        if (b.count() > 0) {
+        if (b0.count() > 0) {
           // deltas land inside the CURRENT epoch (the pqAppend/ivfAppend
           // rule) — after a maintenance rebuild flips the epoch, a delta
           // written at the legacy root would be invisible to readers
@@ -2247,7 +2342,26 @@ object StreamDemo {
           val gate = new org.apache.hadoop.fs.Path(s"$deltaDir/edges/_SUCCESS")
           val replayOfComplete = gate
             .getFileSystem(spark.sessionState.newHadoopConf()).exists(gate)
-          if (!replayOfComplete) {
+          // maintenance mode (r16 VERDICT #7): a mid-stream rebuild
+          // collapses earlier deltas into a fresh epoch's base, so a
+          // replayed pre-rebuild batch would find its delta gate gone and
+          // re-insert vectors the rebuilt base already holds. The
+          // admission stream is keyed by vec_id — filter to genuinely-new
+          // ids (bloom-prefiltered: the per-batch scan is bounded by the
+          // epoch's DELTA ids, not the base corpus). The filter gates ONLY
+          // the insert leg (r17 ADVICE): the drift audit and the scores
+          // refresh below run off the RAW batch, so a replay the filter
+          // empties still lands its scores/v=batchId version.
+          val b =
+            if (maxDegreeRatio <= 0.0) b0
+            else {
+              import org.apache.spark.sql.types._
+              val idSchema = StructType(Seq(StructField("vec_id", LongType)))
+              readmitNewIds(spark, b0, epochDir,
+                spark.read.schema(idSchema).parquet(s"$epochDir/vectors"),
+                deltaSublayers = Seq("vectors", "edges")).localCheckpoint(true)
+            }
+          if (!replayOfComplete && b.count() > 0) {
             // the standing view INCLUDING committed deltas — sequential
             // semantics (batch N+1 can link to batch N's vectors)
             val idx = streamNnRead(spark, indexDir)
@@ -2262,7 +2376,9 @@ object StreamDemo {
           // wired into the admission stream — reverse-edge pileup past
           // maxDegreeRatio×graphK re-runs NN-descent over the stored
           // vector layer into a fresh epoch; mid-stream readers flip at
-          // the marker and only ever see whole epochs
+          // the marker and only ever see whole epochs. Runs off the RAW
+          // batch gate (not the re-admission filter), so a replayed batch
+          // still audits the standing graph.
           if (maxDegreeRatio > 0.0)
             graft.ops.Similarity.nnRebuildIfDrifted(spark, indexDir,
               maxDegreeRatio)

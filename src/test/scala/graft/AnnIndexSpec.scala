@@ -510,4 +510,43 @@ class AnnIndexSpec extends SparkTestBase {
     fs.delete(new org.apache.hadoop.fs.Path(s"$legacyDir/meta"), true)
     assert(!Similarity.pqRead(spark, legacyDir).residual)
   }
+
+  test("pq rebuild relaxes a small-corpus codebook clamp toward the persisted ORIGINAL request (r17 ADVICE)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqk").toString
+    // a tiny corpus clamps the standard 256 request to sample/4 — the
+    // degraded budget must NOT survive rebuilds as the corpus grows
+    val tiny = emb.filter(col("vec_id") < 40).localCheckpoint(true)
+    val nTiny = tiny.count()
+    Similarity.pqWrite(Similarity.pqBuild(tiny, nCells = 4), dir)
+    val ks0 = spark.read.parquet(s"$dir/codebooks")
+      .agg(max("code")).head.getInt(0) + 1
+    assert(ks0 <= nTiny / 4 && ks0 < 256,
+      s"small-corpus build must clamp the budget: effective ks $ks0")
+    // the meta layer persists the REQUEST (256), not the clamp, and the
+    // round-trip carries it onto the index value
+    assert(Similarity.pqRequestedKsMeta(spark, dir) == 256)
+    assert(Similarity.pqRead(spark, dir).requestedKs == 256)
+    // grow the corpus far off the trained support (trips the ADC audit —
+    // the pqMaintain drift law's blob) and maintain: the rebuild refits
+    // at min(256, grownSample/4) = 256, NOT at the inherited clamp
+    val blob = spark.range(2000).select(
+      (col("id") + 1000000L).as("vec_id"), lit(0).as("label"),
+      array((0 until 64).map(d =>
+        (lit(10.0f) + pmod(xxhash64(col("id"), lit(d)), lit(500)).cast("float")
+          / 1000.0f)): _*).as("embedding"))
+    assert(Similarity.pqMaintain(spark, dir, blob, maxErrorRatio = 4.0),
+      "off-support growth must trip the drift audit")
+    val rebuilt = Similarity.pqRead(spark, dir)
+    val ks1 = rebuilt.codebooks.agg(max("code")).head.getInt(0) + 1
+    assert(ks1 == 256,
+      s"rebuild on the grown corpus must relax the clamp to the request: $ks0 -> $ks1")
+    // and the relaxed budget re-persists for the NEXT rebuild
+    assert(rebuilt.requestedKs == 256)
+    // legacy meta (pre-budget column) falls back to the standard 256
+    graft.ops.Sinks.overwriteLayer(Seq(false).toDF("residual"),
+      s"${Similarity.resolveEpoch(spark, dir)}/meta")
+    assert(Similarity.pqRequestedKsMeta(spark,
+      Similarity.resolveEpoch(spark, dir)) == 256)
+  }
 }

@@ -257,28 +257,43 @@ class SimilaritySpec extends SparkTestBase {
 
   test("fusedShape: bytes-based cut is dim-aware; fused ≡ attach bit-for-bit on a dim-256 corpus (IVF and PQ duals)") {
     import graft.ops.Similarity
+    import Similarity.{vecRowBytes, pqRowBytes}
     import spark.implicits._
-    // the cut is rows × dim × 8 bytes vs 80 % of the session broadcast
-    // threshold (10 MB default → 8,388,608-byte budget): at dim 64 the
-    // boundary is the measured r16 one (16,384 rows); at dim 256 the SAME
-    // byte budget is only 4,096 rows — the old 16 k-row constant would
-    // have tried to broadcast 4× the budget there (r16 VERDICT #3)
-    assert(!Similarity.fusedShape(16384, 64, spark))
-    assert(Similarity.fusedShape(16385, 64, spark))
-    assert(!Similarity.fusedShape(4096, 256, spark))
-    assert(Similarity.fusedShape(4097, 256, spark),
+    // the cut is rows × attached-payload bytes vs 80 % of the session
+    // broadcast threshold (10 MB default → 8,388,608-byte budget): at
+    // dim 64 vectors the boundary is the measured r16 one (16,384 rows);
+    // at dim 256 the SAME byte budget is only 4,096 rows — the old
+    // 16 k-row constant would have tried to broadcast 4× the budget
+    // there (r16 VERDICT #3)
+    assert(!Similarity.fusedShape(16384, vecRowBytes(64), spark))
+    assert(Similarity.fusedShape(16385, vecRowBytes(64), spark))
+    assert(!Similarity.fusedShape(4096, vecRowBytes(256), spark))
+    assert(Similarity.fusedShape(4097, vecRowBytes(256), spark),
       "a dim-256 corpus must go fused well below 16k rows")
+    // the PQ dual attaches the CODES frame (m ints + rnorm — 40 bytes at
+    // m=8), not full-precision vectors: the same budget holds 209,715
+    // code rows, so a high-dim PQ corpus must NOT inherit the vector
+    // cliff (r17 ADVICE — sizing PQ by dim×8 gave up the measured
+    // attach-shape win far below the real broadcast boundary)
+    assert(pqRowBytes(8) == 40L)
+    assert(!Similarity.fusedShape(209715, pqRowBytes(8), spark))
+    assert(Similarity.fusedShape(209716, pqRowBytes(8), spark))
+    assert(!Similarity.fusedShape(4097, pqRowBytes(8), spark),
+      "a corpus past the dim-256 VECTOR cliff stays attach for PQ codes")
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val saved = spark.conf.get(key)
     try {
       // a disabled threshold means NOTHING broadcasts → always fused
       spark.conf.set(key, "-1")
-      assert(Similarity.fusedShape(1, 2, spark))
+      assert(Similarity.fusedShape(1, vecRowBytes(2), spark))
       // size-suffixed values parse through the same grammar Spark uses
-      spark.conf.set(key, "1MB")
-      assert(Similarity.fusedShape(600, 256, spark)) // 1.2 MB > 0.8 MB budget
+      spark.conf.set(key, "20KB")
+      assert(Similarity.fusedShape(600, vecRowBytes(256), spark)) // 1.2 MB > 16 KB budget
+      assert(Similarity.fusedShape(600, pqRowBytes(8), spark)) // 24,000 B > 16,384 B budget
       // bit-equality of the two scoring shapes at a non-64 dim: the same
-      // planted dim-256 corpus queried under a 1 MB threshold (fused) and
+      // planted dim-256 corpus queried under a 20 KB threshold (both
+      // duals fused — the PQ codes payload is only 40 B/row, so forcing
+      // ITS fused leg needs a budget below 24 KB) and
       // a 100 MB threshold (attach) must produce identical frames — same
       // pairs, same q6 cosines, same ranks (the shape is a plan choice,
       // never a semantics choice)
@@ -296,7 +311,7 @@ class SimilaritySpec extends SparkTestBase {
       val (ivfFused, _) = frames("ivf", Similarity.ivfQuery(gidx, planted, k = 5, nProbe = 4))
       val (pqFused, _) = frames("pq", Similarity.pqQuery(pidx, planted, k = 5, nProbe = 4))
       spark.conf.set(key, "100MB")
-      assert(!Similarity.fusedShape(600, 256, spark)) // attach now
+      assert(!Similarity.fusedShape(600, vecRowBytes(256), spark)) // attach now
       // fresh index values: corpusRows/dim memoize per instance, and the
       // shape must be re-decided under the new threshold
       val gidx2 = Similarity.ivfGridBuild(planted, nCells = 16)

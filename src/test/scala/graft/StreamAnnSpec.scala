@@ -579,4 +579,158 @@ class StreamAnnSpec extends SparkTestBase with TimeLimitedTests {
     assert(fin == scoresOf(batchDir),
       "streamed centrality store drifted from the batch twin after restart")
   }
+
+  test("maintenance re-admission: bloom-prefiltered filter ≡ naive LEFT ANTI; all-fresh batches never touch the base (r17 VERDICT #4)") {
+    import graft.functions.SketchAggs
+    val emb = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("annrb_idx").toString
+    Similarity.ivfWrite(Similarity.ivfBuild(base, nCells = 16), dir)
+    val eb = Similarity.resolveEpoch(spark, dir)
+    // a committed delta layer in exactly the admission stream's shape
+    // (batch ivfAppend grows the base layer in place — only streams land
+    // appends/batch_id=N deltas, so plant one the way the stream does)
+    val deltaVecs = emb.filter(col("vec_id") % 10 === 0)
+    Similarity.ivfAssign(spark.read.parquet(s"$eb/centroids"), deltaVecs)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$eb/appends/batch_id=0")
+    // a batch mixing base replays, delta replays, and genuinely-new ids
+    val fresh = emb.filter(col("vec_id") % 10 === 5)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("label"),
+        col("embedding"))
+    val b0 = base.limit(7).unionByName(deltaVecs.limit(5))
+      .unionByName(fresh).localCheckpoint(true)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val naive = b0.join(
+      StreamDemo.streamIvfRead(spark, dir).vectors.select("vec_id"),
+      Seq("vec_id"), "left_anti")
+    val filtered = StreamDemo.readmitNewIds(spark, b0, eb,
+      Similarity.ivfRead(spark, eb).vectors, deltaSublayers = Seq.empty)
+    assert(ids(filtered) == ids(naive),
+      "bloom-prefiltered re-admission must be bit-equivalent to the naive anti-join")
+    assert(ids(filtered) == ids(fresh) && ids(fresh).nonEmpty,
+      "exactly the genuinely-new ids must survive (base AND delta replays filtered)")
+    // the bloom persisted as a per-epoch sublayer — built once, reread after
+    assert(new java.io.File(s"$eb/idbloom/_SUCCESS").exists,
+      "the epoch id bloom must be cached as an idbloom sublayer")
+    // the steady-state path: a batch of provably-fresh ids (bloom-negative
+    // by construction) must complete WITHOUT forcing the base id scan —
+    // the thunk throws if anything evaluates it. This is the 100 TB bound:
+    // per-batch work is the batch scan + the bounded delta ids only.
+    val bloom = Similarity.epochIdBloom(spark, eb,
+      sys.error("cached bloom must be read, never rebuilt")).get
+    val provablyFresh = fresh
+      .where(!SketchAggs.mightContain(bloom, xxhash64(col("vec_id"))))
+      .localCheckpoint(true)
+    assert(provablyFresh.count() > 0)
+    val fastPath = StreamDemo.readmitNewIds(spark, provablyFresh, eb,
+      sys.error("an all-fresh batch must never scan the base id projection"),
+      deltaSublayers = Seq.empty)
+    assert(ids(fastPath) == ids(provablyFresh))
+  }
+
+  test("pinned-geometry admission fails loudly when an external maintain flips the epoch mid-stream (r17 ADVICE)") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("annpe_src")
+    val streamDir = java.nio.file.Files.createTempDirectory("annpe_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("annpe_ckpt")
+    val emb = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding").orderBy("vec_id")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val arriving = emb.filter(col("vec_id") % 5 === 0).collect()
+    Similarity.ivfWrite(Similarity.ivfBuild(base, nCells = 16), streamDir)
+
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"annpe_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), emb.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+
+    // a pinned (non-maintenance) stream admits a calm batch fine
+    stage(1, arriving.slice(0, 3))
+    val q = StreamDemo.streamIvfAppend(s2, src.toString, streamDir,
+      ckpt.toString)
+    try {
+      q.processAllAvailable()
+      assert(q.isActive)
+      // EXTERNAL epoch flip while the stream is live — the batch-maintain
+      // surface rebuilding under a running pinned stream
+      val grown = StreamDemo.streamIvfRead(spark, streamDir).vectors
+        .select(col("vec_id"), lit(0).as("label"), col("v").as("embedding"))
+        .localCheckpoint(true)
+      val (epoch, epochDir) = Similarity.nextEpochPath(spark, streamDir)
+      Similarity.ivfWrite(Similarity.ivfBuild(grown, nCells = 16), epochDir)
+      Similarity.commitEpoch(spark, streamDir, epoch)
+      // the next batch must FAIL the stream, not land stale-cell deltas
+      // inside the new epoch as silent corruption
+      stage(2, arriving.slice(3, 6))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("epoch flipped mid-stream")),
+        s"stream must fail with the epoch guard, got: ${messages(ex)}")
+      // nothing was admitted into the new epoch by the failed batch
+      assert(new java.io.File(s"$epochDir/appends").listFiles == null ||
+        new java.io.File(s"$epochDir/appends").listFiles.isEmpty,
+        "a stale-geometry batch must not land deltas in the new epoch")
+    } finally q.stop()
+  }
+
+  test("maintenance-mode replay emptied by the re-admission filter still lands its scores version (r17 ADVICE)") {
+    val s2 = spark.newSession()
+    val src = java.nio.file.Files.createTempDirectory("annrs_src")
+    val streamDir = java.nio.file.Files.createTempDirectory("annrs_stream").toString
+    val ckptA = java.nio.file.Files.createTempDirectory("annrs_ckptA")
+    val ckptB = java.nio.file.Files.createTempDirectory("annrs_ckptB")
+    val emb = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding").orderBy("vec_id")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val arriving = emb.filter(col("vec_id") % 5 === 0).collect()
+    Similarity.nnWrite(Similarity.nnBuildIndex(base), streamDir)
+
+    def stage(n: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"annrs_tmp$n")
+      spark.createDataFrame(java.util.Arrays.asList(slice: _*), emb.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles((_, name) => name.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"batch$n.parquet"))
+    }
+
+    // first delivery: calm maintenance admission, scores v=0 commits
+    stage(1, arriving.slice(0, 6))
+    val q1 = StreamDemo.streamNnInsert(s2, src.toString, streamDir,
+      ckptA.toString, centralityIters = 3, maxDegreeRatio = 1000.0)
+    try q1.processAllAvailable() finally q1.stop()
+    val vecsAfterFirst = Similarity.nnRead(spark, streamDir).vectors.count()
+    assert(Similarity.nnCentralityScores(spark, streamDir).map(_._1).contains(0L))
+
+    // simulate the crash-after-insert replay: the scores version is LOST
+    // (crash before the refresh) and the batch redelivers — a fresh
+    // checkpoint re-reads the same file as batchId 0, the re-admission
+    // filter empties it (all ids standing) and edges/_SUCCESS marks it a
+    // replay-of-complete. The refresh must still run off the RAW batch
+    // gate and land scores/v=0 — under the old (filtered) gate this
+    // replay produced NOTHING and the version was permanently skipped.
+    val epochDir = Similarity.resolveEpoch(spark, streamDir)
+    val hfs = new org.apache.hadoop.fs.Path(epochDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$epochDir/scores"), true)
+    assert(Similarity.nnCentralityScores(spark, streamDir).isEmpty)
+    val q2 = StreamDemo.streamNnInsert(s2, src.toString, streamDir,
+      ckptB.toString, centralityIters = 3, maxDegreeRatio = 1000.0)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Similarity.nnCentralityScores(spark, streamDir).map(_._1).contains(0L),
+      "a replay emptied by the re-admission filter must still land its scores version")
+    // and the insert leg stayed skipped: no duplicate admission
+    assert(Similarity.nnRead(spark, streamDir).vectors.count() == vecsAfterFirst)
+    assert(Similarity.nnRead(spark, streamDir).vectors.groupBy("vec_id")
+      .count().filter(col("count") > 1).count() == 0)
+  }
 }
