@@ -96,6 +96,30 @@ object ScaleAnchors {
     spark.sparkContext.setLogLevel("WARN")
     val voc = vocab()
     var gkViolations = 0
+    // wall entries are MINIMA over ≥2 runs (r17 VERDICT #1): this host
+    // measures identical commits up to ~5× apart run-to-run, so a
+    // single-run wall is attribution noise, not evidence — the r17
+    // anchors read similarity_quantized_topk 5.35× "worse" at 10× while
+    // the calibrated bench floor moved the same operator FASTER.
+    // Geometry / rows / recall stay single-run (deterministic); only
+    // walls re-run. The per-entry run count is stamped into the artifact.
+    val wallRuns = math.max(2,
+      sys.env.getOrElse("SPARK_GRAFT_ANCHOR_RUNS", "2").toInt)
+    def floored(out: scala.collection.mutable.LinkedHashMap[String, Any])(
+        name: String)(f: => Long): Unit = {
+      var best = Long.MaxValue
+      var rows = -1L
+      for (_ <- 1 to wallRuns) {
+        val t0 = System.nanoTime()
+        val r = f
+        best = math.min(best, System.nanoTime() - t0)
+        require(rows < 0 || r == rows,
+          s"anchor $name is nondeterministic across runs: $rows vs $r rows")
+        rows = r
+      }
+      out(name) = math.round(best / 1e7) / 100.0
+      out(s"${name}_rows") = rows
+    }
 
     for (scale <- Seq(1L, 10L)) {
       val nDocs = baseDocs * scale
@@ -103,13 +127,9 @@ object ScaleAnchors {
       val d = docs(spark, nDocs, voc).localCheckpoint(true)
       val e = vecs(spark, nVecs).localCheckpoint(true)
       val out = scala.collection.mutable.LinkedHashMap[String, Any](
-        "scale" -> scale, "n_docs" -> nDocs, "n_vecs" -> nVecs)
-      def t(name: String)(f: => Long): Unit = {
-        val t0 = System.nanoTime()
-        val rows = f
-        out(name) = math.round((System.nanoTime() - t0) / 1e7) / 100.0
-        out(s"${name}_rows") = rows
-      }
+        "scale" -> scale, "n_docs" -> nDocs, "n_vecs" -> nVecs,
+        "wall_runs" -> wallRuns)
+      def t(name: String)(f: => Long): Unit = floored(out)(name)(f)
 
       // embedding family (the r9 auto-sized cell path). Both standing
       // indexes are PINNED (r16 ADVICE): every consumer below — occupancy
@@ -198,6 +218,34 @@ object ScaleAnchors {
       out("incr_pruned_standing") = idx.vectors.join(
         ops.Similarity.ivfAssign(idx.centroids, batch).select("cell").distinct(),
         Seq("cell"), "left_semi").count()
+
+      // streaming re-admission bound (r17 VERDICT #4): the maintenance-
+      // mode per-batch filter against a SCALED standing index. The first
+      // timed run builds + caches the per-epoch id bloom (one base scan
+      // per EPOCH); the floored min is the steady-state per-batch cost —
+      // a bloom probe over the batch plus an exact anti-join against only
+      // the epoch's DELTA ids. Wall must stay ~flat as standing grows
+      // 10×; the exact-side mass (readmit_delta_ids) is delta-bounded and
+      // the driver-resident state is the bloom bytes, both stamped.
+      locally {
+        val idxDir = java.nio.file.Files
+          .createTempDirectory(s"anchor_readmit$scale").toString
+        ops.Similarity.ivfWrite(idx, idxDir)
+        ops.Similarity.ivfAssign(idx.centroids, batch)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$idxDir/appends/batch_id=0")
+        val freshBatch = vecs(spark, 200).select(
+          (col("vec_id") + 20000000L).as("vec_id"), col("label"),
+          col("embedding")).localCheckpoint(true)
+        t("readmit_filter")(ops.StreamDemo.readmitNewIds(spark, freshBatch,
+          idxDir, ops.Similarity.ivfRead(spark, idxDir).vectors,
+          deltaSublayers = Seq.empty).count())
+        out("readmit_delta_ids") = batch.count()
+        out("readmit_bloom_bytes") = ops.Similarity
+          .epochIdBloom(spark, idxDir,
+            sys.error("bloom must be cached after the timed runs"))
+          .map(_.length.toLong).getOrElse(0L)
+      }
 
       // recall at scale: with cells ∝ n and CONSTANT nProbe, the probed
       // corpus fraction shrinks 10× per step — this measures whether the
@@ -423,7 +471,7 @@ object ScaleAnchors {
       val gidx = ops.Similarity.IvfIndex(g.centroids.localCheckpoint(true),
         g.vectors.localCheckpoint(true))
       val out = scala.collection.mutable.LinkedHashMap[String, Any](
-        "scale" -> 100L, "n_vecs" -> n100, "grid_only" -> true)
+        "scale" -> 100L, "n_vecs" -> n100, "wall_runs" -> wallRuns)
       val gocc = gidx.vectors.groupBy("cell").count()
         .agg(count(lit(1)), max("count"), sum("count")).head()
       out("grid_cells") = gocc.getLong(0)
@@ -432,11 +480,47 @@ object ScaleAnchors {
         gocc.getLong(1) * 1000.0 / gocc.getLong(2)) / 1000.0
       out("grid_probe_candidates") = ops.Similarity
         .ivfGridProbeCandidates(gidx, e100, nProbe = 4)
-      val t0 = System.nanoTime()
-      val rows = ops.Similarity.ivfQuery(gidx, e100, k = 5, nProbe = 4).count()
-      out("similarity_ivfgrid_topk") =
-        math.round((System.nanoTime() - t0) / 1e7) / 100.0
-      out("similarity_ivfgrid_topk_rows") = rows
+      floored(out)("similarity_ivfgrid_topk")(
+        ops.Similarity.ivfQuery(gidx, e100, k = 5, nProbe = 4).count())
+      // the K-MEANS family at the same decade (r17 VERDICT #2): the repo's
+      // own position is "k-means is the scale default" past the grid cap,
+      // so the default path carries the same measured boundary the grid
+      // family has — occupancy series (was flat 168→172 across the first
+      // decade), floored walls, and recall for both the coarse tier and
+      // the ADC chain. The build is sample-bounded (fitRowsFor) and both
+      // layers pin before the timed consumers (the 1×/10× discipline).
+      locally {
+        val idx100 = {
+          val raw = ops.Similarity.ivfBuild(e100)
+          ops.Similarity.IvfIndex(raw.centroids.localCheckpoint(true),
+            raw.vectors.localCheckpoint(true))
+        }
+        val occ = idx100.vectors.groupBy("cell").count()
+          .agg(count(lit(1)), max("count"),
+            sum(col("count") * (col("count") - 1) / 2)).head()
+        out("ivf_cells") = occ.getLong(0)
+        out("ivf_max_occ") = occ.getLong(1)
+        out("ivf_pair_volume") = occ.getDouble(2).toLong
+        floored(out)("similarity_ivf_topk")(
+          ops.Similarity.ivfQuery(idx100, e100).count())
+        val pqIdx100 = ops.Similarity.pqBuildFrom(idx100, e100)
+        floored(out)("similarity_ivfpq_topk")(
+          ops.Similarity.pqQuery(pqIdx100, e100).count())
+        val queries = e100.orderBy("vec_id").limit(200).localCheckpoint(true)
+        def pairs(df: DataFrame): Set[(Long, Long)] = df
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val truth = pairs(ops.Similarity.cosineTopK(e100, maxQueries = 200))
+        out("recall_ivf") = math.round(
+          pairs(ops.Similarity.ivfQuery(idx100, queries))
+            .intersect(truth).size * 1000.0 / truth.size) / 1000.0
+        out("recall_ivfpq") = math.round(
+          pairs(ops.Similarity.pqQuery(pqIdx100, queries))
+            .intersect(truth).size * 1000.0 / truth.size) / 1000.0
+        out("recall_ivfpq_rf12") = math.round(
+          pairs(ops.Similarity.pqQuery(pqIdx100, queries, rerankFactor = 12))
+            .intersect(truth).size * 1000.0 / truth.size) / 1000.0
+      }
       // the derived cap law, stamped next to the measurement
       out("grid_cap_cells") = 65536L
       out("grid_cap_first_n") = 65536L * 128L - 127L // (n+127)/128 ≥ 65536 ⟺ n ≥ this

@@ -277,30 +277,52 @@ object SparkEntry {
     * touch the cold cache first (alphabetical-first attribution was the r3
     * bench artifact's dominant distortion). */
   def prebuildStages(s: SparkSession, d: String): Unit = {
-    af(s, d) // transitively builds box, pa, adv, roll
-    shingles(s, d)
-    media(s, d)
-    // the shared coarse-IVF fit is a pipeline stage too (five similarity
-    // queries read it) — build it here so the one-time k-means cost is
-    // metered as pipeline_stages, not as whichever similarity query is
-    // alphabetically first in the bench loop
-    ivfIndex(s, d)
-    // likewise the memoized five-gate Venn frame: gate_kappa sorts before
-    // gate_overlap in the bench loop, so without this the corpus-scale
-    // five-gate pass is metered under gate_kappa (same cost-attribution
-    // shape the ivfIndex line above fixes)
-    gateOverlapFrame(s, d)
-    // and the shared md5-grid coarse index (three grid-oracled queries)
-    ivfGridIndex(s, d)
-    // and the standing NN-descent graph (build / serving / centrality all
-    // read it) — the iterative 2-round build is the costliest shared
-    // stage of the graph family and must not land on whichever graph
-    // query the bench loop reaches first
-    nnGraph(s, d)
-    // the bucketed serving publication reads the graph above; publishing
-    // here meters the one-time external-table write as pipeline_stages
-    nnServingEdges(s, d)
-    ()
+    // Independent shared stages build as CONCURRENT Spark jobs (r17
+    // VERDICT #5): the prebuild was a sequential sum of eight leg walls,
+    // but no single leg saturates the cluster — pa/adv/roll are
+    // |players|-row aggregations over the cached box, the model fits are
+    // sample-bounded, and the profiled decomposition (PLANS.md r18) shows
+    // af's stage wall is ~entirely its nested pa/adv/roll/box builds.
+    // Submitting independent legs from a bounded thread pool lets the
+    // scheduler interleave their tasks, so the prebuild wall approaches
+    // the critical CHAIN (box → slowest of pa/adv/roll → af) instead of
+    // the sum of legs — the standard concurrent-job idiom on a real
+    // cluster, where a single narrow stage would leave most executors
+    // idle. Per-stage attribution (Pipeline.timings) is unchanged:
+    // overlapping walls were already documented as attribution, not
+    // additive cost. Stage memoization is already first-build-locked per
+    // key, so concurrency cannot double-build a stage.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      box(s, d) // the shared parent of pa/adv/roll — built once, uncontended
+      // af's three inputs are mutually independent given box
+      val afInputs = Seq(Future(pa(s, d)), Future(adv(s, d)), Future(roll(s, d)))
+      val rest = Seq(
+        Future(shingles(s, d)),
+        Future(media(s, d)),
+        // the shared coarse-IVF fit is a pipeline stage too (five
+        // similarity queries read it) — built here so the one-time
+        // k-means cost is metered as pipeline_stages, not as whichever
+        // similarity query is alphabetically first in the bench loop
+        Future(ivfIndex(s, d)),
+        // likewise the memoized five-gate Venn frame: gate_kappa sorts
+        // before gate_overlap in the bench loop, so without this the
+        // corpus-scale five-gate pass is metered under gate_kappa
+        Future(gateOverlapFrame(s, d)),
+        // and the shared md5-grid coarse index (three grid-oracled queries)
+        Future(ivfGridIndex(s, d)),
+        // and the standing NN-descent graph (build / serving / centrality
+        // all read it) followed by its bucketed serving publication —
+        // dependent, so they stay one sequential leg
+        Future { nnGraph(s, d); nnServingEdges(s, d) })
+      Await.result(Future.sequence(afInputs), Duration.Inf)
+      af(s, d)
+      Await.result(Future.sequence(rest), Duration.Inf)
+      ()
+    } finally pool.shutdown()
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -2069,9 +2069,22 @@ object StreamDemo {
         val fresh = b0.where(!probe).join(d, Seq("vec_id"), "left_anti")
         val maybe = b0.where(probe).localCheckpoint(true)
         if (maybe.isEmpty) fresh
-        else fresh.unionByName(
-          maybe.join(baseIds.select("vec_id").unionByName(d),
-            Seq("vec_id"), "left_anti"))
+        else {
+          // exact verify of the might-contain survivors WITHOUT shuffling
+          // the base: the tiny maybe-id set broadcasts INTO the base id
+          // scan (left_semi — scan-local probe, no exchange on the corpus
+          // side), and the resulting known set (≤ |maybe| rows) broadcasts
+          // back into the batch anti-join. A plain
+          // `maybe LEFT ANTI baseIds` would plan the base side into a
+          // shuffle exchange — corpus-sized movement to verify a handful
+          // of replays/fp hits.
+          val maybeIds = maybe.select("vec_id")
+          val known = baseIds.select("vec_id").unionByName(d)
+            .join(broadcast(maybeIds), Seq("vec_id"), "left_semi")
+            .localCheckpoint(true)
+          fresh.unionByName(
+            maybe.join(broadcast(known), Seq("vec_id"), "left_anti"))
+        }
     }
   }
 
