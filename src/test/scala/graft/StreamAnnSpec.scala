@@ -631,6 +631,61 @@ class StreamAnnSpec extends SparkTestBase with TimeLimitedTests {
     assert(ids(fastPath) == ids(provablyFresh))
   }
 
+  test("re-admission on the multi-sublayer delta shape (PQ) ≡ naive anti-join; a torn idbloom sublayer is rebuilt") {
+    val emb = Tables.embeddings(spark, SF)
+      .select("vec_id", "label", "embedding")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("annrb2_idx").toString
+    Similarity.pqWrite(Similarity.pqBuild(base, nCells = 16), dir)
+    val eb = Similarity.resolveEpoch(spark, dir)
+    // a committed two-sublayer delta the way streamPqAppend lands it:
+    // vectors AND codes, each with its own _SUCCESS
+    val deltaVecs = emb.filter(col("vec_id") % 10 === 0)
+    val assigned = Similarity.ivfAssign(
+      spark.read.parquet(s"$eb/ivf/centroids"), deltaVecs)
+      .localCheckpoint(true)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$eb/appends/batch_id=0/vectors")
+    val disk = Similarity.pqRead(spark, dir)
+    Similarity.pqEncode(assigned.select("vec_id", "v"), disk.codebooks,
+        disk.m, disk.subDim)
+      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$eb/appends/batch_id=0/codes")
+    val fresh = emb.filter(col("vec_id") % 10 === 5)
+      .select((col("vec_id") + 7000000L).as("vec_id"), col("label"),
+        col("embedding"))
+    val b0 = base.limit(6).unionByName(deltaVecs.limit(4))
+      .unionByName(fresh).localCheckpoint(true)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val naive = b0.join(
+      StreamDemo.streamPqRead(spark, dir).ivf.vectors.select("vec_id"),
+      Seq("vec_id"), "left_anti")
+    val filtered = StreamDemo.readmitNewIds(spark, b0, eb,
+      Similarity.ivfRead(spark, s"$eb/ivf").vectors,
+      deltaSublayers = Seq("vectors", "codes"))
+    assert(ids(filtered) == ids(naive) && ids(filtered) == ids(fresh),
+      "PQ-shape re-admission must equal the naive anti-join (base and delta replays filtered)")
+    // crash-safety of the cached sublayer: a torn idbloom (bytes present,
+    // _SUCCESS missing) must be REBUILT, not trusted — and the rebuild
+    // restores the cache for the next reader
+    val hfs = new org.apache.hadoop.fs.Path(eb)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(s"$eb/idbloom/_SUCCESS")
+    assert(hfs.exists(marker), "first call must cache the bloom sublayer")
+    hfs.delete(marker, false)
+    val rebuilt = Similarity.epochIdBloom(spark, eb,
+      Similarity.ivfRead(spark, s"$eb/ivf").vectors)
+    assert(rebuilt.isDefined && hfs.exists(marker),
+      "a torn idbloom sublayer must rebuild and re-commit its marker")
+    // and the rebuilt bloom still has zero false negatives over the base
+    import graft.functions.SketchAggs
+    assert(Similarity.ivfRead(spark, s"$eb/ivf").vectors
+      .where(!SketchAggs.mightContain(rebuilt.get, xxhash64(col("vec_id"))))
+      .count() == 0, "rebuilt bloom lost base ids (false negatives)")
+  }
+
   test("pinned-geometry admission fails loudly when an external maintain flips the epoch mid-stream (r17 ADVICE)") {
     val s2 = spark.newSession()
     val src = java.nio.file.Files.createTempDirectory("annpe_src")
