@@ -172,4 +172,30 @@ class PipelineSpec extends SparkTestBase {
     assert(n > 0 && disagree.toDouble / n <= 0.01,
       s"approx median flipped $disagree of $n labels")
   }
+
+  test("prebuildStages builds the complete shared-stage surface (concurrent legs drop nothing)") {
+    // the bench's pipeline_stages meter depends on prebuildStages covering
+    // EVERY shared stage: a leg silently lost in the concurrent fan-out
+    // (r18) would re-attribute its build cost to whichever query touches
+    // the cold cache first — the exact mis-attribution the prebuild exists
+    // to prevent. Isolation needs BOTH a fresh session (Pipeline.stage is
+    // session-keyed) and a fresh corpus path (the index/model caches are
+    // path-keyed), so the sf dir is copied to a temp path.
+    val s2 = spark.newSession()
+    val src = java.nio.file.Paths.get(SF)
+    val dst = java.nio.file.Files.createTempDirectory("prebuild_sf")
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    SparkEntry.prebuildStages(s2, dst.toString)
+    val built = graft.ops.Pipeline.timings(s2, dst.toString).keySet
+    val expected = Set("box", "pa", "adv", "roll", "af", "shingles", "media",
+      "ivf_index", "gate_overlap_frame", "ivfgrid_index", "nn_graph",
+      "nn_serving_publish")
+    assert(expected.subsetOf(built),
+      s"prebuild dropped stages: ${expected -- built} (built: $built)")
+  }
 }
