@@ -105,6 +105,51 @@ object Profile {
       time("af-cached count")(afC.count())
       time("pa join af-cached")(pa.join(afC.select("player_id", "mvp_score", "dpoy_score",
         "sixmoy_score"), Seq("player_id"), "left").count())
+    } else if (args.contains("leg-debug")) {
+      // piecewise attribution of the three heaviest prebuild legs (r18
+      // VERDICT #5): ivf_index, gate_overlap_frame, nn_graph — which
+      // sub-step owns the wall?
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables.embeddings(spark, sfDir)
+      time("corpusDims(count+dim)")(
+        emb.agg(count(lit(1)), max(size(col("embedding")))).head().getLong(0))
+      val e = ops.Similarity.withNorms(emb)
+      val featured = e.withColumn("features", array_to_vector(col("v")))
+      val n = featured.count()
+      val cells = ops.Similarity.cellsFor(n, 100000L)
+      val fitOn = featured.persist()
+      time("kmeans fit (10 iters)")({
+        new KMeans().setK(cells).setSeed(42).setMaxIter(10).setInitMode("random")
+          .setFeaturesCol("features").fit(fitOn); cells.toLong
+      })
+      val model = new KMeans().setK(cells).setSeed(42).setMaxIter(10)
+        .setInitMode("random").setFeaturesCol("features").fit(fitOn)
+      fitOn.unpersist()
+      time("assign+checkpoint vectors")(
+        model.transform(featured)
+          .select(col("vec_id"), col("v"), col("norm"), col("prediction").as("cell"))
+          .localCheckpoint(true).count())
+      // gate leg decomposition: the two model prerequisites then the Venn
+      val docs = Tables.documents(spark, sfDir)
+      var nb: ops.Text.NbModel = null
+      time("nbTrain")({
+        nb = ops.Text.nbTrain(docs, col("source").isin("src0", "src1", "src2", "src3"))
+        nb.weights.count()
+      })
+      var dc: org.apache.spark.sql.DataFrame = null
+      time("dsirCountDeltas")({
+        dc = ops.Text.dsirCountDeltas(docs,
+          col("source").isin("src0", "src1", "src2", "src3"),
+          mirrorableHash = true).localCheckpoint(true)
+        dc.count()
+      })
+      time("gateOverlap venn")(
+        ops.Text.gateOverlap(docs, nb, dc, mirrorableHash = true)
+          .localCheckpoint(true).count())
+      time("nnDescentGraph")(
+        ops.Similarity.nnDescentGraph(emb).count())
     } else if (args.contains("exact-debug")) {
       // decimal-exact vs double aggregation cost on the REAL pa/roll
       // shapes (r8 verdict #4: how much of the pipeline_stages slot is the

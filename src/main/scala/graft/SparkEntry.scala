@@ -186,7 +186,12 @@ object SparkEntry {
   private def nnGraph(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     nnGraphCache.getOrElseUpdate(d, {
       val t0 = System.nanoTime()
-      val g = Similarity.nnDescentGraph(Tables.embeddings(s, d))
+      // the hub-star seed reuses the memoized md5-grid assignment (same
+      // corpus, same deterministic geometry) instead of re-running the
+      // grid build inside this leg — identical cells, one less
+      // corpus-scale pass (r18 VERDICT #5)
+      val g = Similarity.nnDescentGraph(Tables.embeddings(s, d),
+          gridVectors = Some(ivfGridIndex(s, d).vectors))
         .localCheckpoint(true)
       ops.Pipeline.record(s, d, "nn_graph", (System.nanoTime() - t0) / 1e9)
       g
@@ -294,12 +299,30 @@ object SparkEntry {
     // key, so concurrency cannot double-build a stage.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // time a memoized model build and record it as its own stage line —
+    // keeps the per-stage decomposition complete now that the model fits
+    // run here instead of landing on their first timing-loop consumer
+    def leg[T](name: String)(build: => T): T = {
+      val t0 = System.nanoTime()
+      val r = build
+      ops.Pipeline.record(s, d, name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     try {
       box(s, d) // the shared parent of pa/adv/roll — built once, uncontended
       // af's three inputs are mutually independent given box
       val afInputs = Seq(Future(pa(s, d)), Future(adv(s, d)), Future(roll(s, d)))
+      // the two gate-model prerequisites are mutually independent; built
+      // as sub-futures so the gate leg's chain is max(nb, dsir) + venn
+      // instead of nb + dsir + venn (r18 VERDICT #5)
+      val nbF = Future(leg("nb_model")(nbModel(s, d)))
+      val dsirF = Future(dsirCounts(s, d)) // records itself as dsir_counts
+      // the md5-grid index future is the nn leg's prerequisite too (the
+      // hub-star seed reuses its assignment), so the nn leg CHAINS on it
+      // rather than racing the memo
+      val gridF = Future(ivfGridIndex(s, d))
       val rest = Seq(
         Future(shingles(s, d)),
         Future(media(s, d)),
@@ -308,19 +331,45 @@ object SparkEntry {
         // k-means cost is metered as pipeline_stages, not as whichever
         // similarity query is alphabetically first in the bench loop
         Future(ivfIndex(s, d)),
-        // likewise the memoized five-gate Venn frame: gate_kappa sorts
-        // before gate_overlap in the bench loop, so without this the
-        // corpus-scale five-gate pass is metered under gate_kappa
-        Future(gateOverlapFrame(s, d)),
-        // and the shared md5-grid coarse index (three grid-oracled queries)
-        Future(ivfGridIndex(s, d)),
-        // and the standing NN-descent graph (build / serving / centrality
-        // all read it) followed by its bucketed serving publication —
-        // dependent, so they stay one sequential leg
-        Future { nnGraph(s, d); nnServingEdges(s, d) })
-      Await.result(Future.sequence(afInputs), Duration.Inf)
+        // the memoized five-gate Venn frame (gate_kappa sorts before
+        // gate_overlap in the bench loop) — after its two model inputs
+        nbF.flatMap(_ => dsirF).map(_ => gateOverlapFrame(s, d)),
+        gridF,
+        // the standing NN-descent graph (build / serving / centrality all
+        // read it) followed by its bucketed serving publication —
+        // dependent legs, chained after the grid index they reuse
+        gridF.map { _ => nnGraph(s, d); nnServingEdges(s, d) },
+        // the per-directory model caches the text/LM/PCA queries share:
+        // each is a one-time train charged to whichever query runs first
+        // unless built here, where independent fits interleave on the
+        // pool instead of serializing through the timing loop
+        Future(leg("lm_model")(lmModel(s, d))),
+        Future(leg("lm_model_n3")(lmn3Model(s, d))),
+        Future(leg("lm_model_n5")(lmn5Model(s, d))),
+        Future(leg("lm_model_pruned")(lmPrunedModel(s, d))),
+        Future(leg("lm_model_in")(inLm(s, d))),
+        Future(leg("pca_model")(pcaModel(s, d))),
+        Future(leg("bpe_merges")(bpeMerges(s, d))),
+        Future(leg("unigram_pieces")(unigramPieces(s, d))))
+      // Await EVERY leg before rethrowing (r18 ADVICE #4): failing fast on
+      // the first error left the remaining futures running Spark jobs on
+      // the pool (shutdown() does not cancel in-flight work), so a failure
+      // surfaced with stray concurrent stage builds still mutating the
+      // session caches. Collect every leg's outcome, then raise the first
+      // failure with the rest attached as suppressed.
+      def awaitAll(fs: Seq[Future[Any]]): Unit = {
+        val outcomes = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        val failures = outcomes.collect { case scala.util.Failure(e) => e }
+        failures.headOption.foreach { first =>
+          failures.drop(1).foreach { e =>
+            if (e ne first) first.addSuppressed(e)
+          }
+          throw first
+        }
+      }
+      awaitAll(afInputs)
       af(s, d)
-      Await.result(Future.sequence(rest), Duration.Inf)
+      awaitAll(rest)
       ()
     } finally pool.shutdown()
   }

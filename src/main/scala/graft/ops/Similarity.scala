@@ -1425,7 +1425,8 @@ object Similarity {
     * determinism notes. */
   def nnDescentGraph(embeddings: DataFrame, graphK: Int = 14,
       rounds: Int = 2, nCells: Int = 0, lshTables: Int = 2,
-      hubsPerCell: Int = 3, targetOccupancy: Int = 64): DataFrame = {
+      hubsPerCell: Int = 3, targetOccupancy: Int = 64,
+      gridVectors: Option[DataFrame] = None): DataFrame = {
     val e = withNorms(embeddings)
     val (n, dim) = corpusDims(embeddings)
     val ev = e.select(col("vec_id"), col("v"), col("norm")).localCheckpoint(true)
@@ -1439,8 +1440,16 @@ object Similarity {
           col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-    // seed (b): stars to each md5-grid cell's smallest-md5 hubs
-    val cells = ivfGridBuild(embeddings, nCells).vectors.select("vec_id", "cell")
+    // seed (b): stars to each md5-grid cell's smallest-md5 hubs.
+    // `gridVectors` lets a caller holding an already-built md5-grid index
+    // over the SAME corpus (SparkEntry's memoized ivfGridIndex) pass its
+    // assignment in — the grid is a deterministic pure function of
+    // (corpus, nCells derivation), so the cells are identical and the
+    // duplicate corpus-scale assignment pass is skipped (r18 VERDICT #5:
+    // the nn_graph prebuild leg re-ran the grid build the ivfgrid_index
+    // leg had already paid for).
+    val cells = gridVectors.getOrElse(ivfGridBuild(embeddings, nCells).vectors)
+      .select("vec_id", "cell")
       .localCheckpoint(true)
     val hubW = Window.partitionBy("cell")
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -1529,40 +1538,91 @@ object Similarity {
     * construction (appends land as deltas, rebuilds make a NEW epoch), so
     * the bloom is built ONCE per epoch — one projected id scan — and
     * cached as an `idbloom` sublayer inside the epoch dir (`_SUCCESS`-
-    * gated; a crashed half-write is rebuilt, an epoch GC takes it along).
+    * gated; a crashed half-write is rebuilt, an epoch GC takes it along;
+    * batch appends that grow the base IN PLACE — ivfAppend/pqAppend/
+    * lshAppend — invalidate it via [[invalidateIdBloom]], r18 ADVICE #1:
+    * ids appended after the cache was built would otherwise be false
+    * negatives, and a false negative skips the exact base check).
     * Build and probe hash identically (`xxhash64(vec_id)` — the
     * [[graft.ops.Text.dedupIncrementalBloom]] rule), so the bloom has
     * zero false negatives: `might_contain == false` PROVES the id is not
-    * in the base. Sizing is the exact base count at `bitsPerKey` bits per
-    * id (~1 % fp at the default 10); Spark clamps the bit budget to
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` — raise it when
-    * an epoch's base outgrows the 8 MB default. Returns None for an empty
-    * base (nothing can be known). */
+    * in the base.
+    *
+    * SIZING (r18 VERDICT #2): the default 10 bits/key (~0.8% fpp) made a
+    * 200-id batch hit ≥1 false positive ~80% of the time, so the exact
+    * base leg — one column-pruned standing id scan — fired on most
+    * batches and the steady-state re-admission wall grew with the base
+    * instead of staying flat. 20 bits/key costs 2× the bytes (2.5 KB per
+    * thousand ids, 2.5 MB per million — still broadcast-trivial) and puts
+    * fpp at ~6.7e-5, so P(base leg | 200-id batch) ≈ 1.3% — the wall is
+    * the batch scan + delta ids almost every trigger. The bit budget is
+    * CAPPED at `maxBits` (default 2³¹ = 256 MiB of filter) before the
+    * ~1.25 GB/billion-id JVM byte-array/broadcast boundary: past the cap
+    * the fpp degrades smoothly (the exact leg fires more often — a
+    * bounded PERF regression, never a correctness one) instead of the
+    * build throwing on an oversized array. Spark additionally clamps to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` — raise that
+    * conf alongside for epochs past ~3M ids (8 MB default).
+    * Returns None for an empty base (nothing can be known). */
   private[graft] def epochIdBloom(spark: org.apache.spark.sql.SparkSession,
       epochBase: String, baseIds: => DataFrame,
-      bitsPerKey: Int = 10): Option[Array[Byte]] = {
+      bitsPerKey: Int = 20, maxBits: Long = 1L << 31): Option[Array[Byte]] = {
     import graft.functions.SketchAggs
     val dir = s"$epochBase/idbloom"
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
-    if (hadoopFs(spark, marker).exists(marker))
-      Option(spark.read.parquet(dir).head().getAs[Array[Byte]]("bf"))
-    else {
+    val fs = hadoopFs(spark, marker)
+    // tolerate a sibling stream racing the cache write (r18 ADVICE #3):
+    // a torn/vanishing layer falls through to a fresh in-memory build
+    val cached =
+      if (!fs.exists(marker)) None
+      else scala.util.Try(
+        spark.read.parquet(dir).head().getAs[Array[Byte]]("bf")).toOption
+    cached.map(Some(_)).getOrElse {
       val ids = baseIds.select("vec_id")
       val est = ids.count()
       if (est == 0L) None
       else {
         val bf = Option(ids
           .select(SketchAggs.bloomAgg(xxhash64(col("vec_id")), est,
-            est * bitsPerKey.toLong).as("bf"))
+            math.min(est * bitsPerKey.toLong, maxBits)).as("bf"))
           .head().getAs[Array[Byte]]("bf"))
         bf.foreach { bytes =>
           import spark.implicits._
+          // write to a scratch dir and RENAME into place (r18 ADVICE #3):
+          // two streams that both miss the marker no longer overwrite one
+          // directory concurrently (overwrite deletes the sibling's
+          // in-flight files and exposes a torn layer to readers); rename
+          // is atomic on the FS, the loser just deletes its scratch
+          val tmp = s"$epochBase/.idbloom_tmp_${java.util.UUID.randomUUID()}"
+          val tmpPath = new org.apache.hadoop.fs.Path(tmp)
           Seq(Tuple2(bytes, est)).toDF("bf", "est")
-            .coalesce(1).write.mode("overwrite").parquet(dir)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          // clear a TORN layer (bytes without marker — invisible to every
+          // reader, safe to drop) so the rename can land; if a sibling
+          // commits between the clear and the rename, the rename fails and
+          // the sibling's identical layer stands — just drop the scratch
+          if (fs.exists(dirPath) && !fs.exists(marker)) fs.delete(dirPath, true)
+          if (!fs.rename(tmpPath, dirPath)) fs.delete(tmpPath, true)
         }
         bf
       }
     }
+  }
+
+  /** Drop an epoch's cached id bloom — called by every batch append that
+    * grows the base layer IN PLACE (r18 ADVICE #1): the cached bloom was
+    * built over the pre-append id set, so post-append ids would be FALSE
+    * NEGATIVES and a maintenance stream's re-admission prefilter would
+    * skip the exact base check for exactly the ids most likely to
+    * duplicate. The next [[epochIdBloom]] call rebuilds from the grown
+    * base. Deleting the whole sublayer (not just `_SUCCESS`) keeps the
+    * rename-into-place publish path clear. */
+  private[graft] def invalidateIdBloom(spark: org.apache.spark.sql.SparkSession,
+      epochBase: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$epochBase/idbloom")
+    val fs = hadoopFs(spark, p)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /** Reload a persisted graph index: the base layers plus every COMPLETE
@@ -2329,6 +2389,9 @@ object Similarity {
     ivfAssign(centroids, newVectors)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$base/vectors")
+    // the base id set just grew in place — a cached epoch id bloom would
+    // false-negative every appended id (r18 ADVICE #1)
+    invalidateIdBloom(spark, base)
   }
 
   /** No-refit assignment of raw vectors to STANDING centroids — the shared
@@ -2709,6 +2772,8 @@ object Similarity {
       .write.mode("append").partitionBy("table_id", "bucket")
       .parquet(s"$base/buckets")
     e.write.mode("append").parquet(s"$base/vectors")
+    // in-place base growth invalidates the cached id bloom (r18 ADVICE #1)
+    invalidateIdBloom(spark, base)
   }
 
   /** Sizing audit of a persisted LSH index (1 row): vector count, the
@@ -3236,6 +3301,8 @@ object Similarity {
     pqEncode(toEncode, codebooks, m, subDim)
       .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    // in-place base growth invalidates the cached id bloom (r18 ADVICE #1)
+    invalidateIdBloom(spark, dir)
   }
 
   /** Seeded Lloyd iterations over a driver-resident sample — the PQ
@@ -3538,17 +3605,25 @@ object Similarity {
     else spark.read.parquet(s"$dir/meta").head().getBoolean(0)
   }
 
-  /** The persisted REQUESTED codebook budget: meta layers written before
-    * the column existed (or missing entirely) fall back to the standard
-    * 256 — strictly better for a legacy index than freezing its
-    * effective (possibly small-corpus-clamped) ks through rebuilds. */
+  /** The persisted REQUESTED codebook budget. Meta layers written before
+    * the column existed fall back to the index's EFFECTIVE ks
+    * (max(code)+1 off the bounded codebooks layer — r18 ADVICE #2: the
+    * old global-256 fallback silently upsized a legacy index that was
+    * DELIBERATELY built with a smaller budget on its next drift rebuild,
+    * changing memory/training cost beyond what its builder requested; a
+    * legacy index whose effective ks IS 256 still resolves to 256, and a
+    * small-corpus CLAMPED legacy index keeps its clamp until its owner
+    * states a budget — the conservative reading of an absent column). */
   private[graft] def pqRequestedKsMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): Int = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
-    if (!hadoopFs(spark, metaPath).exists(metaPath)) 256
+    def effectiveKs: Int =
+      scala.util.Try(spark.read.parquet(s"$dir/codebooks")
+        .agg(max("code")).head.getInt(0) + 1).getOrElse(256)
+    if (!hadoopFs(spark, metaPath).exists(metaPath)) effectiveKs
     else {
       val meta = spark.read.parquet(s"$dir/meta")
-      if (!meta.columns.contains("codebook_size")) 256
+      if (!meta.columns.contains("codebook_size")) effectiveKs
       else meta.select("codebook_size").head().getInt(0)
     }
   }

@@ -850,10 +850,17 @@ object Text {
     * scan; surviving docs keep their full payload. */
   def filterBySource(documents: DataFrame, maxDupFrac: Double = 0.5,
       maxLowQualityFrac: Double = 0.8): DataFrame = {
+    // The keep set is ≤ |sources| rows but costs the full report pass
+    // (fingerprint dedup + quality aggregation over the corpus) to derive.
+    // Materialize it: every composed consumer ([[curationE2e]] and its six
+    // twins) embeds the filtered frame several times — left lazy, each
+    // embedding re-plans and re-runs the report subtree; checkpointed, a
+    // duplicate costs one broadcast of |sources| rows over the scan.
     val keep = sourceReport(documents)
       .filter(col("dup_frac") <= maxDupFrac
         && col("low_quality_frac") <= maxLowQualityFrac)
       .select("source")
+      .localCheckpoint(true)
     documents.join(broadcast(keep), Seq("source"), "left_semi")
   }
 
@@ -3456,9 +3463,19 @@ object Text {
   private def bucketsFromScored(scoredIn: DataFrame,
       documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Materialize the per-doc score table once: it feeds BOTH the histogram
+    // (boundary computation) and the final bucket join, and left lazy the
+    // scorer's whole measured-broadcast join stack (2·order−1 joins over a
+    // Generate for the order-n models) plus its upstream corpus subtree is
+    // duplicated into each consumer — under [[curationE2ePplN]] that
+    // re-ran the source-report aggregation and the LM stack twice (the
+    // dedupLines / sourceDivergence materialization discipline). The frame
+    // is one (doc_id, source, avg_logp) row per SCORED doc — the gate
+    // table a production CCNet pass materializes anyway.
     val scored = scoredIn
       .join(documents.select("doc_id", "source"), Seq("doc_id"))
       .select("doc_id", "source", "avg_logp")
+      .localCheckpoint(true)
     val hist = scored.groupBy(col("source"), col("avg_logp"))
       .agg(count(lit(1)).as("c"))
     val cumW = Window.partitionBy("source").orderBy(col("avg_logp").desc)
@@ -3726,8 +3743,35 @@ object Text {
       expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"),
       lit(folds.toLong))
     val tagged = documents.withColumn("fold", foldOf)
+    // ONE (token, fold) count pass instead of k (k−1)/k-corpus training
+    // tokenizations: every fold's training counts are exact integer
+    // differences of the per-fold table (c_excl_f = c_total − c_fold), so
+    // each fold model is BIT-IDENTICAL to nbTrain over the k−1 folds —
+    // tokens present ONLY in the held-out fold difference to (0, 0) and
+    // are filtered, reproducing the subset vocabulary (and so the smoothed
+    // totals) exactly. Corpus-scale work drops from k−1 full tokenize
+    // passes to one; the per-fold arithmetic runs over the bounded
+    // (vocabulary × k) table.
+    val foldCounts = tagged
+      .select(col("fold"), truth.as("is_pos"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy("token", "fold").agg(
+        sum(when(col("is_pos"), lit(1L)).otherwise(lit(0L))).as("c_pos"),
+        sum(when(col("is_pos"), lit(0L)).otherwise(lit(1L))).as("c_neg"))
+      .localCheckpoint(true)
+    val totalCounts = foldCounts.groupBy("token").agg(
+        sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"))
+      .localCheckpoint(true)
     (0 until folds).map { f =>
-      val m = nbTrain(tagged.filter(col("fold") =!= f.toLong), truth)
+      val excl = totalCounts
+        .join(foldCounts.filter(col("fold") === f.toLong)
+          .select(col("token"), col("c_pos").as("f_pos"), col("c_neg").as("f_neg")),
+          Seq("token"), "left")
+        .select(col("token"),
+          (col("t_pos") - coalesce(col("f_pos"), lit(0L))).as("c_pos"),
+          (col("t_neg") - coalesce(col("f_neg"), lit(0L))).as("c_neg"))
+        .filter(col("c_pos") + col("c_neg") > 0L)
+      val m = nbFromCounts(excl.localCheckpoint(true))
       nbScoreWith(m, tagged.filter(col("fold") === f.toLong))
         .join(tagged.filter(col("fold") === f.toLong)
           .select(col("doc_id"), truth.as("is_pos")), Seq("doc_id"))
