@@ -46,14 +46,24 @@ object Profile {
       })
     }
 
+    // per-interval job counter: how many ACTIONS does a query run during
+    // construction + count? (each job pays scheduling + planning overhead —
+    // the dominant cost at bench scale)
+    val jobCount = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    })
     def time(name: String)(f: => Long): Unit = {
       import org.apache.spark.metrics.source.CodegenMetrics._
       def compMs = METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
       val (c0, m0) = (METRIC_COMPILATION_TIME.getCount, compMs)
+      val j0 = jobCount.get()
       val t0 = System.nanoTime()
       val n = f
       println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($n rows)" +
-        f"  [codegen: ${METRIC_COMPILATION_TIME.getCount - c0} compiles, ~${(compMs - m0) / 1000.0}%.1f s]")
+        f"  [codegen: ${METRIC_COMPILATION_TIME.getCount - c0} compiles, ~${(compMs - m0) / 1000.0}%.1f s;" +
+        f" jobs: ${jobCount.get() - j0}]")
     }
 
     if (args.headOption.contains("explain")) {
@@ -150,6 +160,39 @@ object Profile {
           .localCheckpoint(true).count())
       time("nnDescentGraph")(
         ops.Similarity.nnDescentGraph(emb).count())
+    } else if (args.contains("stream-debug")) {
+      // startup-vs-data split of the declared streaming queries (r18
+      // VERDICT #6): how much of each wall is slice staging, how much the
+      // three checkpointed micro-batches, how much result readback?
+      import org.apache.spark.sql.functions._
+      val orders = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val base = java.nio.file.Files.createTempDirectory("scd2_profile")
+      var src: java.nio.file.Path = null
+      time("scd2 stageTimeSlices")({
+        src = ops.StreamDemo.stageTimeSlices(orders,
+          col("o_orderdate").cast("timestamp").cast("long"), base)
+        1L
+      })
+      val (store, ckpt) = (base.resolve("store"), base.resolve("ckpt"))
+      val s2 = spark.newSession()
+      time("scd2 stream drain (3 batches)")({
+        val q = ops.StreamDemo.streamScd2Refresh(s2, src.toString,
+          store.toString, ckpt.toString)
+        try q.processAllAvailable() finally q.stop()
+        1L
+      })
+      time("scd2 readback+pin")(
+        ops.StreamDemo.readScd2Dim(spark, store.toString)
+          .localCheckpoint(true).count())
+      // second full execution in the same JVM: what part of the first wall
+      // was one-time codegen/class-load vs per-run machinery?
+      time("stream_scd2_dim run#2 (warm)")(
+        SparkEntry.queries("stream_scd2_dim")(spark, sfDir).count())
+      time("stream_session_windows (warm-jvm)")(
+        SparkEntry.queries("stream_session_windows")(spark, sfDir).count())
+      time("stream_user_profiles (warm-jvm)")(
+        SparkEntry.queries("stream_user_profiles")(spark, sfDir).count())
     } else if (args.contains("exact-debug")) {
       // decimal-exact vs double aggregation cost on the REAL pa/roll
       // shapes (r8 verdict #4: how much of the pipeline_stages slot is the

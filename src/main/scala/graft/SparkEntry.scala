@@ -158,6 +158,50 @@ object SparkEntry {
       pinned
     })
 
+  // ONE standing PQ index per (corpus dir, flavor) — raw and residual
+  // share the memoized coarse IVF geometry, OPQ fits its own rotated-space
+  // index: the codebooks and the corpus code words are a build-once
+  // serving artifact (Jégou's index lifecycle — the billion-scale shape is
+  // "encode the corpus once, ADC-serve forever"), so the three PQ-tier
+  // declared queries serve off standing indexes exactly like
+  // similarity_ivf_topk serves off ivfIndexCache, instead of re-training
+  // codebooks and re-encoding the corpus inside every query call. Codes
+  // are pinned (localCheckpoint) like the IVF vectors layer.
+  private val pqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Similarity.PqIndex]
+  private def pinnedPq(idx: Similarity.PqIndex): Similarity.PqIndex =
+    idx.copy(codes = idx.codes.localCheckpoint(true))
+  private def pqIndex(s: SparkSession, d: String): Similarity.PqIndex =
+    pqIndexCache.getOrElseUpdate((d, "raw"), {
+      val t0 = System.nanoTime()
+      val idx = pinnedPq(Similarity.pqBuildFrom(ivfIndex(s, d),
+        Tables.embeddings(s, d)))
+      ops.Pipeline.record(s, d, "pq_index", (System.nanoTime() - t0) / 1e9)
+      idx
+    })
+  private def pqResidualIndex(s: SparkSession, d: String): Similarity.PqIndex =
+    pqIndexCache.getOrElseUpdate((d, "residual"), {
+      val t0 = System.nanoTime()
+      val idx = pinnedPq(Similarity.pqBuildFrom(ivfIndex(s, d),
+        Tables.embeddings(s, d), residual = true))
+      ops.Pipeline.record(s, d, "pq_residual_index",
+        (System.nanoTime() - t0) / 1e9)
+      idx
+    })
+  // the OPQ index carries its pinned ROTATED corpus frame alongside — the
+  // query side lives in rotated space (opqBuild's contract)
+  private val opqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Similarity.PqIndex, org.apache.spark.sql.DataFrame)]
+  private def opqIndex(s: SparkSession,
+      d: String): (Similarity.PqIndex, org.apache.spark.sql.DataFrame) =
+    opqIndexCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val (idx, rotated) = Similarity.opqBuild(Tables.embeddings(s, d))
+      val pinned = (pinnedPq(idx), rotated)
+      ops.Pipeline.record(s, d, "opq_index", (System.nanoTime() - t0) / 1e9)
+      pinned
+    })
+
   // ONE md5-grid coarse index per corpus dir (the ivfIndexCache
   // discipline): deterministic geometry shared by the three grid-oracled
   // declared queries (similarity_ivfgrid_topk, similarity_pqgrid_topk,
@@ -274,6 +318,7 @@ object SparkEntry {
     dsirCountsCache.clear(); ivfIndexCache.clear()
     gateOverlapCache.clear(); ivfGridIndexCache.clear()
     nnGraphCache.clear(); nnServingCache.clear()
+    pqIndexCache.clear(); opqIndexCache.clear()
   }
 
   /** Build + materialize every shared pipeline stage. The bench calls this
@@ -323,14 +368,20 @@ object SparkEntry {
       // hub-star seed reuses its assignment), so the nn leg CHAINS on it
       // rather than racing the memo
       val gridF = Future(ivfGridIndex(s, d))
+      // the shared coarse-IVF fit is a pipeline stage too (five
+      // similarity queries read it) — built here so the one-time
+      // k-means cost is metered as pipeline_stages, not as whichever
+      // similarity query is alphabetically first in the bench loop;
+      // the two PQ codebook flavors CHAIN on it (they encode against its
+      // geometry) instead of racing the memo
+      val ivfF = Future(ivfIndex(s, d))
       val rest = Seq(
         Future(shingles(s, d)),
         Future(media(s, d)),
-        // the shared coarse-IVF fit is a pipeline stage too (five
-        // similarity queries read it) — built here so the one-time
-        // k-means cost is metered as pipeline_stages, not as whichever
-        // similarity query is alphabetically first in the bench loop
-        Future(ivfIndex(s, d)),
+        ivfF,
+        ivfF.map(_ => pqIndex(s, d)),
+        ivfF.map(_ => pqResidualIndex(s, d)),
+        Future(opqIndex(s, d)),
         // the memoized five-gate Venn frame (gate_kappa sorts before
         // gate_overlap in the bench loop) — after its two model inputs
         nbF.flatMap(_ => dsirF).map(_ => gateOverlapFrame(s, d)),
@@ -1166,21 +1217,25 @@ object SparkEntry {
     "hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(nnGraph(s, d))),
     // IVF-PQ: product-quantized ADC under the IVF probe pruning, exact
-    // rerank of survivors (rows-only: k-means, the sanctioned tier)
+    // rerank of survivors (rows-only: k-means, the sanctioned tier) —
+    // served off the standing memoized index (codebooks + corpus codes
+    // are build-once artifacts, the ivfIndexCache lifecycle)
     "similarity_ivfpq_topk" -> ((s, d) =>
-      Similarity.pqQuery(Similarity.pqBuildFrom(ivfIndex(s, d),
-        Tables.embeddings(s, d)), Tables.embeddings(s, d))),
+      Similarity.pqQuery(pqIndex(s, d), Tables.embeddings(s, d))),
     // IVFADC as published: the PQ codes the residual v − centroid(cell),
     // spending the same byte budget on the centered distribution — lower
     // reconstruction error at identical storage and plan shape
     "similarity_ivfpq_residual_topk" -> ((s, d) =>
-      Similarity.pqQuery(Similarity.pqBuildFrom(ivfIndex(s, d),
-        Tables.embeddings(s, d), residual = true), Tables.embeddings(s, d))),
+      Similarity.pqQuery(pqResidualIndex(s, d), Tables.embeddings(s, d))),
     // OPQ-parametric rotation (Ge et al. 2013): balanced eigen-allocation
     // decorrelates the sub-quantizers before the residual IVFADC pipeline
-    // — 44x lower code MSE on anisotropic corpora at identical storage
-    "similarity_ivfpq_opq_topk" -> ((s, d) =>
-      Similarity.ivfPqOpqTopK(Tables.embeddings(s, d))),
+    // — 44x lower code MSE on anisotropic corpora at identical storage;
+    // the rotated-space index stands per corpus dir, queries (the rotated
+    // frame itself) serve off it
+    "similarity_ivfpq_opq_topk" -> ((s, d) => {
+      val (idx, rotated) = opqIndex(s, d)
+      Similarity.pqQuery(idx, rotated, k = 5, nProbe = 0, rerankFactor = 6)
+    }),
     // D4-style diversity rebalancing: cap each embedding-space region's
     // contribution (md5 mirror planes -> the kept set is oracle-exact);
     // the IVF-cell flavor (cell_balanced_sample) is rows-only by

@@ -897,6 +897,11 @@ object Similarity {
     /** Vector dimensionality off the bounded centroid table (nCells rows —
       * one metadata-scale head, memoized for the bytes-based shape cut). */
     lazy val dim: Int = centroids.select(size(col("centroid"))).head.getInt(0)
+    /** Cell count, memoized per index (the corpusRows discipline):
+      * resolveProbes needs it on EVERY default-nProbe query call, and a
+      * bounded-but-real count job per call adds up across the sweep /
+      * repeated-query paths. */
+    lazy val nCells: Int = centroids.count().toInt
   }
 
   /** Build the IVF index: fit the k-means coarse quantizer on a sample
@@ -1023,10 +1028,10 @@ object Similarity {
         index.vectors.sparkSession))
   }
 
-  /** `nProbe = 0` → √cells ([[probesFor]]); the centroid table is
-    * nCells rows, so the count is a bounded metadata-scale job. */
+  /** `nProbe = 0` → √cells ([[probesFor]]) off the memoized per-index
+    * cell count (one bounded job per INDEX, not per query call). */
   private def resolveProbes(index: IvfIndex, nProbe: Int): Int =
-    if (nProbe > 0) nProbe else probesFor(index.centroids.count().toInt)
+    if (nProbe > 0) nProbe else probesFor(index.nCells)
 
   private def ivfQueryFrame(queries: DataFrame): DataFrame =
     withNorms(queries)
@@ -1977,8 +1982,13 @@ object Similarity {
             cache(i) = (cache(i)._1, cache(i)._2, false)
         } else if (!top._3) {
           // batch-refresh the R stale candidates with the largest bounds
-          // in ONE bounded job (graphK·R edge rows)
-          val batch = cache.filter(!_._3).take(32).map(_._1)
+          // in ONE bounded job (graphK·R edge rows). R trades job count
+          // against per-job rows: refreshing MORE stale entries per job
+          // changes only the refresh schedule, never a pick (gains are
+          // exact either way), and at R=128 the whole greedy loop runs
+          // ~picks jobs instead of ~3×picks (each job still ≤ graphK·R
+          // edge rows — trivially bounded).
+          val batch = cache.filter(!_._3).take(128).map(_._1)
           val fresh = gains(Some(batch.toSeq)).collect()
             .map(r => r.getLong(0) -> r.getDouble(1)).toMap
           for (i <- cache.indices; if batch.contains(cache(i)._1))
@@ -3842,10 +3852,22 @@ object Similarity {
   def ivfPqOpqTopK(embeddings: DataFrame, k: Int = 5, m: Int = 8,
       codebookSize: Int = 256, nCells: Int = 0, nProbe: Int = 0,
       rerankFactor: Int = 6, fitMaxRows: Long = 100000L): DataFrame = {
+    val (idx, pinned) = opqBuild(embeddings, m, codebookSize, nCells, fitMaxRows)
+    pqQuery(idx, pinned, k, nProbe, rerankFactor)
+  }
+
+  /** The BUILD half of [[ivfPqOpqTopK]] — rotation + residual IVFADC index
+    * over the rotated corpus, returned WITH the pinned rotated frame (the
+    * query side lives in rotated space too). Split out so a memoizing
+    * serving layer (SparkEntry's per-dir caches) builds the rotated index
+    * once and serves many queries off it — the ivfIndexCache lifecycle;
+    * [[ivfPqOpqTopK]] composes build + query verbatim, so the one-shot
+    * form and the standing-index form can never drift. */
+  def opqBuild(embeddings: DataFrame, m: Int = 8, codebookSize: Int = 256,
+      nCells: Int = 0, fitMaxRows: Long = 100000L): (PqIndex, DataFrame) = {
     val (rotated, _) = opqRotate(embeddings, m)
     val pinned = rotated.localCheckpoint(true) // build + query read it twice
-    pqQuery(pqBuild(pinned, m, codebookSize, nCells, fitMaxRows,
-        residual = true),
-      pinned, k, nProbe, rerankFactor)
+    (pqBuild(pinned, m, codebookSize, nCells, fitMaxRows, residual = true),
+      pinned)
   }
 }

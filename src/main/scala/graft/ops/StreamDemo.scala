@@ -41,7 +41,7 @@ object StreamDemo {
     * ([[streamedScd2Dim]], [[streamedSessionWindows]]); in production the
     * files arrive from the upstream loader and the same streaming query
     * runs unmodified. Returns the source directory. */
-  private def stageTimeSlices(df0: DataFrame,
+  private[graft] def stageTimeSlices(df0: DataFrame,
       orderSeconds: org.apache.spark.sql.Column,
       base: java.nio.file.Path): java.nio.file.Path = {
     val src = base.resolve("src")
@@ -1329,11 +1329,12 @@ object StreamDemo {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.localCheckpoint(true)
         if (b.count() > 0) {
+          // no pre-write materialization (the scd2 refresh rule): the write
+          // is the fold's only consumer and reads only layers < batchId
           val merged = CusumStore.view(spark, storeDir, batchId)
             .unionByName(graft.ops.Analytics.dailyGrid(b))
             .groupBy("day", "event_type")
             .agg(sum("n_events").cast("long").as("n_events"))
-            .localCheckpoint(true)
           merged.write.mode("overwrite")
             .parquet(s"$storeDir/grid/batch_id=$batchId")
           for ((_, p) <- ReportStore.completeIds(spark, storeDir, "grid", "batch_id=")
@@ -1409,9 +1410,13 @@ object StreamDemo {
             col("c_custkey"), col("priority"),
             col("effective_from").as("as_of"),
             col("version").as("seq"), col("n_orders"))
+          // no pre-write materialization: the write is the merge plan's
+          // ONLY consumer, it reads layers strictly below batchId (its own
+          // target dir is new), and retention deletes run only after the
+          // write lands — so a task retry re-reads intact inputs. One
+          // fewer action + cache per micro-batch (r18 VERDICT #6).
           val merged = graft.ops.Relational
             .scd2Apply(Scd2Store.view(spark, storeDir, batchId), updates)
-            .localCheckpoint(true)
           merged.write.mode("overwrite")
             .parquet(s"$storeDir/dim/batch_id=$batchId")
           for ((_, p) <- ReportStore.completeIds(spark, storeDir, "dim", "batch_id=")
