@@ -344,7 +344,16 @@ object SparkEntry {
     // key, so concurrency cannot double-build a stage.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // Pool width covers EVERY independent leg (r19 measured sweep of the
+    // full 25-leg prebuild wall at sf0.1: 1 thread → 141 s, 4 → 88, 8 → 80,
+    // 16 → 37, 25 → 35): the legs are latency-bound chains of SMALL Spark
+    // jobs (k-means iterations, LM count passes, per-stage checkpoints)
+    // that leave the cluster mostly idle, so a narrow pool serializes
+    // latency, not work — a leg blocked on its action costs a thread but
+    // no cores. Threads are cheap; the scheduler back-fills tasks from
+    // every in-flight leg (guide §2.6). Overridable for experiments.
+    val poolThreads = sys.env.getOrElse("SPARK_GRAFT_PREBUILD_THREADS", "25").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolThreads)
     implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
     // time a memoized model build and record it as its own stage line —
     // keeps the per-stage decomposition complete now that the model fits
