@@ -1192,14 +1192,59 @@ object Similarity {
       .filter(col("rk") <= k)
       .select("query_id", "neighbor_id")
       .localCheckpoint(true) // q·k rows, reused by every grid point
+    // NESTED-TIER scoring (r19): probe sets are nested in nProbe (each
+    // query's np nearest cells = the first np of its maxNp nearest), so
+    // score the candidate union ONCE at the largest grid point carrying
+    // each candidate's admitting-cell probe rank, and derive every tier
+    // by `pr <= np` over the materialized bounded frame — the same
+    // candidate set, q6 cosine and (cos DESC, id) top-k as the per-tier
+    // ivfQuery calls this replaces (5 cell-join scoring passes → 1).
+    val maxNp = probeGrid.max
+    val probeW = Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))
+    val probes = q.select(col("query_id"), col("qv"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("dist",
+        dotd(col("centroid"), col("centroid")) - lit(2.0) * dotd(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= maxNp)
+      .select(col("query_id"), col("cell"), col("pr"))
+    val vectors = index.vectors
+    val scored = (
+      if (!fusedShape(index.corpusRows, vecRowBytes(index.dim),
+          index.vectors.sparkSession)) {
+        // broadcast-attach shape (ivfScore's small-corpus dual), pr carried
+        probes
+          .join(vectors.select(col("vec_id").as("neighbor_id"), col("cell")),
+            Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id", "pr")
+          .join(q, Seq("query_id"))
+          .join(vectors.select(col("vec_id").as("neighbor_id"),
+            col("v").as("cv"), col("norm").as("cn")), Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), col("pr"),
+            q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+      } else {
+        // fused shape, pr carried through the cell join
+        probes
+          .join(q, Seq("query_id"))
+          .join(vectors.select(col("vec_id").as("neighbor_id"), col("cell"),
+            col("v").as("cv"), col("norm").as("cn")), Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), col("pr"),
+            q6(dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+      }).localCheckpoint(true) // bounded: nQueries × maxNp-cell candidates
+    val stats = exact.groupBy().agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("possible"))
+      .localCheckpoint(true)
     probeGrid.map { np =>
-      ivfQuery(index, queries, k, np)
+      scored.filter(col("pr") <= np)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
         .select(col("query_id"), col("neighbor_id"))
         .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
-        .crossJoin(broadcast(exact.groupBy().agg(
-          countDistinct(col("query_id")).as("n_queries"),
-          count(lit(1)).as("possible"))))
+        .crossJoin(broadcast(stats))
         .select(lit(np.toLong).as("nprobe"), col("n_queries"),
           col("possible"), col("hits"),
           (col("hits").cast("double") / col("possible")).as("recall"))

@@ -3762,26 +3762,57 @@ object Text {
     val totalCounts = foldCounts.groupBy("token").agg(
         sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"))
       .localCheckpoint(true)
-    (0 until folds).map { f =>
-      val excl = totalCounts
-        .join(foldCounts.filter(col("fold") === f.toLong)
-          .select(col("token"), col("c_pos").as("f_pos"), col("c_neg").as("f_neg")),
-          Seq("token"), "left")
-        .select(col("token"),
-          (col("t_pos") - coalesce(col("f_pos"), lit(0L))).as("c_pos"),
-          (col("t_neg") - coalesce(col("f_neg"), lit(0L))).as("c_neg"))
-        .filter(col("c_pos") + col("c_neg") > 0L)
-      val m = nbFromCounts(excl.localCheckpoint(true))
-      nbScoreWith(m, tagged.filter(col("fold") === f.toLong))
-        .join(tagged.filter(col("fold") === f.toLong)
-          .select(col("doc_id"), truth.as("is_pos")), Seq("doc_id"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(((col("mean_logodds") >= 0.0) === col("is_pos")).cast("long"))
-            .as("n_correct"))
-        .select(lit(f.toLong).as("fold"), col("n_docs"), col("n_correct"),
-          (col("n_correct").cast("double") / col("n_docs")).as("acc"))
-    }.reduce(_ unionByName _)
+    // ALL k fold models in one bounded (vocabulary × k) exclusion table,
+    // and all k held-out scorings in ONE postings pass: every doc joins
+    // the weight column of ITS OWN fold's model on (token, fold). Weight
+    // arithmetic is nbFromCounts' formula verbatim (same smoothed
+    // denominators per fold, same q6 grid, same unseen-token floor w0 per
+    // fold), and the per-doc mean is the same order-independent decimal
+    // sum — so each fold row is BIT-IDENTICAL to the per-fold
+    // train-then-score loop this replaces (r19: 5 corpus scans + ~80
+    // driver jobs → 1 postings pass + 1 truth-column scan, ~10 jobs).
+    val foldIds = tagged.sparkSession.range(folds.toLong)
+      .select(col("id").as("fold"))
+    val excl = totalCounts
+      .crossJoin(broadcast(foldIds))
+      .join(foldCounts.select(col("token"), col("fold"),
+          col("c_pos").as("f_pos"), col("c_neg").as("f_neg")),
+        Seq("token", "fold"), "left")
+      .select(col("token"), col("fold"),
+        (col("t_pos") - coalesce(col("f_pos"), lit(0L))).as("c_pos"),
+        (col("t_neg") - coalesce(col("f_neg"), lit(0L))).as("c_neg"))
+      .filter(col("c_pos") + col("c_neg") > 0L)
+    // per-fold smoothed denominators (nbFromCounts' totals, grouped by fold)
+    val totals = excl.groupBy("fold").agg(
+        (sum("c_pos") + count(lit(1))).as("np_v"),
+        (sum("c_neg") + count(lit(1))).as("nn_v"))
+      .localCheckpoint(true)
+    val weights = excl.join(broadcast(totals), Seq("fold"))
+      .withColumn("weight", q6(
+        (log(col("c_pos") + lit(1L)) - log(col("np_v")))
+          - (log(col("c_neg") + lit(1L)) - log(col("nn_v")))))
+      .select("token", "fold", "weight")
+      .localCheckpoint(true)
+    val floorW = totals.select(col("fold"),
+      q6(log(col("nn_v")) - log(col("np_v"))).as("w0"))
+    def hint(df: DataFrame): DataFrame =
+      if (weights.count() <= 5000000L * folds) broadcast(df) else df
+    val scores = tagged
+      .select(col("doc_id"), col("fold"), explode(tokens(col("text"))).as("token"))
+      .join(hint(weights), Seq("token", "fold"), "left")
+      .join(broadcast(floorW), Seq("fold"))
+      .withColumn("w", coalesce(col("weight"), col("w0")))
+      .groupBy(col("doc_id"), col("fold")).agg(
+        (sum(col("w").cast(graft.functions.Exact.DecQ)).cast("double")
+          / count(col("w"))).as("mean_logodds"))
+    scores
+      .join(tagged.select(col("doc_id"), truth.as("is_pos")), Seq("doc_id"))
+      .groupBy("fold").agg(
+        count(lit(1)).as("n_docs"),
+        sum(((col("mean_logodds") >= 0.0) === col("is_pos")).cast("long"))
+          .as("n_correct"))
+      .select(col("fold"), col("n_docs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs")).as("acc"))
   }
 
   /** RANK-FUSION quality blend — the multi-signal curation score the
