@@ -194,7 +194,10 @@ class PipelineSpec extends SparkTestBase {
     val built = graft.ops.Pipeline.timings(s2, dst.toString).keySet
     val expected = Set("box", "pa", "adv", "roll", "af", "shingles", "media",
       "ivf_index", "gate_overlap_frame", "ivfgrid_index", "nn_graph",
-      "nn_serving_publish")
+      "nn_serving_publish", "pq_index", "pq_residual_index", "opq_index",
+      "pqgrid_index", "nb_model", "dsir_counts", "lm_model", "lm_model_n3",
+      "lm_model_n5", "lm_model_pruned", "lm_model_in", "pca_model",
+      "bpe_merges", "unigram_pieces")
     assert(expected.subsetOf(built),
       s"prebuild dropped stages: ${expected -- built} (built: $built)")
   }
