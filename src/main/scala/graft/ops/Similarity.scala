@@ -2026,14 +2026,19 @@ object Similarity {
           for (i <- cache.indices)
             cache(i) = (cache(i)._1, cache(i)._2, false)
         } else if (!top._3) {
-          // batch-refresh the R stale candidates with the largest bounds
-          // in ONE bounded job (graphK·R edge rows). R trades job count
-          // against per-job rows: refreshing MORE stale entries per job
-          // changes only the refresh schedule, never a pick (gains are
-          // exact either way), and at R=128 the whole greedy loop runs
-          // ~picks jobs instead of ~3×picks (each job still ≤ graphK·R
-          // edge rows — trivially bounded).
-          val batch = cache.filter(!_._3).take(128).map(_._1)
+          // batch-refresh EVERY stale cached candidate in ONE bounded job
+          // (≤ graphK·m edge rows — m is picks-proportional, so the job
+          // stays trivially bounded at any corpus size). Refresh batching
+          // trades job count against per-job rows and changes only the
+          // refresh SCHEDULE, never a pick (gains are exact either way —
+          // the lazy≡eager law pins the sequence). r19 note: at the bench
+          // grain the r18 partial batch (128) already kept refreshes at
+          // one per pick (measured: job count unchanged at 67), so this
+          // is a robustness simplification — one refresh per pick holds
+          // for ANY m, not a measured win; the query's remaining cost is
+          // ~4 scheduler round-trips per pick (refresh action + its
+          // broadcast/AQE stages), inherent to the driver-greedy shape.
+          val batch = cache.filter(!_._3).map(_._1)
           val fresh = gains(Some(batch.toSeq)).collect()
             .map(r => r.getLong(0) -> r.getDouble(1)).toMap
           for (i <- cache.indices; if batch.contains(cache(i)._1))
