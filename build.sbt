@@ -11,6 +11,34 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Run suites CONCURRENTLY inside the forked test JVMs (r19 VERDICT #7:
+// the sequential suite outgrew the round driver's test budget on a loaded
+// host — tests_ok went dark with zero failures). The suites share one
+// lazy local[8] SparkSession (SparkTestBase) whose scheduler happily runs
+// concurrent jobs; per-suite state is session-global but immutable-once-
+// built (TrieMap memos keyed by dir, first-build-locked), and scratch
+// dirs are per-test temp paths. The suites that mutate or observe
+// PROCESS-GLOBAL state (default-session swaps, join-planning confs,
+// whole-context task listeners) CANNOT run concurrently with anything —
+// they are wrapped in graft.IsolatedSerialSuites (sequential nested
+// members) and scheduled into a forked JVM of their own below, so the two
+// groups overlap while the sensitive suites see a private SparkContext.
+// Measured wall: 24 min sequential → ~10 min (OPTIMIZATION_r20.md).
+Test / testForkedParallel := true
+Test / testGrouping := {
+  val (iso, par) = (Test / definedTests).value
+    .partition(_.name == "graft.IsolatedSerialSuites")
+  val fo = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withOutputStrategy((Test / outputStrategy).value)
+  Seq(Tests.Group("isolated-serial", iso, Tests.SubProcess(fo)),
+    Tests.Group("parallel", par, Tests.SubProcess(fo)))
+}
+// sbt's default caps concurrent forked test groups at 1 — allow both
+// groups to overlap (they are separate JVMs with separate SparkContexts)
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(java.lang.Runtime.getRuntime.availableProcessors()),
+  Tags.limit(Tags.ForkedTestGroup, 2))
 // The round driver captures sbt stdout (last 2000 chars) and parses the
 // FINAL line as the bench JSON artifact (BENCH_r12–r16 all committed
 // `parsed: null`). Two settings make that line final and raw: the forked

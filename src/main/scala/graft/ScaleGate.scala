@@ -125,13 +125,43 @@ object ScaleGate {
     val r1 = runScale("1x", dir1)
     val r10 = runScale("10x", dir10)
 
-    val flagged = r10.keys.toSeq.sorted.flatMap { name =>
-      (r1.get(name), r10.get(name)) match {
-        case (Some((s1, _)), Some((s10, _)))
-            if s10 > ratioLimit * math.max(s1, floorSec) =>
-          Some(name -> (math.round(s10 * 100 / math.max(s1, floorSec)) / 100.0))
-        case _ => None
-      }
+    // MIN-OF-2 RE-MEASURE inside the gate (r19 VERDICT #6): single-run 10×
+    // walls flag host bursts, not plans — two r19 close runs flagged
+    // DISJOINT sets including a 0.5 s plain filter at 23.8 s, adjudicated
+    // out-of-band with warm re-runs. The gate now re-runs each
+    // would-be-flagged query itself (warm, same session — exactly the
+    // out-of-band adjudication pass) and flags on the MINIMUM of the two
+    // walls; both walls are recorded so the artifact shows the
+    // adjudication instead of leaving it to a human. `pipeline_stages`
+    // cannot re-run (the prebuild is memoized) and keeps its single wall.
+    def overLimit(name: String, s10: Double): Boolean =
+      r1.get(name).exists { case (s1, _) =>
+        s10 > ratioLimit * math.max(s1, floorSec) }
+    val suspects = r10.toSeq.collect {
+      case (name, (s10, _)) if overLimit(name, s10) => name -> s10
+    }.sortBy(_._1)
+    val remeasured = suspects.collect {
+      case (name, first) if name != "pipeline_stages" =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, dir10).count() catch {
+          case e: Throwable => errors(s"remeasure:$name") =
+            s"${e.getClass.getSimpleName}: ${jsonSafe(e.getMessage)}"
+        }
+        name -> (first, (System.nanoTime() - t0) / 1e9)
+    }.toMap
+    if (remeasured.nonEmpty) {
+      val rJson = remeasured.toSeq.sorted.map { case (k, (a, b)) =>
+        s""""$k":{"first":${math.round(a * 100) / 100.0},"second":${math.round(b * 100) / 100.0}}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"scale_gate_remeasure","queries":$rJson}""")
+    }
+    val flagged = suspects.flatMap { case (name, first) =>
+      val s10 = remeasured.get(name).fold(first) {
+        case (a, b) => math.min(a, b) }
+      val s1f = math.max(r1(name)._1, floorSec)
+      if (s10 > ratioLimit * s1f)
+        Some(name -> (math.round(s10 * 100 / s1f) / 100.0))
+      else None
     }
     val fJson = flagged.map { case (k, r) => s""""$k":$r""" }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")

@@ -323,6 +323,61 @@ object SparkEntry {
       f
     })
 
+  // The NORMED corpus layer (r19 VERDICT #5): (vec_id, label, v, norm)
+  // with zero-norm vectors excluded — exactly Similarity.withNorms'
+  // output, pinned once per corpus dir. The graph-serving and
+  // recall-sweep queries each re-derived it per call (one corpus
+  // normalize pass each); a deployment holds the normed layer the way it
+  // holds the graph/index layers (the ivfIndexCache discipline; same
+  // PATH-keyed staleness caveat).
+  private val normedEmbCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+  private def normedEmb(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    normedEmbCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val f = Similarity.withNorms(Tables.embeddings(s, d)).localCheckpoint(true)
+      ops.Pipeline.record(s, d, "normed_corpus", (System.nanoTime() - t0) / 1e9)
+      f
+    })
+
+  // The mirrorable (md5) MinHash SIGNATURE layer over the staged shingle
+  // postings (r20): the 32-column min-md5 aggregation is the widest
+  // codegen stage of the minhash family and five declared queries each
+  // re-ran it (dedup_minhash_lsh, dedup_edit_distance, minhash_estimate,
+  // decontaminate_fuzzy ×2 sides); signatures are per-document minima, so
+  // the one corpus-wide table slices into any doc_id-filtered side
+  // exactly. Built once per corpus dir as a prebuild leg chained on the
+  // shingles stage.
+  private val minhashSigsCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+  private def minhashSigs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    minhashSigsCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val f = Text.mirrorableSigs(shingles(s, d), numHashes = 32)
+        .localCheckpoint(true)
+      ops.Pipeline.record(s, d, "minhash_sigs", (System.nanoTime() - t0) / 1e9)
+      f
+    })
+
+  // The UNFILTERED verified n-gram near-dup pair set (threshold 0 of
+  // Text.dedupNgramJaccardFrom over the staged shingles — candidates with
+  // their exact Jaccard): five declared queries re-ran the same
+  // candidate/verify pass per call (dedup_ngram_jaccard, dedup_containment,
+  // dedup_threshold_sweep, dedup_clusters, dedup_agreement); each is a
+  // filter/projection/rollup of THIS bounded pair table. Built once per
+  // corpus dir as a prebuild leg chained on the shingles stage (the
+  // gateOverlapFrame discipline: bounded, many consumers).
+  private val ngramPairsCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+  private def ngramPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    ngramPairsCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val f = Text.dedupNgramJaccardFrom(shingles(s, d), threshold = 0.0)
+        .localCheckpoint(true)
+      ops.Pipeline.record(s, d, "ngram_pairs", (System.nanoTime() - t0) / 1e9)
+      f
+    })
+
   /** Drop memoized per-directory models (BPE merges, LM counts, classifier
     * weights, in-domain contrast LM). */
   def clearModelCaches(): Unit = {
@@ -333,6 +388,7 @@ object SparkEntry {
     gateOverlapCache.clear(); ivfGridIndexCache.clear()
     nnGraphCache.clear(); nnServingCache.clear()
     pqIndexCache.clear(); opqIndexCache.clear()
+    normedEmbCache.clear(); minhashSigsCache.clear(); ngramPairsCache.clear()
   }
 
   /** Build + materialize every shared pipeline stage. The bench calls this
@@ -379,9 +435,14 @@ object SparkEntry {
       r
     }
     try {
-      box(s, d) // the shared parent of pa/adv/roll — built once, uncontended
-      // af's three inputs are mutually independent given box
-      val afInputs = Seq(Future(pa(s, d)), Future(adv(s, d)), Future(roll(s, d)))
+      // LONGEST CHAINS FIRST (r19 VERDICT #3): the synchronous box build
+      // used to gate every future, so the opq/ivf k-means cascades — the
+      // legs that bound the prebuild wall (opq_index ~10 s at t=1) —
+      // started a box-wall late for no reason. Launch every
+      // box-independent leg before box is built; box then competes for
+      // cores, but the wall is the critical CHAIN, not core time (the
+      // legs are latency-bound small-job cascades — measured r19 sweep).
+      val opqF = Future(opqIndex(s, d))
       // the two gate-model prerequisites are mutually independent; built
       // as sub-futures so the gate leg's chain is max(nb, dsir) + venn
       // instead of nb + dsir + venn (r18 VERDICT #5)
@@ -398,13 +459,19 @@ object SparkEntry {
       // the two PQ codebook flavors CHAIN on it (they encode against its
       // geometry) instead of racing the memo
       val ivfF = Future(ivfIndex(s, d))
+      // the staged shingle postings feed the minhash signature layer and
+      // the verified n-gram pair layer — dependent legs, chained
+      val shinglesF = Future(shingles(s, d))
       val rest = Seq(
-        Future(shingles(s, d)),
+        opqF,
+        shinglesF,
+        shinglesF.map(_ => minhashSigs(s, d)),
+        shinglesF.map(_ => ngramPairs(s, d)),
         Future(media(s, d)),
+        Future(normedEmb(s, d)),
         ivfF,
         ivfF.map(_ => pqIndex(s, d)),
         ivfF.map(_ => pqResidualIndex(s, d)),
-        Future(opqIndex(s, d)),
         // the memoized five-gate Venn frame (gate_kappa sorts before
         // gate_overlap in the bench loop) — after its two model inputs
         nbF.flatMap(_ => dsirF).map(_ => gateOverlapFrame(s, d)),
@@ -428,6 +495,9 @@ object SparkEntry {
         Future(leg("pca_model")(pcaModel(s, d))),
         Future(leg("bpe_merges")(bpeMerges(s, d))),
         Future(leg("unigram_pieces")(unigramPieces(s, d))))
+      box(s, d) // the shared parent of pa/adv/roll
+      // af's three inputs are mutually independent given box
+      val afInputs = Seq(Future(pa(s, d)), Future(adv(s, d)), Future(roll(s, d)))
       // Await EVERY leg before rethrowing (r18 ADVICE #4): failing fast on
       // the first error left the remaining futures running Spark jobs on
       // the pool (shutdown() does not cancel in-flight work), so a failure
@@ -618,18 +688,33 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Text.dedupExact(Tables.documents(s, d))),
     // best-copy keeper: highest quality score wins its fingerprint group
     "dedup_exact_best" -> ((s, d) => Text.dedupExactKeepBest(Tables.documents(s, d))),
-    "dedup_ngram_jaccard" -> ((s, d) => Text.dedupNgramJaccardFrom(shingles(s, d))),
-    // Broder containment over the same shared shingle stage: near-SUPERSET
-    // pairs (short doc engulfed by a long one) that resemblance misses
-    "dedup_containment" -> ((s, d) =>
-      Text.dedupContainmentFrom(shingles(s, d), threshold = 0.6)),
+    // resemblance/containment/sweep/clusters/agreement are each a
+    // filter/projection of the ONE standing verified pair table (r20,
+    // guide §2.4): the same candidate/verify pass ran five times per bench
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      ngramPairs(s, d).filter(col("jaccard") >= 0.5)
+    }),
+    // Broder containment over the same verified pair table: near-SUPERSET
+    // pairs (short doc engulfed by a long one) that resemblance misses —
+    // containment = n_common / min(size) is a projection of the pair row
+    "dedup_containment" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      ngramPairs(s, d)
+        .withColumn("containment",
+          col("n_common").cast("double") / least(col("size_a"), col("size_b")))
+        .filter(col("containment") >= 0.6)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "containment")
+    }),
     // sketch calibration: per band-collision pair, the signature-estimated
     // Jaccard next to the exact one + abs error — the numHashes-sizing
     // measurement for every estimate-only admission rule
-    "minhash_estimate" -> ((s, d) => Text.minhashEstimateFrom(shingles(s, d))),
+    "minhash_estimate" -> ((s, d) => Text.minhashEstimateFrom(shingles(s, d),
+      sigsOpt = Some(minhashSigs(s, d)))),
     // threshold-picking telemetry: pair/affected-doc counts at each
     // candidate Jaccard cut, from ONE candidate/verify pass
-    "dedup_threshold_sweep" -> ((s, d) => Text.dedupThresholdSweep(shingles(s, d))),
+    "dedup_threshold_sweep" -> ((s, d) => Text.dedupThresholdSweep(shingles(s, d),
+      pairsOpt = Some(ngramPairs(s, d)))),
     // corpus-health vocabulary telemetry: Heaps-law position + top-100
     // Zipf slope per source (template/junk sources flatten toward 0)
     "vocab_growth" -> ((s, d) => Text.vocabGrowth(Tables.documents(s, d))),
@@ -645,13 +730,15 @@ object SparkEntry {
     // mirrorable (md5) signature + band hashes so the candidate set itself
     // is value-checked; the xxhash64 sketch aggregate stays the scale default
     "dedup_minhash_lsh" -> ((s, d) =>
-      Text.dedupMinHashLshFrom(shingles(s, d), mirrorableHash = true)),
+      Text.dedupMinHashLshFrom(shingles(s, d), mirrorableHash = true,
+        bucketsOpt = Some(Text.bucketsFromSigs(minhashSigs(s, d))))),
     // character-level verify tier over the SAME banding candidates:
     // thresholded (banded-DP) Levenshtein ≤ 20 — catches in-word edits the
     // token shingles blur; md5 candidates keep the oracle end-to-end
     "dedup_edit_distance" -> ((s, d) =>
       Text.dedupEditDistanceFrom(shingles(s, d), Tables.documents(s, d),
-        mirrorableHash = true)),
+        mirrorableHash = true,
+        bucketsOpt = Some(Text.bucketsFromSigs(minhashSigs(s, d))))),
     // mirrorable (md5) fingerprint; block-invariance lets the oracle
     // value-check via a plain hamming self-join over the same fingerprints
     "dedup_simhash" -> ((s, d) =>
@@ -906,29 +993,33 @@ object SparkEntry {
       nbModel(s, d), minScore = 0.0,
       maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
       rates = Map("en" -> 0.5, "zh" -> 0.75))),
+    // the %20-split decontamination family slices the ONE staged shingle
+    // layer instead of re-tokenizing the corpus per query (r20, guide
+    // §2.4): shingling is a per-document projection, so
+    // shingles(docs.filter(p)) ≡ shingles(docs).filter(p) row for row
     "decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val docs = Tables.documents(s, d)
-      Text.decontaminate(
-        docs.filter(col("doc_id") % 20 =!= 0), // train
-        docs.filter(col("doc_id") % 20 === 0)) // held-out "benchmark"
+      val sh = shingles(s, d)
+      Text.decontaminateFrom(
+        sh.filter(col("doc_id") % 20 =!= 0), // train
+        sh.filter(col("doc_id") % 20 === 0)) // held-out "benchmark"
     }),
     // bloom-prefiltered membership tier: bit-identical output (exact join
     // behind the probe), shares decontaminate's oracle
     "decontaminate_bloom" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val docs = Tables.documents(s, d)
-      Text.decontaminateBloom(
-        docs.filter(col("doc_id") % 20 =!= 0),
-        docs.filter(col("doc_id") % 20 === 0))
+      val sh = shingles(s, d)
+      Text.decontaminateBloomFrom(
+        sh.filter(col("doc_id") % 20 =!= 0),
+        sh.filter(col("doc_id") % 20 === 0))
     }),
     // per-eval-doc leak rollup of the same pair pass
     "decontaminate_report" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val docs = Tables.documents(s, d)
-      Text.decontaminateReport(
-        docs.filter(col("doc_id") % 20 =!= 0),
-        docs.filter(col("doc_id") % 20 === 0))
+      val sh = shingles(s, d)
+      Text.decontaminateReportFrom(
+        sh.filter(col("doc_id") % 20 =!= 0),
+        sh.filter(col("doc_id") % 20 === 0))
     }),
     // per-source duplication burden over the same synthetic mirror:
     // dup fraction + within-feed vs cross-feed split (dup_source_matrix
@@ -966,36 +1057,47 @@ object SparkEntry {
     // the candidate set (xxhash64 sketch is the scale default)
     "decontaminate_fuzzy" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val docs = Tables.documents(s, d)
-      Text.decontaminateFuzzy(
-        docs.filter(col("doc_id") % 20 =!= 0),
-        docs.filter(col("doc_id") % 20 === 0), mirrorableHash = true)
+      val sh = shingles(s, d)
+      // band buckets slice the standing signature layer (per-doc minima
+      // commute with the doc_id filter) — the 32-min-md5 aggregation and
+      // the corpus tokenize both run zero times inside this query
+      val sigs = minhashSigs(s, d)
+      Text.decontaminateFuzzyFrom(
+        sh.filter(col("doc_id") % 20 =!= 0),
+        sh.filter(col("doc_id") % 20 === 0), mirrorableHash = true,
+        bucketsT = Some(Text.bucketsFromSigs(
+          sigs.filter(col("doc_id") % 20 =!= 0))),
+        bucketsE = Some(Text.bucketsFromSigs(
+          sigs.filter(col("doc_id") % 20 === 0))))
     }),
     // enforcement form: the clean train set after dropping flagged docs
     "decontaminate_filter" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)
-      Text.decontaminateFilter(
+      val sh = shingles(s, d)
+      Text.decontaminateFilterFrom(
         docs.filter(col("doc_id") % 20 =!= 0),
-        docs.filter(col("doc_id") % 20 === 0))
+        sh.filter(col("doc_id") % 20 =!= 0),
+        sh.filter(col("doc_id") % 20 === 0))
     }),
     // containment decontamination (Broder containment of the EVAL side):
     // catches a benchmark item quoted whole inside a long train doc,
     // where Jaccard → 0 as the train doc grows
     "decontaminate_containment" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val docs = Tables.documents(s, d)
-      Text.decontaminateContainment(
-        docs.filter(col("doc_id") % 20 =!= 0),
-        docs.filter(col("doc_id") % 20 === 0), threshold = 0.6)
+      val sh = shingles(s, d)
+      Text.decontaminateContainmentFrom(
+        sh.filter(col("doc_id") % 20 =!= 0),
+        sh.filter(col("doc_id") % 20 === 0), threshold = 0.6)
     }),
     // novel-ngram rate of the held-out splits vs the train hash-split —
-    // the graded memorization/leakage audit
+    // the graded memorization/leakage audit (the split predicate is
+    // doc_id-only, so it slices the staged postings exactly)
     "novelty_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Text.noveltyScore(
-        docs.filter(Text.inTrainSplit()),
-        docs.filter(!Text.inTrainSplit()))
+      val sh = shingles(s, d)
+      Text.noveltyScoreFrom(
+        sh.filter(Text.inTrainSplit()),
+        sh.filter(!Text.inTrainSplit()))
     }),
     // training-shard manifest: per-pack slice count + fill fraction
     "pack_stats" -> ((s, d) => Text.packStats(Tables.documents(s, d))),
@@ -1073,15 +1175,23 @@ object SparkEntry {
         emb.filter(col("vec_id") % 20 =!= 0),
         emb.filter(col("vec_id") % 20 === 0), mirrorableHash = true)
     }),
-    "dedup_clusters" -> ((s, d) => Text.clustersFromPairs(
-      Tables.documents(s, d).select("doc_id"),
-      Text.dedupNgramJaccardFrom(shingles(s, d)).select("doc_a", "doc_b"))),
+    "dedup_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Text.clustersFromPairs(
+        Tables.documents(s, d).select("doc_id"),
+        ngramPairs(s, d).filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b"))
+    }),
     // cross-tier agreement: do the text n-gram tier and the embedding
     // cosine tier see the same duplicate pairs on the id-aligned corpus?
-    "dedup_agreement" -> ((s, d) => Quality.dedupAgreement(
-      Text.dedupNgramJaccardFrom(shingles(s, d)).select("doc_a", "doc_b"),
-      Similarity.embeddingNearDup(Tables.embeddings(s, d))
-        .select("vec_a", "vec_b"))),
+    "dedup_agreement" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Quality.dedupAgreement(
+        ngramPairs(s, d).filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b"),
+        Similarity.embeddingNearDup(Tables.embeddings(s, d))
+          .select("vec_a", "vec_b"))
+    }),
 
     // ---- similarity (north star)
     "similarity_bruteforce_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
@@ -1210,19 +1320,15 @@ object SparkEntry {
     // beam-search SERVING over the standing NN-descent graph (entry nodes
     // → 3 frontier-expansion hops → top-5): query cost O(beam·degree·hops)
     // independent of corpus size — hash-verified on the shared build CTEs
-    "similarity_graphsearch_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.graphSearchTopK(emb, emb, nnGraph(s, d))
-    }),
+    "similarity_graphsearch_topk" -> ((s, d) =>
+      Similarity.graphSearchTopKNormed(normedEmb(s, d), nnGraph(s, d))),
     // the SAME beam-search serving against the PUBLISHED bucketed edges
     // layout (VERDICT r15 #5): hop joins read the layer's own hash
     // partitioning, so the edges side never re-shuffles — identical
     // values (same oracle SQL verbatim), lower gate shuffle bytes than
     // the in-memory-graph twin above
-    "similarity_graphserve_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.graphSearchTopK(emb, emb, nnServingEdges(s, d))
-    }),
+    "similarity_graphserve_topk" -> ((s, d) =>
+      Similarity.graphSearchTopKNormed(normedEmb(s, d), nnServingEdges(s, d))),
     // PageRank-style centrality over the same standing graph: the
     // cluster-exemplar signal for representativeness-weighted curation —
     // q6/decimal power iterations, hash-verified
@@ -1279,7 +1385,8 @@ object SparkEntry {
     // against exact ground truth over a hash-sampled query set — the
     // scheduled recall audit that catches geometry drift before users do
     "ann_recall_sweep" -> ((s, d) =>
-      Similarity.ivfRecallSweep(ivfIndex(s, d), Tables.embeddings(s, d))),
+      Similarity.ivfRecallSweep(ivfIndex(s, d), Tables.embeddings(s, d),
+        normedCorpus = Some(normedEmb(s, d)))),
     // the SAME recall-vs-nProbe audit over the md5-grid index (VERDICT
     // r15 #4): deterministic geometry + md5 query pick make the whole
     // tuning curve — sample, exact truth, every probe tier, the recall
@@ -1287,7 +1394,7 @@ object SparkEntry {
     // on the oracle board (the k-means sweep shares this code verbatim)
     "ann_recall_sweep_grid" -> ((s, d) =>
       Similarity.ivfRecallSweep(ivfGridIndex(s, d), Tables.embeddings(s, d),
-        mirrorablePick = true)),
+        mirrorablePick = true, normedCorpus = Some(normedEmb(s, d)))),
 
     // ---- multimodal (north star; REAL PNG/JPEG/WAV/MJPEG-AVI content
     // decode — only non-MJPEG AVI codecs remain the sanctioned stub)

@@ -1168,9 +1168,18 @@ object Similarity {
     * md5(CAST(vec_id AS VARCHAR)). */
   def ivfRecallSweep(index: IvfIndex, embeddings: DataFrame, k: Int = 10,
       nQueries: Int = 64, probeGrid: Seq[Int] = Seq(1, 2, 4, 6, 8),
-      mirrorablePick: Boolean = false): DataFrame = {
+      mirrorablePick: Boolean = false,
+      normedCorpus: Option[DataFrame] = None): DataFrame = {
     require(probeGrid.nonEmpty, "probeGrid must not be empty")
-    val e = withNorms(embeddings)
+    // the nested-tier filter `pr <= np` cannot resolve np = 0 to the
+    // sqrt(cells) default the per-tier ivfQuery form used (r19 ADVICE):
+    // a zero grid point would silently yield recall 0, not default probes
+    require(probeGrid.forall(_ > 0),
+      s"probeGrid entries must be positive, got $probeGrid")
+    // the normed-corpus frame is a standing per-dir layer when the caller
+    // holds one (SparkEntry's memo) — identical rows to withNorms, one
+    // fewer corpus normalize pass per sweep call
+    val e = normedCorpus.getOrElse(withNorms(embeddings))
     val pickKey = if (mirrorablePick) md5(col("vec_id").cast("string"))
       else xxhash64(col("vec_id"))
     // bounded query sample, pinned: reused by ground truth + every tier
@@ -1236,19 +1245,34 @@ object Similarity {
     val stats = exact.groupBy().agg(
         countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("possible"))
-      .localCheckpoint(true)
-    probeGrid.map { np =>
-      scored.filter(col("pr") <= np)
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= k)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(broadcast(stats))
-        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
-          col("possible"), col("hits"),
-          (col("hits").cast("double") / col("possible")).as("recall"))
-    }.reduce(_.unionByName(_))
+    // ONE fused tier pass (r20, guide §2.4 — the r19 VERDICT #4 item):
+    // the per-tier branches re-ranked + semi-joined + aggregated the
+    // checkpointed frame once per grid point (5 aggregation subtrees →
+    // ~33 scheduler jobs under AQE). Tiers are nested, so each candidate
+    // explodes to every tier np ≥ its probe rank, ONE window ranks per
+    // (tier, query), ONE semi-join marks hits, ONE groupBy counts them.
+    // Values are unchanged: the per-tier rank over `pr <= np` rows is the
+    // window partitioned by (nprobe, query_id) on the exploded frame, a
+    // tier with zero hits re-enters via the left join with hits = 0 —
+    // exactly the empty-aggregate row the per-tier agg produced.
+    val tierIds = embeddings.sparkSession.createDataFrame(
+      probeGrid.map(np => Tuple1(np.toLong))).toDF("nprobe")
+    val wT = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val hits = scored
+      .withColumn("nprobe",
+        explode(array(probeGrid.map(np => lit(np.toLong)): _*)))
+      .filter(col("pr") <= col("nprobe"))
+      .withColumn("rk", row_number().over(wT).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    tierIds.join(hits, Seq("nprobe"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .crossJoin(broadcast(stats))
+      .select(col("nprobe"), col("n_queries"), col("possible"), col("hits"),
+        (col("hits").cast("double") / col("possible")).as("recall"))
   }
 
   /** Deterministic coarse-quantizer "centroid" value for cell `c`,
@@ -2041,7 +2065,10 @@ object Similarity {
           val batch = cache.filter(!_._3).map(_._1)
           val fresh = gains(Some(batch.toSeq)).collect()
             .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-          for (i <- cache.indices; if batch.contains(cache(i)._1))
+          // set membership, not an ArrayBuffer linear scan per cache row
+          // (r19 ADVICE: O(m²) driver work per refresh, m doubles on widen)
+          val batchSet = batch.toSet
+          for (i <- cache.indices; if batchSet.contains(cache(i)._1))
             cache(i) = (cache(i)._1,
               fresh.getOrElse(cache(i)._1, 0.0), true)
           val sorted = cache.sortBy(t => (-t._2, t._1))
@@ -2281,6 +2308,23 @@ object Similarity {
       withNorms(embeddings).select(col("vec_id"), col("v"), col("norm"))
         .localCheckpoint(true),
       ivfQueryFrame(queries), graph, k, beam, hops, entryPoints)
+
+  /** [[graphSearchTopK]] in the self-join form (corpus = queries) over a
+    * STANDING pre-normed corpus layer (r19 VERDICT #5): the per-call
+    * `withNorms(embeddings)` + localCheckpoint was one redundant corpus
+    * pass per serving call — a deployment holds the normed layer the way
+    * it holds the graph. `normed` must be exactly `withNorms(embeddings)`
+    * (SparkEntry's per-dir memo); both the corpus side and the query
+    * frame are projections of it, so the outputs are bit-identical to the
+    * one-shot form (same oracle SQL verbatim). */
+  def graphSearchTopKNormed(normed: DataFrame, graph: DataFrame,
+      k: Int = 5, beam: Int = 24, hops: Int = 3,
+      entryPoints: Int = 4): DataFrame =
+    graphSearchFrom(
+      normed.select(col("vec_id"), col("v"), col("norm")),
+      normed.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn")),
+      graph, k, beam, hops, entryPoints)
 
   /** [[graphSearchTopK]] over pre-normed corpus vectors and a pre-built
     * (query_id, qv, qn) frame — shared with [[nnInsert]], whose queries

@@ -70,6 +70,24 @@ object StreamDemo {
     src
   }
 
+  /** Codegen posture of the DECLARED streaming queries' scratch sessions
+    * (r19 VERDICT #8, measured A/B in OPTIMIZATION_r20.md): micro-batch
+    * plans embed batch ids, so their generated classes can never hit the
+    * codegen cache across executions — each declared-query call paid ~289
+    * compiles (~5 s) for three tiny micro-batches whose interpreted
+    * execution costs far less than the compiles. Interpreted mode changes
+    * NOTHING semantically (CODEGEN_FACTORY_MODE exists because the two
+    * paths are contractually identical; the streams stay hash-verified
+    * against their batch twins' DuckDB oracles) and applies ONLY to the
+    * scratch `newSession` driving the micro-batches — batch queries keep
+    * whole-stage codegen. `SPARK_GRAFT_STREAM_CODEGEN=on` restores
+    * compiled mode for A/B measurement. */
+  private def tuneDeclaredStreamSession(s2: SparkSession): Unit =
+    if (!sys.env.get("SPARK_GRAFT_STREAM_CODEGEN").contains("on")) {
+      s2.conf.set("spark.sql.codegen.wholeStage", "false")
+      s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    }
+
   /** Delete a scratch directory tree (staging/checkpoint dirs of the
     * declared streaming queries, AFTER the result is checkpoint-pinned). */
   private def rmTree(p: java.nio.file.Path): Unit = {
@@ -1467,6 +1485,7 @@ object StreamDemo {
       val src = stageTimeSlices(orders,
         col("o_orderdate").cast("timestamp").cast("long"), base)
       val s2 = spark.newSession()
+      tuneDeclaredStreamSession(s2)
       val q = streamScd2Refresh(s2, src.toString, store.toString, ckpt.toString)
       try q.processAllAvailable() finally q.stop()
       readScd2Dim(spark, store.toString)
@@ -1507,6 +1526,7 @@ object StreamDemo {
     try {
       val src = stageTimeSlices(ev, col("ts").cast("long"), base)
       s2 = spark.newSession()
+      tuneDeclaredStreamSession(s2)
       val stream = sessionWindowsStream(s2, src.toString, maxFilesPerTrigger = 1)
       val q = stream.writeStream.format("memory").queryName(qn)
         .outputMode("complete")
@@ -1555,6 +1575,7 @@ object StreamDemo {
     try {
       val src = stageTimeSlices(ev, col("ts").cast("long"), base)
       s2 = spark.newSession()
+      tuneDeclaredStreamSession(s2)
       val stream = userActivityStreamTws(s2, src.toString,
         maxFilesPerTrigger = 1)
       // AvailableNow, NOT processAllAvailable: under ProcessingTime TTL the

@@ -1912,18 +1912,25 @@ object Text {
     * its oracle). The [[dedupIncrementalBloom]] pattern pointed across
     * corpora. */
   def decontaminateBloom(train: DataFrame, evalSet: DataFrame, k: Int = 5,
+      minShared: Int = 3, bitsPerKey: Int = 10): DataFrame =
+    decontaminateBloomFrom(shingles(train, k), shingles(evalSet, k),
+      minShared, bitsPerKey)
+
+  /** [[decontaminateBloom]] over precomputed postings — the
+    * [[decontaminateFrom]] staged-layer entry point. */
+  def decontaminateBloomFrom(shT: DataFrame, shE: DataFrame,
       minShared: Int = 3, bitsPerKey: Int = 10): DataFrame = {
     import graft.functions.SketchAggs
     // pinned for the same reason as dedupIncrementalBloom's `seen`: the
     // bloom build, the sizing count, and the exact verify join all read
     // one materialization of the eval shingle set
-    val evalSh = shingles(evalSet, k).localCheckpoint(true)
+    val evalSh = shE.localCheckpoint(true)
     val est = math.max(64L, evalSh.count())
     val bloomOpt = Option(
       evalSh.select(SketchAggs.bloomAgg(xxhash64(col("shingle")),
         est, est * bitsPerKey).as("bf"))
         .head.getAs[Array[Byte]]("bf"))
-    val trainSh = shingles(train, k)
+    val trainSh = shT
     val candidates = bloomOpt match {
       case Some(bloom) =>
         trainSh.where(SketchAggs.mightContain(bloom, xxhash64(col("shingle"))))
@@ -1942,7 +1949,12 @@ object Text {
     * combining groupBy over the (already eval-side-broadcast) pair pass. */
   def decontaminateReport(train: DataFrame, evalSet: DataFrame, k: Int = 5,
       minShared: Int = 3): DataFrame =
-    decontaminate(train, evalSet, k, minShared)
+    decontaminateReportFrom(shingles(train, k), shingles(evalSet, k), minShared)
+
+  /** [[decontaminateReport]] over precomputed postings (staged layer). */
+  def decontaminateReportFrom(shT: DataFrame, shE: DataFrame,
+      minShared: Int = 3): DataFrame =
+    decontaminateFrom(shT, shE, minShared)
       .groupBy("eval_id").agg(
         count(lit(1)).as("n_train_docs_flagged"),
         sum("n_shared").as("total_shared_shingles"))
@@ -2019,8 +2031,18 @@ object Text {
     * the result against `train` to actually drop the flagged docs. */
   def decontaminate(train: DataFrame, evalSet: DataFrame, k: Int = 5,
       minShared: Int = 3): DataFrame =
-    shingles(train, k)
-      .join(shingles(evalSet, k).withColumnRenamed("doc_id", "eval_id"), Seq("shingle"))
+    decontaminateFrom(shingles(train, k), shingles(evalSet, k), minShared)
+
+  /** [[decontaminate]] over precomputed (doc_id, shingle) postings for the
+    * two sides — the shared-stage entry point (r20, guide §2.4): shingling
+    * is a per-document projection, so `shingles(docs.filter(p))` ≡
+    * `shingles(docs).filter(p)` row for row, and every decontamination
+    * tier can slice the ONE staged postings layer instead of re-running
+    * the corpus tokenize+explode per query (SparkEntry stages it once). */
+  def decontaminateFrom(shT: DataFrame, shE: DataFrame,
+      minShared: Int = 3): DataFrame =
+    shT
+      .join(shE.withColumnRenamed("doc_id", "eval_id"), Seq("shingle"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -2042,14 +2064,28 @@ object Text {
     * flagged doc_ids to enforce ([[decontaminateFilter]]'s shape). */
   def decontaminateFuzzy(train: DataFrame, evalSet: DataFrame,
       threshold: Double = 0.5, k: Int = 5, numHashes: Int = 32,
-      bands: Int = 8, mirrorableHash: Boolean = false): DataFrame = {
-    val shT = shingles(train, k)
-    val shE = shingles(evalSet, k)
+      bands: Int = 8, mirrorableHash: Boolean = false): DataFrame =
+    decontaminateFuzzyFrom(shingles(train, k), shingles(evalSet, k),
+      threshold, numHashes, bands, mirrorableHash)
+
+  /** [[decontaminateFuzzy]] over precomputed postings for both sides —
+    * the staged-layer entry point — plus optional PRECOMPUTED band-bucket
+    * frames (the standing minhash signature layer, [[bucketsFromSigs]] of
+    * SparkEntry's per-dir sigs memo): signatures are per-document minima,
+    * so `buckets(sh.filter(p))` ≡ `buckets(sh).filter(p)` and a standing
+    * corpus bucket layer slices into the train/eval sides exactly. When
+    * given, the 32-column min-md5 aggregation (the widest codegen stage
+    * this family compiles) runs zero times here. */
+  def decontaminateFuzzyFrom(shT: DataFrame, shE: DataFrame,
+      threshold: Double = 0.5, numHashes: Int = 32,
+      bands: Int = 8, mirrorableHash: Boolean = false,
+      bucketsT: Option[DataFrame] = None,
+      bucketsE: Option[DataFrame] = None): DataFrame = {
     def bucketsOf(sh: DataFrame) =
       if (mirrorableHash) mirrorableBandBuckets(sh, numHashes, bands)
       else bandBuckets(minHashSignaturesFrom(sh, numHashes), numHashes, bands)
-    val cand = bucketsOf(shT).as("t")
-      .join(broadcast(bucketsOf(shE)).as("e"),
+    val cand = bucketsT.getOrElse(bucketsOf(shT)).as("t")
+      .join(broadcast(bucketsE.getOrElse(bucketsOf(shE))).as("e"),
         col("t.band") === col("e.band") && col("t.band_hash") === col("e.band_hash"))
       .select(col("t.doc_id").as("doc_id"), col("e.doc_id").as("eval_id"))
       .distinct()
@@ -2074,8 +2110,15 @@ object Text {
     * applies. One doc_id left-anti join against the flagged side. */
   def decontaminateFilter(train: DataFrame, evalSet: DataFrame, k: Int = 5,
       minShared: Int = 3): DataFrame =
+    decontaminateFilterFrom(train, shingles(train, k), shingles(evalSet, k),
+      minShared)
+
+  /** [[decontaminateFilter]] over precomputed postings (staged layer);
+    * `train` still supplies the kept payload rows. */
+  def decontaminateFilterFrom(train: DataFrame, shT: DataFrame,
+      shE: DataFrame, minShared: Int = 3): DataFrame =
     train.join(
-      decontaminate(train, evalSet, k, minShared).select("doc_id").distinct(),
+      decontaminateFrom(shT, shE, minShared).select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
 
   /** Training-shard QA over [[packSequencesSplit]]'s output: per pack, the
@@ -2128,8 +2171,12 @@ object Text {
     * shingle-keyed left join — the standard inverted-index shuffle — and a
     * doc_id rollup. Integer counts, one double division. */
   def noveltyScore(reference: DataFrame, target: DataFrame, k: Int = 5): DataFrame =
-    shingles(target, k)
-      .join(shingles(reference, k).select("shingle").distinct()
+    noveltyScoreFrom(shingles(reference, k), shingles(target, k))
+
+  /** [[noveltyScore]] over precomputed postings (staged layer). */
+  def noveltyScoreFrom(shRef: DataFrame, shTarget: DataFrame): DataFrame =
+    shTarget
+      .join(shRef.select("shingle").distinct()
           .withColumn("seen", lit(1L)),
         Seq("shingle"), "left")
       .groupBy("doc_id").agg(
@@ -2327,11 +2374,16 @@ object Text {
     * map-side join over the train postings; the eval sizes broadcast
     * again for the denominator. */
   def decontaminateContainment(train: DataFrame, evalSet: DataFrame,
-      threshold: Double = 0.8, k: Int = 5): DataFrame = {
-    val shE = shingles(evalSet, k)
+      threshold: Double = 0.8, k: Int = 5): DataFrame =
+    decontaminateContainmentFrom(shingles(train, k), shingles(evalSet, k),
+      threshold)
+
+  /** [[decontaminateContainment]] over precomputed postings (staged layer). */
+  def decontaminateContainmentFrom(shT: DataFrame, shE: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
     val sizeE = shE.groupBy("doc_id").agg(count(lit(1)).as("size_eval"))
       .withColumnRenamed("doc_id", "eval_id")
-    shingles(train, k)
+    shT
       .join(broadcast(shE.withColumnRenamed("doc_id", "eval_id")), Seq("shingle"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_common"))
@@ -2357,9 +2409,15 @@ object Text {
     * aggregations. */
   def dedupThresholdSweep(sh: DataFrame,
       thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
-      maxShingleDf: Int = 128): DataFrame = {
-    val pairs = dedupNgramJaccardFrom(sh, threshold = 0.0, maxShingleDf)
-      .select("doc_a", "doc_b", "jaccard").localCheckpoint(true)
+      maxShingleDf: Int = 128,
+      pairsOpt: Option[DataFrame] = None): DataFrame = {
+    // the unfiltered verified pair set — served from the standing per-dir
+    // layer when the caller holds one (SparkEntry's ngram-pairs memo: the
+    // same candidate/verify pass feeds five declared queries), built+pinned
+    // here otherwise
+    val pairs = pairsOpt.getOrElse(
+      dedupNgramJaccardFrom(sh, threshold = 0.0, maxShingleDf)
+        .select("doc_a", "doc_b", "jaccard").localCheckpoint(true))
     val swept = pairs
       .withColumn("threshold", explode(array(thresholds.map(lit): _*)))
       .filter(col("jaccard") >= col("threshold"))
@@ -3782,10 +3840,14 @@ object Text {
         (col("t_pos") - coalesce(col("f_pos"), lit(0L))).as("c_pos"),
         (col("t_neg") - coalesce(col("f_neg"), lit(0L))).as("c_neg"))
       .filter(col("c_pos") + col("c_neg") > 0L)
-    // per-fold smoothed denominators (nbFromCounts' totals, grouped by fold)
+    // per-fold smoothed denominators (nbFromCounts' totals, grouped by
+    // fold) + the fold's vocabulary size, which prices the broadcast
+    // decision below off this k-row frame instead of a count() job over
+    // the full weights frame (r19 VERDICT minor #4)
     val totals = excl.groupBy("fold").agg(
         (sum("c_pos") + count(lit(1))).as("np_v"),
-        (sum("c_neg") + count(lit(1))).as("nn_v"))
+        (sum("c_neg") + count(lit(1))).as("nn_v"),
+        count(lit(1)).as("n_tok"))
       .localCheckpoint(true)
     val weights = excl.join(broadcast(totals), Seq("fold"))
       .withColumn("weight", q6(
@@ -3795,8 +3857,15 @@ object Text {
       .localCheckpoint(true)
     val floorW = totals.select(col("fold"),
       q6(log(col("nn_v")) - log(col("np_v"))).as("w0"))
+    // broadcast the all-folds weight table only under an ABSOLUTE row
+    // ceiling (r19 ADVICE: the old `5M × folds` criterion could broadcast
+    // folds× the payload nbScoreWith would ever ship). The row count is
+    // the sum of per-fold vocabulary sizes off the k-row checkpointed
+    // totals frame — a driver read of k cached rows, not a count() job
+    // over the weights frame (r19 VERDICT minor #4).
+    val weightRows = totals.select(sum("n_tok")).head.getLong(0)
     def hint(df: DataFrame): DataFrame =
-      if (weights.count() <= 5000000L * folds) broadcast(df) else df
+      if (weightRows <= 5000000L) broadcast(df) else df
     val scores = tagged
       .select(col("doc_id"), col("fold"), explode(tokens(col("text"))).as("token"))
       .join(hint(weights), Seq("token", "fold"), "left")
@@ -3805,13 +3874,19 @@ object Text {
       .groupBy(col("doc_id"), col("fold")).agg(
         (sum(col("w").cast(graft.functions.Exact.DecQ)).cast("double")
           / count(col("w"))).as("mean_logodds"))
-    scores
+    val grouped = scores
       .join(tagged.select(col("doc_id"), truth.as("is_pos")), Seq("doc_id"))
       .groupBy("fold").agg(
         count(lit(1)).as("n_docs"),
         sum(((col("mean_logodds") >= 0.0) === col("is_pos")).cast("long"))
           .as("n_correct"))
-      .select(col("fold"), col("n_docs"), col("n_correct"),
+    // every fold reports, even an EMPTY one (possible on tiny corpora —
+    // folds are md5 buckets): the oracle's per-fold aggregate emits
+    // (fold, 0, NULL, NULL) for a fold with no docs, and a bare
+    // groupBy("fold") would drop it (r19 ADVICE)
+    foldIds.join(grouped, Seq("fold"), "left")
+      .select(col("fold"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("n_correct"),
         (col("n_correct").cast("double") / col("n_docs")).as("acc"))
   }
 
@@ -4289,10 +4364,11 @@ object Text {
     * cost the mirror pays). */
   def dedupMinHashLshFrom(sh: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8,
-      mirrorableHash: Boolean = false): DataFrame = {
-    val buckets =
+      mirrorableHash: Boolean = false,
+      bucketsOpt: Option[DataFrame] = None): DataFrame = {
+    val buckets = bucketsOpt.getOrElse(
       if (mirrorableHash) mirrorableBandBuckets(sh, numHashes, bands)
-      else bandBuckets(minHashSignaturesFrom(sh, numHashes), numHashes, bands)
+      else bandBuckets(minHashSignaturesFrom(sh, numHashes), numHashes, bands))
     val cand = bandCandidates(buckets)
     // verify candidates with exact Jaccard over the shingle sets
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -4332,10 +4408,11 @@ object Text {
     * query re-reads, so SparkEntry stages it once). */
   def dedupEditDistanceFrom(sh: DataFrame, documents: DataFrame,
       maxDist: Int = 20, numHashes: Int = 32, bands: Int = 8,
-      mirrorableHash: Boolean = false): DataFrame = {
-    val buckets =
+      mirrorableHash: Boolean = false,
+      bucketsOpt: Option[DataFrame] = None): DataFrame = {
+    val buckets = bucketsOpt.getOrElse(
       if (mirrorableHash) mirrorableBandBuckets(sh, numHashes, bands)
-      else bandBuckets(minHashSignaturesFrom(sh, numHashes), numHashes, bands)
+      else bandBuckets(minHashSignaturesFrom(sh, numHashes), numHashes, bands))
     val texts = documents.select(col("doc_id"), col("text"))
     bandCandidates(buckets)
       .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
@@ -4353,12 +4430,29 @@ object Text {
     * concatenated component hexes. Oracle-mirrorable by construction —
     * every value is a lowercase md5 hex string both engines compute
     * bit-identically. */
-  private def mirrorableBandBuckets(sh: DataFrame, numHashes: Int,
-      bands: Int): DataFrame = {
-    val rows = numHashes / bands
+  /** The md5 (mirrorable) MinHash signature table in WIDE layout:
+    * (doc_id, h0..h{numHashes−1}), component j = min md5("j:shingle") over
+    * the document's shingles. This is THE standing layer of the mirrorable
+    * minhash family (r20): signatures are per-document minima, so the
+    * frame built over the whole corpus slices into any doc_id-filtered
+    * side exactly (`mirrorableSigs(sh.filter(p))` ≡
+    * `mirrorableSigs(sh).filter(p)`), and the `numHashes`-column min
+    * aggregation — the widest codegen stage the family compiles — runs
+    * once per corpus instead of once per query (SparkEntry memoizes it as
+    * a prebuild leg). */
+  def mirrorableSigs(sh: DataFrame, numHashes: Int = 32): DataFrame = {
     val sigCols = (0 until numHashes).map(j =>
       min(md5(concat_ws(":", lit(j), col("shingle")))).as(s"h$j"))
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH band buckets of a WIDE md5 signature frame ([[mirrorableSigs]]):
+    * (doc_id, band, band_hash), band hash = md5 of the band's
+    * concatenated component hexes — a bounded per-row projection over the
+    * |docs|-row signature table, no corpus-scale work. */
+  def bucketsFromSigs(sigs: DataFrame, numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*)).as("bh"))
@@ -4367,6 +4461,10 @@ object Text {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("band_hash"))
       .distinct()
   }
+
+  private def mirrorableBandBuckets(sh: DataFrame, numHashes: Int,
+      bands: Int): DataFrame =
+    bucketsFromSigs(mirrorableSigs(sh, numHashes), numHashes, bands)
 
   /** MinHash similarity estimate: the fraction of agreeing signature
     * components is an unbiased estimator of the Jaccard similarity.
@@ -4393,21 +4491,13 @@ object Text {
     * pairs only ever the band-collision set, and the component-agreement
     * HOF runs on candidates — never corpus-wide. */
   def minhashEstimateFrom(sh: DataFrame, numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
-    val rows = numHashes / bands
-    val sigCols = (0 until numHashes).map(j =>
-      min(md5(concat_ws(":", lit(j), col("shingle")))).as(s"h$j"))
-    // one signature pass feeds the banding AND both estimate join sides
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .localCheckpoint(true)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|",
-          (b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*)).as("bh"))
-    }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("band_hash"))
-      .distinct()
+      bands: Int = 8, sigsOpt: Option[DataFrame] = None): DataFrame = {
+    // one signature pass feeds the banding AND both estimate join sides —
+    // served from the standing per-dir layer when the caller holds one
+    // (SparkEntry's memo; already pinned), built+pinned here otherwise
+    val sigs = sigsOpt.getOrElse(
+      mirrorableSigs(sh, numHashes).localCheckpoint(true))
+    val buckets = bucketsFromSigs(sigs, numHashes, bands)
     val sigArr = sigs.select(col("doc_id"),
       array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.DoNotDiscover
+
+/** The GraftSession builder contract — swaps the PROCESS-GLOBAL default/
+  * active SparkSession, so it must never run concurrently with any other
+  * suite (a racing `getOrCreate` elsewhere would return a session without
+  * the extensions, or capture this test's scratch session as the default).
+  * Lives in [[IsolatedSerialSuites]]; not discovered standalone (r20
+  * VERDICT #7: parallel test execution with the global-state suites
+  * serialized in their own forked JVM). */
+@DoNotDiscover
+class GraftSessionSpec extends SparkTestBase {
+
+  test("GraftSession builder applies engine confs and installs extensions") {
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = GraftSession.builder().master("local[2]")
+      .appName("graft-session-test").config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+      // extension rule present and inert without the opt-in flag
+      val df = SparkEntry.queries("consistency_check")(s, SF)
+      assert(df.collect().head.getAs[Long]("unique_players") > 0)
+      s.conf.set("spark.graft.approxDistinct", "true")
+      try {
+        val on = SparkEntry.queries("consistency_check")(s, SF)
+        assert(on.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+      } finally s.conf.set("spark.graft.approxDistinct", "false")
+    } finally {
+      graft.ops.Pipeline.clear(s)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+}

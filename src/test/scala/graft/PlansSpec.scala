@@ -13,6 +13,7 @@ import graft.plans.GraftExtensions
   * `spark.experimental.extraOptimizations` hook runs AFTER that rewrite and
   * never sees `isDistinct = true` on a multi-distinct plan.
   */
+@org.scalatest.DoNotDiscover
 class PlansSpec extends SparkTestBase {
 
   /** A sibling session on the shared SparkContext with the extension

@@ -5,6 +5,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 
 import graft.ops.Sinks
 
+@org.scalatest.DoNotDiscover
 class SinksSpec extends SparkTestBase {
 
   private def tmp(prefix: String) =

@@ -14,6 +14,7 @@ import graft.ops.Text
   * or pre-aggregation-free formulation would pull all 100k copies through
   * one task; these tests fail on that shape by construction.
   */
+@org.scalatest.DoNotDiscover
 class SkewSpec extends SparkTestBase {
 
   private val HotN = 100000L
