@@ -378,6 +378,110 @@ object SparkEntry {
       f
     })
 
+  // The raw-corpus (row count, max dim) pair every LSH-family entry point
+  // derives bucket bits from (r20): a per-call corpusDims was one bounded
+  // aggregate JOB over the parquet scan per query — index metadata a
+  // serving system holds next to the index. n counts the RAW corpus
+  // (including zero-norm rows), exactly what the in-query aggregate saw.
+  private val embDimsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Int)]
+  private def embDims(s: SparkSession, d: String): (Long, Int) =
+    embDimsCache.getOrElseUpdate(d,
+      ops.Similarity.corpusDims(Tables.embeddings(s, d)))
+
+  // The standing BM25 inverted index (r20): postings/df/lengths/stats are
+  // THE canonical build-once serving layer, and four declared retrieval
+  // queries (bm25_topk, bm25_rm3_topk, hybrid_rrf_topk lexical tier,
+  // bm25_maxp_topk's document-level query derivation) each re-tokenized
+  // the corpus and re-aggregated the same tables per call. Built once per
+  // corpus dir as a prebuild leg; all four consumers are hash-oracled.
+  private val bm25IndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, ops.Retrieval.Bm25Index]
+  private def bm25Index(s: SparkSession, d: String): ops.Retrieval.Bm25Index =
+    bm25IndexCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val idx = ops.Retrieval.bm25BuildIndex(Tables.documents(s, d))
+      ops.Pipeline.record(s, d, "bm25_index", (System.nanoTime() - t0) / 1e9)
+      idx
+    })
+
+  // The standing PASSAGE index (r20): bm25_maxp_topk re-chunked and
+  // re-tokenized the corpus per call; a MaxP deployment holds the chunk
+  // index next to the document index (Dai & Callan 2019 serving shape).
+  private val chunkIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.DataFrame, ops.Retrieval.Bm25Index)]
+  private def chunkIndex(s: SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, ops.Retrieval.Bm25Index) =
+    chunkIndexCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val idx = ops.Retrieval.bm25ChunkIndexOf(Tables.documents(s, d))
+      ops.Pipeline.record(s, d, "chunk_index", (System.nanoTime() - t0) / 1e9)
+      idx
+    })
+
+  // The standing winnow-fingerprint layer (r20): the MOSS fingerprint
+  // selection (tokenize → k-gram hashes → windowed min) is a per-document
+  // projection three declared queries re-ran per call
+  // (fingerprint_winnow — whose OUTPUT is this frame — passage_overlap,
+  // passage_overlap_dropped). Pinned exactly as passageOverlap pinned it.
+  private val winnowFpCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+  private def winnowFp(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    winnowFpCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val f = Text.winnowFingerprints(Tables.documents(s, d),
+        mirrorableHash = true).localCheckpoint(true)
+      ops.Pipeline.record(s, d, "winnow_fp", (System.nanoTime() - t0) / 1e9)
+      f
+    })
+
+  // The standing SimHash fingerprint layer (r20 — the minhash-signature
+  // discipline): the 60-bit md5 fingerprint is a per-document projection
+  // built once; dedup_simhash's candidate/verify join is the per-query
+  // work. Pinned exactly as the in-query form pinned it.
+  private val simhashFpCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+  private def simhashFp(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    simhashFpCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val f = Text.simHashMirrorable(Tables.documents(s, d)).localCheckpoint(true)
+      ops.Pipeline.record(s, d, "simhash_fp", (System.nanoTime() - t0) / 1e9)
+      f
+    })
+
+  // The standing %20-split IVF index semdedup_incremental_pruned admits
+  // against (r20): the query's premise is a STANDING cell-indexed corpus
+  // receiving batches, but each call re-fit the k-means on the standing
+  // split. Same build call, memoized + pinned (ivfIndexCache discipline).
+  private val splitIvfCache = scala.collection.concurrent.TrieMap
+    .empty[String, Similarity.IvfIndex]
+  private def splitIvfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
+    splitIvfCache.getOrElseUpdate(d, {
+      import org.apache.spark.sql.functions.col
+      val t0 = System.nanoTime()
+      val idx = Similarity.ivfBuild(
+        Tables.embeddings(s, d).filter(col("vec_id") % 20 =!= 0))
+      val pinned = Similarity.IvfIndex(idx.centroids.localCheckpoint(true),
+        idx.vectors.localCheckpoint(true))
+      ops.Pipeline.record(s, d, "ivf_split_index", (System.nanoTime() - t0) / 1e9)
+      pinned
+    })
+
+  // The standing reduced-space cell layer of semdedup_reduced (r20): the
+  // per-call composition re-fit PCA AND the reduced-space k-means every
+  // call; the PCA fit now comes from the pcaModel memo and the cell
+  // assignment is built once per dir (fit once / dedup every refresh).
+  private val reducedCellsCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+  private def reducedCells(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    reducedCellsCache.getOrElseUpdate(d, {
+      val t0 = System.nanoTime()
+      val f = Similarity.semDeDupReducedCells(Tables.embeddings(s, d),
+        Some(pcaModel(s, d))).localCheckpoint(true)
+      ops.Pipeline.record(s, d, "reduced_cells", (System.nanoTime() - t0) / 1e9)
+      f
+    })
+
   /** Drop memoized per-directory models (BPE merges, LM counts, classifier
     * weights, in-domain contrast LM). */
   def clearModelCaches(): Unit = {
@@ -389,6 +493,9 @@ object SparkEntry {
     nnGraphCache.clear(); nnServingCache.clear()
     pqIndexCache.clear(); opqIndexCache.clear()
     normedEmbCache.clear(); minhashSigsCache.clear(); ngramPairsCache.clear()
+    embDimsCache.clear(); bm25IndexCache.clear()
+    splitIvfCache.clear(); reducedCellsCache.clear()
+    chunkIndexCache.clear(); simhashFpCache.clear(); winnowFpCache.clear()
   }
 
   /** Build + materialize every shared pipeline stage. The bench calls this
@@ -422,7 +529,10 @@ object SparkEntry {
     // latency, not work — a leg blocked on its action costs a thread but
     // no cores. Threads are cheap; the scheduler back-fills tasks from
     // every in-flight leg (guide §2.6). Overridable for experiments.
-    val poolThreads = sys.env.getOrElse("SPARK_GRAFT_PREBUILD_THREADS", "25").toInt
+    // default raised 25 → 30 with the four r20 legs (bm25_index,
+    // ivf_split_index, reduced_cells, normed/dims) — leg-count-derived,
+    // NOT core-count-derived: a blocked leg costs a thread, no cores
+    val poolThreads = sys.env.getOrElse("SPARK_GRAFT_PREBUILD_THREADS", "30").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolThreads)
     implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
     // time a memoized model build and record it as its own stage line —
@@ -462,13 +572,28 @@ object SparkEntry {
       // the staged shingle postings feed the minhash signature layer and
       // the verified n-gram pair layer — dependent legs, chained
       val shinglesF = Future(shingles(s, d))
+      // the PCA model leg, split out so the reduced-space cell layer can
+      // CHAIN on the fitted model instead of racing the memo
+      val pcaF = Future(leg("pca_model")(pcaModel(s, d)))
       val rest = Seq(
         opqF,
         shinglesF,
         shinglesF.map(_ => minhashSigs(s, d)),
         shinglesF.map(_ => ngramPairs(s, d)),
         Future(media(s, d)),
-        Future(normedEmb(s, d)),
+        Future { normedEmb(s, d); embDims(s, d) },
+        // the standing BM25 inverted index (four retrieval consumers)
+        Future(bm25Index(s, d)),
+        // the standing passage index (bm25_maxp_topk)
+        Future(chunkIndex(s, d)),
+        // the standing simhash fingerprint layer (dedup_simhash)
+        Future(simhashFp(s, d)),
+        // the standing winnow fingerprint layer (three consumers)
+        Future(winnowFp(s, d)),
+        // the standing %20-split IVF index (admission-form semdedup)
+        Future(splitIvfIndex(s, d)),
+        pcaF,
+        pcaF.map(_ => reducedCells(s, d)),
         ivfF,
         ivfF.map(_ => pqIndex(s, d)),
         ivfF.map(_ => pqResidualIndex(s, d)),
@@ -492,7 +617,6 @@ object SparkEntry {
         Future(leg("lm_model_n5")(lmn5Model(s, d))),
         Future(leg("lm_model_pruned")(lmPrunedModel(s, d))),
         Future(leg("lm_model_in")(inLm(s, d))),
-        Future(leg("pca_model")(pcaModel(s, d))),
         Future(leg("bpe_merges")(bpeMerges(s, d))),
         Future(leg("unigram_pieces")(unigramPieces(s, d))))
       box(s, d) // the shared parent of pa/adv/roll
@@ -683,8 +807,7 @@ object SparkEntry {
     "fingerprints" -> ((s, d) => Text.fingerprints(Tables.documents(s, d))),
     // mirrorable (md5) gram hash so the windowed-min selection itself is
     // value-checked; the xxhash64 scale path shares every other operator
-    "fingerprint_winnow" -> ((s, d) =>
-      Text.winnowFingerprints(Tables.documents(s, d), mirrorableHash = true)),
+    "fingerprint_winnow" -> ((s, d) => winnowFp(s, d)),
     "dedup_exact" -> ((s, d) => Text.dedupExact(Tables.documents(s, d))),
     // best-copy keeper: highest quality score wins its fingerprint group
     "dedup_exact_best" -> ((s, d) => Text.dedupExactKeepBest(Tables.documents(s, d))),
@@ -742,7 +865,8 @@ object SparkEntry {
     // mirrorable (md5) fingerprint; block-invariance lets the oracle
     // value-check via a plain hamming self-join over the same fingerprints
     "dedup_simhash" -> ((s, d) =>
-      Text.dedupSimHash(Tables.documents(s, d), mirrorableHash = true)),
+      Text.dedupSimHash(Tables.documents(s, d), mirrorableHash = true,
+        fpOpt = Some(simhashFp(s, d)))),
     // ExactSubstr (Lee et al. 2021): duplicated 10-token runs cut from all
     // but their first occurrence, text reassembled; md5 gram keys so the
     // oracle reproduces keepers and spans (xxhash64 is the scale default)
@@ -755,18 +879,27 @@ object SparkEntry {
     // RM3 pseudo-relevance feedback: first-pass top-5 docs build the
     // relevance model, 10 expansion terms interpolate at α=0.5, weighted
     // second pass — q6/decimal/integer-micro throughout, hash-verified
-    "bm25_rm3_topk" -> ((s, d) =>
-      Retrieval.bm25Rm3TopK(Tables.documents(s, d))),
-    "bm25_topk" -> ((s, d) => Retrieval.bm25TopK(Tables.documents(s, d))),
+    // the retrieval family serves the ONE standing inverted index (r20):
+    // postings/df/dl/stats are per-dir layers; each call previously
+    // re-tokenized the corpus and re-aggregated the same tables
+    "bm25_rm3_topk" -> ((s, d) => {
+      val idx = bm25Index(s, d)
+      Retrieval.bm25Rm3TopKParts(idx.p, idx.df, idx.dl, idx.stats)
+    }),
+    "bm25_topk" -> ((s, d) => Retrieval.bm25TopKIndexed(bm25Index(s, d))),
     // hybrid retrieval: RRF fusion of the BM25 top-k with a semantic
     // embedding rank from Rocchio pseudo-relevance feedback (the standard
     // hybrid-search operator; cross-table, fully oracled)
     "hybrid_rrf_topk" -> ((s, d) =>
-      Similarity.hybridRrfTopK(Tables.documents(s, d), Tables.embeddings(s, d))),
+      Similarity.hybridRrfTopK(Tables.documents(s, d), Tables.embeddings(s, d),
+        bm25Index = Some(bm25Index(s, d)))),
     // passage-level BM25 with MaxP aggregation (Dai & Callan 2019): score
-    // sliding token windows independently, rank docs by their best chunk
+    // sliding token windows independently, rank docs by their best chunk;
+    // the document-level query derivation reads the standing index
     "bm25_maxp_topk" -> ((s, d) =>
-      Retrieval.bm25MaxPTopK(Tables.documents(s, d))),
+      Retrieval.bm25MaxPTopK(Tables.documents(s, d),
+        docIndex = Some(bm25Index(s, d)),
+        chunkIndex = Some(chunkIndex(s, d)))),
     "corpus_split" -> ((s, d) => Text.hashSplit(Tables.documents(s, d))),
     "corpus_cap" -> ((s, d) => Text.corpusCap(Tables.documents(s, d))),
     "corpus_pack" -> ((s, d) => Text.packSequences(Tables.documents(s, d))),
@@ -935,10 +1068,12 @@ object SparkEntry {
       Text.temperatureWeights(Tables.documents(s, d), budgetTokens = 200000L))),
     // cross-doc shared-passage pairs over the md5 winnow fingerprints
     "passage_overlap" -> ((s, d) =>
-      Text.passageOverlap(Tables.documents(s, d), mirrorableHash = true)),
+      Text.passageOverlap(Tables.documents(s, d), mirrorableHash = true,
+        fpOpt = Some(winnowFp(s, d)))),
     // df-cap telemetry: what the pair pass dropped (no silent caps)
     "passage_overlap_dropped" -> ((s, d) =>
-      Text.passageOverlapStats(Tables.documents(s, d), mirrorableHash = true)),
+      Text.passageOverlapStats(Tables.documents(s, d), mirrorableHash = true,
+        fpOpt = Some(winnowFp(s, d)))),
     // the whole curation pipeline as ONE declared plan: report-driven
     // source filter -> mixture sampling -> split+pack (same thresholds as
     // the individual queries)
@@ -982,7 +1117,8 @@ object SparkEntry {
     "curation_e2e_sem" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       Text.curationE2eDrop(Tables.documents(s, d),
-        Similarity.semDeDupExact(Tables.embeddings(s, d), threshold = 0.4)
+        Similarity.semDeDupExact(Tables.embeddings(s, d), threshold = 0.4,
+          normedCorpus = Some(normedEmb(s, d)))
           .filter(!col("kept")).select(col("vec_id").as("doc_id")),
         maxDupFrac = 0.5, maxLowQualityFrac = 0.05,
         rates = Map("en" -> 0.5, "zh" -> 0.75))
@@ -1189,12 +1325,14 @@ object SparkEntry {
       Quality.dedupAgreement(
         ngramPairs(s, d).filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b"),
-        Similarity.embeddingNearDup(Tables.embeddings(s, d))
+        Similarity.embeddingNearDup(Tables.embeddings(s, d),
+          normedCorpus = Some(normedEmb(s, d)))
           .select("vec_a", "vec_b"))
     }),
 
     // ---- similarity (north star)
-    "similarity_bruteforce_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
+    "similarity_bruteforce_topk" -> ((s, d) => Similarity.cosineTopK(
+      Tables.embeddings(s, d), normedCorpus = Some(normedEmb(s, d)))),
     "quantize_embeddings" -> ((s, d) => Similarity.quantizeEmbeddings(Tables.embeddings(s, d))),
     // top-16 principal-component reduction (the SemDeDup preprocessing
     // tier): distributed covariance, driver d×d eigen, broadcast project —
@@ -1209,20 +1347,28 @@ object SparkEntry {
     // int8 ADC + exact rerank over md5-plane LSH candidates — the full
     // candidates→ADC→survivors→rerank pipeline is DuckDB-value-checked
     "similarity_quantized_topk" -> ((s, d) =>
-      Similarity.quantTopK(Tables.embeddings(s, d), mirrorableHash = true)),
-    "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
+      Similarity.quantTopK(Tables.embeddings(s, d), mirrorableHash = true,
+        normedCorpus = Some(normedEmb(s, d)), dims = Some(embDims(s, d)))),
+    "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(
+      Tables.embeddings(s, d), normedCorpus = Some(normedEmb(s, d)))),
     // per-hash-split centroid drift vs the corpus centroid (split balance)
     "embedding_drift" -> ((s, d) => Similarity.embeddingDrift(Tables.embeddings(s, d))),
     // SemDeDup: cluster-free exact twin is oracled; the clustered form is
     // rows-only (k-means cells) with containment/witness laws in SimilaritySpec
     "semdedup_exact" -> ((s, d) =>
-      Similarity.semDeDupExact(Tables.embeddings(s, d), threshold = 0.4)),
+      Similarity.semDeDupExact(Tables.embeddings(s, d), threshold = 0.4,
+        normedCorpus = Some(normedEmb(s, d)))),
+    // the clustered form serves the MEMOIZED coarse IVF index (r20): the
+    // per-call ivfBuild re-fit the identical k-means (pure function of
+    // (corpus, seed 42) — the ivfIndexCache contract) on every call
     "semdedup" -> ((s, d) =>
-      Similarity.semDeDup(Tables.embeddings(s, d), threshold = 0.4)),
+      Similarity.semDeDupFrom(ivfIndex(s, d).vectors, threshold = 0.4)),
     // the PCA-composed form: cells fit + assigned in the reduced space,
-    // τ verify full-dim — the paper's preprocessing tier made real
+    // τ verify full-dim — the paper's preprocessing tier made real; both
+    // the PCA fit and the reduced-space cells are standing layers (r20)
     "semdedup_reduced" -> ((s, d) =>
-      Similarity.semDeDupReduced(Tables.embeddings(s, d), threshold = 0.4)),
+      Similarity.semDeDupReducedFrom(reducedCells(s, d), normedEmb(s, d),
+        threshold = 0.4)),
     // the ADMISSION form: a new batch (%20 split, the decontamination
     // convention) admitted against the standing corpus — batch-side
     // broadcast, standing streams past it; dedup_incremental's embedding twin
@@ -1238,22 +1384,26 @@ object SparkEntry {
     // the cells the batch occupies on an IVF-indexed standing corpus
     "semdedup_incremental_pruned" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val emb = Tables.embeddings(s, d)
+      // the standing side IS standing (r20): the split index is the
+      // memoized per-dir layer instead of a per-call k-means re-fit
       Similarity.semDeDupIncrementalPruned(
-        Similarity.ivfBuild(emb.filter(col("vec_id") % 20 =!= 0)),
-        emb.filter(col("vec_id") % 20 === 0), threshold = 0.4)
+        splitIvfIndex(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") % 20 === 0),
+        threshold = 0.4)
     }),
     // mirrorable (md5-literal) hyperplanes: the oracle reproduces buckets,
     // candidate set, and q6 cosines exactly; xxhash64 fused bucketing stays
     // the scale default (index lifecycle, quantized tier)
     "similarity_lsh_topk" -> ((s, d) =>
-      Similarity.lshTopK(Tables.embeddings(s, d), mirrorableHash = true)),
+      Similarity.lshTopK(Tables.embeddings(s, d), mirrorableHash = true,
+        normedCorpus = Some(normedEmb(s, d)), dims = Some(embDims(s, d)))),
     // multi-probe LSH (Lv et al. 2007): each query also probes its
     // extraProbes least-|margin| bit flips — recall-of-many-tables at one
     // table's index cost; candidate superset of single-probe by
     // construction, DuckDB-mirrored incl. margins/flips/xor probes
     "similarity_lsh_multiprobe_topk" -> ((s, d) =>
-      Similarity.lshTopKMultiProbe(Tables.embeddings(s, d))),
+      Similarity.lshTopKMultiProbe(Tables.embeddings(s, d),
+        normedCorpus = Some(normedEmb(s, d)), dims = Some(embDims(s, d)))),
     // kNN majority-label propagation over the md5-mirror LSH tier
     // greedy MMR diverse top-k over the embedding corpus (centroid
     // relevance vs redundancy with the selected set) — fully oracled via
@@ -1266,9 +1416,12 @@ object SparkEntry {
     "mmr_shortlist_stats" -> ((s, d) =>
       Similarity.mmrShortlistStats(Tables.embeddings(s, d))),
     "knn_label" -> ((s, d) =>
-      Similarity.knnLabel(Tables.embeddings(s, d), mirrorableHash = true)),
+      Similarity.knnLabel(Tables.embeddings(s, d), mirrorableHash = true,
+        normedCorpus = Some(normedEmb(s, d)), dims = Some(embDims(s, d)))),
     "embedding_near_dup_lsh" -> ((s, d) =>
-      Similarity.embeddingNearDupLsh(Tables.embeddings(s, d), mirrorableHash = true)),
+      Similarity.embeddingNearDupLsh(Tables.embeddings(s, d),
+        mirrorableHash = true,
+        normedCorpus = Some(normedEmb(s, d)), dims = Some(embDims(s, d)))),
     // per-vector embedding QA: norm z-scores vs the corpus profile +
     // centroid cosine + the zero-vector/|z|>3 outlier flag — the gate run
     // BEFORE indexing/dedup (flags what withNorms would silently drop)

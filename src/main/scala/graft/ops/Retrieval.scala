@@ -87,6 +87,28 @@ object Retrieval {
       floor(idf * tfn * lit(1000000.0) + lit(0.5)).cast("long").as("score_micro"))
   }
 
+  /** A standing BM25 inverted index over a corpus — posting lists `p`
+    * (doc_id, token, tf), document-frequency table `df`, lengths `dl`,
+    * 1-row `stats` (n_docs, avgdl), every layer pinned. THE serving-system
+    * standing layer (an inverted index is built once and queried forever);
+    * four declared retrieval queries previously each re-tokenized the
+    * corpus and re-aggregated the same postings per call (r20, guide
+    * §1.2/§2.4). Each part is a deterministic function of the corpus, so
+    * serving the pinned layers is bit-identical to the in-query builds
+    * (all four consumers are hash-oracled). */
+  final case class Bm25Index(p: DataFrame, df: DataFrame, dl: DataFrame,
+      stats: DataFrame)
+
+  /** Build the standing index: one tokenize pass into pinned postings,
+    * one combining agg each for df and the 1-row stats. */
+  def bm25BuildIndex(documents: DataFrame): Bm25Index = {
+    val p = termFrequencies(documents).localCheckpoint(true)
+    val df = p.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+      .localCheckpoint(true)
+    val dl = docLengths(documents).localCheckpoint(true)
+    Bm25Index(p, df, dl, bm25Stats(dl).localCheckpoint(true))
+  }
+
   /** BM25 top-k for a corpus-derived probe query: the query terms are the
     * `nTerms` most document-frequent tokens in the MID-df band
     * (N/20 ≤ df ≤ N/4 — informative content words: below the stopword
@@ -104,6 +126,11 @@ object Retrieval {
     val dl = docLengths(documents)
     bm25TopKParts(p, df, dl, bm25Stats(dl), nTerms, topK, k1, b)
   }
+
+  /** [[bm25TopK]] off a standing index — pure serving. */
+  def bm25TopKIndexed(idx: Bm25Index, nTerms: Int = 4, topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKParts(idx.p, idx.df, idx.dl, idx.stats, nTerms, topK, k1, b)
 
   /** [[bm25TopK]] over EXPLICIT index parts — the entry point for a
     * standing streamed index ([[graft.ops.StreamDemo]] `readBm25Index`):
@@ -154,12 +181,23 @@ object Retrieval {
   def bm25Rm3TopK(documents: DataFrame, nTerms: Int = 4, fbDocs: Int = 5,
       fbTerms: Int = 10, alpha: Double = 0.5, topK: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import graft.functions.Exact.{q6, r6sum}
     val p = termFrequencies(documents).localCheckpoint(true)
     val df = p.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
       .localCheckpoint(true)
     val dl = docLengths(documents).localCheckpoint(true)
-    val stats = bm25Stats(dl)
+    bm25Rm3TopKParts(p, df, dl, bm25Stats(dl), nTerms, fbDocs, fbTerms,
+      alpha, topK, k1, b)
+  }
+
+  /** The RM3 two-pass core over EXPLICIT index parts (the standing-index
+    * entry point — [[bm25TopKParts]]'s discipline): identical query
+    * derivation, feedback model, interpolation and weighted second pass,
+    * so the standing-index and one-shot forms are bit-equal. */
+  def bm25Rm3TopKParts(p: DataFrame, df: DataFrame, dl: DataFrame,
+      stats: DataFrame, nTerms: Int = 4, fbDocs: Int = 5,
+      fbTerms: Int = 10, alpha: Double = 0.5, topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.functions.Exact.{q6, r6sum}
     val terms = df.crossJoin(broadcast(stats.select(col("n_docs"))))
       .where(col("df") * 20 >= col("n_docs") && col("df") * 4 <= col("n_docs"))
       .orderBy(col("df").desc, col("token").asc)
@@ -232,9 +270,14 @@ object Retrieval {
     * more, smaller "documents", and MaxP is one combining groupBy riding
     * the chunk→doc key map; the final cut is TakeOrdered with the rank
     * window post-limit. */
-  def bm25MaxPTopK(documents: DataFrame, chunkTokens: Long = 64L,
-      overlap: Long = 16L, nTerms: Int = 4, topK: Int = 20,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** The standing PASSAGE (chunk) index of [[bm25MaxPTopK]]: the pinned
+    * chunk-text layer plus its own BM25 index parts — the passage-level
+    * inverted index a long-document retrieval deployment holds next to
+    * the document-level one (Dai & Callan's MaxP serves off a passage
+    * index; re-chunking + re-tokenizing the corpus per query was the
+    * in-query form's whole scan cost). */
+  def bm25ChunkIndexOf(documents: DataFrame, chunkTokens: Long = 64L,
+      overlap: Long = 16L): (DataFrame, Bm25Index) = {
     val chunkText = Text.chunkDocuments(documents, chunkTokens, overlap)
       .join(documents.select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(
@@ -245,17 +288,31 @@ object Retrieval {
           col("n_tok_chunk").cast("int"))).as("text"))
       .localCheckpoint(true) // read by postings, dl, and the MaxP key map
     val asDocs = chunkText.select(col("chunk_key").as("doc_id"), col("text"))
-    val p = termFrequencies(asDocs).localCheckpoint(true)
-    val df = p.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
-      .localCheckpoint(true)
-    val dl = docLengths(asDocs)
-    val stats = bm25Stats(dl)
+    (chunkText, bm25BuildIndex(asDocs))
+  }
+
+  def bm25MaxPTopK(documents: DataFrame, chunkTokens: Long = 64L,
+      overlap: Long = 16L, nTerms: Int = 4, topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75,
+      docIndex: Option[Bm25Index] = None,
+      chunkIndex: Option[(DataFrame, Bm25Index)] = None): DataFrame = {
+    val (chunkText, cIdx) =
+      chunkIndex.getOrElse(bm25ChunkIndexOf(documents, chunkTokens, overlap))
+    val (p, df, dl, stats) = (cIdx.p, cIdx.df, cIdx.dl, cIdx.stats)
     // query terms from the DOCUMENT-level band (bm25TopK's derivation —
     // same query, so the two retrieval queries are directly comparable);
     // scoring statistics stay chunk-level
-    val docDf = termFrequencies(documents)
-      .groupBy("token").agg(count(lit(1)).cast("long").as("doc_df"))
-    val nDocs = bm25Stats(docLengths(documents)).select(col("n_docs"))
+    // the DOCUMENT-level df/stats come off the standing index when the
+    // caller holds one (r20): the in-query derivation re-tokenized the
+    // whole corpus just to pick 4 query terms; df and n_docs are the
+    // index's own layers verbatim, so the derived query is identical
+    val docDf = docIndex.fold(
+      termFrequencies(documents)
+        .groupBy("token").agg(count(lit(1)).cast("long").as("doc_df")))(
+      idx => idx.df.select(col("token"), col("df").as("doc_df")))
+    val nDocs = docIndex.fold(
+      bm25Stats(docLengths(documents)).select(col("n_docs")))(
+      idx => idx.stats.select(col("n_docs")))
     val terms = docDf.crossJoin(broadcast(nDocs))
       .where(col("doc_df") * 20 >= col("n_docs") && col("doc_df") * 4 <= col("n_docs"))
       .orderBy(col("doc_df").desc, col("token").asc)

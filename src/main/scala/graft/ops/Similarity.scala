@@ -250,8 +250,11 @@ object Similarity {
     * is a no-op and every vector is a query; [[lshTopK]] is the scale path.
     * Plans as a broadcast of the bounded query side + per-query window
     * top-k. */
-  def cosineTopK(embeddings: DataFrame, k: Int = 5, maxQueries: Int = 500): DataFrame = {
-    val e = withNorms(embeddings)
+  def cosineTopK(embeddings: DataFrame, k: Int = 5, maxQueries: Int = 500,
+      normedCorpus: Option[DataFrame] = None): DataFrame = {
+    // standing normed layer when the caller holds one (r20): the query
+    // sample and the corpus side are both projections of it
+    val e = normedCorpus.getOrElse(withNorms(embeddings))
     val q = e.orderBy(col("vec_id")).limit(maxQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
@@ -340,8 +343,12 @@ object Similarity {
     * ≤ topK frames. The corpus-scale passes are BM25's (already audited)
     * and one relevance dot per vector. */
   def hybridRrfTopK(documents: DataFrame, embeddings: DataFrame,
-      topK: Int = 20, rrfK: Int = 60): DataFrame = {
-    val lex = Retrieval.bm25TopK(documents, topK = topK)
+      topK: Int = 20, rrfK: Int = 60,
+      bm25Index: Option[Retrieval.Bm25Index] = None): DataFrame = {
+    // the lexical tier serves off the standing inverted index when the
+    // caller holds one (r20) — identical ranks, one fewer corpus tokenize
+    val lex = bm25Index.fold(Retrieval.bm25TopK(documents, topK = topK))(
+        idx => Retrieval.bm25TopKIndexed(idx, topK = topK))
       .select(col("doc_id"), col("rk").as("lex_rk"))
       .localCheckpoint(true) // ≤ topK rows, read by PRF centroid + fusion
     val fb = embeddings.join(
@@ -484,8 +491,11 @@ object Similarity {
     * — the embedding leg of the dedup family. Exact all-pairs semantics
     * (the small-corpus baseline; the LSH bucketing of [[lshTopK]] is the
     * candidate generator to swap in at corpus scale). */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val e = withNorms(embeddings)
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4,
+      normedCorpus: Option[DataFrame] = None): DataFrame = {
+    // standing normed layer when the caller holds one (r20): both join
+    // sides are projections of it — one fewer in-plan normalize each
+    val e = normedCorpus.getOrElse(withNorms(embeddings))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("av"), col("norm").as("an"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("bv"), col("norm").as("bn"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -551,17 +561,37 @@ object Similarity {
     * like a zero-norm input). Rows-only by construction twice over
     * (eigen + k-means are engine-specific). */
   def semDeDupReduced(embeddings: DataFrame, threshold: Double = 0.85,
+      pcaK: Int = 16, nCells: Int = 0, fitMaxRows: Long = 100000L): DataFrame =
+    semDeDupReducedFrom(
+      semDeDupReducedCells(embeddings, None, pcaK, nCells, fitMaxRows),
+      withNorms(embeddings), threshold)
+
+  /** The reduced-space cell assignment of [[semDeDupReduced]], split out
+    * so a deployment can hold it as a STANDING layer (fit once, dedup
+    * every refresh — the ivfIndexCache discipline): project to `pcaK`
+    * dims on `modelOpt` (the memoized per-dir PCA fit when the caller
+    * holds one; [[pcaFit]] is deterministic, so a fresh fit is
+    * bit-identical), pin the small projected corpus, and fit + assign the
+    * k-means cells in the reduced space. */
+  def semDeDupReducedCells(embeddings: DataFrame,
+      modelOpt: Option[org.apache.spark.ml.feature.PCAModel] = None,
       pcaK: Int = 16, nCells: Int = 0, fitMaxRows: Long = 100000L): DataFrame = {
     // pin the projected corpus (n×pcaK doubles — the SMALL representation;
     // at pcaK=16 it is dim/16 of the input): the cell build reads it three
     // times (corpus dims, fit sample, assignment), and without the pin each
     // pass would re-run the broadcast matrix multiply over the full corpus
-    val reduced = embeddingPca(embeddings, pcaK)
+    val reduced = pcaProject(modelOpt.getOrElse(pcaFit(embeddings, pcaK)), embeddings)
       .withColumnRenamed("reduced", "embedding").localCheckpoint(true)
-    val cells = ivfBuild(reduced, nCells, fitMaxRows).vectors
+    ivfBuild(reduced, nCells, fitMaxRows).vectors
       .select(col("vec_id"), col("cell"))
-    semDeDupFrom(withNorms(embeddings).join(cells, Seq("vec_id")), threshold)
   }
+
+  /** [[semDeDupReduced]] over a standing reduced-space cell layer and a
+    * standing normed corpus — the serving form: the τ verify stays
+    * full-dim exactly as the one-shot composition. */
+  def semDeDupReducedFrom(cells: DataFrame, normedFull: DataFrame,
+      threshold: Double): DataFrame =
+    semDeDupFrom(normedFull.join(cells, Seq("vec_id")), threshold)
 
   /** [[semDeDup]] over an already-built index's vectors frame
     * (vec_id, v, norm, cell) — build once, dedup every refresh. */
@@ -689,8 +719,10 @@ object Similarity {
     * twin like [[embeddingNearDup]]). The clustered [[semDeDup]] kept set
     * always CONTAINS this one (a vector with no τ-close predecessor
     * anywhere has none in its cell) — asserted as a law. */
-  def semDeDupExact(embeddings: DataFrame, threshold: Double = 0.85): DataFrame =
-    semDeDupFrom(withNorms(embeddings).withColumn("cell", lit(0)), threshold)
+  def semDeDupExact(embeddings: DataFrame, threshold: Double = 0.85,
+      normedCorpus: Option[DataFrame] = None): DataFrame =
+    semDeDupFrom(normedCorpus.getOrElse(withNorms(embeddings))
+        .withColumn("cell", lit(0)), threshold)
       .drop("cell")
 
   /** Diversity-balanced corpus sampling — the D4-style (Tirumala et al.
@@ -756,7 +788,7 @@ object Similarity {
     * values in this file). Fails fast on an empty corpus: a null max(size)
     * would otherwise surface as an opaque NPE inside bucketing, and an empty
     * k-means fit as an MLlib internal error. */
-  private def corpusDims(embeddings: DataFrame): (Long, Int) = {
+  private[graft] def corpusDims(embeddings: DataFrame): (Long, Int) = {
     val r = embeddings.agg(count(lit(1)), max(size(col("embedding")))).head()
     require(r.getLong(0) > 0, "Similarity: empty embeddings corpus")
     (r.getLong(0), r.getInt(1))
@@ -2650,9 +2682,12 @@ object Similarity {
     * Spark-specific). */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.4,
       tables: Int = 8, targetOccupancy: Int = 64,
-      mirrorableHash: Boolean = false): DataFrame = {
-    val e = withNorms(embeddings)
-    val (n, dim) = corpusDims(embeddings)
+      mirrorableHash: Boolean = false,
+      normedCorpus: Option[DataFrame] = None,
+      dims: Option[(Long, Int)] = None): DataFrame = {
+    // standing normed layer + memoized dims (the lshTopK contract)
+    val e = normedCorpus.getOrElse(withNorms(embeddings))
+    val (n, dim) = dims.getOrElse(corpusDims(embeddings))
     lshCandidates(e, n, dim, tables, targetOccupancy, mirrorableHash)
       .join(e.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("v").as("bv"), col("norm").as("bn")), Seq("b"))
@@ -2690,8 +2725,11 @@ object Similarity {
     * q6 cosines, votes, tie-breaks — is DuckDB-value-checked
     * (`knn_label`); xxhash64 fused bucketing stays the scale default. */
   def knnLabel(embeddings: DataFrame, k: Int = 5,
-      mirrorableHash: Boolean = false): DataFrame = {
-    val nn = lshTopK(embeddings, k = k, mirrorableHash = mirrorableHash)
+      mirrorableHash: Boolean = false,
+      normedCorpus: Option[DataFrame] = None,
+      dims: Option[(Long, Int)] = None): DataFrame = {
+    val nn = lshTopK(embeddings, k = k, mirrorableHash = mirrorableHash,
+      normedCorpus = normedCorpus, dims = dims)
     val labels = embeddings.select(col("vec_id").as("neighbor_id"),
       col("label").as("n_label"))
     val votes = nn.join(labels, Seq("neighbor_id"))
@@ -3108,13 +3146,18 @@ object Similarity {
     * stays the index-lifecycle default). */
   def quantTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 8,
       targetOccupancy: Int = 64, levels: Int = 256,
-      rerankFactor: Int = 3, mirrorableHash: Boolean = false): DataFrame =
+      rerankFactor: Int = 3, mirrorableHash: Boolean = false,
+      normedCorpus: Option[DataFrame] = None,
+      dims: Option[(Long, Int)] = None): DataFrame =
     if (!mirrorableHash)
       quantQuery(quantBuild(embeddings, tables, targetOccupancy, levels),
         embeddings, k, rerankFactor)
     else {
-      val e = withNorms(embeddings)
-      val (n, dim) = corpusDims(embeddings)
+      // standing normed layer + memoized dims (the lshTopK contract); the
+      // int8 code table still derives from the raw corpus (zero-norm rows
+      // are legitimately encoded — candidates never reference them)
+      val e = normedCorpus.getOrElse(withNorms(embeddings))
+      val (n, dim) = dims.getOrElse(corpusDims(embeddings))
       val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
       // undirected md5-plane candidates mirrored to both directions with
       // ONE explode (the lshTopK discipline)
@@ -3127,9 +3170,17 @@ object Similarity {
     }
 
   def lshTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 8,
-      targetOccupancy: Int = 64, mirrorableHash: Boolean = false): DataFrame = {
-    val e = withNorms(embeddings)
-    val (n, dim) = corpusDims(embeddings)
+      targetOccupancy: Int = 64, mirrorableHash: Boolean = false,
+      normedCorpus: Option[DataFrame] = None,
+      dims: Option[(Long, Int)] = None): DataFrame = {
+    // standing-layer serving (r20, the normedEmb/ivfRecallSweep pattern):
+    // `normedCorpus` must be exactly withNorms(embeddings) (SparkEntry's
+    // per-dir memo) and `dims` exactly corpusDims(embeddings) — n counts
+    // the RAW corpus including zero-norm rows, so bitsFor sizing is
+    // unchanged. One fewer in-plan corpus normalize per reference and no
+    // per-call dims aggregate; outputs bit-identical (hash-oracled).
+    val e = normedCorpus.getOrElse(withNorms(embeddings))
+    val (n, dim) = dims.getOrElse(corpusDims(embeddings))
     // candidate UNDIRECTED id-pairs, deduped across tables with no payload;
     // vectors re-joined ONCE per surviving pair, scored, mirrored to both
     // directions for per-query top-k
@@ -3193,10 +3244,13 @@ object Similarity {
     * pins; 0 keeps the full declared self-join. */
   def lshTopKMultiProbe(embeddings: DataFrame, k: Int = 5, tables: Int = 8,
       targetOccupancy: Int = 64, extraProbes: Int = -1,
-      maxQueries: Int = 0): DataFrame = {
+      maxQueries: Int = 0, normedCorpus: Option[DataFrame] = None,
+      dims: Option[(Long, Int)] = None): DataFrame = {
     import org.apache.spark.sql.functions.typedLit
-    val e = withNorms(embeddings)
-    val (n, dim) = corpusDims(embeddings)
+    // standing normed layer + memoized dims (the lshTopK contract: normed
+    // ≡ withNorms(embeddings), dims ≡ corpusDims(embeddings) — raw count)
+    val e = normedCorpus.getOrElse(withNorms(embeddings))
+    val (n, dim) = dims.getOrElse(corpusDims(embeddings))
     val bits = bitsFor(n, targetOccupancy)
     val eProbes = if (extraProbes >= 0) extraProbes else extraProbesFor(bits)
     // one literal-plane pass: per (vector, table) the full margin vector,

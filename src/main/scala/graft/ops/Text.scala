@@ -710,9 +710,13 @@ object Text {
     * is denominated in the doc's true passage mass. */
   def passageOverlap(documents: DataFrame, k: Int = 5, w: Int = 4,
       dfCap: Long = 20L, minShared: Long = 2L,
-      mirrorableHash: Boolean = false): DataFrame = {
-    val fp = winnowFingerprints(documents, k, w, mirrorableHash)
-      .localCheckpoint(true)
+      mirrorableHash: Boolean = false,
+      fpOpt: Option[DataFrame] = None): DataFrame = {
+    // `fpOpt` is the STANDING per-dir winnow fingerprint layer when the
+    // caller holds one (r20): must be exactly the pinned frame this
+    // one-shot form builds (same k/w/hash family)
+    val fp = fpOpt.getOrElse(winnowFingerprints(documents, k, w, mirrorableHash)
+      .localCheckpoint(true))
     val rare = fp.join(
       fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= dfCap)
@@ -744,8 +748,9 @@ object Text {
     * [[dedupLines]]. Same fingerprint frame, one combining groupBy +
     * one 1-row aggregate — no pair join. */
   def passageOverlapStats(documents: DataFrame, k: Int = 5, w: Int = 4,
-      dfCap: Long = 20L, mirrorableHash: Boolean = false): DataFrame =
-    winnowFingerprints(documents, k, w, mirrorableHash)
+      dfCap: Long = 20L, mirrorableHash: Boolean = false,
+      fpOpt: Option[DataFrame] = None): DataFrame =
+    fpOpt.getOrElse(winnowFingerprints(documents, k, w, mirrorableHash))
       .groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .agg(
         count(lit(1)).as("n_fingerprints"),
@@ -4738,9 +4743,15 @@ object Text {
     * no need to mirror the blocking at all. xxhash64 stays the scale
     * default. */
   def dedupSimHash(documents: DataFrame, maxHamming: Int = 3,
-      maxPairsPerDoc: Int = 64, mirrorableHash: Boolean = false): DataFrame = {
-    val sh = (if (mirrorableHash) simHashMirrorable(documents) else simHash(documents))
-      .localCheckpoint(true)
+      maxPairsPerDoc: Int = 64, mirrorableHash: Boolean = false,
+      fpOpt: Option[DataFrame] = None): DataFrame = {
+    // `fpOpt` is the STANDING per-dir fingerprint layer when the caller
+    // holds one (r20 — the minhash-signature discipline: fingerprints are
+    // a per-document projection, built once, pair-joined many times);
+    // it must be exactly the pinned frame this one-shot form builds
+    val sh = fpOpt.getOrElse(
+      (if (mirrorableHash) simHashMirrorable(documents) else simHash(documents))
+        .localCheckpoint(true))
     val n = sh.count()
     simHashPairs(sh, simhashAdaptiveBlocks(sh, n, maxHamming, maxPairsPerDoc), maxHamming)
   }

@@ -71,6 +71,38 @@ class RetrievalAndDimSpec extends SparkTestBase {
     assert(rows.exists(r => nChunks(r.getLong(0)) == 1L))
   }
 
+  test("bm25: standing-index serving ≡ one-shot builds (topk, rm3, maxp, hybrid)") {
+    // the r20 standing Bm25Index must be bit-equal to the in-query builds
+    // for every consumer (they are hash-oracled; this is the local law)
+    val docs = Tables.documents(spark, SF)
+    val emb = Tables.embeddings(spark, SF)
+    val idx = Retrieval.bm25BuildIndex(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Retrieval.bm25TopKIndexed(idx)) ===
+      rows(Retrieval.bm25TopK(docs)))
+    assert(rows(Retrieval.bm25Rm3TopKParts(idx.p, idx.df, idx.dl, idx.stats)) ===
+      rows(Retrieval.bm25Rm3TopK(docs)))
+    assert(rows(Retrieval.bm25MaxPTopK(docs, docIndex = Some(idx),
+        chunkIndex = Some(Retrieval.bm25ChunkIndexOf(docs)))) ===
+      rows(Retrieval.bm25MaxPTopK(docs)))
+    assert(rows(graft.ops.Similarity.hybridRrfTopK(docs, emb, bm25Index = Some(idx))) ===
+      rows(graft.ops.Similarity.hybridRrfTopK(docs, emb)))
+    // the standing simhash fingerprint layer serves the same pairs
+    assert(rows(Text.dedupSimHash(docs, mirrorableHash = true,
+        fpOpt = Some(Text.simHashMirrorable(docs).localCheckpoint(true)))) ===
+      rows(Text.dedupSimHash(docs, mirrorableHash = true)))
+    // the standing winnow fingerprint layer serves overlap + telemetry
+    val wfp = Text.winnowFingerprints(docs, mirrorableHash = true)
+      .localCheckpoint(true)
+    assert(rows(Text.passageOverlap(docs, mirrorableHash = true,
+        fpOpt = Some(wfp))) ===
+      rows(Text.passageOverlap(docs, mirrorableHash = true)))
+    assert(rows(Text.passageOverlapStats(docs, mirrorableHash = true,
+        fpOpt = Some(wfp))) ===
+      rows(Text.passageOverlapStats(docs, mirrorableHash = true)))
+  }
+
   test("bm25: more query-term mass at equal length ranks higher; rarer term beats common") {
     // same length (8 tokens); A has the term 3x, B 1x
     val docs = Seq(

@@ -20,6 +20,46 @@ class SimilaritySpec extends SparkTestBase {
     .select("query_id", "neighbor_id").collect()
     .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("standing normed layer + memoized dims serve ≡ one-shot (LSH family, semdedup_reduced)") {
+    // r20: the per-dir normedEmb/dims/reduced-cells memos must be
+    // bit-equal to the in-query withNorms/corpusDims/fit composition for
+    // every consumer (most are hash-oracled; this is the local law)
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, SF)
+    val normed = Similarity.withNorms(emb).localCheckpoint(true)
+    val dims = Similarity.corpusDims(emb)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Similarity.lshTopK(emb, mirrorableHash = true,
+        normedCorpus = Some(normed), dims = Some(dims))) ===
+      rows(Similarity.lshTopK(emb, mirrorableHash = true)))
+    assert(rows(Similarity.lshTopKMultiProbe(emb,
+        normedCorpus = Some(normed), dims = Some(dims))) ===
+      rows(Similarity.lshTopKMultiProbe(emb)))
+    assert(rows(Similarity.quantTopK(emb, mirrorableHash = true,
+        normedCorpus = Some(normed), dims = Some(dims))) ===
+      rows(Similarity.quantTopK(emb, mirrorableHash = true)))
+    assert(rows(Similarity.knnLabel(emb, mirrorableHash = true,
+        normedCorpus = Some(normed), dims = Some(dims))) ===
+      rows(Similarity.knnLabel(emb, mirrorableHash = true)))
+    assert(rows(Similarity.embeddingNearDupLsh(emb, mirrorableHash = true,
+        normedCorpus = Some(normed), dims = Some(dims))) ===
+      rows(Similarity.embeddingNearDupLsh(emb, mirrorableHash = true)))
+    assert(rows(Similarity.embeddingNearDup(emb, normedCorpus = Some(normed))) ===
+      rows(Similarity.embeddingNearDup(emb)))
+    assert(rows(Similarity.cosineTopK(emb, normedCorpus = Some(normed))) ===
+      rows(Similarity.cosineTopK(emb)))
+    assert(rows(Similarity.semDeDupExact(emb, threshold = 0.4,
+        normedCorpus = Some(normed))) ===
+      rows(Similarity.semDeDupExact(emb, threshold = 0.4)))
+    // the standing reduced-cells layer: prefit-model + From composition
+    // ≡ the one-shot refit (pcaFit/ivfBuild are deterministic per corpus)
+    val cells = Similarity.semDeDupReducedCells(emb,
+      Some(Similarity.pcaFit(emb)))
+    assert(rows(Similarity.semDeDupReducedFrom(cells, normed, 0.4)) ===
+      rows(Similarity.semDeDupReduced(emb, threshold = 0.4)))
+  }
+
   test("quantization: codes bounded, reconstruction within half a step, cosine preserved") {
     val emb = Tables.embeddings(spark, SF)
     val codes = q("quantize_embeddings").cache()
